@@ -1,0 +1,790 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import java.time.Instant
+import java.util.UUID
+import scala.collection.mutable.ArrayBuffer
+
+import graft.catalog.{CollectionCatalog, CollectionMeta, PgTypes}
+import graft.core.{GeoOps, Jsons}
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import graft.query.{PostgrestFilter, SqlFragments}
+
+/**
+ * The engine facade — the Spark-native equivalent of the reference's
+ * `GeoDBClient` (xcube-geodb geodb.py:135). Every public method corresponds
+ * to an operator in SURVEY.md §2; semantics (including quirks §7.4.5) follow
+ * the reference, execution is Catalyst.
+ *
+ * Collections are Parquet-backed with the four mandatory columns
+ * (id, created_at, modified_at, geometry[WKB]) plus dynamic properties
+ * (geodb.sql:291-328). Four materialized envelope stat columns
+ * (_bbox_minx.., hidden from reads) are written at ingest so bbox queries
+ * get Parquet row-group min/max pruning — the Spark-shaped replacement for
+ * the reference's GIST index (SURVEY.md §4 R2/R3).
+ */
+class GeoDb(
+    val spark: SparkSession,
+    val warehouse: String,
+    val user: String = "geodb_user") {
+
+  val catalog = new CollectionCatalog(warehouse)
+  GeoFunctions.registerAll(spark)
+
+  val mandatoryProperties = Seq("id", "created_at", "modified_at", "geometry")
+  private val statCols = Seq("_bbox_minx", "_bbox_miny", "_bbox_maxx", "_bbox_maxy")
+  private val PUBLIC = "PUBLIC"
+
+  def whoami: String = user
+  private def db(database: Option[String]): String = database.getOrElse(user)
+
+  // =========================================================================
+  // Databases (§2.10 D8)
+  // =========================================================================
+  def createDatabase(name: String): Unit = {
+    catalog.createDatabase(name, user)
+    logEvent("CREATED_DATABASE", s"Database $name created")
+  }
+
+  def truncateDatabase(name: String): Unit = {
+    requireDatabaseOwner(name)
+    catalog.listCollections(name).foreach(c => dropCollection(c, Some(name)))
+    catalog.dropDatabase(name)
+    logEvent("DROPPED_DATABASE", s"Database $name truncated")
+  }
+
+  def databaseExists(name: String): Boolean = catalog.databaseExists(name)
+
+  def getMyDatabases: Seq[String] =
+    catalog.databases.collect { case (n, m) if m("owner") == user => n }.toSeq.sorted
+
+  // =========================================================================
+  // Collection DDL (§2.10 D1-D6)
+  // =========================================================================
+  /** Mandatory columns + lowercased dynamic properties (geodb.sql:291-328). */
+  def createCollection(
+      collection: String,
+      properties: Seq[(String, String)] = Seq.empty,
+      crs: Any = 4326,
+      database: Option[String] = None,
+      force: Boolean = false): Unit = {
+    val d = db(database)
+    val srid = checkCrs(crs)
+    if (!catalog.databaseExists(d)) catalog.createDatabase(d, user)
+    requireDatabaseOwner(d)
+    if (catalog.collectionExists(d, collection)) {
+      require(force, s"collection $d/$collection exists")
+      dropCollection(collection, Some(d))
+    }
+    val props = properties.map { case (n, t) =>
+      StructField(n.toLowerCase, PgTypes.toSpark(t)) // lowercased: geodb.sql:226
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("created_at", TimestampType),
+      StructField("modified_at", TimestampType),
+      StructField("geometry", BinaryType)) ++ props)
+    val meta = CollectionMeta(d, collection, srid, 0L, schema.toDDL,
+      Instant.now.toString)
+    catalog.saveMeta(meta)
+    // Seed an empty parquet dir so reads/appends always see valid footers.
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withStats(schema))
+      .write.mode("overwrite").parquet(catalog.dataDir(d, collection))
+    logEvent("CREATED_COLLECTION", s"Collection $d/$collection created")
+  }
+
+  def createCollections(colls: Map[String, Seq[(String, String)]],
+                        database: Option[String] = None,
+                        crs: Any = 4326, force: Boolean = false): Unit =
+    colls.foreach { case (name, props) =>
+      createCollection(name, props, crs, database, force)
+    }
+
+  def createCollectionIfNotExists(
+      collection: String, properties: Seq[(String, String)] = Seq.empty,
+      crs: Any = 4326, database: Option[String] = None): Unit =
+    if (!collectionExists(collection, database))
+      createCollection(collection, properties, crs, database)
+
+  def dropCollection(collection: String, database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    catalog.deleteCollection(d, collection)
+    setGrants(grants.filterNot(g =>
+      g("database") == d && g("collection") == collection))
+    logEvent("DROPPED_COLLECTION", s"Collection $d/$collection dropped")
+  }
+
+  def dropCollections(collections: Seq[String], database: Option[String] = None): Unit =
+    collections.foreach(dropCollection(_, database))
+
+  def collectionExists(collection: String, database: Option[String] = None): Boolean =
+    catalog.collectionExists(db(database), collection)
+
+  def getMyCollections: Seq[(String, String)] =
+    catalog.listAllCollections().filter { case (d, c) => allowed(d, c, "SELECT") }
+
+  def renameCollection(collection: String, newName: String,
+                       database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    moveDir(d, collection, d, newName)
+    logEvent("RENAMED_COLLECTION", s"Collection $d/$collection renamed to $newName")
+  }
+
+  /** Move = rename across databases (geodb.sql:619-649). */
+  def moveCollection(collection: String, toDatabase: String,
+                     database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d); requireDatabaseOwner(toDatabase)
+    moveDir(d, collection, toDatabase, collection)
+    logEvent("MOVED_COLLECTION", s"Collection $d/$collection moved to $toDatabase")
+  }
+
+  def copyCollection(collection: String, newName: String,
+                     database: Option[String] = None,
+                     toDatabase: Option[String] = None): Unit = {
+    val d = db(database); val td = toDatabase.getOrElse(d)
+    requireAccess(d, collection, "SELECT"); requireDatabaseOwner(td)
+    val meta = metaOf(d, collection)
+    require(!catalog.collectionExists(td, newName), s"collection $td/$newName exists")
+    catalog.saveMeta(meta.copy(database = td, collection = newName))
+    spark.read.parquet(catalog.dataDir(d, collection))
+      .write.mode("overwrite").parquet(catalog.dataDir(td, newName))
+    logEvent("COPIED_COLLECTION", s"Collection $d/$collection copied to $td/$newName")
+  }
+
+  /** Dynamic schema evolution: old files gain the column as null on read. */
+  def addProperties(collection: String, properties: Seq[(String, String)],
+                    database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val meta = metaOf(d, collection)
+    val schema = properties.foldLeft(meta.schema) { case (s, (n, t)) =>
+      s.add(n.toLowerCase, PgTypes.toSpark(t))
+    }
+    catalog.saveMeta(meta.copy(schemaDdl = schema.toDDL))
+    logEvent("ADDED_PROPERTY", s"Properties added to $d/$collection")
+  }
+
+  def addProperty(collection: String, name: String, propType: String,
+                  database: Option[String] = None): Unit =
+    addProperties(collection, Seq(name -> propType), database)
+
+  /** Refuses mandatory columns (geodb.py:1170-1173). Rewrites data. */
+  def dropProperties(collection: String, properties: Seq[String],
+                     database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    properties.foreach { p =>
+      require(!mandatoryProperties.contains(p.toLowerCase),
+        s"Don't delete the property $p") // geodb.py:1172
+    }
+    val meta = metaOf(d, collection)
+    val keep = meta.schema.fields.filterNot(f => properties.map(_.toLowerCase).contains(f.name))
+    val newSchema = StructType(keep)
+    swapIn(d, collection, readRaw(d, collection)
+      .select((newSchema.fieldNames ++ statCols).map(col): _*))
+    catalog.saveMeta(meta.copy(schemaDdl = newSchema.toDDL))
+    logEvent("DROPPED_PROPERTY", s"Properties dropped from $d/$collection")
+  }
+
+  def dropProperty(collection: String, name: String,
+                   database: Option[String] = None): Unit =
+    dropProperties(collection, Seq(name), database)
+
+  def getProperties(collection: String, database: Option[String] = None): DataFrame = {
+    val meta = metaOf(db(database), collection)
+    val rows = meta.schema.fields.map(f => Row(f.name, f.dataType.simpleString))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(StructField("column_name", StringType),
+        StructField("data_type", StringType))))
+  }
+
+  def getCollectionSrid(collection: String, database: Option[String] = None): Int =
+    metaOf(db(database), collection).srid
+
+  def getCollectionInfo(collection: String, database: Option[String] = None): CollectionMeta =
+    metaOf(db(database), collection)
+
+  // =========================================================================
+  // DML (§2.9)
+  // =========================================================================
+  /**
+   * Append rows. Engine assigns `id` (incoming id dropped unless upsert,
+   * geodb.py:1499-1500) and stamps `created_at`. Geometry column may be WKB
+   * binary or (E)WKT string ("SRID=n;POLYGON...", geodb.py:1401-1420).
+   */
+  def insertIntoCollection(collection: String, values: DataFrame,
+                           upsert: Boolean = false,
+                           crs: Option[Any] = None,
+                           database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val meta = metaOf(d, collection)
+    crs.foreach { c =>
+      val srid = checkCrs(c)
+      require(srid == meta.srid, // geodb.py:1464-1471
+        s"crs $srid is not compatible with collection crs ${meta.srid}")
+    }
+    var in = values
+    // normalize geometry to WKB
+    if (in.columns.contains("geometry") &&
+        in.schema("geometry").dataType == StringType) {
+      in = in.withColumn("geometry",
+        st_geomfromtext(regexp_replace(col("geometry"), "^[sS][rR][iI][dD]=\\d+;", "")))
+    }
+    if (upsert && in.columns.contains("id")) upsertById(d, collection, meta, in)
+    else {
+      val incoming = if (in.columns.contains("id")) in.drop("id") else in
+      val withMeta = incoming
+        .withColumn("created_at", current_timestamp())
+        .withColumn("modified_at", lit(null).cast(TimestampType))
+      val assigned = assignIds(alignTo(meta.schema, withMeta, keepId = false), meta.maxId)
+      val n = appendWrite(d, collection, meta, assigned)
+      catalog.saveMeta(metaOf(d, collection).copy(maxId = meta.maxId + n))
+    }
+    logEvent("ROWS_ADDED", s"Rows added to $d/$collection")
+  }
+
+  /** PK merge on id — PostgREST resolution=merge-duplicates (geodb.py:1505-1508). */
+  private def upsertById(d: String, collection: String, meta: CollectionMeta,
+                         incoming: DataFrame): Unit = {
+    val existing = readRaw(d, collection)
+    val inc = alignTo(meta.schema, incoming, keepId = true)
+      .withColumn("_inc", lit(true))
+    val cols = meta.schema.fieldNames.filterNot(Seq("id", "created_at", "modified_at").contains)
+    val joined = existing.alias("e").join(inc.alias("i"), Seq("id"), "full_outer")
+    val merged = joined.select(
+      Seq(col("id"),
+        coalesce(col("e.created_at"), current_timestamp()).as("created_at"),
+        when(col("i._inc") && col("e.created_at").isNotNull, current_timestamp())
+          .otherwise(col("e.modified_at")).as("modified_at")) ++
+      cols.map(c => coalesce(col(s"i.$c"), col(s"e.$c")).as(c)): _*)
+    // incoming max BEFORE the swap — merged's plan reads the pre-swap files
+    val incMax = Option(inc.agg(max("id")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    swapIn(d, collection, addStats(alignTo(meta.schema, merged, keepId = true)))
+    catalog.saveMeta(metaOf(d, collection).copy(maxId = math.max(meta.maxId, incMax)))
+  }
+
+  /** PATCH-by-filter; stamps modified_at (trigger semantics, geodb.sql:281-288). */
+  def updateCollection(collection: String, values: Map[String, Any],
+                       query: String, database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val meta = metaOf(d, collection)
+    val pred = PostgrestFilter.parse(query).predicate
+      .getOrElse(lit(true))
+    val vals = values - "id" // incoming id stripped: geodb.py:1388-1392
+    val updated = vals.foldLeft(readRaw(d, collection)) { case (df, (c, v)) =>
+      val t = meta.schema(c.toLowerCase).dataType
+      df.withColumn(c.toLowerCase, when(pred, lit(v).cast(t)).otherwise(col(c.toLowerCase)))
+    }.withColumn("modified_at",
+      when(pred, current_timestamp()).otherwise(col("modified_at")))
+    swapIn(d, collection, addStats(alignTo(meta.schema, updated, keepId = true)))
+    logEvent("UPDATED_COLLECTION", s"Collection $d/$collection updated")
+  }
+
+  /** DELETE-by-filter → anti-filter rewrite (geodb.py:1325-1354). */
+  def deleteFromCollection(collection: String, query: String,
+                           database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val pred = PostgrestFilter.parse(query).predicate.getOrElse(lit(true))
+    val remaining = readRaw(d, collection).filter(!(pred <=> true))
+    swapIn(d, collection, remaining)
+    logEvent("ROWS_DROPPED", s"Rows dropped from $d/$collection")
+  }
+
+  // =========================================================================
+  // Queries (§2.1 S1/S2, §2.2, §3)
+  // =========================================================================
+  /** PostgREST filter path (geodb.py:1830-1885). */
+  def getCollection(collection: String, query: String = "",
+                    database: Option[String] = None,
+                    limit: Option[Int] = None,
+                    offset: Option[Int] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val base = readCollection(d, collection)
+    val q = Seq(
+      Some(query).filter(_.nonEmpty),
+      limit.map(l => s"limit=$l"),
+      offset.map(o => s"offset=$o")).flatten.mkString("&")
+    val out = if (q.isEmpty) base else PostgrestFilter(base, q)
+    logEvent("READ_COLLECTION", s"Collection $d/$collection read")
+    emptyContract(out)
+  }
+
+  def headCollection(collection: String, numLines: Int = 10,
+                     database: Option[String] = None): DataFrame =
+    getCollection(collection, s"order=id&limit=$numLines", database)
+
+  /** Raw-SQL fragment path (geodb_get_pg, geodb.sql:1131-1176). */
+  def getCollectionPg(collection: String,
+                      select: String = "*",
+                      where: Option[String] = None,
+                      group: Option[String] = None,
+                      order: Option[String] = None,
+                      limit: Option[Int] = None,
+                      offset: Option[Int] = None,
+                      database: Option[String] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val out = SqlFragments.run(spark, readCollection(d, collection),
+      select, where, group, order, limit, offset)
+    logEvent("READ_COLLECTION", s"Collection $d/$collection read")
+    emptyContract(out)
+  }
+
+  /**
+   * Spatial path (geodb_get_by_bbox, geodb.sql:1179-1257): rectangle vs
+   * `geometry` under one of eight comparison modes, optional extra `where`
+   * composed with AND/OR, ORDER BY id, limit/offset (offset needs limit).
+   *
+   * Scale path: a conjunctive envelope pre-filter on the materialized
+   * `_bbox_*` stat columns lets Parquet prune row groups before the JTS
+   * predicate runs (the GIST-index replacement, SURVEY §4 R3).
+   */
+  def getCollectionByBbox(collection: String,
+                          bbox: (Double, Double, Double, Double),
+                          comparisonMode: String = "contains",
+                          bboxCrs: Any = 4326,
+                          where: Option[String] = None,
+                          op: String = "AND",
+                          limit: Option[Int] = None,
+                          offset: Option[Int] = None,
+                          database: Option[String] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val meta = metaOf(d, collection)
+    val qCrs = checkCrs(bboxCrs)
+    val (minx, miny, maxx, maxy) =
+      if (qCrs == meta.srid) bbox
+      else GeoOps.transformBbox(bbox._1, bbox._2, bbox._3, bbox._4, qCrs, meta.srid)
+    val rect = st_makeenvelope(lit(minx), lit(miny), lit(maxx), lit(maxy))
+    // bbox is the FIRST argument, row geometry the second (geodb.sql:1204-1214)
+    val stPred = st_relation(comparisonMode, rect, col("geometry"))
+    val pre = envelopePrefilter(comparisonMode, minx, miny, maxx, maxy)
+    val full = where.filter(_.nonEmpty) match {
+      case Some(w) if op.equalsIgnoreCase("OR") => expr(w) || stPred
+      case Some(w) => expr(w) && stPred
+      case None => stPred
+    }
+    val filtered = readRaw(d, collection)
+      .filter(pre.map(p => if (where.isEmpty || op.equalsIgnoreCase("AND")) full && p else full).getOrElse(full))
+      .select(meta.schema.fieldNames.map(col): _*)
+    var out = filtered.orderBy("id") // geodb.sql:1240
+    limit.foreach { l =>
+      offset.foreach(o => out = out.offset(o))
+      out = out.limit(l)
+    }
+    logEvent("READ_COLLECTION", s"Collection $d/$collection read by bbox")
+    emptyContract(out)
+  }
+
+  /** Row-group-prunable envelope condition implied by the DE-9IM mode. */
+  private def envelopePrefilter(mode: String, minx: Double, miny: Double,
+                                maxx: Double, maxy: Double): Option[Column] =
+    mode.toLowerCase match {
+      // bbox contains geom => geom envelope inside bbox
+      case "contains" | "equals" =>
+        Some(col("_bbox_minx") >= minx && col("_bbox_maxx") <= maxx &&
+             col("_bbox_miny") >= miny && col("_bbox_maxy") <= maxy)
+      // any interaction requires envelope overlap
+      case "intersects" | "touches" | "overlaps" | "crosses" | "within" =>
+        Some(col("_bbox_minx") <= maxx && col("_bbox_maxx") >= minx &&
+             col("_bbox_miny") <= maxy && col("_bbox_maxy") >= miny)
+      case _ => None // disjoint has no useful envelope implication
+    }
+
+  // =========================================================================
+  // Aggregates (§2.4)
+  // =========================================================================
+  def countCollection(collection: String, exact: Boolean = true,
+                      database: Option[String] = None): Long = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    if (exact) readRaw(d, collection).count()
+    else estimatedCount(d, collection) // parquet footers: exact AND O(files)
+  }
+
+  def countCollectionByBbox(collection: String,
+                            bbox: (Double, Double, Double, Double),
+                            comparisonMode: String = "contains",
+                            bboxCrs: Any = 4326,
+                            where: Option[String] = None,
+                            op: String = "AND",
+                            database: Option[String] = None): Long =
+    getCollectionByBbox(collection, bbox, comparisonMode, bboxCrs, where, op,
+      database = database) match {
+      case df if df.columns.sameElements(Array("Empty Result")) => 0L
+      case df => df.count()
+    }
+
+  /**
+   * Collection extent. Returns (ymin, xmin, ymax, xmax) — the reference
+   * swaps the BOX order on return (geodb.py:400, §7.4.5).
+   * `exact=false` uses the materialized stat columns (pruned scan of 4
+   * columns — the ST_EstimatedExtent analog, geodb.sql:443-458).
+   */
+  def getCollectionBbox(collection: String, exact: Boolean = true,
+                        database: Option[String] = None): Option[(Double, Double, Double, Double)] = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val row =
+      if (exact)
+        readRaw(d, collection).agg(
+          min(st_xmin(col("geometry"))), min(st_ymin(col("geometry"))),
+          max(st_xmax(col("geometry"))), max(st_ymax(col("geometry")))).head
+      else
+        readRaw(d, collection).agg(
+          min(col("_bbox_minx")), min(col("_bbox_miny")),
+          max(col("_bbox_maxx")), max(col("_bbox_maxy"))).head
+    if (row.isNullAt(0)) None
+    else Some((row.getDouble(1), row.getDouble(0), row.getDouble(3), row.getDouble(2)))
+  }
+
+  /** GeometryType per row or DISTINCT (geodb.sql:460-482). */
+  def getGeometryTypes(collection: String, aggregate: Boolean = false,
+                       database: Option[String] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val gt = geometry_type(col("geometry")).as("geometrytype")
+    val base = readCollection(d, collection).select(gt)
+    if (aggregate) base.distinct().orderBy("geometrytype") else base
+  }
+
+  /** Storage usage: sum of collection file sizes (geodb.sql:1028-1120). */
+  def getMyUsage(pretty: Boolean = false): Any = {
+    val bytes = catalog.listAllCollections()
+      .filter { case (d, _) => catalog.databaseOwner(d).contains(user) }
+      .map { case (d, c) => dirSize(catalog.dataDir(d, c)) }.sum
+    if (pretty) prettySize(bytes) else bytes
+  }
+
+  // =========================================================================
+  // ACL (§2.11) — policy layer over control tables
+  // =========================================================================
+  private def grants: Seq[Map[String, Any]] =
+    Jsons.loadSeq(catalog.grantsPath).map(_.asInstanceOf[Map[String, Any]])
+  private def setGrants(g: Seq[Map[String, Any]]): Unit =
+    Jsons.save(catalog.grantsPath, g)
+  private def groups: Map[String, Seq[String]] =
+    Jsons.loadMap(catalog.groupsPath).map { case (k, v) =>
+      k -> v.asInstanceOf[Seq[Any]].map(_.toString) }
+  private def setGroups(g: Map[String, Seq[String]]): Unit =
+    Jsons.save(catalog.groupsPath, g)
+
+  def grantAccessToCollection(collection: String, grantee: String,
+                              database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    setGrants(grants :+ Map[String, Any]("database" -> d, "collection" -> collection,
+      "grantee" -> grantee, "privilege" -> "SELECT"))
+    logEvent("GRANTED_ACCESS", s"Access to $d/$collection granted to $grantee")
+  }
+
+  def revokeAccessFromCollection(collection: String, grantee: String,
+                                 database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    setGrants(grants.filterNot(g => g("database") == d &&
+      g("collection") == collection && g("grantee") == grantee))
+    logEvent("REVOKED_ACCESS", s"Access to $d/$collection revoked from $grantee")
+  }
+
+  /** Publish = grant to PUBLIC (geodb.py:920-978). */
+  def publishCollection(collection: String, database: Option[String] = None): Unit =
+    grantAccessToCollection(collection, PUBLIC, database)
+
+  def unpublishCollection(collection: String, database: Option[String] = None): Unit =
+    revokeAccessFromCollection(collection, PUBLIC, database)
+
+  /** Grants grouped by grantee (client pandas groupby, geodb.py:2565). */
+  def getAccessRights(collection: String, database: Option[String] = None): Map[String, Seq[String]] =
+    grants.filter(g => g("database") == db(database) && g("collection") == collection)
+      .groupBy(_("grantee").toString)
+      .map { case (k, v) => k -> v.map(_("privilege").toString) }
+
+  def listGrants: DataFrame = {
+    val rows = grants.filter(g => catalog.databaseOwner(g("database").toString).contains(user))
+      .map(g => Row(g("database").toString, g("collection").toString,
+        g("grantee").toString, g("privilege").toString))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq("database", "collection", "grantee", "privilege")
+        .map(StructField(_, StringType))))
+  }
+
+  // ---- groups (C2) ----
+  def createGroup(name: String): Unit = {
+    setGroups(groups + (name -> Seq(user)))
+    logEvent("CREATED_GROUP", s"Group $name created")
+  }
+
+  def dropGroup(name: String): Unit = setGroups(groups - name)
+
+  def addUserToGroup(u: String, group: String): Unit =
+    setGroups(groups + (group -> (groups.getOrElse(group, Seq.empty) :+ u).distinct))
+
+  def removeUserFromGroup(u: String, group: String): Unit =
+    setGroups(groups + (group -> groups.getOrElse(group, Seq.empty).filterNot(_ == u)))
+
+  def getMyGroups: Seq[String] =
+    groups.collect { case (g, members) if members.contains(user) => g }.toSeq.sorted
+
+  def publishCollectionToGroup(collection: String, group: String,
+                               database: Option[String] = None): Unit =
+    grantAccessToCollection(collection, group, database)
+
+  def unpublishCollectionFromGroup(collection: String, group: String,
+                                   database: Option[String] = None): Unit =
+    revokeAccessFromCollection(collection, group, database)
+
+  /** Recursive ownership/membership check (geodb_user_allowed, geodb.sql:731-778). */
+  def userAllowed(database: String, collection: String, privilege: String = "SELECT"): Boolean =
+    allowed(database, collection, privilege)
+
+  private def allowed(d: String, c: String, privilege: String): Boolean = {
+    if (catalog.databaseOwner(d).contains(user)) return true
+    val myGroups = getMyGroups.toSet + user + PUBLIC
+    grants.exists(g => g("database") == d && g("collection") == c &&
+      myGroups.contains(g("grantee").toString))
+  }
+
+  private def requireAccess(d: String, c: String, privilege: String): Unit =
+    require(allowed(d, c, privilege), s"$user has no $privilege access to $d/$c")
+
+  private def requireDatabaseOwner(d: String): Unit = {
+    val owner = catalog.databaseOwner(d)
+    require(owner.isEmpty || owner.contains(user) ||
+      groups.get(d).exists(_.contains(user)),
+      s"$user is not owner of database $d")
+  }
+
+  // =========================================================================
+  // STAC metadata (§1.4)
+  // =========================================================================
+  def getMetadata(collection: String, database: Option[String] = None): Map[String, Any] = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val stored = Jsons.loadMap(catalog.metadataPath(d, collection))
+    val withExtent =
+      if (stored.contains("extent")) stored
+      else getCollectionBbox(collection, exact = true, Some(d)) match {
+        case Some((ymin, xmin, ymax, xmax)) =>
+          // stored extent is computed from data when absent (metadata.py:371-380)
+          val (tminx, tminy, tmaxx, tmaxy) = to4326Envelope(
+            xmin, ymin, xmax, ymax, metaOf(d, collection).srid)
+          stored + ("extent" -> Map(
+            "spatial" -> Map("bbox" -> Seq(Seq(tminx, tminy, tmaxx, tmaxy))),
+            "temporal" -> Map("interval" -> Seq(Seq(null, null)))))
+        case None => stored
+      }
+    Map(
+      "type" -> "Collection",
+      "stac_version" -> "1.1.0", // metadata.py:541-542
+      "id" -> s"${d}_$collection") ++ withExtent
+  }
+
+  def setMetadataField(collection: String, field: String, value: Any,
+                       database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    Jsons.save(path, Jsons.loadMap(path) + (field -> value))
+    logEvent("METADATA_CHANGED", s"Metadata $field set on $d/$collection")
+  }
+
+  /** Normalizes to an EPSG:4326 envelope (geodb.sql:1840-1867). */
+  def setSpatialExtent(collection: String,
+                       bbox: (Double, Double, Double, Double),
+                       crs: Any = 4326,
+                       database: Option[String] = None): Unit = {
+    val srid = checkCrs(crs)
+    val (minx, miny, maxx, maxy) = to4326Envelope(bbox._1, bbox._2, bbox._3, bbox._4, srid)
+    setMetadataField(collection, "extent", Map(
+      "spatial" -> Map("bbox" -> Seq(Seq(minx, miny, maxx, maxy))),
+      "temporal" -> Map("interval" -> Seq(Seq(null, null)))), database)
+  }
+
+  private def to4326Envelope(minx: Double, miny: Double, maxx: Double, maxy: Double,
+                             srid: Int): (Double, Double, Double, Double) =
+    if (srid == 4326) (minx, miny, maxx, maxy)
+    else GeoOps.transformBbox(minx, miny, maxx, maxy, srid, 4326)
+
+  // =========================================================================
+  // Event log (§2.12) — buffered appends, parquet-backed audit stream
+  // =========================================================================
+  private val eventBuffer = ArrayBuffer.empty[(String, String, String, java.sql.Timestamp)]
+  var eventLogging: Boolean = true
+
+  def logEvent(eventType: String, message: String): Unit = if (eventLogging) {
+    eventBuffer += ((eventType, message, user, java.sql.Timestamp.from(Instant.now)))
+    if (eventBuffer.size >= 256) flushEvents()
+  }
+
+  def flushEvents(): Unit = if (eventBuffer.nonEmpty) {
+    val rows = eventBuffer.map { case (t, m, u, ts) => Row(t, m, u, ts) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), eventSchema)
+      .write.mode("append").parquet(catalog.eventLogDir)
+    eventBuffer.clear()
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_type", StringType), StructField("message", StringType),
+    StructField("username", StringType), StructField("date", TimestampType)))
+
+  /** LIKE filters on type + message (geodb.sql:123-140). */
+  def getEventLog(eventType: String = "%", collection: Option[String] = None): DataFrame = {
+    flushEvents()
+    val dir = new java.io.File(catalog.eventLogDir)
+    val base =
+      if (dir.exists) spark.read.schema(eventSchema).parquet(catalog.eventLogDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
+    val byType = base.filter(col("event_type").like(eventType))
+    collection.map(c => byType.filter(col("message").like(s"%$c%"))).getOrElse(byType)
+  }
+
+  // =========================================================================
+  // Internals
+  // =========================================================================
+  private def metaOf(d: String, c: String): CollectionMeta =
+    catalog.loadMeta(d, c).getOrElse(
+      throw new NoSuchElementException(s"collection $d/$c does not exist"))
+
+  /** Full frame including hidden stat columns. */
+  private def readRaw(d: String, c: String): DataFrame = {
+    val meta = metaOf(d, c)
+    spark.read.schema(withStats(meta.schema)).parquet(catalog.dataDir(d, c))
+  }
+
+  /** User-visible frame (stat columns pruned). */
+  def readCollection(d: String, c: String): DataFrame = {
+    val meta = metaOf(d, c)
+    spark.read.schema(withStats(meta.schema)).parquet(catalog.dataDir(d, c))
+      .select(meta.schema.fieldNames.map(col): _*)
+  }
+
+  private def withStats(schema: StructType): StructType =
+    statCols.foldLeft(schema)((s, c) => s.add(c, DoubleType))
+
+  private def addStats(df: DataFrame): DataFrame =
+    df.withColumn("_bbox_minx", st_xmin(col("geometry")))
+      .withColumn("_bbox_miny", st_ymin(col("geometry")))
+      .withColumn("_bbox_maxx", st_xmax(col("geometry")))
+      .withColumn("_bbox_maxy", st_ymax(col("geometry")))
+
+  /** Project to the collection schema (order + types), adding null columns. */
+  private def alignTo(schema: StructType, df: DataFrame, keepId: Boolean): DataFrame = {
+    val cols = schema.fields.map { f =>
+      if (f.name == "id" && !keepId) lit(null).cast(LongType).as("id")
+      else if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /**
+   * SERIAL-id assignment without a sequence (SURVEY §7.4.3): count rows per
+   * partition, compute per-partition offsets on the driver (tiny), then a
+   * second distributed pass writes `start + offset + localIndex`. Two passes,
+   * no shuffle, no driver materialization — scales to any row count.
+   */
+  private def assignIds(df: DataFrame, start: Long): DataFrame = {
+    val schema = df.schema
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq((start + i + 1) +: row.toSeq.tail)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Append new files; returns row count of the appended frame. */
+  private def appendWrite(d: String, c: String, meta: CollectionMeta,
+                          df: DataFrame): Long = {
+    val before = estimatedCount(d, c)
+    addStats(df).write.mode("append").parquet(catalog.dataDir(d, c))
+    // row count from footers (O(#files), no re-scan, no caching of the input)
+    estimatedCount(d, c) - before
+  }
+
+  /** Copy-on-write commit: write temp dir, atomic swap (SURVEY §7.4.2). */
+  private def swapIn(d: String, c: String, newDf: DataFrame): Unit = {
+    val dir = catalog.collectionDir(d, c)
+    val token = UUID.randomUUID.toString.take(8)
+    val tmp = s"$dir/.data-tmp-$token"
+    newDf.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new HPath(dir).getFileSystem(conf)
+    val dataP = new HPath(catalog.dataDir(d, c))
+    val old = new HPath(s"$dir/.data-old-$token")
+    if (fs.exists(dataP)) fs.rename(dataP, old)
+    fs.rename(new HPath(tmp), dataP)
+    fs.delete(old, true)
+  }
+
+  private def moveDir(d: String, c: String, td: String, tc: String): Unit = {
+    val meta = metaOf(d, c)
+    require(!catalog.collectionExists(td, tc), s"collection $td/$tc exists")
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new HPath(catalog.collectionDir(d, c))
+    val dst = new HPath(catalog.collectionDir(td, tc))
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    fs.rename(src, dst)
+    catalog.saveMeta(meta.copy(database = td, collection = tc))
+  }
+
+  /** Sum of parquet footer record counts — O(#files), no data scan (R1). */
+  private def estimatedCount(d: String, c: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new HPath(catalog.dataDir(d, c))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return -1L // no stats yet → -1 (test_sql_functions.py:328)
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  private def dirSize(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists) 0L
+    else if (f.isFile) f.length()
+    else f.listFiles().map(x => dirSize(x.getPath)).sum
+  }
+
+  private def prettySize(bytes: Long): String = {
+    val units = Seq("bytes", "kB", "MB", "GB", "TB")
+    var b = bytes.toDouble; var i = 0
+    while (b >= 1024 && i < units.size - 1) { b /= 1024; i += 1 }
+    if (i == 0) s"$bytes ${units(0)}" else f"$b%.1f ${units(i)}"
+  }
+
+  /** Accepts 4326 or "EPSG:4326" (check_crs, geodb.py:121-132). */
+  def checkCrs(crs: Any): Int = crs match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: String if s.toUpperCase.startsWith("EPSG:") => s.substring(5).toInt
+    case s: String => s.toInt
+    case other => throw new IllegalArgumentException(s"invalid crs: $other")
+  }
+
+  /** Empty-result contract: DataFrame(columns=["Empty Result"]) (geodb.py:1883). */
+  var strictEmptyContract: Boolean = false
+  private def emptyContract(df: DataFrame): DataFrame =
+    if (strictEmptyContract && df.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("Empty Result", StringType))))
+    else df
+}

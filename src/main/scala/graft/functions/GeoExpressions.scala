@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.GeoOps
+
+/**
+ * Catalyst expressions for the geo function surface the reference exposes
+ * through PostGIS (SURVEY.md §2.3, §2.8). All are thin, codegen-friendly
+ * wrappers over [[graft.core.GeoOps]] static kernels — `doGenCode` emits a
+ * direct static call so the predicates stay inside whole-stage codegen.
+ */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_point"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeoOps.point(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.GeoOps.point($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StGeomFromText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geomfromtext"
+  override protected def nullSafeEval(wkt: Any): Any =
+    GeoOps.geomFromText(wkt.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.geomFromText($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class StMakeEnvelope(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_makeenvelope"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.makeEnvelope(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.core.GeoOps.makeEnvelope($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Unary geo accessor dispatching to a named GeoOps kernel. */
+case class StUnary(kernel: String, child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = kernel match {
+    case "asText" | "geometryType" => StringType
+    case "centroid" | "envelope"   => BinaryType
+    case _                         => DoubleType
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"st_${kernel.toLowerCase}"
+  override protected def nullSafeEval(b: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    kernel match {
+      case "asText"       => GeoOps.asText(bytes)
+      case "geometryType" => GeoOps.geometryType(bytes)
+      case "centroid"     => GeoOps.centroid(bytes)
+      case "envelope"     => GeoOps.envelope(bytes)
+      case "stX"          => GeoOps.stX(bytes)
+      case "stY"          => GeoOps.stY(bytes)
+      case "xMin"         => GeoOps.xMin(bytes)
+      case "xMax"         => GeoOps.xMax(bytes)
+      case "yMin"         => GeoOps.yMin(bytes)
+      case "yMax"         => GeoOps.yMax(bytes)
+      case "area"         => GeoOps.area(bytes)
+      case "stLength"     => GeoOps.stLength(bytes)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.$kernel($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * The reference's eight comparison modes (geodb.sql:1204-1214) as one
+ * binary predicate; `mode` is resolved to an int at plan time so generated
+ * code is a constant-mode static call.
+ */
+case class StRelation(mode: String, left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  private val id = GeoOps.modeId(mode)
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"st_$mode"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.relate(id, a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.GeoOps.relate($id, $a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.GeoOps.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_buffer"
+  override protected def nullSafeEval(a: Any, d: Any): Any =
+    GeoOps.buffer(a.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, d) => s"graft.core.GeoOps.buffer($a, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Transform limited to 4326<->3857 (see GeoOps.transform). */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_transform"
+  override protected def nullSafeEval(b: Any, f: Any, t: Any): Any =
+    GeoOps.transform(b.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[Int], t.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, f, t) => s"graft.core.GeoOps.transform($b, $f, $t)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Column-level geo API + SQL registration, mirroring the PostGIS surface the
+ * reference reaches through its SQL fragments (SURVEY.md §2.8). Call
+ * [[GeoFunctions.registerAll]] once per session (GeoDb does it in its
+ * constructor); both the Column API and raw-SQL passthrough
+ * (`geodb_get_pg` semantics) then resolve through the session function
+ * registry to the Catalyst expressions in GeoExpressions.scala.
+ */
+object GeoFunctions {
+
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
+  def st_makeenvelope(minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
+    call_function("st_makeenvelope", minX, minY, maxX, maxY)
+  def st_astext(g: Column): Column = call_function("st_astext", g)
+  def geometry_type(g: Column): Column = call_function("geometrytype", g)
+  def st_centroid(g: Column): Column = call_function("st_centroid", g)
+  def st_envelope(g: Column): Column = call_function("st_envelope", g)
+  def st_x(g: Column): Column = call_function("st_x", g)
+  def st_y(g: Column): Column = call_function("st_y", g)
+  def st_xmin(g: Column): Column = call_function("st_xmin", g)
+  def st_xmax(g: Column): Column = call_function("st_xmax", g)
+  def st_ymin(g: Column): Column = call_function("st_ymin", g)
+  def st_ymax(g: Column): Column = call_function("st_ymax", g)
+  def st_area(g: Column): Column = call_function("st_area", g)
+  def st_length(g: Column): Column = call_function("st_length", g)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
+  def st_transform(g: Column, from: Column, to: Column): Column =
+    call_function("st_transform", g, from, to)
+
+  /** The reference's eight comparison modes (geodb.sql:1204-1214). */
+  def st_relation(mode: String, a: Column, b: Column): Column = {
+    graft.core.GeoOps.modeId(mode) // validate: error for unknown modes (geodb.sql:1213)
+    call_function(s"st_${mode.toLowerCase(java.util.Locale.ROOT)}", a, b)
+  }
+  def st_within(a: Column, b: Column): Column = st_relation("within", a, b)
+  def st_contains(a: Column, b: Column): Column = st_relation("contains", a, b)
+  def st_intersects(a: Column, b: Column): Column = st_relation("intersects", a, b)
+  def st_touches(a: Column, b: Column): Column = st_relation("touches", a, b)
+  def st_overlaps(a: Column, b: Column): Column = st_relation("overlaps", a, b)
+  def st_crosses(a: Column, b: Column): Column = st_relation("crosses", a, b)
+  def st_disjoint(a: Column, b: Column): Column = st_relation("disjoint", a, b)
+  def st_equals(a: Column, b: Column): Column = st_relation("equals", a, b)
+
+  /** Register all geo functions in the session's SQL function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    one("st_point") { case Seq(x, y) => StPoint(x, y) }
+    one("st_geomfromtext") { case Seq(w) => StGeomFromText(w) }
+    one("st_makeenvelope") { case Seq(a, b, c, d) => StMakeEnvelope(a, b, c, d) }
+    one("st_astext") { case Seq(g) => StUnary("asText", g) }
+    one("geometrytype") { case Seq(g) => StUnary("geometryType", g) }
+    one("st_centroid") { case Seq(g) => StUnary("centroid", g) }
+    one("st_envelope") { case Seq(g) => StUnary("envelope", g) }
+    one("st_x") { case Seq(g) => StUnary("stX", g) }
+    one("st_y") { case Seq(g) => StUnary("stY", g) }
+    one("st_xmin") { case Seq(g) => StUnary("xMin", g) }
+    one("st_xmax") { case Seq(g) => StUnary("xMax", g) }
+    one("st_ymin") { case Seq(g) => StUnary("yMin", g) }
+    one("st_ymax") { case Seq(g) => StUnary("yMax", g) }
+    one("st_area") { case Seq(g) => StUnary("area", g) }
+    one("st_length") { case Seq(g) => StUnary("stLength", g) }
+    one("st_distance") { case Seq(a, b) => StDistance(a, b) }
+    one("st_buffer") { case Seq(g, d) => StBuffer(g, d) }
+    one("st_transform") { case Seq(g, f, t) => StTransform(g, f, t) }
+    Seq("within", "contains", "intersects", "touches",
+        "overlaps", "crosses", "disjoint", "equals").foreach { m =>
+      one(s"st_$m") { case Seq(a, b) => StRelation(m, a, b) }
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.GeoDb
+import graft.functions.GeoFunctions._
+
+/** Manual end-to-end smoke drive of the engine over real testdata. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").appName("smoke").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wh = java.nio.file.Files.createTempDirectory("smoke-wh").toString
+    val db = new GeoDb(spark, wh, "analyst")
+
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .withColumn("geometry", st_astext(st_point(col("s_acctbal"), col("s_suppkey").cast("double"))))
+      .select("s_name", "s_nationkey", "s_acctbal", "geometry")
+    db.createCollection("suppliers", Seq("s_name" -> "text", "s_nationkey" -> "integer", "s_acctbal" -> "float"))
+    db.insertIntoCollection("suppliers", sup)
+    println("== inserted rows: " + db.countCollection("suppliers"))
+
+    db.getCollection("suppliers", "s_nationkey=in.(1,2,3)&order=id&limit=5").show(5, false)
+
+    db.getCollectionByBbox("suppliers", (0.0, 0.0, 5000.0, 100.0), "contains", 4326, limit = Some(3)).show(3, false)
+    println("== bbox count: " + db.countCollectionByBbox("suppliers", (0.0, 0.0, 5000.0, 100.0), "contains", 4326))
+
+    db.getCollectionPg("suppliers", select = "count(*) as ct, s_nationkey",
+      group = Some("s_nationkey"), order = Some("ct desc"), limit = Some(3)).show()
+
+    println("== extent: " + db.getCollectionBbox("suppliers"))
+    println("== PLAN for bbox query:")
+    db.getCollectionByBbox("suppliers", (0.0, 0.0, 5000.0, 100.0), "contains", 4326).explain("formatted")
+
+    try db.getCollectionByBbox("suppliers", (0.0, 0.0, 1.0, 1.0), "bogus_mode")
+    catch { case e: Exception => println("== probe bad mode -> " + e.getMessage.take(80)) }
+    try db.getCollection("suppliers", "s_nationkey=badop.5")
+    catch { case e: Exception => println("== probe bad op -> " + e.getMessage.take(80)) }
+    try new GeoDb(spark, wh, "mallory").getCollection("suppliers", database = Some("analyst"))
+    catch { case e: Exception => println("== probe ACL -> " + e.getMessage.take(90)) }
+    try db.dropProperty("suppliers", "id")
+    catch { case e: Exception => println("== probe drop mandatory -> " + e.getMessage.take(80)) }
+    println("== eventlog:")
+    db.getEventLog().groupBy("event_type").count().show()
+    spark.stop()
+    println("SMOKE_DONE")
+  }
+}

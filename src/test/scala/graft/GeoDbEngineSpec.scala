@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.locationtech.jts.io.WKBReader
+
+import graft.core.GeoOps
+import graft.engine.GeoDb
+
+/**
+ * Engine lifecycle tests mirroring the reference's SQL integration suite
+ * (tests/sql/test_sql_functions.py). The bbox golden test is the Phase-1
+ * acceptance gate from SURVEY.md §7.2.
+ */
+class GeoDbEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's two SRID-3794 land_use polygons (tests/sql/setup.sql:38-45)
+  private val hex1 = "0103000020D20E000001000000110000007593188402B51B41B6F3FDD4423FF6405839B4C802B51B412B8716D9EC3EF6406F1283C0EBB41B41A8C64B37C53EF640B6F3FDD4E4B41B419A999999A33EF6400E2DB29DCFB41B41EE7C3F35B63EF6407F6ABC74C0B41B41EE7C3F35B63EF6407B14AE47BDB41B41AAF1D24D043FF6408B6CE77B64B41B413F355EBA8F3FF6402B8716D970B41B41986E1283EC3FF640A4703D0A76B41B4179E92631AE3FF6404260E5D08AB41B4123DBF97E923FF6409EEFA7C69CB41B4100000000AC3FF6405839B448B3B41B411D5A643B973FF6408195438BC6B41B41666666666C3FF640D122DBF9E3B41B4139B4C876383FF640E9263188F8B41B41333333333D3FF6407593188402B51B41B6F3FDD4423FF640"
+  private val hex2 = "0103000020D20E00000100000005000000508D976EFF97184125068195F771F240D9CEF753F6961841621058395E72F240D9CEF753F696184114AE47E1FC72F2402731082C01981841FA7E6ABCA872F240508D976EFF97184125068195F771F240"
+
+  private def landUseDb(): GeoDb = {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("land_use", crs = 3794)
+    val rows = Seq(Row(WKBReader.hexToBytes(hex1)), Row(WKBReader.hexToBytes(hex2)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("geometry", BinaryType))))
+    db.insertIntoCollection("land_use", df)
+    db
+  }
+
+  test("Phase-1 golden: bbox contains returns exactly polygon id=1 " +
+       "(test_sql_functions.py:46-83)") {
+    val db = landUseDb()
+    val res = db.getCollectionByBbox("land_use",
+      (452750.0, 88909.549, 464000.0, 102486.299), "contains", 3794)
+    val rows = res.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("id") == 1L)
+    val geom = GeoOps.read(rows(0).getAs[Array[Byte]]("geometry"))
+    val expWkt = "POLYGON((453952.629 91124.177, 453952.696 91118.803, " +
+      "453946.938 91116.326, 453945.208 91114.225, 453939.904 91115.388, " +
+      "453936.114 91115.388, 453935.32 91120.269, 453913.121 91128.983, " +
+      "453916.212 91134.782, 453917.51 91130.887, 453922.704 91129.156, " +
+      "453927.194 91130.75, 453932.821 91129.452, 453937.636 91126.775, " +
+      "453944.994 91123.529, 453950.133 91123.825, 453952.629 91124.177))"
+    val expected = GeoOps.read(GeoOps.geomFromText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(expWkt)))
+    assert(geom.equalsExact(expected, 1e-9))
+  }
+
+  test("count exact + estimated agree (geodb.sql:1259-1303)") {
+    val db = landUseDb()
+    assert(db.countCollection("land_use") == 2L)
+    assert(db.countCollection("land_use", exact = false) == 2L)
+  }
+
+  test("count by bbox with where-composition (geodb.sql:1306-1370)") {
+    val db = landUseDb()
+    val full = (452750.0, 88909.549, 464000.0, 102486.299)
+    assert(db.countCollectionByBbox("land_use", full, "contains", 3794) == 1L)
+    assert(db.countCollectionByBbox("land_use", full, "intersects", 3794) == 1L)
+    assert(db.countCollectionByBbox("land_use", full, "contains", 3794,
+      where = Some("id = 2"), op = "OR") == 2L)
+    assert(db.countCollectionByBbox("land_use", full, "contains", 3794,
+      where = Some("id = 2"), op = "AND") == 0L)
+  }
+
+  test("extent exact/estimated + (ymin,xmin,ymax,xmax) swap (geodb.py:400)") {
+    val db = landUseDb()
+    val Some((ymin, xmin, ymax, xmax)) = db.getCollectionBbox("land_use")
+    assert(xmin < xmax && ymin < ymax)
+    assert(xmin > 400000 && ymax < 100000) // SRID 3794 coords
+    assert(db.getCollectionBbox("land_use", exact = false) ==
+      db.getCollectionBbox("land_use"))
+  }
+
+  test("geometry types per-row and distinct (geodb.sql:460-482)") {
+    val db = landUseDb()
+    val all = db.getGeometryTypes("land_use").as[String].collect()
+    assert(all.toSeq == Seq("POLYGON", "POLYGON"))
+    val agg = db.getGeometryTypes("land_use", aggregate = true).as[String].collect()
+    assert(agg.toSeq == Seq("POLYGON"))
+  }
+
+  test("create/insert assigns serial ids, created_at; properties lowercased") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("c1", Seq("RABA_ID" -> "integer", "D_OD" -> "date"))
+    val props = db.getProperties("c1").collect().map(_.getString(0)).toSeq
+    assert(props == Seq("id", "created_at", "modified_at", "geometry", "raba_id", "d_od"))
+    val df = Seq((1410, "2019-03-26"), (7000, "2019-02-25"))
+      .toDF("raba_id", "d_od")
+      .withColumn("d_od", to_date($"d_od"))
+      .withColumn("geometry", lit("POINT(1 2)"))
+    db.insertIntoCollection("c1", df)
+    val got = db.getCollection("c1", "order=id")
+    assert(got.select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(got.filter($"created_at".isNotNull).count() == 2)
+    assert(got.filter($"modified_at".isNull).count() == 2)
+    // second insert continues the sequence
+    db.insertIntoCollection("c1", df)
+    assert(db.getCollection("c1", "order=id").select("id").as[Long]
+      .collect().toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("update by filter stamps modified_at (geodb.py:1356-1398)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("c2", Seq("v" -> "integer"))
+    db.insertIntoCollection("c2", Seq(1, 2, 3).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    db.updateCollection("c2", Map("v" -> 99), "v=gt.1")
+    val rows = db.getCollection("c2", "order=id")
+      .select("v", "modified_at").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 99, 99))
+    assert(rows.map(r => r.isNullAt(1)).toSeq == Seq(true, false, false))
+  }
+
+  test("delete by filter (geodb.py:1325-1354)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("c3", Seq("v" -> "integer"))
+    db.insertIntoCollection("c3", (1 to 10).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    db.deleteFromCollection("c3", "v=lte.5")
+    assert(db.getCollection("c3").select("v").as[Int].collect().sorted.toSeq ==
+      (6 to 10).toSeq)
+  }
+
+  test("upsert merges on id, preserves created_at, stamps modified_at (J5)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("c4", Seq("v" -> "integer"))
+    db.insertIntoCollection("c4", Seq(10, 20).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val upd = Seq((1L, 99), (5L, 55)).toDF("id", "v")
+      .withColumn("geometry", lit("POINT(1 1)"))
+    db.insertIntoCollection("c4", upd, upsert = true)
+    val rows = db.getCollection("c4", "order=id")
+      .select("id", "v", "modified_at").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 99), (2L, 20), (5L, 55)))
+    assert(!rows(0).isNullAt(2)) // updated row stamped
+    assert(rows(1).isNullAt(2))  // untouched row not stamped
+    assert(rows(2).isNullAt(2))  // fresh row not stamped
+  }
+
+  test("add/drop properties; mandatory columns refused (geodb.py:1170-1173)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("c5", Seq("a" -> "integer"))
+    db.insertIntoCollection("c5", Seq(1).toDF("a")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    db.addProperty("c5", "b", "text")
+    assert(db.getCollection("c5").columns.contains("b"))
+    assert(db.getCollection("c5").select("b").collect()(0).isNullAt(0))
+    db.dropProperty("c5", "b")
+    assert(!db.getCollection("c5").columns.contains("b"))
+    intercept[IllegalArgumentException](db.dropProperty("c5", "geometry"))
+  }
+
+  test("rename/move/copy collections (geodb.sql:619-649, 1398-1436)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("orig", Seq("v" -> "integer"))
+    db.insertIntoCollection("orig", Seq(7).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    db.renameCollection("orig", "renamed")
+    assert(!db.collectionExists("orig") && db.collectionExists("renamed"))
+    db.copyCollection("renamed", "copied")
+    assert(db.getCollection("copied").count() == 1)
+    db.createDatabase("otherdb")
+    db.moveCollection("copied", "otherdb")
+    assert(db.collectionExists("copied", Some("otherdb")))
+    assert(!db.collectionExists("copied"))
+  }
+
+  test("databases lifecycle (geodb.sql:167-214)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createDatabase("mydb")
+    assert(db.databaseExists("mydb"))
+    assert(db.getMyDatabases.contains("mydb"))
+    db.createCollection("t", database = Some("mydb"))
+    db.truncateDatabase("mydb")
+    assert(!db.databaseExists("mydb"))
+  }
+
+  test("ACL: grants, publish, groups (§2.11)") {
+    val wh = tmpDir("graft-wh")
+    val owner = new GeoDb(spark, wh, "alice")
+    owner.createCollection("c", Seq("v" -> "integer"))
+    val other = new GeoDb(spark, wh, "bob")
+    intercept[IllegalArgumentException](other.getCollection("c", database = Some("alice")))
+    owner.grantAccessToCollection("c", "bob")
+    assert(other.getCollection("c", database = Some("alice")).count() == 0)
+    assert(other.userAllowed("alice", "c"))
+    owner.revokeAccessFromCollection("c", "bob")
+    intercept[IllegalArgumentException](other.getCollection("c", database = Some("alice")))
+    // publish-to-PUBLIC
+    owner.publishCollection("c")
+    assert(other.getCollection("c", database = Some("alice")).count() == 0)
+    owner.unpublishCollection("c")
+    // groups
+    owner.createGroup("team")
+    owner.addUserToGroup("bob", "team")
+    owner.publishCollectionToGroup("c", "team")
+    assert(other.getMyGroups == Seq("team"))
+    assert(other.getCollection("c", database = Some("alice")).count() == 0)
+    assert(owner.getAccessRights("c")("team") == Seq("SELECT"))
+  }
+
+  test("event log records and filters (geodb.sql:98-140)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("evc", Seq("v" -> "integer"))
+    db.insertIntoCollection("evc", Seq(1).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val log = db.getEventLog()
+    assert(log.filter($"event_type" === "CREATED_COLLECTION").count() == 1)
+    assert(log.filter($"event_type" === "ROWS_ADDED").count() == 1)
+    assert(db.getEventLog("CREATED%", Some("evc")).count() == 1)
+    assert(db.getEventLog("CREATED%", Some("nope")).count() == 0)
+  }
+
+  test("STAC metadata get/set + spatial extent normalize (§1.4)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("mc", Seq("v" -> "integer"))
+    db.insertIntoCollection("mc", Seq(1).toDF("v")
+      .withColumn("geometry", lit("POINT(10 20)")))
+    val md = db.getMetadata("mc")
+    assert(md("stac_version") == "1.1.0")
+    assert(md("id") == "geodb_user_mc")
+    // computed extent from data (metadata.py:371-380)
+    val bbox = md("extent").asInstanceOf[Map[String, Any]]("spatial")
+      .asInstanceOf[Map[String, Any]]("bbox").asInstanceOf[Seq[Seq[Double]]].head
+    assert(bbox == Seq(10.0, 20.0, 10.0, 20.0))
+    db.setMetadataField("mc", "title", "My collection")
+    assert(db.getMetadata("mc")("title") == "My collection")
+    // 3857 extent is normalized to 4326
+    db.setSpatialExtent("mc", (0.0, 0.0, 20037508.342789244, 20048966.1), 3857)
+    val bb2 = db.getMetadata("mc")("extent").asInstanceOf[Map[String, Any]]("spatial")
+      .asInstanceOf[Map[String, Any]]("bbox").asInstanceOf[Seq[Seq[Double]]].head
+    assert(math.abs(bb2(2) - 180.0) < 1e-6)
+  }
+
+  test("getCollectionPg: fragments, group, offset-requires-limit quirk") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("pgc", Seq("raba_id" -> "integer", "d_od" -> "date"))
+    val df = Seq((1410, "2019-03-26"), (1410, "2019-03-26"), (7000, "2019-02-25"))
+      .toDF("raba_id", "d_od").withColumn("d_od", to_date($"d_od"))
+      .withColumn("geometry", lit("POINT(0 0)"))
+    db.insertIntoCollection("pgc", df)
+    // canonical grouped aggregate (geodb.py:1919-1920)
+    val agg = db.getCollectionPg("pgc",
+      select = "COUNT(d_od) as ct, raba_id",
+      group = Some("raba_id"), order = Some("raba_id"))
+    assert(agg.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((2L, 1410), (1L, 7000)))
+    // where + cast dialect rewrite
+    assert(db.getCollectionPg("pgc", where = Some("raba_id=1410")).count() == 2)
+    // offset without limit is ignored (geodb.sql:1161-1167)
+    assert(db.getCollectionPg("pgc", order = Some("id"), offset = Some(2)).count() == 3)
+    assert(db.getCollectionPg("pgc", order = Some("id"), limit = Some(2),
+      offset = Some(2)).count() == 1)
+  }
+
+  test("bbox CRS transform applied when bboxCrs differs (geodb.py:1633-1637)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("geo4326", crs = 4326)
+    val df = Seq("POINT(10 20)", "POINT(100 40)").toDF("geometry")
+    db.insertIntoCollection("geo4326", df)
+    // query in 3857 covering lon/lat (0..50, 0..30) -> only first point
+    val (mnx, mny, mxx, mxy) = (0.0, 0.0,
+      5565974.539663679, 3503549.843504374) // 50,30 in mercator
+    val res = db.getCollectionByBbox("geo4326", (mnx, mny, mxx, mxy),
+      "contains", 3857)
+    assert(res.count() == 1)
+  }
+
+  test("empty-result contract (geodb.py:1883) when enabled") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("ec", Seq("v" -> "integer"))
+    db.strictEmptyContract = true
+    val res = db.getCollection("ec", "v=eq.42")
+    assert(res.columns.toSeq == Seq("Empty Result"))
+    assert(res.count() == 0)
+  }
+
+  test("usage accounting (geodb.sql:1028-1120)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("u1", Seq("v" -> "integer"))
+    db.insertIntoCollection("u1", Seq(1, 2, 3).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val bytes = db.getMyUsage().asInstanceOf[Long]
+    assert(bytes > 0)
+    assert(db.getMyUsage(pretty = true).asInstanceOf[String].nonEmpty)
+  }
+}

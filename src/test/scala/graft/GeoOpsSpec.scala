@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.io.WKBReader
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.GeoOps
+
+class GeoOpsSpec extends AnyFunSuite {
+
+  private def wkt(s: String): Array[Byte] =
+    GeoOps.geomFromText(UTF8String.fromString(s))
+
+  test("point/accessors") {
+    val p = GeoOps.point(3.5, -7.25)
+    assert(GeoOps.stX(p) == 3.5)
+    assert(GeoOps.stY(p) == -7.25)
+    assert(GeoOps.geometryType(p).toString == "POINT")
+  }
+
+  test("makeEnvelope bounds") {
+    val e = GeoOps.makeEnvelope(0, 1, 10, 11)
+    assert(GeoOps.xMin(e) == 0); assert(GeoOps.yMin(e) == 1)
+    assert(GeoOps.xMax(e) == 10); assert(GeoOps.yMax(e) == 11)
+    assert(GeoOps.geometryType(e).toString == "POLYGON")
+    assert(GeoOps.area(e) == 100.0)
+  }
+
+  test("eight comparison modes match JTS semantics") {
+    val box = GeoOps.makeEnvelope(0, 0, 10, 10)
+    val inner = GeoOps.point(5, 5)
+    val outer = GeoOps.point(20, 20)
+    val edgeBox = GeoOps.makeEnvelope(10, 0, 20, 10)
+    assert(GeoOps.relate(GeoOps.CONTAINS, box, inner))
+    assert(!GeoOps.relate(GeoOps.CONTAINS, box, outer))
+    assert(GeoOps.relate(GeoOps.WITHIN, inner, box))
+    assert(GeoOps.relate(GeoOps.INTERSECTS, box, edgeBox))
+    assert(GeoOps.relate(GeoOps.TOUCHES, box, edgeBox))
+    assert(!GeoOps.relate(GeoOps.OVERLAPS, box, edgeBox))
+    assert(GeoOps.relate(GeoOps.OVERLAPS,
+      GeoOps.makeEnvelope(5, 5, 15, 15), box))
+    assert(GeoOps.relate(GeoOps.DISJOINT, box, outer))
+    assert(GeoOps.relate(GeoOps.EQUALS, box,
+      GeoOps.makeEnvelope(0, 0, 10, 10)))
+    assert(GeoOps.relate(GeoOps.CROSSES,
+      wkt("LINESTRING(-5 5, 15 5)"), box))
+    val ex = intercept[IllegalArgumentException](GeoOps.modeId("bogus"))
+    assert(ex.getMessage.contains("comparison mode"))
+  }
+
+  test("EWKB hex from the reference fixture parses (setup.sql:38-45)") {
+    // 5-vertex polygon, id=2, SRID 3794 EWKB
+    val hex = "0103000020D20E00000100000005000000508D976EFF97184125068195F771F240D9CEF753F6961841621058395E72F240D9CEF753F696184114AE47E1FC72F2402731082C01981841FA7E6ABCA872F240508D976EFF97184125068195F771F240"
+    val b = WKBReader.hexToBytes(hex)
+    assert(GeoOps.geometryType(b).toString == "POLYGON")
+    assert(GeoOps.read(b).getNumPoints == 5)
+  }
+
+  test("transform 4326<->3857 roundtrip and known point") {
+    // (0,0) -> (0,0); lon 180 -> 20037508.34
+    val p = GeoOps.point(180.0, 0.0)
+    val m = GeoOps.transform(p, 4326, 3857)
+    assert(math.abs(GeoOps.stX(m) - 20037508.342789244) < 1e-6)
+    assert(math.abs(GeoOps.stY(m)) < 1e-6)
+    val back = GeoOps.transform(m, 3857, 4326)
+    assert(math.abs(GeoOps.stX(back) - 180.0) < 1e-9)
+    // bbox transform keeps order
+    val (a, b2, c, d) = GeoOps.transformBbox(-10, -20, 10, 20, 4326, 3857)
+    assert(a < 0 && c > 0 && b2 < 0 && d > 0)
+    intercept[IllegalArgumentException](GeoOps.transform(p, 4326, 3794))
+  }
+
+  test("distance/centroid/buffer/length") {
+    assert(GeoOps.distance(GeoOps.point(0, 0), GeoOps.point(3, 4)) == 5.0)
+    val c = GeoOps.centroid(GeoOps.makeEnvelope(0, 0, 2, 2))
+    assert(GeoOps.stX(c) == 1.0 && GeoOps.stY(c) == 1.0)
+    assert(GeoOps.area(GeoOps.buffer(GeoOps.point(0, 0), 1.0)) > 3.0)
+    assert(GeoOps.stLength(wkt("LINESTRING(0 0, 0 7)")) == 7.0)
+  }
+}
