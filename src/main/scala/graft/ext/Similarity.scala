@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import TextFunctions._
+
+/**
+ * Similarity search over an embedding column (`ArrayType(FloatType)`).
+ *
+ * Scale design:
+ *   - brute-force top-k: broadcast the (small) query set against the
+ *     (huge) corpus — one narrow pass over the corpus, per-partition
+ *     partial top-k via window rank AFTER a corpus-partition-local
+ *     aggregation; no corpus shuffle of vectors.
+ *   - LSH (random hyperplane) ANN: bucket corpus + queries by signature,
+ *     join on bucket (plus neighbor probing via reduced-bit signatures),
+ *     rank within candidates — the 100 TB path where brute force is
+ *     impossible. Recall controlled by nbits/probes.
+ */
+object Similarity {
+
+  /** Exact brute-force cosine top-k per query vector (queries broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .filter(col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Approximate NN via hyperplane-LSH buckets: candidates share the
+   * high-`nbits` signature on at least one of the `probes` rotations.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int = 10,
+              nbits: Int = 12, probes: Int = 4, seed: Long = 42L): DataFrame = {
+    def sig(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), col(v),
+          posexplode(transform(sequence(lit(0), lit(probes - 1)),
+            p => hyperplane_sig(col(v), lit(nbits), p.cast("long") * 1000 + seed))))
+        .withColumnRenamed("pos", "probe").withColumnRenamed("col", "bucket")
+    val c = sig(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+      "corpus_id", "cv")
+    val q = sig(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val cands = c.join(broadcast(q), Seq("probe", "bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All pairs above a cosine threshold (via LSH buckets). */
+  def similarPairs(df: DataFrame, vecCol: String, idCol: String,
+                   threshold: Double = 0.9, nbits: Int = 12,
+                   seed: Long = 42L): DataFrame =
+    Dedup.embeddingPairs(df, vecCol, idCol, threshold, nbits, seed)
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/**
+ * Text analysis for training-data pipelines: token counting, quality
+ * scoring, language id, fingerprinting. All column-level (codegen'd
+ * built-ins + the custom expressions in TextExpressions) — no UDFs,
+ * no driver loops; every metric is a narrow per-row projection.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword proxy: runs of letters, digits, or single symbols. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"]", ""))).cast("double")
+        / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
+        / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+        / length(text))
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "that", "it", "was", "for", "with", "as", "on", "at", "this")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("double") / size(toks))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: length sweet-spot, low punctuation
+   * noise, presence of stopwords (prose-likeness), sane word lengths.
+   * Heuristic weights; each component is a plain column expression.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopOk = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val mwl = meanWordLength(text)
+    val wordOk = when(mwl.between(3.0, 9.0), 1.0).otherwise(0.3)
+    (lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + wordOk * 0.2)
+  }
+
+  /** Full per-document profile as one narrow projection. */
+  def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      charCount(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      digitRatio(col(textCol)).as("digit_ratio"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
+      meanWordLength(col(textCol)).as("mean_word_len"),
+      qualityScore(col(textCol)).as("quality"),
+      lang_id(col(textCol)).as("lang_pred"),
+      fingerprint64(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,223 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static kernels for the LLM-data-pipeline operators (dedup, similarity,
+ * text analysis). Deterministic by construction — no RNG state, all hash
+ * mixing via fixed 64-bit constants (splitmix64, public domain algorithm).
+ * Java-callable for Catalyst codegen, same pattern as graft.core.GeoOps.
+ */
+object TextOps {
+
+  // splitmix64 finalizer — the standard public-domain 64-bit mixer
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct rolling-hash values of all char k-grams (shingle set). */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < k) return new GenericArrayData(
+      if (s.isEmpty) Array.empty[Long] else Array(mix64(s.hashCode.toLong)))
+    val B = 0x100000001b3L // FNV-ish odd base
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var h = 0L
+    i = 0
+    while (i < s.length) {
+      h = h * B + s.charAt(i)
+      if (i >= k - 1) {
+        seen.add(mix64(h))
+        h -= pow * s.charAt(i - k + 1) // slide: drop leading char (weight B^(k-1))
+      }
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator; var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out) // determinism independent of set order
+    new GenericArrayData(out)
+  }
+
+  /** Word shingles (n-gram over whitespace tokens), hashed. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(
+      if (toks.isEmpty) Array.empty[Long] else Array(mix64(toks.mkString(" ").hashCode.toLong)))
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0L
+      var j = i
+      while (j < i + n) { h = h * 0x100000001b3L + toks(j).hashCode; j += 1 }
+      seen.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator; var j2 = 0
+    while (it.hasNext) { out(j2) = it.next(); j2 += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /**
+   * MinHash signature: h_i(x) = mix64(x ^ seed_i), signature(i) = min over
+   * the shingle set. One pass over shingles per row, n mins kept in a
+   * local array — O(|set| * n) with no allocation beyond the output.
+   */
+  def minhash(shingleSet: ArrayData, n: Int): ArrayData = {
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val m = shingleSet.numElements()
+    var i = 0
+    while (i < m) {
+      val x = shingleSet.getLong(i)
+      var j = 0
+      while (j < n) {
+        val h = mix64(x ^ (j * 0xc2b2ae3d27d4eb4fL))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Fraction of equal minhash components — the Jaccard estimator. */
+  def sigSimilarity(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  /** 64-bit SimHash over word tokens (unit weights). */
+  def simhash(text: UTF8String): Long = {
+    val toks = text.toString.toLowerCase.split("\\W+")
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h = mix64(toks(i).hashCode.toLong)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Rabin-Karp rolling hash of the whole document → 64-bit fingerprint. */
+  def fingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  // ---- language id: n-gram/stopword heuristic over small public profiles ----
+  private val profiles: Array[(String, Array[String])] = Array(
+    "en" -> Array("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on", "at", "this"),
+    "de" -> Array("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf", "für", "von", "den", "im", "zu"),
+    "fr" -> Array("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que", "pour", "pas", "sur", "avec", "au"),
+    "es" -> Array("el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "de", "no", "por", "con", "para"),
+    "it" -> Array("il", "la", "che", "e", "di", "un", "una", "per", "non", "sono", "con", "del", "si", "mi", "ma"),
+    "pt" -> Array("o", "a", "os", "as", "e", "é", "um", "uma", "em", "que", "de", "não", "por", "com", "para"),
+    "nl" -> Array("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "met", "voor", "niet", "aan", "er"))
+  private val profileSets: Array[(String, java.util.HashSet[String])] =
+    profiles.map { case (l, ws) =>
+      val s = new java.util.HashSet[String](); ws.foreach(s.add); l -> s
+    }
+
+  /**
+   * Heuristic language id: CJK/Cyrillic/Arabic by script ranges, otherwise
+   * argmax of stopword hits (ties broken by profile order; "und" if none).
+   */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    var cjk = 0; var cyr = 0; var ar = 0; var letters = 0
+    var i = 0
+    while (i < s.length && i < 2000) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+        else if (c >= 0x0400 && c <= 0x04ff) cyr += 1
+        else if (c >= 0x0600 && c <= 0x06ff) ar += 1
+      }
+      i += 1
+    }
+    if (letters > 0) {
+      if (cjk * 2 > letters) return UTF8String.fromString("zh")
+      if (cyr * 2 > letters) return UTF8String.fromString("ru")
+      if (ar * 2 > letters) return UTF8String.fromString("ar")
+    }
+    val toks = s.toLowerCase.split("\\W+")
+    var best = "und"; var bestHits = 0
+    var p = 0
+    while (p < profileSets.length) {
+      val (lang, set) = profileSets(p)
+      var hits = 0; var t = 0
+      while (t < toks.length && t < 500) { if (set.contains(toks(t))) hits += 1; t += 1 }
+      if (hits > bestHits) { best = lang; bestHits = hits }
+      p += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  // ---- float-vector kernels (embeddings are ArrayType(FloatType)) ----
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def normF(a: ArrayData): Double = math.sqrt(dotF(a, a))
+
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val na = normF(a); val nb = normF(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dotF(a, b) / (na * nb)
+  }
+
+  /**
+   * Random-hyperplane LSH signature: bit i = sign(dot(v, r_i)) with
+   * deterministic pseudo-gaussian planes derived from (seed, i, dim) via
+   * splitmix64 (sum of two uniforms, symmetric around 0).
+   */
+  def hyperplaneSig(v: ArrayData, nbits: Int, seed: Long): Long = {
+    val d = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nbits) {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val h = mix64(seed ^ (b.toLong << 32) ^ i.toLong)
+        // uniform in [-1, 1): deterministic plane component
+        val r = (h.toDouble / Long.MaxValue.toDouble)
+        s += v.getFloat(i) * r
+        i += 1
+      }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over event streams — the engine's extension
+ * of the reference's append-only event log (SURVEY.md §2.13: the reference
+ * has no streaming; its event log is the natural streaming source).
+ *
+ * Sources: any parquet directory with the events schema (the testdata
+ * `events` table or the engine's `_sys/eventlog`). Standard watermark +
+ * windowed aggregation semantics; `Trigger.AvailableNow` gives exactly the
+ * batch answer for a static directory (tested against the batch plan).
+ */
+object EventStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Raw schema of the testdata events table: `ts` is parquet TIMESTAMP(NANOS),
+    * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong). */
+  private val rawNanosSchema: StructType = StructType(
+    eventsSchema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  private def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+
+  /** Batch load of a nanos-timestamp events table (requires the session
+    * config spark.sql.legacy.parquet.nanosAsLong=true). */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    nanosToTs(spark.read.schema(rawNanosSchema).parquet(dir))
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    nanosToTs(spark.readStream.schema(rawNanosSchema).parquet(dir))
+
+  /** Tumbling-window counts/sums per event type with a watermark. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("approx_users"))
+
+  /** The batch-equivalent of [[windowedStats]] (for tests / backfill). */
+  def windowedStatsBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("approx_users"))
+
+  /**
+   * Sessionization via flatMapGroupsWithState-free composition: gap-based
+   * session ids computed with window functions in batch; streaming variant
+   * uses session_window (built-in since Spark 3.2).
+   */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+}

@@ -11,6 +11,7 @@ object Smoke {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").appName("smoke").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,6 +47,26 @@ object Smoke {
     catch { case e: Exception => println("== probe drop mandatory -> " + e.getMessage.take(80)) }
     println("== eventlog:")
     db.getEventLog().groupBy("event_type").count().show()
+
+    // ---- ext modules over real documents/embeddings/events tables ----
+    graft.ext.TextFunctions.registerAll(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    println("== exact dedup groups: " +
+      graft.ext.Dedup.exact(docs, "text", "doc_id").count() + " of " + docs.count())
+    println("== minhash near-dup pairs (jaccard>=0.8): " +
+      graft.ext.Dedup.minhashPairs(docs, "text", "doc_id").count())
+    println("== simhash pairs (hamming<=3): " +
+      graft.ext.Dedup.simhashPairs(docs, "text", "doc_id").count())
+    graft.ext.TextAnalysis.profile(docs, "text", "doc_id")
+      .orderBy("doc_id").show(3, false)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.ext.Similarity.bruteForceTopK(emb, emb.limit(2), "embedding", "vec_id", 3).show()
+    println("== embedding near-dup pairs (cos>=0.95): " +
+      graft.ext.Dedup.embeddingPairs(emb, "embedding", "vec_id").count())
+    val ev = graft.streaming.EventStream.loadEvents(spark,
+      "/root/testdata/sf0.001/events.parquet")
+    graft.streaming.EventStream.windowedStatsBatch(ev, "1 day")
+      .orderBy("window_start", "event_type").show(5)
     spark.stop()
     println("SMOKE_DONE")
   }

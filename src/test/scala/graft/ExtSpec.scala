@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ext._
+import graft.ext.TextFunctions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    TextFunctions.registerAll(spark)
+  }
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "another unrelated document mentioning databases and indexes")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content hash") {
+    val keep = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(keep.map(_.getLong(1)).toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(keep.find(_.getLong(1) == 1L).get.getLong(2) == 2L) // dup_count
+    val keepers = Dedup.exactKeepers(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(keepers.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+        shingleSize = 4, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+    // exact dup pair must estimate jaccard 1.0
+    val est = Dedup.minhashPairs(docs, "text", "doc_id",
+        shingleSize = 4, numHashes = 64, bands = 16, threshold = 0.5)
+      .filter($"id" === 1L && $"id2" === 2L)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("minhash keepers drop near-dups") {
+    val kept = Dedup.minhashKeepers(docs, "text", "doc_id",
+        shingleSize = 4, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  test("simhash pairs: hamming 0 for exact dup, small for near dup") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
+  }
+
+  test("ngram jaccard verification pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)), // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "embedding", "vec_id",
+        threshold = 0.95, nbits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k on real embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+    val rows = topk.collect()
+    assert(rows.length == 15) // 3 queries x 5
+    // ranks are 1..5 per query, cosine non-increasing
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "embedding", "vec_id",
+        k = 5, nbits = 4, probes = 16)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("text analysis profile over real documents table") {
+    val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prof = TextAnalysis.profile(docsReal, "text", "doc_id")
+    assert(prof.count() == docsReal.count())
+    val row = prof.orderBy("doc_id").first()
+    assert(row.getAs[Int]("n_chars") > 0)
+    assert(row.getAs[Int]("n_tokens") > 0)
+    assert(row.getAs[Int]("n_bpe_tokens") >= row.getAs[Int]("n_tokens"))
+    assert(row.getAs[Double]("quality") >= 0.0 && row.getAs[Double]("quality") <= 1.0)
+    // deterministic fingerprint: same text -> same fingerprint
+    val fp = ext.TextOps.fingerprint(UTF8String.fromString("hello world"))
+    assert(fp == ext.TextOps.fingerprint(UTF8String.fromString("hello world")))
+  }
+
+  test("lang_id detects scripts and English stopwords") {
+    val r = Seq(
+      (1, "the cat sat on the mat and it was happy with this"),
+      (2, "der Hund ist nicht auf der Straße mit einem Ball"),
+      (3, "el perro es un animal que vive en la casa"),
+      (4, "这是一个中文句子的测试内容没有别的意思")
+    ).toDF("id", "t").select($"id", lang_id($"t").as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(r(1) == "en"); assert(r(2) == "de"); assert(r(3) == "es"); assert(r(4) == "zh")
+  }
+
+  test("multimodal plumbing: synthesize -> features/resize/frames") {
+    val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val media = Multimodal.synthesize(docsReal, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "content", "meta"))
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.orderBy("media_id").first()
+    assert(f.getAs[scala.collection.Seq[Float]]("features").length == 16)
+    assert(math.abs(f.getAs[scala.collection.Seq[Float]]("features").sum - 1.0f) < 1e-3)
+    val resized = Multimodal.resize(media, 8, 8)
+    assert(resized.select("content").as[Array[Byte]].first().length == 64)
+    assert(resized.select("meta.width").as[Int].first() == 8)
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 80) // 20 docs x 4 frames
+    // determinism
+    val again = Multimodal.extractFeatures(Multimodal.synthesize(docsReal, "doc_id", "text"))
+      .orderBy("media_id").first()
+    assert(again.getAs[scala.collection.Seq[Float]]("features") ==
+      f.getAs[scala.collection.Seq[Float]]("features"))
+  }
+}
