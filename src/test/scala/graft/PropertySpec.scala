@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.core.GeoOps
+import graft.query.PostgrestFilter
+
+/**
+ * Property tests (SURVEY.md §5): the PostgREST-filter parser is equivalent
+ * to the corresponding Spark SQL predicate on randomized frames, and the
+ * codegen'd geo predicates agree with direct JTS evaluation.
+ */
+class PropertySpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.GeoFunctions.registerAll(spark)
+  }
+
+  /** scalatestplus bridge is not in the offline cache: sample generators
+    * directly with fixed seeds (deterministic across runs). */
+  private def forAllSampled[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(body)
+    }
+  import spark.implicits._
+
+  private lazy val df = {
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (i * 37 % 100).toDouble, s"name_${i % 10}", i % 2 == 0)
+    }
+    rows.toDF("id", "score", "name", "flag").cache()
+  }
+
+  private val numOps = Seq(
+    ("eq", "="), ("neq", "<>"), ("gt", ">"), ("gte", ">="), ("lt", "<"), ("lte", "<="))
+
+  test("property: parsed numeric conditions == SQL predicates") {
+    val genCase = for {
+      (pgOp, sqlOp) <- Gen.oneOf(numOps)
+      col <- Gen.oneOf("id", "score")
+      v <- Gen.choose(0, 100)
+    } yield (pgOp, sqlOp, col, v)
+    forAllSampled(genCase, 40) { case (pgOp, sqlOp, c, v) =>
+      val viaParser = PostgrestFilter(df, s"$c=$pgOp.$v")
+        .select("id").as[Long].collect().sorted.toSeq
+      val viaSql = df.filter(s"$c $sqlOp $v")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaParser == viaSql)
+    }
+  }
+
+  test("property: or-trees == SQL disjunctions") {
+    val genCase = for {
+      v1 <- Gen.choose(0, 100); v2 <- Gen.choose(0, 100); v3 <- Gen.choose(0, 100)
+    } yield (v1, v2, v3)
+    forAllSampled(genCase, 20) { case (v1, v2, v3) =>
+      val viaParser = PostgrestFilter(df,
+        s"or=(score.lt.$v1,and(score.gt.$v2,id.lte.$v3))")
+        .select("id").as[Long].collect().sorted.toSeq
+      val viaSql = df.filter(s"score < $v1 OR (score > $v2 AND id <= $v3)")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(viaParser == viaSql)
+    }
+  }
+
+  test("property: codegen'd st_relation == direct JTS on random geoms") {
+    val genEnv = for {
+      x <- Gen.choose(-50.0, 50.0); y <- Gen.choose(-50.0, 50.0)
+      w <- Gen.choose(0.5, 30.0); h <- Gen.choose(0.5, 30.0)
+    } yield (x, y, x + w, y + h)
+    forAllSampled(Gen.zip(genEnv, genEnv), 30) { case (a, b) =>
+      val modes = Seq("within", "contains", "intersects", "touches",
+        "overlaps", "crosses", "disjoint", "equals")
+      val ga = GeoOps.makeEnvelope(a._1, a._2, a._3, a._4)
+      val gb = GeoOps.makeEnvelope(b._1, b._2, b._3, b._4)
+      val row = Seq((ga, gb)).toDF("ga", "gb")
+        .select(modes.map(m =>
+          graft.functions.GeoFunctions.st_relation(m, col("ga"), col("gb")).as(m)): _*)
+        .head()
+      modes.zipWithIndex.foreach { case (m, i) =>
+        assert(row.getBoolean(i) == GeoOps.relate(GeoOps.modeId(m), ga, gb),
+          s"mode $m disagrees for $a vs $b")
+      }
+    }
+  }
+
+  test("array ops: cs / cd / ov") {
+    val adf = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a")),
+      (3L, Seq("d", "e")),
+      (4L, Seq.empty[String])
+    ).toDF("id", "tags")
+    def ids(q: String): Seq[Long] =
+      PostgrestFilter(adf, q).select("id").as[Long].collect().sorted.toSeq
+    assert(ids("tags=cs.{a,b}") == Seq(1L))       // contains all
+    assert(ids("tags=cd.{a,b,c,d}") == Seq(1L, 2L, 4L)) // contained in
+    assert(ids("tags=ov.{a,e}") == Seq(1L, 2L, 3L))     // overlaps
+  }
+}
