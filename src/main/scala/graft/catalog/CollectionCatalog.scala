@@ -13,7 +13,8 @@ case class CollectionMeta(
     srid: Int,
     maxId: Long,
     schemaDdl: String,
-    createdAt: String) {
+    createdAt: String,
+    indexes: Seq[String] = Seq.empty) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def qualified: String = s"${database}_$collection"
 }
@@ -73,14 +74,16 @@ class CollectionCatalog(val warehouse: String) {
     Jsons.save(metaPath(m.database, m.collection), Map(
       "database" -> m.database, "collection" -> m.collection,
       "srid" -> m.srid, "maxId" -> m.maxId,
-      "schemaDdl" -> m.schemaDdl, "createdAt" -> m.createdAt))
+      "schemaDdl" -> m.schemaDdl, "createdAt" -> m.createdAt,
+      "indexes" -> m.indexes))
 
   def loadMeta(db: String, coll: String): Option[CollectionMeta] =
     Jsons.load(metaPath(db, coll)).map { v =>
       val m = v.asInstanceOf[Map[String, Any]]
       CollectionMeta(m("database").toString, m("collection").toString,
         m("srid").toString.toDouble.toInt, m("maxId").toString.toDouble.toLong,
-        m("schemaDdl").toString, m("createdAt").toString)
+        m("schemaDdl").toString, m("createdAt").toString,
+        m.get("indexes").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty))
     }
 
   def collectionExists(db: String, coll: String): Boolean =

@@ -37,6 +37,11 @@ class GeoDb(
 
   val catalog = new CollectionCatalog(warehouse)
   GeoFunctions.registerAll(spark)
+  // auto-inject envelope prefilters under spatial predicates (SURVEY §4 R3);
+  // idempotent add for sessions not created with graft.GraftExtensions
+  if (!spark.experimental.extraOptimizations.contains(graft.plans.EnvelopePrefilter))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.EnvelopePrefilter
 
   val mandatoryProperties = Seq("id", "created_at", "modified_at", "geometry")
   private val statCols = Seq("_bbox_minx", "_bbox_miny", "_bbox_maxx", "_bbox_maxy")
@@ -527,6 +532,10 @@ class GeoDb(
 
   // ---- groups (C2) ----
   def createGroup(name: String): Unit = {
+    // 'manage' subscription required (geodb.sql:1525-1529); unregistered
+    // users default to manage (single-tenant engine default)
+    require(mySubscription == "manage",
+      s"User $user has no manage subscription and cannot create groups")
     setGroups(groups + (name -> Seq(user)))
     logEvent("CREATED_GROUP", s"Group $name created")
   }
@@ -570,6 +579,80 @@ class GeoDb(
       groups.get(d).exists(_.contains(user)),
       s"$user is not owner of database $d")
   }
+
+  // =========================================================================
+  // Indexes as data layout (§2.10 D7, SURVEY §4 R3/R4)
+  // =========================================================================
+  /**
+   * "Index" = physical data layout in Spark: for `geometry`, rows are
+   * range-clustered by the envelope stat columns (the GIST analog: bbox
+   * predicates then prune whole row groups via parquet min/max); for other
+   * properties, range-partition + sort on the column (the btree analog).
+   * Index names follow the reference's 63-char trim (geodb.sql:1490-1508).
+   */
+  def createIndex(collection: String, property: String = "geometry",
+                  database: Option[String] = None): String = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val meta = metaOf(d, collection)
+    val name = indexName(d, collection, property)
+    require(!meta.indexes.contains(name), s"index $name already exists") // dup error
+    val raw = readRaw(d, collection)
+    val clustered =
+      if (property == "geometry")
+        raw.repartitionByRange(col("_bbox_minx"), col("_bbox_miny"))
+          .sortWithinPartitions("_bbox_minx", "_bbox_miny")
+      else {
+        require(meta.schema.fieldNames.contains(property.toLowerCase),
+          s"no such property $property")
+        raw.repartitionByRange(col(property.toLowerCase))
+          .sortWithinPartitions(property.toLowerCase)
+      }
+    swapIn(d, collection, clustered)
+    catalog.saveMeta(metaOf(d, collection).copy(indexes = meta.indexes :+ name))
+    logEvent("CREATED_INDEX", s"Index $name created on $d/$collection")
+    name
+  }
+
+  def showIndexes(collection: String, database: Option[String] = None): Seq[String] =
+    metaOf(db(database), collection).indexes
+
+  def dropIndex(collection: String, property: String,
+                database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val meta = metaOf(d, collection)
+    val name = indexName(d, collection, property)
+    require(meta.indexes.contains(name), s"index $name does not exist")
+    catalog.saveMeta(meta.copy(indexes = meta.indexes.filterNot(_ == name)))
+    logEvent("DROPPED_INDEX", s"Index $name dropped from $d/$collection")
+  }
+
+  /** `idx_{db}_{coll}_{prop}` trimmed to 63 chars (geodb.sql:1490-1508). */
+  private def indexName(d: String, c: String, p: String): String =
+    s"idx_${d}_${c}_$p".take(63)
+
+  // =========================================================================
+  // Users & subscriptions (§2.11 C5)
+  // =========================================================================
+  private def users: Map[String, Map[String, Any]] =
+    Jsons.loadMap(catalog.usersPath).map { case (k, v) => k -> v.asInstanceOf[Map[String, Any]] }
+
+  def registerUser(name: String, subscription: String = "freetrial"): Unit = {
+    Jsons.save(catalog.usersPath,
+      users + (name -> Map("subscription" -> subscription)))
+    logEvent("REGISTERED_USER", s"User $name registered")
+  }
+
+  def dropUser(name: String): Unit = {
+    Jsons.save(catalog.usersPath, users - name)
+    logEvent("DROPPED_USER", s"User $name dropped")
+  }
+
+  def userExists(name: String): Boolean = users.contains(name)
+
+  def mySubscription: String =
+    users.get(user).map(_("subscription").toString).getOrElse("manage")
 
   // =========================================================================
   // STAC metadata (§1.4)

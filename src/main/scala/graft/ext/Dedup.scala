@@ -43,6 +43,14 @@ object Dedup {
   /**
    * LSH candidate pairs with estimated Jaccard >= threshold.
    * bands*rowsPerBand must equal numHashes.
+   *
+   * Shuffle layout (the 100 TB consideration): only slim
+   * (id, band, band_hash) tuples travel through the band explode and the
+   * bucket self-join — the ~1 KB signature array never rides a x`bands`
+   * explode. Signatures are computed once (cached) and joined back for
+   * the (small) candidate set only. Skew: oversized buckets (stop-shingle
+   * pathologies) are dropped via a bucket-size cap rather than exploding
+   * into O(bucket^2) pairs.
    */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 5, numHashes: Int = 128,
@@ -50,24 +58,30 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // cached: one shingle+minhash pass over the corpus serves the banding
+    // and both sides of the candidate verification join (at warehouse
+    // scale this would be a checkpointed signature table instead)
     val sigs = minhashSignatures(df, textCol, idCol, shingleSize, numHashes)
-    val banded = sigs.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // self-join within buckets, id<id2 to emit each pair once
-    val l = banded.select(col("band"), col("band_hash"), col("id"), col("sig"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("id2"), col("sig").as("sig2"))
-    // bound skew: drop oversized buckets (reported via metric column upstream)
-    val sized = l.withColumn("_bsz",
+    // bound skew before the self-join
+    val sized = banded.withColumn("_bsz",
       count(lit(1)).over(Window.partitionBy("band", "band_hash")))
       .filter(col("_bsz") <= maxBucket).drop("_bsz")
-    sized.join(r, Seq("band", "band_hash"))
+    val candidates = sized
+      .join(sized.select(col("band"), col("band_hash"), col("id").as("id2")),
+        Seq("band", "band_hash"))
       .filter(col("id") < col("id2"))
+      .select("id", "id2")
+      .distinct()
+    candidates
+      .join(sigs, Seq("id"))
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
       .select(col("id"), col("id2"),
         sig_similarity(col("sig"), col("sig2")).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -175,20 +175,25 @@ object TextFunctions {
   def hyperplane_sig(v: Column, nbits: Column, seed: Column): Column =
     call_function("hyperplane_sig", v, nbits, seed)
 
+  /** (name -> builder) pairs, shared by registerAll and GraftExtensions. */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq[
+      (String, Seq[Expression] => Expression)](
+    "char_shingles" -> { case Seq(a, b) => CharShingles(a, b) },
+    "word_shingles" -> { case Seq(a, b) => WordShingles(a, b) },
+    "minhash_sig" -> { case Seq(a, b) => MinHashSig(a, b) },
+    "sig_similarity" -> { case Seq(a, b) => SigSimilarity(a, b) },
+    "simhash64" -> { case Seq(a) => SimHash64(a) },
+    "hamming64" -> { case Seq(a, b) => Hamming64(a, b) },
+    "fingerprint64" -> { case Seq(a) => Fingerprint64(a) },
+    "lang_id" -> { case Seq(a) => LangId(a) },
+    "cosine_sim" -> { case Seq(a, b) => CosineSim(a, b) },
+    "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
+    "hyperplane_sig" -> { case Seq(a, b, c) => HyperplaneSig(a, b, c) })
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def one(name: String)(b: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    one("char_shingles") { case Seq(a, b) => CharShingles(a, b) }
-    one("word_shingles") { case Seq(a, b) => WordShingles(a, b) }
-    one("minhash_sig") { case Seq(a, b) => MinHashSig(a, b) }
-    one("sig_similarity") { case Seq(a, b) => SigSimilarity(a, b) }
-    one("simhash64") { case Seq(a) => SimHash64(a) }
-    one("hamming64") { case Seq(a, b) => Hamming64(a, b) }
-    one("fingerprint64") { case Seq(a) => Fingerprint64(a) }
-    one("lang_id") { case Seq(a) => LangId(a) }
-    one("cosine_sim") { case Seq(a, b) => CosineSim(a, b) }
-    one("dot_product") { case Seq(a, b) => DotProduct(a, b) }
-    one("hyperplane_sig") { case Seq(a, b, c) => HyperplaneSig(a, b, c) }
+    }
   }
 }

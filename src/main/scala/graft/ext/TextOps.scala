@@ -68,9 +68,12 @@ object TextOps {
   }
 
   /**
-   * MinHash signature: h_i(x) = mix64(x ^ seed_i), signature(i) = min over
-   * the shingle set. One pass over shingles per row, n mins kept in a
-   * local array — O(|set| * n) with no allocation beyond the output.
+   * MinHash signature via the Kirsch-Mitzenmacher construction
+   * (public result from "Less Hashing, Same Performance", 2006):
+   * h_j(x) = h1(x) + j*h2(x) with two independent 64-bit mixes — the j-loop
+   * is add+compare only, ~10x cheaper than n independent mixes while
+   * preserving the MinHash collision property. One pass over the shingle
+   * set, n mins in a local array, no allocation beyond the output.
    */
   def minhash(shingleSet: ArrayData, n: Int): ArrayData = {
     val sig = new Array[Long](n)
@@ -79,10 +82,13 @@ object TextOps {
     var i = 0
     while (i < m) {
       val x = shingleSet.getLong(i)
+      val h1 = mix64(x)
+      val h2 = mix64(x ^ 0x9e3779b97f4a7c15L) | 1L // odd increment
+      var h = h1
       var j = 0
       while (j < n) {
-        val h = mix64(x ^ (j * 0xc2b2ae3d27d4eb4fL))
         if (h < sig(j)) sig(j) = h
+        h += h2
         j += 1
       }
       i += 1

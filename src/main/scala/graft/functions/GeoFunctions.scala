@@ -49,32 +49,37 @@ object GeoFunctions {
   def st_disjoint(a: Column, b: Column): Column = st_relation("disjoint", a, b)
   def st_equals(a: Column, b: Column): Column = st_relation("equals", a, b)
 
+  /** (name -> builder) pairs, shared by registerAll and GraftExtensions. */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq[
+      (String, Seq[Expression] => Expression)](
+    "st_point" -> { case Seq(x, y) => StPoint(x, y) },
+    "st_geomfromtext" -> { case Seq(w) => StGeomFromText(w) },
+    "st_makeenvelope" -> { case Seq(a, b, c, d) => StMakeEnvelope(a, b, c, d) },
+    "st_astext" -> { case Seq(g) => StUnary("asText", g) },
+    "geometrytype" -> { case Seq(g) => StUnary("geometryType", g) },
+    "st_centroid" -> { case Seq(g) => StUnary("centroid", g) },
+    "st_envelope" -> { case Seq(g) => StUnary("envelope", g) },
+    "st_x" -> { case Seq(g) => StUnary("stX", g) },
+    "st_y" -> { case Seq(g) => StUnary("stY", g) },
+    "st_xmin" -> { case Seq(g) => StUnary("xMin", g) },
+    "st_xmax" -> { case Seq(g) => StUnary("xMax", g) },
+    "st_ymin" -> { case Seq(g) => StUnary("yMin", g) },
+    "st_ymax" -> { case Seq(g) => StUnary("yMax", g) },
+    "st_area" -> { case Seq(g) => StUnary("area", g) },
+    "st_length" -> { case Seq(g) => StUnary("stLength", g) },
+    "st_distance" -> { case Seq(a, b) => StDistance(a, b) },
+    "st_buffer" -> { case Seq(g, d) => StBuffer(g, d) },
+    "st_transform" -> { case Seq(g, f, t) => StTransform(g, f, t) }) ++
+    Seq("within", "contains", "intersects", "touches",
+        "overlaps", "crosses", "disjoint", "equals").map { m =>
+      (s"st_$m", { case Seq(a, b) => StRelation(m, a, b) }): (String, Seq[Expression] => Expression)
+    }
+
   /** Register all geo functions in the session's SQL function registry. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def one(name: String)(b: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
-    one("st_point") { case Seq(x, y) => StPoint(x, y) }
-    one("st_geomfromtext") { case Seq(w) => StGeomFromText(w) }
-    one("st_makeenvelope") { case Seq(a, b, c, d) => StMakeEnvelope(a, b, c, d) }
-    one("st_astext") { case Seq(g) => StUnary("asText", g) }
-    one("geometrytype") { case Seq(g) => StUnary("geometryType", g) }
-    one("st_centroid") { case Seq(g) => StUnary("centroid", g) }
-    one("st_envelope") { case Seq(g) => StUnary("envelope", g) }
-    one("st_x") { case Seq(g) => StUnary("stX", g) }
-    one("st_y") { case Seq(g) => StUnary("stY", g) }
-    one("st_xmin") { case Seq(g) => StUnary("xMin", g) }
-    one("st_xmax") { case Seq(g) => StUnary("xMax", g) }
-    one("st_ymin") { case Seq(g) => StUnary("yMin", g) }
-    one("st_ymax") { case Seq(g) => StUnary("yMax", g) }
-    one("st_area") { case Seq(g) => StUnary("area", g) }
-    one("st_length") { case Seq(g) => StUnary("stLength", g) }
-    one("st_distance") { case Seq(a, b) => StDistance(a, b) }
-    one("st_buffer") { case Seq(g, d) => StBuffer(g, d) }
-    one("st_transform") { case Seq(g, f, t) => StTransform(g, f, t) }
-    Seq("within", "contains", "intersects", "touches",
-        "overlaps", "crosses", "disjoint", "equals").foreach { m =>
-      one(s"st_$m") { case Seq(a, b) => StRelation(m, a, b) }
     }
   }
 }

@@ -37,6 +37,14 @@ object Smoke {
     println("== PLAN for bbox query:")
     db.getCollectionByBbox("suppliers", (0.0, 0.0, 5000.0, 100.0), "contains", 4326).explain("formatted")
 
+    // user-path spatial query WITHOUT manual prefilter: the optimizer rule
+    // must inject the _bbox_* conjuncts and push them to the scan
+    println("== PLAN for direct user st_contains (rule-injected prefilter):")
+    spark.read.parquet(wh + "/data/analyst/suppliers/data")
+      .filter(st_contains(st_makeenvelope(lit(0.0), lit(0.0), lit(5000.0), lit(100.0)),
+        col("geometry")))
+      .explain("formatted")
+
     try db.getCollectionByBbox("suppliers", (0.0, 0.0, 1.0, 1.0), "bogus_mode")
     catch { case e: Exception => println("== probe bad mode -> " + e.getMessage.take(80)) }
     try db.getCollection("suppliers", "s_nationkey=badop.5")

@@ -282,6 +282,40 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(res.count() == 0)
   }
 
+  test("index lifecycle incl. duplicate-index error (geodb.sql:1441-1510)") {
+    val db = landUseDb()
+    val name = db.createIndex("land_use") // geometry -> GIST analog
+    assert(name == "idx_geodb_user_land_use_geometry")
+    assert(db.showIndexes("land_use") == Seq(name))
+    // duplicate index refused (test_sql_functions.py:448-480)
+    intercept[IllegalArgumentException](db.createIndex("land_use"))
+    // data survives the layout rewrite; golden query still answers
+    val res = db.getCollectionByBbox("land_use",
+      (452750.0, 88909.549, 464000.0, 102486.299), "contains", 3794)
+    assert(res.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    // btree analog on a property; 63-char trim
+    val db2 = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db2.createCollection("c" * 80, Seq("v" -> "integer"))
+    val long = db2.createIndex("c" * 80, "v")
+    assert(long.length == 63)
+    db.dropIndex("land_use", "geometry")
+    assert(db.showIndexes("land_use").isEmpty)
+    intercept[IllegalArgumentException](db.dropIndex("land_use", "geometry"))
+  }
+
+  test("user registration + manage-subscription gating (geodb.sql:1525-1529)") {
+    val wh = tmpDir("graft-wh")
+    val admin = new GeoDb(spark, wh, "admin")
+    admin.registerUser("limited", "freetrial")
+    assert(admin.userExists("limited"))
+    val lim = new GeoDb(spark, wh, "limited")
+    assert(lim.mySubscription == "freetrial")
+    intercept[IllegalArgumentException](lim.createGroup("nope"))
+    admin.createGroup("ok") // unregistered -> default manage
+    admin.dropUser("limited")
+    assert(!admin.userExists("limited"))
+  }
+
   test("usage accounting (geodb.sql:1028-1120)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("u1", Seq("v" -> "integer"))
