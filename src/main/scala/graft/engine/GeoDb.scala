@@ -48,6 +48,13 @@ class GeoDb(
   private val PUBLIC = "PUBLIC"
 
   def whoami: String = user
+
+  /** Default database = authenticated user (geodb.py:483-489). */
+  def defaultDatabase: String = user
+
+  /** Engine version (get_geodb_sql_version analog). */
+  def version: String = GeoDb.Version
+
   private def db(database: Option[String]): String = database.getOrElse(user)
 
   // =========================================================================
@@ -117,6 +124,21 @@ class GeoDb(
       crs: Any = 4326, database: Option[String] = None): Unit =
     if (!collectionExists(collection, database))
       createCollection(collection, properties, crs, database)
+
+  def createCollectionsIfNotExist(colls: Map[String, Seq[(String, String)]],
+                                  database: Option[String] = None,
+                                  crs: Any = 4326): Unit =
+    colls.foreach { case (name, props) =>
+      createCollectionIfNotExists(name, props, crs, database)
+    }
+
+  /** Capabilities document: every accessible collection with its schema
+    * (the PostgREST OpenAPI introspection analog, geodb.py:500-513). */
+  def capabilities: Map[String, Map[String, String]] =
+    getMyCollections.map { case (d, c) =>
+      val meta = metaOf(d, c)
+      s"$d/$c" -> meta.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    }.toMap
 
   def dropCollection(collection: String, database: Option[String] = None): Unit = {
     val d = db(database)
@@ -551,6 +573,25 @@ class GeoDb(
   def getMyGroups: Seq[String] =
     groups.collect { case (g, members) if members.contains(user) => g }.toSeq.sorted
 
+  def getGroupUsers(group: String): Seq[String] =
+    groups.getOrElse(group, Seq.empty)
+
+  /** Publish every collection of a database to a group: a wildcard grant
+    * (the reference's ownership-row insert, geodb.sql:1567-1577). */
+  def publishDatabaseToGroup(database: String, group: String): Unit = {
+    requireDatabaseOwner(database)
+    setGrants(grants :+ Map[String, Any]("database" -> database,
+      "collection" -> "*", "grantee" -> group, "privilege" -> "SELECT"))
+    logEvent("PUBLISHED_DATABASE", s"Database $database published to $group")
+  }
+
+  def unpublishDatabaseFromGroup(database: String, group: String): Unit = {
+    requireDatabaseOwner(database)
+    setGrants(grants.filterNot(g => g("database") == database &&
+      g("collection") == "*" && g("grantee") == group))
+    logEvent("UNPUBLISHED_DATABASE", s"Database $database unpublished from $group")
+  }
+
   def publishCollectionToGroup(collection: String, group: String,
                                database: Option[String] = None): Unit =
     grantAccessToCollection(collection, group, database)
@@ -566,7 +607,8 @@ class GeoDb(
   private def allowed(d: String, c: String, privilege: String): Boolean = {
     if (catalog.databaseOwner(d).contains(user)) return true
     val myGroups = getMyGroups.toSet + user + PUBLIC
-    grants.exists(g => g("database") == d && g("collection") == c &&
+    grants.exists(g => g("database") == d &&
+      (g("collection") == c || g("collection") == "*") && // "*" = whole-db grant
       myGroups.contains(g("grantee").toString))
   }
 
@@ -626,6 +668,25 @@ class GeoDb(
     require(meta.indexes.contains(name), s"index $name does not exist")
     catalog.saveMeta(meta.copy(indexes = meta.indexes.filterNot(_ == name)))
     logEvent("DROPPED_INDEX", s"Index $name dropped from $d/$collection")
+  }
+
+  /** Reference-named alias for dropIndex (geodb.py remove_index). */
+  def removeIndex(collection: String, property: String,
+                  database: Option[String] = None): Unit =
+    dropIndex(collection, property, database)
+
+  /** Client-side bbox reprojection helper (transform_bbox_crs,
+    * geodb.py:1535-1575). `wsg84Order="lat_lon"` mirrors the reference's
+    * EPSG:4326 axis-order default (geodb.py:1565-1573). */
+  def transformBboxCrs(bbox: (Double, Double, Double, Double),
+                       fromCrs: Any, toCrs: Any,
+                       wsg84Order: String = "lat_lon"): (Double, Double, Double, Double) = {
+    val from = checkCrs(fromCrs); val to = checkCrs(toCrs)
+    val latLon = wsg84Order == "lat_lon"
+    // reorder 4326 lat/lon input to x=lon, y=lat for the math, then back
+    val in = if (from == 4326 && latLon) (bbox._2, bbox._1, bbox._4, bbox._3) else bbox
+    val out = GeoOps.transformBbox(in._1, in._2, in._3, in._4, from, to)
+    if (to == 4326 && latLon) (out._2, out._1, out._4, out._3) else out
   }
 
   /** `idx_{db}_{coll}_{prop}` trimmed to 63 chars (geodb.sql:1490-1508). */
@@ -870,4 +931,9 @@ class GeoDb(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("Empty Result", StringType))))
     else df
+}
+
+object GeoDb {
+  /** Engine version (geodb_version_info analog, geodb.sql:84-92). */
+  val Version = "0.1.0"
 }

@@ -316,6 +316,29 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(!admin.userExists("limited"))
   }
 
+  test("capabilities, group users, database-to-group publish, bbox transform helper") {
+    val wh = tmpDir("graft-wh")
+    val owner = new GeoDb(spark, wh, "alice")
+    owner.createCollection("cap1", Seq("v" -> "integer"))
+    assert(owner.capabilities("alice/cap1")("v") == "int")
+    assert(owner.capabilities("alice/cap1").contains("geometry"))
+    owner.createGroup("g1")
+    owner.addUserToGroup("bob", "g1")
+    assert(owner.getGroupUsers("g1").sorted == Seq("alice", "bob"))
+    owner.publishDatabaseToGroup("alice", "g1")
+    val bob = new GeoDb(spark, wh, "bob")
+    assert(bob.userAllowed("alice", "cap1")) // wildcard grant covers all colls
+    owner.unpublishDatabaseFromGroup("alice", "g1")
+    assert(!bob.userAllowed("alice", "cap1"))
+    // lat/lon ordering rules for EPSG:4326 (test_geodb.py:1082-1158 analog)
+    val m = owner.transformBboxCrs((10.0, 20.0, 30.0, 40.0), 4326, 3857)
+    // input is (lat,lon,lat,lon): x from lon=20, y from lat=10
+    assert(math.abs(m._1 - 2226389.8158654715) < 1e-3)
+    val back = owner.transformBboxCrs(m, 3857, 4326)
+    assert(math.abs(back._1 - 10.0) < 1e-9 && math.abs(back._2 - 20.0) < 1e-9)
+    assert(owner.version == "0.1.0" && owner.defaultDatabase == "alice")
+  }
+
   test("usage accounting (geodb.sql:1028-1120)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("u1", Seq("v" -> "integer"))
