@@ -97,12 +97,14 @@ object Dedup {
     df.join(mapped, df(idCol) === col("dup"), "left_anti")
   }
 
-  /** Exact n-gram Jaccard for candidate pairs (verification joins). */
+  /** Exact n-gram Jaccard for candidate pairs (verification joins).
+    * Gram sets computed in one cached pass, joined back for candidates. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       word_shingles(col(textCol), lit(n)).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = minhashPairs(df, textCol, idCol,
       shingleSize = 4, numHashes = numHashes, bands = bands, threshold = 0.3)
     candidates

@@ -13,13 +13,14 @@ import TextFunctions._
  */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+  /** Whitespace token count: O(n) codegen'd scan, exactly equivalent to
+    * `size(split(trim(text), "\\s+"))` without materializing the array. */
+  def tokenCount(text: Column): Column = token_count(text)
 
-  /** BPE-ish subword proxy: runs of letters, digits, or single symbols. */
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  /** BPE-ish subword proxy (letter runs | digit runs | single symbols):
+    * O(n) scan equivalent to counting `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`
+    * matches, no regex engine and no array materialization. */
+  def bpeTokenCount(text: Column): Column = bpe_count(text)
 
   def charCount(text: Column): Column = length(text)
 

@@ -118,6 +118,32 @@ case class LangId(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class TokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_count"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.tokenCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ext.TextOps.tokenCount($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class BpeCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_count"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.bpeCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ext.TextOps.bpeCount($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
@@ -170,6 +196,8 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
   def lang_id(text: Column): Column = call_function("lang_id", text)
+  def token_count(text: Column): Column = call_function("token_count", text)
+  def bpe_count(text: Column): Column = call_function("bpe_count", text)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def hyperplane_sig(v: Column, nbits: Column, seed: Column): Column =
@@ -186,6 +214,8 @@ object TextFunctions {
     "hamming64" -> { case Seq(a, b) => Hamming64(a, b) },
     "fingerprint64" -> { case Seq(a) => Fingerprint64(a) },
     "lang_id" -> { case Seq(a) => LangId(a) },
+    "token_count" -> { case Seq(a) => TokenCount(a) },
+    "bpe_count" -> { case Seq(a) => BpeCount(a) },
     "cosine_sim" -> { case Seq(a, b) => CosineSim(a, b) },
     "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
     "hyperplane_sig" -> { case Seq(a, b, c) => HyperplaneSig(a, b, c) })

@@ -128,6 +128,56 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  // the \s class of java.util.regex (NOT Character.isWhitespace's superset)
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace token count — O(n) scan EXACTLY equivalent to
+    * `size(split(trim(text), "\\s+"))`: trim strips spaces only;
+    * split keeps one leading/trailing empty token around \s runs;
+    * split("") yields [""] (count 1). */
+  def tokenCount(text: UTF8String): Int = {
+    val s = text.toString
+    var i = 0; var end = s.length
+    while (i < end && s.charAt(i) == ' ') i += 1       // trim = spaces only
+    while (end > i && s.charAt(end - 1) == ' ') end -= 1
+    if (i >= end) return 1 // split("") -> [""]
+    var count = 0; var inTok = false
+    if (isRegexWs(s.charAt(i))) count += 1       // leading empty token
+    var j = i
+    while (j < end) {
+      val ws = isRegexWs(s.charAt(j))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      j += 1
+    }
+    if (isRegexWs(s.charAt(end - 1))) count += 1 // trailing empty token
+    count
+  }
+
+  /** BPE-ish subword count — O(n) scan equivalent to counting matches of
+    * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (letter runs, digit runs, single
+    * other symbols), with no array materialization. */
+  def bpeCount(text: UTF8String): Int = {
+    val s = text.toString
+    var i = 0; val n = s.length
+    var count = 0
+    var mode = 0 // 0 = none, 1 = letters, 2 = digits
+    while (i < n) {
+      val c = s.charAt(i)
+      val isL = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      val isD = c >= '0' && c <= '9'
+      if (isL) { if (mode != 1) { count += 1; mode = 1 } }
+      else if (isD) { if (mode != 2) { count += 1; mode = 2 } }
+      else {
+        mode = 0
+        if (!Character.isWhitespace(c)) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
   /** Rabin-Karp rolling hash of the whole document → 64-bit fingerprint. */
   def fingerprint(text: UTF8String): Long = {
     val s = text.toString

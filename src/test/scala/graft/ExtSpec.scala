@@ -126,6 +126,22 @@ class ExtSpec extends SparkSpec {
     assert(fp == ext.TextOps.fingerprint(UTF8String.fromString("hello world")))
   }
 
+  test("token_count/bpe_count scanners == regex equivalents") {
+    val tricky = Seq("hello world", " leading", "trailing ", "a  b   c",
+      "punct, stuff! x2y", "123 abc45def", "", " ", "one", "a\tb", "\tx",
+      "symbols #$% mid2dle3", "  double  spaces  ")
+    val df2 = tricky.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val got = df2.select($"i",
+        token_count($"t").as("tc"), bpe_count($"t").as("bc"),
+        size(split(trim($"t"), "\\s+")).as("tc_regex"),
+        size(regexp_extract_all($"t", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bc_regex"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(3), s"token_count mismatch for '${tricky(r.getInt(0))}'")
+      assert(r.getInt(2) == r.getInt(4), s"bpe_count mismatch for '${tricky(r.getInt(0))}'")
+    }
+  }
+
   test("lang_id detects scripts and English stopwords") {
     val r = Seq(
       (1, "the cat sat on the mat and it was happy with this"),
