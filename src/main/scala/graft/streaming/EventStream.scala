@@ -67,6 +67,21 @@ object EventStream {
         col("approx_users"))
 
   /**
+   * Collection change-feed (extension of the reference's `modified_at`
+   * trigger + NOTIFY machinery, SURVEY §2.13): stream the collection's
+   * parquet directory; every DML commit (append or copy-on-write swap)
+   * surfaces its rows as a micro-batch. Downstream can filter on
+   * `modified_at`/`created_at` watermarks for upsert-style consumption.
+   */
+  def collectionFeed(db: graft.engine.GeoDb, collection: String,
+                     database: Option[String] = None): DataFrame = {
+    val d = database.getOrElse(db.whoami)
+    val meta = db.getCollectionInfo(collection, database)
+    db.spark.readStream.schema(meta.schema)
+      .parquet(db.catalog.dataDir(d, collection))
+  }
+
+  /**
    * Sessionization via flatMapGroupsWithState-free composition: gap-based
    * session ids computed with window functions in batch; streaming variant
    * uses session_window (built-in since Spark 3.2).

@@ -29,6 +29,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("collection change-feed streams inserted rows") {
+    import org.apache.spark.sql.functions._
+    val db = new graft.engine.GeoDb(spark, tmpDir("feed-wh"), "geodb_user")
+    db.createCollection("feed", Seq("v" -> "integer"))
+    import spark.implicits._
+    db.insertIntoCollection("feed", Seq(1, 2, 3).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val qname = s"feed_${System.nanoTime}"
+    val q = EventStream.collectionFeed(db, "feed")
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table(qname).as[Long].head() == 3L)
+  }
+
   test("sessionization batch shape") {
     val dir = "/root/testdata/sf0.001/events.parquet"
     val events = graft.streaming.EventStream.loadEvents(spark, dir)
