@@ -131,6 +131,41 @@ object GeoOps {
     write(g)
   }
 
+  /**
+   * 2-D Hilbert curve index (public iterative xy2d algorithm): maps a
+   * point scaled into a 2^order × 2^order grid to its position along the
+   * space-filling curve. Used by createIndex("geometry") to cluster rows
+   * so that spatially-near geometries land in the same parquet row groups
+   * — better envelope-stat pruning than lexicographic (minx, miny) order.
+   */
+  def hilbertIndex(order: Int, xIn: Long, yIn: Long): Long = {
+    var x = xIn; var y = yIn
+    var d = 0L
+    var s: Long = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert index of a point scaled into [minX..maxX]×[minY..maxY]. */
+  def hilbertOf(x: Double, y: Double, minX: Double, minY: Double,
+                maxX: Double, maxY: Double, order: Int): Long = {
+    val n = (1L << order) - 1
+    def scale(v: Double, lo: Double, hi: Double): Long =
+      if (hi <= lo) 0L
+      else math.min(n, math.max(0L, ((v - lo) / (hi - lo) * n).toLong))
+    hilbertIndex(order, scale(x, minX, maxX), scale(y, minY, maxY))
+  }
+
   /** Transform a bare bbox (point-pair, like the reference's pyproj path). */
   def transformBbox(minX: Double, minY: Double, maxX: Double, maxY: Double,
                     fromSrid: Int, toSrid: Int): (Double, Double, Double, Double) = {

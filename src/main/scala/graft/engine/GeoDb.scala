@@ -641,10 +641,25 @@ class GeoDb(
     require(!meta.indexes.contains(name), s"index $name already exists") // dup error
     val raw = readRaw(d, collection)
     val clustered =
-      if (property == "geometry")
-        raw.repartitionByRange(col("_bbox_minx"), col("_bbox_miny"))
-          .sortWithinPartitions("_bbox_minx", "_bbox_miny")
-      else {
+      if (property == "geometry") {
+        // Hilbert-curve clustering over envelope centroids: spatially-near
+        // rows share row groups, maximizing _bbox_* min/max pruning
+        val ext = raw.agg(min("_bbox_minx"), min("_bbox_miny"),
+          max("_bbox_maxx"), max("_bbox_maxy")).head
+        if (ext.isNullAt(0)) raw // empty collection: nothing to cluster
+        else {
+          val (mnx, mny, mxx, mxy) =
+            (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+          val cx = (col("_bbox_minx") + col("_bbox_maxx")) / 2
+          val cy = (col("_bbox_miny") + col("_bbox_maxy")) / 2
+          val hilbert = call_function("hilbert_idx", cx, cy,
+            lit(mnx), lit(mny), lit(mxx), lit(mxy), lit(16))
+          raw.withColumn("_hilbert", hilbert)
+            .repartitionByRange(col("_hilbert"))
+            .sortWithinPartitions("_hilbert")
+            .drop("_hilbert")
+        }
+      } else {
         require(meta.schema.fieldNames.contains(property.toLowerCase),
           s"no such property $property")
         raw.repartitionByRange(col(property.toLowerCase))

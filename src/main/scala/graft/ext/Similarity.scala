@@ -21,20 +21,31 @@ import TextFunctions._
  */
 object Similarity {
 
-  /** Exact brute-force cosine top-k per query vector (queries broadcast). */
+  /**
+   * Exact brute-force cosine top-k per query vector: queries broadcast,
+   * corpus scanned once, and the per-query top-k kept by the bounded
+   * [[TopKByScore]] aggregate — map-side partial heaps mean the shuffle
+   * carries k pairs per query instead of |corpus|×|queries| scored rows
+   * (the Window/row_number formulation's full sort is gone).
+   */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int = 10): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine_sim(col("qv"), col("cv")).as("cosine"))
-      .filter(col("query_id") =!= col("corpus_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
+
+  /** groupBy + bounded-heap aggregate -> (query_id, corpus_id, cosine, rank). */
+  private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKAggregate.topk_by_score(col("corpus_id"), col("cosine"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /**
    * Approximate NN via hyperplane-LSH buckets: candidates share the
@@ -57,9 +68,7 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         cosine_sim(col("qv"), col("cv")).as("cosine"))
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(cands, k)
   }
 
   /** All pairs above a cosine threshold (via LSH buckets). */

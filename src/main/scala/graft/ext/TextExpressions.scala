@@ -218,7 +218,8 @@ object TextFunctions {
     "bpe_count" -> { case Seq(a) => BpeCount(a) },
     "cosine_sim" -> { case Seq(a, b) => CosineSim(a, b) },
     "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
-    "hyperplane_sig" -> { case Seq(a, b, c) => HyperplaneSig(a, b, c) })
+    "hyperplane_sig" -> { case Seq(a, b, c) => HyperplaneSig(a, b, c) },
+    "topk_by_score" -> { case Seq(a, b, c) => TopKByScore(a, b, c) })
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

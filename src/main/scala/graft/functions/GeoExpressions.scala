@@ -140,6 +140,28 @@ case class StBuffer(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Hilbert-curve index of (x, y) scaled into a fixed extent — the sort key
+ * for createIndex("geometry")'s spatial clustering. Extent + order are
+ * plan-time constants baked into the generated code.
+ */
+case class HilbertExpr(minX: Double, minY: Double, maxX: Double, maxY: Double,
+                       order: Int, left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_idx"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeoOps.hilbertOf(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      minX, minY, maxX, maxY, order)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.core.GeoOps.hilbertOf($x, $y, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D, $order)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** ST_Transform limited to 4326<->3857 (see GeoOps.transform). */
 case class StTransform(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {

@@ -69,7 +69,11 @@ object GeoFunctions {
     "st_length" -> { case Seq(g) => StUnary("stLength", g) },
     "st_distance" -> { case Seq(a, b) => StDistance(a, b) },
     "st_buffer" -> { case Seq(g, d) => StBuffer(g, d) },
-    "st_transform" -> { case Seq(g, f, t) => StTransform(g, f, t) }) ++
+    "st_transform" -> { case Seq(g, f, t) => StTransform(g, f, t) },
+    "hilbert_idx" -> { case Seq(x, y, mnx, mny, mxx, mxy, ord) =>
+      def d(e: Expression) = e.eval().asInstanceOf[Number].doubleValue()
+      HilbertExpr(d(mnx), d(mny), d(mxx), d(mxy),
+        ord.eval().asInstanceOf[Number].intValue(), x, y) }) ++
     Seq("within", "contains", "intersects", "touches",
         "overlaps", "crosses", "disjoint", "equals").map { m =>
       (s"st_$m", { case Seq(a, b) => StRelation(m, a, b) }): (String, Seq[Expression] => Expression)

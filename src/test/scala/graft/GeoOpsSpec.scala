@@ -70,6 +70,23 @@ class GeoOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GeoOps.transform(p, 4326, 3794))
   }
 
+  test("hilbert index: bijective on the grid, locality-preserving") {
+    val order = 4; val n = 1 << order
+    val all = for (x <- 0 until n; y <- 0 until n)
+      yield GeoOps.hilbertIndex(order, x, y)
+    assert(all.toSet.size == n * n)            // bijection
+    assert(all.min == 0 && all.max == n * n - 1)
+    // successive curve positions are grid neighbors (the Hilbert property)
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield (GeoOps.hilbertIndex(order, x, y), (x, y))).sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+    // scaled variant respects bounds
+    assert(GeoOps.hilbertOf(0, 0, 0, 0, 10, 10, 8) == 0L)
+    assert(GeoOps.hilbertOf(-5, -5, 0, 0, 10, 10, 8) == 0L) // clamped
+  }
+
   test("distance/centroid/buffer/length") {
     assert(GeoOps.distance(GeoOps.point(0, 0), GeoOps.point(3, 4)) == 5.0)
     val c = GeoOps.centroid(GeoOps.makeEnvelope(0, 0, 2, 2))
