@@ -71,6 +71,80 @@ object GeoOps {
   def buffer(b: Array[Byte], d: Double): Array[Byte] = write(read(b).buffer(d))
   def distance(a: Array[Byte], b: Array[Byte]): Double = read(a).distance(read(b))
 
+  // ---- GeoJSON (reference wire format, geodb.py:2132-2149) ----
+  // jts-core has no GeoJSON io; minimal hand-rolled codec for the seven
+  // basic types, Jackson (on the Spark classpath) for parsing.
+
+  def asGeoJson(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(geoJsonString(read(b)))
+
+  private def geoJsonString(g: Geometry): String = {
+    def pt(c: Coordinate) = s"[${c.x},${c.y}]"
+    def ring(cs: Array[Coordinate]) = cs.map(pt).mkString("[", ",", "]")
+    def poly(p: Polygon) =
+      (Seq(p.getExteriorRing) ++ (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+        .map(r => ring(r.getCoordinates)).mkString("[", ",", "]")
+    g match {
+      case p: Point => s"""{"type":"Point","coordinates":${pt(p.getCoordinate)}}"""
+      case l: LineString =>
+        s"""{"type":"LineString","coordinates":${ring(l.getCoordinates)}}"""
+      case p: Polygon => s"""{"type":"Polygon","coordinates":${poly(p)}}"""
+      case m: MultiPoint =>
+        s"""{"type":"MultiPoint","coordinates":${m.getCoordinates.map(pt).mkString("[", ",", "]")}}"""
+      case m: MultiLineString =>
+        val parts = (0 until m.getNumGeometries)
+          .map(i => ring(m.getGeometryN(i).getCoordinates)).mkString("[", ",", "]")
+        s"""{"type":"MultiLineString","coordinates":$parts}"""
+      case m: MultiPolygon =>
+        val parts = (0 until m.getNumGeometries)
+          .map(i => poly(m.getGeometryN(i).asInstanceOf[Polygon])).mkString("[", ",", "]")
+        s"""{"type":"MultiPolygon","coordinates":$parts}"""
+      case gc: GeometryCollection =>
+        val parts = (0 until gc.getNumGeometries)
+          .map(i => geoJsonString(gc.getGeometryN(i))).mkString("[", ",", "]")
+        s"""{"type":"GeometryCollection","geometries":$parts}"""
+    }
+  }
+
+  def geomFromGeoJson(json: UTF8String): Array[Byte] =
+    write(parseGeoJson(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json.toString, classOf[java.util.Map[String, Object]])))
+
+  private def parseGeoJson(m: java.util.Map[String, Object]): Geometry = {
+    import scala.jdk.CollectionConverters._
+    def coordsOf(o: Object): Seq[Any] = o.asInstanceOf[java.util.List[Object]].asScala.toSeq
+    def num(o: Any): Double = o.asInstanceOf[Number].doubleValue()
+    def coord(o: Any): Coordinate = {
+      val l = coordsOf(o.asInstanceOf[Object])
+      new Coordinate(num(l(0)), num(l(1)))
+    }
+    def ring(o: Any): Array[Coordinate] =
+      coordsOf(o.asInstanceOf[Object]).map(coord).toArray
+    def poly(o: Any): Polygon = {
+      val rings = coordsOf(o.asInstanceOf[Object])
+      val shell = factory.createLinearRing(ring(rings.head))
+      val holes = rings.tail.map(r => factory.createLinearRing(ring(r))).toArray
+      factory.createPolygon(shell, holes)
+    }
+    val coords = m.get("coordinates")
+    m.get("type").toString match {
+      case "Point" => factory.createPoint(coord(coords))
+      case "LineString" => factory.createLineString(ring(coords))
+      case "Polygon" => poly(coords)
+      case "MultiPoint" =>
+        factory.createMultiPoint(coordsOf(coords).map(c => factory.createPoint(coord(c))).toArray[Point])
+      case "MultiLineString" =>
+        factory.createMultiLineString(coordsOf(coords).map(r => factory.createLineString(ring(r))).toArray[LineString])
+      case "MultiPolygon" =>
+        factory.createMultiPolygon(coordsOf(coords).map(poly).toArray[Polygon])
+      case "GeometryCollection" =>
+        factory.createGeometryCollection(
+          m.get("geometries").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+            .asScala.map(parseGeoJson).toArray[Geometry])
+      case t => throw new IllegalArgumentException(s"unsupported GeoJSON type $t")
+    }
+  }
+
   // ---- DE-9IM predicates (mode ids match StRelation) ----
   final val WITHIN = 0; final val CONTAINS = 1; final val INTERSECTS = 2
   final val TOUCHES = 3; final val OVERLAPS = 4; final val CROSSES = 5

@@ -40,6 +40,19 @@ case class StGeomFromText(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class StGeomFromGeoJson(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geomfromgeojson"
+  override protected def nullSafeEval(json: Any): Any =
+    GeoOps.geomFromGeoJson(json.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.geomFromGeoJson($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class StMakeEnvelope(first: Expression, second: Expression,
                           third: Expression, fourth: Expression)
     extends QuaternaryExpression with ImplicitCastInputTypes {
@@ -64,7 +77,7 @@ case class StUnary(kernel: String, child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = kernel match {
-    case "asText" | "geometryType" => StringType
+    case "asText" | "geometryType" | "asGeoJson" => StringType
     case "centroid" | "envelope"   => BinaryType
     case _                         => DoubleType
   }
@@ -74,6 +87,7 @@ case class StUnary(kernel: String, child: Expression)
     val bytes = b.asInstanceOf[Array[Byte]]
     kernel match {
       case "asText"       => GeoOps.asText(bytes)
+      case "asGeoJson"    => GeoOps.asGeoJson(bytes)
       case "geometryType" => GeoOps.geometryType(bytes)
       case "centroid"     => GeoOps.centroid(bytes)
       case "envelope"     => GeoOps.envelope(bytes)

@@ -16,6 +16,8 @@ object GeoFunctions {
 
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
   def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
+  def st_geomfromgeojson(json: Column): Column = call_function("st_geomfromgeojson", json)
+  def st_asgeojson(g: Column): Column = call_function("st_asgeojson", g)
   def st_makeenvelope(minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
     call_function("st_makeenvelope", minX, minY, maxX, maxY)
   def st_astext(g: Column): Column = call_function("st_astext", g)
@@ -54,6 +56,8 @@ object GeoFunctions {
       (String, Seq[Expression] => Expression)](
     "st_point" -> { case Seq(x, y) => StPoint(x, y) },
     "st_geomfromtext" -> { case Seq(w) => StGeomFromText(w) },
+    "st_geomfromgeojson" -> { case Seq(j) => StGeomFromGeoJson(j) },
+    "st_asgeojson" -> { case Seq(g) => StUnary("asGeoJson", g) },
     "st_makeenvelope" -> { case Seq(a, b, c, d) => StMakeEnvelope(a, b, c, d) },
     "st_astext" -> { case Seq(g) => StUnary("asText", g) },
     "geometrytype" -> { case Seq(g) => StUnary("geometryType", g) },

@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Running per-user counters maintained by flatMapGroupsWithState. */
+case class UserCounter(user_id: Long, n_events: Long, sum_value: Double)
 
 /**
  * Structured Streaming surface over event streams — the engine's extension
@@ -65,6 +69,32 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"),
         col("approx_users"))
+
+  /**
+   * Custom streaming state via `flatMapGroupsWithState`
+   * (KeyValueGroupedDataset): running per-user event counters that
+   * survive across micro-batches — the pattern for any stateful operator
+   * Spark's windowed aggregates can't express. State per key is O(1)
+   * (two numbers), so 10⁹ users is ~tens of GB of state across the
+   * cluster's state stores.
+   */
+  def runningUserCounters(events: DataFrame): Dataset[UserCounter] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserCounter, UserCounter](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserCounter]) =>
+          val prev = state.getOption.getOrElse(UserCounter(user, 0L, 0.0))
+          var n = prev.n_events; var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val next = UserCounter(user, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /**
    * Collection change-feed (extension of the reference's `modified_at`

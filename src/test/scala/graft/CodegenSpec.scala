@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.functions.GeoFunctions._
+import graft.ext.TextFunctions
+import graft.ext.TextFunctions._
+
+/**
+ * With spark.sql.codegen.fallback=false, a doGenCode that emits broken Java
+ * fails the query instead of silently degrading to interpreted eval — this
+ * suite proves every custom expression really runs inside generated code.
+ */
+class CodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GeoFunctions.registerAll(spark)
+    TextFunctions.registerAll(spark)
+  }
+
+  private def withStrictCodegen[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("all geo expressions compile under strict codegen") {
+    withStrictCodegen {
+      val df = Seq((1.0, 2.0, 10.0, 20.0)).toDF("x", "y", "x2", "y2")
+        .withColumn("p", st_point($"x", $"y"))
+        .withColumn("env", st_makeenvelope($"x" - 1, $"y" - 1, $"x2", $"y2"))
+      val row = df.select(
+        st_x($"p"), st_y($"p"), st_xmin($"env"), st_xmax($"env"),
+        st_ymin($"env"), st_ymax($"env"), st_area($"env"), st_length($"env"),
+        st_astext($"p"), st_asgeojson($"p"), geometry_type($"p"),
+        st_distance($"p", st_centroid($"env")),
+        st_contains($"env", $"p"), st_within($"p", $"env"),
+        st_intersects($"env", $"p"), st_disjoint($"env", $"p"),
+        st_astext(st_buffer($"p", lit(1.0))),
+        st_astext(st_transform($"p", lit(4326), lit(3857))),
+        st_astext(st_geomfromtext(lit("POINT(3 4)"))),
+        st_astext(st_geomfromgeojson(lit("""{"type":"Point","coordinates":[5,6]}"""))))
+        .head()
+      assert(row.getDouble(0) == 1.0)
+      assert(row.getBoolean(12)) // contains
+    }
+  }
+
+  test("all text/vector expressions compile under strict codegen") {
+    withStrictCodegen {
+      val df = Seq((1L, "the quick brown fox", Array(1.0f, 0.0f), Array(0.6f, 0.8f)))
+        .toDF("id", "t", "v1", "v2")
+      val row = df.select(
+        token_count($"t"), bpe_count($"t"), simhash64($"t"),
+        fingerprint64($"t"), lang_id($"t"),
+        hamming64(simhash64($"t"), simhash64($"t")),
+        char_shingles($"t", lit(3)), word_shingles($"t", lit(2)),
+        minhash_sig(char_shingles($"t", lit(3)), lit(16)),
+        sig_similarity(minhash_sig(char_shingles($"t", lit(3)), lit(16)),
+          minhash_sig(char_shingles($"t", lit(3)), lit(16))),
+        cosine_sim($"v1", $"v2"), dot_product($"v1", $"v2"),
+        hyperplane_sig($"v1", lit(8), lit(42L)))
+        .head()
+      assert(row.getInt(0) == 4)
+      assert(row.getInt(5) == 0)   // hamming with itself
+      assert(row.getDouble(9) == 1.0) // sig similarity with itself
+      assert(math.abs(row.getDouble(11) - 0.6) < 1e-6)
+    }
+  }
+
+  test("whole-stage codegen spans include the geo predicate") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("g", st_point($"l_extendedprice", $"l_quantity"))
+      .filter(st_contains(st_makeenvelope(lit(0.0), lit(0.0), lit(100000.0), lit(50.0)), $"g"))
+    // WSCG stages render as `*(n)` in toString; assert the filter with the
+    // geo predicate is inside one
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("*(1) Filter") && physical.contains("st_contains"),
+      s"expected st_contains inside a WholeStageCodegen span in:\n$physical")
+  }
+}

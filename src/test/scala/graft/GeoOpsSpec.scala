@@ -70,6 +70,27 @@ class GeoOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GeoOps.transform(p, 4326, 3794))
   }
 
+  test("GeoJSON roundtrip for all basic types (reference wire format)") {
+    val samples = Seq(
+      "POINT(1.5 -2.5)",
+      "LINESTRING(0 0, 1 1, 2 0)",
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOINT((1 1), (2 2))",
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+      "GEOMETRYCOLLECTION(POINT(1 1), LINESTRING(0 0, 1 1))")
+    samples.foreach { w =>
+      val b = wkt(w)
+      val json = GeoOps.asGeoJson(b)
+      val back = GeoOps.geomFromGeoJson(json)
+      assert(GeoOps.read(back).equalsExact(GeoOps.read(b)),
+        s"roundtrip failed for $w -> $json")
+    }
+    // shape matches the reference's expected dict (test_sql_functions.py:56-78)
+    assert(GeoOps.asGeoJson(GeoOps.point(453952.629, 91124.177)).toString ==
+      """{"type":"Point","coordinates":[453952.629,91124.177]}""")
+  }
+
   test("hilbert index: bijective on the grid, locality-preserving") {
     val order = 4; val n = 1 << order
     val all = for (x <- 0 until n; y <- 0 until n)

@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(qname).as[Long].head() == 3L)
   }
 
+  test("flatMapGroupsWithState running counters == batch groupBy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    val batch = EventStream.loadEvents(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // stream the same data in one AvailableNow batch; final state per user
+    // must equal the batch aggregate
+    val stageDir = tmpDir("state-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(stageDir, "events.parquet"))
+    val counters = EventStream.runningUserCounters(
+      EventStream.read(spark, stageDir))
+    val qname = s"ctr_${System.nanoTime}"
+    val q = counters.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last emitted row per user = final state
+    val got = spark.table(qname)
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch)
+  }
+
   test("sessionization batch shape") {
     val dir = "/root/testdata/sf0.001/events.parquet"
     val events = graft.streaming.EventStream.loadEvents(spark, dir)
