@@ -247,6 +247,13 @@ object SparkEntry {
           sum(col("value").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_value"))
         .orderBy("hour", "event_type")
     }),
+    "q26_bbox_disjoint" -> ((s, dir) => { ensure(s)
+      // disjoint mode: for points, the complement of closed-envelope overlap
+      pts(s, dir)
+        .filter(st_disjoint(
+          st_makeenvelope(lit(100.5), lit(10.5), lit(900.5), lit(40.5)), col("geom")))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     // =====================================================================
     // Dedup family (documents table)
     // =====================================================================
@@ -406,6 +413,8 @@ object SparkEntry {
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(CAST(props->>'k' AS INT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_k FROM events WHERE event_type LIKE '%e%' GROUP BY event_type ORDER BY event_type",
     "q25_stream_window" ->
       "SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    "q26_bbox_disjoint" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE NOT (l_extendedprice/32.0 >= 100.5 AND l_extendedprice/32.0 <= 900.5 AND l_quantity >= 10.5 AND l_quantity <= 40.5)",
     "q27_dedup_exact" ->
       "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text) ORDER BY content_hash",
     "q31_knn_brute" ->

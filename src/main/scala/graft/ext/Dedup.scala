@@ -67,10 +67,13 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // bound skew before the self-join
-    val sized = banded.withColumn("_bsz",
-      count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    // bound skew before the self-join: partial-agg bucket sizes (map-side
+    // combine, cheap) and broadcast the tiny oversized-bucket blacklist as
+    // an anti-join — no window sort over the banded tuples
+    val oversized = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+      .select("band", "band_hash")
+    val sized = banded.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
     val candidates = sized
       .join(sized.select(col("band"), col("band_hash"), col("id").as("id2")),
         Seq("band", "band_hash"))

@@ -56,6 +56,14 @@ object Smoke {
     println("== eventlog:")
     db.getEventLog().groupBy("event_type").count().show()
 
+    // ---- external geo sources -> engine ingest ----
+    val srcDir = java.nio.file.Files.createTempDirectory("smoke-src").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(srcDir, "fc.geojson"),
+      """{"type":"FeatureCollection","features":[{"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{"k":1}}]}""")
+    val imported = graft.sources.GeoSources.readGeoJson(spark, srcDir + "/fc.geojson")
+    println("== geojson import rows: " + imported.count() + ", type: " +
+      imported.select(graft.functions.GeoFunctions.geometry_type(col("geometry"))).head.getString(0))
+
     // ---- ext modules over real documents/embeddings/events tables ----
     graft.ext.TextFunctions.registerAll(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
