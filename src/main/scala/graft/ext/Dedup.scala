@@ -88,16 +88,54 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Near-dup clusters: representative = min id over candidate pairs. */
+  /**
+   * Connected components over a pair set by iterative smallest-label
+   * propagation (the standard large-graph technique: no driver state,
+   * one shuffle join per iteration, localCheckpoint truncates lineage).
+   * Converges in O(log(longest path)) iterations for duplicate clusters.
+   * Returns (node, rep) with rep = min id of the component.
+   */
+  def components(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
+    val edges = pairs.select(col("id").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(least(min("b"), col("a")).as("rep"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // propagate: node's rep = min(own rep, neighbors' reps)
+      val nbr = edges.join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("rep", "nbr_rep"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min("nbr_rep").as("prop"))
+      val next = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("node"))
+        .filter(col("rep") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** (id, cluster_rep) for every doc in a near-dup cluster (full closure). */
+  def minhashClusters(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 5, numHashes: Int = 128,
+                      bands: Int = 32, threshold: Double = 0.8): DataFrame =
+    components(minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold))
+      .withColumnRenamed("node", idCol).withColumnRenamed("rep", "cluster_rep")
+
+  /** Near-dup keepers: transitive closure, keep the min id per component. */
   def minhashKeepers(df: DataFrame, textCol: String, idCol: String,
                      shingleSize: Int = 5, numHashes: Int = 128,
                      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
-    // one union-find round: map every id to min(neighbor) — sufficient for
-    // the common near-clique duplicate groups; iterate for full closure
-    val mapped = pairs.select(col("id2").as("dup"), col("id").as("rep"))
-      .groupBy("dup").agg(min("rep").as("rep"))
-    df.join(mapped, df(idCol) === col("dup"), "left_anti")
+    val dupes = minhashClusters(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+      .filter(col(idCol) =!= col("cluster_rep"))
+      .select(col(idCol).as("_dup"))
+    df.join(dupes, df(idCol) === col("_dup"), "left_anti")
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification joins).

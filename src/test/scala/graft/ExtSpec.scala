@@ -54,6 +54,20 @@ class ExtSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("components: full transitive closure over chain-shaped pair sets") {
+    // edges (1,3),(2,3): 2 is only transitively a dup of 1 — single-round
+    // min-neighbor mapping would keep 2; closure must collapse all to rep 1
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id", "id2")
+    val comps = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // two separate components
+    val pairs2 = Seq((1L, 2L), (5L, 6L), (6L, 7L)).toDF("id", "id2")
+    val comps2 = Dedup.components(pairs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps2 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("simhash pairs: hamming 0 for exact dup, small for near dup") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

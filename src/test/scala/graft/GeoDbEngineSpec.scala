@@ -77,6 +77,24 @@ class GeoDbEngineSpec extends SparkSpec {
       db.getCollectionBbox("land_use"))
   }
 
+  test("small-geometry goldens: extent BOX(-6 9,5 11), types [POINT,POLYGON] " +
+       "(test_sql_functions.py:341-411)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("small_geo", crs = 4326)
+    val df = Seq(
+      "POLYGON((-5 10, -5 11, 5 11, 5 10, -5 10))",
+      "POLYGON((-6 9, -6 10, 3 10, 3 9, -6 9))",
+      "POINT(-6 9)").toDF("geometry")
+    db.insertIntoCollection("small_geo", df)
+    // extent golden BOX(-6 9, 5 11) -> swapped tuple (9, -6, 11, 5)
+    assert(db.getCollectionBbox("small_geo") == Some((9.0, -6.0, 11.0, 5.0)))
+    assert(db.getCollectionBbox("small_geo", exact = false) ==
+      Some((9.0, -6.0, 11.0, 5.0)))
+    // distinct geometry types golden [POINT, POLYGON]
+    assert(db.getGeometryTypes("small_geo", aggregate = true)
+      .as[String].collect().toSeq == Seq("POINT", "POLYGON"))
+  }
+
   test("geometry types per-row and distinct (geodb.sql:460-482)") {
     val db = landUseDb()
     val all = db.getGeometryTypes("land_use").as[String].collect()
