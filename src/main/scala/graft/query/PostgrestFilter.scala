@@ -57,11 +57,26 @@ object PostgrestFilter {
     Parsed(pred, select, order, limit, offset)
   }
 
+  /** `select=` item: plain column, `alias:column`, or `column::cast`
+    * (PostgREST vertical-filtering syntax). */
+  private def selectItem(spec: String): Column = {
+    val (alias, rest) = spec.indexOf(':') match {
+      case i if i >= 0 && !spec.startsWith("::") && spec.charAt(math.min(i + 1, spec.length - 1)) != ':' =>
+        (Some(spec.substring(0, i)), spec.substring(i + 1))
+      case _ => (None, spec)
+    }
+    val c = rest.split("::") match {
+      case Array(name, cast) => col(name).cast(cast)
+      case _ => col(rest)
+    }
+    alias.map(c.as).getOrElse(c)
+  }
+
   /** Apply a parsed query to a frame (PostgREST path: offset valid alone). */
   def apply(df: DataFrame, query: String): DataFrame = {
     val p = parse(query)
     var out = p.predicate.map(df.filter).getOrElse(df)
-    out = p.select.map(cs => out.select(cs.map(col): _*)).getOrElse(out)
+    out = p.select.map(cs => out.select(cs.map(selectItem): _*)).getOrElse(out)
     if (p.order.nonEmpty) out = out.orderBy(p.order: _*)
     out = p.offset.map(out.offset).getOrElse(out)
     out = p.limit.map(out.limit).getOrElse(out)

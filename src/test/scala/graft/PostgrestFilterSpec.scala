@@ -70,6 +70,13 @@ class PostgrestFilterSpec extends SparkSpec {
       Seq("id", "name"))
   }
 
+  test("select aliases and casts (PostgREST vertical filtering)") {
+    val r = PostgrestFilter(df, "select=ident:id,score::int&id=eq.3")
+    assert(r.columns.toSeq == Seq("ident", "score"))
+    val row = r.head()
+    assert(row.getLong(0) == 3L && row.getInt(1) == 30)
+  }
+
   test("typed values: floats and strings") {
     assert(ids("score=eq.30.0") == Seq(3L))
     assert(ids("name=eq.beta") == Seq(2L))
