@@ -15,6 +15,7 @@ import graft.catalog.{CollectionCatalog, CollectionMeta, PgTypes}
 import graft.core.{GeoOps, Jsons}
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
+import graft.meta.{EventType, Stac}
 import graft.query.{PostgrestFilter, SqlFragments}
 
 /**
@@ -62,14 +63,14 @@ class GeoDb(
   // =========================================================================
   def createDatabase(name: String): Unit = {
     catalog.createDatabase(name, user)
-    logEvent("CREATED_DATABASE", s"Database $name created")
+    logEvent(EventType.DatabaseCreated, s"Database $name created")
   }
 
   def truncateDatabase(name: String): Unit = {
     requireDatabaseOwner(name)
     catalog.listCollections(name).foreach(c => dropCollection(c, Some(name)))
     catalog.dropDatabase(name)
-    logEvent("DROPPED_DATABASE", s"Database $name truncated")
+    logEvent(EventType.DatabaseDropped, s"Database $name truncated")
   }
 
   def databaseExists(name: String): Boolean = catalog.databaseExists(name)
@@ -109,7 +110,7 @@ class GeoDb(
     // Seed an empty parquet dir so reads/appends always see valid footers.
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withStats(schema))
       .write.mode("overwrite").parquet(catalog.dataDir(d, collection))
-    logEvent("CREATED_COLLECTION", s"Collection $d/$collection created")
+    logEvent(EventType.Created, s"Collection $d/$collection created")
   }
 
   def createCollections(colls: Map[String, Seq[(String, String)]],
@@ -146,7 +147,7 @@ class GeoDb(
     catalog.deleteCollection(d, collection)
     setGrants(grants.filterNot(g =>
       g("database") == d && g("collection") == collection))
-    logEvent("DROPPED_COLLECTION", s"Collection $d/$collection dropped")
+    logEvent(EventType.Dropped, s"Collection $d/$collection dropped")
   }
 
   def dropCollections(collections: Seq[String], database: Option[String] = None): Unit =
@@ -163,7 +164,7 @@ class GeoDb(
     val d = db(database)
     requireDatabaseOwner(d)
     moveDir(d, collection, d, newName)
-    logEvent("RENAMED_COLLECTION", s"Collection $d/$collection renamed to $newName")
+    logEvent(EventType.Renamed, s"Collection $d/$collection renamed to $newName")
   }
 
   /** Move = rename across databases (geodb.sql:619-649). */
@@ -172,7 +173,7 @@ class GeoDb(
     val d = db(database)
     requireDatabaseOwner(d); requireDatabaseOwner(toDatabase)
     moveDir(d, collection, toDatabase, collection)
-    logEvent("MOVED_COLLECTION", s"Collection $d/$collection moved to $toDatabase")
+    logEvent(EventType.Moved, s"Collection $d/$collection moved to $toDatabase")
   }
 
   def copyCollection(collection: String, newName: String,
@@ -185,7 +186,7 @@ class GeoDb(
     catalog.saveMeta(meta.copy(database = td, collection = newName))
     spark.read.parquet(catalog.dataDir(d, collection))
       .write.mode("overwrite").parquet(catalog.dataDir(td, newName))
-    logEvent("COPIED_COLLECTION", s"Collection $d/$collection copied to $td/$newName")
+    logEvent(EventType.Copied, s"Collection $d/$collection copied to $td/$newName")
   }
 
   /** Dynamic schema evolution: old files gain the column as null on read. */
@@ -198,7 +199,7 @@ class GeoDb(
       s.add(n.toLowerCase, PgTypes.toSpark(t))
     }
     catalog.saveMeta(meta.copy(schemaDdl = schema.toDDL))
-    logEvent("ADDED_PROPERTY", s"Properties added to $d/$collection")
+    logEvent(EventType.PropertyAdded, s"Properties added to $d/$collection")
   }
 
   def addProperty(collection: String, name: String, propType: String,
@@ -220,7 +221,7 @@ class GeoDb(
     swapIn(d, collection, readRaw(d, collection)
       .select((newSchema.fieldNames ++ statCols).map(col): _*))
     catalog.saveMeta(meta.copy(schemaDdl = newSchema.toDDL))
-    logEvent("DROPPED_PROPERTY", s"Properties dropped from $d/$collection")
+    logEvent(EventType.PropertyDropped, s"Properties dropped from $d/$collection")
   }
 
   def dropProperty(collection: String, name: String,
@@ -279,7 +280,7 @@ class GeoDb(
       val n = appendWrite(d, collection, meta, assigned)
       catalog.saveMeta(metaOf(d, collection).copy(maxId = meta.maxId + n))
     }
-    logEvent("ROWS_ADDED", s"Rows added to $d/$collection")
+    logEvent(EventType.RowsAdded, s"Rows added to $d/$collection")
   }
 
   /** PK merge on id — PostgREST resolution=merge-duplicates (geodb.py:1505-1508). */
@@ -318,7 +319,7 @@ class GeoDb(
     }.withColumn("modified_at",
       when(pred, current_timestamp()).otherwise(col("modified_at")))
     swapIn(d, collection, addStats(alignTo(meta.schema, updated, keepId = true)))
-    logEvent("UPDATED_COLLECTION", s"Collection $d/$collection updated")
+    logEvent("updated", s"Collection $d/$collection updated")
   }
 
   /** DELETE-by-filter → anti-filter rewrite (geodb.py:1325-1354). */
@@ -329,7 +330,7 @@ class GeoDb(
     val pred = PostgrestFilter.parse(query).predicate.getOrElse(lit(true))
     val remaining = readRaw(d, collection).filter(!(pred <=> true))
     swapIn(d, collection, remaining)
-    logEvent("ROWS_DROPPED", s"Rows dropped from $d/$collection")
+    logEvent(EventType.RowsDropped, s"Rows dropped from $d/$collection")
   }
 
   // =========================================================================
@@ -348,7 +349,7 @@ class GeoDb(
       limit.map(l => s"limit=$l"),
       offset.map(o => s"offset=$o")).flatten.mkString("&")
     val out = if (q.isEmpty) base else PostgrestFilter(base, q)
-    logEvent("READ_COLLECTION", s"Collection $d/$collection read")
+    logEvent(EventType.Read, s"Collection $d/$collection read")
     emptyContract(out)
   }
 
@@ -369,7 +370,7 @@ class GeoDb(
     requireAccess(d, collection, "SELECT")
     val out = SqlFragments.run(spark, readCollection(d, collection),
       select, where, group, order, limit, offset)
-    logEvent("READ_COLLECTION", s"Collection $d/$collection read")
+    logEvent(EventType.Read, s"Collection $d/$collection read")
     emptyContract(out)
   }
 
@@ -415,7 +416,7 @@ class GeoDb(
       offset.foreach(o => out = out.offset(o))
       out = out.limit(l)
     }
-    logEvent("READ_COLLECTION", s"Collection $d/$collection read by bbox")
+    logEvent(EventType.Read, s"Collection $d/$collection read by bbox")
     emptyContract(out)
   }
 
@@ -518,7 +519,7 @@ class GeoDb(
     requireDatabaseOwner(d)
     setGrants(grants :+ Map[String, Any]("database" -> d, "collection" -> collection,
       "grantee" -> grantee, "privilege" -> "SELECT"))
-    logEvent("GRANTED_ACCESS", s"Access to $d/$collection granted to $grantee")
+    logEvent(EventType.Published, s"Access to $d/$collection granted to $grantee")
   }
 
   def revokeAccessFromCollection(collection: String, grantee: String,
@@ -527,7 +528,7 @@ class GeoDb(
     requireDatabaseOwner(d)
     setGrants(grants.filterNot(g => g("database") == d &&
       g("collection") == collection && g("grantee") == grantee))
-    logEvent("REVOKED_ACCESS", s"Access to $d/$collection revoked from $grantee")
+    logEvent(EventType.Unpublished, s"Access to $d/$collection revoked from $grantee")
   }
 
   /** Publish = grant to PUBLIC (geodb.py:920-978). */
@@ -559,7 +560,7 @@ class GeoDb(
     require(mySubscription == "manage",
       s"User $user has no manage subscription and cannot create groups")
     setGroups(groups + (name -> Seq(user)))
-    logEvent("CREATED_GROUP", s"Group $name created")
+    logEvent(EventType.GroupCreated, s"Group $name created")
   }
 
   def dropGroup(name: String): Unit = setGroups(groups - name)
@@ -582,14 +583,14 @@ class GeoDb(
     requireDatabaseOwner(database)
     setGrants(grants :+ Map[String, Any]("database" -> database,
       "collection" -> "*", "grantee" -> group, "privilege" -> "SELECT"))
-    logEvent("PUBLISHED_DATABASE", s"Database $database published to $group")
+    logEvent(EventType.PublishedDatabase, s"Database $database published to $group")
   }
 
   def unpublishDatabaseFromGroup(database: String, group: String): Unit = {
     requireDatabaseOwner(database)
     setGrants(grants.filterNot(g => g("database") == database &&
       g("collection") == "*" && g("grantee") == group))
-    logEvent("UNPUBLISHED_DATABASE", s"Database $database unpublished from $group")
+    logEvent(EventType.UnpublishedDatabase, s"Database $database unpublished from $group")
   }
 
   def publishCollectionToGroup(collection: String, group: String,
@@ -667,7 +668,7 @@ class GeoDb(
       }
     swapIn(d, collection, clustered)
     catalog.saveMeta(metaOf(d, collection).copy(indexes = meta.indexes :+ name))
-    logEvent("CREATED_INDEX", s"Index $name created on $d/$collection")
+    logEvent(EventType.IndexCreated, s"Index $name created on $d/$collection")
     name
   }
 
@@ -682,7 +683,7 @@ class GeoDb(
     val name = indexName(d, collection, property)
     require(meta.indexes.contains(name), s"index $name does not exist")
     catalog.saveMeta(meta.copy(indexes = meta.indexes.filterNot(_ == name)))
-    logEvent("DROPPED_INDEX", s"Index $name dropped from $d/$collection")
+    logEvent(EventType.IndexDropped, s"Index $name dropped from $d/$collection")
   }
 
   /** Reference-named alias for dropIndex (geodb.py remove_index). */
@@ -717,12 +718,12 @@ class GeoDb(
   def registerUser(name: String, subscription: String = "freetrial"): Unit = {
     Jsons.save(catalog.usersPath,
       users + (name -> Map("subscription" -> subscription)))
-    logEvent("REGISTERED_USER", s"User $name registered")
+    logEvent("registered user", s"User $name registered")
   }
 
   def dropUser(name: String): Unit = {
     Jsons.save(catalog.usersPath, users - name)
-    logEvent("DROPPED_USER", s"User $name dropped")
+    logEvent("dropped user", s"User $name dropped")
   }
 
   def userExists(name: String): Boolean = users.contains(name)
@@ -761,7 +762,7 @@ class GeoDb(
     requireDatabaseOwner(d)
     val path = catalog.metadataPath(d, collection)
     Jsons.save(path, Jsons.loadMap(path) + (field -> value))
-    logEvent("METADATA_CHANGED", s"Metadata $field set on $d/$collection")
+    logEvent("metadata changed", s"Metadata $field set on $d/$collection")
   }
 
   /** Normalizes to an EPSG:4326 envelope (geodb.sql:1840-1867). */
@@ -774,6 +775,48 @@ class GeoDb(
     setMetadataField(collection, "extent", Map(
       "spatial" -> Map("bbox" -> Seq(Seq(minx, miny, maxx, maxy))),
       "temporal" -> Map("interval" -> Seq(Seq(null, null)))), database)
+  }
+
+  /** Append a typed value to a list-valued metadata field (providers/links). */
+  private def appendMetaList(collection: String, field: String, value: Map[String, Any],
+                             database: Option[String]): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    val cur = Jsons.loadMap(path)
+    val list = cur.get(field).map(_.asInstanceOf[Seq[Any]]).getOrElse(Seq.empty)
+    Jsons.save(path, cur + (field -> (list :+ value)))
+    logEvent("metadata changed", s"Metadata $field appended on $d/$collection")
+  }
+
+  def addProvider(collection: String, p: Stac.Provider,
+                  database: Option[String] = None): Unit =
+    appendMetaList(collection, "providers", p.toMap, database)
+
+  def addLink(collection: String, l: Stac.Link,
+              database: Option[String] = None): Unit =
+    appendMetaList(collection, "links", l.toMap, database)
+
+  def addAsset(collection: String, name: String, a: Stac.Asset,
+               database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    val cur = Jsons.loadMap(path)
+    val assets = cur.get("assets").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+    Jsons.save(path, cur + ("assets" -> (assets + (name -> a.toMap))))
+    logEvent("metadata changed", s"Asset $name set on $d/$collection")
+  }
+
+  def setItemAsset(collection: String, name: String, a: Stac.ItemAsset,
+                   database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    val cur = Jsons.loadMap(path)
+    val ia = cur.get("item_assets").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+    Jsons.save(path, cur + ("item_assets" -> (ia + (name -> a.toMap))))
+    logEvent("metadata changed", s"Item asset $name set on $d/$collection")
   }
 
   private def to4326Envelope(minx: Double, miny: Double, maxx: Double, maxy: Double,

@@ -230,10 +230,31 @@ class GeoDbEngineSpec extends SparkSpec {
     db.insertIntoCollection("evc", Seq(1).toDF("v")
       .withColumn("geometry", lit("POINT(0 0)")))
     val log = db.getEventLog()
-    assert(log.filter($"event_type" === "CREATED_COLLECTION").count() == 1)
-    assert(log.filter($"event_type" === "ROWS_ADDED").count() == 1)
-    assert(db.getEventLog("CREATED%", Some("evc")).count() == 1)
-    assert(db.getEventLog("CREATED%", Some("nope")).count() == 0)
+    // reference event vocabulary (geodb.py:91-117)
+    assert(log.filter($"event_type" === graft.meta.EventType.Created).count() == 1)
+    assert(log.filter($"event_type" === graft.meta.EventType.RowsAdded).count() == 1)
+    assert(db.getEventLog("created%", Some("evc")).count() == 1)
+    assert(db.getEventLog("created%", Some("nope")).count() == 0)
+    assert(graft.meta.EventType.All.size == 26)
+  }
+
+  test("typed STAC value classes: providers/links/assets (metadata.py:55-330)") {
+    import graft.meta.Stac
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("stac", Seq("v" -> "integer"))
+    db.addProvider("stac", Stac.Provider("ACME", "maps", Seq("producer", "host")))
+    db.addLink("stac", Stac.Link("self", "https://example.org/stac"))
+    db.addAsset("stac", "thumbnail", Stac.Asset("https://example.org/t.png",
+      mediaType = "image/png"))
+    db.setItemAsset("stac", "data", Stac.ItemAsset(title = "Data"))
+    val md = db.getMetadata("stac")
+    val providers = md("providers").asInstanceOf[Seq[Map[String, Any]]]
+    assert(providers.head("name") == "ACME")
+    assert(md("links").asInstanceOf[Seq[Map[String, Any]]].head("rel") == "self")
+    assert(md("assets").asInstanceOf[Map[String, Any]].contains("thumbnail"))
+    assert(md("item_assets").asInstanceOf[Map[String, Any]].contains("data"))
+    // invalid provider role refused (geodb.sql:1691 enum)
+    intercept[IllegalArgumentException](Stac.Provider("X", roles = Seq("owner")))
   }
 
   test("STAC metadata get/set + spatial extent normalize (§1.4)") {
