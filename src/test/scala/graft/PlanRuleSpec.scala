@@ -54,6 +54,42 @@ class PlanRuleSpec extends SparkSpec {
     assert(qd.select("id").as[Long].collect().sorted.toSeq == Seq(2L))
   }
 
+  test("geometry-first argument order also gets containment prefilter") {
+    // st_within(geom, query_envelope): row geometry within the literal box
+    val q = statDf.filter(
+      st_within($"geometry", st_makeenvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0))))
+    assert(q.queryExecution.optimizedPlan.toString.contains("_bbox_minx"))
+    assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("GraftExtensions injects functions and the rule into a fresh session") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      // functions resolve in SQL with no registerAll call
+      val r = s2.sql(
+        "SELECT st_x(st_point(3.0, 4.0)) AS x, token_count('a b c') AS t").head()
+      assert(r.getDouble(0) == 3.0 && r.getInt(1) == 3)
+      // optimizer rule active: prefilter injected in a fresh-session plan
+      import s2.implicits._
+      val df2 = Seq((1L, 5.0, 5.0)).toDF("id", "x", "y")
+        .withColumn("geometry", st_point($"x", $"y"))
+        .withColumn("_bbox_minx", $"x").withColumn("_bbox_miny", $"y")
+        .withColumn("_bbox_maxx", $"x").withColumn("_bbox_maxy", $"y")
+        .filter(st_contains(st_makeenvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0)), $"geometry"))
+      assert(df2.queryExecution.optimizedPlan.toString.contains("_bbox_minx"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("idempotent: engine's manual prefilter not doubled") {
     val pre = $"_bbox_minx" >= 0.0 && $"_bbox_maxx" <= 10.0
     val q = statDf.filter(
