@@ -44,6 +44,11 @@ class GeoDb(
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.EnvelopePrefilter
 
+  /** Extra parquet writer options applied to every collection write —
+    * e.g. Map("parquet.block.size" -> "8388608") to shrink row groups for
+    * finer bbox-stat pruning granularity (see SCALE.md). */
+  var writeOptions: Map[String, String] = Map.empty
+
   val mandatoryProperties = Seq("id", "created_at", "modified_at", "geometry")
   private val statCols = Seq("_bbox_minx", "_bbox_miny", "_bbox_maxx", "_bbox_maxy")
   private val PUBLIC = "PUBLIC"
@@ -915,7 +920,8 @@ class GeoDb(
   private def appendWrite(d: String, c: String, meta: CollectionMeta,
                           df: DataFrame): Long = {
     val before = estimatedCount(d, c)
-    addStats(df).write.mode("append").parquet(catalog.dataDir(d, c))
+    addStats(df).write.options(writeOptions).mode("append")
+      .parquet(catalog.dataDir(d, c))
     // row count from footers (O(#files), no re-scan, no caching of the input)
     estimatedCount(d, c) - before
   }
@@ -925,7 +931,7 @@ class GeoDb(
     val dir = catalog.collectionDir(d, c)
     val token = UUID.randomUUID.toString.take(8)
     val tmp = s"$dir/.data-tmp-$token"
-    newDf.write.mode("overwrite").parquet(tmp)
+    newDf.write.options(writeOptions).mode("overwrite").parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new HPath(dir).getFileSystem(conf)
     val dataP = new HPath(catalog.dataDir(d, c))
