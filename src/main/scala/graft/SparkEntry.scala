@@ -295,6 +295,16 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    "q40_knn_ivf" -> ((s, dir) => { ensure(s)
+      // IVF coarse-quantized ANN (k-means cells, nprobe search; rows-only)
+      val emb = ld(s, dir, "embeddings")
+      val model = graft.ext.Ivf.train(emb, "embedding", k = 8, maxIter = 5)
+      val assigned = graft.ext.Ivf.assign(emb, "embedding", model)
+      graft.ext.Ivf.search(assigned, emb.filter(col("vec_id") < 5), model,
+          "embedding", "vec_id", k = 10, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "q33_embed_pairs" -> ((s, dir) => { ensure(s)
       // exact all-pairs cosine >= 0.5 (brute force; LSH variant is q32)
       val e = ld(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("v"))

@@ -126,6 +126,27 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN: train/assign/search with recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ivf.train(emb, "embedding", k = 8, maxIter = 5)
+    assert(model.k == 8)
+    val assigned = Ivf.assign(emb, "embedding", model)
+    // every row lands in exactly one valid cell; cells are non-degenerate
+    val cells = assigned.groupBy("ivf_cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum == emb.count())
+    assert(cells.length > 1)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.search(assigned, queries, model, "embedding", "vec_id",
+        k = 5, nprobe = 4)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall too low: $recall")
+  }
+
   test("text analysis profile over real documents table") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prof = TextAnalysis.profile(docsReal, "text", "doc_id")
