@@ -176,6 +176,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash keepers: transitive closure over hamming pairs, min id kept. */
+  def simhashKeepers(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val dupes = components(simhashPairs(df, textCol, idCol, maxHamming))
+      .filter(col("node") =!= col("rep"))
+      .select(col("node").as("_dup"))
+    df.join(dupes, df(idCol) === col("_dup"), "left_anti")
+  }
+
   /** Embedding near-dup: hyperplane-LSH buckets + exact cosine verify. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double = 0.95, nbits: Int = 16,

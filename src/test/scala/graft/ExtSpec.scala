@@ -76,6 +76,12 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
   }
 
+  test("simhash keepers drop exact+near dups via closure") {
+    val kept = Dedup.simhashKeepers(docs, "text", "doc_id", maxHamming = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   test("ngram jaccard verification pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 2, threshold = 0.4)
