@@ -876,6 +876,15 @@ class GeoDb(
     spark.read.schema(withStats(meta.schema)).parquet(catalog.dataDir(d, c))
   }
 
+  /** Register every accessible collection as a temp view named
+    * `{database}_{collection}` — the reference's physical table naming
+    * (geodb.py:1862-1863) — so raw `spark.sql` reaches collections with
+    * all geo functions available. */
+  def registerTempViews(): Unit =
+    getMyCollections.foreach { case (d, c) =>
+      readCollection(d, c).createOrReplaceTempView(s"${d}_$c")
+    }
+
   /** User-visible frame (stat columns pruned). */
   def readCollection(d: String, c: String): DataFrame = {
     val meta = metaOf(d, c)

@@ -378,6 +378,17 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(owner.version == "0.1.0" && owner.defaultDatabase == "alice")
   }
 
+  test("temp views expose {db}_{collection} naming to raw spark.sql") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("viewed", Seq("v" -> "integer"))
+    db.insertIntoCollection("viewed", Seq(1, 2).toDF("v")
+      .withColumn("geometry", lit("POINT(3 4)")))
+    db.registerTempViews()
+    val r = spark.sql(
+      "SELECT count(*) AS n, max(st_x(geometry)) AS mx FROM geodb_user_viewed").head()
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 3.0)
+  }
+
   test("usage accounting (geodb.sql:1028-1120)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("u1", Seq("v" -> "integer"))
