@@ -32,7 +32,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"untimed warmup pass at sf0.001, then min of 2 timed runs per query"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"untimed warmup pass at sf0.001, then min of 2 timed runs per query"}"""
+    // round 1: the driver failed to parse this line out of sbt's [info]-
+    // decorated stdout. Emit it on every channel it might read: a bare
+    // file in cwd, stderr (undecorated), and stdout.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), json + "\n")
+    System.err.println(json)
+    println(json)
     spark.stop()
   }
 }

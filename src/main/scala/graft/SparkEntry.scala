@@ -23,14 +23,27 @@ import graft.streaming.EventStream
  *
  * Determinism rules applied throughout:
  *  - every result ORDER BY a unique key (both sides)
- *  - double SUMs via DECIMAL(38,4) accumulation (order-independent, exact)
- *  - AVG = CAST(decimal-sum AS DOUBLE)/COUNT (bit-identical both engines)
+ *  - double SUMs accumulate in DECIMAL(38,x) (order-independent, exact) but
+ *    the FINAL schema casts to DOUBLE on both engines — the driver's hash
+ *    canonicalization renders DECIMAL scale/trailing zeros differently
+ *    across engines (CORRECTNESS_r01: q05/q16/q17/q24/q25), while the
+ *    double bit pattern of an exactly-accumulated sum is identical
+ *  - timestamps are emitted as epoch-seconds BIGINT, never raw TIMESTAMP
  */
 object SparkEntry {
 
+  // register once per session: createOrReplaceTempFunction on every query
+  // closure floods the log with SimpleFunctionRegistry replace warnings,
+  // which corrupted the driver's bench JSON parse in round 1
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   private def ensure(spark: SparkSession): Unit = {
-    GeoFunctions.registerAll(spark)
-    TextFunctions.registerAll(spark)
+    if (registered.add(spark)) {
+      GeoFunctions.registerAll(spark)
+      TextFunctions.registerAll(spark)
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
@@ -77,7 +90,7 @@ object SparkEntry {
     "q05_select_fragment" -> ((s, dir) => { ensure(s)
       SqlFragments.run(s, ld(s, dir, "orders"),
         select = "o_orderstatus, COUNT(*) AS ct, " +
-          "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total",
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total",
         group = Some("o_orderstatus"), order = Some("o_orderstatus"))
     }),
     "q06_raw_where" -> ((s, dir) => { ensure(s)
@@ -159,8 +172,8 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(38,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(38,4)")).cast("double").as("sum_price"),
           (sum(col("l_quantity").cast("decimal(38,4)")).cast("double") / count(lit(1))).as("avg_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
@@ -173,7 +186,7 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("c_acctbal").cast("decimal(38,4)")).cast("decimal(38,4)").as("sum_bal"))
+          sum(col("c_acctbal").cast("decimal(38,4)")).cast("double").as("sum_bal"))
         .orderBy("r_name")
     }),
     "q18_join_semi" -> ((s, dir) => { ensure(s)
@@ -236,16 +249,17 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("k").cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_k"))
+          sum(col("k")).cast("long").as("sum_k"))
         .orderBy("event_type")
     }),
     "q25_stream_window" -> ((s, dir) => { ensure(s)
       // tumbling-window aggregation (batch-equivalent of the stream plan)
       EventStream.loadEvents(s, s"$dir/events.parquet")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_value"))
-        .orderBy("hour", "event_type")
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .orderBy("hour_epoch", "event_type")
     }),
     "q26_bbox_disjoint" -> ((s, dir) => { ensure(s)
       // disjoint mode: for points, the complement of closed-envelope overlap
@@ -382,7 +396,7 @@ object SparkEntry {
     "q04_logic_tree" ->
       "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' OR (c_acctbal > 5000 AND c_mktsegment = 'MACHINERY') ORDER BY c_custkey",
     "q05_select_fragment" ->
-      "SELECT o_orderstatus, COUNT(*) AS ct, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS total FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+      "SELECT o_orderstatus, COUNT(*) AS ct, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q06_raw_where" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000 AND o_orderstatus = 'O' ORDER BY o_orderkey",
     "q07_bbox_contains" ->
@@ -404,9 +418,9 @@ object SparkEntry {
     "q15_count_estimated" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
     "q16_agg_group" ->
-      "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_price, CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price, CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q17_join_broadcast" ->
-      "SELECT r_name, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+      "SELECT r_name, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
     "q18_join_semi" ->
       "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49) GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q19_upsert_merge" ->
@@ -420,9 +434,9 @@ object SparkEntry {
     "q23_union" ->
       "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' UNION SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 ORDER BY o_orderkey",
     "q24_eventlog_query" ->
-      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(CAST(props->>'k' AS INT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_k FROM events WHERE event_type LIKE '%e%' GROUP BY event_type ORDER BY event_type",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k FROM events WHERE event_type LIKE '%e%' GROUP BY event_type ORDER BY event_type",
     "q25_stream_window" ->
-      "SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+      "SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type",
     "q26_bbox_disjoint" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE NOT (l_extendedprice/32.0 >= 100.5 AND l_extendedprice/32.0 <= 900.5 AND l_quantity >= 10.5 AND l_quantity <= 40.5)",
     "q27_dedup_exact" ->
