@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -67,6 +67,33 @@ object SparkEntry {
       .withColumn("px", col("l_extendedprice") / 32.0)
       .withColumn("py", col("l_quantity"))
       .withColumn("geom", st_point(col("px"), col("py")))
+
+  /** Integer-grid rectangles for the DE-9IM mode gates: every mode's truth
+    * is expressible as pure integer arithmetic the DuckDB oracle can mirror.
+    * Box = (gx, gy, gx+w, gy+w) with gx∈0..12, gy∈0..10, w∈1..7. */
+  private def boxes(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .withColumn("gx", (col("l_partkey") % 13).cast("double"))
+      .withColumn("gy", (col("l_suppkey") % 11).cast("double"))
+      .withColumn("w", col("l_linenumber").cast("double"))
+      .withColumn("bgeom", st_makeenvelope(col("gx"), col("gy"),
+        col("gx") + col("w"), col("gy") + col("w")))
+  // the fixed query rectangle for the DE-9IM gates
+  private def rect5599: Column =
+    st_makeenvelope(lit(5.0), lit(5.0), lit(9.0), lit(9.0))
+
+  /** Throwaway single-query engine instance on a temp warehouse. */
+  private def tmpDb(s: SparkSession, tag: String,
+                    usr: String = "gate_user"): GeoDb = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    val db = new GeoDb(s, wh, usr)
+    db.eventLogging = false
+    db
+  }
+
+  private def regionWithGeom(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "region")
+      .withColumn("geometry", st_point(col("r_regionkey").cast("double"), lit(0.0)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // =====================================================================
@@ -383,6 +410,162 @@ object SparkEntry {
       db.getCollection("regions")
         .select(col("r_regionkey"), col("r_name"))
         .orderBy("r_regionkey")
+    }),
+    // =====================================================================
+    // Engine DML/DDL/ACL round-trips (M3/M4, D3-D5, C1-C4, D7, STAC) —
+    // oracle = plain SELECT over the expected post-DML state
+    // =====================================================================
+    "q41_engine_update" -> ((s, dir) => { ensure(s)
+      // M3 update-by-filter + modified_at trigger stamp (geodb.sql:281-288)
+      val db = tmpDb(s, "upd")
+      db.createCollection("regions", Seq("r_regionkey" -> "integer", "r_name" -> "text"))
+      db.insertIntoCollection("regions", regionWithGeom(s, dir))
+      db.updateCollection("regions", Map("r_name" -> "UPDATED"), "r_regionkey=gte.3")
+      db.getCollection("regions")
+        .select(col("r_regionkey"), col("r_name"),
+          col("modified_at").isNotNull.as("modified"))
+        .orderBy("r_regionkey")
+    }),
+    "q42_engine_delete" -> ((s, dir) => { ensure(s)
+      // M4 delete-by-filter (geodb.py:1325-1354)
+      val db = tmpDb(s, "del")
+      db.createCollection("nations", Seq("n_nationkey" -> "integer",
+        "n_name" -> "text", "n_regionkey" -> "integer"))
+      db.insertIntoCollection("nations", ld(s, dir, "nation")
+        .withColumn("geometry", st_point(col("n_nationkey").cast("double"), lit(0.0))))
+      db.deleteFromCollection("nations", "n_regionkey=eq.2")
+      db.getCollection("nations")
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+    }),
+    "q43_engine_properties" -> ((s, dir) => { ensure(s)
+      // D5 add/drop property schema evolution (geodb.sql:216-253)
+      val db = tmpDb(s, "props")
+      db.createCollection("regions", Seq("r_regionkey" -> "integer",
+        "r_name" -> "text", "r_comment" -> "text"))
+      db.insertIntoCollection("regions",
+        regionWithGeom(s, dir))
+      db.dropProperty("regions", "r_comment")
+      db.addProperty("regions", "score", "int4")
+      db.getCollection("regions")
+        .select(col("r_regionkey"), col("r_name"), col("score"))
+        .orderBy("r_regionkey")
+    }),
+    "q44_engine_rename_copy" -> ((s, dir) => { ensure(s)
+      // D3/D4 rename + copy (geodb.sql:619-649, 1398-1436)
+      val db = tmpDb(s, "mv")
+      db.createCollection("src", Seq("r_regionkey" -> "integer", "r_name" -> "text"))
+      db.insertIntoCollection("src", regionWithGeom(s, dir))
+      db.copyCollection("src", "dst")
+      db.renameCollection("src", "renamed")
+      db.getCollection("dst")
+        .select(lit("dst").as("src"), col("r_regionkey"), col("r_name"))
+        .unionAll(db.getCollection("renamed")
+          .select(lit("renamed").as("src"), col("r_regionkey"), col("r_name")))
+        .orderBy("src", "r_regionkey")
+    }),
+    "q45_engine_acl" -> ((s, dir) => { ensure(s)
+      // C1/C3 publish/revoke/grant visibility (geodb.sql:380-424)
+      val wh = java.nio.file.Files.createTempDirectory("graft-acl").toString
+      val alice = new GeoDb(s, wh, "alice"); alice.eventLogging = false
+      val bob = new GeoDb(s, wh, "bob"); bob.eventLogging = false
+      alice.createCollection("secrets", Seq("r_regionkey" -> "integer", "r_name" -> "text"))
+      alice.insertIntoCollection("secrets", regionWithGeom(s, dir))
+      def tryCount(f: => Long): Long =
+        try f catch { case _: IllegalArgumentException => -1L }
+      alice.publishCollection("secrets")
+      val afterPublish = tryCount(bob.getCollection("secrets", database = Some("alice")).count())
+      alice.unpublishCollection("secrets")
+      val afterRevoke = tryCount(bob.getCollection("secrets", database = Some("alice")).count())
+      alice.grantAccessToCollection("secrets", "bob")
+      val directGrant = tryCount(bob.getCollection("secrets", database = Some("alice")).count())
+      import s.implicits._
+      Seq(("after_publish", afterPublish), ("after_revoke", afterRevoke),
+        ("direct_grant", directGrant)).toDF("step", "cnt").orderBy("step")
+    }),
+    "q46_engine_groups" -> ((s, dir) => { ensure(s)
+      // C2 groups lifecycle gating collection visibility (geodb.sql:1514-1652)
+      val wh = java.nio.file.Files.createTempDirectory("graft-grp").toString
+      val alice = new GeoDb(s, wh, "alice"); alice.eventLogging = false
+      val bob = new GeoDb(s, wh, "bob"); bob.eventLogging = false
+      alice.createCollection("teamdata", Seq("r_regionkey" -> "integer", "r_name" -> "text"))
+      alice.insertIntoCollection("teamdata", regionWithGeom(s, dir))
+      alice.createGroup("team")
+      alice.addUserToGroup("bob", "team")
+      alice.publishCollectionToGroup("teamdata", "team")
+      def tryCount(f: => Long): Long =
+        try f catch { case _: IllegalArgumentException => -1L }
+      val inGroup = tryCount(bob.getCollection("teamdata", database = Some("alice")).count())
+      val myGroups = bob.getMyGroups.size.toLong
+      alice.removeUserFromGroup("bob", "team")
+      val removed = tryCount(bob.getCollection("teamdata", database = Some("alice")).count())
+      import s.implicits._
+      Seq(("in_group", inGroup), ("my_groups", myGroups), ("removed", removed))
+        .toDF("step", "cnt").orderBy("step")
+    }),
+    "q47_engine_index" -> ((s, dir) => { ensure(s)
+      // D7 index = Hilbert re-layout; data + bbox results unchanged after
+      val db = tmpDb(s, "idx")
+      db.createCollection("pts", Seq("p_partkey" -> "integer"))
+      db.insertIntoCollection("pts", ld(s, dir, "part")
+        .withColumn("geometry", st_point((col("p_partkey") % 97).cast("double"),
+          (col("p_partkey") % 89).cast("double"))))
+      db.createIndex("pts", "geometry")
+      db.getCollectionByBbox("pts", (10.0, 10.0, 40.0, 40.0), "intersects")
+        .select(col("p_partkey"))
+        .orderBy("p_partkey")
+    }),
+    "q48_engine_stac" -> ((s, dir) => { ensure(s)
+      // §1.4 STAC metadata get/set/append (geodb.sql:1767-2036)
+      val db = tmpDb(s, "stac")
+      db.createCollection("c", Seq("r_regionkey" -> "integer"))
+      db.setMetadataField("c", "title", "Gate collection")
+      db.setSpatialExtent("c", (0.0, 0.0, 10.0, 20.0))
+      db.addProvider("c", graft.meta.Stac.Provider("acme"))
+      val md = db.getMetadata("c")
+      val ext = md("extent").asInstanceOf[Map[String, Any]]("spatial")
+        .asInstanceOf[Map[String, Any]]("bbox").asInstanceOf[Seq[Any]]
+        .head.asInstanceOf[Seq[Any]].map(_.toString)
+      import s.implicits._
+      Seq(
+        "id" -> md("id").toString,
+        "stac_version" -> md("stac_version").toString,
+        "title" -> md("title").toString,
+        "bbox" -> ext.mkString(","),
+        "n_providers" -> md("providers").asInstanceOf[Seq[Any]].size.toString
+      ).toDF("field", "value").orderBy("field")
+    }),
+    // =====================================================================
+    // Remaining DE-9IM comparison modes (SP), integer-grid numeric oracles
+    // =====================================================================
+    "q49_bbox_within" -> ((s, dir) => { ensure(s)
+      boxes(s, dir).filter(st_within(rect5599, col("bgeom")))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q50_bbox_touches" -> ((s, dir) => { ensure(s)
+      boxes(s, dir).filter(st_touches(rect5599, col("bgeom")))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q51_bbox_overlaps" -> ((s, dir) => { ensure(s)
+      boxes(s, dir).filter(st_overlaps(rect5599, col("bgeom")))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q52_bbox_crosses" -> ((s, dir) => { ensure(s)
+      // rect (area) crosses diagonal segment (gx,gy)->(gx+w,gy+w)
+      val lines = boxes(s, dir).withColumn("lgeom",
+        st_geomfromtext(format_string("LINESTRING(%f %f, %f %f)",
+          col("gx"), col("gy"), col("gx") + col("w"), col("gy") + col("w"))))
+      lines.filter(st_crosses(rect5599, col("lgeom")))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q53_bbox_equals" -> ((s, dir) => { ensure(s)
+      boxes(s, dir).filter(st_equals(rect5599, col("bgeom")))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -454,6 +637,32 @@ object SparkEntry {
     "q38_multimodal_features" ->
       "SELECT doc_id AS media_id, 16 AS feat_dim FROM documents ORDER BY media_id",
     "q39_engine_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q41_engine_update" ->
+      "SELECT r_regionkey, CASE WHEN r_regionkey >= 3 THEN 'UPDATED' ELSE r_name END AS r_name, r_regionkey >= 3 AS modified FROM region ORDER BY r_regionkey",
+    "q42_engine_delete" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey",
+    "q43_engine_properties" ->
+      "SELECT r_regionkey, r_name, CAST(NULL AS INT) AS score FROM region ORDER BY r_regionkey",
+    "q44_engine_rename_copy" ->
+      "SELECT * FROM (SELECT 'dst' AS src, r_regionkey, r_name FROM region UNION ALL SELECT 'renamed' AS src, r_regionkey, r_name FROM region) ORDER BY src, r_regionkey",
+    "q45_engine_acl" ->
+      "SELECT step, CAST(cnt AS BIGINT) AS cnt FROM (VALUES ('after_publish', 5), ('after_revoke', -1), ('direct_grant', 5)) AS t(step, cnt) ORDER BY step",
+    "q46_engine_groups" ->
+      "SELECT step, CAST(cnt AS BIGINT) AS cnt FROM (VALUES ('in_group', 5), ('my_groups', 1), ('removed', -1)) AS t(step, cnt) ORDER BY step",
+    "q47_engine_index" ->
+      "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
+    "q48_engine_stac" ->
+      "SELECT field, value FROM (VALUES ('bbox', '0.0,0.0,10.0,20.0'), ('id', 'gate_user_c'), ('n_providers', '1'), ('stac_version', '1.1.0'), ('title', 'Gate collection')) AS t(field, value) ORDER BY field",
+    "q49_bbox_within" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) <= 5 AND (l_partkey % 13) + l_linenumber >= 9 AND (l_suppkey % 11) <= 5 AND (l_suppkey % 11) + l_linenumber >= 9 ORDER BY l_orderkey, l_linenumber",
+    "q50_bbox_touches" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE ((l_partkey % 13) <= 9 AND (l_partkey % 13) + l_linenumber >= 5 AND (l_suppkey % 11) <= 9 AND (l_suppkey % 11) + l_linenumber >= 5) AND NOT ((l_partkey % 13) < 9 AND (l_partkey % 13) + l_linenumber > 5 AND (l_suppkey % 11) < 9 AND (l_suppkey % 11) + l_linenumber > 5) ORDER BY l_orderkey, l_linenumber",
+    "q51_bbox_overlaps" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE ((l_partkey % 13) < 9 AND (l_partkey % 13) + l_linenumber > 5 AND (l_suppkey % 11) < 9 AND (l_suppkey % 11) + l_linenumber > 5) AND NOT ((l_partkey % 13) >= 5 AND (l_partkey % 13) + l_linenumber <= 9 AND (l_suppkey % 11) >= 5 AND (l_suppkey % 11) + l_linenumber <= 9) AND NOT ((l_partkey % 13) <= 5 AND (l_partkey % 13) + l_linenumber >= 9 AND (l_suppkey % 11) <= 5 AND (l_suppkey % 11) + l_linenumber >= 9) ORDER BY l_orderkey, l_linenumber",
+    "q52_bbox_crosses" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE GREATEST(5 - (l_partkey % 13), 5 - (l_suppkey % 11), 0) < LEAST(9 - (l_partkey % 13), 9 - (l_suppkey % 11), l_linenumber) AND NOT ((l_partkey % 13) >= 5 AND (l_partkey % 13) + l_linenumber <= 9 AND (l_suppkey % 11) >= 5 AND (l_suppkey % 11) + l_linenumber <= 9) ORDER BY l_orderkey, l_linenumber",
+    "q53_bbox_equals" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) = 5 AND (l_suppkey % 11) = 5 AND l_linenumber = 4 ORDER BY l_orderkey, l_linenumber"
   )
 }
