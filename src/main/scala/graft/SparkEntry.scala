@@ -624,6 +624,14 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE NOT (l_extendedprice/32.0 >= 100.5 AND l_extendedprice/32.0 <= 900.5 AND l_quantity >= 10.5 AND l_quantity <= 40.5)",
     "q27_dedup_exact" ->
       "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text) ORDER BY content_hash",
+    "q30_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) " +
+       "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] ELSE [] END AS grams FROM t) " +
+       "SELECT id, id2, jaccard FROM (SELECT a.doc_id AS id, b.doc_id AS id2, " +
+       "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(list_distinct(a.grams || b.grams)) AS jaccard " +
+       "FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE len(a.grams) > 0 AND len(b.grams) > 0) " +
+       "WHERE jaccard >= 0.3 ORDER BY id, id2"),
     "q31_knn_brute" ->
       "SELECT query_id, corpus_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 10 ORDER BY query_id, rank",
     "q33_embed_pairs" ->

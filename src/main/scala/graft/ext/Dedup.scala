@@ -138,22 +138,67 @@ object Dedup {
     df.join(dupes, df(idCol) === col("_dup"), "left_anti")
   }
 
-  /** Exact n-gram Jaccard for candidate pairs (verification joins).
-    * Gram sets computed in one cached pass, joined back for candidates. */
+  /**
+   * EXACT n-gram Jaccard similarity join via prefix filtering (the PPJoin
+   * family — Vernica/Carey/Li SIGMOD'10 "Efficient Parallel Set-Similarity
+   * Joins Using MapReduce", a public algorithm). No LSH, no recall loss:
+   *
+   *  1. one pass computes each doc's distinct word-n-gram set (cached);
+   *  2. grams get a GLOBAL rarest-first order (document frequency, ties by
+   *     gram value) — one aggregation over the exploded grams;
+   *  3. prefix filter: a pair with Jaccard >= t MUST share a gram among the
+   *     first floor((1-t)*|A|)+1 grams of that order, so only prefixes are
+   *     exploded into the candidate join (rare grams first => few
+   *     collisions, no all-pairs stage);
+   *  4. length filter: Jaccard >= t implies t*|B| <= |A|, pruning before
+   *     the array-intersection verify.
+   *
+   * Round-1's version drove candidates through a 16x4-band MinHash at
+   * threshold 0.3 — band collisions on dissimilar docs made this the
+   * slowest gate query (10.3 s) and kept it un-oracle-able (probabilistic
+   * recall). This version is deterministic-exact, so the DuckDB oracle can
+   * verify it with a brute-force cross join at gate scale.
+   */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.5,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      word_shingles(col(textCol), lit(n)).as("grams"))
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        word_shingles(col(textCol), lit(n)).as("grams"))
+      .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = minhashPairs(df, textCol, idCol,
-      shingleSize = 4, numHashes = numHashes, bands = bands, threshold = 0.3)
+    val dfreq = grams.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+    val exploded = grams
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+      .join(dfreq, Seq("gram"))
+    // per-doc rank in the global (df, gram) order; prefix length is the
+    // PPJoin bound floor((1-t)*|A|)+1
+    val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
+    val prefix = exploded
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
+      .select("gram", "id", "sz", "_rn")
+    // positional filter (PPJoin): a qualifying pair needs overlap
+    // alpha = ceil(t/(1+t)*(|A|+|B|)); a collision at ranks (i, j) can
+    // contribute at most 1 + min(|A|-i, |B|-j) total overlap — prune
+    // collisions that occur too late in both prefixes
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) * (col("sz") + col("sz2")))
+    val candidates = prefix
+      .join(prefix.select(col("gram"), col("id").as("id2"),
+        col("sz").as("sz2"), col("_rn").as("_rn2")), Seq("gram"))
+      .filter(col("id") < col("id2"))
+      .filter(col("sz") * lit(threshold) <= col("sz2") &&
+              col("sz2") * lit(threshold) <= col("sz"))
+      .filter(lit(1) + least(col("sz") - col("_rn"), col("sz2") - col("_rn2")) >= alpha)
+      .select("id", "id2")
+      .distinct()
+    // verify with the zero-allocation merge kernel: gram arrays are sorted,
+    // so overlap c is a linear merge and jaccard = c / (|A| + |B| - c)
     candidates
-      .join(shingled, Seq("id"))
-      .join(shingled.select(col("id").as("id2"), col("grams").as("grams2")), Seq("id2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("grams"), col("grams2"))).cast("double") /
-        size(array_union(col("grams"), col("grams2"))))
+      .join(grams, Seq("id"))
+      .join(grams.select(col("id").as("id2"), col("grams").as("grams2")), Seq("id2"))
+      .withColumn("_c", sorted_overlap(col("grams"), col("grams2")))
+      .withColumn("jaccard", col("_c").cast("double") /
+        (size(col("grams")) + size(col("grams2")) - col("_c")))
       .filter(col("jaccard") >= threshold)
       .select("id", "id2", "jaccard")
   }

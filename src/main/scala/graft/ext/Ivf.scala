@@ -1,7 +1,5 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -32,15 +30,80 @@ object Ivf {
     transform(vecCol, x => when(n === 0.0, 0.0f).otherwise((x / n).cast("float")))
   }
 
-  /** Train the coarse quantizer (deterministic: fixed seed + init). */
+  /**
+   * Train the coarse quantizer (deterministic: fixed seed + init).
+   *
+   * Scale design (the FAISS recipe, applied Spark-side): the quantizer is
+   * trained on a bounded SAMPLE of the corpus (`sampleCap` vectors,
+   * fixed-seed Bernoulli sample + limit) — k-means centroid quality
+   * converges with a few thousand points per cell, so clustering every
+   * vector of a 100 TB corpus buys nothing except the dominant cost of
+   * the whole pipeline. Because the training set is bounded (~25 MB at
+   * the default cap), Lloyd's iterations run DRIVER-LOCAL on the
+   * collected sample: one distributed job to draw the sample, zero
+   * per-iteration job overhead, deterministic splitmix64 seeding. Only
+   * `assign`/`search` touch the full corpus, and those are single-pass.
+   */
   def train(corpus: DataFrame, vecCol: String, k: Int = 16,
-            maxIter: Int = 10, seed: Long = 42L): Model = {
-    val prepared = corpus
-      .select(array_to_vector(normalized(col(vecCol))).as("features"))
-    val km = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features")
-    val model = km.fit(prepared)
-    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+            maxIter: Int = 10, seed: Long = 42L,
+            sampleCap: Int = 100000): Model = {
+    val n = corpus.count()
+    val base =
+      if (n <= sampleCap) corpus
+      else corpus.sample(withReplacement = false,
+        // 1.2x oversample so the limit() is actually reached w.h.p.
+        fraction = math.min(1.0, sampleCap * 1.2 / n), seed = seed)
+        .limit(sampleCap)
+    val sample: Array[Array[Float]] = base
+      .select(normalized(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    Model(lloyd(sample, k, maxIter, seed))
+  }
+
+  /** Deterministic local Lloyd's k-means (squared-euclidean, which on
+    * L2-normalized vectors induces the cosine ordering). */
+  private def lloyd(points: Array[Array[Float]], k: Int, maxIter: Int,
+                    seed: Long): Array[Array[Float]] = {
+    val n = points.length
+    require(n > 0, "cannot train IVF on an empty corpus")
+    val d = points(0).length
+    // k distinct fixed-seed picks (splitmix64 sequence, mod-n probing)
+    val picked = new java.util.LinkedHashSet[Integer]()
+    var s = seed
+    while (picked.size < math.min(k, n)) {
+      s = TextOps.mix64(s)
+      picked.add(((s % n + n) % n).toInt)
+    }
+    var centroids = picked.toArray(Array.empty[Integer])
+      .map(i => points(i.intValue).clone())
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.ofDim[Double](centroids.length, d)
+      val counts = new Array[Long](centroids.length)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val cen = centroids(c)
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = p(j) - cen(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells stable
+        else Array.tabulate(d)(j => (sums(c)(j) / counts(c)).toFloat)
+      }.toArray
+      iter += 1
+    }
+    centroids
   }
 
   /** Cell ids of the `n` nearest centroids (ordered). */

@@ -65,6 +65,20 @@ case class SigSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_overlap"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.TextOps.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -192,6 +206,7 @@ object TextFunctions {
   def word_shingles(text: Column, n: Column): Column = call_function("word_shingles", text, n)
   def minhash_sig(shingles: Column, n: Column): Column = call_function("minhash_sig", shingles, n)
   def sig_similarity(a: Column, b: Column): Column = call_function("sig_similarity", a, b)
+  def sorted_overlap(a: Column, b: Column): Column = call_function("sorted_overlap", a, b)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
@@ -210,6 +225,7 @@ object TextFunctions {
     "word_shingles" -> { case Seq(a, b) => WordShingles(a, b) },
     "minhash_sig" -> { case Seq(a, b) => MinHashSig(a, b) },
     "sig_similarity" -> { case Seq(a, b) => SigSimilarity(a, b) },
+    "sorted_overlap" -> { case Seq(a, b) => SortedOverlap(a, b) },
     "simhash64" -> { case Seq(a) => SimHash64(a) },
     "hamming64" -> { case Seq(a, b) => Hamming64(a, b) },
     "fingerprint64" -> { case Seq(a) => Fingerprint64(a) },

@@ -178,6 +178,23 @@ object TextOps {
     count
   }
 
+  /** Intersection size of two SORTED long arrays (linear merge, zero
+    * allocation) — the shingle/gram sets from [[shingles]]/[[wordShingles]]
+    * are emitted sorted, so set-similarity verification never needs the
+    * hash-set building of Spark's array_intersect. Jaccard follows as
+    * c / (|A| + |B| - c). */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Rabin-Karp rolling hash of the whole document → 64-bit fingerprint. */
   def fingerprint(text: UTF8String): Long = {
     val s = text.toString
