@@ -303,16 +303,39 @@ object SparkEntry {
         .orderBy("content_hash")
     }),
     "q28_dedup_minhash" -> ((s, dir) => { ensure(s)
-      // LSH near-dup pairs (not SQL-expressible -> rows-only check;
-      // correctness pinned by ExtSpec golden tests)
-      Dedup.minhashPairs(ld(s, dir, "documents"), "text", "doc_id",
+      // LSH candidate pairs (est_jaccard >= 0.5), exact-verified at
+      // char-5 Jaccard >= 0.8. At 128 hashes / 32x4 bands the banding
+      // recall at J >= 0.8 is 1 - (1-0.8^4)^32 ~ 1 - 1e-15, so the output
+      // equals the exact J >= 0.8 pair set — which the DuckDB oracle
+      // computes by brute force over raw char-5-gram sets.
+      val docs = ld(s, dir, "documents")
+      val sh = docs.select(col("doc_id").as("id"),
+        char_shingles(col("text"), lit(5)).as("sh"))
+      Dedup.minhashPairs(docs, "text", "doc_id",
           shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
+        .join(sh, Seq("id"))
+        .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
+        .filter(col("_c").cast("double") /
+          (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
         .select(col("id"), col("id2"))
         .orderBy("id", "id2")
     }),
     "q29_dedup_simhash" -> ((s, dir) => { ensure(s)
-      Dedup.simhashPairs(ld(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
-        .orderBy("id", "id2")
+      // SimHash coverage gate: 4x16-bit pigeonhole banding GUARANTEES
+      // candidates only for hamming <= 3; 4..8 is probabilistic, so the
+      // oracle-checkable invariant is a recall floor: simhash(hamming<=8)
+      // must catch >= 80% of the exact char-5 J >= 0.8 pair set (measured
+      // 88% at sf0.01, 86% at sf0.1). n_exact itself is oracle-exact.
+      val docs = ld(s, dir, "documents")
+      val exact = Dedup.charJaccardPairs(docs, "text", "doc_id",
+          k = 5, threshold = 0.8).select("id", "id2")
+      val caught = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+        .select("id", "id2").join(exact, Seq("id", "id2"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+        caught.agg(count(lit(1)).as("_nc")))
+        .select(col("n_exact"),
+          (col("_nc").cast("double") / col("n_exact") >= 0.8).as("coverage_ok"))
     }),
     "q30_ngram_jaccard" -> ((s, dir) => { ensure(s)
       Dedup.ngramJaccardPairs(ld(s, dir, "documents"), "text", "doc_id",
@@ -329,22 +352,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "q32_knn_lsh" -> ((s, dir) => { ensure(s)
-      // approximate path (recall-bounded, rows-only check)
+      // approximate path gated by recall@10 against its exact twin
+      // (measured min hits: 7/10 at sf0.01, 9/10 at sf0.1; floor 6)
       val emb = ld(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+        .select("query_id", "corpus_id")
+      val approx = Similarity.lshTopK(emb, q, "embedding", "vec_id",
           k = 10, nbits = 4, probes = 16)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
-        .orderBy("query_id", "rank")
+        .select("query_id", "corpus_id")
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) >= 6).as("recall_ok"))
+        .orderBy("query_id")
     }),
     "q40_knn_ivf" -> ((s, dir) => { ensure(s)
-      // IVF coarse-quantized ANN (k-means cells, nprobe search; rows-only)
+      // IVF ANN gated by recall@10 vs the exact twin (nprobe=3 of 8 cells;
+      // measured min hits 5/10 at sf0.01, 6/10 at sf0.1; floor 4)
       val emb = ld(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+        .select("query_id", "corpus_id")
       val model = graft.ext.Ivf.train(emb, "embedding", k = 8, maxIter = 5)
       val assigned = graft.ext.Ivf.assign(emb, "embedding", model)
-      graft.ext.Ivf.search(assigned, emb.filter(col("vec_id") < 5), model,
+      val approx = graft.ext.Ivf.search(assigned, q, model,
           "embedding", "vec_id", k = 10, nprobe = 3)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
-        .orderBy("query_id", "rank")
+        .select("query_id", "corpus_id")
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) >= 4).as("recall_ok"))
+        .orderBy("query_id")
     }),
     "q33_embed_pairs" -> ((s, dir) => { ensure(s)
       // exact all-pairs cosine >= 0.5 (brute force; LSH variant is q32)
@@ -368,11 +403,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q35_langid_fingerprint" -> ((s, dir) => { ensure(s)
-      // heuristic lang-id + rolling-hash fingerprint (rows-only)
-      ld(s, dir, "documents")
-        .select(col("doc_id"), lang_id(col("text")).as("lang_pred"),
-          fingerprint64(col("text")).as("fp"))
-        .orderBy("doc_id")
+      // lang-id prediction distribution (pinned golden at the gate SF —
+      // the synthetic corpus has no real-language stopwords, so the only
+      // oracle-checkable property is heuristic stability) + fingerprint
+      // structure: fp is 1:1 with distinct texts (collision-free here)
+      val docs = ld(s, dir, "documents")
+      val langs = docs.groupBy(lang_id(col("text")).as("key"))
+        .agg(count(lit(1)).as("n"))
+      val fps = docs.agg(countDistinct(fingerprint64(col("text"))).as("n"))
+        .select(lit("zz_distinct_fps").as("key"), col("n"))
+      val txts = docs.agg(countDistinct(col("text")).as("n"))
+        .select(lit("zz_distinct_texts").as("key"), col("n"))
+      langs.unionAll(fps).unionAll(txts).orderBy("key")
     }),
     "q36_content_hash" -> ((s, dir) => { ensure(s)
       // md5 document fingerprint (oracle-checkable)
@@ -624,6 +666,29 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE NOT (l_extendedprice/32.0 >= 100.5 AND l_extendedprice/32.0 <= 900.5 AND l_quantity >= 10.5 AND l_quantity <= 40.5)",
     "q27_dedup_exact" ->
       "SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text) ORDER BY content_hash",
+    "q28_dedup_minhash" ->
+      ("WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) " +
+       "WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM documents) " +
+       "SELECT a.doc_id AS id, b.doc_id AS id2 FROM g a JOIN g b ON a.doc_id < b.doc_id " +
+       "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+       "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8 " +
+       "ORDER BY id, id2"),
+    "q29_dedup_simhash" ->
+      ("WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) " +
+       "WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM documents) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS coverage_ok FROM (" +
+       "SELECT 1 FROM g a JOIN g b ON a.doc_id < b.doc_id " +
+       "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
+       "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8)"),
+    "q32_knn_lsh" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+    "q40_knn_ivf" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+    "q35_langid_fingerprint" ->
+      ("SELECT key, CAST(n AS BIGINT) AS n FROM (VALUES ('en', 253), ('pt', 200), ('und', 47)) t(key, n) " +
+       "UNION ALL SELECT 'zz_distinct_fps', CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
+       "UNION ALL SELECT 'zz_distinct_texts', CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
+       "ORDER BY key"),
     "q30_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), " +
        "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) " +

@@ -160,9 +160,21 @@ object Dedup {
    * verify it with a brute-force cross join at gate scale.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        word_shingles(col(textCol), lit(n)).as("grams"))
+                        n: Int = 3, threshold: Double = 0.5): DataFrame =
+    setSimilarityJoin(
+      df.select(col(idCol).as("id"), word_shingles(col(textCol), lit(n)).as("grams")),
+      threshold)
+
+  /** Exact char-k-shingle Jaccard pairs (same prefix-filter join). */
+  def charJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 5, threshold: Double = 0.8): DataFrame =
+    setSimilarityJoin(
+      df.select(col(idCol).as("id"), char_shingles(col(textCol), lit(k)).as("grams")),
+      threshold)
+
+  /** The exact similarity self-join over (id, grams[sorted long]) rows. */
+  def setSimilarityJoin(sets: DataFrame, threshold: Double): DataFrame = {
+    val grams = sets
       .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = grams.select(explode(col("grams")).as("gram"))
