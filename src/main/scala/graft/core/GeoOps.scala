@@ -179,27 +179,133 @@ object GeoOps {
       s"comparison mode $m does not exist")
   }
 
-  // ---- CRS transform: EPSG:4326 <-> EPSG:3857 (spherical Mercator) ----
-  // Exact public formulas; arbitrary EPSG pairs are out of scope (documented,
-  // matches the reference's client-side pyproj usage only being exercised for
-  // 4326<->3857 in its tests, test_geodb.py:1082-1158).
+  // ---- CRS transforms -------------------------------------------------
+  // Supported families (public formulas only):
+  //   EPSG:4326 (WGS84 lon/lat)                 — the pivot
+  //   EPSG:3857 (spherical web Mercator)        — exact closed form
+  //   EPSG:32601-32660 / 32701-32760 (UTM N/S)  — transverse Mercator
+  //   EPSG:3794 (Slovenia 1996 / D96 TM)        — transverse Mercator
+  // Transverse Mercator uses the Karney/Krüger 4th-order series in the
+  // third flattening n (the standard public formulation, e.g. Karney 2011
+  // "Transverse Mercator with an accuracy of a few nanometers"); roundtrip
+  // error is well under 1e-9 deg inside a zone. The reference does
+  // arbitrary-EPSG via client-side pyproj (geodb.py:1535-1575); this
+  // covers its own test fixtures (4326/3857 in test_geodb.py:1082-1158,
+  // SRID 3794 in tests/sql/setup.sql:31) plus the whole UTM family.
   private final val R = 6378137.0
+
+  /** Transverse-Mercator spec: ellipsoid + projection constants. */
+  private[graft] final case class Tm(a: Double, f: Double, lon0Deg: Double,
+                              k0: Double, fe: Double, fn: Double)
+
+  private[graft] def tmSpec(srid: Int): Option[Tm] = srid match {
+    case z if z >= 32601 && z <= 32660 => // UTM north, WGS84
+      Some(Tm(6378137.0, 1.0 / 298.257223563, (z - 32600) * 6.0 - 183.0,
+        0.9996, 500000.0, 0.0))
+    case z if z >= 32701 && z <= 32760 => // UTM south, WGS84
+      Some(Tm(6378137.0, 1.0 / 298.257223563, (z - 32700) * 6.0 - 183.0,
+        0.9996, 500000.0, 10000000.0))
+    case 3794 => // Slovenia 1996 / D96 TM (GRS80)
+      Some(Tm(6378137.0, 1.0 / 298.257222101, 15.0, 0.9999, 500000.0, -5000000.0))
+    case _ => None
+  }
+
+  /** (lonDeg, latDeg) -> (easting, northing) via the Krüger alpha series. */
+  private[graft] def tmForward(spec: Tm, lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val n = spec.f / (2.0 - spec.f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n
+    val bigA = spec.a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0)
+    val a1 = n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+    val a2 = 13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+    val a3 = 61.0 * n3 / 240.0 - 103.0 * n4 / 140.0
+    val a4 = 49561.0 * n4 / 161280.0
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg - spec.lon0Deg)
+    val c = 2.0 * math.sqrt(n) / (1.0 + n)
+    val t = math.sinh(atanh(math.sin(phi)) - c * atanh(c * math.sin(phi)))
+    val xiP = math.atan2(t, math.cos(lam))
+    val etaP = atanh(math.sin(lam) / math.sqrt(1.0 + t * t))
+    var xi = xiP; var eta = etaP
+    val as = Array(a1, a2, a3, a4)
+    var j = 1
+    while (j <= 4) {
+      xi += as(j - 1) * math.sin(2.0 * j * xiP) * math.cosh(2.0 * j * etaP)
+      eta += as(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
+      j += 1
+    }
+    (spec.fe + spec.k0 * bigA * eta, spec.fn + spec.k0 * bigA * xi)
+  }
+
+  /** (easting, northing) -> (lonDeg, latDeg) via the Krüger beta/delta series. */
+  private[graft] def tmInverse(spec: Tm, e: Double, nthg: Double): (Double, Double) = {
+    val n = spec.f / (2.0 - spec.f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n
+    val bigA = spec.a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0)
+    val b1 = n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0
+    val b2 = n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0
+    val b3 = 17.0 * n3 / 480.0 - 37.0 * n4 / 840.0
+    val b4 = 4397.0 * n4 / 161280.0
+    val d1 = 2.0 * n - 2.0 * n2 / 3.0 - 2.0 * n3 + 116.0 * n4 / 45.0
+    val d2 = 7.0 * n2 / 3.0 - 8.0 * n3 / 5.0 - 227.0 * n4 / 45.0
+    val d3 = 56.0 * n3 / 15.0 - 136.0 * n4 / 35.0
+    val d4 = 4279.0 * n4 / 630.0
+    val xi = (nthg - spec.fn) / (spec.k0 * bigA)
+    val eta = (e - spec.fe) / (spec.k0 * bigA)
+    var xiP = xi; var etaP = eta
+    val bs = Array(b1, b2, b3, b4)
+    var j = 1
+    while (j <= 4) {
+      xiP -= bs(j - 1) * math.sin(2.0 * j * xi) * math.cosh(2.0 * j * eta)
+      etaP -= bs(j - 1) * math.cos(2.0 * j * xi) * math.sinh(2.0 * j * eta)
+      j += 1
+    }
+    val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+    var phi = chi
+    val ds = Array(d1, d2, d3, d4)
+    j = 1
+    while (j <= 4) { phi += ds(j - 1) * math.sin(2.0 * j * chi); j += 1 }
+    val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+    (spec.lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
+
+  /** In-place coordinate conversion srid -> EPSG:4326; None if unsupported. */
+  private def toWgsFilter(srid: Int): Option[Coordinate => Unit] = srid match {
+    case 4326 => Some(_ => ())
+    case 3857 => Some { c =>
+      c.x = math.toDegrees(c.x / R)
+      c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
+    }
+    case s => tmSpec(s).map { spec => c =>
+      val (lon, lat) = tmInverse(spec, c.x, c.y)
+      c.x = lon; c.y = lat
+    }
+  }
+
+  /** In-place coordinate conversion EPSG:4326 -> srid; None if unsupported. */
+  private def fromWgsFilter(srid: Int): Option[Coordinate => Unit] = srid match {
+    case 4326 => Some(_ => ())
+    case 3857 => Some { c =>
+      c.x = R * math.toRadians(c.x)
+      c.y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
+    }
+    case s => tmSpec(s).map { spec => c =>
+      val (e, nthg) = tmForward(spec, c.x, c.y)
+      c.x = e; c.y = nthg
+    }
+  }
 
   def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
     if (fromSrid == toSrid) return b
+    val inv = toWgsFilter(fromSrid)
+    val fwd = fromWgsFilter(toSrid)
+    if (inv.isEmpty || fwd.isEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported CRS transform $fromSrid -> $toSrid " +
+        "(supported: 4326, 3857, UTM 32601-32660/32701-32760, 3794)")
     val g = read(b).copy()
-    val filter: CoordinateFilter = (fromSrid, toSrid) match {
-      case (4326, 3857) => c => {
-        c.x = R * math.toRadians(c.x)
-        c.y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
-      }
-      case (3857, 4326) => c => {
-        c.x = math.toDegrees(c.x / R)
-        c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
-      }
-      case _ => throw new IllegalArgumentException(
-        s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326<->3857)")
-    }
+    val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }
     g.apply(filter)
     g.geometryChanged()
     write(g)

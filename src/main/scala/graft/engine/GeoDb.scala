@@ -288,10 +288,15 @@ class GeoDb(
     logEvent(EventType.RowsAdded, s"Rows added to $d/$collection")
   }
 
-  /** PK merge on id — PostgREST resolution=merge-duplicates (geodb.py:1505-1508). */
+  /** PK merge on id — PostgREST resolution=merge-duplicates (geodb.py:1505-1508).
+    * Matched rows take the incoming payload's columns VERBATIM, including
+    * explicit NULLs (PostgREST replaces the row's columns; a coalesce-merge
+    * would silently keep old values when an update clears a field). Columns
+    * absent from the incoming frame keep the existing value. */
   private def upsertById(d: String, collection: String, meta: CollectionMeta,
                          incoming: DataFrame): Unit = {
     val existing = readRaw(d, collection)
+    val incCols = incoming.columns.map(_.toLowerCase).toSet
     val inc = alignTo(meta.schema, incoming, keepId = true)
       .withColumn("_inc", lit(true))
     val cols = meta.schema.fieldNames.filterNot(Seq("id", "created_at", "modified_at").contains)
@@ -301,7 +306,12 @@ class GeoDb(
         coalesce(col("e.created_at"), current_timestamp()).as("created_at"),
         when(col("i._inc") && col("e.created_at").isNotNull, current_timestamp())
           .otherwise(col("e.modified_at")).as("modified_at")) ++
-      cols.map(c => coalesce(col(s"i.$c"), col(s"e.$c")).as(c)): _*)
+      cols.map { c =>
+        if (incCols.contains(c))
+          when(coalesce(col("i._inc"), lit(false)), col(s"i.$c"))
+            .otherwise(col(s"e.$c")).as(c)
+        else col(s"e.$c").as(c)
+      }: _*)
     // incoming max BEFORE the swap — merged's plan reads the pre-swap files
     val incMax = Option(inc.agg(max("id")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -358,6 +368,10 @@ class GeoDb(
     emptyContract(out)
   }
 
+  /** First rows of a collection. DOCUMENTED DEVIATION: the reference's
+    * head_collection is a bare `limit=` with storage order (geodb.py:
+    * 1803-1828); distributed scans have no stable storage order, so this
+    * engine injects `order=id` to make head() deterministic. */
   def headCollection(collection: String, numLines: Int = 10,
                      database: Option[String] = None): DataFrame =
     getCollection(collection, s"order=id&limit=$numLines", database)
@@ -913,16 +927,26 @@ class GeoDb(
 
   /**
    * SERIAL-id assignment without a sequence (SURVEY §7.4.3): count rows per
-   * partition, compute per-partition offsets on the driver (tiny), then a
-   * second distributed pass writes `start + offset + localIndex`. Two passes,
-   * no shuffle, no driver materialization — scales to any row count.
+   * partition (one cheap aggregate), compute per-partition offsets on the
+   * driver (O(#partitions)), then a second distributed pass computes
+   * `start + offset(pid) + localIndex + 1` as a NARROW projection —
+   * `monotonically_increasing_id()` is `(pid << 33) | localIndex`, so the
+   * local index is its low 33 bits. Two passes, no shuffle, no exit from
+   * Tungsten/codegen (round 1 used `df.rdd.zipWithIndex`, which
+   * deserialized every row; VERDICT item 9).
    */
   private def assignIds(df: DataFrame, start: Long): DataFrame = {
-    val schema = df.schema
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq((start + i + 1) +: row.toSeq.tail)
-    }
-    spark.createDataFrame(rdd, schema)
+    val counts = df.groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df
+    val maxPid = counts.keys.max
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    (0 to maxPid).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    df.withColumn("id",
+      lit(start) + element_at(lit(offsets), spark_partition_id() + 1) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1)
   }
 
   /** Append new files; returns row count of the appended frame. */
@@ -959,6 +983,14 @@ class GeoDb(
     val fs = src.getFileSystem(conf)
     fs.mkdirs(dst.getParent)
     fs.rename(src, dst)
+    // STAC metadata travels with the collection (otherwise title/providers/
+    // extent set via setMetadataField are orphaned after a rename/move)
+    val mSrc = new HPath(catalog.metadataPath(d, c))
+    if (fs.exists(mSrc)) {
+      val mDst = new HPath(catalog.metadataPath(td, tc))
+      fs.mkdirs(mDst.getParent)
+      fs.rename(mSrc, mDst)
+    }
     catalog.saveMeta(meta.copy(database = td, collection = tc))
   }
 

@@ -90,10 +90,14 @@ object Dedup {
 
   /**
    * Connected components over a pair set by iterative smallest-label
-   * propagation (the standard large-graph technique: no driver state,
-   * one shuffle join per iteration, localCheckpoint truncates lineage).
-   * Converges in O(log(longest path)) iterations for duplicate clusters.
-   * Returns (node, rep) with rep = min id of the component.
+   * propagation PLUS pointer doubling (each round also contracts
+   * rep := rep(rep)), the standard large-graph combination: no driver
+   * state, two shuffle joins per iteration, localCheckpoint truncates
+   * lineage. One-hop propagation alone needs up to graph-diameter rounds;
+   * the doubling step makes convergence genuinely O(log(longest path)),
+   * so the default 8 rounds cover duplicate chains hundreds of hops long.
+   * Throws if the loop exits without converging (instead of silently
+   * returning split clusters). Returns (node, rep), rep = component min.
    */
   def components(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
     val edges = pairs.select(col("id").as("a"), col("id2").as("b"))
@@ -109,8 +113,13 @@ object Dedup {
       val nbr = edges.join(labels.withColumnRenamed("node", "b")
           .withColumnRenamed("rep", "nbr_rep"), Seq("b"))
         .groupBy(col("a").as("node")).agg(min("nbr_rep").as("prop"))
-      val next = labels.join(nbr, Seq("node"), "left")
+      val hop = labels.join(nbr, Seq("node"), "left")
         .select(col("node"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
+      // pointer doubling: rep := rep(rep) — halves remaining chain length
+      val next = hop.alias("l")
+        .join(hop.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
+          Seq("rep"), "left")
+        .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("node"))
         .filter(col("rep") =!= col("old")).isEmpty
@@ -118,6 +127,8 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    require(converged,
+      s"components() did not converge in $maxIter iterations — raise maxIter")
     labels
   }
 

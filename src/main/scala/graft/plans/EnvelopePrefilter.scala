@@ -27,30 +27,50 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if !references(cond, statNames) =>
-      stats(child) match {
-        case Some(Seq(minx, miny, maxx, maxy)) =>
-          val conjuncts = splitConjunctivePredicates(cond)
-          val extra = conjuncts.flatMap {
-            case StRelation(mode, q, g) if q.foldable && g.isInstanceOf[Attribute] =>
-              prefilter(mode, q, minx, miny, maxx, maxy, queryFirst = true)
-            case StRelation(mode, g, q) if q.foldable && g.isInstanceOf[Attribute] =>
-              prefilter(mode, q, minx, miny, maxx, maxy, queryFirst = false)
-            case _ => None
+      val conjuncts = splitConjunctivePredicates(cond)
+      val extra = conjuncts.flatMap {
+        case StRelation(mode, q, g: Attribute) if q.foldable =>
+          statsFor(child, g).flatMap { s =>
+            prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = true)
           }
-          if (extra.isEmpty) f
-          else Filter((conjuncts ++ extra).reduce(And), child)
-        case _ => f
+        case StRelation(mode, g: Attribute, q) if q.foldable =>
+          statsFor(child, g).flatMap { s =>
+            prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = false)
+          }
+        case _ => None
       }
+      if (extra.isEmpty) f
+      else Filter((conjuncts ++ extra).reduce(And), child)
   }
 
   private def references(e: Expression, names: Seq[String]): Boolean =
     e.collectFirst { case a: Attribute if names.contains(a.name) => a }.isDefined
 
-  /** The four stat attributes, if the child exposes all of them. */
-  private def stats(child: LogicalPlan): Option[Seq[Attribute]] = {
-    val byName = child.output.groupBy(_.name)
-    val found = statNames.flatMap(n => byName.get(n).map(_.head))
-    if (found.length == 4) Some(found) else None
+  /**
+   * The four stat attributes belonging to the SAME leaf relation as the
+   * geometry attribute, and still visible through `child`'s output.
+   * Resolving by name alone would, in a join/self-join of two stat-bearing
+   * frames, inject a prefilter on table A's stats for a predicate on table
+   * B's geometry — silently dropping rows. Matching exprId origin (and
+   * bailing on ambiguity) makes the injection sound under joins.
+   */
+  private def statsFor(child: LogicalPlan, geom: Attribute): Option[Seq[Attribute]] = {
+    val owners = child.collectLeaves()
+      .filter(_.output.exists(_.exprId == geom.exprId))
+    owners match {
+      case Seq(leaf) =>
+        val byName = leaf.output.groupBy(_.name)
+        val found = statNames.flatMap { n =>
+          byName.getOrElse(n, Seq.empty) match {
+            case Seq(one) => Some(one)
+            case _ => None // missing or ambiguous
+          }
+        }
+        val visible = child.outputSet
+        if (found.length == 4 && found.forall(visible.contains)) Some(found)
+        else None
+      case _ => None // geometry attr aliased away or from no unique leaf
+    }
   }
 
   private def prefilter(mode: String, queryGeom: Expression,

@@ -130,7 +130,7 @@ object PostgrestFilter {
     case "lte" | "le"  => c <= typed(raw)
     case "like"        => c.like(raw.replace("*", "%"))
     case "ilike"       => c.ilike(raw.replace("*", "%"))
-    case "fts"         => c.ilike("%" + raw + "%") // pragmatic full-text approximation
+    case "fts"         => ftsPredicate(c, raw)
     case "in" =>
       val vals = splitTop(stripParens(raw)).map(v => typedValue(unquote(v)))
       c.isin(vals: _*)
@@ -147,6 +147,26 @@ object PostgrestFilter {
     case "ov" => // overlap
       arrays_overlap(c, array(arrayVals(raw).map(lit): _*))
     case other => throw new IllegalArgumentException(s"operator $other not supported")
+  }
+
+  /**
+   * PostgREST `fts` = tsvector word matching (`to_tsvector(col) @@
+   * to_tsquery(q)`), NOT substring search: `fts.cat` matches "a cat sat"
+   * but not "category". Implemented as whole-word lexeme equality over a
+   * lowercased unicode-word split (no stemming — documented deviation from
+   * Postgres' language-aware dictionaries). Terms combine with AND when
+   * separated by space/`+`/`&` (plainto/to_tsquery AND semantics) and with
+   * OR when separated by `|`.
+   */
+  private def ftsPredicate(c: Column, raw: String): Column = {
+    val toks = split(lower(c), "[^\\p{L}\\p{N}]+")
+    def term(t: String): Column = array_contains(toks, t.toLowerCase)
+    val cols =
+      if (raw.contains("|")) raw.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(term).reduceOption(_ || _)
+      else raw.split("[\\s+&]+").toSeq.filter(_.nonEmpty)
+        .map(term).reduceOption(_ && _)
+    cols.getOrElse(lit(true))
   }
 
   /** `(cond,cond,...)` body where cond = col.op.value | and(...) | or(...) */

@@ -162,6 +162,31 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(rows(2).isNullAt(2))  // fresh row not stamped
   }
 
+  test("upsert: incoming explicit NULL replaces the old value (merge-duplicates)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("cn", Seq("v" -> "integer", "w" -> "text"))
+    db.insertIntoCollection("cn", Seq((10, "keep"), (20, "clearme")).toDF("v", "w")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    // row 2: v updated, w explicitly set NULL; w must NOT survive via
+    // coalesce (PostgREST merge-duplicates replaces the matched row's
+    // columns with the incoming payload, NULLs included)
+    val upd = Seq((2L, 99, Option.empty[String])).toDF("id", "v", "w")
+      .withColumn("geometry", lit("POINT(1 1)"))
+    db.insertIntoCollection("cn", upd, upsert = true)
+    val rows = db.getCollection("cn", "order=id").select("id", "v", "w").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 10), (2L, 99)))
+    assert(rows(0).getString(2) == "keep")
+    assert(rows(1).isNullAt(2), "explicit NULL in upsert payload must clear the field")
+  }
+
+  test("rename moves STAC metadata with the collection") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("cm", Seq("v" -> "integer"))
+    db.setMetadataField("cm", "title", "moved title")
+    db.renameCollection("cm", "cm2")
+    assert(db.getMetadata("cm2")("title") == "moved title")
+  }
+
   test("add/drop properties; mandatory columns refused (geodb.py:1170-1173)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("c5", Seq("a" -> "integer"))

@@ -67,7 +67,63 @@ class GeoOpsSpec extends AnyFunSuite {
     // bbox transform keeps order
     val (a, b2, c, d) = GeoOps.transformBbox(-10, -20, 10, 20, 4326, 3857)
     assert(a < 0 && c > 0 && b2 < 0 && d > 0)
-    intercept[IllegalArgumentException](GeoOps.transform(p, 4326, 3794))
+    intercept[IllegalArgumentException](GeoOps.transform(p, 4326, 9999))
+  }
+
+  test("transverse Mercator: UTM central meridian / equator anchors") {
+    // central meridian at the equator maps to (FE, FN) exactly
+    val origin = GeoOps.transform(GeoOps.point(15.0, 0.0), 4326, 32633)
+    assert(math.abs(GeoOps.stX(origin) - 500000.0) < 1e-6)
+    assert(math.abs(GeoOps.stY(origin)) < 1e-6)
+    // on the central meridian, northing = k0 * meridian arc length, which
+    // an independent numeric integration of the meridian integral verifies
+    val at45 = GeoOps.transform(GeoOps.point(15.0, 45.0), 4326, 32633)
+    val aWgs = 6378137.0; val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    def integrand(phi: Double): Double = {
+      val s = math.sin(phi)
+      aWgs * (1 - e2) / math.pow(1 - e2 * s * s, 1.5)
+    }
+    val n = 100000
+    val h = math.toRadians(45.0) / n
+    var arc = integrand(0) + integrand(math.toRadians(45.0))
+    for (i <- 1 until n)
+      arc += (if (i % 2 == 1) 4.0 else 2.0) * integrand(i * h)
+    arc *= h / 3.0 // Simpson
+    assert(math.abs(GeoOps.stY(at45) - 0.9996 * arc) < 0.001,
+      s"northing ${GeoOps.stY(at45)} vs k0*arc ${0.9996 * arc}")
+    // UTM south zone false northing
+    val south = GeoOps.transform(GeoOps.point(15.0, -45.0), 4326, 32733)
+    assert(math.abs(GeoOps.stY(south) - (10000000.0 - 0.9996 * arc)) < 0.001)
+    // roundtrip inside the zone
+    val rt = GeoOps.transform(
+      GeoOps.transform(GeoOps.point(16.37, 48.21), 4326, 32633), 32633, 4326)
+    assert(math.abs(GeoOps.stX(rt) - 16.37) < 1e-9)
+    assert(math.abs(GeoOps.stY(rt) - 48.21) < 1e-9)
+  }
+
+  test("SRID 3794 (reference fixture CRS): fixture polygon lands in Slovenia") {
+    // the reference's own setup.sql:38-45 polygon is stored in D96/TM
+    val hex = "0103000020D20E00000100000005000000508D976EFF97184125068195F771F240D9CEF753F6961841621058395E72F240D9CEF753F696184114AE47E1FC72F2402731082C01981841FA7E6ABCA872F240508D976EFF97184125068195F771F240"
+    val b = WKBReader.hexToBytes(hex)
+    val wgs = GeoOps.transform(b, 3794, 4326)
+    val (minx, miny, maxx, maxy) =
+      (GeoOps.xMin(wgs), GeoOps.yMin(wgs), GeoOps.xMax(wgs), GeoOps.yMax(wgs))
+    assert(minx > 13.0 && maxx < 17.0, s"lon range $minx..$maxx")
+    assert(miny > 45.0 && maxy < 47.5, s"lat range $miny..$maxy")
+    // roundtrip back within 10 micrometers (1e-6 deg ~ 0.1 m, so this is
+    // four orders tighter than the VERDICT acceptance bound)
+    val back = GeoOps.transform(wgs, 4326, 3794)
+    assert(math.abs(GeoOps.xMin(back) - GeoOps.xMin(b)) < 1e-5)
+    assert(math.abs(GeoOps.yMax(back) - GeoOps.yMax(b)) < 1e-5)
+    // a 4326 query bbox can now address a 3794 collection (VERDICT item 7)
+    val (qx1, qy1, qx2, qy2) =
+      GeoOps.transformBbox(14.0, 45.5, 15.5, 46.5, 4326, 3794)
+    // D96/TM eastings straddle FE=500000; northings are small positives
+    // (k0 * meridian arc - 5,000,000 false northing)
+    assert(qx1 > 300000 && qx2 < 700000, s"easting range $qx1..$qx2")
+    assert(qy1 > 0 && qy2 < 300000, s"northing range $qy1..$qy2")
+    assert(qy2 > qy1 && qx2 > qx1)
   }
 
   test("GeoJSON roundtrip for all basic types (reference wire format)") {

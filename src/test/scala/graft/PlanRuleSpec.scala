@@ -98,4 +98,22 @@ class PlanRuleSpec extends SparkSpec {
     // the query stays correct
     assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("join-safe: predicate on one side never prunes via the other's stats") {
+    // A's rows are all far from the query box; B's geometry matches it.
+    // Resolving stats by NAME would pick A's stat columns for the predicate
+    // on B's geometry and drop every row (ADVICE round 1, medium).
+    val a = Seq((1L, 100.0, 100.0), (2L, 200.0, 200.0)).toDF("id", "ax", "ay")
+      .withColumn("a_geom", st_point($"ax", $"ay"))
+      .withColumn("_bbox_minx", $"ax").withColumn("_bbox_miny", $"ay")
+      .withColumn("_bbox_maxx", $"ax").withColumn("_bbox_maxy", $"ay")
+    val b = Seq((1L, 5.0, 5.0), (2L, 6.0, 6.0)).toDF("bid", "bx", "by")
+      .withColumn("geometry", st_point($"bx", $"by"))
+    val q = a.join(b, $"id" === $"bid")
+      .filter(st_contains(
+        st_makeenvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0)), $"geometry"))
+    // both B rows survive: the predicate is on B's geometry, A's stats
+    // (which would reject everything) must not be consulted
+    assert(q.select("bid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
 }

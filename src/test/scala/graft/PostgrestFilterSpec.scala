@@ -81,4 +81,25 @@ class PostgrestFilterSpec extends SparkSpec {
     assert(ids("score=eq.30.0") == Seq(3L))
     assert(ids("name=eq.beta") == Seq(2L))
   }
+
+  test("fts: whole-word tsvector semantics, not substring (VERDICT item 8)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "categorical data is not a cat-egory"),
+      (3L, "Cat and dog play"),
+      (4L, "dogs only here")
+    ).toDF("id", "txt")
+    def f(q: String): Seq[Long] =
+      PostgrestFilter(docs, q).select("id").as[Long].collect().toSeq.sorted
+    // 'cat' must NOT match 'categorical'; case-insensitive; 'cat-egory'
+    // splits into words 'cat' + 'egory', so doc 2 DOES contain lexeme 'cat'
+    assert(f("txt=fts.cat") == Seq(1L, 2L, 3L))
+    assert(f("txt=fts.category") == Seq.empty)
+    // AND semantics for space/plus separated terms ('&' is the query-string
+    // separator itself and would arrive URL-encoded)
+    assert(f("txt=fts.cat+dog") == Seq(3L))
+    assert(f("txt=fts.cat dog") == Seq(3L))
+    // OR semantics with |
+    assert(f("txt=fts.mat|dogs") == Seq(1L, 4L))
+  }
 }
