@@ -326,10 +326,22 @@ object SparkEntry {
       // candidates only for hamming <= 3; 4..8 is probabilistic, so the
       // oracle-checkable invariant is a recall floor: simhash(hamming<=8)
       // must catch >= 80% of the exact char-5 J >= 0.8 pair set (measured
-      // 88% at sf0.01, 86% at sf0.1). n_exact itself is oracle-exact.
+      // 88% at sf0.01, 86% at sf0.1). The exact set is produced by the
+      // q28 pipeline (minhash candidates + merge-verify — char-5-gram sets
+      // are large and shared, so a prefix join is the wrong tool and LSH
+      // candidates the right one); the DuckDB oracle still recomputes
+      // n_exact by brute force, so a minhash recall miss would surface.
       val docs = ld(s, dir, "documents")
-      val exact = Dedup.charJaccardPairs(docs, "text", "doc_id",
-          k = 5, threshold = 0.8).select("id", "id2")
+      val sh28 = docs.select(col("doc_id").as("id"),
+        char_shingles(col("text"), lit(5)).as("sh"))
+      val exact = Dedup.minhashPairs(docs, "text", "doc_id",
+          shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
+        .join(sh28, Seq("id"))
+        .join(sh28.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
+        .filter(col("_c").cast("double") /
+          (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
+        .select("id", "id2")
       val caught = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
         .select("id", "id2").join(exact, Seq("id", "id2"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact")).crossJoin(
@@ -598,8 +610,7 @@ object SparkEntry {
     "q52_bbox_crosses" -> ((s, dir) => { ensure(s)
       // rect (area) crosses diagonal segment (gx,gy)->(gx+w,gy+w)
       val lines = boxes(s, dir).withColumn("lgeom",
-        st_geomfromtext(format_string("LINESTRING(%f %f, %f %f)",
-          col("gx"), col("gy"), col("gx") + col("w"), col("gy") + col("w"))))
+        st_makeline(col("gx"), col("gy"), col("gx") + col("w"), col("gy") + col("w")))
       lines.filter(st_crosses(rect5599, col("lgeom")))
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")

@@ -50,6 +50,11 @@ object GeoOps {
   def geomFromText(wkt: UTF8String): Array[Byte] =
     write(wktRdr.get.read(wkt.toString))
 
+  /** Two-point LineString without a WKT round-trip (PostGIS ST_MakeLine). */
+  def makeLine(x1: Double, y1: Double, x2: Double, y2: Double): Array[Byte] =
+    write(factory.createLineString(
+      Array(new Coordinate(x1, y1), new Coordinate(x2, y2))))
+
   // ---- accessors ----
   def asText(b: Array[Byte]): UTF8String =
     UTF8String.fromString(wktWtr.get.write(read(b)))
@@ -150,19 +155,77 @@ object GeoOps {
   final val TOUCHES = 3; final val OVERLAPS = 4; final val CROSSES = 5
   final val DISJOINT = 6; final val EQUALS = 7
 
+  // One-slot per-thread PreparedGeometry cache for the FIRST relate()
+  // argument. In the engine's bbox path (geodb.sql:1204-1214) that side is
+  // the CONSTANT query rectangle, so a scan re-parses the same WKB and
+  // rebuilds the same topology for every row; preparing it once per
+  // task-thread turns each DE-9IM check into an indexed point/segment
+  // test (5-10x on full-scan modes). Content-keyed, so a row-varying
+  // first argument just degrades to the old per-row cost, never to a
+  // wrong answer.
+  private final class PrepSlot {
+    var key: Array[Byte] = _
+    var prep: org.locationtech.jts.geom.prep.PreparedGeometry = _
+  }
+  private val prepSlot: ThreadLocal[PrepSlot] =
+    ThreadLocal.withInitial(() => new PrepSlot)
+
+  private def preparedOf(b: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val s = prepSlot.get
+    if ((s.key eq b) || (s.key != null && java.util.Arrays.equals(s.key, b))) s.prep
+    else {
+      val p = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(read(b))
+      s.key = b; s.prep = p; p
+    }
+  }
+
   def relate(mode: Int, a: Array[Byte], b: Array[Byte]): Boolean = {
-    val ga = read(a); val gb = read(b)
+    val pa = preparedOf(a)
+    val ga = pa.getGeometry
+    val gb = read(b)
+    // rect × rect: the whole DE-9IM matrix reduces to interval arithmetic
+    // (PreparedGeometry only fast-paths the intersects/contains family;
+    // touches/overlaps would run full topology per row). Degenerate
+    // (zero-area) rectangles fall through — their interiors are empty and
+    // interval logic would misstate interior predicates.
+    if (ga.isRectangle && gb.isRectangle) {
+      val ea = ga.getEnvelopeInternal; val eb = gb.getEnvelopeInternal
+      if (ea.getWidth > 0 && ea.getHeight > 0 && eb.getWidth > 0 && eb.getHeight > 0)
+        return relateRects(mode, ea, eb)
+    }
+    if (mode == EQUALS) return ga.equalsTopo(gb)
     mode match {
-      case WITHIN     => ga.within(gb)
-      case CONTAINS   => ga.contains(gb)
-      case INTERSECTS => ga.intersects(gb)
-      case TOUCHES    => ga.touches(gb)
-      case OVERLAPS   => ga.overlaps(gb)
-      case CROSSES    => ga.crosses(gb)
-      case DISJOINT   => ga.disjoint(gb)
-      case EQUALS     => ga.equalsTopo(gb)
+      case WITHIN     => pa.within(gb)
+      case CONTAINS   => pa.contains(gb)
+      case INTERSECTS => pa.intersects(gb)
+      case TOUCHES    => pa.touches(gb)
+      case OVERLAPS   => pa.overlaps(gb)
+      case CROSSES    => pa.crosses(gb)
+      case DISJOINT   => pa.disjoint(gb)
       case _ => throw new IllegalArgumentException(
         s"comparison mode $mode does not exist") // mirrors geodb.sql:1213
+    }
+  }
+
+  /** DE-9IM over two positive-area axis-aligned rectangles. */
+  private def relateRects(mode: Int, a: Envelope, b: Envelope): Boolean = {
+    val closed = a.intersects(b)
+    val open = a.getMinX < b.getMaxX && a.getMaxX > b.getMinX &&
+               a.getMinY < b.getMaxY && a.getMaxY > b.getMinY
+    def aInB = b.covers(a)
+    def bInA = a.covers(b)
+    mode match {
+      case WITHIN     => aInB
+      case CONTAINS   => bInA
+      case INTERSECTS => closed
+      case DISJOINT   => !closed
+      case TOUCHES    => closed && !open
+      case OVERLAPS   => open && !aInB && !bInA
+      case CROSSES    => false // equal-dimension areas cannot cross
+      case EQUALS     => a.getMinX == b.getMinX && a.getMaxX == b.getMaxX &&
+                         a.getMinY == b.getMinY && a.getMaxY == b.getMaxY
+      case _ => throw new IllegalArgumentException(
+        s"comparison mode $mode does not exist")
     }
   }
 

@@ -72,6 +72,25 @@ case class StMakeEnvelope(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+case class StMakeLine(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_makeline"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoOps.makeLine(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d) => s"graft.core.GeoOps.makeLine($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** Unary geo accessor dispatching to a named GeoOps kernel. */
 case class StUnary(kernel: String, child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

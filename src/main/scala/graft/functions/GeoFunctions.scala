@@ -20,6 +20,8 @@ object GeoFunctions {
   def st_asgeojson(g: Column): Column = call_function("st_asgeojson", g)
   def st_makeenvelope(minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
     call_function("st_makeenvelope", minX, minY, maxX, maxY)
+  def st_makeline(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    call_function("st_makeline", x1, y1, x2, y2)
   def st_astext(g: Column): Column = call_function("st_astext", g)
   def geometry_type(g: Column): Column = call_function("geometrytype", g)
   def st_centroid(g: Column): Column = call_function("st_centroid", g)
@@ -59,6 +61,7 @@ object GeoFunctions {
     "st_geomfromgeojson" -> { case Seq(j) => StGeomFromGeoJson(j) },
     "st_asgeojson" -> { case Seq(g) => StUnary("asGeoJson", g) },
     "st_makeenvelope" -> { case Seq(a, b, c, d) => StMakeEnvelope(a, b, c, d) },
+    "st_makeline" -> { case Seq(a, b, c, d) => StMakeLine(a, b, c, d) },
     "st_astext" -> { case Seq(g) => StUnary("asText", g) },
     "geometrytype" -> { case Seq(g) => StUnary("geometryType", g) },
     "st_centroid" -> { case Seq(g) => StUnary("centroid", g) },
