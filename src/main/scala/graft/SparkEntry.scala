@@ -589,6 +589,21 @@ object SparkEntry {
         "n_providers" -> md("providers").asInstanceOf[Seq[Any]].size.toString
       ).toDF("field", "value").orderBy("field")
     }),
+    "q54_shapefile_roundtrip" -> ((s, dir) => { ensure(s)
+      // S4: shapefile sink -> DISTRIBUTED shapefile source -> frame; the
+      // oracle sees the same rows straight from the parquet region table
+      // dBASE caps field names at 10 chars (real shapefile behavior, same
+      // truncation geopandas applies) — keep names short in the layer
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shp").toString
+      graft.sources.Shapefile.writePoints(
+        regionWithGeom(s, dir).select(col("r_regionkey").as("regionkey"),
+          col("r_name"), col("geometry")),
+        s"$tmp/regions")
+      graft.sources.Shapefile.read(s, tmp)
+        .select(col("regionkey").cast("int").as("r_regionkey"), col("r_name"),
+          st_x(col("geometry")).as("gx"))
+        .orderBy("r_regionkey")
+    }),
     // =====================================================================
     // Remaining DE-9IM comparison modes (SP), integer-grid numeric oracles
     // =====================================================================
@@ -738,6 +753,8 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q48_engine_stac" ->
       "SELECT field, value FROM (VALUES ('bbox', '0.0,0.0,10.0,20.0'), ('id', 'gate_user_c'), ('n_providers', '1'), ('stac_version', '1.1.0'), ('title', 'Gate collection')) AS t(field, value) ORDER BY field",
+    "q54_shapefile_roundtrip" ->
+      "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q49_bbox_within" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) <= 5 AND (l_partkey % 13) + l_linenumber >= 9 AND (l_suppkey % 11) <= 5 AND (l_suppkey % 11) + l_linenumber >= 9 ORDER BY l_orderkey, l_linenumber",
     "q50_bbox_touches" ->

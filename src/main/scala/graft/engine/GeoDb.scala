@@ -838,6 +838,91 @@ class GeoDb(
     logEvent("metadata changed", s"Item asset $name set on $d/$collection")
   }
 
+  // ---- nested STAC upsert/remove (geodb_set_metadata_field's field-wise
+  // typed upsert across entity groups, geodb.sql:1869-2036) ----
+
+  def getMetadataField(collection: String, field: String,
+                       database: Option[String] = None): Option[Any] = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    Jsons.loadMap(catalog.metadataPath(d, collection)).get(field)
+  }
+
+  def unsetMetadataField(collection: String, field: String,
+                         database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    Jsons.save(path, Jsons.loadMap(path) - field)
+    logEvent("metadata changed", s"Metadata $field unset on $d/$collection")
+  }
+
+  /** Replace the list entry whose `keyField` equals `key` (error if absent). */
+  private def updateMetaListEntry(collection: String, field: String,
+                                  keyField: String, key: String,
+                                  value: Map[String, Any],
+                                  database: Option[String]): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    val cur = Jsons.loadMap(path)
+    val list = cur.get(field).map(_.asInstanceOf[Seq[Any]]).getOrElse(Seq.empty)
+    val idx = list.indexWhere(
+      _.asInstanceOf[Map[String, Any]].get(keyField).contains(key))
+    require(idx >= 0, s"no $field entry with $keyField=$key on $d/$collection")
+    Jsons.save(path, cur + (field -> list.updated(idx, value)))
+    logEvent("metadata changed", s"Metadata $field[$key] updated on $d/$collection")
+  }
+
+  private def removeMetaListEntries(collection: String, field: String,
+                                    keyField: String, key: String,
+                                    database: Option[String]): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    val cur = Jsons.loadMap(path)
+    val list = cur.get(field).map(_.asInstanceOf[Seq[Any]]).getOrElse(Seq.empty)
+    val kept = list.filterNot(
+      _.asInstanceOf[Map[String, Any]].get(keyField).contains(key))
+    Jsons.save(path, cur + (field -> kept))
+    logEvent("metadata changed", s"Metadata $field[$key] removed on $d/$collection")
+  }
+
+  def updateProvider(collection: String, name: String, p: Stac.Provider,
+                     database: Option[String] = None): Unit =
+    updateMetaListEntry(collection, "providers", "name", name, p.toMap, database)
+
+  def removeProvider(collection: String, name: String,
+                     database: Option[String] = None): Unit =
+    removeMetaListEntries(collection, "providers", "name", name, database)
+
+  def updateLink(collection: String, rel: String, l: Stac.Link,
+                 database: Option[String] = None): Unit =
+    updateMetaListEntry(collection, "links", "rel", rel, l.toMap, database)
+
+  def removeLink(collection: String, rel: String,
+                 database: Option[String] = None): Unit =
+    removeMetaListEntries(collection, "links", "rel", rel, database)
+
+  private def removeKeyedMeta(collection: String, group: String, name: String,
+                              database: Option[String]): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val path = catalog.metadataPath(d, collection)
+    val cur = Jsons.loadMap(path)
+    val m = cur.get(group).map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+    Jsons.save(path, cur + (group -> (m - name)))
+    logEvent("metadata changed", s"Metadata $group.$name removed on $d/$collection")
+  }
+
+  def removeAsset(collection: String, name: String,
+                  database: Option[String] = None): Unit =
+    removeKeyedMeta(collection, "assets", name, database)
+
+  def removeItemAsset(collection: String, name: String,
+                      database: Option[String] = None): Unit =
+    removeKeyedMeta(collection, "item_assets", name, database)
+
   private def to4326Envelope(minx: Double, miny: Double, maxx: Double, maxy: Double,
                              srid: Int): (Double, Double, Double, Double) =
     if (srid == 4326) (minx, miny, maxx, maxy)

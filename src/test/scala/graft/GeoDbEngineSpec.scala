@@ -282,6 +282,37 @@ class GeoDbEngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Stac.Provider("X", roles = Seq("owner")))
   }
 
+  test("nested STAC upsert: update/remove individual list entries (geodb.sql:1869-2036)") {
+    import graft.meta.Stac
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("stac2", Seq("v" -> "integer"))
+    db.addProvider("stac2", Stac.Provider("ACME", "maps"))
+    db.addProvider("stac2", Stac.Provider("Other", "tiles"))
+    db.addLink("stac2", Stac.Link("self", "https://example.org/a"))
+    db.addAsset("stac2", "thumb", Stac.Asset("https://example.org/t.png"))
+    // field-wise typed update of one provider, keyed by name
+    db.updateProvider("stac2", "ACME", Stac.Provider("ACME", "better maps"))
+    val provs = db.getMetadata("stac2")("providers").asInstanceOf[Seq[Map[String, Any]]]
+    assert(provs.size == 2)
+    assert(provs.find(_("name") == "ACME").get("description") == "better maps")
+    // update of a missing entry is an error, not an append
+    intercept[IllegalArgumentException](
+      db.updateProvider("stac2", "nope", Stac.Provider("nope")))
+    // removals
+    db.removeProvider("stac2", "Other")
+    assert(db.getMetadata("stac2")("providers")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("name")) == Seq("ACME"))
+    db.removeLink("stac2", "self")
+    assert(db.getMetadata("stac2")("links").asInstanceOf[Seq[Any]].isEmpty)
+    db.removeAsset("stac2", "thumb")
+    assert(db.getMetadata("stac2")("assets").asInstanceOf[Map[String, Any]].isEmpty)
+    // scalar field unset + typed get
+    db.setMetadataField("stac2", "title", "T")
+    assert(db.getMetadataField("stac2", "title").contains("T"))
+    db.unsetMetadataField("stac2", "title")
+    assert(db.getMetadataField("stac2", "title").isEmpty)
+  }
+
   test("STAC metadata get/set + spatial extent normalize (§1.4)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("mc", Seq("v" -> "integer"))

@@ -45,6 +45,58 @@ class GeoSourcesSpec extends SparkSpec {
     assert(df.select(st_x($"geometry")).as[Double].collect().sorted.toSeq == Seq(1.0, 2.0))
   }
 
+  test("shapefile: point roundtrip with typed dbf attributes") {
+    import graft.sources.Shapefile
+    val dir = tmpDir("shp-src")
+    val src = Seq((1L, "alpha", 1.5, true), (2L, "beta", -2.25, false))
+      .toDF("id", "name", "score", "flag")
+      .withColumn("geometry", st_point($"id".cast("double") * 10, lit(3.0)))
+    Shapefile.writePoints(src, s"$dir/layer")
+    val back = Shapefile.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(back.schema("flag").dataType == org.apache.spark.sql.types.BooleanType)
+    val rows = back.orderBy("id")
+      .select($"id", $"name", $"score", $"flag", st_x($"geometry"), st_y($"geometry"))
+      .collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha")
+    assert(math.abs(rows(0).getDouble(2) - 1.5) < 1e-9 && rows(0).getBoolean(3))
+    assert(rows(0).getDouble(4) == 10.0 && rows(0).getDouble(5) == 3.0)
+    assert(rows(1).getLong(0) == 2L && !rows(1).getBoolean(3))
+    assert(math.abs(rows(1).getDouble(2) + 2.25) < 1e-9)
+  }
+
+  test("shapefile: polygon with hole and polyline records parse") {
+    import graft.sources.Shapefile
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = tmpDir("shp-poly")
+    // hand-build a .shp: one Polygon record (outer CW ring + CCW hole)
+    // and verify ring assembly; spec offsets from the public whitepaper
+    val outer = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)) // CW
+    val hole = Array((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))      // CCW
+    val pts = outer ++ hole
+    val content = 4 + 32 + 8 + 2 * 4 + pts.length * 16
+    val b = ByteBuffer.allocate(100 + 8 + content)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994); b.putInt(24, (100 + 8 + content) / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN); b.putInt(28, 1000); b.putInt(32, 5)
+    b.order(ByteOrder.BIG_ENDIAN); b.putInt(100, 1); b.putInt(104, content / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    val s = 108
+    b.putInt(s, 5) // polygon
+    b.putInt(s + 36, 2); b.putInt(s + 40, pts.length)
+    b.putInt(s + 44, 0); b.putInt(s + 48, outer.length)
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      b.putDouble(s + 52 + i * 16, x); b.putDouble(s + 60 + i * 16, y)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "poly.shp"), b.array())
+    val df = Shapefile.read(spark, dir)
+    val g = df.select($"geometry").head.getAs[Array[Byte]](0)
+    assert(graft.core.GeoOps.geometryType(g).toString == "POLYGON")
+    assert(math.abs(graft.core.GeoOps.area(g) - (100.0 - 4.0)) < 1e-9) // hole cut out
+  }
+
   test("CSV with WKT geometry column") {
     val dir = tmpDir("wktcsv-src")
     Files.writeString(Paths.get(dir, "data.csv"),
