@@ -411,7 +411,10 @@ object SparkEntry {
         TextAnalysis.charCount(col("text")).as("n_chars"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        TextAnalysis.digitRatio(col("text")).as("digit_ratio"))
+        TextAnalysis.digitRatio(col("text")).as("digit_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanWordLength(col("text")).as("mean_word_len"))
         .orderBy("doc_id")
     }),
     "q35_langid_fingerprint" -> ((s, dir) => { ensure(s)
@@ -728,7 +731,11 @@ object SparkEntry {
     "q33_embed_pairs" ->
       "SELECT a.vec_id AS id, b.vec_id AS id2 FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5 ORDER BY id, id2",
     "q34_text_profile" ->
-      "SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens, CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents ORDER BY doc_id",
+      ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens, CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio, " +
+       "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio, " +
+       "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','was','for','with','as','on','at','this'], t))) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+')) AS stopword_ratio, " +
+       "CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) END AS mean_word_len " +
+       "FROM documents ORDER BY doc_id"),
     "q36_content_hash" ->
       "SELECT doc_id, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
     "q37_multimodal_bytes" ->

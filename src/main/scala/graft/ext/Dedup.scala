@@ -253,15 +253,33 @@ object Dedup {
     df.join(dupes, df(idCol) === col("_dup"), "left_anti")
   }
 
-  /** Embedding near-dup: hyperplane-LSH buckets + exact cosine verify. */
+  /**
+   * Embedding near-dup: MULTI-BAND hyperplane-LSH buckets + exact cosine
+   * verify. One nbits-bit signature alone under-recalls even close pairs
+   * (cos 0.95 => ~0.9 per-bit agreement => 0.43 for a 16-bit bucket);
+   * `bands` independent signatures push recall to 1-(1-p^nbits)^bands
+   * (~0.99 for 8x8 at cos 0.95). Shuffle layout mirrors minhashPairs:
+   * only slim (id, band, bucket) tuples ride the explode/self-join, and
+   * vectors join back for the candidate set only.
+   */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-                     threshold: Double = 0.95, nbits: Int = 16,
-                     seed: Long = 42L): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplane_sig(col(vecCol), lit(nbits), lit(seed)).as("bucket"))
-    val r = sigs.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    sigs.join(r, Seq("bucket"))
+                     threshold: Double = 0.95, nbits: Int = 8,
+                     bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          hyperplane_sig(col("v"), lit(nbits), lit(seed + b * 0x9e3779b9L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val candidates = banded
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id2")),
+        Seq("band", "bucket"))
       .filter(col("id") < col("id2"))
+      .select("id", "id2")
+      .distinct()
+    candidates
+      .join(vecs, Seq("id"))
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .select(col("id"), col("id2"), cosine_sim(col("v"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

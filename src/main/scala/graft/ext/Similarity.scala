@@ -71,9 +71,9 @@ object Similarity {
     rankTopK(cands, k)
   }
 
-  /** All pairs above a cosine threshold (via LSH buckets). */
+  /** All pairs above a cosine threshold (via multi-band LSH buckets). */
   def similarPairs(df: DataFrame, vecCol: String, idCol: String,
-                   threshold: Double = 0.9, nbits: Int = 12,
-                   seed: Long = 42L): DataFrame =
-    Dedup.embeddingPairs(df, vecCol, idCol, threshold, nbits, seed)
+                   threshold: Double = 0.9, nbits: Int = 8,
+                   bands: Int = 8, seed: Long = 42L): DataFrame =
+    Dedup.embeddingPairs(df, vecCol, idCol, threshold, nbits, bands, seed)
 }
