@@ -592,6 +592,70 @@ object SparkEntry {
         "n_providers" -> md("providers").asInstanceOf[Seq[Any]].size.toString
       ).toDF("field", "value").orderBy("field")
     }),
+    "q55_engine_info" -> ((s, dir) => { ensure(s)
+      // D6/C5/A6: properties introspection, srid, version, whoami,
+      // subscription, usage accounting — all as oracle-pinned rows
+      val db = tmpDb(s, "info")
+      db.createCollection("c", Seq("a" -> "int4", "b" -> "text"))
+      db.insertIntoCollection("c", regionWithGeom(s, dir)
+        .select(col("r_regionkey").as("a"), col("r_name").as("b"), col("geometry")))
+      val props = db.getProperties("c").collect()
+        .map(r => s"prop:${r.getString(0)}" -> r.getString(1)).toSeq
+      import s.implicits._
+      (props ++ Seq(
+        "srid" -> db.getCollectionSrid("c").toString,
+        "version" -> db.version,
+        "whoami" -> db.whoami,
+        "subscription" -> db.mySubscription,
+        "usage_nonzero" -> (db.getMyUsage().asInstanceOf[Long] > 0).toString,
+        "capabilities_n" -> db.capabilities.size.toString
+      )).toDF("key", "value").orderBy("key")
+    }),
+    "q56_extent_estimated" -> ((s, dir) => { ensure(s)
+      // G1/G2: exact extent vs stat-column estimated extent — identical
+      // for point collections, both oracle-checked numerically
+      val db = tmpDb(s, "ext")
+      db.createCollection("pts", Seq("n_nationkey" -> "integer"))
+      db.insertIntoCollection("pts", ld(s, dir, "nation")
+        .withColumn("geometry", st_point(col("n_nationkey").cast("double"),
+          col("n_regionkey").cast("double"))))
+      import s.implicits._
+      Seq("exact" -> db.getCollectionBbox("pts", exact = true).get,
+          "estimated" -> db.getCollectionBbox("pts", exact = false).get)
+        .map { case (kind, (ymin, xmin, ymax, xmax)) => (kind, xmin, ymin, xmax, ymax) }
+        .toDF("kind", "xmin", "ymin", "xmax", "ymax").orderBy("kind")
+    }),
+    "q57_engine_eventlog" -> ((s, dir) => { ensure(s)
+      // E1/E2: the ENGINE's own audit log (26-type vocabulary), queried
+      // back through getEventLog LIKE filters — q24 covers the analytics
+      // path over the testdata events table; this covers the engine sink
+      val db = tmpDb(s, "ev")
+      db.eventLogging = true
+      db.createCollection("e1", Seq("v" -> "int4"))
+      db.insertIntoCollection("e1", regionWithGeom(s, dir)
+        .select(col("r_regionkey").as("v"), col("geometry")))
+      db.updateCollection("e1", Map("v" -> 0), "v=gte.3")
+      db.deleteFromCollection("e1", "v=eq.0")
+      db.dropCollection("e1")
+      db.getEventLog()
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+    "q58_engine_databases" -> ((s, dir) => { ensure(s)
+      // D8/D9: database lifecycle — create, exists, list, truncate
+      val db = tmpDb(s, "dbs")
+      db.createDatabase("aux_db")
+      val created = db.databaseExists("aux_db")
+      db.createCollection("c", Seq("v" -> "int4"), database = Some("aux_db"))
+      val listed = db.getMyDatabases.contains("aux_db")
+      val collListed = db.collectionExists("c", Some("aux_db"))
+      db.truncateDatabase("aux_db")
+      val gone = !db.databaseExists("aux_db")
+      import s.implicits._
+      Seq(("collection_listed", collListed), ("created", created),
+        ("listed", listed), ("truncated_gone", gone))
+        .toDF("step", "ok").orderBy("step")
+    }),
     "q54_shapefile_roundtrip" -> ((s, dir) => { ensure(s)
       // S4: shapefile sink -> DISTRIBUTED shapefile source -> frame; the
       // oracle sees the same rows straight from the parquet region table
@@ -762,6 +826,22 @@ object SparkEntry {
       "SELECT field, value FROM (VALUES ('bbox', '0.0,0.0,10.0,20.0'), ('id', 'gate_user_c'), ('n_providers', '1'), ('stac_version', '1.1.0'), ('title', 'Gate collection')) AS t(field, value) ORDER BY field",
     "q54_shapefile_roundtrip" ->
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q55_engine_info" ->
+      ("SELECT key, value FROM (VALUES ('capabilities_n', '1'), ('prop:a', 'int'), ('prop:b', 'string'), " +
+       "('prop:created_at', 'timestamp'), ('prop:geometry', 'binary'), ('prop:id', 'bigint'), " +
+       "('prop:modified_at', 'timestamp'), ('srid', '4326'), ('subscription', 'manage'), " +
+       "('usage_nonzero', 'true'), ('version', '0.1.0'), ('whoami', 'gate_user')) t(key, value) ORDER BY key"),
+    "q56_extent_estimated" ->
+      ("SELECT 'estimated' AS kind, CAST(min(n_nationkey) AS DOUBLE) AS xmin, CAST(min(n_regionkey) AS DOUBLE) AS ymin, " +
+       "CAST(max(n_nationkey) AS DOUBLE) AS xmax, CAST(max(n_regionkey) AS DOUBLE) AS ymax FROM nation " +
+       "UNION ALL SELECT 'exact', CAST(min(n_nationkey) AS DOUBLE), CAST(min(n_regionkey) AS DOUBLE), " +
+       "CAST(max(n_nationkey) AS DOUBLE), CAST(max(n_regionkey) AS DOUBLE) FROM nation ORDER BY kind"),
+    "q57_engine_eventlog" ->
+      ("SELECT event_type, CAST(cnt AS BIGINT) AS cnt FROM (VALUES ('added rows', 1), ('created', 1), " +
+       "('dropped', 1), ('dropped rows', 1), ('updated', 1)) t(event_type, cnt) ORDER BY event_type"),
+    "q58_engine_databases" ->
+      ("SELECT step, ok FROM (VALUES ('collection_listed', true), ('created', true), ('listed', true), " +
+       "('truncated_gone', true)) t(step, ok) ORDER BY step"),
     "q49_bbox_within" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) <= 5 AND (l_partkey % 13) + l_linenumber >= 9 AND (l_suppkey % 11) <= 5 AND (l_suppkey % 11) + l_linenumber >= 9 ORDER BY l_orderkey, l_linenumber",
     "q50_bbox_touches" ->
