@@ -592,6 +592,40 @@ object SparkEntry {
         "n_providers" -> md("providers").asInstanceOf[Seq[Any]].size.toString
       ).toDF("field", "value").orderBy("field")
     }),
+    "q59_sql_passthrough" -> ((s, dir) => { ensure(s)
+      // registerTempViews: raw spark.sql over {db}_{collection} views with
+      // the geo function surface available (geodb.py:1862-1863 naming)
+      val db = tmpDb(s, "sqlv")
+      db.createCollection("regions", Seq("r_regionkey" -> "integer", "r_name" -> "text"))
+      db.insertIntoCollection("regions", regionWithGeom(s, dir))
+      db.registerTempViews()
+      s.sql("""SELECT r_regionkey, r_name, st_x(geometry) AS gx
+               FROM gate_user_regions ORDER BY r_regionkey""")
+    }),
+    "q60_stream_window_live" -> ((s, dir) => { ensure(s)
+      // §2.13 REAL Structured Streaming run (not the batch equivalent —
+      // that is q25): file stream -> watermark + tumbling window ->
+      // AvailableNow -> memory sink; deterministic columns only
+      import org.apache.spark.sql.streaming.Trigger
+      // the file-stream source wants a directory: stage the single file
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val events = EventStream.read(s, stage.toString)
+      val agg = events
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      val qname = "gate_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(qname)
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("hour_epoch", "event_type")
+    }),
     "q55_engine_info" -> ((s, dir) => { ensure(s)
       // D6/C5/A6: properties introspection, srid, version, whoami,
       // subscription, usage accounting — all as oracle-pinned rows
@@ -826,6 +860,10 @@ object SparkEntry {
       "SELECT field, value FROM (VALUES ('bbox', '0.0,0.0,10.0,20.0'), ('id', 'gate_user_c'), ('n_providers', '1'), ('stac_version', '1.1.0'), ('title', 'Gate collection')) AS t(field, value) ORDER BY field",
     "q54_shapefile_roundtrip" ->
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q59_sql_passthrough" ->
+      "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q60_stream_window_live" ->
+      "SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type",
     "q55_engine_info" ->
       ("SELECT key, value FROM (VALUES ('capabilities_n', '1'), ('prop:a', 'int'), ('prop:b', 'string'), " +
        "('prop:created_at', 'timestamp'), ('prop:geometry', 'binary'), ('prop:id', 'bigint'), " +
