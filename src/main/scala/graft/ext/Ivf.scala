@@ -150,6 +150,33 @@ object Ivf {
       element_at(call_function(f, col(vecCol)), 1))
   }
 
+  /**
+   * Materialize the assigned corpus PARTITIONED BY ivf_cell — the 100 TB
+   * layout: each cell is a parquet directory, so a search probing nprobe
+   * cells prunes every other partition at planning time (PartitionFilters,
+   * no file listing of unprobed cells). Write once, search many.
+   */
+  def writePartitioned(assignedCorpus: DataFrame, path: String): Unit =
+    assignedCorpus.write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(path)
+
+  /** Search over a [[writePartitioned]] layout. The probed-cell set is
+    * computed from the (small, broadcastable-by-assumption) query frame
+    * first, so `ivf_cell IN (...)` is a STATIC PartitionFilter: unprobed
+    * cell directories are never listed, let alone scanned. */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, model: Model,
+                        vecCol: String, idCol: String, k: Int = 10,
+                        nprobe: Int = 4): DataFrame = {
+    val fname = cellsFn(queries, model, nprobe)
+    val probed = queries
+      .select(explode(call_function(fname, col(vecCol))).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probed: _*))
+    search(corpus, queries, model, vecCol, idCol, k, nprobe)
+  }
+
   /** Search: probe `nprobe` cells per query, rank with the bounded heap. */
   def search(assignedCorpus: DataFrame, queries: DataFrame, model: Model,
              vecCol: String, idCol: String, k: Int = 10,

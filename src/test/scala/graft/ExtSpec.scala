@@ -153,6 +153,33 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF partitioned layout: static partition pruning, same results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Ivf.train(emb, "embedding", k = 8, maxIter = 5)
+    val assigned = Ivf.assign(emb, "embedding", model)
+    val path = tmpDir("ivf-part") + "/corpus"
+    Ivf.writePartitioned(assigned, path)
+    // one directory per cell on disk
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("ivf_cell=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.length <= 8)
+    val queries = emb.filter($"vec_id" < 10)
+    val viaPartitions = Ivf.searchPartitioned(spark, path, queries, model,
+        "embedding", "vec_id", k = 5, nprobe = 4)
+    // probed-cell filter reaches the scan as a PartitionFilter (directory
+    // pruning), not a data filter
+    val planStr = viaPartitions.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("ivf_cell"),
+      s"expected partition pruning in:\n$planStr")
+    val expected = Ivf.search(assigned, queries, model, "embedding", "vec_id",
+        k = 5, nprobe = 4)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = viaPartitions.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("text analysis profile over real documents table") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prof = TextAnalysis.profile(docsReal, "text", "doc_id")
