@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.core.GeoOps
@@ -28,19 +28,30 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if !references(cond, statNames) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val extra = conjuncts.flatMap {
+      def extrasFor(target: LogicalPlan): Seq[Expression] = conjuncts.flatMap {
         case StRelation(mode, q, g: Attribute) if q.foldable =>
-          statsFor(child, g).flatMap { s =>
+          statsFor(target, g).flatMap { s =>
             prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = true)
           }
         case StRelation(mode, g: Attribute, q) if q.foldable =>
-          statsFor(child, g).flatMap { s =>
+          statsFor(target, g).flatMap { s =>
             prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = false)
           }
         case _ => None
       }
-      if (extra.isEmpty) f
-      else Filter((conjuncts ++ extra).reduce(And), child)
+      val direct = extrasFor(child)
+      if (direct.nonEmpty) Filter((conjuncts ++ direct).reduce(And), child)
+      else child match {
+        // stat columns pruned away by a projection — the shape of every
+        // registered temp view (readCollection selects the user schema).
+        // Inject the prefilter BELOW the project, where the stats are
+        // still visible; sound because the conjunct is implied by `cond`.
+        case Project(projList, grandchild) =>
+          val below = extrasFor(grandchild)
+          if (below.isEmpty) f
+          else Filter(cond, Project(projList, Filter(below.reduce(And), grandchild)))
+        case _ => f
+      }
   }
 
   private def references(e: Expression, names: Seq[String]): Boolean =

@@ -99,6 +99,24 @@ class PlanRuleSpec extends SparkSpec {
     assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("prefilter injected BELOW a stats-pruning projection (temp-view shape)") {
+    // parquet-backed so the projection survives into the optimized plan
+    // (LocalRelation frames get constant-folded before our rule runs)
+    val dir = java.nio.file.Files.createTempDirectory("prune-view").toString
+    statDf.write.mode("overwrite").parquet(dir)
+    val view = spark.read.parquet(dir).select("id", "x", "y", "geometry")
+    val q = view.filter(st_contains(
+      st_makeenvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0)), $"geometry"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_bbox_minx"),
+      s"expected prefilter below the projection in:\n$optimized")
+    // pushed all the way into the scan
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("_bbox_minx"),
+      s"expected stat-column pushdown in:\n$physical")
+    assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("join-safe: predicate on one side never prunes via the other's stats") {
     // A's rows are all far from the query box; B's geometry matches it.
     // Resolving stats by NAME would pick A's stat columns for the predicate
