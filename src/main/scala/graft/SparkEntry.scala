@@ -592,6 +592,19 @@ object SparkEntry {
         "n_providers" -> md("providers").asInstanceOf[Seq[Any]].size.toString
       ).toDF("field", "value").orderBy("field")
     }),
+    "q61_engine_geoserver" -> ((s, dir) => { ensure(s)
+      // S6: GeoServer publication registry (API-parity state layer; the
+      // reference's layer naming {db}_{collection}, geodb.py:2151-2284)
+      val db = tmpDb(s, "gs")
+      db.createCollection("lakes", Seq("v" -> "int4"))
+      val entry = db.publishGs("lakes")
+      val n1 = db.getPublishedGs().count()
+      db.unpublishGs("lakes")
+      val n2 = db.getPublishedGs().count()
+      import s.implicits._
+      Seq(("after_unpublish_n", n2.toString), ("layer", entry("layer").toString),
+        ("published_n", n1.toString)).toDF("key", "value").orderBy("key")
+    }),
     "q59_sql_passthrough" -> ((s, dir) => { ensure(s)
       // registerTempViews: raw spark.sql over {db}_{collection} views with
       // the geo function surface available (geodb.py:1862-1863 naming)
@@ -862,6 +875,8 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q59_sql_passthrough" ->
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q61_engine_geoserver" ->
+      "SELECT key, value FROM (VALUES ('after_unpublish_n', '0'), ('layer', 'gate_user_lakes'), ('published_n', '1')) t(key, value) ORDER BY key",
     "q60_stream_window_live" ->
       "SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type",
     "q55_engine_info" ->

@@ -43,6 +43,7 @@ class CollectionCatalog(val warehouse: String) {
   def grantsPath: String = sys("grants.json")
   def groupsPath: String = sys("groups.json")
   def usersPath: String = sys("users.json")
+  def geoserverPath: String = sys("geoserver.json")
   def eventLogDir: String = sys("eventlog")
   def metadataPath(db: String, coll: String): String = sys(s"metadata/$db.$coll.json")
 

@@ -572,6 +572,58 @@ class GeoDb(
         .map(StructField(_, StringType))))
   }
 
+  // ---- GeoServer publication registry (S6) ----
+  // The reference's publish_gs family (geodb.py:2151-2284) provisions a
+  // SQL-view layer on a companion GeoServer instance over HTTP. A Spark
+  // engine has no companion map server, so this is the API-PARITY STATE
+  // LAYER: the publication registry, layer naming (`{db}_{collection}`,
+  // the reference's convention), access checks, and audit events are
+  // real; actual WMS/WFS serving is out of scope (documented — an OGC
+  // frontend would read this registry plus the collection parquet).
+
+  private def gsRegistry: Seq[Map[String, Any]] =
+    Jsons.loadSeq(catalog.geoserverPath).map(_.asInstanceOf[Map[String, Any]])
+  private def setGsRegistry(g: Seq[Map[String, Any]]): Unit =
+    Jsons.save(catalog.geoserverPath, g)
+
+  /** Publish a collection as a (virtual) GeoServer layer; returns the
+    * layer descriptor the reference's client would hand to WMS users. */
+  def publishGs(collection: String, database: Option[String] = None): Map[String, Any] = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val layer = s"${d}_$collection"
+    val entry = Map[String, Any]("database" -> d, "collection" -> collection,
+      "layer" -> layer, "srid" -> metaOf(d, collection).srid)
+    if (!gsRegistry.exists(_("layer") == layer))
+      setGsRegistry(gsRegistry :+ entry)
+    logEvent(EventType.PublishedGs, s"Collection $d/$collection published to geoserver")
+    entry
+  }
+
+  def unpublishGs(collection: String, database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    setGsRegistry(gsRegistry.filterNot(g =>
+      g("database") == d && g("collection") == collection))
+    logEvent(EventType.UnpublishedGs, s"Collection $d/$collection unpublished from geoserver")
+  }
+
+  /** Layers published from one database (get_published_gs). */
+  def getPublishedGs(database: Option[String] = None): DataFrame =
+    gsFrame(gsRegistry.filter(_("database") == db(database)))
+
+  /** Every published layer (get_all_published_gs). */
+  def getAllPublishedGs: DataFrame = gsFrame(gsRegistry)
+
+  private def gsFrame(entries: Seq[Map[String, Any]]): DataFrame = {
+    val rows = entries.map(e => Row(e("database").toString,
+      e("collection").toString, e("layer").toString, e("srid").toString.toInt))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(StructField("database", StringType),
+        StructField("collection", StringType), StructField("layer", StringType),
+        StructField("srid", IntegerType))))
+  }
+
   // ---- groups (C2) ----
   def createGroup(name: String): Unit = {
     // 'manage' subscription required (geodb.sql:1525-1529); unregistered

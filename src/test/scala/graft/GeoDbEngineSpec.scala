@@ -179,6 +179,24 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(rows(1).isNullAt(2), "explicit NULL in upsert payload must clear the field")
   }
 
+  test("GeoServer publication registry (S6 state layer)") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("gs1", Seq("v" -> "integer"))
+    val entry = db.publishGs("gs1")
+    assert(entry("layer") == "geodb_user_gs1") // reference naming
+    assert(db.getPublishedGs().count() == 1)
+    assert(db.getAllPublishedGs.select("layer").head.getString(0) == "geodb_user_gs1")
+    // idempotent republish
+    db.publishGs("gs1")
+    assert(db.getPublishedGs().count() == 1)
+    db.unpublishGs("gs1")
+    assert(db.getPublishedGs().count() == 0)
+    // audit events logged with the reference vocabulary
+    val evs = db.getEventLog("%geoserver%").select("event_type")
+      .collect().map(_.getString(0)).toSet
+    assert(evs == Set("published to geoserver", "unpublished from geoserver"))
+  }
+
   test("rename moves STAC metadata with the collection") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("cm", Seq("v" -> "integer"))

@@ -88,6 +88,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: rect-rect fast path == raw JTS topology (integer grid)") {
+    // relate()'s interval-arithmetic fast path must agree with full JTS
+    // topology; an integer grid makes boundary contact (touches, equals,
+    // shared edges) actually occur, unlike random doubles
+    val genEnv = for {
+      x <- Gen.choose(0, 10); y <- Gen.choose(0, 10)
+      w <- Gen.choose(1, 6); h <- Gen.choose(1, 6)
+    } yield (x.toDouble, y.toDouble, (x + w).toDouble, (y + h).toDouble)
+    forAllSampled(Gen.zip(genEnv, genEnv), 80) { case (a, b) =>
+      val ga = GeoOps.makeEnvelope(a._1, a._2, a._3, a._4)
+      val gb = GeoOps.makeEnvelope(b._1, b._2, b._3, b._4)
+      val ja = GeoOps.read(ga); val jb = GeoOps.read(gb)
+      val expected = Map(
+        "within" -> ja.within(jb), "contains" -> ja.contains(jb),
+        "intersects" -> ja.intersects(jb), "touches" -> ja.touches(jb),
+        "overlaps" -> ja.overlaps(jb), "crosses" -> ja.crosses(jb),
+        "disjoint" -> ja.disjoint(jb), "equals" -> ja.equalsTopo(jb))
+      expected.foreach { case (m, want) =>
+        assert(GeoOps.relate(GeoOps.modeId(m), ga, gb) == want,
+          s"mode $m disagrees with raw JTS for $a vs $b")
+      }
+    }
+  }
+
   test("array ops: cs / cd / ov") {
     val adf = Seq(
       (1L, Seq("a", "b", "c")),
