@@ -639,6 +639,33 @@ object SparkEntry {
           col("event_type"), col("cnt"), col("sum_value"))
         .orderBy("hour_epoch", "event_type")
     }),
+    "q62_stream_sessions" -> ((s, dir) => { ensure(s)
+      // §2.13 sessionization: 30-min gap session_window, verified against
+      // a DuckDB gaps-and-islands construction of the same sessions
+      EventStream.loadEvents(s, s"$dir/events.parquet")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("session_window.start")).as("session_start"),
+          col("user_id"), col("cnt"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+    "q63_stream_state" -> ((s, dir) => { ensure(s)
+      // §2.13 custom state via flatMapGroupsWithState: running per-user
+      // counters, driven by a REAL AvailableNow stream into a memory sink;
+      // one batch => final state equals the batch aggregate (counts only —
+      // per-key double accumulation order is not deterministic)
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-state")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val counters = EventStream.runningUserCounters(EventStream.read(s, stage.toString))
+      val qname = "gate_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = counters.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.table(qname).select(col("user_id"), col("n_events")).orderBy("user_id")
+    }),
     "q55_engine_info" -> ((s, dir) => { ensure(s)
       // D6/C5/A6: properties introspection, srid, version, whoami,
       // subscription, usage accounting — all as oracle-pinned rows
@@ -877,6 +904,13 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q61_engine_geoserver" ->
       "SELECT key, value FROM (VALUES ('after_unpublish_n', '0'), ('layer', 'gate_user_lakes'), ('published_n', '1')) t(key, value) ORDER BY key",
+    "q62_stream_sessions" ->
+      ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+       "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+       "SELECT CAST(floor(date_part('epoch', min(ts))) AS BIGINT) AS session_start, user_id, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value " +
+       "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "q63_stream_state" ->
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
     "q60_stream_window_live" ->
       "SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type",
     "q55_engine_info" ->
