@@ -452,6 +452,25 @@ object SparkEntry {
         .select(col("media_id"), size(col("features")).as("feat_dim"))
         .orderBy("media_id")
     }),
+    "q64_multimodal_frames" -> ((s, dir) => { ensure(s)
+      // frame sampling: n evenly-spaced windows; frame lengths are pure
+      // integer arithmetic over the deterministic payload length
+      val media = Multimodal.synthesize(ld(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, n = 4, frameSize = 64)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("int").as("frame_len"))
+        .orderBy("media_id", "frame_idx")
+    }),
+    "q65_multimodal_resize" -> ((s, dir) => { ensure(s)
+      // resize resamples payload bytes to w*h; byte 0 is the first char of
+      // the sha256 hex payload, which the oracle reproduces exactly
+      val media = Multimodal.synthesize(ld(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resize(media, w = 8, h = 8)
+        .select(col("media_id"), length(col("content")).cast("int").as("n_bytes"),
+          ascii(substring(col("content").cast("string"), 1, 1)).as("first_byte"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    }),
     // =====================================================================
     // Engine DDL/DML round-trip (create -> insert -> query through GeoDb)
     // =====================================================================
@@ -904,6 +923,14 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q61_engine_geoserver" ->
       "SELECT key, value FROM (VALUES ('after_unpublish_n', '0'), ('layer', 'gate_user_lakes'), ('published_n', '1')) t(key, value) ORDER BY key",
+    "q64_multimodal_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, LEAST(doc_id % 512 + 64, 512) AS len FROM documents), " +
+       "f AS (SELECT media_id, CAST(i AS INT) AS frame_idx, " +
+       "CAST(LEAST((i * len) // 4 + 64, len) - (i * len) // 4 AS INT) AS frame_len " +
+       "FROM m, range(0, 4) t(i)) SELECT * FROM f ORDER BY media_id, frame_idx"),
+    "q65_multimodal_resize" ->
+      ("SELECT doc_id AS media_id, 64 AS n_bytes, ascii(substr(sha256(text), 1, 1)) AS first_byte, " +
+       "8 AS width, 8 AS height FROM documents ORDER BY media_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
