@@ -342,12 +342,14 @@ object SparkEntry {
         .filter(col("_c").cast("double") /
           (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
         .select("id", "id2")
-      val caught = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
-        .select("id", "id2").join(exact, Seq("id", "id2"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-        caught.agg(count(lit(1)).as("_nc")))
-        .select(col("n_exact"),
-          (col("_nc").cast("double") / col("n_exact") >= 0.8).as("coverage_ok"))
+      // single pass: left-join the simhash hits onto the exact set and
+      // aggregate both the size and the coverage in one evaluation
+      val sim = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+        .select(col("id"), col("id2"), lit(1).as("_hit"))
+      exact.join(sim, Seq("id", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("_hit"), lit(0))).cast("double") / count(lit(1)) >= 0.8)
+            .as("coverage_ok"))
     }),
     "q30_ngram_jaccard" -> ((s, dir) => { ensure(s)
       Dedup.ngramJaccardPairs(ld(s, dir, "documents"), "text", "doc_id",

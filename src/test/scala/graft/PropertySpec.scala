@@ -112,6 +112,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: prepared-path relate (rect vs point/line) == raw JTS") {
+    // non-rectangle second operands exercise the PreparedGeometry path
+    // (and line operands the crosses logic); integer grid for boundary hits
+    val genRect = for {
+      x <- Gen.choose(0, 10); y <- Gen.choose(0, 10)
+      w <- Gen.choose(1, 6); h <- Gen.choose(1, 6)
+    } yield (x.toDouble, y.toDouble, (x + w).toDouble, (y + h).toDouble)
+    val genPt = for { x <- Gen.choose(0, 16); y <- Gen.choose(0, 16) } yield (x, y)
+    forAllSampled(Gen.zip(genRect, genPt, genPt), 60) { case (a, p1, p2) =>
+      val ga = GeoOps.makeEnvelope(a._1, a._2, a._3, a._4)
+      val pt = GeoOps.point(p1._1.toDouble, p1._2.toDouble)
+      val ln = GeoOps.makeLine(p1._1.toDouble, p1._2.toDouble,
+        p2._1.toDouble, p2._2.toDouble)
+      val ja = GeoOps.read(ga)
+      for (gb <- Seq(pt, ln)) {
+        val jb = GeoOps.read(gb)
+        val expected = Map(
+          "contains" -> ja.contains(jb), "intersects" -> ja.intersects(jb),
+          "touches" -> ja.touches(jb), "crosses" -> ja.crosses(jb),
+          "disjoint" -> ja.disjoint(jb), "within" -> ja.within(jb),
+          "overlaps" -> ja.overlaps(jb), "equals" -> ja.equalsTopo(jb))
+        expected.foreach { case (m, want) =>
+          assert(GeoOps.relate(GeoOps.modeId(m), ga, gb) == want,
+            s"mode $m disagrees for rect $a vs ${GeoOps.asText(gb)}")
+        }
+      }
+    }
+  }
+
   test("array ops: cs / cd / ov") {
     val adf = Seq(
       (1L, Seq("a", "b", "c")),
