@@ -193,6 +193,16 @@ object GeoOps {
       if (ea.getWidth > 0 && ea.getHeight > 0 && eb.getWidth > 0 && eb.getHeight > 0)
         return relateRects(mode, ea, eb)
     }
+    // rect × LineString (the bbox-vs-roads workload): parametric clipping
+    // decides every DE-9IM relation — PreparedGeometry only accelerates
+    // the intersects family for lines, not touches/crosses
+    if (ga.isRectangle && gb.isInstanceOf[LineString]) {
+      val ea = ga.getEnvelopeInternal
+      if (ea.getWidth > 0 && ea.getHeight > 0) {
+        val r = relateRectLine(mode, ea, gb.asInstanceOf[LineString])
+        if (r >= 0) return r == 1
+      }
+    }
     if (mode == EQUALS) return ga.equalsTopo(gb)
     mode match {
       case WITHIN     => pa.within(gb)
@@ -204,6 +214,75 @@ object GeoOps {
       case DISJOINT   => pa.disjoint(gb)
       case _ => throw new IllegalArgumentException(
         s"comparison mode $mode does not exist") // mirrors geodb.sql:1213
+    }
+  }
+
+  /**
+   * DE-9IM of a positive-area rectangle vs a LineString by Liang-Barsky
+   * parametric clipping. Returns 1/0 for true/false, or -1 to signal
+   * "fall back to JTS" (degenerate zero-length segments).
+   *
+   * Per segment p(t) = p0 + t*(p1-p0), t ∈ [0,1]:
+   *  - closed hit: the [t] interval satisfying minx<=x(t)<=maxx (closed
+   *    clip) is nonempty — segment meets the closed rectangle;
+   *  - open passage: the strict-inequality interval ∩ (0,1) is nonempty —
+   *    the segment INTERIOR meets the rectangle INTERIOR.
+   * With those, on a convex rectangle:
+   *  intersects = any closed hit            disjoint = none
+   *  touches    = hit && no passage         crosses = passage && not all
+   *  contains   = all vertices inside closed rect && passage   inside
+   *  within / overlaps / equals = false (dimension mismatch).
+   */
+  private def relateRectLine(mode: Int, a: Envelope, line: LineString): Int = {
+    val cs = line.getCoordinateSequence
+    val n = cs.size
+    if (n < 2) return -1
+    var anyClosed = false
+    var anyPassage = false
+    var allInside = true
+    var i = 0
+    while (i < n - 1) {
+      val x0 = cs.getX(i); val y0 = cs.getY(i)
+      val x1 = cs.getX(i + 1); val y1 = cs.getY(i + 1)
+      if (x0 == x1 && y0 == y1) return -1 // degenerate: let JTS decide
+      val dx = x1 - x0; val dy = y1 - y0
+      // closed clip over t in [0,1]
+      var lo = 0.0; var hi = 1.0
+      var loOpen = 0.0; var hiOpen = 1.0
+      var emptyClosed = false; var emptyOpen = false
+      def clip(p0: Double, d: Double, lov: Double, hiv: Double): Unit = {
+        if (d == 0.0) {
+          if (p0 < lov || p0 > hiv) emptyClosed = true
+          if (p0 <= lov || p0 >= hiv) emptyOpen = true
+        } else {
+          var t1 = (lov - p0) / d; var t2 = (hiv - p0) / d
+          if (t1 > t2) { val t = t1; t1 = t2; t2 = t }
+          if (t1 > lo) lo = t1
+          if (t2 < hi) hi = t2
+          if (t1 > loOpen) loOpen = t1
+          if (t2 < hiOpen) hiOpen = t2
+        }
+      }
+      clip(x0, dx, a.getMinX, a.getMaxX)
+      clip(y0, dy, a.getMinY, a.getMaxY)
+      if (!emptyClosed && lo <= hi) anyClosed = true
+      if (!emptyOpen && loOpen < hiOpen) anyPassage = true
+      if (x0 < a.getMinX || x0 > a.getMaxX || y0 < a.getMinY || y0 > a.getMaxY)
+        allInside = false
+      i += 1
+    }
+    val xl = cs.getX(n - 1); val yl = cs.getY(n - 1)
+    if (xl < a.getMinX || xl > a.getMaxX || yl < a.getMinY || yl > a.getMaxY)
+      allInside = false
+    def b(v: Boolean) = if (v) 1 else 0
+    mode match {
+      case INTERSECTS => b(anyClosed)
+      case DISJOINT   => b(!anyClosed)
+      case TOUCHES    => b(anyClosed && !anyPassage)
+      case CROSSES    => b(anyPassage && !allInside)
+      case CONTAINS   => b(allInside && anyPassage)
+      case WITHIN | OVERLAPS | EQUALS => 0
+      case _ => -1
     }
   }
 
