@@ -152,6 +152,9 @@ class GeoDb(
     catalog.deleteCollection(d, collection)
     setGrants(grants.filterNot(g =>
       g("database") == d && g("collection") == collection))
+    // cascade: publications die with the collection (geodb.sql:371-373)
+    setGsRegistry(gsRegistry.filterNot(g =>
+      g("database") == d && g("collection") == collection))
     logEvent(EventType.Dropped, s"Collection $d/$collection dropped")
   }
 

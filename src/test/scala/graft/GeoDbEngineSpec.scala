@@ -195,6 +195,10 @@ class GeoDbEngineSpec extends SparkSpec {
     val evs = db.getEventLog("%geoserver%").select("event_type")
       .collect().map(_.getString(0)).toSet
     assert(evs == Set("published to geoserver", "unpublished from geoserver"))
+    // drop cascades the publication (geodb.sql:371-373)
+    db.publishGs("gs1")
+    db.dropCollection("gs1")
+    assert(db.getAllPublishedGs.count() == 0)
   }
 
   test("rename moves STAC metadata with the collection") {
