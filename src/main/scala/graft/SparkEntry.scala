@@ -454,6 +454,24 @@ object SparkEntry {
         .select(col("media_id"), size(col("features")).as("feat_dim"))
         .orderBy("media_id")
     }),
+    "q66_vocab_topk" -> ((s, dir) => { ensure(s)
+      // corpus vocabulary: top-50 tokens, deterministic tiebreak
+      TextAnalysis.topTokens(ld(s, dir, "documents"), "text", 50)
+    }),
+    "q67_decontaminate" -> ((s, dir) => { ensure(s)
+      // benchmark-contamination scan: needles are substrings of the first
+      // three documents, so hits (at least those three) are guaranteed and
+      // the oracle derives the same needles relationally
+      val docs = ld(s, dir, "documents")
+      val needles = docs.filter(col("doc_id") <= 3).orderBy("doc_id")
+        .select(substring(col("text"), 21, 30)).collect().map(_.getString(0)).toSeq
+      TextAnalysis.contaminated(docs, "text", needles)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q68_pii_scan" -> ((s, dir) => { ensure(s)
+      TextAnalysis.piiCounts(ld(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q64_multimodal_frames" -> ((s, dir) => { ensure(s)
       // frame sampling: n evenly-spaced windows; frame lengths are pure
       // integer arithmetic over the deterministic payload length
@@ -925,6 +943,15 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q61_engine_geoserver" ->
       "SELECT key, value FROM (VALUES ('after_unpublish_n', '0'), ('layer', 'gate_user_lakes'), ('published_n', '1')) t(key, value) ORDER BY key",
+    "q66_vocab_topk" ->
+      ("SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok FROM documents) " +
+       "GROUP BY tok ORDER BY n DESC, tok LIMIT 50"),
+    "q67_decontaminate" ->
+      ("WITH n AS (SELECT substr(text, 21, 30) AS needle FROM documents WHERE doc_id <= 3) " +
+       "SELECT doc_id FROM documents d WHERE EXISTS (SELECT 1 FROM n WHERE strpos(d.text, n.needle) > 0) ORDER BY doc_id"),
+    "q68_pii_scan" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+       "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4 FROM documents ORDER BY doc_id"),
     "q64_multimodal_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, LEAST(doc_id % 512 + 64, 512) AS len FROM documents), " +
        "f AS (SELECT media_id, CAST(i AS INT) AS frame_idx, " +

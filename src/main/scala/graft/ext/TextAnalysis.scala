@@ -69,6 +69,37 @@ object TextAnalysis {
     (lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + wordOk * 0.2)
   }
 
+  /** Corpus vocabulary: top-k whitespace tokens by frequency
+    * (deterministic tiebreak on the token). One explode + one
+    * map-side-combined hash aggregate — shuffle volume is #distinct
+    * tokens, not corpus bytes. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+
+  /** Benchmark decontamination: rows whose text contains ANY of the
+    * needle strings (evaluation-set contamination check). The needle set
+    * is broadcast as literals — the corpus is scanned once, no join. */
+  def contaminated(df: DataFrame, textCol: String, needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty, "needle set is empty")
+    df.filter(needles.map(n => col(textCol).contains(n)).reduce(_ || _))
+  }
+
+  /** The keep-side twin of [[contaminated]]. */
+  def decontaminate(df: DataFrame, textCol: String, needles: Seq[String]): DataFrame =
+    df.filter(!needles.map(n => col(textCol).contains(n)).reduce(_ || _))
+
+  /** PII-pattern counts per document (emails, IPv4) — the redaction
+    * pre-scan; codegen'd regexp_count, no UDFs. */
+  def piiCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("int").as("n_emails"),
+      regexp_count(col(textCol),
+        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")).cast("int").as("n_ipv4"))
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

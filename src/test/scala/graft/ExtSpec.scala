@@ -180,6 +180,29 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("vocab top-k / decontamination / pii scan") {
+    val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val top = TextAnalysis.topTokens(docsReal, "text", 10).collect()
+    assert(top.nonEmpty && top.length <= 10)
+    // frequencies non-increasing, tokens non-empty
+    assert(top.sliding(2).forall(p => p.length < 2 || p(0).getLong(1) >= p(1).getLong(1)))
+    assert(top.forall(_.getString(0).nonEmpty))
+    // contamination: a needle from doc 1 flags at least doc 1; the
+    // decontaminated side is the exact complement
+    val needle = docsReal.filter($"doc_id" === 1).select("text")
+      .head.getString(0).substring(10, 40)
+    val hit = TextAnalysis.contaminated(docsReal, "text", Seq(needle))
+    val kept = TextAnalysis.decontaminate(docsReal, "text", Seq(needle))
+    assert(hit.filter($"doc_id" === 1).count() == 1)
+    assert(hit.count() + kept.count() == docsReal.count())
+    // pii scan: synthetic docs contain an email iff the regex agrees with
+    // a plain contains('@') prefilter implication
+    val pii = TextAnalysis.piiCounts(docsReal, "text", "doc_id")
+    assert(pii.count() == docsReal.count())
+    val withAt = docsReal.filter($"text".contains("@")).count()
+    assert(pii.filter($"n_emails" > 0).count() <= withAt)
+  }
+
   test("text analysis profile over real documents table") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val prof = TextAnalysis.profile(docsReal, "text", "doc_id")
