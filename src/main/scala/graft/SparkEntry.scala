@@ -454,6 +454,31 @@ object SparkEntry {
         .select(col("media_id"), size(col("features")).as("feat_dim"))
         .orderBy("media_id")
     }),
+    "q69_dedup_keepers" -> ((s, dir) => { ensure(s)
+      // exact-dedup survivor set (min doc per content hash)
+      Dedup.exactKeepers(ld(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q70_dedup_cluster_keepers" -> ((s, dir) => { ensure(s)
+      // transitive-closure keepers over the exact-verified near-dup pairs
+      // (components + pointer doubling), vs a recursive-CTE oracle that
+      // computes the same connected components in SQL
+      val docs = ld(s, dir, "documents")
+      val sh = docs.select(col("doc_id").as("id"),
+        char_shingles(col("text"), lit(5)).as("sh"))
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+          shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
+        .join(sh, Seq("id"))
+        .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
+        .filter(col("_c").cast("double") /
+          (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
+        .select("id", "id2")
+      val dupes = Dedup.components(pairs)
+        .filter(col("node") =!= col("rep")).select(col("node").as("_dup"))
+      docs.join(dupes, docs("doc_id") === col("_dup"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "q66_vocab_topk" -> ((s, dir) => { ensure(s)
       // corpus vocabulary: top-50 tokens, deterministic tiebreak
       TextAnalysis.topTokens(ld(s, dir, "documents"), "text", 50)
@@ -943,6 +968,15 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q61_engine_geoserver" ->
       "SELECT key, value FROM (VALUES ('after_unpublish_n', '0'), ('layer', 'gate_user_lakes'), ('published_n', '1')) t(key, value) ORDER BY key",
+    "q69_dedup_keepers" ->
+      "SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id",
+    "q70_dedup_cluster_keepers" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM documents), " +
+       "p AS (SELECT a.doc_id AS id, b.doc_id AS id2 FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8), " +
+       "e AS (SELECT id AS a, id2 AS b FROM p UNION ALL SELECT id2, id FROM p), " +
+       "r(node, lab) AS (SELECT a, a FROM e UNION SELECT e.a, r.lab FROM e, r WHERE e.b = r.node), " +
+       "rep AS (SELECT node, min(lab) AS rep FROM r GROUP BY node) " +
+       "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM rep WHERE rep < node) ORDER BY doc_id"),
     "q66_vocab_topk" ->
       ("SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok FROM documents) " +
        "GROUP BY tok ORDER BY n DESC, tok LIMIT 50"),
