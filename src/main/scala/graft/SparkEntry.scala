@@ -454,6 +454,35 @@ object SparkEntry {
         .select(col("media_id"), size(col("features")).as("feat_dim"))
         .orderBy("media_id")
     }),
+    "q71_geojson_roundtrip" -> ((s, dir) => { ensure(s)
+      // S4: GeoJSON sink (st_asgeojson) -> line-delimited GeoJSON source
+      // (the splittable layout) -> typed property extraction
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gj").toString
+      regionWithGeom(s, dir).select(concat(
+          lit("""{"type":"Feature","geometry":"""),
+          st_asgeojson(col("geometry")),
+          lit(""","properties":{"r_regionkey":"""), col("r_regionkey"),
+          lit(""","r_name":""""), col("r_name"), lit("\"}}")).as("line"))
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/features")
+      val df = graft.sources.GeoSources.readGeoJsonLines(s, s"$tmp/features")
+      graft.sources.GeoSources.withProperties(df,
+          Map("r_regionkey" -> org.apache.spark.sql.types.IntegerType,
+              "r_name" -> org.apache.spark.sql.types.StringType))
+        .select(col("r_regionkey"), col("r_name"), st_x(col("geometry")).as("gx"))
+        .orderBy("r_regionkey")
+    }),
+    "q72_wktcsv_roundtrip" -> ((s, dir) => { ensure(s)
+      // S4: WKT-CSV source (point WKT has no commas, so plain CSV is safe)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      regionWithGeom(s, dir).select(col("r_regionkey"),
+          st_astext(col("geometry")).as("geometry"), col("r_name"))
+        .coalesce(1).write.option("header", "true")
+        .mode("overwrite").csv(s"$tmp/rows")
+      graft.sources.GeoSources.readWktCsv(s, s"$tmp/rows")
+        .select(col("r_regionkey").cast("int").as("r_regionkey"),
+          col("r_name"), st_x(col("geometry")).as("gx"))
+        .orderBy("r_regionkey")
+    }),
     "q69_dedup_keepers" -> ((s, dir) => { ensure(s)
       // exact-dedup survivor set (min doc per content hash)
       Dedup.exactKeepers(ld(s, dir, "documents"), "text", "doc_id")
@@ -968,6 +997,10 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q61_engine_geoserver" ->
       "SELECT key, value FROM (VALUES ('after_unpublish_n', '0'), ('layer', 'gate_user_lakes'), ('published_n', '1')) t(key, value) ORDER BY key",
+    "q71_geojson_roundtrip" ->
+      "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q72_wktcsv_roundtrip" ->
+      "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q69_dedup_keepers" ->
       "SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id",
     "q70_dedup_cluster_keepers" ->
