@@ -100,8 +100,11 @@ object Dedup {
    * returning split clusters). Returns (node, rep), rep = component min.
    */
   def components(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
-    val edges = pairs.select(col("id").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id").as("b")))
+    // cache the pair set BEFORE the symmetric union — its producing plan
+    // (often an LSH pipeline) would otherwise execute once per branch
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id").as("a"), col("id2").as("b"))
+      .union(p.select(col("id2").as("a"), col("id").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min("b"), col("a")).as("rep"))
@@ -126,7 +129,7 @@ object Dedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
+    edges.unpersist(); p.unpersist()
     require(converged,
       s"components() did not converge in $maxIter iterations — raise maxIter")
     labels
