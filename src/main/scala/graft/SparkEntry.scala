@@ -483,6 +483,13 @@ object SparkEntry {
           col("r_name"), st_x(col("geometry")).as("gx"))
         .orderBy("r_regionkey")
     }),
+    "q73_repetition_stats" -> ((s, dir) => { ensure(s)
+      // C4/Gopher-style repetition quality filters
+      ld(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupTokenFraction(col("text")).as("dup_token_frac"),
+        TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"))
+        .orderBy("doc_id")
+    }),
     "q69_dedup_keepers" -> ((s, dir) => { ensure(s)
       // exact-dedup survivor set (min doc per content hash)
       Dedup.exactKeepers(ld(s, dir, "documents"), "text", "doc_id")
@@ -1001,6 +1008,11 @@ object SparkEntry {
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
     "q72_wktcsv_roundtrip" ->
       "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q73_repetition_stats" ->
+      ("SELECT doc_id, CASE WHEN len(t) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS dup_token_frac, " +
+       "CASE WHEN len(l) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) END AS dup_line_frac " +
+       "FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t, " +
+       "string_split(text, chr(10)) AS l FROM documents) ORDER BY doc_id"),
     "q69_dedup_keepers" ->
       "SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 ORDER BY doc_id",
     "q70_dedup_cluster_keepers" ->

@@ -100,6 +100,20 @@ object TextAnalysis {
       regexp_count(col(textCol),
         lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")).cast("int").as("n_ipv4"))
 
+  /** C4/Gopher-style repetition filters: fraction of duplicated tokens and
+    * duplicated lines per document (high values flag boilerplate/spam). */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(
