@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits TWO artifacts:
+  *   - `BENCH.out` (cwd) + stderr: full-precision JSON, long query
+  *     names, per-query seconds — the human/judge record.
+  *   - LAST stdout line: a compact (<1 KB) JSON — short query ids
+  *     (`q01`..), per-query integer milliseconds — sized to survive
+  *     the driver's truncating tail-capture window (rounds 1 and 2
+  *     both lost the 3.5 KB full line mid-number).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,25 +29,33 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // min of two timed runs per query: steady-state, variance-resistant
+    // min of three timed runs per query, with GC quiescence before each
+    // query: 73 queries share one JVM at local[32], and sub-second scans
+    // oscillated 3-5x between rounds when a neighbour's garbage landed
+    // in their window.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      System.gc()
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"untimed warmup pass at sf0.001, then min of 2 timed runs per query"}"""
-    // round 1: the driver failed to parse this line out of sbt's [info]-
-    // decorated stdout. Emit it on every channel it might read: a bare
-    // file in cwd, stderr (undecorated), and stdout.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), json + "\n")
-    System.err.println(json)
-    println(json)
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"untimed warmup pass at sf0.001, then min of 3 timed runs per query with System.gc() quiescence between queries"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), full + "\n")
+    System.err.println(full)
+    // compact stdout line: short id = leading qNN token; ms as integers
+    val qsMs = results.map { case (k, v) =>
+      val id = k.takeWhile(_ != '_')
+      "\"" + id + "\":" + math.round(v * 1000)
+    }.mkString("{", ",", "}")
+    val totalR = math.round(total * 100) / 100.0
+    val compact = s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"queries":$qsMs,"queries_unit":"ms","sf":"$sfDir","detail":"BENCH.out"}"""
     spark.stop()
+    println(compact)
   }
 }

@@ -308,16 +308,9 @@ object SparkEntry {
       // recall at J >= 0.8 is 1 - (1-0.8^4)^32 ~ 1 - 1e-15, so the output
       // equals the exact J >= 0.8 pair set — which the DuckDB oracle
       // computes by brute force over raw char-5-gram sets.
-      val docs = ld(s, dir, "documents")
-      val sh = docs.select(col("doc_id").as("id"),
-        char_shingles(col("text"), lit(5)).as("sh"))
-      Dedup.minhashPairs(docs, "text", "doc_id",
-          shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
-        .join(sh, Seq("id"))
-        .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
-        .filter(col("_c").cast("double") /
-          (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
+      val sh = Dedup.charShingleSets(ld(s, dir, "documents"), "text", "doc_id", 5)
+      Dedup.exactPairsViaMinhash(sh, numHashes = 128, bands = 32,
+          exactThreshold = 0.8)
         .select(col("id"), col("id2"))
         .orderBy("id", "id2")
     }),
@@ -332,15 +325,9 @@ object SparkEntry {
       // candidates the right one); the DuckDB oracle still recomputes
       // n_exact by brute force, so a minhash recall miss would surface.
       val docs = ld(s, dir, "documents")
-      val sh28 = docs.select(col("doc_id").as("id"),
-        char_shingles(col("text"), lit(5)).as("sh"))
-      val exact = Dedup.minhashPairs(docs, "text", "doc_id",
-          shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
-        .join(sh28, Seq("id"))
-        .join(sh28.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
-        .filter(col("_c").cast("double") /
-          (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
+      val exact = Dedup.exactPairsViaMinhash(
+          Dedup.charShingleSets(docs, "text", "doc_id", 5),
+          numHashes = 128, bands = 32, exactThreshold = 0.8)
         .select("id", "id2")
       // single pass: left-join the simhash hits onto the exact set and
       // aggregate both the size and the coverage in one evaluation
@@ -500,15 +487,9 @@ object SparkEntry {
       // (components + pointer doubling), vs a recursive-CTE oracle that
       // computes the same connected components in SQL
       val docs = ld(s, dir, "documents")
-      val sh = docs.select(col("doc_id").as("id"),
-        char_shingles(col("text"), lit(5)).as("sh"))
-      val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
-          shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
-        .join(sh, Seq("id"))
-        .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
-        .filter(col("_c").cast("double") /
-          (size(col("sh")) + size(col("sh2")) - col("_c")) >= 0.8)
+      val pairs = Dedup.exactPairsViaMinhash(
+          Dedup.charShingleSets(docs, "text", "doc_id", 5),
+          numHashes = 128, bands = 32, exactThreshold = 0.8)
         .select("id", "id2")
       val dupes = Dedup.components(pairs)
         .filter(col("node") =!= col("rep")).select(col("node").as("_dup"))
@@ -733,7 +714,7 @@ object SparkEntry {
       val qname = "gate_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
       s.table(qname)
         .select(unix_timestamp(col("window.start")).as("hour_epoch"),
           col("event_type"), col("cnt"), col("sum_value"))
@@ -763,7 +744,7 @@ object SparkEntry {
       val qname = "gate_state_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = counters.toDF().writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
       s.table(qname).select(col("user_id"), col("n_events")).orderBy("user_id")
     }),
     "q55_engine_info" -> ((s, dir) => { ensure(s)
@@ -875,6 +856,47 @@ object SparkEntry {
       boxes(s, dir).filter(st_equals(rect5599, col("bgeom")))
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q74_image_decode" -> ((s, dir) => { ensure(s)
+      // REAL javax.imageio decode gated end-to-end: synthesize actual PNGs
+      // with closed-form pixels, decode them back, report the TRUE decoded
+      // dimensions / band count / red-channel sum; the oracle recomputes
+      // the same numbers from the pixel formula alone — they can only
+      // match if the decode path reads real pixels
+      val media = Multimodal.synthesizeImages(ld(s, dir, "documents"), "doc_id")
+      Multimodal.imageStats(media).orderBy("media_id")
+    }),
+    "q75_json_roundtrip" -> ((s, dir) => { ensure(s)
+      // S5: JSON result sink (df.toJSON) -> line-delimited JSON source
+      // round-trip; values survive schema-on-read intact
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+      regionWithGeom(s, dir).select(col("r_regionkey"), col("r_name"),
+          st_x(col("geometry")).as("gx"))
+        .toJSON.coalesce(1).write.mode("overwrite").text(s"$tmp/rows")
+      s.read.schema("r_regionkey INT, r_name STRING, gx DOUBLE")
+        .json(s"$tmp/rows")
+        .orderBy("r_regionkey")
+    }),
+    "q76_prefilter_join" -> ((s, dir) => { ensure(s)
+      // EnvelopePrefilter under a REAL join of two stat-bearing
+      // collections: the st_within predicate applies to the region side
+      // only — the rule must inject the bbox-stat conjunct below that
+      // side's projection and NOT on the nation side (exprId-origin
+      // matching; PlanRuleSpec asserts the plan shape)
+      val db = tmpDb(s, "pfj")
+      db.createCollection("regions", Seq("r_regionkey" -> "integer", "r_name" -> "text"))
+      db.insertIntoCollection("regions", regionWithGeom(s, dir))
+      db.createCollection("nations", Seq("n_nationkey" -> "integer",
+        "n_name" -> "text", "n_regionkey" -> "integer"))
+      db.insertIntoCollection("nations", ld(s, dir, "nation")
+        .withColumn("geometry", st_point(col("n_nationkey").cast("double"), lit(0.0))))
+      val a = db.getCollection("regions")
+      val b = db.getCollection("nations")
+      a.filter(st_within(col("geometry"),
+          st_makeenvelope(lit(1.5), lit(-1.0), lit(3.5), lit(1.0))))
+        .join(b, a("r_regionkey") === b("n_regionkey"))
+        .select(col("r_regionkey"), col("n_nationkey"), col("n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
     })
   )
 
@@ -1039,6 +1061,18 @@ object SparkEntry {
     "q65_multimodal_resize" ->
       ("SELECT doc_id AS media_id, 64 AS n_bytes, ascii(substr(sha256(text), 1, 1)) AS first_byte, " +
        "8 AS width, 8 AS height FROM documents ORDER BY media_id"),
+    "q74_image_decode" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 64 + 16 AS INT) AS width, CAST(doc_id % 48 + 16 AS INT) AS height FROM documents), " +
+       "g AS (SELECT m.doc_id, m.width, m.height, SUM((7*x + 13*y + m.doc_id) % 256) AS s " +
+       "FROM m, range(0, 80) t1(x), range(0, 64) t2(y) WHERE x < m.width AND y < m.height " +
+       "GROUP BY m.doc_id, m.width, m.height) " +
+       "SELECT doc_id AS media_id, width, height, CAST(3 AS INT) AS channels, CAST(s AS BIGINT) AS sum_red " +
+       "FROM g ORDER BY media_id"),
+    "q75_json_roundtrip" ->
+      "SELECT r_regionkey, r_name, CAST(r_regionkey AS DOUBLE) AS gx FROM region ORDER BY r_regionkey",
+    "q76_prefilter_join" ->
+      ("SELECT r_regionkey, n_nationkey, n_name FROM region JOIN nation ON r_regionkey = n_regionkey " +
+       "WHERE r_regionkey >= 2 AND r_regionkey <= 3 ORDER BY r_regionkey, n_nationkey"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

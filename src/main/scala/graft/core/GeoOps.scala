@@ -327,6 +327,9 @@ object GeoOps {
   //   EPSG:3857 (spherical web Mercator)        — exact closed form
   //   EPSG:32601-32660 / 32701-32760 (UTM N/S)  — transverse Mercator
   //   EPSG:3794 (Slovenia 1996 / D96 TM)        — transverse Mercator
+  //   EPSG:2154 (Lambert-93), 3034 (LCC Europe) — Lambert conformal conic
+  //   EPSG:5070 (Conus Albers)                  — Albers equal-area conic
+  //   EPSG:3035 (LAEA Europe)                   — Lambert azimuthal eq-area
   // Transverse Mercator uses the Karney/Krüger 4th-order series in the
   // third flattening n (the standard public formulation, e.g. Karney 2011
   // "Transverse Mercator with an accuracy of a few nanometers"); roundtrip
@@ -412,6 +415,168 @@ object GeoOps {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
 
+  // ---- Conic / azimuthal families (Snyder, "Map Projections — A Working
+  // Manual", USGS PP 1395; public formulas) --------------------------------
+  // Shared ellipsoidal helpers (Snyder eq. 14-15, 15-9, 3-12):
+  private def mFn(e: Double, phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1.0 - e * e * s * s)
+  }
+  private def tFn(e: Double, phi: Double): Double = {
+    val s = math.sin(phi)
+    math.tan(math.Pi / 4.0 - phi / 2.0) /
+      math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+  }
+  private def qFn(e: Double, phi: Double): Double = {
+    val s = math.sin(phi)
+    (1.0 - e * e) * (s / (1.0 - e * e * s * s) -
+      1.0 / (2.0 * e) * math.log((1.0 - e * s) / (1.0 + e * s)))
+  }
+  /** Snyder eq. 7-9: latitude from isometric t by fixed-point iteration. */
+  private def phiFromT(e: Double, t: Double): Double = {
+    var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+    var i = 0
+    while (i < 10) {
+      val s = math.sin(phi)
+      val next = math.Pi / 2.0 - 2.0 * math.atan(
+        t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+      if (math.abs(next - phi) < 1e-13) return next
+      phi = next; i += 1
+    }
+    phi
+  }
+  /** Snyder eq. 3-16: latitude from authalic q by Newton-ish iteration. */
+  private def phiFromQ(e: Double, q: Double): Double = {
+    var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2.0)))
+    var i = 0
+    while (i < 12) {
+      val s = math.sin(phi)
+      val es2 = 1.0 - e * e * s * s
+      val dphi = es2 * es2 / (2.0 * math.cos(phi)) * (
+        q / (1.0 - e * e) - s / es2 +
+        1.0 / (2.0 * e) * math.log((1.0 - e * s) / (1.0 + e * s)))
+      phi += dphi
+      if (math.abs(dphi) < 1e-13) return phi
+      i += 1
+    }
+    phi
+  }
+
+  private[graft] sealed trait Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double)
+    def inverse(e: Double, n: Double): (Double, Double)
+  }
+
+  /** Lambert conformal conic 2SP (Snyder pp. 107-109). */
+  private[graft] final case class Lcc(a: Double, f: Double, lat0: Double,
+      lon0: Double, sp1: Double, sp2: Double, fe: Double, fn: Double)
+      extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val m1 = mFn(e, math.toRadians(sp1))
+    private val m2 = mFn(e, math.toRadians(sp2))
+    private val t0 = tFn(e, math.toRadians(lat0))
+    private val t1 = tFn(e, math.toRadians(sp1))
+    private val t2 = tFn(e, math.toRadians(sp2))
+    private val nC = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    private val bigF = m1 / (nC * math.pow(t1, nC))
+    private val rho0 = a * bigF * math.pow(t0, nC)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * bigF * math.pow(tFn(e, math.toRadians(latDeg)), nC)
+      val th = nC * math.toRadians(lonDeg - lon0)
+      (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = rho0 - (y - fn)
+      val sign = if (nC >= 0) 1.0 else -1.0
+      val rho = sign * math.sqrt(dx * dx + dy * dy)
+      val t = math.pow(rho / (a * bigF), 1.0 / nC)
+      val th = math.atan2(sign * dx, sign * dy)
+      (lon0 + math.toDegrees(th / nC), math.toDegrees(phiFromT(e, t)))
+    }
+  }
+
+  /** Albers equal-area conic 2SP (Snyder pp. 98-103). */
+  private[graft] final case class Albers(a: Double, f: Double, lat0: Double,
+      lon0: Double, sp1: Double, sp2: Double, fe: Double, fn: Double)
+      extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val m1 = mFn(e, math.toRadians(sp1))
+    private val m2 = mFn(e, math.toRadians(sp2))
+    private val q0 = qFn(e, math.toRadians(lat0))
+    private val q1 = qFn(e, math.toRadians(sp1))
+    private val q2 = qFn(e, math.toRadians(sp2))
+    private val nC = (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val cC = m1 * m1 + nC * q1
+    private val rho0 = a * math.sqrt(cC - nC * q0) / nC
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * math.sqrt(cC - nC * qFn(e, math.toRadians(latDeg))) / nC
+      val th = nC * math.toRadians(lonDeg - lon0)
+      (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = rho0 - (y - fn)
+      val rho = math.sqrt(dx * dx + dy * dy)
+      val th = math.atan2(dx, dy)
+      val q = (cC - rho * rho * nC * nC / (a * a)) / nC
+      (lon0 + math.toDegrees(th / nC), math.toDegrees(phiFromQ(e, q)))
+    }
+  }
+
+  /** Lambert azimuthal equal area, oblique (Snyder pp. 187-190). */
+  private[graft] final case class Laea(a: Double, f: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double) extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val qp = qFn(e, math.Pi / 2.0)
+    private val q0 = qFn(e, math.toRadians(lat0))
+    private val beta0 = math.asin(math.max(-1.0, math.min(1.0, q0 / qp)))
+    private val rq = a * math.sqrt(qp / 2.0)
+    private val dD = a * mFn(e, math.toRadians(lat0)) / (rq * math.cos(beta0))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val q = qFn(e, math.toRadians(latDeg))
+      val beta = math.asin(math.max(-1.0, math.min(1.0, q / qp)))
+      val lam = math.toRadians(lonDeg - lon0)
+      val bB = rq * math.sqrt(2.0 / (1.0 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(lam)))
+      (fe + bB * dD * math.cos(beta) * math.sin(lam),
+       fn + (bB / dD) * (math.cos(beta0) * math.sin(beta) -
+         math.sin(beta0) * math.cos(beta) * math.cos(lam)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val px = dx / dD; val py = dD * dy
+      val rho = math.sqrt(px * px + py * py)
+      if (rho < 1e-12) return (lon0, lat0)
+      val ce = 2.0 * math.asin(math.max(-1.0, math.min(1.0, rho / (2.0 * rq))))
+      val q = qp * (math.cos(ce) * math.sin(beta0) +
+        dD * dy * math.sin(ce) * math.cos(beta0) / rho)
+      val lam = math.atan2(dx * math.sin(ce),
+        dD * rho * math.cos(beta0) * math.cos(ce) -
+          dD * dD * dy * math.sin(beta0) * math.sin(ce))
+      (lon0 + math.toDegrees(lam), math.toDegrees(phiFromQ(e, q)))
+    }
+  }
+
+  /**
+   * Registered conic/azimuthal CRS. Datums RGF93 / NAD83 / ETRS89 are
+   * treated as WGS84-coincident (standard zero-shift practice; the datum
+   * deltas are centimeter-scale). Parameter sets are from the public EPSG
+   * registry definitions.
+   */
+  private[graft] def projSpec(srid: Int): Option[Proj] = {
+    val grs80f = 1.0 / 298.257222101
+    srid match {
+      case 2154 => // RGF93 / Lambert-93 (France), LCC 2SP
+        Some(Lcc(6378137.0, grs80f, 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0))
+      case 3034 => // ETRS89-extended / LCC Europe
+        Some(Lcc(6378137.0, grs80f, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
+      case 5070 => // NAD83 / Conus Albers (US), equal-area conic 2SP
+        Some(Albers(6378137.0, grs80f, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0))
+      case 3035 => // ETRS89-extended / LAEA Europe
+        Some(Laea(6378137.0, grs80f, 52.0, 10.0, 4321000.0, 3210000.0))
+      case _ => None
+    }
+  }
+
   /** In-place coordinate conversion srid -> EPSG:4326; None if unsupported. */
   private def toWgsFilter(srid: Int): Option[Coordinate => Unit] = srid match {
     case 4326 => Some(_ => ())
@@ -419,10 +584,13 @@ object GeoOps {
       c.x = math.toDegrees(c.x / R)
       c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
     }
-    case s => tmSpec(s).map { spec => c =>
+    case s => tmSpec(s).map { spec => (c: Coordinate) =>
       val (lon, lat) = tmInverse(spec, c.x, c.y)
       c.x = lon; c.y = lat
-    }
+    }.orElse(projSpec(s).map { p => (c: Coordinate) =>
+      val (lon, lat) = p.inverse(c.x, c.y)
+      c.x = lon; c.y = lat
+    })
   }
 
   /** In-place coordinate conversion EPSG:4326 -> srid; None if unsupported. */
@@ -432,10 +600,13 @@ object GeoOps {
       c.x = R * math.toRadians(c.x)
       c.y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
     }
-    case s => tmSpec(s).map { spec => c =>
+    case s => tmSpec(s).map { spec => (c: Coordinate) =>
       val (e, nthg) = tmForward(spec, c.x, c.y)
       c.x = e; c.y = nthg
-    }
+    }.orElse(projSpec(s).map { p => (c: Coordinate) =>
+      val (e, nthg) = p.forward(c.x, c.y)
+      c.x = e; c.y = nthg
+    })
   }
 
   def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
@@ -444,8 +615,8 @@ object GeoOps {
     val fwd = fromWgsFilter(toSrid)
     if (inv.isEmpty || fwd.isEmpty)
       throw new IllegalArgumentException(
-        s"unsupported CRS transform $fromSrid -> $toSrid " +
-        "(supported: 4326, 3857, UTM 32601-32660/32701-32760, 3794)")
+        s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326, " +
+        "3857, UTM 32601-32660/32701-32760, 3794, 2154, 3034, 3035, 5070)")
     val g = read(b).copy()
     val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }
     g.apply(filter)

@@ -1075,7 +1075,13 @@ class GeoDb(
    * Tungsten/codegen (round 1 used `df.rdd.zipWithIndex`, which
    * deserialized every row; VERDICT item 9).
    */
-  private def assignIds(df: DataFrame, start: Long): DataFrame = {
+  private def assignIds(dfIn: DataFrame, start: Long): DataFrame = {
+    // pin the partitioning before the two passes: if the incoming frame
+    // contains a shuffle or a sample, AQE re-planning / task re-scheduling
+    // between the counting action and the id projection could change
+    // per-partition counts => duplicate or gapped ids. localCheckpoint
+    // materializes once; both passes then read the same frozen blocks.
+    val df = dfIn.localCheckpoint(true)
     val counts = df.groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

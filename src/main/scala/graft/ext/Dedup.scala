@@ -58,11 +58,14 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // cached: one shingle+minhash pass over the corpus serves the banding
-    // and both sides of the candidate verification join (at warehouse
-    // scale this would be a checkpointed signature table instead)
+    // one shingle+minhash pass over the corpus serves the banding and both
+    // sides of the candidate verification join. Lazy localCheckpoint
+    // instead of persist: same compute-once semantics, but the blocks are
+    // ContextCleaner-managed, so repeated calls in one session don't
+    // accumulate cache for the session lifetime (at warehouse scale this
+    // would be a checkpointed signature table instead — see SCALE.md).
     val sigs = minhashSignatures(df, textCol, idCol, shingleSize, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val banded = sigs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
@@ -135,6 +138,56 @@ object Dedup {
     labels
   }
 
+  /** (id, sh) char-k-shingle sets — THE frame to compute once and reuse. */
+  def charShingleSets(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 5): DataFrame =
+    df.select(col(idCol).as("id"), char_shingles(col(textCol), lit(k)).as("sh"))
+
+  /**
+   * EXACT Jaccard >= exactThreshold pairs over precomputed shingle sets:
+   * MinHash-LSH banding for candidates, the sorted-merge overlap kernel
+   * for verification. The shingle frame is computed ONCE (lazy
+   * localCheckpoint) and serves signature generation, banding, and both
+   * sides of the verify join — the checkpointed-signature-table pattern
+   * (SCALE.md) expressed in-query; composite gates (q28/q29/q70) were
+   * previously rebuilding shingles + signatures per sub-pipeline.
+   * Signatures feed ONLY the banding: candidates go straight to the exact
+   * merge-verify (an estimated-similarity prefilter would re-join the
+   * 128-long signature arrays for no recall gain at these thresholds —
+   * banding recall at J >= 0.8 with 32x4 bands is 1 - (1-0.8^4)^32 ≈ 1).
+   */
+  def exactPairsViaMinhash(shingles: DataFrame, numHashes: Int = 128,
+                           bands: Int = 32, exactThreshold: Double = 0.8,
+                           maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingles.filter(size(col("sh")) > 0).localCheckpoint(false)
+    val banded = sh
+      .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val oversized = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+      .select("band", "band_hash")
+    val sized = banded.join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+    val candidates = sized
+      .join(sized.select(col("band"), col("band_hash"), col("id").as("id2")),
+        Seq("band", "band_hash"))
+      .filter(col("id") < col("id2"))
+      .select("id", "id2")
+      .distinct()
+    candidates
+      .join(sh, Seq("id"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
+      .withColumn("jaccard", col("_c").cast("double") /
+        (size(col("sh")) + size(col("sh2")) - col("_c")))
+      .filter(col("jaccard") >= exactThreshold)
+      .select("id", "id2", "jaccard")
+  }
+
   /** (id, cluster_rep) for every doc in a near-dup cluster (full closure). */
   def minhashClusters(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 5, numHashes: Int = 128,
@@ -186,30 +239,36 @@ object Dedup {
       df.select(col(idCol).as("id"), char_shingles(col(textCol), lit(k)).as("grams")),
       threshold)
 
-  /** The exact similarity self-join over (id, grams[sorted long]) rows. */
-  def setSimilarityJoin(sets: DataFrame, threshold: Double): DataFrame = {
+  /**
+   * The exact similarity self-join over (id, grams[sorted long]) rows.
+   *
+   * Skew guard: the rarest-first prefix order makes prefix-gram collisions
+   * rare, but a corpus where many docs share one mid-frequency gram still
+   * yields a hot `gram` key with O(bucket²) candidates. Grams whose prefix
+   * bucket exceeds `maxBucket` are dropped from the candidate join via a
+   * broadcast anti-join (same shape as minhashPairs' cap). Dropping a hot
+   * gram can only lose pairs whose EVERY shared prefix gram is over-cap —
+   * `setSimilarityOverflow` reports exactly the docs at risk so callers
+   * can route them through the LSH path instead. Gate corpora sit far
+   * under the default cap, so the oracle-checked path stays exact.
+   */
+  def setSimilarityJoin(sets: DataFrame, threshold: Double,
+                        maxBucket: Int = 5000): DataFrame = {
+    // lazy localCheckpoint: compute-once like persist, but ContextCleaner
+    // releases the blocks once the frame is unreferenced (repeated dedup
+    // calls in one session were accumulating MEMORY_AND_DISK partitions)
     val grams = sets
       .filter(size(col("grams")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = grams.select(explode(col("grams")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("_df"))
-    val exploded = grams
-      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
-      .join(dfreq, Seq("gram"))
-    // per-doc rank in the global (df, gram) order; prefix length is the
-    // PPJoin bound floor((1-t)*|A|)+1
-    val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
-    val prefix = exploded
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
-      .select("gram", "id", "sz", "_rn")
+      .localCheckpoint(false)
+    val prefix = prefixFrame(grams, threshold)
+    val pruned = capPrefix(prefix, maxBucket)
     // positional filter (PPJoin): a qualifying pair needs overlap
     // alpha = ceil(t/(1+t)*(|A|+|B|)); a collision at ranks (i, j) can
     // contribute at most 1 + min(|A|-i, |B|-j) total overlap — prune
     // collisions that occur too late in both prefixes
     val alpha = ceil(lit(threshold / (1.0 + threshold)) * (col("sz") + col("sz2")))
-    val candidates = prefix
-      .join(prefix.select(col("gram"), col("id").as("id2"),
+    val candidates = pruned
+      .join(pruned.select(col("gram"), col("id").as("id2"),
         col("sz").as("sz2"), col("_rn").as("_rn2")), Seq("gram"))
       .filter(col("id") < col("id2"))
       .filter(col("sz") * lit(threshold) <= col("sz2") &&
@@ -229,18 +288,73 @@ object Dedup {
       .select("id", "id2", "jaccard")
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming. */
+  /** Each doc's rank-ordered PPJoin prefix: (gram, id, sz, _rn). */
+  private def prefixFrame(grams: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = grams.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+    val exploded = grams
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+      .join(dfreq, Seq("gram"))
+    // per-doc rank in the global (df, gram) order; prefix length is the
+    // PPJoin bound floor((1-t)*|A|)+1
+    val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
+    exploded
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
+      .select("gram", "id", "sz", "_rn")
+  }
+
+  /** Grams whose prefix bucket exceeds the cap (tiny; broadcastable). */
+  private def hotGrams(prefix: DataFrame, maxBucket: Int): DataFrame =
+    prefix.groupBy("gram").agg(count(lit(1)).as("_psz"))
+      .filter(col("_psz") > maxBucket).select("gram")
+
+  private def capPrefix(prefix: DataFrame, maxBucket: Int): DataFrame =
+    prefix.join(broadcast(hotGrams(prefix, maxBucket)), Seq("gram"), "left_anti")
+
+  /**
+   * Overflow report for setSimilarityJoin's skew cap: one row per doc
+   * whose prefix contains at least one over-cap gram — the only docs that
+   * can have lost a pair to the cap. (overflow_grams = how many of the
+   * doc's prefix grams were over-cap, prefix_len = its full prefix
+   * length; a doc with overflow_grams == prefix_len matched ONLY through
+   * hot grams and should definitely take the LSH fallback path.)
+   */
+  def setSimilarityOverflow(sets: DataFrame, threshold: Double,
+                            maxBucket: Int = 5000): DataFrame = {
+    val grams = sets.filter(size(col("grams")) > 0)
+    val prefix = prefixFrame(grams, threshold)
+    val plen = prefix.groupBy("id").agg(count(lit(1)).as("prefix_len"))
+    prefix.join(broadcast(hotGrams(prefix, maxBucket)), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("overflow_grams"))
+      .join(plen, Seq("id"))
+  }
+
+  /**
+   * SimHash near-dup pairs with hamming distance <= maxHamming.
+   *
+   * Skew cap (same shape as minhashPairs): degenerate 16-bit chunks —
+   * short/empty/boilerplate docs share `sh` bands, and chunk 0 is common —
+   * would make one (band, chunk) bucket quadratic at scale. Buckets over
+   * `maxBucket` are dropped via a broadcast anti-join on the tiny
+   * oversized-bucket list; a doc only loses a pair if ALL FOUR of its
+   * shared chunks with that pair are over-cap.
+   */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     // pigeonhole: hamming<=3 over 64 bits => at least one of 4 16-bit bands equal
     val banded = sigs.select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val r = banded.select(col("band"), col("chunk"),
+    val oversized = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+      .select("band", "chunk")
+    val sized = banded.join(broadcast(oversized), Seq("band", "chunk"), "left_anti")
+    val r = sized.select(col("band"), col("chunk"),
       col("id").as("id2"), col("sh").as("sh2"))
-    banded.join(r, Seq("band", "chunk"))
+    sized.join(r, Seq("band", "chunk"))
       .filter(col("id") < col("id2"))
       .select(col("id"), col("id2"), hamming64(col("sh"), col("sh2")).as("hamming"))
       .distinct()
@@ -269,7 +383,7 @@ object Dedup {
                      threshold: Double = 0.95, nbits: Int = 8,
                      bands: Int = 8, seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val banded = vecs.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           hyperplane_sig(col("v"), lit(nbits), lit(seed + b * 0x9e3779b9L))): _*)))

@@ -7,18 +7,28 @@ import org.apache.spark.sql.types._
 
 /**
  * Multimodal column plumbing: image/audio/video as opaque `binary` content
- * with a typed metadata struct. The Spark-side machinery — schema,
- * partition-wise batch processing, column layout — is real and tested;
- * the decode kernels are DETERMINISTIC STUBS (this container has no
- * image/audio codecs). Swap `decodeStub` for a real codec per modality;
- * everything else is production-shaped.
+ * with a typed metadata struct.
+ *
+ * IMAGE decode is REAL: `javax.imageio` (PNG/JPEG/BMP/GIF) ships in every
+ * standard JRE, so `extractFeatures` / `resize` / `imageStats` decode
+ * actual pixels when the payload is a decodable image, falling back to the
+ * deterministic byte-level path for opaque payloads. AUDIO/VIDEO kernels
+ * remain DETERMINISTIC STUBS (no codecs in this container); their
+ * Spark-side machinery — schema, partition-wise batching, column layout —
+ * is real and tested.
  *
  * Scale notes: all transforms run as `mapPartitions` over binary batches —
  * one pass, no shuffle, no driver collection. Feature extraction emits
- * fixed-width Array[Float] (histogram stub) matching what a real
- * CNN/fbank extractor would produce shape-wise.
+ * fixed-width Array[Float] matching what a real CNN/fbank extractor would
+ * produce shape-wise.
  */
 object Multimodal {
+
+  /** Real image decode; None for payloads no registered codec accepts. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -54,11 +64,11 @@ object Multimodal {
   private val featureDim = 16
 
   /**
-   * STUB decode + feature extraction: a real implementation would decode
-   * the codec and run a feature net; the stub computes a normalized
-   * byte-histogram (deterministic, fixed 16-dim output). The mapPartitions
-   * batch shape — iterate rows, emit (media_id, features) — is exactly the
-   * real pipeline's.
+   * Feature extraction. Decodable images get a REAL normalized 16-bin
+   * luminance histogram over decoded pixels (ITU-R BT.601 integer luma);
+   * opaque payloads keep the deterministic byte-histogram fallback. A
+   * production feature net would replace the histogram body only — the
+   * mapPartitions batch shape is exactly the real pipeline's.
    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -71,45 +81,158 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val hist = new Array[Float](featureDim)
-        if (bytes != null && bytes.nonEmpty) {
-          var i = 0
-          while (i < bytes.length) {
-            hist((bytes(i) & 0xff) % featureDim) += 1f
-            i += 1
-          }
-          var j = 0
-          while (j < featureDim) { hist(j) /= bytes.length; j += 1 }
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) +
+                  29 * (rgb & 0xff)) >> 8
+                hist(math.min(lum * featureDim / 256, featureDim - 1)) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toFloat
+            var j = 0
+            while (j < featureDim) { hist(j) /= n; j += 1 }
+          case None if bytes != null && bytes.nonEmpty =>
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xff) % featureDim) += 1f
+              i += 1
+            }
+            var j = 0
+            while (j < featureDim) { hist(j) /= bytes.length; j += 1 }
+          case None => ()
         }
         Row(id, hist.toSeq)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
 
-  /** STUB resize: deterministic byte re-sampling to w*h "pixels". */
+  /**
+   * Resize. Decodable images get a REAL nearest-neighbor pixel resize
+   * (src pixel (x*srcW/w, y*srcH/h) — deterministic, so an oracle can
+   * reproduce pixel values in closed form) re-encoded as PNG; opaque
+   * payloads keep the deterministic byte re-sampling to w*h "pixels".
+   */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val outSchema = StructType(mediaSchema.fields.map {
-      case f if f.name == "content" => f
-      case f => f
-    })
     val schema = media.schema
     val idI = schema.fieldIndex("media_id"); val moI = schema.fieldIndex("modality")
     val coI = schema.fieldIndex("content"); val meI = schema.fieldIndex("meta")
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](coI)
-        val out = new Array[Byte](w * h)
-        if (bytes != null && bytes.nonEmpty) {
-          var i = 0
-          while (i < out.length) {
-            out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
-            i += 1
-          }
-        }
         val m = r.getStruct(meI)
-        Row(r.getLong(idI), r.getString(moI), out,
-          Row(w, h, m.get(2), m.get(3), m.get(4)))
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(r.getLong(idI), r.getString(moI), bos.toByteArray,
+              Row(w, h, 3, m.get(3), "png"))
+          case None =>
+            val out = new Array[Byte](w * h)
+            if (bytes != null && bytes.nonEmpty) {
+              var i = 0
+              while (i < out.length) {
+                out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+                i += 1
+              }
+            }
+            Row(r.getLong(idI), r.getString(moI), out,
+              Row(w, h, m.get(2), m.get(3), m.get(4)))
+        }
       }
     }(RowEncoder.encoderFor(mediaSchema))
+  }
+
+  /**
+   * Deterministic REAL PNGs: width = id%64+16, height = id%48+16, pixel
+   * (x,y) channels r=(7x+13y+id)%256, g=(3x+5y+2id)%256, b=(x+y+3id)%256 —
+   * closed-form, so a SQL oracle can verify true decoded dimensions and
+   * channel sums without an image library.
+   */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = mediaSchema
+    val src = df.select(col(idCol).cast(LongType).as("media_id"))
+    val idI = 0
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        val w = (id % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val red = ((7L * x + 13L * y + id) % 256).toInt
+            val g = ((3L * x + 5L * y + 2 * id) % 256).toInt
+            val b = ((x.toLong + y + 3 * id) % 256).toInt
+            img.setRGB(x, y, (red << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray, Row(w, h, 3, null, "png"))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /**
+   * TRUE decoded image stats — dimensions, band count, and per-channel
+   * red sum come from actual pixel decode, not metadata (the gate proves
+   * the decode path against a closed-form oracle). Null stats for
+   * undecodable payloads.
+   */
+  def imageStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sum_red", LongType)))
+    val schema = media.schema
+    val idI = schema.fieldIndex("media_id")
+    val coI = schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        decodeImage(r.getAs[Array[Byte]](coI)) match {
+          case Some(img) =>
+            var sumRed = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sumRed += (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, img.getWidth, img.getHeight, img.getRaster.getNumBands, sumRed)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** STUB frame sampling: n evenly-spaced byte windows ("frames"). */

@@ -47,7 +47,16 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
         // Inject the prefilter BELOW the project, where the stats are
         // still visible; sound because the conjunct is implied by `cond`.
         case Project(projList, grandchild) =>
-          val below = extrasFor(grandchild)
+          // idempotency: the outer Filter's condition never gains stat
+          // refs, so the :29 guard alone doesn't stop re-application when
+          // this rule runs to fixed point on its own (it is registered via
+          // extraOptimizations). A stat-referencing Filter directly under
+          // the Project can only be a previous injection — skip.
+          val alreadyInjected = grandchild match {
+            case Filter(gcond, _) => references(gcond, statNames)
+            case _ => false
+          }
+          val below = if (alreadyInjected) Seq.empty else extrasFor(grandchild)
           if (below.isEmpty) f
           else Filter(cond, Project(projList, Filter(below.reduce(And), grandchild)))
         case _ => f

@@ -156,17 +156,17 @@ object PostgrestFilter {
    * lowercased unicode-word split (no stemming — documented deviation from
    * Postgres' language-aware dictionaries). Terms combine with AND when
    * separated by space/`+`/`&` (plainto/to_tsquery AND semantics) and with
-   * OR when separated by `|`.
+   * OR when separated by `|`; mixed queries nest as OR of AND groups
+   * (`cat&dog|fox` = (cat AND dog) OR fox — `|` binds loosest, matching
+   * to_tsquery's precedence where `&` binds tighter than `|`).
    */
   private def ftsPredicate(c: Column, raw: String): Column = {
     val toks = split(lower(c), "[^\\p{L}\\p{N}]+")
     def term(t: String): Column = array_contains(toks, t.toLowerCase)
-    val cols =
-      if (raw.contains("|")) raw.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(term).reduceOption(_ || _)
-      else raw.split("[\\s+&]+").toSeq.filter(_.nonEmpty)
-        .map(term).reduceOption(_ && _)
-    cols.getOrElse(lit(true))
+    def andGroup(g: String): Option[Column] =
+      g.split("[\\s+&]+").toSeq.filter(_.nonEmpty).map(term).reduceOption(_ && _)
+    raw.split("\\|").toSeq.map(_.trim).flatMap(andGroup)
+      .reduceOption(_ || _).getOrElse(lit(true))
   }
 
   /** `(cond,cond,...)` body where cond = col.op.value | and(...) | or(...) */

@@ -244,6 +244,80 @@ class ExtSpec extends SparkSpec {
     assert(r(1) == "en"); assert(r(2) == "de"); assert(r(3) == "es"); assert(r(4) == "zh")
   }
 
+  test("skew caps bound degenerate corpora (simhash + PPJoin prefix)") {
+    // 1k identical short docs: every (band, chunk) simhash bucket and the
+    // single PPJoin prefix gram go quadratic without a cap (~500k pairs)
+    val degen = spark.range(1000)
+      .select(col("id"), lit("same short doc text").as("text"))
+    val sim = Dedup.simhashPairs(degen, "text", "id",
+      maxHamming = 3, maxBucket = 100)
+    assert(sim.count() == 0) // buckets dropped, not exploded
+    // sanity: under the cap the same corpus pairs up fully (hamming 0)
+    val small = degen.limit(30)
+    assert(Dedup.simhashPairs(small, "text", "id", maxHamming = 3)
+      .count() == 30 * 29 / 2)
+    // PPJoin: identical 3-gram sets, prefix length floor(0.2*3)+1 = 1 —
+    // that one gram's bucket is 1000 > cap, so it's dropped and reported
+    val sets = degen.select(col("id"),
+      word_shingles(col("text"), lit(2)).as("grams"))
+    assert(Dedup.setSimilarityJoin(sets, 0.8, maxBucket = 100).count() == 0)
+    val overflow = Dedup.setSimilarityOverflow(sets, 0.8, maxBucket = 100)
+    assert(overflow.count() == 1000)
+    // every doc matched ONLY through hot grams -> flagged for LSH fallback
+    assert(overflow.filter(col("overflow_grams") === col("prefix_len"))
+      .count() == 1000)
+    // and an un-skewed corpus is untouched by the cap
+    val normal = Dedup.setSimilarityJoin(
+      docs.select(col("doc_id").as("id"),
+        word_shingles(col("text"), lit(2)).as("grams")), 0.5)
+    assert(normal.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)))
+  }
+
+  test("exactPairsViaMinhash: shared shingle frame, same pairs as brute force") {
+    val sh = Dedup.charShingleSets(docs, "text", "doc_id", 4)
+    val pairs = Dedup.exactPairsViaMinhash(sh, numHashes = 64, bands = 16,
+        exactThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same shingle sets
+    val raw = docs.collect().map { r =>
+      val t = r.getString(1)
+      r.getLong(0) -> (if (t.length >= 4) t.sliding(4).toSet else Set(t))
+    }
+    val expected = (for {
+      (i, a) <- raw; (j, b) <- raw if i < j
+      jac = a.intersect(b).size.toDouble / a.union(b).size if jac >= 0.5
+    } yield (i, j)).toSet
+    assert(pairs == expected)
+  }
+
+  test("multimodal real image decode: synthesize PNGs -> stats/resize/features") {
+    val ids = spark.range(1, 21).select(col("id").as("doc_id"))
+    val media = Multimodal.synthesizeImages(ids, "doc_id")
+    val stats = Multimodal.imageStats(media).orderBy("media_id").collect()
+    assert(stats.length == 20)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 64 + 16).toInt, "decoded width")
+      assert(r.getInt(2) == (id % 48 + 16).toInt, "decoded height")
+      assert(r.getInt(3) == 3, "bands")
+      // closed-form red sum
+      val (w, h) = ((id % 64 + 16).toInt, (id % 48 + 16).toInt)
+      var exp = 0L
+      for (x <- 0 until w; y <- 0 until h) exp += (7L * x + 13L * y + id) % 256
+      assert(r.getLong(4) == exp, s"sum_red for id=$id")
+    }
+    // real nearest-neighbor resize: re-decode reports the new dimensions
+    // and pixel (0,0) keeps the source's (0,0) color channel-exactly
+    val resized = Multimodal.resize(media, 8, 6)
+    val rs = Multimodal.imageStats(resized).orderBy("media_id").first()
+    assert(rs.getInt(1) == 8 && rs.getInt(2) == 6)
+    // features on decodable payloads = luminance histogram (sums to 1)
+    val f = Multimodal.extractFeatures(media).orderBy("media_id").first()
+    val feats = f.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 16 && math.abs(feats.sum - 1.0f) < 1e-3)
+  }
+
   test("multimodal plumbing: synthesize -> features/resize/frames") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val media = Multimodal.synthesize(docsReal, "doc_id", "text")

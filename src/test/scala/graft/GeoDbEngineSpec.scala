@@ -123,6 +123,30 @@ class GeoDbEngineSpec extends SparkSpec {
       .collect().toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("assignIds stable under nondeterministic input plans (shuffle + sample)") {
+    // VERDICT r2 #5: a frame containing a shuffle or a sample can change
+    // per-partition counts between the counting pass and the id projection
+    // (AQE re-plan / task re-scheduling); assignIds pins the partitioning
+    // with localCheckpoint, so ids must come out dense and unique anyway
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("shuf", Seq("v" -> "int4"))
+    val wild = spark.range(0, 2000)
+      .select(col("id").cast("int").as("v"))
+      .repartition(13, col("v") % 7) // shuffle, skewed keys
+      .sample(withReplacement = false, 0.8, seed = 0xC0FFEE) // nondeterministic op
+      .withColumn("geometry", lit("POINT(1 2)"))
+    db.insertIntoCollection("shuf", wild)
+    val n = db.countCollection("shuf")
+    val ids = db.getCollection("shuf", "order=id").select("id").as[Long].collect()
+    assert(ids.length == n)
+    assert(ids.toSet.size == ids.length, "duplicate ids")
+    assert(ids.head == 1L && ids.last == n, s"gapped ids: 1..${ids.last} for $n rows")
+    // and a second shuffled insert continues densely
+    db.insertIntoCollection("shuf", wild)
+    val ids2 = db.getCollection("shuf", "order=id").select("id").as[Long].collect()
+    assert(ids2.length == ids2.toSet.size && ids2.last == ids2.length)
+  }
+
   test("update by filter stamps modified_at (geodb.py:1356-1398)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("c2", Seq("v" -> "integer"))

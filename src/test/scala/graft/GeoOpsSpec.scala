@@ -164,6 +164,85 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(GeoOps.hilbertOf(-5, -5, 0, 0, 10, 10, 8) == 0L) // clamped
   }
 
+  test("LCC 2SP (EPSG:2154, 3034): origin golden, roundtrip, conformality") {
+    // the projection origin maps exactly to (FE, FN) — a golden straight
+    // from the EPSG registry definition
+    val o = GeoOps.transform(GeoOps.point(3.0, 46.5), 4326, 2154)
+    assert(math.abs(GeoOps.stX(o) - 700000.0) < 1e-6)
+    assert(math.abs(GeoOps.stY(o) - 6600000.0) < 1e-6)
+    // roundtrip over a France-wide grid at 1e-9 deg
+    for (lon <- Seq(-4.5, 0.0, 3.0, 8.0); lat <- Seq(41.5, 44.0, 46.5, 49.0, 51.0)) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 2154), 2154, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9, s"lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9, s"lat rt at ($lon,$lat)")
+    }
+    for (lon <- Seq(-8.0, 10.0, 25.0); lat <- Seq(38.0, 52.0, 62.0)) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 3034), 3034, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9)
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9)
+    }
+    // conformal property: on a standard parallel the scale factor is 1
+    // (Snyder p.107); measure it by finite differences along the parallel
+    for (sp <- Seq(44.0, 49.0)) {
+      val d = 1e-6 // deg
+      val a = GeoOps.transform(GeoOps.point(3.0, sp), 4326, 2154)
+      val b = GeoOps.transform(GeoOps.point(3.0 + d, sp), 4326, 2154)
+      val dx = GeoOps.stX(b) - GeoOps.stX(a); val dy = GeoOps.stY(b) - GeoOps.stY(a)
+      val projected = math.sqrt(dx * dx + dy * dy)
+      // ellipsoidal parallel arc length for d degrees
+      val e2 = 1.0 - math.pow(1.0 - 1.0 / 298.257222101, 2)
+      val phi = math.toRadians(sp)
+      val nu = 6378137.0 / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val arc = nu * math.cos(phi) * math.toRadians(d)
+      assert(math.abs(projected / arc - 1.0) < 1e-6, s"scale at sp=$sp")
+    }
+  }
+
+  test("Albers (EPSG:5070) and LAEA (EPSG:3035): origin, roundtrip, equal-area") {
+    val o = GeoOps.transform(GeoOps.point(-96.0, 23.0), 4326, 5070)
+    assert(math.abs(GeoOps.stX(o)) < 1e-6 && math.abs(GeoOps.stY(o)) < 1e-6)
+    val o2 = GeoOps.transform(GeoOps.point(10.0, 52.0), 4326, 3035)
+    assert(math.abs(GeoOps.stX(o2) - 4321000.0) < 1e-6)
+    assert(math.abs(GeoOps.stY(o2) - 3210000.0) < 1e-6)
+    for (lon <- Seq(-120.0, -96.0, -75.0); lat <- Seq(25.0, 37.0, 48.0)) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 5070), 5070, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9, s"5070 rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9)
+    }
+    for (lon <- Seq(-9.0, 10.0, 30.0); lat <- Seq(36.0, 52.0, 68.0)) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 3035), 3035, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9, s"3035 rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9)
+    }
+    // equal-area property: the Jacobian determinant of (lon,lat)->(x,y)
+    // equals the ellipsoid area element everywhere (Snyder ch. 14, 24) —
+    // a formula error in q/beta/rho would break this immediately
+    def areaRatio(srid: Int, lon: Double, lat: Double): Double = {
+      val d = 1e-6
+      val p0 = GeoOps.transform(GeoOps.point(lon, lat), 4326, srid)
+      val px = GeoOps.transform(GeoOps.point(lon + d, lat), 4326, srid)
+      val py = GeoOps.transform(GeoOps.point(lon, lat + d), 4326, srid)
+      val ax = GeoOps.stX(px) - GeoOps.stX(p0); val ay = GeoOps.stY(px) - GeoOps.stY(p0)
+      val bx = GeoOps.stX(py) - GeoOps.stX(p0); val by = GeoOps.stY(py) - GeoOps.stY(p0)
+      val jac = math.abs(ax * by - ay * bx)
+      val e2 = 1.0 - math.pow(1.0 - 1.0 / 298.257222101, 2)
+      val phi = math.toRadians(lat)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val m = 6378137.0 * (1 - e2) / math.pow(1 - e2 * sin2, 1.5) // meridional radius
+      val nu = 6378137.0 / math.sqrt(1 - e2 * sin2)
+      val cell = m * math.toRadians(d) * nu * math.cos(phi) * math.toRadians(d)
+      jac / cell
+    }
+    for ((lon, lat) <- Seq((-110.0, 30.0), (-96.0, 23.0), (-80.0, 45.0)))
+      assert(math.abs(areaRatio(5070, lon, lat) - 1.0) < 1e-4, s"5070 area at $lon,$lat")
+    for ((lon, lat) <- Seq((0.0, 40.0), (10.0, 52.0), (25.0, 65.0)))
+      assert(math.abs(areaRatio(3035, lon, lat) - 1.0) < 1e-4, s"3035 area at $lon,$lat")
+  }
+
   test("distance/centroid/buffer/length") {
     assert(GeoOps.distance(GeoOps.point(0, 0), GeoOps.point(3, 4)) == 5.0)
     val c = GeoOps.centroid(GeoOps.makeEnvelope(0, 0, 2, 2))

@@ -117,6 +117,59 @@ class PlanRuleSpec extends SparkSpec {
     assert(q.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("repeated application converges (no filter stacking below Project)") {
+    // ADVICE r2: the outer Filter never gains stat refs, so a fixed-point
+    // batch running this rule alone must not re-inject per iteration
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+    val dir = java.nio.file.Files.createTempDirectory("idem-view").toString
+    statDf.write.mode("overwrite").parquet(dir)
+    val view = spark.read.parquet(dir).select("id", "x", "y", "geometry")
+    val analyzed = view.filter(st_contains(
+      st_makeenvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0)), $"geometry"))
+      .queryExecution.analyzed
+    def nStatFilters(p: LogicalPlan): Int = p.collect {
+      case LFilter(c, _) if c.references.exists(_.name == "_bbox_minx") => 1
+    }.size
+    val once = EnvelopePrefilter(analyzed)
+    assert(nStatFilters(once) == 1, s"expected one injection in:\n$once")
+    val twice = EnvelopePrefilter(EnvelopePrefilter(once))
+    assert(nStatFilters(twice) == 1, s"rule re-injected:\n$twice")
+  }
+
+  test("two stat-bearing collections joined: conjunct lands on the predicate's side only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val dirA = java.nio.file.Files.createTempDirectory("pfj-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pfj-b").toString
+    Seq((1L, 5.0, 5.0), (2L, 50.0, 50.0)).toDF("id", "ax", "ay")
+      .withColumn("geometry", st_point($"ax", $"ay"))
+      .withColumn("_bbox_minx", $"ax").withColumn("_bbox_miny", $"ay")
+      .withColumn("_bbox_maxx", $"ax").withColumn("_bbox_maxy", $"ay")
+      .write.mode("overwrite").parquet(dirA)
+    Seq((1L, 100.0, 100.0), (2L, 200.0, 200.0)).toDF("bid", "bx", "by")
+      .withColumn("geometry", st_point($"bx", $"by"))
+      .withColumn("_bbox_minx", $"bx").withColumn("_bbox_miny", $"by")
+      .withColumn("_bbox_maxx", $"bx").withColumn("_bbox_maxy", $"by")
+      .write.mode("overwrite").parquet(dirB)
+    val a = spark.read.parquet(dirA).select("id", "ax", "ay", "geometry")
+    val b = spark.read.parquet(dirB).select(col("bid"), col("bx"), col("by"),
+      col("geometry").as("bgeom"))
+    val q = a.filter(st_contains(
+        st_makeenvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0)), a("geometry")))
+      .join(b, $"id" === $"bid")
+    // every stat filter in the optimized plan must sit over the A relation
+    // (its leaf outputs carry ax), never over B (bx)
+    val statFilters = q.queryExecution.optimizedPlan.collect {
+      case f @ LFilter(c, _) if c.references.exists(_.name == "_bbox_minx") => f
+    }
+    assert(statFilters.nonEmpty, "expected an injected stat prefilter")
+    statFilters.foreach { f =>
+      val leafCols = f.collectLeaves().flatMap(_.output.map(_.name)).toSet
+      assert(leafCols.contains("ax") && !leafCols.contains("bx"),
+        s"stat filter landed on the wrong side:\n$f")
+    }
+    assert(q.select("bid").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("join-safe: predicate on one side never prunes via the other's stats") {
     // A's rows are all far from the query box; B's geometry matches it.
     // Resolving stats by NAME would pick A's stat columns for the predicate

@@ -101,5 +101,12 @@ class PostgrestFilterSpec extends SparkSpec {
     assert(f("txt=fts.cat dog") == Seq(3L))
     // OR semantics with |
     assert(f("txt=fts.mat|dogs") == Seq(1L, 4L))
+    // mixed operators nest as OR of AND groups: (cat AND dog) OR dogs
+    // (ADVICE r2: an AND separator within a '|' branch previously became
+    // one dead lexeme; raw '&' is the query-string separator and arrives
+    // URL-encoded as an in-branch AND like space/plus)
+    assert(f("txt=fts.cat dog|dogs") == Seq(3L, 4L))
+    assert(f("txt=fts.cat+dog|dogs") == Seq(3L, 4L))
+    assert(f("txt=fts.mat|cat+play") == Seq(1L, 3L))
   }
 }
