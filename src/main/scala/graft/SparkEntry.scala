@@ -863,7 +863,10 @@ object SparkEntry {
       // dimensions / band count / red-channel sum; the oracle recomputes
       // the same numbers from the pixel formula alone — they can only
       // match if the decode path reads real pixels
-      val media = Multimodal.synthesizeImages(ld(s, dir, "documents"), "doc_id")
+      // single-file input => repartition the slim id column first so the
+      // CPU-bound PNG encode/decode uses all cores, not one scan partition
+      val ids = ld(s, dir, "documents").select("doc_id").repartition(32)
+      val media = Multimodal.synthesizeImages(ids, "doc_id")
       Multimodal.imageStats(media).orderBy("media_id")
     }),
     "q75_json_roundtrip" -> ((s, dir) => { ensure(s)
@@ -897,6 +900,25 @@ object SparkEntry {
         .join(b, a("r_regionkey") === b("n_regionkey"))
         .select(col("r_regionkey"), col("n_nationkey"), col("n_name"))
         .orderBy("r_regionkey", "n_nationkey")
+    }),
+    "q77_crs_conic" -> ((s, dir) => { ensure(s)
+      // conic/azimuthal CRS (Lambert-93, LAEA Europe, Conus Albers)
+      // through the engine's client-side bbox reprojection helper —
+      // including the reference's EPSG:4326 lat_lon axis-order quirk.
+      // Pinned oracle values are cross-checked against an independent
+      // Snyder implementation (mm agreement; see tools/PrintCrs)
+      val db = tmpDb(s, "crs")
+      def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+      val rows = Seq(
+        (2154, (0.0, 0.0, 1.0, 4.0)),      // (minlat, minlon, maxlat, maxlon)
+        (3035, (45.0, 5.0, 49.0, 9.0)),
+        (5070, (40.0, -100.0, 44.0, -96.0))
+      ).map { case (srid, bbox) =>
+        val out = db.transformBboxCrs(bbox, 4326, srid)
+        (srid, r3(out._1), r3(out._2), r3(out._3), r3(out._4))
+      }
+      import s.implicits._
+      rows.toDF("srid", "minx", "miny", "maxx", "maxy").orderBy("srid")
     })
   )
 
@@ -1073,6 +1095,12 @@ object SparkEntry {
     "q76_prefilter_join" ->
       ("SELECT r_regionkey, n_nationkey, n_name FROM region JOIN nation ON r_regionkey = n_regionkey " +
        "WHERE r_regionkey >= 2 AND r_regionkey <= 3 ORDER BY r_regionkey, n_nationkey"),
+    "q77_crs_conic" ->
+      ("SELECT CAST(srid AS INT) AS srid, CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny, " +
+       "CAST(maxx AS DOUBLE) AS maxx, CAST(maxy AS DOUBLE) AS maxy FROM (VALUES " +
+       "(2154, 253531.131, 909838.931, 846993.906, 1049231.054), " +
+       "(3035, 3926417.968, 2445248.841, 4247809.875, 2876809.575), " +
+       "(5070, -338390.588, 1894100.14, 0.0, 2334319.616)) t(srid, minx, miny, maxx, maxy) ORDER BY srid"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

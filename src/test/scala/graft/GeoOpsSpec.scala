@@ -183,6 +183,12 @@ class GeoOpsSpec extends AnyFunSuite {
       assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9)
       assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9)
     }
+    // cross-implementation goldens: same Snyder formulas coded
+    // independently in Python (different author path) agree to the mm;
+    // the Paris value also matches publicly circulated Lambert-93 coords
+    val paris = GeoOps.transform(GeoOps.point(2.3522, 48.8566), 4326, 2154)
+    assert(math.abs(GeoOps.stX(paris) - 652469.023) < 1e-3)
+    assert(math.abs(GeoOps.stY(paris) - 6862035.259) < 1e-3)
     // conformal property: on a standard parallel the scale factor is 1
     // (Snyder p.107); measure it by finite differences along the parallel
     for (sp <- Seq(44.0, 49.0)) {
@@ -206,6 +212,13 @@ class GeoOpsSpec extends AnyFunSuite {
     val o2 = GeoOps.transform(GeoOps.point(10.0, 52.0), 4326, 3035)
     assert(math.abs(GeoOps.stX(o2) - 4321000.0) < 1e-6)
     assert(math.abs(GeoOps.stY(o2) - 3210000.0) < 1e-6)
+    // cross-implementation goldens (independent Python Snyder coding)
+    val g5070 = GeoOps.transform(GeoOps.point(-100.0, 40.0), 4326, 5070)
+    assert(math.abs(GeoOps.stX(g5070) - -338390.588) < 1e-3)
+    assert(math.abs(GeoOps.stY(g5070) - 1894100.140) < 1e-3)
+    val g3035 = GeoOps.transform(GeoOps.point(5.0, 45.0), 4326, 3035)
+    assert(math.abs(GeoOps.stX(g3035) - 3926417.968) < 1e-3)
+    assert(math.abs(GeoOps.stY(g3035) - 2445248.841) < 1e-3)
     for (lon <- Seq(-120.0, -96.0, -75.0); lat <- Seq(25.0, 37.0, 48.0)) {
       val rt = GeoOps.transform(
         GeoOps.transform(GeoOps.point(lon, lat), 4326, 5070), 5070, 4326)
