@@ -919,6 +919,29 @@ object SparkEntry {
       }
       import s.implicits._
       rows.toDF("srid", "minx", "miny", "maxx", "maxy").orderBy("srid")
+    }),
+    "q78_ngram_decontaminate" -> ((s, dir) => { ensure(s)
+      // exact word-8-gram benchmark decontamination: corpus docs sharing
+      // ANY 8-gram with the "benchmark" (docs 1-3) are flagged — the
+      // n-gram-join method (vs q67's substring needles), broadcast
+      // semi-join, zero corpus shuffle
+      val docs = ld(s, dir, "documents")
+      TextAnalysis.ngramContaminatedIds(docs, "text", "doc_id",
+          docs.filter(col("doc_id") <= 3), "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    "q79_hash_sample" -> ((s, dir) => { ensure(s)
+      // deterministic content-hash sampling (md5 first hex digit < 4 =>
+      // 25% expected rate): stable across engines, no RNG — the
+      // dedup-compatible downsampling primitive
+      TextAnalysis.contentHashSample(ld(s, dir, "documents"), "text", 4)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q80_corpus_stats" -> ((s, dir) => { ensure(s)
+      // one-pass corpus card: totals + uniqueness + exact-division mean
+      TextAnalysis.corpusStats(ld(s, dir, "documents"), "text")
+        .select(col("n_docs"), col("n_chars"), col("n_tokens"),
+          col("n_unique_docs"), col("mean_chars"))
     })
   )
 
@@ -1101,6 +1124,17 @@ object SparkEntry {
        "(2154, 253531.131, 909838.931, 846993.906, 1049231.054), " +
        "(3035, 3926417.968, 2445248.841, 4247809.875, 2876809.575), " +
        "(5070, -338390.588, 1894100.14, 0.0, 2334319.616)) t(srid, minx, miny, maxx, maxy) ORDER BY srid"),
+    "q78_ngram_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t FROM documents), " +
+       "g AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END) AS gram FROM toks) " +
+       "SELECT DISTINCT doc_id FROM g WHERE gram IN (SELECT gram FROM g WHERE doc_id <= 3) ORDER BY doc_id"),
+    "q79_hash_sample" ->
+      "SELECT doc_id FROM documents WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 4 ORDER BY doc_id",
+    "q80_corpus_stats" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS n_chars, " +
+       "CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens, " +
+       "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs, " +
+       "CAST(SUM(len(text)) AS DOUBLE) / count(*) AS mean_chars FROM documents"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

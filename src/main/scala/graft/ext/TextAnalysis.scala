@@ -91,6 +91,61 @@ object TextAnalysis {
   def decontaminate(df: DataFrame, textCol: String, needles: Seq[String]): DataFrame =
     df.filter(!needles.map(n => col(textCol).contains(n)).reduce(_ || _))
 
+  /** Array of space-joined lowercase word n-grams (pure built-ins:
+    * split + sequence + transform + slice — stays in codegen). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /**
+   * Exact n-gram overlap decontamination (the standard benchmark-
+   * contamination method: a corpus doc is contaminated if it shares ANY
+   * word-n-gram with the evaluation set). Distributed as a semi-join on
+   * exploded n-grams: the benchmark side (thousands of docs) collapses to
+   * a distinct-gram set and broadcasts; the corpus side streams
+   * (id, gram) tuples through the broadcast hash join — no corpus
+   * shuffle at all. For benchmark sets too big to broadcast, drop the
+   * hint and let AQE pick a shuffle join on the same plan.
+   */
+  def ngramContaminatedIds(docs: DataFrame, textCol: String, idCol: String,
+                           bench: DataFrame, benchTextCol: String,
+                           n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+    docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /**
+   * Deterministic content-hash sampling: keep docs whose md5 first hex
+   * digit falls in [0, keepBuckets) — stable across runs/engines (no RNG),
+   * content-addressed (exact dups sample together, so dedup and sampling
+   * commute), and trivially stratifiable by composing with a filter.
+   * One narrow projection; sampling rate = keepBuckets/16.
+   */
+  def contentHashSample(df: DataFrame, textCol: String, keepBuckets: Int): DataFrame = {
+    require(keepBuckets >= 0 && keepBuckets <= 16, "keepBuckets in [0,16]")
+    df.filter(conv(substring(md5(col(textCol)), 1, 1), 16, 10).cast("int")
+      < keepBuckets)
+  }
+
+  /** One-pass corpus card: doc/char/token totals, unique docs, mean doc
+    * length (exact integer sums; the mean divides two exact BIGINTs so the
+    * double is order-independent). Map-side combined aggregate — shuffle
+    * carries one partial row per partition. */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(token_count(col(textCol)).cast("long")).as("n_tokens"),
+        countDistinct(md5(col(textCol))).as("n_unique_docs"))
+      .withColumn("mean_chars",
+        col("n_chars").cast("double") / col("n_docs"))
+
   /** PII-pattern counts per document (emails, IPv4) — the redaction
     * pre-scan; codegen'd regexp_count, no UDFs. */
   def piiCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -291,6 +291,41 @@ class ExtSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("ngram decontamination / hash sampling / corpus stats") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // bench doc
+      (2L, "prefix words alpha beta gamma delta epsilon zeta eta theta more"),
+      (3L, "no overlap with anything here at all whatsoever today"),
+      (4L, "alpha beta gamma delta other tail that stops early")   // only 4-gram overlap
+    ).toDF("doc_id", "text")
+    // 8-gram overlap: doc 2 contains bench doc 1's full 8-gram window;
+    // doc 4 shares only a 4-gram -> clean at n=8
+    val flagged = TextAnalysis.ngramContaminatedIds(
+        corpus, "text", "doc_id", corpus.filter($"doc_id" === 1), "text", n = 8)
+      .as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(1L, 2L))
+    // content-hash sampling: deterministic, partition-independent, and
+    // bucket counts partition [0,16) exactly
+    val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val once = TextAnalysis.contentHashSample(docsReal, "text", 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val again = TextAnalysis.contentHashSample(docsReal.repartition(7), "text", 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(once == again && once.nonEmpty)
+    assert(TextAnalysis.contentHashSample(docsReal, "text", 16).count() == docsReal.count())
+    assert(TextAnalysis.contentHashSample(docsReal, "text", 0).count() == 0)
+    // corpus stats vs hand computation
+    val stats = TextAnalysis.corpusStats(corpus, "text").first()
+    assert(stats.getAs[Long]("n_docs") == 4L)
+    assert(stats.getAs[Long]("n_unique_docs") == 4L)
+    val texts = corpus.select("text").as[String].collect()
+    assert(stats.getAs[Long]("n_chars") == texts.map(_.length.toLong).sum)
+    assert(stats.getAs[Long]("n_tokens") ==
+      texts.map(_.trim.split("\\s+").count(_.nonEmpty).toLong).sum)
+    assert(math.abs(stats.getAs[Double]("mean_chars") -
+      texts.map(_.length.toLong).sum.toDouble / 4) < 1e-9)
+  }
+
   test("multimodal real image decode: synthesize PNGs -> stats/resize/features") {
     val ids = spark.range(1, 21).select(col("id").as("doc_id"))
     val media = Multimodal.synthesizeImages(ids, "doc_id")
