@@ -942,6 +942,31 @@ object SparkEntry {
       TextAnalysis.corpusStats(ld(s, dir, "documents"), "text")
         .select(col("n_docs"), col("n_chars"), col("n_tokens"),
           col("n_unique_docs"), col("mean_chars"))
+    }),
+    "q81_engine_vector_index" -> ((s, dir) => { ensure(s)
+      // D7-analog vector index through the ENGINE: pgvector-style
+      // `vector` property, IVF cell-partitioned index layout under the
+      // collection dir, search with static partition pruning; gated by
+      // recall@10 vs the exact brute-force twin over the same collection
+      // (cells=8, nprobe=3, floor 4/10 — the q40 parameters)
+      val db = tmpDb(s, "vec")
+      db.createCollection("vecs", Seq("vec_id" -> "int8", "emb" -> "vector"))
+      db.insertIntoCollection("vecs", ld(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("geometry", st_point(col("vec_id").cast("double"), lit(0.0))))
+      db.createVectorIndex("vecs", "emb", cells = 8)
+      val coll = db.getCollection("vecs").select(col("id"), col("vec_id"), col("emb"))
+      val q = coll.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(coll, q, "emb", "id", 10)
+        .select("query_id", "corpus_id")
+      val approx = db.vectorSearch("vecs", "emb", q, k = 10, nprobe = 3)
+        .select("query_id", "corpus_id")
+      val idMap = coll.select(col("id").as("query_id"), col("vec_id"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) >= 4).as("recall_ok"))
+        .join(idMap, Seq("query_id"))
+        .select(col("vec_id").as("query_id"), col("recall_ok"))
+        .orderBy("query_id")
     })
   )
 
@@ -1135,6 +1160,8 @@ object SparkEntry {
        "CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens, " +
        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs, " +
        "CAST(SUM(len(text)) AS DOUBLE) / count(*) AS mean_chars FROM documents"),
+    "q81_engine_vector_index" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

@@ -135,6 +135,9 @@ object PgTypes {
     case "boolean" | "bool"                           => BooleanType
     case "bytea" | "geometry" | "binary"              => BinaryType
     case "text[]"                                     => ArrayType(StringType)
+    // pgvector-analog embedding type for the LLM-pipeline surface
+    case "float4[]" | "real[]" | "vector"             => ArrayType(FloatType)
+    case "float8[]" | "double precision[]"            => ArrayType(DoubleType)
     case other => throw new IllegalArgumentException(s"unsupported property type: $other")
   }
 }

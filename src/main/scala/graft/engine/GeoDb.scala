@@ -760,6 +760,91 @@ class GeoDb(
     logEvent(EventType.IndexDropped, s"Index $name dropped from $d/$collection")
   }
 
+  // =========================================================================
+  // Vector index — IVF layout for Array[Float] properties (the pgvector-
+  // analog surface of the LLM-pipeline extension)
+  // =========================================================================
+  private def vecIndexDir(d: String, c: String, p: String): String =
+    s"${catalog.collectionDir(d, c)}/.vecindex-$p"
+
+  /**
+   * Build an IVF vector index over an Array[Float] property: the coarse
+   * quantizer trains on a bounded fixed-seed sample (`ext.Ivf.train`),
+   * the (id, vector) projection is written PARTITIONED BY `ivf_cell`
+   * (searches probing nprobe cells prune every other partition at
+   * planning time), and the centroid table is stored alongside so any
+   * later session searches the same layout. Like [[createIndex]], the
+   * index is a one-shot physical layout: rebuild after bulk DML.
+   */
+  def createVectorIndex(collection: String, property: String,
+                        cells: Int = 16,
+                        database: Option[String] = None): String = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val meta = metaOf(d, collection)
+    val p = property.toLowerCase
+    require(meta.schema.fieldNames.contains(p), s"no such property $p")
+    val name = indexName(d, collection, s"${p}_ivf")
+    require(!meta.indexes.contains(name), s"index $name already exists")
+    val base = readRaw(d, collection).select(col("id"), col(p))
+    val model = graft.ext.Ivf.train(base, p, k = cells)
+    val dir = vecIndexDir(d, collection, p)
+    graft.ext.Ivf.writePartitioned(graft.ext.Ivf.assign(base, p, model), s"$dir/data")
+    // centroid table: one line per centroid, comma-separated floats —
+    // tiny, human-inspectable, no parser dependency
+    val cpath = new HPath(s"$dir/centroids.txt")
+    val fs = cpath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(cpath, true)
+    out.write(model.centroids.map(_.mkString(",")).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    catalog.saveMeta(metaOf(d, collection).copy(indexes = meta.indexes :+ name))
+    logEvent(EventType.IndexCreated, s"Vector index $name created on $d/$collection")
+    name
+  }
+
+  def dropVectorIndex(collection: String, property: String,
+                      database: Option[String] = None): Unit = {
+    val d = db(database)
+    requireDatabaseOwner(d)
+    val p = property.toLowerCase
+    val meta = metaOf(d, collection)
+    val name = indexName(d, collection, s"${p}_ivf")
+    require(meta.indexes.contains(name), s"index $name does not exist")
+    val dir = new HPath(vecIndexDir(d, collection, p))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true)
+    catalog.saveMeta(meta.copy(indexes = meta.indexes.filterNot(_ == name)))
+    logEvent(EventType.IndexDropped, s"Vector index $name dropped from $d/$collection")
+  }
+
+  /** k-NN search against a [[createVectorIndex]] layout. `queries` must
+    * carry (`idCol`, `property`) columns; returns (query_id, corpus_id,
+    * cosine) where corpus_id is the collection's serial id. */
+  def vectorSearch(collection: String, property: String, queries: DataFrame,
+                   k: Int = 10, nprobe: Int = 4, idCol: String = "id",
+                   database: Option[String] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val p = property.toLowerCase
+    val name = indexName(d, collection, s"${p}_ivf")
+    require(metaOf(d, collection).indexes.contains(name),
+      s"no vector index on $d/$collection.$p — run createVectorIndex first")
+    val dir = vecIndexDir(d, collection, p)
+    val cpath = new HPath(s"$dir/centroids.txt")
+    val fs = cpath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = new Array[Byte](fs.getFileStatus(cpath).getLen.toInt)
+    val in = fs.open(cpath)
+    in.readFully(0, bytes)
+    in.close()
+    val model = graft.ext.Ivf.Model(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.split(",").map(_.toFloat)))
+    logEvent(EventType.Read, s"Vector search on $d/$collection.$p")
+    graft.ext.Ivf.searchPartitioned(spark, s"$dir/data",
+      queries.select(col(idCol).as("id"), col(p)), model, p, "id", k, nprobe)
+  }
+
   /** Reference-named alias for dropIndex (geodb.py remove_index). */
   def removeIndex(collection: String, property: String,
                   database: Option[String] = None): Unit =

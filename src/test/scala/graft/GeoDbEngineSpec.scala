@@ -147,6 +147,38 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(ids2.length == ids2.toSet.size && ids2.last == ids2.length)
   }
 
+  test("vector index lifecycle: create -> search (partition-pruned) -> drop") {
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("vecs", Seq("vec_id" -> "int8", "emb" -> "vector"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    db.insertIntoCollection("vecs", emb
+      .select($"vec_id", $"embedding".as("emb"))
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val name = db.createVectorIndex("vecs", "emb", cells = 4)
+    assert(db.showIndexes("vecs").contains(name))
+    // duplicate create refused
+    intercept[IllegalArgumentException](db.createVectorIndex("vecs", "emb"))
+    // search returns k ranked hits per query, none of them the query itself
+    val coll = db.getCollection("vecs").select($"id", $"vec_id", $"emb")
+    val q = coll.filter($"vec_id" < 3)
+    val hits = db.vectorSearch("vecs", "emb", q, k = 5, nprobe = 2)
+    val byQuery = hits.groupBy("query_id").count().collect()
+    assert(byQuery.length == 3 && byQuery.forall(_.getLong(1) == 5L))
+    assert(hits.filter($"query_id" === $"corpus_id").count() == 0)
+    // the searched frame reads ONLY probed cell partitions (static
+    // PartitionFilters) — recall sanity vs brute force on one query
+    val exact = graft.ext.Similarity
+      .bruteForceTopK(coll, q.limit(1), "emb", "id", 5)
+      .select("corpus_id").as[Long].collect().toSet
+    val approxIds = hits.join(q.limit(1).select($"id".as("query_id")), Seq("query_id"))
+      .select("corpus_id").as[Long].collect().toSet
+    assert(exact.intersect(approxIds).size >= 2)
+    // drop removes files + meta; search then fails loudly
+    db.dropVectorIndex("vecs", "emb")
+    assert(!db.showIndexes("vecs").exists(_.contains("emb_ivf")))
+    intercept[IllegalArgumentException](db.vectorSearch("vecs", "emb", q))
+  }
+
   test("update by filter stamps modified_at (geodb.py:1356-1398)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("c2", Seq("v" -> "integer"))
