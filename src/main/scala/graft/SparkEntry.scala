@@ -967,6 +967,15 @@ object SparkEntry {
         .join(idMap, Seq("query_id"))
         .select(col("vec_id").as("query_id"), col("recall_ok"))
         .orderBy("query_id")
+    }),
+    "q82_quality_filter" -> ((s, dir) => { ensure(s)
+      // Gopher-style keep/drop verdicts with per-reason audit flags —
+      // thresholds chosen to split the synthetic corpus both ways
+      TextAnalysis.qualityFlags(ld(s, dir, "documents"), "text", "doc_id",
+          minTokens = 30, maxTokens = 100000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 7.5,
+          maxPunctRatio = 0.05, maxDupLineFrac = 0.3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1162,6 +1171,16 @@ object SparkEntry {
        "CAST(SUM(len(text)) AS DOUBLE) / count(*) AS mean_chars FROM documents"),
     "q81_engine_vector_index" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+    "q82_quality_filter" ->
+      ("WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks, " +
+       "string_split(text, chr(10)) AS lines FROM documents), " +
+       "f AS (SELECT doc_id, " +
+       "len(toks) BETWEEN 30 AND 100000 AS tokens_ok, " +
+       "(CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END) BETWEEN 3.0 AND 7.5 AS word_len_ok, " +
+       "(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[\\.,;:!\\?''\"]', '', 'g')) AS DOUBLE) / len(text) END) <= 0.05 AS punct_ok, " +
+       "(CASE WHEN len(lines) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END) <= 0.3 AS lines_ok FROM t) " +
+       "SELECT doc_id, tokens_ok, word_len_ok, punct_ok, lines_ok, " +
+       "tokens_ok AND word_len_ok AND punct_ok AND lines_ok AS keep FROM f ORDER BY doc_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

@@ -169,6 +169,29 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
   }
 
+  /**
+   * Gopher-style quality-filter verdicts (the public Rae et al. 2021
+   * heuristic family, simplified to the signals this engine computes):
+   * per-document boolean reasons plus the composite keep flag, as ONE
+   * narrow projection — the reasons columns are what a pipeline logs to
+   * audit WHY a doc was dropped, not just that it was.
+   */
+  def qualityFlags(df: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int = 50, maxTokens: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxPunctRatio: Double = 0.1,
+                   maxDupLineFrac: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val tokensOk = tokenCount(t).between(minTokens, maxTokens)
+    val wordLenOk = meanWordLength(t).between(minMeanWordLen, maxMeanWordLen)
+    val punctOk = punctRatio(t) <= maxPunctRatio
+    val linesOk = dupLineFraction(t) <= maxDupLineFrac
+    df.select(col(idCol),
+      tokensOk.as("tokens_ok"), wordLenOk.as("word_len_ok"),
+      punctOk.as("punct_ok"), linesOk.as("lines_ok"),
+      (tokensOk && wordLenOk && punctOk && linesOk).as("keep"))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -326,6 +326,27 @@ class ExtSpec extends SparkSpec {
       texts.map(_.length.toLong).sum.toDouble / 4) < 1e-9)
   }
 
+  test("quality flags: each reason fires independently") {
+    val cases = Seq(
+      (1L, ("word " * 60).trim),                        // all ok
+      (2L, "too short"),                                // tokens_ok=false
+      (3L, ("a " * 60).trim),                           // word_len_ok=false (mwl=1)
+      (4L, (("w.,;!? " * 60).trim)),                    // punct_ok=false
+      (5L, (Seq.fill(40)("same line").mkString("\n")))  // lines_ok=false
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.qualityFlags(cases, "text", "doc_id",
+        minTokens = 30, maxTokens = 1000, minMeanWordLen = 3.0,
+        maxMeanWordLen = 7.5, maxPunctRatio = 0.05, maxDupLineFrac = 0.3)
+      .orderBy("doc_id").collect()
+    def flags(r: org.apache.spark.sql.Row) =
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))
+    assert(flags(f(0)) == (true, true, true, true, true))
+    assert(flags(f(1))._1 == false && flags(f(1))._5 == false)
+    assert(flags(f(2))._2 == false)
+    assert(flags(f(3))._3 == false)
+    assert(flags(f(4))._4 == false && flags(f(4))._5 == false)
+  }
+
   test("multimodal real image decode: synthesize PNGs -> stats/resize/features") {
     val ids = spark.range(1, 21).select(col("id").as("doc_id"))
     val media = Multimodal.synthesizeImages(ids, "doc_id")
