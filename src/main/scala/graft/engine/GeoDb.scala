@@ -287,8 +287,43 @@ class GeoDb(
       val assigned = assignIds(alignTo(meta.schema, withMeta, keepId = false), meta.maxId)
       val n = appendWrite(d, collection, meta, assigned)
       catalog.saveMeta(metaOf(d, collection).copy(maxId = meta.maxId + n))
+      maintainVectorIndexes(d, collection, assigned)
     }
     logEvent(EventType.RowsAdded, s"Rows added to $d/$collection")
+  }
+
+  /**
+   * Incremental vector-index maintenance: appended rows are assigned to
+   * their EXISTING IVF cell (centroids are not retrained — the FAISS
+   * add-to-index semantics) and appended to the cell-partitioned layout,
+   * so appends never require an index rebuild. Copy-on-write DML
+   * (update/delete/upsert) still invalidates: rebuild after those.
+   */
+  private def maintainVectorIndexes(d: String, c: String, newRows: DataFrame): Unit = {
+    val dirPat = new HPath(s"${catalog.collectionDir(d, c)}/.vecindex-*")
+    val fs = dirPat.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = Option(fs.globStatus(dirPat)).getOrElse(Array.empty)
+    dirs.foreach { st =>
+      val p = st.getPath.getName.stripPrefix(".vecindex-")
+      if (newRows.columns.contains(p)) {
+        val model = loadVecModel(s"${st.getPath.toString}/centroids.txt")
+        graft.ext.Ivf.assign(newRows.select(col("id"), col(p)), p, model)
+          .write.mode("append").partitionBy("ivf_cell")
+          .parquet(s"${st.getPath.toString}/data")
+      }
+    }
+  }
+
+  private def loadVecModel(centroidPath: String): graft.ext.Ivf.Model = {
+    val cpath = new HPath(centroidPath)
+    val fs = cpath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = new Array[Byte](fs.getFileStatus(cpath).getLen.toInt)
+    val in = fs.open(cpath)
+    in.readFully(0, bytes)
+    in.close()
+    graft.ext.Ivf.Model(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.split(",").map(_.toFloat)))
   }
 
   /** PK merge on id — PostgREST resolution=merge-duplicates (geodb.py:1505-1508).
@@ -831,15 +866,7 @@ class GeoDb(
     require(metaOf(d, collection).indexes.contains(name),
       s"no vector index on $d/$collection.$p — run createVectorIndex first")
     val dir = vecIndexDir(d, collection, p)
-    val cpath = new HPath(s"$dir/centroids.txt")
-    val fs = cpath.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = new Array[Byte](fs.getFileStatus(cpath).getLen.toInt)
-    val in = fs.open(cpath)
-    in.readFully(0, bytes)
-    in.close()
-    val model = graft.ext.Ivf.Model(
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").map(_.split(",").map(_.toFloat)))
+    val model = loadVecModel(s"$dir/centroids.txt")
     logEvent(EventType.Read, s"Vector search on $d/$collection.$p")
     graft.ext.Ivf.searchPartitioned(spark, s"$dir/data",
       queries.select(col(idCol).as("id"), col(p)), model, p, "id", k, nprobe)

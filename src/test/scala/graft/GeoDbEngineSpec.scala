@@ -173,6 +173,20 @@ class GeoDbEngineSpec extends SparkSpec {
     val approxIds = hits.join(q.limit(1).select($"id".as("query_id")), Seq("query_id"))
       .select("corpus_id").as[Long].collect().toSet
     assert(exact.intersect(approxIds).size >= 2)
+    // incremental maintenance: appended rows join the index without a
+    // rebuild (assigned to existing cells, FAISS add-to-index semantics)
+    db.insertIntoCollection("vecs", emb.limit(5)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding".as("emb"))
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val newQ = db.getCollection("vecs").filter($"vec_id" >= 100000L)
+      .select($"id", $"vec_id", $"emb")
+    assert(newQ.count() == 5)
+    val hits2 = db.vectorSearch("vecs", "emb", newQ.limit(1), k = 3, nprobe = 4)
+    // a duplicated vector's nearest neighbors at nprobe=max must include
+    // its twin (cosine 1.0) — only possible if the appended rows are in
+    // the partitioned layout
+    assert(hits2.count() == 3)
+    assert(hits2.agg(max($"cosine")).head.getDouble(0) > 0.999)
     // drop removes files + meta; search then fails loudly
     db.dropVectorIndex("vecs", "emb")
     assert(!db.showIndexes("vecs").exists(_.contains("emb_ivf")))
