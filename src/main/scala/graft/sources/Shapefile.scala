@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.locationtech.jts.algorithm.Orientation
-import org.locationtech.jts.geom.{Coordinate, GeometryFactory, LinearRing, Polygon}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearRing, LineString, MultiLineString, MultiPolygon, Point, Polygon}
 
 import graft.core.GeoOps
 
@@ -203,6 +203,108 @@ object Shapefile {
   // geopandas round-trip; driver-side assembly, intended for result sets
   // of the size a client would export (the read path is the scale path).
   // ======================================================================
+  /**
+   * Export twin for point/line/polygon layers. Driver-side by design: a
+   * shapefile is one non-splittable .shp/.shx/.dbf triplet, so this is a
+   * bounded-export tool (the distributed interchange path is parquet /
+   * GeoJSON-lines). The layer's shape type comes from the first geometry
+   * (shapefiles are single-type); ESRI ring winding (outer CW, holes CCW)
+   * is enforced per ring on write.
+   */
+  def writeShapefile(df: DataFrame, stem: String,
+                     geometryCol: String = "geometry"): Unit = {
+    val attrs = df.schema.fields.filterNot(_.name == geometryCol)
+    val rows = df.collect()
+    require(rows.nonEmpty, "refusing to write an empty shapefile")
+    val geoms = rows.map(r => GeoOps.read(r.getAs[Array[Byte]](geometryCol)))
+    val recs = geoms.map(shpRecord)
+    val shapeType = recs.head._1
+    require(recs.forall(_._1 == shapeType),
+      "shapefiles are single-type: mixed geometry types in input")
+    val totalLen = 100 + recs.map(8 + _._2.length).sum
+    val shp = ByteBuffer.allocate(totalLen)
+    val shx = ByteBuffer.allocate(100 + recs.length * 8)
+    val env = new org.locationtech.jts.geom.Envelope()
+    geoms.foreach(g => env.expandToInclude(g.getEnvelopeInternal))
+    def header(b: ByteBuffer, words: Int): Unit = {
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0, 9994); b.putInt(24, words)
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(28, 1000); b.putInt(32, shapeType)
+      b.putDouble(36, env.getMinX); b.putDouble(44, env.getMinY)
+      b.putDouble(52, env.getMaxX); b.putDouble(60, env.getMaxY)
+    }
+    header(shp, totalLen / 2)
+    header(shx, (100 + recs.length * 8) / 2)
+    var off = 100
+    recs.zipWithIndex.foreach { case ((_, content), i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1); shp.putInt(off + 4, content.length / 2)
+      shp.put(off + 8, content, 0, content.length)
+      shx.order(ByteOrder.BIG_ENDIAN)
+      shx.putInt(100 + i * 8, off / 2); shx.putInt(104 + i * 8, content.length / 2)
+      off += 8 + content.length
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$stem.shp"), shp.array())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$stem.shx"), shx.array())
+    writeDbf(stem, attrs, rows)
+  }
+
+  /** One record's (shapeType, content bytes). */
+  private def shpRecord(g: Geometry): (Int, Array[Byte]) = g match {
+    case p: Point =>
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0, 1); b.putDouble(4, p.getX); b.putDouble(12, p.getY)
+      (1, b.array())
+    case l: LineString => (3, partsRecord(3, Array(l.getCoordinates), g))
+    case m: MultiLineString =>
+      val parts = Array.tabulate(m.getNumGeometries)(
+        i => m.getGeometryN(i).asInstanceOf[LineString].getCoordinates)
+      (3, partsRecord(3, parts, g))
+    case p: Polygon => (5, partsRecord(5, polygonRings(p), g))
+    case m: MultiPolygon =>
+      val parts = (0 until m.getNumGeometries).toArray
+        .flatMap(i => polygonRings(m.getGeometryN(i).asInstanceOf[Polygon]))
+      (5, partsRecord(5, parts, g))
+    case other => throw new IllegalArgumentException(
+      s"unsupported geometry type for shapefile export: ${other.getGeometryType}")
+  }
+
+  /** Rings with ESRI winding: shell clockwise, holes counter-clockwise. */
+  private def polygonRings(p: Polygon): Array[Array[Coordinate]] = {
+    def wound(cs: Array[Coordinate], wantCCW: Boolean): Array[Coordinate] =
+      if (Orientation.isCCW(factory.getCoordinateSequenceFactory.create(cs)) == wantCCW) cs
+      else cs.reverse
+    val shell = wound(closed(p.getExteriorRing.getCoordinates), wantCCW = false)
+    val holes = Array.tabulate(p.getNumInteriorRing)(i =>
+      wound(closed(p.getInteriorRingN(i).getCoordinates), wantCCW = true))
+    shell +: holes
+  }
+
+  /** PolyLine/Polygon content: type bbox numParts numPoints parts points. */
+  private def partsRecord(shapeType: Int, parts: Array[Array[Coordinate]],
+                          g: Geometry): Array[Byte] = {
+    val numPoints = parts.map(_.length).sum
+    val b = ByteBuffer.allocate(44 + parts.length * 4 + numPoints * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val env = g.getEnvelopeInternal
+    b.putInt(0, shapeType)
+    b.putDouble(4, env.getMinX); b.putDouble(12, env.getMinY)
+    b.putDouble(20, env.getMaxX); b.putDouble(28, env.getMaxY)
+    b.putInt(36, parts.length); b.putInt(40, numPoints)
+    var idx = 0
+    parts.zipWithIndex.foreach { case (p, i) =>
+      b.putInt(44 + i * 4, idx); idx += p.length
+    }
+    val ptsOff = 44 + parts.length * 4
+    var j = 0
+    parts.foreach(_.foreach { c =>
+      b.putDouble(ptsOff + j * 16, c.x); b.putDouble(ptsOff + 8 + j * 16, c.y)
+      j += 1
+    })
+    b.array()
+  }
+
   def writePoints(df: DataFrame, stem: String,
                   geometryCol: String = "geometry"): Unit = {
     val attrs = df.schema.fields.filterNot(_.name == geometryCol)

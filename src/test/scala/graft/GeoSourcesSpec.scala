@@ -67,6 +67,50 @@ class GeoSourcesSpec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(2) + 2.25) < 1e-9)
   }
 
+  test("shapefile: polygon/multipolygon/line writer roundtrips through own reader") {
+    import graft.sources.Shapefile
+    import graft.core.GeoOps
+    // polygons incl. a hole and a multipolygon — winding is enforced on
+    // write, reassembled by orientation on read, so JTS equality holds
+    val polyDir = tmpDir("shp-poly")
+    val wkts = Seq(
+      (1L, "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+      (2L, "POLYGON((20 20, 30 20, 30 30, 20 30, 20 20))"),
+      (3L, "MULTIPOLYGON(((40 0, 45 0, 45 5, 40 5, 40 0)), ((50 0, 55 0, 55 5, 50 5, 50 0)))"))
+    val polys = wkts.toDF("id", "wkt")
+      .withColumn("geometry", st_geomfromtext($"wkt")).drop("wkt")
+    Shapefile.writeShapefile(polys, s"$polyDir/layer")
+    val backP = Shapefile.read(spark, polyDir).orderBy("id")
+      .select($"id", $"geometry").collect()
+    wkts.zip(backP).foreach { case ((_, wkt), row) =>
+      val expected = GeoOps.read(GeoOps.geomFromText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(wkt)))
+      val got = GeoOps.read(row.getAs[Array[Byte]]("geometry"))
+      assert(got.norm().equalsExact(expected.norm(), 1e-9), s"roundtrip of $wkt got $got")
+    }
+    // polylines incl. a multilinestring
+    val lineDir = tmpDir("shp-line")
+    val lineWkts = Seq(
+      (1L, "LINESTRING(0 0, 5 5, 10 0)"),
+      (2L, "MULTILINESTRING((0 0, 1 1), (2 2, 3 3, 4 2))"))
+    val lines = lineWkts.toDF("id", "wkt")
+      .withColumn("geometry", st_geomfromtext($"wkt")).drop("wkt")
+    Shapefile.writeShapefile(lines, s"$lineDir/layer")
+    val backL = Shapefile.read(spark, lineDir).orderBy("id")
+      .select($"id", $"geometry").collect()
+    lineWkts.zip(backL).foreach { case ((_, wkt), row) =>
+      val expected = GeoOps.read(GeoOps.geomFromText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(wkt)))
+      val got = GeoOps.read(row.getAs[Array[Byte]]("geometry"))
+      assert(got.norm().equalsExact(expected.norm(), 1e-9), s"roundtrip of $wkt got $got")
+    }
+    // mixed types refused
+    val mixed = Seq((1L, "POINT(0 0)"), (2L, "LINESTRING(0 0, 1 1)")).toDF("id", "wkt")
+      .withColumn("geometry", st_geomfromtext($"wkt")).drop("wkt")
+    intercept[IllegalArgumentException](
+      Shapefile.writeShapefile(mixed, s"${tmpDir("shp-mixed")}/layer"))
+  }
+
   test("shapefile: polygon with hole and polyline records parse") {
     import graft.sources.Shapefile
     import java.nio.{ByteBuffer, ByteOrder}
