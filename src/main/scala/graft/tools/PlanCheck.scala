@@ -7,7 +7,9 @@ object PlanCheck {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_scan_filter_page","q16_agg_group","q17_join_broadcast","q28_dedup_minhash")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q01_scan_filter_page","q16_agg_group","q17_join_broadcast","q28_dedup_minhash")
+    for (q <- qs) {
       println(s"######## $q")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
