@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.GeoOps
 import graft.engine.GeoDb
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
@@ -976,6 +977,48 @@ object SparkEntry {
           minMeanWordLen = 3.0, maxMeanWordLen = 7.5,
           maxPunctRatio = 0.05, maxDupLineFrac = 0.3)
         .orderBy("doc_id")
+    }),
+    "q83_crs_families" -> ((s, dir) => { ensure(s)
+      // round-3 CRS families through the engine's client-side bbox
+      // reprojection (polar + oblique stereographic, ellipsoidal Mercator,
+      // datum-shifted TM/LCC via 7-param Helmert). Pinned oracle values
+      // cross-checked against published EPSG/OS worked examples (BNG, RD
+      // New, and UPS goldens agree to the mm — GeoOpsSpec round-3 tests).
+      val db = tmpDb(s, "crs3")
+      def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+      val rows = Seq( // (minlat, minlon, maxlat, maxlon) per the 4326 quirk
+        (2180, (49.0, 14.1, 54.8, 24.1)),
+        (3031, (-80.0, -60.0, -71.0, 60.0)),
+        (3395, (40.0, -10.0, 50.0, 10.0)),
+        (3413, (65.0, -80.0, 80.0, -10.0)),
+        (27700, (50.5, -5.0, 53.0, 1.0)),
+        (28992, (51.8, 4.0, 53.2, 6.5)),
+        (31370, (49.6, 2.9, 51.3, 5.8))
+      ).map { case (srid, bbox) =>
+        val out = db.transformBboxCrs(bbox, 4326, srid)
+        (srid, r3(out._1), r3(out._2), r3(out._3), r3(out._4))
+      }
+      import s.implicits._
+      rows.toDF("srid", "minx", "miny", "maxx", "maxy").orderBy("srid")
+    }),
+    "q84_crs_custom" -> ((s, dir) => { ensure(s)
+      // registerCrs escape hatch: a custom SRID with Slovenia's TM
+      // parameters must agree with builtin 3794 row-by-row THROUGH the
+      // codegen'd st_transform expression — this gates the plan-time
+      // registry snapshot that carries driver registrations to executors.
+      GeoOps.registerCrs(909090, "tm", Map(
+        "a" -> 6378137.0, "rf" -> 298.257222101, "lon0" -> 15.0,
+        "k0" -> 0.9999, "fe" -> 500000.0, "fn" -> -5000000.0))
+      ld(s, dir, "customer").filter(col("c_custkey") <= 5)
+        .withColumn("g", st_point(
+          lit(14.0) + col("c_custkey").cast("double") / 10.0,
+          lit(46.0) + col("c_custkey").cast("double") / 100.0))
+        .withColumn("a", st_transform(col("g"), lit(4326), lit(909090)))
+        .withColumn("b", st_transform(col("g"), lit(4326), lit(3794)))
+        .select(col("c_custkey"),
+          (abs(st_x(col("a")) - st_x(col("b"))) < 1e-9 &&
+           abs(st_y(col("a")) - st_y(col("b"))) < 1e-9).as("ok"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -1181,6 +1224,19 @@ object SparkEntry {
        "(CASE WHEN len(lines) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END) <= 0.3 AS lines_ok FROM t) " +
        "SELECT doc_id, tokens_ok, word_len_ok, punct_ok, lines_ok, " +
        "tokens_ok AND word_len_ok AND punct_ok AND lines_ok AS keep FROM f ORDER BY doc_id"),
+    "q83_crs_families" ->
+      ("SELECT CAST(srid AS INT) AS srid, CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny, " +
+       "CAST(maxx AS DOUBLE) AS maxx, CAST(maxy AS DOUBLE) AS maxy FROM (VALUES " +
+       "(2180, 141769.941, 137400.812, 827616.48, 782641.327), " +
+       "(3031, -943257.078, 544589.728, 1803723.164, 1041380.054), " +
+       "(3395, -1113194.908, 4838471.398, 1113194.908, 6413524.594), " +
+       "(3413, -1577477.258, -2252871.001, 622858.294, -889533.832), " +
+       "(27700, 187345.325, 70989.071, 601409.004, 348952.049), " +
+       "(28992, 59317.369, 424396.791, 229361.51, 579835.9), " +
+       "(31370, 43827.084, 33078.008, 249818.11, 222091.688)) " +
+       "t(srid, minx, miny, maxx, maxy) ORDER BY srid"),
+    "q84_crs_custom" ->
+      "SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey",
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

@@ -339,9 +339,40 @@ object GeoOps {
   // SRID 3794 in tests/sql/setup.sql:31) plus the whole UTM family.
   private final val R = 6378137.0
 
-  /** Transverse-Mercator spec: ellipsoid + projection constants. */
+  /** Transverse-Mercator spec: ellipsoid + projection constants.
+    * `lat0Deg` is the latitude of natural origin (0 for UTM; e.g. 49 for
+    * the British National Grid): the false northing is applied relative to
+    * the meridian arc at that latitude, per the EPSG 9807 method. */
   private[graft] final case class Tm(a: Double, f: Double, lon0Deg: Double,
-                              k0: Double, fe: Double, fn: Double)
+                              k0: Double, fe: Double, fn: Double,
+                              lat0Deg: Double = 0.0) extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      tmForward(this, lonDeg, latDeg)
+    def inverse(e: Double, n: Double): (Double, Double) =
+      tmInverse(this, e, n)
+  }
+
+  /** Northing of the natural origin (lam=0, lat0) with fe/fn zeroed: the
+    * Krüger series collapses to the rectifying-latitude arc at lat0. */
+  private def tmM0(spec: Tm): Double = {
+    if (spec.lat0Deg == 0.0) return 0.0
+    val n = spec.f / (2.0 - spec.f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n
+    val bigA = spec.a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0)
+    val a1 = n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+    val a2 = 13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+    val a3 = 61.0 * n3 / 240.0 - 103.0 * n4 / 140.0
+    val a4 = 49561.0 * n4 / 161280.0
+    val phi = math.toRadians(spec.lat0Deg)
+    val c = 2.0 * math.sqrt(n) / (1.0 + n)
+    val t = math.sinh(atanh(math.sin(phi)) - c * atanh(c * math.sin(phi)))
+    val xiP = math.atan2(t, 1.0)
+    var xi = xiP
+    val as = Array(a1, a2, a3, a4)
+    var j = 1
+    while (j <= 4) { xi += as(j - 1) * math.sin(2.0 * j * xiP); j += 1 }
+    spec.k0 * bigA * xi
+  }
 
   private[graft] def tmSpec(srid: Int): Option[Tm] = srid match {
     case z if z >= 32601 && z <= 32660 => // UTM north, WGS84
@@ -378,7 +409,7 @@ object GeoOps {
       eta += as(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
       j += 1
     }
-    (spec.fe + spec.k0 * bigA * eta, spec.fn + spec.k0 * bigA * xi)
+    (spec.fe + spec.k0 * bigA * eta, spec.fn - tmM0(spec) + spec.k0 * bigA * xi)
   }
 
   /** (easting, northing) -> (lonDeg, latDeg) via the Krüger beta/delta series. */
@@ -394,7 +425,7 @@ object GeoOps {
     val d2 = 7.0 * n2 / 3.0 - 8.0 * n3 / 5.0 - 227.0 * n4 / 45.0
     val d3 = 56.0 * n3 / 15.0 - 136.0 * n4 / 35.0
     val d4 = 4279.0 * n4 / 630.0
-    val xi = (nthg - spec.fn) / (spec.k0 * bigA)
+    val xi = (nthg - spec.fn + tmM0(spec)) / (spec.k0 * bigA)
     val eta = (e - spec.fe) / (spec.k0 * bigA)
     var xiP = xi; var etaP = eta
     val bs = Array(b1, b2, b3, b4)
@@ -462,7 +493,7 @@ object GeoOps {
     phi
   }
 
-  private[graft] sealed trait Proj {
+  private[graft] sealed trait Proj extends Serializable {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double)
     def inverse(e: Double, n: Double): (Double, Double)
   }
@@ -556,6 +587,209 @@ object GeoOps {
     }
   }
 
+  /** Ellipsoidal Mercator, variant A (Snyder pp. 41-47 / EPSG 9804). */
+  private[graft] final case class Merc(a: Double, f: Double, lon0: Double,
+      k0: Double, fe: Double, fn: Double) extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      (fe + a * k0 * math.toRadians(lonDeg - lon0),
+       fn - a * k0 * math.log(tFn(e, math.toRadians(latDeg))))
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-(y - fn) / (a * k0))
+      (lon0 + math.toDegrees((x - fe) / (a * k0)),
+       math.toDegrees(phiFromT(e, t)))
+    }
+  }
+
+  /** Polar stereographic, north or south aspect (Snyder pp. 160-162 /
+    * EPSG 9810 variant A and 9829 variant B — construct variant B specs
+    * via [[PolarStereo.fromStandardParallel]]). */
+  private[graft] final case class PolarStereo(a: Double, f: Double,
+      lon0: Double, k0: Double, fe: Double, fn: Double, south: Boolean)
+      extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    // sqrt((1+e)^(1+e) (1-e)^(1-e)) — the rho normalizer (Snyder 21-33)
+    private val cF = math.sqrt(
+      math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(if (south) -latDeg else latDeg)
+      val lam = math.toRadians(lonDeg - lon0)
+      val rho = 2.0 * a * k0 * tFn(e, phi) / cF
+      if (south) (fe + rho * math.sin(lam), fn + rho * math.cos(lam))
+      else (fe + rho * math.sin(lam), fn - rho * math.cos(lam))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val rho = math.sqrt(dx * dx + dy * dy)
+      val t = rho * cF / (2.0 * a * k0)
+      val phi = math.toDegrees(phiFromT(e, t))
+      // polar aspects span all longitudes: normalize lon0+atan2 to (-180,180]
+      def norm(lon: Double): Double = {
+        val w = (lon + 180.0) % 360.0
+        (if (w <= 0.0) w + 360.0 else w) - 180.0
+      }
+      if (south) (norm(lon0 + math.toDegrees(math.atan2(dx, dy))), -phi)
+      else (norm(lon0 + math.toDegrees(math.atan2(dx, -dy))), phi)
+    }
+  }
+  private[graft] object PolarStereo {
+    /** Variant B: standard parallel instead of k0 (EPSG 9829). */
+    def fromStandardParallel(a: Double, f: Double, latTs: Double,
+        lon0: Double, fe: Double, fn: Double): PolarStereo = {
+      val e = math.sqrt(f * (2.0 - f))
+      val phiF = math.toRadians(math.abs(latTs))
+      val cF = math.sqrt(
+        math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+      val k0 = mFn(e, phiF) * cF / (2.0 * tFn(e, phiF))
+      PolarStereo(a, f, lon0, k0, fe, fn, south = latTs < 0)
+    }
+  }
+
+  /** Oblique ("double") stereographic via the conformal sphere — the EPSG
+    * 9809 method (EPSG Guidance Note 7-2), used by Amersfoort / RD New. */
+  private[graft] final case class ObliqueStereo(a: Double, f: Double,
+      lat0: Double, lon0: Double, k0: Double, fe: Double, fn: Double)
+      extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val e2 = e * e
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val s0 = math.sin(phi0)
+    private val rho0 = a * (1.0 - e2) / math.pow(1.0 - e2 * s0 * s0, 1.5)
+    private val nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+    private val rC = math.sqrt(rho0 * nu0) // conformal-sphere radius
+    private val nC = math.sqrt(1.0 + e2 * math.pow(math.cos(phi0), 4) / (1.0 - e2))
+    private val w1 = math.pow(
+      (1.0 + s0) / (1.0 - s0) * math.pow((1.0 - e * s0) / (1.0 + e * s0), e), nC)
+    private val sinChi00 = (w1 - 1.0) / (w1 + 1.0)
+    private val cBig = (nC + s0) * (1.0 - sinChi00) / ((nC - s0) * (1.0 + sinChi00))
+    private val w2 = cBig * w1
+    private val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    private def chiOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      val w = cBig * math.pow(
+        (1.0 + s) / (1.0 - s) * math.pow((1.0 - e * s) / (1.0 + e * s), e), nC)
+      math.asin((w - 1.0) / (w + 1.0))
+    }
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val chi = chiOf(math.toRadians(latDeg))
+      val dLam = nC * (math.toRadians(lonDeg) - lam0)
+      val bBig = 1.0 + math.sin(chi) * math.sin(chi0) +
+        math.cos(chi) * math.cos(chi0) * math.cos(dLam)
+      (fe + 2.0 * rC * k0 * math.cos(chi) * math.sin(dLam) / bBig,
+       fn + 2.0 * rC * k0 * (math.sin(chi) * math.cos(chi0) -
+         math.cos(chi) * math.sin(chi0) * math.cos(dLam)) / bBig)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val g = 2.0 * rC * k0 * math.tan(math.Pi / 4.0 - chi0 / 2.0)
+      val h = 4.0 * rC * k0 * math.tan(chi0) + g
+      val i = math.atan(dx / (h + dy))
+      val j = math.atan(dx / (g - dy)) - i
+      val chi = chi0 + 2.0 * math.atan((dy - dx * math.tan(j / 2.0)) / (2.0 * rC * k0))
+      val dLam = j + 2.0 * i
+      val lam = dLam / nC + lam0
+      // invert the conformal-latitude map by fixed point on the isometric
+      // latitude (EPSG GN 7-2 iteration)
+      val psi = 0.5 * math.log((1.0 + math.sin(chi)) / (cBig * (1.0 - math.sin(chi)))) / nC
+      var phi = 2.0 * math.atan(math.exp(psi)) - math.Pi / 2.0
+      var it = 0
+      while (it < 12) {
+        val s = math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2.0 + math.Pi / 4.0) *
+          math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        val next = phi - (psiI - psi) * math.cos(phi) * (1.0 - e2 * s * s) / (1.0 - e2)
+        if (math.abs(next - phi) < 1e-13) { phi = next; it = 12 }
+        else { phi = next; it += 1 }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  // ---- Datum shifts ------------------------------------------------------
+  /**
+   * Geodetic datum: source ellipsoid + 7-parameter Helmert transform to
+   * WGS84 (position-vector rotation convention, the one used by the public
+   * OSGB and EPSG definitions). Rotations in arc-seconds, scale in ppm.
+   * The inverse applies the exactly-inverted linear map, so local->WGS84->
+   * local round-trips are exact to machine precision.
+   */
+  private[graft] final case class Datum(a: Double, f: Double,
+      tx: Double, ty: Double, tz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
+    private val e2 = f * (2.0 - f)
+    private def sec2rad(s: Double) = s * math.Pi / (180.0 * 3600.0)
+    private val rx = sec2rad(rxSec); private val ry = sec2rad(rySec)
+    private val rz = sec2rad(rzSec)
+    private val s1 = 1.0 + ppm * 1e-6
+
+    private def toXyz(a: Double, e2: Double, lonDeg: Double, latDeg: Double):
+        (Double, Double, Double) = {
+      val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+      val sp = math.sin(phi)
+      val nu = a / math.sqrt(1.0 - e2 * sp * sp)
+      (nu * math.cos(phi) * math.cos(lam),
+       nu * math.cos(phi) * math.sin(lam),
+       nu * (1.0 - e2) * sp)
+    }
+    private def fromXyz(a: Double, e2: Double, x: Double, y: Double, z: Double):
+        (Double, Double) = {
+      val p = math.sqrt(x * x + y * y)
+      var phi = math.atan2(z, p * (1.0 - e2))
+      var it = 0
+      while (it < 10) {
+        val sp = math.sin(phi)
+        val nu = a / math.sqrt(1.0 - e2 * sp * sp)
+        val next = math.atan2(z + e2 * nu * sp, p)
+        if (math.abs(next - phi) < 1e-14) { phi = next; it = 10 }
+        else { phi = next; it += 1 }
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+    }
+
+    /** Local-datum geographic -> WGS84 geographic (h=0 on the ellipsoid;
+      * the sub-millimeter height term is irrelevant for 2-D features). */
+    def toWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y, z) = toXyz(a, e2, lonDeg, latDeg)
+      val xw = tx + s1 * (x - rz * y + ry * z)
+      val yw = ty + s1 * (rz * x + y - rx * z)
+      val zw = tz + s1 * (-ry * x + rx * y + z)
+      fromXyz(wgs84A, wgs84E2, xw, yw, zw)
+    }
+    /** WGS84 geographic -> local-datum geographic (exact matrix inverse). */
+    def fromWgs84(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (xw, yw, zw) = toXyz(wgs84A, wgs84E2, lonDeg, latDeg)
+      val bx = (xw - tx) / s1; val by = (yw - ty) / s1; val bz = (zw - tz) / s1
+      // solve R v = b for the small-rotation matrix R (rows as in toWgs84)
+      // via one Gauss step — R is near-identity so this is well-conditioned;
+      // use the transpose-free exact inverse of the 3x3.
+      val m = Array(
+        Array(1.0, -rz, ry),
+        Array(rz, 1.0, -rx),
+        Array(-ry, rx, 1.0))
+      val det =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      val x = ((m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) * bx -
+               (m(0)(1) * m(2)(2) - m(0)(2) * m(2)(1)) * by +
+               (m(0)(1) * m(1)(2) - m(0)(2) * m(1)(1)) * bz) / det
+      val y = (-(m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) * bx +
+               (m(0)(0) * m(2)(2) - m(0)(2) * m(2)(0)) * by -
+               (m(0)(0) * m(1)(2) - m(0)(2) * m(1)(0)) * bz) / det
+      val z = ((m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0)) * bx -
+               (m(0)(0) * m(2)(1) - m(0)(1) * m(2)(0)) * by +
+               (m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)) * bz) / det
+      fromXyz(a, e2, x, y, z)
+    }
+  }
+  private final val wgs84A = 6378137.0
+  private final val wgs84F = 1.0 / 298.257223563
+  private final val wgs84E2 = wgs84F * (2.0 - wgs84F)
+
+  /** A complete CRS: map projection + optional datum shift to WGS84. */
+  private[graft] final case class Crs(proj: Proj, datum: Option[Datum] = None)
+
   /**
    * Registered conic/azimuthal CRS. Datums RGF93 / NAD83 / ETRS89 are
    * treated as WGS84-coincident (standard zero-shift practice; the datum
@@ -577,46 +811,197 @@ object GeoOps {
     }
   }
 
+  // Public-registry ellipsoid constants used by the wider builtin set.
+  private final val grs80F = 1.0 / 298.257222101
+  private final val airyA = 6377563.396
+  private final val airyF = 1.0 / 299.3249646
+  private final val besselA = 6377397.155
+  private final val besselF = 1.0 / 299.1528128
+  private final val intl24A = 6378388.0
+  private final val intl24F = 1.0 / 297.0
+
+  // Published Helmert sets (position-vector convention, local -> WGS84):
+  // OSGB36: the OS "Guide to coordinate systems in Great Britain" publishes
+  // WGS84->OSGB36; this is its negation (~3.5 m fit quality nationally).
+  private val osgb36 = Datum(airyA, airyF,
+    446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+  // Amersfoort (Bessel 1841): published RDNAPTRANS-derived approximation
+  // (decimeter-class without the correction grid).
+  private val amersfoort = Datum(besselA, besselF,
+    565.2369, 50.0087, 465.658, -0.406857, 0.350733, -1.87035, 4.0812)
+  // Belgium Datum 72 (International 1924): NGI-published 7-parameter set.
+  private val bd72 = Datum(intl24A, intl24F,
+    -106.8686, 52.2978, -103.7239, 0.3366, -0.4570, 1.8422, -1.2747)
+
+  /**
+   * Wider builtin CRS set (round 3): polar + oblique stereographic,
+   * ellipsoidal Mercator, non-zero-lat0 transverse Mercator, and the
+   * first non-WGS84 datums (Airy / Bessel / International 1924 with
+   * published Helmert shifts). All parameters from the public EPSG
+   * registry definitions; formulas Snyder PP 1395 / EPSG Guidance Note 7-2.
+   */
+  private def builtinCrs(srid: Int): Option[Crs] = srid match {
+    case 3395 => // WGS84 / World Mercator (ellipsoidal)
+      Some(Crs(Merc(wgs84A, wgs84F, 0.0, 1.0, 0.0, 0.0)))
+    case 3031 => // WGS84 / Antarctic Polar Stereographic (lat_ts -71)
+      Some(Crs(PolarStereo.fromStandardParallel(wgs84A, wgs84F, -71.0, 0.0, 0.0, 0.0)))
+    case 3976 => // WGS84 / NSIDC Sea Ice Polar Stereographic South (lat_ts -70)
+      Some(Crs(PolarStereo.fromStandardParallel(wgs84A, wgs84F, -70.0, 0.0, 0.0, 0.0)))
+    case 3413 => // WGS84 / NSIDC Sea Ice Polar Stereographic North (lat_ts 70, lon0 -45)
+      Some(Crs(PolarStereo.fromStandardParallel(wgs84A, wgs84F, 70.0, -45.0, 0.0, 0.0)))
+    case 32661 | 5041 => // WGS84 / UPS North (variant A, k0 0.994)
+      Some(Crs(PolarStereo(wgs84A, wgs84F, 0.0, 0.994, 2000000.0, 2000000.0, south = false)))
+    case 32761 | 5042 => // WGS84 / UPS South
+      Some(Crs(PolarStereo(wgs84A, wgs84F, 0.0, 0.994, 2000000.0, 2000000.0, south = true)))
+    case 27700 => // OSGB36 / British National Grid (Airy 1830 + Helmert)
+      Some(Crs(Tm(airyA, airyF, -2.0, 0.9996012717, 400000.0, -100000.0, 49.0),
+        Some(osgb36)))
+    case 28992 => // Amersfoort / RD New (Bessel 1841, oblique stereographic)
+      Some(Crs(ObliqueStereo(besselA, besselF,
+        52.0 + 9.0 / 60.0 + 22.178 / 3600.0, 5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+        0.9999079, 155000.0, 463000.0), Some(amersfoort)))
+    case 31370 => // BD72 / Belgian Lambert 72 (International 1924, LCC 2SP)
+      Some(Crs(Lcc(intl24A, intl24F, 90.0, 4.0 + 22.0 / 60.0 + 2.952 / 3600.0,
+        51.0 + 10.0 / 60.0 + 0.00204 / 3600.0, 49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
+        150000.013, 5400088.438), Some(bd72)))
+    case 2180 => // ETRS89 / Poland CS92 (TM, GRS80)
+      Some(Crs(Tm(6378137.0, grs80F, 19.0, 0.9993, 500000.0, -5300000.0)))
+    case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM zones 28N-38N
+      Some(Crs(Tm(6378137.0, grs80F, (z - 25800) * 6.0 - 183.0, 0.9996, 500000.0, 0.0)))
+    case _ => None
+  }
+
+  // ---- custom CRS registration ------------------------------------------
+  // Session-level registry for codes outside the builtin set. The
+  // Catalyst expression (functions.GeoExpressions.StTransform) snapshots
+  // this map at PLAN time and carries it to executors inside the
+  // serialized expression, so registrations made on the driver are
+  // visible cluster-wide without relying on executor-local statics.
+  private val customCrs = new java.util.concurrent.ConcurrentHashMap[Int, Crs]()
+
+  /**
+   * Register a custom projected CRS so `st_transform` / bbox reprojection
+   * accept its SRID — the escape hatch for EPSG codes not in the builtin
+   * table (the reference delegates the same job to client-side pyproj,
+   * geodb.py:1535-1575). `family` is one of `tm | lcc | albers | laea |
+   * merc | stereo | polar_north | polar_south`; `params` uses EPSG-style
+   * keys: `a`, `rf` (inverse flattening), `lat0`, `lon0`, `lat1`, `lat2`,
+   * `lat_ts`, `k0`, `fe`, `fn`, plus optional 7-parameter Helmert
+   * `dx dy dz rx ry rz ppm` (position-vector, local->WGS84) for
+   * non-WGS84-coincident datums.
+   */
+  def registerCrs(srid: Int, family: String, params: Map[String, Double]): Unit = {
+    def p(k: String, dflt: Double = Double.NaN): Double = {
+      val v = params.getOrElse(k, dflt)
+      require(!v.isNaN, s"registerCrs($srid): missing required parameter '$k'")
+      v
+    }
+    val a = p("a", wgs84A)
+    val f = 1.0 / p("rf", 1.0 / wgs84F)
+    val proj: Proj = family match {
+      case "tm" =>
+        Tm(a, f, p("lon0"), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0), p("lat0", 0.0))
+      case "lcc" =>
+        Lcc(a, f, p("lat0"), p("lon0"), p("lat1"), p("lat2"), p("fe", 0.0), p("fn", 0.0))
+      case "albers" =>
+        Albers(a, f, p("lat0"), p("lon0"), p("lat1"), p("lat2"), p("fe", 0.0), p("fn", 0.0))
+      case "laea" =>
+        Laea(a, f, p("lat0"), p("lon0"), p("fe", 0.0), p("fn", 0.0))
+      case "merc" =>
+        Merc(a, f, p("lon0", 0.0), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
+      case "stereo" =>
+        ObliqueStereo(a, f, p("lat0"), p("lon0"), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
+      case "polar_north" | "polar_south" =>
+        if (params.contains("lat_ts"))
+          PolarStereo.fromStandardParallel(a, f,
+            if (family == "polar_south") -math.abs(p("lat_ts")) else math.abs(p("lat_ts")),
+            p("lon0", 0.0), p("fe", 0.0), p("fn", 0.0))
+        else PolarStereo(a, f, p("lon0", 0.0), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0),
+          south = family == "polar_south")
+      case other => throw new IllegalArgumentException(
+        s"registerCrs($srid): unknown projection family '$other' " +
+        "(supported: tm, lcc, albers, laea, merc, stereo, polar_north, polar_south)")
+    }
+    val datum =
+      if (Seq("dx", "dy", "dz").exists(params.contains))
+        Some(Datum(a, f, p("dx", 0.0), p("dy", 0.0), p("dz", 0.0),
+          p("rx", 0.0), p("ry", 0.0), p("rz", 0.0), p("ppm", 0.0)))
+      else None
+    customCrs.put(srid, Crs(proj, datum))
+  }
+
+  /** Drop a custom registration (no-op if absent). */
+  def unregisterCrs(srid: Int): Unit = customCrs.remove(srid)
+
+  /** Immutable snapshot of the custom registry, captured at plan time by
+    * the transform expression so executors see driver registrations. */
+  private[graft] def customCrsSnapshot: Map[Int, Crs] = {
+    import scala.jdk.CollectionConverters._
+    customCrs.asScala.toMap
+  }
+
+  /** Resolve any supported SRID to a full CRS (custom defs win). */
+  private[graft] def crsSpec(srid: Int, custom: Map[Int, Crs] = Map.empty): Option[Crs] =
+    custom.get(srid)
+      .orElse(Option(customCrs.get(srid)))
+      .orElse(builtinCrs(srid))
+      .orElse(tmSpec(srid).map(Crs(_)))
+      .orElse(projSpec(srid).map(Crs(_)))
+
   /** In-place coordinate conversion srid -> EPSG:4326; None if unsupported. */
-  private def toWgsFilter(srid: Int): Option[Coordinate => Unit] = srid match {
-    case 4326 => Some(_ => ())
+  private def toWgsFilter(srid: Int, custom: Map[Int, Crs]): Option[Coordinate => Unit] = srid match {
+    case 4326 | 4258 | 4269 => Some(_ => ()) // ETRS89/NAD83 geographic: WGS84-coincident
     case 3857 => Some { c =>
       c.x = math.toDegrees(c.x / R)
       c.y = math.toDegrees(2 * math.atan(math.exp(c.y / R)) - math.Pi / 2)
     }
-    case s => tmSpec(s).map { spec => (c: Coordinate) =>
-      val (lon, lat) = tmInverse(spec, c.x, c.y)
+    case s => crsSpec(s, custom).map { crs => (c: Coordinate) =>
+      val (lonL, latL) = crs.proj.inverse(c.x, c.y)
+      val (lon, lat) = crs.datum match {
+        case Some(d) => d.toWgs84(lonL, latL)
+        case None => (lonL, latL)
+      }
       c.x = lon; c.y = lat
-    }.orElse(projSpec(s).map { p => (c: Coordinate) =>
-      val (lon, lat) = p.inverse(c.x, c.y)
-      c.x = lon; c.y = lat
-    })
+    }
   }
 
   /** In-place coordinate conversion EPSG:4326 -> srid; None if unsupported. */
-  private def fromWgsFilter(srid: Int): Option[Coordinate => Unit] = srid match {
-    case 4326 => Some(_ => ())
+  private def fromWgsFilter(srid: Int, custom: Map[Int, Crs]): Option[Coordinate => Unit] = srid match {
+    case 4326 | 4258 | 4269 => Some(_ => ())
     case 3857 => Some { c =>
       c.x = R * math.toRadians(c.x)
       c.y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
     }
-    case s => tmSpec(s).map { spec => (c: Coordinate) =>
-      val (e, nthg) = tmForward(spec, c.x, c.y)
+    case s => crsSpec(s, custom).map { crs => (c: Coordinate) =>
+      val (lonL, latL) = crs.datum match {
+        case Some(d) => d.fromWgs84(c.x, c.y)
+        case None => (c.x, c.y)
+      }
+      val (e, nthg) = crs.proj.forward(lonL, latL)
       c.x = e; c.y = nthg
-    }.orElse(projSpec(s).map { p => (c: Coordinate) =>
-      val (e, nthg) = p.forward(c.x, c.y)
-      c.x = e; c.y = nthg
-    })
+    }
   }
 
-  def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
+  def transform(b: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] =
+    transformWith(Map.empty, b, fromSrid, toSrid)
+
+  /**
+   * Transform with an explicit custom-CRS snapshot — the executor-side
+   * entry point used by the `st_transform` expression, which captures the
+   * driver's registry at plan time (a driver-only static would be empty on
+   * real-cluster executors).
+   */
+  private[graft] def transformWith(custom: Map[Int, Crs], b: Array[Byte],
+                    fromSrid: Int, toSrid: Int): Array[Byte] = {
     if (fromSrid == toSrid) return b
-    val inv = toWgsFilter(fromSrid)
-    val fwd = fromWgsFilter(toSrid)
+    val inv = toWgsFilter(fromSrid, custom)
+    val fwd = fromWgsFilter(toSrid, custom)
     if (inv.isEmpty || fwd.isEmpty)
       throw new IllegalArgumentException(
-        s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326, " +
-        "3857, UTM 32601-32660/32701-32760, 3794, 2154, 3034, 3035, 5070)")
+        s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326/4258/4269, " +
+        "3857, 3395, UTM 32601-32660/32701-32760, ETRS89 UTM 25828-25838, 3794, 2180, " +
+        "27700, 28992, 31370, 2154, 3034, 3035, 5070, polar 3031/3413/3976/32661/32761, " +
+        "plus GeoOps.registerCrs custom codes)")
     val g = read(b).copy()
     val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }
     g.apply(filter)

@@ -195,18 +195,26 @@ case class HilbertExpr(minX: Double, minY: Double, maxX: Double, maxY: Double,
     copy(left = l, right = r)
 }
 
-/** ST_Transform limited to 4326<->3857 (see GeoOps.transform). */
+/** ST_Transform over the GeoOps CRS registry (builtin EPSG families +
+  * GeoOps.registerCrs customs). The custom-CRS snapshot is captured on the
+  * driver at plan time and serialized with the expression, so registrations
+  * reach real-cluster executors (a driver-only static would be empty there). */
 case class StTransform(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
+  private val crsSnap: Map[Int, GeoOps.Crs] = GeoOps.customCrsSnapshot
   override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_transform"
   override protected def nullSafeEval(b: Any, f: Any, t: Any): Any =
-    GeoOps.transform(b.asInstanceOf[Array[Byte]],
+    GeoOps.transformWith(crsSnap, b.asInstanceOf[Array[Byte]],
       f.asInstanceOf[Int], t.asInstanceOf[Int])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (b, f, t) => s"graft.core.GeoOps.transform($b, $f, $t)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val snapRef = ctx.addReferenceObj("crsSnap", crsSnap,
+      "scala.collection.immutable.Map")
+    defineCodeGen(ctx, ev,
+      (b, f, t) => s"graft.core.GeoOps.transformWith($snapRef, $b, $f, $t)")
+  }
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression): Expression =
     copy(first = a, second = b, third = c)

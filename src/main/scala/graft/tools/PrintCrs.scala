@@ -15,5 +15,19 @@ object PrintCrs {
       val (x1, y1, x2, y2) = GeoOps.transformBbox(ax, ay, bx, by, 4326, srid)
       println(s"CRS $srid: ${r3(x1)}, ${r3(y1)}, ${r3(x2)}, ${r3(y2)}")
     }
+    // q83 pins: the round-3 families (stereo/Mercator/datum-shifted TM+LCC),
+    // inputs as (minlon, minlat, maxlon, maxlat) in each CRS's home region
+    val r3cases = Seq(
+      (3031, (-60.0, -80.0, 60.0, -71.0)),
+      (3395, (-10.0, 40.0, 10.0, 50.0)),
+      (3413, (-80.0, 65.0, -10.0, 80.0)),
+      (2180, (14.1, 49.0, 24.1, 54.8)),
+      (27700, (-5.0, 50.5, 1.0, 53.0)),
+      (28992, (4.0, 51.8, 6.5, 53.2)),
+      (31370, (2.9, 49.6, 5.8, 51.3)))
+    r3cases.foreach { case (srid, (ax, ay, bx, by)) =>
+      val (x1, y1, x2, y2) = GeoOps.transformBbox(ax, ay, bx, by, 4326, srid)
+      println(s"(${srid}, ${r3(x1)}, ${r3(y1)}, ${r3(x2)}, ${r3(y2)}), ")
+    }
   }
 }

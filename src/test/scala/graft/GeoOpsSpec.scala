@@ -256,6 +256,134 @@ class GeoOpsSpec extends AnyFunSuite {
       assert(math.abs(areaRatio(3035, lon, lat) - 1.0) < 1e-4, s"3035 area at $lon,$lat")
   }
 
+  test("round-3 CRS: BNG/RD/UPS published goldens, polar invariants, Mercator") {
+    // OSGB36 / British National Grid projection-only golden from the OS
+    // "A guide to coordinate systems in Great Britain" worked example
+    // (phi 52d39'27.2531"N, lam 1d43'4.5177"E on the Airy ellipsoid)
+    val bng = GeoOps.crsSpec(27700).get.proj
+    val (be, bn) = bng.forward(1.0 + 43.0 / 60 + 4.5177 / 3600,
+      52.0 + 39.0 / 60 + 27.2531 / 3600)
+    assert(math.abs(be - 651409.903) < 1e-3, s"BNG E $be")
+    assert(math.abs(bn - 313177.270) < 1e-3, s"BNG N $bn")
+    // Amersfoort / RD New oblique-stereographic golden: the EPSG Guidance
+    // Note 7-2 worked example (phi 53N lam 6E in Amersfoort geographic)
+    val rd = GeoOps.crsSpec(28992).get.proj
+    val (re, rn) = rd.forward(6.0, 53.0)
+    assert(math.abs(re - 196105.283) < 1e-3, s"RD E $re")
+    assert(math.abs(rn - 557057.739) < 1e-3, s"RD N $rn")
+    // UPS North variant-A golden (EPSG GN 7-2 example: phi 73N lam 44E)
+    val ups = GeoOps.crsSpec(32661).get.proj
+    val (ue, un) = ups.forward(44.0, 73.0)
+    assert(math.abs(ue - 3320416.75) < 1e-2, s"UPS E $ue")
+    assert(math.abs(un - 632668.43) < 1e-2, s"UPS N $un")
+    // polar stereographic variant B: scale factor 1 at the standard
+    // parallel by construction (Snyder 21-32..35)
+    val aps = GeoOps.crsSpec(3031).get.proj
+    val d = 1e-5
+    val (x1, y1) = aps.forward(0.0, -71.0)
+    val (x2, y2) = aps.forward(d, -71.0)
+    val e2w = wgs84E2Test
+    val sp = math.sin(math.toRadians(-71.0))
+    val nu = 6378137.0 / math.sqrt(1 - e2w * sp * sp)
+    val arc = nu * math.cos(math.toRadians(-71.0)) * math.toRadians(d)
+    assert(math.abs(math.hypot(x2 - x1, y2 - y1) / arc - 1.0) < 1e-7)
+    // roundtrips across all longitudes (including the lon-wrap quadrant)
+    for ((lon, lat) <- Seq((120.0, -75.0), (-60.0, -80.0), (179.5, -71.0));
+         srid <- Seq(3031, 3976)) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, srid), srid, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9, s"$srid lon rt at $lon")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9, s"$srid lat rt at $lon")
+    }
+    for ((lon, lat) <- Seq((-45.0, 70.0), (10.0, 85.0), (170.0, 65.0))) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 3413), 3413, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9)
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9)
+    }
+    // ellipsoidal World Mercator: equator fixed point, textbook northing
+    // at 45N, exact-x property, roundtrip
+    val m = GeoOps.crsSpec(3395).get.proj
+    val (mx, my) = m.forward(110.0, 45.0)
+    assert(math.abs(mx - 6378137.0 * math.toRadians(110.0)) < 1e-6)
+    assert(math.abs(my - 5591295.919) < 1e-3) // vs published 3395 values
+    val (rl, rp) = m.inverse(mx, my)
+    assert(math.abs(rl - 110.0) < 1e-12 && math.abs(rp - 45.0) < 1e-9)
+  }
+
+  private val wgs84E2Test: Double = {
+    val f = 1.0 / 298.257223563; f * (2.0 - f)
+  }
+
+  test("round-3 CRS: Helmert datum paths roundtrip and land on-grid") {
+    // datum'd transforms must roundtrip to sub-cm. Not 1e-9 like the
+    // zero-shift CRS: a 2-D shift drops ellipsoidal height, and the
+    // ~50 m Airy-vs-WGS84 separation through the 20 ppm scale term
+    // re-enters as ~1 mm (5e-8 deg covers it with margin).
+    val cases = Seq(
+      (27700, Seq((-5.0, 50.2), (-0.1276, 51.5074), (1.5, 52.9), (-3.2, 57.5))),
+      (28992, Seq((4.9041, 52.3676), (6.5, 53.2), (5.3872, 52.1561))),
+      (31370, Seq((4.3517, 50.8466), (2.9, 51.2), (5.8, 49.6))),
+      (2180, Seq((21.0122, 52.2297), (17.0, 51.1), (23.0, 53.8))),
+      (25833, Seq((15.0, 52.0), (12.5, 55.7))))
+    for ((srid, pts) <- cases; (lon, lat) <- pts) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, srid), srid, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 5e-8, s"$srid lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 5e-8, s"$srid lat rt at ($lon,$lat)")
+    }
+    // coarse absolute sanity: well-known city coordinates land within the
+    // published grid values to ~150 m (datum sets are the no-grid
+    // approximations; the projections themselves are mm-exact above)
+    val ldn = GeoOps.transform(GeoOps.point(-0.1276, 51.5074), 4326, 27700)
+    assert(math.hypot(GeoOps.stX(ldn) - 530036.0, GeoOps.stY(ldn) - 180432.0) < 150.0)
+    val ams = GeoOps.transform(GeoOps.point(4.9041, 52.3676), 4326, 28992)
+    assert(math.hypot(GeoOps.stX(ams) - 121853.0, GeoOps.stY(ams) - 487322.0) < 700.0)
+    val bru = GeoOps.transform(GeoOps.point(4.3517, 50.8466), 4326, 31370)
+    assert(math.hypot(GeoOps.stX(bru) - 148896.0, GeoOps.stY(bru) - 170409.0) < 700.0)
+    // ETRS89 and WGS84 UTM zone 33 are datum-coincident: same numbers
+    val a1 = GeoOps.transform(GeoOps.point(15.0, 52.0), 4326, 25833)
+    val a2 = GeoOps.transform(GeoOps.point(15.0, 52.0), 4326, 32633)
+    assert(math.hypot(GeoOps.stX(a1) - GeoOps.stX(a2),
+      GeoOps.stY(a1) - GeoOps.stY(a2)) < 0.001)
+    // geographic aliases: ETRS89 (4258) and NAD83 (4269) are zero-shift
+    val g = GeoOps.transform(GeoOps.point(10.0, 50.0), 4258, 3857)
+    val g2 = GeoOps.transform(GeoOps.point(10.0, 50.0), 4326, 3857)
+    assert(GeoOps.stX(g) == GeoOps.stX(g2) && GeoOps.stY(g) == GeoOps.stY(g2))
+  }
+
+  test("round-3 CRS: registerCrs custom codes match builtins and unregister") {
+    // a custom TM with Slovenia's parameters must agree with builtin 3794
+    GeoOps.registerCrs(90001, "tm", Map("a" -> 6378137.0, "rf" -> 298.257222101,
+      "lon0" -> 15.0, "k0" -> 0.9999, "fe" -> 500000.0, "fn" -> -5000000.0))
+    try {
+      val c1 = GeoOps.transform(GeoOps.point(14.5, 46.05), 4326, 90001)
+      val c2 = GeoOps.transform(GeoOps.point(14.5, 46.05), 4326, 3794)
+      assert(GeoOps.stX(c1) == GeoOps.stX(c2) && GeoOps.stY(c1) == GeoOps.stY(c2))
+    } finally GeoOps.unregisterCrs(90001)
+    // a custom stereo with datum params must agree with builtin 28992
+    GeoOps.registerCrs(90002, "stereo", Map(
+      "a" -> 6377397.155, "rf" -> 299.1528128,
+      "lat0" -> (52.0 + 9.0 / 60.0 + 22.178 / 3600.0),
+      "lon0" -> (5.0 + 23.0 / 60.0 + 15.5 / 3600.0),
+      "k0" -> 0.9999079, "fe" -> 155000.0, "fn" -> 463000.0,
+      "dx" -> 565.2369, "dy" -> 50.0087, "dz" -> 465.658,
+      "rx" -> -0.406857, "ry" -> 0.350733, "rz" -> -1.87035, "ppm" -> 4.0812))
+    try {
+      val c1 = GeoOps.transform(GeoOps.point(5.2, 52.4), 4326, 90002)
+      val c2 = GeoOps.transform(GeoOps.point(5.2, 52.4), 4326, 28992)
+      assert(GeoOps.stX(c1) == GeoOps.stX(c2) && GeoOps.stY(c1) == GeoOps.stY(c2))
+    } finally GeoOps.unregisterCrs(90002)
+    // after unregister the code is rejected again
+    intercept[IllegalArgumentException](
+      GeoOps.transform(GeoOps.point(0, 0), 4326, 90001))
+    // unknown family and missing params fail loudly
+    intercept[IllegalArgumentException](
+      GeoOps.registerCrs(90003, "bogus", Map.empty))
+    intercept[IllegalArgumentException](
+      GeoOps.registerCrs(90004, "lcc", Map("lat0" -> 0.0)))
+  }
+
   test("distance/centroid/buffer/length") {
     assert(GeoOps.distance(GeoOps.point(0, 0), GeoOps.point(3, 4)) == 5.0)
     val c = GeoOps.centroid(GeoOps.makeEnvelope(0, 0, 2, 2))
