@@ -54,7 +54,12 @@ object Bench {
       "\"" + id + "\":" + math.round(v * 1000)
     }.mkString("{", ",", "}")
     val totalR = math.round(total * 100) / 100.0
-    val compact = s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"queries":$qsMs,"queries_unit":"ms","sf":"$sfDir","detail":"BENCH.out"}"""
+    def line(withQ: Boolean) =
+      if (withQ) s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"queries":$qsMs,"queries_unit":"ms","sf":"$sfDir","detail":"BENCH.out"}"""
+      else s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"sf":"$sfDir","detail":"BENCH.out"}"""
+    // stay under the driver's truncating tail window with margin: drop the
+    // per-query map (it stays in BENCH.out) rather than risk a cut line
+    val compact = if (line(withQ = true).length <= 900) line(withQ = true) else line(withQ = false)
     spark.stop()
     println(compact)
   }

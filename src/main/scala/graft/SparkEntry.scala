@@ -987,6 +987,7 @@ object SparkEntry {
       val db = tmpDb(s, "crs3")
       def r3(v: Double): Double = math.rint(v * 1000.0) / 1000.0
       val rows = Seq( // (minlat, minlon, maxlat, maxlon) per the 4326 quirk
+        (2056, (45.9, 6.1, 47.8, 10.4)),
         (2180, (49.0, 14.1, 54.8, 24.1)),
         (3031, (-80.0, -60.0, -71.0, 60.0)),
         (3395, (40.0, -10.0, 50.0, 10.0)),
@@ -1227,6 +1228,7 @@ object SparkEntry {
     "q83_crs_families" ->
       ("SELECT CAST(srid AS INT) AS srid, CAST(minx AS DOUBLE) AS minx, CAST(miny AS DOUBLE) AS miny, " +
        "CAST(maxx AS DOUBLE) AS maxx, CAST(maxy AS DOUBLE) AS maxy FROM (VALUES " +
+       "(2056, 2496103.927, 1084042.89, 2821820.965, 1298572.228), " +
        "(2180, 141769.941, 137400.812, 827616.48, 782641.327), " +
        "(3031, -943257.078, 544589.728, 1803723.164, 1041380.054), " +
        "(3395, -1113194.908, 4838471.398, 1113194.908, 6413524.594), " +

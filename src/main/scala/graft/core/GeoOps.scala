@@ -706,6 +706,61 @@ object GeoOps {
     }
   }
 
+  /** Swiss oblique cylindrical ("double") projection: ellipsoid ->
+    * conformal sphere -> pseudo-equator rotation -> spherical Mercator.
+    * Public swisstopo formulation ("Formulas and constants for the
+    * calculation of the Swiss conformal cylindrical projection"); the EPSG
+    * registry models it as 9815 with a 90-degree azimuth. */
+  private[graft] final case class SwissOblMerc(a: Double, f: Double,
+      lat0: Double, lon0: Double, fe: Double, fn: Double) extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val e2 = e * e
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val s0 = math.sin(phi0)
+    private val rS = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    private val alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.pow(math.cos(phi0), 4))
+    private val b0 = math.asin(s0 / alpha)
+    private val kBig = math.log(math.tan(math.Pi / 4.0 + b0 / 2.0)) -
+      alpha * math.log(math.tan(math.Pi / 4.0 + phi0 / 2.0)) +
+      alpha * e / 2.0 * math.log((1.0 + e * s0) / (1.0 - e * s0))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sp = math.sin(phi)
+      val sBig = alpha * math.log(math.tan(math.Pi / 4.0 + phi / 2.0)) -
+        alpha * e / 2.0 * math.log((1.0 + e * sp) / (1.0 - e * sp)) + kBig
+      val b = 2.0 * (math.atan(math.exp(sBig)) - math.Pi / 4.0)
+      val l = alpha * (math.toRadians(lonDeg) - lam0)
+      val lBar = math.atan2(math.sin(l),
+        math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l))
+      val bBar = math.asin(math.cos(b0) * math.sin(b) -
+        math.sin(b0) * math.cos(b) * math.cos(l))
+      (fe + rS * lBar,
+       fn + rS / 2.0 * math.log((1.0 + math.sin(bBar)) / (1.0 - math.sin(bBar))))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lBar = (x - fe) / rS
+      val bBar = 2.0 * (math.atan(math.exp((y - fn) / rS)) - math.Pi / 4.0)
+      val b = math.asin(math.cos(b0) * math.sin(bBar) +
+        math.sin(b0) * math.cos(bBar) * math.cos(lBar))
+      val l = math.atan2(math.sin(lBar),
+        math.cos(b0) * math.cos(lBar) - math.sin(b0) * math.tan(bBar))
+      val lam = lam0 + l / alpha
+      // invert the conformal-latitude map by fixed point on phi
+      val target = (math.log(math.tan(math.Pi / 4.0 + b / 2.0)) - kBig) / alpha
+      var phi = b
+      var it = 0
+      while (it < 16) {
+        val sp = math.sin(phi)
+        val next = 2.0 * math.atan(math.exp(target +
+          e / 2.0 * math.log((1.0 + e * sp) / (1.0 - e * sp)))) - math.Pi / 2.0
+        if (math.abs(next - phi) < 1e-14) { phi = next; it = 16 }
+        else { phi = next; it += 1 }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   // ---- Datum shifts ------------------------------------------------------
   /**
    * Geodetic datum: source ellipsoid + 7-parameter Helmert transform to
@@ -832,6 +887,15 @@ object GeoOps {
   // Belgium Datum 72 (International 1924): NGI-published 7-parameter set.
   private val bd72 = Datum(intl24A, intl24F,
     -106.8686, 52.2978, -103.7239, 0.3366, -0.4570, 1.8422, -1.2747)
+  // CH1903+ (Bessel 1841): swisstopo-published translation-only set
+  // (GRANIT87 zero-rotation; CH1903 classic differs by decimeters).
+  private val ch1903plus = Datum(besselA, besselF,
+    674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+  private val ch1903 = Datum(besselA, besselF,
+    674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)
+  // Bern natural origin, 46d57'08.66"N 7d26'22.50"E on Bessel
+  private val swissLat0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+  private val swissLon0 = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
 
   /**
    * Wider builtin CRS set (round 3): polar + oblique stereographic,
@@ -864,6 +928,12 @@ object GeoOps {
       Some(Crs(Lcc(intl24A, intl24F, 90.0, 4.0 + 22.0 / 60.0 + 2.952 / 3600.0,
         51.0 + 10.0 / 60.0 + 0.00204 / 3600.0, 49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
         150000.013, 5400088.438), Some(bd72)))
+    case 2056 => // CH1903+ / LV95 (Swiss oblique cylindrical)
+      Some(Crs(SwissOblMerc(besselA, besselF, swissLat0, swissLon0,
+        2600000.0, 1200000.0), Some(ch1903plus)))
+    case 21781 => // CH1903 / LV03 (classic Swiss grid)
+      Some(Crs(SwissOblMerc(besselA, besselF, swissLat0, swissLon0,
+        600000.0, 200000.0), Some(ch1903)))
     case 2180 => // ETRS89 / Poland CS92 (TM, GRS80)
       Some(Crs(Tm(6378137.0, grs80F, 19.0, 0.9993, 500000.0, -5300000.0)))
     case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM zones 28N-38N
@@ -911,6 +981,8 @@ object GeoOps {
         Merc(a, f, p("lon0", 0.0), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
       case "stereo" =>
         ObliqueStereo(a, f, p("lat0"), p("lon0"), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
+      case "swiss" =>
+        SwissOblMerc(a, f, p("lat0"), p("lon0"), p("fe", 0.0), p("fn", 0.0))
       case "polar_north" | "polar_south" =>
         if (params.contains("lat_ts"))
           PolarStereo.fromStandardParallel(a, f,
@@ -1000,8 +1072,8 @@ object GeoOps {
       throw new IllegalArgumentException(
         s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326/4258/4269, " +
         "3857, 3395, UTM 32601-32660/32701-32760, ETRS89 UTM 25828-25838, 3794, 2180, " +
-        "27700, 28992, 31370, 2154, 3034, 3035, 5070, polar 3031/3413/3976/32661/32761, " +
-        "plus GeoOps.registerCrs custom codes)")
+        "27700, 28992, 31370, 2056, 21781, 2154, 3034, 3035, 5070, " +
+        "polar 3031/3413/3976/32661/32761, plus GeoOps.registerCrs custom codes)")
     val g = read(b).copy()
     val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }
     g.apply(filter)

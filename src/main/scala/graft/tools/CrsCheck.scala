@@ -86,6 +86,22 @@ object CrsCheck {
     val c2 = GeoOps.read(GeoOps.transform(GeoOps.point(14.5, 46.05), 4326, 3794)).getCoordinate
     println(f"custom 90001 vs 3794: d=${math.hypot(c1.x-c2.x, c1.y-c2.y)}%.9f (want 0)")
     GeoOps.unregisterCrs(90001)
+
+    // Swiss projection: swisstopo worked example (Rigi, LV03 / CH1903
+    // geographic): phi 47d03'28.956559233"N lam 8d29'11.11127154"E ->
+    // y(E) 679520.05, x(N) 212273.44
+    val lv03 = GeoOps.crsSpec(21781).get.proj
+    val (se, sn) = lv03.forward(8.0 + 29.0/60 + 11.11127154/3600,
+      47.0 + 3.0/60 + 28.956559233/3600)
+    println(f"LV03 Rigi: E=$se%.3f (want 679520.05)  N=$sn%.3f (want 212273.44)")
+    // origin golden: Bern natural origin -> (FE, FN)
+    val lv95 = GeoOps.crsSpec(2056).get.proj
+    println(s"LV95 origin: ${lv95.forward(7.0 + 26.0/60 + 22.5/3600, 46.0 + 57.0/60 + 8.66/3600)} (want 2600000, 1200000)")
+    // full datum path: Zurich WGS84 (8.5417, 47.3769) -> LV95 approx (2683000, 1247800)
+    val zrh = GeoOps.read(GeoOps.transform(GeoOps.point(8.5417, 47.3769), 4326, 2056)).getCoordinate
+    println(f"Zurich LV95: (${zrh.x}%.1f, ${zrh.y}%.1f)")
+    val zrt = GeoOps.read(GeoOps.transform(GeoOps.transform(GeoOps.point(8.5417, 47.3769), 4326, 2056), 2056, 4326)).getCoordinate
+    println(f"Zurich rt err: ${math.abs(zrt.x - 8.5417) + math.abs(zrt.y - 47.3769)}%.2e")
     println("CRSCHECK_DONE")
   }
 }

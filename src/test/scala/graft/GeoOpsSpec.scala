@@ -352,6 +352,46 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(GeoOps.stX(g) == GeoOps.stX(g2) && GeoOps.stY(g) == GeoOps.stY(g2))
   }
 
+  test("round-3 CRS: Swiss oblique cylindrical (LV95/LV03) golden + roundtrip") {
+    // swisstopo's own worked example (Rigi, CH1903 geographic -> LV03):
+    // phi 47d03'28.956559233"N, lam 8d29'11.11127154"E
+    val lv03 = GeoOps.crsSpec(21781).get.proj
+    val (se, sn) = lv03.forward(8.0 + 29.0 / 60 + 11.11127154 / 3600,
+      47.0 + 3.0 / 60 + 28.956559233 / 3600)
+    assert(math.abs(se - 679520.05) < 5e-3, s"LV03 E $se")
+    assert(math.abs(sn - 212273.44) < 5e-3, s"LV03 N $sn")
+    // natural origin maps to (FE, FN)
+    val lv95 = GeoOps.crsSpec(2056).get.proj
+    val (oe, on) = lv95.forward(7.0 + 26.0 / 60 + 22.5 / 3600,
+      46.0 + 57.0 / 60 + 8.66 / 3600)
+    assert(math.abs(oe - 2600000.0) < 1e-6 && math.abs(on - 1200000.0) < 1e-6)
+    // datum'd roundtrips over a Switzerland grid (sub-cm; see the Helmert
+    // height note above)
+    for (lon <- Seq(6.1, 7.44, 8.54, 9.8); lat <- Seq(45.9, 46.8, 47.6)) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 2056), 2056, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 5e-8, s"2056 lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 5e-8, s"2056 lat rt at ($lon,$lat)")
+    }
+    // LV95 and LV03 differ by the (2000000, 1000000) false-origin shift
+    // plus the CH1903+/CH1903 decimeter datum delta
+    val a95 = GeoOps.transform(GeoOps.point(8.0, 47.0), 4326, 2056)
+    val a03 = GeoOps.transform(GeoOps.point(8.0, 47.0), 4326, 21781)
+    assert(math.abs(GeoOps.stX(a95) - 2000000.0 - GeoOps.stX(a03)) < 1.0)
+    assert(math.abs(GeoOps.stY(a95) - 1000000.0 - GeoOps.stY(a03)) < 1.0)
+    // conformality: scale is isotropic (angles preserved) — measure the
+    // two principal directions at an off-origin point
+    val d = 1e-6
+    val p0 = GeoOps.transform(GeoOps.point(8.5, 47.2), 4326, 2056)
+    val px = GeoOps.transform(GeoOps.point(8.5 + d, 47.2), 4326, 2056)
+    val py = GeoOps.transform(GeoOps.point(8.5, 47.2 + d), 4326, 2056)
+    val ax = GeoOps.stX(px) - GeoOps.stX(p0); val ay = GeoOps.stY(px) - GeoOps.stY(p0)
+    val bx = GeoOps.stX(py) - GeoOps.stX(p0); val by = GeoOps.stY(py) - GeoOps.stY(p0)
+    // orthogonality of the image axes
+    val dot = (ax * bx + ay * by) / (math.hypot(ax, ay) * math.hypot(bx, by))
+    assert(math.abs(dot) < 1e-5, s"conformal axes dot=$dot")
+  }
+
   test("round-3 CRS: registerCrs custom codes match builtins and unregister") {
     // a custom TM with Slovenia's parameters must agree with builtin 3794
     GeoOps.registerCrs(90001, "tm", Map("a" -> 6378137.0, "rf" -> 298.257222101,
