@@ -113,9 +113,25 @@ object TextAnalysis {
   def ngramContaminatedIds(docs: DataFrame, textCol: String, idCol: String,
                            bench: DataFrame, benchTextCol: String,
                            n: Int): DataFrame = {
+    // Phase 1 — hash prefilter: stream 64-bit gram hashes (word_shingles:
+    // codegen'd single pass, no gram strings materialized) through a
+    // broadcast semi-join. Hash-equal is implied by gram-equal, so this
+    // yields a candidate SUPERSET (hash collisions possible, misses not).
+    val benchHashes = bench
+      .select(explode(word_shingles(col(benchTextCol), lit(n))).as("gh")).distinct()
+    val candidates = docs
+      .select(col(idCol), explode(word_shingles(col(textCol), lit(n))).as("gh"))
+      .join(broadcast(benchHashes), Seq("gh"), "left_semi")
+      .select(col(idCol)).distinct()
+    // Phase 2 — exact verify on the candidate docs only: the full string
+    // grams (the expensive explode) are built just for the (typically
+    // sparse) contaminated slice, keeping the method exact end-to-end.
+    // If contamination is dense enough that `candidates` outgrows the
+    // broadcast threshold, drop the hint and AQE shuffles the same plan.
     val benchGrams = bench
       .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
-    docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    docs.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(idCol).distinct()
   }
