@@ -1020,6 +1020,26 @@ object SparkEntry {
           (abs(st_x(col("a")) - st_x(col("b"))) < 1e-9 &&
            abs(st_y(col("a")) - st_y(col("b"))) < 1e-9).as("ok"))
         .orderBy("c_custkey")
+    }),
+    "q85_stream_dedup" -> ((s, dir) => { ensure(s)
+      // §2.13 + dedup: LIVE streaming ingest dedup — file stream over the
+      // documents table, drop already-seen content hashes, AvailableNow,
+      // memory sink. Deterministic projection: the SET of kept hashes is
+      // exactly the distinct hash set regardless of which duplicate
+      // arrived first, so the gate orders by hash and drops doc_id.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve("documents.parquet"))
+      val schema = ld(s, dir, "documents").schema
+      val docs = s.readStream.schema(schema).parquet(stage.toString)
+      val deduped = EventStream.dedupStream(docs, "text")
+      val qname = "gate_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = deduped.select(col("content_hash")).writeStream
+        .format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "dedup stream did not finish in 300s")
+      s.table(qname).orderBy("content_hash")
     })
   )
 
@@ -1239,6 +1259,8 @@ object SparkEntry {
        "t(srid, minx, miny, maxx, maxy) ORDER BY srid"),
     "q84_crs_custom" ->
       "SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey",
+    "q85_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

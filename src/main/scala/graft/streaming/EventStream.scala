@@ -112,6 +112,31 @@ object EventStream {
   }
 
   /**
+   * Streaming exact dedup — the ingest-time twin of `Dedup.exact`: drop
+   * any document whose content hash has already been seen on the stream.
+   * In append mode each distinct hash emits exactly one row (first
+   * arrival), so a training-data ingest pipeline writes a dedup'd corpus
+   * without ever re-scanning it.
+   *
+   * State is one row per DISTINCT hash. For bounded state on unbounded
+   * streams, pass an event-time column + delay: the op switches to
+   * `dropDuplicatesWithinWatermark`, which evicts hashes older than the
+   * watermark (duplicates separated by more than `delay` can then
+   * reappear — the standard trade; run a periodic batch `Dedup.exact`
+   * compaction for global guarantees).
+   */
+  def dedupStream(docs: DataFrame, textCol: String,
+                  eventTimeCol: Option[String] = None,
+                  delay: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    eventTimeCol match {
+      case Some(ts) => hashed.withWatermark(ts, delay)
+        .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
+  /**
    * Sessionization via flatMapGroupsWithState-free composition: gap-based
    * session ids computed with window functions in batch; streaming variant
    * uses session_window (built-in since Spark 3.2).

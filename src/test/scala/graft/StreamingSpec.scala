@@ -46,6 +46,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(qname).as[Long].head() == 3L)
   }
 
+  test("streaming exact dedup == batch distinct hash set") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val batchDocs = spark.read.parquet(src)
+    val expected = batchDocs.select(md5(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(expected.size <= batchDocs.count()) // (sf0.001 has no exact dups)
+
+    val stageDir = tmpDir("dedup-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(stageDir, "documents.parquet"))
+    val docs = spark.readStream.schema(batchDocs.schema).parquet(stageDir)
+    val qname = s"dedup_${System.nanoTime}"
+    val q = EventStream.dedupStream(docs, "text")
+      .select(col("content_hash"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream timed out")
+    val kept = spark.table(qname).collect().map(_.getString(0))
+    assert(kept.length == kept.toSet.size, "a hash was emitted twice")
+    assert(kept.toSet == expected)
+    // watermarked variant compiles to a bounded-state plan on event-time
+    val evDir = tmpDir("dedup-ev-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(evDir, "events.parquet"))
+    val ev = EventStream.read(spark, evDir)
+    val q2name = s"dedupw_${System.nanoTime}"
+    val q2 = EventStream.dedupStream(ev, "event_type", Some("ts"), "2 hours")
+      .select(col("content_hash"))
+      .writeStream.format("memory").queryName(q2name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "watermarked stream timed out")
+    // per-batch dedup guarantee: far fewer rows than events
+    val n = spark.table(q2name).count()
+    assert(n > 0 && n < spark.read.parquet(evDir).count())
+  }
+
   test("flatMapGroupsWithState running counters == batch groupBy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
