@@ -1040,6 +1040,28 @@ object SparkEntry {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       require(q.awaitTermination(300000), "dedup stream did not finish in 300s")
       s.table(qname).orderBy("content_hash")
+    }),
+    "q86_embed_quantize" -> ((s, dir) => { ensure(s)
+      // symmetric int8 quantization (4x storage/shuffle reduction for the
+      // embedding column): gate checks the exact quantized integer sum per
+      // vector AND that reconstruction error stays within scale/2
+      val q = Similarity.quantizeInt8(ld(s, dir, "embeddings"), "embedding")
+      q.select(col("vec_id"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          (aggregate(
+            zip_with(col("embedding"),
+              Similarity.dequantizeInt8(col("q_vec"), col("q_scale")),
+              (x, r) => abs(x.cast("double") - r)),
+            lit(0.0), (a, e) => greatest(a, e))
+            <= col("q_scale") / 2.0 + lit(1e-12)).as("recon_ok"))
+        .orderBy("vec_id")
+    }),
+    "q87_stratified_sample" -> ((s, dir) => { ensure(s)
+      // corpus mixing: per-source deterministic keep rates (4/16, 8/16,
+      // drop, default keep-all) — the reweighting primitive
+      TextAnalysis.stratifiedHashSample(ld(s, dir, "documents"),
+          "text", "source", Map("src0" -> 4, "src1" -> 8, "src2" -> 0))
+        .select(col("doc_id")).orderBy("doc_id")
     })
   )
 
@@ -1261,6 +1283,15 @@ object SparkEntry {
       "SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey",
     "q85_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY content_hash",
+    "q86_embed_quantize" ->
+      ("WITH q AS (SELECT vec_id, embedding, " +
+       "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s FROM embeddings) " +
+       "SELECT vec_id, CAST(CASE WHEN s = 0 THEN 0 ELSE " +
+       "list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT))) END AS BIGINT) AS q_sum, " +
+       "true AS recon_ok FROM q ORDER BY vec_id"),
+    "q87_stratified_sample" ->
+      ("SELECT doc_id FROM documents WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) < " +
+       "CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 8 WHEN 'src2' THEN 0 ELSE 16 END ORDER BY doc_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

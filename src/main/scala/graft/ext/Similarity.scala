@@ -76,4 +76,30 @@ object Similarity {
                    threshold: Double = 0.9, nbits: Int = 8,
                    bands: Int = 8, seed: Long = 42L): DataFrame =
     Dedup.embeddingPairs(df, vecCol, idCol, threshold, nbits, bands, seed)
+
+  /**
+   * Symmetric per-vector int8 quantization (the FAISS/pgvector storage
+   * trick): scale = max|x| / 127, q_i = round-half-up(x_i / scale) —
+   * 4x smaller than float32 on disk and over the shuffle, max
+   * reconstruction error scale/2 per component. Pure built-in
+   * higher-order functions (aggregate/transform), all double math so the
+   * result is bit-deterministic across engines. Adds `q_scale` (double)
+   * and `q_vec` (array<tinyint>); zero vectors quantize to all-zero with
+   * scale 0.
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    df.withColumn("q_scale", maxAbs / 127.0)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(vecCol),
+          x => floor(x.cast("double") / col("q_scale") + 0.5).cast("tinyint"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct doubles (error <= scale/2). */
+  def dequantizeInt8(qVec: org.apache.spark.sql.Column,
+                     scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(qVec, q => q.cast("double") * scale)
 }

@@ -149,6 +149,25 @@ object TextAnalysis {
       < keepBuckets)
   }
 
+  /**
+   * Stratified deterministic sampling — the corpus-mixing primitive:
+   * per-stratum keep rates (in 16ths, content-hash bucketed like
+   * [[contentHashSample]]) reweight a mixed corpus toward a target
+   * source/language distribution without RNG. Strata absent from `rates`
+   * keep everything. One narrow filter, no shuffle, no collect; rates
+   * compile to a literal CASE chain so the plan is a single codegen'd
+   * scan at any corpus size.
+   */
+  def stratifiedHashSample(df: DataFrame, textCol: String, strataCol: String,
+                           rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(v => v >= 0 && v <= 16), "rates in [0,16]")
+    val bucket = conv(substring(md5(col(textCol)), 1, 1), 16, 10).cast("int")
+    val rate = rates.foldLeft(lit(16)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** One-pass corpus card: doc/char/token totals, unique docs, mean doc
     * length (exact integer sums; the mean divides two exact BIGINTs so the
     * double is order-independent). Map-side combined aggregate — shuffle

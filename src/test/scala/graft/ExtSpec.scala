@@ -326,6 +326,60 @@ class ExtSpec extends SparkSpec {
       texts.map(_.length.toLong).sum.toDouble / 4) < 1e-9)
   }
 
+  test("int8 quantization: range, reconstruction bound, determinism") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    // every component in [-127, 127]
+    val rng = q.select(
+      aggregate(col("q_vec"), lit(127), (a, x) => least(a, x.cast("int"))).as("mn"),
+      aggregate(col("q_vec"), lit(-127), (a, x) => greatest(a, x.cast("int"))).as("mx"))
+      .agg(min("mn"), max("mx")).first()
+    assert(rng.getInt(0) >= -127 && rng.getInt(1) <= 127)
+    // max reconstruction error <= scale/2 everywhere
+    val bad = q.select(
+        aggregate(zip_with(col("embedding"),
+            Similarity.dequantizeInt8(col("q_vec"), col("q_scale")),
+            (x, r) => abs(x.cast("double") - r)),
+          lit(0.0), (a, e) => greatest(a, e)).as("err"), col("q_scale"))
+      .filter(col("err") > col("q_scale") / 2.0 + 1e-12)
+    assert(bad.count() == 0)
+    // q_vec length preserved; quantization deterministic
+    assert(q.select(size(col("q_vec"))).distinct().as[Int].collect().toSeq == Seq(64))
+    val s1 = q.select(col("vec_id"), col("q_vec")).orderBy("vec_id").collect().toSeq
+    val s2 = Similarity.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"), col("q_vec")).orderBy("vec_id").collect().toSeq
+    assert(s1 == s2)
+    // zero vector quantizes to zeros with scale 0
+    import spark.implicits._
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select(col("q_scale"), col("q_vec")).first()
+    assert(z.getDouble(0) == 0.0)
+    assert(z.getAs[scala.collection.Seq[Byte]](1).forall(_ == 0))
+  }
+
+  test("stratified hash sampling: per-stratum rates, default keep-all") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("src0" -> 4, "src1" -> 0)
+    val kept = TextAnalysis.stratifiedHashSample(docs, "text", "source", rates)
+    // src1 fully dropped; unlisted strata fully kept
+    assert(kept.filter(col("source") === "src1").count() == 0)
+    val unlisted = docs.filter(!col("source").isin("src0", "src1"))
+    assert(kept.filter(!col("source").isin("src0", "src1")).count() == unlisted.count())
+    // src0 keeps exactly the bucket<4 subset (== contentHashSample on the slice)
+    val src0 = docs.filter(col("source") === "src0")
+    val expect = TextAnalysis.contentHashSample(src0, "text", 4)
+      .select("doc_id").as[Long].collect().toSet
+    val got = kept.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // content-addressed: sampling commutes with exact dedup (same hash bucket)
+    assert(TextAnalysis.stratifiedHashSample(docs, "text", "source", rates)
+      .count() == kept.count())
+  }
+
   test("quality flags: each reason fires independently") {
     val cases = Seq(
       (1L, ("word " * 60).trim),                        // all ok
