@@ -1062,6 +1062,29 @@ object SparkEntry {
       TextAnalysis.stratifiedHashSample(ld(s, dir, "documents"),
           "text", "source", Map("src0" -> 4, "src1" -> 8, "src2" -> 0))
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q88_engine_vector_sq8" -> ((s, dir) => { ensure(s)
+      // q81's engine vector index with SQ8 (int8-quantized) cell storage:
+      // 4x smaller index, same recall@10 floor vs the exact brute-force
+      // twin — proves reconstruction error doesn't cost neighborhoods
+      val db = tmpDb(s, "vecq")
+      db.createCollection("vecs", Seq("vec_id" -> "int8", "emb" -> "vector"))
+      db.insertIntoCollection("vecs", ld(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("geometry", st_point(col("vec_id").cast("double"), lit(0.0))))
+      db.createVectorIndex("vecs", "emb", cells = 8, quantized = true)
+      val coll = db.getCollection("vecs").select(col("id"), col("vec_id"), col("emb"))
+      val q = coll.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(coll, q, "emb", "id", 10)
+        .select("query_id", "corpus_id")
+      val approx = db.vectorSearch("vecs", "emb", q, k = 10, nprobe = 3)
+        .select("query_id", "corpus_id")
+      val idMap = coll.select(col("id").as("query_id"), col("vec_id"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) >= 4).as("recall_ok"))
+        .join(idMap, Seq("query_id"))
+        .select(col("vec_id").as("query_id"), col("recall_ok"))
+        .orderBy("query_id")
     })
   )
 
@@ -1292,6 +1315,8 @@ object SparkEntry {
     "q87_stratified_sample" ->
       ("SELECT doc_id FROM documents WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) < " +
        "CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 8 WHEN 'src2' THEN 0 ELSE 16 END ORDER BY doc_id"),
+    "q88_engine_vector_sq8" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

@@ -307,10 +307,36 @@ class GeoDb(
       val p = st.getPath.getName.stripPrefix(".vecindex-")
       if (newRows.columns.contains(p)) {
         val model = loadVecModel(s"${st.getPath.toString}/centroids.txt")
-        graft.ext.Ivf.assign(newRows.select(col("id"), col(p)), p, model)
-          .write.mode("append").partitionBy("ivf_cell")
+        val assigned = graft.ext.Ivf.assign(newRows.select(col("id"), col(p)), p, model)
+        val rows =
+          if (vecIndexFormat(st.getPath.toString) == "sq8")
+            graft.ext.Similarity.quantizeInt8(assigned, p).drop(p)
+          else assigned
+        rows.write.mode("append").partitionBy("ivf_cell")
           .parquet(s"${st.getPath.toString}/data")
       }
+    }
+  }
+
+  private def writeSmallFile(path: String, content: String): Unit = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Index storage format marker; pre-marker layouts are float32. */
+  private def vecIndexFormat(dir: String): String = {
+    val hp = new HPath(s"$dir/format.txt")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) "f32"
+    else {
+      val bytes = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
+      val in = fs.open(hp)
+      in.readFully(0, bytes)
+      in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
     }
   }
 
@@ -813,6 +839,7 @@ class GeoDb(
    */
   def createVectorIndex(collection: String, property: String,
                         cells: Int = 16,
+                        quantized: Boolean = false,
                         database: Option[String] = None): String = {
     val d = db(database)
     requireDatabaseOwner(d)
@@ -824,7 +851,12 @@ class GeoDb(
     val base = readRaw(d, collection).select(col("id"), col(p))
     val model = graft.ext.Ivf.train(base, p, k = cells)
     val dir = vecIndexDir(d, collection, p)
-    graft.ext.Ivf.writePartitioned(graft.ext.Ivf.assign(base, p, model), s"$dir/data")
+    val assigned = graft.ext.Ivf.assign(base, p, model)
+    if (quantized)
+      graft.ext.Ivf.writePartitionedQuantized(assigned, p, s"$dir/data")
+    else
+      graft.ext.Ivf.writePartitioned(assigned, s"$dir/data")
+    writeSmallFile(s"$dir/format.txt", if (quantized) "sq8" else "f32")
     // centroid table: one line per centroid, comma-separated floats —
     // tiny, human-inspectable, no parser dependency
     val cpath = new HPath(s"$dir/centroids.txt")
@@ -868,8 +900,13 @@ class GeoDb(
     val dir = vecIndexDir(d, collection, p)
     val model = loadVecModel(s"$dir/centroids.txt")
     logEvent(EventType.Read, s"Vector search on $d/$collection.$p")
-    graft.ext.Ivf.searchPartitioned(spark, s"$dir/data",
-      queries.select(col(idCol).as("id"), col(p)), model, p, "id", k, nprobe)
+    val qdf = queries.select(col(idCol).as("id"), col(p))
+    if (vecIndexFormat(dir) == "sq8")
+      graft.ext.Ivf.searchPartitionedQuantized(spark, s"$dir/data",
+        qdf, model, p, "id", k, nprobe)
+    else
+      graft.ext.Ivf.searchPartitioned(spark, s"$dir/data",
+        qdf, model, p, "id", k, nprobe)
   }
 
   /** Reference-named alias for dropIndex (geodb.py remove_index). */

@@ -160,6 +160,39 @@ object Ivf {
     assignedCorpus.write.mode("overwrite")
       .partitionBy("ivf_cell").parquet(path)
 
+  /**
+   * SQ8 variant of [[writePartitioned]] (the FAISS IVF+SQ analog): cells
+   * store int8-quantized vectors + per-vector scale instead of float32 —
+   * 4x less storage and scan I/O at a scale/2-per-component
+   * reconstruction error that leaves top-k ordering essentially intact.
+   */
+  def writePartitionedQuantized(assignedCorpus: DataFrame, vecCol: String,
+                                path: String): Unit =
+    Similarity.quantizeInt8(assignedCorpus, vecCol).drop(vecCol)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** Reconstruct float vectors from an SQ8 layout (applied AFTER cell
+    * pruning, so only probed cells pay the dequantize). */
+  private[graft] def dequantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol,
+        transform(Similarity.dequantizeInt8(col("q_vec"), col("q_scale")),
+          x => x.cast("float")))
+      .drop("q_vec", "q_scale")
+
+  /** [[searchPartitioned]] against a [[writePartitionedQuantized]] layout. */
+  def searchPartitionedQuantized(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, queries: DataFrame, model: Model,
+                                 vecCol: String, idCol: String, k: Int = 10,
+                                 nprobe: Int = 4): DataFrame = {
+    val fname = cellsFn(queries, model, nprobe)
+    val probed = queries
+      .select(explode(call_function(fname, col(vecCol))).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = dequantized(
+      spark.read.parquet(path).filter(col("ivf_cell").isin(probed: _*)), vecCol)
+    search(corpus, queries, model, vecCol, idCol, k, nprobe)
+  }
+
   /** Search over a [[writePartitioned]] layout. The probed-cell set is
     * computed from the (small, broadcastable-by-assumption) query frame
     * first, so `ivf_cell IN (...)` is a STATIC PartitionFilter: unprobed

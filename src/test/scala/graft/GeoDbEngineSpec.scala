@@ -193,6 +193,45 @@ class GeoDbEngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](db.vectorSearch("vecs", "emb", q))
   }
 
+  test("quantized (SQ8) vector index: 4x smaller cells, recall held, append maintained") {
+    val db = new GeoDb(spark, tmpDir("graft-wh-sq8"), "geodb_user")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    db.createCollection("vq", Seq("vec_id" -> "int8", "emb" -> "vector"))
+    db.insertIntoCollection("vq", emb
+      .select($"vec_id", $"embedding".as("emb"))
+      .withColumn("geometry", lit("POINT(0 0)")))
+    db.createVectorIndex("vq", "emb", cells = 4, quantized = true)
+    val coll = db.getCollection("vq").select($"id", $"vec_id", $"emb")
+    val q = coll.filter($"vec_id" < 3)
+    val hits = db.vectorSearch("vq", "emb", q, k = 5, nprobe = 2)
+    val byQuery = hits.groupBy("query_id").count().collect()
+    assert(byQuery.length == 3 && byQuery.forall(_.getLong(1) == 5L))
+    // recall vs exact on the same collection: SQ8 reconstruction keeps
+    // the neighborhood (>= 3 of 5 on every query at nprobe=2)
+    val exact = graft.ext.Similarity.bruteForceTopK(coll, q, "emb", "id", 5)
+      .select("query_id", "corpus_id")
+    val overlap = exact.join(hits, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").count().collect()
+    assert(overlap.forall(_.getLong(1) >= 3), overlap.mkString(","))
+    // the stored cells are int8: q_vec tinyint array + q_scale, no floats
+    val stored = spark.read.parquet(
+      s"${db.catalog.collectionDir("geodb_user", "vq")}/.vecindex-emb/data")
+    assert(stored.schema.fieldNames.toSet == Set("id", "q_scale", "q_vec", "ivf_cell"))
+    assert(stored.schema("q_vec").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // append keeps the quantized format: a duplicated vector finds its
+    // twin at cosine ~1 after reconstruction
+    db.insertIntoCollection("vq", emb.limit(3)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding".as("emb"))
+      .withColumn("geometry", lit("POINT(0 0)")))
+    val newQ = db.getCollection("vq").filter($"vec_id" >= 100000L)
+      .select($"id", $"vec_id", $"emb")
+    val hits2 = db.vectorSearch("vq", "emb", newQ.limit(1), k = 3, nprobe = 4)
+    assert(hits2.count() == 3)
+    assert(hits2.agg(max($"cosine")).head.getDouble(0) > 0.995)
+    db.dropVectorIndex("vq", "emb")
+  }
+
   test("update by filter stamps modified_at (geodb.py:1356-1398)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("c2", Seq("v" -> "integer"))
