@@ -223,12 +223,14 @@ class GeoDb(
       require(!mandatoryProperties.contains(p.toLowerCase),
         s"Don't delete the property $p") // geodb.py:1172
     }
-    val meta = metaOf(d, collection)
-    val keep = meta.schema.fields.filterNot(f => properties.map(_.toLowerCase).contains(f.name))
-    val newSchema = StructType(keep)
-    swapIn(d, collection, readRaw(d, collection)
-      .select((newSchema.fieldNames ++ statCols).map(col): _*))
-    catalog.saveMeta(meta.copy(schemaDdl = newSchema.toDDL))
+    withCommitLock(d, collection) {
+      val meta = metaOf(d, collection)
+      val keep = meta.schema.fields.filterNot(f => properties.map(_.toLowerCase).contains(f.name))
+      val newSchema = StructType(keep)
+      swapIn(d, collection, readRaw(d, collection)
+        .select((newSchema.fieldNames ++ statCols).map(col): _*))
+      catalog.saveMeta(meta.copy(schemaDdl = newSchema.toDDL))
+    }
     logEvent(EventType.PropertyDropped, s"Properties dropped from $d/$collection")
   }
 
@@ -265,29 +267,33 @@ class GeoDb(
                            database: Option[String] = None): Unit = {
     val d = db(database)
     requireDatabaseOwner(d)
-    val meta = metaOf(d, collection)
-    crs.foreach { c =>
-      val srid = checkCrs(c)
-      require(srid == meta.srid, // geodb.py:1464-1471
-        s"crs $srid is not compatible with collection crs ${meta.srid}")
-    }
-    var in = values
-    // normalize geometry to WKB
-    if (in.columns.contains("geometry") &&
-        in.schema("geometry").dataType == StringType) {
-      in = in.withColumn("geometry",
-        st_geomfromtext(regexp_replace(col("geometry"), "^[sS][rR][iI][dD]=\\d+;", "")))
-    }
-    if (upsert && in.columns.contains("id")) upsertById(d, collection, meta, in)
-    else {
-      val incoming = if (in.columns.contains("id")) in.drop("id") else in
-      val withMeta = incoming
-        .withColumn("created_at", current_timestamp())
-        .withColumn("modified_at", lit(null).cast(TimestampType))
-      val assigned = assignIds(alignTo(meta.schema, withMeta, keepId = false), meta.maxId)
-      val n = appendWrite(d, collection, meta, assigned)
-      catalog.saveMeta(metaOf(d, collection).copy(maxId = meta.maxId + n))
-      maintainVectorIndexes(d, collection, assigned)
+    withCommitLock(d, collection) {
+      // meta (and so maxId) is read INSIDE the lock: concurrent inserts
+      // serialize and id ranges cannot collide
+      val meta = metaOf(d, collection)
+      crs.foreach { c =>
+        val srid = checkCrs(c)
+        require(srid == meta.srid, // geodb.py:1464-1471
+          s"crs $srid is not compatible with collection crs ${meta.srid}")
+      }
+      var in = values
+      // normalize geometry to WKB
+      if (in.columns.contains("geometry") &&
+          in.schema("geometry").dataType == StringType) {
+        in = in.withColumn("geometry",
+          st_geomfromtext(regexp_replace(col("geometry"), "^[sS][rR][iI][dD]=\\d+;", "")))
+      }
+      if (upsert && in.columns.contains("id")) upsertById(d, collection, meta, in)
+      else {
+        val incoming = if (in.columns.contains("id")) in.drop("id") else in
+        val withMeta = incoming
+          .withColumn("created_at", current_timestamp())
+          .withColumn("modified_at", lit(null).cast(TimestampType))
+        val assigned = assignIds(alignTo(meta.schema, withMeta, keepId = false), meta.maxId)
+        val n = appendWrite(d, collection, meta, assigned)
+        catalog.saveMeta(metaOf(d, collection).copy(maxId = meta.maxId + n))
+        maintainVectorIndexes(d, collection, assigned)
+      }
     }
     logEvent(EventType.RowsAdded, s"Rows added to $d/$collection")
   }
@@ -388,16 +394,18 @@ class GeoDb(
                        query: String, database: Option[String] = None): Unit = {
     val d = db(database)
     requireDatabaseOwner(d)
-    val meta = metaOf(d, collection)
-    val pred = PostgrestFilter.parse(query).predicate
-      .getOrElse(lit(true))
-    val vals = values - "id" // incoming id stripped: geodb.py:1388-1392
-    val updated = vals.foldLeft(readRaw(d, collection)) { case (df, (c, v)) =>
-      val t = meta.schema(c.toLowerCase).dataType
-      df.withColumn(c.toLowerCase, when(pred, lit(v).cast(t)).otherwise(col(c.toLowerCase)))
-    }.withColumn("modified_at",
-      when(pred, current_timestamp()).otherwise(col("modified_at")))
-    swapIn(d, collection, addStats(alignTo(meta.schema, updated, keepId = true)))
+    withCommitLock(d, collection) {
+      val meta = metaOf(d, collection)
+      val pred = PostgrestFilter.parse(query).predicate
+        .getOrElse(lit(true))
+      val vals = values - "id" // incoming id stripped: geodb.py:1388-1392
+      val updated = vals.foldLeft(readRaw(d, collection)) { case (df, (c, v)) =>
+        val t = meta.schema(c.toLowerCase).dataType
+        df.withColumn(c.toLowerCase, when(pred, lit(v).cast(t)).otherwise(col(c.toLowerCase)))
+      }.withColumn("modified_at",
+        when(pred, current_timestamp()).otherwise(col("modified_at")))
+      swapIn(d, collection, addStats(alignTo(meta.schema, updated, keepId = true)))
+    }
     logEvent("updated", s"Collection $d/$collection updated")
   }
 
@@ -406,9 +414,11 @@ class GeoDb(
                            database: Option[String] = None): Unit = {
     val d = db(database)
     requireDatabaseOwner(d)
-    val pred = PostgrestFilter.parse(query).predicate.getOrElse(lit(true))
-    val remaining = readRaw(d, collection).filter(!(pred <=> true))
-    swapIn(d, collection, remaining)
+    withCommitLock(d, collection) {
+      val pred = PostgrestFilter.parse(query).predicate.getOrElse(lit(true))
+      val remaining = readRaw(d, collection).filter(!(pred <=> true))
+      swapIn(d, collection, remaining)
+    }
     logEvent(EventType.RowsDropped, s"Rows dropped from $d/$collection")
   }
 
@@ -772,6 +782,7 @@ class GeoDb(
                   database: Option[String] = None): String = {
     val d = db(database)
     requireDatabaseOwner(d)
+    withCommitLock(d, collection) {
     val meta = metaOf(d, collection)
     val name = indexName(d, collection, property)
     require(!meta.indexes.contains(name), s"index $name already exists") // dup error
@@ -805,6 +816,7 @@ class GeoDb(
     catalog.saveMeta(metaOf(d, collection).copy(indexes = meta.indexes :+ name))
     logEvent(EventType.IndexCreated, s"Index $name created on $d/$collection")
     name
+    }
   }
 
   def showIndexes(collection: String, database: Option[String] = None): Seq[String] =
@@ -843,6 +855,7 @@ class GeoDb(
                         database: Option[String] = None): String = {
     val d = db(database)
     requireDatabaseOwner(d)
+    withCommitLock(d, collection) {
     val meta = metaOf(d, collection)
     val p = property.toLowerCase
     require(meta.schema.fieldNames.contains(p), s"no such property $p")
@@ -868,6 +881,7 @@ class GeoDb(
     catalog.saveMeta(metaOf(d, collection).copy(indexes = meta.indexes :+ name))
     logEvent(EventType.IndexCreated, s"Vector index $name created on $d/$collection")
     name
+    }
   }
 
   def dropVectorIndex(collection: String, property: String,
@@ -1255,6 +1269,58 @@ class GeoDb(
   }
 
   /** Copy-on-write commit: write temp dir, atomic swap (SURVEY §7.4.2). */
+  /**
+   * Writer serialization: every row/layout-mutating commit runs under a
+   * per-collection lock taken by ATOMIC CREATE of `.commit.lock` in the
+   * collection directory (atomic on HDFS and local/POSIX; object stores
+   * without atomic create-if-absent keep the previously documented
+   * single-writer contract). The critical section re-reads `meta` inside
+   * the lock, so two concurrent inserts serialize and id ranges never
+   * collide. Readers never take the lock: copy-on-write + atomic rename
+   * keeps scans consistent. Locks from crashed writers are broken after
+   * `staleLockMs` (commit work is minutes-scale at most per collection).
+   */
+  private def withCommitLock[T](d: String, c: String,
+                                staleLockMs: Long = 600000L)(body: => T): T = {
+    val lock = new HPath(s"${catalog.collectionDir(d, c)}/.commit.lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    // Hadoop's LocalFileSystem.createNewFile is check-then-act (NOT
+    // atomic between processes/threads); POSIX createFile is. HDFS's
+    // createNewFile is namenode-atomic, so use it for non-local schemes.
+    def tryAcquire(): Boolean =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      else
+        try fs.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var acquired = false
+    while (!acquired) {
+      acquired = tryAcquire()
+      if (!acquired) {
+        val age =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.IOException => 0L } // vanished: retry now
+        if (age > staleLockMs) {
+          try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+        } else {
+          require(System.nanoTime() < deadline,
+            s"timed out waiting for the commit lock on $d/$c")
+          Thread.sleep(25)
+        }
+      }
+    }
+    try body
+    finally { try fs.delete(lock, false) catch { case _: java.io.IOException => () } }
+  }
+
   private def swapIn(d: String, c: String, newDf: DataFrame): Unit = {
     val dir = catalog.collectionDir(d, c)
     val token = UUID.randomUUID.toString.take(8)

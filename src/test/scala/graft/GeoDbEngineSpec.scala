@@ -232,6 +232,32 @@ class GeoDbEngineSpec extends SparkSpec {
     db.dropVectorIndex("vq", "emb")
   }
 
+  test("concurrent writers serialize under the commit lock: dense unique ids") {
+    val db = new GeoDb(spark, tmpDir("graft-wh-lock"), "geodb_user")
+    db.createCollection("race", Seq("v" -> "integer"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          // a fresh GeoDb instance per thread = a separate writer session
+          val w = new GeoDb(spark, db.warehouse, "geodb_user")
+          for (i <- 0 until 5)
+            w.insertIntoCollection("race", Seq(t * 100 + i).toDF("v")
+              .withColumn("geometry", lit("POINT(0 0)")))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"writer failed: ${Option(errors.peek()).map(_.toString)}")
+    val ids = db.getCollection("race").select("id").as[Long].collect().sorted
+    assert(ids.length == 20, s"expected 20 rows, got ${ids.length}")
+    assert(ids.toSeq == (1L to 20L), s"ids not dense/unique: ${ids.mkString(",")}")
+    // lock file is released after the last commit
+    val lock = new java.io.File(
+      s"${db.catalog.collectionDir("geodb_user", "race")}/.commit.lock")
+    assert(!lock.exists())
+  }
+
   test("update by filter stamps modified_at (geodb.py:1356-1398)") {
     val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
     db.createCollection("c2", Seq("v" -> "integer"))
