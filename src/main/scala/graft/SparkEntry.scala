@@ -1085,6 +1085,30 @@ object SparkEntry {
         .join(idMap, Seq("query_id"))
         .select(col("vec_id").as("query_id"), col("recall_ok"))
         .orderBy("query_id")
+    }),
+    "q89_corpus_diff" -> ((s, dir) => { ensure(s)
+      // dataset-versioning diff between two synthetic snapshots: overlap
+      // window with every 7th doc's text perturbed => all four statuses
+      val docs = ld(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") <= 300)
+      val newSnap = docs.filter(col("doc_id") > 100)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+      TextAnalysis.corpusDiff(oldSnap, newSnap, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q90_length_percentiles" -> ((s, dir) => { ensure(s)
+      // per-source token-length percentiles (EXACT percentile agg — the
+      // corpus-profiling cut; Spark's percentile and DuckDB's
+      // quantile_cont share the p*(n-1) linear-interpolation definition).
+      // token_count is the codegen'd single-pass scanner (no regex/UDF).
+      ld(s, dir, "documents")
+        .select(col("source"), token_count(col("text")).as("n"))
+        .groupBy("source")
+        .agg(percentile(col("n"), lit(0.5)).as("p50"),
+          percentile(col("n"), lit(0.9)).as("p90"),
+          max(col("n")).cast("long").as("p100"))
+        .orderBy("source")
     })
   )
 
@@ -1317,6 +1341,18 @@ object SparkEntry {
        "CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 8 WHEN 'src2' THEN 0 ELSE 16 END ORDER BY doc_id"),
     "q88_engine_vector_sq8" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+    "q89_corpus_diff" ->
+      ("WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id <= 300), " +
+       "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END) AS h " +
+       "FROM documents WHERE doc_id > 100) " +
+       "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, " +
+       "CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed' " +
+       "WHEN o.h = n.h THEN 'unchanged' ELSE 'modified' END AS status " +
+       "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+    "q90_length_percentiles" ->
+      ("WITH t AS (SELECT source, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS n FROM documents) " +
+       "SELECT source, quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90, CAST(max(n) AS BIGINT) AS p100 " +
+       "FROM t GROUP BY source ORDER BY source"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

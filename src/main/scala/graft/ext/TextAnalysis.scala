@@ -168,6 +168,27 @@ object TextAnalysis {
     df.filter(bucket < rate)
   }
 
+  /**
+   * Corpus snapshot diff — the dataset-versioning primitive: classify
+   * every doc id as `added` (only in new), `removed` (only in old),
+   * `modified` (both, content hash differs) or `unchanged`. One
+   * hash-partitioned full-outer join on the id (both sides project to
+   * (id, hash) before the shuffle, so the join carries two slim columns
+   * regardless of document size); at 100 TB co-locate by bucketing both
+   * snapshots on the id.
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String, idCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("_old_hash"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("_new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_old_hash").isNull, "added")
+          .when(col("_new_hash").isNull, "removed")
+          .when(col("_old_hash") === col("_new_hash"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** One-pass corpus card: doc/char/token totals, unique docs, mean doc
     * length (exact integer sums; the mean divides two exact BIGINTs so the
     * double is order-independent). Map-side combined aggregate — shuffle

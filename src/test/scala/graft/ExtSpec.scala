@@ -380,6 +380,22 @@ class ExtSpec extends SparkSpec {
       .count() == kept.count())
   }
 
+  test("corpus diff: all four statuses classified") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("doc_id", "text")
+    val d = TextAnalysis.corpusDiff(oldSnap, newSnap, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+    // slim shuffle: the join input projects to (id, hash) only
+    val plan = TextAnalysis.corpusDiff(oldSnap, newSnap, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("text#") || !plan.split("Join")(0).contains("text#"),
+      s"text column should be projected away before the join:\n$plan")
+  }
+
   test("quality flags: each reason fires independently") {
     val cases = Seq(
       (1L, ("word " * 60).trim),                        // all ok
