@@ -546,8 +546,11 @@ object GeoOps {
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
       val dx = x - fe; val dy = rho0 - (y - fn)
-      val rho = math.sqrt(dx * dx + dy * dy)
-      val th = math.atan2(dx, dy)
+      // southern cone (nC < 0): flip signs before the polar decomposition
+      // (Snyder p. 102, as in Lcc.inverse)
+      val sign = if (nC >= 0) 1.0 else -1.0
+      val rho = sign * math.sqrt(dx * dx + dy * dy)
+      val th = math.atan2(sign * dx, sign * dy)
       val q = (cC - rho * rho * nC * nC / (a * a)) / nC
       (lon0 + math.toDegrees(th / nC), math.toDegrees(phiFromQ(e, q)))
     }
@@ -936,6 +939,12 @@ object GeoOps {
         600000.0, 200000.0), Some(ch1903)))
     case 2180 => // ETRS89 / Poland CS92 (TM, GRS80)
       Some(Crs(Tm(6378137.0, grs80F, 19.0, 0.9993, 500000.0, -5300000.0)))
+    case 2193 => // NZGD2000 / New Zealand Transverse Mercator (GRS80)
+      Some(Crs(Tm(6378137.0, grs80F, 173.0, 0.9996, 1600000.0, 10000000.0)))
+    case 3577 => // GDA94 / Australian Albers (GRS80, equal-area conic)
+      Some(Crs(Albers(6378137.0, grs80F, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)))
+    case 3112 => // GDA94 / Geoscience Australia Lambert (LCC 2SP)
+      Some(Crs(Lcc(6378137.0, grs80F, 0.0, 134.0, -18.0, -36.0, 0.0, 0.0)))
     case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM zones 28N-38N
       Some(Crs(Tm(6378137.0, grs80F, (z - 25800) * 6.0 - 183.0, 0.9996, 500000.0, 0.0)))
     case _ => None
@@ -1072,7 +1081,7 @@ object GeoOps {
       throw new IllegalArgumentException(
         s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326/4258/4269, " +
         "3857, 3395, UTM 32601-32660/32701-32760, ETRS89 UTM 25828-25838, 3794, 2180, " +
-        "27700, 28992, 31370, 2056, 21781, 2154, 3034, 3035, 5070, " +
+        "27700, 28992, 31370, 2056, 21781, 2193, 3577, 3112, 2154, 3034, 3035, 5070, " +
         "polar 3031/3413/3976/32661/32761, plus GeoOps.registerCrs custom codes)")
     val g = read(b).copy()
     val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }

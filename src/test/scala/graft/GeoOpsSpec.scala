@@ -392,6 +392,41 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(math.abs(dot) < 1e-5, s"conformal axes dot=$dot")
   }
 
+  test("round-3 CRS: southern-hemisphere national grids (NZTM, Australian Albers/Lambert)") {
+    // NZTM origin: lon0 173E at the equator maps to (FE, FN)
+    val nz = GeoOps.crsSpec(2193).get.proj
+    val (oe, on) = nz.forward(173.0, 0.0)
+    assert(math.abs(oe - 1600000.0) < 1e-6 && math.abs(on - 10000000.0) < 1e-6)
+    // Wellington lands near its published NZTM coordinates (~100 m slack
+    // for the test point's city-center ambiguity, not engine error)
+    val (we, wn) = nz.forward(174.7762, -41.2865)
+    assert(math.hypot(we - 1748735.0, wn - 5427890.0) < 2000.0, s"($we,$wn)")
+    // roundtrips (southern-hemisphere conic nC<0 paths included)
+    for ((srid, pts) <- Seq(
+        (2193, Seq((174.78, -41.29), (168.0, -46.5), (178.0, -37.0))),
+        (3577, Seq((133.88, -23.70), (145.0, -37.8), (115.9, -31.9))),
+        (3112, Seq((133.88, -23.70), (151.2, -33.9)))); (lon, lat) <- pts) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, srid), srid, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9, s"$srid lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9, s"$srid lat rt at ($lon,$lat)")
+    }
+    // 3577 keeps the equal-area property in the southern hemisphere
+    val d = 1e-6
+    def at(lon: Double, lat: Double) = GeoOps.transform(GeoOps.point(lon, lat), 4326, 3577)
+    val p0 = at(133.0, -25.0); val px = at(133.0 + d, -25.0); val py = at(133.0, -25.0 + d)
+    val jac = math.abs(
+      (GeoOps.stX(px) - GeoOps.stX(p0)) * (GeoOps.stY(py) - GeoOps.stY(p0)) -
+      (GeoOps.stY(px) - GeoOps.stY(p0)) * (GeoOps.stX(py) - GeoOps.stX(p0)))
+    val e2 = 1.0 - math.pow(1.0 - 1.0 / 298.257222101, 2)
+    val phi = math.toRadians(-25.0)
+    val sin2 = math.sin(phi) * math.sin(phi)
+    val m = 6378137.0 * (1 - e2) / math.pow(1 - e2 * sin2, 1.5)
+    val nu = 6378137.0 / math.sqrt(1 - e2 * sin2)
+    val cell = m * math.toRadians(d) * nu * math.cos(phi) * math.toRadians(d)
+    assert(math.abs(jac / cell - 1.0) < 1e-4)
+  }
+
   test("round-3 CRS: registerCrs custom codes match builtins and unregister") {
     // a custom TM with Slovenia's parameters must agree with builtin 3794
     GeoOps.registerCrs(90001, "tm", Map("a" -> 6378137.0, "rf" -> 298.257222101,
