@@ -994,7 +994,11 @@ object SparkEntry {
         (3413, (65.0, -80.0, 80.0, -10.0)),
         (27700, (50.5, -5.0, 53.0, 1.0)),
         (28992, (51.8, 4.0, 53.2, 6.5)),
-        (31370, (49.6, 2.9, 51.3, 5.8))
+        (31370, (49.6, 2.9, 51.3, 5.8)),
+        (5514, (48.6, 12.9, 51.0, 18.9)),
+        (3067, (59.7, 19.1, 70.1, 31.6)),
+        (3978, (41.7, -141.0, 83.1, -52.6)),
+        (6933, (-85.0, -179.9, 85.0, 179.9))
       ).map { case (srid, bbox) =>
         val out = db.transformBboxCrs(bbox, 4326, srid)
         (srid, r3(out._1), r3(out._2), r3(out._3), r3(out._4))
@@ -1324,7 +1328,11 @@ object SparkEntry {
        "(3413, -1577477.258, -2252871.001, 622858.294, -889533.832), " +
        "(27700, 187345.325, 70989.071, 601409.004, 348952.049), " +
        "(28992, 59317.369, 424396.791, 229361.51, 579835.9), " +
-       "(31370, 43827.084, 33078.008, 249818.11, 222091.688)) " +
+       "(31370, 43827.084, 33078.008, 249818.11, 222091.688), " +
+       "(5514, -876372.378, -1190493.057, -416322.683, -975992.125), " +
+       "(3067, 56067.375, 6644489.239, 674601.959, 7783619.757), " +
+       "(3978, -3625742.139, 546833.191, 556918.546, 3946292.791), " +
+       "(6933, -17357881.817, -7314040.89, 17357881.817, 7314040.89)) " +
        "t(srid, minx, miny, maxx, maxy) ORDER BY srid"),
     "q84_crs_custom" ->
       "SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey",

@@ -604,6 +604,23 @@ object GeoOps {
     }
   }
 
+  /** Lambert cylindrical equal area, ellipsoidal, normal aspect (Snyder
+    * pp. 76-85 / EPSG 9835) — the EASE-Grid 2.0 family used by NSIDC
+    * science grids. `latTs` is the standard parallel (true scale). */
+  private[graft] final case class Cea(a: Double, f: Double, latTs: Double,
+      lon0: Double, fe: Double, fn: Double) extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val k0 = mFn(e, math.toRadians(latTs))
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      (fe + a * k0 * math.toRadians(lonDeg - lon0),
+       fn + a * qFn(e, math.toRadians(latDeg)) / (2.0 * k0))
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val q = 2.0 * (y - fn) * k0 / a
+      (lon0 + math.toDegrees((x - fe) / (a * k0)),
+       math.toDegrees(phiFromQ(e, q)))
+    }
+  }
+
   /** Polar stereographic, north or south aspect (Snyder pp. 160-162 /
     * EPSG 9810 variant A and 9829 variant B — construct variant B specs
     * via [[PolarStereo.fromStandardParallel]]). */
@@ -764,6 +781,76 @@ object GeoOps {
     }
   }
 
+  /**
+   * Krovak oblique conformal conic (EPSG method 9819), the S-JTSK grid of
+   * the Czech and Slovak republics: Gaussian (conformal) sphere -> rotation
+   * to the oblique pole -> conformal conic on the pseudo standard
+   * parallel. Parameters per the public EPSG registry; this class produces
+   * the East-North variant (EPSG 5514: E = -Westing, N = -Southing).
+   */
+  private[graft] final case class Krovak(a: Double, f: Double,
+      latC: Double, lon0Deg: Double, alphaC: Double, latP: Double,
+      kP: Double, fe: Double, fn: Double) extends Proj {
+    private val e = math.sqrt(f * (2.0 - f))
+    private val e2 = e * e
+    private val phiC = math.toRadians(latC)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val aC = math.toRadians(alphaC)
+    private val phiP = math.toRadians(latP)
+    private val sC = math.sin(phiC)
+    private val aBig = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sC * sC)
+    private val bBig = math.sqrt(1.0 + e2 * math.pow(math.cos(phiC), 4) / (1.0 - e2))
+    private val gamma0 = math.asin(sC / bBig)
+    private val t0 = math.tan(math.Pi / 4.0 + gamma0 / 2.0) *
+      math.pow((1.0 + e * sC) / (1.0 - e * sC), e * bBig / 2.0) /
+      math.pow(math.tan(math.Pi / 4.0 + phiC / 2.0), bBig)
+    private val nBig = math.sin(phiP)
+    private val r0 = kP * aBig / math.tan(phiP)
+    private val tanP = math.pow(math.tan(phiP / 2.0 + math.Pi / 4.0), nBig)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sp = math.sin(phi)
+      val u = 2.0 * (math.atan(t0 *
+        math.pow(math.tan(phi / 2.0 + math.Pi / 4.0), bBig) /
+        math.pow((1.0 + e * sp) / (1.0 - e * sp), e * bBig / 2.0)) - math.Pi / 4.0)
+      val v = bBig * (lam0 - math.toRadians(lonDeg))
+      val t = math.asin(math.cos(aC) * math.sin(u) +
+        math.sin(aC) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = nBig * d
+      val r = r0 * tanP / math.pow(math.tan(t / 2.0 + math.Pi / 4.0), nBig)
+      val southing = r * math.cos(theta) // Xp (towards south)
+      val westing = r * math.sin(theta)  // Yp (towards west)
+      (fe - westing, fn - southing)      // East-North variant
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val westing = fe - x
+      val southing = fn - y
+      val r = math.sqrt(southing * southing + westing * westing)
+      val theta = math.atan2(westing, southing)
+      val d = theta / nBig
+      val t = 2.0 * (math.atan(math.pow(r0 * tanP / r, 1.0 / nBig)) - math.Pi / 4.0)
+      val u = math.asin(math.cos(aC) * math.sin(t) -
+        math.sin(aC) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      val lam = lam0 - v / bBig
+      // invert the conformal-latitude map (fixed point, as in GN 7-2)
+      var phi = u
+      var it = 0
+      while (it < 16) {
+        val sp = math.sin(phi)
+        val next = 2.0 * (math.atan(
+          math.pow(math.tan(u / 2.0 + math.Pi / 4.0) / t0, 1.0 / bBig) *
+          math.pow((1.0 + e * sp) / (1.0 - e * sp), e / 2.0)) - math.Pi / 4.0)
+        if (math.abs(next - phi) < 1e-14) { phi = next; it = 16 }
+        else { phi = next; it += 1 }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   // ---- Datum shifts ------------------------------------------------------
   /**
    * Geodetic datum: source ellipsoid + 7-parameter Helmert transform to
@@ -899,6 +986,10 @@ object GeoOps {
   // Bern natural origin, 46d57'08.66"N 7d26'22.50"E on Bessel
   private val swissLat0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
   private val swissLon0 = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
+  // S-JTSK (Bessel 1841): published translation-only approximation
+  // (meter-class without the national correction grids).
+  private val sjtsk = Datum(besselA, besselF,
+    589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
 
   /**
    * Wider builtin CRS set (round 3): polar + oblique stereographic,
@@ -939,6 +1030,13 @@ object GeoOps {
         600000.0, 200000.0), Some(ch1903)))
     case 2180 => // ETRS89 / Poland CS92 (TM, GRS80)
       Some(Crs(Tm(6378137.0, grs80F, 19.0, 0.9993, 500000.0, -5300000.0)))
+    case 5514 => // S-JTSK / Krovak East North (Czech + Slovak republics)
+      // lonO: 42d30' east of Ferro = 24d50' east of Greenwich
+      // (Ferro = 17d40' west of Greenwich)
+      Some(Crs(Krovak(besselA, besselF,
+        49.5, 24.0 + 50.0 / 60.0,
+        30.0 + 17.0 / 60.0 + 17.3031 / 3600.0, 78.5, 0.9999, 0.0, 0.0),
+        Some(sjtsk)))
     case 2193 => // NZGD2000 / New Zealand Transverse Mercator (GRS80)
       Some(Crs(Tm(6378137.0, grs80F, 173.0, 0.9996, 1600000.0, 10000000.0)))
     case 3577 => // GDA94 / Australian Albers (GRS80, equal-area conic)
@@ -947,6 +1045,20 @@ object GeoOps {
       Some(Crs(Lcc(6378137.0, grs80F, 0.0, 134.0, -18.0, -36.0, 0.0, 0.0)))
     case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM zones 28N-38N
       Some(Crs(Tm(6378137.0, grs80F, (z - 25800) * 6.0 - 183.0, 0.9996, 500000.0, 0.0)))
+    case 3067 => // ETRS89 / TM35FIN (Finland; UTM 35N parameters, one zone)
+      Some(Crs(Tm(6378137.0, grs80F, 27.0, 0.9996, 500000.0, 0.0)))
+    case 3006 => // SWEREF99 TM (Sweden; UTM 33N parameters, one zone)
+      Some(Crs(Tm(6378137.0, grs80F, 15.0, 0.9996, 500000.0, 0.0)))
+    case 2157 => // IRENET95 / Irish Transverse Mercator
+      Some(Crs(Tm(6378137.0, grs80F, -8.0, 0.999820, 600000.0, 750000.0, 53.5)))
+    case 5179 => // Korea 2000 / Unified CS (TM, GRS80)
+      Some(Crs(Tm(6378137.0, grs80F, 127.5, 0.9996, 1000000.0, 2000000.0, 38.0)))
+    case 6677 => // JGD2011 / Japan Plane Rectangular CS IX (Kanto)
+      Some(Crs(Tm(6378137.0, grs80F, 139.0 + 50.0 / 60.0, 0.9999, 0.0, 0.0, 36.0)))
+    case 3978 => // NAD83 / Canada Atlas Lambert (LCC 2SP)
+      Some(Crs(Lcc(6378137.0, grs80F, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0)))
+    case 6933 => // WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal area)
+      Some(Crs(Cea(wgs84A, wgs84F, 30.0, 0.0, 0.0, 0.0)))
     case _ => None
   }
 
@@ -962,8 +1074,8 @@ object GeoOps {
    * Register a custom projected CRS so `st_transform` / bbox reprojection
    * accept its SRID — the escape hatch for EPSG codes not in the builtin
    * table (the reference delegates the same job to client-side pyproj,
-   * geodb.py:1535-1575). `family` is one of `tm | lcc | albers | laea |
-   * merc | stereo | polar_north | polar_south`; `params` uses EPSG-style
+   * geodb.py:1535-1575). `family` is one of `tm | lcc | albers | laea | cea |
+   * merc | stereo | swiss | krovak | polar_north | polar_south`; `params` uses EPSG-style
    * keys: `a`, `rf` (inverse flattening), `lat0`, `lon0`, `lat1`, `lat2`,
    * `lat_ts`, `k0`, `fe`, `fn`, plus optional 7-parameter Helmert
    * `dx dy dz rx ry rz ppm` (position-vector, local->WGS84) for
@@ -986,12 +1098,17 @@ object GeoOps {
         Albers(a, f, p("lat0"), p("lon0"), p("lat1"), p("lat2"), p("fe", 0.0), p("fn", 0.0))
       case "laea" =>
         Laea(a, f, p("lat0"), p("lon0"), p("fe", 0.0), p("fn", 0.0))
+      case "cea" =>
+        Cea(a, f, p("lat_ts", 0.0), p("lon0", 0.0), p("fe", 0.0), p("fn", 0.0))
       case "merc" =>
         Merc(a, f, p("lon0", 0.0), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
       case "stereo" =>
         ObliqueStereo(a, f, p("lat0"), p("lon0"), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
       case "swiss" =>
         SwissOblMerc(a, f, p("lat0"), p("lon0"), p("fe", 0.0), p("fn", 0.0))
+      case "krovak" =>
+        Krovak(a, f, p("lat0"), p("lon0"), p("alpha"), p("lat_p"),
+          p("k0", 1.0), p("fe", 0.0), p("fn", 0.0))
       case "polar_north" | "polar_south" =>
         if (params.contains("lat_ts"))
           PolarStereo.fromStandardParallel(a, f,
@@ -1001,7 +1118,8 @@ object GeoOps {
           south = family == "polar_south")
       case other => throw new IllegalArgumentException(
         s"registerCrs($srid): unknown projection family '$other' " +
-        "(supported: tm, lcc, albers, laea, merc, stereo, polar_north, polar_south)")
+        "(supported: tm, lcc, albers, laea, cea, merc, stereo, krovak, " +
+        "polar_north, polar_south)")
     }
     val datum =
       if (Seq("dx", "dy", "dz").exists(params.contains))
@@ -1067,10 +1185,24 @@ object GeoOps {
     transformWith(Map.empty, b, fromSrid, toSrid)
 
   /**
+   * Janino entry point for the codegen'd `st_transform`: scalac emits the
+   * `GeoOps.<method>` STATIC forwarder only for PUBLIC object members, and
+   * `transformWith` can't be public because its signature names the
+   * package-private [[Crs]]. Without this bridge the generated Java fails to
+   * compile ("method transformWith not declared") and every st_transform
+   * silently drops to interpreted evaluation. Takes the snapshot as AnyRef
+   * so no private type escapes.
+   */
+  def transformSnap(custom: AnyRef, b: Array[Byte],
+                    fromSrid: Int, toSrid: Int): Array[Byte] =
+    transformWith(custom.asInstanceOf[Map[Int, Crs]], b, fromSrid, toSrid)
+
+  /**
    * Transform with an explicit custom-CRS snapshot — the executor-side
    * entry point used by the `st_transform` expression, which captures the
    * driver's registry at plan time (a driver-only static would be empty on
    * real-cluster executors).
+   *
    */
   private[graft] def transformWith(custom: Map[Int, Crs], b: Array[Byte],
                     fromSrid: Int, toSrid: Int): Array[Byte] = {
@@ -1081,7 +1213,8 @@ object GeoOps {
       throw new IllegalArgumentException(
         s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326/4258/4269, " +
         "3857, 3395, UTM 32601-32660/32701-32760, ETRS89 UTM 25828-25838, 3794, 2180, " +
-        "27700, 28992, 31370, 2056, 21781, 2193, 3577, 3112, 2154, 3034, 3035, 5070, " +
+        "27700, 28992, 31370, 2056, 21781, 5514, 2193, 3577, 3112, 2154, 3034, 3035, 5070, " +
+        "3067, 3006, 2157, 5179, 6677, 3978, 6933, " +
         "polar 3031/3413/3976/32661/32761, plus GeoOps.registerCrs custom codes)")
     val g = read(b).copy()
     val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }

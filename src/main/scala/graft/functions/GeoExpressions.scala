@@ -212,8 +212,10 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val snapRef = ctx.addReferenceObj("crsSnap", crsSnap,
       "scala.collection.immutable.Map")
+    // transformSnap, not transformWith: only public object members get the
+    // static forwarder janino resolves (see GeoOps.transformSnap scaladoc)
     defineCodeGen(ctx, ev,
-      (b, f, t) => s"graft.core.GeoOps.transformWith($snapRef, $b, $f, $t)")
+      (b, f, t) => s"graft.core.GeoOps.transformSnap($snapRef, $b, $f, $t)")
   }
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression): Expression =

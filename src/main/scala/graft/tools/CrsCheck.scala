@@ -102,6 +102,18 @@ object CrsCheck {
     println(f"Zurich LV95: (${zrh.x}%.1f, ${zrh.y}%.1f)")
     val zrt = GeoOps.read(GeoOps.transform(GeoOps.transform(GeoOps.point(8.5417, 47.3769), 4326, 2056), 2056, 4326)).getCoordinate
     println(f"Zurich rt err: ${math.abs(zrt.x - 8.5417) + math.abs(zrt.y - 47.3769)}%.2e")
+    // Krovak: EPSG GN7-2 worked example is in S-JTSK geographic
+    // (phi 50d12'32.442"N, lam 16d50'59.179"E Greenwich) ->
+    // Southing 1050538.64, Westing 568991.00 => 5514 E=-568991.00 N=-1050538.64
+    val kr = GeoOps.crsSpec(5514).get.proj
+    val (ke, kn) = kr.forward(16.0 + 50.0/60 + 59.179/3600,
+      50.0 + 12.0/60 + 32.442/3600)
+    println(f"Krovak: E=$ke%.3f (want ~-568991.00)  N=$kn%.3f (want ~-1050538.64)")
+    // Prague through the full datum path (approx -743000, -1043000)
+    val prg = GeoOps.read(GeoOps.transform(GeoOps.point(14.4378, 50.0755), 4326, 5514)).getCoordinate
+    println(f"Prague 5514: (${prg.x}%.1f, ${prg.y}%.1f)")
+    val prt = GeoOps.read(GeoOps.transform(GeoOps.transform(GeoOps.point(14.4378, 50.0755), 4326, 5514), 5514, 4326)).getCoordinate
+    println(f"Prague rt err: ${math.abs(prt.x - 14.4378) + math.abs(prt.y - 50.0755)}%.2e")
     println("CRSCHECK_DONE")
   }
 }

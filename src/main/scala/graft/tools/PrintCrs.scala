@@ -25,7 +25,11 @@ object PrintCrs {
       (27700, (-5.0, 50.5, 1.0, 53.0)),
       (28992, (4.0, 51.8, 6.5, 53.2)),
       (31370, (2.9, 49.6, 5.8, 51.3)),
-      (2056, (6.1, 45.9, 10.4, 47.8)))
+      (2056, (6.1, 45.9, 10.4, 47.8)),
+      (5514, (12.9, 48.6, 18.9, 51.0)),
+      (3067, (19.1, 59.7, 31.6, 70.1)),
+      (3978, (-141.0, 41.7, -52.6, 83.1)),
+      (6933, (-179.9, -85.0, 179.9, 85.0)))
     r3cases.foreach { case (srid, (ax, ay, bx, by)) =>
       val (x1, y1, x2, y2) = GeoOps.transformBbox(ax, ay, bx, by, 4326, srid)
       println(s"(${srid}, ${r3(x1)}, ${r3(y1)}, ${r3(x2)}, ${r3(y2)}), ")

@@ -427,6 +427,93 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(math.abs(jac / cell - 1.0) < 1e-4)
   }
 
+  test("round-3 CRS wave 3: one-zone TM grids, Canada Lambert, EASE-Grid 2.0") {
+    // TM35FIN (3067) and SWEREF99 TM (3006) reuse UTM 35N / 33N parameters
+    // exactly — cross-check against the independently validated UTM path
+    for ((one, utm, pts) <- Seq(
+        (3067, 32635, Seq((24.94, 60.17), (27.0, 63.0), (21.5, 61.0))),
+        (3006, 32633, Seq((18.06, 59.33), (15.0, 62.0), (12.0, 57.7)))); (lon, lat) <- pts) {
+      val p1 = GeoOps.transform(GeoOps.point(lon, lat), 4326, one)
+      val p2 = GeoOps.transform(GeoOps.point(lon, lat), 4326, utm)
+      // 1e-5 m: the national grids sit on GRS80, the UTM twins on WGS84 —
+      // the flattening difference reaches ~0.1 mm over a 7000 km meridian arc
+      assert(math.abs(GeoOps.stX(p1) - GeoOps.stX(p2)) < 1e-3, s"$one vs $utm x")
+      assert(math.abs(GeoOps.stY(p1) - GeoOps.stY(p2)) < 1e-3, s"$one vs $utm y")
+    }
+    // natural origins land on (FE, FN)
+    def origin(srid: Int, lon: Double, lat: Double, fe: Double, fn: Double): Unit = {
+      val p = GeoOps.crsSpec(srid).get.proj.forward(lon, lat)
+      assert(math.abs(p._1 - fe) < 1e-6 && math.abs(p._2 - fn) < 1e-6,
+        s"$srid origin $p != ($fe,$fn)")
+    }
+    origin(2157, -8.0, 53.5, 600000.0, 750000.0)      // Irish TM
+    origin(5179, 127.5, 38.0, 1000000.0, 2000000.0)   // Korea Unified
+    origin(6677, 139.0 + 50.0 / 60.0, 36.0, 0.0, 0.0) // Japan CS IX
+    origin(3978, -95.0, 49.0, 0.0, 0.0)               // Canada Atlas Lambert
+    // EASE-Grid 2.0 Global (6933): the published map half-width is
+    // a*k0*pi = 17367530.45 m (NSIDC EASE-Grid 2.0 definition)
+    val ease = GeoOps.crsSpec(6933).get.proj
+    val (xe, _) = ease.forward(180.0, 0.0)
+    assert(math.abs(xe - 17367530.44) < 0.5, s"EASE half-width $xe")
+    // equal-area: jacobian equals the ellipsoidal area element
+    val d = 1e-6
+    def at(lon: Double, lat: Double) = ease.forward(lon, lat)
+    val (x0, y0) = at(10.0, 45.0); val (x1, y1) = at(10.0 + d, 45.0)
+    val (x2, y2) = at(10.0, 45.0 + d)
+    val jac = math.abs((x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0))
+    val e2 = 1.0 - math.pow(1.0 - 1.0 / 298.257223563, 2)
+    val phi = math.toRadians(45.0)
+    val sin2 = math.sin(phi) * math.sin(phi)
+    val m = 6378137.0 * (1 - e2) / math.pow(1 - e2 * sin2, 1.5)
+    val nu = 6378137.0 / math.sqrt(1 - e2 * sin2)
+    val cell = m * math.toRadians(d) * nu * math.cos(phi) * math.toRadians(d)
+    assert(math.abs(jac / cell - 1.0) < 1e-4, s"EASE jac ratio ${jac / cell}")
+    // roundtrips over each grid's domain
+    for ((srid, pts) <- Seq(
+        (3067, Seq((24.94, 60.17), (29.0, 67.0))),
+        (3006, Seq((18.06, 59.33), (20.0, 67.8))),
+        (2157, Seq((-6.26, 53.35), (-9.05, 53.27))),
+        (5179, Seq((126.98, 37.57), (129.08, 35.18))),
+        (6677, Seq((139.69, 35.69), (140.87, 38.27))),
+        (3978, Seq((-75.70, 45.42), (-123.12, 49.28), (-63.57, 44.65))),
+        (6933, Seq((10.0, 45.0), (-150.0, -60.0), (179.5, 80.0)))); (lon, lat) <- pts) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, srid), srid, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 1e-9, s"$srid lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 1e-9, s"$srid lat rt at ($lon,$lat)")
+    }
+  }
+
+  test("round-3 CRS: Krovak (S-JTSK 5514) EPSG worked example + roundtrip") {
+    // EPSG GN 7-2 method 9819 worked example, S-JTSK geographic input:
+    // phi 50d12'32.442"N, lam 16d50'59.179"E Greenwich ->
+    // Southing 1050538.64, Westing 568991.00 (East-North: negated)
+    val kr = GeoOps.crsSpec(5514).get.proj
+    val (ke, kn) = kr.forward(16.0 + 50.0 / 60 + 59.179 / 3600,
+      50.0 + 12.0 / 60 + 32.442 / 3600)
+    assert(math.abs(ke - -568991.00) < 0.05, s"Krovak E $ke")
+    assert(math.abs(kn - -1050538.64) < 0.05, s"Krovak N $kn")
+    // both 5514 coordinates are negative over the whole S-JTSK domain
+    assert(ke < 0 && kn < 0)
+    // datum'd roundtrips over the Czech + Slovak extent
+    for ((lon, lat) <- Seq((12.5, 50.2), (14.44, 50.08), (17.1, 48.15),
+        (21.2, 48.7), (18.6, 49.2))) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, 5514), 5514, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 5e-8, s"5514 lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 5e-8, s"5514 lat rt at ($lon,$lat)")
+    }
+    // conformality: image axes stay orthogonal (oblique cone + sphere
+    // composition is angle-preserving)
+    val d = 1e-6
+    def at(lon: Double, lat: Double) = kr.forward(lon, lat)
+    val (x0, y0) = at(15.0, 49.8); val (x1, y1) = at(15.0 + d, 49.8)
+    val (x2, y2) = at(15.0, 49.8 + d)
+    val dot = ((x1 - x0) * (x2 - x0) + (y1 - y0) * (y2 - y0)) /
+      (math.hypot(x1 - x0, y1 - y0) * math.hypot(x2 - x0, y2 - y0))
+    assert(math.abs(dot) < 1e-5, s"conformal axes dot=$dot")
+  }
+
   test("round-3 CRS: registerCrs custom codes match builtins and unregister") {
     // a custom TM with Slovenia's parameters must agree with builtin 3794
     GeoOps.registerCrs(90001, "tm", Map("a" -> 6378137.0, "rf" -> 298.257222101,
