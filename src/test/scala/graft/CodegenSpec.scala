@@ -22,13 +22,33 @@ class CodegenSpec extends SparkSpec {
   }
 
   private def withStrictCodegen[T](body: => T): T = {
+    // fallback=false only hardens WholeStageCodegen; expressions evaluated
+    // through UnsafeProjection/MutableProjection have their OWN interpreted
+    // fallback governed by factoryMode — CODEGEN_ONLY makes a janino
+    // compile failure (e.g. a call to a package-private object method with
+    // no static forwarder) throw instead of silently degrading. This is the
+    // path that hid the GeoOps.transformWith forwarder bug.
     spark.conf.set("spark.sql.codegen.fallback", "false")
-    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
+
+  // IMPORTANT: anchor test frames on a parquet SCAN, never a local Seq —
+  // Project-over-LocalRelation is evaluated eagerly (interpreted) by the
+  // ConvertToLocalRelation optimizer rule, so a Seq-based "codegen test"
+  // never generates code at all. The `col * 0 + const` shape keeps values
+  // deterministic while defeating ConstantFolding.
+  private def anchored(n: Int = 1) =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(n)
 
   test("all geo expressions compile under strict codegen") {
     withStrictCodegen {
-      val df = Seq((1.0, 2.0, 10.0, 20.0)).toDF("x", "y", "x2", "y2")
+      val df = anchored()
+        .select(($"l_quantity" * 0 + 1.0).as("x"), ($"l_tax" * 0 + 2.0).as("y"),
+          ($"l_quantity" * 0 + 10.0).as("x2"), ($"l_tax" * 0 + 20.0).as("y2"))
         .withColumn("p", st_point($"x", $"y"))
         .withColumn("env", st_makeenvelope($"x" - 1, $"y" - 1, $"x2", $"y2"))
       val row = df.select(
@@ -50,8 +70,13 @@ class CodegenSpec extends SparkSpec {
 
   test("all text/vector expressions compile under strict codegen") {
     withStrictCodegen {
-      val df = Seq((1L, "the quick brown fox", Array(1.0f, 0.0f), Array(0.6f, 0.8f)))
-        .toDF("id", "t", "v1", "v2")
+      val df = anchored()
+        .select(concat(substring($"l_returnflag", 1, 0),
+            lit("the quick brown fox")).as("t"),
+          array(($"l_quantity" * 0 + 1.0).cast("float"),
+            ($"l_quantity" * 0).cast("float")).as("v1"),
+          array(($"l_quantity" * 0 + 0.6).cast("float"),
+            ($"l_quantity" * 0 + 0.8).cast("float")).as("v2"))
       val row = df.select(
         token_count($"t"), bpe_count($"t"), simhash64($"t"),
         fingerprint64($"t"), lang_id($"t"),
