@@ -1113,6 +1113,14 @@ object SparkEntry {
           percentile(col("n"), lit(0.9)).as("p90"),
           max(col("n")).cast("long").as("p100"))
         .orderBy("source")
+    }),
+    "q91_sequence_packing" -> ((s, dir) => { ensure(s)
+      // GPT-style concatenate-and-chunk packing: global token offsets via
+      // the distributed two-pass prefix sum (range shuffle + per-partition
+      // window + O(#partitions) offset broadcast — never a global
+      // single-partition window)
+      TextAnalysis.packSequences(ld(s, dir, "documents"), "text", "doc_id", 512)
+        .orderBy("doc_id")
     })
   )
 
@@ -1361,6 +1369,13 @@ object SparkEntry {
       ("WITH t AS (SELECT source, len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS n FROM documents) " +
        "SELECT source, quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90, CAST(max(n) AS BIGINT) AS p100 " +
        "FROM t GROUP BY source ORDER BY source"),
+    "q91_sequence_packing" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS INT) AS n_tokens FROM documents), " +
+       "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev FROM t) " +
+       "SELECT doc_id, n_tokens, CAST(cum_prev // 512 AS BIGINT) AS start_chunk, " +
+       "CAST(CASE WHEN n_tokens = 0 THEN cum_prev // 512 ELSE (cum_prev + n_tokens - 1) // 512 END AS BIGINT) AS end_chunk, " +
+       "CASE WHEN n_tokens = 0 THEN false ELSE (cum_prev + n_tokens - 1) // 512 > cum_prev // 512 END AS crosses_boundary " +
+       "FROM c ORDER BY doc_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

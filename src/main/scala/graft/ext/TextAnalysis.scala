@@ -248,6 +248,57 @@ object TextAnalysis {
       (tokensOk && wordLenOk && punctOk && linesOk).as("keep"))
   }
 
+  /**
+   * GPT-style sequence packing (concatenate-and-chunk): documents are
+   * laid end-to-end in `idCol` order and cut into fixed `seqLen`-token
+   * training chunks; each document reports the chunk span it lands in and
+   * whether a chunk boundary splits it. The global running token offset is
+   * computed as a DISTRIBUTED prefix sum — `repartitionByRange` on the id,
+   * a per-partition window (parallel local sorts, never a global
+   * single-partition window), then an O(#partitions) offset broadcast —
+   * the same two-pass shape as the engine's `assignIds`, so a 100 TB
+   * corpus packs with one range shuffle and no driver-side row data.
+   */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // slim projection before the range shuffle: (id, n_tokens) only.
+    // token_count mirrors split(trim(s),"\s+") which yields 1 for the
+    // empty string; packing wants nonempty-token counts, so guard it.
+    val slim = df.select(col(idCol),
+        when(length(trim(col(textCol))) === 0, 0)
+          .otherwise(tokenCount(col(textCol))).cast("int").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      // pin the partitioning: the offset pass and the cumsum pass must see
+      // identical partitions (AQE/re-planning between actions must not
+      // re-split the range bounds)
+      .localCheckpoint(true)
+    val withPart = slim.withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy("_part").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPart.withColumn("_prev_local",
+      coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+    // O(#partitions) driver map — partition totals, never row data
+    val totals = withPart.groupBy("_part")
+      .agg(sum(col("n_tokens").cast("long")).as("_total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offsetDf = local.sparkSession
+      .createDataFrame(totals.map(_._1).zip(offsets).toSeq)
+      .toDF("_part", "_offset")
+    val packed = local.join(broadcast(offsetDf), Seq("_part"))
+      .withColumn("_cum_prev", col("_prev_local") + col("_offset"))
+      .withColumn("_last", col("_cum_prev") + col("n_tokens") - 1)
+    // integer DIV, not floor(double/): exact past 2^53 tokens
+    val startChunk = expr(s"_cum_prev DIV ${seqLen}L")
+    val endChunk = when(col("n_tokens") === 0, startChunk)
+      .otherwise(expr(s"_last DIV ${seqLen}L"))
+    packed.select(col(idCol), col("n_tokens"),
+      startChunk.as("start_chunk"), endChunk.as("end_chunk"),
+      (endChunk > startChunk).as("crosses_boundary"))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

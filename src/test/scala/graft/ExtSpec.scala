@@ -396,6 +396,37 @@ class ExtSpec extends SparkSpec {
       s"text column should be projected away before the join:\n$plan")
   }
 
+  test("sequence packing: concatenate-and-chunk spans, shuffle-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // token counts 3,4,2,5,1,2 at L=4 -> cum_prev 0,3,7,9,14,15
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b"),
+      (4L, "a b c d e"), (5L, "a"), (6L, "a b")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, "text", "doc_id", 4)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+    val expected = Array(
+      (1L, 3, 0L, 0L, false), // tokens 0..2
+      (2L, 4, 0L, 1L, true),  // tokens 3..6 cross chunk 0|1
+      (3L, 2, 1L, 2L, true),  // tokens 7..8
+      (4L, 5, 2L, 3L, true),  // tokens 9..13
+      (5L, 1, 3L, 3L, false), // token 14
+      (6L, 2, 3L, 4L, true))  // tokens 15..16
+    assert(run(docs).toSeq == expected.toSeq)
+    // the distributed prefix sum must not depend on incoming partitioning
+    assert(run(docs.repartition(7, col("text"))).toSeq == expected.toSeq)
+    assert(run(docs.orderBy(desc("doc_id"))).toSeq == expected.toSeq)
+    // empty doc: zero-width span, no boundary crossing
+    val withEmpty = Seq((1L, "a b c d"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val e = TextAnalysis.packSequences(withEmpty, "text", "doc_id", 4)
+      .orderBy("doc_id").collect()
+    assert(e(1).getInt(1) == 0 && e(1).getLong(2) == 1L &&
+      e(1).getLong(3) == 1L && !e(1).getBoolean(4))
+  }
+
   test("quality flags: each reason fires independently") {
     val cases = Seq(
       (1L, ("word " * 60).trim),                        // all ok
