@@ -1121,6 +1121,15 @@ object SparkEntry {
       // single-partition window)
       TextAnalysis.packSequences(ld(s, dir, "documents"), "text", "doc_id", 512)
         .orderBy("doc_id")
+    }),
+    "q92_bm25_retrieval" -> ((s, dir) => { ensure(s)
+      // Okapi BM25 keyword retrieval over the corpus: one stats pass
+      // (N, Σdl, per-term df) broadcast into a per-row scoring projection.
+      // Scores rounded to 6 dp for cross-engine libm stability; ordered by
+      // id (not score) so the gate has no tie-order sensitivity.
+      TextAnalysis.bm25Scores(ld(s, dir, "documents"), "text", "doc_id",
+          Seq("join", "spark", "dup"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1376,6 +1385,23 @@ object SparkEntry {
        "CAST(CASE WHEN n_tokens = 0 THEN cum_prev // 512 ELSE (cum_prev + n_tokens - 1) // 512 END AS BIGINT) AS end_chunk, " +
        "CASE WHEN n_tokens = 0 THEN false ELSE (cum_prev + n_tokens - 1) // 512 > cum_prev // 512 END AS crosses_boundary " +
        "FROM c ORDER BY doc_id"),
+    "q92_bm25_retrieval" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents), " +
+       "d AS (SELECT doc_id, toks, len(toks) AS dl FROM t), " +
+       "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl, " +
+       "CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+       "CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+       "CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+       "f AS (SELECT doc_id, dl, " +
+       "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+       "CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1, " +
+       "CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM d), " +
+       "r AS (SELECT doc_id, dl, round(" +
+       "ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
+       "ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
+       "ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n)))" +
+       ", 6) AS bm25 FROM f, s) " +
+       "SELECT doc_id, CAST(dl AS INT) AS doc_len, bm25 FROM r WHERE bm25 > 0 ORDER BY doc_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

@@ -299,6 +299,46 @@ object TextAnalysis {
       (endChunk > startChunk).as("crosses_boundary"))
   }
 
+  /**
+   * BM25 (Okapi) relevance scores for a literal query-term set — the
+   * keyword-retrieval cut used for corpus curation (find docs about X,
+   * decontamination probes, quality-classifier features). One aggregation
+   * pass computes N / total length / per-term document frequencies (a
+   * single broadcast-able stats row; the shuffle carries one partial row
+   * per partition), then scoring is a per-row projection over the
+   * broadcast stats — no per-term joins, no inverted index, no UDFs
+   * (array HOFs + codegen'd arithmetic). Scores are rounded to 6 dp so
+   * the result is stable across libm implementations; docs matching no
+   * term are dropped. At 100 TB this is one scan + one 1-row broadcast.
+   */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val base = df.select(col(idCol), toks.as("_toks"))
+      .withColumn("_dl", size(col("_toks")))
+    val aggs: Seq[Column] =
+      count(lit(1)).as("_n") +: sum(col("_dl").cast("long")).as("_sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("_toks"), t).cast("long")).as(s"_df$i") }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+      val dfT = col(s"_df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("_n").cast("double") - dfT + 0.5) / (dfT + 0.5))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    scored.select(col(idCol), col("_dl").cast("int").as("doc_len"),
+        round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -427,6 +427,25 @@ class ExtSpec extends SparkSpec {
       e(1).getLong(3) == 1L && !e(1).getBoolean(4))
   }
 
+  test("bm25: hand-computed scores, non-matching docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join join fast"), (2L, "spark"), (3L, "slow fast"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(docs, "text", "doc_id",
+        Seq("join", "spark", "dup"))
+      .orderBy("doc_id").collect()
+    // N=3, avgdl=2, df(join)=df(spark)=1, df(dup)=0
+    val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = idf * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0))
+    val d2 = idf * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / 2.0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 matches nothing
+    assert(out(0).getDouble(2) == r6(d1), s"doc1 ${out(0).getDouble(2)} vs $d1")
+    assert(out(1).getDouble(2) == r6(d2), s"doc2 ${out(1).getDouble(2)} vs $d2")
+    assert(out(0).getInt(1) == 3 && out(1).getInt(1) == 1)
+  }
+
   test("quality flags: each reason fires independently") {
     val cases = Seq(
       (1L, ("word " * 60).trim),                        // all ok
