@@ -1130,6 +1130,18 @@ object SparkEntry {
       TextAnalysis.bm25Scores(ld(s, dir, "documents"), "text", "doc_id",
           Seq("join", "spark", "dup"))
         .orderBy("doc_id")
+    }),
+    "q93_pii_redact" -> ((s, dir) => { ensure(s)
+      // the corpus carries no PII, so synthesize a deterministic email +
+      // IPv4 into every 5th doc (both engines build the same text), then
+      // redact — proves replacement extents, not just q68's counts
+      val docs = ld(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".77")))
+        .otherwise(col("text")))
+      TextAnalysis.redactPii(docs, "text", "doc_id").orderBy("doc_id")
     })
   )
 
@@ -1402,6 +1414,12 @@ object SparkEntry {
        "ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n)))" +
        ", 6) AS bm25 FROM f, s) " +
        "SELECT doc_id, CAST(dl AS INT) AS doc_len, bm25 FROM r WHERE bm25 > 0 ORDER BY doc_id"),
+    "q93_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
+       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+       "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4, " +
+       "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted " +
+       "FROM p ORDER BY doc_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

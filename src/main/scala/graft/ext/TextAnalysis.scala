@@ -202,14 +202,27 @@ object TextAnalysis {
       .withColumn("mean_chars",
         col("n_chars").cast("double") / col("n_docs"))
 
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   /** PII-pattern counts per document (emails, IPv4) — the redaction
     * pre-scan; codegen'd regexp_count, no UDFs. */
   def piiCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      regexp_count(col(textCol),
-        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("int").as("n_emails"),
-      regexp_count(col(textCol),
-        lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")).cast("int").as("n_ipv4"))
+      regexp_count(col(textCol), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4Re)).cast("int").as("n_ipv4"))
+
+  /** PII redaction: replace every email / IPv4 occurrence with a typed
+    * placeholder (emails first, then addresses), reporting the counts
+    * alongside the scrubbed text. Pure per-row regexp projection — the
+    * redaction pass a training corpus takes before release costs one
+    * codegen'd scan at any scale. */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4Re)).cast("int").as("n_ipv4"),
+      regexp_replace(regexp_replace(col(textCol), emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]").as("redacted"))
 
   /** C4/Gopher-style repetition filters: fraction of duplicated tokens and
     * duplicated lines per document (high values flag boilerplate/spam). */

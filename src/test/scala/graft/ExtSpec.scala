@@ -446,6 +446,22 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getInt(1) == 3 && out(1).getInt(1) == 1)
   }
 
+  test("pii redaction: typed placeholders, counts, untouched text intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b-c_d@ex-1.example.org or 10.20.30.40 today"),
+      (2L, "two mails x@y.io z@w.co plus 1.2.3.4 and 5.6.7.8"),
+      (3L, "clean text, no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(out(0).getString(3) == "mail [EMAIL] or [IP] today")
+    assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 2)
+    assert(out(1).getString(3) == "two mails [EMAIL] [EMAIL] plus [IP] and [IP]")
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0)
+    assert(out(2).getString(3) == "clean text, no pii at all")
+  }
+
   test("quality flags: each reason fires independently") {
     val cases = Seq(
       (1L, ("word " * 60).trim),                        // all ok
