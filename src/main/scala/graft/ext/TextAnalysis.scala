@@ -328,26 +328,31 @@ object TextAnalysis {
                  terms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      x => length(x) > 0)
-    val base = df.select(col(idCol), toks.as("_toks"))
-      .withColumn("_dl", size(col("_toks")))
+    // per-row kernels only — token_occurrences/token_count are codegen'd
+    // O(n) scans, so no token array is ever materialized (the split+filter
+    // HOF alternative is CodegenFallback and allocates per row)
+    val cols: Seq[Column] = col(idCol) +:
+      when(length(trim(col(textCol))) === 0, 0)
+        .otherwise(tokenCount(col(textCol))).cast("int").as("_dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        token_occurrences(lower(col(textCol)), lit(t.toLowerCase)).as(s"_tf$i") }
+    val base = df.select(cols: _*)
     val aggs: Seq[Column] =
       count(lit(1)).as("_n") +: sum(col("_dl").cast("long")).as("_sumdl") +:
-      terms.zipWithIndex.map { case (t, i) =>
-        sum(array_contains(col("_toks"), t).cast("long")).as(s"_df$i") }
+      terms.indices.map { i =>
+        sum((col(s"_tf$i") > 0).cast("long")).as(s"_df$i") }
     val stats = base.agg(aggs.head, aggs.tail: _*)
     val scored = base.crossJoin(broadcast(stats))
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
       val dfT = col(s"_df$i").cast("double")
       val idf = log(lit(1.0) +
         (col("_n").cast("double") - dfT + 0.5) / (dfT + 0.5))
       idf * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
     }.reduce(_ + _)
-    scored.select(col(idCol), col("_dl").cast("int").as("doc_len"),
+    scored.select(col(idCol), col("_dl").as("doc_len"),
         round(score, 6).as("bm25"))
       .filter(col("bm25") > 0)
   }

@@ -145,6 +145,20 @@ case class TokenCount(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class TokenOccurrences(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_occurrences"
+  override protected def nullSafeEval(s: Any, t: Any): Any =
+    TextOps.tokenOccurrences(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, t) => s"graft.ext.TextOps.tokenOccurrences($s, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class BpeCount(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -212,6 +226,8 @@ object TextFunctions {
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def token_count(text: Column): Column = call_function("token_count", text)
+  def token_occurrences(text: Column, term: Column): Column =
+    call_function("token_occurrences", text, term)
   def bpe_count(text: Column): Column = call_function("bpe_count", text)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
@@ -231,6 +247,7 @@ object TextFunctions {
     "fingerprint64" -> { case Seq(a) => Fingerprint64(a) },
     "lang_id" -> { case Seq(a) => LangId(a) },
     "token_count" -> { case Seq(a) => TokenCount(a) },
+    "token_occurrences" -> { case Seq(a, b) => TokenOccurrences(a, b) },
     "bpe_count" -> { case Seq(a) => BpeCount(a) },
     "cosine_sim" -> { case Seq(a, b) => CosineSim(a, b) },
     "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },

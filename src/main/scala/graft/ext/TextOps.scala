@@ -155,6 +155,25 @@ object TextOps {
     count
   }
 
+  /** Whole-token occurrence count: how many \s+-delimited tokens of `text`
+    * equal `term` — O(n) scan, EXACTLY equivalent to
+    * `size(filter(split(text, "\\s+"), x -> x == term))` for nonempty
+    * terms, with no array materialization (the BM25 tf kernel). */
+  def tokenOccurrences(text: UTF8String, term: UTF8String): Int = {
+    val s = text.toString; val t = term.toString
+    if (t.isEmpty) return 0
+    val n = s.length
+    var i = 0; var count = 0
+    while (i < n) {
+      while (i < n && isRegexWs(s.charAt(i))) i += 1
+      var j = i
+      while (j < n && !isRegexWs(s.charAt(j))) j += 1
+      if (j - i == t.length && s.regionMatches(i, t, 0, t.length)) count += 1
+      i = j
+    }
+    count
+  }
+
   /** BPE-ish subword count — O(n) scan equivalent to counting matches of
     * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (letter runs, digit runs, single
     * other symbols), with no array materialization. */

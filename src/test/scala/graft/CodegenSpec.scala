@@ -78,7 +78,8 @@ class CodegenSpec extends SparkSpec {
           array(($"l_quantity" * 0 + 0.6).cast("float"),
             ($"l_quantity" * 0 + 0.8).cast("float")).as("v2"))
       val row = df.select(
-        token_count($"t"), bpe_count($"t"), simhash64($"t"),
+        token_count($"t"), token_occurrences($"t", lit("quick")),
+        bpe_count($"t"), simhash64($"t"),
         fingerprint64($"t"), lang_id($"t"),
         hamming64(simhash64($"t"), simhash64($"t")),
         char_shingles($"t", lit(3)), word_shingles($"t", lit(2)),
@@ -89,9 +90,10 @@ class CodegenSpec extends SparkSpec {
         hyperplane_sig($"v1", lit(8), lit(42L)))
         .head()
       assert(row.getInt(0) == 4)
-      assert(row.getInt(5) == 0)   // hamming with itself
-      assert(row.getDouble(9) == 1.0) // sig similarity with itself
-      assert(math.abs(row.getDouble(11) - 0.6) < 1e-6)
+      assert(row.getInt(1) == 1)   // token_occurrences of "quick"
+      assert(row.getInt(6) == 0)   // hamming with itself
+      assert(row.getDouble(10) == 1.0) // sig similarity with itself
+      assert(math.abs(row.getDouble(12) - 0.6) < 1e-6)
     }
   }
 
