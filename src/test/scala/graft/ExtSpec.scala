@@ -419,6 +419,12 @@ class ExtSpec extends SparkSpec {
     // the distributed prefix sum must not depend on incoming partitioning
     assert(run(docs.repartition(7, col("text"))).toSeq == expected.toSeq)
     assert(run(docs.orderBy(desc("doc_id"))).toSeq == expected.toSeq)
+    // scale guard: the prefix sum must never plan a global
+    // single-partition window (Exchange SinglePartition)
+    val plan = TextAnalysis.packSequences(docs, "text", "doc_id", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition exchange in packing plan:\n$plan")
     // empty doc: zero-width span, no boundary crossing
     val withEmpty = Seq((1L, "a b c d"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
     val e = TextAnalysis.packSequences(withEmpty, "text", "doc_id", 4)
