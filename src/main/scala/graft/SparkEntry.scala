@@ -1142,6 +1142,16 @@ object SparkEntry {
           (col("doc_id") % 256).cast("string"), lit(".77")))
         .otherwise(col("text")))
       TextAnalysis.redactPii(docs, "text", "doc_id").orderBy("doc_id")
+    }),
+    "q94_audio_wav" -> ((s, dir) => { ensure(s)
+      // REAL RIFF PCM16 decode gated end-to-end (the q74 recipe for
+      // audio): synthesize actual WAV files with closed-form samples,
+      // decode them back, report TRUE sample count / rate / exact
+      // amplitude sum / peak; the oracle recomputes from the sample
+      // formula alone — matching requires a real PCM parse
+      val ids = ld(s, dir, "documents").select("doc_id").repartition(32)
+      Multimodal.audioStats(Multimodal.synthesizeWavs(ids, "doc_id"))
+        .orderBy("media_id")
     })
   )
 
@@ -1420,6 +1430,13 @@ object SparkEntry {
        "CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4, " +
        "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted " +
        "FROM p ORDER BY doc_id"),
+    "q94_audio_wav" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 400 + 100 AS INT) AS n FROM documents), " +
+       "g AS (SELECT m.doc_id, m.n, SUM((m.doc_id * 31 + 7 * i) % 2003 - 1001) AS s, " +
+       "MAX(abs((m.doc_id * 31 + 7 * i) % 2003 - 1001)) AS p " +
+       "FROM m, range(0, 500) t(i) WHERE i < m.n GROUP BY m.doc_id, m.n) " +
+       "SELECT doc_id AS media_id, n AS n_samples, CAST(8000 AS INT) AS sample_rate, " +
+       "CAST(s AS BIGINT) AS sum_amp, CAST(p AS INT) AS peak_amp FROM g ORDER BY media_id"),
     "q62_stream_sessions" ->
       ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +

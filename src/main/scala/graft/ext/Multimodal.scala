@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
  * IMAGE decode is REAL: `javax.imageio` (PNG/JPEG/BMP/GIF) ships in every
  * standard JRE, so `extractFeatures` / `resize` / `imageStats` decode
  * actual pixels when the payload is a decodable image, falling back to the
- * deterministic byte-level path for opaque payloads. AUDIO/VIDEO kernels
- * remain DETERMINISTIC STUBS (no codecs in this container); their
- * Spark-side machinery — schema, partition-wise batching, column layout —
- * is real and tested.
+ * deterministic byte-level path for opaque payloads. AUDIO decode is REAL
+ * for RIFF PCM16 WAV (`decodeWav` / `audioStats` — WAV is header framing,
+ * no codec needed). COMPRESSED audio and VIDEO kernels remain
+ * DETERMINISTIC STUBS (no codecs in this container); their Spark-side
+ * machinery — schema, partition-wise batching, column layout — is real
+ * and tested.
  *
  * Scale notes: all transforms run as `mapPartitions` over binary batches —
  * one pass, no shuffle, no driver collection. Feature extraction emits
@@ -229,6 +231,111 @@ object Multimodal {
               y += 1
             }
             Row(id, img.getWidth, img.getHeight, img.getRaster.getNumBands, sumRed)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /**
+   * Deterministic REAL WAVs (RIFF PCM16 mono): n = id%400+100 samples at
+   * 8 kHz, sample i = ((id*31 + i*7) % 2003) - 1001 — closed-form, so a
+   * SQL oracle can verify true decoded sample statistics. WAV needs no
+   * codec, only RIFF header framing, so unlike compressed audio this
+   * path is fully real in a bare JRE.
+   */
+  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType).as("media_id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 400 + 100).toInt
+        Row(id, "audio", wavBytes(id, n, 8000), Row(null, null, 1, 8000, "wav"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+  }
+
+  private def wavBytes(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1)                  // PCM, mono
+    buf.putInt(rate); buf.putInt(rate * 2)            // byte rate
+    buf.putShort(2); buf.putShort(16)                 // block align, bits
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((id * 31 + i * 7L) % 2003) - 1001).toShort); i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL RIFF/WAVE parse (PCM16 only): walks the chunk list, returns
+    * (sampleRate, channels, samples). None for anything else. */
+  private[ext] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt() // riff size
+    if (tag() != "WAVE") return None
+    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8) {
+      val id = tag(); val len = buf.getInt()
+      if (len < 0 || len > buf.remaining()) return None
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort(); channels = buf.getShort()
+          rate = buf.getInt(); buf.getInt(); buf.getShort()
+          bits = buf.getShort()
+          fmtOk = fmt == 1 && bits == 16
+          buf.position(buf.position() + (len - 16))
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          buf.asShortBuffer().get(samples)
+          buf.position(buf.position() + len)
+        case _ => buf.position(buf.position() + len)
+      }
+    }
+    if (fmtOk && samples != null) Some((rate, channels, samples)) else None
+  }
+
+  /**
+   * TRUE decoded audio stats — sample count, rate, exact amplitude sum
+   * and peak come from a real PCM decode, not metadata. Zero-row stats
+   * for undecodable payloads (mirrors imageStats' nulls).
+   */
+  def audioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("sum_amp", LongType),
+      StructField("peak_amp", IntegerType)))
+    val schema = media.schema
+    val idI = schema.fieldIndex("media_id")
+    val coI = schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        decodeWav(r.getAs[Array[Byte]](coI)) match {
+          case Some((rate, _, samples)) =>
+            var sum = 0L; var peak = 0
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toInt
+              sum += s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            Row(id, samples.length, rate, sum, peak)
           case None => Row(id, null, null, null, null)
         }
       }

@@ -468,6 +468,29 @@ class ExtSpec extends SparkSpec {
     assert(out(2).getString(3) == "clean text, no pii at all")
   }
 
+  test("wav synth/decode: real RIFF PCM16 roundtrip, garbage rejected") {
+    import spark.implicits._
+    val docs = Seq((3L, "x"), (10L, "y")).toDF("doc_id", "text")
+    val stats = Multimodal.audioStats(
+        Multimodal.synthesizeWavs(docs, "doc_id"))
+      .orderBy("media_id").collect()
+    // closed form: n = id%400+100, sample i = ((id*31 + 7i) % 2003) - 1001
+    for ((row, id) <- stats.zip(Seq(3L, 10L))) {
+      val n = (id % 400 + 100).toInt
+      val samples = (0 until n).map(i => ((id * 31 + 7L * i) % 2003 - 1001).toInt)
+      assert(row.getLong(0) == id)
+      assert(row.getInt(1) == n)
+      assert(row.getInt(2) == 8000)
+      assert(row.getLong(3) == samples.map(_.toLong).sum, s"sum for id=$id")
+      assert(row.getInt(4) == samples.map(math.abs).max, s"peak for id=$id")
+    }
+    // non-WAV payloads (the sha-derived fake synth) decode to nulls
+    val fake = Multimodal.audioStats(
+        Multimodal.synthesize(docs, "doc_id", "text", "audio"))
+      .orderBy("media_id").collect()
+    assert(fake.forall(r => r.isNullAt(1) && r.isNullAt(3)))
+  }
+
   test("quality flags: each reason fires independently") {
     val cases = Seq(
       (1L, ("word " * 60).trim),                        // all ok
