@@ -998,7 +998,10 @@ object SparkEntry {
         (5514, (48.6, 12.9, 51.0, 18.9)),
         (3067, (59.7, 19.1, 70.1, 31.6)),
         (3978, (41.7, -141.0, 83.1, -52.6)),
-        (6933, (-85.0, -179.9, 85.0, 179.9))
+        (6933, (-85.0, -179.9, 85.0, 179.9)),
+        (31467, (47.3, 7.5, 54.9, 10.5)),
+        (31287, (46.4, 9.5, 49.0, 17.2)),
+        (29902, (51.4, -10.5, 55.4, -5.4))
       ).map { case (srid, bbox) =>
         val out = db.transformBboxCrs(bbox, 4326, srid)
         (srid, r3(out._1), r3(out._2), r3(out._3), r3(out._4))
@@ -1371,7 +1374,10 @@ object SparkEntry {
        "(5514, -876372.378, -1190493.057, -416322.683, -975992.125), " +
        "(3067, 56067.375, 6644489.239, 674601.959, 7783619.757), " +
        "(3978, -3625742.139, 546833.191, 556918.546, 3946292.791), " +
-       "(6933, -17357881.817, -7314040.89, 17357881.817, 7314040.89)) " +
+       "(6933, -17357881.817, -7314040.89, 17357881.817, 7314040.89), " +
+       "(29902, 26075.359, 19255.054, 364759.062, 464557.236), " +
+       "(31287, 105420.157, 285083.935, 682877.57, 573840.788), " +
+       "(31467, 3386633.97, 5241249.31, 3596295.67, 6086689.675)) " +
        "t(srid, minx, miny, maxx, maxy) ORDER BY srid"),
     "q84_crs_custom" ->
       "SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 5 ORDER BY c_custkey",

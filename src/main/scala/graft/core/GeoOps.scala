@@ -990,6 +990,17 @@ object GeoOps {
   // (meter-class without the national correction grids).
   private val sjtsk = Datum(besselA, besselF,
     589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)
+  // DHDN / Potsdam (Bessel 1841): BKG-published 7-parameter set for the
+  // old German national grid (meter-class nationwide).
+  private val dhdn = Datum(besselA, besselF,
+    598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+  // MGI (Bessel 1841): EPSG-published Austrian set.
+  private val mgi = Datum(besselA, besselF,
+    577.326, 90.129, 463.919, 5.137, 1.474, 5.297, 2.4232)
+  // Airy Modified 1849 + TM65 (Ireland 1965/1975): OSi/OSNI-published set.
+  private val airyModA = 6377340.189
+  private val tm65 = Datum(airyModA, airyF,
+    482.5, -130.6, 564.6, -1.042, -0.214, -0.631, 8.15)
 
   /**
    * Wider builtin CRS set (round 3): polar + oblique stereographic,
@@ -1059,6 +1070,17 @@ object GeoOps {
       Some(Crs(Lcc(6378137.0, grs80F, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0)))
     case 6933 => // WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal area)
       Some(Crs(Cea(wgs84A, wgs84F, 30.0, 0.0, 0.0, 0.0)))
+    case z if z >= 31466 && z <= 31469 => // DHDN / Gauss-Krüger zones 2-5
+      // k0=1, lon0 = 3*zone, FE = zone*1e6 + 500000 (zone prefix convention)
+      val zone = z - 31464
+      Some(Crs(Tm(besselA, besselF, zone * 3.0, 1.0,
+        zone * 1000000.0 + 500000.0, 0.0), Some(dhdn)))
+    case 31287 => // MGI / Austria Lambert (LCC 2SP on Bessel)
+      Some(Crs(Lcc(besselA, besselF, 47.5, 13.0 + 20.0 / 60.0, 49.0, 46.0,
+        400000.0, 400000.0), Some(mgi)))
+    case 29902 => // TM65 / Irish Grid (Airy Modified 1849)
+      Some(Crs(Tm(airyModA, airyF, -8.0, 1.000035, 200000.0, 250000.0, 53.5),
+        Some(tm65)))
     case _ => None
   }
 
@@ -1214,7 +1236,7 @@ object GeoOps {
         s"unsupported CRS transform $fromSrid -> $toSrid (supported: 4326/4258/4269, " +
         "3857, 3395, UTM 32601-32660/32701-32760, ETRS89 UTM 25828-25838, 3794, 2180, " +
         "27700, 28992, 31370, 2056, 21781, 5514, 2193, 3577, 3112, 2154, 3034, 3035, 5070, " +
-        "3067, 3006, 2157, 5179, 6677, 3978, 6933, " +
+        "3067, 3006, 2157, 5179, 6677, 3978, 6933, GK 31466-31469, 31287, 29902, " +
         "polar 3031/3413/3976/32661/32761, plus GeoOps.registerCrs custom codes)")
     val g = read(b).copy()
     val filter: CoordinateFilter = c => { inv.get(c); fwd.get(c) }

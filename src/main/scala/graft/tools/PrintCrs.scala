@@ -29,7 +29,10 @@ object PrintCrs {
       (5514, (12.9, 48.6, 18.9, 51.0)),
       (3067, (19.1, 59.7, 31.6, 70.1)),
       (3978, (-141.0, 41.7, -52.6, 83.1)),
-      (6933, (-179.9, -85.0, 179.9, 85.0)))
+      (6933, (-179.9, -85.0, 179.9, 85.0)),
+      (31467, (7.5, 47.3, 10.5, 54.9)),
+      (31287, (9.5, 46.4, 17.2, 49.0)),
+      (29902, (-10.5, 51.4, -5.4, 55.4)))
     r3cases.foreach { case (srid, (ax, ay, bx, by)) =>
       val (x1, y1, x2, y2) = GeoOps.transformBbox(ax, ay, bx, by, 4326, srid)
       println(s"(${srid}, ${r3(x1)}, ${r3(y1)}, ${r3(x2)}, ${r3(y2)}), ")

@@ -484,6 +484,41 @@ class GeoOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 CRS wave 4: Gauss-Krüger, Austria Lambert, Irish Grid") {
+    // coarse geography windows (catch axis/sign/major-parameter errors;
+    // exactness comes from the roundtrips and the q83 engine pins)
+    def win(srid: Int, lon: Double, lat: Double,
+            x1: Double, x2: Double, y1: Double, y2: Double): Unit = {
+      val p = GeoOps.transform(GeoOps.point(lon, lat), 4326, srid)
+      val (x, y) = (GeoOps.stX(p), GeoOps.stY(p))
+      assert(x > x1 && x < x2 && y > y1 && y < y2, s"$srid ($x,$y)")
+    }
+    win(31467, 8.68, 50.11, 3.46e6, 3.50e6, 5.53e6, 5.58e6)  // Frankfurt GK3
+    win(31468, 13.40, 52.52, 4.57e6, 4.62e6, 5.80e6, 5.85e6) // Berlin GK4
+    win(31287, 16.37, 48.21, 6.0e5, 6.5e5, 4.5e5, 5.1e5)     // Vienna
+    win(29902, -6.26, 53.35, 3.0e5, 3.3e5, 2.2e5, 2.5e5)     // Dublin
+    // Irish Grid vs ITM: same ground point, grids offset by ~(400km,500km)
+    // with sub-km residual from the TM65 datum + k0 difference
+    val p = GeoOps.point(-6.26, 53.35)
+    val itm = GeoOps.transform(p, 4326, 2157)
+    val ig = GeoOps.transform(p, 4326, 29902)
+    assert(math.abs(GeoOps.stX(itm) - GeoOps.stX(ig) - 400000.0) < 500.0)
+    assert(math.abs(GeoOps.stY(itm) - GeoOps.stY(ig) - 500000.0) < 500.0)
+    // datum'd roundtrips over each grid's domain
+    for ((srid, pts) <- Seq(
+        (31466, Seq((6.96, 50.94), (7.5, 51.5))),
+        (31467, Seq((8.68, 50.11), (9.18, 48.78))),
+        (31468, Seq((13.40, 52.52), (11.58, 48.14))),
+        (31469, Seq((14.5, 51.5))),
+        (31287, Seq((16.37, 48.21), (11.39, 47.27), (14.3, 46.6))),
+        (29902, Seq((-6.26, 53.35), (-9.05, 53.27), (-5.93, 54.6)))); (lon, lat) <- pts) {
+      val rt = GeoOps.transform(
+        GeoOps.transform(GeoOps.point(lon, lat), 4326, srid), srid, 4326)
+      assert(math.abs(GeoOps.stX(rt) - lon) < 5e-8, s"$srid lon rt at ($lon,$lat)")
+      assert(math.abs(GeoOps.stY(rt) - lat) < 5e-8, s"$srid lat rt at ($lon,$lat)")
+    }
+  }
+
   test("round-3 CRS: Krovak (S-JTSK 5514) EPSG worked example + roundtrip") {
     // EPSG GN 7-2 method 9819 worked example, S-JTSK geographic input:
     // phi 50d12'32.442"N, lam 16d50'59.179"E Greenwich ->
