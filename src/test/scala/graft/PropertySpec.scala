@@ -17,6 +17,7 @@ class PropertySpec extends SparkSpec {
   override def beforeAll(): Unit = {
     super.beforeAll()
     graft.functions.GeoFunctions.registerAll(spark)
+    graft.ext.TextFunctions.registerAll(spark)
   }
 
   /** scalatestplus bridge is not in the offline cache: sample generators
@@ -138,6 +139,34 @@ class PropertySpec extends SparkSpec {
             s"mode $m disagrees for rect $a vs ${GeoOps.asText(gb)}")
         }
       }
+    }
+  }
+
+  test("property: distributed sequence packing == sequential reference") {
+    // random corpora: the two-pass prefix sum must equal a plain
+    // sequential scan for any doc-count/length mix and any seqLen
+    val corpusGen = for {
+      n <- Gen.choose(1, 120)
+      lens <- Gen.listOfN(n, Gen.choose(0, 37))
+      seqLen <- Gen.choose(1, 64)
+    } yield (lens, seqLen)
+    forAllSampled(corpusGen, 12) { case (lens, seqLen) =>
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        ((i + 1).toLong, Seq.fill(len)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis
+        .packSequences(docs, "text", "doc_id", seqLen)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      var cum = 0L
+      val want = lens.zipWithIndex.map { case (len, i) =>
+        val start = cum / seqLen
+        val end = if (len == 0) start else (cum + len - 1) / seqLen
+        cum += len
+        ((i + 1).toLong, len, start, end, end > start)
+      }
+      assert(got == want, s"seqLen=$seqLen lens=$lens")
     }
   }
 
