@@ -571,6 +571,25 @@ class GeoOpsSpec extends AnyFunSuite {
       val c2 = GeoOps.transform(GeoOps.point(5.2, 52.4), 4326, 28992)
       assert(GeoOps.stX(c1) == GeoOps.stX(c2) && GeoOps.stY(c1) == GeoOps.stY(c2))
     } finally GeoOps.unregisterCrs(90002)
+    // a custom Krovak with S-JTSK params + datum must agree with builtin 5514
+    GeoOps.registerCrs(90005, "krovak", Map(
+      "a" -> 6377397.155, "rf" -> 299.1528128,
+      "lat0" -> 49.5, "lon0" -> (24.0 + 50.0 / 60.0),
+      "alpha" -> (30.0 + 17.0 / 60.0 + 17.3031 / 3600.0),
+      "lat_p" -> 78.5, "k0" -> 0.9999,
+      "dx" -> 589.0, "dy" -> 76.0, "dz" -> 480.0))
+    try {
+      val c1 = GeoOps.transform(GeoOps.point(14.44, 50.08), 4326, 90005)
+      val c2 = GeoOps.transform(GeoOps.point(14.44, 50.08), 4326, 5514)
+      assert(GeoOps.stX(c1) == GeoOps.stX(c2) && GeoOps.stY(c1) == GeoOps.stY(c2))
+    } finally GeoOps.unregisterCrs(90005)
+    // a custom CEA must agree with builtin 6933 (EASE-Grid 2.0)
+    GeoOps.registerCrs(90006, "cea", Map("lat_ts" -> 30.0))
+    try {
+      val c1 = GeoOps.transform(GeoOps.point(10.0, 45.0), 4326, 90006)
+      val c2 = GeoOps.transform(GeoOps.point(10.0, 45.0), 4326, 6933)
+      assert(GeoOps.stX(c1) == GeoOps.stX(c2) && GeoOps.stY(c1) == GeoOps.stY(c2))
+    } finally GeoOps.unregisterCrs(90006)
     // after unregister the code is rejected again
     intercept[IllegalArgumentException](
       GeoOps.transform(GeoOps.point(0, 0), 4326, 90001))
