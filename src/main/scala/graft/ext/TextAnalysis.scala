@@ -357,6 +357,16 @@ object TextAnalysis {
       .filter(col("bm25") > 0)
   }
 
+  /** Top-k BM25 retrieval: score + deterministic (score desc, id asc)
+    * head. `orderBy.limit` plans as TakeOrderedAndProject — a bounded
+    * per-partition heap merged on the driver, never a global sort. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25Scores(df, textCol, idCol, terms)
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -450,6 +450,12 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getDouble(2) == r6(d1), s"doc1 ${out(0).getDouble(2)} vs $d1")
     assert(out(1).getDouble(2) == r6(d2), s"doc2 ${out(1).getDouble(2)} vs $d2")
     assert(out(0).getInt(1) == 3 && out(1).getInt(1) == 1)
+    // top-k plans as a bounded TakeOrderedAndProject, not a global sort
+    val top = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      Seq("join", "spark", "dup"), 1)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), top.queryExecution.executedPlan)
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("pii redaction: typed placeholders, counts, untouched text intact") {
