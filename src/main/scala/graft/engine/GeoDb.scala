@@ -228,7 +228,7 @@ class GeoDb(
       val keep = meta.schema.fields.filterNot(f => properties.map(_.toLowerCase).contains(f.name))
       val newSchema = StructType(keep)
       swapIn(d, collection, readRaw(d, collection)
-        .select((newSchema.fieldNames ++ statCols).map(col): _*))
+        .select(((newSchema.fieldNames ++ statCols).map(col)).toIndexedSeq: _*))
       catalog.saveMeta(meta.copy(schemaDdl = newSchema.toDDL))
     }
     logEvent(EventType.PropertyDropped, s"Properties dropped from $d/$collection")
@@ -383,7 +383,7 @@ class GeoDb(
         else col(s"e.$c").as(c)
       }: _*)
     // incoming max BEFORE the swap — merged's plan reads the pre-swap files
-    val incMax = Option(inc.agg(max("id")).head.get(0))
+    val incMax = Option(inc.agg(max("id")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     swapIn(d, collection, addStats(alignTo(meta.schema, merged, keepId = true)))
     catalog.saveMeta(metaOf(d, collection).copy(maxId = math.max(meta.maxId, incMax)))
@@ -503,7 +503,7 @@ class GeoDb(
     }
     val filtered = readRaw(d, collection)
       .filter(pre.map(p => if (where.isEmpty || op.equalsIgnoreCase("AND")) full && p else full).getOrElse(full))
-      .select(meta.schema.fieldNames.map(col): _*)
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
     var out = filtered.orderBy("id") // geodb.sql:1240
     limit.foreach { l =>
       offset.foreach(o => out = out.offset(o))
@@ -566,11 +566,11 @@ class GeoDb(
       if (exact)
         readRaw(d, collection).agg(
           min(st_xmin(col("geometry"))), min(st_ymin(col("geometry"))),
-          max(st_xmax(col("geometry"))), max(st_ymax(col("geometry")))).head
+          max(st_xmax(col("geometry"))), max(st_ymax(col("geometry")))).head()
       else
         readRaw(d, collection).agg(
           min(col("_bbox_minx")), min(col("_bbox_miny")),
-          max(col("_bbox_maxx")), max(col("_bbox_maxy"))).head
+          max(col("_bbox_maxx")), max(col("_bbox_maxy"))).head()
     if (row.isNullAt(0)) None
     else Some((row.getDouble(1), row.getDouble(0), row.getDouble(3), row.getDouble(2)))
   }
@@ -792,7 +792,7 @@ class GeoDb(
         // Hilbert-curve clustering over envelope centroids: spatially-near
         // rows share row groups, maximizing _bbox_* min/max pruning
         val ext = raw.agg(min("_bbox_minx"), min("_bbox_miny"),
-          max("_bbox_maxx"), max("_bbox_maxy")).head
+          max("_bbox_maxx"), max("_bbox_maxy")).head()
         if (ext.isNullAt(0)) raw // empty collection: nothing to cluster
         else {
           val (mnx, mny, mxx, mxy) =
@@ -1206,7 +1206,7 @@ class GeoDb(
   def readCollection(d: String, c: String): DataFrame = {
     val meta = metaOf(d, c)
     spark.read.schema(withStats(meta.schema)).parquet(catalog.dataDir(d, c))
-      .select(meta.schema.fieldNames.map(col): _*)
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   private def withStats(schema: StructType): StructType =

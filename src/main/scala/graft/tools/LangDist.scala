@@ -17,7 +17,7 @@ object LangDist {
         .orderBy("p").collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(" ")
       println(s"sf$sf pred-dist: $d")
       val fp = docs.agg(countDistinct(col("text")).as("nt"),
-        countDistinct(fingerprint64(col("text"))).as("nf")).head
+        countDistinct(fingerprint64(col("text"))).as("nf")).head()
       println(s"sf$sf texts=${fp.get(0)} fps=${fp.get(1)}")
     }
     spark.stop()

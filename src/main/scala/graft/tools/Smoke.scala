@@ -62,7 +62,7 @@ object Smoke {
       """{"type":"FeatureCollection","features":[{"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{"k":1}}]}""")
     val imported = graft.sources.GeoSources.readGeoJson(spark, srcDir + "/fc.geojson")
     println("== geojson import rows: " + imported.count() + ", type: " +
-      imported.select(graft.functions.GeoFunctions.geometry_type(col("geometry"))).head.getString(0))
+      imported.select(graft.functions.GeoFunctions.geometry_type(col("geometry"))).head().getString(0))
 
     // ---- ext modules over real documents/embeddings/events tables ----
     graft.ext.TextFunctions.registerAll(spark)
