@@ -4,10 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Emits TWO artifacts:
   *   - `BENCH.out` (cwd) + stderr: full-precision JSON, long query
   *     names, per-query seconds — the human/judge record.
-  *   - LAST stdout line: a compact (<1 KB) JSON — short query ids
+  *   - LAST line on stdout AND stderr (stderr absolute last, after
+  *     `spark.stop()`): a compact (<1 KB) JSON — short query ids
   *     (`q01`..), per-query integer milliseconds — sized to survive
   *     the driver's truncating tail-capture window (rounds 1 and 2
-  *     both lost the 3.5 KB full line mid-number).
+  *     both lost the 3.5 KB full line mid-number; round 3's intact
+  *     stdout line still parsed null, suspect sbt's "[info] " prefix,
+  *     so round 4 duplicates it on unprefixed stderr).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,6 +64,13 @@ object Bench {
     // per-query map (it stays in BENCH.out) rather than risk a cut line
     val compact = if (line(withQ = true).length <= 900) line(withQ = true) else line(withQ = false)
     spark.stop()
+    // Emit the compact line on BOTH streams, stderr last: sbt decorates
+    // stdout with an "[info] " prefix that can defeat a strict JSON-line
+    // parse of the captured tail, while stderr passes through unprefixed.
+    // Nothing may print after this.
     println(compact)
+    System.out.flush()
+    System.err.println(compact)
+    System.err.flush()
   }
 }

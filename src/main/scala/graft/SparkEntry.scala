@@ -1040,7 +1040,11 @@ object SparkEntry {
         stage.resolve("documents.parquet"))
       val schema = ld(s, dir, "documents").schema
       val docs = s.readStream.schema(schema).parquet(stage.toString)
-      val deduped = EventStream.dedupStream(docs, "text")
+      // explicitly labeled bounded replay: a static staged directory under
+      // AvailableNow, so per-distinct-hash state is bounded by the corpus.
+      // The continuous-ingest (watermarked, bounded-state) path is q95.
+      val deduped = EventStream.dedupStream(docs, "text",
+        allowUnboundedState = true)
       val qname = "gate_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = deduped.select(col("content_hash")).writeStream
         .format("memory").queryName(qname)
@@ -1155,8 +1159,115 @@ object SparkEntry {
       val ids = ld(s, dir, "documents").select("doc_id").repartition(32)
       Multimodal.audioStats(Multimodal.synthesizeWavs(ids, "doc_id"))
         .orderBy("media_id")
+    }),
+    "q95_stream_dedup_watermarked" -> ((s, dir) => { ensure(s)
+      // §2.13 the SCALE-SAFE streaming dedup: dropDuplicatesWithinWatermark
+      // over a real event-time column — the state store evicts hashes older
+      // than the watermark, so state is bounded by one delay window, not by
+      // stream lifetime (q85's no-event-time path is bounded-replay-only).
+      // The delay (60 days) covers the whole event range here, so the kept
+      // hash SET equals the global distinct set regardless of batching.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-dedup-wm")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.read(s, stage.toString)
+      val deduped = EventStream.dedupStream(ev, "props",
+        eventTimeCol = Some("ts"), delay = "60 days")
+      val qname = "gate_dedupwm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = deduped.select(col("content_hash")).writeStream
+        .format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "watermarked dedup stream did not finish in 300s")
+      s.table(qname).orderBy("content_hash")
+    }),
+    "q96_bm25_topk" -> ((s, dir) => { ensure(s)
+      // top-k BM25 retrieval head: (score desc, id asc) is a total order
+      // (6 dp-rounded scores tie-broken by id), and orderBy.limit plans as
+      // TakeOrderedAndProject — a bounded per-partition heap, not a global
+      // sort; the gate re-orders by id so row order is id-deterministic
+      TextAnalysis.bm25TopK(ld(s, dir, "documents"), "text", "doc_id",
+          Seq("join", "spark", "dup"), k = 25)
+        .orderBy("doc_id")
+    }),
+    "q97_vector_index_append" -> ((s, dir) => { ensure(s)
+      // incremental vector-index maintenance: build the IVF layout on the
+      // first 250 vectors, APPEND the rest through insertIntoCollection
+      // (maintainVectorIndexes assigns them to EXISTING cells — FAISS
+      // add-to-index semantics, no rebuild), then prove appended vectors
+      // are searchable via SELF-retrieval (excludeSelf=false, the pgvector
+      // query-by-example convention): an appended query vector has cosine
+      // exactly 1.0 with its own indexed copy and its assigned cell is
+      // always the top probe, so it must appear in its own top-10 —
+      // deterministic, and impossible if maintenance skipped the append.
+      val db = tmpDb(s, "veca")
+      db.createCollection("vecs", Seq("vec_id" -> "int8", "emb" -> "vector"))
+      val emb = ld(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("geometry", st_point(col("vec_id").cast("double"), lit(0.0)))
+      db.insertIntoCollection("vecs", emb.filter(col("vec_id") < 250))
+      db.createVectorIndex("vecs", "emb", cells = 8)
+      db.insertIntoCollection("vecs", emb.filter(col("vec_id") >= 250))
+      val coll = db.getCollection("vecs").select(col("id"), col("vec_id"), col("emb"))
+      val q = coll.filter(col("vec_id") >= 250 && col("vec_id") < 255)
+      val approx = db.vectorSearch("vecs", "emb", q, k = 10, nprobe = 3,
+        excludeSelf = false)
+      q.select(col("id").as("query_id"), col("vec_id"))
+        .join(approx.select("query_id", "corpus_id"), Seq("query_id"), "left")
+        .groupBy("vec_id")
+        .agg((max(when(col("corpus_id") === col("query_id"), 1).otherwise(0)) === 1)
+          .as("self_found"))
+        .select(col("vec_id").as("query_id"), col("self_found"))
+        .orderBy("query_id")
+    }),
+    "q98_length_percentiles_approx" -> ((s, dir) => { ensure(s)
+      // the scale-safe twin of q90: approx_percentile holds a bounded
+      // sketch per group where the exact agg buffers per-distinct-value
+      // counts (memory grows with group cardinality). Gated by a RANK
+      // check rather than value equality — robust to the discrete-vs-
+      // interpolated definitional gap: for p in {0.5, 0.9}, the fraction
+      // of values strictly below the sketch's answer must be <= p+eps and
+      // the fraction at-or-below must be >= p-eps (eps = 0.01 >> the
+      // 1/accuracy rank error), which handles heavy ties exactly.
+      val t = ld(s, dir, "documents")
+        .select(col("source"),
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(token_count(col("text"))).cast("double").as("n"))
+      val a = TextAnalysis.lengthPercentilesApprox(
+        ld(s, dir, "documents"), "text", "source")
+      val eps = 0.01
+      t.join(broadcast(a), Seq("source"))
+        .groupBy("source")
+        .agg(
+          ((avg((col("n") < col("p50_approx")).cast("double")) <= 0.5 + eps) &&
+           (avg((col("n") <= col("p50_approx")).cast("double")) >= 0.5 - eps))
+            .as("p50_ok"),
+          ((avg((col("n") < col("p90_approx")).cast("double")) <= 0.9 + eps) &&
+           (avg((col("n") <= col("p90_approx")).cast("double")) >= 0.9 - eps))
+            .as("p90_ok"))
+        .orderBy("source")
     })
   )
+
+  /** Shared DuckDB CTE chain scoring BM25 over `documents` for the fixed
+    * term set (join, spark, dup), k1=1.2 b=0.75 — the q92/q96 oracle core
+    * (`r` exposes doc_id, dl, bm25 rounded to 6 dp). */
+  private val bm25OracleCore: String =
+    "WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents), " +
+    "d AS (SELECT doc_id, toks, len(toks) AS dl FROM t), " +
+    "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl, " +
+    "CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+    "CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+    "CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+    "f AS (SELECT doc_id, dl, " +
+    "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+    "CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1, " +
+    "CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM d), " +
+    "r AS (SELECT doc_id, dl, round(" +
+    "ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
+    "ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
+    "ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n)))" +
+    ", 6) AS bm25 FROM f, s) "
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_page" ->
@@ -1414,22 +1525,18 @@ object SparkEntry {
        "CASE WHEN n_tokens = 0 THEN false ELSE (cum_prev + n_tokens - 1) // 512 > cum_prev // 512 END AS crosses_boundary " +
        "FROM c ORDER BY doc_id"),
     "q92_bm25_retrieval" ->
-      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents), " +
-       "d AS (SELECT doc_id, toks, len(toks) AS dl FROM t), " +
-       "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl, " +
-       "CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
-       "CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
-       "CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
-       "f AS (SELECT doc_id, dl, " +
-       "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0, " +
-       "CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1, " +
-       "CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM d), " +
-       "r AS (SELECT doc_id, dl, round(" +
-       "ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
-       "ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
-       "ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n)))" +
-       ", 6) AS bm25 FROM f, s) " +
+      (bm25OracleCore +
        "SELECT doc_id, CAST(dl AS INT) AS doc_len, bm25 FROM r WHERE bm25 > 0 ORDER BY doc_id"),
+    "q96_bm25_topk" ->
+      (bm25OracleCore +
+       "SELECT doc_id, doc_len, bm25 FROM (SELECT doc_id, CAST(dl AS INT) AS doc_len, bm25 " +
+       "FROM r WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 25) ORDER BY doc_id"),
+    "q95_stream_dedup_watermarked" ->
+      "SELECT DISTINCT md5(props) AS content_hash FROM events ORDER BY content_hash",
+    "q97_vector_index_append" ->
+      "SELECT vec_id AS query_id, true AS self_found FROM embeddings WHERE vec_id >= 250 AND vec_id < 255 ORDER BY query_id",
+    "q98_length_percentiles_approx" ->
+      "SELECT DISTINCT source, true AS p50_ok, true AS p90_ok FROM documents ORDER BY source",
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

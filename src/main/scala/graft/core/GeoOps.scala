@@ -346,6 +346,11 @@ object GeoOps {
   private[graft] final case class Tm(a: Double, f: Double, lon0Deg: Double,
                               k0: Double, fe: Double, fn: Double,
                               lat0Deg: Double = 0.0) extends Proj {
+    // natural-origin arc computed once per spec, not per coordinate: the
+    // full Krüger series would otherwise run twice per point on every
+    // lat0!=0 grid (27700, 29902, 2157, Gauss-Krüger, ...). @transient so
+    // serialized expressions recompute it lazily on executors.
+    @transient lazy val m0: Double = tmM0(this)
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
       tmForward(this, lonDeg, latDeg)
     def inverse(e: Double, n: Double): (Double, Double) =
@@ -409,7 +414,7 @@ object GeoOps {
       eta += as(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
       j += 1
     }
-    (spec.fe + spec.k0 * bigA * eta, spec.fn - tmM0(spec) + spec.k0 * bigA * xi)
+    (spec.fe + spec.k0 * bigA * eta, spec.fn - spec.m0 + spec.k0 * bigA * xi)
   }
 
   /** (easting, northing) -> (lonDeg, latDeg) via the Krüger beta/delta series. */
@@ -425,7 +430,7 @@ object GeoOps {
     val d2 = 7.0 * n2 / 3.0 - 8.0 * n3 / 5.0 - 227.0 * n4 / 45.0
     val d3 = 56.0 * n3 / 15.0 - 136.0 * n4 / 35.0
     val d4 = 4279.0 * n4 / 630.0
-    val xi = (nthg - spec.fn + tmM0(spec)) / (spec.k0 * bigA)
+    val xi = (nthg - spec.fn + spec.m0) / (spec.k0 * bigA)
     val eta = (e - spec.fe) / (spec.k0 * bigA)
     var xiP = xi; var etaP = eta
     val bs = Array(b1, b2, b3, b4)

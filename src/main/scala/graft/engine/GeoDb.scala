@@ -904,6 +904,7 @@ class GeoDb(
     * cosine) where corpus_id is the collection's serial id. */
   def vectorSearch(collection: String, property: String, queries: DataFrame,
                    k: Int = 10, nprobe: Int = 4, idCol: String = "id",
+                   excludeSelf: Boolean = true,
                    database: Option[String] = None): DataFrame = {
     val d = db(database)
     requireAccess(d, collection, "SELECT")
@@ -917,10 +918,10 @@ class GeoDb(
     val qdf = queries.select(col(idCol).as("id"), col(p))
     if (vecIndexFormat(dir) == "sq8")
       graft.ext.Ivf.searchPartitionedQuantized(spark, s"$dir/data",
-        qdf, model, p, "id", k, nprobe)
+        qdf, model, p, "id", k, nprobe, excludeSelf)
     else
       graft.ext.Ivf.searchPartitioned(spark, s"$dir/data",
-        qdf, model, p, "id", k, nprobe)
+        qdf, model, p, "id", k, nprobe, excludeSelf)
   }
 
   /** Reference-named alias for dropIndex (geodb.py remove_index). */
@@ -1305,11 +1306,46 @@ class GeoDb(
     while (!acquired) {
       acquired = tryAcquire()
       if (!acquired) {
-        val age =
-          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.IOException => 0L } // vanished: retry now
+        val st =
+          try Some(fs.getFileStatus(lock))
+          catch { case _: java.io.IOException => None } // vanished: retry now
+        val age = st.map(s => System.currentTimeMillis() - s.getModificationTime)
+          .getOrElse(0L)
         if (age > staleLockMs) {
-          try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+          // Atomic stale break: RENAME the lock to a unique tombstone —
+          // only one contender's rename succeeds, so only one breaker
+          // proceeds. A plain delete here is check-then-act: two waiters
+          // can both observe age>stale; after B deletes and re-acquires,
+          // A's delete would remove B's FRESH lock and admit a second
+          // writer. The rename also lets us verify identity after the
+          // fact (mtime travels with the file): if the renamed file turns
+          // out NOT to be the stale lock we judged (a fresh lock landed
+          // in the stat->rename window), restore it.
+          val tomb = new HPath(s"${catalog.collectionDir(d, c)}" +
+            s"/.commit.lock.stale-${UUID.randomUUID.toString.take(8)}")
+          val won =
+            try fs.rename(lock, tomb)
+            catch { case _: java.io.IOException => false }
+          if (won) {
+            val sameLock =
+              try fs.getFileStatus(tomb).getModificationTime ==
+                st.map(_.getModificationTime).getOrElse(Long.MinValue)
+              catch { case _: java.io.IOException => false }
+            if (sameLock) {
+              try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+            } else {
+              // we grabbed a fresh lock by mistake — put it back; if the
+              // slot was re-taken meanwhile, surface loudly rather than
+              // silently running two writers
+              val restored =
+                try fs.rename(tomb, lock)
+                catch { case _: java.io.IOException => false }
+              require(restored,
+                s"commit-lock stale-break race on $d/$c: could not restore " +
+                  "a fresh lock taken for stale; manual cleanup of " +
+                  s"$tomb required")
+            }
+          }
         } else {
           require(System.nanoTime() < deadline,
             s"timed out waiting for the commit lock on $d/$c")

@@ -29,21 +29,43 @@ object Dedup {
   // here are persisted; Spark's CacheManager dedupes identical logical
   // plans, so every same-corpus/same-params call in a session hits ONE
   // materialized entry — the in-session version of the checkpointed
-  // signature-table pattern (SCALE.md). Callers owning the session
-  // lifecycle release with `releaseCaches()` (documented contract; at
-  // warehouse scale the frame is a written table instead).
-  private val sharedCaches =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  // signature-table pattern (SCALE.md). The registry is a BOUNDED LRU
+  // keyed on the canonicalized plan: re-registering an equivalent frame
+  // reuses (and refreshes) the existing entry instead of stacking a
+  // duplicate ref, and once `maxSharedCaches` distinct corpora/params are
+  // live the least-recently-used frame is unpersisted — a long session
+  // touching many corpora no longer accumulates block-store entries
+  // forever. `releaseCaches()` still drops everything eagerly (documented
+  // contract; at warehouse scale the frame is a written table instead).
+  private val maxSharedCaches = 8
+  private val sharedCaches = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      16, 0.75f, /*accessOrder=*/ true)
 
-  private def persistShared(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sharedCaches.add(p)
-    p
+  private def persistShared(df: DataFrame): DataFrame = sharedCaches.synchronized {
+    val key = df.queryExecution.analyzed.canonicalized
+    val existing = sharedCaches.get(key) // refreshes LRU order on hit
+    if (existing != null) existing
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sharedCaches.put(key, p)
+      if (sharedCaches.size() > maxSharedCaches) {
+        val it = sharedCaches.entrySet().iterator()
+        val eldest = it.next()
+        eldest.getValue.unpersist(false)
+        it.remove()
+      }
+      p
+    }
   }
 
+  /** Number of live shared caches (test hook for the LRU bound). */
+  private[graft] def sharedCacheCount: Int =
+    sharedCaches.synchronized { sharedCaches.size() }
+
   /** Unpersist every shared signature cache registered this session. */
-  def releaseCaches(): Unit = {
-    sharedCaches.forEach(df => { df.unpersist(false); () })
+  def releaseCaches(): Unit = sharedCaches.synchronized {
+    sharedCaches.values().forEach(df => { df.unpersist(false); () })
     sharedCaches.clear()
   }
 

@@ -183,14 +183,15 @@ object Ivf {
   def searchPartitionedQuantized(spark: org.apache.spark.sql.SparkSession,
                                  path: String, queries: DataFrame, model: Model,
                                  vecCol: String, idCol: String, k: Int = 10,
-                                 nprobe: Int = 4): DataFrame = {
+                                 nprobe: Int = 4,
+                                 excludeSelf: Boolean = true): DataFrame = {
     val fname = cellsFn(queries, model, nprobe)
     val probed = queries
       .select(explode(call_function(fname, col(vecCol))).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val corpus = dequantized(
       spark.read.parquet(path).filter(col("ivf_cell").isin(probed: _*)), vecCol)
-    search(corpus, queries, model, vecCol, idCol, k, nprobe)
+    search(corpus, queries, model, vecCol, idCol, k, nprobe, excludeSelf)
   }
 
   /** Search over a [[writePartitioned]] layout. The probed-cell set is
@@ -200,20 +201,25 @@ object Ivf {
   def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, model: Model,
                         vecCol: String, idCol: String, k: Int = 10,
-                        nprobe: Int = 4): DataFrame = {
+                        nprobe: Int = 4,
+                        excludeSelf: Boolean = true): DataFrame = {
     val fname = cellsFn(queries, model, nprobe)
     val probed = queries
       .select(explode(call_function(fname, col(vecCol))).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probed: _*))
-    search(corpus, queries, model, vecCol, idCol, k, nprobe)
+    search(corpus, queries, model, vecCol, idCol, k, nprobe, excludeSelf)
   }
 
-  /** Search: probe `nprobe` cells per query, rank with the bounded heap. */
+  /** Search: probe `nprobe` cells per query, rank with the bounded heap.
+    * `excludeSelf=true` (the near-dup/kNN-graph convention) drops the
+    * id-identical row; `false` is the pgvector query-by-example
+    * convention, where a vector already in the index retrieves itself at
+    * cosine 1.0. */
   def search(assignedCorpus: DataFrame, queries: DataFrame, model: Model,
              vecCol: String, idCol: String, k: Int = 10,
-             nprobe: Int = 4): DataFrame = {
+             nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val spark = assignedCorpus.sparkSession
     TextFunctions.registerAll(spark)
     val fname = cellsFn(queries, model, nprobe)
@@ -221,8 +227,9 @@ object Ivf {
         explode(call_function(fname, col(vecCol))).as("ivf_cell"))
     val c = assignedCorpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("cv"), col("ivf_cell"))
-    val scored = c.join(broadcast(q), Seq("ivf_cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
+    val joined = c.join(broadcast(q), Seq("ivf_cell"))
+    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("corpus_id"))
+                  else joined)
       .select(col("query_id"), col("corpus_id"),
         TextFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))
       .distinct()

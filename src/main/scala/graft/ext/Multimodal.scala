@@ -303,6 +303,10 @@ object Multimodal {
           buf.position(buf.position() + len)
         case _ => buf.position(buf.position() + len)
       }
+      // RIFF chunks are word-aligned: an odd-length chunk (LIST/INFO,
+      // fact, ...) is followed by a pad byte that is NOT counted in len
+      if ((len & 1) == 1 && buf.remaining() > 0)
+        buf.position(buf.position() + 1)
     }
     if (fmtOk && samples != null) Some((rate, channels, samples)) else None
   }

@@ -367,6 +367,26 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol)).limit(k)
   }
 
+  /**
+   * Sketch-based twin of the exact percentile corpus profile (the q90
+   * cut): `approx_percentile` keeps a bounded quantile summary per group
+   * (O(accuracy) memory, rank error <= 1/accuracy), where Spark's exact
+   * `percentile` aggregate buffers per-distinct-value counts and grows
+   * with group cardinality — harmless for small-int token lengths,
+   * a real executor-memory hazard for high-cardinality metrics at
+   * 100 TB. Prefer this variant for corpus profiling at scale.
+   */
+  def lengthPercentilesApprox(df: DataFrame, textCol: String,
+                              groupCol: String,
+                              accuracy: Int = 10000): DataFrame =
+    df.select(col(groupCol),
+        when(length(trim(col(textCol))) === 0, 0)
+          .otherwise(tokenCount(col(textCol))).cast("double").as("_n"))
+      .groupBy(col(groupCol))
+      .agg(
+        percentile_approx(col("_n"), lit(0.5), lit(accuracy)).as("p50_approx"),
+        percentile_approx(col("_n"), lit(0.9), lit(accuracy)).as("p90_approx"))
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

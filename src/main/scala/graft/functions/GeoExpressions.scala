@@ -198,10 +198,14 @@ case class HilbertExpr(minX: Double, minY: Double, maxX: Double, maxY: Double,
 /** ST_Transform over the GeoOps CRS registry (builtin EPSG families +
   * GeoOps.registerCrs customs). The custom-CRS snapshot is captured on the
   * driver at plan time and serialized with the expression, so registrations
-  * reach real-cluster executors (a driver-only static would be empty there). */
-case class StTransform(first: Expression, second: Expression, third: Expression)
+  * reach real-cluster executors (a driver-only static would be empty there).
+  * The snapshot is a CONSTRUCTOR field, not a private val: two StTransform
+  * nodes built under different registry states must compare unequal, or
+  * canonicalization / subexpression elimination / plan caching could
+  * substitute one for the other and evaluate with a stale snapshot. */
+case class StTransform(first: Expression, second: Expression, third: Expression,
+                       crsSnap: Map[Int, GeoOps.Crs] = GeoOps.customCrsSnapshot)
     extends TernaryExpression with ImplicitCastInputTypes {
-  private val crsSnap: Map[Int, GeoOps.Crs] = GeoOps.customCrsSnapshot
   override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true

@@ -212,8 +212,21 @@ object Shapefile {
    * is enforced per ring on write.
    */
   def writeShapefile(df: DataFrame, stem: String,
-                     geometryCol: String = "geometry"): Unit = {
+                     geometryCol: String = "geometry",
+                     maxRows: Int = 1000000): Unit = {
     val attrs = df.schema.fields.filterNot(_.name == geometryCol)
+    // Bounded pre-count BEFORE the collect: limit(maxRows+1).count() is a
+    // cheap early-terminating scan, so a user pointing this at a 100 TB
+    // collection gets a clear error instead of a driver OOM. The .shp
+    // format itself caps at 2 GB (32-bit word offsets, ESRI whitepaper),
+    // so an unbounded export could never succeed anyway.
+    val bounded = df.limit(maxRows + 1).count()
+    require(bounded <= maxRows,
+      s"writeShapefile is a driver-side bounded-export tool and the input " +
+        s"exceeds maxRows=$maxRows (the .shp format caps at 2 GB). Export " +
+        "large collections with the distributed GeoJSON-lines or parquet " +
+        "path (GeoSources.writeGeoJsonLines) instead, or raise maxRows " +
+        "only for inputs known to fit the format.")
     val rows = df.collect()
     require(rows.nonEmpty, "refusing to write an empty shapefile")
     val geoms = rows.map(r => GeoOps.read(r.getAs[Array[Byte]](geometryCol)))

@@ -118,21 +118,39 @@ object EventStream {
    * arrival), so a training-data ingest pipeline writes a dedup'd corpus
    * without ever re-scanning it.
    *
-   * State is one row per DISTINCT hash. For bounded state on unbounded
-   * streams, pass an event-time column + delay: the op switches to
-   * `dropDuplicatesWithinWatermark`, which evicts hashes older than the
-   * watermark (duplicates separated by more than `delay` can then
-   * reappear — the standard trade; run a periodic batch `Dedup.exact`
-   * compaction for global guarantees).
+   * The DEFAULT (and only scale-safe) streaming path is the watermarked
+   * one: pass an event-time column + delay and the op uses
+   * `dropDuplicatesWithinWatermark`, whose state store evicts hashes
+   * older than the watermark — state is bounded by the distinct-hash
+   * count within one `delay` window, not by stream lifetime. Duplicates
+   * separated by more than `delay` can reappear (the standard trade);
+   * run a periodic batch `Dedup.exact` compaction for global guarantees.
+   *
+   * The no-event-time variant keeps one state row per distinct hash
+   * FOREVER — on a continuous ingest stream that is unbounded state and
+   * a scale-killer. It is therefore restricted to batch backfill /
+   * bounded replay (e.g. `Trigger.AvailableNow` over a static
+   * directory): on a streaming frame it THROWS unless the caller
+   * explicitly passes `allowUnboundedState = true` to label the run as
+   * bounded. Batch (non-streaming) frames are always allowed — there
+   * `dropDuplicates` is a plain hash-aggregate with no state store.
    */
   def dedupStream(docs: DataFrame, textCol: String,
                   eventTimeCol: Option[String] = None,
-                  delay: String = "1 hour"): DataFrame = {
+                  delay: String = "1 hour",
+                  allowUnboundedState: Boolean = false): DataFrame = {
     val hashed = docs.withColumn("content_hash", md5(col(textCol)))
     eventTimeCol match {
       case Some(ts) => hashed.withWatermark(ts, delay)
         .dropDuplicatesWithinWatermark("content_hash")
-      case None => hashed.dropDuplicates("content_hash")
+      case None =>
+        require(!docs.isStreaming || allowUnboundedState,
+          "dedupStream without an event-time column keeps state per distinct " +
+            "hash forever (unbounded on a continuous stream). Pass " +
+            "eventTimeCol + delay for the bounded dropDuplicatesWithinWatermark " +
+            "path, or allowUnboundedState = true only for bounded replays " +
+            "(AvailableNow over a static directory) / batch backfill.")
+        hashed.dropDuplicates("content_hash")
     }
   }
 

@@ -565,4 +565,32 @@ class ExtSpec extends SparkSpec {
     assert(again.getAs[scala.collection.Seq[Float]]("features") ==
       f.getAs[scala.collection.Seq[Float]]("features"))
   }
+
+  test("shared dedup caches: plan-keyed dedup, LRU bound, full release") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    Dedup.releaseCaches()
+    // same corpus/params twice: the plan-keyed registry must NOT stack a
+    // duplicate entry for an equivalent frame
+    val sh5 = Dedup.charShingleSets(docs, "text", "doc_id", 5)
+    Dedup.exactPairsViaMinhash(sh5, numHashes = 16, bands = 8).count()
+    val afterFirst = Dedup.sharedCacheCount
+    Dedup.exactPairsViaMinhash(
+      Dedup.charShingleSets(docs, "text", "doc_id", 5),
+      numHashes = 16, bands = 8).count()
+    assert(Dedup.sharedCacheCount == afterFirst,
+      "re-registering an equivalent plan stacked a duplicate cache entry")
+    // distinct corpora/params keep registering, but the registry stays
+    // bounded: a long session over many corpora can't grow forever
+    (2 to 8).foreach { s =>
+      Dedup.exactPairsViaMinhash(
+        Dedup.charShingleSets(docs, "text", "doc_id", s),
+        numHashes = 16, bands = 8).count()
+    }
+    assert(Dedup.sharedCacheCount > 0 && Dedup.sharedCacheCount <= 8,
+      s"LRU bound violated: ${Dedup.sharedCacheCount}")
+    // eager release drops every registered cache
+    Dedup.releaseCaches()
+    assert(Dedup.sharedCacheCount == 0)
+  }
 }

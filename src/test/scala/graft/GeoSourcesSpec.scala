@@ -109,6 +109,14 @@ class GeoSourcesSpec extends SparkSpec {
       .withColumn("geometry", st_geomfromtext($"wkt")).drop("wkt")
     intercept[IllegalArgumentException](
       Shapefile.writeShapefile(mixed, s"${tmpDir("shp-mixed")}/layer"))
+    // export guard: refuses over-maxRows inputs BEFORE collecting, and the
+    // error routes the user at the distributed export path
+    val big = Seq((1L, "POINT(0 0)"), (2L, "POINT(1 1)"), (3L, "POINT(2 2)"))
+      .toDF("id", "wkt")
+      .withColumn("geometry", st_geomfromtext($"wkt")).drop("wkt")
+    val guard = intercept[IllegalArgumentException](
+      Shapefile.writeShapefile(big, s"${tmpDir("shp-guard")}/layer", maxRows = 2))
+    assert(guard.getMessage.contains("GeoJSON"))
   }
 
   test("shapefile: polygon with hole and polyline records parse") {

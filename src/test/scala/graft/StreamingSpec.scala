@@ -59,7 +59,7 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(stageDir, "documents.parquet"))
     val docs = spark.readStream.schema(batchDocs.schema).parquet(stageDir)
     val qname = s"dedup_${System.nanoTime}"
-    val q = EventStream.dedupStream(docs, "text")
+    val q = EventStream.dedupStream(docs, "text", allowUnboundedState = true)
       .select(col("content_hash"))
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -82,6 +82,72 @@ class StreamingSpec extends SparkSpec {
     // per-batch dedup guarantee: far fewer rows than events
     val n = spark.table(q2name).count()
     assert(n > 0 && n < spark.read.parquet(evDir).count())
+  }
+
+  test("dedupStream: unbounded-state path refuses streaming frames unless labeled") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val schema = spark.read.parquet(src).schema
+    val stageDir = tmpDir("dedup-guard")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(stageDir, "documents.parquet"))
+    val docs = spark.readStream.schema(schema).parquet(stageDir)
+    val e = intercept[IllegalArgumentException](
+      EventStream.dedupStream(docs, "text"))
+    assert(e.getMessage.contains("unbounded"))
+    // batch frames are always allowed (plain hash-aggregate, no state)
+    val batch = EventStream.dedupStream(spark.read.parquet(src), "text")
+    assert(batch.select(col("content_hash")).distinct().count() > 0)
+  }
+
+  test("watermarked dedupStream keeps bounded state (old hashes evicted)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // three single-file micro-batches 10 days apart with a 1-hour delay:
+    // by the time batch 3 runs, the watermark (batch-2 max ts - 1h) is far
+    // past batch-1's events, so their state rows MUST be gone — the bound
+    // that makes this the continuous-ingest path.
+    val watched = tmpDir("dedup-evict")
+    def stage(rows: Seq[(String, String)], name: String, mtime: Long): Unit = {
+      val t = tmpDir("dedup-evict-stg")
+      rows.toDF("tss", "txt")
+        .select(to_timestamp($"tss").as("ts"), $"txt")
+        .coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = java.nio.file.Paths.get(watched, name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    stage(Seq(("2024-01-01 00:00:00", "a"), ("2024-01-01 00:10:00", "b"),
+      ("2024-01-01 00:20:00", "a")), "1.parquet", 1000000L)
+    stage(Seq(("2024-01-11 00:00:00", "c"), ("2024-01-11 00:05:00", "c")),
+      "2.parquet", 2000000L)
+    stage(Seq(("2024-01-21 00:00:00", "d")), "3.parquet", 3000000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("txt",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+    val qname = s"dedupev_${System.nanoTime}"
+    val q = EventStream.dedupStream(src, "txt", Some("ts"), "1 hour")
+      .select($"content_hash")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "eviction stream timed out")
+    // every distinct hash emitted exactly once (no cross-batch duplicate
+    // within the delay, no re-emission)
+    val kept = spark.table(qname).collect().map(_.getString(0))
+    assert(kept.length == 4 && kept.toSet.size == 4)
+    // the state store is BOUNDED: 4 distinct hashes entered, but batch-1's
+    // (and by the final watermark batch-2's) rows were evicted
+    val lastState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head
+    assert(lastState.numRowsTotal < 4,
+      s"state not evicted: ${lastState.numRowsTotal} rows")
   }
 
   test("flatMapGroupsWithState running counters == batch groupBy") {
