@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked `run` JVM inherits sbt's RAW stdout/stderr instead of the
+// default logger piping: sbt's logger re-emits the app's stdout as
+// "[info] ..." and its stderr as "[error] ...", which breaks any
+// consumer that json-parses the captured tail (Bench's final compact
+// line). With StdoutOutput both streams pass through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -384,12 +384,10 @@ object SparkEntry {
         .orderBy("query_id")
     }),
     "q33_embed_pairs" -> ((s, dir) => { ensure(s)
-      // exact all-pairs cosine >= 0.5 (brute force; LSH variant is q32)
-      val e = ld(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("v"))
-      val r = e.select(col("id").as("id2"), col("v").as("v2"))
-      e.crossJoin(r).filter(col("id") < col("id2"))
-        .filter(cosine_sim(col("v"), col("v2")) >= 0.5)
-        .select("id", "id2")
+      // exact all-pairs cosine >= 0.5 — the GUARDED O(n²) oracle anchor
+      // (refuses unbounded corpora; LSH twin is q32, IVF twin is q40)
+      Similarity.exactCosinePairs(ld(s, dir, "embeddings"),
+          "embedding", "vec_id", 0.5)
         .orderBy("id", "id2")
     }),
     // =====================================================================

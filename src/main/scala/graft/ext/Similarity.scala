@@ -39,6 +39,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * EXACT all-pairs cosine pairs above a threshold — the O(n²) oracle
+   * anchor the probabilistic twins (hyperplane-LSH, IVF) gate their
+   * recall against. GUARDED: an all-pairs crossJoin is a diagnostic for
+   * bounded corpora, never a production path — at scale the answer is
+   * [[Dedup.embeddingPairs]]/[[similarPairs]]/[[lshTopK]]. The early-terminating
+   * pre-count refuses anything above `maxRows` with a clear error;
+   * raising the cap is a deliberate caller decision.
+   */
+  def exactCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val bounded = df.limit((maxRows + 1).toInt).count()
+    require(bounded <= maxRows,
+      s"exactCosinePairs is an O(n²) exact diagnostic and the input exceeds " +
+        s"maxRows=$maxRows. Use the LSH/IVF approximate paths at scale, or " +
+        "raise maxRows deliberately for a bounded oracle run.")
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val r = e.select(col("id").as("id2"), col("v").as("v2"))
+    e.crossJoin(r).filter(col("id") < col("id2"))
+      .filter(cosine_sim(col("v"), col("v2")) >= threshold)
+      .select("id", "id2")
+  }
+
   /** groupBy + bounded-heap aggregate -> (query_id, corpus_id, cosine, rank). */
   private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

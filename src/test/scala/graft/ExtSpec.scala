@@ -566,6 +566,50 @@ class ExtSpec extends SparkSpec {
       f.getAs[scala.collection.Seq[Float]]("features"))
   }
 
+  test("exactCosinePairs: guarded O(n^2) diagnostic refuses oversized input") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      Similarity.exactCosinePairs(emb, "embedding", "vec_id", 0.5, maxRows = 10)
+        .count())
+    assert(e.getMessage.contains("maxRows"))
+    // within the cap it matches the inline brute-force construction
+    val small = emb.filter(col("vec_id") < 40)
+    val got = Similarity.exactCosinePairs(small, "embedding", "vec_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e1 = small.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val e2 = e1.select(col("id").as("id2"), col("v").as("v2"))
+    val want = e1.crossJoin(e2).filter(col("id") < col("id2"))
+      .filter(cosine_sim(col("v"), col("v2")) >= 0.5)
+      .select("id", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("WAV chunk walk skips the RIFF pad byte after odd-length chunks") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // real-world WAVs carry odd-length LIST/INFO/fact chunks before
+    // 'data'; RIFF word-aligns them with a pad byte NOT counted in the
+    // chunk length — a walk that ignores it misreads everything after
+    val samples = Array[Short](100, -200, 300)
+    val dataLen = samples.length * 2
+    val factLen = 3 // odd on purpose
+    val total = 4 + (8 + 16) + (8 + factLen + 1) + (8 + dataLen)
+    val buf = ByteBuffer.allocate(8 + total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(total)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(8000)
+    buf.putInt(16000); buf.putShort(2); buf.putShort(16)
+    buf.put("fact".getBytes("US-ASCII")); buf.putInt(factLen)
+    buf.put(Array[Byte](1, 2, 3)); buf.put(0.toByte) // pad byte
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    val media = Seq((1L, buf.array())).toDF("media_id", "content")
+    val st = Multimodal.audioStats(media).first()
+    assert(st.getInt(1) == 3 && st.getInt(2) == 8000)
+    assert(st.getLong(3) == 200L && st.getInt(4) == 300)
+  }
+
   test("shared dedup caches: plan-keyed dedup, LRU bound, full release") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(60)
