@@ -611,4 +611,29 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(bytes > 0)
     assert(db.getMyUsage(pretty = true).asInstanceOf[String].nonEmpty)
   }
+
+  test("commit lock: a crashed writer's stale lock is broken atomically") {
+    val wh = tmpDir("stale-wh")
+    val db = new GeoDb(spark, wh, "geodb_user")
+    db.eventLogging = false
+    db.createCollection("c", Seq("v" -> "integer"))
+    // plant a stale lock (mtime 1 h in the past — well past the 10-min
+    // stale threshold), as a crashed writer would leave behind
+    val lock = java.nio.file.Paths.get(wh, "data", "geodb_user", "c", ".commit.lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    // the next commit must break the stale lock (rename-to-tombstone) and
+    // proceed instead of waiting out the 120 s acquire deadline
+    val t0 = System.nanoTime()
+    db.insertIntoCollection("c", Seq(1).toDF("v")
+      .withColumn("geometry", lit("POINT(0 0)")))
+    assert((System.nanoTime() - t0) / 1e9 < 100.0, "stale lock not broken")
+    assert(db.countCollection("c") == 1L)
+    // no lock or tombstone debris survives the commit
+    val debris = new java.io.File(s"$wh/data/geodb_user/c").listFiles
+      .map(_.getName).filter(_.startsWith(".commit.lock"))
+    assert(debris.isEmpty, s"lock debris left: ${debris.mkString(", ")}")
+  }
 }
