@@ -1218,6 +1218,24 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("self_found"))
         .orderBy("query_id")
     }),
+    "q99_image_pixel_dedup" -> ((s, dir) => { ensure(s)
+      // container-independent EXACT image dedup over REAL decoded pixels:
+      // the gate builds 50 distinct synthetic PNGs and fans each out to
+      // its doc_id%50 group, so the (width, height, pix_crc) pair set
+      // must equal the arithmetic group construction the oracle computes
+      // without ever seeing an image — matching requires actual pixel
+      // decode + an injective-per-group content signature.
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val groupMedia = Multimodal.synthesizeImages(
+          docs.select(pmod(col("doc_id"), lit(50)).as("gid")).distinct(), "gid")
+        .withColumnRenamed("media_id", "gid")
+      val media = docs
+        .join(broadcast(groupMedia), pmod(col("doc_id"), lit(50)) === col("gid"))
+        .select(col("doc_id").as("media_id"), col("modality"),
+          col("content"), col("meta"))
+        .repartition(32)
+      Multimodal.imageExactDupPairs(media).orderBy("id", "id2")
+    }),
     "q98_length_percentiles_approx" -> ((s, dir) => { ensure(s)
       // the scale-safe twin of q90: approx_percentile holds a bounded
       // sketch per group where the exact agg buffers per-distinct-value
@@ -1535,6 +1553,9 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS self_found FROM embeddings WHERE vec_id >= 250 AND vec_id < 255 ORDER BY query_id",
     "q98_length_percentiles_approx" ->
       "SELECT DISTINCT source, true AS p50_ok, true AS p90_ok FROM documents ORDER BY source",
+    "q99_image_pixel_dedup" ->
+      ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
+       "ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id ORDER BY id, id2"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

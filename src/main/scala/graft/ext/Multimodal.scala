@@ -238,6 +238,132 @@ object Multimodal {
   }
 
   /**
+   * Per-image content signatures from one REAL decode pass — the image
+   * twin of the text family's (content_hash, minhash) pair:
+   *   - `pix_crc`: FNV-1a 64 over the full RGB scan — exact-pixel
+   *     identity, independent of the container encoding (a PNG and a BMP
+   *     of the same pixels collide on purpose).
+   *   - `dhash`: 64-bit perceptual difference hash (public dHash recipe:
+   *     9x8 nearest-neighbor BT.601 luma grid, one bit per horizontal
+   *     neighbor pair) — stable under re-encode and small global
+   *     brightness shifts, close in Hamming distance for visually-near
+   *     images.
+   * Null signatures for undecodable payloads. mapPartitions over opaque
+   * binary (decode is imperative), one pass, no shuffle.
+   */
+  def imageSignatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType),
+      StructField("pix_crc", LongType)))
+    val schema = media.schema
+    val idI = schema.fieldIndex("media_id")
+    val coI = schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        decodeImage(r.getAs[Array[Byte]](coI)) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            var crc = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                var c = crc
+                c = (c ^ ((rgb >> 16) & 0xffL)) * 0x100000001b3L
+                c = (c ^ ((rgb >> 8) & 0xffL)) * 0x100000001b3L
+                c = (c ^ (rgb & 0xffL)) * 0x100000001b3L
+                crc = c
+                x += 1
+              }
+              y += 1
+            }
+            // 9x8 grid -> 64 bits, row-major, bit = lum(x) > lum(x+1)
+            val gw = 9; val gh = 8
+            val lum = new Array[Int](gw * gh)
+            var gy = 0
+            while (gy < gh) {
+              var gx = 0
+              while (gx < gw) {
+                val rgb = img.getRGB(gx * w / gw, gy * h / gh)
+                lum(gy * gw + gx) = (77 * ((rgb >> 16) & 0xff) +
+                  150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+                gx += 1
+              }
+              gy += 1
+            }
+            var bits = 0L
+            gy = 0
+            while (gy < gh) {
+              var gx = 0
+              while (gx < gw - 1) {
+                bits = (bits << 1) |
+                  (if (lum(gy * gw + gx) > lum(gy * gw + gx + 1)) 1L else 0L)
+                gx += 1
+              }
+              gy += 1
+            }
+            Row(id, w, h, bits, crc)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /**
+   * Container-independent EXACT image dedup: pairs whose decoded pixels
+   * are identical, via a single hash-join on (width, height, pix_crc) —
+   * an 20-byte shuffle key per image regardless of image size, the same
+   * slim-key discipline as the text exact dedup.
+   */
+  def imageExactDupPairs(media: DataFrame): DataFrame = {
+    val sig = imageSignatures(media).filter(col("pix_crc").isNotNull)
+      .select(col("media_id").as("id"), col("width"), col("height"),
+        col("pix_crc"))
+    val sig2 = sig.select(col("id").as("id2"), col("width"), col("height"),
+      col("pix_crc"))
+    sig.join(sig2, Seq("width", "height", "pix_crc"))
+      .filter(col("id") < col("id2"))
+      .select("id", "id2")
+  }
+
+  /**
+   * Perceptual NEAR-dup image pairs: Hamming(dhash) <= maxHamming via the
+   * simhashPairs pigeonhole — 4x16-bit chunks of the dHash band the
+   * candidate join (maxHamming <= 3 guarantees a shared exact chunk), a
+   * broadcast anti-join caps pathological buckets, and `bit_count`
+   * verifies the full 64-bit distance on candidates only.
+   */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole over 4 chunks covers maxHamming <= 3")
+    val sig = imageSignatures(media).filter(col("dhash").isNotNull)
+      .select(col("media_id").as("id"), col("dhash"))
+    val chunked = sig.select(col("id"), col("dhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("dhash"), i * 16)
+            .bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+    val oversized = chunked.groupBy("chunk", "cval")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select("chunk", "cval")
+    val capped = chunked.join(broadcast(oversized),
+      Seq("chunk", "cval"), "left_anti")
+    capped
+      .join(capped.select(col("chunk"), col("cval"), col("id").as("id2"),
+        col("dhash").as("dhash2")), Seq("chunk", "cval"))
+      .filter(col("id") < col("id2"))
+      .select("id", "id2", "dhash", "dhash2").distinct()
+      .filter(expr(s"bit_count(dhash ^ dhash2) <= $maxHamming"))
+      .select("id", "id2")
+  }
+
+  /**
    * Deterministic REAL WAVs (RIFF PCM16 mono): n = id%400+100 samples at
    * 8 kHz, sample i = ((id*31 + i*7) % 2003) - 1001 — closed-form, so a
    * SQL oracle can verify true decoded sample statistics. WAV needs no

@@ -566,6 +566,54 @@ class ExtSpec extends SparkSpec {
       f.getAs[scala.collection.Seq[Float]]("features"))
   }
 
+  test("image signatures: exact dup across containers, near-dup by dHash") {
+    import java.awt.image.BufferedImage
+    import org.apache.spark.sql.Row
+    // A: wrapping diagonal pattern (values < 200, so a +1 shift never
+    // clamps and strictly preserves neighbor ORDER); B: A with +1 global
+    // brightness (identical dHash, different pixels); C: a different
+    // wrapping pattern (far in Hamming); D: A's exact pixels re-encoded
+    // as BMP (different bytes, same pixels). Smooth monotone gradients
+    // are deliberately avoided: dHash collapses them to the all-zero
+    // hash (a documented weakness of the public recipe, not a bug).
+    def grad(a: Int, b: Int, shift: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * a + y * b) % 200 + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "image", enc(grad(7, 3, 0), "png"), Row(32, 32, 3, null, "png")),
+      Row(2L, "image", enc(grad(7, 3, 1), "png"), Row(32, 32, 3, null, "png")),
+      Row(3L, "image", enc(grad(11, 5, 0), "png"), Row(32, 32, 3, null, "png")),
+      Row(4L, "image", enc(grad(7, 3, 0), "bmp"), Row(32, 32, 3, null, "bmp")))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val exact = Multimodal.imageExactDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 4L)), s"exact pairs: $exact") // pixels, not bytes
+    val near = Multimodal.imageNearDupPairs(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)), "brightness-shifted twin not found")
+    assert(near.contains((1L, 4L)), "re-encoded twin not found")
+    assert(!near.exists(p => p._1 == 3L || p._2 == 3L),
+      "orthogonal gradient wrongly matched")
+    // signature invariants: dhash survives re-encode + brightness shift,
+    // pix_crc survives re-encode only
+    val sig = Multimodal.imageSignatures(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(sig(1L)._1 == sig(2L)._1 && sig(1L)._1 == sig(4L)._1)
+    assert(sig(1L)._2 == sig(4L)._2 && sig(1L)._2 != sig(2L)._2)
+    assert(sig(1L)._1 != sig(3L)._1)
+  }
+
   test("exactCosinePairs: guarded O(n^2) diagnostic refuses oversized input") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = intercept[IllegalArgumentException](
