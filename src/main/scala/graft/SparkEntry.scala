@@ -1218,6 +1218,20 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("self_found"))
         .orderBy("query_id")
     }),
+    "q100_boilerplate_lines" -> ((s, dir) => { ensure(s)
+      // CCNet-style line-level boilerplate removal: both engines build the
+      // same 4-line docs — a header shared by ~1/3 of docs (removed), a
+      // group line shared by exactly 4 at the gate SF (kept at
+      // maxDocFreq=10), the unique original text (kept), and a footer
+      // shared by ALL docs (removed) — so the cleaned output must reduce
+      // to GROUP line + original text with order preserved.
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HEADER-"), (col("doc_id") % 3).cast("string"), lit("\n"),
+          lit("GROUP-"), (col("doc_id") % 125).cast("string"), lit("\n"),
+          col("text"), lit("\nFOOTER-COMMON")).as("text"))
+      TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", maxDocFreq = 10)
+        .orderBy("doc_id")
+    }),
     "q99_image_pixel_dedup" -> ((s, dir) => { ensure(s)
       // container-independent EXACT image dedup over REAL decoded pixels:
       // the gate builds 50 distinct synthetic PNGs and fans each out to
@@ -1556,6 +1570,9 @@ object SparkEntry {
     "q99_image_pixel_dedup" ->
       ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
        "ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id ORDER BY id, id2"),
+    "q100_boilerplate_lines" ->
+      ("SELECT doc_id, 'GROUP-' || CAST(doc_id % 125 AS VARCHAR) || chr(10) || text AS text " +
+       "FROM documents ORDER BY doc_id"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

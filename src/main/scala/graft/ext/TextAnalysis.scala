@@ -368,6 +368,38 @@ object TextAnalysis {
   }
 
   /**
+   * Line-level boilerplate removal (the CCNet/RefinedWeb recipe): a line
+   * whose document frequency exceeds `maxDocFreq` is boilerplate
+   * (headers, nav, cookie banners, license blurbs) and is dropped from
+   * EVERY document; surviving lines keep their original order, and
+   * documents whose every line is boilerplate survive as empty text
+   * (row count is preserved). Shuffle discipline for 100 TB: the
+   * doc-frequency aggregation and the anti-join travel on an 8-byte
+   * `xxhash64(line)` key, never the line text (a 2^-64 collision would
+   * drop a good line — the standard CCNet trade); reassembly is one
+   * groupBy(id) over (pos, line) structs with an in-memory array_sort,
+   * bounded by document size.
+   */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hashed = lines.withColumn("_lh", xxhash64(col("line")))
+    val boiler = hashed.select(col(idCol), col("_lh")).distinct()
+      .groupBy("_lh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("_lh")
+    val kept = hashed.join(boiler, Seq("_lh"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
+  /**
    * Sketch-based twin of the exact percentile corpus profile (the q90
    * cut): `approx_percentile` keeps a bounded quantile summary per group
    * (O(accuracy) memory, rank error <= 1/accuracy), where Spark's exact

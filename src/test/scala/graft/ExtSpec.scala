@@ -566,6 +566,25 @@ class ExtSpec extends SparkSpec {
       f.getAs[scala.collection.Seq[Float]]("features"))
   }
 
+  test("removeBoilerplateLines: df-thresholded drop, order kept, empty docs survive") {
+    val corpus = Seq(
+      (1L, "BANNER\nalpha\nbeta"),
+      (2L, "BANNER\ngamma"),
+      (3L, "BANNER\ndelta\nBANNER"),
+      (4L, "BANNER"), // every line boilerplate -> must survive as ""
+      (5L, "epsilon\nzeta")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(corpus, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // BANNER df=4 (> 3, counted once per doc despite doc 3's repeat) ->
+    // dropped everywhere; everything else unique -> kept, order preserved
+    assert(out == Map(1L -> "alpha\nbeta", 2L -> "gamma", 3L -> "delta",
+      4L -> "", 5L -> "epsilon\nzeta"))
+    // raising the threshold keeps everything bit-identical
+    val noop = TextAnalysis.removeBoilerplateLines(corpus, "text", "doc_id", 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noop == corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
   test("image signatures: exact dup across containers, near-dup by dHash") {
     import java.awt.image.BufferedImage
     import org.apache.spark.sql.Row
