@@ -1218,6 +1218,21 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("self_found"))
         .orderBy("query_id")
     }),
+    "q101_audio_pcm_dedup" -> ((s, dir) => { ensure(s)
+      // container-independent EXACT audio dedup over REAL decoded PCM:
+      // 40 distinct synthetic WAVs fanned out by doc_id%40 — the
+      // (n_samples, rate, pcm_crc) pair set must equal the arithmetic
+      // group construction (the q99 recipe for the audio modality)
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val groupMedia = Multimodal.synthesizeWavs(
+          docs.select(pmod(col("doc_id"), lit(40)).as("gid")).distinct(), "gid")
+        .withColumnRenamed("media_id", "gid")
+      val media = docs
+        .join(broadcast(groupMedia), pmod(col("doc_id"), lit(40)) === col("gid"))
+        .select(col("doc_id").as("media_id"), col("content"))
+        .repartition(32)
+      Multimodal.audioExactDupPairs(media).orderBy("id", "id2")
+    }),
     "q100_boilerplate_lines" -> ((s, dir) => { ensure(s)
       // CCNet-style line-level boilerplate removal: both engines build the
       // same 4-line docs — a header shared by ~1/3 of docs (removed), a
@@ -1573,6 +1588,9 @@ object SparkEntry {
     "q100_boilerplate_lines" ->
       ("SELECT doc_id, 'GROUP-' || CAST(doc_id % 125 AS VARCHAR) || chr(10) || text AS text " +
        "FROM documents ORDER BY doc_id"),
+    "q101_audio_pcm_dedup" ->
+      ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
+       "ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id ORDER BY id, id2"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -438,6 +438,56 @@ object Multimodal {
   }
 
   /**
+   * Audio content signatures from one REAL PCM decode pass — the audio
+   * twin of [[imageSignatures]]: FNV-1a 64 over the decoded sample
+   * stream plus (n_samples, sample_rate). Container-independent exact
+   * identity — two WAVs with different chunk layouts (or a future
+   * lossless codec decoding to the same PCM) collide on purpose. Null
+   * for undecodable payloads.
+   */
+  def audioSignatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("pcm_crc", LongType)))
+    val schema = media.schema
+    val idI = schema.fieldIndex("media_id")
+    val coI = schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        decodeWav(r.getAs[Array[Byte]](coI)) match {
+          case Some((rate, _, samples)) =>
+            var crc = 0xcbf29ce484222325L
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i) & 0xffff
+              crc = (crc ^ (s & 0xffL)) * 0x100000001b3L
+              crc = (crc ^ ((s >> 8) & 0xffL)) * 0x100000001b3L
+              i += 1
+            }
+            Row(id, samples.length, rate, crc)
+          case None => Row(id, null, null, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Container-independent EXACT audio dedup: identical decoded PCM via a
+    * single hash-join on the slim (n_samples, sample_rate, pcm_crc) key. */
+  def audioExactDupPairs(media: DataFrame): DataFrame = {
+    val sig = audioSignatures(media).filter(col("pcm_crc").isNotNull)
+      .select(col("media_id").as("id"), col("n_samples"),
+        col("sample_rate"), col("pcm_crc"))
+    val sig2 = sig.select(col("id").as("id2"), col("n_samples"),
+      col("sample_rate"), col("pcm_crc"))
+    sig.join(sig2, Seq("n_samples", "sample_rate", "pcm_crc"))
+      .filter(col("id") < col("id2"))
+      .select("id", "id2")
+  }
+
+  /**
    * TRUE decoded audio stats — sample count, rate, exact amplitude sum
    * and peak come from a real PCM decode, not metadata. Zero-row stats
    * for undecodable payloads (mirrors imageStats' nulls).

@@ -566,6 +566,44 @@ class ExtSpec extends SparkSpec {
       f.getAs[scala.collection.Seq[Float]]("features"))
   }
 
+  test("audio signatures: exact dup across chunk layouts, not across samples") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.Row
+    def wav(samples: Array[Short], withFact: Boolean): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val factPart = if (withFact) 8 + 3 + 1 else 0
+      val total = 4 + (8 + 16) + factPart + (8 + dataLen)
+      val buf = ByteBuffer.allocate(8 + total).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(total)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+      buf.putShort(1); buf.putShort(1); buf.putInt(8000)
+      buf.putInt(16000); buf.putShort(2); buf.putShort(16)
+      if (withFact) {
+        buf.put("fact".getBytes("US-ASCII")); buf.putInt(3)
+        buf.put(Array[Byte](9, 8, 7)); buf.put(0.toByte)
+      }
+      buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    val pcm = Array[Short](5, -10, 20, -40)
+    val rows = Seq(
+      Row(1L, wav(pcm, withFact = false)),
+      Row(2L, wav(pcm, withFact = true)), // same PCM, different bytes
+      Row(3L, wav(Array[Short](5, -10, 20, -41), withFact = false)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val pairs = Multimodal.audioExactDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("removeBoilerplateLines: df-thresholded drop, order kept, empty docs survive") {
     val corpus = Seq(
       (1L, "BANNER\nalpha\nbeta"),
