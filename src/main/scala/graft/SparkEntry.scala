@@ -1236,13 +1236,16 @@ object SparkEntry {
     "q100_boilerplate_lines" -> ((s, dir) => { ensure(s)
       // CCNet-style line-level boilerplate removal: both engines build the
       // same 4-line docs — a header shared by ~1/3 of docs (removed), a
-      // group line shared by exactly 4 at the gate SF (kept at
+      // group line shared by exactly ~4 docs at ANY corpus size (modulus
+      // n/4 on both sides, so the gate is SF-independent; kept at
       // maxDocFreq=10), the unique original text (kept), and a footer
       // shared by ALL docs (removed) — so the cleaned output must reduce
       // to GROUP line + original text with order preserved.
-      val docs = ld(s, dir, "documents").select(col("doc_id"),
+      val base = ld(s, dir, "documents")
+      val nGroups = math.max(base.count() / 4, 1L)
+      val docs = base.select(col("doc_id"),
         concat(lit("HEADER-"), (col("doc_id") % 3).cast("string"), lit("\n"),
-          lit("GROUP-"), (col("doc_id") % 125).cast("string"), lit("\n"),
+          lit("GROUP-"), (col("doc_id") % nGroups).cast("string"), lit("\n"),
           col("text"), lit("\nFOOTER-COMMON")).as("text"))
       TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", maxDocFreq = 10)
         .orderBy("doc_id")
@@ -1586,8 +1589,8 @@ object SparkEntry {
       ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
        "ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id ORDER BY id, id2"),
     "q100_boilerplate_lines" ->
-      ("SELECT doc_id, 'GROUP-' || CAST(doc_id % 125 AS VARCHAR) || chr(10) || text AS text " +
-       "FROM documents ORDER BY doc_id"),
+      ("SELECT doc_id, 'GROUP-' || CAST(doc_id % GREATEST((SELECT count(*) // 4 FROM documents), 1) AS VARCHAR) " +
+       "|| chr(10) || text AS text FROM documents ORDER BY doc_id"),
     "q101_audio_pcm_dedup" ->
       ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
        "ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id ORDER BY id, id2"),

@@ -1285,22 +1285,45 @@ class GeoDb(
                                 staleLockMs: Long = 600000L)(body: => T): T = {
     val lock = new HPath(s"${catalog.collectionDir(d, c)}/.commit.lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    // Each acquisition is IDENTIFIED: the lock file carries its owner's
+    // UUID. Release and stale-break both verify identity before acting,
+    // so no code path can ever delete a SUCCESSOR's lock — the failure
+    // mode that cascades (A deletes B's, B's release deletes C's, ...).
+    val ownerId = UUID.randomUUID.toString
+    def readContent(p: HPath): Option[String] =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: java.io.IOException => None }
     // Hadoop's LocalFileSystem.createNewFile is check-then-act (NOT
     // atomic between processes/threads); POSIX createFile is. HDFS's
-    // createNewFile is namenode-atomic, so use it for non-local schemes.
+    // exclusive create is namenode-atomic. In both cases the owner id is
+    // written right after the exclusive create wins; a reader seeing the
+    // (microsecond) empty-content window also sees age≈0, far below the
+    // stale threshold, so identity is always populated by the time any
+    // breaker examines it.
     def tryAcquire(): Boolean =
       if (fs.getScheme == "file")
         try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lock.toUri.getPath))
+          val p = java.nio.file.Paths.get(lock.toUri.getPath)
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.write(p, ownerId.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: java.io.IOException => false
         }
       else
-        try fs.createNewFile(lock)
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(lock, /*overwrite=*/ false)
+          out.write(ownerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     var acquired = false
     while (!acquired) {
@@ -1312,38 +1335,36 @@ class GeoDb(
         val age = st.map(s => System.currentTimeMillis() - s.getModificationTime)
           .getOrElse(0L)
         if (age > staleLockMs) {
-          // Atomic stale break: RENAME the lock to a unique tombstone —
-          // only one contender's rename succeeds, so only one breaker
-          // proceeds. A plain delete here is check-then-act: two waiters
-          // can both observe age>stale; after B deletes and re-acquires,
-          // A's delete would remove B's FRESH lock and admit a second
-          // writer. The rename also lets us verify identity after the
-          // fact (mtime travels with the file): if the renamed file turns
-          // out NOT to be the stale lock we judged (a fresh lock landed
-          // in the stat->rename window), restore it.
+          // Stale break: read the stale lock's OWNER ID, rename the lock
+          // to a unique tombstone (only one contender's rename succeeds),
+          // then verify the tombstone still carries that id. A plain
+          // delete here is check-then-act: two waiters can both observe
+          // age>stale; after B deletes and re-acquires, A's delete would
+          // remove B's FRESH lock and admit a second writer. Content
+          // identity (not mtime) ties the rename to the exact lock we
+          // judged stale; on mismatch the stolen fresh lock is restored
+          // (only into an empty slot — POSIX rename overwrites, so a
+          // blind rename-back could clobber a third writer's lock).
+          val staleOwner = readContent(lock)
           val tomb = new HPath(s"${catalog.collectionDir(d, c)}" +
             s"/.commit.lock.stale-${UUID.randomUUID.toString.take(8)}")
           val won =
             try fs.rename(lock, tomb)
             catch { case _: java.io.IOException => false }
           if (won) {
-            val sameLock =
-              try fs.getFileStatus(tomb).getModificationTime ==
-                st.map(_.getModificationTime).getOrElse(Long.MinValue)
-              catch { case _: java.io.IOException => false }
+            val sameLock = staleOwner.nonEmpty && readContent(tomb) == staleOwner
             if (sameLock) {
               try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
             } else {
-              // we grabbed a fresh lock by mistake — put it back; if the
-              // slot was re-taken meanwhile, surface loudly rather than
-              // silently running two writers
-              val restored =
-                try fs.rename(tomb, lock)
-                catch { case _: java.io.IOException => false }
+              val slotEmpty = try !fs.exists(lock) catch {
+                case _: java.io.IOException => false }
+              val restored = slotEmpty &&
+                (try fs.rename(tomb, lock)
+                 catch { case _: java.io.IOException => false })
               require(restored,
-                s"commit-lock stale-break race on $d/$c: could not restore " +
-                  "a fresh lock taken for stale; manual cleanup of " +
-                  s"$tomb required")
+                s"commit-lock stale-break race on $d/$c: a fresh lock was " +
+                  s"taken for stale and could not be restored; manual " +
+                  s"cleanup of $tomb required")
             }
           }
         } else {
@@ -1354,7 +1375,16 @@ class GeoDb(
       }
     }
     try body
-    finally { try fs.delete(lock, false) catch { case _: java.io.IOException => () } }
+    finally {
+      // identity-checked release: delete only OUR lock. If a breaker
+      // wrongly stole it (microsecond stat->rename race) and a successor
+      // re-acquired, the content no longer matches and we leave the
+      // successor's lock alone — the cascade (B's release deleting C's
+      // lock, admitting D) is structurally impossible.
+      try {
+        if (readContent(lock).contains(ownerId)) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   private def swapIn(d: String, c: String, newDf: DataFrame): Unit = {

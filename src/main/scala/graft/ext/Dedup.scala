@@ -39,11 +39,22 @@ object Dedup {
   // contract; at warehouse scale the frame is a written table instead).
   private val maxSharedCaches = 8
   private val sharedCaches = new java.util.LinkedHashMap[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      (org.apache.spark.sql.SparkSession,
+       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame](
       16, 0.75f, /*accessOrder=*/ true)
 
   private def persistShared(df: DataFrame): DataFrame = sharedCaches.synchronized {
-    val key = df.queryExecution.analyzed.canonicalized
+    // drop entries from stopped sessions first: a JVM that restarts its
+    // SparkSession (tests, notebooks) must never be handed a DataFrame
+    // bound to the dead context just because the canonicalized plan of
+    // the new session's frame looks identical
+    val deadIt = sharedCaches.entrySet().iterator()
+    while (deadIt.hasNext) {
+      if (deadIt.next().getKey._1.sparkContext.isStopped) deadIt.remove()
+    }
+    // key on (session, canonicalized plan): plan equality alone is not
+    // identity across sessions
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     val existing = sharedCaches.get(key) // refreshes LRU order on hit
     if (existing != null) existing
     else {
@@ -65,7 +76,11 @@ object Dedup {
 
   /** Unpersist every shared signature cache registered this session. */
   def releaseCaches(): Unit = sharedCaches.synchronized {
-    sharedCaches.values().forEach(df => { df.unpersist(false); () })
+    sharedCaches.values().forEach { df =>
+      // entries of an already-stopped session have nothing to unpersist
+      try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      ()
+    }
     sharedCaches.clear()
   }
 

@@ -50,8 +50,12 @@ object Similarity {
    */
   def exactCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double, maxRows: Long = 100000L): DataFrame = {
-    val bounded = df.limit((maxRows + 1).toInt).count()
-    require(bounded <= maxRows,
+    // clamp before the +1: a maxRows at/above Int.MaxValue would overflow
+    // limit()'s Int argument (negative limit = AnalysisException, or a
+    // silently truncated pre-count that defeats the guard)
+    val cap = math.min(math.max(maxRows, 0L), Int.MaxValue - 1L).toInt
+    val bounded = df.limit(cap + 1).count()
+    require(bounded <= cap,
       s"exactCosinePairs is an O(n²) exact diagnostic and the input exceeds " +
         s"maxRows=$maxRows. Use the LSH/IVF approximate paths at scale, or " +
         "raise maxRows deliberately for a bounded oracle run.")

@@ -220,8 +220,9 @@ object Shapefile {
     // collection gets a clear error instead of a driver OOM. The .shp
     // format itself caps at 2 GB (32-bit word offsets, ESRI whitepaper),
     // so an unbounded export could never succeed anyway.
-    val bounded = df.limit(maxRows + 1).count()
-    require(bounded <= maxRows,
+    val cap = math.min(math.max(maxRows, 0), Int.MaxValue - 1) // +1 below must not overflow
+    val bounded = df.limit(cap + 1).count()
+    require(bounded <= cap,
       s"writeShapefile is a driver-side bounded-export tool and the input " +
         s"exceeds maxRows=$maxRows (the .shp format caps at 2 GB). Export " +
         "large collections with the distributed GeoJSON-lines or parquet " +
