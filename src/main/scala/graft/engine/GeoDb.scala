@@ -332,30 +332,32 @@ class GeoDb(
     out.close()
   }
 
+  /** Read a small control file fully; None if missing/unreadable. The one
+    * shared implementation behind format markers, centroid tables, and
+    * lock identity (stream closed on every path). */
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: HPath): Option[String] =
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => None }
+
   /** Index storage format marker; pre-marker layouts are float32. */
   private def vecIndexFormat(dir: String): String = {
     val hp = new HPath(s"$dir/format.txt")
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hp)) "f32"
-    else {
-      val bytes = new Array[Byte](fs.getFileStatus(hp).getLen.toInt)
-      val in = fs.open(hp)
-      in.readFully(0, bytes)
-      in.close()
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
-    }
+    readSmallFile(fs, hp).map(_.trim).getOrElse("f32")
   }
 
   private def loadVecModel(centroidPath: String): graft.ext.Ivf.Model = {
     val cpath = new HPath(centroidPath)
     val fs = cpath.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = new Array[Byte](fs.getFileStatus(cpath).getLen.toInt)
-    val in = fs.open(cpath)
-    in.readFully(0, bytes)
-    in.close()
-    graft.ext.Ivf.Model(
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").map(_.split(",").map(_.toFloat)))
+    val text = readSmallFile(fs, cpath).getOrElse(
+      throw new java.io.IOException(s"unreadable centroid table $centroidPath"))
+    graft.ext.Ivf.Model(text.split("\n").map(_.split(",").map(_.toFloat)))
   }
 
   /** PK merge on id — PostgREST resolution=merge-duplicates (geodb.py:1505-1508).
@@ -1290,29 +1292,26 @@ class GeoDb(
     // so no code path can ever delete a SUCCESSOR's lock — the failure
     // mode that cascades (A deletes B's, B's release deletes C's, ...).
     val ownerId = UUID.randomUUID.toString
-    def readContent(p: HPath): Option[String] =
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: java.io.IOException => None }
     // Hadoop's LocalFileSystem.createNewFile is check-then-act (NOT
     // atomic between processes/threads); POSIX createFile is. HDFS's
-    // exclusive create is namenode-atomic. In both cases the owner id is
-    // written right after the exclusive create wins; a reader seeing the
-    // (microsecond) empty-content window also sees age≈0, far below the
-    // stale threshold, so identity is always populated by the time any
-    // breaker examines it.
+    // exclusive create is namenode-atomic. The owner id is written right
+    // after the exclusive create wins; if that write fails, the orphan
+    // empty file is removed before returning so a transient IO error
+    // can't wedge the collection behind a 10-minute stale wait.
     def tryAcquire(): Boolean =
       if (fs.getScheme == "file")
         try {
           val p = java.nio.file.Paths.get(lock.toUri.getPath)
           java.nio.file.Files.createFile(p)
-          java.nio.file.Files.write(p, ownerId.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          true
+          try {
+            java.nio.file.Files.write(p, ownerId.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            true
+          } catch { case _: java.io.IOException =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+            false
+          }
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
           case _: java.io.IOException => false
@@ -1320,39 +1319,62 @@ class GeoDb(
       else
         try {
           val out = fs.create(lock, /*overwrite=*/ false)
-          out.write(ownerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.close()
-          true
+          try {
+            out.write(ownerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+            true
+          } catch { case _: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+            try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+            false
+          }
         } catch { case _: java.io.IOException => false }
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    def awaitRetry(): Unit = {
+      require(System.nanoTime() < deadline,
+        s"timed out waiting for the commit lock on $d/$c")
+      Thread.sleep(25)
+    }
     var acquired = false
     while (!acquired) {
       acquired = tryAcquire()
       if (!acquired) {
+        // identity snapshot in a fixed order: content, then mtime, then
+        // content AGAIN — only a lock that was stable across all three
+        // reads is judged, so (content, mtime) always describe the SAME
+        // incarnation of the file
+        val c1 = readSmallFile(fs, lock)
         val st =
           try Some(fs.getFileStatus(lock))
           catch { case _: java.io.IOException => None } // vanished: retry now
+        val stable = c1.isDefined && st.isDefined && readSmallFile(fs, lock) == c1
         val age = st.map(s => System.currentTimeMillis() - s.getModificationTime)
           .getOrElse(0L)
-        if (age > staleLockMs) {
-          // Stale break: read the stale lock's OWNER ID, rename the lock
-          // to a unique tombstone (only one contender's rename succeeds),
-          // then verify the tombstone still carries that id. A plain
-          // delete here is check-then-act: two waiters can both observe
-          // age>stale; after B deletes and re-acquires, A's delete would
-          // remove B's FRESH lock and admit a second writer. Content
-          // identity (not mtime) ties the rename to the exact lock we
-          // judged stale; on mismatch the stolen fresh lock is restored
-          // (only into an empty slot — POSIX rename overwrites, so a
-          // blind rename-back could clobber a third writer's lock).
-          val staleOwner = readContent(lock)
+        if (stable && age > staleLockMs) {
+          // Stale break: rename the lock to a unique tombstone (only one
+          // contender's rename succeeds), then verify the tombstone IS
+          // the incarnation we judged stale — BOTH mtime (rename
+          // preserves it; any fresh replacement is minutes younger) and
+          // owner content must match. A plain delete here is
+          // check-then-act: two waiters could both observe age>stale,
+          // and the loser's delete would remove the winner's FRESH lock.
+          // On mismatch the stolen lock is restored into an empty slot
+          // (POSIX rename overwrites, so a blind rename-back could
+          // clobber a third writer's lock). The stat->rename window is
+          // microseconds against a 10-minute staleness bar; a wrong
+          // break additionally requires a fresh lock whose mtime equals
+          // the stale one's.
           val tomb = new HPath(s"${catalog.collectionDir(d, c)}" +
             s"/.commit.lock.stale-${UUID.randomUUID.toString.take(8)}")
           val won =
             try fs.rename(lock, tomb)
             catch { case _: java.io.IOException => false }
           if (won) {
-            val sameLock = staleOwner.nonEmpty && readContent(tomb) == staleOwner
+            val sameLock =
+              (try Some(fs.getFileStatus(tomb).getModificationTime)
+               catch { case _: java.io.IOException => None }) ==
+                st.map(_.getModificationTime) &&
+              readSmallFile(fs, tomb) == c1
             if (sameLock) {
               try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
             } else {
@@ -1366,23 +1388,26 @@ class GeoDb(
                   s"taken for stale and could not be restored; manual " +
                   s"cleanup of $tomb required")
             }
-          }
-        } else {
-          require(System.nanoTime() < deadline,
-            s"timed out waiting for the commit lock on $d/$c")
-          Thread.sleep(25)
-        }
+          } else awaitRetry() // rename denied/raced: back off, don't hot-spin
+        } else awaitRetry()
       }
     }
+    val acquiredAtMs = System.currentTimeMillis()
     try body
     finally {
-      // identity-checked release: delete only OUR lock. If a breaker
-      // wrongly stole it (microsecond stat->rename race) and a successor
-      // re-acquired, the content no longer matches and we leave the
-      // successor's lock alone — the cascade (B's release deleting C's
-      // lock, admitting D) is structurally impossible.
+      // Identity-checked release: delete only OUR lock, and only if the
+      // commit finished inside the staleness budget. Past the budget a
+      // breaker may legitimately have reclaimed the slot for a successor
+      // — leave whatever is there alone (it self-heals via the stale
+      // machinery) rather than risk deleting a successor's lock. This
+      // shrinks the wrong-delete hazard to a sub-millisecond
+      // read->delete window that additionally requires the commit to
+      // have overrun 10 minutes.
       try {
-        if (readContent(lock).contains(ownerId)) fs.delete(lock, false)
+        val withinBudget =
+          System.currentTimeMillis() - acquiredAtMs < staleLockMs
+        if (withinBudget && readSmallFile(fs, lock).contains(ownerId))
+          fs.delete(lock, false)
       } catch { case _: java.io.IOException => () }
     }
   }
