@@ -36,19 +36,28 @@ object Bench {
     // query: 73 queries share one JVM at local[32], and sub-second scans
     // oscillated 3-5x between rounds when a neighbour's garbage landed
     // in their window.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timings = SparkEntry.queries.map { case (name, fn) =>
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
+    val results = timings.map { case (k, ts) => k -> ts.min }
+    // per-query spread (max - min of the 3 runs): a loaded machine shows
+    // uniform min inflation WITH large spreads, a real code regression a
+    // stable higher min with small spread — the artifact itself now
+    // distinguishes the two (round 4's 25% official/builder disagreement
+    // was unattributable without this)
+    val spreads = timings.map { case (k, ts) => k -> (ts.max - ts.min) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"untimed warmup pass at sf0.001, then min of 3 timed runs per query with System.gc() quiescence between queries"}"""
+    val spFull = spreads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","method":"untimed warmup pass at sf0.001, then min of 3 timed runs per query with System.gc() quiescence between queries; spread = max-min of the 3 runs per query"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), full + "\n")
     System.err.println(full)
     // compact stdout line: short id = leading qNN token; ms as integers

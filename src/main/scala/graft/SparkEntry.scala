@@ -385,9 +385,13 @@ object SparkEntry {
     }),
     "q33_embed_pairs" -> ((s, dir) => { ensure(s)
       // exact all-pairs cosine >= 0.5 — the GUARDED O(n²) oracle anchor
-      // (refuses unbounded corpora; LSH twin is q32, IVF twin is q40)
+      // (LSH twin is q32, IVF twin is q40). The bound is passed EXPLICITLY
+      // at this call site: q33 is a bounded-SF diagnostic by design
+      // (embeddings is 2k rows at sf0.1, 20k at sf1 — still inside the
+      // cap; a 100 TB corpus takes the approximate twins, and the guard
+      // failing loudly there is the intended behavior, not a surprise).
       Similarity.exactCosinePairs(ld(s, dir, "embeddings"),
-          "embedding", "vec_id", 0.5)
+          "embedding", "vec_id", 0.5, maxRows = 100000L)
         .orderBy("id", "id2")
     }),
     // =====================================================================
@@ -1210,12 +1214,21 @@ object SparkEntry {
       val q = coll.filter(col("vec_id") >= 250 && col("vec_id") < 255)
       val approx = db.vectorSearch("vecs", "emb", q, k = 10, nprobe = 3,
         excludeSelf = false)
+      // top1_cos pins an ARITHMETIC fact the oracle states independently:
+      // the appended query's own indexed copy scores cosine exactly 1.0
+      // (6 dp absorbs sqrt rounding), and no cosine exceeds 1, so the
+      // top-1 cosine must round to 1.0 — a gate a hardcoded boolean frame
+      // cannot pass, and one that fails if maintenance dropped the append
+      // (the best foreign neighbor's cosine rounds below 1.0).
       q.select(col("id").as("query_id"), col("vec_id"))
-        .join(approx.select("query_id", "corpus_id"), Seq("query_id"), "left")
+        .join(approx.select("query_id", "corpus_id", "cosine"),
+          Seq("query_id"), "left")
         .groupBy("vec_id")
-        .agg((max(when(col("corpus_id") === col("query_id"), 1).otherwise(0)) === 1)
-          .as("self_found"))
-        .select(col("vec_id").as("query_id"), col("self_found"))
+        .agg(
+          (max(when(col("corpus_id") === col("query_id"), 1).otherwise(0)) === 1)
+            .as("self_found"),
+          round(max(col("cosine")), 6).as("top1_cos"))
+        .select(col("vec_id").as("query_id"), col("self_found"), col("top1_cos"))
         .orderBy("query_id")
     }),
     "q101_audio_pcm_dedup" -> ((s, dir) => { ensure(s)
@@ -1237,17 +1250,24 @@ object SparkEntry {
       // CCNet-style line-level boilerplate removal: both engines build the
       // same 4-line docs — a header shared by ~1/3 of docs (removed), a
       // group line shared by exactly ~4 docs at ANY corpus size (modulus
-      // n/4 on both sides, so the gate is SF-independent; kept at
-      // maxDocFreq=10), the unique original text (kept), and a footer
-      // shared by ALL docs (removed) — so the cleaned output must reduce
-      // to GROUP line + original text with order preserved.
+      // n/4 on both sides, so the gate is SF-independent; kept), the
+      // unique original text (kept), and a footer shared by ALL docs
+      // (removed) — so the cleaned output must reduce to GROUP line +
+      // original text with order preserved. The threshold is DERIVED from
+      // the corpus size (max(n/6, 5)) so the gate separates group df (~4,
+      // constant by construction) from header df (~n/3) at every SF: a
+      // fixed 10 broke below ~33 docs (header kept) and would break on a
+      // corpus where an original line's df drifts past it (valid for
+      // n >= ~20, far below every gate SF).
       val base = ld(s, dir, "documents")
-      val nGroups = math.max(base.count() / 4, 1L)
+      val n = base.count()
+      val nGroups = math.max(n / 4, 1L)
       val docs = base.select(col("doc_id"),
         concat(lit("HEADER-"), (col("doc_id") % 3).cast("string"), lit("\n"),
           lit("GROUP-"), (col("doc_id") % nGroups).cast("string"), lit("\n"),
           col("text"), lit("\nFOOTER-COMMON")).as("text"))
-      TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id", maxDocFreq = 10)
+      TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id",
+          maxDocFreq = math.max(n / 6, 5L).toInt)
         .orderBy("doc_id")
     }),
     "q99_image_pixel_dedup" -> ((s, dir) => { ensure(s)
@@ -1271,22 +1291,31 @@ object SparkEntry {
     "q98_length_percentiles_approx" -> ((s, dir) => { ensure(s)
       // the scale-safe twin of q90: approx_percentile holds a bounded
       // sketch per group where the exact agg buffers per-distinct-value
-      // counts (memory grows with group cardinality). Gated by a RANK
-      // check rather than value equality — robust to the discrete-vs-
-      // interpolated definitional gap: for p in {0.5, 0.9}, the fraction
-      // of values strictly below the sketch's answer must be <= p+eps and
-      // the fraction at-or-below must be >= p-eps (eps = 0.01 >> the
-      // 1/accuracy rank error), which handles heavy ties exactly.
+      // counts (memory grows with group cardinality). Two-layer gate:
+      // (1) the SKETCH VALUES themselves are emitted and the oracle
+      // recomputes them INDEPENDENTLY — at accuracy 1e6 the sketch's rank
+      // error bound (n/accuracy < 0.005 at every gate SF) pins the answer
+      // to the unique order statistic at 1-based rank ceil(p*n), which
+      // DuckDB reproduces with a row_number window (Spark's
+      // QuantileSummaries targets rank ceil(p*count) and in the exact
+      // regime returns precisely that sample — verified empirically
+      // against tie-heavy sets); at 100 TB, accuracy stays the bounded-
+      // memory knob and the values stop being oracle-exact. (2) the RANK
+      // check (fraction strictly below <= p+eps, at-or-below >= p-eps,
+      // eps 0.01 >> rank error) — the accuracy-independent contract that
+      // also holds for the default-accuracy production path.
       val t = ld(s, dir, "documents")
         .select(col("source"),
           when(length(trim(col("text"))) === 0, 0)
             .otherwise(token_count(col("text"))).cast("double").as("n"))
       val a = TextAnalysis.lengthPercentilesApprox(
-        ld(s, dir, "documents"), "text", "source")
+        ld(s, dir, "documents"), "text", "source", accuracy = 1000000)
       val eps = 0.01
       t.join(broadcast(a), Seq("source"))
         .groupBy("source")
         .agg(
+          max(col("p50_approx")).as("p50_approx"),
+          max(col("p90_approx")).as("p90_approx"),
           ((avg((col("n") < col("p50_approx")).cast("double")) <= 0.5 + eps) &&
            (avg((col("n") <= col("p50_approx")).cast("double")) >= 0.5 - eps))
             .as("p50_ok"),
@@ -1582,9 +1611,14 @@ object SparkEntry {
     "q95_stream_dedup_watermarked" ->
       "SELECT DISTINCT md5(props) AS content_hash FROM events ORDER BY content_hash",
     "q97_vector_index_append" ->
-      "SELECT vec_id AS query_id, true AS self_found FROM embeddings WHERE vec_id >= 250 AND vec_id < 255 ORDER BY query_id",
+      "SELECT vec_id AS query_id, true AS self_found, CAST(1.0 AS DOUBLE) AS top1_cos FROM embeddings WHERE vec_id >= 250 AND vec_id < 255 ORDER BY query_id",
     "q98_length_percentiles_approx" ->
-      "SELECT DISTINCT source, true AS p50_ok, true AS p90_ok FROM documents ORDER BY source",
+      ("WITH t AS (SELECT source, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS DOUBLE) AS n FROM documents), " +
+       "r AS (SELECT source, n, row_number() OVER (PARTITION BY source ORDER BY n) AS rk, count(*) OVER (PARTITION BY source) AS cnt FROM t) " +
+       "SELECT source, " +
+       "max(CASE WHEN rk = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50_approx, " +
+       "max(CASE WHEN rk = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90_approx, " +
+       "true AS p50_ok, true AS p90_ok FROM r GROUP BY source ORDER BY source"),
     "q99_image_pixel_dedup" ->
       ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
        "ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id ORDER BY id, id2"),

@@ -1275,18 +1275,37 @@ class GeoDb(
   /**
    * Writer serialization: every row/layout-mutating commit runs under a
    * per-collection lock taken by ATOMIC CREATE of `.commit.lock` in the
-   * collection directory (atomic on HDFS and local/POSIX; object stores
-   * without atomic create-if-absent keep the previously documented
-   * single-writer contract). The critical section re-reads `meta` inside
+   * collection directory. The critical section re-reads `meta` inside
    * the lock, so two concurrent inserts serialize and id ranges never
    * collide. Readers never take the lock: copy-on-write + atomic rename
    * keeps scans consistent. Locks from crashed writers are broken after
    * `staleLockMs` (commit work is minutes-scale at most per collection).
+   *
+   * SUPPORTED FILESYSTEMS: the protocol's three safety primitives —
+   * exclusive create-if-absent is atomic, rename is atomic, rename
+   * preserves mtime — hold on POSIX local filesystems and HDFS only.
+   * Object stores (S3A, GCS, ABFS, ...) satisfy none of them: create is
+   * check-then-act, "rename" is copy+delete that rewrites mtime (so the
+   * stale-break identity comparison can never match and two writers can
+   * both win acquisition). Those schemes are REFUSED up front; run
+   * collections on such storage under an external coordinator (a
+   * single-writer job scheduler, or a transactional table format) and
+   * front the engine with HDFS-or-POSIX paths for locked DML.
    */
+  private val unsupportedLockSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
   private def withCommitLock[T](d: String, c: String,
                                 staleLockMs: Long = 600000L)(body: => T): T = {
     val lock = new HPath(s"${catalog.collectionDir(d, c)}/.commit.lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    if (unsupportedLockSchemes.contains(Option(fs.getScheme).getOrElse("").toLowerCase)) {
+      throw new UnsupportedOperationException(
+        s"commit locking on '${fs.getScheme}' is unsupported: object stores " +
+          "lack atomic create-if-absent and mtime-preserving rename, so the " +
+          "lock protocol cannot exclude concurrent writers there. Use " +
+          "POSIX/HDFS paths for locked DML, or coordinate writers externally.")
+    }
     // Each acquisition is IDENTIFIED: the lock file carries its owner's
     // UUID. Release and stale-break both verify identity before acting,
     // so no code path can ever delete a SUCCESSOR's lock — the failure
@@ -1378,15 +1397,30 @@ class GeoDb(
             if (sameLock) {
               try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
             } else {
-              val slotEmpty = try !fs.exists(lock) catch {
-                case _: java.io.IOException => false }
-              val restored = slotEmpty &&
-                (try fs.rename(tomb, lock)
-                 catch { case _: java.io.IOException => false })
+              // A FRESH lock (a successor writer's) was stolen into the
+              // tombstone: restore it. A one-shot restore left a window —
+              // if a third writer grabbed the emptied slot before the
+              // rename-back, the successor ran unprotected until manual
+              // cleanup. RETRY instead: the slot re-empties when the
+              // third writer releases (commits are minutes-scale, the
+              // retry budget covers the common transient causes), and
+              // until the restore lands this loop keeps the tombstone —
+              // the conflict is never silently dropped.
+              val restoreDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+              var restored = false
+              while (!restored && System.nanoTime() < restoreDeadline) {
+                val slotEmpty = try !fs.exists(lock) catch {
+                  case _: java.io.IOException => false }
+                restored = slotEmpty &&
+                  (try fs.rename(tomb, lock)
+                   catch { case _: java.io.IOException => false })
+                if (!restored) Thread.sleep(25)
+              }
               require(restored,
                 s"commit-lock stale-break race on $d/$c: a fresh lock was " +
-                  s"taken for stale and could not be restored; manual " +
-                  s"cleanup of $tomb required")
+                  s"taken for stale and could not be restored within 10s " +
+                  s"(another writer is holding the slot); manual cleanup " +
+                  s"of $tomb required")
             }
           } else awaitRetry() // rename denied/raced: back off, don't hot-spin
         } else awaitRetry()
