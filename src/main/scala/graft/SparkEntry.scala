@@ -1323,6 +1323,43 @@ object SparkEntry {
            (avg((col("n") <= col("p90_approx")).cast("double")) >= 0.9 - eps))
             .as("p90_ok"))
         .orderBy("source")
+    }),
+    "q102_image_neardup" -> ((s, dir) => { ensure(s)
+      // perceptual image near-dup gated end-to-end (closing q99's gap:
+      // dHash was the one family member without an oracle row): 25 noise
+      // base images plus a brightness-shifted twin each (+2 on every
+      // channel, no clipping) — the twin's dHash is BIT-IDENTICAL (a
+      // uniform +2 luma shift preserves every grid comparison) while
+      // every pixel differs, and distinct noise bases sit ~32 Hamming
+      // bits apart, so the Hamming<=2 pair set must be EXACTLY
+      // {(g, g+1000)} — constructible by the oracle without decoding a
+      // single image. Matching requires real decode + a
+      // shift-invariant, content-sensitive perceptual hash.
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val gids = docs.select(pmod(col("doc_id"), lit(25)).as("gid")).distinct()
+      val base = Multimodal.synthesizeNoiseImages(gids, "gid")
+      val twins = Multimodal.synthesizeNoiseImages(gids, "gid", shift = 2)
+        .withColumn("media_id", col("media_id") + 1000)
+      Multimodal.imageNearDupPairs(
+          base.unionByName(twins).repartition(32), maxHamming = 2)
+        .orderBy("id", "id2")
+    }),
+    "q103_audio_neardup" -> ((s, dir) => { ensure(s)
+      // perceptual audio near-dup — modality symmetry with q102 (image
+      // has exact+dHash, audio now has exact+envelope-hash): 25 noise
+      // WAVs plus a PHASE-INVERTED twin each (gain -1: every PCM sample
+      // differs, every frame energy identical, so the banded energy
+      // signature is exactly invariant), distinct noise envelopes sit
+      // ~32 Hamming bits apart — the Hamming<=2 pair set must be
+      // EXACTLY {(g, g+1000)}, constructed arithmetically by the oracle.
+      val docs = ld(s, dir, "documents").select(col("doc_id"))
+      val gids = docs.select(pmod(col("doc_id"), lit(25)).as("gid")).distinct()
+      val base = Multimodal.synthesizeNoiseWavs(gids, "gid")
+      val twins = Multimodal.synthesizeNoiseWavs(gids, "gid", gain = -1)
+        .withColumn("media_id", col("media_id") + 1000)
+      Multimodal.audioNearDupPairs(
+          base.unionByName(twins).repartition(32), maxHamming = 2)
+        .orderBy("id", "id2")
     })
   )
 
@@ -1628,6 +1665,12 @@ object SparkEntry {
     "q101_audio_pcm_dedup" ->
       ("SELECT a.doc_id AS id, b.doc_id AS id2 FROM documents a JOIN documents b " +
        "ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id ORDER BY id, id2"),
+    "q102_image_neardup" ->
+      ("SELECT DISTINCT doc_id % 25 AS id, doc_id % 25 + 1000 AS id2 " +
+       "FROM documents ORDER BY id, id2"),
+    "q103_audio_neardup" ->
+      ("SELECT DISTINCT doc_id % 25 AS id, doc_id % 25 + 1000 AS id2 " +
+       "FROM documents ORDER BY id, id2"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

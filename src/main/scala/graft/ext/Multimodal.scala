@@ -168,6 +168,7 @@ object Multimodal {
    * (x,y) channels r=(7x+13y+id)%256, g=(3x+5y+2id)%256, b=(x+y+3id)%256 —
    * closed-form, so a SQL oracle can verify true decoded dimensions and
    * channel sums without an image library.
+   *
    */
   def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = mediaSchema
@@ -399,6 +400,97 @@ object Multimodal {
     buf.array()
   }
 
+  /** splitmix64 finalizer (public-domain PRNG mix) over (id, i) — the
+    * noise kernel for the near-dup gate media below. */
+  private def mix64(id: Long, i: Long): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * Deterministic NOISE PNGs for the perceptual near-dup gates: same
+   * dims as [[synthesizeImages]] but channels are splitmix64 noise in
+   * [0, 200) + `shift`. Noise makes the 64 dHash bits near-independent
+   * across ids (the closed-form gradient images produce near-monotone
+   * luma ramps whose dHashes collide), so distinct ids sit ~32 bits
+   * apart. A `shift`-ed twin adds exactly `shift` to every channel with
+   * no clipping (values stay <= 199+shift <= 255 for shift <= 56), which
+   * adds exactly `shift` to every BT.601 integer luma (the weights sum
+   * to 256: (77+150+29)*s >> 8 = s) — so the twin's dHash is
+   * BIT-IDENTICAL while every pixel differs.
+   */
+  def synthesizeNoiseImages(df: DataFrame, idCol: String,
+                            shift: Int = 0): DataFrame = {
+    require(shift >= 0 && shift <= 56, "shift must keep channels <= 255")
+    val src = df.select(col(idCol).cast(LongType).as("media_id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 64 + 16).toInt
+        val h = (id % 48 + 16).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val m = mix64(id, y.toLong * w + x)
+            val red = ((m & 0xffff) % 200).toInt + shift
+            val g = (((m >>> 16) & 0xffff) % 200).toInt + shift
+            val b = (((m >>> 32) & 0xffff) % 200).toInt + shift
+            img.setRGB(x, y, (red << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray, Row(w, h, 3, null, "png"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+  }
+
+  /**
+   * Deterministic NOISE WAVs for the perceptual near-dup gate: same
+   * framing as [[synthesizeWavs]] but samples are splitmix64 noise in
+   * [-1001, 1001] scaled by `gain`. Noise gives each id a distinct
+   * energy envelope (the closed-form WAVs are modular ramps — monotone
+   * envelopes that collide under envelope hashing). `gain = -1` is a
+   * phase inversion: every PCM sample differs but every frame ENERGY is
+   * identical, so [[audioPerceptualSignatures]] is exactly invariant —
+   * the canonical perceptually-identical transform the gate constructs.
+   */
+  def synthesizeNoiseWavs(df: DataFrame, idCol: String,
+                          gain: Int = 1): DataFrame = {
+    require(math.abs(gain) * 1001 < 32768, "gain would clip PCM16")
+    val src = df.select(col(idCol).cast(LongType).as("media_id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 400 + 100).toInt
+        val dataLen = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+        buf.put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+        buf.putShort(1); buf.putShort(1)
+        buf.putInt(8000); buf.putInt(16000)
+        buf.putShort(2); buf.putShort(16)
+        buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+        var i = 0
+        while (i < n) {
+          val s = ((mix64(id, i) % 2003 + 2003) % 2003 - 1001).toInt
+          buf.putShort((gain * s).toShort)
+          i += 1
+        }
+        Row(id, "audio", buf.array(), Row(null, null, 1, 8000, "wav"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+  }
+
   /** REAL RIFF/WAVE parse (PCM16 only): walks the chunk list, returns
     * (sampleRate, channels, samples). None for anything else. */
   private[ext] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
@@ -484,6 +576,94 @@ object Multimodal {
       col("sample_rate"), col("pcm_crc"))
     sig.join(sig2, Seq("n_samples", "sample_rate", "pcm_crc"))
       .filter(col("id") < col("id2"))
+      .select("id", "id2")
+  }
+
+  /**
+   * Perceptual audio signatures — the audio twin of the image dHash,
+   * following the public chromaprint/acoustic-fingerprint recipe family
+   * in its simplest banded form: the decoded PCM is split into 65 equal
+   * time frames, each frame's ENERGY (sum of squared samples) is
+   * computed, and bit j of the 64-bit signature is E(j) > E(j+1) — a
+   * difference hash over the energy envelope. Comparing energies (not
+   * amplitudes) makes the signature EXACTLY invariant under uniform
+   * gain scaling and phase inversion — the canonical
+   * perceptually-identical transforms — while distinct material yields
+   * near-independent envelope bits. Null for undecodable payloads. One
+   * decode pass, mapPartitions, no shuffle.
+   */
+  def audioPerceptualSignatures(media: DataFrame): DataFrame = {
+    val frames = 65
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType)))
+    val schema = media.schema
+    val idI = schema.fieldIndex("media_id")
+    val coI = schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        decodeWav(r.getAs[Array[Byte]](coI)) match {
+          case Some((_, _, samples)) =>
+            val n = samples.length
+            val e = new Array[Long](frames)
+            var j = 0
+            while (j < frames) {
+              // frame j covers samples [j*n/frames, (j+1)*n/frames)
+              var i = (j.toLong * n / frames).toInt
+              val end = ((j + 1).toLong * n / frames).toInt
+              var acc = 0L
+              while (i < end) {
+                val s = samples(i).toLong
+                acc += s * s
+                i += 1
+              }
+              e(j) = acc
+              j += 1
+            }
+            var bits = 0L
+            j = 0
+            while (j < frames - 1) {
+              bits = (bits << 1) | (if (e(j) > e(j + 1)) 1L else 0L)
+              j += 1
+            }
+            Row(id, bits)
+          case None => Row(id, null)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /**
+   * Perceptual NEAR-dup audio pairs: Hamming(ahash) <= maxHamming via
+   * the same 4x16-bit pigeonhole banding as [[imageNearDupPairs]] —
+   * maxHamming <= 3 guarantees a shared exact chunk, a broadcast
+   * anti-join caps pathological buckets (silence-heavy corpora collapse
+   * onto few envelope shapes), and `bit_count` verifies the full 64-bit
+   * distance on candidates only.
+   */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole over 4 chunks covers maxHamming <= 3")
+    val sig = audioPerceptualSignatures(media).filter(col("ahash").isNotNull)
+      .select(col("media_id").as("id"), col("ahash"))
+    val chunked = sig.select(col("id"), col("ahash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("ahash"), i * 16)
+            .bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval")
+    val oversized = chunked.groupBy("chunk", "cval")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select("chunk", "cval")
+    val capped = chunked.join(broadcast(oversized),
+      Seq("chunk", "cval"), "left_anti")
+    capped
+      .join(capped.select(col("chunk"), col("cval"), col("id").as("id2"),
+        col("ahash").as("ahash2")), Seq("chunk", "cval"))
+      .filter(col("id") < col("id2"))
+      .select("id", "id2", "ahash", "ahash2").distinct()
+      .filter(expr(s"bit_count(ahash ^ ahash2) <= $maxHamming"))
       .select("id", "id2")
   }
 

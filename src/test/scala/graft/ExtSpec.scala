@@ -671,6 +671,47 @@ class ExtSpec extends SparkSpec {
     assert(sig(1L)._1 != sig(3L)._1)
   }
 
+  test("audio perceptual signatures: gain/phase invariant, content sensitive") {
+    import org.apache.spark.sql.Row
+    val ids = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 6L).map(Tuple1(_)), 2).map(t => Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gid",
+          org.apache.spark.sql.types.LongType))))
+    val base = Multimodal.synthesizeNoiseWavs(ids, "gid")
+    val inverted = Multimodal.synthesizeNoiseWavs(ids, "gid", gain = -1)
+      .withColumn("media_id", col("media_id") + 100)
+    val doubled = Multimodal.synthesizeNoiseWavs(ids, "gid", gain = 2)
+      .withColumn("media_id", col("media_id") + 200)
+    val all = base.unionByName(inverted).unionByName(doubled)
+    val sig = Multimodal.audioPerceptualSignatures(all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 6L).foreach { g =>
+      // energy comparisons are EXACTLY invariant under any uniform
+      // integer gain (energies scale by gain^2): phase inversion and
+      // amplification both keep the signature bit-identical
+      assert(sig(g) == sig(g + 100), s"phase inversion changed ahash for $g")
+      assert(sig(g) == sig(g + 200), s"2x gain changed ahash for $g")
+    }
+    // distinct noise content => near-independent envelope bits
+    val distinctPairs = for {
+      a <- 0L until 6L; b <- (a + 1) until 6L
+    } yield java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(distinctPairs.forall(_ > 10),
+      s"distinct noise WAVs too close in Hamming: $distinctPairs")
+    // the pair operator returns exactly the inverted twins (2x-gain twins
+    // too); no cross-content pairs
+    val near = Multimodal.audioNearDupPairs(all, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 6L).flatMap(g =>
+      Seq((g, g + 100), (g, g + 200), (g + 100, g + 200))).toSet
+    assert(near == want, s"near pairs: $near")
+    // exact-dup operator must NOT see the inverted twin as identical PCM
+    val exact = Multimodal.audioExactDupPairs(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.isEmpty, s"phase-inverted PCM wrongly exact-identical: $exact")
+  }
+
   test("exactCosinePairs: guarded O(n^2) diagnostic refuses oversized input") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val e = intercept[IllegalArgumentException](
