@@ -1360,6 +1360,44 @@ object SparkEntry {
       Multimodal.audioNearDupPairs(
           base.unionByName(twins).repartition(32), maxHamming = 2)
         .orderBy("id", "id2")
+    }),
+    "q104_quota_topk" -> ((s, dir) => { ensure(s)
+      // per-source quota selection: best 5 docs per source by token count
+      // (desc, doc_id asc tie-break). The engine side runs the bounded
+      // TopKByScore heap (shuffle = 5 pairs per source); the oracle is
+      // the window row_number formulation — same answer, the plan the
+      // heap exists to REPLACE at scale.
+      TextAnalysis.quotaTopK(ld(s, dir, "documents"), "source",
+          token_count(col("text")), "doc_id", 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    "q105_line_dedup" -> ((s, dir) => { ensure(s)
+      // within-doc repeated-line removal: both engines duplicate every
+      // doc's whole line block (sentinel + text, twice), so the cleaned
+      // output must be the sentinel + the FIRST occurrence of each
+      // original line in order — pure narrow projection on the engine
+      // side (array_distinct keeps first occurrences).
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        concat(lit("REPEAT-ME\n"), col("text"),
+          lit("\nREPEAT-ME\n"), col("text")).as("text"))
+      TextAnalysis.dedupLinesWithinDoc(docs, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q106_semantic_dedup" -> ((s, dir) => { ensure(s)
+      // SemDeDup (cluster-then-local-pairs) gate: union the corpus with
+      // EXACT copies of the first 50 vectors (ids +10000). An identical
+      // vector deterministically lands in the same k-means cell as its
+      // original and scores cosine ~1.0 >= 0.95, while the maximum
+      // NATURAL pair cosine in the table is 0.60 (measured at all three
+      // SFs) — so the keeper set must be exactly the original rows,
+      // which the oracle states without running any clustering.
+      val emb = ld(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      Similarity.semanticDedupKeepers(emb.unionByName(copies),
+          "embedding", "vec_id", threshold = 0.95, cells = 8)
+        .select("vec_id").orderBy("vec_id")
     })
   )
 
@@ -1671,6 +1709,17 @@ object SparkEntry {
     "q103_audio_neardup" ->
       ("SELECT DISTINCT doc_id % 25 AS id, doc_id % 25 + 1000 AS id2 " +
        "FROM documents ORDER BY id, id2"),
+    "q104_quota_topk" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (" +
+       "PARTITION BY source ORDER BY len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) DESC, doc_id) AS rn " +
+       "FROM documents) WHERE rn <= 5 ORDER BY doc_id"),
+    "q105_line_dedup" ->
+      ("WITH d AS (SELECT doc_id, 'REPEAT-ME' || chr(10) || text || chr(10) || 'REPEAT-ME' || chr(10) || text AS text FROM documents), " +
+       "l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d) " +
+       "SELECT doc_id, array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)) AS text " +
+       "FROM l ORDER BY doc_id"),
+    "q106_semantic_dedup" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -66,6 +66,60 @@ object Similarity {
       .select("id", "id2")
   }
 
+  /**
+   * Cluster-local near-duplicate pairs — the SemDeDup recipe (Abbas et
+   * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+   * semantic deduplication", a public paper): coarse k-means clustering
+   * first, then exact cosine pairs ONLY within each cluster. The global
+   * O(n²) becomes Σ O(|cell|²) over co-partitioned cells — the shuffle
+   * carries each vector once, keyed by its cell, and every pair
+   * computation is cell-local. Complementary to [[Dedup.embeddingPairs]]
+   * (hyperplane-LSH buckets): k-means cells follow the data's density
+   * (semantic neighborhoods), LSH buckets are data-oblivious.
+   *
+   * Skew/size honesty at 100 TB: a cell above `maxCell` would go
+   * quadratic, so oversized cells are EXCLUDED via broadcast anti-join
+   * (same cap shape as every candidate self-join in [[Dedup]]); use more
+   * `cells` (SemDeDup uses tens of thousands) or route dense cells
+   * through the LSH path. Train cost is constant (bounded sample +
+   * driver Lloyd — [[Ivf.train]]).
+   */
+  def clusterCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+                         threshold: Double, cells: Int = 8,
+                         maxIter: Int = 5, maxCell: Int = 10000,
+                         seed: Long = 42L): DataFrame = {
+    val model = Ivf.train(df, vecCol, k = cells, maxIter = maxIter, seed = seed)
+    val assigned = Ivf.assign(df, vecCol, model)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cell"))
+    val oversized = assigned.groupBy("ivf_cell")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
+      .select("ivf_cell")
+    val capped = assigned.join(broadcast(oversized), Seq("ivf_cell"), "left_anti")
+    capped
+      .join(capped.select(col("ivf_cell"), col("id").as("id2"),
+        col("v").as("v2")), Seq("ivf_cell"))
+      .filter(col("id") < col("id2"))
+      .select(col("id"), col("id2"), cosine_sim(col("v"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * SemDeDup keepers: transitive closure over the cluster-local pair set
+   * ([[Dedup.components]] — pointer doubling, no driver state), keep the
+   * minimum id per duplicate group, anti-join the rest out.
+   */
+  def semanticDedupKeepers(df: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double, cells: Int = 8,
+                           maxIter: Int = 5, maxCell: Int = 10000,
+                           seed: Long = 42L): DataFrame = {
+    val pairs = clusterCosinePairs(df, vecCol, idCol, threshold, cells,
+      maxIter, maxCell, seed)
+    val dupes = Dedup.components(pairs)
+      .filter(col("node") =!= col("rep"))
+      .select(col("node").as("_dup"))
+    df.join(dupes, df(idCol) === col("_dup"), "left_anti")
+  }
+
   /** groupBy + bounded-heap aggregate -> (query_id, corpus_id, cosine, rank). */
   private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

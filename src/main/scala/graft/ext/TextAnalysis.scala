@@ -400,6 +400,43 @@ object TextAnalysis {
   }
 
   /**
+   * Within-document repeated-line removal — the intra-doc complement of
+   * [[removeBoilerplateLines]] (the RefinedWeb/MassiveText "repetition
+   * removal" family): each document keeps only the FIRST occurrence of
+   * every line, order preserved. A pure narrow projection —
+   * `array_distinct` preserves first-occurrence order — so there is no
+   * shuffle at all: at 100 TB this is a scan-bound single pass, the
+   * optimum for the op class.
+   */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    df.select(col(idCol),
+      array_join(array_distinct(split(col(textCol), "\n")), "\n").as(textCol))
+
+  /**
+   * Per-group quota selection: keep the top `k` rows of each group by
+   * (score desc, id asc) — the "cap every source/domain at its best k
+   * documents" step of corpus mixing. The scale-critical choice: the
+   * per-group top-k is the bounded [[TopKByScore]] heap aggregate
+   * (map-side partial heaps, shuffle = k (id, score) pairs per group),
+   * NOT `row_number().over(Window.partitionBy(...))` — the window
+   * formulation shuffles and fully sorts EVERY row of every group. The
+   * keeper id set then semi-joins the input (AQE broadcasts it when
+   * #groups × k is small).
+   */
+  def quotaTopK(df: DataFrame, groupCol: String, score: Column,
+                idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val keep = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        score.cast("double").as("_s"))
+      .groupBy("_g")
+      .agg(TopKAggregate.topk_by_score(col("_id"), col("_s"), k).as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e.id").as("_keep_id"))
+    df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
+  }
+
+  /**
    * Sketch-based twin of the exact percentile corpus profile (the q90
    * cut): `approx_percentile` keeps a bounded quantile summary per group
    * (O(accuracy) memory, rank error <= 1/accuracy), where Spark's exact

@@ -671,6 +671,55 @@ class ExtSpec extends SparkSpec {
     assert(sig(1L)._1 != sig(3L)._1)
   }
 
+  test("quotaTopK: bounded heap equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.quotaTopK(docs, "source",
+        graft.ext.TextFunctions.token_count(col("text")), "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy("source")
+      .orderBy(graft.ext.TextFunctions.token_count(col("text")).desc, col("doc_id"))
+    val want = docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // k larger than any group: everything survives
+    val all = TextAnalysis.quotaTopK(docs, "source", lit(1.0), "doc_id", 100000)
+    assert(all.count() == docs.count())
+  }
+
+  test("dedupLinesWithinDoc keeps first occurrences in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\nd"),
+      (2L, "x\nx\nx"),
+      (3L, ""),
+      (4L, "only")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithinDoc(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\nb\nc\nd")
+    assert(out(2L) == "x")
+    assert(out(3L) == "")
+    assert(out(4L) == "only")
+  }
+
+  test("semanticDedupKeepers drops planted exact copies, keeps originals") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 5000)
+    val kept = Similarity.semanticDedupKeepers(emb.unionByName(copies),
+        "embedding", "vec_id", threshold = 0.95, cells = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val originals = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == originals, "keepers must be exactly the original ids")
+    // and the pair set is exactly the planted copies
+    val pairs = Similarity.clusterCosinePairs(emb.unionByName(copies),
+        "embedding", "vec_id", threshold = 0.95, cells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 20L).map(v => (v, v + 5000)).toSet)
+  }
+
   test("audio perceptual signatures: gain/phase invariant, content sensitive") {
     import org.apache.spark.sql.Row
     val ids = spark.createDataFrame(
