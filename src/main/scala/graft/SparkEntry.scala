@@ -1398,6 +1398,37 @@ object SparkEntry {
       Similarity.semanticDedupKeepers(emb.unionByName(copies),
           "embedding", "vec_id", threshold = 0.95, cells = 8)
         .select("vec_id").orderBy("vec_id")
+    }),
+    "q107_incremental_dedup" -> ((s, dir) => { ensure(s)
+      // incremental-ingestion dedup: the NEW batch (doc_id > 250)
+      // deduped against the EXISTING corpus (doc_id <= 300) — the
+      // overlap window (251..300) consists of exact self-matches
+      // (Jaccard 1.0, must all drop) and the rest drops iff a natural
+      // char-5 J >= 0.8 near-dup exists across the boundary, which the
+      // DuckDB oracle recomputes by brute force (the q28 recipe,
+      // asymmetric). Engine side: NEW x OLD band join only — no
+      // self-join; banding recall at J >= 0.8 is 1 - 1e-15 (q28 note).
+      val docs = ld(s, dir, "documents")
+      Dedup.incrementalKeepers(
+          docs.filter(col("doc_id") > 250),
+          docs.filter(col("doc_id") <= 300),
+          "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q108_url_hosts" -> ((s, dir) => { ensure(s)
+      // domain-level analysis: synthesize a URL into every 4th doc (both
+      // engines build identical text — the q93 recipe), extract distinct
+      // http(s) hosts per doc, count docs per host. 7 hosts with
+      // arithmetic doc counts the oracle derives from the modulus alone.
+      val docs = ld(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0, concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/page/"), col("doc_id").cast("string"),
+          lit(" and http://mirror.example.org too")))
+        .otherwise(col("text")))
+      TextAnalysis.urlHosts(docs, "text", "doc_id")
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+        .orderBy("host")
     })
   )
 
@@ -1720,6 +1751,20 @@ object SparkEntry {
        "FROM l ORDER BY doc_id"),
     "q106_semantic_dedup" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    "q107_incremental_dedup" ->
+      // join-form (not correlated NOT EXISTS): DuckDB parallelizes the
+      // uncorrelated cross+filter, 2.4x faster on the same brute force
+      ("WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) " +
+       "WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM documents), " +
+       "n AS (SELECT doc_id, sh FROM g WHERE doc_id > 250), " +
+       "o AS (SELECT doc_id, sh FROM g WHERE doc_id <= 300), " +
+       "hit AS (SELECT DISTINCT n.doc_id FROM n, o WHERE len(n.sh) > 0 AND len(o.sh) > 0 AND " +
+       "CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) / len(list_distinct(n.sh || o.sh)) >= 0.8) " +
+       "SELECT doc_id FROM n WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
+    "q108_url_hosts" ->
+      ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR) || ' and http://mirror.example.org too' ELSE text END AS text FROM documents), " +
+       "h AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS host FROM u) " +
+       "SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY host ORDER BY host"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -296,6 +296,83 @@ object Dedup {
     persistShared(pairs)
   }
 
+  /**
+   * Incremental-ingestion dedup: EXACT char-shingle Jaccard >=
+   * exactThreshold matches of NEW documents against an EXISTING corpus —
+   * the "dedupe today's crawl against the whole corpus" step. Asymmetric
+   * MinHash-LSH: both sides get slim signatures (materialized via the
+   * shared-table registry — the OLD side's signature table is exactly the
+   * reusable artifact an ingestion pipeline keeps between batches), the
+   * band join is NEW x OLD only (never a self-join), so a small delta
+   * against a huge corpus costs |delta| signature work plus a bucket join
+   * whose old side prunes to colliding bands. Oversized OLD buckets
+   * (boilerplate pathologies) are dropped via the usual broadcast cap.
+   * Returns (id = new doc, id2 = old doc, jaccard) verified exactly by
+   * the sorted-merge overlap kernel.
+   */
+  def crossPairsViaMinhash(newShingles: DataFrame, oldShingles: DataFrame,
+                           numHashes: Int = 128, bands: Int = 32,
+                           exactThreshold: Double = 0.8,
+                           estThreshold: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def sigsOf(sh: DataFrame): DataFrame = persistShared(
+      sh.filter(size(col("sh")) > 0)
+        .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig")))
+    def bandedOf(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val newSigs = sigsOf(newShingles)
+    val oldSigs = sigsOf(oldShingles)
+    // only slim (id, band, band_hash) tuples ride the explode and the
+    // bucket join — the signature arrays join back for candidates only
+    // (the same shuffle discipline as exactPairsViaMinhash)
+    val newBanded = bandedOf(newSigs)
+    val oldBanded = bandedOf(oldSigs)
+      .select(col("band"), col("band_hash"), col("id").as("id2"))
+    val oversized = oldBanded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+      .select("band", "band_hash")
+    val capped = oldBanded.join(broadcast(oversized),
+      Seq("band", "band_hash"), "left_anti")
+    val candidates = newBanded.join(capped, Seq("band", "band_hash"))
+      .select("id", "id2")
+      .distinct()
+    val estPruned = candidates
+      .join(newSigs, Seq("id"))
+      .join(oldSigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .filter(sig_similarity(col("sig"), col("sig2")) >= estThreshold)
+      .select("id", "id2")
+    val newSh = newShingles.filter(size(col("sh")) > 0)
+    val oldSh = oldShingles.filter(size(col("sh")) > 0)
+      .select(col("id").as("id2"), col("sh").as("sh2"))
+    estPruned
+      .join(newSh, Seq("id"))
+      .join(oldSh, Seq("id2"))
+      .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
+      .withColumn("jaccard", col("_c").cast("double") /
+        (size(col("sh")) + size(col("sh2")) - col("_c")))
+      .filter(col("jaccard") >= exactThreshold)
+      .select("id", "id2", "jaccard")
+  }
+
+  /** New-batch rows that near-duplicate NO existing-corpus document —
+    * the keeper side of [[crossPairsViaMinhash]]. */
+  def incrementalKeepers(newDf: DataFrame, oldDf: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleSize: Int = 5, numHashes: Int = 128,
+                         bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val dupes = crossPairsViaMinhash(
+        charShingleSets(newDf, textCol, idCol, shingleSize),
+        charShingleSets(oldDf, textCol, idCol, shingleSize),
+        numHashes, bands, threshold)
+      .select(col("id").as("_dup")).distinct()
+    newDf.join(dupes, newDf(idCol) === col("_dup"), "left_anti")
+  }
+
   /** (id, cluster_rep) for every doc in a near-dup cluster (full closure). */
   def minhashClusters(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 5, numHashes: Int = 128,

@@ -400,6 +400,17 @@ object TextAnalysis {
   }
 
   /**
+   * (id, host) for every DISTINCT http(s) URL host a document mentions —
+   * the primitive behind domain-level filtering (blocklists, per-domain
+   * caps via [[quotaTopK]], per-domain corpus stats). One narrow
+   * regexp projection + explode; no shuffle until the caller aggregates.
+   */
+  def urlHosts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(regexp_extract_all(col(textCol),
+        lit("https?://([A-Za-z0-9.-]+)"), lit(1)))).as("host"))
+
+  /**
    * Within-document repeated-line removal — the intra-doc complement of
    * [[removeBoilerplateLines]] (the RefinedWeb/MassiveText "repetition
    * removal" family): each document keeps only the FIRST occurrence of

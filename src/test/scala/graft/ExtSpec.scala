@@ -671,6 +671,32 @@ class ExtSpec extends SparkSpec {
     assert(sig(1L)._1 != sig(3L)._1)
   }
 
+  test("incremental dedup: new batch vs existing corpus, no self-join") {
+    import spark.implicits._
+    val oldDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark and shuffles here"),
+      (3L, "short")).toDF("doc_id", "text")
+    val newDf = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and agaiN"), // near dup of 1
+      (12L, "entirely novel text that matches nothing in the old corpus!!"),
+      (13L, "")).toDF("doc_id", "text")
+    val pairs = Dedup.crossPairsViaMinhash(
+        Dedup.charShingleSets(newDf, "text", "doc_id", 5),
+        Dedup.charShingleSets(oldDf, "text", "doc_id", 5),
+        numHashes = 64, bands = 16, exactThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), "exact duplicate not matched")
+    assert(pairs.contains((11L, 1L)), "near duplicate not matched")
+    assert(!pairs.exists(_._1 == 12L), "novel doc wrongly matched")
+    val keepers = Dedup.incrementalKeepers(newDf, oldDf, "text", "doc_id",
+        numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepers == Set(12L, 13L), s"keepers: $keepers")
+    Dedup.releaseCaches()
+  }
+
   test("quotaTopK: bounded heap equals the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
