@@ -355,25 +355,35 @@ object SparkEntry {
     }),
     "q32_knn_lsh" -> ((s, dir) => { ensure(s)
       // approximate path gated by recall@10 against its exact twin
-      // (measured min hits: 7/10 at sf0.01, 9/10 at sf0.1; floor 6)
+      // (measured min hits: 7/10 at sf0.01, 9/10 at sf0.1; floor 6).
+      // exact_top1_cos pins the exact-twin machinery to an INDEPENDENT
+      // oracle value (DuckDB recomputes the brute-force top-1 cosine in
+      // double precision) — the recall boolean alone would also pass a
+      // hardcoded frame; the top-1 cosine cannot.
       val emb = ld(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
-        .select("query_id", "corpus_id")
+      val exactFull = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+      val exact = exactFull.select("query_id", "corpus_id")
+      val top1 = exactFull.filter(col("rank") === 1)
+        .select(col("query_id"), round(col("cosine"), 6).as("exact_top1_cos"))
       val approx = Similarity.lshTopK(emb, q, "embedding", "vec_id",
           k = 10, nbits = 4, probes = 16)
         .select("query_id", "corpus_id")
       exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
         .groupBy("query_id").agg((count(lit(1)) >= 6).as("recall_ok"))
+        .join(top1, Seq("query_id"))
         .orderBy("query_id")
     }),
     "q40_knn_ivf" -> ((s, dir) => { ensure(s)
       // IVF ANN gated by recall@10 vs the exact twin (nprobe=3 of 8 cells;
-      // measured min hits 5/10 at sf0.01, 6/10 at sf0.1; floor 4)
+      // measured min hits 5/10 at sf0.01, 6/10 at sf0.1; floor 4).
+      // exact_top1_cos: same independent-value pin as q32.
       val emb = ld(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
-        .select("query_id", "corpus_id")
+      val exactFull = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+      val exact = exactFull.select("query_id", "corpus_id")
+      val top1 = exactFull.filter(col("rank") === 1)
+        .select(col("query_id"), round(col("cosine"), 6).as("exact_top1_cos"))
       val model = graft.ext.Ivf.train(emb, "embedding", k = 8, maxIter = 5)
       val assigned = graft.ext.Ivf.assign(emb, "embedding", model)
       val approx = graft.ext.Ivf.search(assigned, q, model,
@@ -381,6 +391,7 @@ object SparkEntry {
         .select("query_id", "corpus_id")
       exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
         .groupBy("query_id").agg((count(lit(1)) >= 4).as("recall_ok"))
+        .join(top1, Seq("query_id"))
         .orderBy("query_id")
     }),
     "q33_embed_pairs" -> ((s, dir) => { ensure(s)
@@ -960,15 +971,22 @@ object SparkEntry {
       db.createVectorIndex("vecs", "emb", cells = 8)
       val coll = db.getCollection("vecs").select(col("id"), col("vec_id"), col("emb"))
       val q = coll.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(coll, q, "emb", "id", 10)
-        .select("query_id", "corpus_id")
+      val exactFull = Similarity.bruteForceTopK(coll, q, "emb", "id", 10)
+      val exact = exactFull.select("query_id", "corpus_id")
+      // exact_top1_cos (the q32/q40 strengthening): the engine-stored
+      // vectors must reproduce the independently recomputed brute-force
+      // top-1 cosine — a lossless-round-trip proof on top of recall
+      val top1 = exactFull.filter(col("rank") === 1)
+        .select(col("query_id"), round(col("cosine"), 6).as("exact_top1_cos"))
       val approx = db.vectorSearch("vecs", "emb", q, k = 10, nprobe = 3)
         .select("query_id", "corpus_id")
       val idMap = coll.select(col("id").as("query_id"), col("vec_id"))
       exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
         .groupBy("query_id").agg((count(lit(1)) >= 4).as("recall_ok"))
+        .join(top1, Seq("query_id"))
         .join(idMap, Seq("query_id"))
-        .select(col("vec_id").as("query_id"), col("recall_ok"))
+        .select(col("vec_id").as("query_id"), col("recall_ok"),
+          col("exact_top1_cos"))
         .orderBy("query_id")
     }),
     "q82_quality_filter" -> ((s, dir) => { ensure(s)
@@ -1088,15 +1106,22 @@ object SparkEntry {
       db.createVectorIndex("vecs", "emb", cells = 8, quantized = true)
       val coll = db.getCollection("vecs").select(col("id"), col("vec_id"), col("emb"))
       val q = coll.filter(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(coll, q, "emb", "id", 10)
-        .select("query_id", "corpus_id")
+      val exactFull = Similarity.bruteForceTopK(coll, q, "emb", "id", 10)
+      val exact = exactFull.select("query_id", "corpus_id")
+      // exact_top1_cos (the q32/q40 strengthening): also proves the
+      // engine's full-precision vector round-trip is lossless — the SQ8
+      // quantization lives only in the INDEX cells, not the collection
+      val top1 = exactFull.filter(col("rank") === 1)
+        .select(col("query_id"), round(col("cosine"), 6).as("exact_top1_cos"))
       val approx = db.vectorSearch("vecs", "emb", q, k = 10, nprobe = 3)
         .select("query_id", "corpus_id")
       val idMap = coll.select(col("id").as("query_id"), col("vec_id"))
       exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
         .groupBy("query_id").agg((count(lit(1)) >= 4).as("recall_ok"))
+        .join(top1, Seq("query_id"))
         .join(idMap, Seq("query_id"))
-        .select(col("vec_id").as("query_id"), col("recall_ok"))
+        .select(col("vec_id").as("query_id"), col("recall_ok"),
+          col("exact_top1_cos"))
         .orderBy("query_id")
     }),
     "q89_corpus_diff" -> ((s, dir) => { ensure(s)
@@ -1522,9 +1547,13 @@ object SparkEntry {
        "WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND " +
        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8)"),
     "q32_knn_lsh" ->
-      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+      ("SELECT q.vec_id AS query_id, true AS recall_ok, " +
+       "round(CAST(max(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS DOUBLE), 6) AS exact_top1_cos " +
+       "FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id GROUP BY q.vec_id ORDER BY query_id"),
     "q40_knn_ivf" ->
-      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+      ("SELECT q.vec_id AS query_id, true AS recall_ok, " +
+       "round(CAST(max(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS DOUBLE), 6) AS exact_top1_cos " +
+       "FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id GROUP BY q.vec_id ORDER BY query_id"),
     "q35_langid_fingerprint" ->
       ("SELECT key, CAST(n AS BIGINT) AS n FROM (VALUES ('en', 253), ('pt', 200), ('und', 47)) t(key, n) " +
        "UNION ALL SELECT 'zz_distinct_fps', CAST(count(DISTINCT text) AS BIGINT) FROM documents " +
@@ -1643,7 +1672,9 @@ object SparkEntry {
        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs, " +
        "CAST(SUM(len(text)) AS DOUBLE) / count(*) AS mean_chars FROM documents"),
     "q81_engine_vector_index" ->
-      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+      ("SELECT q.vec_id AS query_id, true AS recall_ok, " +
+       "round(CAST(max(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS DOUBLE), 6) AS exact_top1_cos " +
+       "FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id GROUP BY q.vec_id ORDER BY query_id"),
     "q82_quality_filter" ->
       ("WITH t AS (SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks, " +
        "string_split(text, chr(10)) AS lines FROM documents), " +
@@ -1687,7 +1718,9 @@ object SparkEntry {
       ("SELECT doc_id FROM documents WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) < " +
        "CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 8 WHEN 'src2' THEN 0 ELSE 16 END ORDER BY doc_id"),
     "q88_engine_vector_sq8" ->
-      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5 ORDER BY query_id",
+      ("SELECT q.vec_id AS query_id, true AS recall_ok, " +
+       "round(CAST(max(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS DOUBLE), 6) AS exact_top1_cos " +
+       "FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id GROUP BY q.vec_id ORDER BY query_id"),
     "q89_corpus_diff" ->
       ("WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id <= 300), " +
        "n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END) AS h " +

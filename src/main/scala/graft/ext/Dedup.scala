@@ -107,6 +107,11 @@ object Dedup {
     sharedCaches.clear()
   }
 
+  // temp-dir hygiene: a JVM that never called releaseCaches() still
+  // removes its materialized tables on clean shutdown (crash leftovers
+  // land under the temp root and age out with it)
+  sys.addShutdownHook { releaseCaches() }
+
   /** Exact dedup on content hash; keeps the smallest id per group. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
