@@ -1454,6 +1454,14 @@ object SparkEntry {
       TextAnalysis.urlHosts(docs, "text", "doc_id")
         .groupBy("host").agg(count(lit(1)).as("n_docs"))
         .orderBy("host")
+    }),
+    "q109_bigram_entropy" -> ((s, dir) => { ensure(s)
+      // LM-perplexity quality scoring (bigram self-entropy, add-one
+      // smoothing): the oracle retrains the identical model in SQL and
+      // must reproduce every per-doc cross-entropy to 6 dp — counts,
+      // smoothing, vocabulary size and log base all pinned.
+      TextAnalysis.bigramSelfEntropy(ld(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1798,6 +1806,15 @@ object SparkEntry {
       ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR) || ' and http://mirror.example.org too' ELSE text END AS text FROM documents), " +
        "h AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS host FROM u) " +
        "SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY host ORDER BY host"),
+    "q109_bigram_entropy" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents), " +
+       "b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u FROM t WHERE len(w) >= 2)), " +
+       "bc AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2), " +
+       "lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY w1), " +
+       "v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vs FROM (SELECT unnest(w) AS x FROM t)), " +
+       "s AS (SELECT b.doc_id, log2((bc.c + 1.0) / (lc.cl + v.vs)) AS lp FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1), v), " +
+       "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-avg(lp), 6) AS xent FROM s GROUP BY doc_id) " +
+       "SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.xent FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -400,6 +400,61 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram self-perplexity quality scoring — the shape of CCNet-style
+   * LM-perplexity filtering (public recipe: score documents by a
+   * language model's cross-entropy; docs far from the corpus
+   * distribution are low-quality or foreign). Here the model is a
+   * bigram LM with add-one smoothing trained on the CORPUS ITSELF in
+   * one pass, so the operator is self-contained and exactly
+   * reproducible by a SQL oracle:
+   *
+   *   xent(doc) = -mean over doc bigrams of
+   *               log2( (c(w1,w2) + 1) / (cleft(w1) + V) )
+   *
+   * with c = corpus bigram count, cleft = corpus count of w1 as a
+   * bigram head, V = corpus distinct-token count. Lower = more typical.
+   * Output: (id, n_bigrams, xent) — xent null for docs under 2 tokens.
+   *
+   * Scale: two slim-key count aggregations (map-side combined) + a
+   * scoring join of exploded bigrams against the count tables — all
+   * shuffles carry (token-pair, count) tuples, never documents. At
+   * 100 TB the count tables are the persisted model artifact (compute
+   * once, reuse per snapshot — the signature-table pattern), and a
+   * production variant caps the vocabulary at top-V with an OOV bucket
+   * so the model broadcasts; swapping the corpus-trained counts for an
+   * external reference model's table changes nothing structurally.
+   */
+  def bigramSelfEntropy(df: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0).as("w"))
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("_c"))
+    val headCounts = bigrams.groupBy("w1")
+      .agg(count(lit(1)).as("_cl"))
+    val vocab = toks.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("_v"))
+    val scored = bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(headCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        log2((col("_c") + lit(1.0)) / (col("_cl") + col("_v"))).as("_lp"))
+    val agg = scored.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("_lp")), 6).as("xent"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("xent"))
+  }
+
+  /**
    * (id, host) for every DISTINCT http(s) URL host a document mentions —
    * the primitive behind domain-level filtering (blocklists, per-domain
    * caps via [[quotaTopK]], per-domain corpus stats). One narrow

@@ -671,6 +671,25 @@ class ExtSpec extends SparkSpec {
     assert(sig(1L)._1 != sig(3L)._1)
   }
 
+  test("bigramSelfEntropy: typical text scores lower than rare text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "a b a b a b a b"),
+      (4L, "q z k w"),  // bigrams seen once each
+      (5L, "solo")      // < 2 tokens -> no score
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSelfEntropy(df, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), Option(x.get(2)))).toMap
+    assert(r(1L)._1 == 7 && r(4L)._1 == 3 && r(5L)._1 == 0)
+    assert(r(5L)._2.isEmpty, "sub-2-token doc must have null xent")
+    val common = r(1L)._2.get.asInstanceOf[Double]
+    val rare = r(4L)._2.get.asInstanceOf[Double]
+    assert(common < rare,
+      s"corpus-typical doc ($common) must score below rare doc ($rare)")
+  }
+
   test("incremental dedup: new batch vs existing corpus, no self-join") {
     import spark.implicits._
     val oldDf = Seq(
