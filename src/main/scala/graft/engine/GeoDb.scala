@@ -1283,28 +1283,41 @@ class GeoDb(
    *
    * SUPPORTED FILESYSTEMS: the protocol's three safety primitives —
    * exclusive create-if-absent is atomic, rename is atomic, rename
-   * preserves mtime — hold on POSIX local filesystems and HDFS only.
-   * Object stores (S3A, GCS, ABFS, ...) satisfy none of them: create is
-   * check-then-act, "rename" is copy+delete that rewrites mtime (so the
-   * stale-break identity comparison can never match and two writers can
-   * both win acquisition). Those schemes are REFUSED up front; run
-   * collections on such storage under an external coordinator (a
-   * single-writer job scheduler, or a transactional table format) and
-   * front the engine with HDFS-or-POSIX paths for locked DML.
+   * preserves mtime — hold on POSIX local filesystems and HDFS only, so
+   * lock acquisition runs only on an ALLOW-LIST of schemes (file, hdfs,
+   * viewfs). Everything else — object stores (S3A, GCS, ABFS, Swift,
+   * ADL, ...) and unknown filesystems — satisfies none of the
+   * primitives: create is check-then-act, "rename" is copy+delete that
+   * rewrites mtime (so the stale-break identity comparison can never
+   * match and two writers can both win acquisition). Unlisted schemes
+   * are REFUSED up front (a deny-list would silently hand the unsafe
+   * protocol to any store it forgot to name). Deployments with exactly
+   * ONE writer per collection — the contract documented before locking
+   * existed — can set `spark.graft.unsafeSingleWriterDml=true` to run
+   * DML on such storage with NO lock at all: honest about providing no
+   * mutual exclusion, instead of running a protocol that merely
+   * pretends to.
    */
-  private val unsupportedLockSchemes =
-    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+  private val lockCapableSchemes = Set("file", "hdfs", "viewfs")
 
   private def withCommitLock[T](d: String, c: String,
                                 staleLockMs: Long = 600000L)(body: => T): T = {
     val lock = new HPath(s"${catalog.collectionDir(d, c)}/.commit.lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
-    if (unsupportedLockSchemes.contains(Option(fs.getScheme).getOrElse("").toLowerCase)) {
+    if (!lockCapableSchemes.contains(Option(fs.getScheme).getOrElse("").toLowerCase)) {
+      if (spark.conf.get("spark.graft.unsafeSingleWriterDml", "false") == "true") {
+        // documented single-writer contract: no lock, no exclusion —
+        // the caller has asserted there is exactly one writer
+        return body
+      }
       throw new UnsupportedOperationException(
-        s"commit locking on '${fs.getScheme}' is unsupported: object stores " +
-          "lack atomic create-if-absent and mtime-preserving rename, so the " +
-          "lock protocol cannot exclude concurrent writers there. Use " +
-          "POSIX/HDFS paths for locked DML, or coordinate writers externally.")
+        s"commit locking on '${fs.getScheme}' is unsupported: only " +
+          s"${lockCapableSchemes.mkString("/")} provide the atomic " +
+          "create-if-absent and mtime-preserving rename the protocol " +
+          "needs; object stores cannot exclude concurrent writers. Use " +
+          "POSIX/HDFS paths for locked DML, coordinate writers " +
+          "externally, or set spark.graft.unsafeSingleWriterDml=true " +
+          "to run WITHOUT a lock under a strict single-writer contract.")
     }
     // Each acquisition is IDENTIFIED: the lock file carries its owner's
     // UUID. Release and stale-break both verify identity before acting,
@@ -1408,14 +1421,27 @@ class GeoDb(
               // the conflict is never silently dropped.
               val restoreDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
               var restored = false
+              var sawOccupiedSlot = false
               while (!restored && System.nanoTime() < restoreDeadline) {
                 val slotEmpty = try !fs.exists(lock) catch {
                   case _: java.io.IOException => false }
+                if (!slotEmpty) sawOccupiedSlot = true
                 restored = slotEmpty &&
                   (try fs.rename(tomb, lock)
                    catch { case _: java.io.IOException => false })
                 if (!restored) Thread.sleep(25)
               }
+              // a retry that had to wait for an OCCUPIED slot means a
+              // third writer ran while the displaced successor was
+              // committing unprotected — the restore heals the lock
+              // state but cannot undo that overlap window; surface it
+              // instead of absorbing the diagnostic silently
+              if (restored && sawOccupiedSlot)
+                System.err.println(
+                  s"[graft] WARNING: commit-lock stale-break race on $d/$c: " +
+                    "a writer acquired the slot while a displaced lock was " +
+                    "being restored — two commits may have overlapped; " +
+                    "verify collection consistency (counts, id ranges)")
               require(restored,
                 s"commit-lock stale-break race on $d/$c: a fresh lock was " +
                   s"taken for stale and could not be restored within 10s " +

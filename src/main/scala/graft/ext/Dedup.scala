@@ -45,55 +45,91 @@ object Dedup {
   // file:/tmp default would scatter task output across executor-local
   // disks.
   private val maxSharedCaches = 8
-  private final case class SharedTable(dir: String, df: DataFrame)
+  private final case class SharedTable(dir: String, df: DataFrame,
+      conf: org.apache.hadoop.conf.Configuration)
   private val sharedCaches = new java.util.LinkedHashMap[
       (org.apache.spark.sql.SparkSession,
        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), SharedTable](
       16, 0.75f, /*accessOrder=*/ true)
+  // dirs whose registry entry was evicted (LRU/dead-session): NOT deleted
+  // immediately — a caller may still hold a returned DataFrame scanning
+  // them (pre-rework, eviction was a safe unpersist that degraded to
+  // recompute; deleting under a live frame would upgrade that to a hard
+  // FileNotFoundException). Retired dirs are removed at releaseCaches()
+  // (the explicit, documented teardown) or JVM shutdown.
+  private val retired =
+    new java.util.ArrayList[(String, org.apache.hadoop.conf.Configuration)]
 
-  private def sharedTableRoot(spark: org.apache.spark.sql.SparkSession): String =
-    spark.conf.get("spark.graft.sharedTableDir",
+  private def sharedTableRoot(spark: org.apache.spark.sql.SparkSession): String = {
+    val root = spark.conf.get("spark.graft.sharedTableDir",
       s"${System.getProperty("java.io.tmpdir")}/graft-shared-tables")
+    // a node-local default on a real cluster would scatter task output
+    // across executor disks and SILENTLY drop signature rows (missed
+    // duplicate pairs, not an error) — refuse loudly instead
+    val scheme = Option(new org.apache.hadoop.fs.Path(root)
+      .toUri.getScheme).getOrElse("file")
+    require(spark.sparkContext.isLocal || scheme != "file",
+      s"shared signature tables at '$root' resolve to node-local storage " +
+        "on a multi-node cluster (task output would scatter across " +
+        "executor disks and drop rows silently). Set " +
+        "spark.graft.sharedTableDir to a shared filesystem path.")
+    root
+  }
 
-  private def deleteTable(dir: String): Unit =
+  private def deleteTable(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      fs.delete(p, true)
+      // the conf captured at WRITE time: a fresh Configuration would lack
+      // the session's fs settings/credentials and silently leak the dir
+      p.getFileSystem(conf).delete(p, true)
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def persistShared(df: DataFrame): DataFrame = sharedCaches.synchronized {
-    // drop entries from stopped sessions first: a JVM that restarts its
-    // SparkSession (tests, notebooks) must never be handed a DataFrame
-    // bound to the dead context just because the canonicalized plan of
-    // the new session's frame looks identical
-    val deadIt = sharedCaches.entrySet().iterator()
-    while (deadIt.hasNext) {
-      val e = deadIt.next()
-      if (e.getKey._1.sparkContext.isStopped) {
-        deleteTable(e.getValue.dir)
-        deadIt.remove()
-      }
-    }
+  private def persistShared(df: DataFrame): DataFrame = {
     // key on (session, canonicalized plan): plan equality alone is not
     // identity across sessions
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    val existing = sharedCaches.get(key) // refreshes LRU order on hit
-    if (existing != null) existing.df
-    else {
-      val dir = s"${sharedTableRoot(df.sparkSession)}/" +
-        java.util.UUID.randomUUID.toString.take(12)
-      df.write.mode("overwrite").parquet(dir)
-      val back = df.sparkSession.read.parquet(dir)
-      sharedCaches.put(key, SharedTable(dir, back))
-      if (sharedCaches.size() > maxSharedCaches) {
-        val it = sharedCaches.entrySet().iterator()
-        val eldest = it.next()
-        deleteTable(eldest.getValue.dir)
-        it.remove()
+    val hit = sharedCaches.synchronized {
+      Option(sharedCaches.get(key)) // refreshes LRU order on hit
+    }
+    if (hit.isDefined) return hit.get.df
+    // materialize OUTSIDE the monitor: the write is a full Spark job
+    // (minutes on a large corpus) and must not serialize unrelated
+    // concurrent dedup callers. Two racing threads may both write; the
+    // loser's table is retired below.
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dir = s"${sharedTableRoot(df.sparkSession)}/" +
+      java.util.UUID.randomUUID.toString.take(12)
+    df.write.mode("overwrite").parquet(dir)
+    val back = df.sparkSession.read.parquet(dir)
+    sharedCaches.synchronized {
+      // sweep entries of stopped sessions: a JVM that restarts its
+      // SparkSession (tests, notebooks) must never be handed a DataFrame
+      // bound to the dead context just because the canonicalized plan of
+      // the new session's frame looks identical
+      val deadIt = sharedCaches.entrySet().iterator()
+      while (deadIt.hasNext) {
+        val e = deadIt.next()
+        if (e.getKey._1.sparkContext.isStopped) {
+          retired.add((e.getValue.dir, e.getValue.conf))
+          deadIt.remove()
+        }
       }
-      back
+      val won = sharedCaches.get(key)
+      if (won != null) { // raced: keep the first registration
+        retired.add((dir, conf))
+        won.df
+      } else {
+        sharedCaches.put(key, SharedTable(dir, back, conf))
+        if (sharedCaches.size() > maxSharedCaches) {
+          val it = sharedCaches.entrySet().iterator()
+          val eldest = it.next()
+          retired.add((eldest.getValue.dir, eldest.getValue.conf))
+          it.remove()
+        }
+        back
+      }
     }
   }
 
@@ -101,10 +137,15 @@ object Dedup {
   private[graft] def sharedCacheCount: Int =
     sharedCaches.synchronized { sharedCaches.size() }
 
-  /** Delete every shared signature table registered this session. */
+  /** Delete every shared signature table this session materialized —
+    * including retired (LRU-evicted) ones. This is the DESTRUCTIVE
+    * teardown: DataFrames previously returned by the dedup operators
+    * stop being scannable after this call. */
   def releaseCaches(): Unit = sharedCaches.synchronized {
-    sharedCaches.values().forEach { t => deleteTable(t.dir) }
+    sharedCaches.values().forEach { t => deleteTable(t.dir, t.conf) }
     sharedCaches.clear()
+    retired.forEach { case (d, c) => deleteTable(d, c) }
+    retired.clear()
   }
 
   // temp-dir hygiene: a JVM that never called releaseCaches() still
@@ -305,9 +346,10 @@ object Dedup {
    * Incremental-ingestion dedup: EXACT char-shingle Jaccard >=
    * exactThreshold matches of NEW documents against an EXISTING corpus —
    * the "dedupe today's crawl against the whole corpus" step. Asymmetric
-   * MinHash-LSH: both sides get slim signatures (materialized via the
-   * shared-table registry — the OLD side's signature table is exactly the
-   * reusable artifact an ingestion pipeline keeps between batches), the
+   * MinHash-LSH: the OLD side's signatures are materialized via the
+   * shared-table registry (exactly the reusable artifact an ingestion
+   * pipeline keeps between batches) while the per-batch NEW side stays a
+   * transient persist (its plan never recurs); the
    * band join is NEW x OLD only (never a self-join), so a small delta
    * against a huge corpus costs |delta| signature work plus a bucket join
    * whose old side prunes to colliding bands. Oversized OLD buckets
@@ -322,16 +364,23 @@ object Dedup {
                            maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    def sigsOf(sh: DataFrame): DataFrame = persistShared(
-      sh.filter(size(col("sh")) > 0)
-        .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig")))
     def bandedOf(sigs: DataFrame): DataFrame = sigs
       .select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val newSigs = sigsOf(newShingles)
-    val oldSigs = sigsOf(oldShingles)
+    // only the OLD side goes through the shared-table registry — it is
+    // the reusable cross-batch artifact. The NEW (delta) side's plan
+    // never recurs, so registering it would burn a write job per batch
+    // and evict the old-corpus table the registry exists to keep; it
+    // gets a plain persist for its two uses, released after the eager
+    // pair materialization below.
+    val newSigs = newShingles.filter(size(col("sh")) > 0)
+      .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldSigs = persistShared(
+      oldShingles.filter(size(col("sh")) > 0)
+        .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig")))
     // only slim (id, band, band_hash) tuples ride the explode and the
     // bucket join — the signature arrays join back for candidates only
     // (the same shuffle discipline as exactPairsViaMinhash)
@@ -354,7 +403,7 @@ object Dedup {
     val newSh = newShingles.filter(size(col("sh")) > 0)
     val oldSh = oldShingles.filter(size(col("sh")) > 0)
       .select(col("id").as("id2"), col("sh").as("sh2"))
-    estPruned
+    val pairs = estPruned
       .join(newSh, Seq("id"))
       .join(oldSh, Seq("id2"))
       .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
@@ -362,6 +411,11 @@ object Dedup {
         (size(col("sh")) + size(col("sh2")) - col("_c")))
       .filter(col("jaccard") >= exactThreshold)
       .select("id", "id2", "jaccard")
+    // eager materialization of the (small) pair set bounds the delta
+    // cache's lifetime (same discipline as minhashPairs)
+    val out = pairs.localCheckpoint(true)
+    newSigs.unpersist(false)
+    out
   }
 
   /** New-batch rows that near-duplicate NO existing-corpus document —

@@ -589,8 +589,13 @@ object Multimodal {
    * amplitudes) makes the signature EXACTLY invariant under uniform
    * gain scaling and phase inversion — the canonical
    * perceptually-identical transforms — while distinct material yields
-   * near-independent envelope bits. Null for undecodable payloads. One
-   * decode pass, mapPartitions, no shuffle.
+   * near-independent envelope bits. Null for undecodable payloads AND
+   * for clips shorter than one sample per frame (< 65 samples): their
+   * envelope is mostly empty frames, so unrelated short clips would
+   * collapse onto near-identical low-entropy signatures and flood the
+   * near-dup join with false positives — too short for envelope
+   * semantics, excluded instead. One decode pass, mapPartitions, no
+   * shuffle.
    */
   def audioPerceptualSignatures(media: DataFrame): DataFrame = {
     val frames = 65
@@ -604,6 +609,8 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idI)
         decodeWav(r.getAs[Array[Byte]](coI)) match {
+          case Some((_, _, samples)) if samples.length < frames =>
+            Row(id, null)
           case Some((_, _, samples)) =>
             val n = samples.length
             val e = new Array[Long](frames)

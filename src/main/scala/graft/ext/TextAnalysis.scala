@@ -497,9 +497,14 @@ object TextAnalysis {
         score.cast("double").as("_s"))
       .groupBy("_g")
       .agg(TopKAggregate.topk_by_score(col("_id"), col("_s"), k).as("_top"))
-      .select(explode(col("_top")).as("_e"))
-      .select(col("_e.id").as("_keep_id"))
-    df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
+      .select(col("_g"), explode(col("_top")).as("_e"))
+      .select(col("_g"), col("_e.id").as("_keep_id"))
+    // semi-join on (group, id), not id alone: nothing in the API requires
+    // idCol to be unique ACROSS groups, and an id kept in one group must
+    // not smuggle in the same id's losing row of another group
+    df.join(keep,
+      df(groupCol) === keep("_g") && df(idCol) === keep("_keep_id"),
+      "left_semi")
   }
 
   /**

@@ -731,6 +731,14 @@ class ExtSpec extends SparkSpec {
     // k larger than any group: everything survives
     val all = TextAnalysis.quotaTopK(docs, "source", lit(1.0), "doc_id", 100000)
     assert(all.count() == docs.count())
+    // ids are NOT required to be unique across groups: an id kept in one
+    // group must not smuggle in the same id's losing row elsewhere
+    import spark.implicits._
+    val dup = Seq(("A", 1L, 9.0), ("B", 1L, 0.0), ("B", 2L, 5.0))
+      .toDF("g", "id", "s")
+    val kept = TextAnalysis.quotaTopK(dup, "g", col("s"), "id", 1)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("A", 1L), ("B", 2L)), s"kept: $kept")
   }
 
   test("dedupLinesWithinDoc keeps first occurrences in order") {
@@ -804,6 +812,14 @@ class ExtSpec extends SparkSpec {
     val exact = Multimodal.audioExactDupPairs(all)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.isEmpty, s"phase-inverted PCM wrongly exact-identical: $exact")
+    // clips under 65 samples (one per frame) get a NULL signature: their
+    // near-empty envelopes would collapse unrelated clips together
+    val short = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(999L, "audio",
+        ExtSpec.tinyWav(30), Row(null, null, 1, 8000, "wav"))), 1),
+      Multimodal.mediaSchema)
+    val shortSig = Multimodal.audioPerceptualSignatures(short).first()
+    assert(shortSig.isNullAt(1), "sub-65-sample clip must have null ahash")
   }
 
   test("exactCosinePairs: guarded O(n^2) diagnostic refuses oversized input") {
@@ -876,5 +892,22 @@ class ExtSpec extends SparkSpec {
     // eager release drops every registered cache
     Dedup.releaseCaches()
     assert(Dedup.sharedCacheCount == 0)
+  }
+}
+
+object ExtSpec {
+  /** Minimal RIFF PCM16 mono WAV with n constant-ish samples. */
+  def tinyWav(n: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dataLen = n * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1); buf.putInt(8000)
+    buf.putInt(16000); buf.putShort(2); buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    (0 until n).foreach(i => buf.putShort((i * 37 % 500).toShort))
+    buf.array()
   }
 }
