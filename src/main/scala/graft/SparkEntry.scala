@@ -1462,6 +1462,20 @@ object SparkEntry {
       // smoothing, vocabulary size and log base all pinned.
       TextAnalysis.bigramSelfEntropy(ld(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+    "q110_token_drift" -> ((s, dir) => { ensure(s)
+      // snapshot distribution drift: old = docs <= 300, new = docs > 200
+      // with a planted token on every 4th doc — both engines build the
+      // same snapshots, the oracle recomputes every per-token KL
+      // contribution (add-one smoothing, union vocab) to 6 dp; the
+      // planted token must surface as a positive contributor.
+      val docs = ld(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") <= 300)
+      val newSnap = docs.filter(col("doc_id") > 200)
+        .withColumn("text", when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" zdriftzz"))).otherwise(col("text")))
+      TextAnalysis.tokenDrift(oldSnap, newSnap, "text")
+        .orderBy("token")
     })
   )
 
@@ -1815,6 +1829,16 @@ object SparkEntry {
        "s AS (SELECT b.doc_id, log2((bc.c + 1.0) / (lc.cl + v.vs)) AS lp FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1), v), " +
        "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-avg(lp), 6) AS xent FROM s GROUP BY doc_id) " +
        "SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.xent FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id"),
+    "q110_token_drift" ->
+      ("WITH os AS (SELECT text FROM documents WHERE doc_id <= 300), " +
+       "ns AS (SELECT CASE WHEN doc_id % 4 = 0 THEN text || ' zdriftzz' ELSE text END AS text FROM documents WHERE doc_id > 200), " +
+       "oc AS (SELECT x AS token, count(*) AS c_old FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM os) GROUP BY x), " +
+       "nc AS (SELECT x AS token, count(*) AS c_new FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM ns) GROUP BY x), " +
+       "j AS (SELECT COALESCE(oc.token, nc.token) AS token, COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new FROM oc FULL OUTER JOIN nc ON oc.token = nc.token), " +
+       "t AS (SELECT CAST(sum(c_old) AS DOUBLE) AS tot_old, CAST(sum(c_new) AS DOUBLE) AS tot_new, CAST(count(*) AS DOUBLE) AS v FROM j) " +
+       "SELECT token, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new, " +
+       "round(((c_new + 1.0) / (tot_new + v)) * log2(((c_new + 1.0) / (tot_new + v)) / ((c_old + 1.0) / (tot_old + v))), 6) AS kl_contrib " +
+       "FROM j, t ORDER BY token"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

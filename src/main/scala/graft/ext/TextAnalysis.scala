@@ -400,6 +400,45 @@ object TextAnalysis {
   }
 
   /**
+   * Token-distribution drift between two corpus snapshots: each token's
+   * contribution to KL(new || old) with add-one smoothing over the
+   * union vocabulary — the monitoring primitive behind "did this
+   * ingestion batch shift the corpus distribution", and the token-level
+   * complement of [[corpusDiff]]'s row-level statuses.
+   *
+   *   contrib(t) = p_new(t) · log2(p_new(t) / p_old(t)),
+   *   p(t) = (c(t) + 1) / (N + V)   (V = union vocabulary size)
+   *
+   * Σ contrib = the KL divergence; positive contributors are
+   * over-represented in the new snapshot. Output: (token, c_old, c_new,
+   * kl_contrib) for every union-vocabulary token.
+   *
+   * Scale: two slim (token, count) aggregations (map-side combined), a
+   * full-outer join on token, and one broadcast totals row — shuffles
+   * carry token counts, never documents.
+   */
+  def tokenDrift(oldDf: DataFrame, newDf: DataFrame,
+                 textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val joined = counts(oldDf).select(col("token"), col("c").as("c_old"))
+      .join(counts(newDf).select(col("token"), col("c").as("c_new")),
+        Seq("token"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+    val totals = joined.agg(
+      sum(col("c_old")).cast("double").as("_tot_old"),
+      sum(col("c_new")).cast("double").as("_tot_new"),
+      count(lit(1)).cast("double").as("_v"))
+    val pNew = (col("c_new") + lit(1.0)) / (col("_tot_new") + col("_v"))
+    val pOld = (col("c_old") + lit(1.0)) / (col("_tot_old") + col("_v"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("c_old"), col("c_new"),
+        round(pNew * log2(pNew / pOld), 6).as("kl_contrib"))
+  }
+
+  /**
    * Bigram self-perplexity quality scoring — the shape of CCNet-style
    * LM-perplexity filtering (public recipe: score documents by a
    * language model's cross-entropy; docs far from the corpus

@@ -671,6 +671,24 @@ class ExtSpec extends SparkSpec {
     assert(sig(1L)._1 != sig(3L)._1)
   }
 
+  test("tokenDrift: planted token is the top positive KL contributor") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val newDf = Seq((1L, "alpha beta gamma planted planted"),
+      (2L, "alpha beta delta planted")).toDF("doc_id", "text")
+    val drift = TextAnalysis.tokenDrift(oldDf, newDf, "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(drift("planted")._1 == 0 && drift("planted")._2 == 3)
+    val top = drift.maxBy(_._2._3)
+    assert(top._1 == "planted", s"top contributor: $top")
+    assert(drift("planted")._3 > 0.0)
+    // unchanged tokens contribute ~0 (probabilities shift only via the
+    // normalizer)
+    assert(math.abs(drift("gamma")._3) < drift("planted")._3 / 3)
+  }
+
   test("bigramSelfEntropy: typical text scores lower than rare text") {
     import spark.implicits._
     val df = Seq(
