@@ -1305,7 +1305,8 @@ class GeoDb(
     val lock = new HPath(s"${catalog.collectionDir(d, c)}/.commit.lock")
     val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
     if (!lockCapableSchemes.contains(Option(fs.getScheme).getOrElse("").toLowerCase)) {
-      if (spark.conf.get("spark.graft.unsafeSingleWriterDml", "false") == "true") {
+      if (spark.conf.get("spark.graft.unsafeSingleWriterDml", "false")
+            .equalsIgnoreCase("true")) {
         // documented single-writer contract: no lock, no exclusion —
         // the caller has asserted there is exactly one writer
         return body
@@ -1423,25 +1424,34 @@ class GeoDb(
               var restored = false
               var sawOccupiedSlot = false
               while (!restored && System.nanoTime() < restoreDeadline) {
-                val slotEmpty = try !fs.exists(lock) catch {
-                  case _: java.io.IOException => false }
-                if (!slotEmpty) sawOccupiedSlot = true
-                restored = slotEmpty &&
+                // tri-state exists: a transient IO failure must neither
+                // count as "occupied" (phantom overlap warning) nor as
+                // "empty" (rename onto an unknown slot)
+                val occupied = try Some(fs.exists(lock)) catch {
+                  case _: java.io.IOException => None }
+                if (occupied.contains(true)) sawOccupiedSlot = true
+                restored = occupied.contains(false) &&
                   (try fs.rename(tomb, lock)
                    catch { case _: java.io.IOException => false })
                 if (!restored) Thread.sleep(25)
               }
-              // a retry that had to wait for an OCCUPIED slot means a
-              // third writer ran while the displaced successor was
-              // committing unprotected — the restore heals the lock
-              // state but cannot undo that overlap window; surface it
-              // instead of absorbing the diagnostic silently
-              if (restored && sawOccupiedSlot)
+              // POSIX rename OVERWRITES: a third writer that acquired
+              // the slot between our exists() and rename() was silently
+              // clobbered — read the slot back and treat any content
+              // other than the restored lock's as that race having fired
+              val overwroteThird =
+                restored && readSmallFile(fs, lock) != c1
+              // surface both overlap diagnostics instead of absorbing
+              // them: a restore that waited out an occupied slot, or one
+              // that overwrote a fresh acquisition, means a writer ran
+              // while the displaced successor was committing unprotected
+              if (restored && (sawOccupiedSlot || overwroteThird))
                 System.err.println(
                   s"[graft] WARNING: commit-lock stale-break race on $d/$c: " +
-                    "a writer acquired the slot while a displaced lock was " +
-                    "being restored — two commits may have overlapped; " +
-                    "verify collection consistency (counts, id ranges)")
+                    "a writer held or acquired the slot while a displaced " +
+                    "lock was being restored — two commits may have " +
+                    "overlapped; verify collection consistency (counts, " +
+                    "id ranges)")
               require(restored,
                 s"commit-lock stale-break race on $d/$c: a fresh lock was " +
                   s"taken for stale and could not be restored within 10s " +

@@ -38,7 +38,8 @@ object Dedup {
   // registry is a BOUNDED LRU keyed on (session, canonicalized plan):
   // re-registering an equivalent frame reuses the existing table, and
   // once `maxSharedCaches` distinct corpora/params are live the
-  // least-recently-used table is deleted. `releaseCaches()` drops
+  // least-recently-used table is RETIRED (deferred-deleted — see the
+  // `retired` queue below). `releaseCaches()` drops
   // everything eagerly (documented contract). The table root defaults to
   // the JVM temp dir (right for local[n]); on a multi-node cluster set
   // `spark.graft.sharedTableDir` to a shared filesystem path — a
@@ -56,18 +57,38 @@ object Dedup {
   // them (pre-rework, eviction was a safe unpersist that degraded to
   // recompute; deleting under a live frame would upgrade that to a hard
   // FileNotFoundException). Retired dirs are removed at releaseCaches()
-  // (the explicit, documented teardown) or JVM shutdown.
+  // (the explicit, documented teardown) or JVM shutdown; to bound disk in
+  // a long-lived session the retirement queue itself is capped — once it
+  // exceeds `maxRetired`, the OLDEST retired dirs are deleted (a frame
+  // evicted that many registrations ago is presumed released; a caller
+  // holding frames across 40+ corpus registrations must re-run the
+  // operator, the same contract a recomputing cache gave it).
+  private val maxRetired = 32
   private val retired =
-    new java.util.ArrayList[(String, org.apache.hadoop.conf.Configuration)]
+    new java.util.ArrayDeque[(String, org.apache.hadoop.conf.Configuration)]
+
+  private def retire(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    retired.addLast((dir, conf))
+    while (retired.size() > maxRetired) {
+      val (d, c) = retired.removeFirst()
+      deleteTable(d, c)
+    }
+  }
 
   private def sharedTableRoot(spark: org.apache.spark.sql.SparkSession): String = {
     val root = spark.conf.get("spark.graft.sharedTableDir",
       s"${System.getProperty("java.io.tmpdir")}/graft-shared-tables")
-    // a node-local default on a real cluster would scatter task output
+    // a node-local root on a real cluster would scatter task output
     // across executor disks and SILENTLY drop signature rows (missed
-    // duplicate pairs, not an error) — refuse loudly instead
-    val scheme = Option(new org.apache.hadoop.fs.Path(root)
-      .toUri.getScheme).getOrElse("file")
+    // duplicate pairs, not an error) — refuse loudly instead. The scheme
+    // is resolved through the session Hadoop conf, NOT the raw URI: a
+    // scheme-less path legitimately resolves against fs.defaultFS
+    // (hdfs:// on a typical cluster) and must not be mistaken for local.
+    val scheme =
+      try new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf()).getScheme
+      catch { case scala.util.control.NonFatal(_) => "file" }
     require(spark.sparkContext.isLocal || scheme != "file",
       s"shared signature tables at '$root' resolve to node-local storage " +
         "on a multi-node cluster (task output would scatter across " +
@@ -112,20 +133,20 @@ object Dedup {
       while (deadIt.hasNext) {
         val e = deadIt.next()
         if (e.getKey._1.sparkContext.isStopped) {
-          retired.add((e.getValue.dir, e.getValue.conf))
+          retire(e.getValue.dir, e.getValue.conf)
           deadIt.remove()
         }
       }
       val won = sharedCaches.get(key)
       if (won != null) { // raced: keep the first registration
-        retired.add((dir, conf))
+        retire(dir, conf)
         won.df
       } else {
         sharedCaches.put(key, SharedTable(dir, back, conf))
         if (sharedCaches.size() > maxSharedCaches) {
           val it = sharedCaches.entrySet().iterator()
           val eldest = it.next()
-          retired.add((eldest.getValue.dir, eldest.getValue.conf))
+          retire(eldest.getValue.dir, eldest.getValue.conf)
           it.remove()
         }
         back
@@ -378,6 +399,11 @@ object Dedup {
     val newSigs = newShingles.filter(size(col("sh")) > 0)
       .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // everything from here on may run Spark jobs that fail (the old-side
+    // table write, the band/verify joins); the delta cache must be
+    // released on EVERY exit path or each retried ingestion batch would
+    // strand another cached signature frame in the block store
+    try {
     val oldSigs = persistShared(
       oldShingles.filter(size(col("sh")) > 0)
         .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig")))
@@ -413,9 +439,8 @@ object Dedup {
       .select("id", "id2", "jaccard")
     // eager materialization of the (small) pair set bounds the delta
     // cache's lifetime (same discipline as minhashPairs)
-    val out = pairs.localCheckpoint(true)
-    newSigs.unpersist(false)
-    out
+    pairs.localCheckpoint(true)
+    } finally newSigs.unpersist(false)
   }
 
   /** New-batch rows that near-duplicate NO existing-corpus document —

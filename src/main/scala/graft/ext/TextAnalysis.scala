@@ -423,10 +423,16 @@ object TextAnalysis {
       .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
+    // the union-vocabulary join is scanned twice (totals + output);
+    // eager localCheckpoint materializes it ONCE — without it only the
+    // exchanges are reused and the merge-join executes on both branches.
+    // Vocabulary-sized (tokens, not documents), so the materialization
+    // is bounded.
     val joined = counts(oldDf).select(col("token"), col("c").as("c_old"))
       .join(counts(newDf).select(col("token"), col("c").as("c_new")),
         Seq("token"), "full_outer")
       .na.fill(0L, Seq("c_old", "c_new"))
+      .localCheckpoint(true)
     val totals = joined.agg(
       sum(col("c_old")).cast("double").as("_tot_old"),
       sum(col("c_new")).cast("double").as("_tot_new"),
@@ -540,9 +546,11 @@ object TextAnalysis {
       .select(col("_g"), col("_e.id").as("_keep_id"))
     // semi-join on (group, id), not id alone: nothing in the API requires
     // idCol to be unique ACROSS groups, and an id kept in one group must
-    // not smuggle in the same id's losing row of another group
+    // not smuggle in the same id's losing row of another group. <=> not
+    // ===: a NULL group is a legitimate group (unknown provenance) and
+    // its winners must survive the join like any other group's.
     df.join(keep,
-      df(groupCol) === keep("_g") && df(idCol) === keep("_keep_id"),
+      (df(groupCol) <=> keep("_g")) && df(idCol) === keep("_keep_id"),
       "left_semi")
   }
 
