@@ -104,6 +104,24 @@ object Similarity {
   }
 
   /**
+   * Overflow report for [[clusterCosinePairs]]'s cell cap — the "no
+   * silent caps" twin (same contract as `Dedup.setSimilarityOverflow`):
+   * one row per cell excluded for exceeding `maxCell`, with its size.
+   * Every vector in a reported cell was excluded from pair search;
+   * route those cells through the LSH path ([[Dedup.embeddingPairs]])
+   * or retrain with more cells.
+   */
+  def clusterOversizedCells(df: DataFrame, vecCol: String,
+                            cells: Int = 8, maxIter: Int = 5,
+                            maxCell: Int = 10000,
+                            seed: Long = 42L): DataFrame = {
+    val model = Ivf.train(df, vecCol, k = cells, maxIter = maxIter, seed = seed)
+    Ivf.assign(df, vecCol, model)
+      .groupBy("ivf_cell").agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > maxCell)
+  }
+
+  /**
    * SemDeDup keepers: transitive closure over the cluster-local pair set
    * ([[Dedup.components]] — pointer doubling, no driver state), keep the
    * minimum id per duplicate group, anti-join the rest out.

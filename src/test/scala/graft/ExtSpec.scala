@@ -789,6 +789,17 @@ class ExtSpec extends SparkSpec {
         "embedding", "vec_id", threshold = 0.95, cells = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (0L until 20L).map(v => (v, v + 5000)).toSet)
+    // the cap is never silent: with maxCell below the corpus size every
+    // cell overflows, pairs vanish, and the report names each dropped
+    // cell with its size
+    val capped = Similarity.clusterCosinePairs(emb.unionByName(copies),
+        "embedding", "vec_id", threshold = 0.95, cells = 4, maxCell = 10)
+    assert(capped.isEmpty)
+    val report = Similarity.clusterOversizedCells(emb.unionByName(copies),
+        "embedding", cells = 4, maxCell = 10)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(report.nonEmpty && report.sum == emb.count() + 20,
+      s"overflow report must account for every excluded vector: $report")
   }
 
   test("audio perceptual signatures: gain/phase invariant, content sensitive") {
