@@ -1416,12 +1416,16 @@ object SparkEntry {
       // original and scores cosine ~1.0 >= 0.95, while the maximum
       // NATURAL pair cosine in the table is 0.60 (measured at all three
       // SFs) — so the keeper set must be exactly the original rows,
-      // which the oracle states without running any clustering.
+      // which the oracle states without running any clustering. Cells
+      // are DATA-DERIVED (cells = 0 → k ~ sqrt(n)): the many-small-cells
+      // regime the SemDeDup paper actually runs — an identical vector
+      // lands in its original's cell whatever the cell count, so recall
+      // is invariant while Σ|cell|² stays near-linear.
       val emb = ld(s, dir, "embeddings").select("vec_id", "embedding")
       val copies = emb.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + 10000)
       Similarity.semanticDedupKeepers(emb.unionByName(copies),
-          "embedding", "vec_id", threshold = 0.95, cells = 8)
+          "embedding", "vec_id", threshold = 0.95)
         .select("vec_id").orderBy("vec_id")
     }),
     "q107_incremental_dedup" -> ((s, dir) => { ensure(s)
@@ -1445,11 +1449,15 @@ object SparkEntry {
       // engines build identical text — the q93 recipe), extract distinct
       // http(s) hosts per doc, count docs per host. 7 hosts with
       // arithmetic doc counts the oracle derives from the modulus alone.
+      // The mirror URL is deliberately MIXED-CASE (Http:// scheme,
+      // Mirror.Example.ORG host): RFC 3986 makes both case-insensitive,
+      // so it must still extract and fold to mirror.example.org — a
+      // scheme-case-sensitive regex or unlowered host fails this gate.
       val docs = ld(s, dir, "documents").withColumn("text",
         when(col("doc_id") % 4 === 0, concat(col("text"),
           lit(" see https://site"), (col("doc_id") % 7).cast("string"),
           lit(".example.com/page/"), col("doc_id").cast("string"),
-          lit(" and http://mirror.example.org too")))
+          lit(" and Http://Mirror.Example.ORG too")))
         .otherwise(col("text")))
       TextAnalysis.urlHosts(docs, "text", "doc_id")
         .groupBy("host").agg(count(lit(1)).as("n_docs"))
@@ -1817,8 +1825,8 @@ object SparkEntry {
        "CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE) / len(list_distinct(n.sh || o.sh)) >= 0.8) " +
        "SELECT doc_id FROM n WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id"),
     "q108_url_hosts" ->
-      ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR) || ' and http://mirror.example.org too' ELSE text END AS text FROM documents), " +
-       "h AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS host FROM u) " +
+      ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR) || ' and Http://Mirror.Example.ORG too' ELSE text END AS text FROM documents), " +
+       "h AS (SELECT doc_id, unnest(list_distinct(list_transform(regexp_extract_all(text, '(?i)https?://([A-Za-z0-9.-]+)', 1), x -> lower(x)))) AS host FROM u) " +
        "SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM h GROUP BY host ORDER BY host"),
     "q109_bigram_entropy" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents), " +

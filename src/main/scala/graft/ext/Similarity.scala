@@ -77,30 +77,75 @@ object Similarity {
    * (hyperplane-LSH buckets): k-means cells follow the data's density
    * (semantic neighborhoods), LSH buckets are data-oblivious.
    *
-   * Skew/size honesty at 100 TB: a cell above `maxCell` would go
-   * quadratic, so oversized cells are EXCLUDED via broadcast anti-join
-   * (same cap shape as every candidate self-join in [[Dedup]]); use more
-   * `cells` (SemDeDup uses tens of thousands) or route dense cells
-   * through the LSH path. Train cost is constant (bounded sample +
+   * Skew/size honesty at 100 TB — the NO-SILENT-CAPS contract (same
+   * bar as `Dedup.setSimilarityOverflow`): a cell above `maxCell` would
+   * go quadratic, so oversized cells are excluded from pair search —
+   * and that exclusion is NEVER silent on the path users call. The
+   * operator counts oversized cells inline (one bounded-cardinality
+   * aggregation — ≤ `cells` rows collected) and THROWS by default,
+   * naming the cell count, the largest cell, and the two escape routes
+   * (more `cells`, or `allowOversizedCells = true` which logs the
+   * exclusion and proceeds — [[clusterOversizedCells]] then itemizes
+   * what was skipped). `cells = 0` (the default) derives the cell count
+   * from the corpus: k ≈ √n — the standard IVF heuristic, and the
+   * many-small-cells regime SemDeDup actually runs (the paper uses tens
+   * of thousands of cells over web-scale corpora), giving expected cell
+   * size √n ≪ `maxCell`. Train cost stays constant (bounded sample +
    * driver Lloyd — [[Ivf.train]]).
+   *
+   * EAGER contract: resolving `cells = 0` and the oversized-cell check
+   * each run a small Spark job at CALL time (a count and a
+   * ≤-`cells`-row aggregate), before the returned frame is executed —
+   * the price of failing loudly instead of returning a silently
+   * incomplete pair set.
    */
   def clusterCosinePairs(df: DataFrame, vecCol: String, idCol: String,
-                         threshold: Double, cells: Int = 8,
+                         threshold: Double, cells: Int = 0,
                          maxIter: Int = 5, maxCell: Int = 10000,
-                         seed: Long = 42L): DataFrame = {
-    val model = Ivf.train(df, vecCol, k = cells, maxIter = maxIter, seed = seed)
+                         seed: Long = 42L,
+                         allowOversizedCells: Boolean = false): DataFrame = {
+    val k = resolveCells(df, cells)
+    val model = Ivf.train(df, vecCol, k = k, maxIter = maxIter, seed = seed)
     val assigned = Ivf.assign(df, vecCol, model)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cell"))
+    // bounded collect: one row per OVERSIZED cell (≤ k rows)
     val oversized = assigned.groupBy("ivf_cell")
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
-      .select("ivf_cell")
-    val capped = assigned.join(broadcast(oversized), Seq("ivf_cell"), "left_anti")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (oversized.nonEmpty) {
+      val excluded = oversized.map(_._2).sum
+      val msg = s"semantic dedup cell cap exceeded: ${oversized.length} of $k " +
+        s"cells hold more than maxCell=$maxCell vectors (largest " +
+        s"${oversized.map(_._2).max}, $excluded vectors total) and would be " +
+        "silently excluded from pair search. Retrain with more cells " +
+        "(cells = 0 derives k ~ sqrt(n)), raise maxCell deliberately, or pass " +
+        "allowOversizedCells = true to proceed minus those cells " +
+        "(clusterOversizedCells itemizes them)."
+      if (!allowOversizedCells) throw new IllegalStateException(msg)
+      org.apache.log4j.Logger.getLogger(getClass).warn(msg)
+    }
+    val capped =
+      if (oversized.isEmpty) assigned
+      else {
+        val ids = oversized.map(_._1).toSet
+        assigned.filter(!col("ivf_cell").isInCollection(ids))
+      }
     capped
       .join(capped.select(col("ivf_cell"), col("id").as("id2"),
         col("v").as("v2")), Seq("ivf_cell"))
       .filter(col("id") < col("id2"))
       .select(col("id"), col("id2"), cosine_sim(col("v"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** `cells = 0` → k ≈ √n clamped to [4, 65536] (the IVF heuristic:
+    * expected cell size √n, so the `maxCell` quadratic guard binds only
+    * under genuine density skew). Runs a count job when deriving. */
+  private def resolveCells(df: DataFrame, cells: Int): Int = {
+    require(cells >= 0, "cells must be >= 0 (0 = derive from corpus size)")
+    if (cells > 0) cells
+    else math.max(4, math.min(65536,
+      math.ceil(math.sqrt(df.count().toDouble)).toInt))
   }
 
   /**
@@ -112,10 +157,11 @@ object Similarity {
    * or retrain with more cells.
    */
   def clusterOversizedCells(df: DataFrame, vecCol: String,
-                            cells: Int = 8, maxIter: Int = 5,
+                            cells: Int = 0, maxIter: Int = 5,
                             maxCell: Int = 10000,
                             seed: Long = 42L): DataFrame = {
-    val model = Ivf.train(df, vecCol, k = cells, maxIter = maxIter, seed = seed)
+    val k = resolveCells(df, cells)
+    val model = Ivf.train(df, vecCol, k = k, maxIter = maxIter, seed = seed)
     Ivf.assign(df, vecCol, model)
       .groupBy("ivf_cell").agg(count(lit(1)).as("cell_size"))
       .filter(col("cell_size") > maxCell)
@@ -124,14 +170,18 @@ object Similarity {
   /**
    * SemDeDup keepers: transitive closure over the cluster-local pair set
    * ([[Dedup.components]] — pointer doubling, no driver state), keep the
-   * minimum id per duplicate group, anti-join the rest out.
+   * minimum id per duplicate group, anti-join the rest out. Inherits
+   * [[clusterCosinePairs]]'s loud-cap contract: an oversized cell throws
+   * by default — "dedup ran, nothing to remove" can never mean "every
+   * cell was over the cap and pair search was skipped".
    */
   def semanticDedupKeepers(df: DataFrame, vecCol: String, idCol: String,
-                           threshold: Double, cells: Int = 8,
+                           threshold: Double, cells: Int = 0,
                            maxIter: Int = 5, maxCell: Int = 10000,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           allowOversizedCells: Boolean = false): DataFrame = {
     val pairs = clusterCosinePairs(df, vecCol, idCol, threshold, cells,
-      maxIter, maxCell, seed)
+      maxIter, maxCell, seed, allowOversizedCells)
     val dupes = Dedup.components(pairs)
       .filter(col("node") =!= col("rep"))
       .select(col("node").as("_dup"))

@@ -374,23 +374,30 @@ object TextAnalysis {
    * EVERY document; surviving lines keep their original order, and
    * documents whose every line is boilerplate survive as empty text
    * (row count is preserved). Shuffle discipline for 100 TB: the
-   * doc-frequency aggregation and the anti-join travel on an 8-byte
-   * `xxhash64(line)` key, never the line text (a 2^-64 collision would
-   * drop a good line — the standard CCNet trade); reassembly is one
-   * groupBy(id) over (pos, line) structs with an in-memory array_sort,
-   * bounded by document size.
+   * doc-frequency aggregation and the anti-join travel on a 16-byte
+   * TWO-hash key `(xxhash64(line), xxhash64(line, salt))`, never the
+   * line text. A single 64-bit key collides at birthday ≈ 2^32 distinct
+   * lines — well inside a 100 TB corpus, and a collision merges two
+   * lines' doc frequencies, deleting a rare line that collided with
+   * boilerplate; the independent-salt pair pushes the birthday bound to
+   * ≈ 2^64 distinct lines (collision probability < 10^-9 even at 10^14
+   * lines — see SCALE.md). Reassembly is one groupBy(id) over
+   * (pos, line) structs with an in-memory array_sort, bounded by
+   * document size.
    */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
                              maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val hashed = lines.withColumn("_lh", xxhash64(col("line")))
-    val boiler = hashed.select(col(idCol), col("_lh")).distinct()
-      .groupBy("_lh").agg(count(lit(1)).as("_df"))
+    val hashed = lines
+      .withColumn("_lh", xxhash64(col("line")))
+      .withColumn("_lh2", xxhash64(col("line"), lit(0x9E3779B97F4A7C15L)))
+    val boiler = hashed.select(col(idCol), col("_lh"), col("_lh2")).distinct()
+      .groupBy("_lh", "_lh2").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)
-      .select("_lh")
-    val kept = hashed.join(boiler, Seq("_lh"), "left_anti")
+      .select("_lh", "_lh2")
+    val kept = hashed.join(boiler, Seq("_lh", "_lh2"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("line")))),
@@ -502,13 +509,17 @@ object TextAnalysis {
   /**
    * (id, host) for every DISTINCT http(s) URL host a document mentions —
    * the primitive behind domain-level filtering (blocklists, per-domain
-   * caps via [[quotaTopK]], per-domain corpus stats). One narrow
-   * regexp projection + explode; no shuffle until the caller aggregates.
+   * caps via [[quotaTopK]], per-domain corpus stats). RFC 3986 makes
+   * both the scheme and the host case-insensitive, so the scheme match
+   * carries `(?i)` and hosts are lowercased BEFORE the distinct —
+   * `Example.com` and `example.com` are one host, not two rows feeding
+   * a downstream domain cap. One narrow regexp projection + explode;
+   * no shuffle until the caller aggregates.
    */
   def urlHosts(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      explode(array_distinct(regexp_extract_all(col(textCol),
-        lit("https?://([A-Za-z0-9.-]+)"), lit(1)))).as("host"))
+      explode(array_distinct(transform(regexp_extract_all(col(textCol),
+        lit("(?i)https?://([A-Za-z0-9.-]+)"), lit(1)), h => lower(h)))).as("host"))
 
   /**
    * Within-document repeated-line removal — the intra-doc complement of

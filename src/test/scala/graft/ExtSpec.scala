@@ -623,6 +623,17 @@ class ExtSpec extends SparkSpec {
     assert(noop == corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("urlHosts: RFC 3986 case-insensitive scheme, hosts folded to lowercase") {
+    val docs = Seq(
+      (1L, "see https://Example.COM/a and HTTPS://example.com/b"), // one host
+      (2L, "Http://Mirror.Example.ORG and ftp://skipped.example.net"),
+      (3L, "no urls here")).toDF("doc_id", "text")
+    val out = TextAnalysis.urlHosts(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "example.com"), (2L, "mirror.example.org")),
+      s"mixed-case scheme/host must extract and fold to one host: $out")
+  }
+
   test("image signatures: exact dup across containers, near-dup by dHash") {
     import java.awt.image.BufferedImage
     import org.apache.spark.sql.Row
@@ -790,16 +801,52 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == (0L until 20L).map(v => (v, v + 5000)).toSet)
     // the cap is never silent: with maxCell below the corpus size every
-    // cell overflows, pairs vanish, and the report names each dropped
-    // cell with its size
-    val capped = Similarity.clusterCosinePairs(emb.unionByName(copies),
+    // cell overflows, and the operator must FAIL LOUDLY by default —
+    // returning the input unchanged ("dedup ran, nothing to remove")
+    // would be the silent-cap anti-pattern
+    val over = intercept[IllegalStateException] {
+      Similarity.clusterCosinePairs(emb.unionByName(copies),
         "embedding", "vec_id", threshold = 0.95, cells = 4, maxCell = 10)
+    }
+    assert(over.getMessage.contains("allowOversizedCells"),
+      s"error must name the opt-out: ${over.getMessage}")
+    val overKeep = intercept[IllegalStateException] {
+      Similarity.semanticDedupKeepers(emb.unionByName(copies),
+        "embedding", "vec_id", threshold = 0.95, cells = 4, maxCell = 10)
+        .count()
+    }
+    assert(overKeep.getMessage.contains("cell cap exceeded"))
+    // explicit opt-out: proceeds minus the oversized cells (here: all of
+    // them, so zero pairs), and the report names each dropped cell
+    val capped = Similarity.clusterCosinePairs(emb.unionByName(copies),
+        "embedding", "vec_id", threshold = 0.95, cells = 4, maxCell = 10,
+        allowOversizedCells = true)
     assert(capped.isEmpty)
     val report = Similarity.clusterOversizedCells(emb.unionByName(copies),
         "embedding", cells = 4, maxCell = 10)
       .collect().map(r => r.getLong(1)).toSeq
     assert(report.nonEmpty && report.sum == emb.count() + 20,
       s"overflow report must account for every excluded vector: $report")
+  }
+
+  test("semanticDedup at data-derived cells (~sqrt n) keeps full recall") {
+    // the realistic SemDeDup regime: many small cells (k ~ sqrt(n)),
+    // not a handful of giant ones. Identical vectors land in the same
+    // cell whatever the cell count, so planted-copy recall must hold.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 20)
+      .withColumn("vec_id", col("vec_id") + 5000)
+    val all = emb.unionByName(copies)
+    val pairs = Similarity.clusterCosinePairs(all,
+        "embedding", "vec_id", threshold = 0.95)  // cells = 0 → ~sqrt(n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 20L).map(v => (v, v + 5000)).toSet,
+      s"sqrt-n cells must still find every planted copy: $pairs")
+    val kept = Similarity.semanticDedupKeepers(all,
+        "embedding", "vec_id", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("audio perceptual signatures: gain/phase invariant, content sensitive") {
