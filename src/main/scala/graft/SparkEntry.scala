@@ -1484,6 +1484,34 @@ object SparkEntry {
           concat(col("text"), lit(" zdriftzz"))).otherwise(col("text")))
       TextAnalysis.tokenDrift(oldSnap, newSnap, "text")
         .orderBy("token")
+    }),
+    "q111_incremental_semantic" -> ((s, dir) => { ensure(s)
+      // incremental SEMANTIC dedup against the PERSISTED index artifact
+      // (the embedding twin of q107): vectors vec_id < 200 are ingested
+      // and IVF-indexed (createVectorIndex — the corpus artifact an
+      // ingestion pipeline keeps); the NEW batch = the remaining natural
+      // vectors (max natural pair cosine in the table is 0.60 < 0.95,
+      // so none of them match the corpus) union EXACT copies of the
+      // first 50 corpus vectors (ids +20000 — an identical vector is
+      // assigned to its original's cell and scores cosine ~1.0, so all
+      // must drop). Engine side: NEW x INDEXED within-cell pairs only,
+      // statically pruned to touched cell partitions, never a
+      // self-join. The keeper set is exactly the natural new ids, which
+      // the oracle states without running any clustering.
+      val db = tmpDb(s, "vecinc")
+      db.createCollection("corpus", Seq("vec_id" -> "int8", "emb" -> "vector"))
+      val emb = ld(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("geometry", st_point(col("vec_id").cast("double"), lit(0.0)))
+      db.insertIntoCollection("corpus", emb.filter(col("vec_id") < 200))
+      db.createVectorIndex("corpus", "emb", cells = 16)
+      val newBatch = emb.filter(col("vec_id") >= 200)
+        .unionByName(emb.filter(col("vec_id") < 50)
+          .withColumn("vec_id", col("vec_id") + 20000))
+        .select("vec_id", "emb")
+      db.vectorIndexDedupKeepers("corpus", "emb", newBatch,
+          threshold = 0.95, idCol = "vec_id")
+        .select("vec_id").orderBy("vec_id")
     })
   )
 
@@ -1847,6 +1875,8 @@ object SparkEntry {
        "SELECT token, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new, " +
        "round(((c_new + 1.0) / (tot_new + v)) * log2(((c_new + 1.0) / (tot_new + v)) / ((c_old + 1.0) / (tot_old + v))), 6) AS kl_contrib " +
        "FROM j, t ORDER BY token"),
+    "q111_incremental_semantic" ->
+      "SELECT vec_id FROM embeddings WHERE vec_id >= 200 ORDER BY vec_id",
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -926,6 +926,58 @@ class GeoDb(
         qdf, model, p, "id", k, nprobe, excludeSelf)
   }
 
+  /**
+   * Incremental semantic near-dup pairs of a NEW batch against the
+   * PERSISTED IVF artifact built by [[createVectorIndex]] (and kept
+   * current by append maintenance) — the embedding twin of the MinHash
+   * incremental-ingestion path (`Dedup.crossPairsViaMinhash`): the
+   * batch is assigned into the index's existing cells and exact cosine
+   * pairs run NEW × INDEXED within touched cells only, never a
+   * self-join. Because the index data is PARTITIONED BY `ivf_cell`,
+   * the touched-cell filter is a static partition filter — a small
+   * batch against a huge corpus never lists untouched cell
+   * directories. `newBatch` must carry (`idCol`, `property`); returns
+   * (id = batch id, id2 = collection serial id, cosine). Inherits the
+   * loud cell-cap contract (`Similarity.crossClusterCosinePairs`).
+   */
+  def vectorIndexCrossPairs(collection: String, property: String,
+                            newBatch: DataFrame, threshold: Double,
+                            idCol: String = "id", maxCell: Int = 10000,
+                            allowOversizedCells: Boolean = false,
+                            database: Option[String] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val p = property.toLowerCase
+    val name = indexName(d, collection, s"${p}_ivf")
+    require(metaOf(d, collection).indexes.contains(name),
+      s"no vector index on $d/$collection.$p — run createVectorIndex first")
+    val dir = vecIndexDir(d, collection, p)
+    val model = loadVecModel(s"$dir/centroids.txt")
+    logEvent(EventType.Read, s"Incremental vector dedup on $d/$collection.$p")
+    val raw = spark.read.parquet(s"$dir/data")
+    val corpus =
+      (if (vecIndexFormat(dir) == "sq8") graft.ext.Ivf.dequantized(raw, p)
+       else raw)
+        .select(col("id").as(idCol), col(p), col("ivf_cell"))
+    graft.ext.Similarity.crossClusterCosinePairs(
+      newBatch.select(col(idCol), col(p)), p, idCol, corpus, model,
+      threshold, maxCell, allowOversizedCells)
+  }
+
+  /** Batch rows that semantically duplicate NO indexed vector — the
+    * keeper side of [[vectorIndexCrossPairs]]: what an ingestion
+    * pipeline actually inserts after deduping against the corpus. */
+  def vectorIndexDedupKeepers(collection: String, property: String,
+                              newBatch: DataFrame, threshold: Double,
+                              idCol: String = "id", maxCell: Int = 10000,
+                              allowOversizedCells: Boolean = false,
+                              database: Option[String] = None): DataFrame = {
+    val dupes = vectorIndexCrossPairs(collection, property, newBatch,
+        threshold, idCol, maxCell, allowOversizedCells, database)
+      .select(col("id").as("_dup")).distinct()
+    newBatch.join(dupes, newBatch(idCol) === col("_dup"), "left_anti")
+  }
+
   /** Reference-named alias for dropIndex (geodb.py remove_index). */
   def removeIndex(collection: String, property: String,
                   database: Option[String] = None): Unit =

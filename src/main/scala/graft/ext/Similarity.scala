@@ -188,6 +188,109 @@ object Similarity {
     df.join(dupes, df(idCol) === col("_dup"), "left_anti")
   }
 
+  /**
+   * Incremental (cross-batch) semantic near-dup pairs — the embedding
+   * twin of [[Dedup.crossPairsViaMinhash]], completing the
+   * incremental-ingestion story across both similarity families: a NEW
+   * batch is assigned into the EXISTING corpus's cell layout
+   * (`oldAssigned` rows carrying (`idCol`, `vecCol`, `ivf_cell`) plus
+   * the `model` that produced them — exactly the persisted IVF artifact
+   * `GeoDb.createVectorIndex` / [[Ivf.writePartitioned]] keeps between
+   * batches), and exact cosine pairs are computed NEW × OLD within each
+   * cell ONLY — never a self-join. An identical re-ingested vector
+   * lands in its original's cell by construction (same centroids,
+   * deterministic argmin), so exact-copy recall is 1.0 whatever the
+   * cell count.
+   *
+   * Scale: per-batch cost = |delta| assignment work + Σ |new ∩ cell| ×
+   * |old ∩ cell| over cells the delta TOUCHES — untouched cells are
+   * filtered out before the join, and when `oldAssigned` is a scan of
+   * an `ivf_cell`-partitioned layout that filter is a STATIC partition
+   * filter (unprobed cell directories are never listed). Inherits the
+   * [[clusterCosinePairs]] loud-cap contract on the OLD side: a touched
+   * cell holding more than `maxCell` existing vectors throws by default
+   * (`allowOversizedCells = true` logs and proceeds minus those cells).
+   * The delta side is batch-sized by definition and is not capped.
+   * Output: (id = new-batch id, id2 = existing id, cosine).
+   */
+  def crossClusterCosinePairs(newDf: DataFrame, vecCol: String, idCol: String,
+                              oldAssigned: DataFrame, model: Ivf.Model,
+                              threshold: Double, maxCell: Int = 10000,
+                              allowOversizedCells: Boolean = false): DataFrame = {
+    TextFunctions.registerAll(newDf.sparkSession)
+    val newAssigned = Ivf.assign(newDf.select(col(idCol), col(vecCol)),
+        vecCol, model)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cell"))
+    // bounded collect: ≤ model.k distinct touched cells
+    val touched = newAssigned.select("ivf_cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val old = oldAssigned
+      .select(col(idCol).as("id2"), col(vecCol).as("v2"), col("ivf_cell"))
+      .filter(col("ivf_cell").isInCollection(touched))
+    // loud cap on the OLD side of touched cells (≤ |touched| rows)
+    val oversized = old.groupBy("ivf_cell")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (oversized.nonEmpty) {
+      val msg = s"incremental semantic dedup cell cap exceeded: " +
+        s"${oversized.length} of ${touched.size} touched cells hold more " +
+        s"than maxCell=$maxCell existing vectors (largest " +
+        s"${oversized.map(_._2).max}). Rebuild the corpus index with more " +
+        "cells, raise maxCell deliberately, or pass allowOversizedCells = " +
+        "true to proceed minus those cells."
+      if (!allowOversizedCells) throw new IllegalStateException(msg)
+      org.apache.log4j.Logger.getLogger(getClass).warn(msg)
+    }
+    val oversizedIds = oversized.map(_._1).toSet
+    val oldCapped =
+      if (oversizedIds.isEmpty) old
+      else old.filter(!col("ivf_cell").isInCollection(oversizedIds))
+    val newCapped =
+      if (oversizedIds.isEmpty) newAssigned
+      else newAssigned.filter(!col("ivf_cell").isInCollection(oversizedIds))
+    newCapped.join(oldCapped, Seq("ivf_cell"))
+      .select(col("id"), col("id2"),
+        cosine_sim(col("v"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * DataFrame-level convenience over [[crossClusterCosinePairs]]: train
+   * the quantizer on the EXISTING corpus (cells = 0 → k ≈ √|old|),
+   * assign it, and cross-pair the new batch against it. In a real
+   * ingestion pipeline the train+assign happens ONCE
+   * (`GeoDb.createVectorIndex` persists it); this form is for ad-hoc
+   * two-frame runs where no artifact exists yet.
+   */
+  def incrementalSemanticPairs(newDf: DataFrame, oldDf: DataFrame,
+                               vecCol: String, idCol: String,
+                               threshold: Double, cells: Int = 0,
+                               maxIter: Int = 5, maxCell: Int = 10000,
+                               seed: Long = 42L,
+                               allowOversizedCells: Boolean = false): DataFrame = {
+    val oldSlim = oldDf.select(col(idCol), col(vecCol))
+    val k = resolveCells(oldSlim, cells)
+    val model = Ivf.train(oldSlim, vecCol, k = k, maxIter = maxIter, seed = seed)
+    crossClusterCosinePairs(newDf, vecCol, idCol,
+      Ivf.assign(oldSlim, vecCol, model), model,
+      threshold, maxCell, allowOversizedCells)
+  }
+
+  /** New-batch rows that semantically duplicate NO existing-corpus
+    * vector — the keeper side of [[incrementalSemanticPairs]] (the
+    * embedding twin of [[Dedup.incrementalKeepers]]). */
+  def incrementalSemanticKeepers(newDf: DataFrame, oldDf: DataFrame,
+                                 vecCol: String, idCol: String,
+                                 threshold: Double, cells: Int = 0,
+                                 maxIter: Int = 5, maxCell: Int = 10000,
+                                 seed: Long = 42L,
+                                 allowOversizedCells: Boolean = false): DataFrame = {
+    val dupes = incrementalSemanticPairs(newDf, oldDf, vecCol, idCol,
+        threshold, cells, maxIter, maxCell, seed, allowOversizedCells)
+      .select(col("id").as("_dup")).distinct()
+    newDf.join(dupes, newDf(idCol) === col("_dup"), "left_anti")
+  }
+
   /** groupBy + bounded-heap aggregate -> (query_id, corpus_id, cosine, rank). */
   private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

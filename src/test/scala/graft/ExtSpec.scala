@@ -849,6 +849,35 @@ class ExtSpec extends SparkSpec {
     assert(kept == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("incrementalSemanticKeepers: cross-batch copies drop, naturals keep, cap is loud") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 200)
+    val newNat = emb.filter(col("vec_id") >= 200)
+    val copies = emb.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + 9000)
+    val batch = newNat.unionByName(copies)
+    // pairs are ASYMMETRIC: id from the batch, id2 from the corpus, and
+    // exactly the planted copies match (max natural cosine 0.60 < 0.95)
+    val pairs = Similarity.incrementalSemanticPairs(batch, old,
+        "embedding", "vec_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 30L).map(v => (v + 9000, v)).toSet,
+      s"expected exactly the planted cross-batch copies: $pairs")
+    val kept = Similarity.incrementalSemanticKeepers(batch, old,
+        "embedding", "vec_id", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == newNat.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // the OLD-side cell cap fails loudly, same contract as the
+    // self-join path
+    val over = intercept[IllegalStateException] {
+      Similarity.incrementalSemanticPairs(batch, old,
+        "embedding", "vec_id", threshold = 0.95, cells = 2, maxCell = 10)
+    }
+    assert(over.getMessage.contains("allowOversizedCells"),
+      s"error must name the opt-out: ${over.getMessage}")
+  }
+
   test("audio perceptual signatures: gain/phase invariant, content sensitive") {
     import org.apache.spark.sql.Row
     val ids = spark.createDataFrame(

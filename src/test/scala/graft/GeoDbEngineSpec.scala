@@ -232,6 +232,44 @@ class GeoDbEngineSpec extends SparkSpec {
     db.dropVectorIndex("vq", "emb")
   }
 
+  test("vectorIndexDedupKeepers: batch deduped against the persisted IVF artifact") {
+    val db = new GeoDb(spark, tmpDir("graft-wh-inc"), "geodb_user")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    db.createCollection("corpus", Seq("vec_id" -> "int8", "emb" -> "vector"))
+    db.insertIntoCollection("corpus", emb.filter($"vec_id" < 200)
+      .select($"vec_id", $"embedding".as("emb"))
+      .withColumn("geometry", lit("POINT(0 0)")))
+    db.createVectorIndex("corpus", "emb", cells = 8)
+    // NEW batch: naturals (no corpus match — max natural cosine 0.60)
+    // plus exact copies of 25 indexed vectors, which must all pair up
+    val batch = emb.filter($"vec_id" >= 200)
+      .unionByName(emb.filter($"vec_id" < 25)
+        .withColumn("vec_id", $"vec_id" + 50000L))
+      .select($"vec_id", $"embedding".as("emb"))
+    val pairs = db.vectorIndexCrossPairs("corpus", "emb", batch,
+      threshold = 0.95, idCol = "vec_id")
+    // asymmetric output: id = batch id, id2 = collection SERIAL id —
+    // map id2 back to the corpus vec_id to check the pairing exactly
+    val coll = db.getCollection("corpus").select($"id", $"vec_id".as("cv"))
+    val mapped = pairs.join(coll, pairs("id2") === coll("id"))
+      .select(pairs("id"), $"cv")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mapped == (0L until 25L).map(v => (v + 50000L, v)).toSet,
+      s"pairs must be exactly the planted cross-batch copies: $mapped")
+    // the artifact read is statically pruned to touched cell partitions
+    val scans = pairs.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("PartitionFilters") && s.contains("ivf_cell")),
+      s"corpus scan must carry an ivf_cell PartitionFilter:\n${scans.mkString("\n")}")
+    val kept = db.vectorIndexDedupKeepers("corpus", "emb", batch,
+        threshold = 0.95, idCol = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == emb.filter($"vec_id" >= 200)
+      .select("vec_id").as[Long].collect().toSet)
+    // no index -> loud failure, not a silent full scan
+    intercept[IllegalArgumentException](
+      db.vectorIndexCrossPairs("corpus", "vec_id", batch, 0.9))
+  }
+
   test("concurrent writers serialize under the commit lock: dense unique ids") {
     val db = new GeoDb(spark, tmpDir("graft-wh-lock"), "geodb_user")
     db.createCollection("race", Seq("v" -> "integer"))
