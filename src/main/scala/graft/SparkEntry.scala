@@ -1512,6 +1512,22 @@ object SparkEntry {
       db.vectorIndexDedupKeepers("corpus", "emb", newBatch,
           threshold = 0.95, idCol = "vec_id")
         .select("vec_id").orderBy("vec_id")
+    }),
+    "q112_bigram_ref_model" -> ((s, dir) => { ensure(s)
+      // EXTERNAL-reference-model perplexity scoring (the CCNet shape
+      // proper): the bigram LM trains on snapshot A (doc_id <= 300)
+      // and scores snapshot B (doc_id > 200) — docs 201..300 are fully
+      // in-model, docs > 300 carry out-of-vocabulary bigrams that must
+      // SCORE via the smoothing floor (left-join, missing counts = 0),
+      // not vanish from an inner join. The oracle retrains the model
+      // and recomputes every per-doc cross-entropy to 6 dp with the
+      // same COALESCE semantics.
+      val docs = ld(s, dir, "documents")
+      val model = TextAnalysis.trainBigramModel(
+        docs.filter(col("doc_id") <= 300), "text")
+      TextAnalysis.bigramEntropyUnderModel(
+          docs.filter(col("doc_id") > 200), "text", "doc_id", model)
+        .orderBy("doc_id")
     })
   )
 
@@ -1877,6 +1893,17 @@ object SparkEntry {
        "FROM j, t ORDER BY token"),
     "q111_incremental_semantic" ->
       "SELECT vec_id FROM embeddings WHERE vec_id >= 200 ORDER BY vec_id",
+    "q112_bigram_ref_model" ->
+      ("WITH ta AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id <= 300), " +
+       "ba AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (SELECT unnest(list_transform(range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u FROM ta WHERE len(w) >= 2)), " +
+       "bc AS (SELECT w1, w2, count(*) AS c FROM ba GROUP BY w1, w2), " +
+       "lc AS (SELECT w1, count(*) AS cl FROM ba GROUP BY w1), " +
+       "v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vs FROM (SELECT unnest(w) AS x FROM ta)), " +
+       "tb AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id > 200), " +
+       "bb AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u FROM tb WHERE len(w) >= 2)), " +
+       "sc AS (SELECT bb.doc_id, log2((COALESCE(bc.c, 0) + 1.0) / (COALESCE(lc.cl, 0) + v.vs)) AS lp FROM bb LEFT JOIN bc USING (w1, w2) LEFT JOIN lc USING (w1), v), " +
+       "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-avg(lp), 6) AS xent FROM sc GROUP BY doc_id) " +
+       "SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams, ag.xent FROM (SELECT doc_id FROM documents WHERE doc_id > 200) d LEFT JOIN ag USING (doc_id) ORDER BY doc_id"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

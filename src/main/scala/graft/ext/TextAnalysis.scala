@@ -471,40 +471,90 @@ object TextAnalysis {
    * scoring join of exploded bigrams against the count tables — all
    * shuffles carry (token-pair, count) tuples, never documents. At
    * 100 TB the count tables are the persisted model artifact (compute
-   * once, reuse per snapshot — the signature-table pattern), and a
-   * production variant caps the vocabulary at top-V with an OOV bucket
-   * so the model broadcasts; swapping the corpus-trained counts for an
-   * external reference model's table changes nothing structurally.
+   * once, reuse per snapshot — the signature-table pattern):
+   * [[trainBigramModel]] builds it, [[bigramEntropyUnderModel]] scores
+   * ANY corpus under it (left-join + OOV smoothing), and this
+   * self-scoring form is exactly `bigramEntropyUnderModel(df,
+   * trainBigramModel(df))` — a production variant caps the vocabulary
+   * at top-V with an OOV bucket so the model broadcasts.
    */
   def bigramSelfEntropy(df: DataFrame, textCol: String,
-                        idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      filter(split(lower(trim(col(textCol))), "\\s+"),
-        x => length(x) > 0).as("w"))
-    val bigrams = toks.filter(size(col("w")) >= 2)
-      .select(col("id"), explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bigramCounts = bigrams.groupBy("w1", "w2")
-      .agg(count(lit(1)).as("_c"))
-    val headCounts = bigrams.groupBy("w1")
-      .agg(count(lit(1)).as("_cl"))
+                        idCol: String): DataFrame =
+    bigramEntropyUnderModel(df, textCol, idCol,
+      trainBigramModel(df, textCol))
+
+  /**
+   * The persisted bigram-LM artifact: slim (w1, w2, _c) bigram counts,
+   * (w1, _cl) head counts, and the training vocabulary size. The two
+   * frames are plain DataFrames so a pipeline writes them once as
+   * parquet and reloads per scoring run (the signature-table pattern);
+   * `vocab` travels alongside (it pins the smoothing denominator — a
+   * model scored with a different V is a different model).
+   */
+  case class BigramModel(bigrams: DataFrame, heads: DataFrame, vocab: Long)
+
+  /** Train the [[BigramModel]] count tables on a reference corpus: two
+    * map-side-combined aggregations over exploded bigrams plus one
+    * distinct-token count — shuffles carry (token-pair, count) tuples,
+    * never documents. EAGER in `vocab` only (one count job). */
+  def trainBigramModel(df: DataFrame, textCol: String): BigramModel = {
+    val toks = tokensOf(df, textCol, lit(0L))
+    val bigrams = bigramsOf(toks)
     val vocab = toks.select(explode(col("w")).as("tok"))
-      .agg(countDistinct(col("tok")).cast("double").as("_v"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    BigramModel(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("_c")),
+      bigrams.groupBy("w1").agg(count(lit(1)).as("_cl")),
+      vocab)
+  }
+
+  /**
+   * Score a corpus under an EXTERNAL reference model (the CCNet shape
+   * proper: the model is trained on a trusted reference corpus, and
+   * documents far from ITS distribution score high): per-doc mean
+   * negative log2 of the add-one-smoothed bigram probability under
+   * `model`'s counts. Unseen bigrams and heads must SCORE, not vanish —
+   * both count joins are LEFT joins with missing counts as 0, so an
+   * out-of-vocabulary bigram contributes -log2(1 / (cleft + V)) (and a
+   * fully unseen head -log2(1/V), the smoothing floor) instead of
+   * silently dropping out of an inner join and deflating the doc's
+   * entropy. Output: (id, n_bigrams, xent · 6 dp), xent null under 2
+   * tokens — identical shape to [[bigramSelfEntropy]].
+   */
+  def bigramEntropyUnderModel(df: DataFrame, textCol: String, idCol: String,
+                              model: BigramModel): DataFrame = {
+    val bigrams = bigramsOf(tokensOf(df, textCol, col(idCol)))
+    val v = lit(model.vocab.toDouble)
     val scored = bigrams
-      .join(bigramCounts, Seq("w1", "w2"))
-      .join(headCounts, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+      .join(model.bigrams.select(col("w1"), col("w2"), col("_c")),
+        Seq("w1", "w2"), "left")
+      .join(model.heads.select(col("w1"), col("_cl")), Seq("w1"), "left")
+      .na.fill(0L, Seq("_c", "_cl"))
       .select(col("id"),
-        log2((col("_c") + lit(1.0)) / (col("_cl") + col("_v"))).as("_lp"))
+        log2((col("_c") + lit(1.0)) / (col("_cl") + v)).as("_lp"))
     val agg = scored.groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("_lp")), 6).as("xent"))
     df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("xent"))
   }
+
+  /** (id, w = lowercased whitespace tokens) — the bigram family's shared
+    * tokenizer (must stay bit-identical between train and score). */
+  private def tokensOf(df: DataFrame, textCol: String,
+                       idExpr: org.apache.spark.sql.Column): DataFrame =
+    df.select(idExpr.as("id"),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0).as("w"))
+
+  /** Exploded (id, w1, w2) adjacent-token pairs for docs >= 2 tokens. */
+  private def bigramsOf(toks: DataFrame): DataFrame =
+    toks.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /**
    * (id, host) for every DISTINCT http(s) URL host a document mentions —

@@ -623,6 +623,27 @@ class ExtSpec extends SparkSpec {
     assert(noop == corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("bigramEntropyUnderModel: OOV bigrams score at the smoothing floor") {
+    // reference corpus: bigrams (a,b):3 (b,a):1 (b,c):1, heads a:3 b:2,
+    // vocab = {a,b,c} -> V=3
+    val ref = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramModel(ref, "text")
+    assert(model.vocab == 3L)
+    val target = Seq(
+      (10L, "a b"),  // in-model:      -log2((3+1)/(3+3)) = 0.584963
+      (11L, "a z"),  // OOV bigram:    -log2((0+1)/(3+3)) = 2.584963
+      (12L, "z q"),  // OOV head too:  -log2((0+1)/(0+3)) = 1.584963
+      (13L, "solo")  // under 2 tokens -> n_bigrams 0, xent null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramEntropyUnderModel(target, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(10L) == (1L, Some(0.584963)))
+    assert(out(11L) == (1L, Some(2.584963)), s"OOV bigram must score: ${out(11L)}")
+    assert(out(12L) == (1L, Some(1.584963)), s"OOV head must hit the floor: ${out(12L)}")
+    assert(out(13L) == (0L, None))
+  }
+
   test("urlHosts: RFC 3986 case-insensitive scheme, hosts folded to lowercase") {
     val docs = Seq(
       (1L, "see https://Example.COM/a and HTTPS://example.com/b"), // one host
