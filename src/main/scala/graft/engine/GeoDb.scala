@@ -1466,49 +1466,60 @@ class GeoDb(
               // A FRESH lock (a successor writer's) was stolen into the
               // tombstone: restore it. A one-shot restore left a window —
               // if a third writer grabbed the emptied slot before the
-              // rename-back, the successor ran unprotected until manual
+              // restore, the successor ran unprotected until manual
               // cleanup. RETRY instead: the slot re-empties when the
               // third writer releases (commits are minutes-scale, the
               // retry budget covers the common transient causes), and
               // until the restore lands this loop keeps the tombstone —
-              // the conflict is never silently dropped.
+              // the conflict is never silently dropped. The restore is a
+              // create-EXCLUSIVE write of the tombstone's CONTENT (the
+              // successor's identity), not a rename-back: POSIX rename
+              // OVERWRITES, so a rename racing a third writer's acquire
+              // would silently clobber their lock — an exclusive create
+              // simply fails and the loop retries. (Comparing the slot
+              // against the pre-steal content c1 proved nothing: after
+              // any restore the slot holds the successor's content,
+              // which differs from c1 by definition here.)
+              val tombContent = readSmallFile(fs, tomb)
               val restoreDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
               var restored = false
               var sawOccupiedSlot = false
               while (!restored && System.nanoTime() < restoreDeadline) {
                 // tri-state exists: a transient IO failure must neither
                 // count as "occupied" (phantom overlap warning) nor as
-                // "empty" (rename onto an unknown slot)
+                // "empty" (create onto an unknown slot)
                 val occupied = try Some(fs.exists(lock)) catch {
                   case _: java.io.IOException => None }
                 if (occupied.contains(true)) sawOccupiedSlot = true
-                restored = occupied.contains(false) &&
-                  (try fs.rename(tomb, lock)
-                   catch { case _: java.io.IOException => false })
+                restored = occupied.contains(false) && tombContent.isDefined &&
+                  (try {
+                    val out = fs.create(lock, false) // no-overwrite create
+                    out.write(tombContent.get
+                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                    out.close()
+                    true
+                  } catch { case _: java.io.IOException => false })
                 if (!restored) Thread.sleep(25)
               }
-              // POSIX rename OVERWRITES: a third writer that acquired
-              // the slot between our exists() and rename() was silently
-              // clobbered — read the slot back and treat any content
-              // other than the restored lock's as that race having fired
-              val overwroteThird =
-                restored && readSmallFile(fs, lock) != c1
-              // surface both overlap diagnostics instead of absorbing
-              // them: a restore that waited out an occupied slot, or one
-              // that overwrote a fresh acquisition, means a writer ran
-              // while the displaced successor was committing unprotected
-              if (restored && (sawOccupiedSlot || overwroteThird))
+              if (restored) {
+                try fs.delete(tomb, false)
+                catch { case _: java.io.IOException => () }
+              }
+              // surface the one remaining overlap diagnostic instead of
+              // absorbing it: a restore that had to wait out an occupied
+              // slot means a writer ran while the displaced successor
+              // was committing unprotected
+              if (restored && sawOccupiedSlot)
                 System.err.println(
                   s"[graft] WARNING: commit-lock stale-break race on $d/$c: " +
-                    "a writer held or acquired the slot while a displaced " +
-                    "lock was being restored — two commits may have " +
-                    "overlapped; verify collection consistency (counts, " +
-                    "id ranges)")
+                    "a writer held the slot while a displaced lock was " +
+                    "being restored — two commits may have overlapped; " +
+                    "verify collection consistency (counts, id ranges)")
               require(restored,
                 s"commit-lock stale-break race on $d/$c: a fresh lock was " +
                   s"taken for stale and could not be restored within 10s " +
-                  s"(another writer is holding the slot); manual cleanup " +
-                  s"of $tomb required")
+                  s"(another writer is holding the slot, or the tombstone " +
+                  s"is unreadable); manual cleanup of $tomb required")
             }
           } else awaitRetry() // rename denied/raced: back off, don't hot-spin
         } else awaitRetry()

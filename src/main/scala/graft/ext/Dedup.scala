@@ -107,18 +107,46 @@ object Dedup {
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  // per-key in-flight latch: two threads registering the SAME plan
+  // concurrently would otherwise each pay a full signature-write job
+  // with the loser's table discarded — the second arrival waits for the
+  // first write instead, then takes the registry hit. Distinct keys
+  // still materialize fully in parallel.
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    java.util.concurrent.CountDownLatch]
+
   private def persistShared(df: DataFrame): DataFrame = {
     // key on (session, canonicalized plan): plan equality alone is not
     // identity across sessions
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    val hit = sharedCaches.synchronized {
-      Option(sharedCaches.get(key)) // refreshes LRU order on hit
+    while (true) {
+      val hit = sharedCaches.synchronized {
+        Option(sharedCaches.get(key)) // refreshes LRU order on hit
+      }
+      if (hit.isDefined) return hit.get.df
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val prior = inFlight.putIfAbsent(key, latch)
+      if (prior != null) {
+        // another thread is writing this exact table: wait it out, then
+        // loop — on its success the registry hits; on its failure this
+        // thread becomes the writer
+        prior.await()
+      } else {
+        try return persistSharedWrite(df, key)
+        finally { inFlight.remove(key); latch.countDown() }
+      }
     }
-    if (hit.isDefined) return hit.get.df
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def persistSharedWrite(df: DataFrame,
+      key: (org.apache.spark.sql.SparkSession,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)): DataFrame = {
     // materialize OUTSIDE the monitor: the write is a full Spark job
     // (minutes on a large corpus) and must not serialize unrelated
-    // concurrent dedup callers. Two racing threads may both write; the
-    // loser's table is retired below.
+    // concurrent dedup callers for distinct keys.
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val dir = s"${sharedTableRoot(df.sparkSession)}/" +
       java.util.UUID.randomUUID.toString.take(12)
@@ -171,8 +199,15 @@ object Dedup {
 
   // temp-dir hygiene: a JVM that never called releaseCaches() still
   // removes its materialized tables on clean shutdown (crash leftovers
-  // land under the temp root and age out with it)
-  sys.addShutdownHook { releaseCaches() }
+  // land under the temp root and age out with it). Registered via
+  // Hadoop's ShutdownHookManager at a priority ABOVE the FileSystem
+  // close hook (the same ordering Spark uses for its own temp-dir
+  // cleanup): a plain JVM hook is unordered relative to
+  // FileSystem.closeAll, and if filesystems closed first, deleteTable's
+  // swallowed IOExceptions would turn cleanup into a silent no-op.
+  org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+    new Runnable { override def run(): Unit = releaseCaches() },
+    org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 30)
 
   /** Exact dedup on content hash; keeps the smallest id per group. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -307,6 +342,16 @@ object Dedup {
    * estimated-Jaccard prefilter before the fat shingle-array verify join
    * (see inline note); the verified pair set is materialized the same
    * way.
+   *
+   * Shared-table contract (also [[crossPairsViaMinhash]]): construction
+   * is EAGER — the signature/pair table writes run as Spark jobs when
+   * this method is CALLED, not when the returned frame first executes
+   * (concurrent calls registering the same corpus share one write via
+   * an in-flight latch). And returned frames are backed by registry
+   * tables with a bounded lifetime: they stop being scannable after
+   * `releaseCaches()`, and a frame held across `maxSharedCaches` +
+   * `maxRetired` (= 40) LATER distinct corpus/param registrations may
+   * see its retired table deleted — re-run the operator in that case.
    */
   def exactPairsViaMinhash(shingles: DataFrame, numHashes: Int = 128,
                            bands: Int = 32, exactThreshold: Double = 0.8,
@@ -376,7 +421,9 @@ object Dedup {
    * whose old side prunes to colliding bands. Oversized OLD buckets
    * (boilerplate pathologies) are dropped via the usual broadcast cap.
    * Returns (id = new doc, id2 = old doc, jaccard) verified exactly by
-   * the sorted-merge overlap kernel.
+   * the sorted-merge overlap kernel. Inherits the eager-construction +
+   * bounded-table-lifetime contract documented on
+   * [[exactPairsViaMinhash]].
    */
   def crossPairsViaMinhash(newShingles: DataFrame, oldShingles: DataFrame,
                            numHashes: Int = 128, bands: Int = 32,

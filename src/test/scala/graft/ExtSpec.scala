@@ -1019,6 +1019,34 @@ class ExtSpec extends SparkSpec {
     Dedup.releaseCaches()
     assert(Dedup.sharedCacheCount == 0)
   }
+
+  test("percentile_approx exact-regime rank convention (the q98 oracle's pin)") {
+    // The q98 gate reproduces Spark's ApproximatePercentile sketch values
+    // in SQL by assuming: in the exact regime (accuracy >= n), the sketch
+    // returns the unique order statistic at 1-based rank ceil(p*n). That
+    // is internal, version-dependent behavior verified empirically — this
+    // test pins it so a Spark upgrade that shifts the convention fails
+    // HERE with a clear message instead of as an opaque q98 hash
+    // mismatch.
+    import spark.implicits._
+    val sets: Seq[(String, Seq[Double])] = Seq(
+      "n4" -> Seq(1, 2, 3, 4).map(_.toDouble),
+      "n5" -> Seq(10, 20, 30, 40, 50).map(_.toDouble),
+      "n10" -> (1 to 10).map(_.toDouble),
+      "ties" -> Seq(1, 1, 1, 2, 2, 3, 3, 3, 3, 9).map(_.toDouble),
+      "n7" -> Seq(5, 1, 9, 3, 7, 2, 8).map(_.toDouble))
+    for ((name, vs) <- sets; p <- Seq(0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val got = vs.toDF("n")
+        .agg(percentile_approx(col("n"), lit(p), lit(1000000)))
+        .first().getDouble(0)
+      val expect = vs.sorted.apply(math.ceil(p * vs.length).toInt - 1)
+      assert(got == expect,
+        s"percentile_approx($p) on $name returned $got, expected the " +
+          s"order statistic at ceil(p*n)=${math.ceil(p * vs.length).toInt} " +
+          s"($expect) — Spark's exact-regime rank convention changed; " +
+          "update the q98 oracle to match")
+    }
+  }
 }
 
 object ExtSpec {
