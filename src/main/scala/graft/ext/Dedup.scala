@@ -638,6 +638,68 @@ object Dedup {
    * length; a doc with overflow_grams == prefix_len matched ONLY through
    * hot grams and should definitely take the LSH fallback path.)
    */
+  /**
+   * Uniform overflow-report kernel for every BANDED candidate join in
+   * the dedup family (the "no silent caps" interface — see README
+   * "Overflow reports"): given a banded (id, band, bucket) frame and
+   * the join's cap, returns one row per id that had at least one band
+   * land in an over-cap (excluded) bucket:
+   * (id, overflow_bands, total_bands). An id can lose a pair only if
+   * EVERY band it shares with that pair was excluded, so
+   * `overflow_bands == total_bands` marks ids whose entire candidate
+   * surface was capped — route those through an exact pass or raise the
+   * cap deliberately.
+   */
+  private[ext] def bandOverflowReport(banded: DataFrame, bandCol: String,
+      bucketCol: String, maxBucket: Int): DataFrame = {
+    val oversized = banded.groupBy(bandCol, bucketCol)
+      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+      .select(bandCol, bucketCol)
+    val perDoc = banded.groupBy("id").agg(count(lit(1)).as("total_bands"))
+    banded.join(broadcast(oversized), Seq(bandCol, bucketCol))
+      .groupBy("id").agg(count(lit(1)).as("overflow_bands"))
+      .join(perDoc, Seq("id"))
+  }
+
+  /**
+   * Overflow report for the MinHash band-bucket cap
+   * ([[minhashPairs]] / [[exactPairsViaMinhash]]; run it on
+   * `oldShingles` for [[crossPairsViaMinhash]], whose cap drops OLD-side
+   * buckets): (id, overflow_bands, total_bands) per doc with at least
+   * one band in an excluded bucket. Same banding expression and shared
+   * signature table as the pair operators, so the report reads the
+   * artifact that already exists.
+   */
+  def minhashBandOverflow(shingles: DataFrame, numHashes: Int = 128,
+                          bands: Int = 32,
+                          maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = persistShared(
+      shingles.filter(size(col("sh")) > 0)
+        .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig")))
+    val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    bandOverflowReport(banded, "band", "band_hash", maxBucket)
+  }
+
+  /** Overflow report for [[simhashPairs]]' 16-bit pigeonhole cap:
+    * (id, overflow_bands, total_bands), total_bands = 4 —
+    * overflow_bands == 4 means the doc was fully excluded from the
+    * candidate join. */
+  def simhashBandOverflow(df: DataFrame, textCol: String, idCol: String,
+                          maxBucket: Int = 1000): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      .select(col("id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    bandOverflowReport(banded, "band", "chunk", maxBucket)
+  }
+
   def setSimilarityOverflow(sets: DataFrame, threshold: Double,
                             maxBucket: Int = 5000): DataFrame = {
     val grams = sets.filter(size(col("grams")) > 0)

@@ -364,6 +364,23 @@ object Multimodal {
       .select("id", "id2")
   }
 
+  /** Overflow report for [[imageNearDupPairs]]' pigeonhole bucket cap
+    * (the uniform dedup-family interface — README "Overflow reports"):
+    * (id, overflow_bands, total_bands), total_bands = 4;
+    * overflow_bands == 4 marks images fully excluded from the candidate
+    * join (route through the exact-dup pass or raise the cap). */
+  def imageNearDupOverflow(media: DataFrame,
+                           maxBucket: Int = 10000): DataFrame =
+    Dedup.bandOverflowReport(
+      imageSignatures(media).filter(col("dhash").isNotNull)
+        .select(col("media_id").as("id"), col("dhash"))
+        .select(col("id"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("dhash"), i * 16)
+              .bitwiseAND(lit(0xffffL))): _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval"),
+      "chunk", "cval", maxBucket)
+
   /**
    * Deterministic REAL WAVs (RIFF PCM16 mono): n = id%400+100 samples at
    * 8 kHz, sample i = ((id*31 + i*7) % 2003) - 1001 — closed-form, so a
@@ -673,6 +690,21 @@ object Multimodal {
       .filter(expr(s"bit_count(ahash ^ ahash2) <= $maxHamming"))
       .select("id", "id2")
   }
+
+  /** Overflow report for [[audioNearDupPairs]]' pigeonhole bucket cap —
+    * the audio twin of [[imageNearDupOverflow]], same
+    * (id, overflow_bands, total_bands) shape. */
+  def audioNearDupOverflow(media: DataFrame,
+                           maxBucket: Int = 10000): DataFrame =
+    Dedup.bandOverflowReport(
+      audioPerceptualSignatures(media).filter(col("ahash").isNotNull)
+        .select(col("media_id").as("id"), col("ahash"))
+        .select(col("id"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("ahash"), i * 16)
+              .bitwiseAND(lit(0xffffL))): _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cval"),
+      "chunk", "cval", maxBucket)
 
   /**
    * TRUE decoded audio stats — sample count, rate, exact amplitude sum

@@ -1020,6 +1020,31 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.sharedCacheCount == 0)
   }
 
+  test("band overflow reports: capped buckets named, fully-capped docs flagged") {
+    // 6 identical docs: with maxBucket = 3 every band bucket they share
+    // overflows, so each must report overflow_bands == total_bands (its
+    // whole candidate surface was capped); the 2 distinct docs report
+    // nothing — the uniform no-silent-caps interface across families
+    val docs = ((1L to 6L).map(i => (i, "same text repeated for boilerplate")) ++
+      Seq((7L, "completely different content here"),
+          (8L, "another unique document altogether"))).toDF("doc_id", "text")
+    val mh = Dedup.minhashBandOverflow(
+        Dedup.charShingleSets(docs, "text", "doc_id"),
+        numHashes = 16, bands = 8, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mh.map(_._1).toSet.intersect((1L to 6L).toSet) == (1L to 6L).toSet,
+      s"every capped doc must be named: ${mh.mkString(",")}")
+    assert(mh.filter(t => t._1 <= 6L).forall(t => t._2 == t._3),
+      "identical docs lose every band -> overflow_bands == total_bands")
+    val sh = Dedup.simhashBandOverflow(docs, "text", "doc_id", maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sh.map(_._1).toSet.intersect((1L to 6L).toSet) == (1L to 6L).toSet)
+    assert(sh.filter(t => t._1 <= 6L).forall(t => t._2 == 4L && t._3 == 4L))
+    // and with the cap above the group size, nothing is reported
+    assert(Dedup.simhashBandOverflow(docs, "text", "doc_id",
+      maxBucket = 100).isEmpty)
+  }
+
   test("percentile_approx exact-regime rank convention (the q98 oracle's pin)") {
     // The q98 gate reproduces Spark's ApproximatePercentile sketch values
     // in SQL by assuming: in the exact regime (accuracy >= n), the sketch
