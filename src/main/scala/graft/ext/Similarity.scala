@@ -248,7 +248,12 @@ object Similarity {
     val newCapped =
       if (oversizedIds.isEmpty) newAssigned
       else newAssigned.filter(!col("ivf_cell").isInCollection(oversizedIds))
-    newCapped.join(oldCapped, Seq("ivf_cell"))
+    // BROADCAST the delta (batch-sized by the operator's premise, like
+    // Ivf.search's query side): ivf_cell has at most model.k distinct
+    // values, so a shuffle join on it would repartition the huge OLD
+    // side by a low-cardinality, density-skewed key — the one shuffle
+    // this operator must never do
+    oldCapped.join(broadcast(newCapped), Seq("ivf_cell"))
       .select(col("id"), col("id2"),
         cosine_sim(col("v"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -1020,6 +1020,33 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.sharedCacheCount == 0)
   }
 
+  test("persistShared in-flight latch: concurrent same-plan registrations share one write") {
+    Dedup.releaseCaches()
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-shared-tables")
+    def nDirs = Option(root.list()).map(_.length).getOrElse(0)
+    val before = nDirs
+    val docs = ((1L to 40L).map(i => (i, s"document number $i with text " +
+      ("x" * (i % 7).toInt)))).toDF("doc_id", "text")
+    val sh = Dedup.charShingleSets(docs, "text", "doc_id", 5)
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map(_ => new Thread(() => {
+      try counts.add(Dedup.exactPairsViaMinhash(sh,
+        numHashes = 16, bands = 8).count())
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent registration failed: ${errs.peek()}")
+    assert(counts.size == 4 && counts.stream().distinct().count() == 1)
+    // exactPairsViaMinhash materializes two artifacts (signatures +
+    // verified pairs): 4 racing threads must still produce exactly 2
+    // table dirs — the latch makes the other 3 wait, not re-write
+    assert(nDirs - before == 2,
+      s"expected one write per artifact, got ${nDirs - before} new dirs")
+    Dedup.releaseCaches()
+  }
+
   test("band overflow reports: capped buckets named, fully-capped docs flagged") {
     // 6 identical docs: with maxBucket = 3 every band bucket they share
     // overflows, so each must report overflow_bands == total_bands (its

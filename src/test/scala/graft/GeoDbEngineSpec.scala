@@ -260,6 +260,10 @@ class GeoDbEngineSpec extends SparkSpec {
     val scans = pairs.queryExecution.executedPlan.collectLeaves().map(_.toString)
     assert(scans.exists(s => s.contains("PartitionFilters") && s.contains("ivf_cell")),
       s"corpus scan must carry an ivf_cell PartitionFilter:\n${scans.mkString("\n")}")
+    // and the batch side is BROADCAST: ivf_cell is a low-cardinality
+    // skewed key, so a shuffle join on it would repartition the corpus
+    assert(pairs.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "delta side must broadcast into the within-cell join")
     val kept = db.vectorIndexDedupKeepers("corpus", "emb", batch,
         threshold = 0.95, idCol = "vec_id")
       .select("vec_id").as[Long].collect().toSet
