@@ -523,6 +523,11 @@ object TextAnalysis {
    */
   def bigramEntropyUnderModel(df: DataFrame, textCol: String, idCol: String,
                               model: BigramModel): DataFrame = {
+    // an empty reference model (vocab 0) would make every smoothed
+    // probability 1/0 and every entropy infinite — refuse loudly
+    require(model.vocab > 0,
+      "bigram reference model has an empty vocabulary — it was trained " +
+        "on an empty or token-free corpus")
     val bigrams = bigramsOf(tokensOf(df, textCol, col(idCol)))
     val v = lit(model.vocab.toDouble)
     val scored = bigrams

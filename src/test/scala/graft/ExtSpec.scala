@@ -701,6 +701,14 @@ class ExtSpec extends SparkSpec {
     assert(sig(1L)._1 == sig(2L)._1 && sig(1L)._1 == sig(4L)._1)
     assert(sig(1L)._2 == sig(4L)._2 && sig(1L)._2 != sig(2L)._2)
     assert(sig(1L)._1 != sig(3L)._1)
+    // the overflow twin honors the uniform interface: a cap of 0 names
+    // every image with its whole candidate surface excluded; a roomy
+    // cap reports nothing
+    val ov = Multimodal.imageNearDupOverflow(media, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ov.map(_._1).toSet == Set(1L, 2L, 3L, 4L) &&
+      ov.forall(t => t._2 == 4L && t._3 == 4L), s"overflow: ${ov.mkString(",")}")
+    assert(Multimodal.imageNearDupOverflow(media, maxBucket = 100).isEmpty)
   }
 
   test("tokenDrift: planted token is the top positive KL contributor") {
@@ -946,6 +954,12 @@ class ExtSpec extends SparkSpec {
       Multimodal.mediaSchema)
     val shortSig = Multimodal.audioPerceptualSignatures(short).first()
     assert(shortSig.isNullAt(1), "sub-65-sample clip must have null ahash")
+    // overflow twin: cap 0 names every decodable clip as fully capped
+    val ov = Multimodal.audioNearDupOverflow(all, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ov.nonEmpty && ov.forall(t => t._2 == 4L && t._3 == 4L),
+      s"audio overflow: ${ov.mkString(",")}")
+    assert(Multimodal.audioNearDupOverflow(all, maxBucket = 1000).isEmpty)
   }
 
   test("exactCosinePairs: guarded O(n^2) diagnostic refuses oversized input") {
