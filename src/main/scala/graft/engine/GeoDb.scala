@@ -1494,11 +1494,22 @@ class GeoDb(
                 restored = occupied.contains(false) && tombContent.isDefined &&
                   (try {
                     val out = fs.create(lock, false) // no-overwrite create
-                    out.write(tombContent.get
-                      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                    out.close()
-                    true
-                  } catch { case _: java.io.IOException => false })
+                    // from here the slot holds OUR file: a write/close
+                    // failure must remove it (tryAcquire mirrors this),
+                    // or every retry would see the slot occupied by our
+                    // own partial garbage and wedge until the stale bar
+                    try {
+                      out.write(tombContent.get
+                        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                      out.close()
+                      true
+                    } catch { case _: java.io.IOException =>
+                      try out.close() catch { case _: java.io.IOException => () }
+                      try fs.delete(lock, false)
+                      catch { case _: java.io.IOException => () }
+                      false
+                    }
+                  } catch { case _: java.io.IOException => false }) // create lost: not ours
                 if (!restored) Thread.sleep(25)
               }
               if (restored) {

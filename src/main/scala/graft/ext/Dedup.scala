@@ -144,6 +144,12 @@ object Dedup {
   private def persistSharedWrite(df: DataFrame,
       key: (org.apache.spark.sql.SparkSession,
             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)): DataFrame = {
+    // double-check after winning the latch: a thread can miss the cache,
+    // lose the CPU, and call putIfAbsent only after the previous writer
+    // registered its table AND removed its latch — without this re-read
+    // it would become a second full writer for an already-present key
+    val hit = sharedCaches.synchronized { Option(sharedCaches.get(key)) }
+    if (hit.isDefined) return hit.get.df
     // materialize OUTSIDE the monitor: the write is a full Spark job
     // (minutes on a large corpus) and must not serialize unrelated
     // concurrent dedup callers for distinct keys.
@@ -650,15 +656,25 @@ object Dedup {
    * surface was capped — route those through an exact pass or raise the
    * cap deliberately.
    */
-  private[ext] def bandOverflowReport(banded: DataFrame, bandCol: String,
+  private[ext] def bandOverflowReport(banded0: DataFrame, bandCol: String,
       bucketCol: String, maxBucket: Int): DataFrame = {
-    val oversized = banded.groupBy(bandCol, bucketCol)
-      .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
-      .select(bandCol, bucketCol)
-    val perDoc = banded.groupBy("id").agg(count(lit(1)).as("total_bands"))
-    banded.join(broadcast(oversized), Seq(bandCol, bucketCol))
-      .groupBy("id").agg(count(lit(1)).as("overflow_bands"))
-      .join(perDoc, Seq("id"))
+    // the banded frame is scanned three times (oversized agg, join side,
+    // per-id totals); for the image/audio twins its producer is a REAL
+    // media decode, so the slim (id, band, bucket) rows are transient-
+    // persisted and released after the eager report materialization —
+    // one decode pass, not three
+    val banded = banded0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val oversized = banded.groupBy(bandCol, bucketCol)
+        .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+        .select(bandCol, bucketCol)
+      val perDoc = banded.groupBy("id").agg(count(lit(1)).as("total_bands"))
+      banded.join(broadcast(oversized), Seq(bandCol, bucketCol))
+        .groupBy("id").agg(count(lit(1)).as("overflow_bands"))
+        .join(perDoc, Seq("id"))
+        .localCheckpoint(true)
+    } finally banded.unpersist(false)
   }
 
   /**

@@ -46,8 +46,10 @@ object Ivf {
    */
   def train(corpus: DataFrame, vecCol: String, k: Int = 16,
             maxIter: Int = 10, seed: Long = 42L,
-            sampleCap: Int = 100000): Model = {
-    val n = corpus.count()
+            sampleCap: Int = 100000, knownCount: Long = -1L): Model = {
+    // callers that already counted the corpus (e.g. to derive k) pass
+    // the count in rather than paying a second count job
+    val n = if (knownCount >= 0L) knownCount else corpus.count()
     val base =
       if (n <= sampleCap) corpus
       else corpus.sample(withReplacement = false,
@@ -61,7 +63,13 @@ object Ivf {
   }
 
   /** Deterministic local Lloyd's k-means (squared-euclidean, which on
-    * L2-normalized vectors induces the cosine ordering). */
+    * L2-normalized vectors induces the cosine ordering). The dominant
+    * O(sample · k · d) ASSIGNMENT step runs parallel across driver
+    * cores (per-point argmin is order-independent, so parallelism does
+    * not disturb determinism); the O(sample · d) accumulation stays
+    * sequential — at the derived-k regime (k ≈ √n, clamped) that keeps
+    * train cost at minutes on a 32-core driver, bounded by sampleCap
+    * and k, constant in corpus size. */
   private def lloyd(points: Array[Array[Float]], k: Int, maxIter: Int,
                     seed: Long): Array[Array[Float]] = {
     val n = points.length
@@ -76,22 +84,28 @@ object Ivf {
     }
     var centroids = picked.toArray(Array.empty[Integer])
       .map(i => points(i.intValue).clone())
+    val assignIdx = new Array[Int](n)
     var iter = 0
     while (iter < maxIter) {
-      val sums = Array.ofDim[Double](centroids.length, d)
-      val counts = new Array[Long](centroids.length)
-      var i = 0
-      while (i < n) {
+      val cents = centroids // stable reference for the worker lambda
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         val p = points(i)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < centroids.length) {
-          val cen = centroids(c)
+        while (c < cents.length) {
+          val cen = cents(c)
           var dist = 0.0; var j = 0
           while (j < d) { val t = p(j) - cen(j); dist += t * t; j += 1 }
           if (dist < bestD) { bestD = dist; best = c }
           c += 1
         }
+        assignIdx(i) = best
+      }
+      val sums = Array.ofDim[Double](centroids.length, d)
+      val counts = new Array[Long](centroids.length)
+      var i = 0
+      while (i < n) {
+        val p = points(i); val best = assignIdx(i)
         var j = 0
         while (j < d) { sums(best)(j) += p(j); j += 1 }
         counts(best) += 1

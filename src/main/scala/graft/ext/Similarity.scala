@@ -104,48 +104,69 @@ object Similarity {
                          maxIter: Int = 5, maxCell: Int = 10000,
                          seed: Long = 42L,
                          allowOversizedCells: Boolean = false): DataFrame = {
-    val k = resolveCells(df, cells)
-    val model = Ivf.train(df, vecCol, k = k, maxIter = maxIter, seed = seed)
-    val assigned = Ivf.assign(df, vecCol, model)
+    TextFunctions.registerAll(df.sparkSession)
+    val slim = df.select(col(idCol), col(vecCol))
+    // count ONCE: it feeds both the derived cell count and the train
+    // sample fraction (Ivf.train would otherwise recount)
+    val n = if (cells > 0) -1L else slim.count()
+    val k = resolveCells(n, cells)
+    val model = Ivf.train(slim, vecCol, k = k, maxIter = maxIter,
+      seed = seed, knownCount = n)
+    // ONE assignment pass: the per-row argmin over k centroids is the
+    // dominant per-vector cost, so the frame is transient-persisted for
+    // its three uses (cap check + both self-join branches) and released
+    // after the eager pair materialization below
+    val assigned = Ivf.assign(slim, vecCol, model)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cell"))
-    // bounded collect: one row per OVERSIZED cell (≤ k rows)
-    val oversized = assigned.groupBy("ivf_cell")
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    if (oversized.nonEmpty) {
-      val excluded = oversized.map(_._2).sum
-      val msg = s"semantic dedup cell cap exceeded: ${oversized.length} of $k " +
-        s"cells hold more than maxCell=$maxCell vectors (largest " +
-        s"${oversized.map(_._2).max}, $excluded vectors total) and would be " +
-        "silently excluded from pair search. Retrain with more cells " +
-        "(cells = 0 derives k ~ sqrt(n)), raise maxCell deliberately, or pass " +
-        "allowOversizedCells = true to proceed minus those cells " +
-        "(clusterOversizedCells itemizes them)."
-      if (!allowOversizedCells) throw new IllegalStateException(msg)
-      org.apache.log4j.Logger.getLogger(getClass).warn(msg)
-    }
-    val capped =
-      if (oversized.isEmpty) assigned
-      else {
-        val ids = oversized.map(_._1).toSet
-        assigned.filter(!col("ivf_cell").isInCollection(ids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: one row per OVERSIZED cell (≤ k rows)
+      val oversized = assigned.groupBy("ivf_cell")
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      if (oversized.nonEmpty) {
+        val excluded = oversized.map(_._2).sum
+        val msg = s"semantic dedup cell cap exceeded: ${oversized.length} of $k " +
+          s"cells hold more than maxCell=$maxCell vectors (largest " +
+          s"${oversized.map(_._2).max}, $excluded vectors total) and would be " +
+          "silently excluded from pair search. Retrain with more cells " +
+          "(cells = 0 derives k ~ sqrt(n)), raise maxCell deliberately, or pass " +
+          "allowOversizedCells = true to proceed minus those cells " +
+          "(clusterOversizedCells itemizes them)."
+        if (!allowOversizedCells) throw new IllegalStateException(msg)
+        org.apache.log4j.Logger.getLogger(getClass).warn(msg)
       }
-    capped
-      .join(capped.select(col("ivf_cell"), col("id").as("id2"),
-        col("v").as("v2")), Seq("ivf_cell"))
-      .filter(col("id") < col("id2"))
-      .select(col("id"), col("id2"), cosine_sim(col("v"), col("v2")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      val capped =
+        if (oversized.isEmpty) assigned
+        else {
+          val ids = oversized.map(_._1).toSet
+          assigned.filter(!col("ivf_cell").isInCollection(ids))
+        }
+      // eager materialization of the (small, threshold-filtered) pair
+      // set bounds the persist's lifetime (the minhashPairs discipline)
+      capped
+        .join(capped.select(col("ivf_cell"), col("id").as("id2"),
+          col("v").as("v2")), Seq("ivf_cell"))
+        .filter(col("id") < col("id2"))
+        .select(col("id"), col("id2"),
+          cosine_sim(col("v"), col("v2")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .localCheckpoint(true)
+    } finally assigned.unpersist(false)
   }
 
-  /** `cells = 0` → k ≈ √n clamped to [4, 65536] (the IVF heuristic:
+  /** `cells = 0` → k ≈ √n clamped to [4, 16384] (the IVF heuristic:
     * expected cell size √n, so the `maxCell` quadratic guard binds only
-    * under genuine density skew). Runs a count job when deriving. */
-  private def resolveCells(df: DataFrame, cells: Int): Int = {
+    * under genuine density skew). The upper clamp keeps driver Lloyd
+    * honest: train is O(sampleCap · k · d · iters) — parallel across
+    * driver cores, but linear in k, so "bounded-sample constant" holds
+    * only with k bounded too; past the clamp the sample (100k default)
+    * would also be too thin to fit meaningfully more centroids. */
+  private def resolveCells(n: Long, cells: Int): Int = {
     require(cells >= 0, "cells must be >= 0 (0 = derive from corpus size)")
     if (cells > 0) cells
-    else math.max(4, math.min(65536,
-      math.ceil(math.sqrt(df.count().toDouble)).toInt))
+    else math.max(4, math.min(16384,
+      math.ceil(math.sqrt(n.toDouble)).toInt))
   }
 
   /**
@@ -160,8 +181,10 @@ object Similarity {
                             cells: Int = 0, maxIter: Int = 5,
                             maxCell: Int = 10000,
                             seed: Long = 42L): DataFrame = {
-    val k = resolveCells(df, cells)
-    val model = Ivf.train(df, vecCol, k = k, maxIter = maxIter, seed = seed)
+    val n = if (cells > 0) -1L else df.count()
+    val k = resolveCells(n, cells)
+    val model = Ivf.train(df, vecCol, k = k, maxIter = maxIter,
+      seed = seed, knownCount = n)
     Ivf.assign(df, vecCol, model)
       .groupBy("ivf_cell").agg(count(lit(1)).as("cell_size"))
       .filter(col("cell_size") > maxCell)
@@ -218,6 +241,12 @@ object Similarity {
                               threshold: Double, maxCell: Int = 10000,
                               allowOversizedCells: Boolean = false): DataFrame = {
     TextFunctions.registerAll(newDf.sparkSession)
+    // the delta's assignment recomputes across its uses DELIBERATELY: it
+    // is batch-sized by the operator's premise, so a narrow re-map is
+    // cheaper than cache management, and the lazy return keeps the plan
+    // composable and inspectable (the engine spec asserts partition
+    // pruning + broadcast on it) — unlike the corpus-sized self-join in
+    // clusterCosinePairs, which does persist
     val newAssigned = Ivf.assign(newDf.select(col(idCol), col(vecCol)),
         vecCol, model)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cell"))
@@ -227,7 +256,10 @@ object Similarity {
     val old = oldAssigned
       .select(col(idCol).as("id2"), col(vecCol).as("v2"), col("ivf_cell"))
       .filter(col("ivf_cell").isInCollection(touched))
-    // loud cap on the OLD side of touched cells (≤ |touched| rows)
+    // loud cap on the OLD side of touched cells (≤ |touched| rows). The
+    // old side is scanned twice (cap check + pair join) — both scans are
+    // partition-pruned to touched cells, the price of failing loudly
+    // before the join instead of inside it
     val oversized = old.groupBy("ivf_cell")
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -274,8 +306,10 @@ object Similarity {
                                seed: Long = 42L,
                                allowOversizedCells: Boolean = false): DataFrame = {
     val oldSlim = oldDf.select(col(idCol), col(vecCol))
-    val k = resolveCells(oldSlim, cells)
-    val model = Ivf.train(oldSlim, vecCol, k = k, maxIter = maxIter, seed = seed)
+    val n = if (cells > 0) -1L else oldSlim.count()
+    val k = resolveCells(n, cells)
+    val model = Ivf.train(oldSlim, vecCol, k = k, maxIter = maxIter,
+      seed = seed, knownCount = n)
     crossClusterCosinePairs(newDf, vecCol, idCol,
       Ivf.assign(oldSlim, vecCol, model), model,
       threshold, maxCell, allowOversizedCells)

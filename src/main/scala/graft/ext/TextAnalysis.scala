@@ -375,14 +375,19 @@ object TextAnalysis {
    * documents whose every line is boilerplate survive as empty text
    * (row count is preserved). Shuffle discipline for 100 TB: the
    * doc-frequency aggregation and the anti-join travel on a 16-byte
-   * TWO-hash key `(xxhash64(line), xxhash64(line, salt))`, never the
+   * TWO-hash key `(xxhash64(line), xxhash64(salt, line))`, never the
    * line text. A single 64-bit key collides at birthday ≈ 2^32 distinct
    * lines — well inside a 100 TB corpus, and a collision merges two
    * lines' doc frequencies, deleting a rare line that collided with
-   * boilerplate; the independent-salt pair pushes the birthday bound to
-   * ≈ 2^64 distinct lines (collision probability < 10^-9 even at 10^14
-   * lines — see SCALE.md). Reassembly is one groupBy(id) over
-   * (pos, line) structs with an in-memory array_sort, bounded by
+   * boilerplate; the second hash pushes the birthday bound to ≈ 2^64
+   * distinct lines (collision probability < 10^-9 even at 10^14 lines —
+   * see SCALE.md). The salt argument must come FIRST: Spark's
+   * multi-argument xxhash64 chains left-to-right with the running hash
+   * as seed, so a TRAILING salt would make the second hash a pure
+   * function of the first (first-hash collisions would propagate and
+   * the pair would be no stronger than 64 bits); salt-first makes it a
+   * differently-SEEDED hash of the line. Reassembly is one groupBy(id)
+   * over (pos, line) structs with an in-memory array_sort, bounded by
    * document size.
    */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
@@ -392,7 +397,7 @@ object TextAnalysis {
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val hashed = lines
       .withColumn("_lh", xxhash64(col("line")))
-      .withColumn("_lh2", xxhash64(col("line"), lit(0x9E3779B97F4A7C15L)))
+      .withColumn("_lh2", xxhash64(lit(0x9E3779B97F4A7C15L), col("line")))
     val boiler = hashed.select(col(idCol), col("_lh"), col("_lh2")).distinct()
       .groupBy("_lh", "_lh2").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)
@@ -479,9 +484,18 @@ object TextAnalysis {
    * at top-V with an OOV bucket so the model broadcasts.
    */
   def bigramSelfEntropy(df: DataFrame, textCol: String,
-                        idCol: String): DataFrame =
-    bigramEntropyUnderModel(df, textCol, idCol,
-      trainBigramModel(df, textCol))
+                        idCol: String): DataFrame = {
+    val model = trainBigramModel(df, textCol)
+    // a token-free corpus trains an empty model, and self-scoring it is
+    // well-defined: no doc has a bigram, so every row is (id, 0, null)
+    // — the same frame the pre-refactor implementation returned (the
+    // vocab > 0 guard in bigramEntropyUnderModel is for EXTERNAL empty
+    // models scoring non-empty corpora, which has no finite answer)
+    if (model.vocab == 0L)
+      df.select(col(idCol).as(idCol), lit(0L).as("n_bigrams"),
+        lit(null).cast("double").as("xent"))
+    else bigramEntropyUnderModel(df, textCol, idCol, model)
+  }
 
   /**
    * The persisted bigram-LM artifact: slim (w1, w2, _c) bigram counts,

@@ -642,6 +642,19 @@ class ExtSpec extends SparkSpec {
     assert(out(11L) == (1L, Some(2.584963)), s"OOV bigram must score: ${out(11L)}")
     assert(out(12L) == (1L, Some(1.584963)), s"OOV head must hit the floor: ${out(12L)}")
     assert(out(13L) == (0L, None))
+    // an EMPTY external model cannot score a corpus (every probability
+    // would be 1/0) — refuse loudly...
+    val empty = TextAnalysis.trainBigramModel(
+      Seq((1L, "  ")).toDF("doc_id", "text"), "text")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bigramEntropyUnderModel(target, "text", "doc_id", empty))
+    assert(e.getMessage.contains("empty"))
+    // ...but SELF-scoring a token-free corpus is well-defined: every row
+    // comes back (id, 0, null), not an exception
+    val deg = TextAnalysis.bigramSelfEntropy(
+        Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(deg == Set((1L, 0L, true), (2L, 0L, true)))
   }
 
   test("urlHosts: RFC 3986 case-insensitive scheme, hosts folded to lowercase") {
