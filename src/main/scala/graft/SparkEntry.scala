@@ -1528,6 +1528,26 @@ object SparkEntry {
       TextAnalysis.bigramEntropyUnderModel(
           docs.filter(col("doc_id") > 200), "text", "doc_id", model)
         .orderBy("doc_id")
+    }),
+    "q113_substring_spans" -> ((s, dir) => { ensure(s)
+      // duplicated-substring spans (ExactSubstr, Lee et al. 2021): every
+      // corpus-duplicated 8-token window, merged per doc into maximal
+      // [span_start, span_end] token ranges. On top of the corpus's
+      // natural duplicated passages, a 9-token licence blurb is planted
+      // into docs 10 and 20 — doc 20's copy in MiXeD case, so both its
+      // 8-gram windows only match after lowercasing, and the two
+      // windows must MERGE into one 9-token tail span per doc. The
+      // oracle rebuilds the same corpus and recomputes every span from
+      // gram strings (no hashes), so Spark's 128-bit gram keys must be
+      // collision-clean and the merge rule exact.
+      val docs = ld(s, dir, "documents").withColumn("text",
+        when(col("doc_id") === 10, concat(col("text"),
+          lit(" shared licence blurb alpha beta gamma delta epsilon zeta")))
+        .when(col("doc_id") === 20, concat(col("text"),
+          lit(" SHARED Licence BLURB Alpha Beta GAMMA Delta Epsilon ZETA")))
+        .otherwise(col("text")))
+      TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 8)
+        .orderBy("doc_id", "span_start")
     })
   )
 
@@ -1904,6 +1924,17 @@ object SparkEntry {
        "sc AS (SELECT bb.doc_id, log2((COALESCE(bc.c, 0) + 1.0) / (COALESCE(lc.cl, 0) + v.vs)) AS lp FROM bb LEFT JOIN bc USING (w1, w2) LEFT JOIN lc USING (w1), v), " +
        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-avg(lp), 6) AS xent FROM sc GROUP BY doc_id) " +
        "SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams, ag.xent FROM (SELECT doc_id FROM documents WHERE doc_id > 200) d LEFT JOIN ag USING (doc_id) ORDER BY doc_id"),
+    "q113_substring_spans" ->
+      ("WITH docs AS (SELECT doc_id, CASE WHEN doc_id = 10 THEN text || ' shared licence blurb alpha beta gamma delta epsilon zeta' " +
+       "WHEN doc_id = 20 THEN text || ' SHARED Licence BLURB Alpha Beta GAMMA Delta Epsilon ZETA' ELSE text END AS text FROM documents), " +
+       "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t FROM docs), " +
+       "ge AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) END, recursive := true) FROM toks), " +
+       "dup AS (SELECT gram FROM ge GROUP BY gram HAVING count(*) >= 2), " +
+       "hits AS (SELECT doc_id, pos FROM ge WHERE gram IN (SELECT gram FROM dup)), " +
+       "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM hits), " +
+       "g2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b) " +
+       "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 7 AS BIGINT) AS span_end " +
+       "FROM g2 GROUP BY doc_id, gid ORDER BY doc_id, span_start"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -605,6 +605,91 @@ object TextAnalysis {
       array_join(array_distinct(split(col(textCol), "\n")), "\n").as(textCol))
 
   /**
+   * Duplicated-substring span detection — the ExactSubstr shape of Lee
+   * et al. 2021 ("Deduplicating Training Data Makes Language Models
+   * Better"): a token k-gram occurring at least `minCount` times
+   * ANYWHERE in the corpus (across documents or repeated within one)
+   * marks its k-token window as duplicated, and per document the
+   * overlapping/adjacent duplicated windows merge into maximal spans.
+   * Output: (idCol, span_start, span_end) in 1-based inclusive token
+   * coordinates (whitespace tokens of the lowercased text, matching
+   * [[wordNgrams]]), one row per maximal span, the per-span complement
+   * of the doc-level dedup family (MinHash/SimHash/Jaccard find
+   * near-identical DOCUMENTS; this finds the duplicated REGIONS inside
+   * otherwise-distinct documents — licence blurbs, quoted passages,
+   * templated intros).
+   *
+   * Scale: the paper builds a single-node suffix array; the distributed
+   * equivalent is ONE pass over the corpus emitting a slim
+   * (id, pos, 16-byte gram-key) row per token window, ONE shuffle of
+   * that stream on the key with a whole-partition `count` window to
+   * mark duplicated grams in place (a groupBy + semi-join formulation
+   * would tokenize and build every gram twice — the partial aggregate
+   * ahead of the count exchange makes it unreusable for the join side),
+   * a filter that collapses the stream to the (typically sparse)
+   * duplicated windows, and a per-document window (shuffling only the
+   * survivors) to merge hits into maximal spans. Gram keys are the
+   * salt-first two-hash pair of [[removeBoilerplateLines]] — never the
+   * gram string — so shuffle width is constant and the collision bound
+   * is the same 128-bit birthday ≈ 2^64 distinct grams (SCALE.md). A
+   * gram duplicated M times contributes M slim rows, never M² pairs,
+   * so skew cannot blow up the key window (the whole-partition count
+   * buffers a key group at a time in a spillable row array); no caps
+   * are needed and none are applied.
+   */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      k: Int, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "k must be >= 2")
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount): " +
+      "every window occurs at least once, so 1 would mark entire documents")
+    val grams = df
+      .select(col(idCol),
+        posexplode(wordNgrams(col(textCol), k)).as(Seq("_off", "_gram")))
+      .select(col(idCol), (col("_off") + 1).cast("long").as("pos"),
+        xxhash64(col("_gram")).as("_gh"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col("_gram")).as("_gh2"))
+    val byKey = Window.partitionBy("_gh", "_gh2")
+    val hits = grams
+      .withColumn("_n", count(lit(1)).over(byKey))
+      .filter(col("_n") >= minCount)
+    // Windows [p, p+k-1] and [q, q+k-1] (q > p) merge iff q <= p + k:
+    // q = p + k is the touching case — contiguous duplicated text.
+    val byPos = Window.partitionBy(col(idCol)).orderBy("pos")
+    hits
+      .withColumn("_brk",
+        when(col("pos") - lag("pos", 1).over(byPos) <= k, 0).otherwise(1))
+      .withColumn("_grp", sum("_brk").over(byPos))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /**
+   * Per-document duplicated-token accounting over [[duplicatedSpans]]:
+   * (idCol, n_tokens, dup_tokens, dup_fraction) for EVERY input row
+   * (0.0 where nothing is duplicated) — the filter/annotate metric a
+   * pipeline thresholds on ("drop documents that are >50% duplicated
+   * text"). Merged spans are disjoint by construction, so dup_tokens
+   * is an exact cover count, never double-counted.
+   */
+  def dupSpanFraction(df: DataFrame, textCol: String, idCol: String,
+                      k: Int, minCount: Int = 2): DataFrame = {
+    val perDoc = duplicatedSpans(df, textCol, idCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    df.select(col(idCol),
+        when(length(trim(col(textCol))) === 0, 0L)
+          .otherwise(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("dup_tokens").cast("double") / col("n_tokens")))
+  }
+
+  /**
    * Per-group quota selection: keep the top `k` rows of each group by
    * (score desc, id asc) — the "cap every source/domain at its best k
    * documents" step of corpus mixing. The scale-critical choice: the

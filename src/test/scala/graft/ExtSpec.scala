@@ -827,6 +827,73 @@ class ExtSpec extends SparkSpec {
     assert(out(4L) == "only")
   }
 
+  test("duplicatedSpans: cross-doc runs, within-doc repeats, merge rule, case fold") {
+    import spark.implicits._
+    val df = Seq(
+      // docs 1/2 share the 5-token run "p q r s t" -> 3-gram hits at
+      // doc1 pos 1..3 (span [1,5]) and doc2 pos 3..5 (span [3,7])
+      (1L, "p q r s t u v"),
+      (2L, "z1 z2 p q r s t z3"),
+      // doc 3 repeats "m n o" internally: its own 3-grams recur
+      // (pos 1 "m n o" == pos 4 "m n o"), so spans merge across the doc
+      (3L, "m n o m n o m n o"),
+      // docs 4/5 match only after lowercasing
+      (4L, "Hello World Foo tail4a tail4b"),
+      (5L, "prefix5 hello world foo"),
+      (6L, "entirely unique tokens here nothing repeats ever")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicatedSpans(df, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 1L, 5L), (2L, 3L, 7L), (3L, 1L, 9L),
+      (4L, 1L, 3L), (5L, 2L, 4L)), s"spans: $spans")
+  }
+
+  test("duplicatedSpans: windows at distance k merge, at k+1 stay separate") {
+    import spark.implicits._
+    // k=2: "a b" and "c d" duplicated via docs 2/3. In doc 1 they start
+    // at pos 1 and 3 (distance 2 = k -> touching windows [1,2],[3,4]
+    // merge to [1,4]); in doc 4 at pos 1 and 4 (distance 3 > k -> two
+    // separate spans)
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "x1 a b x2"),
+      (3L, "x3 c d x4"),
+      (4L, "a b gap c d")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicatedSpans(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans.filter(_._1 == 1L) == Set((1L, 1L, 4L)), s"spans: $spans")
+    assert(spans.filter(_._1 == 4L) == Set((4L, 1L, 2L), (4L, 4L, 5L)),
+      s"spans: $spans")
+  }
+
+  test("dupSpanFraction: exact cover counts, zero rows preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s t u v"),          // span [1,5] of 7 tokens
+      (2L, "z1 z2 p q r s t z3"),     // span [3,7] of 8 tokens
+      (3L, "no duplicates here at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanFraction(df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((7L, 5L, 5.0 / 7.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((8L, 5L, 5.0 / 8.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((5L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    assert(out.size == 4)
+  }
+
+  test("duplicatedSpans rejects minCount < 2 and k < 2") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 3, minCount = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 1)
+    }
+  }
+
   test("semanticDedupKeepers drops planted exact copies, keeps originals") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
