@@ -628,10 +628,12 @@ object TextAnalysis {
    * ahead of the count exchange makes it unreusable for the join side),
    * a filter that collapses the stream to the (typically sparse)
    * duplicated windows, and a per-document window (shuffling only the
-   * survivors) to merge hits into maximal spans. Gram keys are the
-   * salt-first two-hash pair of [[removeBoilerplateLines]] — never the
-   * gram string — so shuffle width is constant and the collision bound
-   * is the same 128-bit birthday ≈ 2^64 distinct grams (SCALE.md). A
+   * survivors) to merge hits into maximal spans. Gram keys come from the
+   * codegen'd [[TextOps.wordShinglePairs]] kernel — two independent
+   * 64-bit chains per window, gram strings never materialized — so
+   * shuffle width is constant and the collision bound is the same
+   * 128-bit birthday ≈ 2^64 distinct grams as the boilerplate line
+   * keys (SCALE.md). A
    * gram duplicated M times contributes M slim rows, never M² pairs,
    * so skew cannot blow up the key window (the whole-partition count
    * buffers a key group at a time in a spillable row array); no caps
@@ -645,10 +647,10 @@ object TextAnalysis {
       "every window occurs at least once, so 1 would mark entire documents")
     val grams = df
       .select(col(idCol),
-        posexplode(wordNgrams(col(textCol), k)).as(Seq("_off", "_gram")))
+        posexplode(TextFunctions.word_shingle_pairs(col(textCol), lit(k)))
+          .as(Seq("_off", "_hp")))
       .select(col(idCol), (col("_off") + 1).cast("long").as("pos"),
-        xxhash64(col("_gram")).as("_gh"),
-        xxhash64(lit(0x9E3779B97F4A7C15L), col("_gram")).as("_gh2"))
+        col("_hp").getItem(0).as("_gh"), col("_hp").getItem(1).as("_gh2"))
     val byKey = Window.partitionBy("_gh", "_gh2")
     val hits = grams
       .withColumn("_n", count(lit(1)).over(byKey))

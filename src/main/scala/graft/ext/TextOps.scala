@@ -68,6 +68,60 @@ object TextOps {
   }
 
   /**
+   * Positional word k-gram 128-bit keys: one inner `[h1, h2]` array per
+   * token window, in document order (NOT a distinct set — repeats and
+   * positions matter for span detection), with zero gram-string
+   * allocation. Tokenization is identical to the SQL-built
+   * `filter(split(lower(trim(text)), "\\s+"), t -> length(t) > 0)` path:
+   * `\s+` runs of the lowercased text delimit tokens, empties dropped.
+   * Each token is hashed once (64-bit FNV-1a over its UTF-16 chars, plus
+   * a splitmix64-decorrelated twin); each window chains the k token
+   * hashes through two independent multiply-accumulate chains with a
+   * final splitmix64, so (h1, h2) is an effectively-128-bit key —
+   * birthday bound ~2^64 distinct grams, same as the boilerplate line
+   * keys (SCALE.md). Fewer than k tokens -> empty array.
+   */
+  def wordShinglePairs(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString // UTF8String lowering: locale-free
+    val len = s.length
+    // pass 1: per-token hash twins, no token strings materialized
+    var t1 = new Array[Long](8); var t2 = new Array[Long](8)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !isRegexWs(s.charAt(i))) {
+          h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1
+        }
+        if (m == t1.length) {
+          t1 = java.util.Arrays.copyOf(t1, m * 2)
+          t2 = java.util.Arrays.copyOf(t2, m * 2)
+        }
+        t1(m) = h; t2(m) = mix64(h ^ 0x6a09e667f3bcc908L); m += 1
+      }
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    // pass 2: two independent chains per window (k is small; a rolling
+    // formulation would need modular inverses for no measurable win)
+    val out = new Array[Any](m - n + 1)
+    var w = 0
+    while (w + n <= m) {
+      var h1 = 0xcbf29ce484222325L; var h2 = 0x9e3779b97f4a7c15L
+      var j = w
+      while (j < w + n) {
+        h1 = (h1 ^ t1(j)) * 0x100000001b3L
+        h2 = h2 * 0xc2b2ae3d27d4eb4fL + t2(j)
+        j += 1
+      }
+      out(w) = new GenericArrayData(Array(mix64(h1), mix64(h2)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
    * MinHash signature via the Kirsch-Mitzenmacher construction
    * (public result from "Less Hashing, Same Performance", 2006):
    * h_j(x) = h1(x) + j*h2(x) with two independent 64-bit mixes — the j-loop

@@ -87,7 +87,8 @@ class CodegenSpec extends SparkSpec {
         sig_similarity(minhash_sig(char_shingles($"t", lit(3)), lit(16)),
           minhash_sig(char_shingles($"t", lit(3)), lit(16))),
         cosine_sim($"v1", $"v2"), dot_product($"v1", $"v2"),
-        hyperplane_sig($"v1", lit(8), lit(42L)))
+        hyperplane_sig($"v1", lit(8), lit(42L)),
+        word_shingle_pairs($"t", lit(2)))
         .head()
       assert(row.getInt(0) == 4)
       assert(row.getInt(1) == 1)   // token_occurrences of "quick"

@@ -827,6 +827,25 @@ class ExtSpec extends SparkSpec {
     assert(out(4L) == "only")
   }
 
+  test("word_shingle_pairs: positional windows, 128-bit keys, tokenizer parity") {
+    import spark.implicits._
+    import graft.ext.TextFunctions.word_shingle_pairs
+    val rows = Seq(
+      "the quick brown fox",          // 4 toks, k=2 -> 3 windows
+      "  THE   Quick\tbrown fox \n",  // same after lower + \s+ split
+      "quick the brown fox",          // same tokens, different order
+      "one",                          // sub-k -> empty
+      ""                              // empty -> empty
+    ).toDF("t").select(word_shingle_pairs($"t", lit(2)).as("w"))
+      .collect().map(_.getSeq[scala.collection.Seq[Long]](0).map(_.toList).toList)
+    assert(rows(0).length == 3 && rows(0).forall(_.length == 2))
+    assert(rows(0).distinct.length == 3)      // distinct grams, distinct keys
+    assert(rows(1) == rows(0))                // case + whitespace invariance
+    assert(rows(2) != rows(0))                // order-sensitive
+    assert(rows(2).contains(rows(0)(2)))      // shared window "brown fox"
+    assert(rows(3).isEmpty && rows(4).isEmpty)
+  }
+
   test("duplicatedSpans: cross-doc runs, within-doc repeats, merge rule, case fold") {
     import spark.implicits._
     val df = Seq(
