@@ -1540,16 +1540,52 @@ object SparkEntry {
       // oracle rebuilds the same corpus and recomputes every span from
       // gram strings (no hashes), so Spark's 128-bit gram keys must be
       // collision-clean and the merge rule exact.
-      val docs = ld(s, dir, "documents").withColumn("text",
-        when(col("doc_id") === 10, concat(col("text"),
-          lit(" shared licence blurb alpha beta gamma delta epsilon zeta")))
-        .when(col("doc_id") === 20, concat(col("text"),
-          lit(" SHARED Licence BLURB Alpha Beta GAMMA Delta Epsilon ZETA")))
-        .otherwise(col("text")))
-      TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 8)
+      TextAnalysis.duplicatedSpans(q113Docs(s, dir), "text", "doc_id", k = 8)
         .orderBy("doc_id", "span_start")
+    }),
+    "q114_dup_fraction" -> ((s, dir) => { ensure(s)
+      // per-doc duplicated-token fraction over the q113 spans — the
+      // threshold metric ("drop docs >X% duplicated"). Every doc row
+      // comes back (0.0 where clean); the oracle recomputes the exact
+      // span cover and the filtered token count per doc.
+      TextAnalysis.dupSpanFraction(q113Docs(s, dir), "text", "doc_id", k = 8)
+        .orderBy("doc_id")
+    }),
+    "q115_span_removal" -> ((s, dir) => { ensure(s)
+      // the ExactSubstr cut: rebuild every doc minus its duplicated
+      // spans (normalized token form). The oracle re-derives the spans
+      // from gram strings and re-cuts with a positional list_filter, so
+      // the reconstructed text must match character-for-character.
+      TextAnalysis.removeDuplicatedSpans(q113Docs(s, dir), "text", "doc_id", k = 8)
+        .orderBy("doc_id")
     })
   )
+
+  /** The q113/q114/q115 shared corpus: `documents` with a licence blurb
+    * planted into docs 10 and 20 (doc 20 in mixed case). */
+  private def q113Docs(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents").withColumn("text",
+      when(col("doc_id") === 10, concat(col("text"),
+        lit(" shared licence blurb alpha beta gamma delta epsilon zeta")))
+      .when(col("doc_id") === 20, concat(col("text"),
+        lit(" SHARED Licence BLURB Alpha Beta GAMMA Delta Epsilon ZETA")))
+      .otherwise(col("text")))
+
+  /** Shared DuckDB CTE chain for the q113/q114/q115 duplicated-span
+    * family: rebuilds the planted corpus ([[q113Docs]]), tokenizes,
+    * marks corpus-duplicated 8-grams FROM GRAM STRINGS (no hashes), and
+    * merges per-doc hits into maximal spans — exposes `docs`, `toks`
+    * (doc_id, t = token list) and `spans` (doc_id, span_start, span_end). */
+  private val spanOracleCore: String =
+    "WITH docs AS (SELECT doc_id, CASE WHEN doc_id = 10 THEN text || ' shared licence blurb alpha beta gamma delta epsilon zeta' " +
+    "WHEN doc_id = 20 THEN text || ' SHARED Licence BLURB Alpha Beta GAMMA Delta Epsilon ZETA' ELSE text END AS text FROM documents), " +
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t FROM docs), " +
+    "ge AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) END, recursive := true) FROM toks), " +
+    "dup AS (SELECT gram FROM ge GROUP BY gram HAVING count(*) >= 2), " +
+    "hits AS (SELECT doc_id, pos FROM ge WHERE gram IN (SELECT gram FROM dup)), " +
+    "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM hits), " +
+    "g2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b), " +
+    "spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 7 AS BIGINT) AS span_end FROM g2 GROUP BY doc_id, gid)"
 
   /** Shared DuckDB CTE chain scoring BM25 over `documents` for the fixed
     * term set (join, spark, dup), k1=1.2 b=0.75 — the q92/q96 oracle core
@@ -1925,16 +1961,24 @@ object SparkEntry {
        "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-avg(lp), 6) AS xent FROM sc GROUP BY doc_id) " +
        "SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams, ag.xent FROM (SELECT doc_id FROM documents WHERE doc_id > 200) d LEFT JOIN ag USING (doc_id) ORDER BY doc_id"),
     "q113_substring_spans" ->
-      ("WITH docs AS (SELECT doc_id, CASE WHEN doc_id = 10 THEN text || ' shared licence blurb alpha beta gamma delta epsilon zeta' " +
-       "WHEN doc_id = 20 THEN text || ' SHARED Licence BLURB Alpha Beta GAMMA Delta Epsilon ZETA' ELSE text END AS text FROM documents), " +
-       "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t FROM docs), " +
-       "ge AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) END, recursive := true) FROM toks), " +
-       "dup AS (SELECT gram FROM ge GROUP BY gram HAVING count(*) >= 2), " +
-       "hits AS (SELECT doc_id, pos FROM ge WHERE gram IN (SELECT gram FROM dup)), " +
-       "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM hits), " +
-       "g2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b) " +
-       "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 7 AS BIGINT) AS span_end " +
-       "FROM g2 GROUP BY doc_id, gid ORDER BY doc_id, span_start"),
+      (spanOracleCore +
+       " SELECT doc_id, span_start, span_end FROM spans ORDER BY doc_id, span_start"),
+    "q114_dup_fraction" ->
+      (spanOracleCore +
+       ", d AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup FROM spans GROUP BY doc_id) " +
+       "SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, " +
+       "CAST(COALESCE(d.dup, 0) AS BIGINT) AS dup_tokens, " +
+       "CASE WHEN len(t.t) = 0 THEN 0.0 ELSE CAST(COALESCE(d.dup, 0) AS DOUBLE) / len(t.t) END AS dup_fraction " +
+       "FROM toks t LEFT JOIN d USING (doc_id) ORDER BY doc_id"),
+    "q115_span_removal" ->
+      (spanOracleCore +
+       ", sa AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS sp FROM spans GROUP BY doc_id), " +
+       "kt AS (SELECT t.doc_id, CASE WHEN sa.sp IS NULL THEN t.t " +
+       "ELSE list_filter(t.t, (x, i) -> len(list_filter(sa.sp, r -> i >= r.s AND i <= r.e)) = 0) END AS k " +
+       "FROM toks t LEFT JOIN sa USING (doc_id)) " +
+       // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+       "SELECT doc_id, COALESCE(array_to_string(k, ' '), '') AS text, CAST(len(k) AS BIGINT) AS kept_tokens " +
+       "FROM kt ORDER BY doc_id"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

@@ -674,7 +674,9 @@ object TextAnalysis {
    * (0.0 where nothing is duplicated) — the filter/annotate metric a
    * pipeline thresholds on ("drop documents that are >50% duplicated
    * text"). Merged spans are disjoint by construction, so dup_tokens
-   * is an exact cover count, never double-counted.
+   * is an exact cover count, never double-counted; n_tokens counts the
+   * SAME tokens the span coordinates index (nonempty `\s+` tokens), so
+   * dup_fraction = 1.0 means exactly "every token sits in a span".
    */
   def dupSpanFraction(df: DataFrame, textCol: String, idCol: String,
                       k: Int, minCount: Int = 2): DataFrame = {
@@ -682,13 +684,54 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
     df.select(col(idCol),
-        when(length(trim(col(textCol))) === 0, 0L)
-          .otherwise(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+        size(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_fraction",
         when(col("n_tokens") === 0L, lit(0.0))
           .otherwise(col("dup_tokens").cast("double") / col("n_tokens")))
+  }
+
+  /**
+   * The removal action over [[duplicatedSpans]] — what the ExactSubstr
+   * pipeline actually does to the corpus (Lee et al. 2021): every token
+   * covered by a duplicated span is cut, and the document is rebuilt
+   * from the survivors. Output: (idCol, textCol, kept_tokens) for EVERY
+   * input row. The rebuilt text is in normalized token form (lowercased,
+   * single-space joined — the coordinate system the spans are computed
+   * in); documents with nothing duplicated come back normalized but
+   * otherwise intact, fully-duplicated documents come back as "" with
+   * kept_tokens = 0 (a pipeline typically drops those). ONE pass of an
+   * iterative process: cutting a span can make previously-separated
+   * tokens adjacent and thereby mint new duplicated k-grams, so a
+   * pipeline chasing a fixed point re-runs until [[duplicatedSpans]]
+   * returns empty (ExactSubstr behaves the same way).
+   *
+   * Scale: the spans side collapses to ONE small row per affected doc
+   * (array of merged [start, end] pairs — disjoint and few by
+   * construction), joined back to the corpus on id; the cut itself is a
+   * narrow projection (positional `filter` with an `exists` over the
+   * span array — O(#spans) per token, codegen'd). No token-level
+   * shuffle: the corpus stream is touched once and never exploded.
+   */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, minCount: Int = 2): DataFrame = {
+    val spansArr = duplicatedSpans(df, textCol, idCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val kept = filter(toks, (t, i) => !exists(col("_spans"), s =>
+      i.cast("long") + 1L >= s.getField("span_start") &&
+      i.cast("long") + 1L <= s.getField("span_end")))
+    df.join(spansArr, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_spans").isNull, array_join(toks, " "))
+          .otherwise(array_join(kept, " ")).as(textCol),
+        when(col("_spans").isNull, size(toks))
+          .otherwise(size(kept)).cast("long").as("kept_tokens"))
   }
 
   /**

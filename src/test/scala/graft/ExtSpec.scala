@@ -904,6 +904,42 @@ class ExtSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("removeDuplicatedSpans: cuts covered tokens, normalizes the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r s t u v"),            // span [1,5] -> "u v"
+      (2L, "z1 z2 p q r s t z3"),       // span [3,7] -> "z1 z2 z3"
+      (3L, "  No\tDuplicates  HERE  "), // untouched -> normalized form
+      (4L, "p q r s t"),                // fully covered -> ""
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicatedSpans(df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("u v", 2L)), s"got ${out(1L)}")
+    assert(out(2L) == (("z1 z2 z3", 3L)), s"got ${out(2L)}")
+    assert(out(3L) == (("no duplicates here", 3L)), s"got ${out(3L)}")
+    assert(out(4L) == (("", 0L)), s"got ${out(4L)}")
+    assert(out(5L) == (("", 0L)))
+    assert(out.size == 5)
+  }
+
+  test("removeDuplicatedSpans leaves no duplicated k-gram behind") {
+    import spark.implicits._
+    // the cut removes ALL copies of the shared run, so re-running on
+    // the cleaned corpus finds nothing here. (In general removal can
+    // create NEW duplicated grams via fresh adjacencies — the operator
+    // is one pass of an iterative process, per its scaladoc — but in
+    // this construction the post-cut docs are too short to collide.)
+    val df = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "z1 p q r s t z2"),
+      (3L, "other words entirely distinct")
+    ).toDF("doc_id", "text")
+    val cleaned = TextAnalysis.removeDuplicatedSpans(df, "text", "doc_id", k = 5)
+    val again = TextAnalysis.duplicatedSpans(cleaned, "text", "doc_id", k = 5)
+    assert(again.count() == 0L)
+  }
+
   test("duplicatedSpans rejects minCount < 2 and k < 2") {
     intercept[IllegalArgumentException] {
       TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 3, minCount = 1)
