@@ -727,11 +727,11 @@ object TextAnalysis {
       i.cast("long") + 1L >= s.getField("span_start") &&
       i.cast("long") + 1L <= s.getField("span_end")))
     df.join(spansArr, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("_spans").isNull, array_join(toks, " "))
-          .otherwise(array_join(kept, " ")).as(textCol),
-        when(col("_spans").isNull, size(toks))
-          .otherwise(size(kept)).cast("long").as("kept_tokens"))
+      // one kept-array column, then two cheap consumers — keeps the
+      // tokenize + cut work at once-per-row instead of once-per-output
+      .withColumn("_kt", when(col("_spans").isNull, toks).otherwise(kept))
+      .select(col(idCol), array_join(col("_kt"), " ").as(textCol),
+        size(col("_kt")).cast("long").as("kept_tokens"))
   }
 
   /**
