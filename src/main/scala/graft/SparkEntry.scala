@@ -1558,6 +1558,47 @@ object SparkEntry {
       // the reconstructed text must match character-for-character.
       TextAnalysis.removeDuplicatedSpans(q113Docs(s, dir), "text", "doc_id", k = 8)
         .orderBy("doc_id")
+    }),
+    "q116_semantic_decontaminate" -> ((s, dir) => { ensure(s)
+      // embedding-space eval-set decontamination: benchmark = every 97th
+      // vector, corpus = all. Benchmark members hit themselves at cosine
+      // exactly 1; every other max cosine sits below 0.51 in this data,
+      // so threshold 0.9 is ulp-safe across engines. The oracle
+      // recomputes all 500 max-cosines in DOUBLE and re-derives the
+      // flag — a hardcoded frame fails on the value pins.
+      val emb = ld(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") % 97 === 0), "embedding", threshold = 0.9)
+        .select(col("vec_id"),
+          round(col("max_bench_cosine"), 6).as("max_bench_cosine"),
+          col("contaminated"))
+        .orderBy("vec_id")
+    }),
+    "q117_url_canonical_dedup" -> ((s, dir) => { ensure(s)
+      // URL-level dedup: synthesize a messy URL per doc (mixed-case
+      // scheme/host %2, www prefix %2, explicit :443 %7, trailing slash
+      // %3=0, utm_source tracking param %3=1 — with ? or & separator
+      // depending on a real param's presence, ?page=2 real param %11,
+      // #fragment %5), canonicalize, roll up. The oracle never parses:
+      // the canonical form and group counts derive from the modulus
+      // arithmetic alone, so every normalization rule must fire exactly.
+      val g = (col("doc_id") % 25).cast("string")
+      val docs = ld(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        lit("site"), g, lit(".Example.com"),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), g,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("?page=2")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(when(col("doc_id") % 11 === 0, lit("&")).otherwise(lit("?")),
+            lit("utm_source=x"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("#sec"), col("doc_id").cast("string"))).otherwise(lit(""))
+      ).as("url"))
+      TextAnalysis.urlDedupGroups(docs, "url", "doc_id")
+        .orderBy("canonical_url")
     })
   )
 
@@ -1979,6 +2020,17 @@ object SparkEntry {
        // array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
        "SELECT doc_id, COALESCE(array_to_string(k, ' '), '') AS text, CAST(len(k) AS BIGINT) AS kept_tokens " +
        "FROM kt ORDER BY doc_id"),
+    "q116_semantic_decontaminate" ->
+      ("WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id % 97 = 0), " +
+       "m AS (SELECT e.vec_id, max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv)) AS mc " +
+       "FROM embeddings e, b GROUP BY e.vec_id) " +
+       "SELECT vec_id, round(CAST(mc AS DOUBLE), 6) AS max_bench_cosine, mc >= 0.9 AS contaminated " +
+       "FROM m ORDER BY vec_id"),
+    "q117_url_canonical_dedup" ->
+      ("WITH c AS (SELECT doc_id, 'https://site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 25 AS VARCHAR) || " +
+       "CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END AS cu FROM documents) " +
+       "SELECT cu AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id " +
+       "FROM c GROUP BY cu ORDER BY canonical_url"),
     "q93_pii_redact" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE text END AS text FROM documents) " +
        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +

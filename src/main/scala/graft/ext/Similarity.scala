@@ -40,6 +40,41 @@ object Similarity {
   }
 
   /**
+   * Semantic benchmark decontamination — the embedding-space complement
+   * of the exact n-gram [[TextAnalysis.contaminated]] check (the
+   * "decontaminate against eval sets by embedding similarity" step of
+   * modern data pipelines): every corpus row comes back annotated with
+   * its max cosine to ANY benchmark vector (`max_bench_cosine`, exact)
+   * and `contaminated = max_bench_cosine >= threshold`; the pipeline
+   * keeps `!contaminated`. Paraphrased or reformatted benchmark leakage
+   * that shares no 8-gram still lands near the benchmark embedding —
+   * that's what this catches and the n-gram check can't.
+   *
+   * Scale: benchmark sets are small (thousands of rows) — the benchmark
+   * side broadcasts and the corpus streams through one codegen'd
+   * scoring pass + a per-row max: no corpus shuffle of any kind, the
+   * same justified broadcast-crossJoin shape as [[bruteForceTopK]].
+   * Corpus rows: one output row per input row, O(|bench|·d) work each.
+   * For benchmark sets too big to broadcast, bucket both sides with
+   * [[lshTopK]]'s hyperplane signatures instead. An EMPTY benchmark
+   * frame produces an EMPTY result (no rows scored, not "all clean") —
+   * a keep-side join against it drops the whole corpus, so guard the
+   * call site if the benchmark can legitimately be empty.
+   */
+  def semanticDecontaminate(corpus: DataFrame, vecCol: String, idCol: String,
+                            bench: DataFrame, benchVecCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val b = broadcast(bench.select(col(benchVecCol).as("_bv")))
+    corpus.select(col(idCol), col(vecCol).as("_cv"))
+      .crossJoin(b)
+      .groupBy(col(idCol))
+      .agg(max(cosine_sim(col("_cv"), col("_bv"))).as("max_bench_cosine"))
+      .withColumn("contaminated", col("max_bench_cosine") >= threshold)
+  }
+
+  /**
    * EXACT all-pairs cosine pairs above a threshold — the O(n²) oracle
    * anchor the probabilistic twins (hyperplane-LSH, IVF) gate their
    * recall against. GUARDED: an all-pairs crossJoin is a diagnostic for

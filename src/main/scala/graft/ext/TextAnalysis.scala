@@ -591,6 +591,52 @@ object TextAnalysis {
         lit("(?i)https?://([A-Za-z0-9.-]+)"), lit(1)), h => lower(h)))).as("host"))
 
   /**
+   * Canonical URL form for URL-level deduplication (the CommonCrawl-
+   * pipeline normalization step: the same page fetched as
+   * `HTTPS://WWW.Site.com/p/1/?utm_source=x#top` and
+   * `https://site.com/p/1` must collide). Rules, applied in order:
+   * scheme and host lowercased (RFC 3986 makes both case-insensitive);
+   * a leading `www.` stripped; the scheme's default port stripped
+   * (`:443` for https, `:80` for http); the `#fragment` dropped;
+   * tracking parameters dropped (`utm_*`, `fbclid`, `gclid`,
+   * `msclkid`) with separators re-tidied — NON-tracking query params
+   * are kept, they address different content; a dangling `?`/`&` and a
+   * trailing path slash stripped. Non-http(s) input -> NULL. Pure
+   * regexp/string built-ins — codegen'd, no UDF.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "(?i)^(https?)://.*", 1))
+    val hostPort = lower(regexp_extract(url, "(?i)^https?://([^/?#]+).*", 1))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(regexp_replace(noWww, ":80$", ""))
+    val rest0 = regexp_extract(url, "(?i)^https?://[^/?#]+(.*)$", 1)
+    val rest1 = regexp_replace(rest0, "#.*$", "")
+    val rest2 = regexp_replace(rest1,
+      "(?i)(utm_[a-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*&?", "")
+    val rest3 = regexp_replace(rest2, "\\?&", "?")   // ?&page=2 -> ?page=2
+    val rest4 = regexp_replace(rest3, "[?&]+$", "")  // dangling separators
+    val rest5 = regexp_replace(rest4, "/(\\?|$)", "$1") // path trailing slash
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, rest5))
+  }
+
+  /**
+   * URL-level dedup rollup: one row per [[canonicalizeUrl]] group —
+   * (canonical_url, n_docs, keeper_id = min id), rows whose URL fails
+   * to canonicalize (non-http(s)) excluded. The keep set a crawl
+   * pipeline applies BEFORE any content-level dedup: colliding fetches
+   * of the same page never reach the expensive MinHash/ExactSubstr
+   * stages. One hash aggregate on the canonical key — map-side partial
+   * agg, shuffle = one slim row per distinct URL, no caps needed.
+   */
+  def urlDedupGroups(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"), col(idCol))
+      .filter(col("canonical_url").isNotNull)
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /**
    * Within-document repeated-line removal — the intra-doc complement of
    * [[removeBoilerplateLines]] (the RefinedWeb/MassiveText "repetition
    * removal" family): each document keeps only the FIRST occurrence of

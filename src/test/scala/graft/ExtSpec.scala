@@ -940,6 +940,70 @@ class ExtSpec extends SparkSpec {
     assert(again.count() == 0L)
   }
 
+  test("canonicalizeUrl: every normalization rule, one at a time and stacked") {
+    import spark.implicits._
+    val out = Seq(
+      "HTTPS://WWW.Site.COM:443/p/1/?utm_source=x&page=2#top", // everything
+      "https://site.com/p/1?page=2",                           // already canonical
+      "http://Example.org:80/",          // http default port + bare slash
+      "http://example.org",              // no path at all
+      "https://a.com/x?utm_source=1&utm_medium=2", // tracking-only query
+      "https://b.com/y?gclid=z&keep=1",  // tracking first, real param kept
+      "https://c.com/d/?page=2",         // slash before query
+      "ftp://nope.com/x",                // non-http(s) -> null
+      "not a url"
+    ).toDF("u").select(TextAnalysis.canonicalizeUrl($"u").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0) == Some("https://site.com/p/1?page=2"))
+    assert(out(1) == Some("https://site.com/p/1?page=2"))
+    assert(out(2) == Some("http://example.org"))
+    assert(out(3) == Some("http://example.org"))
+    assert(out(4) == Some("https://a.com/x"))
+    assert(out(5) == Some("https://b.com/y?keep=1"))
+    assert(out(6) == Some("https://c.com/d?page=2"))
+    assert(out(7).isEmpty && out(8).isEmpty)
+  }
+
+  test("urlDedupGroups: variants collide, real params separate, keeper is min id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://site.com/a"),
+      (2L, "HTTPS://WWW.site.com/a/"),
+      (3L, "https://site.com:443/a#frag"),
+      (4L, "https://site.com/a?page=2"),  // real param: its own group
+      (5L, "mailto:x@y.z")                // uncanonicalizable: excluded
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlDedupGroups(df, "url", "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "https://site.com/a" -> ((3L, 1L)),
+      "https://site.com/a?page=2" -> ((1L, 4L))), s"got $out")
+  }
+
+  test("semanticDecontaminate: exact max cosine, flag threshold, all rows annotated") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // = bench vector: cosine 1.0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal: max cosine 0.6 via b2
+      (3L, Array(-1.0f, 0.0f))   // best is still negative: -0.8 vs [0.8, 0.6]
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(
+        corpus, "embedding", "vec_id", bench, "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out.size == 3)
+    assert(out(1L)._1 == 1.0 && out(1L)._2)
+    assert(math.abs(out(2L)._1 - 0.6) < 1e-7 && !out(2L)._2)
+    assert(math.abs(out(3L)._1 - (-0.8)) < 1e-7 && !out(3L)._2)
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, "embedding", "vec_id",
+        bench, "embedding", threshold = 0.0)
+    }
+  }
+
   test("duplicatedSpans rejects minCount < 2 and k < 2") {
     intercept[IllegalArgumentException] {
       TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 3, minCount = 1)
