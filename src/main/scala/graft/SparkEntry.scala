@@ -1577,11 +1577,14 @@ object SparkEntry {
     "q117_url_canonical_dedup" -> ((s, dir) => { ensure(s)
       // URL-level dedup: synthesize a messy URL per doc (mixed-case
       // scheme/host %2, www prefix %2, explicit :443 %7, trailing slash
-      // %3=0, utm_source tracking param %3=1 — with ? or & separator
-      // depending on a real param's presence, ?page=2 real param %11,
-      // #fragment %5), canonicalize, roll up. The oracle never parses:
-      // the canonical form and group counts derive from the modulus
-      // arithmetic alone, so every normalization rule must fire exactly.
+      // %3=0 — DOUBLED when %9=0, ?page=2 real param %11, xfbclid=7
+      // real param %13 whose name merely ENDS in a tracking name — a
+      // regex without the [?&] left anchor strips it, utm_source
+      // tracking param %3=1 with ? or & separator depending on the real
+      // params' presence, #fragment %5), canonicalize, roll up. The
+      // oracle never parses: the canonical form and group counts derive
+      // from the modulus arithmetic alone, so every normalization rule
+      // must fire exactly — and only where it should.
       val g = (col("doc_id") % 25).cast("string")
       val docs = ld(s, dir, "documents").select(col("doc_id"), concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
@@ -1589,9 +1592,14 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
         lit("/p/"), g,
         when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("/")).otherwise(lit("")),
         when(col("doc_id") % 11 === 0, lit("?page=2")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 1,
+        when(col("doc_id") % 13 === 0,
           concat(when(col("doc_id") % 11 === 0, lit("&")).otherwise(lit("?")),
+            lit("xfbclid=7"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(when(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 0,
+              lit("&")).otherwise(lit("?")),
             lit("utm_source=x"), col("doc_id").cast("string")))
           .otherwise(lit("")),
         when(col("doc_id") % 5 === 0,
@@ -2028,7 +2036,8 @@ object SparkEntry {
        "FROM m ORDER BY vec_id"),
     "q117_url_canonical_dedup" ->
       ("WITH c AS (SELECT doc_id, 'https://site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 25 AS VARCHAR) || " +
-       "CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END AS cu FROM documents) " +
+       "CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END || " +
+       "CASE WHEN doc_id % 13 = 0 THEN (CASE WHEN doc_id % 11 = 0 THEN '&' ELSE '?' END) || 'xfbclid=7' ELSE '' END AS cu FROM documents) " +
        "SELECT cu AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id " +
        "FROM c GROUP BY cu ORDER BY canonical_url"),
     "q93_pii_redact" ->

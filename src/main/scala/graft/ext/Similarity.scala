@@ -59,7 +59,10 @@ object Similarity {
    * [[lshTopK]]'s hyperplane signatures instead. An EMPTY benchmark
    * frame produces an EMPTY result (no rows scored, not "all clean") —
    * a keep-side join against it drops the whole corpus, so guard the
-   * call site if the benchmark can legitimately be empty.
+   * call site if the benchmark can legitimately be empty. A corpus row
+   * with a NULL embedding comes back with max_bench_cosine = NULL and
+   * contaminated = false: unscorable is not evidence of contamination,
+   * and a NULL flag would make the keep-filter drop the row silently.
    */
   def semanticDecontaminate(corpus: DataFrame, vecCol: String, idCol: String,
                             bench: DataFrame, benchVecCol: String,
@@ -71,7 +74,13 @@ object Similarity {
       .crossJoin(b)
       .groupBy(col(idCol))
       .agg(max(cosine_sim(col("_cv"), col("_bv"))).as("max_bench_cosine"))
-      .withColumn("contaminated", col("max_bench_cosine") >= threshold)
+      // a NULL-embedding corpus row scores NULL against every bench
+      // vector; leave its max NULL (visibly unscorable) but pin the
+      // flag to false — NULL >= t is NULL, and the documented
+      // `keep !contaminated` filter would otherwise drop the row
+      // silently instead of annotating it
+      .withColumn("contaminated",
+        coalesce(col("max_bench_cosine") >= threshold, lit(false)))
   }
 
   /**

@@ -91,10 +91,19 @@ object TextAnalysis {
   def decontaminate(df: DataFrame, textCol: String, needles: Seq[String]): DataFrame =
     df.filter(!needles.map(n => col(textCol).contains(n)).reduce(_ || _))
 
+  /** THE word tokenizer of the text-analysis family: nonempty `\s+`
+    * tokens of the lowercased text. Every operator that indexes,
+    * counts, or n-grams word positions goes through this one
+    * expression, and [[TextOps.wordShinglePairs]]'s hand-rolled scan is
+    * the char-for-char kernel equivalent — change one and the span /
+    * n-gram coordinate systems desynchronize, so change neither alone. */
+  private[ext] def wordTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
   /** Array of space-joined lowercase word n-grams (pure built-ins:
     * split + sequence + transform + slice — stays in codegen). */
   def wordNgrams(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val toks = wordTokens(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
@@ -227,7 +236,7 @@ object TextAnalysis {
   /** C4/Gopher-style repetition filters: fraction of duplicated tokens and
     * duplicated lines per document (high values flag boilerplate/spam). */
   def dupTokenFraction(text: Column): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val toks = wordTokens(text)
     when(size(toks) === 0, 0.0).otherwise(
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
   }
@@ -432,8 +441,7 @@ object TextAnalysis {
   def tokenDrift(oldDf: DataFrame, newDf: DataFrame,
                  textCol: String): DataFrame = {
     def counts(df: DataFrame): DataFrame = df
-      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
-        x => length(x) > 0)).as("token"))
+      .select(explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
     // the union-vocabulary join is scanned twice (totals + output);
     // eager localCheckpoint materializes it ONCE — without it only the
@@ -562,9 +570,7 @@ object TextAnalysis {
     * tokenizer (must stay bit-identical between train and score). */
   private def tokensOf(df: DataFrame, textCol: String,
                        idExpr: org.apache.spark.sql.Column): DataFrame =
-    df.select(idExpr.as("id"),
-      filter(split(lower(trim(col(textCol))), "\\s+"),
-        x => length(x) > 0).as("w"))
+    df.select(idExpr.as("id"), wordTokens(col(textCol)).as("w"))
 
   /** Exploded (id, w1, w2) adjacent-token pairs for docs >= 2 tokens. */
   private def bigramsOf(toks: DataFrame): DataFrame =
@@ -612,13 +618,18 @@ object TextAnalysis {
       .otherwise(regexp_replace(noWww, ":80$", ""))
     val rest0 = regexp_extract(url, "(?i)^https?://[^/?#]+(.*)$", 1)
     val rest1 = regexp_replace(rest0, "#.*$", "")
+    // left-anchored on [?&] so a tracking NAME matches only as a whole
+    // param — never a suffix of a real one (?xgclid=5 is kept) and never
+    // a path segment (/utm_zone=14/ is untouched); the kept separator
+    // may double up, re-tidied below
     val rest2 = regexp_replace(rest1,
-      "(?i)(utm_[a-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*&?", "")
-    val rest3 = regexp_replace(rest2, "\\?&", "?")   // ?&page=2 -> ?page=2
-    val rest4 = regexp_replace(rest3, "[?&]+$", "")  // dangling separators
-    val rest5 = regexp_replace(rest4, "/(\\?|$)", "$1") // path trailing slash
+      "(?i)([?&])(?:utm_[a-z0-9_]*|fbclid|gclid|msclkid)=[^&#]*", "$1")
+    val rest3 = regexp_replace(rest2, "&{2,}", "&")  // ?a=1&&b=2 -> &
+    val rest4 = regexp_replace(rest3, "\\?&+", "?")  // ?&page=2 -> ?page=2
+    val rest5 = regexp_replace(rest4, "[?&]+$", "")  // dangling separators
+    val rest6 = regexp_replace(rest5, "/+(\\?|$)", "$1") // trailing slash run
     when(scheme === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host, rest5))
+      .otherwise(concat(scheme, lit("://"), host, rest6))
   }
 
   /**
@@ -730,8 +741,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
     df.select(col(idCol),
-        size(filter(split(lower(trim(col(textCol))), "\\s+"),
-          t => length(t) > 0)).cast("long").as("n_tokens"))
+        size(wordTokens(col(textCol))).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
       .withColumn("dup_fraction",
@@ -767,8 +777,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_spans"))
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      t => length(t) > 0)
+    val toks = wordTokens(col(textCol))
     val kept = filter(toks, (t, i) => !exists(col("_spans"), s =>
       i.cast("long") + 1L >= s.getField("span_start") &&
       i.cast("long") + 1L <= s.getField("span_end")))

@@ -71,9 +71,10 @@ object TextOps {
    * Positional word k-gram 128-bit keys: one inner `[h1, h2]` array per
    * token window, in document order (NOT a distinct set — repeats and
    * positions matter for span detection), with zero gram-string
-   * allocation. Tokenization is identical to the SQL-built
-   * `filter(split(lower(trim(text)), "\\s+"), t -> length(t) > 0)` path:
-   * `\s+` runs of the lowercased text delimit tokens, empties dropped.
+   * allocation. Tokenization is char-for-char identical to
+   * [[TextAnalysis.wordTokens]] (the family's one shared tokenizer
+   * expression): `\s+` runs of the lowercased text delimit tokens,
+   * empties dropped — change either side only together.
    * Each token is hashed once (64-bit FNV-1a over its UTF-16 chars, plus
    * a splitmix64-decorrelated twin); each window chains the k token
    * hashes through two independent multiply-accumulate chains with a

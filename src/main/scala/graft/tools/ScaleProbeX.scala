@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived-scale probe: the sf1-class stretch measurement `/root/testdata`
+  * cannot provide (it stops at sf0.1). Builds a 10× `documents` corpus in
+  * /tmp by unioning 10 replicas of sf0.1, each passed through a
+  * per-replica lowercase-letter rotation (`translate`) — so WITHIN a
+  * replica every duplicate structure (repeated lines, shared passages,
+  * near-dup docs) is preserved exactly, while ACROSS replicas word
+  * n-grams, char shingles, and line hashes all diverge: duplicate
+  * DENSITY (the thing that drives dedup work) matches the original
+  * corpus instead of exploding to ~100% as plain replication would.
+  * (A first attempt suffixed each TOKEN with the replica id — that
+  * decorrelates word n-grams but leaves char-5-shingle sets ~Jaccard-0.9
+  * across replicas, and minhash "found" 6.4M bogus cross-replica pairs.)
+  * Embeddings are replicated with a per-replica rotation of the first
+  * two coordinates. Each operator is timed (min-of-3, Bench's session
+  * config) at 1× and 10× via a FULL-ROW CHECKSUM action —
+  * bit_xor(xxhash64(struct(*))) — because a bare count() lets Catalyst prune
+  * aggregate expressions and even eliminate the spans join entirely,
+  * timing a plan the operator's consumers never see. Measurement only:
+  * gates never read these files.
+  */
+object ScaleProbeX {
+  private val root = "/tmp/graft_scalex"
+
+  private def time3(label: String)(df: => DataFrame): Unit = {
+    System.gc()
+    val times = (1 to 3).map { _ =>
+      val d = df
+      val t0 = System.nanoTime()
+      val r = d.select(count(lit(1)).as("n"),
+        bit_xor(xxhash64(struct(d.columns.map(col): _*))).as("h")).head()
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0))
+    }
+    println(f"SCALEX $label min=${times.map(_._1).min}%.3f rows=${times.head._2}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ext.TextFunctions.registerAll(spark)
+
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val docs10Path = s"$root/documents10.parquet"
+    val emb10Path = s"$root/embeddings10.parquet"
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    (0 until 10).map { i =>
+      val rot = alpha.drop(i * 7 % 26) + alpha.take(i * 7 % 26)
+      docs1.select((col("doc_id") + i * 1000000L).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(docs10Path)
+    (0 until 10).map { i =>
+      val c = math.cos(i * 0.37); val s = math.sin(i * 0.37)
+      emb1.select((col("vec_id") + i * 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * c
+              - element_at(col("embedding"), 2) * s).cast("float"),
+            (element_at(col("embedding"), 1) * s
+              + element_at(col("embedding"), 2) * c).cast("float")),
+          slice(col("embedding"), 3, 62)).as("embedding"))
+    }.reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite").parquet(emb10Path)
+    val docs10 = spark.read.parquet(docs10Path)
+    val emb10 = spark.read.parquet(emb10Path)
+    println(s"corpus sizes: 1x=${docs1.count()} 10x=${docs10.count()} " +
+      s"emb 1x=${emb1.count()} 10x=${emb10.count()}")
+
+    import graft.ext.{Dedup, Similarity, TextAnalysis}
+    def urls(df: DataFrame): DataFrame = df.select(col("doc_id"), concat(
+      lit("HTTPS://WWW.site"), (col("doc_id") % 4000).cast("string"),
+      lit(".example.com/p/"), (col("doc_id") % 4000).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 1, concat(lit("?utm_source=x"),
+        col("doc_id").cast("string"))).otherwise(lit(""))).as("url"))
+
+    for ((label, docs, emb) <- Seq(("1x", docs1, emb1), ("10x", docs10, emb10))) {
+      time3(s"$label duplicatedSpans")(
+        TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 8))
+      time3(s"$label removeDuplicatedSpans")(
+        TextAnalysis.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
+      time3(s"$label minhashPairs")(
+        Dedup.exactPairsViaMinhash(
+          Dedup.charShingleSets(docs, "text", "doc_id", 5),
+          numHashes = 128, bands = 32, exactThreshold = 0.8))
+      time3(s"$label boilerplateLines")(
+        TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id",
+          maxDocFreq = 25))
+      time3(s"$label urlDedupGroups")(
+        TextAnalysis.urlDedupGroups(urls(docs), "url", "doc_id"))
+      time3(s"$label semanticDecontaminate")(
+        Similarity.semanticDecontaminate(emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") % 97 === 0), "embedding", 0.9))
+    }
+    Dedup.releaseCaches()
+    spark.stop()
+  }
+}

@@ -951,7 +951,13 @@ class ExtSpec extends SparkSpec {
       "https://b.com/y?gclid=z&keep=1",  // tracking first, real param kept
       "https://c.com/d/?page=2",         // slash before query
       "ftp://nope.com/x",                // non-http(s) -> null
-      "not a url"
+      "not a url",
+      // the boundary traps: tracking NAMES only match as whole params
+      "https://x.com/x?myfbclid=1&page=2",   // suffix of a real name: kept
+      "https://x.com/items?xgclid=5",        // ditto
+      "https://x.com/path/utm_zone=14/tile", // path segment: untouched
+      "https://x.com/p?utm_a=1&utm_b=2&page=2", // adjacent tracking params
+      "https://x.com/a//"                    // trailing slash RUN
     ).toDF("u").select(TextAnalysis.canonicalizeUrl($"u").as("c"))
       .collect().map(r => Option(r.getString(0)))
     assert(out(0) == Some("https://site.com/p/1?page=2"))
@@ -962,6 +968,11 @@ class ExtSpec extends SparkSpec {
     assert(out(5) == Some("https://b.com/y?keep=1"))
     assert(out(6) == Some("https://c.com/d?page=2"))
     assert(out(7).isEmpty && out(8).isEmpty)
+    assert(out(9) == Some("https://x.com/x?myfbclid=1&page=2"))
+    assert(out(10) == Some("https://x.com/items?xgclid=5"))
+    assert(out(11) == Some("https://x.com/path/utm_zone=14/tile"))
+    assert(out(12) == Some("https://x.com/p?page=2"))
+    assert(out(13) == Some("https://x.com/a"))
   }
 
   test("urlDedupGroups: variants collide, real params separate, keeper is min id") {
@@ -985,7 +996,8 @@ class ExtSpec extends SparkSpec {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),   // = bench vector: cosine 1.0
       (2L, Array(0.0f, 1.0f)),   // orthogonal: max cosine 0.6 via b2
-      (3L, Array(-1.0f, 0.0f))   // best is still negative: -0.8 vs [0.8, 0.6]
+      (3L, Array(-1.0f, 0.0f)),  // best is still negative: -0.8 vs [0.8, 0.6]
+      (4L, null.asInstanceOf[Array[Float]]) // unscorable: NULL max, flag false
     ).toDF("vec_id", "embedding")
     val bench = Seq(
       (10L, Array(1.0f, 0.0f)),
@@ -993,11 +1005,13 @@ class ExtSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val out = Similarity.semanticDecontaminate(
         corpus, "embedding", "vec_id", bench, "embedding", threshold = 0.9)
-      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
-    assert(out.size == 3)
-    assert(out(1L)._1 == 1.0 && out(1L)._2)
-    assert(math.abs(out(2L)._1 - 0.6) < 1e-7 && !out(2L)._2)
-    assert(math.abs(out(3L)._1 - (-0.8)) < 1e-7 && !out(3L)._2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))).toMap
+    assert(out.size == 4)
+    assert(out(1L)._1 == Some(1.0) && out(1L)._2)
+    assert(math.abs(out(2L)._1.get - 0.6) < 1e-7 && !out(2L)._2)
+    assert(math.abs(out(3L)._1.get - (-0.8)) < 1e-7 && !out(3L)._2)
+    assert(out(4L)._1.isEmpty && !out(4L)._2) // annotated, not dropped
     intercept[IllegalArgumentException] {
       Similarity.semanticDecontaminate(corpus, "embedding", "vec_id",
         bench, "embedding", threshold = 0.0)
