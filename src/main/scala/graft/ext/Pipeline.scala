@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The operators composed into the standard corpus-cleaning sequence a
+ * training-data pipeline runs (the CCNet/RefinedWeb/Dolma shape), in the
+ * canonical order — cheap narrow passes and exact dedup first so the
+ * expensive similarity stages see the smallest possible corpus:
+ *
+ *  1. URL-level dedup ([[TextAnalysis.urlDedupGroups]] keepers) —
+ *     refetches of one page collapse before any content work
+ *  2. exact content dedup ([[Dedup.exactKeepers]])
+ *  3. within-doc repeated-line removal ([[TextAnalysis.dedupLinesWithinDoc]])
+ *  4. cross-doc boilerplate-line removal ([[TextAnalysis.removeBoilerplateLines]])
+ *  5. duplicated-substring cut to fixed point
+ *     ([[TextAnalysis.removeDuplicatedSpansToFixedPoint]])
+ *  6. quality gate: minimum surviving tokens + maximum within-doc
+ *     duplicate-token fraction ([[TextAnalysis.dupTokenFraction]])
+ *  7. MinHash near-dup dedup ([[Dedup.minhashKeepers]]) LAST — the only
+ *     candidate-generating stage, fed the fully-shrunk corpus
+ *
+ * Decontamination ([[TextAnalysis.decontaminate]] /
+ * [[Similarity.semanticDecontaminate]]) and packing
+ * ([[TextAnalysis.packSequences]]) stay caller-side: they need the eval
+ * sets / tokenizer budget the cleaning stages don't.
+ *
+ * EAGER, by design: each stage `localCheckpoint`s its survivors (lineage
+ * stays one stage deep — stage N's shuffle never re-executes inside
+ * stage N+1's plan) and the per-stage row counts come back as the run
+ * report, the artifact a production pipeline logs and alerts on ("stage
+ * 4 dropped 80% of the corpus" is a bug report, not a cleaning run).
+ */
+object Pipeline {
+
+  /** One cleaning run: returns (cleaned corpus frame, per-stage report
+    * as (stage name, rows surviving)). `urlCol = None` skips stage 1. */
+  def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
+                  urlCol: Option[String] = None,
+                  boilerplateMaxDocFreq: Int = 0,
+                  spanK: Int = 8,
+                  minTokens: Int = 5,
+                  maxDupTokenFraction: Double = 0.6,
+                  minhashThreshold: Double = 0.8)
+      : (DataFrame, Seq[(String, Long)]) = {
+    val report = Seq.newBuilder[(String, Long)]
+    def stage(name: String)(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      report += ((name, out.count()))
+      out
+    }
+
+    var cur = stage("input")(docs)
+    urlCol.foreach { u =>
+      val keep = TextAnalysis.urlDedupGroups(cur, u, idCol)
+        .select(col("keeper_id").as(idCol))
+      cur = stage("url_dedup")(cur.join(keep, Seq(idCol), "left_semi"))
+    }
+    cur = stage("exact_dedup")(Dedup.exactKeepers(cur, textCol, idCol))
+    // text-rewriting stages return (id, text); carry the other columns
+    // across via an id join with the stage's input
+    def rejoin(cleaned: DataFrame): DataFrame = {
+      val others = cur.columns.filterNot(_ == textCol).map(col)
+      cur.select(others: _*).join(cleaned, Seq(idCol))
+    }
+    cur = stage("line_dedup")(
+      rejoin(TextAnalysis.dedupLinesWithinDoc(cur, textCol, idCol)))
+    // corpus-size-derived default, the q100 recipe: a line is boilerplate
+    // when it appears in more than max(4, 1%) of documents
+    val maxDf = if (boilerplateMaxDocFreq > 0) boilerplateMaxDocFreq
+      else math.max(4, (cur.count() / 100L).toInt)
+    cur = stage("boilerplate_lines")(
+      rejoin(TextAnalysis.removeBoilerplateLines(cur, textCol, idCol, maxDf)))
+    cur = stage("span_dedup")(
+      rejoin(TextAnalysis.removeDuplicatedSpansToFixedPoint(
+        cur, textCol, idCol, spanK).drop("kept_tokens")))
+    cur = stage("quality_gate")(cur.filter(
+      TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+      TextAnalysis.dupTokenFraction(col(textCol)) <= maxDupTokenFraction))
+    cur = stage("minhash_dedup")(Dedup.minhashKeepers(
+      cur, textCol, idCol, threshold = minhashThreshold))
+    (cur, report.result())
+  }
+}

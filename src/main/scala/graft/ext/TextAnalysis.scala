@@ -648,6 +648,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
 
   /**
+   * [[removeDuplicatedSpans]] driven to its fixed point: re-cut until
+   * [[duplicatedSpans]] finds nothing (cutting a span can make
+   * previously-separated tokens adjacent and mint NEW duplicated
+   * k-grams — pass 1 cannot see those). Returns (idCol, textCol,
+   * kept_tokens) like the single pass.
+   *
+   * Scale: each round is the single-pass plan (slim gram-key shuffle +
+   * narrow cut) over the SHRINKING corpus, with a `localCheckpoint`
+   * between rounds so the lineage stays one-round deep instead of
+   * re-deriving every earlier cut per round — the same driver-loop
+   * shape as [[Dedup.connectedComponents]]'s pointer doubling. Real
+   * corpora converge in 2–3 rounds (a fresh duplicate needs freshly
+   * adjacent text on BOTH sides of a cut); `maxIters` bounds the
+   * pathological case and non-convergence throws rather than returning
+   * a corpus that still contains duplicated substrings.
+   */
+  def removeDuplicatedSpansToFixedPoint(
+      df: DataFrame, textCol: String, idCol: String, k: Int,
+      minCount: Int = 2, maxIters: Int = 8): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    var cur = df.select(col(idCol), col(textCol))
+    var it = 0
+    while (it < maxIters) {
+      val spanCount = duplicatedSpans(cur, textCol, idCol, k, minCount)
+        .limit(1).count()
+      if (spanCount == 0L) {
+        // converged: emit the per-row token count exactly like the
+        // single pass does (cheap narrow projection)
+        return cur.select(col(idCol), col(textCol),
+          size(wordTokens(col(textCol))).cast("long").as("kept_tokens"))
+      }
+      cur = removeDuplicatedSpans(cur, textCol, idCol, k, minCount)
+        .select(col(idCol), col(textCol)).localCheckpoint()
+      it += 1
+    }
+    val residual = duplicatedSpans(cur, textCol, idCol, k, minCount)
+      .limit(1).count()
+    if (residual > 0L) throw new IllegalStateException(
+      s"span removal did not converge in $maxIters rounds: duplicated " +
+      s"$k-grams remain. Raise maxIters, or use one removeDuplicatedSpans " +
+      "pass deliberately if a best-effort cut is acceptable.")
+    cur.select(col(idCol), col(textCol),
+      size(wordTokens(col(textCol))).cast("long").as("kept_tokens"))
+  }
+
+  /**
    * Within-document repeated-line removal — the intra-doc complement of
    * [[removeBoilerplateLines]] (the RefinedWeb/MassiveText "repetition
    * removal" family): each document keeps only the FIRST occurrence of

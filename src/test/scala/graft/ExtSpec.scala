@@ -1018,6 +1018,69 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSpansToFixedPoint: catches duplicates minted by the cut") {
+    import spark.implicits._
+    // pass 1 cuts "x y z" from docs 1/2, making "b c d" adjacent in
+    // doc 1 — a NEW duplicate against doc 4 that pass 1 cannot see;
+    // pass 2 cuts it; pass 3 confirms the fixed point
+    val df = Seq(
+      (1L, "a b c x y z d e"),
+      (2L, "p q x y z r"),
+      (4L, "q1 b c d q2")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicatedSpansToFixedPoint(
+        df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a e", 2L)), s"got ${out(1L)}")
+    assert(out(2L) == (("p q r", 3L)), s"got ${out(2L)}")
+    assert(out(4L) == (("q1 q2", 2L)), s"got ${out(4L)}")
+    // the single pass leaves the minted duplicate behind — that's the
+    // difference the fixed point exists to close
+    val onePass = TextAnalysis.removeDuplicatedSpans(df, "text", "doc_id", k = 3)
+    assert(TextAnalysis.duplicatedSpans(onePass, "text", "doc_id", k = 3)
+      .count() > 0)
+    // and with maxIters = 1 the residual makes it throw instead of
+    // silently returning a still-duplicated corpus
+    intercept[IllegalStateException] {
+      TextAnalysis.removeDuplicatedSpansToFixedPoint(
+        df, "text", "doc_id", k = 3, maxIters = 1)
+    }
+  }
+
+  test("Pipeline.cleanCorpus: stages fire in order, report counts, output clean") {
+    import spark.implicits._
+    val blurb = "this content is provided as is without warranty of any kind at all"
+    val rows = Seq.newBuilder[(Long, String, String)]
+    // 40 base docs, unique text, each carrying the shared licence blurb
+    // (boilerplate/span food) plus a unique body line
+    for (i <- 0 until 40)
+      rows += ((i.toLong, s"unique body line $i alpha$i beta$i gamma$i delta$i\n$blurb",
+        s"https://site${i % 20}.com/p/${i % 20}"))          // URL dups: 40 -> 20
+    rows += ((100L, "unique body line 7 alpha7 beta7 gamma7 delta7\n" + blurb,
+      "https://site100.com/x"))                              // exact dup of doc 7's text
+    rows += ((101L, "tiny doc", "https://site101.com/x"))    // fails min-tokens
+    rows += ((102L, "rep rep rep rep rep rep rep one two", "https://site102.com/x")) // dup-fraction
+    val docs = rows.result().toDF("doc_id", "text", "url")
+    val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
+      urlCol = Some("url"), spanK = 5, minTokens = 5, maxDupTokenFraction = 0.5)
+    val r = report.toMap
+    assert(r("input") == 43L)
+    assert(r("url_dedup") == 23L, s"report: $report")    // 20 keepers + 3 extras
+    assert(r("exact_dedup") == 22L)                      // doc 100 = doc 7 text... but
+    // doc 100 survived url dedup (unique URL) and doc 7 is the keeper of
+    // its URL group, so the exact stage sees both and drops doc 100
+    assert(r("quality_gate") == r("span_dedup") - 2, s"report: $report") // 101, 102 out
+    assert(r("minhash_dedup") <= r("quality_gate"))
+    // the cleaned corpus: no exact dups, no duplicated 5-grams, no
+    // boilerplate blurb anywhere, every row >= 5 tokens
+    val texts = out.select("text").as[String].collect()
+    assert(texts.distinct.length == texts.length)
+    assert(!texts.exists(_.contains("without warranty")), "blurb survived")
+    assert(TextAnalysis.duplicatedSpans(out, "text", "doc_id", k = 5).count() == 0)
+    assert(report.map(_._2) == report.map(_._2).sorted.reverse,
+      s"stage counts must be nonincreasing: $report")
+  }
+
   test("duplicatedSpans rejects minCount < 2 and k < 2") {
     intercept[IllegalArgumentException] {
       TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 3, minCount = 1)
