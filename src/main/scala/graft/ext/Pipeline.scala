@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
  * canonical order — cheap narrow passes and exact dedup first so the
  * expensive similarity stages see the smallest possible corpus:
  *
- *  1. URL-level dedup ([[TextAnalysis.urlDedupGroups]] keepers) —
- *     refetches of one page collapse before any content work
+ *  1. URL-level dedup (min-id keeper per [[TextAnalysis.canonicalizeUrl]]
+ *     group) — refetches of one page collapse before any content work;
+ *     rows whose URL does not canonicalize pass through un-deduped
  *  2. exact content dedup ([[Dedup.exactKeepers]])
  *  3. within-doc repeated-line removal ([[TextAnalysis.dedupLinesWithinDoc]])
  *  4. cross-doc boilerplate-line removal ([[TextAnalysis.removeBoilerplateLines]])
@@ -45,17 +46,26 @@ object Pipeline {
                   minhashThreshold: Double = 0.8)
       : (DataFrame, Seq[(String, Long)]) = {
     val report = Seq.newBuilder[(String, Long)]
+    var lastCount = 0L
     def stage(name: String)(df: DataFrame): DataFrame = {
       val out = df.localCheckpoint()
-      report += ((name, out.count()))
+      lastCount = out.count()
+      report += ((name, lastCount))
       out
     }
 
     var cur = stage("input")(docs)
     urlCol.foreach { u =>
-      val keep = TextAnalysis.urlDedupGroups(cur, u, idCol)
-        .select(col("keeper_id").as(idCol))
-      cur = stage("url_dedup")(cur.join(keep, Seq(idCol), "left_semi"))
+      // rows whose URL fails to canonicalize (null / non-http(s) /
+      // malformed) pass through UN-deduped: no URL evidence is not
+      // evidence of duplication, and dropping them would be silent data
+      // loss in a pipeline's very first stage
+      val canon = cur.withColumn("_cu", TextAnalysis.canonicalizeUrl(col(u)))
+      val keep = canon.filter(col("_cu").isNotNull)
+        .groupBy("_cu").agg(min(col(idCol)).as(idCol)).select(idCol)
+      cur = stage("url_dedup")(
+        canon.filter(col("_cu").isNull).drop("_cu").unionByName(
+          canon.join(keep, Seq(idCol), "left_semi").drop("_cu")))
     }
     cur = stage("exact_dedup")(Dedup.exactKeepers(cur, textCol, idCol))
     // text-rewriting stages return (id, text); carry the other columns
@@ -67,16 +77,21 @@ object Pipeline {
     cur = stage("line_dedup")(
       rejoin(TextAnalysis.dedupLinesWithinDoc(cur, textCol, idCol)))
     // corpus-size-derived default, the q100 recipe: a line is boilerplate
-    // when it appears in more than max(4, 1%) of documents
+    // when it appears in more than max(4, 1%) of documents (lastCount is
+    // the line_dedup stage's survivor count — same frame, already counted)
     val maxDf = if (boilerplateMaxDocFreq > 0) boilerplateMaxDocFreq
-      else math.max(4, (cur.count() / 100L).toInt)
+      else math.max(4, (lastCount / 100L).toInt)
     cur = stage("boilerplate_lines")(
       rejoin(TextAnalysis.removeBoilerplateLines(cur, textCol, idCol, maxDf)))
     cur = stage("span_dedup")(
       rejoin(TextAnalysis.removeDuplicatedSpansToFixedPoint(
         cur, textCol, idCol, spanK).drop("kept_tokens")))
+    // size(wordTokens) not tokenCount: the raw kernel counts '' as one
+    // token (split semantics), and fully-boilerplate / fully-duplicated
+    // docs ARE '' by this stage — they must fail the gate, not sneak
+    // through at 1 token
     cur = stage("quality_gate")(cur.filter(
-      TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+      size(TextAnalysis.wordTokens(col(textCol))) >= minTokens &&
       TextAnalysis.dupTokenFraction(col(textCol)) <= maxDupTokenFraction))
     cur = stage("minhash_dedup")(Dedup.minhashKeepers(
       cur, textCol, idCol, threshold = minhashThreshold))

@@ -668,18 +668,24 @@ object TextAnalysis {
       df: DataFrame, textCol: String, idCol: String, k: Int,
       minCount: Int = 2, maxIters: Int = 8): DataFrame = {
     require(maxIters >= 1, "maxIters must be >= 1")
+    // uniform output contract: EVERY doc in normalized token form
+    // (lowercased, single-space), exactly like the single pass — the
+    // zero-cut path must not return verbatim text while the >=1-cut
+    // path returns rewritten text
+    def finish(d: DataFrame): DataFrame = d
+      .withColumn("_kt", wordTokens(col(textCol)))
+      .select(col(idCol), array_join(col("_kt"), " ").as(textCol),
+        size(col("_kt")).cast("long").as("kept_tokens"))
     var cur = df.select(col(idCol), col(textCol))
     var it = 0
     while (it < maxIters) {
-      val spanCount = duplicatedSpans(cur, textCol, idCol, k, minCount)
-        .limit(1).count()
-      if (spanCount == 0L) {
-        // converged: emit the per-row token count exactly like the
-        // single pass does (cheap narrow projection)
-        return cur.select(col(idCol), col(textCol),
-          size(wordTokens(col(textCol))).cast("long").as("kept_tokens"))
-      }
-      cur = removeDuplicatedSpans(cur, textCol, idCol, k, minCount)
+      // one gram shuffle per round: the spans frame (small, per-doc) is
+      // materialized once and serves BOTH the convergence check and the
+      // cut — duplicatedSpans never runs twice over the same corpus
+      val spans = duplicatedSpans(cur, textCol, idCol, k, minCount)
+        .localCheckpoint()
+      if (spans.limit(1).count() == 0L) return finish(cur)
+      cur = cutSpans(cur, spans, textCol, idCol)
         .select(col(idCol), col(textCol)).localCheckpoint()
       it += 1
     }
@@ -689,8 +695,7 @@ object TextAnalysis {
       s"span removal did not converge in $maxIters rounds: duplicated " +
       s"$k-grams remain. Raise maxIters, or use one removeDuplicatedSpans " +
       "pass deliberately if a best-effort cut is acceptable.")
-    cur.select(col(idCol), col(textCol),
-      size(wordTokens(col(textCol))).cast("long").as("kept_tokens"))
+    finish(cur)
   }
 
   /**
@@ -818,8 +823,17 @@ object TextAnalysis {
    * shuffle: the corpus stream is touched once and never exploded.
    */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                            k: Int, minCount: Int = 2): DataFrame = {
-    val spansArr = duplicatedSpans(df, textCol, idCol, k, minCount)
+                            k: Int, minCount: Int = 2): DataFrame =
+    cutSpans(df, duplicatedSpans(df, textCol, idCol, k, minCount),
+      textCol, idCol)
+
+  /** The cut half of [[removeDuplicatedSpans]], taking a PRECOMPUTED
+    * (idCol, span_start, span_end) frame — so a caller that already has
+    * the spans (the fixed-point loop's convergence check) never pays
+    * the gram shuffle twice per round. */
+  private[ext] def cutSpans(df: DataFrame, spans: DataFrame,
+                            textCol: String, idCol: String): DataFrame = {
+    val spansArr = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("_spans"))

@@ -1045,6 +1045,13 @@ class ExtSpec extends SparkSpec {
       TextAnalysis.removeDuplicatedSpansToFixedPoint(
         df, "text", "doc_id", k = 3, maxIters = 1)
     }
+    // uniform contract: a corpus with NOTHING to cut still comes back
+    // in normalized token form, same as any cut path would return it
+    val clean = Seq((9L, "No\nDuplicates HERE at ALL five")).toDF("doc_id", "text")
+    val fp = TextAnalysis.removeDuplicatedSpansToFixedPoint(
+      clean, "text", "doc_id", k = 3).collect()(0)
+    assert(fp.getString(1) == "no duplicates here at all five")
+    assert(fp.getLong(2) == 6L)
   }
 
   test("Pipeline.cleanCorpus: stages fire in order, report counts, output clean") {
@@ -1059,17 +1066,26 @@ class ExtSpec extends SparkSpec {
     rows += ((100L, "unique body line 7 alpha7 beta7 gamma7 delta7\n" + blurb,
       "https://site100.com/x"))                              // exact dup of doc 7's text
     rows += ((101L, "tiny doc", "https://site101.com/x"))    // fails min-tokens
-    rows += ((102L, "rep rep rep rep rep rep rep one two", "https://site102.com/x")) // dup-fraction
+    rows += ((102L, "rep rep rep rep rep rep rep one two", "https://site102.com/x")) // span-cut to 2 toks
+    rows += ((103L, "a a a b b b c c", "https://site103.com/x")) // dup-fraction 0.625, no dup 5-gram
+    rows += ((104L, "mixed CASE unique104 tok104a tok104b tok104c", "mailto:x@y.z")) // bad URL
+    rows += ((105L, "another unique105 doc body here today", null)) // NO url
     val docs = rows.result().toDF("doc_id", "text", "url")
     val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
       urlCol = Some("url"), spanK = 5, minTokens = 5, maxDupTokenFraction = 0.5)
     val r = report.toMap
-    assert(r("input") == 43L)
-    assert(r("url_dedup") == 23L, s"report: $report")    // 20 keepers + 3 extras
-    assert(r("exact_dedup") == 22L)                      // doc 100 = doc 7 text... but
+    assert(r("input") == 46L)
+    // 20 URL-group keepers + 4 unique URLs + docs 104/105 whose URLs
+    // don't canonicalize and must PASS THROUGH, not vanish
+    assert(r("url_dedup") == 26L, s"report: $report")
+    assert(r("exact_dedup") == 25L)                      // doc 100 = doc 7 text... but
     // doc 100 survived url dedup (unique URL) and doc 7 is the keeper of
     // its URL group, so the exact stage sees both and drops doc 100
-    assert(r("quality_gate") == r("span_dedup") - 2, s"report: $report") // 101, 102 out
+    // 101 (min-tokens), 102 (span-cut to 2 tokens), 103 (dup-fraction —
+    // exercises the branch span removal can't reach) all drop here
+    assert(r("quality_gate") == r("span_dedup") - 3, s"report: $report")
+    assert(out.filter(col("doc_id").isin(104L, 105L)).count() == 2,
+      "uncanonicalizable-URL docs must survive the whole pipeline")
     assert(r("minhash_dedup") <= r("quality_gate"))
     // the cleaned corpus: no exact dups, no duplicated 5-grams, no
     // boilerplate blurb anywhere, every row >= 5 tokens
