@@ -75,7 +75,7 @@ object ScaleProbeX {
     println(s"corpus sizes: 1x=${docs1.count()} 10x=${docs10.count()} " +
       s"emb 1x=${emb1.count()} 10x=${emb10.count()}")
 
-    import graft.ext.{Dedup, Similarity, TextAnalysis}
+    import graft.ext.{Dedup, Pipeline, Similarity, TextAnalysis}
     def urls(df: DataFrame): DataFrame = df.select(col("doc_id"), concat(
       lit("HTTPS://WWW.site"), (col("doc_id") % 4000).cast("string"),
       lit(".example.com/p/"), (col("doc_id") % 4000).cast("string"),
@@ -100,6 +100,13 @@ object ScaleProbeX {
       time3(s"$label semanticDecontaminate")(
         Similarity.semanticDecontaminate(emb, "embedding", "vec_id",
           emb.filter(col("vec_id") % 97 === 0), "embedding", 0.9))
+      // the whole cleaning pipeline, end to end (eager multi-stage with
+      // per-stage checkpoints — timed once, not min-of-3)
+      System.gc()
+      val t0 = System.nanoTime()
+      val (_, rep) = Pipeline.cleanCorpus(docs, "text", "doc_id")
+      println(f"SCALEX $label cleanCorpus total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+        s"report=${rep.map { case (n, c) => s"$n:$c" }.mkString(",")}")
     }
     Dedup.releaseCaches()
     spark.stop()

@@ -1097,6 +1097,19 @@ class ExtSpec extends SparkSpec {
       s"stage counts must be nonincreasing: $report")
   }
 
+  test("Pipeline.cleanCorpus runs on the real documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id")
+    assert(report.head._1 == "input" && report.head._2 == docs.count())
+    assert(report.map(_._2) == report.map(_._2).sorted.reverse,
+      s"stage counts must be nonincreasing: $report")
+    assert(report.last._2 > 0, s"real corpus fully filtered away: $report")
+    // the cleaned corpus is free of the defects the stages exist to cut
+    assert(TextAnalysis.duplicatedSpans(out, "text", "doc_id", k = 8).count() == 0)
+    assert(out.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() == 0)
+  }
+
   test("duplicatedSpans rejects minCount < 2 and k < 2") {
     intercept[IllegalArgumentException] {
       TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 3, minCount = 1)
