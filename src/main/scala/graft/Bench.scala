@@ -13,9 +13,20 @@ import org.apache.spark.sql.SparkSession
   *     so round 4 duplicates it on unprefixed stderr).
   */
 object Bench {
+  /** 1/5/15-minute system load averages, "?" where unavailable — recorded
+    * into BENCH.out so a round-over-round regression can be attributed to
+    * co-tenant load vs code mechanically (round 6's 1.33x was judged
+    * unattributable without this). */
+  private def loadavg(): String =
+    try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      "[" + s.trim.split("\\s+").take(3).mkString(",") + "]"
+    } catch { case _: Throwable => "\"?\"" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,15 +45,21 @@ object Bench {
     // instead of the steady-state variance it exists to show. (Warmup
     // order matters: bench-SF tables are registered LAST, so the
     // registry's LRU bound can only evict the small-SF ones.)
+    // local-iteration filter (same contract as Verify's): the driver
+    // runs unfiltered
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(f => f.contains(name) || f.exists(name.startsWith)) }
     for (warmDir <- Seq("/root/testdata/sf0.001", sfDir).distinct)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     // min of three timed runs per query, with GC quiescence before each
     // query: 73 queries share one JVM at local[32], and sub-second scans
     // oscillated 3-5x between rounds when a neighbour's garbage landed
     // in their window.
-    val timings = SparkEntry.queries.map { case (name, fn) =>
+    val timings = queries.map { case (name, fn) =>
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -63,7 +80,7 @@ object Bench {
       .mkString("{", ",", "}")
     val spFull = spreads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","method":"untimed warmup passes at sf0.001 and at the bench SF (pre-builds one-time shared signature tables), then min of 3 timed runs per query with System.gc() quiescence between queries; spread = max-min of the 3 runs per query"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"cpus":$cpus,"method":"untimed warmup passes at sf0.001 and at the bench SF (pre-builds one-time shared signature tables), then min of 3 timed runs per query with System.gc() quiescence between queries; spread = max-min of the 3 runs per query; loadavg = /proc/loadavg 1/5/15-min before the warmups and after the timed runs"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), full + "\n")
     System.err.println(full)
     // compact stdout line: short id = leading qNN token; ms as integers

@@ -1480,11 +1480,15 @@ class GeoDb(
               // against the pre-steal content c1 proved nothing: after
               // any restore the slot holds the successor's content,
               // which differs from c1 by definition here.)
-              val tombContent = readSmallFile(fs, tomb)
+              var tombContent = readSmallFile(fs, tomb)
               val restoreDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
               var restored = false
               var sawOccupiedSlot = false
               while (!restored && System.nanoTime() < restoreDeadline) {
+                // a transient read failure above must not doom the whole
+                // retry budget: the tombstone is ours (we renamed it) and
+                // immutable, so re-reading until it yields is safe
+                if (tombContent.isEmpty) tombContent = readSmallFile(fs, tomb)
                 // tri-state exists: a transient IO failure must neither
                 // count as "occupied" (phantom overlap warning) nor as
                 // "empty" (create onto an unknown slot)

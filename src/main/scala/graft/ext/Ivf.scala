@@ -48,8 +48,12 @@ object Ivf {
             maxIter: Int = 10, seed: Long = 42L,
             sampleCap: Int = 100000, knownCount: Long = -1L): Model = {
     // callers that already counted the corpus (e.g. to derive k) pass
-    // the count in rather than paying a second count job
-    val n = if (knownCount >= 0L) knownCount else corpus.count()
+    // the count in rather than paying a second count job; otherwise try
+    // parquet footers first (exact, no Spark job — identical n, so the
+    // sample and the centroids are bit-identical to the count() path)
+    val n = if (knownCount >= 0L) knownCount
+      else graft.sources.ParquetStats.planRowCount(corpus)
+        .getOrElse(corpus.count())
     val base =
       if (n <= sampleCap) corpus
       else corpus.sample(withReplacement = false,
@@ -60,6 +64,72 @@ object Ivf {
       .select(normalized(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Float](0).toArray)
     Model(lloyd(sample, k, maxIter, seed))
+  }
+
+  /** Train directly on a sample already drawn (e.g. by [[samplePass]]). */
+  private[ext] def trainFromSample(sample: Array[Array[Float]], k: Int,
+                                   maxIter: Int, seed: Long): Model =
+    Model(lloyd(sample, k, maxIter, seed))
+
+  /**
+   * ONE-pass deterministic (training sample, exact row count) — for the
+   * derived-cell-count path (`cells = 0`), which needs n to resolve
+   * k ≈ √n AND a bounded sample to train on: the two-job shape (count
+   * job, then sample job) collapses into a single pass over the corpus.
+   * Sample membership and order are the `sampleCap` rows with the
+   * smallest 128-bit id hash `(xxhash64(id), xxhash64(1, id))` — a
+   * function of row CONTENT only, so neither partitioning nor row order
+   * can disturb determinism (the fraction-sample path needs n up front
+   * precisely because Bernoulli sampling isn't content-keyed).
+   *
+   * Scale: per partition a bounded max-heap keeps the candidate rows —
+   * capped at `max(4 · sampleCap / P, 1024)` rather than the exact-safe
+   * `sampleCap`, bounding the driver collect at ~4× the sample instead
+   * of P× it. The cap loses a would-be global member only if one
+   * partition holds > 4× its expected share of the smallest hashes —
+   * Chernoff-negligible for a uniform 64-bit hash (P(Binomial(sampleCap,
+   * 1/P) > 4·mean) < e^(-mean), astronomically small at any real
+   * sampleCap/P) — and the result remains deterministic for a given
+   * partitioning either way. RDD mapPartitions is deliberate: a bounded
+   * per-partition reservoir is genuine imperative per-partition state
+   * that no built-in aggregate expresses without materializing every row.
+   */
+  private[ext] def samplePass(slim: DataFrame, vecCol: String, idCol: String,
+                              sampleCap: Int = 100000)
+      : (Array[Array[Float]], Long) = {
+    val parts = slim.sparkSession.sparkContext.defaultParallelism
+    val perPart = math.max(4 * sampleCap / math.max(parts, 1), 1024)
+    val rows = slim.select(normalized(col(vecCol)).as("v"),
+      xxhash64(col(idCol)).as("h"), xxhash64(lit(1), col(idCol)).as("h2"))
+    val collected = rows.queryExecution.toRdd.mapPartitions { it =>
+      // scala PriorityQueue is a MAX-heap under its Ordering: head is the
+      // largest kept (h, h2) key — exactly the eviction candidate
+      val pq = new scala.collection.mutable.PriorityQueue[
+        (Long, Long, Array[Float])]()(
+        Ordering.by[(Long, Long, Array[Float]), (Long, Long)](t => (t._1, t._2)))
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        n += 1
+        val h = r.getLong(1); val h2 = r.getLong(2)
+        if (pq.size < perPart) {
+          val a = r.getArray(0)
+          pq.enqueue((h, h2, a.toFloatArray()))
+        } else {
+          val top = pq.head
+          if (h < top._1 || (h == top._1 && h2 < top._2)) {
+            pq.dequeue()
+            val a = r.getArray(0)
+            pq.enqueue((h, h2, a.toFloatArray()))
+          }
+        }
+      }
+      Iterator.single((n, pq.toArray))
+    }.collect()
+    val n = collected.map(_._1).sum
+    val sample = collected.flatMap(_._2)
+      .sortBy(t => (t._1, t._2)).take(sampleCap).map(_._3)
+    (sample, n)
   }
 
   /** Deterministic local Lloyd's k-means (squared-euclidean, which on

@@ -79,8 +79,12 @@ object Pipeline {
     // corpus-size-derived default, the q100 recipe: a line is boilerplate
     // when it appears in more than max(4, 1%) of documents (lastCount is
     // the line_dedup stage's survivor count — same frame, already counted)
+    // Long arithmetic with a clamp: a naive `(lastCount / 100L).toInt`
+    // wraps negative past ~2.15e11 surviving rows, collapsing the
+    // threshold to 4 — over-aggressive boilerplate removal precisely in
+    // the 100 TB regime this pipeline targets
     val maxDf = if (boilerplateMaxDocFreq > 0) boilerplateMaxDocFreq
-      else math.max(4, (lastCount / 100L).toInt)
+      else math.min(math.max(4L, lastCount / 100L), Int.MaxValue.toLong).toInt
     cur = stage("boilerplate_lines")(
       rejoin(TextAnalysis.removeBoilerplateLines(cur, textCol, idCol, maxDf)))
     cur = stage("span_dedup")(

@@ -137,11 +137,16 @@ object Similarity {
    * size √n ≪ `maxCell`. Train cost stays constant (bounded sample +
    * driver Lloyd — [[Ivf.train]]).
    *
-   * EAGER contract: resolving `cells = 0` and the oversized-cell check
-   * each run a small Spark job at CALL time (a count and a
-   * ≤-`cells`-row aggregate), before the returned frame is executed —
-   * the price of failing loudly instead of returning a silently
-   * incomplete pair set.
+   * EAGER contract, job-trimmed: `cells = 0` resolves k and draws the
+   * training sample in ONE pass ([[Ivf.samplePass]] — a count job plus a
+   * sample job would scan the corpus twice for the same information);
+   * the cell-size aggregate rides INSIDE the pair job as its broadcast
+   * side (under-cap cells only enter the self-join, so oversized cells
+   * never cost quadratic work), and the loud-cap check then reads the
+   * (column-pruned, cached) `assigned` frame after the single pair
+   * action. The check still throws at CALL time — the function can
+   * never RETURN a silently incomplete pair set — it just no longer
+   * spends a dedicated Spark job to do so.
    */
   def clusterCosinePairs(df: DataFrame, vecCol: String, idCol: String,
                          threshold: Double, cells: Int = 0,
@@ -150,28 +155,40 @@ object Similarity {
                          allowOversizedCells: Boolean = false): DataFrame = {
     TextFunctions.registerAll(df.sparkSession)
     val slim = df.select(col(idCol), col(vecCol))
-    // count ONCE: it feeds both the derived cell count and the train
-    // sample fraction (Ivf.train would otherwise recount)
-    val n = if (cells > 0) -1L else slim.count()
-    val k = resolveCells(n, cells)
-    val model = Ivf.train(slim, vecCol, k = k, maxIter = maxIter,
-      seed = seed, knownCount = n)
+    val model = trainDerived(slim, vecCol, idCol, cells, maxIter, seed)
     // ONE assignment pass: the per-row argmin over k centroids is the
     // dominant per-vector cost, so the frame is transient-persisted for
-    // its three uses (cap check + both self-join branches) and released
-    // after the eager pair materialization below
+    // its uses (cell-size side + both self-join branches + cap check)
+    // and released after the eager pair materialization below
     val assigned = Ivf.assign(slim, vecCol, model)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("ivf_cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded collect: one row per OVERSIZED cell (≤ k rows)
-      val oversized = assigned.groupBy("ivf_cell")
-        .agg(count(lit(1)).as("_n")).filter(col("_n") > maxCell)
+      val cellSizes = assigned.groupBy("ivf_cell").agg(count(lit(1)).as("_n"))
+      // in-plan cap: ≤ model.k under-cap cells broadcast onto the join —
+      // no driver round-trip before the pair action, and oversized cells
+      // are excluded BEFORE any quadratic work happens
+      val okCells = cellSizes.filter(col("_n") <= maxCell).select("ivf_cell")
+      val capped = assigned.join(broadcast(okCells), Seq("ivf_cell"))
+      // eager materialization of the (small, threshold-filtered) pair
+      // set bounds the persist's lifetime (the minhashPairs discipline)
+      val pairs = capped
+        .join(capped.select(col("ivf_cell"), col("id").as("id2"),
+          col("v").as("v2")), Seq("ivf_cell"))
+        .filter(col("id") < col("id2"))
+        .select(col("id"), col("id2"),
+          cosine_sim(col("v"), col("v2")).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .localCheckpoint(true)
+      // loud-cap check AFTER the single pair action: a bounded collect
+      // (≤ model.k rows) over the cached assignment — the cache scan
+      // prunes to the ivf_cell column, so this is metadata-cheap
+      val oversized = cellSizes.filter(col("_n") > maxCell)
         .collect().map(r => (r.getInt(0), r.getLong(1)))
       if (oversized.nonEmpty) {
         val excluded = oversized.map(_._2).sum
-        val msg = s"semantic dedup cell cap exceeded: ${oversized.length} of $k " +
-          s"cells hold more than maxCell=$maxCell vectors (largest " +
+        val msg = s"semantic dedup cell cap exceeded: ${oversized.length} of " +
+          s"${model.k} cells hold more than maxCell=$maxCell vectors (largest " +
           s"${oversized.map(_._2).max}, $excluded vectors total) and would be " +
           "silently excluded from pair search. Retrain with more cells " +
           "(cells = 0 derives k ~ sqrt(n)), raise maxCell deliberately, or pass " +
@@ -180,23 +197,24 @@ object Similarity {
         if (!allowOversizedCells) throw new IllegalStateException(msg)
         org.apache.log4j.Logger.getLogger(getClass).warn(msg)
       }
-      val capped =
-        if (oversized.isEmpty) assigned
-        else {
-          val ids = oversized.map(_._1).toSet
-          assigned.filter(!col("ivf_cell").isInCollection(ids))
-        }
-      // eager materialization of the (small, threshold-filtered) pair
-      // set bounds the persist's lifetime (the minhashPairs discipline)
-      capped
-        .join(capped.select(col("ivf_cell"), col("id").as("id2"),
-          col("v").as("v2")), Seq("ivf_cell"))
-        .filter(col("id") < col("id2"))
-        .select(col("id"), col("id2"),
-          cosine_sim(col("v"), col("v2")).as("cosine"))
-        .filter(col("cosine") >= threshold)
-        .localCheckpoint(true)
+      pairs
     } finally assigned.unpersist(false)
+  }
+
+  /** The shared `cells = 0` training path: one [[Ivf.samplePass]] pass
+    * resolves k ≈ √n and draws the sample together; `cells > 0` keeps
+    * the plain [[Ivf.train]] route (footer-first count fallback). Every
+    * derived-cells operator MUST go through this so the pairs operator
+    * and its overflow-report twin see the same model. */
+  private def trainDerived(slim: DataFrame, vecCol: String, idCol: String,
+                           cells: Int, maxIter: Int, seed: Long): Ivf.Model = {
+    require(cells >= 0, "cells must be >= 0 (0 = derive from corpus size)")
+    if (cells > 0)
+      Ivf.train(slim, vecCol, k = cells, maxIter = maxIter, seed = seed)
+    else {
+      val (sample, n) = Ivf.samplePass(slim, vecCol, idCol)
+      Ivf.trainFromSample(sample, resolveCells(n, cells), maxIter, seed)
+    }
   }
 
   /** `cells = 0` → k ≈ √n clamped to [4, 16384] (the IVF heuristic:
@@ -221,14 +239,12 @@ object Similarity {
    * route those cells through the LSH path ([[Dedup.embeddingPairs]])
    * or retrain with more cells.
    */
-  def clusterOversizedCells(df: DataFrame, vecCol: String,
+  def clusterOversizedCells(df: DataFrame, vecCol: String, idCol: String,
                             cells: Int = 0, maxIter: Int = 5,
                             maxCell: Int = 10000,
                             seed: Long = 42L): DataFrame = {
-    val n = if (cells > 0) -1L else df.count()
-    val k = resolveCells(n, cells)
-    val model = Ivf.train(df, vecCol, k = k, maxIter = maxIter,
-      seed = seed, knownCount = n)
+    val model = trainDerived(df.select(col(idCol), col(vecCol)), vecCol,
+      idCol, cells, maxIter, seed)
     Ivf.assign(df, vecCol, model)
       .groupBy("ivf_cell").agg(count(lit(1)).as("cell_size"))
       .filter(col("cell_size") > maxCell)
@@ -350,10 +366,7 @@ object Similarity {
                                seed: Long = 42L,
                                allowOversizedCells: Boolean = false): DataFrame = {
     val oldSlim = oldDf.select(col(idCol), col(vecCol))
-    val n = if (cells > 0) -1L else oldSlim.count()
-    val k = resolveCells(n, cells)
-    val model = Ivf.train(oldSlim, vecCol, k = k, maxIter = maxIter,
-      seed = seed, knownCount = n)
+    val model = trainDerived(oldSlim, vecCol, idCol, cells, maxIter, seed)
     crossClusterCosinePairs(newDf, vecCol, idCol,
       Ivf.assign(oldSlim, vecCol, model), model,
       threshold, maxCell, allowOversizedCells)

@@ -493,16 +493,32 @@ object TextAnalysis {
    */
   def bigramSelfEntropy(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
-    val model = trainBigramModel(df, textCol)
-    // a token-free corpus trains an empty model, and self-scoring it is
-    // well-defined: no doc has a bigram, so every row is (id, 0, null)
-    // — the same frame the pre-refactor implementation returned (the
-    // vocab > 0 guard in bigramEntropyUnderModel is for EXTERNAL empty
-    // models scoring non-empty corpora, which has no finite answer)
-    if (model.vocab == 0L)
-      df.select(col(idCol).as(idCol), lit(0L).as("n_bigrams"),
-        lit(null).cast("double").as("xent"))
-    else bigramEntropyUnderModel(df, textCol, idCol, model)
+    // ONE composable lazy plan — the vocabulary size rides along as a
+    // broadcast 1-row frame instead of [[trainBigramModel]]'s eager
+    // `countDistinct` job (one count job per MODEL is the artifact
+    // contract; one per self-scoring CALL was an avoidable full-corpus
+    // pass — at 100 TB, real money). Semantically this is exactly
+    // `bigramEntropyUnderModel(df, trainBigramModel(df, textCol))`: the
+    // count joins may be left or inner (every scored bigram is in the
+    // self-model by definition), and the token-free-corpus edge case
+    // falls out of the left joins below — no bigram rows exist, so every
+    // doc comes back (id, 0, null) without consulting V.
+    val toks = tokensOf(df, textCol, col(idCol))
+    val bigrams = bigramsOf(toks)
+    val vocabF = toks.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("_v"))
+    val scored = bigrams
+      .join(bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("_c")),
+        Seq("w1", "w2"))
+      .join(bigrams.groupBy("w1").agg(count(lit(1)).as("_cl")), Seq("w1"))
+      .crossJoin(broadcast(vocabF))
+      .select(col("id"),
+        log2((col("_c") + lit(1.0)) / (col("_cl") + col("_v"))).as("_lp"))
+    val agg = scored.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("_lp")), 6).as("xent"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("xent"))
   }
 
   /**
@@ -602,6 +618,8 @@ object TextAnalysis {
    * `HTTPS://WWW.Site.com/p/1/?utm_source=x#top` and
    * `https://site.com/p/1` must collide). Rules, applied in order:
    * scheme and host lowercased (RFC 3986 makes both case-insensitive);
+   * userinfo (`user:pass@`) stripped from the authority — it neither
+   * addresses content nor belongs in a persisted dedup key;
    * a leading `www.` stripped; the scheme's default port stripped
    * (`:443` for https, `:80` for http); the `#fragment` dropped;
    * tracking parameters dropped (`utm_*`, `fbclid`, `gclid`,
@@ -612,7 +630,12 @@ object TextAnalysis {
    */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "(?i)^(https?)://.*", 1))
-    val hostPort = lower(regexp_extract(url, "(?i)^https?://([^/?#]+).*", 1))
+    // the authority component may carry RFC 3986 userinfo
+    // (`user:pass@host`); strip it BEFORE the www/port rules — it must
+    // never survive into a persisted dedup key (credentials at rest),
+    // and `https://user@site.com/a` must merge with `https://site.com/a`
+    val authority = lower(regexp_extract(url, "(?i)^https?://([^/?#]+).*", 1))
+    val hostPort = regexp_replace(authority, "^[^@]*@", "")
     val noWww = regexp_replace(hostPort, "^www\\.", "")
     val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(regexp_replace(noWww, ":80$", ""))

@@ -29,8 +29,13 @@ object ScaleProbeX {
   private def time3(label: String)(df: => DataFrame): Unit = {
     System.gc()
     val times = (1 to 3).map { _ =>
-      val d = df
+      // timer starts BEFORE the by-name operator is forced: call-time
+      // eager work (shared signature/pair table writes, eager
+      // localCheckpoints) lands in run 1's time and the min-of-3 then
+      // reports the steady-state reuse cost — matching SCALE.md's
+      // "table build in run 1" framing
       val t0 = System.nanoTime()
+      val d = df
       val r = d.select(count(lit(1)).as("n"),
         bit_xor(xxhash64(struct(d.columns.map(col): _*))).as("h")).head()
       ((System.nanoTime() - t0) / 1e9, r.getLong(0))
