@@ -26,6 +26,16 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO defaults to FileCacheImage{Input,Output}Stream: every
+  // encode/decode spills through a temp FILE even when the payload is an
+  // in-memory byte array. At 32 concurrent decode tasks that is temp-file
+  // churn bounded by disk latency, not CPU (measured: q74's 5k-image
+  // decode pass regressed 0.4s -> 2.9s purely on temp-dir state). These
+  // payloads are whole byte arrays by construction — cache in memory.
+  // Runs in the object initializer so any executor that classloads a
+  // kernel gets it before its first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode; None for payloads no registered codec accepts. */
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.isEmpty) None
