@@ -28,21 +28,51 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Raw schema of the testdata events table: `ts` is parquet TIMESTAMP(NANOS),
-    * which Spark only reads as long (spark.sql.legacy.parquet.nanosAsLong). */
-  private val rawNanosSchema: StructType = StructType(
-    eventsSchema.fields.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+  private def withTsType(dt: DataType): StructType = StructType(
+    eventsSchema.fields.map(f => if (f.name == "ts") f.copy(dataType = dt) else f))
 
-  private def nanosToTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+  /** Read schema + normalization for the `ts` column, probed from the first
+    * parquet footer rather than assumed: the testdata generator has shipped
+    * `ts` both as TIMESTAMP(NANOS) (Spark reads it only as long, via
+    * spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false). One O(KB) metadata read per load; under the
+    * engine's pinned UTC session timezone every branch normalizes to the
+    * same TimestampType instants the DuckDB oracle computes. */
+  private def tsReadPlan(spark: SparkSession, path: String): (StructType, DataFrame => DataFrame) = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val ann = try {
+      r.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType.getLogicalTypeAnnotation
+    } finally r.close()
+    ann match {
+      case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS =>
+        (withTsType(LongType),
+          df => df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType))))
+      case t: TimestampLogicalTypeAnnotation if !t.isAdjustedToUTC =>
+        (withTsType(TimestampNTZType),
+          df => df.withColumn("ts", col("ts").cast(TimestampType)))
+      case _ =>
+        (eventsSchema, identity[DataFrame])
+    }
+  }
 
-  /** Batch load of a nanos-timestamp events table (requires the session
-    * config spark.sql.legacy.parquet.nanosAsLong=true). */
-  def loadEvents(spark: SparkSession, dir: String): DataFrame =
-    nanosToTs(spark.read.schema(rawNanosSchema).parquet(dir))
+  /** Batch load of an events table, whatever `ts` unit is on disk. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, norm) = tsReadPlan(spark, dir)
+    norm(spark.read.schema(schema).parquet(dir))
+  }
 
-  def read(spark: SparkSession, dir: String): DataFrame =
-    nanosToTs(spark.readStream.schema(rawNanosSchema).parquet(dir))
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, norm) = tsReadPlan(spark, dir)
+    norm(spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark. */
   def windowedStats(events: DataFrame, windowLen: String = "1 hour",
