@@ -8,7 +8,7 @@ import graft.core.GeoOps
 import graft.engine.GeoDb
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TextFunctions}
+import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, TextFunctions}
 import graft.ext.TextFunctions._
 import graft.query.{PostgrestFilter, SqlFragments}
 import graft.sources.ParquetStats
@@ -1607,8 +1607,58 @@ object SparkEntry {
       ).as("url"))
       TextAnalysis.urlDedupGroups(docs, "url", "doc_id")
         .orderBy("canonical_url")
+    }),
+    "q118_clean_pipeline" -> ((s, dir) => { ensure(s)
+      // the composed 7-stage cleaning run (Pipeline.cleanCorpus) on a
+      // planted corpus exercising every stage: URL refetch groups (%125,
+      // %5=0 rows have NO url and must pass through un-deduped), exact
+      // text dupes (%7), a within-doc repeated line + an all-docs footer
+      // (boilerplate, removed at the corpus-derived threshold), a licence
+      // blurb planted across %9=4 docs (span cut to fixed point), a
+      // sub-min-token doc and a >60%-duplicate-token doc (quality gate),
+      // and a planted near-dup pair at char-5 Jaccard 0.838 (minhash
+      // stage, exact-verified). Result = per-stage survivor counts + a
+      // residual-duplicated-spans check + one length-pinned row per
+      // surviving doc; the oracle replays all seven stages in SQL —
+      // stage ORDER, the rejoin of non-text columns, and the derived
+      // boilerplate threshold are exactly what only this gate covers.
+      val docs = q118Docs(s, dir)
+      val (cleaned, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
+        urlCol = Some("url"), spanK = 8, minTokens = 5,
+        maxDupTokenFraction = 0.6, minhashThreshold = 0.8)
+      val residual = TextAnalysis.duplicatedSpans(
+        cleaned.select(col("doc_id"), col("text")), "text", "doc_id", k = 8).count()
+      import s.implicits._
+      (report.map(r => (r.stage, r.rows))
+          :+ (("z_span_residual", residual))
+          :+ (("z_overflow_rows", report.map(_.overflowRows).sum)))
+        .toDF("stage", "n")
+        .unionByName(cleaned.select(
+          concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .orderBy("stage")
     })
   )
+
+  /** The q118 planted pipeline corpus: every cleaning stage has work to
+    * do, every construction is modulus arithmetic the oracle replays. */
+  private def q118Docs(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://u"), (col("doc_id") % 125).cast("string"),
+          lit(".ex.com/p"))).as("url"),
+      when(col("doc_id") % 50 === 11, lit("planted near dup body token one two"))
+      .when(col("doc_id") % 50 === 12, lit("planted near dup body token one two three"))
+      .when(col("doc_id") % 50 === 13, lit("tiny doc"))
+      .when(col("doc_id") % 50 === 14, lit("spam spam spam spam spam spam spam unique"))
+      .when(col("doc_id") % 7 === 0,
+        lit("planted exact duplicate body shared across documents"))
+      .otherwise(concat(lit("DUPLINE COMMON ROW\n"), col("text"),
+        when(col("doc_id") % 9 === 4, lit(q118Blurb)).otherwise(lit("")),
+        lit("\nDUPLINE COMMON ROW\nFOOTER COMMON EVERY DOC"))).as("text"))
+
+  private val q118Blurb =
+    " shared licence blurb alpha beta gamma delta epsilon zeta"
 
   /** The q113/q114/q115 shared corpus: `documents` with a licence blurb
     * planted into docs 10 and 20 (doc 20 in mixed case). */
@@ -2087,6 +2137,72 @@ object SparkEntry {
     "q52_bbox_crosses" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE GREATEST(5 - (l_partkey % 13), 5 - (l_suppkey % 11), 0) < LEAST(9 - (l_partkey % 13), 9 - (l_suppkey % 11), l_linenumber) AND NOT ((l_partkey % 13) >= 5 AND (l_partkey % 13) + l_linenumber <= 9 AND (l_suppkey % 11) >= 5 AND (l_suppkey % 11) + l_linenumber <= 9) ORDER BY l_orderkey, l_linenumber",
     "q53_bbox_equals" ->
-      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) = 5 AND (l_suppkey % 11) = 5 AND l_linenumber = 4 ORDER BY l_orderkey, l_linenumber"
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) = 5 AND (l_suppkey % 11) = 5 AND l_linenumber = 4 ORDER BY l_orderkey, l_linenumber",
+    "q118_clean_pipeline" ->
+      ("WITH RECURSIVE d0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'https://u' || CAST(doc_id % 125 AS VARCHAR) || '.ex.com/p' END AS url, " +
+       "CASE WHEN doc_id % 50 = 11 THEN 'planted near dup body token one two' " +
+       "WHEN doc_id % 50 = 12 THEN 'planted near dup body token one two three' " +
+       "WHEN doc_id % 50 = 13 THEN 'tiny doc' " +
+       "WHEN doc_id % 50 = 14 THEN 'spam spam spam spam spam spam spam unique' " +
+       "WHEN doc_id % 7 = 0 THEN 'planted exact duplicate body shared across documents' " +
+       "ELSE 'DUPLINE COMMON ROW' || chr(10) || text || CASE WHEN doc_id % 9 = 4 THEN '" + q118Blurb + "' ELSE '' END || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC' END AS text FROM documents), " +
+       // stage 1: URL dedup — null URLs pass through, min-id keeper per URL
+       "s1 AS (SELECT doc_id, url, text FROM d0 WHERE url IS NULL UNION ALL SELECT d0.doc_id, d0.url, d0.text FROM d0 JOIN (SELECT url, min(doc_id) AS kid FROM d0 WHERE url IS NOT NULL GROUP BY url) k ON d0.url = k.url AND d0.doc_id = k.kid), " +
+       // stage 2: exact dedup — min-id keeper per exact text
+       "s2 AS (SELECT doc_id, url, text FROM s1 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)), " +
+       // stage 3: within-doc line dedup (first occurrence, order kept)
+       "s3 AS (SELECT doc_id, url, array_to_string(list_filter(ls, (x,i) -> list_position(ls, x) = i), chr(10)) AS text FROM (SELECT doc_id, url, string_split(text, chr(10)) AS ls FROM s2)), " +
+       // stage 4: boilerplate lines at the corpus-derived threshold max(4, n/100)
+       "mdf AS (SELECT GREATEST(4, count(*) // 100) AS v FROM s3), " +
+       "lx AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)), (x,i) -> struct_pack(pos := i, line := x)), recursive := true) FROM s3), " +
+       "ldf AS (SELECT line, count(DISTINCT doc_id) AS df FROM lx GROUP BY line), " +
+       "keptl AS (SELECT lx.doc_id, lx.pos, lx.line FROM lx JOIN ldf USING (line), mdf WHERE ldf.df <= mdf.v), " +
+       "s4 AS (SELECT s3.doc_id, s3.url, COALESCE(r.text, '') AS text FROM s3 LEFT JOIN (SELECT doc_id, array_to_string(list_transform(list_sort(list(struct_pack(p := pos, l := line))), s -> s.l), chr(10)) AS text FROM keptl GROUP BY doc_id) r USING (doc_id)), " +
+       // stage 5: duplicated-span cut to fixed point (two rounds suffice by
+       // construction; the z_span_residual row proves the fixed point)
+       "r0 AS (SELECT doc_id, url, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t FROM s4), " +
+       q118SpanRound("r0", "r1", 1) + ", " + q118SpanRound("r1", "r2", 2) + ", " +
+       "s5 AS (SELECT doc_id, url, array_to_string(t, ' ') AS text, t FROM r2), " +
+       // stage 6: quality gate — min tokens AND max duplicate-token fraction
+       "s6 AS (SELECT doc_id, url, text, t FROM s5 WHERE len(t) >= 5 AND (1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) <= 0.6), " +
+       // stage 7: minhash near-dup keepers = exact char-5 Jaccard >= 0.8
+       // pairs (the engine exact-verifies its LSH candidates), transitive
+       // closure by recursive min-label reachability, min-id keeper
+       "shq AS (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM s6), " +
+       "pe AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM shq a JOIN shq b ON a.doc_id < b.doc_id WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8), " +
+       "edges AS (SELECT ida AS a, idb AS b FROM pe UNION ALL SELECT idb, ida FROM pe), " +
+       "nodes AS (SELECT DISTINCT a AS nd FROM edges), " +
+       "reach AS (SELECT nd, nd AS r FROM nodes UNION SELECT e.a AS nd, reach.r FROM edges e JOIN reach ON e.b = reach.nd), " +
+       "comp AS (SELECT nd, min(r) AS rep FROM reach GROUP BY nd), " +
+       "s7 AS (SELECT doc_id, url, text, t FROM s6 WHERE doc_id NOT IN (SELECT nd FROM comp WHERE nd <> rep)), " +
+       // residual duplicated spans over the FINAL corpus (must be 0)
+       "r7 AS (SELECT doc_id, url, t FROM s7), " + q118SpanRound("r7", "r8", 3) + " " +
+       "SELECT 'input' AS stage, CAST((SELECT count(*) FROM d0) AS BIGINT) AS n " +
+       "UNION ALL SELECT 'url_dedup', (SELECT count(*) FROM s1) " +
+       "UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM s2) " +
+       "UNION ALL SELECT 'line_dedup', (SELECT count(*) FROM s3) " +
+       "UNION ALL SELECT 'boilerplate_lines', (SELECT count(*) FROM s4) " +
+       "UNION ALL SELECT 'span_dedup', (SELECT count(*) FROM s5) " +
+       "UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM s6) " +
+       "UNION ALL SELECT 'minhash_dedup', (SELECT count(*) FROM s7) " +
+       "UNION ALL SELECT 'z_span_residual', (SELECT count(*) FROM sp3) " +
+       // no band bucket reaches the 1000 cap at gate scale, and the gate
+       // PINS that: a skew pathology would surface as a nonzero overflow
+       "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) " +
+       "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s7 ORDER BY stage")
   )
+
+  /** One ExactSubstr cut round for the q118 oracle: token-list frame
+    * `src` (doc_id, url, t) -> `out`, all CTE names suffixed with `n` —
+    * the [[spanOracleCore]] recipe, parameterized so the fixed-point
+    * stage can chain rounds. */
+  private def q118SpanRound(src: String, out: String, n: Int): String =
+    s"ge$n AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) END, recursive := true) FROM $src), " +
+    s"dup$n AS (SELECT gram FROM ge$n GROUP BY gram HAVING count(*) >= 2), " +
+    s"hit$n AS (SELECT doc_id, pos FROM ge$n WHERE gram IN (SELECT gram FROM dup$n)), " +
+    s"b$n AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM hit$n), " +
+    s"g$n AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b$n), " +
+    s"sp$n AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM g$n GROUP BY doc_id, gid), " +
+    s"sa$n AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM sp$n GROUP BY doc_id), " +
+    s"$out AS (SELECT t.doc_id, t.url, CASE WHEN sa$n.sp IS NULL THEN t.t ELSE list_filter(t.t, (x,i) -> len(list_filter(sa$n.sp, r -> i >= r.s AND i <= r.e)) = 0) END AS t FROM $src t LEFT JOIN sa$n USING (doc_id))"
 }

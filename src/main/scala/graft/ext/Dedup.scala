@@ -510,18 +510,37 @@ object Dedup {
     newDf.join(dupes, newDf(idCol) === col("_dup"), "left_anti")
   }
 
-  /** (id, cluster_rep) for every doc in a near-dup cluster (full closure). */
+  /** (id, cluster_rep) for every doc in a near-dup cluster (full closure).
+    *
+    * `threshold` is the EXACT char-shingle Jaccard bound: pairs come from
+    * [[exactPairsViaMinhash]] (LSH candidates, estimated-similarity
+    * prefilter one band-width below, exact set-overlap verify at the
+    * threshold), not from raw signature estimates. An estimate-only edge
+    * set would make cluster membership a function of 128-hash noise —
+    * ±0.035 σ at J = 0.8 — so borderline pairs would join or split
+    * clusters run-to-run; the verified edge set is deterministic in the
+    * corpus, which is what lets a composed pipeline ([[Pipeline]]) be
+    * oracle-checked end-to-end. Recall caveat is the q28 banding bound
+    * (miss probability ~1e-15 at 128/32x4). */
   def minhashClusters(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 5, numHashes: Int = 128,
-                      bands: Int = 32, threshold: Double = 0.8): DataFrame =
-    components(minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold))
+                      bands: Int = 32, threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame =
+    components(exactPairsViaMinhash(
+        charShingleSets(df, textCol, idCol, shingleSize),
+        numHashes, bands, exactThreshold = threshold,
+        estThreshold = math.max(0.0, threshold - 0.2),
+        maxBucket = maxBucket))
       .withColumnRenamed("node", idCol).withColumnRenamed("rep", "cluster_rep")
 
-  /** Near-dup keepers: transitive closure, keep the min id per component. */
+  /** Near-dup keepers: transitive closure over EXACT-verified pairs
+    * ([[minhashClusters]]), keep the min id per component. */
   def minhashKeepers(df: DataFrame, textCol: String, idCol: String,
                      shingleSize: Int = 5, numHashes: Int = 128,
-                     bands: Int = 32, threshold: Double = 0.8): DataFrame = {
-    val dupes = minhashClusters(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+                     bands: Int = 32, threshold: Double = 0.8,
+                     maxBucket: Int = 1000): DataFrame = {
+    val dupes = minhashClusters(df, textCol, idCol, shingleSize, numHashes,
+      bands, threshold, maxBucket)
       .filter(col(idCol) =!= col("cluster_rep"))
       .select(col(idCol).as("_dup"))
     df.join(dupes, df(idCol) === col("_dup"), "left_anti")

@@ -67,9 +67,36 @@ object Ivf {
   }
 
   /** Train directly on a sample already drawn (e.g. by [[samplePass]]). */
-  private[ext] def trainFromSample(sample: Array[Array[Float]], k: Int,
-                                   maxIter: Int, seed: Long): Model =
+  private[graft] def trainFromSample(sample: Array[Array[Float]], k: Int,
+                                     maxIter: Int, seed: Long): Model =
     Model(lloyd(sample, k, maxIter, seed))
+
+  /**
+   * Driver-Lloyd TRAIN BUDGET: assignment work is exactly
+   * `sample · k · d` distance ops per iteration, so wall time is linear
+   * in each factor — measured 26 Gops/s on the 32-core driver
+   * (tools/LloydProbe; SCALE.md "Lloyd at the k-clamp"). At the 16384
+   * CLAMP with the 100k sample and d = 64 a full 10-iteration train is
+   * 1.05e12 ops ≈ 40 s measured — constant in corpus size AND usable,
+   * so the default budget (2e12 ops ≈ 75 s at the measured rate) does
+   * not touch any derived-k or clamp train at gate dimensionality. What
+   * it guards is the regime beyond: production embedding dims of
+   * 512-1024 at the clamp are 8-17e12 ops per 10-iter train (5-11 min
+   * of silent driver compute) — there iterations adapt down, never
+   * below 2 (1 would leave the random init unrefined), never above
+   * `maxIter`. Deterministic — a pure function of (sample, k, d,
+   * maxIter) — and LOUD: the reduction is logged with the numbers, so
+   * "train finished fast at high k" is attributable. FAISS takes the
+   * same posture at scale (bounded per-centroid training points); the
+   * budget is the engine's explicit version of it.
+   */
+  private[graft] def plannedIters(sampleN: Long, k: Int, d: Int,
+                                  maxIter: Int,
+                                  opsBudget: Long = 2000000000000L): Int = {
+    val perIter = sampleN * k.toLong * d.toLong
+    if (perIter <= 0L) maxIter
+    else math.max(2, math.min(maxIter, (opsBudget / perIter).toInt))
+  }
 
   /**
    * ONE-pass deterministic (training sample, exact row count) — for the
@@ -145,6 +172,12 @@ object Ivf {
     val n = points.length
     require(n > 0, "cannot train IVF on an empty corpus")
     val d = points(0).length
+    val effIter = plannedIters(n.toLong, math.min(k, n), d, maxIter)
+    if (effIter < maxIter)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"IVF train budget: k=$k x sample=$n x d=$d exceeds the " +
+        s"assignment-ops budget at $maxIter iterations; running $effIter " +
+        "(see Ivf.plannedIters / SCALE.md 'Lloyd at the k-clamp')")
     // k distinct fixed-seed picks (splitmix64 sequence, mod-n probing)
     val picked = new java.util.LinkedHashSet[Integer]()
     var s = seed
@@ -156,7 +189,7 @@ object Ivf {
       .map(i => points(i.intValue).clone())
     val assignIdx = new Array[Int](n)
     var iter = 0
-    while (iter < maxIter) {
+    while (iter < effIter) {
       val cents = centroids // stable reference for the worker lambda
       java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         val p = points(i)

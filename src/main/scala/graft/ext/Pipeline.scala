@@ -35,22 +35,38 @@ import org.apache.spark.sql.functions._
  */
 object Pipeline {
 
-  /** One cleaning run: returns (cleaned corpus frame, per-stage report
-    * as (stage name, rows surviving)). `urlCol = None` skips stage 1. */
+  /** One stage's outcome in a [[cleanCorpus]] run: survivor count plus
+    * the stage's OVERFLOW report — the frame naming exactly what the
+    * stage's skew cap excluded from candidate generation (README
+    * "Overflow reports — no silent exclusions"; empty ⇔ the stage's
+    * result is complete). Only the minhash stage caps today; the field
+    * is the uniform slot every future capped stage reports through, so
+    * a production run can alert on `overflowRows > 0` per stage instead
+    * of discovering a silently-incomplete dedup months later. The frame
+    * is checkpoint-materialized (valid after the pipeline returns). */
+  case class StageReport(stage: String, rows: Long,
+                         overflow: Option[DataFrame] = None) {
+    def overflowRows: Long = overflow.map(_.count()).getOrElse(0L)
+  }
+
+  /** One cleaning run: returns (cleaned corpus frame, per-stage
+    * [[StageReport]]). `urlCol = None` skips stage 1. */
   def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
                   urlCol: Option[String] = None,
                   boilerplateMaxDocFreq: Int = 0,
                   spanK: Int = 8,
                   minTokens: Int = 5,
                   maxDupTokenFraction: Double = 0.6,
-                  minhashThreshold: Double = 0.8)
-      : (DataFrame, Seq[(String, Long)]) = {
-    val report = Seq.newBuilder[(String, Long)]
+                  minhashThreshold: Double = 0.8,
+                  minhashMaxBucket: Int = 1000)
+      : (DataFrame, Seq[StageReport]) = {
+    val report = Seq.newBuilder[StageReport]
     var lastCount = 0L
-    def stage(name: String)(df: DataFrame): DataFrame = {
+    def stage(name: String, overflow: Option[DataFrame] = None)
+             (df: DataFrame): DataFrame = {
       val out = df.localCheckpoint()
       lastCount = out.count()
-      report += ((name, lastCount))
+      report += StageReport(name, lastCount, overflow)
       out
     }
 
@@ -97,8 +113,17 @@ object Pipeline {
     cur = stage("quality_gate")(cur.filter(
       size(TextAnalysis.wordTokens(col(textCol))) >= minTokens &&
       TextAnalysis.dupTokenFraction(col(textCol)) <= maxDupTokenFraction))
-    cur = stage("minhash_dedup")(Dedup.minhashKeepers(
-      cur, textCol, idCol, threshold = minhashThreshold))
+    // the one capped stage: its band-bucket overflow report (computed on
+    // the stage INPUT — the corpus the cap could have excluded pairs
+    // from) rides the report instead of being silently discarded; the
+    // signature frame is the shared persisted table, so this costs the
+    // banding + one slim aggregate, not a second shingle pass
+    val overflow = Dedup.minhashBandOverflow(
+      Dedup.charShingleSets(cur, textCol, idCol),
+      maxBucket = minhashMaxBucket).localCheckpoint()
+    cur = stage("minhash_dedup", Some(overflow))(Dedup.minhashKeepers(
+      cur, textCol, idCol, threshold = minhashThreshold,
+      maxBucket = minhashMaxBucket))
     (cur, report.result())
   }
 }

@@ -702,9 +702,9 @@ object TextAnalysis {
     var cur = df.select(col(idCol), col(textCol))
     var it = 0
     while (it < maxIters) {
-      // one gram shuffle per round: the spans frame (small, per-doc) is
-      // materialized once and serves BOTH the convergence check and the
-      // cut — duplicatedSpans never runs twice over the same corpus
+      // one materialization per round: the spans frame (small, per-doc)
+      // serves BOTH the convergence check and the cut —
+      // duplicatedSpans never runs twice over the same corpus
       val spans = duplicatedSpans(cur, textCol, idCol, k, minCount)
         .localCheckpoint()
       if (spans.limit(1).count() == 0L) return finish(cur)
@@ -751,24 +751,33 @@ object TextAnalysis {
    * templated intros).
    *
    * Scale: the paper builds a single-node suffix array; the distributed
-   * equivalent is ONE pass over the corpus emitting a slim
-   * (id, pos, 16-byte gram-key) row per token window, ONE shuffle of
-   * that stream on the key with a whole-partition `count` window to
-   * mark duplicated grams in place (a groupBy + semi-join formulation
-   * would tokenize and build every gram twice — the partial aggregate
-   * ahead of the count exchange makes it unreusable for the join side),
-   * a filter that collapses the stream to the (typically sparse)
-   * duplicated windows, and a per-document window (shuffling only the
-   * survivors) to merge hits into maximal spans. Gram keys come from the
-   * codegen'd [[TextOps.wordShinglePairs]] kernel — two independent
-   * 64-bit chains per window, gram strings never materialized — so
-   * shuffle width is constant and the collision bound is the same
-   * 128-bit birthday ≈ 2^64 distinct grams as the boilerplate line
-   * keys (SCALE.md). A
-   * gram duplicated M times contributes M slim rows, never M² pairs,
-   * so skew cannot blow up the key window (the whole-partition count
-   * buffers a key group at a time in a spillable row array); no caps
-   * are needed and none are applied.
+   * equivalent emits a slim (id, pos, 16-byte gram-key) row per token
+   * window, runs a MAP-SIDE-COMBINED `groupBy` count of the keys — the
+   * combined shuffle carries one row per distinct gram per map
+   * partition, so a boilerplate gram duplicated 10^8 times corpus-wide
+   * collapses to one row per mapper BEFORE the exchange and no hot-key
+   * reducer straggler exists — then semi-joins the gram stream against
+   * the (typically sparse) duplicated-key set and merges the surviving
+   * hits into maximal spans with a per-document window (shuffling only
+   * survivors). Rounds 2-6 used a whole-partition `count` window
+   * instead (one shuffle of the FULL gram stream, no partial agg):
+   * correct and spillable, but a window takes no map-side combine, so
+   * the pathological gram shipped every occurrence to one reducer's
+   * buffer — the round-6 audit flagged that straggler; this is the
+   * two-pass variant it prescribed. The plan stays LAZY and
+   * single-action: the gram kernel runs once per consumer (twice
+   * total — a checkpointed reuse was measured at sf0.1 and the eager
+   * materialization cost 1.5-3x more than the codegen'd re-scan it
+   * saved), and AQE picks a broadcast for the key set when it is small
+   * (the common case — then the gram stream is never shuffled at all)
+   * or falls back to a skew-splittable shuffle join, options a window
+   * exchange never has. Gram keys come from the codegen'd
+   * [[TextOps.wordShinglePairs]] kernel — two independent 64-bit chains
+   * per window, gram strings never materialized — so shuffle width is
+   * constant and the collision bound is the same 128-bit birthday ≈
+   * 2^64 distinct grams as the boilerplate line keys (SCALE.md). A gram
+   * duplicated M times contributes M slim rows, never M² pairs; no
+   * caps are needed and none are applied.
    */
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
                       k: Int, minCount: Int = 2): DataFrame = {
@@ -782,10 +791,10 @@ object TextAnalysis {
           .as(Seq("_off", "_hp")))
       .select(col(idCol), (col("_off") + 1).cast("long").as("pos"),
         col("_hp").getItem(0).as("_gh"), col("_hp").getItem(1).as("_gh2"))
-    val byKey = Window.partitionBy("_gh", "_gh2")
-    val hits = grams
-      .withColumn("_n", count(lit(1)).over(byKey))
-      .filter(col("_n") >= minCount)
+    val dupKeys = grams.groupBy("_gh", "_gh2")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= minCount)
+      .select("_gh", "_gh2")
+    val hits = grams.join(dupKeys, Seq("_gh", "_gh2"), "left_semi")
     // Windows [p, p+k-1] and [q, q+k-1] (q > p) merge iff q <= p + k:
     // q = p + k is the touching case — contiguous duplicated text.
     val byPos = Window.partitionBy(col(idCol)).orderBy("pos")

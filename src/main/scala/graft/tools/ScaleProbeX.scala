@@ -111,7 +111,7 @@ object ScaleProbeX {
       val t0 = System.nanoTime()
       val (_, rep) = Pipeline.cleanCorpus(docs, "text", "doc_id")
       println(f"SCALEX $label cleanCorpus total=${(System.nanoTime() - t0) / 1e9}%.3f " +
-        s"report=${rep.map { case (n, c) => s"$n:$c" }.mkString(",")}")
+        s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
     }
     Dedup.releaseCaches()
     spark.stop()

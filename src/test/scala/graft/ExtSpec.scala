@@ -1080,7 +1080,7 @@ class ExtSpec extends SparkSpec {
     val docs = rows.result().toDF("doc_id", "text", "url")
     val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
       urlCol = Some("url"), spanK = 5, minTokens = 5, maxDupTokenFraction = 0.5)
-    val r = report.toMap
+    val r = report.map(s => s.stage -> s.rows).toMap
     assert(r("input") == 46L)
     // 20 URL-group keepers + 4 unique URLs + docs 104/105 whose URLs
     // don't canonicalize and must PASS THROUGH, not vanish
@@ -1100,18 +1100,54 @@ class ExtSpec extends SparkSpec {
     assert(texts.distinct.length == texts.length)
     assert(!texts.exists(_.contains("without warranty")), "blurb survived")
     assert(TextAnalysis.duplicatedSpans(out, "text", "doc_id", k = 5).count() == 0)
-    assert(report.map(_._2) == report.map(_._2).sorted.reverse,
+    assert(report.map(_.rows) == report.map(_.rows).sorted.reverse,
       s"stage counts must be nonincreasing: $report")
+    // no cap fired on this corpus — the report must SAY so, not omit it
+    assert(report.exists(s => s.stage == "minhash_dedup" && s.overflow.isDefined),
+      "minhash stage must carry its overflow report")
+    assert(report.map(_.overflowRows).sum == 0L)
+  }
+
+  test("Ivf.plannedIters: ops budget caps iterations, floor 2, cap maxIter") {
+    // gate regime (derived k ~ sqrt(n)): budget untouched
+    assert(Ivf.plannedIters(500L, 22, 64, 10) == 10)
+    // k-clamp at gate dimensionality: 1.05e12 ops <= 2e12 budget -> full train
+    assert(Ivf.plannedIters(100000L, 16384, 64, 10) == 10)
+    // k-clamp at production dims: per-iter 1.7e12 -> budget allows 1, floor 2
+    assert(Ivf.plannedIters(100000L, 16384, 1024, 10) == 2)
+    // pathological budget still refines the init at least once
+    assert(Ivf.plannedIters(100000L, 16384, 64, 10, opsBudget = 1L) == 2)
+    // degenerate sample never divides by zero
+    assert(Ivf.plannedIters(0L, 16, 64, 10) == 10)
+  }
+
+  test("Pipeline.cleanCorpus surfaces the minhash band cap in the report") {
+    import spark.implicits._
+    // 8 docs of IDENTICAL long text -> every band bucket has 8 members;
+    // maxBucket = 2 caps ALL of them. Exact dedup would collapse these,
+    // so give each a distinct prefix long enough to dodge exact/URL
+    // stages but keep char-5 shingle sets near-identical.
+    val body = "shared very long body of text repeated across documents " +
+      "for the bucket cap probe with plenty of shingles to band on"
+    val docs = (0 until 8).map(i => (i.toLong, s"prefix$i $body"))
+      .toDF("doc_id", "text")
+    val (_, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
+      spanK = 50, minhashMaxBucket = 2)
+    val mh = report.find(_.stage == "minhash_dedup").get
+    assert(mh.overflowRows > 0L,
+      s"capped corpus must surface overflow rows, got: $report")
+    val cols = mh.overflow.get.columns.toSeq
+    assert(cols == Seq("id", "overflow_bands", "total_bands"), cols.toString)
   }
 
   test("Pipeline.cleanCorpus runs on the real documents table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id")
-    assert(report.head._1 == "input" && report.head._2 == docs.count())
-    assert(report.map(_._2) == report.map(_._2).sorted.reverse,
+    assert(report.head.stage == "input" && report.head.rows == docs.count())
+    assert(report.map(_.rows) == report.map(_.rows).sorted.reverse,
       s"stage counts must be nonincreasing: $report")
-    assert(report.last._2 > 0, s"real corpus fully filtered away: $report")
+    assert(report.last.rows > 0, s"real corpus fully filtered away: $report")
     // the cleaned corpus is free of the defects the stages exist to cut
     assert(TextAnalysis.duplicatedSpans(out, "text", "doc_id", k = 8).count() == 0)
     assert(out.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() == 0)
