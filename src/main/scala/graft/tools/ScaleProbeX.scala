@@ -91,6 +91,16 @@ object ScaleProbeX {
     for ((label, docs, emb) <- Seq(("1x", docs1, emb1), ("10x", docs10, emb10))) {
       time3(s"$label duplicatedSpans")(
         TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 8))
+      // HOT-GRAM skew probe (round-6 audit): every doc carries the same
+      // 8-token sentence, so ONE gram key occurs |corpus| times (5e4 at
+      // 10x). The two-pass plan collapses it map-side before any
+      // exchange; the old count-window shipped every occurrence to one
+      // reducer. Flat-vs-clean timing here IS the straggler evidence.
+      time3(s"$label duplicatedSpans hotGram")(
+        TextAnalysis.duplicatedSpans(
+          docs.withColumn("text", concat(col("text"),
+            lit(" the same hot boilerplate sentence repeats every doc"))),
+          "text", "doc_id", k = 8))
       time3(s"$label removeDuplicatedSpans")(
         TextAnalysis.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
       time3(s"$label minhashPairs")(
