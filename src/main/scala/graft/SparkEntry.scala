@@ -2139,7 +2139,7 @@ object SparkEntry {
     "q53_bbox_equals" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_partkey % 13) = 5 AND (l_suppkey % 11) = 5 AND l_linenumber = 4 ORDER BY l_orderkey, l_linenumber",
     "q118_clean_pipeline" ->
-      ("WITH RECURSIVE d0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'https://u' || CAST(doc_id % 125 AS VARCHAR) || '.ex.com/p' END AS url, " +
+      ("WITH RECURSIVE d0 AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'https://u' || CAST(doc_id % 125 AS VARCHAR) || '.ex.com/p' END AS url, " +
        "CASE WHEN doc_id % 50 = 11 THEN 'planted near dup body token one two' " +
        "WHEN doc_id % 50 = 12 THEN 'planted near dup body token one two three' " +
        "WHEN doc_id % 50 = 13 THEN 'tiny doc' " +
@@ -2147,36 +2147,36 @@ object SparkEntry {
        "WHEN doc_id % 7 = 0 THEN 'planted exact duplicate body shared across documents' " +
        "ELSE 'DUPLINE COMMON ROW' || chr(10) || text || CASE WHEN doc_id % 9 = 4 THEN '" + q118Blurb + "' ELSE '' END || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC' END AS text FROM documents), " +
        // stage 1: URL dedup — null URLs pass through, min-id keeper per URL
-       "s1 AS (SELECT doc_id, url, text FROM d0 WHERE url IS NULL UNION ALL SELECT d0.doc_id, d0.url, d0.text FROM d0 JOIN (SELECT url, min(doc_id) AS kid FROM d0 WHERE url IS NOT NULL GROUP BY url) k ON d0.url = k.url AND d0.doc_id = k.kid), " +
+       "s1 AS MATERIALIZED (SELECT doc_id, url, text FROM d0 WHERE url IS NULL UNION ALL SELECT d0.doc_id, d0.url, d0.text FROM d0 JOIN (SELECT url, min(doc_id) AS kid FROM d0 WHERE url IS NOT NULL GROUP BY url) k ON d0.url = k.url AND d0.doc_id = k.kid), " +
        // stage 2: exact dedup — min-id keeper per exact text
-       "s2 AS (SELECT doc_id, url, text FROM s1 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)), " +
+       "s2 AS MATERIALIZED (SELECT doc_id, url, text FROM s1 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)), " +
        // stage 3: within-doc line dedup (first occurrence, order kept)
-       "s3 AS (SELECT doc_id, url, array_to_string(list_filter(ls, (x,i) -> list_position(ls, x) = i), chr(10)) AS text FROM (SELECT doc_id, url, string_split(text, chr(10)) AS ls FROM s2)), " +
+       "s3 AS MATERIALIZED (SELECT doc_id, url, array_to_string(list_filter(ls, (x,i) -> list_position(ls, x) = i), chr(10)) AS text FROM (SELECT doc_id, url, string_split(text, chr(10)) AS ls FROM s2)), " +
        // stage 4: boilerplate lines at the corpus-derived threshold max(4, n/100)
-       "mdf AS (SELECT GREATEST(4, count(*) // 100) AS v FROM s3), " +
-       "lx AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)), (x,i) -> struct_pack(pos := i, line := x)), recursive := true) FROM s3), " +
-       "ldf AS (SELECT line, count(DISTINCT doc_id) AS df FROM lx GROUP BY line), " +
-       "keptl AS (SELECT lx.doc_id, lx.pos, lx.line FROM lx JOIN ldf USING (line), mdf WHERE ldf.df <= mdf.v), " +
-       "s4 AS (SELECT s3.doc_id, s3.url, COALESCE(r.text, '') AS text FROM s3 LEFT JOIN (SELECT doc_id, array_to_string(list_transform(list_sort(list(struct_pack(p := pos, l := line))), s -> s.l), chr(10)) AS text FROM keptl GROUP BY doc_id) r USING (doc_id)), " +
+       "mdf AS MATERIALIZED (SELECT GREATEST(4, count(*) // 100) AS v FROM s3), " +
+       "lx AS MATERIALIZED (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)), (x,i) -> struct_pack(pos := i, line := x)), recursive := true) FROM s3), " +
+       "ldf AS MATERIALIZED (SELECT line, count(DISTINCT doc_id) AS df FROM lx GROUP BY line), " +
+       "keptl AS MATERIALIZED (SELECT lx.doc_id, lx.pos, lx.line FROM lx JOIN ldf USING (line), mdf WHERE ldf.df <= mdf.v), " +
+       "s4 AS MATERIALIZED (SELECT s3.doc_id, s3.url, COALESCE(r.text, '') AS text FROM s3 LEFT JOIN (SELECT doc_id, array_to_string(list_transform(list_sort(list(struct_pack(p := pos, l := line))), s -> s.l), chr(10)) AS text FROM keptl GROUP BY doc_id) r USING (doc_id)), " +
        // stage 5: duplicated-span cut to fixed point (two rounds suffice by
        // construction; the z_span_residual row proves the fixed point)
-       "r0 AS (SELECT doc_id, url, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t FROM s4), " +
+       "r0 AS MATERIALIZED (SELECT doc_id, url, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t FROM s4), " +
        q118SpanRound("r0", "r1", 1) + ", " + q118SpanRound("r1", "r2", 2) + ", " +
-       "s5 AS (SELECT doc_id, url, array_to_string(t, ' ') AS text, t FROM r2), " +
+       "s5 AS MATERIALIZED (SELECT doc_id, url, array_to_string(t, ' ') AS text, t FROM r2), " +
        // stage 6: quality gate — min tokens AND max duplicate-token fraction
-       "s6 AS (SELECT doc_id, url, text, t FROM s5 WHERE len(t) >= 5 AND (1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) <= 0.6), " +
+       "s6 AS MATERIALIZED (SELECT doc_id, url, text, t FROM s5 WHERE len(t) >= 5 AND (1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) <= 0.6), " +
        // stage 7: minhash near-dup keepers = exact char-5 Jaccard >= 0.8
        // pairs (the engine exact-verifies its LSH candidates), transitive
        // closure by recursive min-label reachability, min-id keeper
-       "shq AS (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM s6), " +
-       "pe AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM shq a JOIN shq b ON a.doc_id < b.doc_id WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8), " +
-       "edges AS (SELECT ida AS a, idb AS b FROM pe UNION ALL SELECT idb, ida FROM pe), " +
-       "nodes AS (SELECT DISTINCT a AS nd FROM edges), " +
+       "shq AS MATERIALIZED (SELECT doc_id, CASE WHEN length(text) >= 5 THEN list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) WHEN length(text) > 0 THEN [text] ELSE [] END AS sh FROM s6), " +
+       "pe AS MATERIALIZED (SELECT a.doc_id AS ida, b.doc_id AS idb FROM shq a JOIN shq b ON a.doc_id < b.doc_id WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8), " +
+       "edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pe UNION ALL SELECT idb, ida FROM pe), " +
+       "nodes AS MATERIALIZED (SELECT DISTINCT a AS nd FROM edges), " +
        "reach AS (SELECT nd, nd AS r FROM nodes UNION SELECT e.a AS nd, reach.r FROM edges e JOIN reach ON e.b = reach.nd), " +
-       "comp AS (SELECT nd, min(r) AS rep FROM reach GROUP BY nd), " +
-       "s7 AS (SELECT doc_id, url, text, t FROM s6 WHERE doc_id NOT IN (SELECT nd FROM comp WHERE nd <> rep)), " +
+       "comp AS MATERIALIZED (SELECT nd, min(r) AS rep FROM reach GROUP BY nd), " +
+       "s7 AS MATERIALIZED (SELECT doc_id, url, text, t FROM s6 WHERE doc_id NOT IN (SELECT nd FROM comp WHERE nd <> rep)), " +
        // residual duplicated spans over the FINAL corpus (must be 0)
-       "r7 AS (SELECT doc_id, url, t FROM s7), " + q118SpanRound("r7", "r8", 3) + " " +
+       "r7 AS MATERIALIZED (SELECT doc_id, url, t FROM s7), " + q118SpanRound("r7", "r8", 3) + " " +
        "SELECT 'input' AS stage, CAST((SELECT count(*) FROM d0) AS BIGINT) AS n " +
        "UNION ALL SELECT 'url_dedup', (SELECT count(*) FROM s1) " +
        "UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM s2) " +
@@ -2197,12 +2197,12 @@ object SparkEntry {
     * the [[spanOracleCore]] recipe, parameterized so the fixed-point
     * stage can chain rounds. */
   private def q118SpanRound(src: String, out: String, n: Int): String =
-    s"ge$n AS (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) END, recursive := true) FROM $src), " +
-    s"dup$n AS (SELECT gram FROM ge$n GROUP BY gram HAVING count(*) >= 2), " +
-    s"hit$n AS (SELECT doc_id, pos FROM ge$n WHERE gram IN (SELECT gram FROM dup$n)), " +
-    s"b$n AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM hit$n), " +
-    s"g$n AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b$n), " +
-    s"sp$n AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM g$n GROUP BY doc_id, gid), " +
-    s"sa$n AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM sp$n GROUP BY doc_id), " +
-    s"$out AS (SELECT t.doc_id, t.url, CASE WHEN sa$n.sp IS NULL THEN t.t ELSE list_filter(t.t, (x,i) -> len(list_filter(sa$n.sp, r -> i >= r.s AND i <= r.e)) = 0) END AS t FROM $src t LEFT JOIN sa$n USING (doc_id))"
+    s"ge$n AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> struct_pack(pos := i, gram := array_to_string(t[i:i+7], ' '))) END, recursive := true) FROM $src), " +
+    s"dup$n AS MATERIALIZED (SELECT gram FROM ge$n GROUP BY gram HAVING count(*) >= 2), " +
+    s"hit$n AS MATERIALIZED (SELECT doc_id, pos FROM ge$n WHERE gram IN (SELECT gram FROM dup$n)), " +
+    s"b$n AS MATERIALIZED (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk FROM hit$n), " +
+    s"g$n AS MATERIALIZED (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid FROM b$n), " +
+    s"sp$n AS MATERIALIZED (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM g$n GROUP BY doc_id, gid), " +
+    s"sa$n AS MATERIALIZED (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM sp$n GROUP BY doc_id), " +
+    s"$out AS MATERIALIZED (SELECT t.doc_id, t.url, CASE WHEN sa$n.sp IS NULL THEN t.t ELSE list_filter(t.t, (x,i) -> len(list_filter(sa$n.sp, r -> i >= r.s AND i <= r.e)) = 0) END AS t FROM $src t LEFT JOIN sa$n USING (doc_id))"
 }
