@@ -1637,6 +1637,19 @@ object SparkEntry {
           concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
           length(col("text")).cast("long").as("n")))
         .orderBy("stage")
+    }),
+    "q119_token_budget" -> ((s, dir) => { ensure(s)
+      // per-source token-budget mixing (the post-cleaning data-mixing
+      // step): pseudo-quality score from modulus arithmetic (ties broken
+      // by id), 1000-token budget per source — small enough to cut every
+      // source at every SF. The oracle recomputes the greedy score-prefix
+      // with a partitioned window cumsum, so the distributed two-pass
+      // prefix sum must agree row-for-row with a sequential scan.
+      val docs = ld(s, dir, "documents").withColumn("score",
+        (col("doc_id") * 37 % 101).cast("double"))
+      TextAnalysis.tokenBudgetSelect(docs, "text", "doc_id",
+          "source", "score", budgetTokens = 1000L)
+        .orderBy("doc_id")
     })
   )
 
@@ -2189,7 +2202,13 @@ object SparkEntry {
        // no band bucket reaches the 1000 cap at gate scale, and the gate
        // PINS that: a skew pathology would surface as a nonzero overflow
        "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) " +
-       "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s7 ORDER BY stage")
+       "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s7 ORDER BY stage"),
+    "q119_token_budget" ->
+      ("WITH t AS (SELECT doc_id, source, CAST(doc_id * 37 % 101 AS DOUBLE) AS score, " +
+       "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents), " +
+       "c AS (SELECT doc_id, source, n_tokens, SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+       "SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, cum <= 1000 AS kept " +
+       "FROM c ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import TextFunctions._
 
@@ -319,6 +320,77 @@ object TextAnalysis {
     packed.select(col(idCol), col("n_tokens"),
       startChunk.as("start_chunk"), endChunk.as("end_chunk"),
       (endChunk > startChunk).as("crosses_boundary"))
+  }
+
+  /**
+   * Per-source token-budget selection — the data-MIXING primitive a
+   * pretraining pipeline runs after cleaning: within every `groupCol`
+   * (source/domain/language), take documents greedily in descending
+   * `scoreCol` order (ties broken by id, so the cut is deterministic)
+   * until the source's token budget is exhausted. A document is kept
+   * iff the cumulative token count THROUGH it stays ≤ `budgetTokens` —
+   * the maximal score-prefix whose total fits, the take-while
+   * convention (counts are non-negative, so the kept set is a prefix of
+   * the score order; no knapsack backfilling, which would make the
+   * output order-sensitive and un-oracle-able). Every input row comes
+   * back annotated (n_tokens, cum_tokens, kept) — the audit frame a
+   * mixing run logs — with tokens counted exactly like [[packSequences]]
+   * (nonempty `\s+` tokens, empty text = 0), so budget math and packing
+   * math agree downstream.
+   *
+   * Scale: the same two-pass distributed prefix sum as packSequences —
+   * `repartitionByRange(group, score desc, id)` (parallel range sort,
+   * NEVER a single-partition-per-group window: a 10^10-doc source would
+   * serialize), per-partition window cumsums, then per-(partition,
+   * group) totals to the driver for an offset broadcast. The driver
+   * pass is O(#partitions · #groups) slim rows — groups are SOURCES
+   * (dozens to thousands), and the guard throws loudly past 10^6 rows
+   * rather than silently collecting a high-cardinality grouping.
+   */
+  def tokenBudgetSelect(df: DataFrame, textCol: String, idCol: String,
+                        groupCol: String, scoreCol: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, "budgetTokens must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(idCol), col(groupCol),
+        col(scoreCol).cast("double").as("_score"),
+        when(length(trim(col(textCol))) === 0, 0)
+          .otherwise(tokenCount(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(groupCol), col("_score").desc, col(idCol))
+      // pin the partitioning: the offset pass and the cumsum pass must
+      // see identical partitions (same contract as packSequences)
+      .localCheckpoint(true)
+    val withPart = slim.withColumn("_part", spark_partition_id())
+    val w = Window.partitionBy(col("_part"), col(groupCol))
+      .orderBy(col("_score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPart.withColumn("_prev_local",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // O(#partitions x #groups) driver rows — totals, never row data
+    val totals = withPart.groupBy(col("_part"), col(groupCol))
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(totals.length <= 1000000,
+      s"tokenBudgetSelect: ${totals.length} (partition, group) totals — " +
+      s"'$groupCol' looks like a high-cardinality key, not a source " +
+      "column; the driver offset pass is sized for sources (dozens to " +
+      "thousands). Pre-aggregate or bucket the grouping first.")
+    val offsetRows = totals.groupBy(_._2).toSeq.flatMap { case (g, parts) =>
+      val sorted = parts.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
+        .map { case (p, off) => (p, g, off) }
+    }
+    val spark = df.sparkSession
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
+      StructType(Seq(StructField("_part", IntegerType),
+        withPart.schema(groupCol).copy(name = groupCol),
+        StructField("_offset", LongType))))
+    local.join(broadcast(offsetDf), Seq("_part", groupCol))
+      .withColumn("cum_tokens", col("_prev_local") + col("_offset") + col("n_tokens"))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budgetTokens).as("kept"))
   }
 
   /**

@@ -1108,6 +1108,33 @@ class ExtSpec extends SparkSpec {
     assert(report.map(_.overflowRows).sum == 0L)
   }
 
+  test("tokenBudgetSelect: greedy score-prefix per group, monotone cut") {
+    import spark.implicits._
+    val docs = Seq(
+      // group A: scores 9,8,7 with 5 tokens each, budget 12 -> keep 2
+      (1L, "A", 9.0, "one two three four five"),
+      (2L, "A", 8.0, "one two three four five"),
+      (3L, "A", 7.0, "one two three four five"),
+      // zero-token doc AFTER the cut: cum stays over budget, stays cut
+      (4L, "A", 6.0, ""),
+      // tie on score -> id order decides who fits
+      (5L, "B", 5.0, "a b c d e f g"),
+      (6L, "B", 5.0, "a b c d e f g h"),
+      // group C under budget keeps everything
+      (7L, "C", 1.0, "tiny doc here")
+    ).toDF("doc_id", "source", "score", "text")
+    val out = TextAnalysis.tokenBudgetSelect(
+        docs, "text", "doc_id", "source", "score", budgetTokens = 12L)
+      .orderBy("doc_id").collect()
+    val kept = out.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true), out.mkString("; "))
+    // cum_tokens is the through-doc prefix sum in (score desc, id) order
+    val cums = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cums(1L) == 5L && cums(2L) == 10L && cums(3L) == 15L
+      && cums(4L) == 15L && cums(5L) == 7L && cums(6L) == 15L)
+  }
+
   test("Ivf.plannedIters: ops budget caps iterations, floor 2, cap maxIter") {
     // gate regime (derived k ~ sqrt(n)): budget untouched
     assert(Ivf.plannedIters(500L, 22, 64, 10) == 10)
