@@ -5,6 +5,44 @@ import graft.streaming.EventStream
 
 class StreamingSpec extends SparkSpec {
 
+  test("loadEvents probes the on-disk ts unit: NTZ-micros and UTC-adjusted agree") {
+    // The driver's testdata generation has flipped the events `ts`
+    // physical type between rounds (nanos rounds 1-6, naive micros round
+    // 7 — the silent 1000x collapse behind r7's q25/q60/q62 regression).
+    // Pin the probe on the two encodings Spark itself can write: a
+    // TIMESTAMP_NTZ(micros) file and an adjusted-to-UTC TIMESTAMP_MICROS
+    // file of the SAME instants must load identically under the pinned
+    // UTC session zone, both as TimestampType.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = spark.range(0, 100).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 3600000000L).as("ts"),
+      (col("id") % 7).as("user_id"),
+      concat(lit("ev"), (col("id") % 3).cast("string")).as("event_type"),
+      (col("id") * 1.5).as("value"),
+      lit("{}").as("props"))
+    val ntzDir = tmpDir("evt-ntz")
+    val utcDir = tmpDir("evt-utc")
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(ntzDir)
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try base.write.mode("overwrite").parquet(utcDir)
+    finally prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val ntz = EventStream.loadEvents(spark, ntzDir)
+    val utc = EventStream.loadEvents(spark, utcDir)
+    assert(ntz.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(utc.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val a = ntz.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    val b = utc.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    assert(a == b, "NTZ and UTC-adjusted encodings must load to the same instants")
+    assert(a.head.getTimestamp(1).toInstant.getEpochSecond == 1704067200L)
+  }
+
   test("streaming windowed stats over events dir == batch equivalent") {
     val dir = "/root/testdata/sf0.001/events.parquet"
     val batch = EventStream.windowedStatsBatch(
