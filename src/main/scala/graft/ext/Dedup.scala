@@ -300,6 +300,16 @@ object Dedup {
     // cache the pair set BEFORE the symmetric union — its producing plan
     // (often an LSH pipeline) would otherwise execute once per branch
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty edge set -> empty labels, skipping the propagation loop's
+    // join jobs entirely. This is the common production re-run case (a
+    // pipeline re-applied to an already-clean corpus finds no pairs) and
+    // the pair frames feeding this are eagerly materialized upstream, so
+    // the probe costs one limit(1) scan of a tiny table.
+    if (p.limit(1).isEmpty) {
+      val out = p.select(col("id").as("node"), col("id").as("rep"))
+      p.unpersist()
+      return out
+    }
     val edges = p.select(col("id").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

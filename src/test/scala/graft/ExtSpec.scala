@@ -1108,6 +1108,17 @@ class ExtSpec extends SparkSpec {
     assert(report.map(_.overflowRows).sum == 0L)
   }
 
+  test("components: empty pair set short-circuits to an empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "id2")
+    val out = Dedup.components(empty)
+    assert(out.columns.toSeq == Seq("node", "rep"))
+    assert(out.count() == 0L)
+    // and keepers over a clean corpus keep everything
+    val docs = Seq((1L, "alpha unique"), (2L, "beta unique")).toDF("doc_id", "text")
+    assert(Dedup.minhashKeepers(docs, "text", "doc_id").count() == 2L)
+  }
+
   test("tokenBudgetSelect: greedy score-prefix per group, monotone cut") {
     import spark.implicits._
     val docs = Seq(
