@@ -1159,6 +1159,25 @@ class ExtSpec extends SparkSpec {
     assert(Ivf.plannedIters(0L, 16, 64, 10) == 10)
   }
 
+  test("Pipeline.cleanCorpus is idempotent: a re-run on its output drops nothing") {
+    // the production re-run property: applying the pipeline to an
+    // already-clean corpus must be the identity (every defect class was
+    // eliminated, normalization is idempotent, and one keeper per
+    // near-dup component survives — keepers never pair with each other).
+    // Note the boilerplate threshold is corpus-derived, so this holds
+    // when both runs resolve the same floor (max(4, n/100) = 4 here);
+    // a 100x shrink between runs could legitimately tighten it.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val (clean1, _) = Pipeline.cleanCorpus(docs, "text", "doc_id")
+    val n1 = clean1.count()
+    val (clean2, report2) = Pipeline.cleanCorpus(clean1, "text", "doc_id")
+    assert(report2.forall(_.rows == n1),
+      s"re-run must drop nothing: n=$n1, report=${report2.map(r => r.stage -> r.rows)}")
+    assert(clean2.select("doc_id", "text").orderBy("doc_id").collect().toSeq ==
+      clean1.select("doc_id", "text").orderBy("doc_id").collect().toSeq)
+  }
+
   test("Pipeline.cleanCorpus surfaces the minhash band cap in the report") {
     import spark.implicits._
     // 8 docs of IDENTICAL long text -> every band bucket has 8 members;
