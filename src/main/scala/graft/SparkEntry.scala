@@ -1650,6 +1650,46 @@ object SparkEntry {
       TextAnalysis.tokenBudgetSelect(docs, "text", "doc_id",
           "source", "score", budgetTokens = 1000L)
         .orderBy("doc_id")
+    }),
+    "q120_ngram_repetition" -> ((s, dir) => { ensure(s)
+      // Gopher repetition signals: top-n-gram and duplicated-n-gram
+      // character fractions per (doc, n), long format. The oracle
+      // recomputes every gram count from the gram STRINGS.
+      TextAnalysis.ngramRepetition(ld(s, dir, "documents"), "text",
+          "doc_id", ns = Seq(2, 3, 5))
+        .orderBy("doc_id", "n")
+    }),
+    "q121_alpha_mix" -> ((s, dir) => { ensure(s)
+      // temperature-scaled (sqrt-n) source mixing over a SKEWED planted
+      // source split (12/6/2 of every 20 docs), 8000-token budget: the
+      // flattening means `small` keeps a higher rate than `big`. The
+      // oracle recomputes sqrt-share rates and the md5-u keep decision.
+      val docs = ld(s, dir, "documents").withColumn("src_group",
+        when(col("doc_id") % 20 < 12, lit("big"))
+          .when(col("doc_id") % 20 < 18, lit("mid"))
+          .otherwise(lit("small")))
+      TextAnalysis.alphaSourceMix(docs, "text", "doc_id", "src_group",
+          targetTokens = 8000L)
+        .orderBy("doc_id")
+    }),
+    "q122_boilerplate_paragraphs" -> ((s, dir) => { ensure(s)
+      // paragraph-level boilerplate removal on a planted corpus: a nav
+      // block shared by ALL docs (two lines — invisible to the LINE rule
+      // only as a pair), a promo paragraph in every doc_id%4==1, and a
+      // per-doc unique tail paragraph. maxDocFreq=3 drops the first two
+      // everywhere, keeps originals + unique tails; doc text is compared
+      // by length + md5 so the whole rebuilt string is pinned.
+      val planted = ld(s, dir, "documents").select(col("doc_id"),
+        concat(lit("NAV MENU HOME\nNAV MENU ABOUT\n\n"), col("text"),
+          when(col("doc_id") % 4 === 1, lit("\n\nVISIT OUR SPONSOR TODAY"))
+            .otherwise(lit("")),
+          lit("\n\ntail "), col("doc_id").cast("string"))
+          .as("text"))
+      TextAnalysis.removeBoilerplateParagraphs(planted, "text", "doc_id",
+          maxDocFreq = 3)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2208,7 +2248,38 @@ object SparkEntry {
        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents), " +
        "c AS (SELECT doc_id, source, n_tokens, SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
        "SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens, cum <= 1000 AS kept " +
-       "FROM c ORDER BY doc_id")
+       "FROM c ORDER BY doc_id"),
+    "q120_ngram_repetition" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS t FROM documents), " +
+       "d AS (SELECT doc_id, len(array_to_string(t, ' ')) AS denom, t FROM toks), " +
+       "g AS (SELECT doc_id, denom, n, unnest(CASE WHEN len(t) < n THEN [] ELSE list_transform(range(1, len(t) - n + 2), i -> array_to_string(t[i:i+n-1], ' ')) END) AS gram FROM d CROSS JOIN (SELECT unnest([2,3,5]) AS n) ns), " +
+       "cnts AS (SELECT doc_id, denom, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, denom, n, gram), " +
+       "a AS (SELECT doc_id, denom, n, max(cnt * len(gram)) AS topchars, sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) ELSE 0 END) AS dupchars FROM cnts GROUP BY doc_id, denom, n), " +
+       "base AS (SELECT doc_id, unnest([2,3,5]) AS n FROM documents) " +
+       "SELECT base.doc_id, base.n, " +
+       "CASE WHEN topchars IS NULL THEN CAST(0.0 AS DOUBLE) ELSE least(CAST(1.0 AS DOUBLE), CAST(topchars AS DOUBLE) / denom) END AS top_char_frac, " +
+       "CASE WHEN dupchars IS NULL THEN CAST(0.0 AS DOUBLE) ELSE least(CAST(1.0 AS DOUBLE), CAST(dupchars AS DOUBLE) / denom) END AS dup_char_frac " +
+       "FROM base LEFT JOIN a ON base.doc_id = a.doc_id AND base.n = a.n ORDER BY base.doc_id, base.n"),
+    "q121_alpha_mix" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN doc_id % 20 < 12 THEN 'big' WHEN doc_id % 20 < 18 THEN 'mid' ELSE 'small' END AS src_group, " +
+       "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens, " +
+       "CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM documents), " +
+       "s AS (SELECT src_group, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY src_group), " +
+       "w AS (SELECT src_group, src_tokens, sqrt(CAST(src_tokens AS DOUBLE)) AS w FROM s), " +
+       "r AS (SELECT src_group, least(CAST(1.0 AS DOUBLE), w / (SELECT sum(w) FROM w) * CAST(8000 AS DOUBLE) / src_tokens) AS rate FROM w) " +
+       "SELECT t.doc_id, t.src_group, t.n_tokens, round(r.rate, 6) AS rate, t.u < r.rate AS kept " +
+       "FROM t JOIN r USING (src_group) ORDER BY t.doc_id"),
+    "q122_boilerplate_paragraphs" ->
+      ("WITH c AS (SELECT doc_id, 'NAV MENU HOME' || chr(10) || 'NAV MENU ABOUT' || chr(10) || chr(10) || text || " +
+       "CASE WHEN doc_id % 4 = 1 THEN chr(10) || chr(10) || 'VISIT OUR SPONSOR TODAY' ELSE '' END || " +
+       "chr(10) || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR) AS text FROM documents), " +
+       "p AS (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1), i -> struct_pack(pos := i, para := ps[i])), recursive := true) " +
+       "FROM (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM c)), " +
+       "df AS (SELECT para, count(DISTINCT doc_id) AS ndocs FROM p GROUP BY para), " +
+       "keep AS (SELECT doc_id, pos, para FROM p JOIN df USING (para) WHERE ndocs <= 3), " +
+       "rb AS (SELECT doc_id, array_to_string(list(para ORDER BY pos), chr(10) || chr(10)) AS text FROM keep GROUP BY doc_id) " +
+       "SELECT c.doc_id, CAST(len(coalesce(rb.text, '')) AS INT) AS n_chars, md5(coalesce(rb.text, '')) AS text_md5 " +
+       "FROM c LEFT JOIN rb USING (doc_id) ORDER BY c.doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

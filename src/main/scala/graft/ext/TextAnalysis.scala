@@ -1003,6 +1003,149 @@ object TextAnalysis {
         percentile_approx(col("_n"), lit(0.5), lit(accuracy)).as("p50_approx"),
         percentile_approx(col("_n"), lit(0.9), lit(accuracy)).as("p90_approx"))
 
+  /**
+   * Gopher repetition signals (Rae et al. 2021 §A1.1 — the public
+   * repetition-filter family; [[qualityFlags]] covers the structural
+   * half): for every document and every n in `ns`, the fraction of the
+   * token stream's characters attributable to the single most frequent
+   * word n-gram (`top_char_frac` — Gopher thresholds this for
+   * n ∈ {2,3,4}) and to all duplicated n-grams together
+   * (`dup_char_frac`, count ≥ 2 — Gopher thresholds this for
+   * n ∈ {5..10}).
+   *
+   * Pinned definitions (mirrored by the q120 oracle): the token stream
+   * is the space-joined lowercased whitespace tokens; a gram's
+   * character mass is count × len(gram) where len includes the joining
+   * spaces; overlapping occurrences double-count (as in the public
+   * implementations of the rule) so both fractions clamp at 1.0.
+   * `top_char_frac` maximizes the count×len product directly — no
+   * tiebreak is needed over an argmax gram. Documents with fewer than
+   * n tokens (or empty text) report 0.0.
+   *
+   * Scale: ZERO shuffle — repetition is a within-document statistic, so
+   * the whole computation is the codegen'd one-pass
+   * [[TextOps.ngramCharStats]] kernel (per-token hash + code-point
+   * count, an in-kernel 64-bit-key count map, never a gram string) as a
+   * narrow projection: one kernel call per (doc, n), exploded over the
+   * tiny ns literal array. A first cut exploded (id, n, gram-string)
+   * tuples through two aggregates and a join — ~50× slower at sf0.1 and
+   * two shuffles of corpus-cardinality gram keys for a metric that
+   * never needed to leave its row.
+   */
+  def ngramRepetition(df: DataFrame, textCol: String, idCol: String,
+                      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must all be >= 1")
+    require(ns.distinct.size == ns.size, "ns must be distinct")
+    val stats = TextFunctions.ngram_char_stats(col(textCol), col("n"))
+    df.select(col(idCol), col(textCol),
+        explode(array(ns.map(n => lit(n)): _*)).as("n"))
+      .select(col(idCol), col("n"), stats.as("_s"))
+      .select(col(idCol), col("n"),
+        when(element_at(col("_s"), 3) === 0L, lit(0.0))
+          .otherwise(least(lit(1.0),
+            element_at(col("_s"), 1).cast("double") /
+              element_at(col("_s"), 3)))
+          .as("top_char_frac"),
+        when(element_at(col("_s"), 3) === 0L, lit(0.0))
+          .otherwise(least(lit(1.0),
+            element_at(col("_s"), 2).cast("double") /
+              element_at(col("_s"), 3)))
+          .as("dup_char_frac"))
+  }
+
+  /**
+   * Temperature-scaled source mixing (the multilingual/source-balance
+   * sampling rule of XLM-R / mT5: sample source i with probability
+   * q_i ∝ n_i^alpha, alpha < 1 flattening the head so low-resource
+   * sources are over-represented relative to their raw share). Given a
+   * token budget `targetTokens`, each source's keep rate is
+   * min(1, q_i·T / n_i) and every row gets a DETERMINISTIC
+   * content-hash keep decision (first 6 md5 hex digits as a uniform
+   * u ∈ [0,1), kept iff u < rate) — re-runs and engines agree, no RNG.
+   *
+   * alpha is fixed at 0.5 (√n mixing): IEEE-754 sqrt is exactly
+   * rounded in every engine, so the rates — and therefore the keep
+   * set — are reproducible bit-for-bit where a pow(n, alpha) would be
+   * library-dependent in its last ulp.
+   *
+   * Scale: one map-side-combined per-source token aggregate (#sources
+   * rows), broadcast back onto the corpus — no corpus shuffle at all;
+   * the keep decision is a narrow codegen'd projection. Downsampling
+   * only: a source whose fair share exceeds its size keeps everything
+   * (rate clamps at 1) — epoch-replication upsampling is a separate
+   * materialization concern.
+   *
+   * Output: every input row annotated (source, n_tokens, rate, kept) —
+   * the audit frame; filter on `kept` for the mixed corpus.
+   */
+  def alphaSourceMix(df: DataFrame, textCol: String, idCol: String,
+                     sourceCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val withTok = df.select(col(idCol), col(sourceCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      (conv(substring(md5(col(textCol)), 1, 6), 16, 10).cast("double") /
+        lit((1L << 24).toDouble)).as("_u"))
+    val perSource = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).as("_src_tokens"))
+      .withColumn("_w", sqrt(col("_src_tokens").cast("double")))
+    // #sources rows: the Σ√n denominator is computed once over the tiny
+    // aggregate (deterministic ascending-source fold via a running
+    // window ordered by source name, so the double addition order is
+    // pinned and both engines sum identically), then broadcast.
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col(sourceCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rated = perSource
+      .withColumn("_wsum", sum(col("_w")).over(win))
+      .withColumn("rate", least(lit(1.0),
+        col("_w") / col("_wsum") * lit(targetTokens.toDouble) /
+          col("_src_tokens")))
+      .select(col(sourceCol), col("rate"))
+    withTok.join(broadcast(rated), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        round(col("rate"), 6).as("rate"),
+        (col("_u") < col("rate")).as("kept"))
+  }
+
+  /**
+   * Paragraph-level boilerplate removal — the CCNet line rule
+   * ([[removeBoilerplateLines]]) lifted to paragraph granularity
+   * (RefinedWeb drops repeated paragraphs — nav blocks, licence
+   * blurbs — that line-level doc-frequency misses when the repeated
+   * unit is a multi-line block whose individual lines are common).
+   * Paragraphs are maximal runs split on blank lines (`\n{2,}` — a
+   * line of only whitespace does NOT break a paragraph); a paragraph
+   * appearing in more than `maxDocFreq` DISTINCT documents is dropped
+   * from every document; survivors rejoin in order with "\n\n" (the
+   * canonical separator — original blank-run widths are not
+   * preserved). Same scale shape as the line rule: slim 128-bit
+   * two-hash paragraph keys through one distinct + one doc-frequency
+   * aggregate, anti-join, order-preserving reassembly; all-boilerplate
+   * docs survive as empty text.
+   */
+  def removeBoilerplateParagraphs(df: DataFrame, textCol: String,
+                                  idCol: String,
+                                  maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n{2,}")).as(Seq("pos", "para")))
+    val hashed = paras
+      .withColumn("_ph", xxhash64(col("para")))
+      .withColumn("_ph2", xxhash64(lit(0x9E3779B97F4A7C15L), col("para")))
+    val boiler = hashed.select(col(idCol), col("_ph"), col("_ph2")).distinct()
+      .groupBy("_ph", "_ph2").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("_ph", "_ph2")
+    val kept = hashed.join(boiler, Seq("_ph", "_ph2"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), "\n\n").as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

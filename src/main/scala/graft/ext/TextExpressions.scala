@@ -52,6 +52,20 @@ case class WordShinglePairs(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class NgramCharStats(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_char_stats"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextOps.ngramCharStats(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.ext.TextOps.ngramCharStats($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(ArrayType(LongType), IntegerType)
@@ -235,6 +249,8 @@ object TextFunctions {
   def word_shingles(text: Column, n: Column): Column = call_function("word_shingles", text, n)
   def word_shingle_pairs(text: Column, n: Column): Column =
     call_function("word_shingle_pairs", text, n)
+  def ngram_char_stats(text: Column, n: Column): Column =
+    call_function("ngram_char_stats", text, n)
   def minhash_sig(shingles: Column, n: Column): Column = call_function("minhash_sig", shingles, n)
   def sig_similarity(a: Column, b: Column): Column = call_function("sig_similarity", a, b)
   def sorted_overlap(a: Column, b: Column): Column = call_function("sorted_overlap", a, b)
@@ -257,6 +273,7 @@ object TextFunctions {
     "char_shingles" -> { case Seq(a, b) => CharShingles(a, b) },
     "word_shingles" -> { case Seq(a, b) => WordShingles(a, b) },
     "word_shingle_pairs" -> { case Seq(a, b) => WordShinglePairs(a, b) },
+    "ngram_char_stats" -> { case Seq(a, b) => NgramCharStats(a, b) },
     "minhash_sig" -> { case Seq(a, b) => MinHashSig(a, b) },
     "sig_similarity" -> { case Seq(a, b) => SigSimilarity(a, b) },
     "sorted_overlap" -> { case Seq(a, b) => SortedOverlap(a, b) },

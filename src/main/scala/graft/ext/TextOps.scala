@@ -123,6 +123,74 @@ object TextOps {
   }
 
   /**
+   * Per-document n-gram repetition statistics in ONE pass, no gram
+   * strings and no shuffle: returns [top_chars, dup_chars, denom] where
+   * top_chars = max over word-n-grams of count × gramCharLen,
+   * dup_chars = Σ count × gramCharLen over grams with count ≥ 2, and
+   * denom = the char length of the space-joined lowercased token stream
+   * (Σ token code points + m−1). gramCharLen counts the joined form
+   * (token code points + n−1 separators), so top_chars/denom and
+   * dup_chars/denom are exactly the Gopher repetition fractions before
+   * their 1.0 clamp. Fewer than n tokens → [0, 0, denom].
+   *
+   * Counting key is one 64-bit FNV-over-token-hash chain + splitmix64:
+   * counting is WITHIN a document, so the birthday bound is per-doc
+   * (g grams → g²/2⁶⁵; a 10⁶-token doc ≈ 5e-8), not corpus-wide —
+   * unlike q113's corpus-global keys, 64 bits is the right size here.
+   */
+  def ngramCharStats(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val len = s.length
+    var th = new Array[Long](8); var tc = new Array[Int](8)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isRegexWs(s.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L; var cp = 0
+        while (i < len && !isRegexWs(s.charAt(i))) {
+          val c = s.charAt(i)
+          h = (h ^ c) * 0x100000001b3L
+          if (!Character.isLowSurrogate(c)) cp += 1 // code points, not UTF-16 units
+          i += 1
+        }
+        if (m == th.length) {
+          th = java.util.Arrays.copyOf(th, m * 2)
+          tc = java.util.Arrays.copyOf(tc, m * 2)
+        }
+        th(m) = h; tc(m) = cp; m += 1
+      }
+    }
+    var denom = 0L
+    var j = 0
+    while (j < m) { denom += tc(j); j += 1 }
+    if (m > 0) denom += m - 1
+    if (m < n) return new GenericArrayData(Array(0L, 0L, denom))
+    // HashMap value = [count, gramCharLen] (len identical for equal grams)
+    val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var w = 0
+    while (w + n <= m) {
+      var h1 = 0xcbf29ce484222325L
+      var glen = (n - 1).toLong
+      var k = w
+      while (k < w + n) {
+        h1 = (h1 ^ th(k)) * 0x100000001b3L; glen += tc(k); k += 1
+      }
+      val e = counts.get(mix64(h1))
+      if (e == null) counts.put(mix64(h1), Array(1L, glen)) else e(0) += 1
+      w += 1
+    }
+    var top = 0L; var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next(); val mass = e(0) * e(1)
+      if (mass > top) top = mass
+      if (e(0) >= 2) dup += mass
+    }
+    new GenericArrayData(Array(top, dup, denom))
+  }
+
+  /**
    * MinHash signature via the Kirsch-Mitzenmacher construction
    * (public result from "Less Hashing, Same Performance", 2006):
    * h_j(x) = h1(x) + j*h2(x) with two independent 64-bit mixes — the j-loop

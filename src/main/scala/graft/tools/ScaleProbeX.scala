@@ -44,6 +44,11 @@ object ScaleProbeX {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional label filter: `runMain graft.tools.ScaleProbeX ngram alpha`
+    // runs only probes whose label contains an arg (corpus build always runs)
+    val only = args.toSet
+    def want(label: String): Boolean =
+      only.isEmpty || only.exists(label.contains)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -89,39 +94,50 @@ object ScaleProbeX {
         col("doc_id").cast("string"))).otherwise(lit(""))).as("url"))
 
     for ((label, docs, emb) <- Seq(("1x", docs1, emb1), ("10x", docs10, emb10))) {
-      time3(s"$label duplicatedSpans")(
+      if (want("duplicatedSpans")) time3(s"$label duplicatedSpans")(
         TextAnalysis.duplicatedSpans(docs, "text", "doc_id", k = 8))
       // HOT-GRAM skew probe (round-6 audit): every doc carries the same
       // 8-token sentence, so ONE gram key occurs |corpus| times (5e4 at
       // 10x). The two-pass plan collapses it map-side before any
       // exchange; the old count-window shipped every occurrence to one
       // reducer. Flat-vs-clean timing here IS the straggler evidence.
-      time3(s"$label duplicatedSpans hotGram")(
+      if (want("hotGram")) time3(s"$label duplicatedSpans hotGram")(
         TextAnalysis.duplicatedSpans(
           docs.withColumn("text", concat(col("text"),
             lit(" the same hot boilerplate sentence repeats every doc"))),
           "text", "doc_id", k = 8))
-      time3(s"$label removeDuplicatedSpans")(
+      if (want("removeDuplicatedSpans")) time3(s"$label removeDuplicatedSpans")(
         TextAnalysis.removeDuplicatedSpans(docs, "text", "doc_id", k = 8))
-      time3(s"$label minhashPairs")(
+      if (want("minhashPairs")) time3(s"$label minhashPairs")(
         Dedup.exactPairsViaMinhash(
           Dedup.charShingleSets(docs, "text", "doc_id", 5),
           numHashes = 128, bands = 32, exactThreshold = 0.8))
-      time3(s"$label boilerplateLines")(
+      if (want("boilerplateLines")) time3(s"$label boilerplateLines")(
         TextAnalysis.removeBoilerplateLines(docs, "text", "doc_id",
           maxDocFreq = 25))
-      time3(s"$label urlDedupGroups")(
+      if (want("urlDedupGroups")) time3(s"$label urlDedupGroups")(
         TextAnalysis.urlDedupGroups(urls(docs), "url", "doc_id"))
-      time3(s"$label semanticDecontaminate")(
+      if (want("semanticDecontaminate")) time3(s"$label semanticDecontaminate")(
         Similarity.semanticDecontaminate(emb, "embedding", "vec_id",
           emb.filter(col("vec_id") % 97 === 0), "embedding", 0.9))
-      // the whole cleaning pipeline, end to end (eager multi-stage with
-      // per-stage checkpoints — timed once, not min-of-3)
-      System.gc()
-      val t0 = System.nanoTime()
-      val (_, rep) = Pipeline.cleanCorpus(docs, "text", "doc_id")
-      println(f"SCALEX $label cleanCorpus total=${(System.nanoTime() - t0) / 1e9}%.3f " +
-        s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
+      if (want("ngramRepetition")) time3(s"$label ngramRepetition")(
+        TextAnalysis.ngramRepetition(docs, "text", "doc_id", Seq(2, 3, 5)))
+      if (want("alphaSourceMix")) time3(s"$label alphaSourceMix")(
+        TextAnalysis.alphaSourceMix(
+          docs.withColumn("src", (col("doc_id") % 16).cast("string")),
+          "text", "doc_id", "src", targetTokens = 100000L))
+      if (want("boilerplateParagraphs")) time3(s"$label boilerplateParagraphs")(
+        TextAnalysis.removeBoilerplateParagraphs(docs, "text", "doc_id",
+          maxDocFreq = 25))
+      if (want("cleanCorpus")) {
+        // the whole cleaning pipeline, end to end (eager multi-stage with
+        // per-stage checkpoints — timed once, not min-of-3)
+        System.gc()
+        val t0 = System.nanoTime()
+        val (_, rep) = Pipeline.cleanCorpus(docs, "text", "doc_id")
+        println(f"SCALEX $label cleanCorpus total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
+      }
     }
     Dedup.releaseCaches()
     spark.stop()

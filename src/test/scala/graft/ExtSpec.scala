@@ -623,6 +623,80 @@ class ExtSpec extends SparkSpec {
     assert(noop == corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
   }
 
+  test("ngramRepetition: hand-computed fractions, clamp, short/empty docs") {
+    val corpus = Seq(
+      (1L, "a b a b a"), // 5 toks, joined len 9
+      (2L, "x y"),       // exactly one 2-gram, no 3-grams
+      (3L, "")           // no tokens at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(corpus, "text", "doc_id", Seq(2, 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.size == 6) // every (doc, n) pair present, including misses
+    // n=2: "a b"x2 and "b a"x2 -> top = 2*3/9; dup = (6+6)/9 clamps to 1
+    assert(math.abs(out((1L, 2))._1 - 6.0 / 9.0) < 1e-12)
+    assert(out((1L, 2))._2 == 1.0)
+    // n=3: "a b a"x2 -> 2*5=10 chars of 9 -> both clamp
+    assert(out((1L, 3)) == ((1.0, 1.0)))
+    // single occurrence: top covers the whole stream, dup is zero
+    assert(out((2L, 2)) == ((1.0, 0.0)))
+    // short doc (< n tokens) and empty doc report 0.0, not NULL/1.0
+    assert(out((2L, 3)) == ((0.0, 0.0)))
+    assert(out((3L, 2)) == ((0.0, 0.0)))
+    assert(out((3L, 3)) == ((0.0, 0.0)))
+  }
+
+  test("alphaSourceMix: sqrt flattening, clamp, deterministic keep") {
+    // A: 16 docs x 4 tokens = 64; B: 1 doc x 4 tokens -> w=8 vs 2,
+    // T=20 -> rate_A = .8*20/64 = 0.25, rate_B = .2*20/4 = 1.0 (clamp)
+    val corpus = ((1 to 16).map(i => (i.toLong, "A", s"tok$i w x y")) :+
+      (99L, "B", "small src here now")).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.alphaSourceMix(corpus, "text", "doc_id", "src",
+      targetTokens = 20L)
+    val rates = out.select("src", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("A") == 0.25 && rates("B") == 1.0, s"got $rates")
+    // the flattening: the small source keeps a HIGHER rate than raw share
+    assert(rates("B") > rates("A"))
+    // clamped source keeps every row; n_tokens is the whitespace count
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getBoolean(4)))
+    assert(rows.filter(_._2 == "B").forall(_._4))
+    assert(rows.forall(_._3 == 4L))
+    // deterministic: a re-run keeps exactly the same ids
+    val again = TextAnalysis.alphaSourceMix(corpus, "text", "doc_id", "src",
+      targetTokens = 20L).filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.filter(_._4).map(_._1).toSet)
+    // budget >= corpus: every rate clamps, nothing dropped
+    val all = TextAnalysis.alphaSourceMix(corpus, "text", "doc_id", "src",
+      targetTokens = 100000L)
+    assert(all.filter(!col("kept")).count() == 0)
+  }
+
+  test("removeBoilerplateParagraphs: block-level drop the line rule misses") {
+    val corpus = Seq(
+      (1L, "NAV A\nNAV B\n\nunique one\n\nPROMO"),
+      (2L, "NAV A\nNAV B\n\nunique two\n\nPROMO"),
+      (3L, "NAV A\nNAV B\n\n\n\nunique three"), // wide blank run = one sep
+      (4L, "NAV A\nNAV B") // all-boilerplate -> survives as ""
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateParagraphs(corpus, "text",
+        "doc_id", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the two-line nav BLOCK (df=4) drops as a unit; PROMO df=2 kept
+    assert(out == Map(1L -> "unique one\n\nPROMO", 2L -> "unique two\n\nPROMO",
+      3L -> "unique three", 4L -> ""), s"got $out")
+    // under the threshold nothing is touched (canonical \n\n rejoin means
+    // doc 3's wide blank run narrows — compare against the rule's output)
+    val noop = TextAnalysis.removeBoilerplateParagraphs(corpus, "text",
+        "doc_id", maxDocFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noop(1L) == corpus.collect()
+      .find(_.getLong(0) == 1L).get.getString(1))
+    assert(noop(3L) == "NAV A\nNAV B\n\nunique three")
+  }
+
   test("bigramEntropyUnderModel: OOV bigrams score at the smoothing floor") {
     // reference corpus: bigrams (a,b):3 (b,a):1 (b,c):1, heads a:3 b:2,
     // vocab = {a,b,c} -> V=3
