@@ -1690,6 +1690,30 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).as("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+    "q123_epoch_upsample" -> ((s, dir) => { ensure(s)
+      // epoch-replication mixing: per-source epochs 0.5 / 1.0 / 2.25 /
+      // 0.0 by source number mod 4 — fractional replication via the
+      // deterministic md5-u draw, 0.0 drops whole sources. The oracle
+      // replays the draw and generate_series-expands the copies.
+      val epochs = (0 until 20).map(i => s"src$i" -> (i % 4 match {
+        case 0 => 0.5; case 1 => 1.0; case 2 => 2.25; case _ => 0.0
+      })).toMap
+      TextAnalysis.epochUpsample(ld(s, dir, "documents"), "text",
+          "doc_id", "source", epochs)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+    "q124_perplexity_buckets" -> ((s, dir) => { ensure(s)
+      // CCNet head/middle/tail: per-language rank-terciles of the
+      // bigram self-entropy (q109's scorer) — buckets assigned by
+      // ntile rank with an id tiebreak, never by float thresholds.
+      val docs = ld(s, dir, "documents")
+      val withLang = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.bigramSelfEntropy(docs, "text", "doc_id")
+          .select(col("doc_id"), col("xent")), Seq("doc_id"))
+      TextAnalysis.perplexityBuckets(withLang, "xent", "doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -2279,7 +2303,26 @@ object SparkEntry {
        "keep AS (SELECT doc_id, pos, para FROM p JOIN df USING (para) WHERE ndocs <= 3), " +
        "rb AS (SELECT doc_id, array_to_string(list(para ORDER BY pos), chr(10) || chr(10)) AS text FROM keep GROUP BY doc_id) " +
        "SELECT c.doc_id, CAST(len(coalesce(rb.text, '')) AS INT) AS n_chars, md5(coalesce(rb.text, '')) AS text_md5 " +
-       "FROM c LEFT JOIN rb USING (doc_id) ORDER BY c.doc_id")
+       "FROM c LEFT JOIN rb USING (doc_id) ORDER BY c.doc_id"),
+    "q123_epoch_upsample" ->
+      ("WITH t AS (SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 4 AS g, " +
+       "CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM documents), " +
+       "c AS (SELECT doc_id, source, CASE g WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 WHEN 2 THEN 2.25 ELSE 0.0 END AS e, u FROM t), " +
+       "n AS (SELECT doc_id, source, CAST(floor(e) AS INT) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS copies FROM c) " +
+       "SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS INT) AS copy " +
+       "FROM n WHERE copies >= 1 ORDER BY doc_id, copy"),
+    "q124_perplexity_buckets" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents), " +
+       "b AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u FROM t WHERE len(w) >= 2)), " +
+       "bc AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2), " +
+       "lc AS (SELECT w1, count(*) AS cl FROM b GROUP BY w1), " +
+       "v AS (SELECT CAST(count(DISTINCT x) AS DOUBLE) AS vs FROM (SELECT unnest(w) AS x FROM t)), " +
+       "s AS (SELECT b.doc_id, log2((bc.c + 1.0) / (lc.cl + v.vs)) AS lp FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1), v), " +
+       "a AS (SELECT doc_id, round(-avg(lp), 6) AS xent FROM s GROUP BY doc_id), " +
+       "x AS (SELECT d.doc_id, d.lang, a.xent FROM documents d LEFT JOIN a USING (doc_id)), " +
+       "r AS (SELECT doc_id, lang, xent, ntile(3) OVER (PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS t FROM x WHERE xent IS NOT NULL) " +
+       "SELECT doc_id, lang, xent, CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r " +
+       "UNION ALL SELECT doc_id, lang, xent, 'unscored' AS bucket FROM x WHERE xent IS NULL ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

@@ -1146,6 +1146,83 @@ object TextAnalysis {
       .withColumn(textCol, coalesce(col(textCol), lit("")))
   }
 
+  /**
+   * Epoch-replication upsampling — the materialization half of source
+   * mixing ([[alphaSourceMix]] is the downsampling half): each source
+   * gets a replication factor `epochs(source)` ≥ 0 (the per-source
+   * epoch counts of the public LLaMA/GPT-3 mixture tables — e.g.
+   * Wikipedia 2.45 epochs, CommonCrawl 0.67), and every row is emitted
+   * ⌊e⌋ times plus one more iff its deterministic content-hash
+   * u ∈ [0,1) (first 6 md5 hex digits) is < frac(e) — so the EXPECTED
+   * per-source token multiple is exactly e, re-runs are identical, and
+   * e < 1 degrades to plain hash downsampling. A source absent from
+   * `epochs` defaults to 1.0 (pass through unchanged).
+   *
+   * Output: the input row plus `copy` (1..copies) — downstream packing
+   * sees each replica as its own document; rows with copies = 0 vanish.
+   *
+   * Scale: a narrow codegen'd projection + explode — no shuffle, no
+   * join, no driver state; the epochs map ships as a literal CASE
+   * chain (mixture tables are O(10) sources).
+   */
+  def epochUpsample(df: DataFrame, textCol: String, idCol: String,
+                    sourceCol: String,
+                    epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e <= 1000.0),
+      "epochs must be in [0, 1000]")
+    val e = epochs.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val u = conv(substring(md5(col(textCol)), 1, 6), 16, 10).cast("double") /
+      lit((1L << 24).toDouble)
+    val copies = (floor(e).cast("int") +
+      when(u < (e - floor(e)), 1).otherwise(0)).as("_copies")
+    df.withColumn("_copies", copies)
+      .withColumn("copy",
+        explode(when(col("_copies") >= 1,
+          sequence(lit(1), col("_copies")))
+          .otherwise(array().cast("array<int>"))))
+      .drop("_copies")
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2019): per
+   * language, rank documents by a per-doc LM score and split them into
+   * equal thirds — `head` (most fluent), `middle`, `tail`. Takes ANY
+   * per-doc score frame (id, lang, score) so it composes with
+   * [[bigramSelfEntropy]], [[bigramEntropyUnderModel]], or an external
+   * LM's scores; NULL scores (token-free docs) bucket as `unscored`
+   * instead of polluting the terciles.
+   *
+   * Buckets are assigned by RANK (`ntile(3)` over (score ASC, id ASC)
+   * per language — both break ties and distribute the n%3 remainders
+   * per the SQL standard), never by comparing floats to an interpolated
+   * percentile value — so the split is reproducible across engines and
+   * runs even when scores tie after rounding.
+   *
+   * Scale: ntile needs a full per-language sort (CCNet's own recipe —
+   * it ranks each language globally); one range-partitioned sort
+   * shuffle of a slim (id, lang, score) frame. For corpora where even
+   * that is too hot, compute approx tercile THRESHOLDS with
+   * `percentile_approx` + broadcast and accept boundary fuzz — the
+   * exact-rank form is the gate-checked reference semantics.
+   */
+  def perplexityBuckets(df: DataFrame, scoreCol: String, idCol: String,
+                        langCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val scored = df.filter(col(scoreCol).isNotNull)
+      .withColumn("_t", ntile(3).over(w))
+      .select(col(idCol), col(langCol), col(scoreCol),
+        when(col("_t") === 1, "head").when(col("_t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.unionByName(
+      df.filter(col(scoreCol).isNull)
+        .select(col(idCol), col(langCol), col(scoreCol),
+          lit("unscored").as("bucket")))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

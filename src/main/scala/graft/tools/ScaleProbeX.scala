@@ -129,6 +129,17 @@ object ScaleProbeX {
       if (want("boilerplateParagraphs")) time3(s"$label boilerplateParagraphs")(
         TextAnalysis.removeBoilerplateParagraphs(docs, "text", "doc_id",
           maxDocFreq = 25))
+      if (want("epochUpsample")) time3(s"$label epochUpsample")(
+        TextAnalysis.epochUpsample(
+          docs.withColumn("src", (col("doc_id") % 4).cast("string")),
+          "text", "doc_id", "src",
+          Map("0" -> 2.25, "1" -> 0.5, "2" -> 1.0, "3" -> 0.0)))
+      if (want("perplexityBuckets")) time3(s"$label perplexityBuckets")(
+        TextAnalysis.perplexityBuckets(
+          docs.select(col("doc_id"),
+            (col("doc_id") % 7).cast("string").as("lang"),
+            (xxhash64(col("text")) % 1000).cast("double").as("score")),
+          "score", "doc_id", "lang"))
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)

@@ -697,6 +697,56 @@ class ExtSpec extends SparkSpec {
     assert(noop(3L) == "NAV A\nNAV B\n\nunique three")
   }
 
+  test("epochUpsample: integer + fractional replication, deterministic") {
+    val corpus = ((1 to 40).map(i => (i.toLong, "two", s"doc two $i")) ++
+      (41 to 80).map(i => (i.toLong, "half", s"doc half $i")) ++
+      Seq((81L, "one", "doc one"), (82L, "other", "unmapped source")))
+      .toDF("doc_id", "src", "text")
+    val epochs = Map("two" -> 2.25, "half" -> 0.5, "one" -> 1.0)
+    val out = TextAnalysis.epochUpsample(corpus, "text", "doc_id", "src",
+      epochs).select("doc_id", "src", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // e=2.25: every doc 2 or 3 copies, numbered 1..copies
+    val perDoc = out.filter(_._2 == "two").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(perDoc.values.forall(c => c == (1 to c.max) && (c.max == 2 || c.max == 3)))
+    assert(bySrc("two") >= 80 && bySrc("two") <= 120)
+    // e=0.5: 0 or 1 copies; e=1.0 and unmapped sources: exactly one
+    assert(out.filter(_._2 == "half").forall(_._3 == 1))
+    assert(bySrc.getOrElse("half", 0) < 40)
+    assert(out.filter(_._2 == "one").map(_._1).toSeq == Seq(81L))
+    assert(out.filter(_._2 == "other").map(_._1).toSeq == Seq(82L))
+    // deterministic: identical multiset on re-run
+    val again = TextAnalysis.epochUpsample(corpus, "text", "doc_id", "src",
+      epochs).select("doc_id", "src", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // e=0 drops the source entirely
+    val dropped = TextAnalysis.epochUpsample(corpus, "text", "doc_id",
+      "src", Map("two" -> 0.0)).filter(col("src") === "two").count()
+    assert(dropped == 0L)
+  }
+
+  test("perplexityBuckets: rank terciles per lang, remainder to head, nulls unscored") {
+    val scores = Seq(
+      (1L, "en", 5.0), (2L, "en", 1.0), (3L, "en", 3.0), (4L, "en", 2.0),
+      (5L, "en", 4.0), (6L, "en", 6.0), (7L, "en", 7.0), // 7 docs: 3/2/2
+      (8L, "en", Double.NaN), // placeholder, made null below
+      (10L, "fr", 1.0), (11L, "fr", 1.0), (12L, "fr", 1.0) // all tied
+    ).toDF("doc_id", "lang", "xent")
+      .withColumn("xent", when(isnan(col("xent")), lit(null)).otherwise(col("xent")))
+    val out = TextAnalysis.perplexityBuckets(scores, "xent", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // en ascending by score: 2,4,3 | 1,5 | 6,7 (ntile remainder -> head)
+    assert(out(2L) == "head" && out(4L) == "head" && out(3L) == "head")
+    assert(out(1L) == "middle" && out(5L) == "middle")
+    assert(out(6L) == "tail" && out(7L) == "tail")
+    assert(out(8L) == "unscored")
+    // fr: all scores tie -> id tiebreak decides, one per bucket
+    assert(out(10L) == "head" && out(11L) == "middle" && out(12L) == "tail")
+  }
+
   test("bigramEntropyUnderModel: OOV bigrams score at the smoothing floor") {
     // reference corpus: bigrams (a,b):3 (b,a):1 (b,c):1, heads a:3 b:2,
     // vocab = {a,b,c} -> V=3

@@ -170,6 +170,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ngram_char_stats kernel == gram-string formulation") {
+    // random token streams with planted repetition: the hashed in-kernel
+    // count map must reproduce the count*len(gram) masses a string
+    // groupBy computes (the formulation the q120 oracle runs)
+    val genDoc = for {
+      nTok <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(nTok, Gen.oneOf("a", "bb", "ccc", "dd", "e", "xyz"))
+      sep <- Gen.oneOf(" ", "  ", "\t", " \n")
+    } yield toks.mkString(sep)
+    forAllSampled(Gen.zip(genDoc, Gen.choose(1, 5)), 60) { case (doc, n) =>
+      val toks = doc.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val joined = toks.mkString(" ")
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val masses = grams.groupBy(identity).toSeq.map { case (g, occ) =>
+        (occ.size.toLong, g.length.toLong) }
+      val expTop = if (masses.isEmpty) 0L else masses.map(m => m._1 * m._2).max
+      val expDup = masses.filter(_._1 >= 2).map(m => m._1 * m._2).sum
+      val got = graft.ext.TextOps.ngramCharStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(doc), n)
+      assert(got.getLong(0) == expTop, s"top: doc=$doc n=$n")
+      assert(got.getLong(1) == expDup, s"dup: doc=$doc n=$n")
+      assert(got.getLong(2) == joined.length.toLong, s"denom: doc=$doc n=$n")
+    }
+  }
+
   test("array ops: cs / cd / ov") {
     val adf = Seq(
       (1L, Seq("a", "b", "c")),
