@@ -1714,6 +1714,21 @@ object SparkEntry {
           .select(col("doc_id"), col("xent")), Seq("doc_id"))
       TextAnalysis.perplexityBuckets(withLang, "xent", "doc_id", "lang")
         .orderBy("doc_id")
+    }),
+    "q125_gopher_structural" -> ((s, dir) => { ensure(s)
+      // the remaining Gopher structural rules on a planted corpus:
+      // bullet/ellipsis lines, #/… symbols — each construction lights a
+      // different signal; the oracle replays every ratio exactly.
+      val planted = ld(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\n• alpha\n- beta\n* gamma")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nto be continued...\nand then…")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" # ## ### #...")).otherwise(lit(""))).as("text"))
+      TextAnalysis.gopherStructuralFlags(planted, "text", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2322,7 +2337,30 @@ object SparkEntry {
        "x AS (SELECT d.doc_id, d.lang, a.xent FROM documents d LEFT JOIN a USING (doc_id)), " +
        "r AS (SELECT doc_id, lang, xent, ntile(3) OVER (PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS t FROM x WHERE xent IS NOT NULL) " +
        "SELECT doc_id, lang, xent, CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r " +
-       "UNION ALL SELECT doc_id, lang, xent, 'unscored' AS bucket FROM x WHERE xent IS NULL ORDER BY doc_id")
+       "UNION ALL SELECT doc_id, lang, xent, 'unscored' AS bucket FROM x WHERE xent IS NULL ORDER BY doc_id"),
+    "q125_gopher_structural" ->
+      ("WITH c AS (SELECT doc_id, text || " +
+       "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '• alpha' || chr(10) || '- beta' || chr(10) || '* gamma' ELSE '' END || " +
+       "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'to be continued...' || chr(10) || 'and then…' ELSE '' END || " +
+       "CASE WHEN doc_id % 11 = 0 THEN ' # ## ### #...' ELSE '' END AS text FROM documents), " +
+       "t AS (SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks, string_split(text, chr(10)) AS lines FROM c), " +
+       "m AS (SELECT doc_id, len(toks) AS nw, len(lines) AS nl, " +
+       "len(text) - len(replace(text, '#', '')) AS h, " +
+       "len(text) - len(replace(text, '…', '')) AS ue, " +
+       "len(text) - len(replace(text, '...', '')) AS ae, " +
+       "len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS nb, " +
+       "len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS ne, " +
+       "len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS na, " +
+       "len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with'])) AS nsw FROM t), " +
+       "r AS (SELECT doc_id, " +
+       "CASE WHEN nw = 0 THEN CAST(0.0 AS DOUBLE) ELSE (h + ue + ae / 3) / nw END AS symbol_ratio, " +
+       "CASE WHEN nl = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(nb AS DOUBLE) / nl END AS bullet_line_frac, " +
+       "CASE WHEN nl = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(ne AS DOUBLE) / nl END AS ellipsis_line_frac, " +
+       "CASE WHEN nw = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(na AS DOUBLE) / nw END AS alpha_word_frac, " +
+       "CAST(nsw AS INT) AS n_stopwords FROM m) " +
+       "SELECT doc_id, symbol_ratio, bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stopwords, " +
+       "symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND n_stopwords >= 2 AS keep " +
+       "FROM r ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

@@ -1223,6 +1223,71 @@ object TextAnalysis {
           lit("unscored").as("bucket")))
   }
 
+  /**
+   * The remaining Gopher STRUCTURAL quality rules (Rae et al. 2021
+   * §A1.1 — [[qualityFlags]] covers length/word-length/punctuation/
+   * dup-lines and [[ngramRepetition]] the repetition half): per-doc
+   * signals plus the composite keep verdict at the paper's thresholds.
+   *
+   * Pinned definitions (mirrored by the q125 oracle):
+   *  - `symbol_ratio` — (count('#') + count('…') + count of
+   *    non-overlapping '...') / word count; ≤ 0.1 to keep.
+   *  - `bullet_line_frac` — fraction of '\n'-lines whose first
+   *    non-space char is '•', '-' or '*'; ≤ 0.9.
+   *  - `ellipsis_line_frac` — fraction of lines whose right-trimmed
+   *    form ends in '...' or '…'; ≤ 0.3.
+   *  - `alpha_word_frac` — fraction of (lowercased whitespace) words
+   *    containing an ASCII letter; ≥ 0.8. ASCII is pinned because
+   *    Unicode letter classes differ across engines.
+   *  - `n_stopwords` — DISTINCT members of the paper's 8-word stop
+   *    list {the, be, to, of, and, that, have, with} present as
+   *    tokens; ≥ 2.
+   * Zero-word and zero-line docs report 0.0 ratios (and fail the
+   * alpha/stopword minimums — Gopher drops empty docs).
+   *
+   * Scale: one narrow codegen'd projection — split/filter/intersect
+   * over per-row arrays, no shuffle, no UDFs.
+   */
+  def gopherStructuralFlags(df: DataFrame, textCol: String, idCol: String,
+                            maxSymbolRatio: Double = 0.1,
+                            maxBulletFrac: Double = 0.9,
+                            maxEllipsisFrac: Double = 0.3,
+                            minAlphaFrac: Double = 0.8,
+                            minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = wordTokens(t)
+    val nw = size(toks)
+    def occurrences(needle: String): Column =
+      length(t) - length(replace(t, lit(needle), lit("")))
+    val symbols = occurrences("#") + occurrences("…") +
+      occurrences("...") / lit(3)
+    val symbolRatio =
+      when(nw === 0, 0.0).otherwise(symbols.cast("double") / nw)
+    val lines = split(t, "\n")
+    val nl = size(lines)
+    val bullets = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("•", "-", "*")))
+    val bulletFrac = when(nl === 0, 0.0).otherwise(bullets.cast("double") / nl)
+    val ellipses = size(filter(lines,
+      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val ellipsisFrac =
+      when(nl === 0, 0.0).otherwise(ellipses.cast("double") / nl)
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]")))
+    val alphaFrac = when(nw === 0, 0.0).otherwise(alphaWords.cast("double") / nw)
+    val stopwords = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*)))
+    df.select(col(idCol),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopwords.as("n_stopwords"),
+      (symbolRatio <= maxSymbolRatio && bulletFrac <= maxBulletFrac &&
+        ellipsisFrac <= maxEllipsisFrac && alphaFrac >= minAlphaFrac &&
+        stopwords >= minStopwords).as("keep"))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

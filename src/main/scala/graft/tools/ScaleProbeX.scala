@@ -129,6 +129,8 @@ object ScaleProbeX {
       if (want("boilerplateParagraphs")) time3(s"$label boilerplateParagraphs")(
         TextAnalysis.removeBoilerplateParagraphs(docs, "text", "doc_id",
           maxDocFreq = 25))
+      if (want("gopherStructural")) time3(s"$label gopherStructural")(
+        TextAnalysis.gopherStructuralFlags(docs, "text", "doc_id"))
       if (want("epochUpsample")) time3(s"$label epochUpsample")(
         TextAnalysis.epochUpsample(
           docs.withColumn("src", (col("doc_id") % 4).cast("string")),

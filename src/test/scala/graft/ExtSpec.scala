@@ -747,6 +747,31 @@ class ExtSpec extends SparkSpec {
     assert(out(10L) == "head" && out(11L) == "middle" && out(12L) == "tail")
   }
 
+  test("gopherStructuralFlags: pinned ratios and composite verdict") {
+    val corpus = Seq(
+      (1L, "the data and that\n• a\n- b"),          // bullet lines, low alpha
+      (2L, "the cat is able to be here..."),         // ellipsis line
+      (3L, "# # value of 9000 # #"),                 // symbol-heavy
+      (4L, "the tide and the wind have power with that"), // clean -> keep
+      (5L, "")).toDF("doc_id", "text")               // empty -> 0.0s, drop
+    val out = TextAnalysis.gopherStructuralFlags(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5), r.getBoolean(6)))).toMap
+    // doc1: 8 toks (incl. bare '•'/'-'), 6 alpha -> 0.75 fails >= 0.8;
+    // 2 of 3 lines bulleted; stopwords {the, and, that}
+    assert(out(1L) == ((0.0, 2.0 / 3, 0.0, 0.75, 3, false)))
+    // doc2: one '...' occurrence over 7 words (ratio 1/7 also fails the
+    // 0.1 symbol cap); its only line ends '...'
+    assert(out(2L) == ((1.0 / 7, 0.0, 1.0, 1.0, 3, false)))
+    // doc3: 4 '#' over 7 words; '#' is NOT a bullet char; only 'of' stops
+    assert(out(3L) == ((4.0 / 7, 0.0, 0.0, 2.0 / 7, 1, false)))
+    // doc4: everything clean, 5 distinct stopwords -> the one keeper
+    assert(out(4L) == ((0.0, 0.0, 0.0, 1.0, 5, true)))
+    // doc5: empty -> zero ratios (not NULL/NaN), alpha minimum fails
+    assert(out(5L) == ((0.0, 0.0, 0.0, 0.0, 0, false)))
+  }
+
   test("bigramEntropyUnderModel: OOV bigrams score at the smoothing floor") {
     // reference corpus: bigrams (a,b):3 (b,a):1 (b,c):1, heads a:3 b:2,
     // vocab = {a,b,c} -> V=3
