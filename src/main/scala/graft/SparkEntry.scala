@@ -1729,6 +1729,22 @@ object SparkEntry {
           lit(" # ## ### #...")).otherwise(lit(""))).as("text"))
       TextAnalysis.gopherStructuralFlags(planted, "text", "doc_id")
         .orderBy("doc_id")
+    }),
+    "q126_strip_markup" -> ((s, dir) => { ensure(s)
+      // web-corpus text extraction: every doc wrapped in an HTML shell
+      // (style/script with contents, comments, entities incl. the
+      // &amp;lt; double-escape trap) — the oracle replays the pinned
+      // regexp chain verbatim and the md5 pins the whole extraction.
+      val planted = ld(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>T</title><style type=\"text/css\">p { color: red; }</style>" +
+          "<script>var x = 1 < 2;</script></head>\n<body><!-- nav -->\n<h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1>\n<p>"), col("text"),
+        lit(" &amp; more &amp;lt; &lt;tags&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>\n</body></html>"))
+        .as("text"))
+      TextAnalysis.stripMarkupDocs(planted, "text")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2360,7 +2376,19 @@ object SparkEntry {
        "CAST(nsw AS INT) AS n_stopwords FROM m) " +
        "SELECT doc_id, symbol_ratio, bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stopwords, " +
        "symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND n_stopwords >= 2 AS keep " +
-       "FROM r ORDER BY doc_id")
+       "FROM r ORDER BY doc_id"),
+    "q126_strip_markup" ->
+      ("WITH c AS (SELECT doc_id, '<html><head><title>T</title><style type=\"text/css\">p { color: red; }</style><script>var x = 1 < 2;</script></head>' || chr(10) || '<body><!-- nav -->' || chr(10) || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p>' || text || ' &amp; more &amp;lt; &lt;tags&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>' || chr(10) || '</body></html>' AS raw FROM documents), " +
+       "s AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(" +
+       "replace(replace(replace(replace(replace(replace(replace(" +
+       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw, " +
+       "'(?s)<!--.*?-->', '', 'g'), " +
+       "'(?is)<script\\b[^>]*>.*?</script>', '', 'g'), " +
+       "'(?is)<style\\b[^>]*>.*?</style>', '', 'g'), " +
+       "'(?s)<[^>]+>', ' ', 'g'), " +
+       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'), " +
+       "'[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'), '\\n{3,}', chr(10) || chr(10), 'g')) AS text FROM c) " +
+       "SELECT doc_id, CAST(len(text) AS INT) AS n_chars, md5(text) AS text_md5 FROM s ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

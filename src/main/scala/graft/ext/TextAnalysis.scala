@@ -1288,6 +1288,40 @@ object TextAnalysis {
         stopwords >= minStopwords).as("keep"))
   }
 
+  /**
+   * HTML/markup stripping — the text-extraction step in front of a
+   * web-corpus cleaning pipeline (the trafilatura/jusText problem
+   * reduced to its deterministic core): drops comments, `<script>`/
+   * `<style>` elements WITH their contents, then all remaining tags;
+   * unescapes the five XML entities plus `&nbsp;` (amp LAST, the
+   * standard single-pass order, so `&amp;lt;` yields the literal
+   * string `&lt;`, not a tag-char); collapses space/tab runs and
+   * 3+-newline runs. The chain is pinned — same regexes, same order —
+   * and RE2-compatible so the oracle replays it verbatim.
+   *
+   * Scale: a zero-shuffle narrow projection of codegen'd
+   * `regexp_replace`s. NULL text passes through as NULL.
+   */
+  def stripMarkup(text: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?s)<!--.*?-->" -> "",
+      "(?is)<script\\b[^>]*>.*?</script>" -> "",
+      "(?is)<style\\b[^>]*>.*?</style>" -> "",
+      "(?s)<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&",
+      "[ \\t]+" -> " ",
+      " ?\\n ?" -> "\n",
+      "\\n{3,}" -> "\n\n")
+    trim(steps.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r) })
+  }
+
+  /** [[stripMarkup]] over a frame, rebuilt in place. */
+  def stripMarkupDocs(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, stripMarkup(col(textCol)))
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -129,6 +129,10 @@ object ScaleProbeX {
       if (want("boilerplateParagraphs")) time3(s"$label boilerplateParagraphs")(
         TextAnalysis.removeBoilerplateParagraphs(docs, "text", "doc_id",
           maxDocFreq = 25))
+      if (want("stripMarkup")) time3(s"$label stripMarkup")(
+        TextAnalysis.stripMarkupDocs(docs.withColumn("text",
+          concat(lit("<html><body><!-- c --><p>"), col("text"),
+            lit(" &amp; tail</p></body></html>"))), "text"))
       if (want("gopherStructural")) time3(s"$label gopherStructural")(
         TextAnalysis.gopherStructuralFlags(docs, "text", "doc_id"))
       if (want("epochUpsample")) time3(s"$label epochUpsample")(

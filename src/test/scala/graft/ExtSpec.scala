@@ -772,6 +772,28 @@ class ExtSpec extends SparkSpec {
     assert(out(5L) == ((0.0, 0.0, 0.0, 0.0, 0, false)))
   }
 
+  test("stripMarkup: tags, script/style contents, entity order, ws collapse") {
+    val rows = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "<script>if (a < b) alert('x');</script>keep<style>h1{}</style>"),
+      (3L, "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;"),
+      (4L, "&amp;lt; stays literal"), // amp LAST: not a second unescape pass
+      (5L, "x <!-- <b>comment</b> --> y"),
+      (6L, "a   b\t\tc \n d\n\n\n\n\ne"),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkupDocs(rows, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "Hello world")
+    assert(out(2L) == "keep")
+    assert(out(3L) == "a & b <c> \"d\" 'e'")
+    assert(out(4L) == "&lt; stays literal")
+    assert(out(5L) == "x y")
+    assert(out(6L) == "a b c\nd\n\ne")
+    assert(out(7L) == null)
+  }
+
   test("bigramEntropyUnderModel: OOV bigrams score at the smoothing floor") {
     // reference corpus: bigrams (a,b):3 (b,a):1 (b,c):1, heads a:3 b:2,
     // vocab = {a,b,c} -> V=3
