@@ -1745,6 +1745,14 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).as("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+    "q127_corpus_split" -> ((s, dir) => { ensure(s)
+      // deterministic 80/10/10 train/val/test split off the content
+      // hash; the oracle replays the same cumulative-double boundaries
+      TextAnalysis.splitCorpus(ld(s, dir, "documents"), "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2388,7 +2396,12 @@ object SparkEntry {
        "'(?s)<[^>]+>', ' ', 'g'), " +
        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&'), " +
        "'[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'), '\\n{3,}', chr(10) || chr(10), 'g')) AS text FROM c) " +
-       "SELECT doc_id, CAST(len(text) AS INT) AS n_chars, md5(text) AS text_md5 FROM s ORDER BY doc_id")
+       "SELECT doc_id, CAST(len(text) AS INT) AS n_chars, md5(text) AS text_md5 FROM s ORDER BY doc_id"),
+    "q127_corpus_split" ->
+      ("WITH t AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM documents) " +
+       "SELECT doc_id, CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' " +
+       "WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val' ELSE 'test' END AS split " +
+       "FROM t ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

@@ -1322,6 +1322,35 @@ object TextAnalysis {
   def stripMarkupDocs(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, stripMarkup(col(textCol)))
 
+  /**
+   * Deterministic train/val/test corpus split: each document's
+   * content-hash draw u ∈ [0,1) (first 6 md5 hex digits) lands in the
+   * half-open interval of the cumulative `weights` (ordered as given,
+   * which must sum to 1 ± 1e-9). Content-keyed on purpose: EXACT
+   * duplicates always land in the same split, so a later exact dedup
+   * can't create train/test leakage — near-duplicates still need
+   * dedup BEFORE splitting. Re-runs, engines, and row order all agree;
+   * zero shuffle, one narrow projection.
+   */
+  def splitCorpus(df: DataFrame, textCol: String,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    val u = conv(substring(md5(col(textCol)), 1, 6), 16, 10).cast("double") /
+      lit((1L << 24).toDouble)
+    // fold cumulative bounds left-to-right (the oracle mirrors the same
+    // double additions); the last label is the unconditional else so
+    // float dust at the top boundary can't drop a row
+    val bounds = weights.init.scanLeft(0.0) { case (c, (_, w)) => c + w }.tail
+    val split = weights.init.zip(bounds).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, ((l, _), b)) =>
+        when(u < b, l).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -794,6 +794,31 @@ class ExtSpec extends SparkSpec {
     assert(out(7L) == null)
   }
 
+  test("splitCorpus: deterministic, leakage-safe for exact dupes, validated") {
+    val corpus = (1 to 400).map(i =>
+      (i.toLong, s"document body number ${i % 150}")) // 150 distinct texts
+      .toDF("doc_id", "text")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = TextAnalysis.splitCorpus(corpus, "text", w)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every doc labeled; rough proportions at n=400
+    assert(out.size == 400)
+    val byLabel = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 250)
+    // exact duplicates (same text, different id) land in the SAME split
+    (1 to 250).foreach { i =>
+      assert(out(i.toLong) == out((i + 150).toLong), s"dupe pair $i split apart")
+    }
+    // deterministic re-run
+    val again = TextAnalysis.splitCorpus(corpus, "text", w)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.splitCorpus(corpus, "text", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("bigramEntropyUnderModel: OOV bigrams score at the smoothing floor") {
     // reference corpus: bigrams (a,b):3 (b,a):1 (b,c):1, heads a:3 b:2,
     // vocab = {a,b,c} -> V=3
