@@ -50,9 +50,14 @@ object Pipeline {
   }
 
   /** One cleaning run: returns (cleaned corpus frame, per-stage
-    * [[StageReport]]). `urlCol = None` skips stage 1. */
+    * [[StageReport]]). `urlCol = None` skips stage 1;
+    * `markupStrip = true` prepends a [[TextAnalysis.stripMarkup]]
+    * extraction stage (stage 0) for corpora ingested as raw HTML —
+    * extraction must run before ANY content hashing, or two fetches of
+    * one page differing only in markup would defeat the exact stages. */
   def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
                   urlCol: Option[String] = None,
+                  markupStrip: Boolean = false,
                   boilerplateMaxDocFreq: Int = 0,
                   spanK: Int = 8,
                   minTokens: Int = 5,
@@ -71,6 +76,8 @@ object Pipeline {
     }
 
     var cur = stage("input")(docs)
+    if (markupStrip)
+      cur = stage("markup_strip")(TextAnalysis.stripMarkupDocs(cur, textCol))
     urlCol.foreach { u =>
       // rows whose URL fails to canonicalize (null / non-http(s) /
       // malformed) pass through UN-deduped: no URL evidence is not

@@ -1355,6 +1355,28 @@ class ExtSpec extends SparkSpec {
     assert(Ivf.plannedIters(0L, 16, 64, 10) == 10)
   }
 
+  test("Pipeline.cleanCorpus markupStrip: extraction precedes content hashing") {
+    import spark.implicits._
+    // docs 1 and 2 are the SAME page fetched with different markup —
+    // only a strip-first pipeline can collapse them in exact_dedup
+    val docs = Seq(
+      (1L, "<html><body><p>the shared page body content here</p></body></html>"),
+      (2L, "<html><body><div>the shared page body content here</div><!-- v2 --></body></html>"),
+      (3L, "<p>another page body entirely different words</p>")
+    ).toDF("doc_id", "text")
+    val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
+      markupStrip = true, minTokens = 3)
+    val r = report.map(s => s.stage -> s.rows).toMap
+    assert(r("markup_strip") == 3L && r("exact_dedup") == 2L,
+      s"got $r")
+    val texts = out.select("text").as[String].collect().toSet
+    assert(texts == Set("the shared page body content here",
+      "another page body entirely different words"))
+    // default stays markup-free: no stage in the report, text untouched
+    val (_, rep2) = Pipeline.cleanCorpus(docs, "text", "doc_id", minTokens = 3)
+    assert(!rep2.exists(_.stage == "markup_strip"))
+  }
+
   test("Pipeline.cleanCorpus is idempotent: a re-run on its output drops nothing") {
     // the production re-run property: applying the pipeline to an
     // already-clean corpus must be the identity (every defect class was
