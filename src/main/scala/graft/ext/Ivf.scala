@@ -95,7 +95,16 @@ object Ivf {
                                   opsBudget: Long = 2000000000000L): Int = {
     val perIter = sampleN * k.toLong * d.toLong
     if (perIter <= 0L) maxIter
-    else math.max(2, math.min(maxIter, (opsBudget / perIter).toInt))
+    else {
+      // min in LONG before narrowing: (opsBudget / perIter).toInt wraps
+      // for cheap trains (quotient > Int.MaxValue) and the old
+      // max(2, min(maxIter, negative)) silently capped exactly the
+      // trainings that could afford every iteration at 2
+      val affordable = math.min(maxIter.toLong, opsBudget / perIter).toInt
+      // floor at 2 but never ABOVE the caller's maxIter (maxIter = 1 is
+      // a legitimate cheap-refresh request, not a budget reduction)
+      math.min(maxIter, math.max(2, affordable))
+    }
   }
 
   /**

@@ -282,36 +282,73 @@ object TextAnalysis {
    * the same two-pass shape as the engine's `assignIds`, so a 100 TB
    * corpus packs with one range shuffle and no driver-side row data.
    */
+  /**
+   * The two-pass distributed prefix sum shared by [[packSequences]]
+   * (groupless) and [[tokenBudgetSelect]] (per-group): range-shuffle on
+   * (groups ++ order) for parallel local sorts — NEVER a
+   * single-partition-per-group window — then PIN the partitioning with
+   * an eager localCheckpoint (the offset pass and the cumsum pass must
+   * see identical partitions; AQE re-planning between the two actions
+   * must not re-split the range bounds), per-(partition, groups) window
+   * cumsums, per-(partition, groups) totals to the driver
+   * (O(#partitions × #groups) slim rows, never row data; `maxDriverRows`
+   * guards high-cardinality groupings loudly), and a null-safe
+   * broadcast offset join back (a NULL group is a real group — an
+   * equi-join would silently drop its rows).
+   *
+   * Returns the range-shuffled frame plus `_cum_prev` = the exact sum
+   * of `valueCol` STRICTLY BEFORE each row in its group's order.
+   */
+  private def groupedPrefixSum(slimIn: DataFrame, groupCols: Seq[String],
+                               orderCols: Seq[Column], valueCol: String,
+                               maxDriverRows: Int,
+                               guardMsg: Int => String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slim = slimIn
+      .repartitionByRange((groupCols.map(col) ++ orderCols): _*)
+      .localCheckpoint(true)
+    val withPart = slim.withColumn("_part", spark_partition_id())
+    val keys = ("_part" +: groupCols).map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPart.withColumn("_prev_local",
+      coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)))
+    val totals = withPart.groupBy(keys: _*)
+      .agg(sum(col(valueCol).cast("long")).as("_t")).collect()
+    require(totals.length <= maxDriverRows, guardMsg(totals.length))
+    val offsetRows = totals.groupBy(r => groupCols.map(r.getAs[Any]))
+      .toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Int]("_part"))
+        sorted.zip(sorted.map(_.getAs[Long]("_t")).scanLeft(0L)(_ + _).init)
+          .map { case (r, off) => org.apache.spark.sql.Row.fromSeq(
+            r.getAs[Int]("_part") +: groupCols.map(r.getAs[Any]) :+ off) }
+      }
+    val spark = slimIn.sparkSession
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1),
+      StructType(StructField("_part", IntegerType) +:
+        groupCols.map(g => withPart.schema(g).copy(name = "_g_" + g)) :+
+        StructField("_offset", LongType)))
+    val cond = ((local("_part") === offsetDf("_part")) +:
+      groupCols.map(g => local(g) <=> offsetDf("_g_" + g))).reduce(_ && _)
+    groupCols.foldLeft(
+        local.join(broadcast(offsetDf), cond).drop(offsetDf("_part"))) {
+        (d, g) => d.drop("_g_" + g) }
+      .withColumn("_cum_prev", col("_prev_local") + col("_offset"))
+      .drop("_prev_local", "_offset")
+  }
+
   def packSequences(df: DataFrame, textCol: String, idCol: String,
                     seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    import org.apache.spark.sql.expressions.Window
     // slim projection before the range shuffle: (id, n_tokens) only.
     // token_count mirrors split(trim(s),"\s+") which yields 1 for the
     // empty string; packing wants nonempty-token counts, so guard it.
     val slim = df.select(col(idCol),
         when(length(trim(col(textCol))) === 0, 0)
           .otherwise(tokenCount(col(textCol))).cast("int").as("n_tokens"))
-      .repartitionByRange(col(idCol))
-      // pin the partitioning: the offset pass and the cumsum pass must see
-      // identical partitions (AQE/re-planning between actions must not
-      // re-split the range bounds)
-      .localCheckpoint(true)
-    val withPart = slim.withColumn("_part", spark_partition_id())
-    val w = Window.partitionBy("_part").orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = withPart.withColumn("_prev_local",
-      coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
-    // O(#partitions) driver map — partition totals, never row data
-    val totals = withPart.groupBy("_part")
-      .agg(sum(col("n_tokens").cast("long")).as("_total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = totals.scanLeft(0L)(_ + _._2).init
-    val offsetDf = local.sparkSession
-      .createDataFrame(totals.map(_._1).zip(offsets).toSeq)
-      .toDF("_part", "_offset")
-    val packed = local.join(broadcast(offsetDf), Seq("_part"))
-      .withColumn("_cum_prev", col("_prev_local") + col("_offset"))
+    val packed = groupedPrefixSum(slim, Nil, Seq(col(idCol)), "n_tokens",
+        maxDriverRows = Int.MaxValue, _ => "unreachable")
       .withColumn("_last", col("_cum_prev") + col("n_tokens") - 1)
     // integer DIV, not floor(double/): exact past 2^53 tokens
     val startChunk = expr(s"_cum_prev DIV ${seqLen}L")
@@ -351,44 +388,18 @@ object TextAnalysis {
                         groupCol: String, scoreCol: String,
                         budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0L, "budgetTokens must be >= 0")
-    import org.apache.spark.sql.expressions.Window
     val slim = df.select(col(idCol), col(groupCol),
         col(scoreCol).cast("double").as("_score"),
         when(length(trim(col(textCol))) === 0, 0)
           .otherwise(tokenCount(col(textCol))).cast("long").as("n_tokens"))
-      .repartitionByRange(col(groupCol), col("_score").desc, col(idCol))
-      // pin the partitioning: the offset pass and the cumsum pass must
-      // see identical partitions (same contract as packSequences)
-      .localCheckpoint(true)
-    val withPart = slim.withColumn("_part", spark_partition_id())
-    val w = Window.partitionBy(col("_part"), col(groupCol))
-      .orderBy(col("_score").desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = withPart.withColumn("_prev_local",
-      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-    // O(#partitions x #groups) driver rows — totals, never row data
-    val totals = withPart.groupBy(col("_part"), col(groupCol))
-      .agg(sum(col("n_tokens")).as("_t"))
-      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    require(totals.length <= 1000000,
-      s"tokenBudgetSelect: ${totals.length} (partition, group) totals — " +
-      s"'$groupCol' looks like a high-cardinality key, not a source " +
-      "column; the driver offset pass is sized for sources (dozens to " +
-      "thousands). Pre-aggregate or bucket the grouping first.")
-    val offsetRows = totals.groupBy(_._2).toSeq.flatMap { case (g, parts) =>
-      val sorted = parts.sortBy(_._1)
-      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
-        .map { case (p, off) => (p, g, off) }
-    }
-    val spark = df.sparkSession
-    val offsetDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsetRows.map(r =>
-        org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
-      StructType(Seq(StructField("_part", IntegerType),
-        withPart.schema(groupCol).copy(name = groupCol),
-        StructField("_offset", LongType))))
-    local.join(broadcast(offsetDf), Seq("_part", groupCol))
-      .withColumn("cum_tokens", col("_prev_local") + col("_offset") + col("n_tokens"))
+    groupedPrefixSum(slim, Seq(groupCol),
+        Seq(col("_score").desc, col(idCol)), "n_tokens",
+        maxDriverRows = 1000000,
+        n => s"tokenBudgetSelect: $n (partition, group) totals \u2014 " +
+          s"'$groupCol' looks like a high-cardinality key, not a source " +
+          "column; the driver offset pass is sized for sources (dozens " +
+          "to thousands). Pre-aggregate or bucket the grouping first.")
+      .withColumn("cum_tokens", col("_cum_prev") + col("n_tokens"))
       .select(col(idCol), col(groupCol), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budgetTokens).as("kept"))
   }
@@ -1081,8 +1092,12 @@ object TextAnalysis {
   def alphaSourceMix(df: DataFrame, textCol: String, idCol: String,
                      sourceCol: String, targetTokens: Long): DataFrame = {
     require(targetTokens > 0, "targetTokens must be positive")
+    // empty/whitespace-only docs are 0 tokens (the raw kernel's split
+    // semantics would count 1 — same guard as tokenBudgetSelect and the
+    // oracle's nonempty-token convention)
     val withTok = df.select(col(idCol), col(sourceCol),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      when(length(trim(col(textCol))) === 0, 0L)
+        .otherwise(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
       (conv(substring(md5(col(textCol)), 1, 6), 16, 10).cast("double") /
         lit((1L << 24).toDouble)).as("_u"))
     val perSource = withTok.groupBy(col(sourceCol))
@@ -1102,7 +1117,11 @@ object TextAnalysis {
         col("_w") / col("_wsum") * lit(targetTokens.toDouble) /
           col("_src_tokens")))
       .select(col(sourceCol), col("rate"))
-    withTok.join(broadcast(rated), Seq(sourceCol))
+    // null-safe equality: a NULL-source group exists in the aggregate
+    // (missing provenance is a real corpus state), and a plain equi-join
+    // would silently drop every one of its rows from the audit frame
+    val r = rated.withColumnRenamed(sourceCol, "_rsrc")
+    withTok.join(broadcast(r), col(sourceCol) <=> col("_rsrc"))
       .select(col(idCol), col(sourceCol), col("n_tokens"),
         round(col("rate"), 6).as("rate"),
         (col("_u") < col("rate")).as("kept"))

@@ -176,8 +176,9 @@ object TextOps {
       while (k < w + n) {
         h1 = (h1 ^ th(k)) * 0x100000001b3L; glen += tc(k); k += 1
       }
-      val e = counts.get(mix64(h1))
-      if (e == null) counts.put(mix64(h1), Array(1L, glen)) else e(0) += 1
+      val key = java.lang.Long.valueOf(mix64(h1)) // one mix + one box per window
+      val e = counts.get(key)
+      if (e == null) counts.put(key, Array(1L, glen)) else e(0) += 1
       w += 1
     }
     var top = 0L; var dup = 0L

@@ -43,18 +43,38 @@ object EventStream {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isFile) p
-      else fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    val ann = try {
-      r.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType.getLogicalTypeAnnotation
-    } finally r.close()
+    // recurse one level for partitioned/nested layouts; a directory with
+    // NO parquet yet (the normal cold start of a file-source stream —
+    // readStream defined before the first batch lands) probes nothing
+    // and falls back to the plain TimestampType schema instead of
+    // crashing the stream definition
+    val file: Option[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(p).isFile) Some(p)
+      else {
+        val entries = fs.listStatus(p)
+        entries.map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .orElse(entries.filter(_.isDirectory).iterator
+            .flatMap(d => fs.listStatus(d.getPath).map(_.getPath))
+            .find(_.getName.endsWith(".parquet")))
+      }
+    val ann = file.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try Option(r.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+        .asPrimitiveType.getLogicalTypeAnnotation)
+      finally r.close()
+    }.orNull
     ann match {
       case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS =>
+        // integer `div`, not `/`: Divide on long promotes to DOUBLE, and
+        // epoch nanos (~1.7e18) exceed double's 2^53 exact range — the
+        // pre-division rounding (ulp 256 ns) would shift 1-in-32
+        // exact-microsecond instants one microsecond early after the
+        // truncating cast. The testdata's whole-hour stamps never hit
+        // it; arbitrary production nanos do.
         (withTsType(LongType),
-          df => df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType))))
+          df => df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000").cast(LongType))))
       case t: TimestampLogicalTypeAnnotation if !t.isAdjustedToUTC =>
         (withTsType(TimestampNTZType),
           df => df.withColumn("ts", col("ts").cast(TimestampType)))

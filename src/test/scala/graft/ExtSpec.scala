@@ -728,6 +728,27 @@ class ExtSpec extends SparkSpec {
     assert(dropped == 0L)
   }
 
+  test("mixing ops keep NULL-source rows and 0-token empty docs") {
+    // missing provenance is a real corpus state: NULL sources must come
+    // back annotated (their own group), never vanish in an equi-join
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "delta epsilon", "s1"),
+      (3L, "zeta eta theta iota", null.asInstanceOf[String]),
+      (4L, "   ", "s1") // whitespace-only: 0 tokens, not 2
+    ).toDF("doc_id", "text", "src")
+    val mix = TextAnalysis.alphaSourceMix(corpus, "text", "doc_id", "src",
+      targetTokens = 100L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(mix.size == 4, s"rows lost: ${mix.keySet}")
+    assert(mix(3L)._1 == null && mix(3L)._2 == 4L)
+    assert(mix(4L)._2 == 0L)
+    val sel = TextAnalysis.tokenBudgetSelect(
+      corpus.withColumn("score", col("doc_id").cast("double")),
+      "text", "doc_id", "src", "score", budgetTokens = 100L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(sel == Set(1L, 2L, 3L, 4L), s"rows lost: $sel")
+  }
+
   test("perplexityBuckets: rank terciles per lang, remainder to head, nulls unscored") {
     val scores = Seq(
       (1L, "en", 5.0), (2L, "en", 1.0), (3L, "en", 3.0), (4L, "en", 2.0),
@@ -1353,6 +1374,12 @@ class ExtSpec extends SparkSpec {
     assert(Ivf.plannedIters(100000L, 16384, 64, 10, opsBudget = 1L) == 2)
     // degenerate sample never divides by zero
     assert(Ivf.plannedIters(0L, 16, 64, 10) == 10)
+    // tiny train: quotient 2e10 overflows Int — must stay at maxIter,
+    // not wrap negative and collapse to the floor
+    assert(Ivf.plannedIters(10L, 2, 5, 10) == 10)
+    // explicit maxIter below the floor is a cheap-refresh request, not a
+    // budget reduction: honored, never raised to 2
+    assert(Ivf.plannedIters(100000L, 16384, 64, 1) == 1)
   }
 
   test("Pipeline.cleanCorpus markupStrip: extraction precedes content hashing") {

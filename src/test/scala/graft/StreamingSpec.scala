@@ -43,6 +43,17 @@ class StreamingSpec extends SparkSpec {
     assert(a.head.getTimestamp(1).toInstant.getEpochSecond == 1704067200L)
   }
 
+  test("read() on an empty events dir defines the stream (cold start)") {
+    // a file-source stream is routinely defined BEFORE its first batch
+    // lands; with nothing to probe, tsReadPlan must fall back to the
+    // plain TimestampType schema instead of crashing the definition
+    val emptyDir = tmpDir("evt-empty")
+    val stream = EventStream.read(spark, emptyDir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming windowed stats over events dir == batch equivalent") {
     val dir = "/root/testdata/sf0.001/events.parquet"
     val batch = EventStream.windowedStatsBatch(
