@@ -1753,6 +1753,22 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
+    }),
+    "q128_hybrid_rrf" -> ((s, dir) => { ensure(s)
+      // hybrid retrieval: BM25 keyword head (same three terms as q96)
+      // fused with an exact-cosine head (query = embedding of vec_id 7,
+      // self included — it pins cos_rank 1) via Reciprocal Rank Fusion.
+      // doc_id and vec_id share the same id space by testdata
+      // construction, so the fusion join is an id join. The head ranks
+      // are deterministic (6 dp bm25 / cosine, id-asc ties) and the
+      // fused score is rank arithmetic only — the oracle replays both
+      // heads and the exact coalesce(bm)+coalesce(cos) sum.
+      Similarity.hybridRrfTopK(
+        ld(s, dir, "documents"), "text", "doc_id", Seq("join", "spark", "dup"),
+        ld(s, dir, "embeddings"), "vec_id", "embedding",
+        ld(s, dir, "embeddings").filter(col("vec_id") === 7), "embedding",
+        k = 20, rrfK = 60, nCand = 50)
+        .orderBy("doc_id")
     })
   )
 
@@ -2401,7 +2417,20 @@ object SparkEntry {
       ("WITH t AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM documents) " +
        "SELECT doc_id, CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' " +
        "WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val' ELSE 'test' END AS split " +
-       "FROM t ORDER BY doc_id")
+       "FROM t ORDER BY doc_id"),
+    "q128_hybrid_rrf" ->
+      (bm25OracleCore +
+       ", bc AS (SELECT cand_id, CAST(ROW_NUMBER() OVER (ORDER BY bm DESC, cand_id ASC) AS INT) AS bm25_rank " +
+       "FROM (SELECT doc_id AS cand_id, bm25 AS bm FROM r WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id ASC LIMIT 50)), " +
+       "cc AS (SELECT cand_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, cand_id ASC) AS INT) AS cos_rank " +
+       "FROM (SELECT c.vec_id AS cand_id, list_cosine_similarity(c.embedding, " +
+       "(SELECT embedding FROM embeddings WHERE vec_id = 7)) AS cos FROM embeddings c " +
+       "WHERE list_cosine_similarity(c.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 7)) IS NOT NULL " +
+       "ORDER BY cos DESC, c.vec_id ASC LIMIT 50)) " +
+       "SELECT * FROM (SELECT COALESCE(bc.cand_id, cc.cand_id) AS doc_id, bc.bm25_rank, cc.cos_rank, " +
+       "round(COALESCE(1.0 / (60 + bc.bm25_rank), 0.0) + COALESCE(1.0 / (60 + cc.cos_rank), 0.0), 6) AS rrf " +
+       "FROM bc FULL OUTER JOIN cc ON bc.cand_id = cc.cand_id " +
+       "ORDER BY rrf DESC, doc_id ASC LIMIT 20) ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

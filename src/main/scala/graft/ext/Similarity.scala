@@ -450,4 +450,75 @@ object Similarity {
   def dequantizeInt8(qVec: org.apache.spark.sql.Column,
                      scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(qVec, q => q.cast("double") * scale)
+
+  /**
+   * Hybrid keyword+vector retrieval fused by Reciprocal Rank Fusion
+   * (Cormack, Clarke & Buettcher, SIGIR 2009): the BM25 keyword head
+   * ([[TextAnalysis.bm25Scores]] over `terms`) and the exact-cosine
+   * vector head (against ONE broadcast query vector) each produce a
+   * bounded top-`nCand` candidate list, and the fused score is the
+   * calibration-free rank sum RRF(d) = Σ_heads 1/(rrfK + rank_head(d)).
+   * This is the "hybrid search" primitive of OpenSearch / Vespa /
+   * LanceDB: no score normalization across heterogeneous retrievers,
+   * ranks only. A document missing from one head contributes only the
+   * head it appears in (standard RRF — absent list = no term), and its
+   * missing rank column stays NULL so the partial evidence is visible.
+   *
+   * `query` must be a single-row frame carrying the query vector in
+   * `queryVecCol` (e.g. `embeddings.filter($"vec_id" === 7)`); rows
+   * with a NULL vector or beyond the first are refused loudly rather
+   * than silently fused into one ranking.
+   *
+   * Scale: both heads end in `orderBy.limit(nCand)` =
+   * TakeOrderedAndProject — bounded per-partition heaps merged on the
+   * driver, never a global sort; the corpus is scanned once per head
+   * with zero shuffle of text or vectors. The rank windows and the
+   * full-outer fusion join run on ≤ nCand rows per side (single
+   * in-memory partition by design — that is the bound, not an
+   * accident). Scores are pinned for cross-engine replay: bm25 is
+   * 6 dp-rounded before ranking (its own contract), ranks are exact
+   * ints, and the fused score rounds to 6 dp with id-asc tiebreak.
+   */
+  def hybridRrfTopK(docs: DataFrame, textCol: String, idCol: String,
+                    terms: Seq[String],
+                    vectors: DataFrame, vecIdCol: String, vecCol: String,
+                    query: DataFrame, queryVecCol: String,
+                    k: Int = 10, rrfK: Int = 60, nCand: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1, got k=$k nCand=$nCand")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    // single-query contract enforced in-plan: a 2nd row or a NULL vector
+    // would silently corrupt the cosine ranking, so fail loudly instead.
+    // The asserts ride INSIDE the kept column (assert_true yields NULL on
+    // success, so coalesce falls through to the vector) — as standalone
+    // projected-then-dropped columns Catalyst prunes them away unevaluated
+    val q1 = broadcast(query.limit(2)
+      .select(col(queryVecCol).as("_qv0"))
+      .select(coalesce(
+        assert_true(count(lit(1)).over(Window.partitionBy(lit(1))) === 1,
+          lit("hybridRrfTopK: query must be exactly one row")),
+        assert_true(col("_qv0").isNotNull,
+          lit("hybridRrfTopK: query vector is NULL")),
+        col("_qv0")).as("_qv")))
+    val wBm = Window.orderBy(col("_bm").desc, col("_id").asc)
+    val bmCand = TextAnalysis.bm25Scores(docs, textCol, idCol, terms)
+      .select(col(idCol).as("_id"), col("bm25").as("_bm"))
+      .orderBy(col("_bm").desc, col("_id").asc).limit(nCand)
+      .select(col("_id"), row_number().over(wBm).cast("int").as("bm25_rank"))
+    val wCos = Window.orderBy(col("_cos").desc, col("_id").asc)
+    val cosCand = vectors
+      .select(col(vecIdCol).as("_id"), col(vecCol).as("_cv"))
+      .crossJoin(q1)
+      .select(col("_id"), cosine_sim(col("_cv"), col("_qv")).as("_cos"))
+      .filter(col("_cos").isNotNull)
+      .orderBy(col("_cos").desc, col("_id").asc).limit(nCand)
+      .select(col("_id"), row_number().over(wCos).cast("int").as("cos_rank"))
+    bmCand.join(cosCand, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol), col("bm25_rank"), col("cos_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("cos_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc).limit(k)
+  }
 }

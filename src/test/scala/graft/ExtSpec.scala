@@ -1763,6 +1763,52 @@ class ExtSpec extends SparkSpec {
           "update the q98 oracle to match")
     }
   }
+
+  test("hybridRrfTopK: hand-computed fusion, missing modalities, query contract") {
+    val docs = Seq(
+      (1L, "spark spark spark"),     // keyword head only
+      (2L, "spark join"),            // both heads
+      (3L, "nothing relevant here"), // vector head only
+      (4L, "also irrelevant")        // neither (bm25 = 0, NULL embedding)
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, null.asInstanceOf[Array[Float]]),
+      (7L, Array(1.0f, 0.0f))        // the query vector row
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hybridRrfTopK(docs, "text", "doc_id",
+      Seq("spark", "join"),
+      vecs.filter($"vec_id" =!= 7L), "vec_id", "embedding",
+      vecs.filter($"vec_id" === 7L), "embedding",
+      k = 10, rrfK = 60, nCand = 10).collect()
+    // hand-computed heads: bm25 ranks doc2 (two matched terms) over
+    // doc1; cosine ranks doc2 (cos 1.0) over doc3; doc4 is in neither
+    val got = out.map(r => (r.getAs[Long]("doc_id"),
+      Option(r.getAs[Integer]("bm25_rank")).map(_.toInt),
+      Option(r.getAs[Integer]("cos_rank")).map(_.toInt),
+      r.getAs[Double]("rrf")))
+    assert(got.toSeq == Seq(
+      (2L, Some(1), Some(1), math.rint(2.0 / 61.0 * 1e6) / 1e6),
+      (1L, Some(2), None, math.rint(1.0 / 62.0 * 1e6) / 1e6),
+      (3L, None, Some(2), math.rint(1.0 / 62.0 * 1e6) / 1e6)))
+    // the rrf tie between doc1 and doc3 breaks id-asc — pinned above
+    // single-row query contract: 2 rows or a NULL vector fail loudly
+    val twoRows = intercept[Exception] {
+      Similarity.hybridRrfTopK(docs, "text", "doc_id", Seq("spark"),
+        vecs, "vec_id", "embedding",
+        vecs.filter($"vec_id".isin(2L, 3L)), "embedding", k = 5).collect()
+    }
+    assert(twoRows.getMessage.contains("exactly one row") ||
+      Option(twoRows.getCause).exists(_.getMessage.contains("exactly one row")))
+    val nullVec = intercept[Exception] {
+      Similarity.hybridRrfTopK(docs, "text", "doc_id", Seq("spark"),
+        vecs, "vec_id", "embedding",
+        vecs.filter($"vec_id" === 4L), "embedding", k = 5).collect()
+    }
+    assert(nullVec.getMessage.contains("query vector is NULL") ||
+      Option(nullVec.getCause).exists(_.getMessage.contains("query vector is NULL")))
+  }
 }
 
 object ExtSpec {
