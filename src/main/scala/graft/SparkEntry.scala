@@ -1769,6 +1769,32 @@ object SparkEntry {
         ld(s, dir, "embeddings").filter(col("vec_id") === 7), "embedding",
         k = 20, rrfK = 60, nCand = 50)
         .orderBy("doc_id")
+    }),
+    "q129_domain_blocklist" -> ((s, dir) => { ensure(s)
+      import s.implicits._
+      // UT1-style domain blocklist: URLs synthesized by modulus (null
+      // %10=0, subdomain + userinfo + explicit :443 %10=1, mixed-case
+      // host otherwise), list carries a nested pair (site6.ex0.com AND
+      // sub.site6.ex0.com — deepest must win) plus two substring traps
+      // (x0.com, ample.com) that label-boundary matching must NOT hit.
+      // The oracle never parses URLs: hosts derive from the same
+      // modulus arithmetic.
+      val g = (col("doc_id") % 25).cast("string")
+      val fam = (col("doc_id") % 3).cast("string")
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 10 === 1,
+            concat(lit("https://User@sub.site"), g, lit(".ex"), fam,
+              lit(".com:443/p")))
+          .otherwise(concat(lit("http://site"), g, lit(".EX"), fam,
+            lit(".com/x"))).as("url"))
+      val blocked = Seq("ex1.com", "site4.ex2.com", "site6.ex0.com",
+        "sub.site6.ex0.com", "x0.com", "ample.com").toDF("domain")
+      TextAnalysis.domainBlocklistFlags(docs, "url", "doc_id",
+          blocked, "domain")
+        .select(col("doc_id"), col("host"), col("blocked_domain"),
+          col("blocked_domain").isNotNull.as("blocked"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2430,7 +2456,16 @@ object SparkEntry {
        "SELECT * FROM (SELECT COALESCE(bc.cand_id, cc.cand_id) AS doc_id, bc.bm25_rank, cc.cos_rank, " +
        "round(COALESCE(1.0 / (60 + bc.bm25_rank), 0.0) + COALESCE(1.0 / (60 + cc.cos_rank), 0.0), 6) AS rrf " +
        "FROM bc FULL OUTER JOIN cc ON bc.cand_id = cc.cand_id " +
-       "ORDER BY rrf DESC, doc_id ASC LIMIT 20) ORDER BY doc_id")
+       "ORDER BY rrf DESC, doc_id ASC LIMIT 20) ORDER BY doc_id"),
+    "q129_domain_blocklist" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN NULL " +
+       "WHEN doc_id % 10 = 1 THEN 'sub.site' || CAST(doc_id % 25 AS VARCHAR) || '.ex' || CAST(doc_id % 3 AS VARCHAR) || '.com' " +
+       "ELSE 'site' || CAST(doc_id % 25 AS VARCHAR) || '.ex' || CAST(doc_id % 3 AS VARCHAR) || '.com' END AS host FROM documents), " +
+       "b(domain) AS (VALUES ('ex1.com'), ('site4.ex2.com'), ('site6.ex0.com'), ('sub.site6.ex0.com'), ('x0.com'), ('ample.com')), " +
+       "m AS (SELECT doc_id, max_by(domain, len(domain)) AS blocked_domain FROM t JOIN b " +
+       "ON t.host = b.domain OR t.host LIKE '%.' || b.domain GROUP BY doc_id) " +
+       "SELECT t.doc_id, t.host, m.blocked_domain, m.blocked_domain IS NOT NULL AS blocked " +
+       "FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

@@ -738,6 +738,64 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), host, rest6))
   }
 
+  /** Lowercased host of an http(s) URL: authority minus RFC 3986
+    * userinfo and any explicit port; NULL for non-http(s) input. */
+  private[ext] def urlHost(url: Column): Column = {
+    val authority = lower(regexp_extract(url, "(?i)^https?://([^/?#]+).*", 1))
+    val hostPort = regexp_replace(authority, "^[^@]*@", "")
+    val h = regexp_replace(hostPort, ":[0-9]+$", "")
+    when(h === "", lit(null).cast("string")).otherwise(h)
+  }
+
+  /**
+   * Domain-blocklist annotation — the UT1-blocklist stage of
+   * RefinedWeb-shaped pipelines (Penedo et al. 2023 §3.1 run the
+   * Université de Toulouse adult/fraud domain lists): a doc is blocked
+   * when its URL's host IS a listed domain or a SUBDOMAIN of one.
+   * Matching is on label boundaries only — host == d, or host ends with
+   * "." + d — never substring (`notexample.com` survives a block on
+   * `example.com`). Every input row comes back annotated:
+   * `host` (NULL for non-http(s)/NULL URLs — unattributable rows are
+   * visibly unmatched, not dropped) and `blocked_domain` (the matched
+   * list entry, deepest match when several nest, NULL when clean).
+   * [[blockByDomain]] applies the keep filter.
+   *
+   * Scale: the host explodes into its dot-suffix chain (≤ ~10 labels a
+   * host, slim (id, suffix) rows) and the list joins on the EXACT
+   * suffix — a broadcast hash join for any real blocklist (UT1 ≈ 4M
+   * domains ≈ 100 MB serialized, inside broadcast range; a bigger list
+   * degrades to a shuffle join on the slim suffix key by dropping the
+   * broadcast hint). No per-row O(|list|) scan and no regex
+   * alternation over millions of domains; the deepest-match rollup is
+   * a map-side-combined max over ≤ labels rows per doc.
+   */
+  def domainBlocklistFlags(df: DataFrame, urlCol: String, idCol: String,
+                           blocked: DataFrame, domainCol: String): DataFrame = {
+    val b = broadcast(blocked.select(lower(trim(col(domainCol))).as("_bd")).distinct())
+    val labels = split(urlHost(col(urlCol)), "\\.")
+    val suffixes = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+    val matched = df
+      .select(col(idCol).as("_id"),
+        explode(when(urlHost(col(urlCol)).isNull, array().cast("array<string>"))
+          .otherwise(suffixes)).as("_suffix"))
+      .join(b, col("_suffix") === col("_bd"))
+      .groupBy(col("_id"))
+      .agg(max(struct(length(col("_bd")).as("l"), col("_bd").as("d")))
+        .getField("d").as("blocked_domain"))
+    df.withColumn("host", urlHost(col(urlCol)))
+      .join(matched, df(idCol) === col("_id"), "left")
+      .drop("_id")
+  }
+
+  /** Keep-side of [[domainBlocklistFlags]]: rows whose host matches no
+    * blocklist entry (NULL-host rows kept — see the flags contract). */
+  def blockByDomain(df: DataFrame, urlCol: String, idCol: String,
+                    blocked: DataFrame, domainCol: String): DataFrame =
+    domainBlocklistFlags(df, urlCol, idCol, blocked, domainCol)
+      .filter(col("blocked_domain").isNull)
+      .drop("host", "blocked_domain")
+
   /**
    * URL-level dedup rollup: one row per [[canonicalizeUrl]] group —
    * (canonical_url, n_docs, keeper_id = min id), rows whose URL fails

@@ -1764,6 +1764,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("domainBlocklistFlags: label boundaries, deepest match, NULL-host kept") {
+    val rows = Seq(
+      (1L, "https://bad.example.com/x"),        // subdomain of blocked
+      (2L, "https://example.com/x"),            // exact blocked
+      (3L, "https://notexample.com/x"),         // substring trap - clean
+      (4L, "https://a.deep.bad.example.com/x"), // deepest of two nested
+      (5L, null.asInstanceOf[String]),          // NULL url - kept, host NULL
+      (6L, "ftp://example.com/x"),              // non-http(s) - host NULL
+      (7L, "https://User:pw@WWW.Example.COM:8443/x"), // userinfo+case+port
+      (8L, "https://clean.org/x")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("example.com", "bad.example.com").toDF("domain")
+    val flags = TextAnalysis.domainBlocklistFlags(rows, "url", "doc_id",
+        blocked, "domain")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("host")), Option(r.getAs[String]("blocked_domain"))))
+      .toMap
+    assert(flags(1L) == (Some("bad.example.com"), Some("bad.example.com")))
+    assert(flags(2L) == (Some("example.com"), Some("example.com")))
+    assert(flags(3L) == (Some("notexample.com"), None))
+    assert(flags(4L) == (Some("a.deep.bad.example.com"), Some("bad.example.com")))
+    assert(flags(5L) == (None, None))
+    assert(flags(6L) == (None, None))
+    // userinfo stripped, www NOT stripped here (host identity), port gone
+    assert(flags(7L) == (Some("www.example.com"), Some("example.com")))
+    assert(flags(8L) == (Some("clean.org"), None))
+    val kept = TextAnalysis.blockByDomain(rows, "url", "doc_id",
+      blocked, "domain").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 5L, 6L, 8L))
+  }
+
   test("hybridRrfTopK: hand-computed fusion, missing modalities, query contract") {
     val docs = Seq(
       (1L, "spark spark spark"),     // keyword head only
