@@ -1795,6 +1795,26 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("blocked_domain"),
           col("blocked_domain").isNotNull.as("blocked"))
         .orderBy("doc_id")
+    }),
+    "q130_normalize_text" -> ((s, dir) => { ensure(s)
+      // Unicode normalization chain: plant (by doc_id % 4) a combining
+      // acute that NFC must compose, an NBSP + CRLF + ZWSP cluster, a
+      // BEL control + tab/space runs, and an untouched row. The oracle
+      // replays the identical construction with chr() codepoints and
+      // the identical pinned regexp chain on DuckDB's nfc_normalize.
+      val planted = when(col("doc_id") % 4 === 0,
+          concat(lit("Cafe"), lit("\u0301"), lit("  x "), col("text")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("A"), lit("\u00A0"), lit("B\r\nC"), lit("\u200B"),
+            lit(" "), col("text")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("\u0007"), col("text"), lit("\ttab  run ")))
+        .otherwise(col("text"))
+      TextAnalysis.normalizeDocs(
+          ld(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+          "text")
+        .select(col("doc_id"), col("text").as("text_norm"), col("changed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2465,7 +2485,19 @@ object SparkEntry {
        "m AS (SELECT doc_id, max_by(domain, len(domain)) AS blocked_domain FROM t JOIN b " +
        "ON t.host = b.domain OR t.host LIKE '%.' || b.domain GROUP BY doc_id) " +
        "SELECT t.doc_id, t.host, m.blocked_domain, m.blocked_domain IS NOT NULL AS blocked " +
-       "FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id")
+       "FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id"),
+    "q130_normalize_text" ->
+      ("WITH c AS (SELECT doc_id, CASE " +
+       "WHEN doc_id % 4 = 0 THEN 'Cafe' || chr(769) || '  x ' || text " +
+       "WHEN doc_id % 4 = 1 THEN 'A' || chr(160) || 'B' || chr(13) || chr(10) || 'C' || chr(8203) || ' ' || text " +
+       "WHEN doc_id % 4 = 2 THEN chr(7) || text || chr(9) || 'tab  run ' " +
+       "ELSE text END AS t0 FROM documents), " +
+       "n AS (SELECT doc_id, t0, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(t0), " +
+       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F' || chr(8203) || chr(65279) || ']', '', 'g'), " +
+       "chr(13) || chr(10) || '?', chr(10), 'g'), " +
+       "'[' || chr(160) || chr(8199) || chr(8239) || ']', ' ', 'g'), " +
+       "'[ ' || chr(9) || ']+', ' ', 'g')) AS text_norm FROM c) " +
+       "SELECT doc_id, text_norm, text_norm <> t0 AS changed FROM n ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

@@ -1400,6 +1400,46 @@ object TextAnalysis {
     df.withColumn(textCol, stripMarkup(col(textCol)))
 
   /**
+   * Unicode text normalization — the fix-encoding stage every web-crawl
+   * pipeline runs before hashing or tokenizing (CCNet normalizes before
+   * dedup hashing for exactly this reason): the SAME visible text must
+   * produce the SAME bytes, or exact/line/span dedup silently misses
+   * `Caf\u00E9` vs `Cafe\u0301` (composed vs combining-mark) and
+   * `A B` vs `A\u00A0B` (NBSP) twins. A PINNED chain, applied in order:
+   *   1. NFC canonical composition ([[TextFunctions.nfc_normalize]],
+   *      codegen'd JDK Normalizer — UAX #15, identity on ASCII);
+   *   2. strip C0 controls except \t \n \r, DEL, and the zero-width
+   *      marks ZWSP U+200B / BOM U+FEFF;
+   *   3. line endings: \r\n and bare \r → \n;
+   *   4. no-break spaces (U+00A0, U+2007, U+202F) → plain space;
+   *   5. runs of spaces/tabs → one space;
+   *   6. trim.
+   * Order matters (NBSP must become space BEFORE the run-collapse; NFC
+   * runs first so later classes see composed chars) — re-pin the oracle
+   * if any step moves. Idempotent: a second pass is the identity.
+   * Scale: one narrow codegen'd projection per row, no shuffle; the
+   * NFC step allocates only for non-ASCII non-NFC rows (rare in web
+   * text), the regexp steps are the same per-row cost as [[stripMarkup]].
+   */
+  def normalizeText(text: Column): Column = {
+    val n0 = nfc_normalize(text)
+    val n1 = regexp_replace(n0,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\uFEFF]", "")
+    val n2 = regexp_replace(n1, "\\r\\n?", "\n")
+    val n3 = regexp_replace(n2, "[\\u00A0\\u2007\\u202F]", " ")
+    val n4 = regexp_replace(n3, "[ \\t]+", " ")
+    trim(n4)
+  }
+
+  /** [[normalizeText]] over a frame: text rebuilt in place plus a
+    * `changed` flag (cheap provenance: how much of the corpus was
+    * byte-shifted by normalization is a standard pipeline health stat). */
+  def normalizeDocs(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_norm", normalizeText(col(textCol)))
+      .withColumn("changed", !(col("_norm") <=> col(textCol)))
+      .withColumn(textCol, col("_norm")).drop("_norm")
+
+  /**
    * Deterministic train/val/test corpus split: each document's
    * content-hash draw u ∈ [0,1) (first 6 md5 hex digits) lands in the
    * half-open interval of the cumulative `weights` (ordered as given,

@@ -108,6 +108,19 @@ case class SortedOverlap(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.nfcNormalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ext.TextOps.nfcNormalize($s)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -255,6 +268,7 @@ object TextFunctions {
   def sig_similarity(a: Column, b: Column): Column = call_function("sig_similarity", a, b)
   def sorted_overlap(a: Column, b: Column): Column = call_function("sorted_overlap", a, b)
   def simhash64(text: Column): Column = call_function("simhash64", text)
+  def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
   def lang_id(text: Column): Column = call_function("lang_id", text)
@@ -278,6 +292,7 @@ object TextFunctions {
     "sig_similarity" -> { case Seq(a, b) => SigSimilarity(a, b) },
     "sorted_overlap" -> { case Seq(a, b) => SortedOverlap(a, b) },
     "simhash64" -> { case Seq(a) => SimHash64(a) },
+    "nfc_normalize" -> { case Seq(a) => NfcNormalizeExpr(a) },
     "hamming64" -> { case Seq(a, b) => Hamming64(a, b) },
     "fingerprint64" -> { case Seq(a) => Fingerprint64(a) },
     "lang_id" -> { case Seq(a) => LangId(a) },

@@ -397,6 +397,22 @@ object TextOps {
     UTF8String.fromString(best)
   }
 
+  /**
+   * Unicode NFC canonical composition (java.text.Normalizer — the JDK's
+   * implementation of UAX #15, the same public spec DuckDB's
+   * nfc_normalize implements). ASCII fast path: NFC is the identity on
+   * ASCII, so the common case skips the UTF8String→String decode
+   * entirely; non-ASCII strings that are ALREADY NFC (most real text)
+   * return the input buffer after the isNormalized scan, no re-encode.
+   */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    if (text.isFullAscii) return text
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   // ---- float-vector kernels (embeddings are ArrayType(FloatType)) ----
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

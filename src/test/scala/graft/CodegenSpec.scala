@@ -88,10 +88,12 @@ class CodegenSpec extends SparkSpec {
           minhash_sig(char_shingles($"t", lit(3)), lit(16))),
         cosine_sim($"v1", $"v2"), dot_product($"v1", $"v2"),
         hyperplane_sig($"v1", lit(8), lit(42L)),
-        word_shingle_pairs($"t", lit(2)))
+        word_shingle_pairs($"t", lit(2)),
+        nfc_normalize(concat($"t", lit("e\u0301"))))
         .head()
       assert(row.getInt(0) == 4)
       assert(row.getInt(1) == 1)   // token_occurrences of "quick"
+      assert(row.getString(15) == "the quick brown fox\u00E9")
       assert(row.getInt(6) == 0)   // hamming with itself
       assert(row.getDouble(10) == 1.0) // sig similarity with itself
       assert(math.abs(row.getDouble(12) - 0.6) < 1e-6)

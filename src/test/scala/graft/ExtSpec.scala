@@ -1795,6 +1795,30 @@ class ExtSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 5L, 6L, 8L))
   }
 
+  test("normalizeText: NFC, control strip, CRLF, NBSP, collapse, idempotent") {
+    val normCases = Seq(
+      ("Cafe\u0301", "Caf\u00E9"),                  // NFC composes
+      ("A\u00A0B", "A B"),                          // NBSP -> space
+      ("a\r\nb\rc", "a\nb\nc"),                     // CRLF and bare CR
+      ("x\u0007y\u007Fz\u200B\uFEFFw", "xyzw"),     // BEL, DEL, ZWSP, BOM
+      ("a\t\t b   c", "a b c"),                     // run collapse
+      ("  padded  ", "padded"),                     // trim
+      ("plain ascii text", "plain ascii text"),     // identity
+      ("keep\nnewlines\nintact", "keep\nnewlines\nintact"))
+    val df = normCases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }.toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeDocs(df, "text")
+      .orderBy("doc_id").collect()
+    out.zip(normCases).foreach { case (r, (in, want)) =>
+      assert(r.getAs[String]("text") == want, s"input ${in.map(_.toInt)}")
+      assert(r.getAs[Boolean]("changed") == (in != want))
+    }
+    // idempotence: a second pass over normalized output changes nothing
+    val once = TextAnalysis.normalizeDocs(df, "text").drop("changed")
+    val twice = TextAnalysis.normalizeDocs(once, "text")
+    assert(twice.filter(col("changed")).count() == 0)
+  }
+
   test("hybridRrfTopK: hand-computed fusion, missing modalities, query contract") {
     val docs = Seq(
       (1L, "spark spark spark"),     // keyword head only
