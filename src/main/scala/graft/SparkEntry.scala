@@ -1815,6 +1815,18 @@ object SparkEntry {
           "text")
         .select(col("doc_id"), col("text").as("text_norm"), col("changed"))
         .orderBy("doc_id")
+    }),
+    "q131_dsir_resample" -> ((s, dir) => { ensure(s)
+      // DSIR: target = every doc_id % 10 = 3 document, raw = the whole
+      // corpus; hashed uni+bigram buckets (md5 24-bit prefix mod 4096),
+      // Laplace alpha = 1, Gumbel-top-100 with the salted deterministic
+      // draw. The oracle recomputes both distributions, every per-doc
+      // log-weight sum at 6 dp, and the same rounded-key ranking.
+      val docs = ld(s, dir, "documents")
+      TextAnalysis.dsirResample(docs, "text", "doc_id",
+          docs.filter(col("doc_id") % 10 === 3), "text",
+          k = 100, buckets = 4096, alpha = 1.0)
+        .orderBy("doc_id")
     })
   )
 
@@ -2497,7 +2509,24 @@ object SparkEntry {
        "chr(13) || chr(10) || '?', chr(10), 'g'), " +
        "'[' || chr(160) || chr(8199) || chr(8239) || ']', ' ', 'g'), " +
        "'[ ' || chr(9) || ']+', ' ', 'g')) AS text_norm FROM c) " +
-       "SELECT doc_id, text_norm, text_norm <> t0 AS changed FROM n ORDER BY doc_id")
+       "SELECT doc_id, text_norm, text_norm <> t0 AS changed FROM n ORDER BY doc_id"),
+    "q131_dsir_resample" ->
+      ("WITH ctk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents), " +
+       "cg AS (SELECT doc_id, unnest(list_concat(w, CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END)) AS g FROM ctk), " +
+       "cb AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 6) AS INTEGER) % 4096 AS b FROM cg), " +
+       "ttk AS (SELECT w FROM ctk WHERE doc_id % 10 = 3), " +
+       "tg AS (SELECT unnest(list_concat(w, CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END)) AS g FROM ttk), " +
+       "tb AS (SELECT CAST('0x' || substr(md5(g), 1, 6) AS INTEGER) % 4096 AS b FROM tg), " +
+       "qd AS (SELECT b, CAST(count(*) AS DOUBLE) AS cq FROM cb GROUP BY b), " +
+       "pd AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM tb GROUP BY b), " +
+       "tot AS (SELECT (SELECT sum(cq) FROM qd) AS qq, (SELECT COALESCE(sum(ct), 0.0) FROM pd) AS tt), " +
+       "lr AS (SELECT qd.b, ln(COALESCE(pd.ct, 0.0) + 1.0) - ln(tot.tt + 4096.0) - ln(qd.cq + 1.0) + ln(tot.qq + 4096.0) AS lw FROM qd LEFT JOIN pd USING (b), tot), " +
+       "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(sum(lw), 6) AS dsir_logw FROM cb JOIN lr USING (b) GROUP BY doc_id), " +
+       "al AS (SELECT d.doc_id, COALESCE(dw.n_grams, 0) AS n_grams, COALESCE(dw.dsir_logw, 0.0) AS dsir_logw, " +
+       "round(-ln(-ln((CAST('0x' || substr(md5('dsir:' || d.text), 1, 6) AS INTEGER) + 0.5) / 16777216.0)), 6) AS gn " +
+       "FROM documents d LEFT JOIN dw USING (doc_id)) " +
+       "SELECT * FROM (SELECT doc_id, n_grams, dsir_logw, round(dsir_logw + gn, 6) AS gumbel_key " +
+       "FROM al ORDER BY dsir_logw + gn DESC, doc_id ASC LIMIT 100) ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

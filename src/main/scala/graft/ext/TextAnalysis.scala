@@ -1468,6 +1468,110 @@ object TextAnalysis {
     df.withColumn("split", split)
   }
 
+  /** Slim (id, bucket) hashed-ngram feature stream shared by the DSIR
+    * pair: word unigrams + space-joined bigrams, md5-24-bit-prefix
+    * bucketed (the engine-portable hash every deterministic draw in
+    * this file uses) — one narrow explode per doc, int rows only. */
+  private def hashedGramBuckets(df: DataFrame, textCol: String,
+                                idExpr: Column, buckets: Int): DataFrame = {
+    val toks = df.select(idExpr.as("id"), wordTokens(col(textCol)).as("w"))
+    val unis = toks.select(col("id"), explode(col("w")).as("g"))
+    val bis = toks.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+    unis.union(bis)
+      .select(col("id"), (conv(substring(md5(col("g")), 1, 6), 16, 10)
+        .cast("long") % buckets).cast("int").as("b"))
+  }
+
+  /**
+   * DSIR importance log-weights (Xie et al., NeurIPS 2023 — "Data
+   * Selection for Language Models via Importance Resampling", a public
+   * paper; the data-selection method behind several open LLM corpora):
+   * featurize documents as bags of hashed word uni+bigrams over
+   * `buckets` buckets, fit Laplace-smoothed categorical distributions
+   * p-hat over the TARGET corpus (the domain you want more of — a wiki
+   * or benchmark sample) and q-hat over the raw corpus itself, and
+   * score every raw document with
+   *   logw(d) = SUM_g [ln p-hat(h(g)) - ln q-hat(h(g))]
+   *           = SUM_g [ln(ct_b + a) - ln(T + aB) - ln(cq_b + a) + ln(Q + aB)].
+   * Output: (idCol, n_grams, dsir_logw 6 dp); a doc with NO grams
+   * (empty/whitespace text) is pinned to n_grams = 0, logw = 0.0 — no
+   * evidence is neutral, not a rejection.
+   *
+   * Scale: the gram stream is slim (id, int-bucket) rows; both
+   * distributions aggregate map-side to <= `buckets` rows and the
+   * log-ratio table BROADCASTS into the scoring join, so the corpus
+   * never shuffles — two narrow corpus scans (the gram stream feeds
+   * the q-hat agg and the scoring join; the bm25Scores stats shape)
+   * plus one partial-agg groupBy(id) of per-doc weight sums. The
+   * target side is small by construction and aggregates the same way.
+   */
+  def dsirLogWeights(corpus: DataFrame, textCol: String, idCol: String,
+                     target: DataFrame, targetTextCol: String,
+                     buckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets must be in [1, 2^24] (md5 prefix width), got $buckets")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val cb = hashedGramBuckets(corpus, textCol, col(idCol), buckets)
+    val tb = hashedGramBuckets(target, targetTextCol, lit(0L), buckets)
+    val qd = cb.groupBy("b").agg(count(lit(1)).cast("double").as("cq"))
+    val pd = tb.groupBy("b").agg(count(lit(1)).cast("double").as("ct"))
+    val qTot = qd.agg(sum(col("cq")).as("qq"))
+    // empty target: T = 0 makes every bucket's p-hat the uniform a/(aB)
+    // — weights become -ln(cq+a)+ln(Q+aB)+ln(a)-ln(aB), a pure
+    // inverse-frequency score; legal, and pinned by the spec
+    val pTot = pd.agg(coalesce(sum(col("ct")), lit(0.0)).as("tt"))
+    val aB = lit(alpha * buckets)
+    val lr = qd.join(pd, Seq("b"), "left")
+      .crossJoin(broadcast(qTot)).crossJoin(broadcast(pTot))
+      .select(col("b"),
+        (log(coalesce(col("ct"), lit(0.0)) + alpha) - log(col("tt") + aB) -
+         log(col("cq") + alpha) + log(col("qq") + aB)).as("lw"))
+    val dw = cb.join(broadcast(lr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), round(sum(col("lw")), 6).as("dsir_logw"))
+      .withColumnRenamed("id", "_gid")
+    corpus.select(col(idCol))
+      .join(dw, col(idCol) === col("_gid"), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  /**
+   * DSIR Gumbel-top-k resampling over [[dsirLogWeights]]: sampling k
+   * docs WITHOUT replacement proportional to exp(logw) is exactly
+   * "rank by logw + Gumbel(0,1) noise, take the top k" (the Gumbel
+   * top-k trick the paper uses). The noise is DETERMINISTIC: u =
+   * (md5("dsir:" || text) 24-bit prefix + 0.5) / 2^24 in (0,1) — the
+   * "dsir:" salt decorrelates this draw from the split/mix/upsample
+   * draws that key on the same content hash — and g = -ln(-ln(u)).
+   * Both logw and g are 6 dp-rounded BEFORE the sum so the ranking key
+   * is the same double in any engine; ties break id-asc. Returns the
+   * k selected rows (id, n_grams, dsir_logw, gumbel_key).
+   *
+   * Scale: the keyed frame is one narrow projection over the weights
+   * output; selection is `orderBy.limit(k)` = TakeOrderedAndProject —
+   * bounded per-partition heaps, never a global sort.
+   */
+  def dsirResample(corpus: DataFrame, textCol: String, idCol: String,
+                   target: DataFrame, targetTextCol: String, k: Int,
+                   buckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = dsirLogWeights(corpus, textCol, idCol, target, targetTextCol,
+      buckets, alpha)
+    val u = (conv(substring(md5(concat(lit("dsir:"), col(textCol))), 1, 6),
+      16, 10).cast("double") + 0.5) / lit((1L << 24).toDouble)
+    val keyed = corpus.select(col(idCol), round(-log(-log(u)), 6).as("_g"))
+      .join(w, Seq(idCol))
+      .withColumn("gumbel_key", col("dsir_logw") + col("_g"))
+    keyed.orderBy(col("gumbel_key").desc, col(idCol).asc).limit(k)
+      .select(col(idCol), col("n_grams"), col("dsir_logw"),
+        round(col("gumbel_key"), 6).as("gumbel_key"))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

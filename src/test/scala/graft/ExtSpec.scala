@@ -1795,6 +1795,41 @@ class ExtSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 5L, 6L, 8L))
   }
 
+  test("dsirLogWeights: target-like docs outrank off-domain, pinned edges") {
+    val corpus = Seq(
+      (1L, "physics quantum mechanics wave function"),
+      (2L, "quantum field theory particle physics"),
+      (3L, "celebrity gossip red carpet fashion"),
+      (4L, "red carpet gossip awards fashion night"),
+      (5L, "   "),                                   // no grams
+      (6L, "physics quantum gossip")                 // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      "quantum physics lecture notes",
+      "wave mechanics and quantum theory").toDF("text")
+    val w = TextAnalysis.dsirLogWeights(corpus, "text", "doc_id",
+        target, "text", buckets = 1024, alpha = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // physics docs carry target-overlapping grams -> strictly above the
+    // gossip docs, which share nothing with the target
+    assert(w(1L)._2 > w(3L)._2 && w(2L)._2 > w(4L)._2)
+    assert(w(6L)._2 > w(3L)._2)           // partial overlap still helps
+    assert(w(5L) == (0L, 0.0))            // no grams: pinned neutral
+    assert(w(1L)._1 == 9L)                // 5 unigrams + 4 bigrams
+    // empty target: inverse-frequency regime, no throw, finite weights
+    val wEmpty = TextAnalysis.dsirLogWeights(corpus, "text", "doc_id",
+        target.filter(lit(false)), "text", buckets = 1024)
+      .collect().map(_.getDouble(2))
+    assert(wEmpty.forall(v => !v.isNaN && !v.isInfinite))
+    // resample: k rows, deterministic across invocations
+    val s1 = TextAnalysis.dsirResample(corpus, "text", "doc_id",
+      target, "text", k = 3, buckets = 1024).collect()
+    val s2 = TextAnalysis.dsirResample(corpus, "text", "doc_id",
+      target, "text", k = 3, buckets = 1024).collect()
+    assert(s1.length == 3 && s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+  }
+
   test("normalizeText: NFC, control strip, CRLF, NBSP, collapse, idempotent") {
     val normCases = Seq(
       ("Cafe\u0301", "Caf\u00E9"),                  // NFC composes
