@@ -54,10 +54,19 @@ object Pipeline {
     * `markupStrip = true` prepends a [[TextAnalysis.stripMarkup]]
     * extraction stage (stage 0) for corpora ingested as raw HTML —
     * extraction must run before ANY content hashing, or two fetches of
-    * one page differing only in markup would defeat the exact stages. */
+    * one page differing only in markup would defeat the exact stages.
+    * `normalize = true` adds a [[TextAnalysis.normalizeText]] stage
+    * right after extraction, for the same reason one level down:
+    * NFC/whitespace twins of one text must collapse in exact_dedup.
+    * `blockedDomains` (requires `urlCol`) runs
+    * [[TextAnalysis.blockByDomain]] BEFORE url dedup — the RefinedWeb
+    * order: the cheapest metadata filter sees the corpus first. */
   def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
                   urlCol: Option[String] = None,
                   markupStrip: Boolean = false,
+                  normalize: Boolean = false,
+                  blockedDomains: Option[DataFrame] = None,
+                  blockedDomainCol: String = "domain",
                   boilerplateMaxDocFreq: Int = 0,
                   spanK: Int = 8,
                   minTokens: Int = 5,
@@ -65,6 +74,8 @@ object Pipeline {
                   minhashThreshold: Double = 0.8,
                   minhashMaxBucket: Int = 1000)
       : (DataFrame, Seq[StageReport]) = {
+    require(blockedDomains.isEmpty || urlCol.nonEmpty,
+      "blockedDomains needs urlCol: the blocklist matches URL hosts")
     val report = Seq.newBuilder[StageReport]
     var lastCount = 0L
     def stage(name: String, overflow: Option[DataFrame] = None)
@@ -78,6 +89,13 @@ object Pipeline {
     var cur = stage("input")(docs)
     if (markupStrip)
       cur = stage("markup_strip")(TextAnalysis.stripMarkupDocs(cur, textCol))
+    if (normalize)
+      cur = stage("normalize")(
+        cur.withColumn(textCol, TextAnalysis.normalizeText(col(textCol))))
+    blockedDomains.foreach { b =>
+      cur = stage("domain_blocklist")(TextAnalysis.blockByDomain(
+        cur, urlCol.get, idCol, b, blockedDomainCol))
+    }
     urlCol.foreach { u =>
       // rows whose URL fails to canonicalize (null / non-http(s) /
       // malformed) pass through UN-deduped: no URL evidence is not

@@ -1,0 +1,60 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan audit for the round-8 additions: q128 hybrid RRF, q129 domain
+  * blocklist, q131 DSIR. Asserts the scale-critical shapes — bounded
+  * TakeOrdered heads, broadcast-only joins on the small sides, no
+  * corpus-wide single-partition exchange outside the <= nCand fusion
+  * windows. */
+object PlanNewOps {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ext.TextFunctions.registerAll(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    val rrf = graft.ext.Similarity.hybridRrfTopK(
+      docs, "text", "doc_id", Seq("join", "spark", "dup"),
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 7), "embedding", k = 20, nCand = 50)
+    val rrfPlan = rrf.queryExecution.executedPlan.toString
+    println("== q128 TakeOrderedAndProject heads: " +
+      "TakeOrderedAndProject".r.findAllIn(rrfPlan).length)
+    println("== q128 sort-merge joins: " + "SortMergeJoin".r.findAllIn(rrfPlan).length)
+    println(rrfPlan.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join") || l.contains("TakeOrdered"))
+      .mkString("\n"))
+
+    val blocked = {
+      import spark.implicits._
+      Seq("ex1.com", "site4.ex2.com").toDF("domain")
+    }
+    val urls = docs.select(col("doc_id"),
+      concat(lit("http://h"), (col("doc_id") % 25).cast("string"),
+        lit(".ex1.com/p")).as("url"))
+    val bl = graft.ext.TextAnalysis.domainBlocklistFlags(
+      urls, "url", "doc_id", blocked, "domain")
+    val blPlan = bl.queryExecution.executedPlan.toString
+    println("== q129 broadcast joins: " + "BroadcastHashJoin".r.findAllIn(blPlan).length)
+    println("== q129 sort-merge joins: " + "SortMergeJoin".r.findAllIn(blPlan).length)
+
+    val dsir = graft.ext.TextAnalysis.dsirResample(docs, "text", "doc_id",
+      docs.filter(col("doc_id") % 10 === 3), "text", k = 100, buckets = 4096)
+    val dsirPlan = dsir.queryExecution.executedPlan.toString
+    println("== q131 TakeOrderedAndProject: " +
+      "TakeOrderedAndProject".r.findAllIn(dsirPlan).length)
+    println("== q131 broadcast joins: " + "BroadcastHashJoin".r.findAllIn(dsirPlan).length)
+    println("== q131 sort-merge joins: " + "SortMergeJoin".r.findAllIn(dsirPlan).length)
+    println("== q131 singlePartition exchanges: " +
+      "Exchange SinglePartition".r.findAllIn(dsirPlan).length)
+    println(dsirPlan.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join") || l.contains("TakeOrdered"))
+      .mkString("\n"))
+    spark.stop()
+  }
+}

@@ -146,6 +146,23 @@ object ScaleProbeX {
             (col("doc_id") % 7).cast("string").as("lang"),
             (xxhash64(col("text")) % 1000).cast("double").as("score")),
           "score", "doc_id", "lang"))
+      if (want("hybridRrf")) time3(s"$label hybridRrf")(
+        Similarity.hybridRrfTopK(docs, "text", "doc_id",
+          Seq("join", "spark", "dup"), emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 7), "embedding", k = 20, nCand = 50))
+      if (want("domainBlocklist")) time3(s"$label domainBlocklist")(
+        TextAnalysis.domainBlocklistFlags(urls(docs), "url", "doc_id",
+          { import spark.implicits._
+            (0 until 2000).map(i => s"site$i.example.com").toDF("domain") },
+          "domain"))
+      if (want("normalizeDocs")) time3(s"$label normalizeDocs")(
+        TextAnalysis.normalizeDocs(docs.withColumn("text",
+          concat(lit("A\u00A0B\r\n"), col("text"), lit("\u200B  tail"))),
+          "text"))
+      if (want("dsir")) time3(s"$label dsirResample")(
+        TextAnalysis.dsirResample(docs, "text", "doc_id",
+          docs.filter(col("doc_id") % 10 === 3), "text",
+          k = 1000, buckets = 8192))
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)

@@ -1404,6 +1404,33 @@ class ExtSpec extends SparkSpec {
     assert(!rep2.exists(_.stage == "markup_strip"))
   }
 
+  test("Pipeline.cleanCorpus normalize + blocklist stages compose") {
+    import spark.implicits._
+    // docs 1 and 2 are NFC/whitespace twins of one text — only a
+    // normalize-first pipeline collapses them in exact_dedup; doc 4
+    // lives on a blocked domain and must fall in domain_blocklist
+    val docs = Seq(
+      (1L, "https://ok.org/a", "café menu with daily specials listed"),
+      (2L, "https://ok.org/b", "café menu  with daily specials listed"),
+      (3L, "https://ok.org/c", "a completely different page body here"),
+      (4L, "https://spam.bad.net/x", "blocked content that must not survive")
+    ).toDF("doc_id", "url", "text")
+    val blocked = Seq("bad.net").toDF("domain")
+    val (out, report) = Pipeline.cleanCorpus(docs, "text", "doc_id",
+      urlCol = Some("url"), normalize = true,
+      blockedDomains = Some(blocked), minTokens = 3)
+    val r = report.map(s => s.stage -> s.rows).toMap
+    assert(r("normalize") == 4L && r("domain_blocklist") == 3L &&
+      r("exact_dedup") == 2L, s"got $r")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // blocklist without a urlCol is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.cleanCorpus(docs, "text", "doc_id",
+        blockedDomains = Some(blocked))
+    }
+    assert(e.getMessage.contains("needs urlCol"))
+  }
+
   test("Pipeline.cleanCorpus is idempotent: a re-run on its output drops nothing") {
     // the production re-run property: applying the pipeline to an
     // already-clean corpus must be the identity (every defect class was
