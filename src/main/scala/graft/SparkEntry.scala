@@ -1827,6 +1827,21 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 3), "text",
           k = 100, buckets = 4096, alpha = 1.0)
         .orderBy("doc_id")
+    }),
+    "q132_bpe_merges" -> ((s, dir) => { ensure(s)
+      // top-50 BPE merge candidates over the corpus vocab (word-count
+      // weighted adjacent char pairs); the oracle recomputes the vocab,
+      // the weighted pair counts, and the (n desc, pair asc) ranking
+      TextAnalysis.bpeMergeCandidates(ld(s, dir, "documents"), "text", k = 50)
+        .orderBy("rank")
+    }),
+    "q133_quality_classifier" -> ((s, dir) => { ensure(s)
+      // pinned-weight logistic quality scorer; the oracle recomputes
+      // every feature (the q34 fragments), the left-associated weighted
+      // sum, and the 6 dp sigmoid
+      TextAnalysis.linearQualityScore(ld(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2526,7 +2541,23 @@ object SparkEntry {
        "round(-ln(-ln((CAST('0x' || substr(md5('dsir:' || d.text), 1, 6) AS INTEGER) + 0.5) / 16777216.0)), 6) AS gn " +
        "FROM documents d LEFT JOIN dw USING (doc_id)) " +
        "SELECT * FROM (SELECT doc_id, n_grams, dsir_logw, round(dsir_logw + gn, 6) AS gumbel_key " +
-       "FROM al ORDER BY dsir_logw + gn DESC, doc_id ASC LIMIT 100) ORDER BY doc_id")
+       "FROM al ORDER BY dsir_logw + gn DESC, doc_id ASC LIMIT 100) ORDER BY doc_id"),
+    "q132_bpe_merges" ->
+      ("WITH w AS (SELECT x AS w, count(*) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x), " +
+       "p AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS pair, wc FROM w WHERE len(w) >= 2), " +
+       "a AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY pair) " +
+       "SELECT pair, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INT) AS rank " +
+       "FROM (SELECT * FROM a ORDER BY n DESC, pair ASC LIMIT 50) ORDER BY rank"),
+    "q133_quality_classifier" ->
+      ("WITH f AS (SELECT doc_id, " +
+       "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','was','for','with','as','on','at','this'], t))) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop, " +
+       "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"]', '', 'g')) AS DOUBLE) / length(text) END AS punct, " +
+       "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit, " +
+       "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END AS upper, " +
+       "CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) END AS mwl, " +
+       "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS ntok FROM documents) " +
+       "SELECT doc_id, quality, quality >= 0.5 AS keep FROM (SELECT doc_id, " +
+       "round(1.0 / (1.0 + exp(-(stop * 3.0 + punct * -8.0 + digit * -4.0 + upper * -2.0 + mwl / 10.0 * 1.0 + ln(1.0 + ntok) / 10.0 * 1.0 + -0.5))), 6) AS quality FROM f) ORDER BY doc_id")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

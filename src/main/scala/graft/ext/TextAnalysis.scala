@@ -1572,6 +1572,83 @@ object TextAnalysis {
         round(col("gumbel_key"), 6).as("gumbel_key"))
   }
 
+  /**
+   * Linear quality-classifier scoring — the fastText-style "looks like
+   * curated text" filter of GPT-3's Common Crawl pipeline (Brown 2020
+   * §A) and CCNet: a LOGISTIC model sigmoid(w·x + b) over the pinned
+   * deterministic feature vector
+   *   x = [stopword_ratio, punct_ratio, digit_ratio, upper_ratio,
+   *        mean_word_len/10, ln(1 + n_tokens)/10].
+   * The engine contract is the featurization + scoring plan; `weights`
+   * / `bias` are the caller's trained artifact (the external-model
+   * shape of [[bigramEntropyUnderModel]]) — the defaults are hand-set
+   * to prefer prose (stopword-rich, lightly punctuated, low-digit,
+   * low-caps). Output (id, quality 6 dp, keep = quality >= threshold).
+   * Zero shuffle: one codegen'd projection per row; the weighted sum
+   * folds left-to-right (w0·x0 + … + w5·x5 + b) and the oracle must
+   * replay that exact association order.
+   */
+  def linearQualityScore(df: DataFrame, textCol: String, idCol: String,
+                         weights: Seq[Double] =
+                           Seq(3.0, -8.0, -4.0, -2.0, 1.0, 1.0),
+                         bias: Double = -0.5,
+                         threshold: Double = 0.5): DataFrame = {
+    require(weights.length == 6,
+      s"6 feature weights expected (stopword, punct, digit, upper, " +
+        s"mwl/10, ln-tokens/10), got ${weights.length}")
+    val t = col(textCol)
+    val nTok = when(length(trim(t)) === 0, 0).otherwise(token_count(t))
+      .cast("double")
+    val feats = Seq(
+      stopwordRatio(t), punctRatio(t), digitRatio(t), upperRatio(t),
+      meanWordLength(t) / 10.0, log(lit(1.0) + nTok) / 10.0)
+    val z = feats.zip(weights).map { case (f, w) => f * lit(w) }
+      .reduce(_ + _) + lit(bias)
+    df.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"))
+      .withColumn("keep", col("quality") >= threshold)
+  }
+
+  /**
+   * BPE merge-candidate table — the distributed piece of byte-pair-
+   * encoding tokenizer training (Sennrich et al. 2016, "Neural Machine
+   * Translation of Rare Words with Subword Units"): count adjacent
+   * within-word symbol pairs across the corpus and rank the top-k
+   * merge candidates — the argmax table the first BPE merge consumes
+   * (iterated merging re-pairs the VOCAB, a small driver loop out of
+   * scope here; the corpus-scale work is this table).
+   *
+   * Computed the way a 100 TB run must: corpus → (word, count) vocab
+   * FIRST (one map-side-combined agg of slim word rows — Zipf's law
+   * makes the vocab orders of magnitude smaller than the corpus), then
+   * the pair explode runs over DISTINCT words weighted by count, never
+   * over every word instance. Output (pair, n, rank): pair is the BPE
+   * convention "a b" space-joined form, ranked (n desc, pair asc) via
+   * a bounded TakeOrdered head. Symbols are UTF-16 code units (=
+   * code points on the BMP, where DuckDB's character indexing agrees;
+   * astral-plane text would pair surrogate halves — the classic
+   * byte/char-level BPE ambiguity, pinned here to the JVM convention).
+   */
+  def bpeMergeCandidates(df: DataFrame, textCol: String,
+                         k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val chars = split(col("w"), "")
+    val pairs = vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(zip_with(
+        slice(chars, lit(1), size(chars) - 1),
+        slice(chars, lit(2), size(chars) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+    // rank window runs on the <= k TakeOrdered head, not the pair table
+    pairs.orderBy(col("n").desc, col("pair").asc).limit(k)
+      .select(col("pair"), col("n"), row_number().over(
+        Window.orderBy(col("n").desc, col("pair").asc)).cast("int").as("rank"))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

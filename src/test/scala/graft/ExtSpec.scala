@@ -1822,6 +1822,41 @@ class ExtSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 5L, 6L, 8L))
   }
 
+  test("linearQualityScore: prose above junk, edges pinned") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was warm in the sun"), // prose
+      (2L, "1299 4511 9902 3377 0021 5543 8810 2234"),           // digits
+      (3L, "BUY!!! NOW!!! CLICK!!! HERE!!! SALE!!!"),            // shouty
+      (4L, "")                                                   // empty
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.linearQualityScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(q(1L)._1 > q(2L)._1 && q(1L)._1 > q(3L)._1)
+    assert(q(1L)._2 && !q(2L)._2 && !q(3L)._2)
+    // empty doc: every feature 0 -> sigmoid(bias) = sigmoid(-0.5)
+    assert(q(4L)._1 == math.rint(1.0 / (1.0 + math.exp(0.5)) * 1e6) / 1e6)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.linearQualityScore(docs, "text", "doc_id",
+        weights = Seq(1.0, 2.0))
+    }
+  }
+
+  test("bpeMergeCandidates: vocab-weighted pair counts, hand-computed") {
+    val docs = Seq(
+      (1L, "low lower low"),
+      (2L, "low a")          // 'a' is single-char: contributes no pair
+    ).toDF("doc_id", "text")
+    // vocab: low:3 lower:1 a:1 -> pairs: "l o":4, "o w":4, "w e":1, "e r":1
+    val got = TextAnalysis.bpeMergeCandidates(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      ("l o", 4L, 1), ("o w", 4L, 2), ("e r", 1L, 3), ("w e", 1L, 4)))
+    // k bounds the head
+    val top1 = TextAnalysis.bpeMergeCandidates(docs, "text", k = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "l o")
+  }
+
   test("dsirLogWeights: target-like docs outrank off-domain, pinned edges") {
     val corpus = Seq(
       (1L, "physics quantum mechanics wave function"),
