@@ -2519,12 +2519,12 @@ object SparkEntry {
        "WHEN doc_id % 4 = 1 THEN 'A' || chr(160) || 'B' || chr(13) || chr(10) || 'C' || chr(8203) || ' ' || text " +
        "WHEN doc_id % 4 = 2 THEN chr(7) || text || chr(9) || 'tab  run ' " +
        "ELSE text END AS t0 FROM documents), " +
-       "n AS (SELECT doc_id, t0, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(t0), " +
-       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F' || chr(8203) || chr(65279) || ']', '', 'g'), " +
+       "n AS (SELECT doc_id, t0, trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(regexp_replace(t0, " +
+       "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F' || chr(8203) || chr(65279) || ']', '', 'g')), " +
        "chr(13) || chr(10) || '?', chr(10), 'g'), " +
        "'[' || chr(160) || chr(8199) || chr(8239) || ']', ' ', 'g'), " +
        "'[ ' || chr(9) || ']+', ' ', 'g')) AS text_norm FROM c) " +
-       "SELECT doc_id, text_norm, text_norm <> t0 AS changed FROM n ORDER BY doc_id"),
+       "SELECT doc_id, text_norm, text_norm IS DISTINCT FROM t0 AS changed FROM n ORDER BY doc_id"),
     "q131_dsir_resample" ->
       ("WITH ctk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS w FROM documents), " +
        "cg AS (SELECT doc_id, unnest(list_concat(w, CASE WHEN len(w) < 2 THEN [] ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END)) AS g FROM ctk), " +

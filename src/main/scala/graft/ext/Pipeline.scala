@@ -59,8 +59,9 @@ object Pipeline {
     * right after extraction, for the same reason one level down:
     * NFC/whitespace twins of one text must collapse in exact_dedup.
     * `blockedDomains` (requires `urlCol`) runs
-    * [[TextAnalysis.blockByDomain]] BEFORE url dedup — the RefinedWeb
-    * order: the cheapest metadata filter sees the corpus first. */
+    * [[TextAnalysis.blockByDomain]] FIRST — before extraction and
+    * normalization, the RefinedWeb order: the blocklist reads only the
+    * URL, so blocked docs never pay the per-row text transforms. */
   def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
                   urlCol: Option[String] = None,
                   markupStrip: Boolean = false,
@@ -87,15 +88,19 @@ object Pipeline {
     }
 
     var cur = stage("input")(docs)
+    // blocklist FIRST: it reads only urlCol, so blocked docs must never
+    // pay the extraction/normalization regexp chains they are about to
+    // be dropped from (the RefinedWeb order — URL filtering precedes
+    // text extraction)
+    blockedDomains.foreach { b =>
+      cur = stage("domain_blocklist")(TextAnalysis.blockByDomain(
+        cur, urlCol.get, idCol, b, blockedDomainCol))
+    }
     if (markupStrip)
       cur = stage("markup_strip")(TextAnalysis.stripMarkupDocs(cur, textCol))
     if (normalize)
       cur = stage("normalize")(
         cur.withColumn(textCol, TextAnalysis.normalizeText(col(textCol))))
-    blockedDomains.foreach { b =>
-      cur = stage("domain_blocklist")(TextAnalysis.blockByDomain(
-        cur, urlCol.get, idCol, b, blockedDomainCol))
-    }
     urlCol.foreach { u =>
       // rows whose URL fails to canonicalize (null / non-http(s) /
       // malformed) pass through UN-deduped: no URL evidence is not

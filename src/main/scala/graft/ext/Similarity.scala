@@ -487,15 +487,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && nCand >= k, s"need nCand >= k >= 1, got k=$k nCand=$nCand")
     require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
-    // single-query contract enforced in-plan: a 2nd row or a NULL vector
-    // would silently corrupt the cosine ranking, so fail loudly instead.
-    // The asserts ride INSIDE the kept column (assert_true yields NULL on
-    // success, so coalesce falls through to the vector) — as standalone
-    // projected-then-dropped columns Catalyst prunes them away unevaluated
+    // single-query contract enforced in-plan: a 2nd row, an EMPTY frame,
+    // or a NULL vector would silently corrupt the cosine ranking (empty
+    // = keyword-only results), so fail loudly instead. A global agg is
+    // the only shape that yields a row to evaluate even on EMPTY input
+    // (a per-row window check never runs on zero rows); the asserts ride
+    // INSIDE the kept column (assert_true yields NULL on success, so
+    // coalesce falls through to the vector, evaluating left-to-right) —
+    // as standalone projected-then-dropped columns Catalyst prunes them
+    // away unevaluated
     val q1 = broadcast(query.limit(2)
-      .select(col(queryVecCol).as("_qv0"))
+      .agg(count(lit(1)).as("_n"), first(col(queryVecCol)).as("_qv0"))
       .select(coalesce(
-        assert_true(count(lit(1)).over(Window.partitionBy(lit(1))) === 1,
+        assert_true(col("_n") === 1,
           lit("hybridRrfTopK: query must be exactly one row")),
         assert_true(col("_qv0").isNotNull,
           lit("hybridRrfTopK: query vector is NULL")),

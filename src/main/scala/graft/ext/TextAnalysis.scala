@@ -716,9 +716,11 @@ object TextAnalysis {
     // the authority component may carry RFC 3986 userinfo
     // (`user:pass@host`); strip it BEFORE the www/port rules — it must
     // never survive into a persisted dedup key (credentials at rest),
-    // and `https://user@site.com/a` must merge with `https://site.com/a`
+    // and `https://user@site.com/a` must merge with `https://site.com/a`.
+    // Greedy to the LAST '@' (WHATWG): a second '@' belongs to the
+    // userinfo, not the host — same rule as [[urlHost]]
     val authority = lower(regexp_extract(url, "(?i)^https?://([^/?#]+).*", 1))
-    val hostPort = regexp_replace(authority, "^[^@]*@", "")
+    val hostPort = regexp_replace(authority, "^.*@", "")
     val noWww = regexp_replace(hostPort, "^www\\.", "")
     val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(regexp_replace(noWww, ":80$", ""))
@@ -742,8 +744,15 @@ object TextAnalysis {
     * userinfo and any explicit port; NULL for non-http(s) input. */
   private[ext] def urlHost(url: Column): Column = {
     val authority = lower(regexp_extract(url, "(?i)^https?://([^/?#]+).*", 1))
-    val hostPort = regexp_replace(authority, "^[^@]*@", "")
-    val h = regexp_replace(hostPort, ":[0-9]+$", "")
+    // userinfo strip is GREEDY to the LAST '@' (the WHATWG rule):
+    // 'https://a@b@blocked.com' resolves host blocked.com in every
+    // fetcher — a first-'@' strip would leave 'b@blocked.com' and let
+    // a crafted URL walk past the blocklist
+    val hostPort = regexp_replace(authority, "^.*@", "")
+    val noPort = regexp_replace(hostPort, ":[0-9]+$", "")
+    // trailing-dot FQDN form ('blocked.com.') is the same site: strip
+    // it, or its suffix chain never matches a normal blocklist entry
+    val h = regexp_replace(noPort, "\\.+$", "")
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
@@ -771,7 +780,12 @@ object TextAnalysis {
    */
   def domainBlocklistFlags(df: DataFrame, urlCol: String, idCol: String,
                            blocked: DataFrame, domainCol: String): DataFrame = {
-    val b = broadcast(blocked.select(lower(trim(col(domainCol))).as("_bd")).distinct())
+    // entry hygiene: real UT1 list files carry blank lines (an empty
+    // entry would match the empty suffix) and occasional trailing-dot
+    // FQDN forms — normalize both before the join
+    val b = broadcast(blocked
+      .select(regexp_replace(lower(trim(col(domainCol))), "\\.+$", "").as("_bd"))
+      .filter(length(col("_bd")) > 0).distinct())
     val labels = split(urlHost(col(urlCol)), "\\.")
     val suffixes = transform(sequence(lit(0), size(labels) - 1),
       i => array_join(slice(labels, i + 1, size(labels) - i), "."))
@@ -1406,25 +1420,30 @@ object TextAnalysis {
    * produce the SAME bytes, or exact/line/span dedup silently misses
    * `Caf\u00E9` vs `Cafe\u0301` (composed vs combining-mark) and
    * `A B` vs `A\u00A0B` (NBSP) twins. A PINNED chain, applied in order:
-   *   1. NFC canonical composition ([[TextFunctions.nfc_normalize]],
-   *      codegen'd JDK Normalizer — UAX #15, identity on ASCII);
-   *   2. strip C0 controls except \t \n \r, DEL, and the zero-width
+   *   1. strip C0 controls except \t \n \r, DEL, and the zero-width
    *      marks ZWSP U+200B / BOM U+FEFF;
-   *   3. line endings: \r\n and bare \r → \n;
-   *   4. no-break spaces (U+00A0, U+2007, U+202F) → plain space;
-   *   5. runs of spaces/tabs → one space;
+   *   2. NFC canonical composition ([[TextFunctions.nfc_normalize]],
+   *      codegen'd JDK Normalizer --- UAX #15, identity on ASCII);
+   *   3. line endings: \r\n and bare \r to \n;
+   *   4. no-break spaces (U+00A0, U+2007, U+202F) to plain space;
+   *   5. runs of spaces/tabs to one space;
    *   6. trim.
-   * Order matters (NBSP must become space BEFORE the run-collapse; NFC
-   * runs first so later classes see composed chars) — re-pin the oracle
-   * if any step moves. Idempotent: a second pass is the identity.
+   * Order matters: the zero-width strip runs BEFORE NFC --- a ZWSP/BOM
+   * sitting between a base char and its combining mark BLOCKS
+   * composition, so strip-then-compose is what makes `Cafe\u200B\u0301`
+   * collapse with `Caf\u00E9` (the NFC-first order left it decomposed
+   * AND broke idempotence: pass 2 composed what pass 1 could not);
+   * NBSP becomes a space BEFORE the run-collapse. Re-pin the oracle if
+   * any step moves. Idempotent: a second pass is the identity (the
+   * strip and NFC are both no-ops on their own output).
    * Scale: one narrow codegen'd projection per row, no shuffle; the
    * NFC step allocates only for non-ASCII non-NFC rows (rare in web
    * text), the regexp steps are the same per-row cost as [[stripMarkup]].
    */
   def normalizeText(text: Column): Column = {
-    val n0 = nfc_normalize(text)
-    val n1 = regexp_replace(n0,
+    val n0 = regexp_replace(text,
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B\\uFEFF]", "")
+    val n1 = nfc_normalize(n0)
     val n2 = regexp_replace(n1, "\\r\\n?", "\n")
     val n3 = regexp_replace(n2, "[\\u00A0\\u2007\\u202F]", " ")
     val n4 = regexp_replace(n3, "[ \\t]+", " ")
@@ -1473,18 +1492,14 @@ object TextAnalysis {
     * bucketed (the engine-portable hash every deterministic draw in
     * this file uses) — one narrow explode per doc, int rows only. */
   private def hashedGramBuckets(df: DataFrame, textCol: String,
-                                idExpr: Column, buckets: Int): DataFrame = {
-    val toks = df.select(idExpr.as("id"), wordTokens(col(textCol)).as("w"))
-    val unis = toks.select(col("id"), explode(col("w")).as("g"))
-    val bis = toks.filter(size(col("w")) >= 2)
-      .select(col("id"), explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("g"))
-    unis.union(bis)
+                                idExpr: Column, buckets: Int): DataFrame =
+    // ONE explode of the concatenated uni+bigram array (the exact
+    // list_concat shape the q131 oracle uses) — a union of two explode
+    // branches planned two scans of the tokenized frame per call
+    df.select(idExpr.as("id"), explode(concat(
+        wordTokens(col(textCol)), wordNgrams(col(textCol), 2))).as("g"))
       .select(col("id"), (conv(substring(md5(col("g")), 1, 6), 16, 10)
         .cast("long") % buckets).cast("int").as("b"))
-  }
 
   /**
    * DSIR importance log-weights (Xie et al., NeurIPS 2023 — "Data

@@ -1420,8 +1420,12 @@ class ExtSpec extends SparkSpec {
       urlCol = Some("url"), normalize = true,
       blockedDomains = Some(blocked), minTokens = 3)
     val r = report.map(s => s.stage -> s.rows).toMap
-    assert(r("normalize") == 4L && r("domain_blocklist") == 3L &&
+    // blocklist runs FIRST (URL-only filter precedes text transforms),
+    // so normalize sees the 3 survivors
+    assert(r("domain_blocklist") == 3L && r("normalize") == 3L &&
       r("exact_dedup") == 2L, s"got $r")
+    assert(report.map(_.stage).indexOf("domain_blocklist") <
+      report.map(_.stage).indexOf("normalize"))
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
     // blocklist without a urlCol is refused loudly
     val e = intercept[IllegalArgumentException] {
@@ -1820,6 +1824,23 @@ class ExtSpec extends SparkSpec {
     val kept = TextAnalysis.blockByDomain(rows, "url", "doc_id",
       blocked, "domain").select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(3L, 5L, 6L, 8L))
+    // evasion forms: double-@ userinfo (host = after LAST @, WHATWG) and
+    // trailing-dot FQDN both still match; a blank blocklist entry is
+    // dropped instead of matching the empty suffix
+    val evasive = Seq(
+      (10L, "https://a@b@bad.example.com/x"),
+      (11L, "https://example.com./x"),
+      (12L, "https://clean.org/x")
+    ).toDF("doc_id", "url")
+    val blockedMessy = Seq("example.com", "bad.example.com.", "", "  ")
+      .toDF("domain")
+    val f2 = TextAnalysis.domainBlocklistFlags(evasive, "url", "doc_id",
+        blockedMessy, "domain")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("blocked_domain"))).toMap
+    assert(f2(10L) == Some("bad.example.com"))
+    assert(f2(11L) == Some("example.com"))
+    assert(f2(12L) == None)
   }
 
   test("linearQualityScore: prose above junk, edges pinned") {
@@ -1899,6 +1920,7 @@ class ExtSpec extends SparkSpec {
       ("a\r\nb\rc", "a\nb\nc"),                     // CRLF and bare CR
       ("x\u0007y\u007Fz\u200B\uFEFFw", "xyzw"),     // BEL, DEL, ZWSP, BOM
       ("a\t\t b   c", "a b c"),                     // run collapse
+      ("Cafe\u200B\u0301", "Caf\u00E9"),            // ZWSP blocks NFC: strip-first composes
       ("  padded  ", "padded"),                     // trim
       ("plain ascii text", "plain ascii text"),     // identity
       ("keep\nnewlines\nintact", "keep\nnewlines\nintact"))
@@ -1960,6 +1982,15 @@ class ExtSpec extends SparkSpec {
     }
     assert(nullVec.getMessage.contains("query vector is NULL") ||
       Option(nullVec.getCause).exists(_.getMessage.contains("query vector is NULL")))
+    // EMPTY query frame must also fail loudly, never degrade to a
+    // silent keyword-only ranking
+    val empty = intercept[Exception] {
+      Similarity.hybridRrfTopK(docs, "text", "doc_id", Seq("spark"),
+        vecs, "vec_id", "embedding",
+        vecs.filter($"vec_id" === 9999L), "embedding", k = 5).collect()
+    }
+    assert(empty.getMessage.contains("exactly one row") ||
+      Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
 }
 
