@@ -1842,6 +1842,21 @@ object SparkEntry {
       TextAnalysis.linearQualityScore(ld(s, dir, "documents"),
           "text", "doc_id")
         .orderBy("doc_id")
+    }),
+    "q134_containment_pairs" -> ((s, dir) => { ensure(s)
+      // Broder containment: every %10=4 doc contributes a 12-token
+      // truncated twin under id+100000 — fully contained in its source
+      // (containment 1.0) while far below the Jaccard radar for long
+      // sources. The oracle brute-forces |A∩B|/|A| over the same
+      // distinct word-3-gram sets (q30's short-doc convention).
+      val docs = ld(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trunc = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(trunc), "text", "doc_id",
+          n = 3, threshold = 0.8)
+        .orderBy("id", "id2")
     })
   )
 
@@ -2557,7 +2572,17 @@ object SparkEntry {
        "CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) END AS mwl, " +
        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS DOUBLE) AS ntok FROM documents) " +
        "SELECT doc_id, quality, quality >= 0.5 AS keep FROM (SELECT doc_id, " +
-       "round(1.0 / (1.0 + exp(-(stop * 3.0 + punct * -8.0 + digit * -4.0 + upper * -2.0 + mwl / 10.0 * 1.0 + ln(1.0 + ntok) / 10.0 * 1.0 + -0.5))), 6) AS quality FROM f) ORDER BY doc_id")
+       "round(1.0 / (1.0 + exp(-(stop * 3.0 + punct * -8.0 + digit * -4.0 + upper * -2.0 + mwl / 10.0 * 1.0 + ln(1.0 + ntok) / 10.0 * 1.0 + -0.5))), 6) AS quality FROM f) ORDER BY doc_id"),
+    "q134_containment_pairs" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+       "SELECT doc_id + 100000 AS doc_id, array_to_string((list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))[1:12], ' ') AS text FROM documents WHERE doc_id % 10 = 4), " +
+       "t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM u), " +
+       "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) " +
+       "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] ELSE [] END AS grams FROM t) " +
+       "SELECT id, id2, containment FROM (SELECT a.doc_id AS id, b.doc_id AS id2, " +
+       "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS containment " +
+       "FROM g a JOIN g b ON a.doc_id <> b.doc_id WHERE len(a.grams) > 0 AND len(b.grams) > 0) " +
+       "WHERE containment >= 0.8 ORDER BY id, id2")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

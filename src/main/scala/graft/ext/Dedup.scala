@@ -756,6 +756,98 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT pairs — Broder's second resemblance measure
+   * ("On the resemblance and containment of documents", 1997):
+   * C(A,B) = |A∩B| / |A| over word n-gram sets. The partial-copy
+   * detector Jaccard structurally misses: a tweet-length doc fully
+   * quoted inside a long article has Jaccard ≈ |A|/|B| ≈ 0 but
+   * containment 1.0 — quote farms, boilerplate-wrapped reposts, and
+   * prompt-injection copies all live there. Emits one row per ORDERED
+   * pair (id = the contained doc, id2 = the container, containment ≥
+   * threshold); mutual pairs (exact twins) appear in both directions.
+   *
+   * Scale: the contained side gets a PPJoin-style rarest-first prefix
+   * (a doc needs ≥ ceil(t·|A|) overlap, so only its |A|−ceil(t·|A|)+1
+   * rarest grams can start a qualifying match) — but the CONTAINER side
+   * cannot be prefix-filtered (any gram of B may be the one A shares),
+   * so it is a full postings index: that asymmetry is inherent to
+   * containment joins, and the hot-gram cap (`maxBucket`, dropped
+   * postings reported via [[setSimilarityOverflow]]'s convention)
+   * bounds the quadratic bucket risk. Size filter |B| ≥ ceil(t·|A|)
+   * prunes candidates before the exact sorted-merge verify.
+   */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxBucket: Int = 5000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = df
+      .select(col(idCol).as("id"), word_shingles(col(textCol), lit(n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sets.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+    val exploded = sets
+      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+      .join(dfreq, Seq("gram"))
+    val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
+    // containment prefix bound for the contained side: the first
+    // |A| - ceil(t*|A|) + 1 grams in global rarest-first order
+    val prefix = exploded.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select("gram", "id", "sz")
+    val postings = exploded.select(col("gram"), col("id").as("id2"),
+      col("sz").as("sz2"))
+    val hot = postings.groupBy("gram").agg(count(lit(1)).as("_p"))
+      .filter(col("_p") > maxBucket).select("gram")
+    val candidates = prefix
+      .join(broadcast(hot), Seq("gram"), "left_anti")
+      .join(postings.join(broadcast(hot), Seq("gram"), "left_anti"), Seq("gram"))
+      .filter(col("id") =!= col("id2"))
+      .filter(col("sz2") >= ceil(lit(threshold) * col("sz")))
+      .select("id", "id2").distinct()
+    val pairs = candidates
+      .join(sets, Seq("id"))
+      .join(sets.select(col("id").as("id2"), col("grams").as("grams2")), Seq("id2"))
+      .withColumn("containment",
+        sorted_overlap(col("grams"), col("grams2")).cast("double") /
+          size(col("grams")))
+      .filter(col("containment") >= threshold)
+      .select("id", "id2", "containment")
+    val out = pairs.localCheckpoint(true)
+    sets.unpersist(false)
+    out
+  }
+
+  /**
+   * Keep-side of [[containmentPairs]]: one-way pairs drop the contained
+   * side; mutual pairs (same gram set — exact twins at this granularity)
+   * collapse via transitive closure to the min-id representative, so a
+   * twin GROUP keeps exactly one member instead of annihilating itself.
+   * At threshold 1 the subset relation is transitive, so every dropped
+   * doc's grams survive in some kept container; at t < 1 a chain
+   * A⊂B⊂C can drop both A and B while only C survives — the standard
+   * greedy near-dup semantics (same contract as [[minhashKeepers]]).
+   */
+  def containmentKeepers(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, threshold: Double = 0.8,
+                         maxBucket: Int = 5000): DataFrame = {
+    val pairs = containmentPairs(df, textCol, idCol, n, threshold, maxBucket)
+      .select("id", "id2").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rev = pairs.select(col("id2").as("id"), col("id").as("id2"))
+    val mutual = pairs.join(rev, Seq("id", "id2"), "left_semi")
+    val oneWay = pairs.join(mutual, Seq("id", "id2"), "left_anti")
+    val mutualDrop = components(mutual.filter(col("id") < col("id2")))
+      .filter(col("node") =!= col("rep")).select(col("node").as("_drop"))
+    val strictDrop = oneWay.select(col("id").as("_drop"))
+    val out = df.join(strictDrop.union(mutualDrop).distinct(),
+      df(idCol) === col("_drop"), "left_anti").localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
+  /**
    * SimHash near-dup pairs with hamming distance <= maxHamming.
    *
    * Skew cap (same shape as minhashPairs): degenerate 16-bit chunks —

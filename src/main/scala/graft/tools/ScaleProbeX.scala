@@ -163,6 +163,9 @@ object ScaleProbeX {
         TextAnalysis.dsirResample(docs, "text", "doc_id",
           docs.filter(col("doc_id") % 10 === 3), "text",
           k = 1000, buckets = 8192))
+      if (want("containment")) time3(s"$label containmentPairs")(
+        graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.8))
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)

@@ -1843,6 +1843,46 @@ class ExtSpec extends SparkSpec {
     assert(f2(12L) == None)
   }
 
+  test("containmentPairs: partial copies Jaccard misses; keepers drop contained") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val article = ("long article begins here with many framing words " +
+      quote + " and then continues with a great deal of additional " +
+      "unrelated commentary padding the gram set far beyond the quote")
+    val corpus = Seq(
+      (1L, quote),            // fully contained in 2
+      (2L, article),
+      (3L, quote),            // exact twin of 1 (mutual containment)
+      (4L, "a completely different document about parquet file layouts")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // contained->container direction only for the strict pair
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L))
+    // twins are mutual
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 1L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // the same pair is INVISIBLE to Jaccard at any useful threshold
+    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, threshold = 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // keepers: 1 and 3 contained in 2 (and twins of each other) -> only
+    // the container 2 and the unrelated 4 survive, plus the twin rep...
+    val kept = Dedup.containmentKeepers(corpus, "text", "doc_id",
+        n = 3, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L), s"kept $kept")
+    // twin group WITHOUT a container: keeps exactly its min id
+    val twinsOnly = Seq((7L, quote), (8L, quote), (9L, quote))
+      .toDF("doc_id", "text")
+    val keptTwins = Dedup.containmentKeepers(twinsOnly, "text", "doc_id",
+        n = 3, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTwins == Seq(7L), s"kept $keptTwins")
+  }
+
   test("linearQualityScore: prose above junk, edges pinned") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was warm in the sun"), // prose
