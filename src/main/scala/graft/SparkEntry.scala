@@ -1857,6 +1857,22 @@ object SparkEntry {
       Dedup.containmentPairs(docs.unionByName(trunc), "text", "doc_id",
           n = 3, threshold = 0.8)
         .orderBy("id", "id2")
+    }),
+    "q135_edit_distance_join" -> ((s, dir) => { ensure(s)
+      // exact Ed-Join over part names: every %7=0 part contributes a
+      // one-char-deleted typo twin under id+1000000; the oracle
+      // brute-forces levenshtein over the same union with the length
+      // prefilter. Entity names this templated ("red bolt"/"red bolts")
+      // make a dense dist-1 graph - the exactness claim is tested on
+      // 48k pairs, not a handful of plants.
+      val parts = ld(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("s"))
+      val typos = parts.filter(col("id") % 7 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("s"), 1, 5), substring(col("s"), 7, 10000)).as("s"))
+      Dedup.editDistancePairs(parts.unionByName(typos), "s", "id",
+          maxDist = 1, q = 3)
+        .orderBy("id", "id2")
     })
   )
 
@@ -2582,7 +2598,13 @@ object SparkEntry {
        "SELECT id, id2, containment FROM (SELECT a.doc_id AS id, b.doc_id AS id2, " +
        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS containment " +
        "FROM g a JOIN g b ON a.doc_id <> b.doc_id WHERE len(a.grams) > 0 AND len(b.grams) > 0) " +
-       "WHERE containment >= 0.8 ORDER BY id, id2")
+       "WHERE containment >= 0.8 ORDER BY id, id2"),
+    "q135_edit_distance_join" ->
+      ("WITH u AS (SELECT p_partkey AS id, p_name AS s FROM part UNION ALL " +
+       "SELECT p_partkey + 1000000 AS id, substr(p_name, 1, 5) || substr(p_name, 7) AS s FROM part WHERE p_partkey % 7 = 0) " +
+       "SELECT a.id AS id, b.id AS id2, CAST(levenshtein(a.s, b.s) AS INT) AS dist " +
+       "FROM u a JOIN u b ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 " +
+       "AND levenshtein(a.s, b.s) <= 1 ORDER BY id, id2")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

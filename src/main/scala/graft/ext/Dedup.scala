@@ -848,6 +848,84 @@ object Dedup {
   }
 
   /**
+   * EXACT edit-distance similarity self-join (Ed-Join, Xiao et al.
+   * VLDB 2008): all pairs with levenshtein(a, b) <= maxDist — the fuzzy
+   * entity-matching primitive (typo'd product names, OCR'd titles,
+   * near-identical URLs). Candidate generation is q-gram prefix
+   * filtering: one edit changes at most `q` distinct q-grams, so two
+   * strings within maxDist share >= 1 gram among each side's
+   * maxDist*q+1 RAREST grams (global (df, gram) order) — the PPJoin
+   * prefix shape with the Ed-Join bound; plus a length filter
+   * (|len(a)-len(b)| <= maxDist) before the exact codegen'd
+   * `levenshtein` verify. The prefix bound needs > maxDist*q q-grams,
+   * so strings of length <= maxDist*q + q - 1 take a separate
+   * length-banded all-pairs path (strings that short are few in entity
+   * data; the path REFUSES loudly above `maxShort` rather than going
+   * quadratic — raise it deliberately or pre-dedup exact first).
+   *
+   * Scale: gram df agg + prefix explode + bucket join are the
+   * setSimilarityJoin shapes (slim rows, hot-gram cap via `maxBucket`);
+   * the verify joins strings back for the candidate set only. Output
+   * (id, id2, dist), id < id2, exact — no LSH recall loss.
+   */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = 2, q: Int = 3,
+                        maxBucket: Int = 5000,
+                        maxShort: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"need maxDist >= 1, q >= 2")
+    val shortMax = maxDist * q + q - 1
+    val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(col("s").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // --- long path: prefix-filtered candidates ---
+    val longs = base.filter(length(col("s")) > shortMax)
+    val sets = longs.select(col("id"), length(col("s")).as("len"),
+      char_shingles(col("s"), lit(q)).as("grams"))
+    val dfreq = sets.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
+    val prefix = sets
+      .select(col("id"), col("len"), explode(col("grams")).as("gram"))
+      .join(dfreq, Seq("gram"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxDist * q + 1)
+      .select("gram", "id", "len")
+    val hot = prefix.groupBy("gram").agg(count(lit(1)).as("_p"))
+      .filter(col("_p") > maxBucket).select("gram")
+    val pruned = prefix.join(broadcast(hot), Seq("gram"), "left_anti")
+    val longCands = pruned
+      .join(pruned.select(col("gram"), col("id").as("id2"), col("len").as("len2")),
+        Seq("gram"))
+      .filter(col("id") < col("id2"))
+      .filter(abs(col("len") - col("len2")) <= maxDist)
+      .select("id", "id2")
+    // --- short path: strings too short for the prefix bound pair with
+    // every string within maxDist of their length (which is itself
+    // <= shortMax + maxDist), via a length-band all-pairs join ---
+    val band = base.filter(length(col("s")) <= shortMax + maxDist)
+    val nShort = band.limit(maxShort + 1).count()
+    require(nShort <= maxShort,
+      s"editDistancePairs: ${nShort}+ strings of length <= ${shortMax + maxDist} " +
+        s"take the all-pairs short path (maxShort=$maxShort). Exact-dedup " +
+        "them first, or raise maxShort deliberately.")
+    val shortCands = band.select(col("id"), length(col("s")).as("len"))
+      .join(band.select(col("id").as("id2"), length(col("s")).as("len2")),
+        abs(col("len") - col("len2")) <= maxDist)
+      .filter(col("id") < col("id2"))
+      .select("id", "id2")
+    // the bands overlap in (shortMax, shortMax + maxDist]: distinct()
+    val pairs = longCands.union(shortCands).distinct()
+      .join(base, Seq("id"))
+      .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("s"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select("id", "id2", "dist")
+    val out = pairs.localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
+  /**
    * SimHash near-dup pairs with hamming distance <= maxHamming.
    *
    * Skew cap (same shape as minhashPairs): degenerate 16-bit chunks —

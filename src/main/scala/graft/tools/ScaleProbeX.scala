@@ -166,6 +166,15 @@ object ScaleProbeX {
       if (want("containment")) time3(s"$label containmentPairs")(
         graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
           n = 3, threshold = 0.8))
+      if (want("editDistance")) time3(s"$label editDistancePairs")(
+        // entity-shaped strings: the doc's first 3 tokens; exact-dedup
+        // them first (editDistancePairs' documented precondition for
+        // dup-heavy name columns)
+        graft.ext.Dedup.editDistancePairs(
+          docs.select(col("doc_id"), array_join(slice(
+            split(trim(col("text")), "\\s+"), 1, 3), " ").as("name"))
+            .groupBy("name").agg(min(col("doc_id")).as("doc_id")),
+          "name", "doc_id", maxDist = 1, q = 3))
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)

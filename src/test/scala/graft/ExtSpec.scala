@@ -1843,6 +1843,44 @@ class ExtSpec extends SparkSpec {
     assert(f2(12L) == None)
   }
 
+  test("editDistancePairs: exact vs brute force incl. short-string path") {
+    val strings = Seq(
+      (1L, "spark engine"), (2L, "spark engine"),   // transposition = ed 2
+      (3L, "sparc engine"),                         // sub of 1
+      (4L, "spark engines"),                        // insert on 1
+      (5L, "ab"), (6L, "ac"), (7L, "b"),            // short path (len <= 8)
+      (8L, "aaaaaaa"), (9L, "aaaaaab"),             // repeated-gram degenerate
+      (10L, "completely different entity name here")
+    ).toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(strings, "s", "id", maxDist = k, q = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val rows = strings.collect().map(r => (r.getLong(0), r.getString(1)))
+      val want = (for {
+        (i, a) <- rows; (j, b) <- rows if i < j
+        d = levenshteinRef(a, b) if d <= k
+      } yield (i, j, d)).toSet
+      assert(got == want, s"maxDist=$k: got ${got.diff(want)} extra, " +
+        s"missing ${want.diff(got)}")
+    }
+    // the all-pairs short path refuses loudly over its cap
+    val shorts = (1 to 30).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(shorts, "s", "id", maxDist = 1, q = 3,
+        maxShort = 10).collect()
+    }
+    assert(e.getMessage.contains("maxShort"))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("containmentPairs: partial copies Jaccard misses; keepers drop contained") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val article = ("long article begins here with many framing words " +
