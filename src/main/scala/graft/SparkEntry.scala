@@ -1859,19 +1859,18 @@ object SparkEntry {
         .orderBy("id", "id2")
     }),
     "q135_edit_distance_join" -> ((s, dir) => { ensure(s)
-      // exact Ed-Join over part names: every %7=0 part contributes a
-      // one-char-deleted typo twin under id+1000000; the oracle
-      // brute-forces levenshtein over the same union with the length
-      // prefilter. Entity names this templated ("red bolt"/"red bolts")
-      // make a dense dist-1 graph - the exactness claim is tested on
-      // 48k pairs, not a handful of plants.
-      val parts = ld(s, dir, "part")
-        .select(col("p_partkey").as("id"), col("p_name").as("s"))
-      val typos = parts.filter(col("id") % 7 === 0)
-        .select((col("id") + 1000000L).as("id"),
-          concat(substring(col("s"), 1, 5), substring(col("s"), 7, 10000)).as("s"))
-      Dedup.editDistancePairs(parts.unionByName(typos), "s", "id",
-          maxDist = 1, q = 3)
+      // exact Ed-Join over customer names ("Customer#000000123"): each
+      // name's dist-1 neighbors are its single-digit substitutions in
+      // range, a dense-but-LINEAR match graph (19.5k pairs at sf0.01,
+      // ~10x at sf0.1) with zero exact duplicates — exactness is tested
+      // at density while the pair count scales with the corpus, not
+      // quadratically (the templated part-name corpus did: dedup-first
+      // is the operator's documented precondition). Oracle brute-forces
+      // levenshtein under the length prefilter.
+      Dedup.editDistancePairs(
+          ld(s, dir, "customer")
+            .select(col("c_custkey").as("id"), col("c_name").as("s")),
+          "s", "id", maxDist = 1, q = 3)
         .orderBy("id", "id2")
     })
   )
@@ -2600,11 +2599,10 @@ object SparkEntry {
        "FROM g a JOIN g b ON a.doc_id <> b.doc_id WHERE len(a.grams) > 0 AND len(b.grams) > 0) " +
        "WHERE containment >= 0.8 ORDER BY id, id2"),
     "q135_edit_distance_join" ->
-      ("WITH u AS (SELECT p_partkey AS id, p_name AS s FROM part UNION ALL " +
-       "SELECT p_partkey + 1000000 AS id, substr(p_name, 1, 5) || substr(p_name, 7) AS s FROM part WHERE p_partkey % 7 = 0) " +
-       "SELECT a.id AS id, b.id AS id2, CAST(levenshtein(a.s, b.s) AS INT) AS dist " +
-       "FROM u a JOIN u b ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 " +
-       "AND levenshtein(a.s, b.s) <= 1 ORDER BY id, id2")
+      ("SELECT a.c_custkey AS id, b.c_custkey AS id2, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
+       "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+       "AND abs(length(a.c_name) - length(b.c_name)) <= 1 " +
+       "AND levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id, id2")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame
