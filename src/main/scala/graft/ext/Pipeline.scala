@@ -156,4 +156,73 @@ object Pipeline {
       maxBucket = minhashMaxBucket))
     (cur, report.result())
   }
+
+  /**
+   * The COMPLETE corpus-to-training-set run — what a user of this
+   * library executes end to end to turn a raw crawl into packed
+   * training sequences (each stage is individually oracle-gated;
+   * this is the shipped composition):
+   *
+   *  1. [[cleanCorpus]] — the full cleaning stack (every knob passed
+   *     through);
+   *  2. exact n-gram decontamination against the evaluation benchmark
+   *     ([[TextAnalysis.ngramContaminatedIds]] anti-join) — AFTER
+   *     cleaning (a cleaned doc can only LOSE grams, never mint a new
+   *     benchmark n-gram: cut/strip edits only remove or re-adjoin
+   *     token runs — re-adjacency CAN mint novel grams, which is why
+   *     decontamination runs on the final text, not the raw input);
+   *  3. deterministic content-hash train/val/test split
+   *     ([[TextAnalysis.splitCorpus]], first label = train);
+   *  4. temperature-scaled source mixing on the TRAIN split ONLY
+   *     ([[TextAnalysis.alphaSourceMix]] keep set) — held-out splits
+   *     are never resampled, they estimate the true distribution;
+   *  5. GPT-style sequence packing of the train survivors
+   *     ([[TextAnalysis.packSequences]], `seqLen` tokens per chunk).
+   *
+   * Returns (packed train sequences, held-out frame with its `split`
+   * label, per-stage [[StageReport]] continuing cleanCorpus's report).
+   * Scale: the composition adds one broadcast anti-join, one narrow
+   * split projection, one per-source agg + broadcast keep-join, and
+   * the two-pass prefix-sum pack on top of cleanCorpus — nothing
+   * shuffles the corpus beyond what the member operators already do.
+   */
+  def prepareTrainingData(docs: DataFrame, textCol: String, idCol: String,
+                          sourceCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          targetTokens: Long, seqLen: Int,
+                          splits: Seq[(String, Double)] =
+                            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                          contaminationN: Int = 8,
+                          urlCol: Option[String] = None,
+                          markupStrip: Boolean = false,
+                          normalize: Boolean = false,
+                          blockedDomains: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, Seq[StageReport]) = {
+    require(splits.nonEmpty, "at least one split")
+    val report = Seq.newBuilder[StageReport]
+    def stage(name: String)(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      report += StageReport(name, out.count())
+      out
+    }
+    val (cleaned, cleanReport) = cleanCorpus(docs, textCol, idCol,
+      urlCol = urlCol, markupStrip = markupStrip, normalize = normalize,
+      blockedDomains = blockedDomains)
+    report ++= cleanReport
+    val dirty = TextAnalysis.ngramContaminatedIds(cleaned, textCol, idCol,
+      bench, benchTextCol, contaminationN)
+    val decon = stage("decontaminate")(
+      cleaned.join(dirty, Seq(idCol), "left_anti"))
+    val split = TextAnalysis.splitCorpus(decon, textCol, splits)
+    val trainLabel = splits.head._1
+    val train = stage("train_split")(
+      split.filter(col("split") === trainLabel).drop("split"))
+    val heldout = stage("heldout")(split.filter(col("split") =!= trainLabel))
+    val keep = TextAnalysis.alphaSourceMix(train, textCol, idCol,
+      sourceCol, targetTokens).filter(col("kept")).select(idCol)
+    val mixed = stage("source_mix")(train.join(keep, Seq(idCol), "left_semi"))
+    val packed = stage("packed")(
+      TextAnalysis.packSequences(mixed, textCol, idCol, seqLen))
+    (packed, heldout, report.result())
+  }
 }

@@ -1435,6 +1435,38 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("needs urlCol"))
   }
 
+  test("Pipeline.prepareTrainingData: clean -> decontaminate -> split -> mix -> pack") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    // plant one benchmark-contaminated doc: its text contains an exact
+    // benchmark 8-gram, so it must vanish before the split
+    val benchLine = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(lit("prefix words "), lit(benchLine),
+        lit(" suffix"))).otherwise(col("text")))
+    val bench = Seq("unrelated bench row", benchLine).toDF("text")
+    val (packed, heldout, report) = Pipeline.prepareTrainingData(
+      planted, "text", "doc_id", "source", bench, "text",
+      targetTokens = 100000L, seqLen = 64)
+    val stages = report.map(_.stage)
+    assert(stages.containsSlice(Seq("decontaminate", "train_split",
+      "heldout", "source_mix", "packed")))
+    val r = report.map(s => s.stage -> s.rows).toMap
+    // contaminated doc 7 is gone from BOTH outputs
+    assert(!packed.select("doc_id").as[Long].collect().contains(7L))
+    assert(!heldout.select("doc_id").as[Long].collect().contains(7L))
+    // splits partition the decontaminated survivors
+    assert(r("train_split") + r("heldout") == r("decontaminate"))
+    // packed rows are exactly the mixed train survivors, with chunk cols
+    assert(r("packed") == r("source_mix"))
+    assert(packed.columns.toSet ==
+      Set("doc_id", "n_tokens", "start_chunk", "end_chunk", "crosses_boundary"))
+    // generous budget: mixing keeps most of train (rate clamps at 1 for
+    // sources under budget) but never more than train
+    assert(r("source_mix") <= r("train_split") && r("source_mix") > 0)
+  }
+
   test("Pipeline.cleanCorpus is idempotent: a re-run on its output drops nothing") {
     // the production re-run property: applying the pipeline to an
     // already-clean corpus must be the identity (every defect class was
