@@ -641,21 +641,32 @@ object Dedup {
     out
   }
 
-  /** Each doc's rank-ordered PPJoin prefix: (gram, id, sz, _rn). */
-  private def prefixFrame(grams: DataFrame, threshold: Double): DataFrame = {
-    val dfreq = grams.select(explode(col("grams")).as("gram"))
+  /** The ONE rank-ordered rarest-first prefix kernel every prefix-
+    * filtered join in this file derives from (Jaccard PPJoin, Ed-Join,
+    * overflow reports): explode (id, grams, carry...) rows, rank each
+    * doc's grams in the global (document-frequency, gram) order, keep
+    * rows whose rank is within `bound` (an expression over `sz` and any
+    * carried column). Output: (gram, id, sz, _rn, carry...). */
+  private def rarestPrefix(sets: DataFrame, carry: Seq[String],
+                           bound: Column): DataFrame = {
+    val dfreq = sets.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("_df"))
-    val exploded = grams
-      .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val exploded = sets
+      .select(col("id") +: size(col("grams")).as("sz") +:
+        explode(col("grams")).as("gram") +: carry.map(col): _*)
       .join(dfreq, Seq("gram"))
-    // per-doc rank in the global (df, gram) order; prefix length is the
-    // PPJoin bound floor((1-t)*|A|)+1
     val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
     exploded
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
-      .select("gram", "id", "sz", "_rn")
+      .filter(col("_rn") <= bound)
+      .select(("gram" +: "id" +: "sz" +: "_rn" +: carry).map(col): _*)
   }
+
+  /** Each doc's rank-ordered PPJoin prefix: (gram, id, sz, _rn) at the
+    * Jaccard bound floor((1-t)*|A|)+1. */
+  private def prefixFrame(grams: DataFrame, threshold: Double): DataFrame =
+    rarestPrefix(grams, Nil,
+      floor((lit(1.0) - lit(threshold)) * col("sz")) + lit(1))
 
   /** Grams whose prefix bucket exceeds the cap (tiny; broadcastable). */
   private def hotGrams(prefix: DataFrame, maxBucket: Int): DataFrame =
@@ -771,10 +782,12 @@ object Dedup {
    * rarest grams can start a qualifying match) — but the CONTAINER side
    * cannot be prefix-filtered (any gram of B may be the one A shares),
    * so it is a full postings index: that asymmetry is inherent to
-   * containment joins, and the hot-gram cap (`maxBucket`, dropped
-   * postings reported via [[setSimilarityOverflow]]'s convention)
-   * bounds the quadratic bucket risk. Size filter |B| ≥ ceil(t·|A|)
-   * prunes candidates before the exact sorted-merge verify.
+   * containment joins, and the hot-gram cap (`maxBucket`, on FULL
+   * postings counts — [[containmentOverflow]] itemizes the docs at
+   * risk; [[setSimilarityOverflow]]'s prefix-count criterion does NOT
+   * apply here) bounds the quadratic bucket risk. The size filter and
+   * prefix bound derive from the same double comparison the verify
+   * runs, never a bare float ceil.
    */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.8,
@@ -787,14 +800,31 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sets.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("_df"))
+    // checkpointed ONCE: the slim (gram, id, sz, _df) stream feeds the
+    // prefix window, the hot-postings aggregate, AND the postings join
+    // side — lazily each consumer re-executed the explode+agg+join
+    // pipeline (the editDistancePairs/dsir one-pass motive)
     val exploded = sets
       .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
       .join(dfreq, Seq("gram"))
+      .localCheckpoint()
     val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
-    // containment prefix bound for the contained side: the first
-    // |A| - ceil(t*|A|) + 1 grams in global rarest-first order
+    // containment prefix bound for the contained side: |A| - needed + 1
+    // rarest grams, where `needed` is the smallest overlap o whose
+    // DOUBLE comparison o/|A| >= t accepts — derived from the same
+    // comparison the verify step runs, NOT a bare ceil(t*|A|): the
+    // double product can overshoot an exact integer (0.55*100 =
+    // 55.000000000000007, ceil 56) and a ceil-derived bound then drops
+    // pairs the verify would accept
+    val needed = {
+      val cand = ceil(lit(threshold) * col("sz").cast("double")).cast("long")
+      when((cand - 1).cast("double") / col("sz").cast("double") >= threshold,
+        cand - 1)
+        .when(cand.cast("double") / col("sz").cast("double") >= threshold, cand)
+        .otherwise(cand + 1)
+    }
     val prefix = exploded.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .filter(col("_rn") <= col("sz") - needed + lit(1))
       .select("gram", "id", "sz")
     val postings = exploded.select(col("gram"), col("id").as("id2"),
       col("sz").as("sz2"))
@@ -804,7 +834,7 @@ object Dedup {
       .join(broadcast(hot), Seq("gram"), "left_anti")
       .join(postings.join(broadcast(hot), Seq("gram"), "left_anti"), Seq("gram"))
       .filter(col("id") =!= col("id2"))
-      .filter(col("sz2") >= ceil(lit(threshold) * col("sz")))
+      .filter(col("sz2") >= needed)
       .select("id", "id2").distinct()
     val pairs = candidates
       .join(sets, Seq("id"))
@@ -866,7 +896,11 @@ object Dedup {
    * Scale: gram df agg + prefix explode + bucket join are the
    * setSimilarityJoin shapes (slim rows, hot-gram cap via `maxBucket`);
    * the verify joins strings back for the candidate set only. Output
-   * (id, id2, dist), id < id2, exact — no LSH recall loss.
+   * (id, id2, dist), id < id2 — exact UP TO the hot-gram cap: a pair
+   * whose every shared prefix gram is over-cap is lost, and
+   * [[editDistanceOverflow]] itemizes exactly the docs at risk (the
+   * README no-silent-exclusions convention). Uncapped corpora are
+   * fully exact — no LSH recall loss.
    */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 2, q: Int = 3,
@@ -887,20 +921,19 @@ object Dedup {
     // re-executes its shuffle pipeline for the cap aggregate AND both
     // self-join branches ---
     val longs = base.filter(length(col("s")) > shortMax)
+    // per-row prefix bound: one edit destroys <= q distinct grams when
+    // the edited char is one UTF-16 unit, but <= q+1 when it is a
+    // SUPPLEMENTARY char (char_shingles windows over UTF-16 units, and
+    // a 2-unit char overlaps q+1 windows) — strings carrying a
+    // surrogate get the widened maxDist*(q+1)+1 bound so the 'exact'
+    // claim survives astral-plane text instead of silently missing
+    // pairs; pure-BMP strings keep the tight bound
     val sets = longs.select(col("id"), length(col("s")).as("len"),
+      when(col("s").rlike("[\\uD800-\\uDBFF]"),
+        lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
       char_shingles(col("s"), lit(q)).as("grams"))
-    val dfreq = sets.select(explode(col("grams")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("_df"))
-    val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
-    val prefix = sets
-      .select(col("id"), col("len"), explode(col("grams")).as("gram"))
-      .join(dfreq, Seq("gram"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxDist * q + 1)
-      .select("gram", "id", "len")
-    val hot = prefix.groupBy("gram").agg(count(lit(1)).as("_p"))
-      .filter(col("_p") > maxBucket).select("gram")
-    val pruned = prefix.join(broadcast(hot), Seq("gram"), "left_anti")
+    val pruned = capPrefix(
+      rarestPrefix(sets, Seq("len", "_pb"), col("_pb")), maxBucket)
       .localCheckpoint()
     val longPairs = pruned
       .join(pruned.select(col("gram"), col("id").as("id2"),
@@ -913,28 +946,86 @@ object Dedup {
       .withColumn("dist", levenshtein(col("s"), col("s2")))
       .filter(col("dist") <= maxDist)
       .select("id", "id2", "dist")
-    // --- short path: strings too short for the prefix bound pair with
-    // every string within maxDist of their length (which is itself
-    // <= shortMax + maxDist), via a length-band all-pairs join ---
-    val band = base.filter(length(col("s")) <= shortMax + maxDist)
-    val nShort = band.limit(maxShort + 1).count()
+    // --- short path: ONLY strings too short for the prefix bound
+    // (len <= shortMax) need it; each pairs with every string within
+    // maxDist of its length (partner len <= shortMax + maxDist).
+    // The refusal counts the SHORTS — a corpus whose every string
+    // clears the bound pays nothing here regardless of size ---
+    val shorts = base.filter(length(col("s")) <= shortMax)
+    val nShort = shorts.limit(maxShort + 1).count()
     require(nShort <= maxShort,
-      s"editDistancePairs: ${nShort}+ strings of length <= ${shortMax + maxDist} " +
+      s"editDistancePairs: ${nShort}+ strings of length <= $shortMax " +
         s"take the all-pairs short path (maxShort=$maxShort). Exact-dedup " +
         "them first, or raise maxShort deliberately.")
-    val shortPairs = band
-      .join(band.select(col("id").as("id2"), col("s").as("s2")),
-        abs(length(col("s")) - length(col("s2"))) <= maxDist)
-      .filter(col("id") < col("id2"))
+    val partners = base.filter(length(col("s")) <= shortMax + maxDist)
+    val shortPairs = shorts
+      .join(partners.select(col("id").as("id2"), col("s").as("s2")),
+        abs(length(col("s")) - length(col("s2"))) <= maxDist &&
+          col("id") =!= col("id2"))
       .withColumn("dist", levenshtein(col("s"), col("s2")))
       .filter(col("dist") <= maxDist)
-      .select("id", "id2", "dist")
-    // distinct LAST: dedupes multi-gram candidate repeats AND the
-    // bands' overlap in (shortMax, shortMax + maxDist]
+      // shorts x partners emits short-short pairs twice and short-long
+      // pairs in whichever orientation; normalize to id < id2
+      .select(least(col("id"), col("id2")).as("id"),
+        greatest(col("id"), col("id2")).as("id2"), col("dist"))
+    // distinct LAST: dedupes multi-gram candidate repeats, the double-
+    // emitted short-short pairs, and the paths' overlap band
     val pairs = longPairs.union(shortPairs).distinct()
     val out = pairs.localCheckpoint(true)
     base.unpersist(false)
     out
+  }
+
+  /**
+   * Overflow report for [[containmentPairs]]' hot-gram cap (README
+   * "no silent exclusions"): the cap criterion there is FULL-postings
+   * bucket size, so the at-risk set is every doc carrying at least one
+   * over-cap gram anywhere in its gram SET (as contained side it may
+   * lose a candidate start; as container it may lose an incoming
+   * match). One row per such doc: (id, overflow_grams, total_grams);
+   * a doc with overflow_grams == total_grams matched ONLY through hot
+   * grams. Empty report ⇔ the pair set is complete.
+   */
+  def containmentOverflow(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 3, maxBucket: Int = 5000): DataFrame = {
+    val g = df
+      .select(col(idCol).as("id"), word_shingles(col(textCol), lit(n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("id"), size(col("grams")).as("total_grams"),
+        explode(col("grams")).as("gram"))
+    val hot = g.groupBy("gram").agg(count(lit(1)).as("_p"))
+      .filter(col("_p") > maxBucket).select("gram")
+    g.join(broadcast(hot), Seq("gram"))
+      .groupBy("id", "total_grams")
+      .agg(count(lit(1)).as("overflow_grams"))
+      .select("id", "overflow_grams", "total_grams")
+  }
+
+  /**
+   * Overflow report for [[editDistancePairs]]' hot-gram cap (README
+   * "no silent exclusions"): one row per long-path string whose PREFIX
+   * contains at least one over-cap gram — the only strings that can
+   * have lost a pair to the cap (a pair is lost only when EVERY shared
+   * prefix gram is over-cap). (id, overflow_grams, prefix_len); the
+   * short path is never capped (it refuses instead). Empty report ⇔
+   * the pair set is exact.
+   */
+  def editDistanceOverflow(df: DataFrame, textCol: String, idCol: String,
+                           maxDist: Int = 2, q: Int = 3,
+                           maxBucket: Int = 5000): DataFrame = {
+    val shortMax = maxDist * q + q - 1
+    val sets = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > shortMax)
+      .select(col("id"),
+        when(col("s").rlike("[\\uD800-\\uDBFF]"),
+          lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
+        char_shingles(col("s"), lit(q)).as("grams"))
+    val prefix = rarestPrefix(sets, Seq("_pb"), col("_pb"))
+    val plen = prefix.groupBy("id").agg(count(lit(1)).as("prefix_len"))
+    prefix.join(broadcast(hotGrams(prefix, maxBucket)), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("overflow_grams"))
+      .join(plen, Seq("id"))
+      .select("id", "overflow_grams", "prefix_len")
   }
 
   /**

@@ -196,7 +196,14 @@ object Pipeline {
                           urlCol: Option[String] = None,
                           markupStrip: Boolean = false,
                           normalize: Boolean = false,
-                          blockedDomains: Option[DataFrame] = None)
+                          blockedDomains: Option[DataFrame] = None,
+                          blockedDomainCol: String = "domain",
+                          boilerplateMaxDocFreq: Int = 0,
+                          spanK: Int = 8,
+                          minTokens: Int = 5,
+                          maxDupTokenFraction: Double = 0.6,
+                          minhashThreshold: Double = 0.8,
+                          minhashMaxBucket: Int = 1000)
       : (DataFrame, DataFrame, Seq[StageReport]) = {
     require(splits.nonEmpty, "at least one split")
     val report = Seq.newBuilder[StageReport]
@@ -207,7 +214,11 @@ object Pipeline {
     }
     val (cleaned, cleanReport) = cleanCorpus(docs, textCol, idCol,
       urlCol = urlCol, markupStrip = markupStrip, normalize = normalize,
-      blockedDomains = blockedDomains)
+      blockedDomains = blockedDomains, blockedDomainCol = blockedDomainCol,
+      boilerplateMaxDocFreq = boilerplateMaxDocFreq, spanK = spanK,
+      minTokens = minTokens, maxDupTokenFraction = maxDupTokenFraction,
+      minhashThreshold = minhashThreshold,
+      minhashMaxBucket = minhashMaxBucket)
     report ++= cleanReport
     val dirty = TextAnalysis.ngramContaminatedIds(cleaned, textCol, idCol,
       bench, benchTextCol, contaminationN)

@@ -1913,6 +1913,68 @@ class ExtSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("containmentPairs: float-ceil boundary (11/20 at t=0.55) is kept") {
+    // C(A,B) = 11/20 = 0.55 >= 0.55 must pass, but ceil(0.55*20) = 12
+    // in IEEE doubles (11.000000000000002 rounds up) — a ceil-derived
+    // prefix bound shrinks A's prefix below its only shared grams and
+    // the pair silently vanishes; the bound must derive from the same
+    // double comparison the verify runs
+    val w = (1 to 22).map(i => s"w$i")
+    val x = (1 to 11).map(i => s"x$i")
+    val corpus = Seq(
+      (1L, w.mkString(" ")),                        // A: 20 3-grams
+      (2L, (w.take(13) ++ x).mkString(" "))         // B: shares g1..g11
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.55),
+      s"got ${pairs.toSeq}")
+  }
+
+  test("containmentOverflow / editDistanceOverflow: capped corpora are itemized") {
+    val docs = Seq(
+      (1L, "shared hot gram one two three"),
+      (2L, "shared hot gram four five six"),
+      (3L, "shared hot gram seven eight nine"),
+      (4L, "totally unrelated content words here")
+    ).toDF("doc_id", "text")
+    // 'shared hot gram' is in 3 docs; cap at 2 -> those docs reported
+    val co = Dedup.containmentOverflow(docs, "text", "doc_id",
+        n = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(co.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L), s"got ${co.toSeq}")
+    assert(co.forall(r => r._2 >= 1 && r._2 <= r._3))
+    // uncapped: empty report
+    assert(Dedup.containmentOverflow(docs, "text", "doc_id").isEmpty)
+    val names = Seq((1L, "Customer#01"), (2L, "Customer#02"),
+      (3L, "Customer#03"), (4L, "Zebra#99999"))
+      .toDF("doc_id", "s")
+    val eo = Dedup.editDistanceOverflow(names, "s", "doc_id",
+      maxDist = 1, q = 3, maxBucket = 2).collect()
+    assert(eo.nonEmpty && eo.forall(_.getLong(0) <= 3L))
+    assert(Dedup.editDistanceOverflow(names, "s", "doc_id").isEmpty)
+  }
+
+  test("editDistancePairs: long-only corpus never hits the short refusal; emoji pair found") {
+    // 30 strings of length 9-10: every one clears the prefix bound
+    // (shortMax = 8 at maxDist=2, q=3), so maxShort must not trip even
+    // though the length BAND (<= 10) contains all of them
+    val longish = (1 to 30).map(i => (i.toLong, f"code-$i%05d")).toDF("id", "s")
+    val ok = Dedup.editDistancePairs(longish, "s", "id", maxDist = 2,
+      q = 3, maxShort = 10).collect()
+    assert(ok.nonEmpty) // code-00001 vs code-00002 etc are within 2
+    // supplementary-plane substitution is ONE edit and must be found
+    // (the widened surrogate prefix bound)
+    val emoji = Seq(
+      (1L, "product 😀 alpha beta"),
+      (2L, "product 😁 alpha beta")
+    ).toDF("id", "s")
+    val ep = Dedup.editDistancePairs(emoji, "s", "id", maxDist = 1, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ep.toSeq == Seq((1L, 2L)))
+  }
+
   test("containmentPairs: partial copies Jaccard misses; keepers drop contained") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val article = ("long article begins here with many framing words " +
