@@ -1872,6 +1872,23 @@ object SparkEntry {
             .select(col("c_custkey").as("id"), col("c_name").as("s")),
           "s", "id", maxDist = 1, q = 3)
         .orderBy("id", "id2")
+    }),
+    "q136_entity_resolution" -> ((s, dir) => { ensure(s)
+      // cross-corpus Ed-Join: messy left (customer names) resolved
+      // against a reference list derived from every %5=0 customer with
+      // one character substituted at position 11 ('0'..'9' -> 'X') —
+      // each reference matches exactly its source at dist 1 (any other
+      // customer differs at the X position AND in its digits). Oracle
+      // brute-forces levenshtein under the length prefilter.
+      val cust = ld(s, dir, "customer")
+        .select(col("c_custkey").as("cid"), col("c_name").as("name"))
+      val refs = cust.filter(col("cid") % 5 === 0)
+        .select((col("cid") + 500000L).as("rid"),
+          concat(substring(col("name"), 1, 10), lit("X"),
+            substring(col("name"), 12, 100)).as("rname"))
+      Dedup.editDistanceJoin(cust, "name", "cid", refs, "rname", "rid",
+          maxDist = 1, q = 3)
+        .orderBy("id", "id2")
     })
   )
 
@@ -2602,7 +2619,13 @@ object SparkEntry {
       ("SELECT a.c_custkey AS id, b.c_custkey AS id2, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
        "AND abs(length(a.c_name) - length(b.c_name)) <= 1 " +
-       "AND levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id, id2")
+       "AND levenshtein(a.c_name, b.c_name) <= 1 ORDER BY id, id2"),
+    "q136_entity_resolution" ->
+      ("WITH r AS (SELECT c_custkey + 500000 AS rid, substr(c_name, 1, 10) || 'X' || substr(c_name, 12) AS rname " +
+       "FROM customer WHERE c_custkey % 5 = 0) " +
+       "SELECT c.c_custkey AS id, r.rid AS id2, CAST(levenshtein(c.c_name, r.rname) AS INT) AS dist " +
+       "FROM customer c JOIN r ON abs(length(c.c_name) - length(r.rname)) <= 1 " +
+       "AND levenshtein(c.c_name, r.rname) <= 1 ORDER BY id, id2")
   )
 
   /** One ExactSubstr cut round for the q118 oracle: token-list frame

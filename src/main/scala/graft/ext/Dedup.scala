@@ -648,9 +648,14 @@ object Dedup {
     * rows whose rank is within `bound` (an expression over `sz` and any
     * carried column). Output: (gram, id, sz, _rn, carry...). */
   private def rarestPrefix(sets: DataFrame, carry: Seq[String],
-                           bound: Column): DataFrame = {
-    val dfreq = sets.select(explode(col("grams")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("_df"))
+                           bound: Column,
+                           sharedDfreq: Option[DataFrame] = None): DataFrame = {
+    // cross-corpus joins pass ONE dfreq over both sides' gram streams:
+    // the prefix theorem needs a single consistent global order, and
+    // per-side frequencies would rank the same gram differently
+    val dfreq = sharedDfreq.getOrElse(
+      sets.select(explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("_df")))
     val exploded = sets
       .select(col("id") +: size(col("grams")).as("sz") +:
         explode(col("grams")).as("gram") +: carry.map(col): _*)
@@ -973,6 +978,83 @@ object Dedup {
     val pairs = longPairs.union(shortPairs).distinct()
     val out = pairs.localCheckpoint(true)
     base.unpersist(false)
+    out
+  }
+
+  /**
+   * Cross-corpus Ed-Join: all (left, right) pairs with
+   * levenshtein <= maxDist — entity RESOLUTION against a canonical
+   * reference list (messy crawl names vs a product catalog, OCR'd
+   * titles vs a bibliography), where [[editDistancePairs]] is the
+   * symmetric self-join special case. Same q-gram prefix bound per
+   * side (surrogate-widened, as there), but document frequencies come
+   * from the UNION of both gram streams — the prefix theorem needs ONE
+   * consistent global order, and per-side frequencies would rank the
+   * same gram differently on each side. Pairs where either string is
+   * too short for the prefix bound take the banded path (|len diff| <=
+   * maxDist against the other side), counted toward the same loud
+   * `maxShort` refusal. Output (id = left id, id2 = right id, dist);
+   * exact up to the hot-gram cap on COMBINED prefix-bucket size.
+   */
+  def editDistanceJoin(left: DataFrame, leftTextCol: String, leftIdCol: String,
+                       right: DataFrame, rightTextCol: String,
+                       rightIdCol: String,
+                       maxDist: Int = 2, q: Int = 3,
+                       maxBucket: Int = 5000,
+                       maxShort: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"need maxDist >= 1, q >= 2")
+    val shortMax = maxDist * q + q - 1
+    def baseOf(df: DataFrame, t: String, i: String) =
+      df.select(col(i).as("id"), col(t).as("s")).filter(col("s").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lbase = baseOf(left, leftTextCol, leftIdCol)
+    val rbase = baseOf(right, rightTextCol, rightIdCol)
+    def setsOf(b: DataFrame) = b.filter(length(col("s")) > shortMax)
+      .select(col("id"), length(col("s")).as("len"),
+        when(col("s").rlike("[\\uD800-\\uDBFF]"),
+          lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
+        char_shingles(col("s"), lit(q)).as("grams"))
+    val lsets = setsOf(lbase); val rsets = setsOf(rbase)
+    val dfreq = lsets.select(explode(col("grams")).as("gram"))
+      .unionAll(rsets.select(explode(col("grams")).as("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+    val lpref = rarestPrefix(lsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
+      .localCheckpoint()
+    val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
+      .localCheckpoint()
+    val hot = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("_p"))
+      .filter(col("_p") > maxBucket).select("gram")
+    val longPairs = lpref.join(broadcast(hot), Seq("gram"), "left_anti")
+      .join(rpref.join(broadcast(hot), Seq("gram"), "left_anti")
+        .select(col("gram"), col("id").as("id2"), col("len").as("len2")),
+        Seq("gram"))
+      .filter(abs(col("len") - col("len2")) <= maxDist)
+      .select("id", "id2").distinct()
+      .join(lbase, Seq("id"))
+      .join(rbase.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("s"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select("id", "id2", "dist")
+    val lshorts = lbase.filter(length(col("s")) <= shortMax)
+    val rshorts = rbase.filter(length(col("s")) <= shortMax)
+    val nShort = lshorts.unionAll(rshorts).limit(maxShort + 1).count()
+    require(nShort <= maxShort,
+      s"editDistanceJoin: ${nShort}+ strings of length <= $shortMax " +
+        s"take the banded short path (maxShort=$maxShort). Exact-dedup " +
+        "them first, or raise maxShort deliberately.")
+    def banded(a: DataFrame, b: DataFrame): DataFrame = a
+      .join(b.select(col("id").as("id2"), col("s").as("s2")),
+        abs(length(col("s")) - length(col("s2"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("s"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select("id", "id2", "dist")
+    val shortPairs = banded(lshorts,
+        rbase.filter(length(col("s")) <= shortMax + maxDist))
+      .unionAll(banded(lbase.filter(length(col("s")).between(
+        shortMax + 1, shortMax + maxDist)), rshorts))
+    val out = longPairs.unionAll(shortPairs).distinct().localCheckpoint(true)
+    lbase.unpersist(false); rbase.unpersist(false)
     out
   }
 

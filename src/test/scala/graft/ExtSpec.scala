@@ -1913,6 +1913,28 @@ class ExtSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("editDistanceJoin: cross-corpus exact vs brute force incl. short paths") {
+    val leftRows = Seq(
+      (1L, "spark engine"), (2L, "sparc engine"), (3L, "ab"),
+      (4L, "abcdefghij"), (5L, "zz"), (6L, "totally different"))
+    val rightRows = Seq(
+      (101L, "spark engine"), (102L, "spark engines"), (103L, "ac"),
+      (104L, "abcdefghijk"), (105L, "nothing alike here"))
+    val l = leftRows.toDF("id", "s")
+    val r = rightRows.toDF("rid", "rs")
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistanceJoin(l, "s", "id", r, "rs", "rid",
+          maxDist = k, q = 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      val want = (for {
+        (i, a) <- leftRows; (j, b) <- rightRows
+        d = levenshteinRef(a, b) if d <= k
+      } yield (i, j, d)).toSet
+      assert(got == want, s"maxDist=$k: extra ${got.diff(want)}, " +
+        s"missing ${want.diff(got)}")
+    }
+  }
+
   test("containmentPairs: float-ceil boundary (11/20 at t=0.55) is kept") {
     // C(A,B) = 11/20 = 0.55 >= 0.55 must pass, but ceil(0.55*20) = 12
     // in IEEE doubles (11.000000000000002 rounds up) — a ceil-derived
