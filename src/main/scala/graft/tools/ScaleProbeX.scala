@@ -175,6 +175,20 @@ object ScaleProbeX {
             split(trim(col("text")), "\\s+"), 1, 3), " ").as("name"))
             .groupBy("name").agg(min(col("doc_id")).as("doc_id")),
           "name", "doc_id", maxDist = 1, q = 3))
+      if (want("entityResolve")) time3(s"$label editDistanceJoin")(
+        // messy 3-token doc prefixes resolved against a 2k-name
+        // reference list with planted char substitutions
+        graft.ext.Dedup.editDistanceJoin(
+          docs.select(col("doc_id"), array_join(slice(
+            split(trim(col("text")), "\\s+"), 1, 3), " ").as("name"))
+            .groupBy("name").agg(min(col("doc_id")).as("doc_id")),
+          "name", "doc_id",
+          docs.filter(col("doc_id") % 17 === 0).limit(2000)
+            .select((col("doc_id") + 9000000L).as("rid"),
+              concat(lit("Q"), substring(array_join(slice(
+                split(trim(col("text")), "\\s+"), 1, 3), " "), 2, 100))
+                .as("rname")),
+          "rname", "rid", maxDist = 1, q = 3))
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)
