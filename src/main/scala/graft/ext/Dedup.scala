@@ -833,8 +833,10 @@ object Dedup {
       .select("gram", "id", "sz")
     val postings = exploded.select(col("gram"), col("id").as("id2"),
       col("sz").as("sz2"))
-    val hot = postings.groupBy("gram").agg(count(lit(1)).as("_p"))
-      .filter(col("_p") > maxBucket).select("gram")
+    // _df from the dfreq join IS the full-postings bucket size: a
+    // map-side filter over the checkpointed rows, not a second shuffle
+    val hot = exploded.filter(col("_df") > maxBucket)
+      .select("gram").distinct()
     val candidates = prefix
       .join(broadcast(hot), Seq("gram"), "left_anti")
       .join(postings.join(broadcast(hot), Seq("gram"), "left_anti"), Seq("gram"))
@@ -907,6 +909,25 @@ object Dedup {
    * README no-silent-exclusions convention). Uncapped corpora are
    * fully exact — no LSH recall loss.
    */
+  /** Shared Ed-Join long-side frame: (id, len, _pb, grams) with the
+    * surrogate-aware per-row prefix bound. An edit destroys <= q
+    * distinct UTF-16 gram windows when the edited char is one unit,
+    * but <= q+1 when it is SUPPLEMENTARY (a 2-unit char overlaps q+1
+    * windows), so astral-bearing strings get the widened
+    * maxDist*(q+1)+1 bound. Detection is by CODE-POINT class: Java
+    * regex matches code points, so a surrogate-UNIT class like
+    * [\\uD800-\\uDBFF] NEVER fires on well-formed text (the first
+    * version's dead trigger, caught in review). ONE helper so the
+    * pairs, cross-join, and overflow-report sites cannot drift. */
+  private def edSets(base: DataFrame, maxDist: Int, q: Int): DataFrame = {
+    val shortMax = maxDist * q + q - 1
+    base.filter(length(col("s")) > shortMax)
+      .select(col("id"), length(col("s")).as("len"),
+        when(col("s").rlike("[\\x{10000}-\\x{10FFFF}]"),
+          lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
+        char_shingles(col("s"), lit(q)).as("grams"))
+  }
+
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 2, q: Int = 3,
                         maxBucket: Int = 5000,
@@ -916,85 +937,88 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(col("s").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // --- long path: prefix-filtered candidates, DISTINCT before the
-    // verify. Order of operations measured at sf0.1 (15k shared-
-    // template names, 10M distinct candidates, 40M raw candidate rows
-    // from multi-gram repeats): verify-on-the-raw-stream pays the
-    // O(len²) levenshtein per REPEAT (73 s); distinct-first collapses
-    // the repeats on slim (id, id2) rows before any string work
-    // (~20 s). The pruned prefix is checkpointed once — lazily it
-    // re-executes its shuffle pipeline for the cap aggregate AND both
-    // self-join branches ---
-    val longs = base.filter(length(col("s")) > shortMax)
-    // per-row prefix bound: one edit destroys <= q distinct grams when
-    // the edited char is one UTF-16 unit, but <= q+1 when it is a
-    // SUPPLEMENTARY char (char_shingles windows over UTF-16 units, and
-    // a 2-unit char overlaps q+1 windows) — strings carrying a
-    // surrogate get the widened maxDist*(q+1)+1 bound so the 'exact'
-    // claim survives astral-plane text instead of silently missing
-    // pairs; pure-BMP strings keep the tight bound
-    val sets = longs.select(col("id"), length(col("s")).as("len"),
-      when(col("s").rlike("[\\uD800-\\uDBFF]"),
-        lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
-      char_shingles(col("s"), lit(q)).as("grams"))
-    val pruned = capPrefix(
-      rarestPrefix(sets, Seq("len", "_pb"), col("_pb")), maxBucket)
-      .localCheckpoint()
-    val longPairs = pruned
-      .join(pruned.select(col("gram"), col("id").as("id2"),
-        col("len").as("len2")), Seq("gram"))
-      .filter(col("id") < col("id2"))
-      .filter(abs(col("len") - col("len2")) <= maxDist)
-      .select("id", "id2").distinct()
-      .join(base, Seq("id"))
-      .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
-      .withColumn("dist", levenshtein(col("s"), col("s2")))
-      .filter(col("dist") <= maxDist)
-      .select("id", "id2", "dist")
-    // --- short path: ONLY strings too short for the prefix bound
-    // (len <= shortMax) need it; each pairs with every string within
-    // maxDist of its length (partner len <= shortMax + maxDist).
-    // The refusal counts the SHORTS — a corpus whose every string
-    // clears the bound pays nothing here regardless of size ---
-    val shorts = base.filter(length(col("s")) <= shortMax)
-    val nShort = shorts.limit(maxShort + 1).count()
-    require(nShort <= maxShort,
-      s"editDistancePairs: ${nShort}+ strings of length <= $shortMax " +
-        s"take the all-pairs short path (maxShort=$maxShort). Exact-dedup " +
-        "them first, or raise maxShort deliberately.")
-    val partners = base.filter(length(col("s")) <= shortMax + maxDist)
-    val shortPairs = shorts
-      .join(partners.select(col("id").as("id2"), col("s").as("s2")),
-        abs(length(col("s")) - length(col("s2"))) <= maxDist &&
-          col("id") =!= col("id2"))
-      .withColumn("dist", levenshtein(col("s"), col("s2")))
-      .filter(col("dist") <= maxDist)
-      // shorts x partners emits short-short pairs twice and short-long
-      // pairs in whichever orientation; normalize to id < id2
-      .select(least(col("id"), col("id2")).as("id"),
-        greatest(col("id"), col("id2")).as("id2"), col("dist"))
-    // distinct LAST: dedupes multi-gram candidate repeats, the double-
-    // emitted short-short pairs, and the paths' overlap band
-    val pairs = longPairs.union(shortPairs).distinct()
-    val out = pairs.localCheckpoint(true)
-    base.unpersist(false)
-    out
+    try {
+      // --- long path: prefix-filtered candidates, DISTINCT before the
+      // verify. Order of operations measured at sf0.1 (15k shared-
+      // template names, 10M distinct candidates, 40M raw candidate rows
+      // from multi-gram repeats): verify-on-the-raw-stream pays the
+      // O(len**2) levenshtein per REPEAT (73 s); distinct-first collapses
+      // the repeats on slim (id, id2) rows before any string work
+      // (~20 s). The pruned prefix is checkpointed once --- lazily it
+      // re-executes its shuffle pipeline for the cap aggregate AND both
+      // self-join branches ---
+      val pruned = capPrefix(
+        rarestPrefix(edSets(base, maxDist, q), Seq("len", "_pb"),
+          col("_pb")), maxBucket)
+        .localCheckpoint()
+      val longPairs = pruned
+        .join(pruned.select(col("gram"), col("id").as("id2"),
+          col("len").as("len2")), Seq("gram"))
+        .filter(col("id") < col("id2"))
+        .filter(abs(col("len") - col("len2")) <= maxDist)
+        .select("id", "id2").distinct()
+        .join(base, Seq("id"))
+        .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+        .withColumn("dist", levenshtein(col("s"), col("s2")))
+        .filter(col("dist") <= maxDist)
+        .select("id", "id2", "dist")
+      // --- short path: ONLY strings too short for the prefix bound
+      // (len <= shortMax) need it; each pairs with every string within
+      // maxDist of its length (partner len <= shortMax + maxDist).
+      // ZERO shorts -> the path (and its partner count) is skipped
+      // entirely; otherwise BOTH factors of the banded product are
+      // bounded by maxShort, because the guard exists to stop the
+      // quadratic, not just one side of it ---
+      val shorts = base.filter(length(col("s")) <= shortMax)
+      val nShort = shorts.limit(maxShort + 1).count()
+      val shortPairs = if (nShort == 0) longPairs.limit(0) else {
+        require(nShort <= maxShort,
+          s"editDistancePairs: ${nShort}+ strings of length <= $shortMax " +
+            s"take the all-pairs short path (maxShort=$maxShort). " +
+            "Exact-dedup them first, or raise maxShort deliberately.")
+        val partners = base.filter(length(col("s")) <= shortMax + maxDist)
+        val nPartners = partners.limit(maxShort + 1).count()
+        require(nPartners <= maxShort,
+          s"editDistancePairs: ${nShort} short strings (len <= $shortMax) " +
+            s"would band-join against ${nPartners}+ partners " +
+            s"(len <= ${shortMax + maxDist}, maxShort=$maxShort) --- a " +
+            "quadratic short path. Exact-dedup the short strings first, " +
+            "or raise maxShort deliberately.")
+        shorts
+          .join(partners.select(col("id").as("id2"), col("s").as("s2")),
+            abs(length(col("s")) - length(col("s2"))) <= maxDist &&
+              col("id") =!= col("id2"))
+          // keep ONE orientation of a short-short pair before the
+          // levenshtein (it appears both ways in shorts x partners);
+          // short-long pairs appear once, in whichever id order
+          .filter(col("id") < col("id2") || length(col("s2")) > shortMax)
+          .withColumn("dist", levenshtein(col("s"), col("s2")))
+          .filter(col("dist") <= maxDist)
+          .select(least(col("id"), col("id2")).as("id"),
+            greatest(col("id"), col("id2")).as("id2"), col("dist"))
+      }
+      // distinct LAST: dedupes multi-gram candidate repeats and the
+      // paths' overlap band
+      longPairs.union(shortPairs).distinct().localCheckpoint(true)
+    } finally base.unpersist(false)
   }
 
   /**
    * Cross-corpus Ed-Join: all (left, right) pairs with
-   * levenshtein <= maxDist — entity RESOLUTION against a canonical
+   * levenshtein <= maxDist --- entity RESOLUTION against a canonical
    * reference list (messy crawl names vs a product catalog, OCR'd
    * titles vs a bibliography), where [[editDistancePairs]] is the
    * symmetric self-join special case. Same q-gram prefix bound per
-   * side (surrogate-widened, as there), but document frequencies come
-   * from the UNION of both gram streams — the prefix theorem needs ONE
-   * consistent global order, and per-side frequencies would rank the
-   * same gram differently on each side. Pairs where either string is
-   * too short for the prefix bound take the banded path (|len diff| <=
-   * maxDist against the other side), counted toward the same loud
-   * `maxShort` refusal. Output (id = left id, id2 = right id, dist);
-   * exact up to the hot-gram cap on COMBINED prefix-bucket size.
+   * side (surrogate-widened, via the shared [[edSets]]), but document
+   * frequencies come from the UNION of both gram streams --- the prefix
+   * theorem needs ONE consistent global order, and per-side
+   * frequencies would rank the same gram differently on each side.
+   * Pairs where either string is too short for the prefix bound take
+   * the banded path against the other side, with BOTH factors of each
+   * banded product bounded by the loud `maxShort` refusal. Output
+   * (id = left id, id2 = right id, dist); exact up to the hot-gram cap
+   * on COMBINED prefix-bucket size --- [[editDistanceJoinOverflow]]
+   * itemizes the ids at risk (README no-silent-exclusions).
    */
   def editDistanceJoin(left: DataFrame, leftTextCol: String, leftIdCol: String,
                        right: DataFrame, rightTextCol: String,
@@ -1009,53 +1033,60 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lbase = baseOf(left, leftTextCol, leftIdCol)
     val rbase = baseOf(right, rightTextCol, rightIdCol)
-    def setsOf(b: DataFrame) = b.filter(length(col("s")) > shortMax)
-      .select(col("id"), length(col("s")).as("len"),
-        when(col("s").rlike("[\\uD800-\\uDBFF]"),
-          lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
-        char_shingles(col("s"), lit(q)).as("grams"))
-    val lsets = setsOf(lbase); val rsets = setsOf(rbase)
-    val dfreq = lsets.select(explode(col("grams")).as("gram"))
-      .unionAll(rsets.select(explode(col("grams")).as("gram")))
-      .groupBy("gram").agg(count(lit(1)).as("_df"))
-    val lpref = rarestPrefix(lsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
-      .localCheckpoint()
-    val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
-      .localCheckpoint()
-    val hot = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
-      .groupBy("gram").agg(count(lit(1)).as("_p"))
-      .filter(col("_p") > maxBucket).select("gram")
-    val longPairs = lpref.join(broadcast(hot), Seq("gram"), "left_anti")
-      .join(rpref.join(broadcast(hot), Seq("gram"), "left_anti")
-        .select(col("gram"), col("id").as("id2"), col("len").as("len2")),
-        Seq("gram"))
-      .filter(abs(col("len") - col("len2")) <= maxDist)
-      .select("id", "id2").distinct()
-      .join(lbase, Seq("id"))
-      .join(rbase.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
-      .withColumn("dist", levenshtein(col("s"), col("s2")))
-      .filter(col("dist") <= maxDist)
-      .select("id", "id2", "dist")
-    val lshorts = lbase.filter(length(col("s")) <= shortMax)
-    val rshorts = rbase.filter(length(col("s")) <= shortMax)
-    val nShort = lshorts.unionAll(rshorts).limit(maxShort + 1).count()
-    require(nShort <= maxShort,
-      s"editDistanceJoin: ${nShort}+ strings of length <= $shortMax " +
-        s"take the banded short path (maxShort=$maxShort). Exact-dedup " +
-        "them first, or raise maxShort deliberately.")
-    def banded(a: DataFrame, b: DataFrame): DataFrame = a
-      .join(b.select(col("id").as("id2"), col("s").as("s2")),
-        abs(length(col("s")) - length(col("s2"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("s"), col("s2")))
-      .filter(col("dist") <= maxDist)
-      .select("id", "id2", "dist")
-    val shortPairs = banded(lshorts,
-        rbase.filter(length(col("s")) <= shortMax + maxDist))
-      .unionAll(banded(lbase.filter(length(col("s")).between(
-        shortMax + 1, shortMax + maxDist)), rshorts))
-    val out = longPairs.unionAll(shortPairs).distinct().localCheckpoint(true)
-    lbase.unpersist(false); rbase.unpersist(false)
-    out
+    try {
+      val lsets = edSets(lbase, maxDist, q)
+      val rsets = edSets(rbase, maxDist, q)
+      // the shared union-df order is consumed by BOTH eager prefix
+      // checkpoints --- materialize it once (it drags the shingle
+      // computation of both corpora with it otherwise)
+      val dfreq = lsets.select(explode(col("grams")).as("gram"))
+        .unionAll(rsets.select(explode(col("grams")).as("gram")))
+        .groupBy("gram").agg(count(lit(1)).as("_df"))
+        .localCheckpoint()
+      val lpref = rarestPrefix(lsets, Seq("len", "_pb"), col("_pb"),
+        Some(dfreq)).localCheckpoint()
+      val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"),
+        Some(dfreq)).localCheckpoint()
+      val hot = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
+        .groupBy("gram").agg(count(lit(1)).as("_p"))
+        .filter(col("_p") > maxBucket).select("gram")
+      val longPairs = lpref.join(broadcast(hot), Seq("gram"), "left_anti")
+        .join(rpref.join(broadcast(hot), Seq("gram"), "left_anti")
+          .select(col("gram"), col("id").as("id2"), col("len").as("len2")),
+          Seq("gram"))
+        .filter(abs(col("len") - col("len2")) <= maxDist)
+        .select("id", "id2").distinct()
+        .join(lbase, Seq("id"))
+        .join(rbase.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+        .withColumn("dist", levenshtein(col("s"), col("s2")))
+        .filter(col("dist") <= maxDist)
+        .select("id", "id2", "dist")
+      def banded(a: DataFrame, b: DataFrame, label: String): DataFrame = {
+        val na = a.limit(maxShort + 1).count()
+        if (na == 0) longPairs.limit(0) else {
+          val nb = b.limit(maxShort + 1).count()
+          require(na <= maxShort && nb <= maxShort,
+            s"editDistanceJoin: banded short path $label would join " +
+              s"${na}+ x ${nb}+ strings (maxShort=$maxShort). Exact-dedup " +
+              "the short strings first, or raise maxShort deliberately.")
+          a.join(b.select(col("id").as("id2"), col("s").as("s2")),
+              abs(length(col("s")) - length(col("s2"))) <= maxDist)
+            .withColumn("dist", levenshtein(col("s"), col("s2")))
+            .filter(col("dist") <= maxDist)
+            .select("id", "id2", "dist")
+        }
+      }
+      // left-shorts x right-band covers every pair whose LEFT side is
+      // short; the second branch's left side starts ABOVE shortMax, so
+      // the branches are disjoint (no double levenshtein)
+      val shortPairs = banded(lbase.filter(length(col("s")) <= shortMax),
+          rbase.filter(length(col("s")) <= shortMax + maxDist),
+          "left-short x right")
+        .unionAll(banded(lbase.filter(length(col("s")).between(
+          shortMax + 1, shortMax + maxDist)),
+          rbase.filter(length(col("s")) <= shortMax), "left x right-short"))
+      longPairs.unionAll(shortPairs).distinct().localCheckpoint(true)
+    } finally { lbase.unpersist(false); rbase.unpersist(false) }
   }
 
   /**
@@ -1066,7 +1097,7 @@ object Dedup {
    * lose a candidate start; as container it may lose an incoming
    * match). One row per such doc: (id, overflow_grams, total_grams);
    * a doc with overflow_grams == total_grams matched ONLY through hot
-   * grams. Empty report ⇔ the pair set is complete.
+   * grams. Empty report <=> the pair set is complete.
    */
   def containmentOverflow(df: DataFrame, textCol: String, idCol: String,
                           n: Int = 3, maxBucket: Int = 5000): DataFrame = {
@@ -1086,28 +1117,65 @@ object Dedup {
   /**
    * Overflow report for [[editDistancePairs]]' hot-gram cap (README
    * "no silent exclusions"): one row per long-path string whose PREFIX
-   * contains at least one over-cap gram — the only strings that can
+   * contains at least one over-cap gram --- the only strings that can
    * have lost a pair to the cap (a pair is lost only when EVERY shared
    * prefix gram is over-cap). (id, overflow_grams, prefix_len); the
-   * short path is never capped (it refuses instead). Empty report ⇔
+   * short path is never capped (it refuses instead). Empty report <=>
    * the pair set is exact.
    */
   def editDistanceOverflow(df: DataFrame, textCol: String, idCol: String,
                            maxDist: Int = 2, q: Int = 3,
                            maxBucket: Int = 5000): DataFrame = {
-    val shortMax = maxDist * q + q - 1
-    val sets = df.select(col(idCol).as("id"), col(textCol).as("s"))
-      .filter(col("s").isNotNull && length(col("s")) > shortMax)
-      .select(col("id"),
-        when(col("s").rlike("[\\uD800-\\uDBFF]"),
-          lit(maxDist * (q + 1) + 1)).otherwise(lit(maxDist * q + 1)).as("_pb"),
-        char_shingles(col("s"), lit(q)).as("grams"))
-    val prefix = rarestPrefix(sets, Seq("_pb"), col("_pb"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(col("s").isNotNull)
+    val prefix = rarestPrefix(edSets(base, maxDist, q),
+      Seq("len", "_pb"), col("_pb"))
     val plen = prefix.groupBy("id").agg(count(lit(1)).as("prefix_len"))
     prefix.join(broadcast(hotGrams(prefix, maxBucket)), Seq("gram"))
       .groupBy("id").agg(count(lit(1)).as("overflow_grams"))
       .join(plen, Seq("id"))
       .select("id", "overflow_grams", "prefix_len")
+  }
+
+  /**
+   * Overflow report for [[editDistanceJoin]]'s hot-gram cap: the join
+   * caps on COMBINED left+right prefix-bucket size under the shared
+   * union-df gram order, which neither single-corpus
+   * [[editDistanceOverflow]] can reproduce --- this report rebuilds
+   * exactly the join's prefixes and cap criterion. One row per at-risk
+   * string on either side: (side 'left'/'right', id, overflow_grams,
+   * prefix_len). Empty report <=> the join lost no pair to the cap.
+   */
+  def editDistanceJoinOverflow(left: DataFrame, leftTextCol: String,
+                               leftIdCol: String,
+                               right: DataFrame, rightTextCol: String,
+                               rightIdCol: String,
+                               maxDist: Int = 2, q: Int = 3,
+                               maxBucket: Int = 5000): DataFrame = {
+    def baseOf(df: DataFrame, t: String, i: String) =
+      df.select(col(i).as("id"), col(t).as("s")).filter(col("s").isNotNull)
+    val lsets = edSets(baseOf(left, leftTextCol, leftIdCol), maxDist, q)
+    val rsets = edSets(baseOf(right, rightTextCol, rightIdCol), maxDist, q)
+    val dfreq = lsets.select(explode(col("grams")).as("gram"))
+      .unionAll(rsets.select(explode(col("grams")).as("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("_df"))
+      .localCheckpoint()
+    val lpref = rarestPrefix(lsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
+      .localCheckpoint()
+    val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
+      .localCheckpoint()
+    val hot = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("_p"))
+      .filter(col("_p") > maxBucket).select("gram")
+    def side(pref: DataFrame, label: String): DataFrame = {
+      val plen = pref.groupBy("id").agg(count(lit(1)).as("prefix_len"))
+      pref.join(broadcast(hot), Seq("gram"))
+        .groupBy("id").agg(count(lit(1)).as("overflow_grams"))
+        .join(plen, Seq("id"))
+        .select(lit(label).as("side"), col("id"), col("overflow_grams"),
+          col("prefix_len"))
+    }
+    side(lpref, "left").unionAll(side(rpref, "right"))
   }
 
   /**

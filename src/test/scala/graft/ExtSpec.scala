@@ -1913,6 +1913,59 @@ class ExtSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("editDistancePairs: astral one-code-point edit found via widened prefix") {
+    // A and B differ by deleting one EMOJI (a 2-UTF-16-unit code
+    // point): the edit destroys q+1 = 4 gram windows on A's side, and
+    // the fillers make every non-emoji gram common, so A's 4 rarest
+    // grams are EXACTLY the destroyed ones --- under the tight
+    // maxDist*q+1 bound the prefixes cannot intersect and the dist-1
+    // pair vanishes; only the astral-widened bound (+1 slot, reaching
+    // into the shared common-gram pool) finds it. This pins both the
+    // widening AND that the detection regex actually fires (a
+    // surrogate-UNIT class never matches --- Java regex is
+    // code-point-based --- which made the first version dead code).
+    val fillers = (1 to 4).flatMap(i =>
+      Seq((100L + i, "abcdefpq"), (200L + i, "pquvwxyz")))
+    val corpus = (Seq((1L, "abcdef\ud83d\ude00uvwxyz"),
+      (2L, "abcdefuvwxyz")) ++ fillers).toDF("id", "s")
+    val pairs = Dedup.editDistancePairs(corpus, "s", "id",
+        maxDist = 1, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+  }
+
+  test("editDistancePairs/Join: quadratic short-band guard and refusal hygiene") {
+    // 5 shorts + 15 len-6 partners: the banded product is 5 x 20; with
+    // maxShort = 10 the PARTNER count must trip the refusal (counting
+    // only shorts would wave the quadratic through)
+    val mixed = ((1 to 5).map(i => (i.toLong, s"ab$i")) ++
+      (1 to 15).map(i => (100L + i, f"code$i%02d"))).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(mixed, "s", "id", maxDist = 1, q = 3,
+        maxShort = 10).collect()
+    }
+    assert(e.getMessage.contains("partners") ||
+      e.getMessage.contains("maxShort"))
+    // the same corpus under editDistanceJoin trips its banded guard
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.editDistanceJoin(mixed, "s", "id", mixed, "s", "id",
+        maxDist = 1, q = 3, maxShort = 10).collect()
+    }
+    assert(e2.getMessage.contains("maxShort"))
+  }
+
+  test("editDistanceJoinOverflow: combined-bucket cap itemized per side") {
+    val l = (1 to 4).map(i => (i.toLong, s"Customer#0$i")).toDF("id", "s")
+    val r = (1 to 4).map(i => (100L + i, s"Customer#1$i")).toDF("rid", "rs")
+    val of = Dedup.editDistanceJoinOverflow(l, "s", "id", r, "rs", "rid",
+        maxDist = 1, q = 3, maxBucket = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(of.nonEmpty && of.exists(_._1 == "left") &&
+      of.exists(_._1 == "right"))
+    assert(Dedup.editDistanceJoinOverflow(l, "s", "id", r, "rs", "rid")
+      .isEmpty)
+  }
+
   test("editDistanceJoin: cross-corpus exact vs brute force incl. short paths") {
     val leftRows = Seq(
       (1L, "spark engine"), (2L, "sparc engine"), (3L, "ab"),
