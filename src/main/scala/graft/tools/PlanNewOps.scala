@@ -43,6 +43,30 @@ object PlanNewOps {
     println("== q129 broadcast joins: " + "BroadcastHashJoin".r.findAllIn(blPlan).length)
     println("== q129 sort-merge joins: " + "SortMergeJoin".r.findAllIn(blPlan).length)
 
+    val cont = graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8)
+    println("== q134 pairs rows: " + cont.count())
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val ed = graft.ext.Dedup.editDistancePairs(cust, "s", "id", 1, 3)
+    println("== q135 pairs rows: " + ed.count())
+    val refs = cust.filter(col("id") % 5 === 0)
+      .select((col("id") + 500000L).as("rid"),
+        concat(substring(col("s"), 1, 10), lit("X"),
+          substring(col("s"), 12, 100)).as("rs"))
+    val ej = graft.ext.Dedup.editDistanceJoin(cust, "s", "id",
+      refs, "rs", "rid", 1, 3)
+    println("== q136 pairs rows: " + ej.count())
+    // overflow reports are EMPTY on the gate corpora: the caps never
+    // fired, so the pair sets above are complete (the audit claim)
+    println("== q134 overflow rows: " + graft.ext.Dedup
+      .containmentOverflow(docs, "text", "doc_id").count())
+    println("== q135 overflow rows: " + graft.ext.Dedup
+      .editDistanceOverflow(cust, "s", "id", 1, 3).count())
+    println("== q136 overflow rows: " + graft.ext.Dedup
+      .editDistanceJoinOverflow(cust, "s", "id", refs, "rs", "rid", 1, 3)
+      .count())
+
     val dsir = graft.ext.TextAnalysis.dsirResample(docs, "text", "doc_id",
       docs.filter(col("doc_id") % 10 === 3), "text", k = 100, buckets = 4096)
     val dsirPlan = dsir.queryExecution.executedPlan.toString
