@@ -1889,6 +1889,26 @@ object SparkEntry {
       Dedup.editDistanceJoin(cust, "name", "cid", refs, "rname", "rid",
           maxDist = 1, q = 3)
         .orderBy("id", "id2")
+    }),
+    "q137_jaro_winkler" -> ((s, dir) => { ensure(s)
+      // Jaro-Winkler match scores over the q136 resolution pairs: the
+      // codegen'd kernel implements the classic Winkler variant
+      // (window floor(max/2)-1, half-transpositions, prefix boost l<=4
+      // at p=0.1 only when jaro > 0.7) — exactly DuckDB's
+      // jaro_winkler_similarity, which the oracle calls directly.
+      val cust = ld(s, dir, "customer")
+        .select(col("c_custkey").as("cid"), col("c_name").as("name"))
+      val refs = cust.filter(col("cid") % 5 === 0)
+        .select((col("cid") + 500000L).as("rid"),
+          concat(substring(col("name"), 1, 10), lit("X"),
+            substring(col("name"), 12, 100)).as("rname"))
+      Dedup.editDistanceJoin(cust, "name", "cid", refs, "rname", "rid",
+          maxDist = 1, q = 3)
+        .join(cust.select(col("cid").as("id"), col("name")), Seq("id"))
+        .join(refs.select(col("rid").as("id2"), col("rname")), Seq("id2"))
+        .select(col("id"), col("id2"), col("dist"),
+          round(jaro_winkler(col("name"), col("rname")), 6).as("jw"))
+        .orderBy("id", "id2")
     })
   )
 
@@ -2624,6 +2644,13 @@ object SparkEntry {
       ("WITH r AS (SELECT c_custkey + 500000 AS rid, substr(c_name, 1, 10) || 'X' || substr(c_name, 12) AS rname " +
        "FROM customer WHERE c_custkey % 5 = 0) " +
        "SELECT c.c_custkey AS id, r.rid AS id2, CAST(levenshtein(c.c_name, r.rname) AS INT) AS dist " +
+       "FROM customer c JOIN r ON abs(length(c.c_name) - length(r.rname)) <= 1 " +
+       "AND levenshtein(c.c_name, r.rname) <= 1 ORDER BY id, id2"),
+    "q137_jaro_winkler" ->
+      ("WITH r AS (SELECT c_custkey + 500000 AS rid, substr(c_name, 1, 10) || 'X' || substr(c_name, 12) AS rname " +
+       "FROM customer WHERE c_custkey % 5 = 0) " +
+       "SELECT c.c_custkey AS id, r.rid AS id2, CAST(levenshtein(c.c_name, r.rname) AS INT) AS dist, " +
+       "round(jaro_winkler_similarity(c.c_name, r.rname), 6) AS jw " +
        "FROM customer c JOIN r ON abs(length(c.c_name) - length(r.rname)) <= 1 " +
        "AND levenshtein(c.c_name, r.rname) <= 1 ORDER BY id, id2")
   )

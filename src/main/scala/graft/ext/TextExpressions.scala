@@ -121,6 +121,20 @@ case class NfcNormalizeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.TextOps.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -269,6 +283,7 @@ object TextFunctions {
   def sorted_overlap(a: Column, b: Column): Column = call_function("sorted_overlap", a, b)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def nfc_normalize(text: Column): Column = call_function("nfc_normalize", text)
+  def jaro_winkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
   def hamming64(a: Column, b: Column): Column = call_function("hamming64", a, b)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
   def lang_id(text: Column): Column = call_function("lang_id", text)
@@ -293,6 +308,7 @@ object TextFunctions {
     "sorted_overlap" -> { case Seq(a, b) => SortedOverlap(a, b) },
     "simhash64" -> { case Seq(a) => SimHash64(a) },
     "nfc_normalize" -> { case Seq(a) => NfcNormalizeExpr(a) },
+    "jaro_winkler" -> { case Seq(a, b) => JaroWinkler(a, b) },
     "hamming64" -> { case Seq(a, b) => Hamming64(a, b) },
     "fingerprint64" -> { case Seq(a) => Fingerprint64(a) },
     "lang_id" -> { case Seq(a) => LangId(a) },

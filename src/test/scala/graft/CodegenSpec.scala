@@ -89,7 +89,8 @@ class CodegenSpec extends SparkSpec {
         cosine_sim($"v1", $"v2"), dot_product($"v1", $"v2"),
         hyperplane_sig($"v1", lit(8), lit(42L)),
         word_shingle_pairs($"t", lit(2)),
-        nfc_normalize(concat($"t", lit("e\u0301"))))
+        nfc_normalize(concat($"t", lit("e\u0301"))),
+        jaro_winkler($"t", concat($"t", lit("x"))))
         .head()
       assert(row.getInt(0) == 4)
       assert(row.getInt(1) == 1)   // token_occurrences of "quick"

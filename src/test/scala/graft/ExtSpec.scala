@@ -1913,6 +1913,26 @@ class ExtSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("jaro_winkler: classic vectors, boost threshold, DuckDB edge pins") {
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),     // adjacent transposition
+      ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296), // no common prefix: no boost
+      ("prefixaaaa", "prefixzzzz", 0.84),    // boost capped at l=4
+      ("ab", "axcdefgh", 0.541667),          // jaro <= 0.7: boost NOT applied
+      ("Customer#000001120", "Customer#0X0001120", 0.966013), // odd t: FLOOR
+      ("same", "same", 1.0),
+      ("", "x", 0.0),
+      ("", "", 0.0))                      // DuckDB convention: empty = 0
+    val df = cases.zipWithIndex
+      .map { case ((a, b, _), i) => (i, a, b) }.toDF("i", "a", "b")
+    val got = df.select(col("i"), round(jaro_winkler(col("a"), col("b")), 6))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b, want), i) =>
+      assert(got(i) == want, s"jw($a, $b) = ${got(i)}, want $want")
+    }
+  }
+
   test("editDistancePairs: astral one-code-point edit found via widened prefix") {
     // A and B differ by deleting one EMOJI (a 2-UTF-16-unit code
     // point): the edit destroys q+1 = 4 gram windows on A's side, and
