@@ -750,9 +750,15 @@ object TextAnalysis {
     // a crafted URL walk past the blocklist
     val hostPort = regexp_replace(authority, "^.*@", "")
     val noPort = regexp_replace(hostPort, ":[0-9]+$", "")
+    // IPv6 literals arrive bracketed ('https://[::1]:8080/x'); the port
+    // strip above leaves '[::1]', which an IP-form blocklist entry
+    // ('::1' — UT1 lists carry bare IPs) can never exact-match. Strip
+    // the surrounding brackets AFTER the port strip (the ']' guards the
+    // port regex from eating address segments).
+    val noBracket = regexp_replace(noPort, "^\\[(.*)\\]$", "$1")
     // trailing-dot FQDN form ('blocked.com.') is the same site: strip
     // it, or its suffix chain never matches a normal blocklist entry
-    val h = regexp_replace(noPort, "\\.+$", "")
+    val h = regexp_replace(noBracket, "\\.+$", "")
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
@@ -780,6 +786,14 @@ object TextAnalysis {
    */
   def domainBlocklistFlags(df: DataFrame, urlCol: String, idCol: String,
                            blocked: DataFrame, domainCol: String): DataFrame = {
+    // loud output-column contract (the convention elsewhere in this
+    // file): the annotation writes `host` and `blocked_domain`, and a
+    // pre-existing column of either name would be silently overwritten
+    // by withColumn / shadowed through the join
+    require(!df.columns.contains("host") && !df.columns.contains("blocked_domain"),
+      "domainBlocklistFlags writes output columns 'host' and " +
+        "'blocked_domain'; rename or drop the input's columns of those " +
+        "names first")
     // entry hygiene: real UT1 list files carry blank lines (an empty
     // entry would match the empty suffix) and occasional trailing-dot
     // FQDN forms — normalize both before the join
@@ -1674,6 +1688,74 @@ object TextAnalysis {
     pairs.orderBy(col("n").desc, col("pair").asc).limit(k)
       .select(col("pair"), col("n"), row_number().over(
         Window.orderBy(col("n").desc, col("pair").asc)).cast("int").as("rank"))
+  }
+
+  /**
+   * Iterated BPE merge training (Sennrich et al. 2016, Algorithm 1 —
+   * the merge LOOP whose single round is [[bpeMergeCandidates]]):
+   * `rounds` times, count adjacent within-word symbol pairs over the
+   * (word, count) vocab weighted by word count, take the argmax pair
+   * (ties broken by the space-joined pair string ascending — binary
+   * collation on both engines), and re-segment the vocab by merging
+   * that pair's occurrences LEFTMOST-FIRST non-overlapping (the
+   * reference implementation's convention: "aaa" under merge (a,a)
+   * becomes [aa, a], and a just-merged symbol never re-merges in the
+   * same round). Returns the merge table (round, pair, n) — the
+   * ordered merge list IS the trained tokenizer artifact. Stops early
+   * if the vocab runs out of adjacent pairs before `rounds`.
+   *
+   * Scale: the corpus is scanned ONCE (the word-count aggregate);
+   * every round then runs over the DISTINCT-word vocab frame — orders
+   * of magnitude smaller by Zipf — with a bounded TakeOrdered argmax
+   * (one slim driver row per round) and a codegen'd fold re-segment;
+   * the per-round `localCheckpoint` truncates lineage so round N's
+   * plan never replays rounds 1..N-1. The driver holds one (a, b, n)
+   * row per round, nothing corpus-sized.
+   */
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10000, s"rounds in [1, 10000], got $rounds")
+    val spark = df.sparkSession
+    var vocab = df.select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("syms"), col("wc"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p").getField("a").as("a"), col("p").getField("b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .withColumn("pair", concat(col("a"), lit(" "), col("b")))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getAs[String]("a")
+        val b = top(0).getAs[String]("b")
+        merges += ((r, a + " " + b, top(0).getAs[Long]("n")))
+        // greedy leftmost fold: compare the ACCUMULATED last symbol to
+        // `a` — a symbol just written by a merge is `a+b`, which never
+        // equals `a`, so merged output can't chain-merge within a round
+        vocab = vocab.select(
+          when(size(col("syms")) < 2, col("syms")).otherwise(
+            aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
+              slice(col("syms"), lit(1), lit(1)),
+              (acc, x) => when(
+                element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x))))).as("syms"),
+          col("wc"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "n")
   }
 
   /** Full per-document profile as one narrow projection. */

@@ -2008,6 +2008,82 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("editDistanceKeepers: typo clusters collapse to min-id survivors") {
+    // two planted clusters + a singleton; cluster 2 is a CHAIN
+    // (b1-b2-b3 each at dist 1, b1-b3 at dist 2) that must still
+    // collapse to one keeper at maxDist=1 via transitive closure
+    val docs = Seq(
+      (10L, "record-alpha-x"), (11L, "record-alpha-y"),
+      (20L, "entity-beta-11"), (21L, "entity-beta-12"), (22L, "entity-beta-13"),
+      (30L, "completely unrelated")
+    ).toDF("id", "s")
+    val kept = Dedup.editDistanceKeepers(docs, "s", "id", maxDist = 1, q = 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L, 20L, 30L), s"kept $kept")
+    // empty pair set: everything survives
+    val clean = Seq((1L, "aaaaaaaaaa"), (2L, "bbbbbbbbbb")).toDF("id", "s")
+    assert(Dedup.editDistanceKeepers(clean, "s", "id", maxDist = 1, q = 3)
+      .count() == 2L)
+  }
+
+  test("editDistanceResolve: min-dist then min-id tie-break, many-to-one") {
+    val l = Seq((1L, "alpha record one"), (2L, "alpha record onX"),
+      (3L, "nothing matches this")).toDF("id", "s")
+    val r = Seq((101L, "alpha record one"), (102L, "alpha record one"),
+      (103L, "alpha record onZ")).toDF("rid", "rs")
+    val got = Dedup.editDistanceResolve(l, "s", "id", r, "rs", "rid",
+        maxDist = 1, q = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // left 1: exact match at 101 and 102 (dist 0) -> min id2 101 wins;
+    // left 2: dist 1 to all three -> 101; left 3: unmatched, absent
+    assert(got == Set((1L, 101L, 0), (2L, 101L, 1)), s"got $got")
+    // resolvePairs over a precomputed frame agrees with the composed op
+    val pairs = Dedup.editDistanceJoin(l, "s", "id", r, "rs", "rid",
+      maxDist = 1, q = 3)
+    val viaPairs = Dedup.resolvePairs(pairs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(viaPairs == got)
+  }
+
+  test("bpeTrainMerges: hand-computed rounds, leftmost-greedy, early stop") {
+    // vocab: aaab x2, ab x1.
+    // round 1: (a,a) weight 4 (two occurrences in aaab) beats (a,b) 3;
+    //   leftmost-greedy on aaab gives [aa, a, b] (NOT [a, aa, b])
+    // round 2: (a,b) 3 beats (aa,a) 2
+    // round 3: (aa,ab) 2; then no pairs remain -> early stop at 3 rows
+    val docs = Seq((1L, "aaab ab aaab")).toDF("id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(merges == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)),
+      s"got $merges")
+  }
+
+  test("urlHost: IPv6 bracket strip lets bare-IP blocklist entries match") {
+    val docs = Seq(
+      (1L, "https://[2001:db8::1]:8080/x"),   // bracketed + port
+      (2L, "https://[2001:db8::1]/y"),        // bracketed, no port
+      (3L, "https://ok.example.net/z")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("2001:db8::1").toDF("domain")
+    val f = TextAnalysis.domainBlocklistFlags(docs, "url", "doc_id",
+        blocked, "domain")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("host"), Option(r.getAs[String]("blocked_domain"))))
+      .toMap
+    assert(f(1L) == ("2001:db8::1", Some("2001:db8::1")), s"got ${f(1L)}")
+    assert(f(2L) == ("2001:db8::1", Some("2001:db8::1")))
+    assert(f(3L)._2.isEmpty)
+  }
+
+  test("domainBlocklistFlags: refuses input already carrying output columns") {
+    val clash = Seq((1L, "https://a.com/", "pre")).toDF("doc_id", "url", "host")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.domainBlocklistFlags(clash, "url", "doc_id",
+        Seq("a.com").toDF("domain"), "domain")
+    }
+    assert(e.getMessage.contains("host"))
+  }
+
   test("containmentPairs: float-ceil boundary (11/20 at t=0.55) is kept") {
     // C(A,B) = 11/20 = 0.55 >= 0.55 must pass, but ceil(0.55*20) = 12
     // in IEEE doubles (11.000000000000002 rounds up) — a ceil-derived
