@@ -1995,6 +1995,16 @@ object SparkEntry {
       // frame via resolvePairs (the join is the expensive half); the
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
+    }),
+    "q143_bpe_encode" -> ((s, dir) => { ensure(s)
+      // tokenizer APPLY: per-doc subword counts under the q141-trained
+      // 6-merge segmentation — the real sequence length a token-budget
+      // planner needs. The encode joins exploded corpus words to the
+      // distinct-word vocab's subword counts (never re-segmenting per
+      // occurrence); the oracle replays training AND encoding.
+      TextAnalysis.bpeSegmentCounts(ld(s, dir, "documents"), "text",
+          "doc_id", rounds = 6)
+        .orderBy("doc_id")
     })
   )
 
@@ -2833,7 +2843,8 @@ object SparkEntry {
        "p AS (SELECT c.c_custkey AS id, r.rid AS id2, CAST(levenshtein(c.c_name, r.rname) AS INT) AS dist " +
        "FROM customer c JOIN r ON abs(length(c.c_name) - length(r.rname)) <= 1 " +
        "AND levenshtein(c.c_name, r.rname) <= 1) " +
-       "SELECT id, id2, dist FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, id2) = 1 ORDER BY id")
+       "SELECT id, id2, dist FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, id2) = 1 ORDER BY id"),
+    "q143_bpe_encode" -> q143OracleSql(6)
   )
 
   /** One ExactSubstr cut round for the q118/q138 oracles: token-list
@@ -2941,18 +2952,33 @@ object SparkEntry {
     * non-overlapping merge application (verified: shared separator
     * spaces are not double-consumed because each symbol boundary
     * carries TWO spaces and the pattern takes one from each side). */
-  private def q141OracleSql(rounds: Int): String = {
+  private def bpeOracleCtes(rounds: Int): String = {
     val init =
       "WITH w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x), " +
-      "v0 AS MATERIALIZED (SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sym, wc FROM w)"
+      "v0 AS MATERIALIZED (SELECT w, '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sym, wc FROM w)"
     val roundCtes = (1 to rounds).map { r =>
       s"c$r AS MATERIALIZED (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT unnest(list_transform(range(1, len(ls)), i -> ls[i] || ' ' || ls[i+1])) AS pair, wc FROM (SELECT list_filter(string_split(trim(sym), '  '), x -> x <> '') AS ls, wc FROM v${r - 1}) WHERE len(ls) >= 2) GROUP BY pair), " +
       s"t$r AS MATERIALIZED (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC LIMIT 1), " +
-      s"v$r AS MATERIALIZED (SELECT replace(sym, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ', ' ' || string_split(pair, ' ')[1] || string_split(pair, ' ')[2] || ' ') AS sym, wc FROM v${r - 1}, t$r)"
+      s"v$r AS MATERIALIZED (SELECT w, replace(sym, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ', ' ' || string_split(pair, ' ')[1] || string_split(pair, ' ')[2] || ' ') AS sym, wc FROM v${r - 1}, t$r)"
     }.mkString(", ")
+    s"$init, $roundCtes"
+  }
+
+  private def q141OracleSql(rounds: Int): String = {
     val finals = (1 to rounds).map { r =>
       s"SELECT CAST($r AS INTEGER) AS round, pair, n FROM t$r"
     }.mkString(" UNION ALL ")
-    s"$init, $roundCtes $finals ORDER BY round"
+    s"${bpeOracleCtes(rounds)} $finals ORDER BY round"
   }
+
+  /** The q143 oracle: encode the corpus with the trained segmentation —
+    * per-doc word explode joined to the final vocab's subword counts;
+    * docs with no tokens report 0 through the outer join. */
+  private def q143OracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+    ", dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w FROM documents), " +
+    s"sg AS MATERIALIZED (SELECT w, CAST(len(list_filter(string_split(trim(sym), '  '), x -> x <> '')) AS BIGINT) AS ns FROM v$rounds), " +
+    "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n FROM dw JOIN sg USING (w) GROUP BY doc_id) " +
+    "SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords " +
+    "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
 }

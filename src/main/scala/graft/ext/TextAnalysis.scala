@@ -1712,12 +1712,15 @@ object TextAnalysis {
    * plan never replays rounds 1..N-1. The driver holds one (a, b, n)
    * row per round, nothing corpus-sized.
    */
-  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** The train loop shared by [[bpeTrainMerges]] and
+    * [[bpeSegmentCounts]]: returns (merge list, final vocab frame
+    * (w, syms, wc) under the trained segmentation). */
+  private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     require(rounds >= 1 && rounds <= 10000, s"rounds in [1, 10000], got $rounds")
-    val spark = df.sparkSession
     var vocab = df.select(explode(wordTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(split(col("w"), "").as("syms"), col("wc"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("wc"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     var r = 1
@@ -1741,7 +1744,7 @@ object TextAnalysis {
         // greedy leftmost fold: compare the ACCUMULATED last symbol to
         // `a` — a symbol just written by a merge is `a+b`, which never
         // equals `a`, so merged output can't chain-merge within a round
-        vocab = vocab.select(
+        vocab = vocab.select(col("w"),
           when(size(col("syms")) < 2, col("syms")).otherwise(
             aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
               slice(col("syms"), lit(1), lit(1)),
@@ -1754,8 +1757,40 @@ object TextAnalysis {
         r += 1
       }
     }
+    (merges.result(), vocab)
+  }
+
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (merges, _) = bpeTrainLoop(df, textCol, rounds)
     import spark.implicits._
-    merges.result().toDF("round", "pair", "n")
+    merges.toDF("round", "pair", "n")
+  }
+
+  /**
+   * Train `rounds` BPE merges ([[bpeTrainMerges]]) and ENCODE the
+   * corpus with the trained tokenizer: per-document subword count
+   * under the final segmentation — the number a token-budget planner
+   * actually needs (whitespace token counts under-estimate cost for
+   * morphology-heavy text; a trained subword count is the real
+   * sequence length). Documents with no tokens report 0.
+   *
+   * Scale: the encode never re-segments per occurrence — the corpus's
+   * exploded words join the DISTINCT-word vocab (Zipf-small relative
+   * to the corpus) on the slim (word, subword-count) projection and
+   * aggregate per doc; AQE broadcasts the vocab side when it fits and
+   * falls back to a shuffle join on the slim key when a web-scale
+   * vocab (1e8+ distinct words) outgrows broadcast range — no hint is
+   * pinned, deliberately.
+   */
+  def bpeSegmentCounts(df: DataFrame, textCol: String, idCol: String,
+                       rounds: Int): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(df, textCol, rounds)
+    val seg = vocab.select(col("w"), size(col("syms")).cast("long").as("_ns"))
+    df.select(col(idCol), explode_outer(wordTokens(col(textCol))).as("w"))
+      .join(seg, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("_ns")), lit(0L)).as("n_subwords"))
   }
 
   /** Full per-document profile as one narrow projection. */

@@ -189,6 +189,26 @@ object ScaleProbeX {
                 split(trim(col("text")), "\\s+"), 1, 3), " "), 2, 100))
                 .as("rname")),
           "rname", "rid", maxDist = 1, q = 3))
+      // round-9 family: keepers + dist-2 over the same dedup'd entity
+      // frame as the editDistance probes (shared construction, so the
+      // rows compare), iterated BPE, and the full composition
+      def entityNames(d: DataFrame): DataFrame =
+        d.select(col("doc_id"), array_join(slice(
+          split(trim(col("text")), "\\s+"), 1, 3), " ").as("name"))
+          .groupBy("name").agg(min(col("doc_id")).as("doc_id"))
+      if (want("fuzzyKeepers")) time3(s"$label editDistanceKeepers")(
+        graft.ext.Dedup.editDistanceKeepers(entityNames(docs),
+          "name", "doc_id", maxDist = 1, q = 3))
+      if (want("editDistance2")) time3(s"$label editDistancePairs maxDist2")(
+        graft.ext.Dedup.editDistancePairs(entityNames(docs),
+          "name", "doc_id", maxDist = 2, q = 3))
+      if (want("bpeTrain")) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val m = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 6).collect()
+        println(f"SCALEX $label bpeTrainMerges total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"rounds=${m.length}")
+      }
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)
@@ -196,6 +216,25 @@ object ScaleProbeX {
         val t0 = System.nanoTime()
         val (_, rep) = Pipeline.cleanCorpus(docs, "text", "doc_id")
         println(f"SCALEX $label cleanCorpus total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
+      }
+      if (want("prepareTrainingData")) {
+        // the COMPLETE corpus-to-training-set composition (r8 stretch
+        // directive): cleanCorpus + decontaminate + split + mix + pack,
+        // realistic contamination density (every %101==5 doc is a
+        // benchmark row), URL stage on, timed once end to end
+        System.gc()
+        val t0 = System.nanoTime()
+        val (packed, heldout, rep) = Pipeline.prepareTrainingData(
+          urls(docs).join(docs, Seq("doc_id"))
+            .withColumn("src", (col("doc_id") % 16).cast("string")),
+          "text", "doc_id", "src",
+          docs.filter(col("doc_id") % 101 === 5).select(col("text")), "text",
+          targetTokens = 100000L, seqLen = 512,
+          urlCol = Some("url"))
+        val packedN = packed.count(); val hoN = heldout.count()
+        println(f"SCALEX $label prepareTrainingData total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"packed=$packedN heldout=$hoN " +
           s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
       }
     }

@@ -2058,6 +2058,16 @@ class ExtSpec extends SparkSpec {
       s"got $merges")
   }
 
+  test("bpeSegmentCounts: trained segmentation applied per doc, empty doc = 0") {
+    // same corpus as the trainer spec: after the 3 learnable merges,
+    // aaab = [aaab] and ab = [ab] -> doc 1 encodes to 3 subwords;
+    // the empty doc must come back as an explicit 0 row
+    val docs = Seq((1L, "aaab ab aaab"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeSegmentCounts(docs, "text", "doc_id", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L), s"got $got")
+  }
+
   test("urlHost: IPv6 bracket strip lets bare-IP blocklist entries match") {
     val docs = Seq(
       (1L, "https://[2001:db8::1]:8080/x"),   // bracketed + port
