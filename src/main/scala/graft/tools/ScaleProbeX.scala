@@ -222,13 +222,23 @@ object ScaleProbeX {
         // the COMPLETE corpus-to-training-set composition (r8 stretch
         // directive): cleanCorpus + decontaminate + split + mix + pack,
         // realistic contamination density (every %101==5 doc is a
-        // benchmark row), URL stage on, timed once end to end
+        // benchmark row), URL stage on, timed once end to end. URL
+        // groups scale WITH the corpus (4 docs/group at every scale) —
+        // the fixed-4000-group `urls()` would collapse the 10x corpus
+        // to 4000 docs in stage 1 and the remaining stages would never
+        // see 10x data
+        // groups of 4 CONSECUTIVE ids: scale-proportional group count
+        // at every scale, immune to the replica id-offset (a modulus
+        // construction collided across replicas — 1e6 % m folds the
+        // offset away — and stage 1 collapsed the 10x corpus)
+        val docsU = docs.withColumn("url", concat(
+            lit("https://www.site"), floor(col("doc_id") / 4).cast("string"),
+            lit(".example.com/p"), floor(col("doc_id") / 4).cast("string")))
+          .withColumn("src", (col("doc_id") % 16).cast("string"))
         System.gc()
         val t0 = System.nanoTime()
         val (packed, heldout, rep) = Pipeline.prepareTrainingData(
-          urls(docs).join(docs, Seq("doc_id"))
-            .withColumn("src", (col("doc_id") % 16).cast("string")),
-          "text", "doc_id", "src",
+          docsU, "text", "doc_id", "src",
           docs.filter(col("doc_id") % 101 === 5).select(col("text")), "text",
           targetTokens = 100000L, seqLen = 512,
           urlCol = Some("url"))
