@@ -1131,11 +1131,34 @@ object Dedup {
                           maxDist: Int = 2, q: Int = 3,
                           maxBucket: Int = 5000,
                           maxShort: Int = 10000): DataFrame = {
-    val pairs = editDistancePairs(df, textCol, idCol, maxDist, q,
+    // automatic exact-dedup PRE-STAGE (the r8 verdict's standing scale
+    // watch: the short-path refusal told the user "exact-dedup first" —
+    // for the KEEPER the pre-stage is semantics-preserving, so run it):
+    // exact duplicates are dist-0 pairs, i.e. already one cluster, and
+    // the per-group min id IS what min-label closure would elect — so
+    // collapsing each distinct string to its min-id representative
+    // before pair generation changes no keeper, while (a) dist-0 pair
+    // blow-up (N^2 rows for an N-fold duplicate) never materializes
+    // and (b) a dup-heavy short-string corpus passes the maxShort
+    // guard on its DISTINCT count, where the raw count would refuse.
+    // editDistancePairs itself keeps the loud contract: pair OUTPUT
+    // over duplicates is inherently quadratic, so there the refusal is
+    // the right posture and the pre-stage would change results.
+    val reps = df.select(col(textCol).as("_s"), col(idCol).as("_rid"))
+      .filter(col("_s").isNotNull)
+      .groupBy("_s").agg(min(col("_rid")).as("_rid"))
+      .localCheckpoint(true)
+    val pairs = editDistancePairs(reps, "_s", "_rid", maxDist, q,
       maxBucket, maxShort).select("id", "id2")
     val drop = components(pairs).filter(col("node") =!= col("rep"))
       .select(col("node").as("_drop"))
-    df.join(drop, df(idCol) === col("_drop"), "left_anti")
+    val keep = reps.select(col("_rid"))
+      .join(drop, col("_rid") === col("_drop"), "left_anti")
+    // NULL-text rows pass through un-deduped (no text evidence is not
+    // evidence of duplication — the cleanCorpus null-URL convention),
+    // exactly as before: the pair generator has always excluded them
+    df.filter(col(textCol).isNull)
+      .unionByName(df.join(keep, df(idCol) === col("_rid"), "left_semi"))
       .localCheckpoint(true)
   }
 

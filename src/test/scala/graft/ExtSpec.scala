@@ -2026,6 +2026,34 @@ class ExtSpec extends SparkSpec {
       .count() == 2L)
   }
 
+  test("editDistanceKeepers: automatic exact pre-stage — dup-heavy shorts " +
+      "pass the guard, exact twins collapse, nulls pass through") {
+    // 60 SHORT rows but only 3 distinct values: editDistancePairs
+    // refuses this corpus at maxShort=10 (quadratic pair OUTPUT), while
+    // the keeper's exact pre-stage collapses to 3 representatives and
+    // runs — the keeper result is well-defined and linear regardless
+    val dupShorts = ((1 to 20).map(i => (i.toLong, "ab1")) ++
+      (1 to 20).map(i => (100L + i, "ab2")) ++
+      (1 to 20).map(i => (200L + i, "zz9"))).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(dupShorts, "s", "id", maxDist = 1, q = 3,
+        maxShort = 10).collect()
+    }
+    val kept = Dedup.editDistanceKeepers(dupShorts, "s", "id",
+        maxDist = 1, q = 3, maxShort = 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // ab1/ab2 are dist 1 -> one cluster keeping id 1; zz9 keeps 201
+    assert(kept == Seq(1L, 201L), s"kept $kept")
+    // exact twins of a long string collapse to min id even with no
+    // fuzzy neighbor; null-text rows always survive
+    val mixed = Seq((1L, "identical long record"), (2L, "identical long record"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val keptM = Dedup.editDistanceKeepers(mixed, "s", "id", maxDist = 1, q = 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptM == Seq(1L, 3L, 4L), s"kept $keptM")
+  }
+
   test("editDistanceResolve: min-dist then min-id tie-break, many-to-one") {
     val l = Seq((1L, "alpha record one"), (2L, "alpha record onX"),
       (3L, "nothing matches this")).toDF("id", "s")
