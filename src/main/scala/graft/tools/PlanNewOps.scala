@@ -79,6 +79,32 @@ object PlanNewOps {
     println(dsirPlan.linesIterator.filter(l =>
       l.contains("Exchange") || l.contains("Join") || l.contains("TakeOrdered"))
       .mkString("\n"))
+
+    // ---- round-9 additions ----
+    // q142 resolvePairs: the top-1 window must partition by id (never a
+    // corpus-wide single-partition window)
+    val res = graft.ext.Dedup.resolvePairs(ej)
+    val resPlan = res.queryExecution.executedPlan.toString
+    println("== q142 singlePartition exchanges: " +
+      "Exchange SinglePartition".r.findAllIn(resPlan).length)
+    println("== q142 window partitioned: " +
+      resPlan.linesIterator.exists(l => l.contains("Window") &&
+        !l.contains("SinglePartition")))
+    println("== q142 rows: " + res.count())
+    // q143 encode join: vocab side broadcast at gate scale (AQE picks
+    // it from runtime stats — no pinned hint), zero sort-merge
+    val enc = graft.ext.TextAnalysis.bpeSegmentCounts(docs, "text",
+      "doc_id", rounds = 3)
+    enc.collect()
+    val encPlan = enc.queryExecution.executedPlan.toString
+    println("== q143 broadcast joins: " +
+      "BroadcastHashJoin".r.findAllIn(encPlan).length)
+    println("== q143 sort-merge joins: " + "SortMergeJoin".r.findAllIn(encPlan).length)
+    // q139 keepers: the exact pre-stage is ONE map-side-combined agg
+    // (HashAggregate pair) on the text key; output matches the
+    // no-duplicate corpus path
+    val kept = graft.ext.Dedup.editDistanceKeepers(cust, "s", "id", 1, 3)
+    println("== q139 keepers rows: " + kept.count())
     spark.stop()
   }
 }
