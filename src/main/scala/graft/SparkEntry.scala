@@ -1996,6 +1996,27 @@ object SparkEntry {
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
     }),
+    "q144_incremental_fuzzy" -> ((s, dir) => { ensure(s)
+      // incremental fuzzy dedup (the Ed-Join member of the incremental
+      // family, alongside q107 MinHash and q111 semantic): a synthetic
+      // "today's batch" against the customer corpus — %4=0 rows are
+      // one-char typo refetches (dist 1, dropped), %4=1 rows two-char
+      // variants (dist 2, kept at maxDist=1), the rest fresh Newcomer
+      // records (kept). Oracle anti-joins a brute-force levenshtein
+      // EXISTS under the length prefilter.
+      val cust = ld(s, dir, "customer")
+        .select(col("c_custkey").as("cid"), col("c_name").as("name"))
+      val nw = cust.select((col("cid") + 900000L).as("id"),
+        when(col("cid") % 4 === 0, concat(substring(col("name"), 1, 11),
+          lit("Y"), substring(col("name"), 13, 100)))
+        .when(col("cid") % 4 === 1, concat(substring(col("name"), 1, 11),
+          lit("YZ"), substring(col("name"), 14, 100)))
+        .otherwise(concat(lit("Newcomer#"),
+          lpad(col("cid").cast("string"), 9, "0"))).as("s"))
+      Dedup.incrementalEditDistanceKeepers(nw, "s", "id",
+          cust, "name", "cid", maxDist = 1, q = 3)
+        .orderBy("id")
+    }),
     "q143_bpe_encode" -> ((s, dir) => { ensure(s)
       // tokenizer APPLY: per-doc subword counts under the q141-trained
       // 6-merge segmentation — the real sequence length a token-budget
@@ -2844,7 +2865,14 @@ object SparkEntry {
        "FROM customer c JOIN r ON abs(length(c.c_name) - length(r.rname)) <= 1 " +
        "AND levenshtein(c.c_name, r.rname) <= 1) " +
        "SELECT id, id2, dist FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, id2) = 1 ORDER BY id"),
-    "q143_bpe_encode" -> q143OracleSql(6)
+    "q143_bpe_encode" -> q143OracleSql(6),
+    "q144_incremental_fuzzy" ->
+      ("WITH nw AS (SELECT c_custkey + 900000 AS id, " +
+       "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 11) || 'Y' || substr(c_name, 13) " +
+       "WHEN c_custkey % 4 = 1 THEN substr(c_name, 1, 11) || 'YZ' || substr(c_name, 14) " +
+       "ELSE 'Newcomer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS s FROM customer) " +
+       "SELECT id, s FROM nw WHERE NOT EXISTS (SELECT 1 FROM customer c " +
+       "WHERE abs(length(c.c_name) - length(nw.s)) <= 1 AND levenshtein(c.c_name, nw.s) <= 1) ORDER BY id")
   )
 
   /** One ExactSubstr cut round for the q118/q138 oracles: token-list

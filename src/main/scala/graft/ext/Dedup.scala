@@ -1184,6 +1184,32 @@ object Dedup {
     resolvePairs(editDistanceJoin(left, leftTextCol, leftIdCol,
       right, rightTextCol, rightIdCol, maxDist, q, maxBucket, maxShort))
 
+  /**
+   * Incremental fuzzy dedup — the Ed-Join member of the incremental
+   * family ([[incrementalKeepers]] is the MinHash member,
+   * `Similarity.incrementalSemanticKeepers` the embedding member):
+   * new-batch rows within `maxDist` of NO existing-corpus string
+   * survive; typo'd refetches of known records drop. Against-old only,
+   * the [[incrementalKeepers]] contract — compose with
+   * [[editDistanceKeepers]] to also collapse within-batch clusters.
+   * Scale: one asymmetric [[editDistanceJoin]] (delta-side gram work
+   * is |delta|; the old side prunes to colliding prefix buckets) plus
+   * a broadcast-able anti-join on the matched-id set.
+   */
+  def incrementalEditDistanceKeepers(newDf: DataFrame, textCol: String,
+                                     idCol: String,
+                                     oldDf: DataFrame, oldTextCol: String,
+                                     oldIdCol: String,
+                                     maxDist: Int = 2, q: Int = 3,
+                                     maxBucket: Int = 5000,
+                                     maxShort: Int = 10000): DataFrame = {
+    val dupes = editDistanceJoin(newDf, textCol, idCol,
+        oldDf, oldTextCol, oldIdCol, maxDist, q, maxBucket, maxShort)
+      .select(col("id").as("_dup")).distinct()
+    newDf.join(dupes, newDf(idCol) === col("_dup"), "left_anti")
+      .localCheckpoint(true)
+  }
+
   /** The top-1 selection of [[editDistanceResolve]] over an ALREADY
     * computed (id, id2, dist) pair frame — the join is the expensive
     * half, so a pipeline that keeps the pair frame around (for match

@@ -2054,6 +2054,21 @@ class ExtSpec extends SparkSpec {
     assert(keptM == Seq(1L, 3L, 4L), s"kept $keptM")
   }
 
+  test("incrementalEditDistanceKeepers: typo refetches drop, fresh rows survive") {
+    val old = Seq((1L, "alpha record one"), (2L, "beta record two"))
+      .toDF("cid", "name")
+    val nw = Seq(
+      (101L, "alpha record onX"),   // dist 1 to old 1 -> dropped
+      (102L, "beta record two"),    // exact refetch -> dropped
+      (103L, "gamma record three"), // fresh -> kept
+      (104L, "alpha record oXY")    // dist 2 -> kept at maxDist 1
+    ).toDF("id", "s")
+    val kept = Dedup.incrementalEditDistanceKeepers(nw, "s", "id",
+        old, "name", "cid", maxDist = 1, q = 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(103L, 104L), s"kept $kept")
+  }
+
   test("editDistanceResolve: min-dist then min-id tie-break, many-to-one") {
     val l = Seq((1L, "alpha record one"), (2L, "alpha record onX"),
       (3L, "nothing matches this")).toDF("id", "s")
