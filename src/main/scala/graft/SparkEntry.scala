@@ -1996,6 +1996,34 @@ object SparkEntry {
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
     }),
+    "q145_epoch_training_data" -> ((s, dir) => { ensure(s)
+      // prepareTrainingData's UPSAMPLING mix path (q138 gates the
+      // budget-downsampling path): epoch-replication mixing on the
+      // train split — big 0.5 / mid 1.25 / small 2.0 epochs exercise
+      // fractional down, fractional up, and integer up — then
+      // PER-REPLICA packing keyed (doc_id, copy). Pins the stage
+      // report and every replica's chunk assignment.
+      val docs = q138Docs(s, dir)
+      import s.implicits._
+      val bench = Seq(q138Phrase1, q138Phrase2).toDF("text")
+      val (packed, _, report) = Pipeline.prepareTrainingData(
+        docs, "text", "doc_id", "src", bench, "text",
+        targetTokens = 3000L, seqLen = 128,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        contaminationN = 8, urlCol = Some("url"),
+        spanK = 8, minTokens = 5, maxDupTokenFraction = 0.6,
+        minhashThreshold = 0.8,
+        epochs = Some(Map("big" -> 0.5, "mid" -> 1.25, "small" -> 2.0)))
+      (report.map(r => (r.stage, r.rows))
+          :+ (("z_overflow_rows", report.map(_.overflowRows).sum)))
+        .toDF("stage", "n")
+        .unionByName(packed.select(
+          concat(lit("pk_"), col("doc_id").cast("string"), lit("_"),
+            col("copy").cast("string")).as("stage"),
+          (col("start_chunk") * 100000L + col("end_chunk") * 10L +
+            col("crosses_boundary").cast("long")).as("n")))
+        .orderBy("stage")
+    }),
     "q144_incremental_fuzzy" -> ((s, dir) => { ensure(s)
       // incremental fuzzy dedup (the Ed-Join member of the incremental
       // family, alongside q107 MinHash and q111 semantic): a synthetic
@@ -2866,6 +2894,7 @@ object SparkEntry {
        "AND levenshtein(c.c_name, r.rname) <= 1) " +
        "SELECT id, id2, dist FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, id2) = 1 ORDER BY id"),
     "q143_bpe_encode" -> q143OracleSql(6),
+    "q145_epoch_training_data" -> q145OracleSql,
     "q144_incremental_fuzzy" ->
       ("WITH nw AS (SELECT c_custkey + 900000 AS id, " +
        "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 11) || 'Y' || substr(c_name, 13) " +
@@ -2898,7 +2927,7 @@ object SparkEntry {
     * (s8), the content-hash split (s9), the sqrt-n mix draw (s10), and
     * the prefix-sum pack (pk/pr) — each lifted from its single-stage
     * oracle (q78/q127/q121/q91). */
-  private def q138OracleSql: String = {
+  private def q138OracleCore: String = {
     val doc23Text = "'DUPLINE COMMON ROW' || chr(10) || '" + q138Half1 +
       q118Blurb + " " + q138Half2 +
       "' || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC'"
@@ -2946,15 +2975,14 @@ object SparkEntry {
     "s8 AS MATERIALIZED (SELECT doc_id, src, text, t FROM s7 WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
     // stage 9: deterministic content-hash train/val/test split (q127)
     "s9 AS MATERIALIZED (SELECT doc_id, src, text, t, CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val' ELSE 'test' END AS split FROM (SELECT *, CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM s8)), " +
-    // stage 10: sqrt-n source mixing on the train split only (q121)
-    "mt AS MATERIALIZED (SELECT doc_id, src, CAST(len(t) AS BIGINT) AS n_tokens, CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM s9 WHERE split = 'train'), " +
-    "ms AS MATERIALIZED (SELECT src, CAST(sum(n_tokens) AS BIGINT) AS st FROM mt GROUP BY src), " +
-    "mw AS MATERIALIZED (SELECT src, st, sqrt(CAST(st AS DOUBLE)) AS w FROM ms), " +
-    "mr AS MATERIALIZED (SELECT src, least(CAST(1.0 AS DOUBLE), w / (SELECT sum(w) FROM mw) * CAST(3000 AS DOUBLE) / st) AS rate FROM mw), " +
-    "s10 AS MATERIALIZED (SELECT mt.doc_id, mt.n_tokens FROM mt JOIN mr USING (src) WHERE mt.u < mr.rate), " +
-    // stages 11-12: GPT-style sequence packing of the mixed train set (q91)
-    "pk AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev FROM s10), " +
-    "pr AS MATERIALIZED (SELECT doc_id, n_tokens, cum_prev // 128 AS sc, CASE WHEN n_tokens = 0 THEN cum_prev // 128 ELSE (cum_prev + n_tokens - 1) // 128 END AS ec FROM pk) " +
+    // slim train frame shared by BOTH mixing finals (q138 budget mix /
+    // q145 epoch mix): tokens + the content-hash draw
+    "mt AS MATERIALIZED (SELECT doc_id, src, CAST(len(t) AS BIGINT) AS n_tokens, CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM s9 WHERE split = 'train')"
+  }
+
+  /** Shared stage-count rows for the q138/q145 finals (input through
+    * heldout — the stages the two variants have in common). */
+  private val q138SharedCounts: String =
     "SELECT 'input' AS stage, CAST((SELECT count(*) FROM d0) AS BIGINT) AS n " +
     "UNION ALL SELECT 'url_dedup', (SELECT count(*) FROM s1) " +
     "UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM s2) " +
@@ -2966,12 +2994,41 @@ object SparkEntry {
     "UNION ALL SELECT 'decontaminate', (SELECT count(*) FROM s8) " +
     "UNION ALL SELECT 'train_split', (SELECT count(*) FROM s9 WHERE split = 'train') " +
     "UNION ALL SELECT 'heldout', (SELECT count(*) FROM s9 WHERE split <> 'train') " +
+    "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) "
+
+  private def q138OracleSql: String = {
+    q138OracleCore + ", " +
+    // stage 10: sqrt-n source mixing on the train split only (q121)
+    "ms AS MATERIALIZED (SELECT src, CAST(sum(n_tokens) AS BIGINT) AS st FROM mt GROUP BY src), " +
+    "mw AS MATERIALIZED (SELECT src, st, sqrt(CAST(st AS DOUBLE)) AS w FROM ms), " +
+    "mr AS MATERIALIZED (SELECT src, least(CAST(1.0 AS DOUBLE), w / (SELECT sum(w) FROM mw) * CAST(3000 AS DOUBLE) / st) AS rate FROM mw), " +
+    "s10 AS MATERIALIZED (SELECT mt.doc_id, mt.n_tokens FROM mt JOIN mr USING (src) WHERE mt.u < mr.rate), " +
+    // stages 11-12: GPT-style sequence packing of the mixed train set (q91)
+    "pk AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev FROM s10), " +
+    "pr AS MATERIALIZED (SELECT doc_id, n_tokens, cum_prev // 128 AS sc, CASE WHEN n_tokens = 0 THEN cum_prev // 128 ELSE (cum_prev + n_tokens - 1) // 128 END AS ec FROM pk) " +
+    q138SharedCounts +
     "UNION ALL SELECT 'source_mix', (SELECT count(*) FROM s10) " +
     "UNION ALL SELECT 'packed', (SELECT count(*) FROM s10) " +
-    "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) " +
     "UNION ALL SELECT 'ho_' || split || '_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s9 WHERE split <> 'train' " +
     "UNION ALL SELECT 'pk_' || CAST(doc_id AS VARCHAR), CAST(sc * 100000 + ec * 10 + CAST(ec > sc AS INTEGER) AS BIGINT) FROM pr " +
     "UNION ALL SELECT 'tk_' || CAST(doc_id AS VARCHAR), CAST(n_tokens AS BIGINT) FROM pr " +
+    "ORDER BY stage"
+  }
+
+  /** The q145 oracle: the shared q138 core with EPOCH mixing (q123's
+    * recipe — floor(e) copies + one more iff the content-hash draw is
+    * under frac(e)) and per-replica packing ordered by (doc_id, copy). */
+  private def q145OracleSql: String = {
+    q138OracleCore + ", " +
+    "em AS MATERIALIZED (SELECT doc_id, n_tokens, u, CASE src WHEN 'big' THEN CAST(0.5 AS DOUBLE) WHEN 'mid' THEN CAST(1.25 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS e FROM mt), " +
+    "ec AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(floor(e) AS INT) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS copies FROM em), " +
+    "ex AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS INT) AS copy FROM ec WHERE copies >= 1), " +
+    "pk2 AS MATERIALIZED (SELECT doc_id, copy, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id, copy ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev FROM ex), " +
+    "pr2 AS MATERIALIZED (SELECT doc_id, copy, n_tokens, cum_prev // 128 AS sc, CASE WHEN n_tokens = 0 THEN cum_prev // 128 ELSE (cum_prev + n_tokens - 1) // 128 END AS ec2 FROM pk2) " +
+    q138SharedCounts +
+    "UNION ALL SELECT 'epoch_mix', (SELECT count(*) FROM ex) " +
+    "UNION ALL SELECT 'packed', (SELECT count(*) FROM ex) " +
+    "UNION ALL SELECT 'pk_' || CAST(doc_id AS VARCHAR) || '_' || CAST(copy AS VARCHAR), CAST(sc * 100000 + ec2 * 10 + CAST(ec2 > sc AS INTEGER) AS BIGINT) FROM pr2 " +
     "ORDER BY stage"
   }
 

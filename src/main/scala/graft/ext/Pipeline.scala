@@ -185,6 +185,14 @@ object Pipeline {
    * split projection, one per-source agg + broadcast keep-join, and
    * the two-pass prefix-sum pack on top of cleanCorpus — nothing
    * shuffles the corpus beyond what the member operators already do.
+   *
+   * `epochs` switches stage 4 from budget DOWNSAMPLING to
+   * epoch-replication mixing ([[TextAnalysis.epochUpsample]] — the
+   * LLaMA/GPT-3 mixture-table form, fractional epochs via the
+   * deterministic content-hash draw): `targetTokens` is then unused,
+   * the mixed frame carries a `copy` column, and packing runs
+   * per-replica ([[TextAnalysis.packSequencesReplicas]], (id, copy)
+   * keyed) so each replica is its own training document.
    */
   def prepareTrainingData(docs: DataFrame, textCol: String, idCol: String,
                           sourceCol: String,
@@ -203,7 +211,8 @@ object Pipeline {
                           minTokens: Int = 5,
                           maxDupTokenFraction: Double = 0.6,
                           minhashThreshold: Double = 0.8,
-                          minhashMaxBucket: Int = 1000)
+                          minhashMaxBucket: Int = 1000,
+                          epochs: Option[Map[String, Double]] = None)
       : (DataFrame, DataFrame, Seq[StageReport]) = {
     require(splits.nonEmpty, "at least one split")
     val report = Seq.newBuilder[StageReport]
@@ -229,11 +238,21 @@ object Pipeline {
     val train = stage("train_split")(
       split.filter(col("split") === trainLabel).drop("split"))
     val heldout = stage("heldout")(split.filter(col("split") =!= trainLabel))
-    val keep = TextAnalysis.alphaSourceMix(train, textCol, idCol,
-      sourceCol, targetTokens).filter(col("kept")).select(idCol)
-    val mixed = stage("source_mix")(train.join(keep, Seq(idCol), "left_semi"))
-    val packed = stage("packed")(
-      TextAnalysis.packSequences(mixed, textCol, idCol, seqLen))
-    (packed, heldout, report.result())
+    epochs match {
+      case Some(e) =>
+        val mixed = stage("epoch_mix")(
+          TextAnalysis.epochUpsample(train, textCol, idCol, sourceCol, e))
+        val packed = stage("packed")(TextAnalysis.packSequencesReplicas(
+          mixed, textCol, idCol, "copy", seqLen))
+        (packed, heldout, report.result())
+      case None =>
+        val keep = TextAnalysis.alphaSourceMix(train, textCol, idCol,
+          sourceCol, targetTokens).filter(col("kept")).select(idCol)
+        val mixed = stage("source_mix")(
+          train.join(keep, Seq(idCol), "left_semi"))
+        val packed = stage("packed")(
+          TextAnalysis.packSequences(mixed, textCol, idCol, seqLen))
+        (packed, heldout, report.result())
+    }
   }
 }

@@ -360,6 +360,31 @@ object TextAnalysis {
   }
 
   /**
+   * [[packSequences]] for REPLICATED corpora (the [[epochUpsample]]
+   * output, where (id, copy) — not id — is the document key): same
+   * two-pass distributed prefix sum, ordered by (id, copy) so every
+   * replica is its own packed document and re-runs are deterministic.
+   * Output (id, copy, n_tokens, start_chunk, end_chunk,
+   * crosses_boundary).
+   */
+  def packSequencesReplicas(df: DataFrame, textCol: String, idCol: String,
+                            copyCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val slim = df.select(col(idCol), col(copyCol),
+        when(length(trim(col(textCol))) === 0, 0)
+          .otherwise(tokenCount(col(textCol))).cast("int").as("n_tokens"))
+    val packed = groupedPrefixSum(slim, Nil, Seq(col(idCol), col(copyCol)),
+        "n_tokens", maxDriverRows = Int.MaxValue, _ => "unreachable")
+      .withColumn("_last", col("_cum_prev") + col("n_tokens") - 1)
+    val startChunk = expr(s"_cum_prev DIV ${seqLen}L")
+    val endChunk = when(col("n_tokens") === 0, startChunk)
+      .otherwise(expr(s"_last DIV ${seqLen}L"))
+    packed.select(col(idCol), col(copyCol), col("n_tokens"),
+      startChunk.as("start_chunk"), endChunk.as("end_chunk"),
+      (endChunk > startChunk).as("crosses_boundary"))
+  }
+
+  /**
    * Per-source token-budget selection — the data-MIXING primitive a
    * pretraining pipeline runs after cleaning: within every `groupCol`
    * (source/domain/language), take documents greedily in descending

@@ -2054,6 +2054,20 @@ class ExtSpec extends SparkSpec {
     assert(keptM == Seq(1L, 3L, 4L), s"kept $keptM")
   }
 
+  test("packSequencesReplicas: (id, copy) keyed prefix sum, hand-computed") {
+    // rows in (id, copy) order: (1,1) 3 tok, (1,2) 3 tok, (2,1) 2 tok;
+    // seqLen 4 -> chunks: [0..2]=c0, [3..5]=c0/c1 crossing, [6..7]=c1
+    val rows = Seq((1L, 1, "a b c"), (1L, 2, "a b c"), (2L, 1, "d e"))
+      .toDF("id", "copy", "text")
+    val got = TextAnalysis.packSequencesReplicas(rows, "text", "id", "copy", 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      (1L, 1) -> ((3, 0L, 0L, false)),
+      (1L, 2) -> ((3, 0L, 1L, true)),
+      (2L, 1) -> ((2, 1L, 1L, false))), s"got $got")
+  }
+
   test("incrementalEditDistanceKeepers: typo refetches drop, fresh rows survive") {
     val old = Seq((1L, "alpha record one"), (2L, "beta record two"))
       .toDF("cid", "name")
