@@ -1916,16 +1916,14 @@ object SparkEntry {
       // overflow), one length-pinned row per held-out doc, and two
       // rows per packed doc (chunk assignment + token count); the
       // oracle replays all 12 stages in SQL.
-      val docs = q138Docs(s, dir)
       import s.implicits._
       val bench = Seq(q138Phrase1, q138Phrase2).toDF("text")
-      val (packed, heldout, report) = Pipeline.prepareTrainingData(
-        docs, "text", "doc_id", "src", bench, "text",
+      val (cleaned, cleanReport) = q138Cleaned(s, dir)
+      val (packed, heldout, report) = Pipeline.finalizeTrainingData(
+        cleaned, cleanReport, "text", "doc_id", "src", bench, "text",
         targetTokens = 3000L, seqLen = 128,
         splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        contaminationN = 8, urlCol = Some("url"),
-        spanK = 8, minTokens = 5, maxDupTokenFraction = 0.6,
-        minhashThreshold = 0.8)
+        contaminationN = 8)
       (report.map(r => (r.stage, r.rows))
           :+ (("z_overflow_rows", report.map(_.overflowRows).sum)))
         .toDF("stage", "n")
@@ -2003,16 +2001,14 @@ object SparkEntry {
       // fractional down, fractional up, and integer up — then
       // PER-REPLICA packing keyed (doc_id, copy). Pins the stage
       // report and every replica's chunk assignment.
-      val docs = q138Docs(s, dir)
       import s.implicits._
       val bench = Seq(q138Phrase1, q138Phrase2).toDF("text")
-      val (packed, _, report) = Pipeline.prepareTrainingData(
-        docs, "text", "doc_id", "src", bench, "text",
+      val (cleaned, cleanReport) = q138Cleaned(s, dir)
+      val (packed, _, report) = Pipeline.finalizeTrainingData(
+        cleaned, cleanReport, "text", "doc_id", "src", bench, "text",
         targetTokens = 3000L, seqLen = 128,
         splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-        contaminationN = 8, urlCol = Some("url"),
-        spanK = 8, minTokens = 5, maxDupTokenFraction = 0.6,
-        minhashThreshold = 0.8,
+        contaminationN = 8,
         epochs = Some(Map("big" -> 0.5, "mid" -> 1.25, "small" -> 2.0)))
       (report.map(r => (r.stage, r.rows))
           :+ (("z_overflow_rows", report.map(_.overflowRows).sum)))
@@ -2103,6 +2099,22 @@ object SparkEntry {
       Dedup.editDistanceJoin(cust, "name", "cid", q136Refs(cust),
         "rname", "rid", maxDist = 1, q = 3)
     })
+
+  // The q138/q145 shared CLEANED corpus (the q136Pairs pattern, and the
+  // library's own production shape: finalizeTrainingData exists so
+  // mixture ablations re-run over one saved cleaning run): cleanCorpus
+  // output is eagerly checkpointed stage by stage, so the cached value
+  // is materialized blocks + counted reports, computed by whichever of
+  // the two gates runs first.
+  private val q138CleanCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Seq[Pipeline.StageReport])]()
+
+  private def q138Cleaned(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Pipeline.StageReport]) =
+    q138CleanCache.computeIfAbsent((s, dir), _ =>
+      Pipeline.cleanCorpus(q138Docs(s, dir), "text", "doc_id",
+        urlCol = Some("url"), spanK = 8, minTokens = 5,
+        maxDupTokenFraction = 0.6, minhashThreshold = 0.8))
 
   // ---- q138 planted pipeline corpus ------------------------------------
   // Benchmark phrase 1 is SPLIT around the shared licence blurb in doc

@@ -215,12 +215,6 @@ object Pipeline {
                           epochs: Option[Map[String, Double]] = None)
       : (DataFrame, DataFrame, Seq[StageReport]) = {
     require(splits.nonEmpty, "at least one split")
-    val report = Seq.newBuilder[StageReport]
-    def stage(name: String)(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
-      report += StageReport(name, out.count())
-      out
-    }
     val (cleaned, cleanReport) = cleanCorpus(docs, textCol, idCol,
       urlCol = urlCol, markupStrip = markupStrip, normalize = normalize,
       blockedDomains = blockedDomains, blockedDomainCol = blockedDomainCol,
@@ -228,7 +222,39 @@ object Pipeline {
       minTokens = minTokens, maxDupTokenFraction = maxDupTokenFraction,
       minhashThreshold = minhashThreshold,
       minhashMaxBucket = minhashMaxBucket)
+    finalizeTrainingData(cleaned, cleanReport, textCol, idCol, sourceCol,
+      bench, benchTextCol, targetTokens, seqLen, splits, contaminationN,
+      epochs)
+  }
+
+  /**
+   * The post-cleaning half of [[prepareTrainingData]] — decontaminate →
+   * split → mix → pack over an ALREADY-cleaned corpus. Split out
+   * because this is how the composition is actually re-run in
+   * production: cleaning is the expensive once-per-corpus step, while
+   * mixture/packing ablations (different benches, budgets, epoch
+   * tables, sequence lengths) re-run many times over the saved cleaned
+   * frame — none of them should pay the cleaning stack again.
+   * `cleanReport` (pass Nil when resuming from a saved corpus) is
+   * prepended so the returned report still reads as one pipeline run.
+   */
+  def finalizeTrainingData(cleaned: DataFrame, cleanReport: Seq[StageReport],
+                           textCol: String, idCol: String, sourceCol: String,
+                           bench: DataFrame, benchTextCol: String,
+                           targetTokens: Long, seqLen: Int,
+                           splits: Seq[(String, Double)] =
+                             Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                           contaminationN: Int = 8,
+                           epochs: Option[Map[String, Double]] = None)
+      : (DataFrame, DataFrame, Seq[StageReport]) = {
+    require(splits.nonEmpty, "at least one split")
+    val report = Seq.newBuilder[StageReport]
     report ++= cleanReport
+    def stage(name: String)(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      report += StageReport(name, out.count())
+      out
+    }
     val dirty = TextAnalysis.ngramContaminatedIds(cleaned, textCol, idCol,
       bench, benchTextCol, contaminationN)
     val decon = stage("decontaminate")(
