@@ -195,6 +195,94 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Pure-Scala Sennrich BPE reference: per-round argmax (count desc,
+    * space-joined pair string asc) + leftmost-first non-overlapping
+    * merge application. */
+  private def bpeRef(words: Seq[String], rounds: Int): Seq[(Int, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    val out = collection.mutable.Buffer[(Int, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, wc) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), m) => (-m, x + " " + y) }
+        out += ((r, s"$a $b", n))
+        vocab = vocab.map { case (syms, wc) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          nb.result() -> wc
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("property: bpeTrainMerges == sequential Sennrich reference") {
+    // tiny alphabets force pair collisions and argmax ties every round
+    val genWord = for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genCorpus = Gen.choose(3, 8).flatMap(k => Gen.listOfN(k, genWord))
+    forAllSampled(genCorpus, 5) { words =>
+      val docs = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      val got = graft.ext.TextAnalysis.bpeTrainMerges(docs, "text", rounds = 4)
+        .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+      val want = bpeRef(words, 4)
+      assert(got == want, s"words=$words got=$got want=$want")
+    }
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: editDistancePairs == brute force on random mixed-length corpora") {
+    // alphabet {a,b,c}, lengths 0..12: strings straddle the short/long
+    // boundary at both maxDist settings (shortMax 5 and 8 for q=3), so
+    // the banded path, the prefix path, and their overlap band all get
+    // random traffic; duplicates produce dist-0 pairs
+    val genS = for {
+      len <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genCorpus = Gen.choose(8, 16).flatMap(k => Gen.listOfN(k, genS))
+    forAllSampled(Gen.zip(genCorpus, Gen.oneOf(1, 2)), 6) { case (ss, k) =>
+      val rows = ss.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+      val got = graft.ext.Dedup.editDistancePairs(
+          rows.toDF("id", "s"), "s", "id", maxDist = k, q = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (i, a) <- rows; (j, b) <- rows if i < j
+        d = lev(a, b) if d <= k
+      } yield (i, j, d)).toSet
+      assert(got == want, s"k=$k corpus=$ss extra=${got.diff(want)} " +
+        s"missing=${want.diff(got)}")
+    }
+  }
+
   test("array ops: cs / cd / ov") {
     val adf = Seq(
       (1L, Seq("a", "b", "c")),
