@@ -1994,6 +1994,17 @@ object SparkEntry {
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
     }),
+    "q146_contamination_fraction" -> ((s, dir) => { ensure(s)
+      // contamination-fraction audit frame (the GPT-3 13-gram recipe's
+      // thresholdable form; q78 gates the boolean): every doc's
+      // distinct-8-gram hit fraction against the doc<=3 "benchmark" —
+      // docs 0-3 score 1.0 (self-contained), everything else its true
+      // overlap fraction. Oracle recomputes from gram strings.
+      val docs = ld(s, dir, "documents")
+      TextAnalysis.ngramContaminationFraction(docs, "text", "doc_id",
+          docs.filter(col("doc_id") <= 3), "text", n = 8)
+        .orderBy("doc_id")
+    }),
     "q145_epoch_training_data" -> ((s, dir) => { ensure(s)
       // prepareTrainingData's UPSAMPLING mix path (q138 gates the
       // budget-downsampling path): epoch-replication mixing on the
@@ -2023,14 +2034,16 @@ object SparkEntry {
     "q144_incremental_fuzzy" -> ((s, dir) => { ensure(s)
       // incremental fuzzy dedup (the Ed-Join member of the incremental
       // family, alongside q107 MinHash and q111 semantic): a synthetic
-      // "today's batch" against the customer corpus — %4=0 rows are
-      // one-char typo refetches (dist 1, dropped), %4=1 rows two-char
-      // variants (dist 2, kept at maxDist=1), the rest fresh Newcomer
-      // records (kept). Oracle anti-joins a brute-force levenshtein
-      // EXISTS under the length prefilter.
+      // "today's batch" (every %5=2 customer — a 20% delta, the
+      // realistic incremental shape) against the full customer corpus —
+      // %4=0 rows are one-char typo refetches (dist 1, dropped), %4=1
+      // rows two-char variants (dist 2, kept at maxDist=1), the rest
+      // fresh Newcomer records (kept). Oracle anti-joins a brute-force
+      // levenshtein EXISTS under the length prefilter.
       val cust = ld(s, dir, "customer")
         .select(col("c_custkey").as("cid"), col("c_name").as("name"))
-      val nw = cust.select((col("cid") + 900000L).as("id"),
+      val nw = cust.filter(col("cid") % 5 === 2)
+        .select((col("cid") + 900000L).as("id"),
         when(col("cid") % 4 === 0, concat(substring(col("name"), 1, 11),
           lit("Y"), substring(col("name"), 13, 100)))
         .when(col("cid") % 4 === 1, concat(substring(col("name"), 1, 11),
@@ -2907,11 +2920,19 @@ object SparkEntry {
        "SELECT id, id2, dist FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, id2) = 1 ORDER BY id"),
     "q143_bpe_encode" -> q143OracleSql(6),
     "q145_epoch_training_data" -> q145OracleSql,
+    "q146_contamination_fraction" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS t FROM documents), " +
+       "g AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END) AS grams FROM toks), " +
+       "bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id <= 3), " +
+       "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS h FROM (SELECT doc_id, unnest(grams) AS gram FROM g) WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id) " +
+       "SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams, COALESCE(h.h, 0) AS hit_grams, " +
+       "round(CASE WHEN len(g.grams) = 0 THEN 0.0 ELSE CAST(COALESCE(h.h, 0) AS DOUBLE) / len(g.grams) END, 6) AS contamination " +
+       "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id"),
     "q144_incremental_fuzzy" ->
       ("WITH nw AS (SELECT c_custkey + 900000 AS id, " +
        "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 11) || 'Y' || substr(c_name, 13) " +
        "WHEN c_custkey % 4 = 1 THEN substr(c_name, 1, 11) || 'YZ' || substr(c_name, 14) " +
-       "ELSE 'Newcomer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS s FROM customer) " +
+       "ELSE 'Newcomer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS s FROM customer WHERE c_custkey % 5 = 2) " +
        "SELECT id, s FROM nw WHERE NOT EXISTS (SELECT 1 FROM customer c " +
        "WHERE abs(length(c.c_name) - length(nw.s)) <= 1 AND levenshtein(c.c_name, nw.s) <= 1) ORDER BY id")
   )

@@ -147,6 +147,50 @@ object TextAnalysis {
   }
 
   /**
+   * Contamination FRACTION audit frame — [[ngramContaminatedIds]]
+   * gives the any-overlap boolean; curation pipelines (the GPT-3
+   * 13-gram recipe and its descendants) instead THRESHOLD on how much
+   * of a document's n-gram set hits the benchmark: (id, n_grams,
+   * hit_grams, contamination = hit/|distinct grams|, 6 dp). Docs with
+   * fewer than n tokens report (0, 0, 0.0).
+   *
+   * Scale: the same two-phase shape as the boolean — `n_grams` is a
+   * per-row NARROW projection (distinct-gram count, no explode leaves
+   * the row); hit counting explodes gram STRINGS only for the
+   * hash-prefiltered candidate docs (64-bit shingle semi-join against
+   * the broadcast bench hash set finds the typically-sparse slice;
+   * hash-equal is implied by gram-equal so no hit is missed), then
+   * verifies exactly against the broadcast bench gram strings.
+   */
+  def ngramContaminationFraction(docs: DataFrame, textCol: String,
+                                 idCol: String,
+                                 bench: DataFrame, benchTextCol: String,
+                                 n: Int): DataFrame = {
+    val benchHashes = bench
+      .select(explode(word_shingles(col(benchTextCol), lit(n))).as("gh")).distinct()
+    val candidates = docs
+      .select(col(idCol), explode(word_shingles(col(textCol), lit(n))).as("gh"))
+      .join(broadcast(benchHashes), Seq("gh"), "left_semi")
+      .select(col(idCol)).distinct()
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
+    val hits = docs.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
+    docs.select(col(idCol),
+        size(array_distinct(wordNgrams(col(textCol), n))).cast("long")
+          .as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("hit_grams", coalesce(col("hit_grams"), lit(0L)))
+      .withColumn("contamination", round(
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("hit_grams").cast("double") /
+            col("n_grams").cast("double")), 6))
+  }
+
+  /**
    * Deterministic content-hash sampling: keep docs whose md5 first hex
    * digit falls in [0, keepBuckets) — stable across runs/engines (no RNG),
    * content-addressed (exact dups sample together, so dedup and sampling

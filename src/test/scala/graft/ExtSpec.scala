@@ -2068,6 +2068,24 @@ class ExtSpec extends SparkSpec {
       (2L, 1) -> ((2, 1L, 1L, false))), s"got $got")
   }
 
+  test("ngramContaminationFraction: hand-computed fractions, short docs 0") {
+    // bench = "a b c d"; 3-grams {abc, bcd}. doc 1: tokens a b c d e ->
+    // grams {abc, bcd, cde}: hits 2/3. doc 2 clean: 0/3. doc 3 too
+    // short: (0, 0, 0.0). doc 4 fully contained: 2/2 = 1.0
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x y z w v"), (3L, "a b"), (4L, "a b c d")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c d")).toDF("text")
+    val got = TextAnalysis.ngramContaminationFraction(docs, "text", "doc_id",
+        bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 0.666667)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 2L, 1.0)))
+  }
+
   test("incrementalEditDistanceKeepers: typo refetches drop, fresh rows survive") {
     val old = Seq((1L, "alpha record one"), (2L, "beta record two"))
       .toDF("cid", "name")
