@@ -1994,6 +1994,45 @@ object SparkEntry {
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
     }),
+    "q147_ingest_batch" -> ((s, dir) => { ensure(s)
+      // incremental corpus INGESTION end to end (Pipeline.ingestBatch —
+      // the production "today's crawl" step): the odd half of the q118
+      // planted corpus is the new batch (every within-batch cleaning
+      // stage has work), the even half plays the existing cleaned
+      // corpus with three planted cross-collisions — %40=6 old docs
+      // reuse the new batch's URL universe (url_cross), a %40=2 old
+      // doc carries exactly the batch's exact-dup keeper text
+      // (exact_cross), and %40=4 old docs carry the near-dup 12-token
+      // form of the batch's %50=11 survivor at char-5 Jaccard 0.838
+      // (minhash_cross). Pins all 11 stage counts + every survivor's
+      // final text length.
+      val nw = q138Docs(s, dir).filter(col("doc_id") % 2 === 1)
+      val old = ld(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 500000L).as("oid"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .when(col("doc_id") % 40 === 6, concat(lit("https://u"),
+              (col("doc_id") % 125).cast("string"), lit(".ex.com/p")))
+            .otherwise(concat(lit("https://o"),
+              (col("doc_id") % 125).cast("string"), lit(".ex.com/p")))
+            .as("ourl"),
+          when(col("doc_id") % 40 === 2,
+            lit("planted exact duplicate body shared across documents"))
+          .when(col("doc_id") % 40 === 4,
+            lit("planted near dup body token one two three"))
+          .otherwise(lower(col("text"))).as("otext"))
+      val (survivors, report) = Pipeline.ingestBatch(nw, "text", "doc_id",
+        old, "otext", "oid", urlCol = Some("url"), oldUrlCol = Some("ourl"),
+        spanK = 8, minTokens = 5, maxDupTokenFraction = 0.6,
+        minhashThreshold = 0.8)
+      import s.implicits._
+      (report.map(r => (r.stage, r.rows))
+          :+ (("z_overflow_rows", report.map(_.overflowRows).sum)))
+        .toDF("stage", "n")
+        .unionByName(survivors.select(
+          concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .orderBy("stage")
+    }),
     "q146_contamination_fraction" -> ((s, dir) => { ensure(s)
       // contamination-fraction audit frame (the GPT-3 13-gram recipe's
       // thresholdable form; q78 gates the boolean): every doc's
@@ -2928,6 +2967,7 @@ object SparkEntry {
        "SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams, COALESCE(h.h, 0) AS hit_grams, " +
        "round(CASE WHEN len(g.grams) = 0 THEN 0.0 ELSE CAST(COALESCE(h.h, 0) AS DOUBLE) / len(g.grams) END, 6) AS contamination " +
        "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id"),
+    "q147_ingest_batch" -> q147OracleSql,
     "q144_incremental_fuzzy" ->
       ("WITH nw AS (SELECT c_custkey + 900000 AS id, " +
        "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 11) || 'Y' || substr(c_name, 13) " +
@@ -2960,14 +3000,16 @@ object SparkEntry {
     * (s8), the content-hash split (s9), the sqrt-n mix draw (s10), and
     * the prefix-sum pack (pk/pr) — each lifted from its single-stage
     * oracle (q78/q127/q121/q91). */
-  private def q138OracleCore: String = {
+  /** The q118-style staged cleaning chain (d0 planted corpus → s7
+    * survivors), src carried, restrictable via `where` (the q147
+    * incremental gate cleans only the odd half). */
+  private def q138CleanChain(where: String): String = {
     val doc23Text = "'DUPLINE COMMON ROW' || chr(10) || '" + q138Half1 +
       q118Blurb + " " + q138Half2 +
       "' || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC'"
     val doc27Text = "'DUPLINE COMMON ROW' || chr(10) || text || ' " +
       q138Phrase2 +
       "' || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC'"
-    val grams8 = "CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END"
     "WITH RECURSIVE d0 AS MATERIALIZED (SELECT doc_id, " +
     "CASE WHEN doc_id % 20 < 12 THEN 'big' WHEN doc_id % 20 < 18 THEN 'mid' ELSE 'small' END AS src, " +
     "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'https://u' || CAST(doc_id % 125 AS VARCHAR) || '.ex.com/p' END AS url, " +
@@ -2978,7 +3020,7 @@ object SparkEntry {
     "WHEN doc_id % 50 = 13 THEN 'tiny doc' " +
     "WHEN doc_id % 50 = 14 THEN 'spam spam spam spam spam spam spam unique' " +
     "WHEN doc_id % 7 = 0 THEN 'planted exact duplicate body shared across documents' " +
-    "ELSE 'DUPLINE COMMON ROW' || chr(10) || text || CASE WHEN doc_id % 9 = 4 THEN '" + q118Blurb + "' ELSE '' END || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC' END AS text FROM documents), " +
+    "ELSE 'DUPLINE COMMON ROW' || chr(10) || text || CASE WHEN doc_id % 9 = 4 THEN '" + q118Blurb + "' ELSE '' END || chr(10) || 'DUPLINE COMMON ROW' || chr(10) || 'FOOTER COMMON EVERY DOC' END AS text FROM documents" + where + "), " +
     // stages 1-7: the q118 chain, with src carried through
     "s1 AS MATERIALIZED (SELECT doc_id, src, url, text FROM d0 WHERE url IS NULL UNION ALL SELECT d0.doc_id, d0.src, d0.url, d0.text FROM d0 JOIN (SELECT url, min(doc_id) AS kid FROM d0 WHERE url IS NOT NULL GROUP BY url) k ON d0.url = k.url AND d0.doc_id = k.kid), " +
     "s2 AS MATERIALIZED (SELECT doc_id, src, url, text FROM s1 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)), " +
@@ -2999,7 +3041,13 @@ object SparkEntry {
     "nodes AS MATERIALIZED (SELECT DISTINCT a AS nd FROM edges), " +
     "reach AS (SELECT nd, nd AS r FROM nodes UNION SELECT e.a AS nd, reach.r FROM edges e JOIN reach ON e.b = reach.nd), " +
     "comp AS MATERIALIZED (SELECT nd, min(r) AS rep FROM reach GROUP BY nd), " +
-    "s7 AS MATERIALIZED (SELECT doc_id, src, text, t FROM s6 WHERE doc_id NOT IN (SELECT nd FROM comp WHERE nd <> rep)), " +
+    "s7 AS MATERIALIZED (SELECT doc_id, src, text, t FROM s6 WHERE doc_id NOT IN (SELECT nd FROM comp WHERE nd <> rep))"
+  }
+
+  /** The q138/q145 finalize CTEs (bench decontamination, split, train
+    * slim frame) appended to the clean chain. */
+  private def q138FinalizeCtes: String = {
+    val grams8 = "CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END"
     // stage 8: exact 8-gram decontamination against the planted bench
     "bt AS MATERIALIZED (SELECT list_filter(string_split_regex(lower(trim(btext)), '\\s+'), x -> len(x) > 0) AS t FROM (SELECT '" +
     q138Phrase1 + "' AS btext UNION ALL SELECT '" + q138Phrase2 + "')), " +
@@ -3030,7 +3078,7 @@ object SparkEntry {
     "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) "
 
   private def q138OracleSql: String = {
-    q138OracleCore + ", " +
+    q138CleanChain("") + ", " + q138FinalizeCtes + ", " +
     // stage 10: sqrt-n source mixing on the train split only (q121)
     "ms AS MATERIALIZED (SELECT src, CAST(sum(n_tokens) AS BIGINT) AS st FROM mt GROUP BY src), " +
     "mw AS MATERIALIZED (SELECT src, st, sqrt(CAST(st AS DOUBLE)) AS w FROM ms), " +
@@ -3052,7 +3100,7 @@ object SparkEntry {
     * recipe — floor(e) copies + one more iff the content-hash draw is
     * under frac(e)) and per-replica packing ordered by (doc_id, copy). */
   private def q145OracleSql: String = {
-    q138OracleCore + ", " +
+    q138CleanChain("") + ", " + q138FinalizeCtes + ", " +
     "em AS MATERIALIZED (SELECT doc_id, n_tokens, u, CASE src WHEN 'big' THEN CAST(0.5 AS DOUBLE) WHEN 'mid' THEN CAST(1.25 AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS e FROM mt), " +
     "ec AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(floor(e) AS INT) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS copies FROM em), " +
     "ex AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS INT) AS copy FROM ec WHERE copies >= 1), " +
@@ -3062,6 +3110,42 @@ object SparkEntry {
     "UNION ALL SELECT 'epoch_mix', (SELECT count(*) FROM ex) " +
     "UNION ALL SELECT 'packed', (SELECT count(*) FROM ex) " +
     "UNION ALL SELECT 'pk_' || CAST(doc_id AS VARCHAR) || '_' || CAST(copy AS VARCHAR), CAST(sc * 100000 + ec2 * 10 + CAST(ec2 > sc AS INTEGER) AS BIGINT) FROM pr2 " +
+    "ORDER BY stage"
+  }
+
+  /** The q147 oracle: the q118 clean chain restricted to the odd half
+    * (the new batch), then the three cross-dedup stages against the
+    * even-half "existing corpus" — URL membership, exact text
+    * membership, exact char-5 Jaccard >= 0.8 vs every old doc. */
+  private def q147OracleSql: String = {
+    val sh = "CASE WHEN length(%s) >= 5 THEN list_distinct(list_transform(range(1, length(%s) - 3), i -> substr(%s, i, 5))) WHEN length(%s) > 0 THEN [%s] ELSE [] END"
+    def shOf(c: String) = sh.replace("%s", c)
+    q138CleanChain(" WHERE doc_id % 2 = 1") + ", " +
+    "old AS MATERIALIZED (SELECT doc_id + 500000 AS oid, " +
+    "CASE WHEN doc_id % 5 = 0 THEN NULL WHEN doc_id % 40 = 6 THEN 'https://u' || CAST(doc_id % 125 AS VARCHAR) || '.ex.com/p' " +
+    "ELSE 'https://o' || CAST(doc_id % 125 AS VARCHAR) || '.ex.com/p' END AS ourl, " +
+    "CASE WHEN doc_id % 40 = 2 THEN 'planted exact duplicate body shared across documents' " +
+    "WHEN doc_id % 40 = 4 THEN 'planted near dup body token one two three' " +
+    "ELSE lower(text) END AS otext FROM documents WHERE doc_id % 2 = 0), " +
+    "x1 AS MATERIALIZED (SELECT s7.doc_id, s7.text FROM s7 LEFT JOIN (SELECT doc_id, url FROM d0) u USING (doc_id) WHERE u.url IS NULL OR u.url NOT IN (SELECT ourl FROM old WHERE ourl IS NOT NULL)), " +
+    "x2 AS MATERIALIZED (SELECT doc_id, text FROM x1 WHERE text NOT IN (SELECT otext FROM old)), " +
+    "shn AS MATERIALIZED (SELECT doc_id, " + shOf("text") + " AS sh FROM x2), " +
+    "sho AS MATERIALIZED (SELECT oid, " + shOf("otext") + " AS sh FROM old), " +
+    "xd AS MATERIALIZED (SELECT DISTINCT a.doc_id FROM shn a JOIN sho b ON len(a.sh) > 0 AND len(b.sh) > 0 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.8), " +
+    "x3 AS MATERIALIZED (SELECT doc_id, text FROM x2 WHERE doc_id NOT IN (SELECT doc_id FROM xd)) " +
+    "SELECT 'input' AS stage, CAST((SELECT count(*) FROM d0) AS BIGINT) AS n " +
+    "UNION ALL SELECT 'url_dedup', (SELECT count(*) FROM s1) " +
+    "UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM s2) " +
+    "UNION ALL SELECT 'line_dedup', (SELECT count(*) FROM s3) " +
+    "UNION ALL SELECT 'boilerplate_lines', (SELECT count(*) FROM s4) " +
+    "UNION ALL SELECT 'span_dedup', (SELECT count(*) FROM s5) " +
+    "UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM s6) " +
+    "UNION ALL SELECT 'minhash_dedup', (SELECT count(*) FROM s7) " +
+    "UNION ALL SELECT 'url_cross_dedup', (SELECT count(*) FROM x1) " +
+    "UNION ALL SELECT 'exact_cross_dedup', (SELECT count(*) FROM x2) " +
+    "UNION ALL SELECT 'minhash_cross_dedup', (SELECT count(*) FROM x3) " +
+    "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) " +
+    "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM x3 " +
     "ORDER BY stage"
   }
 

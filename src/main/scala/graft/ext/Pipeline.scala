@@ -228,6 +228,89 @@ object Pipeline {
   }
 
   /**
+   * Incremental corpus INGESTION — the production "today's crawl"
+   * step: run the full within-batch cleaning stack on the new batch,
+   * then dedupe its survivors against the EXISTING cleaned corpus with
+   * the three cross-corpus stages (canonical-URL, exact content,
+   * MinHash near-dup — the q117/q27/q107 primitives composed), so a
+   * refetch, an exact copy, or a near-duplicate of anything already
+   * ingested never re-enters the corpus. Returns (new-batch survivors,
+   * report continuing cleanCorpus's — stages `url_cross_dedup` /
+   * `exact_cross_dedup` / `minhash_cross_dedup`).
+   *
+   * Contract notes: `oldCleaned` is the PRIOR cleaned corpus (its text
+   * already in cleaned form — cross-exact matches cleaned-vs-cleaned);
+   * corpus-WIDE statistics (boilerplate line df, duplicated-span gram
+   * df) are deliberately batch-internal — recomputing them over
+   * old+new is a full-corpus re-run, not ingestion, and their drift is
+   * a re-clean concern (documented non-goal, same posture as CCNet's
+   * snapshot-scoped statistics).
+   *
+   * Scale: the old side contributes one distinct canonical-URL set,
+   * one md5 set (slim broadcast-able columns), and the reusable
+   * minhash signature table ([[Dedup.crossPairsViaMinhash]]'s shared
+   * registry); per-batch work is |batch| cleaning + three anti-joins.
+   */
+  def ingestBatch(newDocs: DataFrame, textCol: String, idCol: String,
+                  oldCleaned: DataFrame, oldTextCol: String, oldIdCol: String,
+                  urlCol: Option[String] = None,
+                  oldUrlCol: Option[String] = None,
+                  markupStrip: Boolean = false,
+                  normalize: Boolean = false,
+                  blockedDomains: Option[DataFrame] = None,
+                  blockedDomainCol: String = "domain",
+                  boilerplateMaxDocFreq: Int = 0,
+                  spanK: Int = 8,
+                  minTokens: Int = 5,
+                  maxDupTokenFraction: Double = 0.6,
+                  minhashThreshold: Double = 0.8,
+                  minhashMaxBucket: Int = 1000)
+      : (DataFrame, Seq[StageReport]) = {
+    require(oldUrlCol.isEmpty || urlCol.nonEmpty,
+      "oldUrlCol without urlCol: the batch has no URLs to cross-check")
+    val report = Seq.newBuilder[StageReport]
+    def stage(name: String)(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      report += StageReport(name, out.count())
+      out
+    }
+    val (cleaned, cleanReport) = cleanCorpus(newDocs, textCol, idCol,
+      urlCol = urlCol, markupStrip = markupStrip, normalize = normalize,
+      blockedDomains = blockedDomains, blockedDomainCol = blockedDomainCol,
+      boilerplateMaxDocFreq = boilerplateMaxDocFreq, spanK = spanK,
+      minTokens = minTokens, maxDupTokenFraction = maxDupTokenFraction,
+      minhashThreshold = minhashThreshold,
+      minhashMaxBucket = minhashMaxBucket)
+    report ++= cleanReport
+    var cur = cleaned
+    (urlCol, oldUrlCol) match {
+      case (Some(u), Some(ou)) =>
+        val oldUrls = oldCleaned
+          .select(TextAnalysis.canonicalizeUrl(col(ou)).as("_ou"))
+          .filter(col("_ou").isNotNull).distinct()
+        cur = stage("url_cross_dedup")(
+          cur.withColumn("_cu", TextAnalysis.canonicalizeUrl(col(u)))
+            .join(oldUrls, col("_cu") === col("_ou"), "left_anti")
+            .drop("_cu"))
+      case _ => ()
+    }
+    // exact cross: md5 anti-join (the exactKeepers convention — slim
+    // 128-bit keys, never full text through the shuffle)
+    val oldHashes = oldCleaned.select(md5(col(oldTextCol)).as("_oh")).distinct()
+    cur = stage("exact_cross_dedup")(
+      cur.withColumn("_nh", md5(col(textCol)))
+        .join(oldHashes, col("_nh") === col("_oh"), "left_anti")
+        .drop("_nh"))
+    // near-dup cross: the q107 incremental primitive (LSH candidates,
+    // exact-threshold verify, asymmetric NEW x OLD band join)
+    val old = oldCleaned.select(col(oldIdCol).as(idCol),
+      col(oldTextCol).as(textCol))
+    cur = stage("minhash_cross_dedup")(Dedup.incrementalKeepers(
+      cur, old, textCol, idCol, threshold = minhashThreshold))
+    (cur.localCheckpoint(true), report.result())
+  }
+
+  /**
    * The post-cleaning half of [[prepareTrainingData]] — decontaminate →
    * split → mix → pack over an ALREADY-cleaned corpus. Split out
    * because this is how the composition is actually re-run in

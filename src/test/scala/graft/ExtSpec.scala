@@ -2068,6 +2068,34 @@ class ExtSpec extends SparkSpec {
       (2L, 1) -> ((2, 1L, 1L, false))), s"got $got")
   }
 
+  test("ingestBatch: within-batch cleaning + three cross stages against old") {
+    val nw = Seq(
+      (1L, "https://a.ex/p", "fresh unique content alpha beta gamma delta epsilon"),
+      (2L, "https://b.ex/p", "refetched page content words here one two three four"),
+      (3L, "https://c.ex/p", "known exact corpus document body five six seven eight"),
+      (4L, "https://d.ex/p", "near dup of an old document token one two"),
+      (5L, "https://e.ex/p", "batch internal twin nine ten eleven twelve thirteen"),
+      (6L, "https://f.ex/p", "batch internal twin nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "url", "text")
+    val old = Seq(
+      (101L, "https://b.ex/p", "whatever was fetched before"),  // url hit for 2
+      (102L, "https://z.ex/p", "known exact corpus document body five six seven eight"), // exact hit for 3
+      (103L, "https://y.ex/p", "near dup of an old document token one two three") // near-dup hit for 4
+    ).toDF("oid", "ourl", "otext")
+    val (survivors, report) = graft.ext.Pipeline.ingestBatch(
+      nw, "text", "doc_id", old, "otext", "oid",
+      urlCol = Some("url"), oldUrlCol = Some("ourl"))
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 dropped by url_cross, 3 by exact_cross, 4 by minhash_cross,
+    // 6 by the WITHIN-batch exact stage (twin of 5); 1 and 5 survive
+    assert(ids == Seq(1L, 5L), s"survivors $ids")
+    val stages = report.map(r => r.stage -> r.rows).toMap
+    assert(stages("exact_dedup") == 5L)       // batch twin collapsed
+    assert(stages("url_cross_dedup") == 4L)
+    assert(stages("exact_cross_dedup") == 3L)
+    assert(stages("minhash_cross_dedup") == 2L)
+  }
+
   test("ngramContaminationFraction: hand-computed fractions, short docs 0") {
     // bench = "a b c d"; 3-grams {abc, bcd}. doc 1: tokens a b c d e ->
     // grams {abc, bcd, cde}: hits 2/3. doc 2 clean: 0/3. doc 3 too
