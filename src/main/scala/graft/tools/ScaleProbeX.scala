@@ -218,6 +218,27 @@ object ScaleProbeX {
         println(f"SCALEX $label cleanCorpus total=${(System.nanoTime() - t0) / 1e9}%.3f " +
           s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
       }
+      if (want("ingestBatch")) {
+        // incremental ingestion: a 10% delta cleaned within-batch then
+        // cross-deduped against the other 90% as the existing corpus;
+        // DIV-4 URL groups with the q147 o/u-universe overlap pattern
+        System.gc()
+        val t0 = System.nanoTime()
+        val nwU = docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("url", concat(lit("https://u"),
+            floor(col("doc_id") / 4).cast("string"), lit(".ex/p")))
+        val old = docs.filter(col("doc_id") % 10 =!= 1)
+          .select(col("doc_id").as("oid"),
+            concat(when(col("doc_id") % 40 === 3, lit("https://u"))
+              .otherwise(lit("https://o")),
+              floor(col("doc_id") / 4).cast("string"), lit(".ex/p")).as("ourl"),
+            lower(col("text")).as("otext"))
+        val (sv, rep) = Pipeline.ingestBatch(nwU, "text", "doc_id",
+          old, "otext", "oid", urlCol = Some("url"), oldUrlCol = Some("ourl"))
+        val n = sv.count()
+        println(f"SCALEX $label ingestBatch total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"survivors=$n report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
+      }
       if (want("prepareTrainingData")) {
         // the COMPLETE corpus-to-training-set composition (r8 stretch
         // directive): cleanCorpus + decontaminate + split + mix + pack,
