@@ -1949,7 +1949,7 @@ object SparkEntry {
       // cluster must collapse to its %3==0 member. The oracle
       // brute-forces the pair set and replays the closure with a
       // recursive min-label CTE (the q118 recipe).
-      val g = lpad(floor(col("doc_id") / 3).cast("string"), 6, "0")
+      val g = lpad(floor(col("doc_id") / 3).cast("string"), 8, "0")
       val docs = ld(s, dir, "documents").select(col("doc_id"),
         concat(lit("rec "), g, lit("/"), g, lit("/"),
           element_at(array(lit("x"), lit("y"), lit("z")),
@@ -1966,7 +1966,7 @@ object SparkEntry {
       // so the dist-2 pair (aa,bb) exists IFF the widened bound
       // captures it. Oracle brute-forces levenshtein <= 2 under the
       // length prefilter.
-      val g = lpad(floor(col("doc_id") / 3).cast("string"), 5, "0")
+      val g = lpad(floor(col("doc_id") / 3).cast("string"), 7, "0")
       val docs = ld(s, dir, "documents").select(col("doc_id"),
         concat(lit("id "), g, lit("."), g, lit("."), g, lit("-"),
           element_at(array(lit("aa"), lit("ab"), lit("bb")),
@@ -2934,7 +2934,7 @@ object SparkEntry {
        "AND levenshtein(c.c_name, r.rname) <= 1 ORDER BY id, id2"),
     "q138_training_data" -> q138OracleSql,
     "q139_fuzzy_keepers" ->
-      ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 6, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 6, '0') || '/' || " +
+      ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'x' WHEN 1 THEN 'y' ELSE 'z' END AS s FROM documents), " +
        "p AS MATERIALIZED (SELECT a.doc_id AS ida, b.doc_id AS idb FROM d a JOIN d b ON a.doc_id < b.doc_id " +
        "AND abs(length(a.s) - length(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1), " +
@@ -2944,7 +2944,7 @@ object SparkEntry {
        "comp AS MATERIALIZED (SELECT nd, min(r) AS rep FROM reach GROUP BY nd) " +
        "SELECT doc_id, s FROM d WHERE doc_id NOT IN (SELECT nd FROM comp WHERE nd <> rep) ORDER BY doc_id"),
     "q140_edit_distance2" ->
-      ("WITH d AS MATERIALIZED (SELECT doc_id, 'id ' || lpad(CAST(doc_id // 3 AS VARCHAR), 5, '0') || '.' || lpad(CAST(doc_id // 3 AS VARCHAR), 5, '0') || '.' || lpad(CAST(doc_id // 3 AS VARCHAR), 5, '0') || '-' || " +
+      ("WITH d AS MATERIALIZED (SELECT doc_id, 'id ' || lpad(CAST(doc_id // 3 AS VARCHAR), 7, '0') || '.' || lpad(CAST(doc_id // 3 AS VARCHAR), 7, '0') || '.' || lpad(CAST(doc_id // 3 AS VARCHAR), 7, '0') || '-' || " +
        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'aa' WHEN 1 THEN 'ab' ELSE 'bb' END AS s FROM documents) " +
        "SELECT a.doc_id AS id, b.doc_id AS id2, CAST(levenshtein(a.s, b.s) AS INT) AS dist " +
        "FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2 " +
@@ -3161,7 +3161,12 @@ object SparkEntry {
     val roundCtes = (1 to rounds).map { r =>
       s"c$r AS MATERIALIZED (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT unnest(list_transform(range(1, len(ls)), i -> ls[i] || ' ' || ls[i+1])) AS pair, wc FROM (SELECT list_filter(string_split(trim(sym), '  '), x -> x <> '') AS ls, wc FROM v${r - 1}) WHERE len(ls) >= 2) GROUP BY pair), " +
       s"t$r AS MATERIALIZED (SELECT pair, n FROM c$r ORDER BY n DESC, pair ASC LIMIT 1), " +
-      s"v$r AS MATERIALIZED (SELECT w, replace(sym, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ', ' ' || string_split(pair, ' ')[1] || string_split(pair, ' ')[2] || ' ') AS sym, wc FROM v${r - 1}, t$r)"
+      // LEFT JOIN ON TRUE + COALESCE, not a bare cross join: when the
+      // vocab runs out of pairs before `rounds`, t$r is EMPTY — a cross
+      // join would empty every later v$r (and the q143 encode would
+      // read an empty vocab) while the engine's early stop keeps the
+      // last segmentation; the NULL-pair replace collapses to sym
+      s"v$r AS MATERIALIZED (SELECT w, COALESCE(replace(sym, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ', ' ' || string_split(pair, ' ')[1] || string_split(pair, ' ')[2] || ' '), sym) AS sym, wc FROM v${r - 1} LEFT JOIN t$r ON TRUE)"
     }.mkString(", ")
     s"$init, $roundCtes"
   }

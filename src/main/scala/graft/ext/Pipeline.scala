@@ -268,6 +268,16 @@ object Pipeline {
       : (DataFrame, Seq[StageReport]) = {
     require(oldUrlCol.isEmpty || urlCol.nonEmpty,
       "oldUrlCol without urlCol: the batch has no URLs to cross-check")
+    // loud BOTH ways (the blockedDomains=>urlCol convention): urlCol
+    // without oldUrlCol would silently skip url_cross_dedup and let
+    // refetches of already-ingested URLs re-enter the corpus. An old
+    // corpus genuinely without URLs: run cleanCorpus on the batch
+    // yourself and cross-dedup by content only (urlCol = None here).
+    require(urlCol.isEmpty || oldUrlCol.nonEmpty,
+      "urlCol without oldUrlCol: url_cross_dedup would be silently " +
+        "skipped and URL refetches of already-ingested docs would " +
+        "re-enter the corpus; pass the old corpus's URL column, or " +
+        "urlCol = None to dedup by content only")
     val report = Seq.newBuilder[StageReport]
     def stage(name: String)(df: DataFrame): DataFrame = {
       val out = df.localCheckpoint()

@@ -174,7 +174,11 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
     val benchGrams = bench
       .select(explode(wordNgrams(col(benchTextCol), n)).as("gram")).distinct()
-    val hits = docs.join(broadcast(candidates), Seq(idCol), "left_semi")
+    // NO broadcast hint on `candidates` (unlike the boolean sibling):
+    // the fraction frame's stated use is AUDITING dense contamination,
+    // where candidates approach corpus cardinality — AQE broadcasts
+    // the sparse case from runtime stats and shuffle-joins the dense
+    val hits = docs.join(candidates, Seq(idCol), "left_semi")
       .select(col(idCol),
         explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
