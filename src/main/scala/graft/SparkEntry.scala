@@ -1994,6 +1994,19 @@ object SparkEntry {
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
     }),
+    "q148_train_classifier" -> ((s, dir) => { ensure(s)
+      // TRAINING the quality classifier (q133 scores with fixed
+      // weights; this learns them): 5 full-batch logistic-regression
+      // GD iterations over the 6-feature frame, labels planted by
+      // doc_id % 3. Decimal-accumulated gradients make each iteration
+      // order-independent and exactly replayable; the oracle replays
+      // all 5 iterations as chained 1-row weight CTEs.
+      val docs = ld(s, dir, "documents")
+        .withColumn("label", (col("doc_id") % 3 === 0).cast("int"))
+      TextAnalysis.trainQualityClassifier(docs, "text", "doc_id",
+          "label", lr = 0.5, iters = 5)
+        .orderBy("term")
+    }),
     "q147_ingest_batch" -> ((s, dir) => { ensure(s)
       // incremental corpus INGESTION end to end (Pipeline.ingestBatch —
       // the production "today's crawl" step): the odd half of the q118
@@ -2968,6 +2981,7 @@ object SparkEntry {
        "round(CASE WHEN len(g.grams) = 0 THEN 0.0 ELSE CAST(COALESCE(h.h, 0) AS DOUBLE) / len(g.grams) END, 6) AS contamination " +
        "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id"),
     "q147_ingest_batch" -> q147OracleSql,
+    "q148_train_classifier" -> q148OracleSql(5),
     "q144_incremental_fuzzy" ->
       ("WITH nw AS (SELECT c_custkey + 900000 AS id, " +
        "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 11) || 'Y' || substr(c_name, 13) " +
@@ -3147,6 +3161,41 @@ object SparkEntry {
     "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) " +
     "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM x3 " +
     "ORDER BY stage"
+  }
+
+  /** The q148 oracle: `iters` logistic-GD iterations as chained 1-row
+    * weight CTEs — per-row gradient terms cast to DECIMAL(38,18)
+    * before summing (exact, order-independent — the engine's own
+    * accumulation convention), update w := w - (lr * g) / n with the
+    * same association as the Scala loop. Features are q133's, with the
+    * /10 transforms precomputed exactly as the engine's feature frame. */
+  private def q148OracleSql(iters: Int): String = {
+    val f =
+      "WITH f AS MATERIALIZED (SELECT CASE WHEN doc_id % 3 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y, " +
+      "CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> list_contains(['the','a','an','and','or','of','to','in','is','that','it','was','for','with','as','on','at','this'], t))) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+')) AS f0, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?''\"]', '', 'g')) AS DOUBLE) / length(text) END AS f1, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS f2, " +
+      "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f3, " +
+      "(CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0), t -> len(t))) AS DOUBLE) / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) END) / 10.0 AS f4, " +
+      "ln(1.0 + CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS DOUBLE)) / 10.0 AS f5 FROM documents), " +
+      "p0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3, CAST(0 AS DOUBLE) AS w4, CAST(0 AS DOUBLE) AS w5, CAST(0 AS DOUBLE) AS w6)"
+    val err = "(1.0 / (1.0 + exp(-(f.f0 * p.w0 + f.f1 * p.w1 + f.f2 * p.w2 + f.f3 * p.w3 + f.f4 * p.w4 + f.f5 * p.w5 + p.w6))) - f.y)"
+    val rounds = (1 to iters).map { r =>
+      val gs = (0 until 6).map(i =>
+        s"CAST(sum(CAST($err * f.f$i AS DECIMAL(38,18))) AS DOUBLE) AS g$i")
+        .mkString(", ")
+      s"g$r AS MATERIALIZED (SELECT count(*) AS n, $gs, " +
+      s"CAST(sum(CAST($err AS DECIMAL(38,18))) AS DOUBLE) AS g6 FROM f, p${r - 1} p), " +
+      s"p$r AS MATERIALIZED (SELECT " +
+      (0 to 6).map(j => s"p.w$j - 0.5 * g.g$j / g.n AS w$j").mkString(", ") +
+      s" FROM p${r - 1} p, g$r g)"
+    }.mkString(", ")
+    val names = Seq("w0_stopword", "w1_punct", "w2_digit", "w3_upper",
+      "w4_mwl", "w5_lntok", "w6_bias")
+    val finals = names.zipWithIndex.map { case (t, j) =>
+      s"SELECT '$t' AS term, round(w$j, 6) AS weight FROM p$iters"
+    }.mkString(" UNION ALL ")
+    s"$f, $rounds $finals ORDER BY term"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

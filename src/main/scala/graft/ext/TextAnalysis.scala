@@ -1702,6 +1702,69 @@ object TextAnalysis {
    * folds left-to-right (w0·x0 + … + w5·x5 + b) and the oracle must
    * replay that exact association order.
    */
+  /** The 6 features of [[linearQualityScore]]/[[trainQualityClassifier]],
+    * in the pinned order the weight vector is documented against. */
+  private def qualityFeatures(t: Column): Seq[Column] = {
+    val nTok = when(length(trim(t)) === 0, 0).otherwise(token_count(t))
+      .cast("double")
+    Seq(stopwordRatio(t), punctRatio(t), digitRatio(t), upperRatio(t),
+      meanWordLength(t) / 10.0, log(lit(1.0) + nTok) / 10.0)
+  }
+
+  /**
+   * TRAIN the linear quality classifier — full-batch logistic
+   * regression by gradient descent over [[linearQualityScore]]'s six
+   * features + bias, from labeled documents (fastText-style quality
+   * labels: curated-vs-crawl). Deterministic and ORACLE-REPLAYABLE by
+   * construction: weights start at zero, every gradient component
+   * accumulates per-row double terms in DECIMAL(38,18) (exact,
+   * order-independent — a plain double sum would differ run to run
+   * with partition order), and the update is w := w - lr * g / n with
+   * the stated association. Returns one row per weight:
+   * (term ∈ {w0_stopword … w5_lntok, w6_bias}, weight rounded 6 dp).
+   * Compose with [[linearQualityScore]] (same feature order) to score.
+   *
+   * Scale: each iteration is ONE map-side-combined aggregate over the
+   * slim checkpointed (y, f0..f5) frame — 7 decimal sums shuffle one
+   * partial row per partition; the driver holds 7 doubles. iters
+   * iterations = iters scans of the slim frame, never of raw text
+   * (features are computed once). Full-batch GD on 10^10 docs is iters
+   * passes of a 7-column aggregate — or sample the frame first; the
+   * math is unchanged.
+   */
+  def trainQualityClassifier(df: DataFrame, textCol: String, idCol: String,
+                             labelCol: String, lr: Double = 0.5,
+                             iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters in [1, 1000], got $iters")
+    val feats = qualityFeatures(col(textCol))
+    val base = df.select(
+        (col(labelCol).cast("double").as("_y") +:
+          feats.zipWithIndex.map { case (f, i) => f.as(s"_f$i") }): _*)
+      .localCheckpoint()
+    val n = base.count()
+    require(n > 0, "empty training frame")
+    var w = Array.fill(7)(0.0)
+    for (_ <- 1 to iters) {
+      val z = (0 until 6).map(i => col(s"_f$i") * lit(w(i)))
+        .reduce(_ + _) + lit(w(6))
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("_y")
+      val gCols = (0 until 6).map(i =>
+        sum((err * col(s"_f$i")).cast("decimal(38,18)")).as(s"_g$i")) :+
+        sum(err.cast("decimal(38,18)")).as("_g6")
+      val r = base.agg(gCols.head, gCols.tail: _*).head()
+      w = Array.tabulate(7)(j =>
+        w(j) - lr * r.getDecimal(j).doubleValue() / n)
+    }
+    val names = Seq("w0_stopword", "w1_punct", "w2_digit", "w3_upper",
+      "w4_mwl", "w5_lntok", "w6_bias")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Catalyst round(), not scala math: its HALF_UP ties match DuckDB's
+    // round() — the cross-engine rounding convention every gate uses
+    names.zip(w.toSeq).toDF("term", "_w")
+      .select(col("term"), round(col("_w"), 6).as("weight"))
+  }
+
   def linearQualityScore(df: DataFrame, textCol: String, idCol: String,
                          weights: Seq[Double] =
                            Seq(3.0, -8.0, -4.0, -2.0, 1.0, 1.0),
@@ -1710,12 +1773,7 @@ object TextAnalysis {
     require(weights.length == 6,
       s"6 feature weights expected (stopword, punct, digit, upper, " +
         s"mwl/10, ln-tokens/10), got ${weights.length}")
-    val t = col(textCol)
-    val nTok = when(length(trim(t)) === 0, 0).otherwise(token_count(t))
-      .cast("double")
-    val feats = Seq(
-      stopwordRatio(t), punctRatio(t), digitRatio(t), upperRatio(t),
-      meanWordLength(t) / 10.0, log(lit(1.0) + nTok) / 10.0)
+    val feats = qualityFeatures(col(textCol))
     val z = feats.zip(weights).map { case (f, w) => f * lit(w) }
       .reduce(_ + _) + lit(bias)
     df.select(col(idCol),

@@ -2068,6 +2068,36 @@ class ExtSpec extends SparkSpec {
       (2L, 1) -> ((2, 1L, 1L, false))), s"got $got")
   }
 
+  test("trainQualityClassifier: learned weights separate prose from digit spam") {
+    val prose = Seq(
+      "the cat sat on the mat and it was warm in the sun",
+      "a quick brown fox jumps over the lazy dog in the field",
+      "it is a truth universally acknowledged that a reader wants prose",
+      "the rain in spain stays mainly on the plain as it was said")
+    val spam = Seq(
+      "1299 4511 9902 3377 0021 5543 8810 2234",
+      "8371 0042 7265 1190 3345 6612 9087 4421",
+      "0000 1111 2222 3333 4444 5555 6666 7777",
+      "9483 1276 5409 8832 1145 6701 2390 5567")
+    val docs = (prose.zipWithIndex.map { case (t, i) => (i.toLong, t, 1) } ++
+      spam.zipWithIndex.map { case (t, i) => (100L + i, t, 0) })
+      .toDF("doc_id", "text", "label")
+    val w = TextAnalysis.trainQualityClassifier(docs, "text", "doc_id",
+        "label", lr = 1.0, iters = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // direction: stopwords predict prose (+), digits predict spam (-)
+    assert(w("w0_stopword") > 0, s"weights $w")
+    assert(w("w2_digit") < 0, s"weights $w")
+    // the learned model actually separates the corpus
+    val weights = Seq("w0_stopword", "w1_punct", "w2_digit", "w3_upper",
+      "w4_mwl", "w5_lntok").map(w)
+    val scored = TextAnalysis.linearQualityScore(docs, "text", "doc_id",
+        weights, bias = w("w6_bias"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prose.indices.forall(i => scored(i.toLong) > 0.5), s"scored $scored")
+    assert(spam.indices.forall(i => scored(100L + i) < 0.5), s"scored $scored")
+  }
+
   test("ingestBatch: within-batch cleaning + three cross stages against old") {
     val nw = Seq(
       (1L, "https://a.ex/p", "fresh unique content alpha beta gamma delta epsilon"),
