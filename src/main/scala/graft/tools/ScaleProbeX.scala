@@ -209,6 +209,17 @@ object ScaleProbeX {
         println(f"SCALEX $label bpeTrainMerges total=${(System.nanoTime() - t0) / 1e9}%.3f " +
           s"rounds=${m.length}")
       }
+      if (want("bpeEncode")) time3(s"$label bpeSegmentCounts")(
+        TextAnalysis.bpeSegmentCounts(docs, "text", "doc_id", rounds = 6))
+      if (want("trainClassifier")) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val w = TextAnalysis.trainQualityClassifier(
+          docs.withColumn("label", (col("doc_id") % 3 === 0).cast("int")),
+          "text", "doc_id", "label", lr = 0.5, iters = 5).collect()
+        println(f"SCALEX $label trainQualityClassifier total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"weights=${w.length}")
+      }
       if (want("cleanCorpus")) {
         // the whole cleaning pipeline, end to end (eager multi-stage with
         // per-stage checkpoints — timed once, not min-of-3)
