@@ -283,6 +283,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: containmentPairs == brute force on random word docs") {
+    // word_shingles semantics: distinct 3-gram set; docs under 3 tokens
+    // contribute the whole text as one gram
+    def gramsOf(s: String): Set[String] = {
+      val w = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.isEmpty) Set.empty
+      else if (w.size < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val genDoc = for {
+      len <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf("ant", "bee", "cat", "dog", "elk"))
+    } yield ws.mkString(" ")
+    val genCorpus = Gen.choose(4, 9).flatMap(k => Gen.listOfN(k, genDoc))
+    forAllSampled(genCorpus, 6) { ds =>
+      val rows = ds.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val got = graft.ext.Dedup.containmentPairs(
+          rows.toDF("doc_id", "text"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map { case (a, b, c) => (a, b, math.rint(c * 1e9) / 1e9) }.toSet
+      val want = (for {
+        (i, a) <- rows; (j, b) <- rows if i != j
+        ga = gramsOf(a); gb = gramsOf(b)
+        if ga.nonEmpty && gb.nonEmpty
+        c = ga.intersect(gb).size.toDouble / ga.size if c >= 0.5
+      } yield (i, j, math.rint(c * 1e9) / 1e9)).toSet
+      assert(got == want, s"corpus=$ds extra=${got.diff(want)} " +
+        s"missing=${want.diff(got)}")
+    }
+  }
+
+  test("property: editDistanceJoin == brute force on random cross corpora") {
+    val genS = for {
+      len <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genSide = Gen.choose(5, 10).flatMap(k => Gen.listOfN(k, genS))
+    forAllSampled(Gen.zip(genSide, genSide, Gen.oneOf(1, 2)), 5) {
+      case (ls, rs, k) =>
+        val lrows = ls.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+        val rrows = rs.zipWithIndex.map { case (s, i) => ((100 + i).toLong, s) }
+        val got = graft.ext.Dedup.editDistanceJoin(
+            lrows.toDF("id", "s"), "s", "id",
+            rrows.toDF("rid", "rs"), "rs", "rid", maxDist = k, q = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val want = (for {
+          (i, a) <- lrows; (j, b) <- rrows
+          d = lev(a, b) if d <= k
+        } yield (i, j, d)).toSet
+        assert(got == want, s"k=$k l=$ls r=$rs extra=${got.diff(want)} " +
+          s"missing=${want.diff(got)}")
+    }
+  }
+
   test("array ops: cs / cd / ov") {
     val adf = Seq(
       (1L, Seq("a", "b", "c")),
