@@ -1994,6 +1994,20 @@ object SparkEntry {
       // top-1 window runs over pairs only, never a corpus.
       Dedup.resolvePairs(q136Pairs(s, dir)).orderBy("id")
     }),
+    "q149_fuzzy_clusters" -> ((s, dir) => { ensure(s)
+      // cluster-ASSIGNMENT view of the q139 family (q139 keeps, this
+      // labels — the q69/q70 keeper/cluster split mirrored for
+      // Ed-Join): same planted typo-cluster corpus, every member maps
+      // to its %3==0 representative. Oracle emits the recursive
+      // closure's (node, rep) pairs directly.
+      val g = lpad(floor(col("doc_id") / 3).cast("string"), 8, "0")
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        concat(lit("rec "), g, lit("/"), g, lit("/"),
+          element_at(array(lit("x"), lit("y"), lit("z")),
+            (col("doc_id") % 3 + 1).cast("int"))).as("s"))
+      Dedup.editDistanceClusters(docs, "s", "doc_id", maxDist = 1, q = 3)
+        .orderBy("doc_id")
+    }),
     "q148_train_classifier" -> ((s, dir) => { ensure(s)
       // TRAINING the quality classifier (q133 scores with fixed
       // weights; this learns them): 5 full-batch logistic-regression
@@ -2982,6 +2996,16 @@ object SparkEntry {
        "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id"),
     "q147_ingest_batch" -> q147OracleSql,
     "q148_train_classifier" -> q148OracleSql(5),
+    "q149_fuzzy_clusters" ->
+      ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
+       "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'x' WHEN 1 THEN 'y' ELSE 'z' END AS s FROM documents), " +
+       "p AS MATERIALIZED (SELECT a.doc_id AS ida, b.doc_id AS idb FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+       "AND abs(length(a.s) - length(b.s)) <= 1 AND levenshtein(a.s, b.s) <= 1), " +
+       "edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM p UNION ALL SELECT idb, ida FROM p), " +
+       "nodes AS MATERIALIZED (SELECT DISTINCT a AS nd FROM edges), " +
+       "reach AS (SELECT nd, nd AS r FROM nodes UNION SELECT e.a AS nd, reach.r FROM edges e JOIN reach ON e.b = reach.nd), " +
+       "comp AS MATERIALIZED (SELECT nd, min(r) AS rep FROM reach GROUP BY nd) " +
+       "SELECT nd AS doc_id, rep AS cluster_rep FROM comp ORDER BY doc_id"),
     "q144_incremental_fuzzy" ->
       ("WITH nw AS (SELECT c_custkey + 900000 AS id, " +
        "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 11) || 'Y' || substr(c_name, 13) " +

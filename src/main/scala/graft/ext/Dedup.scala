@@ -1162,6 +1162,23 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** (id, cluster_rep) for every string in a fuzzy cluster — the
+    * Ed-Join member of the clusters family ([[minhashClusters]] is the
+    * MinHash member): edges from the EXACT [[editDistancePairs]] (so
+    * membership is deterministic in the corpus, not LSH noise),
+    * closure by pointer-doubling [[components]]. Strings in no pair
+    * are absent, matching minhashClusters; rep = component min id.
+    * Same transitive caveat as [[editDistanceKeepers]]: a chain's ends
+    * may sit further than maxDist apart. */
+  def editDistanceClusters(df: DataFrame, textCol: String, idCol: String,
+                           maxDist: Int = 2, q: Int = 3,
+                           maxBucket: Int = 5000,
+                           maxShort: Int = 10000): DataFrame =
+    components(editDistancePairs(df, textCol, idCol, maxDist, q,
+        maxBucket, maxShort).select("id", "id2"))
+      .withColumnRenamed("node", idCol)
+      .withColumnRenamed("rep", "cluster_rep")
+
   /**
    * Resolution keep-side of [[editDistanceJoin]] — the cross-corpus
    * keeper: each LEFT (messy) string resolves to its single best RIGHT
