@@ -2008,6 +2008,43 @@ object SparkEntry {
       Dedup.editDistanceClusters(docs, "s", "doc_id", maxDist = 1, q = 3)
         .orderBy("doc_id")
     }),
+    "q150_pq_codebook" -> ((s, dir) => { ensure(s)
+      // product-quantization codebook training + encoding (Jégou 2011,
+      // the faiss workhorse — completes the vector-compression family
+      // next to SQ8/q86): 2 distributed Lloyd iterations per subspace
+      // with decimal-accumulated centroid means (the q148 recipe), so
+      // the oracle replays training EXACTLY — every centroid
+      // coordinate (6 dp) and every vector's 4 subspace codes pinned.
+      val emb = ld(s, dir, "embeddings")
+      val model = q150Model(s, dir)
+      import s.implicits._
+      val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("s", "c")))
+        .select(concat(lit("v"), col("vec_id").cast("string"), lit("_"),
+          col("s").cast("string")).as("term"), col("c").cast("double").as("v"))
+      val cents = (for {
+        ss <- 0 until model.m; j <- 0 until model.k; i <- 0 until model.dsub
+      } yield (s"c${ss}_${j}_$i", model.centroids(ss)(j)(i)))
+        .toDF("term", "_v")
+        .select(col("term"), round(col("_v"), 6).as("v"))
+      codes.unionByName(cents).orderBy("term")
+    }),
+    "q151_pq_adc_search" -> ((s, dir) => { ensure(s)
+      // asymmetric-distance PQ search: raw query (vec 7) against every
+      // vector's reconstruction, top-10 by squared L2 — exact w.r.t.
+      // the codes, shares the q150 trained model. The oracle rebuilds
+      // the same codes and sums the four per-subspace distances in
+      // pinned order via a CASE pivot (a bare SUM over rows would have
+      // unspecified double addition order).
+      val emb = ld(s, dir, "embeddings")
+      val model = q150Model(s, dir)
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+      Similarity.pqSearchAdc(codes, "vec_id", model, query, k = 10)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("vec_id")
+    }),
     "q148_train_classifier" -> ((s, dir) => { ensure(s)
       // TRAINING the quality classifier (q133 scores with fixed
       // weights; this learns them): 5 full-batch logistic-regression
@@ -2194,6 +2231,16 @@ object SparkEntry {
       Pipeline.cleanCorpus(q138Docs(s, dir), "text", "doc_id",
         urlCol = Some("url"), spanK = 8, minTokens = 5,
         maxDupTokenFraction = 0.6, minhashThreshold = 0.8))
+
+  // The q150/q151 shared PQ model (driver-resident m·k·dsub doubles):
+  // training runs 2·m aggregate jobs once per (session, sf dir).
+  private val q150ModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Similarity.PqModel]()
+
+  private def q150Model(s: SparkSession, dir: String): Similarity.PqModel =
+    q150ModelCache.computeIfAbsent((s, dir), _ =>
+      Similarity.pqTrain(ld(s, dir, "embeddings"), "embedding", "vec_id",
+        m = 4, k = 16, iters = 2))
 
   // ---- q138 planted pipeline corpus ------------------------------------
   // Benchmark phrase 1 is SPLIT around the shared licence blurb in doc
@@ -2996,6 +3043,8 @@ object SparkEntry {
        "FROM g LEFT JOIN hits h USING (doc_id) ORDER BY g.doc_id"),
     "q147_ingest_batch" -> q147OracleSql,
     "q148_train_classifier" -> q148OracleSql(5),
+    "q150_pq_codebook" -> q150OracleSql(4, 16, 16, 2),
+    "q151_pq_adc_search" -> q151OracleSql(4, 16, 16, 2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'x' WHEN 1 THEN 'y' ELSE 'z' END AS s FROM documents), " +
@@ -3220,6 +3269,70 @@ object SparkEntry {
       s"SELECT '$t' AS term, round(w$j, 6) AS weight FROM p$iters"
     }.mkString(" UNION ALL ")
     s"$f, $rounds $finals ORDER BY term"
+  }
+
+  /** The q150/q151 oracle machinery: PQ Lloyd training replayed as
+    * chained CTEs — init = first-k vectors' sub-slices, assignment =
+    * ROW_NUMBER over the explicit left-associated squared-L2 expression
+    * (ties to the smaller centroid index), centroid update =
+    * DECIMAL(38,18)-accumulated per-coordinate sums cast to DOUBLE then
+    * divided by the cluster count, empty clusters keep the previous
+    * centroid via the LEFT-JOIN COALESCE. */
+  private def pqOracleCtes(m: Int, k: Int, dsub: Int, iters: Int): String = {
+    val init = (0 until m).map(s =>
+      s"SELECT $s AS s, CAST(vec_id AS INT) AS j, " +
+      (0 until dsub).map(i =>
+        s"CAST(embedding[${s * dsub + i + 1}] AS DOUBLE) AS c$i").mkString(", ") +
+      s" FROM embeddings WHERE vec_id < $k").mkString(" UNION ALL ")
+    def distExpr(c: String): String = (0 until dsub).map(i =>
+      s"(CAST(e.embedding[$c.s * $dsub + ${i + 1}] AS DOUBLE) - $c.c$i) * " +
+      s"(CAST(e.embedding[$c.s * $dsub + ${i + 1}] AS DOUBLE) - $c.c$i)")
+      .mkString(" + ")
+    val iterCtes = (1 to iters).map { r =>
+      s"a$r AS MATERIALIZED (SELECT vec_id, s, j FROM (SELECT e.vec_id, c.s, c.j, " +
+      s"ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s ORDER BY (${distExpr("c")}), c.j) AS rn " +
+      s"FROM embeddings e, c${r - 1} c) WHERE rn = 1), " +
+      s"g$r AS MATERIALIZED (SELECT a.s, a.j, count(*) AS n, " +
+      (0 until dsub).map(i =>
+        s"CAST(sum(CAST(CAST(e.embedding[a.s * $dsub + ${i + 1}] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS m$i")
+        .mkString(", ") +
+      s" FROM a$r a JOIN embeddings e USING (vec_id) GROUP BY a.s, a.j), " +
+      s"c$r AS MATERIALIZED (SELECT p.s, p.j, " +
+      (0 until dsub).map(i => s"COALESCE(g.m$i / g.n, p.c$i) AS c$i").mkString(", ") +
+      s" FROM c${r - 1} p LEFT JOIN g$r g ON p.s = g.s AND p.j = g.j)"
+    }.mkString(", ")
+    val enc =
+      s"af AS MATERIALIZED (SELECT vec_id, s, j FROM (SELECT e.vec_id, c.s, c.j, " +
+      s"ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s ORDER BY (${distExpr("c")}), c.j) AS rn " +
+      s"FROM embeddings e, c$iters c) WHERE rn = 1)"
+    s"WITH c0 AS MATERIALIZED ($init), $iterCtes, $enc"
+  }
+
+  private def q150OracleSql(m: Int, k: Int, dsub: Int, iters: Int): String =
+    pqOracleCtes(m, k, dsub, iters) + " " +
+    "SELECT 'v' || CAST(vec_id AS VARCHAR) || '_' || CAST(s AS VARCHAR) AS term, CAST(j AS DOUBLE) AS v FROM af " +
+    "UNION ALL " +
+    (0 until dsub).map(i =>
+      s"SELECT 'c' || CAST(s AS VARCHAR) || '_' || CAST(j AS VARCHAR) || '_' || $i, round(c$i, 6) FROM c$iters")
+      .mkString(" UNION ALL ") +
+    " ORDER BY term"
+
+  private def q151OracleSql(m: Int, k: Int, dsub: Int, iters: Int): String = {
+    // per-(code row, subspace) distance between the QUERY slice and the
+    // coded centroid, then a CASE pivot so the four per-subspace terms
+    // add in pinned order (a bare SUM over rows has unspecified order)
+    val dq = (0 until dsub).map(i =>
+      s"(CAST(q.embedding[c.s * $dsub + ${i + 1}] AS DOUBLE) - c.c$i) * " +
+      s"(CAST(q.embedding[c.s * $dsub + ${i + 1}] AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    pqOracleCtes(m, k, dsub, iters) + ", " +
+    s"qd AS MATERIALIZED (SELECT af.vec_id, af.s, ($dq) AS d FROM af JOIN c$iters c ON af.s = c.s AND af.j = c.j, " +
+    "(SELECT embedding FROM embeddings WHERE vec_id = 7) q), " +
+    "tot AS MATERIALIZED (SELECT vec_id, " +
+    (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN d END)").mkString(" + ") +
+    " AS dist FROM qd GROUP BY vec_id) " +
+    "SELECT vec_id, round(dist, 6) AS adc_dist FROM " +
+    "(SELECT vec_id, dist FROM tot ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

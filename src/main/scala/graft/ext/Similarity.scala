@@ -451,6 +451,129 @@ object Similarity {
                      scale: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(qVec, q => q.cast("double") * scale)
 
+  /** A trained product-quantization codebook: `centroids(s)(j)` is the
+    * `dsub`-dim double centroid j of subspace s. m·k·dsub doubles —
+    * driver-resident and broadcastable as expression literals. */
+  case class PqModel(m: Int, k: Int, dsub: Int,
+                     centroids: Array[Array[Array[Double]]])
+
+  /** Squared-L2 argmin code for subspace `s` of `vec` against literal
+    * centroids: per-centroid distance is the EXPLICIT left-associated
+    * 16-term sum (both engines evaluate the identical expression tree —
+    * no FMA, no list_sum whose fold order is unspecified), tie on equal
+    * distance breaks to the smaller j via lexicographic struct min. */
+  private def pqCode(vec: org.apache.spark.sql.Column, s: Int,
+                     model: PqModel): org.apache.spark.sql.Column = {
+    val cands = (0 until model.k).map { j =>
+      val d = (0 until model.dsub).map { i =>
+        val x = element_at(vec, s * model.dsub + i + 1).cast("double") -
+          lit(model.centroids(s)(j)(i))
+        x * x
+      }.reduce(_ + _)
+      struct(d.as("d"), lit(j).as("j"))
+    }
+    array_min(array(cands: _*)).getField("j")
+  }
+
+  /**
+   * Product-quantization codebook TRAINING (Jégou, Douze & Schmid,
+   * TPAMI 2011 — the faiss workhorse): split d dims into `m` subspaces
+   * and run `iters` Lloyd iterations of k-means per subspace over the
+   * WHOLE corpus, distributed. Deterministic and ORACLE-REPLAYABLE by
+   * construction (the [[graft.ext.TextAnalysis.trainQualityClassifier]]
+   * recipe applied to k-means): init = the first `k` vectors by id
+   * (not a seeded sample), per-coordinate centroid updates accumulate
+   * in DECIMAL(38,18) (exact, order-independent) before the double
+   * division by the cluster count, assignment distances are explicit
+   * left-associated term sums with ties to the smaller centroid index,
+   * and a cluster that loses all members keeps its previous centroid.
+   *
+   * Scale: each iteration is ONE map-side-combined aggregate over the
+   * slim (s, sub-vector) frame — m·k groups of dsub decimal sums; the
+   * corpus never shuffles vectors. The codebook (m·k·dsub doubles)
+   * lives on the driver and ships to executors as codegen literals.
+   */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String,
+              m: Int = 4, k: Int = 16, iters: Int = 2): PqModel = {
+    require(m >= 1 && k >= 2 && iters >= 1, "need m >= 1, k >= 2, iters >= 1")
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"vector dim $d not divisible by m = $m")
+    val dsub = d / m
+    val init = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+    require(init.length == k, s"need at least $k vectors to seed, got ${init.length}")
+    val centroids: Array[Array[Array[Double]]] = Array.tabulate(m, k, dsub) {
+      (s, j, i) => init(j).getSeq[Float](0)(s * dsub + i).toDouble
+    }
+    var model = PqModel(m, k, dsub, centroids)
+    // slim (s, sub) frame computed once; every iteration re-scans it
+    val subs = df.select(posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = (0 until m).map { s =>
+        subs.filter(col("s") === s)
+          .withColumn("a", pqCode(col("sub"), 0, // sub IS the subspace slice
+            PqModel(1, k, dsub, Array(model.centroids(s)))))
+      }.reduce(_ unionByName _)
+      val aggs = count(lit(1)).as("_n") +: (0 until dsub).map(i =>
+        sum(element_at(col("sub"), i + 1).cast("double")
+          .cast("decimal(38,18)")).as(s"_c$i"))
+      val rows = assigned.groupBy("s", "a").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = Array.tabulate(m, k, dsub)((s, j, i) => model.centroids(s)(j)(i))
+      rows.foreach { r =>
+        val s = r.getAs[Int]("s"); val j = r.getAs[Int]("a")
+        val n = r.getAs[Long]("_n")
+        (0 until dsub).foreach { i =>
+          next(s)(j)(i) =
+            r.getAs[java.math.BigDecimal](s"_c$i").doubleValue() / n
+        }
+      }
+      model = PqModel(m, k, dsub, next)
+    }
+    model
+  }
+
+  /** Encode every vector with a trained [[PqModel]]: (id, code) where
+    * code is the length-m int array of per-subspace centroid indices —
+    * d·4 bytes compressed to m bytes-ish, the PQ storage win. One
+    * narrow codegen projection, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               model: PqModel): DataFrame =
+    df.select(col(idCol),
+      array((0 until model.m).map(s => pqCode(col(vecCol), s, model)): _*)
+        .as("code"))
+
+  /** Asymmetric-distance (ADC) top-k: squared-L2 between the RAW query
+    * vector and each corpus vector's PQ RECONSTRUCTION, summed from the
+    * per-subspace distance of the query slice to the CODED centroid —
+    * the standard PQ search. Exact w.r.t. the codes (the quantization
+    * error is the only approximation); ties break on id. Scale: codes
+    * are m small ints per row, the codebook ships as literals, and the
+    * bounded TakeOrdered head keeps k rows — no vector ever shuffles. */
+  def pqSearchAdc(codes: DataFrame, idCol: String, model: PqModel,
+                  query: Array[Float], k: Int): DataFrame = {
+    require(query.length == model.m * model.dsub, "query dim mismatch")
+    val dist = (0 until model.m).map { s =>
+      val jCol = element_at(col("code"), s + 1)
+      // distance of the query SLICE to centroid j, as a literal table
+      // folded into a when-chain (k small): explicit term order again
+      (0 until model.k).map { j =>
+        val d = (0 until model.dsub).map { i =>
+          val x = lit(query(s * model.dsub + i).toDouble) -
+            lit(model.centroids(s)(j)(i))
+          x * x
+        }.reduce(_ + _)
+        (j, d)
+      }.foldLeft(lit(Double.MaxValue)) { case (acc, (j, d)) =>
+        when(jCol === j, d).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    codes.select(col(idCol), dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc).limit(k)
+  }
+
   /**
    * Hybrid keyword+vector retrieval fused by Reciprocal Rank Fusion
    * (Cormack, Clarke & Buettcher, SIGIR 2009): the BM25 keyword head

@@ -2068,6 +2068,32 @@ class ExtSpec extends SparkSpec {
       (2L, 1) -> ((2, 1L, 1L, false))), s"got $got")
   }
 
+  test("pqTrain/pqEncode/pqSearchAdc: hand-computed 2D codebook") {
+    // d=2, m=2, dsub=1, k=2, iters=2; init = first two vectors.
+    // Lloyd converges to per-subspace centroids {0.1, 5.1} and
+    // {0.1, 10.1}; codes group (v0,v1) vs (v2,v3) per subspace.
+    val vs = Seq(
+      (0L, Seq(0.0f, 10.0f)), (1L, Seq(0.2f, 10.2f)),
+      (2L, Seq(5.0f, 0.0f)), (3L, Seq(5.2f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(vs, "embedding", "vec_id",
+      m = 2, k = 2, iters = 2)
+    def c(s: Int, j: Int) = math.rint(model.centroids(s)(j)(0) * 1e6) / 1e6
+    assert((c(0, 0), c(0, 1)) == ((0.1, 5.1)), s"s0 ${model.centroids(0).toSeq.map(_.toSeq)}")
+    assert((c(1, 0), c(1, 1)) == ((0.1, 10.1)), s"s1 ${model.centroids(1).toSeq.map(_.toSeq)}")
+    val codes = Similarity.pqEncode(vs, "embedding", "vec_id", model)
+    val got = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got == Map(0L -> Seq(0, 1), 1L -> Seq(0, 1),
+      2L -> Seq(1, 0), 3L -> Seq(1, 0)), s"codes $got")
+    // ADC: query at the (v0, v1) reconstruction -> both at distance 0
+    val top = Similarity.pqSearchAdc(codes, "vec_id", model,
+        Array(0.1f, 10.1f), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSet == Set(0L, 1L), s"top $top")
+    assert(top.forall(_._2 < 1e-10), s"top $top")
+  }
+
   test("trainQualityClassifier: learned weights separate prose from digit spam") {
     val prose = Seq(
       "the cat sat on the mat and it was warm in the sun",
