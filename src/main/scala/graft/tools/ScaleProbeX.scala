@@ -211,6 +211,15 @@ object ScaleProbeX {
       }
       if (want("bpeEncode")) time3(s"$label bpeSegmentCounts")(
         TextAnalysis.bpeSegmentCounts(docs, "text", "doc_id", rounds = 6))
+      if (want("pq")) {
+        System.gc()
+        val t0 = System.nanoTime()
+        val model = Similarity.pqTrain(emb, "embedding", "vec_id",
+          m = 4, k = 16, iters = 2)
+        val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+        val n = codes.count()
+        println(f"SCALEX $label pqTrainEncode total=${(System.nanoTime() - t0) / 1e9}%.3f codes=$n")
+      }
       if (want("trainClassifier")) {
         System.gc()
         val t0 = System.nanoTime()
