@@ -3279,11 +3279,15 @@ object SparkEntry {
     * divided by the cluster count, empty clusters keep the previous
     * centroid via the LEFT-JOIN COALESCE. */
   private def pqOracleCtes(m: Int, k: Int, dsub: Int, iters: Int): String = {
+    // first-k rows BY SORT ORDER with dense 0-based j (the engine's
+    // seeding rule) — a `WHERE vec_id < k` would silently assume
+    // 0-based contiguous ids and break on any other fixture
     val init = (0 until m).map(s =>
-      s"SELECT $s AS s, CAST(vec_id AS INT) AS j, " +
+      s"SELECT $s AS s, CAST(rn - 1 AS INT) AS j, " +
       (0 until dsub).map(i =>
         s"CAST(embedding[${s * dsub + i + 1}] AS DOUBLE) AS c$i").mkString(", ") +
-      s" FROM embeddings WHERE vec_id < $k").mkString(" UNION ALL ")
+      s" FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM embeddings) WHERE rn <= $k")
+      .mkString(" UNION ALL ")
     def distExpr(c: String): String = (0 until dsub).map(i =>
       s"(CAST(e.embedding[$c.s * $dsub + ${i + 1}] AS DOUBLE) - $c.c$i) * " +
       s"(CAST(e.embedding[$c.s * $dsub + ${i + 1}] AS DOUBLE) - $c.c$i)")

@@ -511,11 +511,12 @@ object Dedup {
   def incrementalKeepers(newDf: DataFrame, oldDf: DataFrame,
                          textCol: String, idCol: String,
                          shingleSize: Int = 5, numHashes: Int = 128,
-                         bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+                         bands: Int = 32, threshold: Double = 0.8,
+                         maxBucket: Int = 1000): DataFrame = {
     val dupes = crossPairsViaMinhash(
         charShingleSets(newDf, textCol, idCol, shingleSize),
         charShingleSets(oldDf, textCol, idCol, shingleSize),
-        numHashes, bands, threshold)
+        numHashes, bands, threshold, maxBucket = maxBucket)
       .select(col("id").as("_dup")).distinct()
     newDf.join(dupes, newDf(idCol) === col("_dup"), "left_anti")
   }

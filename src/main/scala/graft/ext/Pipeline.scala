@@ -279,9 +279,10 @@ object Pipeline {
         "re-enter the corpus; pass the old corpus's URL column, or " +
         "urlCol = None to dedup by content only")
     val report = Seq.newBuilder[StageReport]
-    def stage(name: String)(df: DataFrame): DataFrame = {
+    def stage(name: String, overflow: Option[DataFrame] = None)
+             (df: DataFrame): DataFrame = {
       val out = df.localCheckpoint()
-      report += StageReport(name, out.count())
+      report += StageReport(name, out.count(), overflow)
       out
     }
     val (cleaned, cleanReport) = cleanCorpus(newDocs, textCol, idCol,
@@ -312,12 +313,23 @@ object Pipeline {
         .join(oldHashes, col("_nh") === col("_oh"), "left_anti")
         .drop("_nh"))
     // near-dup cross: the q107 incremental primitive (LSH candidates,
-    // exact-threshold verify, asymmetric NEW x OLD band join)
+    // exact-threshold verify, asymmetric NEW x OLD band join). The
+    // old-side bucket cap rides the pipeline's minhashMaxBucket knob,
+    // and its overflow report (the OLD buckets the cap excluded from
+    // candidate generation — minhashBandOverflow on the old shingles
+    // reproduces exactly crossPairsViaMinhash's banding and criterion)
+    // rides the stage report: no silent exclusions, per the README
+    // convention this function's own URL require documents.
     val old = oldCleaned.select(col(oldIdCol).as(idCol),
       col(oldTextCol).as(textCol))
-    cur = stage("minhash_cross_dedup")(Dedup.incrementalKeepers(
-      cur, old, textCol, idCol, threshold = minhashThreshold))
-    (cur.localCheckpoint(true), report.result())
+    val crossOverflow = Dedup.minhashBandOverflow(
+      Dedup.charShingleSets(old, textCol, idCol),
+      maxBucket = minhashMaxBucket).localCheckpoint()
+    cur = stage("minhash_cross_dedup", Some(crossOverflow))(
+      Dedup.incrementalKeepers(cur, old, textCol, idCol,
+        threshold = minhashThreshold, maxBucket = minhashMaxBucket))
+    // cur is already checkpoint-materialized by the last stage()
+    (cur, report.result())
   }
 
   /**

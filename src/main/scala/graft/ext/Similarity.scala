@@ -502,8 +502,15 @@ object Similarity {
     val init = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
     require(init.length == k, s"need at least $k vectors to seed, got ${init.length}")
+    // element read is numeric-type-agnostic: pqCode/pqEncode accept any
+    // numeric array element via the Catalyst double cast, so the seed
+    // read must too (array<double> corpora crashed a getSeq[Float])
     val centroids: Array[Array[Array[Double]]] = Array.tabulate(m, k, dsub) {
-      (s, j, i) => init(j).getSeq[Float](0)(s * dsub + i).toDouble
+      (s, j, i) => init(j).getSeq[Any](0)(s * dsub + i) match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"non-numeric vector element: $other")
+      }
     }
     var model = PqModel(m, k, dsub, centroids)
     // slim (s, sub) frame computed once; every iteration re-scans it
@@ -511,11 +518,14 @@ object Similarity {
         slice(col(vecCol), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = (0 until m).map { s =>
-        subs.filter(col("s") === s)
-          .withColumn("a", pqCode(col("sub"), 0, // sub IS the subspace slice
-            PqModel(1, k, dsub, Array(model.centroids(s)))))
-      }.reduce(_ unionByName _)
+      // ONE scan per iteration (the scaladoc's claim): a when-chain on
+      // the subspace id selects that subspace's argmin expression —
+      // a per-subspace filter+union would scan the frame m times
+      val aExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+        when(col("s") === s, pqCode(col("sub"), 0, // sub IS the slice
+          PqModel(1, k, dsub, Array(model.centroids(s))))).otherwise(acc)
+      }
+      val assigned = subs.withColumn("a", aExpr)
       val aggs = count(lit(1)).as("_n") +: (0 until dsub).map(i =>
         sum(element_at(col("sub"), i + 1).cast("double")
           .cast("decimal(38,18)")).as(s"_c$i"))

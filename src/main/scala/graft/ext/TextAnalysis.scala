@@ -1737,12 +1737,17 @@ object TextAnalysis {
                              iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"iters in [1, 1000], got $iters")
     val feats = qualityFeatures(col(textCol))
-    val base = df.select(
+    // null text/label rows are excluded BEFORE n is counted: a NULL row
+    // evaluates to NULL gradient terms that sum() skips, so counting it
+    // in n would silently shrink every update (and an all-null frame
+    // would NPE on the null sums instead of failing loudly here)
+    val base = df.filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(
         (col(labelCol).cast("double").as("_y") +:
           feats.zipWithIndex.map { case (f, i) => f.as(s"_f$i") }): _*)
       .localCheckpoint()
     val n = base.count()
-    require(n > 0, "empty training frame")
+    require(n > 0, "empty training frame (after dropping null text/label rows)")
     var w = Array.fill(7)(0.0)
     for (_ <- 1 to iters) {
       val z = (0 until 6).map(i => col(s"_f$i") * lit(w(i)))
