@@ -2045,6 +2045,70 @@ object SparkEntry {
         .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
         .orderBy("vec_id")
     }),
+    "q152_ivfadc" -> ((s, dir) => { ensure(s)
+      // IVFADC (faiss IVF+PQ — Jégou 2011 §V): the repo's two halves
+      // composed. PQ codes (the shared q150 model) are stored INSIDE
+      // the cell-partitioned IVF layout (the q81/q88 shape), and
+      // search probes nprobe cells — a static PartitionFilter — then
+      // runs ADC only within them. Gate = the q88 recall recipe:
+      // cell-pruned ADC top-10 vs the exact squared-L2 twin per query,
+      // plus the exact top-1 distance (the oracle-replayable number;
+      // the explicit left-associated 64-term sum both engines pin).
+      import org.apache.spark.sql.expressions.Window
+      val emb = ld(s, dir, "embeddings")
+      val pq = q150Model(s, dir)
+      val ivf = graft.ext.Ivf.train(emb, "embedding", k = 8, seed = 42L)
+      val assigned = graft.ext.Ivf.assign(emb, "embedding", ivf)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfadc").toString
+      graft.ext.Ivf.writePartitionedPq(assigned, "embedding", "vec_id", pq, s"$path/codes")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      // the recall TWIN is the full-scan ADC search (exact w.r.t. the
+      // codes — the q151 semantics): what the gate claims is that CELL
+      // PRUNING keeps the ADC neighborhood, separately from the PQ
+      // quantization error the q150/q151 oracles already pin. On this
+      // deliberately clusterless synthetic corpus (near-uniform
+      // directions, varying norms — cosine cells vs L2 ADC is the worst
+      // case for pruning) nprobe=4 of 8 cells measured overlaps
+      // {5,6,6,6,9}/10, so the floor is >= 5; a real embedding corpus
+      // clusters and does far better.
+      val codesAll = s.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("code")).localCheckpoint()
+      def top10(qid: Long, df: DataFrame): DataFrame =
+        df.filter(col("vec_id") =!= qid)
+          .orderBy(col("adc_dist").asc, col("vec_id").asc).limit(10)
+          .select(lit(qid).as("query_id"), col("vec_id").as("corpus_id"))
+      val approx = qs.map { case (qid, qv) =>
+        // k+1 then drop self: the query vector is in the corpus
+        top10(qid, graft.ext.Ivf.searchPartitionedPq(s, s"$path/codes", qv,
+          ivf, pq, "vec_id", k = 11, nprobe = 4))
+      }.reduce(_ unionByName _)
+      val fullAdc = qs.map { case (qid, qv) =>
+        top10(qid, Similarity.pqSearchAdc(codesAll, "vec_id", pq, qv, k = 11))
+      }.reduce(_ unionByName _)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dist2 = aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => {
+          val dd = x.cast("double") - y.cast("double"); dd * dd
+        }), lit(0.0), (acc, v) => acc + v)
+      val scored = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), dist2.as("d2"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("corpus_id").asc)
+      val top1 = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), round(col("d2"), 6).as("exact_top1_dist"))
+      fullAdc
+        .join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) >= 5).as("recall_ok"))
+        .join(top1, Seq("query_id"))
+        .select(col("query_id"), col("recall_ok"), col("exact_top1_dist"))
+        .orderBy("query_id")
+    }),
     "q148_train_classifier" -> ((s, dir) => { ensure(s)
       // TRAINING the quality classifier (q133 scores with fixed
       // weights; this learns them): 5 full-batch logistic-regression
@@ -3045,6 +3109,7 @@ object SparkEntry {
     "q148_train_classifier" -> q148OracleSql(5),
     "q150_pq_codebook" -> q150OracleSql(4, 16, 16, 2),
     "q151_pq_adc_search" -> q151OracleSql(4, 16, 16, 2),
+    "q152_ivfadc" -> q152OracleSql(64),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'x' WHEN 1 THEN 'y' ELSE 'z' END AS s FROM documents), " +
@@ -3337,6 +3402,25 @@ object SparkEntry {
     " AS dist FROM qd GROUP BY vec_id) " +
     "SELECT vec_id, round(dist, 6) AS adc_dist FROM " +
     "(SELECT vec_id, dist FROM tot ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
+  }
+
+  /** The q152 oracle: the exact squared-L2 top-1 distance per query
+    * (explicit left-associated d-term sum — `0.0 + t1 + t2 + …` is the
+    * fold order Spark's zip_with+aggregate evaluates, and IEEE
+    * `0.0 + t1 == t1`) plus the recall_ok booleans the engine must EARN
+    * against its own exact twin — the q88 recipe. The IVF coarse
+    * quantizer (driver Lloyd on a content-keyed sample) is deliberately
+    * not replayed: cell membership only moves WHICH candidates the
+    * approximate side sees, and the gate's claim is recall, not cells. */
+  private def q152OracleSql(d: Int): String = {
+    val dist2 = (1 to d).map(i =>
+      s"(CAST(q.embedding[$i] AS DOUBLE) - CAST(c.embedding[$i] AS DOUBLE)) * " +
+      s"(CAST(q.embedding[$i] AS DOUBLE) - CAST(c.embedding[$i] AS DOUBLE))")
+      .mkString(" + ")
+    "SELECT q.vec_id AS query_id, true AS recall_ok, " +
+    s"round(min($dist2), 6) AS exact_top1_dist " +
+    "FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id " +
+    "GROUP BY q.vec_id ORDER BY query_id"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

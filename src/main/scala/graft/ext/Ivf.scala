@@ -320,6 +320,65 @@ object Ivf {
     search(corpus, queries, model, vecCol, idCol, k, nprobe, excludeSelf)
   }
 
+  /**
+   * IVFADC storage (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's
+   * `IVFPQ`): PQ codes stored INSIDE the cell-partitioned layout —
+   * (id, code) partitioned by `ivf_cell`. The high-compression tier
+   * next to [[writePartitionedQuantized]]'s SQ8: ~m small ints per
+   * vector instead of d floats, which is what makes 1e10-vector
+   * indexes fit on disk. Encoding is one narrow codegen projection
+   * ([[PqFunctions.pq_encode]]); the write shuffles only (id, cell,
+   * code) rows.
+   */
+  def writePartitionedPq(assignedCorpus: DataFrame, vecCol: String,
+                         idCol: String, pq: Similarity.PqModel,
+                         path: String): Unit =
+    assignedCorpus.select(col(idCol), col("ivf_cell"),
+        PqFunctions.pq_encode(col(vecCol), pq.centroids).as("code"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** Driver-side twin of [[NearestCells]] for ONE query vector: the
+    * same normalize-then-dot math in the same accumulation order, the
+    * same (-dot, cell) tie order — a query must probe exactly the
+    * cells the distributed assignment would give it. */
+  private[graft] def nearestCellsLocal(model: Model, query: Array[Double],
+                                       n: Int): Seq[Int] = {
+    var norm = 0.0
+    var i = 0
+    while (i < query.length) { norm += query(i) * query(i); i += 1 }
+    val inv = if (norm == 0) 0.0 else 1.0 / math.sqrt(norm)
+    val scored = Array.tabulate(model.k) { c =>
+      val cen = model.centroids(c)
+      var dot = 0.0
+      var j = 0
+      while (j < math.min(query.length, cen.length)) {
+        dot += query(j) * inv * cen(j); j += 1
+      }
+      (c, dot)
+    }
+    scored.sortBy { case (c, s) => (-s, c) }.take(n).map(_._1).toSeq
+  }
+
+  /**
+   * IVFADC search over a [[writePartitionedPq]] layout: probe the
+   * query's `nprobe` nearest cells — a STATIC `ivf_cell IN (...)`
+   * PartitionFilter, so unprobed cell directories are never listed —
+   * then ADC top-k ([[Similarity.pqSearchAdc]]) over only the probed
+   * cells' codes. The approximation is PQ quantization error + cell
+   * pruning, faiss's production tradeoff: per-query work is
+   * |probed cells| · m table lookups, independent of corpus size.
+   */
+  def searchPartitionedPq(spark: org.apache.spark.sql.SparkSession,
+                          path: String, query: Array[Double], model: Model,
+                          pq: Similarity.PqModel, idCol: String,
+                          k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val probed = nearestCellsLocal(model, query, nprobe)
+    val codes = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probed: _*))
+      .select(col(idCol), col("code"))
+    Similarity.pqSearchAdc(codes, idCol, pq, query, k)
+  }
+
   /** Search over a [[writePartitioned]] layout. The probed-cell set is
     * computed from the (small, broadcastable-by-assumption) query frame
     * first, so `ivf_cell IN (...)` is a STATIC PartitionFilter: unprobed

@@ -453,27 +453,17 @@ object Similarity {
 
   /** A trained product-quantization codebook: `centroids(s)(j)` is the
     * `dsub`-dim double centroid j of subspace s. m·k·dsub doubles —
-    * driver-resident and broadcastable as expression literals. */
+    * driver-resident, shipped to executors via addReferenceObj. */
   case class PqModel(m: Int, k: Int, dsub: Int,
                      centroids: Array[Array[Array[Double]]])
 
-  /** Squared-L2 argmin code for subspace `s` of `vec` against literal
-    * centroids: per-centroid distance is the EXPLICIT left-associated
-    * 16-term sum (both engines evaluate the identical expression tree —
-    * no FMA, no list_sum whose fold order is unspecified), tie on equal
-    * distance breaks to the smaller j via lexicographic struct min. */
-  private def pqCode(vec: org.apache.spark.sql.Column, s: Int,
-                     model: PqModel): org.apache.spark.sql.Column = {
-    val cands = (0 until model.k).map { j =>
-      val d = (0 until model.dsub).map { i =>
-        val x = element_at(vec, s * model.dsub + i + 1).cast("double") -
-          lit(model.centroids(s)(j)(i))
-        x * x
-      }.reduce(_ + _)
-      struct(d.as("d"), lit(j).as("j"))
-    }
-    array_min(array(cands: _*)).getField("j")
-  }
+  // Squared-L2 argmin codes are computed by the codegen'd PqKernel
+  // expressions (PqExpressions.scala): the codebook ships via
+  // ctx.addReferenceObj — constant generated-code size in k, replacing
+  // the earlier literal when-chain/struct-argmin trees whose size was
+  // m·k·dsub terms (a JVM 64 KB method ceiling at production k=256).
+  // Distance order (left-associated (x_i-c_i)² double sums) and
+  // tie-to-smaller-j are preserved bit-for-bit — see PqKernel scaladoc.
 
   /**
    * Product-quantization codebook TRAINING (Jégou, Douze & Schmid,
@@ -491,7 +481,8 @@ object Similarity {
    * Scale: each iteration is ONE map-side-combined aggregate over the
    * slim (s, sub-vector) frame — m·k groups of dsub decimal sums; the
    * corpus never shuffles vectors. The codebook (m·k·dsub doubles)
-   * lives on the driver and ships to executors as codegen literals.
+   * lives on the driver and ships to executors as a kernel
+   * reference object (constant generated-code size in k).
    */
   def pqTrain(df: DataFrame, vecCol: String, idCol: String,
               m: Int = 4, k: Int = 16, iters: Int = 2): PqModel = {
@@ -518,14 +509,11 @@ object Similarity {
         slice(col(vecCol), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      // ONE scan per iteration (the scaladoc's claim): a when-chain on
-      // the subspace id selects that subspace's argmin expression —
-      // a per-subspace filter+union would scan the frame m times
-      val aExpr = (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-        when(col("s") === s, pqCode(col("sub"), 0, // sub IS the slice
-          PqModel(1, k, dsub, Array(model.centroids(s))))).otherwise(acc)
-      }
-      val assigned = subs.withColumn("a", aExpr)
+      // ONE scan per iteration (the scaladoc's claim): the codegen'd
+      // pq_assign kernel dispatches on the subspace id column — a
+      // per-subspace filter+union would scan the frame m times
+      val assigned = subs.withColumn("a",
+        PqFunctions.pq_assign(col("s"), col("sub"), model.centroids))
       val aggs = count(lit(1)).as("_n") +: (0 until dsub).map(i =>
         sum(element_at(col("sub"), i + 1).cast("double")
           .cast("decimal(38,18)")).as(s"_c$i"))
@@ -552,35 +540,41 @@ object Similarity {
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
                model: PqModel): DataFrame =
     df.select(col(idCol),
-      array((0 until model.m).map(s => pqCode(col(vecCol), s, model)): _*)
-        .as("code"))
+      PqFunctions.pq_encode(col(vecCol), model.centroids).as("code"))
 
   /** Asymmetric-distance (ADC) top-k: squared-L2 between the RAW query
     * vector and each corpus vector's PQ RECONSTRUCTION, summed from the
     * per-subspace distance of the query slice to the CODED centroid —
     * the standard PQ search. Exact w.r.t. the codes (the quantization
     * error is the only approximation); ties break on id. Scale: codes
-    * are m small ints per row, the codebook ships as literals, and the
+    * are m small ints per row, the distance table ships as a reference object, and the
     * bounded TakeOrdered head keeps k rows — no vector ever shuffles. */
   def pqSearchAdc(codes: DataFrame, idCol: String, model: PqModel,
-                  query: Array[Float], k: Int): DataFrame = {
+                  query: Array[Float], k: Int): DataFrame =
+    pqSearchAdc(codes, idCol, model, query.map(_.toDouble), k)
+
+  /** Double-query variant — the primary: pqTrain/pqEncode are
+    * numeric-type-agnostic (any numeric array upcasts to double), so a
+    * double-vector corpus must not be forced to downcast its query to
+    * float against the double-trained codebook. Floats upcast losslessly
+    * via the overload above. */
+  def pqSearchAdc(codes: DataFrame, idCol: String, model: PqModel,
+                  query: Array[Double], k: Int): DataFrame = {
     require(query.length == model.m * model.dsub, "query dim mismatch")
-    val dist = (0 until model.m).map { s =>
-      val jCol = element_at(col("code"), s + 1)
-      // distance of the query SLICE to centroid j, as a literal table
-      // folded into a when-chain (k small): explicit term order again
-      (0 until model.k).map { j =>
-        val d = (0 until model.dsub).map { i =>
-          val x = lit(query(s * model.dsub + i).toDouble) -
-            lit(model.centroids(s)(j)(i))
-          x * x
-        }.reduce(_ + _)
-        (j, d)
-      }.foldLeft(lit(Double.MaxValue)) { case (acc, (j, d)) =>
-        when(jCol === j, d).otherwise(acc)
+    // the per-subspace distance TABLE, precomputed on the driver in the
+    // same left-associated term order the old expression trees used —
+    // bit-identical values, m·k doubles shipped via addReferenceObj
+    val table = Array.tabulate(model.m, model.k) { (s, j) =>
+      var d = 0.0
+      var i = 0
+      while (i < model.dsub) {
+        val x = query(s * model.dsub + i) - model.centroids(s)(j)(i)
+        d += x * x
+        i += 1
       }
-    }.reduce(_ + _)
-    codes.select(col(idCol), dist.as("adc_dist"))
+      d
+    }
+    codes.select(col(idCol), PqFunctions.pq_adc(col("code"), table).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc).limit(k)
   }
 

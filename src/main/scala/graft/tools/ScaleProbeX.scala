@@ -220,6 +220,33 @@ object ScaleProbeX {
         val n = codes.count()
         println(f"SCALEX $label pqTrainEncode total=${(System.nanoTime() - t0) / 1e9}%.3f codes=$n")
       }
+      if (want("pq256")) {
+        // PRODUCTION-REGIME PQ (the round-9 weak item this round closed):
+        // k=256, m=8 over the d=64 embeddings. The literal when-chain
+        // trees the kernel replaced grew as m·k·dsub terms — at this k
+        // they blow past the JVM 64 KB method limit and codegen falls
+        // back to interpreted eval; the addReferenceObj kernel's
+        // generated code is ONE static call regardless of k, so wall
+        // time here tracks the math (linear in k vs the k=16 `pq`
+        // probe), not compilation.
+        System.gc()
+        val t0 = System.nanoTime()
+        val model = Similarity.pqTrain(emb, "embedding", "vec_id",
+          m = 8, k = 256, iters = 2)
+        val t1 = System.nanoTime()
+        val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+          .localCheckpoint()
+        val n = codes.count()
+        val t2 = System.nanoTime()
+        val q = emb.orderBy("vec_id").limit(1)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val top = Similarity.pqSearchAdc(codes, "vec_id", model, q, k = 10)
+          .collect()
+        val t3 = System.nanoTime()
+        println(f"SCALEX $label pq256 train=${(t1 - t0) / 1e9}%.3f " +
+          f"encode=${(t2 - t1) / 1e9}%.3f search=${(t3 - t2) / 1e9}%.3f " +
+          s"codes=$n top=${top.length}")
+      }
       if (want("trainClassifier")) {
         System.gc()
         val t0 = System.nanoTime()

@@ -101,6 +101,34 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("pq kernel expressions compile under strict codegen") {
+    // The reference-object kernels (PqEncodeExpr/PqAssignExpr/PqAdcExpr):
+    // codegen emits one static PqKernel call with the codebook riding
+    // ctx.addReferenceObj — this proves janino resolves the forwarders
+    // and the double[][][] cast, and that the generated path computes
+    // the same argmin/tie semantics as the interpreted one.
+    withStrictCodegen {
+      import graft.ext.PqFunctions._
+      val cents = Array(
+        Array(Array(0.0), Array(5.0), Array(9.0)),   // subspace 0, k=3
+        Array(Array(1.0), Array(10.0), Array(20.0))) // subspace 1
+      val table = Array(Array(0.5, 1.0, 2.0), Array(3.0, 4.0, 5.0))
+      val df = anchored()
+        .select(array(($"l_quantity" * 0 + 5.1).cast("float"),
+            ($"l_tax" * 0 + 9.9).cast("float")).as("v"),
+          ($"l_linenumber" * 0).cast("int").as("s"),
+          array($"l_quantity" * 0 + 8.0).as("slice"))
+      val row = df.select(
+        pq_encode($"v", cents).as("code"),
+        pq_assign($"s", $"slice", cents).as("a"),
+        pq_adc(pq_encode($"v", cents), table).as("d"))
+        .head()
+      assert(row.getSeq[Int](0) == Seq(1, 1), s"code ${row.getSeq[Int](0)}")
+      assert(row.getInt(1) == 2)          // 8.0 nearest 9.0 in subspace 0
+      assert(row.getDouble(2) == 5.0)     // table(0)(1) + table(1)(1)
+    }
+  }
+
   test("whole-stage codegen spans include the geo predicate") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .withColumn("g", st_point($"l_extendedprice", $"l_quantity"))

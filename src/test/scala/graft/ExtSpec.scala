@@ -180,6 +180,34 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("IVFADC: PQ codes in the cell layout, static pruning, ADC within cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = Similarity.pqTrain(emb, "embedding", "vec_id", m = 4, k = 16, iters = 2)
+    val model = Ivf.train(emb, "embedding", k = 8, maxIter = 5)
+    val assigned = Ivf.assign(emb, "embedding", model)
+    val path = tmpDir("ivfadc") + "/codes"
+    Ivf.writePartitionedPq(assigned, "embedding", "vec_id", pq, path)
+    val qv = emb.filter($"vec_id" === 3).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val res = Ivf.searchPartitionedPq(spark, path, qv, model, pq, "vec_id",
+      k = 5, nprobe = 3)
+    // the probed-cell filter reaches the scan as a STATIC PartitionFilter
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("ivf_cell"),
+      s"expected partition pruning in:\n$planStr")
+    // pruned search == ADC over exactly the probed cells' codes, where
+    // probed membership comes from the DISTRIBUTED assignment — proves
+    // nearestCellsLocal matches NearestCells and the layout round-trips
+    val probed = Ivf.nearestCellsLocal(model, qv, 3)
+    val expected = Similarity.pqSearchAdc(
+        assigned.filter($"ivf_cell".isin(probed: _*))
+          .select($"vec_id", PqFunctions.pq_encode($"embedding", pq.centroids).as("code")),
+        "vec_id", pq, qv, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 5 && got == expected, s"got $got expected $expected")
+  }
+
   test("vocab top-k / decontamination / pii scan") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val top = TextAnalysis.topTokens(docsReal, "text", 10).collect()
@@ -2092,6 +2120,24 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(top.map(_._1).toSet == Set(0L, 1L), s"top $top")
     assert(top.forall(_._2 < 1e-10), s"top $top")
+  }
+
+  test("pqSearchAdc: double-vector corpus takes a double query (no float downcast)") {
+    // pqTrain/pqEncode are numeric-type-agnostic; the ADC query must be
+    // too — the double overload feeds the distance table directly.
+    val vs = Seq((0L, Seq(0.0, 10.0)), (1L, Seq(5.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(vs, "embedding", "vec_id",
+      m = 2, k = 2, iters = 1)
+    val codes = Similarity.pqEncode(vs, "embedding", "vec_id", model)
+    val top = Similarity.pqSearchAdc(codes, "vec_id", model,
+        Array(0.1, 10.1), k = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 1 && top.head._1 == 0L, s"top ${top.toSeq}")
+    // centroids are the vectors themselves after 1 iter (2 singleton
+    // clusters), so the ADC distance IS the exact query-to-v0 distance
+    val want = { val a = 0.1 - 0.0; val b = 10.1 - 10.0; a * a + b * b }
+    assert(top.head._2 == want, s"${top.head._2} != $want")
   }
 
   test("trainQualityClassifier: learned weights separate prose from digit spam") {
