@@ -1841,23 +1841,148 @@ object TextAnalysis {
    * if the vocab runs out of adjacent pairs before `rounds`.
    *
    * Scale: the corpus is scanned ONCE (the word-count aggregate);
-   * every round then runs over the DISTINCT-word vocab frame — orders
-   * of magnitude smaller by Zipf — with a bounded TakeOrdered argmax
-   * (one slim driver row per round) and a codegen'd fold re-segment;
-   * the per-round `localCheckpoint` truncates lineage so round N's
-   * plan never replays rounds 1..N-1. The driver holds one (a, b, n)
-   * row per round, nothing corpus-sized.
+   * the merge loop then runs over the DISTINCT-word vocab — orders of
+   * magnitude smaller by Zipf. When the vocab fits `maxLocalVocab`
+   * (the common case: even web-scale corpora have vocabularies the
+   * driver holds comfortably, and a real tokenizer needs 30k–50k
+   * rounds) it is COLLECTED ONCE and every round is an in-memory
+   * count/argmax/re-segment — no per-round jobs at all. Otherwise the
+   * per-round distributed loop runs (bounded TakeOrdered argmax, one
+   * slim driver row per round, codegen'd fold re-segment, per-round
+   * `localCheckpoint` truncating lineage) behind a loud warning naming
+   * the sizes and the knob.
    */
+  /** Spark's string ordering is UNSIGNED UTF-8 BYTE comparison
+    * (UTF8String.compareTo); Java's String.compareTo is UTF-16-unit
+    * order, which DISAGREES above the BMP (surrogates sort below
+    * U+E000..U+FFFF chars). The local merge loop must break count ties
+    * exactly as the distributed `orderBy(pair asc)` would. */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The local twin of the distributed fold re-segment: leftmost-first
+    * non-overlapping merge of adjacent (a, b) — compare the ACCUMULATED
+    * last symbol to `a`, so a just-written `a+b` never chain-merges
+    * within the round. */
+  private def mergeWordLocal(syms: Array[String], a: String, b: String,
+                             ab: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    out += syms(0)
+    var i = 1
+    while (i < syms.length) {
+      if (out(out.length - 1) == a && syms(i) == b) out(out.length - 1) = ab
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge loop over a collected vocab (Sennrich's own
+    * reference shape): per round one in-memory pair count + argmax +
+    * re-segment — microseconds-to-milliseconds where the distributed
+    * round costs a Spark job launch + checkpoint. Semantics pinned to
+    * the distributed loop (same argmax tie order via [[utf8Less]], same
+    * leftmost fold) — an ExtSpec asserts the two paths are identical. */
+  private def bpeTrainLocal(words: Array[(String, Array[String], Long)],
+                            rounds: Int): Seq[(Int, String, Long)] = {
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (_, syms, wc) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), wc,
+            (x, y) => java.lang.Long.valueOf(x + y))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestA: String = null; var bestB: String = null
+        var bestPair: String = null; var bestN = Long.MinValue
+        counts.forEach { (k, v) =>
+          val pair = k._1 + " " + k._2
+          if (v > bestN || (v == bestN && utf8Less(pair, bestPair))) {
+            bestA = k._1; bestB = k._2; bestPair = pair; bestN = v
+          }
+        }
+        merges += ((r, bestPair, bestN))
+        val ab = bestA + bestB
+        var i = 0
+        while (i < words.length) {
+          val (w, syms, wc) = words(i)
+          // cheap containment pre-check before the rebuild
+          var j = 0; var hit = false
+          while (j < syms.length - 1 && !hit) {
+            hit = syms(j) == bestA && syms(j + 1) == bestB; j += 1
+          }
+          if (hit) words(i) = (w, mergeWordLocal(syms, bestA, bestB, ab), wc)
+          i += 1
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
   /** The train loop shared by [[bpeTrainMerges]] and
-    * [[bpeSegmentCounts]]: returns (merge list, final vocab frame
-    * (w, syms, wc) under the trained segmentation). */
-  private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int)
+    * [[bpeSegmentCounts]]: returns (merge list, final per-word subword
+    * counts (w, _ns) under the trained segmentation).
+    *
+    * The vocab (distinct words — Zipf-small relative to the corpus) is
+    * COLLECTED and the merge loop runs driver-local when it fits under
+    * `maxLocalVocab`: a real tokenizer is 30k–50k merge rounds, and one
+    * Spark job + localCheckpoint per round would be hours of launch
+    * overhead for work a driver does in seconds. Vocabularies that
+    * genuinely don't fit fall back to the distributed per-round loop
+    * with a LOUD warning naming both the sizes and this knob. The
+    * corpus-scale piece — the one word-count aggregate — is identical
+    * either way, and so is every merge: the local loop pins the
+    * distributed argmax tie order ([[utf8Less]]) and fold re-segment. */
+  private def bpeTrainLoop(df: DataFrame, textCol: String, rounds: Int,
+                           maxLocalVocab: Int)
       : (Seq[(Int, String, Long)], DataFrame) = {
-    require(rounds >= 1 && rounds <= 10000, s"rounds in [1, 10000], got $rounds")
-    var vocab = df.select(explode(wordTokens(col(textCol))).as("w"))
+    require(rounds >= 1 && rounds <= 100000, s"rounds in [1, 100000], got $rounds")
+    require(maxLocalVocab >= 0, s"maxLocalVocab must be >= 0, got $maxLocalVocab")
+    val spark = df.sparkSession
+    val vocab0 = df.select(explode(wordTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(col("w"), split(col("w"), "").as("syms"), col("wc"))
-      .localCheckpoint()
+    // bounded probe-collect: at most maxLocalVocab+1 rows ever reach the
+    // driver, and the +1 row is exactly the overflow signal
+    val head =
+      if (maxLocalVocab == 0) Array.empty[org.apache.spark.sql.Row]
+      else vocab0.limit(maxLocalVocab + 1).collect()
+    if (head.nonEmpty && head.length <= maxLocalVocab) {
+      import spark.implicits._
+      val words = head.map(r =>
+        (r.getString(0), r.getSeq[String](1).toArray, r.getLong(2)))
+      val merges = bpeTrainLocal(words, rounds)
+      val seg = words.toSeq.map { case (w, syms, _) => (w, syms.length.toLong) }
+        .toDF("w", "_ns")
+      return (merges, seg)
+    }
+    if (maxLocalVocab > 0)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"bpeTrainLoop: vocab exceeds maxLocalVocab=$maxLocalVocab distinct " +
+        s"words - falling back to the DISTRIBUTED per-round merge loop " +
+        s"(one Spark job per round; at ${rounds} rounds expect launch " +
+        s"overhead to dominate). Raise maxLocalVocab if the driver can " +
+        s"hold the vocab.")
+    var vocab = vocab0.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -1893,12 +2018,14 @@ object TextAnalysis {
         r += 1
       }
     }
-    (merges.result(), vocab)
+    (merges.result(),
+      vocab.select(col("w"), size(col("syms")).cast("long").as("_ns")))
   }
 
-  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrainMerges(df: DataFrame, textCol: String, rounds: Int,
+                     maxLocalVocab: Int = 1000000): DataFrame = {
     val spark = df.sparkSession
-    val (merges, _) = bpeTrainLoop(df, textCol, rounds)
+    val (merges, _) = bpeTrainLoop(df, textCol, rounds, maxLocalVocab)
     import spark.implicits._
     merges.toDF("round", "pair", "n")
   }
@@ -1920,9 +2047,8 @@ object TextAnalysis {
    * pinned, deliberately.
    */
   def bpeSegmentCounts(df: DataFrame, textCol: String, idCol: String,
-                       rounds: Int): DataFrame = {
-    val (_, vocab) = bpeTrainLoop(df, textCol, rounds)
-    val seg = vocab.select(col("w"), size(col("syms")).cast("long").as("_ns"))
+                       rounds: Int, maxLocalVocab: Int = 1000000): DataFrame = {
+    val (_, seg) = bpeTrainLoop(df, textCol, rounds, maxLocalVocab)
     df.select(col(idCol), explode_outer(wordTokens(col(textCol))).as("w"))
       .join(seg, Seq("w"), "left")
       .groupBy(col(idCol))

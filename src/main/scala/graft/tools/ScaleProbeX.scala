@@ -209,6 +209,17 @@ object ScaleProbeX {
         println(f"SCALEX $label bpeTrainMerges total=${(System.nanoTime() - t0) / 1e9}%.3f " +
           s"rounds=${m.length}")
       }
+      if (want("bpeTrain1k")) {
+        // the PRODUCTION-rounds regime (round-9 weak item closed): the
+        // driver-local merge loop after the one corpus word-count
+        // aggregate — 1500 rounds must cost seconds, not 1500 Spark
+        // job launches (the distributed fallback's price)
+        System.gc()
+        val t0 = System.nanoTime()
+        val m = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 1500).collect()
+        println(f"SCALEX $label bpeTrainMerges1500 total=${(System.nanoTime() - t0) / 1e9}%.3f " +
+          s"rounds=${m.length}")
+      }
       if (want("bpeEncode")) time3(s"$label bpeSegmentCounts")(
         TextAnalysis.bpeSegmentCounts(docs, "text", "doc_id", rounds = 6))
       if (want("pq")) {

@@ -2122,6 +2122,31 @@ class ExtSpec extends SparkSpec {
     assert(top.forall(_._2 < 1e-10), s"top $top")
   }
 
+  test("BPE: driver-local merge loop identical to the distributed fallback") {
+    // planted vocab exercising the sharp edges: count TIES (argmax must
+    // break on the UTF-8-byte pair order), the "aaa" chain-merge trap
+    // (leftmost non-overlapping: merge (a,a) gives [aa, a]), and early
+    // exhaustion well before `rounds`
+    val corpus = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer newest new low wider"),
+      (3L, "aaa aaab ab ab ab")
+    ).toDF("doc_id", "text")
+    def merges(maxLocal: Int) =
+      TextAnalysis.bpeTrainMerges(corpus, "text", rounds = 12,
+          maxLocalVocab = maxLocal)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val local = merges(1000000)
+    val dist = merges(0) // maxLocalVocab = 0 forces the distributed loop
+    assert(local.nonEmpty && local == dist,
+      s"local $local\ndistributed $dist")
+    def counts(maxLocal: Int) =
+      TextAnalysis.bpeSegmentCounts(corpus, "text", "doc_id", rounds = 12,
+          maxLocalVocab = maxLocal)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(counts(1000000) == counts(0))
+  }
+
   test("pqSearchAdc: double-vector corpus takes a double query (no float downcast)") {
     // pqTrain/pqEncode are numeric-type-agnostic; the ADC query must be
     // too — the double overload feeds the distance table directly.
