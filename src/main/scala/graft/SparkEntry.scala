@@ -2109,6 +2109,108 @@ object SparkEntry {
         .select(col("query_id"), col("recall_ok"), col("exact_top1_dist"))
         .orderBy("query_id")
     }),
+    "q153_resume_from_disk" -> ((s, dir) => { ensure(s)
+      // finalizeTrainingData's RESUME-FROM-DISK contract — the
+      // production path the prepare/finalize split exists for: the
+      // cleaned corpus is SAVED to parquet, reloaded in a FRESH frame
+      // (schema from the files, zero session lineage), and re-mixed
+      // with cleanReport = Nil. The in-session run re-executes beside
+      // it and z_mem_disk_diff pins their packed+heldout symmetric
+      // difference at ZERO — the save/load hop must preserve schema,
+      // values, and every deterministic split/mix/pack decision. The
+      // disk run's own outputs are ALSO replayed by the oracle (the
+      // q138 finalize CTEs), so "both runs agree" can't mask "both
+      // runs agree on the wrong answer".
+      import s.implicits._
+      val bench = Seq(q138Phrase1, q138Phrase2).toDF("text")
+      val (cleaned, _) = q138Cleaned(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-resume")
+        .toString + "/cleaned"
+      cleaned.write.mode("overwrite").parquet(path)
+      val reloaded = s.read.parquet(path)
+      def run(c: DataFrame) = Pipeline.finalizeTrainingData(
+        c, Nil, "text", "doc_id", "src", bench, "text",
+        targetTokens = 3000L, seqLen = 128,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        contaminationN = 8)
+      val (pMem, hMem, _) = run(cleaned)
+      val (pDsk, hDsk, report) = run(reloaded)
+      val diff =
+        pMem.exceptAll(pDsk).count() + pDsk.exceptAll(pMem).count() +
+        hMem.exceptAll(hDsk).count() + hDsk.exceptAll(hMem).count()
+      (report.map(r => (r.stage, r.rows))
+          :+ (("z_mem_disk_diff", diff)))
+        .toDF("stage", "n")
+        .unionByName(hDsk.select(
+          concat(lit("ho_"), col("split"), lit("_"),
+            col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .unionByName(pDsk.select(
+          concat(lit("pk_"), col("doc_id").cast("string")).as("stage"),
+          (col("start_chunk") * 100000L + col("end_chunk") * 10L +
+            col("crosses_boundary").cast("long")).as("n")))
+        .unionByName(pDsk.select(
+          concat(lit("tk_"), col("doc_id").cast("string")).as("stage"),
+          col("n_tokens").cast("long").as("n")))
+        .orderBy("stage")
+    }),
+    "q155_fraction_decontaminate" -> ((s, dir) => { ensure(s)
+      // contamination-FRACTION thresholding routed into the pipeline
+      // (the GPT-3 13-gram recipe drops on a fraction, not any-overlap):
+      // finalizeTrainingData(contaminationMaxFraction = 0.2) over the
+      // q138 corpus. The threshold DISCRIMINATES the two plants — doc 27
+      // (one bench phrase inside a long doc) sits under 20% contaminated
+      // grams and now SURVIVES, while doc 23 (the split-phrase doc whose
+      // final text is mostly the re-adjoined benchmark phrase) exceeds
+      // it and still drops — so the gate fails if the fraction path
+      // silently falls back to any-overlap. frh_/frn_ rows pin every
+      // candidate doc's exact hit/total distinct-gram counts.
+      import s.implicits._
+      val bench = Seq(q138Phrase1, q138Phrase2).toDF("text")
+      val (cleaned, cleanReport) = q138Cleaned(s, dir)
+      val frac = TextAnalysis.ngramContaminationFraction(cleaned, "text",
+          "doc_id", bench, "text", 8)
+        .filter(col("hit_grams") > 0).localCheckpoint()
+      val (packed, heldout, report) = Pipeline.finalizeTrainingData(
+        cleaned, cleanReport, "text", "doc_id", "src", bench, "text",
+        targetTokens = 3000L, seqLen = 128,
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        contaminationN = 8, contaminationMaxFraction = Some(0.2))
+      (report.map(r => (r.stage, r.rows))
+          :+ (("z_overflow_rows", report.map(_.overflowRows).sum)))
+        .toDF("stage", "n")
+        .unionByName(frac.select(
+          concat(lit("frh_"), col("doc_id").cast("string")).as("stage"),
+          col("hit_grams").as("n")))
+        .unionByName(frac.select(
+          concat(lit("frn_"), col("doc_id").cast("string")).as("stage"),
+          col("n_grams").as("n")))
+        .unionByName(heldout.select(
+          concat(lit("ho_"), col("split"), lit("_"),
+            col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .unionByName(packed.select(
+          concat(lit("pk_"), col("doc_id").cast("string")).as("stage"),
+          (col("start_chunk") * 100000L + col("end_chunk") * 10L +
+            col("crosses_boundary").cast("long")).as("n")))
+        .unionByName(packed.select(
+          concat(lit("tk_"), col("doc_id").cast("string")).as("stage"),
+          col("n_tokens").cast("long").as("n")))
+        .orderBy("stage")
+    }),
+    "q154_pack_subwords" -> ((s, dir) => { ensure(s)
+      // packing by TOKENIZER length: bpeSegmentCounts' n_subwords
+      // threads into packSequences as the token-length column — a real
+      // pipeline packs by trained-subword sequence length, not
+      // whitespace words (which under-count morphology-heavy text).
+      // Oracle = the q91 prefix-sum recipe over the q143 counts.
+      val docs = ld(s, dir, "documents")
+      val counts = TextAnalysis.bpeSegmentCounts(docs, "text", "doc_id",
+        rounds = 6)
+      TextAnalysis.packSequences(counts, "text", "doc_id", seqLen = 128,
+          tokenCountCol = Some("n_subwords"))
+        .orderBy("doc_id")
+    }),
     "q148_train_classifier" -> ((s, dir) => { ensure(s)
       // TRAINING the quality classifier (q133 scores with fixed
       // weights; this learns them): 5 full-batch logistic-regression
@@ -3110,6 +3212,9 @@ object SparkEntry {
     "q150_pq_codebook" -> q150OracleSql(4, 16, 16, 2),
     "q151_pq_adc_search" -> q151OracleSql(4, 16, 16, 2),
     "q152_ivfadc" -> q152OracleSql(64),
+    "q153_resume_from_disk" -> q153OracleSql,
+    "q154_pack_subwords" -> q154OracleSql(6, 128),
+    "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
        "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'x' WHEN 1 THEN 'y' ELSE 'z' END AS s FROM documents), " +
@@ -3198,13 +3303,29 @@ object SparkEntry {
 
   /** The q138/q145 finalize CTEs (bench decontamination, split, train
     * slim frame) appended to the clean chain. */
-  private def q138FinalizeCtes: String = {
+  private def q138FinalizeCtes: String = q138FinalizeCtesWith(None)
+
+  /** The finalize CTE chain with the decontamination rule swappable:
+    * `frac = None` is the q138 any-overlap drop; `frac = Some(t)` is
+    * the GPT-3-style FRACTION threshold (q155) — drop iff
+    * round(hit/|distinct grams|, 6) > t, with the `frq` audit CTE
+    * exposed for the gate's frh_/frn_ rows. */
+  private def q138FinalizeCtesWith(frac: Option[Double]): String = {
     val grams8 = "CASE WHEN len(t) < 8 THEN [] ELSE list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')) END"
-    // stage 8: exact 8-gram decontamination against the planted bench
+    val contam = frac match {
+      case None =>
+        "contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(" + grams8 + ") AS gram FROM s7) WHERE gram IN (SELECT gram FROM bg)), "
+      case Some(t) =>
+        "dgr AS MATERIALIZED (SELECT doc_id, list_distinct(" + grams8 + ") AS dg FROM s7), " +
+        "bgl AS MATERIALIZED (SELECT list(gram) AS gl FROM bg), " +
+        "frq AS MATERIALIZED (SELECT doc_id, len(dg) AS n_grams, len(list_intersect(dg, bgl.gl)) AS hit FROM dgr, bgl), " +
+        s"contam AS MATERIALIZED (SELECT doc_id FROM frq WHERE n_grams > 0 AND round(CAST(hit AS DOUBLE) / n_grams, 6) > CAST($t AS DOUBLE)), "
+    }
+    // stage 8: 8-gram decontamination against the planted bench
     "bt AS MATERIALIZED (SELECT list_filter(string_split_regex(lower(trim(btext)), '\\s+'), x -> len(x) > 0) AS t FROM (SELECT '" +
     q138Phrase1 + "' AS btext UNION ALL SELECT '" + q138Phrase2 + "')), " +
     "bg AS MATERIALIZED (SELECT DISTINCT unnest(" + grams8 + ") AS gram FROM bt), " +
-    "contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(" + grams8 + ") AS gram FROM s7) WHERE gram IN (SELECT gram FROM bg)), " +
+    contam +
     "s8 AS MATERIALIZED (SELECT doc_id, src, text, t FROM s7 WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
     // stage 9: deterministic content-hash train/val/test split (q127)
     "s9 AS MATERIALIZED (SELECT doc_id, src, text, t, CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train' WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val' ELSE 'test' END AS split FROM (SELECT *, CAST(CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) AS DOUBLE) / 16777216.0 AS u FROM s8)), " +
@@ -3229,19 +3350,60 @@ object SparkEntry {
     "UNION ALL SELECT 'heldout', (SELECT count(*) FROM s9 WHERE split <> 'train') " +
     "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) "
 
-  private def q138OracleSql: String = {
-    q138CleanChain("") + ", " + q138FinalizeCtes + ", " +
-    // stage 10: sqrt-n source mixing on the train split only (q121)
+  /** Stage 10-12 of the q138 final (shared with q153): sqrt-n source
+    * mixing on the train split (q121), then GPT-style sequence packing
+    * of the mixed train set (q91). */
+  private val q138BudgetMixCtes: String =
     "ms AS MATERIALIZED (SELECT src, CAST(sum(n_tokens) AS BIGINT) AS st FROM mt GROUP BY src), " +
     "mw AS MATERIALIZED (SELECT src, st, sqrt(CAST(st AS DOUBLE)) AS w FROM ms), " +
     "mr AS MATERIALIZED (SELECT src, least(CAST(1.0 AS DOUBLE), w / (SELECT sum(w) FROM mw) * CAST(3000 AS DOUBLE) / st) AS rate FROM mw), " +
     "s10 AS MATERIALIZED (SELECT mt.doc_id, mt.n_tokens FROM mt JOIN mr USING (src) WHERE mt.u < mr.rate), " +
-    // stages 11-12: GPT-style sequence packing of the mixed train set (q91)
     "pk AS MATERIALIZED (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev FROM s10), " +
-    "pr AS MATERIALIZED (SELECT doc_id, n_tokens, cum_prev // 128 AS sc, CASE WHEN n_tokens = 0 THEN cum_prev // 128 ELSE (cum_prev + n_tokens - 1) // 128 END AS ec FROM pk) " +
+    "pr AS MATERIALIZED (SELECT doc_id, n_tokens, cum_prev // 128 AS sc, CASE WHEN n_tokens = 0 THEN cum_prev // 128 ELSE (cum_prev + n_tokens - 1) // 128 END AS ec FROM pk) "
+
+  private def q138OracleSql: String = {
+    q138CleanChain("") + ", " + q138FinalizeCtes + ", " +
+    q138BudgetMixCtes +
     q138SharedCounts +
     "UNION ALL SELECT 'source_mix', (SELECT count(*) FROM s10) " +
     "UNION ALL SELECT 'packed', (SELECT count(*) FROM s10) " +
+    "UNION ALL SELECT 'ho_' || split || '_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s9 WHERE split <> 'train' " +
+    "UNION ALL SELECT 'pk_' || CAST(doc_id AS VARCHAR), CAST(sc * 100000 + ec * 10 + CAST(ec > sc AS INTEGER) AS BIGINT) FROM pr " +
+    "UNION ALL SELECT 'tk_' || CAST(doc_id AS VARCHAR), CAST(n_tokens AS BIGINT) FROM pr " +
+    "ORDER BY stage"
+  }
+
+  /** The q153 oracle: the q138 finalize replay restricted to the
+    * finalize-only stage report (cleanReport = Nil — the resume run
+    * starts at decontamination) plus the pinned-zero mem-vs-disk
+    * symmetric difference. */
+  private def q153OracleSql: String = {
+    q138CleanChain("") + ", " + q138FinalizeCtes + ", " +
+    q138BudgetMixCtes +
+    "SELECT 'decontaminate' AS stage, CAST((SELECT count(*) FROM s8) AS BIGINT) AS n " +
+    "UNION ALL SELECT 'train_split', (SELECT count(*) FROM s9 WHERE split = 'train') " +
+    "UNION ALL SELECT 'heldout', (SELECT count(*) FROM s9 WHERE split <> 'train') " +
+    "UNION ALL SELECT 'source_mix', (SELECT count(*) FROM s10) " +
+    "UNION ALL SELECT 'packed', (SELECT count(*) FROM s10) " +
+    "UNION ALL SELECT 'z_mem_disk_diff', CAST(0 AS BIGINT) " +
+    "UNION ALL SELECT 'ho_' || split || '_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s9 WHERE split <> 'train' " +
+    "UNION ALL SELECT 'pk_' || CAST(doc_id AS VARCHAR), CAST(sc * 100000 + ec * 10 + CAST(ec > sc AS INTEGER) AS BIGINT) FROM pr " +
+    "UNION ALL SELECT 'tk_' || CAST(doc_id AS VARCHAR), CAST(n_tokens AS BIGINT) FROM pr " +
+    "ORDER BY stage"
+  }
+
+  /** The q155 oracle: the q138 replay with the FRACTION-thresholded
+    * decontamination CTE ([[q138FinalizeCtesWith]]) plus the frh_/frn_
+    * audit rows pinning every candidate doc's exact hit/total
+    * distinct-gram counts. */
+  private def q155OracleSql(t: Double): String = {
+    q138CleanChain("") + ", " + q138FinalizeCtesWith(Some(t)) + ", " +
+    q138BudgetMixCtes +
+    q138SharedCounts +
+    "UNION ALL SELECT 'source_mix', (SELECT count(*) FROM s10) " +
+    "UNION ALL SELECT 'packed', (SELECT count(*) FROM s10) " +
+    "UNION ALL SELECT 'frh_' || CAST(doc_id AS VARCHAR), CAST(hit AS BIGINT) FROM frq WHERE hit > 0 " +
+    "UNION ALL SELECT 'frn_' || CAST(doc_id AS VARCHAR), CAST(n_grams AS BIGINT) FROM frq WHERE hit > 0 " +
     "UNION ALL SELECT 'ho_' || split || '_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM s9 WHERE split <> 'train' " +
     "UNION ALL SELECT 'pk_' || CAST(doc_id AS VARCHAR), CAST(sc * 100000 + ec * 10 + CAST(ec > sc AS INTEGER) AS BIGINT) FROM pr " +
     "UNION ALL SELECT 'tk_' || CAST(doc_id AS VARCHAR), CAST(n_tokens AS BIGINT) FROM pr " +
@@ -3455,11 +3617,29 @@ object SparkEntry {
   /** The q143 oracle: encode the corpus with the trained segmentation —
     * per-doc word explode joined to the final vocab's subword counts;
     * docs with no tokens report 0 through the outer join. */
-  private def q143OracleSql(rounds: Int): String =
+  /** [[bpeOracleCtes]] + per-doc subword counts under the trained
+    * segmentation (`ag`) — shared by the q143 encode oracle and the
+    * q154 pack-by-subwords oracle. */
+  private def bpeCountCtes(rounds: Int): String =
     bpeOracleCtes(rounds) +
     ", dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w FROM documents), " +
     s"sg AS MATERIALIZED (SELECT w, CAST(len(list_filter(string_split(trim(sym), '  '), x -> x <> '')) AS BIGINT) AS ns FROM v$rounds), " +
-    "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n FROM dw JOIN sg USING (w) GROUP BY doc_id) " +
-    "SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords " +
+    "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n FROM dw JOIN sg USING (w) GROUP BY doc_id)"
+
+  private def q143OracleSql(rounds: Int): String =
+    bpeCountCtes(rounds) +
+    " SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords " +
     "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
+
+  /** The q154 oracle: the q91 packing prefix-sum recipe over the q143
+    * subword counts — chunk assignment by TOKENIZER length. */
+  private def q154OracleSql(rounds: Int, seqLen: Int): String =
+    bpeCountCtes(rounds) +
+    ", ct AS MATERIALIZED (SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n FROM documents d LEFT JOIN ag a USING (doc_id)), " +
+    "pk AS MATERIALIZED (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev FROM ct) " +
+    s"SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, " +
+    s"CAST(cum_prev // $seqLen AS BIGINT) AS start_chunk, " +
+    s"CAST(CASE WHEN n = 0 THEN cum_prev // $seqLen ELSE (cum_prev + n - 1) // $seqLen END AS BIGINT) AS end_chunk, " +
+    s"(CASE WHEN n = 0 THEN cum_prev // $seqLen ELSE (cum_prev + n - 1) // $seqLen END) > (cum_prev // $seqLen) AS crosses_boundary " +
+    "FROM pk ORDER BY doc_id"
 }

@@ -212,7 +212,8 @@ object Pipeline {
                           maxDupTokenFraction: Double = 0.6,
                           minhashThreshold: Double = 0.8,
                           minhashMaxBucket: Int = 1000,
-                          epochs: Option[Map[String, Double]] = None)
+                          epochs: Option[Map[String, Double]] = None,
+                          contaminationMaxFraction: Option[Double] = None)
       : (DataFrame, DataFrame, Seq[StageReport]) = {
     require(splits.nonEmpty, "at least one split")
     val (cleaned, cleanReport) = cleanCorpus(docs, textCol, idCol,
@@ -224,7 +225,7 @@ object Pipeline {
       minhashMaxBucket = minhashMaxBucket)
     finalizeTrainingData(cleaned, cleanReport, textCol, idCol, sourceCol,
       bench, benchTextCol, targetTokens, seqLen, splits, contaminationN,
-      epochs)
+      epochs, contaminationMaxFraction)
   }
 
   /**
@@ -350,9 +351,12 @@ object Pipeline {
                            splits: Seq[(String, Double)] =
                              Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
                            contaminationN: Int = 8,
-                           epochs: Option[Map[String, Double]] = None)
+                           epochs: Option[Map[String, Double]] = None,
+                           contaminationMaxFraction: Option[Double] = None)
       : (DataFrame, DataFrame, Seq[StageReport]) = {
     require(splits.nonEmpty, "at least one split")
+    require(contaminationMaxFraction.forall(t => t >= 0.0 && t < 1.0),
+      s"contaminationMaxFraction in [0, 1), got $contaminationMaxFraction")
     val report = Seq.newBuilder[StageReport]
     report ++= cleanReport
     def stage(name: String)(df: DataFrame): DataFrame = {
@@ -360,8 +364,19 @@ object Pipeline {
       report += StageReport(name, out.count())
       out
     }
-    val dirty = TextAnalysis.ngramContaminatedIds(cleaned, textCol, idCol,
-      bench, benchTextCol, contaminationN)
+    // any-overlap by default (one shared benchmark 8-gram drops the
+    // doc); with `contaminationMaxFraction` the GPT-3-style FRACTION
+    // threshold instead — a doc is dropped iff MORE than that fraction
+    // of its distinct n-grams hit the benchmark (> , so max = allowed:
+    // 0.0 still differs from any-overlap only on sub-n-token docs).
+    val dirty = contaminationMaxFraction match {
+      case Some(t) =>
+        TextAnalysis.ngramContaminationFraction(cleaned, textCol, idCol,
+            bench, benchTextCol, contaminationN)
+          .filter(col("contamination") > t).select(idCol)
+      case None => TextAnalysis.ngramContaminatedIds(cleaned, textCol, idCol,
+        bench, benchTextCol, contaminationN)
+    }
     val decon = stage("decontaminate")(
       cleaned.join(dirty, Seq(idCol), "left_anti"))
     val split = TextAnalysis.splitCorpus(decon, textCol, splits)

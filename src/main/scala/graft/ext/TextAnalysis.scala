@@ -183,9 +183,13 @@ object TextAnalysis {
         explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
+    // coalesce: NULL text propagates a NULL gram array through size()
+    // (size-of-null = null in Spark 3+), and the documented contract is
+    // "docs with fewer than n tokens report (0, 0, 0.0)" — unscorable
+    // text has no grams, exactly like short text
     docs.select(col(idCol),
-        size(array_distinct(wordNgrams(col(textCol), n))).cast("long")
-          .as("n_grams"))
+        coalesce(size(array_distinct(wordNgrams(col(textCol), n))).cast("long"),
+          lit(0L)).as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .withColumn("hit_grams", coalesce(col("hit_grams"), lit(0L)))
       .withColumn("contamination", round(
@@ -386,15 +390,36 @@ object TextAnalysis {
       .drop("_prev_local", "_offset")
   }
 
+  /** The (id, n_tokens) slim projection packing runs over: whitespace
+    * token counts from `textCol` by default, or — when `tokenCountCol`
+    * is set — a PRE-COMPUTED per-doc count column (e.g.
+    * [[bpeSegmentCounts]]' `n_subwords`: a real pipeline packs by
+    * TOKENIZER length, not whitespace words). NULL counts coalesce to
+    * 0 (the convention the count producers already follow for empty
+    * docs); `textCol` is not read in that mode. */
+  private def packSlim(df: DataFrame, textCol: String, idCol: String,
+                       extraCols: Seq[String],
+                       tokenCountCol: Option[String]): DataFrame = {
+    val cols = (idCol +: extraCols).map(col)
+    tokenCountCol match {
+      case Some(c) =>
+        df.select(cols :+
+          coalesce(col(c).cast("int"), lit(0)).as("n_tokens"): _*)
+      case None =>
+        // token_count mirrors split(trim(s),"\s+") which yields 1 for
+        // the empty string; packing wants nonempty-token counts
+        df.select(cols :+
+          when(length(trim(col(textCol))) === 0, 0)
+            .otherwise(tokenCount(col(textCol))).cast("int").as("n_tokens"): _*)
+    }
+  }
+
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-                    seqLen: Int): DataFrame = {
+                    seqLen: Int,
+                    tokenCountCol: Option[String] = None): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    // slim projection before the range shuffle: (id, n_tokens) only.
-    // token_count mirrors split(trim(s),"\s+") which yields 1 for the
-    // empty string; packing wants nonempty-token counts, so guard it.
-    val slim = df.select(col(idCol),
-        when(length(trim(col(textCol))) === 0, 0)
-          .otherwise(tokenCount(col(textCol))).cast("int").as("n_tokens"))
+    // slim projection before the range shuffle: (id, n_tokens) only
+    val slim = packSlim(df, textCol, idCol, Nil, tokenCountCol)
     val packed = groupedPrefixSum(slim, Nil, Seq(col(idCol)), "n_tokens",
         maxDriverRows = Int.MaxValue, _ => "unreachable")
       .withColumn("_last", col("_cum_prev") + col("n_tokens") - 1)
@@ -416,11 +441,10 @@ object TextAnalysis {
    * crosses_boundary).
    */
   def packSequencesReplicas(df: DataFrame, textCol: String, idCol: String,
-                            copyCol: String, seqLen: Int): DataFrame = {
+                            copyCol: String, seqLen: Int,
+                            tokenCountCol: Option[String] = None): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val slim = df.select(col(idCol), col(copyCol),
-        when(length(trim(col(textCol))) === 0, 0)
-          .otherwise(tokenCount(col(textCol))).cast("int").as("n_tokens"))
+    val slim = packSlim(df, textCol, idCol, Seq(copyCol), tokenCountCol)
     val packed = groupedPrefixSum(slim, Nil, Seq(col(idCol), col(copyCol)),
         "n_tokens", maxDriverRows = Int.MaxValue, _ => "unreachable")
       .withColumn("_last", col("_cum_prev") + col("n_tokens") - 1)

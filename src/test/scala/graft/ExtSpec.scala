@@ -2122,6 +2122,22 @@ class ExtSpec extends SparkSpec {
     assert(top.forall(_._2 < 1e-10), s"top $top")
   }
 
+  test("ngramContaminationFraction: NULL text reports (0, 0, 0.0)") {
+    // the documented "fewer than n tokens" contract extends to NULL
+    // text: unscorable is zero grams, not NULL propagation
+    val d = Seq((1L, Some("alpha beta gamma delta epsilon zeta eta theta iota")),
+        (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    val got = TextAnalysis.ngramContaminationFraction(
+        d, "text", "doc_id", bench, "text", 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0.0)), s"got ${got(2L)}")
+  }
+
   test("BPE: driver-local merge loop identical to the distributed fallback") {
     // planted vocab exercising the sharp edges: count TIES (argmax must
     // break on the UTF-8-byte pair order), the "aaa" chain-merge trap
