@@ -55,15 +55,30 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // the cross-gate SHARED computations (Ed-Join pair frame, cleaning
+    // stack, PQ training) are memoized per (session, dir), so the
+    // warmup above populates their caches and no gate's timed run pays
+    // them — each is therefore timed as its OWN entry whose runner
+    // CLEARS its cache first, so all 3 runs re-pay the full cost and
+    // the headline total accounts for the work exactly once per
+    // artifact (r9 ADVICE fix; previously the committed record
+    // measured these operations nowhere).
+    val shared = SparkEntry.sharedWork.filter { case (name, _) =>
+      only.forall(f => f.contains(name) || f.exists(name.startsWith)) }
     // min of three timed runs per query, with GC quiescence before each
-    // query: 73 queries share one JVM at local[32], and sub-second scans
-    // oscillated 3-5x between rounds when a neighbour's garbage landed
-    // in their window.
-    val timings = queries.map { case (name, fn) =>
+    // query: the gate queries share one JVM at local[32], and sub-second
+    // scans oscillated 3-5x between rounds when a neighbour's garbage
+    // landed in their window.
+    val timedUnits: Seq[(String, () => Unit)] =
+      queries.toSeq.map { case (name, fn) =>
+        name -> (() => { fn(spark, sfDir).count(); () }) } ++
+      shared.toSeq.map { case (name, fn) =>
+        name -> (() => fn(spark, sfDir)) }
+    val timings = timedUnits.map { case (name, run) =>
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run() catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times
@@ -75,12 +90,12 @@ object Bench {
     // distinguishes the two (round 4's 25% official/builder disagreement
     // was unattributable without this)
     val spreads = timings.map { case (k, ts) => k -> (ts.max - ts.min) }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spFull = spreads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"cpus":$cpus,"method":"untimed warmup passes at sf0.001 and at the bench SF (pre-builds one-time shared signature tables), then min of 3 timed runs per query with System.gc() quiescence between queries; spread = max-min of the 3 runs per query; loadavg = /proc/loadavg 1/5/15-min before the warmups and after the timed runs"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"cpus":$cpus,"method":"untimed warmup passes at sf0.001 and at the bench SF (pre-builds one-time shared signature tables and the cross-gate caches), then min of 3 timed runs per query with System.gc() quiescence between queries; the sNNN entries time the cross-gate SHARED computations (Ed-Join pair frame, cleaning stack, PQ training) with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the 3 runs per query; loadavg = /proc/loadavg 1/5/15-min before the warmups and after the timed runs"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), full + "\n")
     System.err.println(full)
     // compact stdout line: short id = leading qNN token; ms as integers
@@ -95,6 +110,8 @@ object Bench {
     // stay under the driver's truncating tail window with margin: drop the
     // per-query map (it stays in BENCH.out) rather than risk a cut line
     val compact = if (line(withQ = true).length <= 900) line(withQ = true) else line(withQ = false)
+    SparkEntry.releaseGateCaches()
+    graft.ext.Dedup.releaseCaches()
     spark.stop()
     // Emit the compact line on BOTH streams, stderr last: sbt decorates
     // stdout with an "[info] " prefix that can defeat a strict JSON-line

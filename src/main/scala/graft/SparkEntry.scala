@@ -2359,9 +2359,13 @@ object SparkEntry {
   // The Ed-Join pair frame is computed ONCE per (session, sf dir) and
   // shared across the three gates (the q113-corpus pattern lifted to a
   // computed frame): editDistanceJoin returns an EAGER localCheckpoint,
-  // so the cached value is materialized blocks, not a lazy plan — the
-  // bench charges the join to whichever gate runs first and the others
-  // time only their own work (r8 verdict watch item #2).
+  // so the cached value is materialized blocks, not a lazy plan. The
+  // gates therefore time only their own work; the JOIN itself is timed
+  // by the bench's own `s136_edjoin_pairs` entry in [[sharedWork]],
+  // which clears this cache before every timed run so the cost is
+  // measured honestly instead of hiding in the untimed warmup
+  // (r9 ADVICE: warmup-populated caches made the committed record
+  // measure the shared operations nowhere).
   private val q136PairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -2382,12 +2386,13 @@ object SparkEntry {
         "rname", "rid", maxDist = 1, q = 3)
     })
 
-  // The q138/q145 shared CLEANED corpus (the q136Pairs pattern, and the
-  // library's own production shape: finalizeTrainingData exists so
-  // mixture ablations re-run over one saved cleaning run): cleanCorpus
-  // output is eagerly checkpointed stage by stage, so the cached value
-  // is materialized blocks + counted reports, computed by whichever of
-  // the two gates runs first.
+  // The q138/q145/q153/q155 shared CLEANED corpus (the q136Pairs
+  // pattern, and the library's own production shape:
+  // finalizeTrainingData exists so mixture ablations re-run over one
+  // saved cleaning run): cleanCorpus output is eagerly checkpointed
+  // stage by stage, so the cached value is materialized blocks +
+  // counted reports. The cleaning stack itself is timed by the bench's
+  // `s138_clean_corpus` [[sharedWork]] entry (cache cleared per run).
   private val q138CleanCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Seq[Pipeline.StageReport])]()
 
@@ -2398,8 +2403,10 @@ object SparkEntry {
         urlCol = Some("url"), spanK = 8, minTokens = 5,
         maxDupTokenFraction = 0.6, minhashThreshold = 0.8))
 
-  // The q150/q151 shared PQ model (driver-resident m·k·dsub doubles):
-  // training runs 2·m aggregate jobs once per (session, sf dir).
+  // The q150/q151/q152 shared PQ model (driver-resident m·k·dsub
+  // doubles): training runs 2 slim aggregate jobs once per (session,
+  // sf dir); the training cost is timed by the bench's `s150_pq_train`
+  // [[sharedWork]] entry (cache cleared per run).
   private val q150ModelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Similarity.PqModel]()
 
@@ -2407,6 +2414,31 @@ object SparkEntry {
     q150ModelCache.computeIfAbsent((s, dir), _ =>
       Similarity.pqTrain(ld(s, dir, "embeddings"), "embedding", "vec_id",
         m = 4, k = 16, iters = 2))
+
+  /**
+   * Named SHARED computations the gate families memoize per (session,
+   * sf dir). The bench times each as its OWN entry, clearing its cache
+   * before every timed run so every run re-pays the full cost: without
+   * these, the warmup pass populates the caches and the committed bench
+   * record measures the Ed-Join / cleaning-stack / PQ-training work
+   * NOWHERE (the r9 ADVICE finding). Verify/correctness never reads
+   * this map — the gates' cached composition is their production shape.
+   */
+  def sharedWork: Map[String, (SparkSession, String) => Unit] = Map(
+    "s136_edjoin_pairs" -> ((s: SparkSession, dir: String) => {
+      q136PairsCache.remove((s, dir)); q136Pairs(s, dir); () }),
+    "s138_clean_corpus" -> ((s: SparkSession, dir: String) => {
+      q138CleanCache.remove((s, dir)); q138Cleaned(s, dir); () }),
+    "s150_pq_train" -> ((s: SparkSession, dir: String) => {
+      q150ModelCache.remove((s, dir)); q150Model(s, dir); () }))
+
+  /** Release the cross-gate caches (the [[graft.ext.Dedup.releaseCaches]]
+    * convention): eagerly materialized checkpoint frames and session
+    * references would otherwise be retained for the process lifetime
+    * across session churn. Call alongside `Dedup.releaseCaches()`. */
+  def releaseGateCaches(): Unit = {
+    q136PairsCache.clear(); q138CleanCache.clear(); q150ModelCache.clear()
+  }
 
   // ---- q138 planted pipeline corpus ------------------------------------
   // Benchmark phrase 1 is SPLIT around the shared licence blurb in doc

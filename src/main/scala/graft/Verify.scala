@@ -46,6 +46,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.releaseGateCaches()
+    graft.ext.Dedup.releaseCaches()
     spark.stop()
   }
 }
