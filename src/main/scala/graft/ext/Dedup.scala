@@ -924,6 +924,22 @@ object Dedup {
     * [\\uD800-\\uDBFF] NEVER fires on well-formed text (the first
     * version's dead trigger, caught in review). ONE helper so the
     * pairs, cross-join, and overflow-report sites cannot drift. */
+  /** The candidate-pair DISTINCT, widened: hash-repartition the slim
+    * (id, id2) stream to 4x the session's shuffle partitions and
+    * dropDuplicates in place (the distribution already satisfies the
+    * aggregate, so no second exchange). ProfileEd measured the default
+    * 32-partition distinct exchange at 7.4-8.0 s of q135's 10.6 s cold
+    * — the hash-agg build over ~10M distinct slim keys is memory-bound
+    * per task — and this exact shape (its variant E) at 5.1 s: ~25% off
+    * the Ed-Join family's dominant stage. The explicit partition count
+    * is deliberate: AQE never coalesces a user-specified repartition,
+    * so the width survives adaptive re-planning. */
+  private def candDistinct(cands: DataFrame): DataFrame = {
+    val parts = 4 * cands.sparkSession.sessionState.conf.numShufflePartitions
+    cands.repartition(parts, col("id"), col("id2"))
+      .dropDuplicates("id", "id2")
+  }
+
   private def edSets(base: DataFrame, maxDist: Int, q: Int): DataFrame = {
     val shortMax = maxDist * q + q - 1
     base.filter(length(col("s")) > shortMax)
@@ -961,7 +977,7 @@ object Dedup {
           col("len").as("len2")), Seq("gram"))
         .filter(col("id") < col("id2"))
         .filter(abs(col("len") - col("len2")) <= maxDist)
-        .select("id", "id2").distinct()
+        .transform(c => candDistinct(c.select("id", "id2")))
         .join(base, Seq("id"))
         .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
         .withColumn("dist", levenshtein(col("s"), col("s2")))
@@ -1068,7 +1084,7 @@ object Dedup {
           .select(col("gram"), col("id").as("id2"), col("len").as("len2")),
           Seq("gram"))
         .filter(abs(col("len") - col("len2")) <= maxDist)
-        .select("id", "id2").distinct()
+        .transform(c => candDistinct(c.select("id", "id2")))
         .join(lbase, Seq("id"))
         .join(rbase.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
         .withColumn("dist", levenshtein(col("s"), col("s2")))
