@@ -2198,6 +2198,78 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q156_streaming_ingest" -> ((s, dir) => { ensure(s)
+      // STREAMING ingestion (EventStream.ingestSink): ingestBatch as a
+      // foreachBatch/AvailableNow sink — "today's crawl" as a stream
+      // job. Two arrival batches staged into a drop directory and
+      // drained against one checkpoint; batch 2 carries an exact copy,
+      // a URL refetch, and a +2-char near-dup of batch-1 SURVIVORS, so
+      // its cross stages must see batch 1's accumulated corpus. Texts
+      // are built to pass every within-batch cleaning stage unchanged
+      // (6 tokens, single line, md5-hex doc tokens keeping all
+      // non-planted char-5 Jaccards far under 0.8), so the oracle states
+      // each batch's per-stage counts and the survivor set in closed
+      // form from the residue arithmetic — if any cleaning stage
+      // mangled text, or batch 2 failed to see batch 1's survivors,
+      // the counts and doc_ rows break.
+      val pid = lpad(col("doc_id").cast("string"), 8, "0")
+      def pidOf(c: Column) = lpad(c.cast("string"), 8, "0")
+      // per-doc token = 12-hex md5 prefix of the id: padded decimal ids
+      // made ALL texts near-dups under distinct char-5 shingles (the
+      // repeated zero windows collapse, j >= 0.8 corpus-wide — measured:
+      // the within-batch minhash stage collapsed 75 docs to 1); random
+      // hex keeps every non-planted pair near j ~ 0.36
+      def textOf(c: Column) =
+        concat(lit("alpha beta gamma del e "),
+          substring(md5(c.cast("string")), 1, 12))
+      val ids = ld(s, dir, "documents").select(col("doc_id"))
+      val b1 = ids.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
+        when(col("doc_id") % 20 === 13, textOf(col("doc_id") - 4))
+          .otherwise(textOf(col("doc_id"))).as("text"),
+        concat(lit("https://x"),
+          pidOf(when(col("doc_id") % 20 === 17, col("doc_id") - 16)
+            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+      val b2 = ids.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
+        when(col("doc_id") % 20 === 11, textOf(col("doc_id") - 2))
+          // source id-18 (residue 1), NOT id-10 (residue 9): residue 11
+          // in the same block copies doc id-2 = that same residue-9 doc,
+          // and the two copies near-dup EACH OTHER within the batch —
+          // the within-minhash stage then eats the res-19 plant before
+          // the cross stage it exists to exercise (measured: 25 docs
+          // dropped at b1_minhash_dedup, 0 at b1_minhash_cross_dedup)
+          .when(col("doc_id") % 20 === 19,
+            concat(textOf(col("doc_id") - 18), lit(" x")))
+          .otherwise(textOf(col("doc_id"))).as("text"),
+        concat(lit("https://x"),
+          pidOf(when(col("doc_id") % 20 === 15, col("doc_id") - 14)
+            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+      val root = java.nio.file.Files.createTempDirectory("graft-singest").toString
+      val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = s"$root/stage-$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+      }
+      def drain(): Unit = {
+        val docs = s.readStream.schema(b1.schema).parquet(srcDir)
+        val q = graft.streaming.EventStream.ingestSink(docs, "text", "doc_id",
+          s"$root/corpus", s"$root/ckpt", urlCol = Some("url"),
+          reportDir = Some(s"$root/report"))
+        require(q.awaitTermination(300000), "q156: ingest stream timed out")
+      }
+      stage(b1, "b1"); drain()
+      stage(b2, "b2"); drain()
+      s.read.parquet(s"$root/report")
+        .select(concat(lit("b"), col("batch_id").cast("string"), lit("_"),
+          col("stage")).as("stage"), col("rows").as("n"))
+        .unionByName(s.read.parquet(s"$root/corpus").select(
+          concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .orderBy("stage")
+    }),
     "q154_pack_subwords" -> ((s, dir) => { ensure(s)
       // packing by TOKENIZER length: bpeSegmentCounts' n_subwords
       // threads into packSequences as the token-length column — a real
@@ -3246,6 +3318,7 @@ object SparkEntry {
     "q152_ivfadc" -> q152OracleSql(64),
     "q153_resume_from_disk" -> q153OracleSql,
     "q154_pack_subwords" -> q154OracleSql(6, 128),
+    "q156_streaming_ingest" -> q156OracleSql,
     "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
@@ -3492,6 +3565,35 @@ object SparkEntry {
     "UNION ALL SELECT 'minhash_cross_dedup', (SELECT count(*) FROM x3) " +
     "UNION ALL SELECT 'z_overflow_rows', CAST(0 AS BIGINT) " +
     "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), CAST(length(text) AS BIGINT) FROM x3 " +
+    "ORDER BY stage"
+  }
+
+  /** The q156 oracle: the streaming two-batch ingest outcome in closed
+    * form from the residue-class plant — per-batch stage counts and the
+    * survivor set (every survivor's fixed 35-char text length). The
+    * plant is constructed so every within-batch cleaning stage is
+    * text-identity (single line, 6 tokens, fixed-width ids keeping
+    * non-planted shingle Jaccards < 0.8), which is itself asserted:
+    * a stage that mangled text would shift the counts or lengths. */
+  private def q156OracleSql: String = {
+    "WITH b1 AS MATERIALIZED (SELECT doc_id, doc_id % 20 AS r FROM documents WHERE doc_id % 4 = 1), " +
+    "b2 AS MATERIALIZED (SELECT doc_id, doc_id % 20 AS r FROM documents WHERE doc_id % 4 = 3) " +
+    "SELECT 'b0_input' AS stage, CAST(count(*) AS BIGINT) AS n FROM b1 " +
+    "UNION ALL SELECT 'b0_url_dedup', count(*) FILTER (WHERE r <> 17) FROM b1 " +
+    Seq("exact_dedup", "line_dedup", "boilerplate_lines", "span_dedup",
+        "quality_gate", "minhash_dedup", "url_cross_dedup",
+        "exact_cross_dedup", "minhash_cross_dedup").map(st =>
+      s"UNION ALL SELECT 'b0_$st', count(*) FILTER (WHERE r NOT IN (13, 17)) FROM b1 ")
+      .mkString +
+    "UNION ALL SELECT 'b1_input', count(*) FROM b2 " +
+    Seq("url_dedup", "exact_dedup", "line_dedup", "boilerplate_lines",
+        "span_dedup", "quality_gate", "minhash_dedup").map(st =>
+      s"UNION ALL SELECT 'b1_$st', count(*) FROM b2 ").mkString +
+    "UNION ALL SELECT 'b1_url_cross_dedup', count(*) FILTER (WHERE r <> 15) FROM b2 " +
+    "UNION ALL SELECT 'b1_exact_cross_dedup', count(*) FILTER (WHERE r NOT IN (11, 15)) FROM b2 " +
+    "UNION ALL SELECT 'b1_minhash_cross_dedup', count(*) FILTER (WHERE r NOT IN (11, 15, 19)) FROM b2 " +
+    "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), 35 FROM b1 WHERE r IN (1, 5, 9) " +
+    "UNION ALL SELECT 'doc_' || CAST(doc_id AS VARCHAR), 35 FROM b2 WHERE r IN (3, 7) " +
     "ORDER BY stage"
   }
 

@@ -205,6 +205,70 @@ object EventStream {
   }
 
   /**
+   * STREAMING corpus ingestion — [[graft.ext.Pipeline.ingestBatch]] as a
+   * `foreachBatch` sink, so "today's crawl" runs as a stream job over a
+   * drop directory (or any streaming source of raw docs). Every
+   * micro-batch runs the full within-batch cleaning stack plus the three
+   * cross-corpus dedup stages against the CURRENT saved corpus — re-read
+   * at each batch, so batch N+1 dedups against batch N's survivors too —
+   * then APPENDS its survivors to `corpusDir` and (optionally) its
+   * per-stage report rows (batch_id, stage, rows) to `reportDir`.
+   * `Trigger.AvailableNow` turns the same job into a catch-up backfill
+   * that stops when the directory is drained — the batch ≡ streaming
+   * equivalence the StreamingSpec pins.
+   *
+   * Scale: per micro-batch work is exactly [[graft.ext.Pipeline.ingestBatch]]'s
+   * contract — |batch| cleaning + three slim anti-joins; the saved
+   * corpus is never rescanned beyond its distinct-URL/md5/signature
+   * sides, and the checkpoint makes delivery exactly-once per batch
+   * (a replayed batch re-runs against a corpus that already contains
+   * its survivors, and every survivor would then drop as an exact
+   * cross-duplicate — idempotent by construction, the foreachBatch
+   * re-execution caveat this sink is designed around).
+   */
+  def ingestSink(newDocs: DataFrame, textCol: String, idCol: String,
+                 corpusDir: String, checkpointDir: String,
+                 urlCol: Option[String] = None,
+                 reportDir: Option[String] = None,
+                 minhashThreshold: Double = 0.8,
+                 minhashMaxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(newDocs.isStreaming, "ingestSink needs a streaming frame; " +
+      "call Pipeline.ingestBatch directly for batch ingestion")
+    newDocs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // the cleaning stack resolves its kernels via the SQL registry;
+        // registration is idempotent and the sink must not depend on
+        // the caller having done it
+        graft.ext.TextFunctions.registerAll(spark)
+        val keepCols = (Seq(idCol, textCol) ++ urlCol).map(col)
+        // the current corpus, or a batch-shaped EMPTY frame on the very
+        // first batch (no files yet): ingestBatch's cross stages all
+        // no-op against an empty old side
+        val old = scala.util.Try(spark.read.parquet(corpusDir))
+          .getOrElse(batch.select(keepCols: _*).limit(0))
+        val (survivors, report) = graft.ext.Pipeline.ingestBatch(
+          batch, textCol, idCol, old, textCol, idCol,
+          urlCol = urlCol, oldUrlCol = urlCol,
+          minhashThreshold = minhashThreshold,
+          minhashMaxBucket = minhashMaxBucket)
+        survivors.select(keepCols: _*)
+          .write.mode("append").parquet(corpusDir)
+        reportDir.foreach { rd =>
+          import spark.implicits._
+          report.map(r => (batchId, r.stage, r.rows))
+            .toDF("batch_id", "stage", "rows")
+            .write.mode("append").parquet(rd)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Sessionization via flatMapGroupsWithState-free composition: gap-based
    * session ids computed with window functions in batch; streaming variant
    * uses session_window (built-in since Spark 3.2).

@@ -199,6 +199,69 @@ class StreamingSpec extends SparkSpec {
       s"state not evicted: ${lastState.numRowsTotal} rows")
   }
 
+  test("streaming ingestSink == sequential ingestBatch survivors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ext.TextFunctions.registerAll(spark) // for the batch twin below
+    val root = tmpDir("ingest-stream")
+    val srcDir = s"$root/src"; val corpusDir = s"$root/corpus"
+    val ckpt = s"$root/ckpt"; val repDir = s"$root/report"
+    new java.io.File(srcDir).mkdirs()
+    // the q147-style plant, split across two arrival batches: within-
+    // batch URL + exact dups in batch 1; batch 2 carries an exact
+    // cross-copy of a batch-1 SURVIVOR, a URL refetch of one, and a
+    // fresh doc — so batch 2's cross stages must see batch 1's saved
+    // survivors, the thing this sink exists to guarantee
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon one", "https://a.ex/p1"),
+      (2L, "alpha beta gamma delta epsilon one", "https://a.ex/p2"),
+      (3L, "zeta eta theta iota kappa two", "https://a.ex/p1"),
+      (4L, "lambda mu nu xi omicron three", "https://a.ex/p4"))
+      .toDF("doc_id", "text", "url")
+    val b2 = Seq(
+      (11L, "alpha beta gamma delta epsilon one", "https://b.ex/p11"),
+      (12L, "pi rho sigma tau upsilon four", "https://a.ex/p4"),
+      (13L, "unique phi chi psi omega five", "https://b.ex/p13"))
+      .toDF("doc_id", "text", "url")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def drain(): Unit = {
+      val docs = spark.readStream.schema(b1.schema).parquet(srcDir)
+      val q = EventStream.ingestSink(docs, "text", "doc_id",
+        corpusDir, ckpt, urlCol = Some("url"), reportDir = Some(repDir))
+      assert(q.awaitTermination(180000), "ingest stream timed out")
+    }
+    // two AvailableNow drains against one checkpoint: batch 2 arrives
+    // after batch 1's survivors are already on disk (ordered arrival,
+    // and exercises checkpointed restart)
+    stage(b1, "b1"); drain()
+    stage(b2, "b2"); drain()
+    // sequential batch twin
+    val empty = b1.limit(0)
+    val (s1, _) = graft.ext.Pipeline.ingestBatch(b1, "text", "doc_id",
+      empty, "text", "doc_id", urlCol = Some("url"), oldUrlCol = Some("url"))
+    val (s2, _) = graft.ext.Pipeline.ingestBatch(b2, "text", "doc_id",
+      s1, "text", "doc_id", urlCol = Some("url"), oldUrlCol = Some("url"))
+    val expected = (s1.select("doc_id").collect() ++
+      s2.select("doc_id").collect()).map(_.getLong(0)).toSet
+    val got = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"streaming $got != batch $expected")
+    // the plant's intent holds: 2 (exact), 3 (url) drop in batch 1;
+    // 11 (exact cross) and 12 (url cross) drop in batch 2
+    assert(got == Set(1L, 4L, 13L), s"got $got")
+    // per-batch reports landed for both micro-batch ids
+    val reps = spark.read.parquet(repDir)
+    assert(reps.select("batch_id").distinct().count() == 2)
+    assert(reps.filter($"stage" === "url_cross_dedup").count() == 2)
+  }
+
   test("flatMapGroupsWithState running counters == batch groupBy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
