@@ -2198,6 +2198,23 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q157_pq_adc_batch" -> ((s, dir) => { ensure(s)
+      // BATCH ADC search: five query vectors against the q150 codes in
+      // ONE corpus pass — stacked per-query distance tables ride one
+      // reference object, the codegen'd pq_adc_multi projection emits
+      // a distance per query per row, and bounded per-query heaps keep
+      // the top-10 (q151 is the single-query twin; a retrieval service
+      // runs this shape). The oracle replays all five searches from
+      // the re-trained codebook with the q151 CASE-pivot recipe.
+      val emb = ld(s, dir, "embeddings")
+      val model = q150Model(s, dir)
+      val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+      Similarity.pqSearchAdcAll(codes, "vec_id", model,
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("query_id", "rank")
+    }),
     "q156_streaming_ingest" -> ((s, dir) => { ensure(s)
       // STREAMING ingestion (EventStream.ingestSink): ingestBatch as a
       // foreachBatch/AvailableNow sink — "today's crawl" as a stream
@@ -3319,6 +3336,7 @@ object SparkEntry {
     "q153_resume_from_disk" -> q153OracleSql,
     "q154_pack_subwords" -> q154OracleSql(6, 128),
     "q156_streaming_ingest" -> q156OracleSql,
+    "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
@@ -3717,6 +3735,26 @@ object SparkEntry {
     s"round(min($dist2), 6) AS exact_top1_dist " +
     "FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id " +
     "GROUP BY q.vec_id ORDER BY query_id"
+  }
+
+  /** The q157 oracle: the q151 ADC replay generalized to a query SET —
+    * per-(query, code row, subspace) distances from the re-trained
+    * codebook, CASE-pivoted so subspace terms add in pinned order, then
+    * per-query top-10 by (dist, id). */
+  private def q157OracleSql(m: Int, k: Int, dsub: Int, iters: Int): String = {
+    val dq = (0 until dsub).map(i =>
+      s"(CAST(q.embedding[c.s * $dsub + ${i + 1}] AS DOUBLE) - c.c$i) * " +
+      s"(CAST(q.embedding[c.s * $dsub + ${i + 1}] AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    pqOracleCtes(m, k, dsub, iters) + ", " +
+    "qs AS MATERIALIZED (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5), " +
+    s"qd AS MATERIALIZED (SELECT q.qid, af.vec_id, af.s, ($dq) AS d FROM af JOIN c$iters c ON af.s = c.s AND af.j = c.j, qs q), " +
+    "tot AS MATERIALIZED (SELECT qid, vec_id, " +
+    (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN d END)").mkString(" + ") +
+    " AS dist FROM qd GROUP BY qid, vec_id), " +
+    "rk AS MATERIALIZED (SELECT qid, vec_id, dist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM tot) " +
+    "SELECT qid AS query_id, vec_id AS corpus_id, CAST(rnk AS INTEGER) AS rank, " +
+    "round(dist, 6) AS adc_dist FROM rk WHERE rnk <= 10 ORDER BY query_id, rank"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

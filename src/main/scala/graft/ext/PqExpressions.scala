@@ -89,6 +89,16 @@ object PqKernel {
   /** ADC lookup: Σ_s table(s)(code(s)), left-associated — `table(s)(j)` is
     * the driver-precomputed distance of the query's subspace-s slice to
     * centroid j (itself summed in the same left-associated term order). */
+  /** Batch-query ADC: one distance per query from a stacked table —
+    * the corpus is scanned ONCE for the whole query set. */
+  def adcMulti(code: ArrayData,
+               tables: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Double](tables.length)
+    var qi = 0
+    while (qi < tables.length) { out(qi) = adc(code, tables(qi)); qi += 1 }
+    new GenericArrayData(out)
+  }
+
   def adc(code: ArrayData, table: Array[Array[Double]]): Double = {
     val m = table.length
     if (code.numElements() != m)
@@ -172,6 +182,24 @@ case class PqAdcExpr(child: Expression, table: Array[Array[Double]])
     copy(child = c)
 }
 
+/** `pq_adc_multi(code)` → per-query asymmetric distances (array, one per
+  * stacked query table) — the batch-search projection. */
+case class PqAdcMultiExpr(child: Expression, tables: Array[Array[Array[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_multi"
+  override protected def nullSafeEval(code: Any): Any =
+    PqKernel.adcMulti(code.asInstanceOf[ArrayData], tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcTables", tables, "double[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.ext.PqKernel.adcMulti($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column builders for the PQ expressions (registry-bypassing: the
   * codebook is a driver object, not a SQL literal). */
 object PqFunctions {
@@ -185,4 +213,7 @@ object PqFunctions {
   def pq_adc(code: Column, table: Array[Array[Double]]): Column =
     Bridge.column(
       PqAdcExpr(Bridge.expression(code), table))
+  def pq_adc_multi(code: Column, tables: Array[Array[Array[Double]]]): Column =
+    Bridge.column(
+      PqAdcMultiExpr(Bridge.expression(code), tables))
 }

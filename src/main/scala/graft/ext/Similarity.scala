@@ -558,13 +558,12 @@ object Similarity {
     * double-vector corpus must not be forced to downcast its query to
     * float against the double-trained codebook. Floats upcast losslessly
     * via the overload above. */
-  def pqSearchAdc(codes: DataFrame, idCol: String, model: PqModel,
-                  query: Array[Double], k: Int): DataFrame = {
+  /** The per-subspace ADC distance TABLE of one query, precomputed on
+    * the driver in the same left-associated term order the runtime
+    * kernels use — bit-identical values, m·k doubles. */
+  private def adcTable(model: PqModel, query: Array[Double]): Array[Array[Double]] = {
     require(query.length == model.m * model.dsub, "query dim mismatch")
-    // the per-subspace distance TABLE, precomputed on the driver in the
-    // same left-associated term order the old expression trees used —
-    // bit-identical values, m·k doubles shipped via addReferenceObj
-    val table = Array.tabulate(model.m, model.k) { (s, j) =>
+    Array.tabulate(model.m, model.k) { (s, j) =>
       var d = 0.0
       var i = 0
       while (i < model.dsub) {
@@ -574,8 +573,60 @@ object Similarity {
       }
       d
     }
-    codes.select(col(idCol), PqFunctions.pq_adc(col("code"), table).as("adc_dist"))
+  }
+
+  def pqSearchAdc(codes: DataFrame, idCol: String, model: PqModel,
+                  query: Array[Double], k: Int): DataFrame =
+    codes.select(col(idCol),
+        PqFunctions.pq_adc(col("code"), adcTable(model, query)).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc).limit(k)
+
+  /**
+   * BATCH ADC search — the whole query frame against the codes in ONE
+   * corpus pass: per-query distance tables stack into a single
+   * reference object (nq·m·k doubles), the codegen'd `pq_adc_multi`
+   * projection emits one distance per query per code row, and the
+   * bounded [[TopKAggregate]] heap keeps k rows per query with
+   * map-side partial aggregation — the shuffle carries k pairs per
+   * query, never |codes|·|queries| scored rows. Queries are collected
+   * to the driver under a loud cap (they are the SMALL side by
+   * assumption — the [[bruteForceTopK]] broadcast posture; batch
+   * bigger query sets yourself). Ids must be long-typed (the heap's
+   * key type). Ties break (adc_dist asc, id asc) like [[pqSearchAdc]].
+   * Output: (query_id, corpus_id, adc_dist, rank).
+   */
+  def pqSearchAdcAll(codes: DataFrame, idCol: String, model: PqModel,
+                     queries: DataFrame, queryVecCol: String,
+                     queryIdCol: String, k: Int,
+                     maxQueries: Int = 4096): DataFrame = {
+    val spark = codes.sparkSession
+    val qRows = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"pqSearchAdcAll: query frame exceeds maxQueries=$maxQueries - the " +
+        "batch tables live on the driver and ship to every task; split " +
+        "the query set, or raise maxQueries deliberately.")
+    require(qRows.nonEmpty, "pqSearchAdcAll: empty query frame")
+    val qVec: Array[Array[Double]] = qRows.map(_.getSeq[Any](1).toArray.map {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric query vector element: $other")
+    })
+    val tables = qVec.map(adcTable(model, _))
+    val qIds = qRows.map(_.getLong(0))
+    import spark.implicits._
+    val qMap = qIds.zipWithIndex.map { case (qid, i) => (i, qid) }
+      .toSeq.toDF("_qidx", "query_id")
+    codes.select(col(idCol).as("corpus_id"),
+        posexplode(PqFunctions.pq_adc_multi(col("code"), tables))
+          .as(Seq("_qidx", "_d")))
+      .groupBy("_qidx")
+      .agg(TopKAggregate.topk_by_score(col("corpus_id"), -col("_d"), k).as("top"))
+      .join(broadcast(qMap), Seq("_qidx"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        (-col("col.score")).as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /**

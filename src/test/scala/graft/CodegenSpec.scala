@@ -121,11 +121,14 @@ class CodegenSpec extends SparkSpec {
       val row = df.select(
         pq_encode($"v", cents).as("code"),
         pq_assign($"s", $"slice", cents).as("a"),
-        pq_adc(pq_encode($"v", cents), table).as("d"))
+        pq_adc(pq_encode($"v", cents), table).as("d"),
+        pq_adc_multi(pq_encode($"v", cents),
+          Array(table, table.map(_.map(_ * 2)))).as("dm"))
         .head()
       assert(row.getSeq[Int](0) == Seq(1, 1), s"code ${row.getSeq[Int](0)}")
       assert(row.getInt(1) == 2)          // 8.0 nearest 9.0 in subspace 0
       assert(row.getDouble(2) == 5.0)     // table(0)(1) + table(1)(1)
+      assert(row.getSeq[Double](3) == Seq(5.0, 10.0))
     }
   }
 

@@ -2181,6 +2181,32 @@ class ExtSpec extends SparkSpec {
     assert(top.head._2 == want, s"${top.head._2} != $want")
   }
 
+  test("pqSearchAdcAll: batch search == per-query pqSearchAdc loop") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pqTrain(emb, "embedding", "vec_id", m = 4, k = 8, iters = 1)
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+      .localCheckpoint()
+    val queries = emb.filter($"vec_id" < 3)
+    val batch = Similarity.pqSearchAdcAll(codes, "vec_id", model,
+        queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val single = queries.select("vec_id", "embedding").collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1).map(_.toDouble).toArray
+      Similarity.pqSearchAdc(codes, "vec_id", model, qv, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getDouble(1), i + 1) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    assert(batch == single, s"batch $batch\nsingle $single")
+    // the cap refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqSearchAdcAll(codes, "vec_id", model,
+        emb, "embedding", "vec_id", k = 5, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
   test("trainQualityClassifier: learned weights separate prose from digit spam") {
     val prose = Seq(
       "the cat sat on the mat and it was warm in the sun",
