@@ -2198,6 +2198,61 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q158_ivfadc_residual" -> ((s, dir) => { ensure(s)
+      // RESIDUAL IVFADC — faiss IVFPQ proper (q152 stores flat-vector
+      // codes; production faiss encodes vec − cellCentroid, spending
+      // the code budget on what the coarse quantizer didn't explain):
+      // pqTrainResiduals + writePartitionedPqResidual + per-probed-cell
+      // query-residual distance tables. Twin = the EXHAUSTIVE residual
+      // search (all cells probed — isolates cell pruning from the
+      // quantization, the q152 recipe): nprobe=4 of 8 measured overlaps
+      // {7,7,8,8,9}/10 on this clusterless corpus (residual cells align
+      // with residual ADC better than flat cells did), floor >= 6.
+      // exact_top1_dist = the DuckDB-replayed exact L2 anchor.
+      import org.apache.spark.sql.expressions.Window
+      val emb = ld(s, dir, "embeddings")
+      val ivf = graft.ext.Ivf.train(emb, "embedding", k = 8, seed = 42L)
+      val assigned = graft.ext.Ivf.assign(emb, "embedding", ivf)
+        .localCheckpoint()
+      val pq = graft.ext.Ivf.pqTrainResiduals(assigned, "embedding",
+        "vec_id", ivf, m = 4, k = 16, iters = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft-respq")
+        .toString + "/codes"
+      graft.ext.Ivf.writePartitionedPqResidual(assigned, "embedding",
+        "vec_id", ivf, pq, path)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      def top10(qid: Long, qv: Array[Double], np: Int): DataFrame =
+        graft.ext.Ivf.searchPartitionedPqResidual(s, path, qv, ivf, pq,
+            "vec_id", k = 11, nprobe = np)
+          .filter(col("vec_id") =!= qid)
+          .orderBy(col("adc_dist").asc, col("vec_id").asc).limit(10)
+          .select(lit(qid).as("query_id"), col("vec_id").as("corpus_id"))
+      val pruned = qs.map { case (qid, qv) => top10(qid, qv, 4) }
+        .reduce(_ unionByName _)
+      val full = qs.map { case (qid, qv) => top10(qid, qv, ivf.k) }
+        .reduce(_ unionByName _)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val dist2 = aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => {
+          val dd = x.cast("double") - y.cast("double"); dd * dd
+        }), lit(0.0), (acc, v) => acc + v)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("corpus_id").asc)
+      val top1 = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .select(col("query_id"), col("corpus_id"), dist2.as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), round(col("d2"), 6).as("exact_top1_dist"))
+      full.join(pruned, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) >= 6).as("recall_ok"))
+        .join(top1, Seq("query_id"))
+        .select(col("query_id"), col("recall_ok"), col("exact_top1_dist"))
+        .orderBy("query_id")
+    }),
     "q157_pq_adc_batch" -> ((s, dir) => { ensure(s)
       // BATCH ADC search: five query vectors against the q150 codes in
       // ONE corpus pass — stacked per-query distance tables ride one
@@ -3337,6 +3392,7 @@ object SparkEntry {
     "q154_pack_subwords" -> q154OracleSql(6, 128),
     "q156_streaming_ingest" -> q156OracleSql,
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
+    "q158_ivfadc_residual" -> q152OracleSql(64),
     "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +

@@ -320,6 +320,119 @@ object Ivf {
     search(corpus, queries, model, vecCol, idCol, k, nprobe, excludeSelf)
   }
 
+  /** Runtime kernel for the residual projection: vec − centroids(cell),
+    * in doubles (float centroids upcast exactly). Public so janino's
+    * static forwarder resolves it from generated code. */
+  def residualOf(cell: Int, vec: ArrayData,
+                 centroids: Array[Array[Float]]): ArrayData = {
+    if (cell < 0 || cell >= centroids.length)
+      throw new IllegalArgumentException(
+        s"ivf_residual: cell $cell out of range [0, ${centroids.length})")
+    val c = centroids(cell)
+    val d = vec.numElements()
+    if (d != c.length)
+      throw new IllegalArgumentException(
+        s"ivf_residual: vector dim $d != centroid dim ${c.length}")
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (vec.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"ivf_residual: NULL vector element at index $i")
+      out(i) = vec.getDouble(i) - c(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `ivf_residual(cell, vec)` → vec − cellCentroid as array<double> —
+    * the residual-PQ projection; centroids ride `ctx.addReferenceObj`
+    * (the PqKernel pattern — constant generated-code size in cells). */
+  private[ext] case class IvfResidualExpr(
+      left: Expression, right: Expression,
+      centroids: Array[Array[Float]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+      Seq(IntegerType, ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "ivf_residual"
+    override protected def nullSafeEval(cell: Any, vec: Any): Any =
+      residualOf(cell.asInstanceOf[Int], vec.asInstanceOf[ArrayData], centroids)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+      defineCodeGen(ctx, ev, (c, v) => s"graft.ext.Ivf.residualOf($c, $v, $ref)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Residual projection as a Column (vec − centroid of `cellCol`). */
+  def residualCol(cellCol: Column, vecCol: Column, model: Model): Column =
+    org.apache.spark.sql.graftx.Bridge.column(IvfResidualExpr(
+      org.apache.spark.sql.graftx.Bridge.expression(cellCol),
+      org.apache.spark.sql.graftx.Bridge.expression(vecCol),
+      model.centroids))
+
+  /**
+   * Train a PQ codebook on RESIDUALS (vec − cell centroid) — faiss
+   * `IVFPQ` proper: residual norms are on the order of the cell radius,
+   * far smaller than vector norms, so the same m·k code budget spends
+   * its precision on the part the coarse quantizer didn't explain —
+   * materially better recall at equal bytes than flat-vector PQ.
+   * Deterministic/oracle-replayable exactly like [[Similarity.pqTrain]]
+   * (which this delegates to over the residual projection).
+   */
+  def pqTrainResiduals(assignedCorpus: DataFrame, vecCol: String,
+                       idCol: String, model: Model,
+                       m: Int = 4, k: Int = 16, iters: Int = 2)
+      : Similarity.PqModel =
+    Similarity.pqTrain(
+      assignedCorpus.withColumn("_resid",
+        residualCol(col("ivf_cell"), col(vecCol), model)),
+      "_resid", idCol, m, k, iters)
+
+  /** [[writePartitionedPq]] with RESIDUAL encoding: code =
+    * pq(vec − cellCentroid), the faiss IVFPQ storage proper. */
+  def writePartitionedPqResidual(assignedCorpus: DataFrame, vecCol: String,
+                                 idCol: String, model: Model,
+                                 pq: Similarity.PqModel, path: String): Unit =
+    assignedCorpus.select(col(idCol), col("ivf_cell"),
+        PqFunctions.pq_encode(
+          residualCol(col("ivf_cell"), col(vecCol), model),
+          pq.centroids).as("code"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /**
+   * Residual-IVFADC search: per probed cell the query RESIDUAL differs
+   * (q − cellCentroid), so each probed cell gets its OWN driver-built
+   * distance table and its own statically-pruned scan; the nprobe
+   * bounded scans union into one TakeOrdered head. This is faiss's
+   * IVFPQ search exactly — per-query cost nprobe · |cell| · m lookups.
+   */
+  def searchPartitionedPqResidual(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, query: Array[Double],
+                                  model: Model, pq: Similarity.PqModel,
+                                  idCol: String, k: Int = 10,
+                                  nprobe: Int = 4): DataFrame = {
+    val probed = nearestCellsLocal(model, query, nprobe)
+    probed.map { c =>
+      val cen = model.centroids(c)
+      require(query.length == cen.length,
+        s"query dim ${query.length} != centroid dim ${cen.length}")
+      val qres = Array.tabulate(query.length)(i => query(i) - cen(i))
+      spark.read.parquet(path).filter(col("ivf_cell") === c)
+        .select(col(idCol),
+          PqFunctions.pq_adc(col("code"), Similarity.adcTable(pq, qres))
+            .as("adc_dist"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("adc_dist").asc, col(idCol).asc).limit(k)
+  }
+
   /**
    * IVFADC storage (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's
    * `IVFPQ`): PQ codes stored INSIDE the cell-partitioned layout —

@@ -561,7 +561,7 @@ object Similarity {
   /** The per-subspace ADC distance TABLE of one query, precomputed on
     * the driver in the same left-associated term order the runtime
     * kernels use — bit-identical values, m·k doubles. */
-  private def adcTable(model: PqModel, query: Array[Double]): Array[Array[Double]] = {
+  private[ext] def adcTable(model: PqModel, query: Array[Double]): Array[Array[Double]] = {
     require(query.length == model.m * model.dsub, "query dim mismatch")
     Array.tabulate(model.m, model.k) { (s, j) =>
       var d = 0.0

@@ -129,6 +129,15 @@ class CodegenSpec extends SparkSpec {
       assert(row.getInt(1) == 2)          // 8.0 nearest 9.0 in subspace 0
       assert(row.getDouble(2) == 5.0)     // table(0)(1) + table(1)(1)
       assert(row.getSeq[Double](3) == Seq(5.0, 10.0))
+      // the residual kernel under the same strict-codegen regime
+      val ivfModel = graft.ext.Ivf.Model(
+        Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      val res = df.select(
+          graft.ext.Ivf.residualCol($"s", $"v", ivfModel).as("r"))
+        .head().getSeq[Double](0)
+      assert(res.length == 2 &&
+        math.abs(res(0) - 4.1) < 1e-6 && math.abs(res(1) - 7.9) < 1e-6,
+        s"residual $res")
     }
   }
 

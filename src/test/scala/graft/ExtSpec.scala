@@ -208,6 +208,45 @@ class ExtSpec extends SparkSpec {
     assert(got.length == 5 && got == expected, s"got $got expected $expected")
   }
 
+  test("residual IVFADC: search matches a driver-recomputed ADC oracle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = Ivf.train(emb, "embedding", k = 4, maxIter = 5)
+    val assigned = Ivf.assign(emb, "embedding", ivf).localCheckpoint()
+    val pq = Ivf.pqTrainResiduals(assigned, "embedding", "vec_id", ivf,
+      m = 4, k = 8, iters = 1)
+    val path = tmpDir("respq") + "/codes"
+    Ivf.writePartitionedPqResidual(assigned, "embedding", "vec_id", ivf, pq, path)
+    val qv = emb.filter($"vec_id" === 2).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val got = Ivf.searchPartitionedPqResidual(spark, path, qv, ivf, pq,
+        "vec_id", k = 5, nprobe = 4) // nprobe = all cells: exhaustive
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // independent driver re-computation: per-cell query-residual tables
+    // + table-lookup sums over the saved codes, same float discipline
+    val codes = spark.read.parquet(path)
+      .select($"vec_id", $"ivf_cell", $"code").collect()
+    def tableFor(cell: Int): Array[Array[Double]] = {
+      val cen = ivf.centroids(cell)
+      val qres = Array.tabulate(qv.length)(i => qv(i) - cen(i))
+      Array.tabulate(pq.m, pq.k) { (sdx, j) =>
+        var d = 0.0; var i = 0
+        while (i < pq.dsub) {
+          val x = qres(sdx * pq.dsub + i) - pq.centroids(sdx)(j)(i)
+          d += x * x; i += 1
+        }
+        d
+      }
+    }
+    val expected = codes.map { r =>
+      val t = tableFor(r.getInt(1))
+      val code = r.getSeq[Int](2)
+      var d = 0.0
+      (0 until pq.m).foreach(sdx => d += t(sdx)(code(sdx)))
+      (r.getLong(0), d)
+    }.sortBy(t => (t._2, t._1)).take(5).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("vocab top-k / decontamination / pii scan") {
     val docsReal = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val top = TextAnalysis.topTokens(docsReal, "text", 10).collect()
