@@ -2198,6 +2198,25 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q159_adc_refine" -> ((s, dir) => { ensure(s)
+      // two-stage refinement (faiss refine / ScaNN reorder): ADC top-50
+      // candidates from the q150 codes, then exact squared-L2 re-rank
+      // of ONLY those 50 raw vectors -> top-10. Fully oracle-replayable:
+      // the ADC stage replays via the q151 recipe and the exact stage
+      // via the explicit 64-term left-associated sum (the q152 anchor).
+      // Same query as q151 (vec 7), so the two gates together pin what
+      // refinement CHANGES: the quantization-error rank inversions.
+      val emb = ld(s, dir, "embeddings")
+      val model = q150Model(s, dir)
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+      Similarity.pqSearchAdcRefine(codes, emb, "embedding", "vec_id",
+          model, query, k = 10, rerank = 50)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
     "q158_ivfadc_residual" -> ((s, dir) => { ensure(s)
       // RESIDUAL IVFADC — faiss IVFPQ proper (q152 stores flat-vector
       // codes; production faiss encodes vec − cellCentroid, spending
@@ -3393,6 +3412,7 @@ object SparkEntry {
     "q156_streaming_ingest" -> q156OracleSql,
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
+    "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
     "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
@@ -3811,6 +3831,33 @@ object SparkEntry {
     "rk AS MATERIALIZED (SELECT qid, vec_id, dist, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM tot) " +
     "SELECT qid AS query_id, vec_id AS corpus_id, CAST(rnk AS INTEGER) AS rank, " +
     "round(dist, 6) AS adc_dist FROM rk WHERE rnk <= 10 ORDER BY query_id, rank"
+  }
+
+  /** The q159 oracle: the q151 ADC replay widened to a top-`rerank`
+    * candidate CTE, then exact squared-L2 re-rank of only those
+    * candidates (explicit left-associated d-term sum) → top-10,
+    * emitted in vec_id order. */
+  private def q159OracleSql(m: Int, k: Int, dsub: Int, iters: Int,
+                            d: Int, rerank: Int): String = {
+    val dq = (0 until dsub).map(i =>
+      s"(CAST(q.embedding[c.s * $dsub + ${i + 1}] AS DOUBLE) - c.c$i) * " +
+      s"(CAST(q.embedding[c.s * $dsub + ${i + 1}] AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    val ex = (1 to d).map(i =>
+      s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE)) * " +
+      s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE))")
+      .mkString(" + ")
+    pqOracleCtes(m, k, dsub, iters) + ", " +
+    s"qd AS MATERIALIZED (SELECT af.vec_id, af.s, ($dq) AS d FROM af JOIN c$iters c ON af.s = c.s AND af.j = c.j, " +
+    "(SELECT embedding FROM embeddings WHERE vec_id = 7) q), " +
+    "tot AS MATERIALIZED (SELECT vec_id, " +
+    (0 until m).map(s => s"MAX(CASE WHEN s = $s THEN d END)").mkString(" + ") +
+    " AS dist FROM qd GROUP BY vec_id), " +
+    s"cand AS MATERIALIZED (SELECT vec_id FROM tot ORDER BY dist, vec_id LIMIT $rerank), " +
+    s"ex AS MATERIALIZED (SELECT v.vec_id, ($ex) AS dist FROM embeddings v JOIN cand USING (vec_id), " +
+    "(SELECT embedding FROM embeddings WHERE vec_id = 7) q) " +
+    "SELECT vec_id, round(dist, 6) AS dist FROM " +
+    "(SELECT vec_id, dist FROM ex ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

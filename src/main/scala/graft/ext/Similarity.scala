@@ -582,6 +582,34 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol).asc).limit(k)
 
   /**
+   * Two-stage retrieval REFINEMENT (the faiss `refine`/ScaNN reorder
+   * standard): ADC selects a cheap candidate top-`rerank` from the
+   * codes, then ONLY those candidates' raw vectors are fetched and
+   * re-scored with exact squared L2 — correcting PQ quantization error
+   * at the cost of reading `rerank` raw vectors instead of zero.
+   * `rerank` a few × k recovers near-exact recall while the corpus
+   * itself is still scanned only as m-int codes. The exact distance is
+   * the explicit left-associated per-dim sum (zip_with + sequential
+   * aggregate fold — cross-engine replayable like the ADC tables);
+   * ties break (dist asc, id asc).
+   */
+  def pqSearchAdcRefine(codes: DataFrame, vectors: DataFrame,
+                        vecCol: String, idCol: String, model: PqModel,
+                        query: Array[Double], k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cands = pqSearchAdc(codes, idCol, model, query, rerank)
+      .select(col(idCol))
+    val qArr = array(query.map(lit(_)): _*)
+    val dist = aggregate(
+      zip_with(col(vecCol), qArr, (x, q) => {
+        val dd = x.cast("double") - q; dd * dd
+      }), lit(0.0), (acc, v) => acc + v)
+    vectors.join(broadcast(cands), Seq(idCol), "left_semi")
+      .select(col(idCol), dist.as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc).limit(k)
+  }
+
+  /**
    * BATCH ADC search — the whole query frame against the codes in ONE
    * corpus pass: per-query distance tables stack into a single
    * reference object (nq·m·k doubles), the codegen'd `pq_adc_multi`

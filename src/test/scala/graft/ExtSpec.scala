@@ -2246,6 +2246,33 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("maxQueries"))
   }
 
+  test("pqSearchAdcRefine: rerank = corpus recovers the exact L2 top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val model = Similarity.pqTrain(emb, "embedding", "vec_id", m = 4, k = 8, iters = 1)
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id", model)
+    val qv = emb.filter($"vec_id" === 3).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val got = Similarity.pqSearchAdcRefine(codes, emb, "embedding", "vec_id",
+        model, qv, k = 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // with every row re-ranked, the ADC stage can hide nothing: result
+    // must equal the exact L2 top-5 (driver-recomputed, same fold order)
+    val exact = emb.select($"vec_id", $"embedding").collect().map { r =>
+      val v = r.getSeq[Float](1)
+      var d = 0.0
+      v.indices.foreach { i => val x = v(i).toDouble - qv(i); d += x * x }
+      (r.getLong(0), d)
+    }.sortBy(t => (t._2, t._1)).take(5).toSeq
+    assert(got == exact, s"got $got exact $exact")
+    assert(got.head._1 == 3L && got.head._2 == 0.0) // the query itself
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqSearchAdcRefine(codes, emb, "embedding", "vec_id",
+        model, qv, k = 5, rerank = 4)
+    }
+    assert(e.getMessage.contains("rerank"))
+  }
+
   test("trainQualityClassifier: learned weights separate prose from digit spam") {
     val prose = Seq(
       "the cat sat on the mat and it was warm in the sun",
