@@ -258,6 +258,44 @@ object ScaleProbeX {
           f"encode=${(t2 - t1) / 1e9}%.3f search=${(t3 - t2) / 1e9}%.3f " +
           s"codes=$n top=${top.length}")
       }
+      if (want("ivfadc")) {
+        // the composed vector-index family end to end at 1x/10x:
+        // IVF train + assign + residual-PQ train + partitioned write,
+        // then per-query searches (cell-pruned residual ADC, batch ADC
+        // over all codes, ADC + exact refine). Search cost should track
+        // nprobe * cell size — NOT corpus size — as the corpus grows.
+        import graft.ext.Ivf
+        System.gc()
+        val t0 = System.nanoTime()
+        val ivf = Ivf.train(emb, "embedding", k = 16, seed = 42L)
+        val assigned = Ivf.assign(emb, "embedding", ivf).localCheckpoint()
+        val pq = Ivf.pqTrainResiduals(assigned, "embedding", "vec_id", ivf,
+          m = 8, k = 256, iters = 2)
+        val path = s"$root/ivfadc-$label/codes"
+        Ivf.writePartitionedPqResidual(assigned, "embedding", "vec_id",
+          ivf, pq, path)
+        val t1 = System.nanoTime()
+        val qv = emb.orderBy("vec_id").limit(1).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        val r1 = Ivf.searchPartitionedPqResidual(spark, path, qv, ivf, pq,
+          "vec_id", k = 10, nprobe = 4).collect()
+        val t2 = System.nanoTime()
+        val flat = Similarity.pqTrain(emb, "embedding", "vec_id",
+          m = 8, k = 256, iters = 1)
+        val codes = Similarity.pqEncode(emb, "embedding", "vec_id", flat)
+          .localCheckpoint()
+        val qs = emb.filter(col("vec_id") % 1000000L < 8)
+        val r2 = Similarity.pqSearchAdcAll(codes, "vec_id", flat, qs,
+          "embedding", "vec_id", k = 10).count()
+        val t3 = System.nanoTime()
+        val r3 = Similarity.pqSearchAdcRefine(codes, emb, "embedding",
+          "vec_id", flat, qv, k = 10, rerank = 100).collect()
+        val t4 = System.nanoTime()
+        println(f"SCALEX $label ivfadc build=${(t1 - t0) / 1e9}%.3f " +
+          f"searchResidual=${(t2 - t1) / 1e9}%.3f " +
+          f"batchAdc8q=${(t3 - t2) / 1e9}%.3f refine=${(t4 - t3) / 1e9}%.3f " +
+          s"rows=${r1.length}/$r2/${r3.length}")
+      }
       if (want("trainClassifier")) {
         System.gc()
         val t0 = System.nanoTime()
