@@ -265,7 +265,18 @@ object Pipeline {
                   minTokens: Int = 5,
                   maxDupTokenFraction: Double = 0.6,
                   minhashThreshold: Double = 0.8,
-                  minhashMaxBucket: Int = 1000)
+                  minhashMaxBucket: Int = 1000,
+                  // MAINTAINED side tables (appended at signature end per
+                  // the compat note): a daily ingest against a 100 TB
+                  // corpus must not re-derive the distinct-URL and md5
+                  // sets from the corpus every batch — producers that
+                  // maintain them append-only (ingestSink does) pass the
+                  // slim single-column frames here and the corpus's
+                  // url/text columns are never rescanned for those two
+                  // stages. Contract: the sets must cover exactly
+                  // oldCleaned's content (canonical URLs / md5(text)).
+                  oldUrlSet: Option[DataFrame] = None,
+                  oldHashSet: Option[DataFrame] = None)
       : (DataFrame, Seq[StageReport]) = {
     require(oldUrlCol.isEmpty || urlCol.nonEmpty,
       "oldUrlCol without urlCol: the batch has no URLs to cross-check")
@@ -297,9 +308,11 @@ object Pipeline {
     var cur = cleaned
     (urlCol, oldUrlCol) match {
       case (Some(u), Some(ou)) =>
-        val oldUrls = oldCleaned
-          .select(TextAnalysis.canonicalizeUrl(col(ou)).as("_ou"))
-          .filter(col("_ou").isNotNull).distinct()
+        val oldUrls = oldUrlSet
+          .map(_.toDF("_ou").filter(col("_ou").isNotNull).distinct())
+          .getOrElse(oldCleaned
+            .select(TextAnalysis.canonicalizeUrl(col(ou)).as("_ou"))
+            .filter(col("_ou").isNotNull).distinct())
         cur = stage("url_cross_dedup")(
           cur.withColumn("_cu", TextAnalysis.canonicalizeUrl(col(u)))
             .join(oldUrls, col("_cu") === col("_ou"), "left_anti")
@@ -308,7 +321,8 @@ object Pipeline {
     }
     // exact cross: md5 anti-join (the exactKeepers convention — slim
     // 128-bit keys, never full text through the shuffle)
-    val oldHashes = oldCleaned.select(md5(col(oldTextCol)).as("_oh")).distinct()
+    val oldHashes = oldHashSet.map(_.toDF("_oh").distinct())
+      .getOrElse(oldCleaned.select(md5(col(oldTextCol)).as("_oh")).distinct())
     cur = stage("exact_cross_dedup")(
       cur.withColumn("_nh", md5(col(textCol)))
         .join(oldHashes, col("_nh") === col("_oh"), "left_anti")

@@ -218,13 +218,18 @@ object EventStream {
    * equivalence the StreamingSpec pins.
    *
    * Scale: per micro-batch work is exactly [[graft.ext.Pipeline.ingestBatch]]'s
-   * contract — |batch| cleaning + three slim anti-joins; the saved
-   * corpus is never rescanned beyond its distinct-URL/md5/signature
-   * sides, and the checkpoint makes delivery exactly-once per batch
-   * (a replayed batch re-runs against a corpus that already contains
-   * its survivors, and every survivor would then drop as an exact
-   * cross-duplicate — idempotent by construction, the foreachBatch
-   * re-execution caveat this sink is designed around).
+   * contract — |batch| cleaning + three slim anti-joins — and the sink
+   * MAINTAINS the canonical-URL and md5 side tables append-only
+   * (`<corpusDir>.side/{urlset,md5set}`, bootstrapped from the corpus
+   * if it was seeded externally), so the URL/exact cross stages never
+   * rescan the corpus: a daily batch against a 100 TB corpus reads two
+   * slim side tables, not the corpus's url/text columns. Only the
+   * minhash cross stage still reads old text (its signature table is
+   * the session-shared registry). Every write is keyed by batch id
+   * (`batch=<id>` partition, overwrite) — the standard foreachBatch
+   * idempotent-sink recipe: a replayed batch overwrites its own
+   * partition in the corpus AND both side tables instead of
+   * double-appending.
    */
   def ingestSink(newDocs: DataFrame, textCol: String, idCol: String,
                  corpusDir: String, checkpointDir: String,
@@ -250,18 +255,45 @@ object EventStream {
         // no-op against an empty old side
         val old = scala.util.Try(spark.read.parquet(corpusDir))
           .getOrElse(batch.select(keepCols: _*).limit(0))
-        val (survivors, report) = graft.ext.Pipeline.ingestBatch(
+        // maintained side tables; bootstrap (derive from the corpus +
+        // persist) covers an externally-seeded corpus dir, so later
+        // batches never under-cover it
+        def sideSet(path: String, colName: String,
+                    derive: => DataFrame): DataFrame =
+          scala.util.Try(spark.read.parquet(path)).getOrElse {
+            derive.write.mode("overwrite").parquet(s"$path/batch=_bootstrap")
+            spark.read.parquet(path)
+          }.select(colName)
+        val side = s"$corpusDir.side"
+        val urlSet = urlCol.map { u =>
+          sideSet(s"$side/urlset", "url_canon",
+            old.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
+              .as("url_canon")).filter(col("url_canon").isNotNull).distinct())
+        }
+        val hashSet = sideSet(s"$side/md5set", "text_md5",
+          old.select(md5(col(textCol)).as("text_md5")).distinct())
+        val (survivors0, report) = graft.ext.Pipeline.ingestBatch(
           batch, textCol, idCol, old, textCol, idCol,
           urlCol = urlCol, oldUrlCol = urlCol,
           minhashThreshold = minhashThreshold,
-          minhashMaxBucket = minhashMaxBucket)
-        survivors.select(keepCols: _*)
-          .write.mode("append").parquet(corpusDir)
+          minhashMaxBucket = minhashMaxBucket,
+          oldUrlSet = urlSet, oldHashSet = Some(hashSet))
+        // every write keyed by batch id + overwrite: a checkpoint
+        // REPLAY overwrites its own partitions instead of appending
+        // duplicates — corpus and side tables stay mutually consistent
+        val survivors = survivors0.select(keepCols: _*).localCheckpoint()
+        survivors.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        urlCol.foreach { u =>
+          survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
+              .as("url_canon")).filter(col("url_canon").isNotNull).distinct()
+            .write.mode("overwrite").parquet(s"$side/urlset/batch=$batchId")
+        }
+        survivors.select(md5(col(textCol)).as("text_md5")).distinct()
+          .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId")
         reportDir.foreach { rd =>
           import spark.implicits._
-          report.map(r => (batchId, r.stage, r.rows))
-            .toDF("batch_id", "stage", "rows")
-            .write.mode("append").parquet(rd)
+          report.map(r => (r.stage, r.rows)).toDF("stage", "rows")
+            .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
         }
         ()
       }

@@ -2161,6 +2161,35 @@ class ExtSpec extends SparkSpec {
     assert(top.forall(_._2 < 1e-10), s"top $top")
   }
 
+  test("ingestBatch: maintained side sets == derived-from-corpus sets") {
+    // the 100 TB daily-ingest contract: precomputed url/md5 side tables
+    // must produce EXACTLY the derived-from-corpus outcome
+    val nw = Seq(
+      (1L, "alpha beta gamma delta epsilon one", "https://a.ex/p1"),
+      (2L, "zeta eta theta iota kappa two", "https://a.ex/pOLD"),
+      (3L, "old text body lambda mu nu xi", "https://a.ex/p3"),
+      (4L, "fresh omicron pi rho sigma tau", "https://a.ex/p4"))
+      .toDF("doc_id", "text", "url")
+    val old = Seq(
+      (101L, "old text body lambda mu nu xi", "https://a.ex/pOLD"))
+      .toDF("oid", "otext", "ourl")
+    def run(sets: Boolean) = {
+      val urlSet = if (sets) Some(old.select(
+        TextAnalysis.canonicalizeUrl($"ourl").as("u"))) else None
+      val hashSet = if (sets) Some(old.select(md5($"otext"))) else None
+      val (sv, rep) = Pipeline.ingestBatch(nw, "text", "doc_id",
+        old, "otext", "oid", urlCol = Some("url"), oldUrlCol = Some("ourl"),
+        oldUrlSet = urlSet, oldHashSet = hashSet)
+      (sv.select("doc_id").collect().map(_.getLong(0)).toSet,
+        rep.map(r => (r.stage, r.rows)))
+    }
+    val (svD, repD) = run(sets = false)
+    val (svS, repS) = run(sets = true)
+    assert(svD == Set(1L, 4L), s"derived $svD") // 2 drops by url, 3 by md5
+    assert(svS == svD && repS == repD,
+      s"sets ($svS, $repS) != derived ($svD, $repD)")
+  }
+
   test("ngramContaminationFraction: NULL text reports (0, 0, 0.0)") {
     // the documented "fewer than n tokens" contract extends to NULL
     // text: unscorable is zero grams, not NULL propagation

@@ -260,6 +260,20 @@ class StreamingSpec extends SparkSpec {
     val reps = spark.read.parquet(repDir)
     assert(reps.select("batch_id").distinct().count() == 2)
     assert(reps.filter($"stage" === "url_cross_dedup").count() == 2)
+    // the maintained side tables cover exactly the survivors (the
+    // slim frames the next batch's URL/exact cross stages read INSTEAD
+    // of rescanning the corpus)
+    val urls = spark.read.parquet(s"$corpusDir.side/urlset")
+      .select("url_canon").collect().map(_.getString(0)).toSet
+    val md5s = spark.read.parquet(s"$corpusDir.side/md5set")
+      .select("text_md5").collect().map(_.getString(0)).toSet
+    val corpus = spark.read.parquet(corpusDir)
+    val wantUrls = corpus.select(
+        graft.ext.TextAnalysis.canonicalizeUrl($"url").as("u"))
+      .collect().map(_.getString(0)).toSet
+    val wantMd5 = corpus.select(md5($"text")).collect().map(_.getString(0)).toSet
+    assert(urls == wantUrls, s"side urls $urls != $wantUrls")
+    assert(md5s == wantMd5, s"side md5s $md5s != $wantMd5")
   }
 
   test("flatMapGroupsWithState running counters == batch groupBy") {
