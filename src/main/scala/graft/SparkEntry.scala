@@ -2198,6 +2198,30 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q160_asof_join" -> ((s, dir) => { ensure(s)
+      // point-in-time AS-OF join (kdb aj / merge_asof / Flink temporal
+      // join — the temporal operator Spark lacks as a built-in): every
+      // event matched to the LATEST dimension snapshot at-or-before it
+      // per user, via the union-window shape (one hash shuffle per
+      // side, no range explosion). Dim = the %10==0 events as tier
+      // snapshots (groupBy(user, ts) max keeps the right side unique —
+      // the operator's contract); 1-hour tolerance voids stale matches
+      // (payload -> NULL, row kept). Oracle = DuckDB's NATIVE ASOF
+      // LEFT JOIN with the same truncated-seconds tolerance guard.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val dim = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg((max(col("event_id")) % 5).cast("int").as("tier"))
+      val evs = ev.filter(col("event_id") % 10 =!= 0)
+        .select("event_id", "user_id", "ts")
+      graft.ext.AsOf.asofJoin(evs, "ts", "user_id", dim, "ts", "user_id",
+          Seq("tier"), toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("matched_ts")).as("matched_us"),
+          col("tier"))
+        .orderBy("event_id")
+    }),
     "q159_adc_refine" -> ((s, dir) => { ensure(s)
       // two-stage refinement (faiss refine / ScaNN reorder): ADC top-50
       // candidates from the q150 codes, then exact squared-L2 re-rank
@@ -3413,6 +3437,19 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q160_asof_join" ->
+      ("WITH dim AS MATERIALIZED (SELECT user_id, ts, CAST(max(event_id) % 5 AS INTEGER) AS tier " +
+       "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
+       "ev AS MATERIALIZED (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0), " +
+       // the tolerance guard replicates the engine exactly: TRUNCATED
+       // epoch seconds on both sides (epoch_us // 1000000 = Spark's
+       // cast(ts as long)), difference <= 3600
+       "j AS MATERIALIZED (SELECT e.event_id, e.user_id, e.ts AS ets, d.ts AS dts, d.tier, " +
+       "(d.ts IS NOT NULL AND (epoch_us(e.ts) // 1000000) - (epoch_us(d.ts) // 1000000) <= 3600) AS ok " +
+       "FROM ev e ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts) " +
+       "SELECT event_id, user_id, epoch_us(ets) AS ts_us, " +
+       "CASE WHEN ok THEN epoch_us(dts) END AS matched_us, " +
+       "CASE WHEN ok THEN tier END AS tier FROM j ORDER BY event_id"),
     "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +

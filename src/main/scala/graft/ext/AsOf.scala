@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time (AS-OF) joins — the temporal operator Spark lacks as a
+ * built-in (kdb's `aj`, Pandas `merge_asof`, DuckDB `ASOF JOIN`, Flink
+ * temporal table join): each left (event) row is matched to the single
+ * right (dimension/quote) row with the LARGEST right timestamp that is
+ * `<=` the left timestamp within the same key — "what was the state of
+ * this entity when the event happened". The canonical consumer is an
+ * event stream joined to slowly-changing dimension snapshots, or trades
+ * joined to quotes.
+ */
+object AsOf {
+
+  /**
+   * Backward as-of join, the union-window formulation: both sides are
+   * tagged and UNIONED, one window partitioned by key and ordered by
+   * (ts, side) carries the last dimension payload forward, and the left
+   * rows are filtered back out annotated with the carried payload.
+   *
+   * Semantics:
+   *  - a dimension row at EXACTLY the event timestamp matches (`<=`,
+   *    the standard backward convention: side order puts dim rows
+   *    before event rows at equal ts);
+   *  - events with no dimension row at-or-before them get NULL payload
+   *    columns and a NULL `matched_ts` (a left join, never dropped);
+   *  - `toleranceSeconds` (the `merge_asof` knob) voids matches older
+   *    than the event by more than the tolerance — payload AND
+   *    `matched_ts` revert to NULL, not the row to dropped;
+   *  - NULL left timestamps or keys match nothing (NULL payload); right
+   *    rows with NULL ts or key can match nothing and are dropped.
+   *
+   * The right side must be UNIQUE per (key, ts) — two states of one
+   * entity at one instant is a contradiction, and any silent pick would
+   * be nondeterministic. Verified with one aggregate over the right
+   * side by default (`verifyUnique = false` skips the pass when the
+   * producer guarantees it, e.g. output of a groupBy snapshot).
+   *
+   * Scale: ONE hash shuffle of each side by the join key, zero
+   * broadcast, zero range-explosion — the union window is the classic
+   * scalable as-of shape (a naive `l.ts >= r.ts` range join explodes to
+   * |L|·|R_key| candidates before picking the max). Per-key work is a
+   * sequential scan of that key's merged timeline, so per-key
+   * cardinality — not corpus size — bounds a task; skewed keys behave
+   * like any single-key window (salt upstream if one key dominates).
+   */
+  def asofJoin(left: DataFrame, leftTsCol: String, leftKeyCol: String,
+               right: DataFrame, rightTsCol: String, rightKeyCol: String,
+               payloadCols: Seq[String],
+               toleranceSeconds: Option[Long] = None,
+               verifyUnique: Boolean = true): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin: need at least one payload column")
+    require(toleranceSeconds.forall(_ >= 0), "toleranceSeconds must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val dupes =
+      if (!verifyUnique) 0L
+      else right.filter(col(rightTsCol).isNotNull && col(rightKeyCol).isNotNull)
+        .groupBy(col(rightKeyCol), col(rightTsCol))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+        .limit(1).count()
+    require(dupes == 0L,
+      s"asofJoin: right side has duplicate ($rightKeyCol, $rightTsCol) " +
+        "rows — two states of one entity at one instant; deduplicate the " +
+        "right side (e.g. keep the max-version row per key+ts), or pass " +
+        "verifyUnique = false only when uniqueness is guaranteed upstream.")
+    val lCols = left.columns
+    // the dim payload rides ONE nullable struct (+ its own ts): a dim
+    // row whose payload FIELDS are null still advances the match,
+    // which per-column last(ignoreNulls) would get wrong
+    val payload = struct(
+      col(rightTsCol).as("_mts") +: payloadCols.map(c => col(c).as(c)): _*)
+    val r = right
+      .filter(col(rightTsCol).isNotNull && col(rightKeyCol).isNotNull)
+      .select(col(rightKeyCol).as("_k"), col(rightTsCol).as("_ts"),
+        lit(1).as("_dim"), payload.as("_p"))
+    val l = left.select(
+      col(leftKeyCol).as("_k") +: col(leftTsCol).as("_ts") +:
+        lit(0).as("_dim") +: lit(null).cast(r.schema("_p").dataType).as("_p") +:
+        lCols.map(c => left(c).as("_l_" + c)): _*)
+    // dim rows sort BEFORE event rows at equal ts (_dim desc) — the
+    // `<=` backward convention. Window ordering is total per key:
+    // (ts, side) is unique on the dim side by the contract above, and
+    // equal-ts event rows all read the same carried state.
+    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_dim").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = r
+      .select((col("_k") +: col("_ts") +: col("_dim") +: col("_p") +:
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as("_l_" + c))): _*)
+      .unionByName(l)
+    val matched = all
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_dim") === 0)
+    // epoch-seconds difference: cast("long") is epoch for timestamp
+    // columns and identity for numeric ts columns
+    val tolOk = toleranceSeconds match {
+      case Some(t) =>
+        col("_m").isNotNull &&
+          col("_ts").cast("long") - col("_m").getField("_mts").cast("long") <= t
+      case None => col("_m").isNotNull
+    }
+    val kept = matched.withColumn("_mok", tolOk)
+    kept.select(
+      lCols.map(c => col("_l_" + c).as(c)) ++
+        Seq(when(col("_mok"), col("_m").getField("_mts")).as("matched_ts")) ++
+        payloadCols.map(c =>
+          when(col("_mok"), col("_m").getField(c)).as(c)): _*)
+  }
+}

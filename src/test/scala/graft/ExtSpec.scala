@@ -2161,6 +2161,39 @@ class ExtSpec extends SparkSpec {
     assert(top.forall(_._2 < 1e-10), s"top $top")
   }
 
+  test("asofJoin: backward match, equal-ts, tolerance, no-match, nulls, dup refusal") {
+    val l = Seq((1L, Some(100L), Some("u1")), (2L, Some(150L), Some("u1")),
+        (3L, Some(50L), Some("u1")), (4L, Some(5000L), Some("u1")),
+        (5L, Some(150L), Some("u2")), (6L, Some(250L), Some("u1")),
+        (7L, Some(100L), None), (8L, None, Some("u1")))
+      .toDF("event_id", "ts", "k")
+    val r = Seq(("u1", 100L, "A"), ("u1", 200L, "B"), ("u3", 10L, "C"))
+      .toDF("k", "ts", "st")
+    val got = AsOf.asofJoin(l, "ts", "k", r, "ts", "k", Seq("st"),
+        toleranceSeconds = Some(1000L))
+      .collect().map(rr => rr.getLong(0) ->
+        ((if (rr.isNullAt(3)) None else Some(rr.getLong(3)),
+          if (rr.isNullAt(4)) None else Some(rr.getString(4)))))
+      .toMap
+    assert(got == Map(
+      1L -> ((Some(100L), Some("A"))), // dim at EXACTLY the event ts matches
+      2L -> ((Some(100L), Some("A"))),
+      3L -> ((None, None)),            // before every dim
+      4L -> ((None, None)),            // dim@200 is 4800s stale > tolerance
+      5L -> ((None, None)),            // key with no dims
+      6L -> ((Some(200L), Some("B"))),
+      7L -> ((None, None)),            // NULL key matches nothing
+      8L -> ((None, None))             // NULL ts matches nothing
+    ), s"got $got")
+    // duplicate (key, ts) dim rows are a contradiction — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, "ts", "k",
+        r.unionByName(Seq(("u1", 100L, "Z")).toDF("k", "ts", "st")),
+        "ts", "k", Seq("st"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("ingestBatch: maintained side sets == derived-from-corpus sets") {
     // the 100 TB daily-ingest contract: precomputed url/md5 side tables
     // must produce EXACTLY the derived-from-corpus outcome
