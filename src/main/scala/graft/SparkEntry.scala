@@ -2198,6 +2198,29 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q161_range_join" -> ((s, dir) => { ensure(s)
+      // binned range join (the scalable answer to Spark's
+      // BroadcastNestedLoop BETWEEN): lineitem prices against per-part
+      // price bands of width 100 (span = 1-2 bins at binWidth=100 —
+      // the hash path), with every %97==0 part widened to a 500k-wide
+      // band that must route through the guarded BROADCAST wide path —
+      // both paths exercised and summed per band. Decimal-accumulated
+      // sums keep the aggregate order-independent; the oracle is the
+      // plain BETWEEN join DuckDB plans natively (IEJoin).
+      val li = ld(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"))
+      val bands = ld(s, dir, "part").select(
+        col("p_partkey").as("band_id"),
+        (col("p_retailprice").cast("double") - 50.0).as("lo"),
+        (col("p_retailprice").cast("double") +
+          when(col("p_partkey") % 97 === 0, 500000.0).otherwise(50.0)).as("hi"))
+      graft.ext.RangeJoin.pointInInterval(li, "price", bands,
+          "lo", "hi", binWidth = 100.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
+        .orderBy("band_id")
+    }),
     "q160_asof_join" -> ((s, dir) => { ensure(s)
       // point-in-time AS-OF join (kdb aj / merge_asof / Flink temporal
       // join — the temporal operator Spark lacks as a built-in): every
@@ -3437,6 +3460,13 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q161_range_join" ->
+      ("SELECT p.p_partkey AS band_id, CAST(count(*) AS BIGINT) AS cnt, " +
+       "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price " +
+       "FROM part p JOIN lineitem l ON CAST(l.l_extendedprice AS DOUBLE) " +
+       "BETWEEN CAST(p.p_retailprice AS DOUBLE) - 50.0 AND CAST(p.p_retailprice AS DOUBLE) + " +
+       "(CASE WHEN p.p_partkey % 97 = 0 THEN 500000.0 ELSE 50.0 END) " +
+       "GROUP BY 1 ORDER BY 1"),
     "q160_asof_join" ->
       ("WITH dim AS MATERIALIZED (SELECT user_id, ts, CAST(max(event_id) % 5 AS INTEGER) AS tier " +
        "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +

@@ -2194,6 +2194,34 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("pointInInterval: exactly-once pairs, closed bounds, wide path, refusals") {
+    val pts = Seq((1L, Some(0.0)), (2L, Some(10.0)), (3L, Some(15.0)),
+        (4L, Some(100.0)), (5L, None: Option[Double]))
+      .toDF("pid", "x")
+    val ivs = Seq(
+      (10L, 0.0, 10.0),    // closed both ends: x=0 and x=10 both match
+      (11L, 9.5, 10.5),    // spans the bin boundary at 10: x=10 once, not twice
+      (12L, -5.0, 1000.0)) // 102 bins at width 10 > cap 8 -> broadcast wide path
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, maxBinsPerInterval = 8)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, s"duplicate pairs in ${got.toSeq}")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L),
+      (1L, 12L), (2L, 12L), (3L, 12L), (4L, 12L)), s"got ${got.toSet}")
+    val inv = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "x",
+        ivs.unionByName(Seq((20L, 5.0, 1.0)).toDF("iid", "lo", "hi")),
+        "lo", "hi", binWidth = 10.0)
+    }
+    assert(inv.getMessage.contains("inverted"))
+    val wide = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, maxBinsPerInterval = 8, maxWideIntervals = 0)
+    }
+    assert(wide.getMessage.contains("wide path"))
+  }
+
   test("ingestBatch: maintained side sets == derived-from-corpus sets") {
     // the 100 TB daily-ingest contract: precomputed url/md5 side tables
     // must produce EXACTLY the derived-from-corpus outcome
