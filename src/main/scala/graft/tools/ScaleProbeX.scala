@@ -258,6 +258,40 @@ object ScaleProbeX {
           f"encode=${(t2 - t1) / 1e9}%.3f search=${(t3 - t2) / 1e9}%.3f " +
           s"codes=$n top=${top.length}")
       }
+      if (want("asofRange")) {
+        // the two new relational ops at 1x/10x. AS-OF: events replicate
+        // with a USER-ID offset, so per-key timeline length is constant
+        // and wall should track rows (the per-task profile is the
+        // per-key sequential window scan). RANGE: lineitem prices vs
+        // 2000 bands (short path) — the candidate stream scales with
+        // matches, not |points|x|intervals|.
+        val ev1 = graft.streaming.EventStream.loadEvents(spark,
+          "/root/testdata/sf0.1/events.parquet")
+        val ev = if (label == "1x") ev1 else
+          (0 until 10).map(i => ev1
+            .withColumn("user_id", col("user_id") + i * 1000000L)
+            .withColumn("event_id", col("event_id") + i * 10000000L))
+            .reduce(_ unionAll _).localCheckpoint()
+        val dim = ev.filter(col("event_id") % 1000000L % 10 === 0)
+          .groupBy(col("user_id"), col("ts"))
+          .agg((max(col("event_id")) % 5).cast("int").as("tier"))
+        val evs = ev.filter(col("event_id") % 1000000L % 10 =!= 0)
+          .select("event_id", "user_id", "ts")
+        time3(s"$label asofJoin")(
+          graft.ext.AsOf.asofJoin(evs, "ts", "user_id", dim, "ts", "user_id",
+            Seq("tier"), toleranceSeconds = Some(3600L)))
+        val li1 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .select(col("l_extendedprice").as("price"))
+        val li = if (label == "1x") li1 else
+          (0 until 10).map(_ => li1).reduce(_ unionAll _)
+        val bands = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+          .select(col("p_partkey").as("band_id"),
+            (col("p_retailprice").cast("double") - 50.0).as("lo"),
+            (col("p_retailprice").cast("double") + 50.0).as("hi"))
+        time3(s"$label rangeJoin")(
+          graft.ext.RangeJoin.pointInInterval(li, "price", bands,
+            "lo", "hi", binWidth = 100.0))
+      }
       if (want("ivfadc")) {
         // the composed vector-index family end to end at 1x/10x:
         // IVF train + assign + residual-PQ train + partitioned write,
