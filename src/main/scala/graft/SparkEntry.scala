@@ -2198,6 +2198,20 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q162_resample" -> ((s, dir) => { ensure(s)
+      // regular-grid RESAMPLING with last-value carry (pandas
+      // resample().last().ffill() / timescale time_bucket+gap-fill),
+      // composed from the as-of join: per user a DAILY epoch-aligned
+      // grid over that user's span, each point carrying the latest
+      // event value at-or-before it, 2-day tolerance (silent sensors
+      // read NULL, not stale values). Micros end to end; oracle =
+      // per-user range() grid ASOF-joined natively in DuckDB.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      graft.ext.AsOf.resampleLastValue(ev, "ts", "user_id", Seq("value"),
+          stepSeconds = 86400L, toleranceSeconds = Some(172800L))
+        .select(col("user_id"), col("grid_us"), col("matched_us"), col("value"))
+        .orderBy("user_id", "grid_us")
+    }),
     "q161_range_join" -> ((s, dir) => { ensure(s)
       // binned range join (the scalable answer to Spark's
       // BroadcastNestedLoop BETWEEN): lineitem prices against per-part
@@ -3460,6 +3474,15 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q162_resample" ->
+      ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS eus, value FROM events), " +
+       "mm AS MATERIALIZED (SELECT user_id, min(eus) AS mn, max(eus) AS mx FROM ev GROUP BY user_id), " +
+       "grid AS MATERIALIZED (SELECT user_id, unnest(range(mn - mn % 86400000000, mx + 1, 86400000000)) AS grid_us FROM mm), " +
+       "j AS MATERIALIZED (SELECT g.user_id, g.grid_us, e.eus, e.value, " +
+       "(e.eus IS NOT NULL AND g.grid_us - e.eus <= 172800000000) AS ok " +
+       "FROM grid g ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.grid_us >= e.eus) " +
+       "SELECT user_id, grid_us, CASE WHEN ok THEN eus END AS matched_us, " +
+       "CASE WHEN ok THEN value END AS value FROM j ORDER BY user_id, grid_us"),
     "q161_range_join" ->
       ("SELECT p.p_partkey AS band_id, CAST(count(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price " +

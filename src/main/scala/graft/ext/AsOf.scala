@@ -108,4 +108,50 @@ object AsOf {
         payloadCols.map(c =>
           when(col("_mok"), col("_m").getField(c)).as(c)): _*)
   }
+
+  /**
+   * Regular-grid RESAMPLING with last-value carry-forward (pandas
+   * `resample(...).last().ffill()`, the timeseries-DB `time_bucket` +
+   * gap-fill): per key, an epoch-ALIGNED grid of `stepSeconds`-spaced
+   * points spanning that key's [min ts, max ts] is generated and
+   * as-of joined back to the events — each grid point carries the
+   * latest observation at-or-before it (within `toleranceSeconds`, if
+   * given — a sensor silent longer than the tolerance reads NULL, not
+   * a stale value). Timestamps are handled in MICROSECONDS end to end
+   * (events carry sub-second precision); the grid aligns to epoch
+   * multiples of the step, not to each key's first event, so grids of
+   * different keys and different runs line up.
+   *
+   * Output: (key, grid_us, matched_us, payload...) — one row per key
+   * per grid point.
+   *
+   * Scale: the grid is generated per key from one min/max aggregate
+   * (Σ span/step rows — grids are orders of magnitude smaller than
+   * raw events at any realistic step) and the join is [[asofJoin]]'s
+   * union-window: one hash shuffle per side. Events must be unique
+   * per (key, ts) at microsecond precision (the asofJoin contract —
+   * its loud refusal applies); pre-aggregate duplicates upstream.
+   */
+  def resampleLastValue(events: DataFrame, tsCol: String, keyCol: String,
+                        payloadCols: Seq[String], stepSeconds: Long,
+                        toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    val stepUs = stepSeconds * 1000000L
+    val ev = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("_ek") +: unix_micros(col(tsCol)).as("_eus") +:
+        payloadCols.map(col): _*)
+    // FLOOR-div epoch alignment (expr DIV truncates toward zero, wrong
+    // for pre-1970 data — pmod-adjust keeps the grid aligned for any
+    // sign): lo = greatest multiple of step <= min ts
+    val lo = (col("_mn") - pmod(col("_mn"), lit(stepUs))).cast("long")
+    val grid = ev.groupBy(col("_ek"))
+      .agg(min(col("_eus")).as("_mn"), max(col("_eus")).as("_mx"))
+      .select(col("_ek").as("_gk"),
+        explode(sequence(lo, col("_mx"), lit(stepUs))).as("grid_us"))
+    asofJoin(grid, "grid_us", "_gk", ev, "_eus", "_ek", payloadCols,
+        toleranceSeconds = toleranceSeconds.map(_ * 1000000L))
+      .withColumnRenamed("_gk", keyCol)
+      .withColumnRenamed("matched_ts", "matched_us")
+  }
 }

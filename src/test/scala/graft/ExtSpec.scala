@@ -2222,6 +2222,29 @@ class ExtSpec extends SparkSpec {
     assert(wide.getMessage.contains("wide path"))
   }
 
+  test("resampleLastValue: aligned grid, carry-forward, tolerance gap") {
+    def us(sec: Long) = sec * 1000000L
+    val ev = Seq(
+      ("u", us(95), 1.0), ("u", us(205), 2.0),  // carry across grid points
+      ("w", us(1000), 7.0),                      // single-event key
+      ("g", us(0), 5.0), ("g", us(1000), 6.0))   // long gap > tolerance
+      .toDF("k", "tus", "v")
+      .select($"k", timestamp_micros($"tus").as("ts"), $"v")
+    val got = AsOf.resampleLastValue(ev, "ts", "k", Seq("v"),
+        stepSeconds = 100L, toleranceSeconds = Some(150L))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val expU = Set( // grid 0,100,200 (epoch-aligned, NOT min-aligned)
+      ("u", us(0), None),          // nothing at-or-before 0
+      ("u", us(100), Some(1.0)),   // ev@95, age 5
+      ("u", us(200), Some(1.0)))   // carry-forward, age 105 <= 150
+    val expW = Set(("w", us(1000), Some(7.0))) // lo == mx: one point
+    val expG = (1 to 9).map(i => ("g", us(i * 100L),
+        if (i * 100L <= 150L) Some(5.0) else None)).toSet ++
+      Set(("g", us(0), Some(5.0)), ("g", us(1000), Some(6.0)))
+    assert(got == expU ++ expW ++ expG, s"got $got")
+  }
+
   test("ingestBatch: maintained side sets == derived-from-corpus sets") {
     // the 100 TB daily-ingest contract: precomputed url/md5 side tables
     // must produce EXACTLY the derived-from-corpus outcome
