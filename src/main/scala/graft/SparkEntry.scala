@@ -2198,6 +2198,18 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q163_funnel" -> ((s, dir) => { ensure(s)
+      // funnel analysis (the Amplitude/Mixpanel sequence primitive):
+      // earliest strictly-ordered signup -> click -> purchase per user
+      // within 7 days of signup; k-1 rounds of slim join + min-agg,
+      // never a per-key collect. One row per signup user, stalls NULL
+      // monotonically; oracle = the same greedy chain as min-CTEs.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      graft.ext.AsOf.funnel(ev, "ts", "user_id", "event_type",
+          Seq("signup", "click", "purchase"),
+          windowSeconds = Some(604800L))
+        .orderBy("user_id")
+    }),
     "q162_resample" -> ((s, dir) => { ensure(s)
       // regular-grid RESAMPLING with last-value carry (pandas
       // resample().last().ffill() / timescale time_bucket+gap-fill),
@@ -3474,6 +3486,16 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q163_funnel" ->
+      ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, event_type FROM events), " +
+       "s1 AS MATERIALIZED (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id), " +
+       "s2 AS MATERIALIZED (SELECT e.user_id, min(us) AS t2 FROM ev e JOIN s1 USING (user_id) " +
+       "WHERE event_type = 'click' AND us > t1 AND us <= t1 + 604800000000 GROUP BY e.user_id), " +
+       "s3 AS MATERIALIZED (SELECT e.user_id, min(us) AS t3 FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id) " +
+       "WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 604800000000 GROUP BY e.user_id) " +
+       "SELECT s1.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us, " +
+       "CAST(1 + CAST(t2 IS NOT NULL AS INTEGER) + CAST(t3 IS NOT NULL AS INTEGER) AS INTEGER) AS steps_completed " +
+       "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) ORDER BY s1.user_id"),
     "q162_resample" ->
       ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS eus, value FROM events), " +
        "mm AS MATERIALIZED (SELECT user_id, min(eus) AS mn, max(eus) AS mx FROM ev GROUP BY user_id), " +

@@ -154,4 +154,55 @@ object AsOf {
       .withColumnRenamed("_gk", keyCol)
       .withColumnRenamed("matched_ts", "matched_us")
   }
+
+  /**
+   * Funnel analysis (the Amplitude/Mixpanel sequence primitive): per
+   * key, the earliest strictly-ordered completion of the step sequence
+   * — `t1` = the key's first `steps(0)` event, `t_i` = its first
+   * `steps(i-1)` event STRICTLY AFTER `t_{i-1}` (strict, so repeated
+   * step types need distinct events), optionally bounded by
+   * `windowSeconds` from `t1` (the "convert within N days" clause).
+   * Greedy-earliest is the standard semantics and is optimal here: for
+   * a fixed completion deadline, taking each step as early as possible
+   * never excludes a completable suffix.
+   *
+   * Output: one row per key that performed step 1 at all — step
+   * timestamps `t1_us..tk_us` (micros, NULL once the funnel stalls)
+   * and `steps_completed`. Keys that never did step 1 are absent (the
+   * funnel-entry convention: denominators come from step-1 counts).
+   *
+   * Scale: k-1 rounds of (slim equi-join on key + map-side-combined
+   * min aggregate) over the (key, ts) projection — never a per-key
+   * collect, never a sort of the event stream; funnels are 3-7 steps,
+   * so the round count is a small constant. Per-round frames carry one
+   * row per surviving key.
+   */
+  def funnel(events: DataFrame, tsCol: String, keyCol: String,
+             typeCol: String, steps: Seq[String],
+             windowSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(windowSeconds.forall(_ > 0), "windowSeconds must be > 0")
+    val ev = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol).as("_k"), unix_micros(col(tsCol)).as("_us"),
+        col(typeCol).as("_t"))
+    var cur = ev.filter(col("_t") === steps.head)
+      .groupBy(col("_k")).agg(min(col("_us")).as("t1_us"))
+    steps.indices.drop(1).foreach { i =>
+      val prevCol = s"t${i}_us"
+      val deadline = windowSeconds.map(w =>
+        col("_us") <= col("t1_us") + w * 1000000L)
+      val next = ev.filter(col("_t") === steps(i))
+        .join(cur.select(("_k" +: (1 to i).map(j => s"t${j}_us")).map(col): _*),
+          Seq("_k"))
+        .filter(deadline.foldLeft(col("_us") > col(prevCol))(_ && _))
+        .groupBy(col("_k")).agg(min(col("_us")).as(s"t${i + 1}_us"))
+      cur = cur.join(next, Seq("_k"), "left")
+    }
+    val tCols = (1 to steps.length).map(j => col(s"t${j}_us"))
+    cur.select(col("_k").as(keyCol) +: tCols :+
+      tCols.map(c => when(c.isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int").as("steps_completed"): _*)
+  }
 }

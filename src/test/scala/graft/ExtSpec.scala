@@ -2222,6 +2222,38 @@ class ExtSpec extends SparkSpec {
     assert(wide.getMessage.contains("wide path"))
   }
 
+  test("funnel: strict order, window deadline, monotone stalls, repeated steps") {
+    def us(sec: Long) = sec * 1000000L
+    val ev = Seq(
+      ("a", 10L, "A"), ("a", 10L, "B"), ("a", 20L, "B"), ("a", 30L, "C"),
+      // "a": B@10 is NOT after A@10 (strict); B@20 then C@30 complete
+      ("b", 10L, "A"), ("b", 2000L, "B"),
+      // "b": B misses the 1000s window from A -> stalls at step 1
+      ("c", 10L, "A"), ("c", 20L, "C"),
+      // "c": no B at all -> t2/t3 NULL (monotone: C@20 can't skip ahead)
+      ("d", 5L, "B"), ("d", 6L, "C"))
+      // "d": never did step 1 -> absent entirely
+      .toDF("k", "sec", "t")
+      .select($"k", timestamp_micros(($"sec" * 1000000L)).as("ts"), $"t")
+    val got = AsOf.funnel(ev, "ts", "k", "t", Seq("A", "B", "C"),
+        windowSeconds = Some(1000L))
+      .collect().map(r => r.getString(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+          r.getInt(4))).toMap
+    assert(got == Map(
+      "a" -> ((Seq(Some(us(10)), Some(us(20)), Some(us(30))), 3)),
+      "b" -> ((Seq(Some(us(10)), None, None), 1)),
+      "c" -> ((Seq(Some(us(10)), None, None), 1))), s"got $got")
+    // repeated step type needs DISTINCT events: A -> A completes only
+    // with two A's at different timestamps
+    val rep = Seq(("x", 10L, "A"), ("y", 10L, "A"), ("y", 20L, "A"))
+      .toDF("k", "sec", "t")
+      .select($"k", timestamp_micros(($"sec" * 1000000L)).as("ts"), $"t")
+    val got2 = AsOf.funnel(rep, "ts", "k", "t", Seq("A", "A"))
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(got2 == Map("x" -> 1, "y" -> 2), s"got $got2")
+  }
+
   test("resampleLastValue: aligned grid, carry-forward, tolerance gap") {
     def us(sec: Long) = sec * 1000000L
     val ev = Seq(
