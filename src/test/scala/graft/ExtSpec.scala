@@ -2254,6 +2254,24 @@ class ExtSpec extends SparkSpec {
     assert(got2 == Map("x" -> 1, "y" -> 2), s"got $got2")
   }
 
+  test("asofJoin plan: exactly one shuffle exchange (the union-window promise)") {
+    val l = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"user_id", $"ts")
+    val r = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter($"event_id" % 10 === 0)
+      .select($"user_id".as("k"), $"ts".as("rts"), $"value")
+    val out = AsOf.asofJoin(l, "ts", "user_id", r, "rts", "k", Seq("value"),
+      verifyUnique = false)
+    assert(out.count() == l.count()) // left join: every event kept
+    // both sides union into ONE window partitioned by key: a single
+    // hash exchange, no range-join explosion, no broadcast requirement.
+    // Count exchanges in the POST-EXECUTION adaptive plan string (AQE
+    // wraps stages, so a node-type collect sees none).
+    val planStr = out.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(planStr).length
+    assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$planStr")
+  }
+
   test("resampleLastValue: aligned grid, carry-forward, tolerance gap") {
     def us(sec: Long) = sec * 1000000L
     val ev = Seq(
