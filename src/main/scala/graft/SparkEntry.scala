@@ -2198,6 +2198,22 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q164_retention" -> ((s, dir) => { ensure(s)
+      // cohort retention triangle (the funnel's companion): users
+      // cohorted by the epoch-aligned DAY of their first event,
+      // cell (cohort, offset) = distinct users active offset days
+      // later. The %7 event slice keeps ~9 events/user over the
+      // 30-day span, so first events SPREAD across cohort days (the
+      // full stream gives every user a day-0 first event - a 1-cohort
+      // degenerate triangle). One min-agg + join-back +
+      // distinct-count, slim rows only; oracle = the same
+      // floor-division arithmetic in SQL.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 7 === 0)
+      graft.ext.AsOf.retention(ev, "ts", "user_id",
+          periodSeconds = 86400L)
+        .orderBy("cohort_period", "period_offset")
+    }),
     "q163_funnel" -> ((s, dir) => { ensure(s)
       // funnel analysis (the Amplitude/Mixpanel sequence primitive):
       // earliest strictly-ordered signup -> click -> purchase per user
@@ -3486,6 +3502,12 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q164_retention" ->
+      ("WITH ev AS MATERIALIZED (SELECT user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS p FROM events WHERE event_id % 7 = 0), " +
+       "f AS MATERIALIZED (SELECT user_id, min(p) AS c FROM ev GROUP BY user_id) " +
+       "SELECT c AS cohort_period, p - c AS period_offset, " +
+       "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+       "FROM ev e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     "q163_funnel" ->
       ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, event_type FROM events), " +
        "s1 AS MATERIALIZED (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY user_id), " +

@@ -205,4 +205,32 @@ object AsOf {
       tCols.map(c => when(c.isNotNull, 1).otherwise(0))
         .reduce(_ + _).cast("int").as("steps_completed"): _*)
   }
+
+  /**
+   * Cohort RETENTION (the companion primitive to [[funnel]]): keys are
+   * cohorted by the epoch-aligned period of their FIRST event, and cell
+   * (cohort_period, period_offset) counts the distinct keys with ANY
+   * event `offset` periods after their cohort period — the classic
+   * retention triangle. Period indices are epoch-aligned integer
+   * buckets (floor division, sign-safe), so cohorts line up across runs
+   * and engines.
+   *
+   * Scale: one slim min-aggregate per key, one equi-join back on the
+   * key, one distinct-count aggregate whose shuffle carries
+   * (cohort, offset, key) slim rows — nothing holds per-key history.
+   */
+  def retention(events: DataFrame, tsCol: String, keyCol: String,
+                periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be > 0, got $periodSeconds")
+    val pUs = periodSeconds * 1000000L
+    val us = unix_micros(col(tsCol))
+    val ev = events.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k"),
+        ((us - pmod(us, lit(pUs))) / pUs).cast("long").as("_p"))
+    val first = ev.groupBy(col("_k")).agg(min(col("_p")).as("_c"))
+    ev.join(first, Seq("_k"))
+      .groupBy(col("_c").as("cohort_period"),
+        (col("_p") - col("_c")).as("period_offset"))
+      .agg(countDistinct(col("_k")).as("n_users"))
+  }
 }

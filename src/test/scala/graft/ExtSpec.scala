@@ -2272,6 +2272,21 @@ class ExtSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$planStr")
   }
 
+  test("retention: cohort by first period, distinct per cell, epoch alignment") {
+    def ts(sec: Long) = timestamp_micros(lit(sec * 1000000L))
+    val ev = Seq(
+      ("a", 50L), ("a", 150L), ("a", 160L), ("a", 350L), // cohort 0: 0,1,3
+      ("b", 120L), ("b", 250L),                          // cohort 1: 0,1
+      ("c", 130L))                                       // cohort 1: 0
+      .toDF("k", "sec")
+      .select($"k", timestamp_micros(($"sec" * 1000000L)).as("ts"))
+    val got = AsOf.retention(ev, "ts", "k", periodSeconds = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a's two period-1 events count ONCE; b+c share cohort 1 offset 0
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 2L, (1L, 1L) -> 1L), s"got $got")
+  }
+
   test("resampleLastValue: aligned grid, carry-forward, tolerance gap") {
     def us(sec: Long) = sec * 1000000L
     val ev = Seq(
