@@ -2273,7 +2273,6 @@ class ExtSpec extends SparkSpec {
   }
 
   test("retention: cohort by first period, distinct per cell, epoch alignment") {
-    def ts(sec: Long) = timestamp_micros(lit(sec * 1000000L))
     val ev = Seq(
       ("a", 50L), ("a", 150L), ("a", 160L), ("a", 350L), // cohort 0: 0,1,3
       ("b", 120L), ("b", 250L),                          // cohort 1: 0,1
