@@ -54,6 +54,12 @@ object AsOf {
                verifyUnique: Boolean = true): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin: need at least one payload column")
     require(toleranceSeconds.forall(_ >= 0), "toleranceSeconds must be >= 0")
+    val clash = left.columns.toSet
+      .intersect(payloadCols.toSet + "matched_ts")
+    require(clash.isEmpty,
+      s"asofJoin: output would carry duplicate column names " +
+        s"${clash.mkString(", ")} — the left frame already has them; " +
+        "rename one side")
     import org.apache.spark.sql.expressions.Window
     val dupes =
       if (!verifyUnique) 0L

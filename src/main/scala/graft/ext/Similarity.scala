@@ -635,6 +635,10 @@ object Similarity {
         "batch tables live on the driver and ship to every task; split " +
         "the query set, or raise maxQueries deliberately.")
     require(qRows.nonEmpty, "pqSearchAdcAll: empty query frame")
+    // a NULL id would silently read as 0 through getLong and a NULL
+    // vector would NPE deep in the table build — refuse loudly instead
+    qRows.foreach(r => require(!r.isNullAt(0) && !r.isNullAt(1),
+      "pqSearchAdcAll: query rows must have non-NULL id and vector"))
     val qVec: Array[Array[Double]] = qRows.map(_.getSeq[Any](1).toArray.map {
       case n: java.lang.Number => n.doubleValue()
       case other => throw new IllegalArgumentException(
