@@ -291,6 +291,13 @@ object ScaleProbeX {
         time3(s"$label rangeJoin")(
           graft.ext.RangeJoin.pointInInterval(li, "price", bands,
             "lo", "hi", binWidth = 100.0))
+        time3(s"$label funnel")(
+          graft.ext.AsOf.funnel(ev, "ts", "user_id", "event_type",
+            Seq("signup", "click", "purchase"),
+            windowSeconds = Some(604800L)))
+        time3(s"$label retention")(
+          graft.ext.AsOf.retention(ev, "ts", "user_id",
+            periodSeconds = 86400L))
       }
       if (want("ivfadc")) {
         // the composed vector-index family end to end at 1x/10x:
