@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.GeoFunctions
 import graft.ext.TextFunctions
-import graft.plans.EnvelopePrefilter
+import graft.plans.{BinnedRangeJoin, EnvelopePrefilter}
 
 /**
  * SparkSessionExtensions entry point: register with
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => EnvelopePrefilter)
+    // opt-in via spark.graft.rangeJoin.binWidth (no-op otherwise)
+    ext.injectOptimizerRule(_ => BinnedRangeJoin)
   }
 }
 

@@ -2198,6 +2198,36 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n")))
         .orderBy("stage")
     }),
+    "q165_binned_range_rule" -> ((s, dir) => { ensure(s)
+      // the BinnedRangeJoin OPTIMIZER RULE end to end: a plain SQL
+      // `JOIN ... ON x >= lo AND x <= hi` — which Spark would plan as
+      // BroadcastNestedLoopJoin — is rewritten to the binned hash join
+      // automatically (opt-in via spark.graft.rangeJoin.binWidth). The
+      // gate REQUIRES the rewrite fired (a silent no-op would still
+      // return correct rows through the nested loop); oracle = DuckDB's
+      // native IEJoin plan of the same SQL.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoin
+      s.conf.set("spark.graft.rangeJoin.binWidth", "100.0")
+      try {
+        ld(s, dir, "lineitem").select(col("l_extendedprice").as("price"))
+          .createOrReplaceTempView("g165_points")
+        ld(s, dir, "part").select(col("p_partkey").as("band_id"),
+            (col("p_retailprice").cast("double") - 50.0).as("lo"),
+            (col("p_retailprice").cast("double") + 50.0).as("hi"))
+          .createOrReplaceTempView("g165_bands")
+        val q = s.sql(
+          "SELECT band_id, CAST(count(*) AS LONG) AS cnt, " +
+          "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price " +
+          "FROM g165_points JOIN g165_bands ON price >= lo AND price <= hi " +
+          "GROUP BY band_id ORDER BY band_id")
+        require(q.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+          "q165: BinnedRangeJoin did not rewrite the BETWEEN join")
+        // force materialization inside the conf scope
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    }),
     "q164_retention" -> ((s, dir) => { ensure(s)
       // cohort retention triangle (the funnel's companion): users
       // cohorted by the epoch-aligned DAY of their first event,
@@ -3502,6 +3532,12 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q165_binned_range_rule" ->
+      ("SELECT p.p_partkey AS band_id, CAST(count(*) AS BIGINT) AS cnt, " +
+       "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price " +
+       "FROM part p JOIN lineitem l ON CAST(l.l_extendedprice AS DOUBLE) >= CAST(p.p_retailprice AS DOUBLE) - 50.0 " +
+       "AND CAST(l.l_extendedprice AS DOUBLE) <= CAST(p.p_retailprice AS DOUBLE) + 50.0 " +
+       "GROUP BY 1 ORDER BY 1"),
     "q164_retention" ->
       ("WITH ev AS MATERIALIZED (SELECT user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS p FROM events WHERE event_id % 7 = 0), " +
        "f AS MATERIALIZED (SELECT user_id, min(p) AS c FROM ev GROUP BY user_id) " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.plans.EnvelopePrefilter
+import graft.plans.{BinnedRangeJoin, EnvelopePrefilter}
 
 /** The envelope-injection optimizer rule (SURVEY §4 R3). */
 class PlanRuleSpec extends SparkSpec {
@@ -16,6 +16,14 @@ class PlanRuleSpec extends SparkSpec {
     if (!spark.experimental.extraOptimizations.contains(EnvelopePrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ EnvelopePrefilter
+    if (!spark.experimental.extraOptimizations.contains(BinnedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BinnedRangeJoin
+  }
+
+  private def withBinWidth[T](w: String)(body: => T): T = {
+    spark.conf.set("spark.graft.rangeJoin.binWidth", w)
+    try body finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
   }
 
   private def statDf = Seq(
@@ -186,5 +194,66 @@ class PlanRuleSpec extends SparkSpec {
     // both B rows survive: the predicate is on B's geometry, A's stats
     // (which would reject everything) must not be consulted
     assert(q.select("bid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  // ---- BinnedRangeJoin --------------------------------------------------
+
+  private def rjPoints = Seq((1L, 0.0), (2L, 10.0), (3L, 15.0), (4L, 100.0))
+    .toDF("pid", "x")
+  private def rjIntervals = Seq((10L, 0.0, 10.0), (11L, 9.5, 10.5), (12L, 90.0, 120.0))
+    .toDF("iid", "lo", "hi")
+
+  test("BinnedRangeJoin: BETWEEN join becomes a binned hash join, same rows") {
+    rjPoints.createOrReplaceTempView("rj_p")
+    rjIntervals.createOrReplaceTempView("rj_i")
+    val sqlTxt = "SELECT pid, iid FROM rj_p JOIN rj_i ON x >= lo AND x <= hi"
+    val naive = spark.sql(sqlTxt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naivePlan = spark.sql(sqlTxt).queryExecution.optimizedPlan.toString
+    assert(!naivePlan.contains("_graft_pbin"), "rule must be a no-op without binWidth")
+    withBinWidth("10.0") {
+      val q = spark.sql(sqlTxt)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_graft_pbin") && opt.contains("_graft_ibin"),
+        s"expected the binned rewrite in:\n$opt")
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"rewrite must eliminate the nested-loop join:\n$phys")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (1,10) x=0; (2,10) x=10 closed; (2,11) x=10 in 9.5-10.5; (4,12)
+      assert(got == naive && got.size == 4, s"got $got naive $naive")
+      // duplicates would betray a bin/verify bug
+      assert(q.collect().length == got.size)
+    }
+  }
+
+  test("BinnedRangeJoin: point-on-right orientation and extra conjuncts ride along") {
+    rjPoints.createOrReplaceTempView("rj_p2")
+    rjIntervals.createOrReplaceTempView("rj_i2")
+    withBinWidth("10.0") {
+      val q = spark.sql(
+        "SELECT pid, iid FROM rj_i2 JOIN rj_p2 ON lo <= x AND hi >= x AND pid <> 2")
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_ibin"))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (4L, 12L)), s"got $got")
+    }
+  }
+
+  test("BinnedRangeJoin: wide interval raises loudly, equi-joins untouched") {
+    rjPoints.createOrReplaceTempView("rj_p3")
+    Seq((20L, 0.0, 1e9)).toDF("iid", "lo", "hi").createOrReplaceTempView("rj_w")
+    withBinWidth("10.0") {
+      val e = intercept[Exception] {
+        spark.sql("SELECT pid, iid FROM rj_p3 JOIN rj_w ON x >= lo AND x <= hi").collect()
+      }
+      assert(e.getMessage.contains("BinnedRangeJoin"), s"got ${e.getMessage}")
+      // a join that already has a cross-side equi key is not rewritten
+      Seq((1L, 5.0, 0.0, 10.0)).toDF("pid2", "y", "lo2", "hi2")
+        .createOrReplaceTempView("rj_eq")
+      val q = spark.sql(
+        "SELECT p.pid FROM rj_p3 p JOIN rj_eq e ON p.pid = e.pid2 AND p.x >= e.lo2 AND p.x <= e.hi2")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("_graft_pbin"))
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    }
   }
 }
