@@ -2228,6 +2228,22 @@ object SparkEntry {
         q.localCheckpoint()
       } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
     }),
+    "q166_interpolate" -> ((s, dir) => { ensure(s)
+      // regular-grid resampling with LINEAR INTERPOLATION (pandas
+      // resample().interpolate() — the continuous-signal companion to
+      // q162's last-value carry): per user the same daily epoch-aligned
+      // grid, each point reading the straight line between its
+      // bracketing observations, 3-day max gap (a sparse sensor's
+      // week-wide bracket reads NULL, not an invented line). The value
+      // expression is the identical IEEE-754 parse tree in both
+      // engines, so the gate hashes RAW doubles — no rounding.
+      // Oracle = two native DuckDB ASOF joins (>= backward, <= forward)
+      // + the same CASE arithmetic.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      graft.ext.AsOf.resampleInterpolate(ev, "ts", "user_id", "value",
+          stepSeconds = 86400L, maxGapSeconds = Some(259200L))
+        .orderBy("user_id", "grid_us")
+    }),
     "q164_retention" -> ((s, dir) => { ensure(s)
       // cohort retention triangle (the funnel's companion): users
       // cohorted by the epoch-aligned DAY of their first event,
@@ -3554,6 +3570,19 @@ object SparkEntry {
        "SELECT s1.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us, " +
        "CAST(1 + CAST(t2 IS NOT NULL AS INTEGER) + CAST(t3 IS NOT NULL AS INTEGER) AS INTEGER) AS steps_completed " +
        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) ORDER BY s1.user_id"),
+    "q166_interpolate" ->
+      ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS eus, CAST(value AS DOUBLE) AS v FROM events), " +
+       "mm AS MATERIALIZED (SELECT user_id, min(eus) AS mn, max(eus) AS mx FROM ev GROUP BY user_id), " +
+       "grid AS MATERIALIZED (SELECT user_id, unnest(range(mn - mn % 86400000000, mx + 1, 86400000000)) AS grid_us FROM mm), " +
+       "b AS MATERIALIZED (SELECT g.user_id, g.grid_us, e.eus AS prev_us, e.v AS pv " +
+       "FROM grid g ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.grid_us >= e.eus), " +
+       "f AS MATERIALIZED (SELECT b.user_id, b.grid_us, b.prev_us, b.pv, e.eus AS next_us, e.v AS nv " +
+       "FROM b ASOF LEFT JOIN ev e ON b.user_id = e.user_id AND b.grid_us <= e.eus) " +
+       "SELECT user_id, grid_us, prev_us, next_us, " +
+       "CASE WHEN prev_us = grid_us THEN pv " +
+       "WHEN prev_us IS NOT NULL AND next_us IS NOT NULL AND next_us - prev_us <= 259200000000 " +
+       "THEN pv + (nv - pv) * CAST(grid_us - prev_us AS DOUBLE) / CAST(next_us - prev_us AS DOUBLE) END AS value " +
+       "FROM f ORDER BY user_id, grid_us"),
     "q162_resample" ->
       ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS eus, value FROM events), " +
        "mm AS MATERIALIZED (SELECT user_id, min(eus) AS mn, max(eus) AS mx FROM ev GROUP BY user_id), " +

@@ -162,6 +162,83 @@ object AsOf {
   }
 
   /**
+   * Regular-grid resampling with LINEAR INTERPOLATION (pandas
+   * `resample(...).interpolate()`, the timeseries-DB `interpolate`
+   * gap-fill — the companion to [[resampleLastValue]] for continuous
+   * signals): per key, the same epoch-aligned `stepSeconds` grid, but
+   * each grid point reads the straight line between the latest
+   * observation at-or-before it and the earliest at-or-after it:
+   *
+   *   value = prev_v + (next_v - prev_v) * (grid - prev_us) / (next_us - prev_us)
+   *
+   * Semantics (each pinned by the gate's oracle):
+   *  - a grid point landing EXACTLY on an observation reads that
+   *    observation (also what the formula degenerates to, but cased
+   *    first so an exact hit at the corpus boundary — where one
+   *    neighbour is missing — still reads its value);
+   *  - NO extrapolation: grid points before a key's first observation
+   *    or after its last read NULL (the grid spans [aligned min, max],
+   *    so only the leading edge can actually lack a neighbour);
+   *  - `maxGapSeconds` (the "don't invent a week of readings from two
+   *    endpoints" knob) voids interpolation when the bracketing
+   *    observations are further apart than the gap — value NULL, the
+   *    bracket timestamps still reported.
+   *
+   * Output: (key, grid_us, prev_us, next_us, value) — the bracket is
+   * reported as data, so a consumer can audit WHICH observations each
+   * interpolated reading came from.
+   *
+   * Determinism: the interpolation expression is the exact parse tree
+   * above — `((next_v - prev_v) * double(grid - prev_us)) / double(next_us
+   * - prev_us)` added to `prev_v` — all IEEE-754 double ops, so any
+   * engine evaluating the same tree reproduces it bit-for-bit (the gate
+   * hashes raw doubles, no rounding).
+   *
+   * Scale: two [[asofJoin]] union-windows (backward, then forward on the
+   * NEGATED time axis — a forward as-of IS a backward as-of on reversed
+   * time), each one hash shuffle per side; the grid is Σ span/step rows
+   * from one min/max aggregate. Events must be unique per (key, ts) at
+   * microsecond precision (asofJoin's loud refusal applies; the second
+   * join skips the re-verify — same frame, already checked).
+   */
+  def resampleInterpolate(events: DataFrame, tsCol: String, keyCol: String,
+                          valueCol: String, stepSeconds: Long,
+                          maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be > 0")
+    val stepUs = stepSeconds * 1000000L
+    val ev = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("_ek"), unix_micros(col(tsCol)).as("_eus"),
+        col(valueCol).cast("double").as("_pv"))
+    val lo = (col("_mn") - pmod(col("_mn"), lit(stepUs))).cast("long")
+    val grid = ev.groupBy(col("_ek"))
+      .agg(min(col("_eus")).as("_mn"), max(col("_eus")).as("_mx"))
+      .select(col("_ek").as("_gk"),
+        explode(sequence(lo, col("_mx"), lit(stepUs))).as("grid_us"))
+    val back = asofJoin(grid, "grid_us", "_gk", ev, "_eus", "_ek", Seq("_pv"))
+      .withColumnRenamed("matched_ts", "prev_us")
+    val evFwd = ev.select(col("_ek"), (-col("_eus")).as("_nus"),
+      col("_pv").as("_nv"))
+    val fwd = asofJoin(back.withColumn("_ng", -col("grid_us")), "_ng", "_gk",
+        evFwd, "_nus", "_ek", Seq("_nv"), verifyUnique = false)
+      .withColumn("next_us", -col("matched_ts"))
+    val gapOk = maxGapSeconds match {
+      case Some(g) => col("next_us") - col("prev_us") <= g * 1000000L
+      case None    => lit(true)
+    }
+    val interp = col("_pv") + (col("_nv") - col("_pv")) *
+      (col("grid_us") - col("prev_us")).cast("double") /
+      (col("next_us") - col("prev_us")).cast("double")
+    fwd.select(col("_gk").as(keyCol), col("grid_us"), col("prev_us"),
+      col("next_us"),
+      when(col("prev_us") === col("grid_us"), col("_pv"))
+        .when(col("prev_us").isNotNull && col("next_us").isNotNull && gapOk,
+          interp)
+        .as("value"))
+  }
+
+  /**
    * Funnel analysis (the Amplitude/Mixpanel sequence primitive): per
    * key, the earliest strictly-ordered completion of the step sequence
    * — `t1` = the key's first `steps(0)` event, `t_i` = its first

@@ -2309,6 +2309,40 @@ class ExtSpec extends SparkSpec {
     assert(got == expU ++ expW ++ expG, s"got $got")
   }
 
+  test("resampleInterpolate: exact hits, interior line, max gap, leading edge") {
+    def us(sec: Long) = sec * 1000000L
+    val ev = Seq(
+      ("u", us(100), 1.0), ("u", us(300), 5.0), // interior: grid@200 reads 3.0
+      ("g", us(0), 2.0), ("g", us(1000), 4.0),  // gap 1000s > 500s max -> NULL
+      ("e", us(50), 9.0))                        // leading edge: grid@0 has no prev
+      .toDF("k", "tus", "v")
+      .select($"k", timestamp_micros($"tus").as("ts"), $"v")
+    val got = AsOf.resampleInterpolate(ev, "ts", "k", "v",
+        stepSeconds = 100L, maxGapSeconds = Some(500L))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    val expU = Set(
+      ("u", us(100), Some(1.0)),  // exact observation
+      ("u", us(200), Some(3.0)),  // 1 + (5-1) * 100/200
+      ("u", us(300), Some(5.0)))  // exact observation
+    val expG = (1 to 9).map(i => ("g", us(i * 100L), None)).toSet ++
+      Set(("g", us(0), Some(2.0)), ("g", us(1000), Some(4.0))) // exact hits survive the gap
+    val expE = Set(("e", us(0), None)) // no extrapolation before the first obs
+    assert(got == expU ++ expG ++ expE, s"got $got")
+  }
+
+  test("resampleInterpolate: no maxGap interpolates any bracket; brackets reported") {
+    def us(sec: Long) = sec * 1000000L
+    val ev = Seq(("u", us(0), 0.0), ("u", us(1000), 10.0))
+      .toDF("k", "tus", "v")
+      .select($"k", timestamp_micros($"tus").as("ts"), $"v")
+    val rows = AsOf.resampleInterpolate(ev, "ts", "k", "v", stepSeconds = 250L)
+      .orderBy("grid_us").collect()
+    assert(rows.map(_.getDouble(4)).toSeq == Seq(0.0, 2.5, 5.0, 7.5, 10.0))
+    val mid = rows(1) // grid@250 bracketed by obs@0 and obs@1000
+    assert(mid.getLong(2) == us(0) && mid.getLong(3) == us(1000))
+  }
+
   test("ingestBatch: maintained side sets == derived-from-corpus sets") {
     // the 100 TB daily-ingest contract: precomputed url/md5 side tables
     // must produce EXACTLY the derived-from-corpus outcome
