@@ -2228,6 +2228,60 @@ object SparkEntry {
         q.localCheckpoint()
       } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
     }),
+    "q168_stream_interval_join" -> ((s, dir) => { ensure(s)
+      // stream-stream INTERVAL JOIN (Flink intervalJoin — the two-stream
+      // temporal primitive Spark exposes only as a raw join condition):
+      // clicks within the hour BEFORE each purchase per user, as a REAL
+      // stream-stream self-join over the staged events feed (memory
+      // sink, AvailableNow). Both sides watermarked; the range condition
+      // bounds each side relative to the other, so Spark derives state
+      // eviction — the shape that survives a month of uptime. One
+      // staged file = one micro-batch, so no row is late and the
+      // result equals the batch join the DuckDB oracle runs.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-ijoin")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.read(s, stage.toString)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val joined = EventStream.intervalJoin(purchases, clicks, "user_id",
+          "p_ts", "c_ts", lookbackSeconds = 3600L, lookaheadSeconds = 0L,
+          watermark = "90 days")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("c_ts")).as("c_us"))
+      val qname = "gate_ijoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("purchase_id", "click_id")
+    }),
+    "q167_scd2" -> ((s, dir) => { ensure(s)
+      // SCD2 intervalization (the dimension-builder dual of the as-of
+      // join): the q160 tier snapshots become half-open validity
+      // intervals, with change-free runs COMPACTED (a user whose tier
+      // didn't change between snapshots keeps one interval — the dedup
+      // that makes daily full snapshots storable as SCD2). Last
+      // interval open-ended (valid_to_us NULL). Oracle = the same
+      // lag-change-filter + lead-close windows in DuckDB, with the
+      // first-row guard stated explicitly (lag's NULL is ambiguous
+      // against a NULL payload in single-column SQL).
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val dim = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        // %7, NOT %5: event_ids here are multiples of 10, so %5 is the
+        // constant 0 — a degenerate one-interval-per-user table that
+        // would never exercise the change-break path
+        .agg((max(col("event_id")) % 7).cast("int").as("tier"))
+      graft.ext.AsOf.scd2(dim, "ts", "user_id", Seq("tier"),
+          verifyUnique = false)
+        .orderBy("user_id", "valid_from_us")
+    }),
     "q166_interpolate" -> ((s, dir) => { ensure(s)
       // regular-grid resampling with LINEAR INTERPOLATION (pandas
       // resample().interpolate() — the continuous-signal companion to
@@ -3570,6 +3624,24 @@ object SparkEntry {
        "SELECT s1.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us, " +
        "CAST(1 + CAST(t2 IS NOT NULL AS INTEGER) + CAST(t3 IS NOT NULL AS INTEGER) AS INTEGER) AS steps_completed " +
        "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) ORDER BY s1.user_id"),
+    "q168_stream_interval_join" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id, " +
+       "epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us " +
+       "FROM events p JOIN events c ON p.user_id = c.user_id " +
+       "AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 " +
+       "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
+       "WHERE p.event_type = 'purchase' AND c.event_type = 'click' " +
+       "ORDER BY purchase_id, click_id"),
+    "q167_scd2" ->
+      ("WITH snap AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, CAST(max(event_id) % 7 AS INTEGER) AS tier " +
+       "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
+       "ch AS MATERIALIZED (SELECT user_id, us, tier, " +
+       "lag(tier) OVER (PARTITION BY user_id ORDER BY us) AS pt, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY us) AS rn FROM snap), " +
+       "kept AS MATERIALIZED (SELECT user_id, us, tier FROM ch WHERE rn = 1 OR tier IS DISTINCT FROM pt) " +
+       "SELECT user_id, us AS valid_from_us, " +
+       "lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us, tier " +
+       "FROM kept ORDER BY user_id, valid_from_us"),
     "q166_interpolate" ->
       ("WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS eus, CAST(value AS DOUBLE) AS v FROM events), " +
        "mm AS MATERIALIZED (SELECT user_id, min(eus) AS mn, max(eus) AS mx FROM ev GROUP BY user_id), " +

@@ -290,6 +290,71 @@ object AsOf {
   }
 
   /**
+   * SCD2 INTERVALIZATION (the dimension-builder dual of [[asofJoin]]):
+   * point-in-time snapshots become validity intervals — the
+   * slowly-changing-dimension type-2 table every warehouse keeps. Per
+   * key, snapshots ordered by time open an interval at their own
+   * timestamp and close at the NEXT snapshot's (half-open
+   * [valid_from, valid_to), the merge-friendly convention); the last
+   * interval is open-ended (`valid_to_us` NULL = current).
+   *
+   * `compact = true` (default) first collapses CHANGE-FREE runs: a
+   * snapshot whose payload equals the previous snapshot's payload
+   * extends the previous interval instead of opening a redundant one —
+   * the dedup that makes daily full snapshots storable as SCD2.
+   * Equality is null-safe per column (a (NULL→NULL) run compacts, a
+   * (1→NULL) run does not); the first snapshot of a key always opens.
+   *
+   * Contract: snapshots must be unique per (key, ts) — same refusal as
+   * [[asofJoin]]'s right side, verified with one aggregate
+   * (`verifyUnique = false` to skip when guaranteed upstream).
+   * Timestamps are microseconds end-to-end (`unix_micros`).
+   *
+   * Output: (key, valid_from_us, valid_to_us, payload...).
+   *
+   * Scale: one hash shuffle on the key; both windows (change-detect lag,
+   * close-interval lead) share the same partitioning+ordering, so
+   * Catalyst plans ONE exchange + ONE sort. Per-key work is a
+   * sequential scan of that key's snapshot history.
+   */
+  def scd2(snapshots: DataFrame, tsCol: String, keyCol: String,
+           payloadCols: Seq[String], compact: Boolean = true,
+           verifyUnique: Boolean = true): DataFrame = {
+    require(payloadCols.nonEmpty, "scd2: need at least one payload column")
+    import org.apache.spark.sql.expressions.Window
+    val snap = snapshots
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k") +: unix_micros(col(tsCol)).as("_us") +:
+        payloadCols.map(col): _*)
+    val dupes =
+      if (!verifyUnique) 0L
+      else snap.groupBy(col("_k"), col("_us"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+        .limit(1).count()
+    require(dupes == 0L,
+      s"scd2: duplicate ($keyCol, $tsCol) snapshots — two states of one " +
+        "entity at one instant; deduplicate upstream (e.g. keep the " +
+        "max-version row), or pass verifyUnique = false only when " +
+        "uniqueness is guaranteed upstream.")
+    val w = Window.partitionBy("_k").orderBy(col("_us").asc)
+    val kept =
+      if (!compact) snap
+      else {
+        // payload rides one struct so a lag over it is null ONLY on the
+        // first row of a key (per-column lag can't tell "first row"
+        // from "previous value was NULL")
+        val p = struct(payloadCols.map(col): _*)
+        snap.withColumn("_prev", lag(p, 1).over(w))
+          .filter(col("_prev").isNull || !(col("_prev") <=> p))
+          .drop("_prev")
+      }
+    kept
+      .withColumn("valid_to_us", lead(col("_us"), 1).over(w))
+      .select(col("_k").as(keyCol) +: col("_us").as("valid_from_us") +:
+        col("valid_to_us") +: payloadCols.map(col): _*)
+  }
+
+  /**
    * Cohort RETENTION (the companion primitive to [[funnel]]): keys are
    * cohorted by the epoch-aligned period of their FIRST event, and cell
    * (cohort_period, period_offset) counts the distinct keys with ANY

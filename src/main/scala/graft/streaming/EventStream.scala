@@ -301,6 +301,63 @@ object EventStream {
   }
 
   /**
+   * Stream-stream INTERVAL JOIN (Flink `intervalJoin`, Kafka Streams
+   * windowed join — the two-stream temporal primitive): each left row
+   * is inner-joined to right rows of the same key whose timestamp lies
+   * in `[l.ts − lookbackSeconds, l.ts + lookaheadSeconds]` — "the
+   * clicks within the hour before each purchase". Works on two
+   * streaming frames, two batch frames, or one of each (Spark plans
+   * stream-stream, batch, or stream-static respectively from the same
+   * declaration).
+   *
+   * State bound: both sides carry `withWatermark(ts, watermark)`, and
+   * the join condition bounds each side's time column relative to the
+   * other, which is exactly what Spark's stream-stream join needs to
+   * EXPIRE buffered rows — each side's state holds only
+   * `watermark + lookback/lookahead` of history per key, not the
+   * stream. An unbounded inner join (no watermark) would accumulate
+   * state forever; this shape is the one that survives a month of
+   * uptime.
+   *
+   * Column contract: both frames keep their own columns (they must be
+   * disjoint apart from `keyCol` — loud refusal otherwise); the output
+   * carries left columns then right columns minus the duplicate key.
+   * Late data past the watermark is dropped by Spark's standard
+   * semantics — size the watermark to the source's real disorder.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   lookbackSeconds: Long, lookaheadSeconds: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    require(lookbackSeconds >= 0 && lookaheadSeconds >= 0,
+      "intervalJoin: lookback/lookahead must be >= 0")
+    require(lookbackSeconds + lookaheadSeconds > 0,
+      "intervalJoin: a zero-width interval matches only exact-equal " +
+        "timestamps — use an equi-join on (key, ts) instead")
+    require(leftTsCol != rightTsCol,
+      s"intervalJoin: both time columns are named '$leftTsCol' — rename " +
+        "one side (the join output must carry both)")
+    val clash = (left.columns.toSet - keyCol)
+      .intersect(right.columns.toSet - keyCol)
+    require(clash.isEmpty,
+      s"intervalJoin: both sides carry ${clash.mkString(", ")} — rename " +
+        "one side; only the join key may be shared")
+    val l = (if (left.isStreaming) left.withWatermark(leftTsCol, watermark)
+             else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTsCol, watermark)
+             else right).alias("r")
+    // the range condition in MICROSECONDS on both sides: unix_micros is
+    // exact for timestamp columns, and expressing both bounds on the
+    // raw ts columns lets Spark derive the state-eviction predicate
+    val lts = col(s"l.$leftTsCol"); val rts = col(s"r.$rightTsCol")
+    val cond = col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      rts >= lts - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+      rts <= lts + expr(s"INTERVAL $lookaheadSeconds SECONDS")
+    l.join(r, cond, "inner")
+      .drop(col(s"r.$keyCol"))
+  }
+
+  /**
    * Sessionization via flatMapGroupsWithState-free composition: gap-based
    * session ids computed with window functions in batch; streaming variant
    * uses session_window (built-in since Spark 3.2).

@@ -2343,6 +2343,44 @@ class ExtSpec extends SparkSpec {
     assert(mid.getLong(2) == us(0) && mid.getLong(3) == us(1000))
   }
 
+  test("scd2: run compaction, null-safe change detect, open last interval, dup refusal") {
+    def us(sec: Long) = sec * 1000000L
+    val snaps = Seq(
+      ("u", us(10), Some(1)), ("u", us(20), Some(1)), // change-free run: compacts
+      ("u", us(30), Some(2)),                          // real change: new interval
+      ("n", us(10), Some(1)), ("n", us(20), None),     // 1 -> NULL is a CHANGE
+      ("n", us(30), None))                             // NULL -> NULL compacts
+      .toDF("k", "tus", "tier")
+      .select($"k", timestamp_micros($"tus").as("ts"), $"tier")
+    val got = AsOf.scd2(snaps, "ts", "k", Seq("tier"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
+    assert(got == Set(
+      ("u", us(10), Some(us(30)), Some(1)), // [10,30): the run extended to the change
+      ("u", us(30), None, Some(2)),         // open-ended current interval
+      ("n", us(10), Some(us(20)), Some(1)),
+      ("n", us(20), None, None)), s"got $got")
+    // compact=false keeps every snapshot as its own interval
+    assert(AsOf.scd2(snaps, "ts", "k", Seq("tier"), compact = false).count() == 6)
+    val dup = snaps.union(snaps.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.scd2(dup, "ts", "k", Seq("tier")).collect()
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("scd2 plan: one shuffle exchange for both windows") {
+    def us(sec: Long) = sec * 1000000L
+    val snaps = Seq(("u", us(10), 1), ("u", us(20), 2))
+      .toDF("k", "tus", "tier")
+      .select($"k", timestamp_micros($"tus").as("ts"), $"tier")
+    val plan = AsOf.scd2(snaps, "ts", "k", Seq("tier"), verifyUnique = false)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("ingestBatch: maintained side sets == derived-from-corpus sets") {
     // the 100 TB daily-ingest contract: precomputed url/md5 side tables
     // must produce EXACTLY the derived-from-corpus outcome

@@ -303,6 +303,70 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-stream interval join == batch; matches cross micro-batch boundaries") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("ijoin")
+    def write(rows: Seq[(Long, Long, Long, String)], modTime: Long): Unit = {
+      rows.toDF("event_id", "sec", "user_id", "event_type")
+        .select($"event_id", timestamp_micros($"sec" * 1000000L).as("ts"),
+          $"user_id", $"event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+      // pin file order for the maxFilesPerTrigger=1 source (mod time is
+      // the source's ordering key)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filter(_.lastModified() > modTime).foreach(_.setLastModified(modTime))
+    }
+    // file 1: clicks only; file 2: purchases whose matching clicks live
+    // in file 1 — found ONLY if click state survives into batch 2
+    write(Seq((1L, 100L, 1L, "click"), (2L, 500L, 1L, "click"),
+      (3L, 100L, 2L, "click")), 1000000L)
+    write(Seq((10L, 150L, 1L, "purchase"),   // matches click 1 (50s back)
+      (11L, 130L, 2L, "purchase"),           // matches click 3 (30s back)
+      (12L, 2000L, 1L, "purchase")), 2000000L) // nothing within 100s back
+    val schema = spark.read.parquet(dir).schema
+    def sides(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id")),
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("c_ts"), $"event_id".as("click_id")))
+    val (sp, sc) = sides(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir))
+    val joined = EventStream.intervalJoin(sp, sc, "user_id", "p_ts", "c_ts",
+        lookbackSeconds = 100L, lookaheadSeconds = 0L, watermark = "1 hour")
+      .select("purchase_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ijoin_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(q.recentProgress.length >= 2, "expected >= 2 micro-batches")
+    val got = spark.table("ijoin_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (11L, 3L)), s"got $got")
+    // batch twin: the SAME operator over the batch read plans a plain join
+    val (bp, bc) = sides(spark.read.parquet(dir))
+    val batch = EventStream.intervalJoin(bp, bc, "user_id", "p_ts", "c_ts",
+        lookbackSeconds = 100L, lookaheadSeconds = 0L)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got)
+  }
+
+  test("intervalJoin refusals: shared ts name, column clash, zero-width interval") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val l = Seq((1L, 1L)).toDF("user_id", "eid")
+      .select($"user_id", timestamp_micros($"eid").as("ts"), $"eid")
+    val r = l.withColumnRenamed("eid", "rid")
+    def msg(f: => Any) = intercept[IllegalArgumentException](f).getMessage
+    assert(msg(EventStream.intervalJoin(l, r, "user_id", "ts", "ts", 10, 0))
+      .contains("rename"))
+    val r2 = l.withColumnRenamed("ts", "rts") // still carries eid
+    assert(msg(EventStream.intervalJoin(l, r2, "user_id", "ts", "rts", 10, 0))
+      .contains("eid"))
+    assert(msg(EventStream.intervalJoin(l, r2.drop("eid"), "user_id", "ts", "rts", 0, 0))
+      .contains("zero-width"))
+  }
+
   test("sessionization batch shape") {
     val dir = "/root/testdata/sf0.001/events.parquet"
     val events = graft.streaming.EventStream.loadEvents(spark, dir)
