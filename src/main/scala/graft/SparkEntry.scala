@@ -2228,6 +2228,47 @@ object SparkEntry {
         q.localCheckpoint()
       } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
     }),
+    "q169_scd2_range_lookup" -> ((s, dir) => { ensure(s)
+      // the BinnedRangeJoin rule on its most common REAL input: events
+      // joined to SCD2 validity intervals — half-open `ts >= valid_from
+      // AND ts < valid_to` with the current version's open end
+      // expressed as the `valid_to IS NULL OR ...` disjunct. Round 10's
+      // rule matched only closed `>=`/`<=` bounds, so exactly this join
+      // silently stayed BroadcastNestedLoopJoin; the gate REQUIRES the
+      // rewrite fired (incl. the open-end point-stats coalesce, whose
+      // _graft_maxpbin marker only the NULL-open path emits). Intervals
+      // = the q167 SCD2 build over a user slice; events subsampled so
+      // the keyless cross-user containment join stays ~1k pairs at
+      // verify scale. Oracle = DuckDB's native IEJoin of the same SQL.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoin
+      s.conf.set("spark.graft.rangeJoin.binWidth", "86400000000") // 1 day in us
+      try {
+        val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        val dim = ev.filter(col("event_id") % 10 === 0)
+          .groupBy(col("user_id"), col("ts"))
+          .agg((max(col("event_id")) % 7).cast("int").as("tier"))
+        graft.ext.AsOf.scd2(dim, "ts", "user_id", Seq("tier"),
+            verifyUnique = false)
+          .filter(col("user_id") % 13 === 0)
+          .select(col("user_id").as("iv_user"), col("valid_from_us"),
+            col("valid_to_us"))
+          .createOrReplaceTempView("g169_iv")
+        ev.filter(col("event_id") % 97 === 0)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .createOrReplaceTempView("g169_ev")
+        val q = s.sql(
+          "SELECT iv_user AS user_id, valid_from_us, " +
+          "CAST(count(*) AS LONG) AS cnt, CAST(sum(event_id) AS LONG) AS sum_eid " +
+          "FROM g169_ev JOIN g169_iv " +
+          "ON us >= valid_from_us AND (valid_to_us IS NULL OR us < valid_to_us) " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+        require(q.queryExecution.optimizedPlan.toString.contains("_graft_maxpbin"),
+          "q169: BinnedRangeJoin did not rewrite the half-open SCD2 range join")
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    }),
     "q168_stream_interval_join" -> ((s, dir) => { ensure(s)
       // stream-stream INTERVAL JOIN (Flink intervalJoin — the two-stream
       // temporal primitive Spark exposes only as a raw join condition):
@@ -3602,6 +3643,20 @@ object SparkEntry {
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
+    "q169_scd2_range_lookup" ->
+      ("WITH snap AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, CAST(max(event_id) % 7 AS INTEGER) AS tier " +
+       "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
+       "ch AS MATERIALIZED (SELECT user_id, us, tier, " +
+       "lag(tier) OVER (PARTITION BY user_id ORDER BY us) AS pt, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY us) AS rn FROM snap), " +
+       "kept AS MATERIALIZED (SELECT user_id, us, tier FROM ch WHERE rn = 1 OR tier IS DISTINCT FROM pt), " +
+       "iv AS MATERIALIZED (SELECT user_id, us AS valid_from_us, " +
+       "lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us FROM kept), " +
+       "ev AS MATERIALIZED (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_id % 97 = 0) " +
+       "SELECT i.user_id, i.valid_from_us, CAST(count(*) AS BIGINT) AS cnt, " +
+       "CAST(sum(e.event_id) AS BIGINT) AS sum_eid " +
+       "FROM ev e JOIN iv i ON e.us >= i.valid_from_us AND (i.valid_to_us IS NULL OR e.us < i.valid_to_us) " +
+       "WHERE i.user_id % 13 = 0 GROUP BY 1, 2 ORDER BY 1, 2"),
     "q165_binned_range_rule" ->
       ("SELECT p.p_partkey AS band_id, CAST(count(*) AS BIGINT) AS cnt, " +
        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price " +

@@ -16,10 +16,21 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /**
-   * All (point, interval) pairs with `lo <= point <= hi` (closed on
-   * both ends, the SQL BETWEEN convention). Output = the point frame's
-   * columns ++ the interval frame's columns (names must be disjoint —
-   * refused loudly otherwise).
+   * All (point, interval) pairs with `lo <= point <= hi` — or the
+   * strict/half-open variants via `loInclusive`/`hiInclusive` (a
+   * half-open `[lo, hi)` is `hiInclusive = false`, the SCD2/
+   * timestamp-validity convention; binning is identical because bins
+   * only over-approximate and strictness lives in the exact verify).
+   * Output = the point frame's columns ++ the interval frame's columns
+   * (names must be disjoint — refused loudly otherwise).
+   *
+   * `nullBoundIsOpen = true` switches NULL bounds from "matches
+   * nothing" (the BETWEEN convention, and the default) to "unbounded on
+   * that side" — the open-ended-interval convention of SCD2 current
+   * versions (`valid_to IS NULL`). An open bound's bin is COALESCEd to
+   * the point side's own min/max bin (one extra slim aggregate over the
+   * points, only taken in this mode), so an open interval spans only
+   * the bins where points actually exist — bounded by the data.
    *
    * Scale:
    *  - SHORT intervals (span ≤ `maxBinsPerInterval` bins) take the
@@ -32,17 +43,22 @@ object RangeJoin {
    *    are FEW, and that assumption is enforced: more than
    *    `maxWideIntervals` of them refuses loudly (pick a bigger
    *    binWidth, or raise the cap deliberately).
-   *  - NULL or inverted (`lo > hi`) intervals are a bug upstream, not
-   *    an empty match set — refused loudly, never silently dropped.
+   *  - NULL (unless `nullBoundIsOpen`) or inverted (`lo > hi`)
+   *    intervals are a bug upstream, not an empty match set — refused
+   *    loudly, never silently dropped.
    *  - NULL points match nothing (kept out of both paths).
    *
-   * The guard counts ride ONE aggregate over the interval side.
+   * The guard counts ride ONE aggregate over the interval side (plus
+   * one over the points in open-bound mode).
    */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double,
                       maxBinsPerInterval: Int = 1024,
-                      maxWideIntervals: Int = 10000): DataFrame = {
+                      maxWideIntervals: Int = 10000,
+                      loInclusive: Boolean = true,
+                      hiInclusive: Boolean = true,
+                      nullBoundIsOpen: Boolean = false): DataFrame = {
     require(binWidth > 0.0 && !binWidth.isInfinite, s"binWidth > 0, got $binWidth")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
@@ -50,15 +66,39 @@ object RangeJoin {
       s"pointInInterval: column names must be disjoint, both sides have " +
         s"${overlap.mkString(", ")} — rename one side")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
-    val spanBins = bin(col(hiCol)) - bin(col(loCol)) + 1L
+    // open-bound mode: the point side's own bin range closes the open
+    // ends (an empty point side degenerates to a single never-matching
+    // bin — correct, since there is nothing to match)
+    val (minPBin, maxPBin): (Long, Long) =
+      if (!nullBoundIsOpen) (0L, 0L)
+      else {
+        val r = points.filter(col(pointCol).isNotNull)
+          .agg(min(bin(col(pointCol))), max(bin(col(pointCol)))).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
+    val loB = if (nullBoundIsOpen) coalesce(bin(col(loCol)), lit(minPBin)) else bin(col(loCol))
+    val hiB0 = if (nullBoundIsOpen) coalesce(bin(col(hiCol)), lit(maxPBin)) else bin(col(hiCol))
+    // a coalesced edge can land below the other bound (an open-ended
+    // interval starting after the last point matches nothing, not an
+    // illegal descending `sequence`)
+    val hiB = if (nullBoundIsOpen) greatest(hiB0, loB) else hiB0
+    val spanBins = hiB - loB + 1L
+    val badIv =
+      if (nullBoundIsOpen)
+        col(loCol).isNotNull && col(hiCol).isNotNull &&
+          col(loCol).cast("double") > col(hiCol).cast("double")
+      else
+        col(loCol).isNull || col(hiCol).isNull ||
+          col(loCol).cast("double") > col(hiCol).cast("double")
     val guard = intervals.agg(
-      count(when(col(loCol).isNull || col(hiCol).isNull ||
-        col(loCol).cast("double") > col(hiCol).cast("double"), 1)).as("bad"),
+      count(when(badIv, 1)).as("bad"),
       count(when(spanBins > maxBinsPerInterval, 1)).as("wide")).head()
     require(guard.getLong(0) == 0L,
       s"pointInInterval: ${guard.getLong(0)} interval rows are NULL or " +
         s"inverted (lo > hi) — a bug upstream, not an empty match; clean " +
-        "the interval side first.")
+        "the interval side first" +
+        (if (nullBoundIsOpen) "" else
+          " (or pass nullBoundIsOpen = true if NULL means unbounded)") + ".")
     require(guard.getLong(1) <= maxWideIntervals,
       s"pointInInterval: ${guard.getLong(1)} intervals span more than " +
         s"$maxBinsPerInterval bins at binWidth=$binWidth and would take " +
@@ -66,11 +106,18 @@ object RangeJoin {
         "binWidth, or raise maxWideIntervals deliberately.")
     val p = points.filter(col(pointCol).isNotNull)
       .withColumn("_pbin", bin(col(pointCol)))
-    val within = col(pointCol).cast("double") >= col(loCol).cast("double") &&
-      col(pointCol).cast("double") <= col(hiCol).cast("double")
+    def sideOk(bound: Column, cmp: Column): Column =
+      if (nullBoundIsOpen) bound.isNull || cmp else cmp
+    val pd = col(pointCol).cast("double")
+    val within =
+      sideOk(col(loCol),
+        if (loInclusive) pd >= col(loCol).cast("double")
+        else pd > col(loCol).cast("double")) &&
+      sideOk(col(hiCol),
+        if (hiInclusive) pd <= col(hiCol).cast("double")
+        else pd < col(hiCol).cast("double"))
     val short = intervals.filter(spanBins <= maxBinsPerInterval)
-      .withColumn("_ibin",
-        explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+      .withColumn("_ibin", explode(sequence(loB, hiB)))
     val shortPairs = p.join(short, col("_pbin") === col("_ibin"))
       .filter(within).drop("_pbin", "_ibin")
     val widePairs = p.drop("_pbin")

@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
 
@@ -20,6 +21,21 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
  * containing interval's bin set once), so no dedup is needed and any
  * extra conjuncts ride along unchanged.
  *
+ * Recognized bound shapes (each side of each inequality may be a bare
+ * column or a monotone numeric cast of one — `CAST(x AS DOUBLE)` or any
+ * lossless up-cast, the implicit-coercion shapes):
+ *  - closed:    `p >= lo` / `p <= hi`
+ *  - strict:    `p > lo`  / `p < hi`   (half-open intervals — the
+ *    SCD2/timestamp-validity convention `ts >= valid_from AND
+ *    ts < valid_to`; binning is unchanged because bins only
+ *    over-approximate and the strict comparison stays in the verify)
+ *  - NULL-open: `hi IS NULL OR p < hi` (and the `lo` mirror) — the
+ *    open-ended "current version" convention. An open bound's bin is
+ *    COALESCEd to the point side's own min/max bin (one slim global
+ *    aggregate over the point subtree, cross-joined as a 1-row
+ *    broadcast), so an open interval spans only the bins where points
+ *    actually exist — bounded by the DATA, not by infinity.
+ *
  * OPT-IN: fires only when `spark.graft.rangeJoin.binWidth` is set — the
  * bin width is a data property (pick it near the typical interval
  * length) that a static rule cannot derive. Intervals spanning more than
@@ -27,12 +43,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
  * runtime error naming both knobs and the manual operator (which has a
  * broadcast wide path) — a silent million-element `sequence` per wide
  * interval would be the worse failure. NULL bounds are filtered on the
- * interval side (BETWEEN cannot match them) and a NULL point's bin is
- * NULL, which an equi-join never matches — exactly BETWEEN's semantics.
+ * interval side when the bound is CLOSED (BETWEEN cannot match them) and
+ * kept when it is NULL-open; a NULL point's bin is NULL, which an
+ * equi-join never matches — exactly BETWEEN's semantics.
  *
  * Idempotent by construction: the rewritten join carries a cross-side
  * equi-conjunct on the bin columns, which disqualifies it from the
- * "non-equi" eligibility test.
+ * "non-equi" eligibility test (and the injected 1-row point-stats cross
+ * join has no condition at all, so the Some(cond) guard skips it).
  */
 object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -54,6 +72,21 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def bin(e: Expression, w: Double): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w)))
 
+  /** A bare column, or a numeric cast of one that preserves bin order:
+   * any cast TO double is literally the value [[bin]] computes, and a
+   * lossless up-cast is order-isomorphic — either way `bin(raw)` equals
+   * `bin(cast)`, so binning the raw column over-approximates the cast
+   * comparison and the kept original condition stays the exact verify. */
+  private object BinnableAttr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference => Some(a)
+      case Cast(a: AttributeReference, DoubleType, _, _) => Some(a)
+      case Cast(a: AttributeReference, t: NumericType, _, _)
+          if Cast.canUpCast(a.dataType, t) => Some(a)
+      case _ => None
+    }
+  }
+
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, w: Double, cap: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
@@ -73,33 +106,73 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     def numeric(a: Attribute): Boolean = a.dataType.isInstanceOf[NumericType]
     // an attr-vs-attr inequality is AMBIGUOUS in isolation — `x <= hi`
     // reads as "point x under upper bound hi" OR "lower bound x under
-    // point hi" — so emit BOTH (point, bound, isLower) interpretations
-    // per conjunct and let the PAIRING resolve it: only the reading
-    // where one attribute takes a lower bound from one conjunct and an
-    // upper bound from another (bounds on the opposite side) survives.
-    def interps(e: Expression): Seq[(Attribute, Attribute, Boolean)] = e match {
-      case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference) =>
-        Seq((a, b, true), (b, a, false))
-      case LessThanOrEqual(a: AttributeReference, b: AttributeReference) =>
-        Seq((a, b, false), (b, a, true))
+    // point hi" — so emit BOTH (point, bound, isLower, isOpen)
+    // interpretations per conjunct and let the PAIRING resolve it: only
+    // the reading where one attribute takes a lower bound from one
+    // conjunct and an upper bound from another (bounds on the opposite
+    // side) survives. Strict bounds reuse the closed readings — the bin
+    // range only over-approximates, the strictness lives in the verify.
+    // The `b IS NULL OR cmp` disjunct keeps only readings where the
+    // null-checked attr IS the bound (a NULL-open POINT would have to
+    // match every interval, which a NULL bin never does — that reading
+    // is unsound and is discarded).
+    def interps(e: Expression): Seq[(Attribute, Attribute, Boolean, Boolean)] = e match {
+      case GreaterThanOrEqual(BinnableAttr(a), BinnableAttr(b)) =>
+        Seq((a, b, true, false), (b, a, false, false))
+      case GreaterThan(BinnableAttr(a), BinnableAttr(b)) =>
+        Seq((a, b, true, false), (b, a, false, false))
+      case LessThanOrEqual(BinnableAttr(a), BinnableAttr(b)) =>
+        Seq((a, b, false, false), (b, a, true, false))
+      case LessThan(BinnableAttr(a), BinnableAttr(b)) =>
+        Seq((a, b, false, false), (b, a, true, false))
+      case Or(IsNull(BinnableAttr(nb)), cmp) =>
+        interps(cmp).collect {
+          case (p, b, isLower, false) if b.semanticEquals(nb) => (p, b, isLower, true)
+        }
+      case Or(cmp, IsNull(BinnableAttr(nb))) =>
+        interps(cmp).collect {
+          case (p, b, isLower, false) if b.semanticEquals(nb) => (p, b, isLower, true)
+        }
       case _ => Seq.empty
     }
-    val bounds = conjuncts.flatMap(interps(_)).filter { case (p, b, _) =>
+    val bounds = conjuncts.flatMap(interps(_)).filter { case (p, b, _, _) =>
       numeric(p) && numeric(b) && attrSide(p) >= 0 && attrSide(b) >= 0 &&
         attrSide(p) != attrSide(b)
     }
     val pair = (for {
-      (p1, lo, true) <- bounds
-      (p2, hi, false) <- bounds
+      (p1, lo, true, loOpen) <- bounds
+      (p2, hi, false, hiOpen) <- bounds
       if p1.semanticEquals(p2)
-    } yield (p1, lo, hi)).headOption
-    pair.map { case (p, lo, hi) =>
+    } yield (p1, lo, hi, loOpen, hiOpen)).headOption
+    pair.map { case (p, lo, hi, loOpen, hiOpen) =>
       val pointOnLeft = attrSide(p) == 0
       val (points, intervals) = if (pointOnLeft) (left, right) else (right, left)
       val pbin = Alias(bin(p, w), "_graft_pbin")()
       val pSide = Project(points.output :+ pbin, points)
-      val binLo = bin(lo, w)
-      val binHi = bin(hi, w)
+      // a NULL-open bound spans "to the edge of the data": COALESCE its
+      // bin with the point side's own min/max bin, computed once by a
+      // 1-row global aggregate over the (already-pruned) point subtree
+      // and cross-joined in — the planner broadcasts the single row, so
+      // the cost is one extra slim pass over the point column, never a
+      // nested loop
+      val anyOpen = loOpen || hiOpen
+      val mn = Alias(Min(bin(p, w)).toAggregateExpression(), "_graft_minpbin")()
+      val mx = Alias(Max(bin(p, w)).toAggregateExpression(), "_graft_maxpbin")()
+      val ivBase: LogicalPlan =
+        if (!anyOpen) intervals
+        else Join(intervals, Aggregate(Nil, Seq(mn, mx), points),
+          Cross, None, JoinHint.NONE)
+      val binLo =
+        if (loOpen) Coalesce(Seq(bin(lo, w), mn.toAttribute))
+        else bin(lo, w)
+      val binHi0 =
+        if (hiOpen) Coalesce(Seq(bin(hi, w), mx.toAttribute))
+        else bin(hi, w)
+      // with an open bound the coalesced edge can land BELOW the other
+      // bound (an open-ended interval starting after the last point is
+      // legal and must match nothing, not crash `sequence`); clamp to a
+      // 1-bin range the equi-join then finds empty
+      val binHi = if (anyOpen) Greatest(Seq(binHi0, binLo)) else binHi0
       val span = Add(Subtract(binHi, binLo), Literal(1L))
       val msg = Literal(
         s"BinnedRangeJoin: an interval spans more than $cap bins at " +
@@ -114,9 +187,15 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           Some(conf.sessionLocalTimeZone)),
         Cast(new RaiseError(msg), ArrayType(LongType, containsNull = false)))
       val ibin = AttributeReference("_graft_ibin", LongType, nullable = false)()
+      val notNulls =
+        (if (loOpen) Nil else Seq(IsNotNull(lo))) ++
+          (if (hiOpen) Nil else Seq(IsNotNull(hi)))
+      val ivFiltered =
+        if (notNulls.isEmpty) ivBase
+        else Filter(notNulls.reduce(And), ivBase)
       val iSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(ibin),
-        child = Filter(And(IsNotNull(lo), IsNotNull(hi)), intervals))
+        child = ivFiltered)
       val joined = Join(
         if (pointOnLeft) pSide else iSide,
         if (pointOnLeft) iSide else pSide,

@@ -2222,6 +2222,42 @@ class ExtSpec extends SparkSpec {
     assert(wide.getMessage.contains("wide path"))
   }
 
+  test("pointInInterval: strict bounds and NULL-open ends") {
+    val pts = Seq((1L, 0.0), (2L, 10.0), (3L, 15.0), (4L, 100.0)).toDF("pid", "x")
+    val ivs = Seq((10L, 0.0, 10.0), (11L, 10.0, 15.0)).toDF("iid", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // half-open [lo, hi): x=10 leaves [0,10) and enters [10,15); x=15 excluded
+    assert(pairs(RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, hiInclusive = false)) ==
+      Set((1L, 10L), (2L, 11L)))
+    // (lo, hi]: x=0 leaves (0,10]; x=10 only in (0,10]; x=15 only in (10,15]
+    assert(pairs(RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, loInclusive = false)) ==
+      Set((2L, 10L), (3L, 11L)))
+    // NULL-open ends: [50, inf) catches 100; (-inf, 10] catches 0 and 10;
+    // an open interval starting after the last point matches nothing
+    // (and must not crash the bin sequence)
+    val ivo = Seq((20L, Some(50.0), None: Option[Double]),
+      (21L, None: Option[Double], Some(10.0)),
+      (22L, Some(200.0), None: Option[Double])).toDF("iid", "lo", "hi")
+    assert(pairs(RangeJoin.pointInInterval(pts, "x", ivo, "lo", "hi",
+        binWidth = 10.0, nullBoundIsOpen = true)) ==
+      Set((4L, 20L), (1L, 21L), (2L, 21L)))
+    // without the flag, NULL bounds stay a loud refusal (BETWEEN semantics)
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "x", ivo, "lo", "hi", binWidth = 10.0)
+    }
+    assert(e.getMessage.contains("nullBoundIsOpen"))
+    // inverted intervals are still a refusal in open mode
+    val inv = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "x",
+        ivo.unionByName(Seq((23L, Some(5.0), Some(1.0))).toDF("iid", "lo", "hi")),
+        "lo", "hi", binWidth = 10.0, nullBoundIsOpen = true)
+    }
+    assert(inv.getMessage.contains("inverted"))
+  }
+
   test("funnel: strict order, window deadline, monotone stalls, repeated steps") {
     def us(sec: Long) = sec * 1000000L
     val ev = Seq(

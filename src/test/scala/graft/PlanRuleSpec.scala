@@ -256,4 +256,54 @@ class PlanRuleSpec extends SparkSpec {
       assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
     }
   }
+
+  test("BinnedRangeJoin: strict bounds and the NULL-open-end conjunct") {
+    rjPoints.createOrReplaceTempView("rj_p5")
+    Seq((10L, Some(0.0), Some(10.0)), (11L, Some(10.0), Some(15.0)),
+        (12L, Some(50.0), None: Option[Double]),
+        (13L, Some(200.0), None: Option[Double]))
+      .toDF("iid", "lo", "hi").createOrReplaceTempView("rj_i5")
+    // half-open [lo, hi) with an SCD2-style open end: x=0 in [0,10);
+    // x=10 in [10,15) only; x=100 in [50,inf); the [200,inf) interval
+    // starts after the last point and matches nothing (nor crashes the
+    // bin sequence)
+    val sqlTxt = "SELECT pid, iid FROM rj_p5 JOIN rj_i5 " +
+      "ON x >= lo AND (hi IS NULL OR x < hi)"
+    val naive = spark.sql(sqlTxt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withBinWidth("10.0") {
+      val q = spark.sql(sqlTxt)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_graft_pbin") && opt.contains("_graft_maxpbin"),
+        s"expected the open-end binned rewrite in:\n$opt")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive && got == Set((1L, 10L), (2L, 11L), (4L, 12L)),
+        s"got $got naive $naive")
+      assert(q.collect().length == got.size, "duplicate pairs")
+      // strict orientation without the open end: (lo, hi] via bound-first
+      // operand order
+      val q2 = spark.sql(
+        "SELECT pid, iid FROM rj_p5 JOIN rj_i5 ON lo < x AND x <= hi")
+      assert(q2.queryExecution.optimizedPlan.toString.contains("_graft_pbin"))
+      val got2 = q2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((2L, 10L), (3L, 11L)), s"got $got2")
+    }
+  }
+
+  test("BinnedRangeJoin: cast-wrapped operands (decimal points vs double bounds)") {
+    rjPoints.select($"pid", $"x".cast("decimal(12,2)").as("x"))
+      .createOrReplaceTempView("rj_p6")
+    rjIntervals.createOrReplaceTempView("rj_i6")
+    // the analyzer inserts CAST(x AS DOUBLE) around the decimal column —
+    // the TPC-H shape; the rule must see through it
+    val sqlTxt = "SELECT pid, iid FROM rj_p6 JOIN rj_i6 ON x >= lo AND x <= hi"
+    withBinWidth("10.0") {
+      val q = spark.sql(sqlTxt)
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+        s"cast-wrapped operands must still rewrite:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 12L)), s"got $got")
+    }
+  }
 }
