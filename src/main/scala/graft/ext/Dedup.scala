@@ -506,6 +506,119 @@ object Dedup {
     } finally newSigs.unpersist(false)
   }
 
+  /**
+   * (id, sig, sh) rows for a PERSISTED minhash side table — the
+   * cross-batch artifact a production ingest pipeline maintains on disk
+   * next to its url/md5 sets (see [[graft.streaming.EventStream.ingestSink]]),
+   * so that a daily batch against a 100 TB corpus never rescans the
+   * corpus TEXT for the near-dup cross stage: banding and the
+   * estimated-similarity prefilter read `sig`, and the exact-threshold
+   * verify reads `sh`. The shingle sets ride along because the EXACT
+   * Jaccard verify (the oracle-checked contract of every minhash
+   * operator here) needs the old side's sets — storing them makes the
+   * table a shingle INDEX, roughly text-sized, which is the standard
+   * trade (one extra corpus-sized artifact, zero corpus rescans and
+   * zero per-batch signature re-derivation). Rows with empty shingle
+   * sets are omitted (they can never match — same filter every pair
+   * operator applies).
+   *
+   * Contract: build every partition of one table with the SAME
+   * `shingleSize`/`numHashes` ([[crossPairsViaMinhashTable]] verifies
+   * the signature width loudly).
+   */
+  def minhashTableRows(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 5, numHashes: Int = 128): DataFrame =
+    charShingleSets(df, textCol, idCol, shingleSize)
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig"),
+        col("sh"))
+
+  /**
+   * [[crossPairsViaMinhash]] with the OLD side supplied as a
+   * PRECOMPUTED (id, sig, sh) table ([[minhashTableRows]]) instead of
+   * shingle frames derived from old text: the ingest path where the
+   * old-corpus signatures live in a maintained side table and the
+   * cross stage must not rescan (or even re-shingle) the corpus. Same
+   * banding, same estimated-similarity prefilter, same exact
+   * sorted-merge verify — bit-identical pairs to the derive-from-text
+   * path on the same corpus (pinned by spec). The old side reads ONLY
+   * `oldTable`; no shared-registry write happens (the caller's table IS
+   * the persisted artifact).
+   */
+  def crossPairsViaMinhashTable(newShingles: DataFrame, oldTable: DataFrame,
+                                numHashes: Int = 128, bands: Int = 32,
+                                exactThreshold: Double = 0.8,
+                                estThreshold: Double = 0.5,
+                                maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val missing = Set("id", "sig", "sh") -- oldTable.columns.toSet
+    require(missing.isEmpty,
+      s"crossPairsViaMinhashTable: oldTable lacks ${missing.mkString(", ")} " +
+        "— build it with Dedup.minhashTableRows")
+    // a table built at a different numHashes would band/verify garbage
+    // SILENTLY (wrong slice boundaries) — one O(1) row catches it loudly
+    oldTable.select(size(col("sig")).as("_n")).limit(1).collect()
+      .foreach(r => require(r.getInt(0) == numHashes,
+        s"crossPairsViaMinhashTable: oldTable signatures have width " +
+          s"${r.getInt(0)}, expected numHashes=$numHashes — the table was " +
+          "built with different parameters"))
+    val rows = numHashes / bands
+    def bandedOf(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val newSigs = newShingles.filter(size(col("sh")) > 0)
+      .select(col("id"), minhash_sig(col("sh"), lit(numHashes)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newBanded = bandedOf(newSigs)
+      val oldBanded = bandedOf(oldTable.select("id", "sig"))
+        .select(col("band"), col("band_hash"), col("id").as("id2"))
+      val oversized = oldBanded.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") > maxBucket)
+        .select("band", "band_hash")
+      val capped = oldBanded.join(broadcast(oversized),
+        Seq("band", "band_hash"), "left_anti")
+      val candidates = newBanded.join(capped, Seq("band", "band_hash"))
+        .select("id", "id2")
+        .distinct()
+      val estPruned = candidates
+        .join(newSigs, Seq("id"))
+        .join(oldTable.select(col("id").as("id2"), col("sig").as("sig2")),
+          Seq("id2"))
+        .filter(sig_similarity(col("sig"), col("sig2")) >= estThreshold)
+        .select("id", "id2")
+      val newSh = newShingles.filter(size(col("sh")) > 0)
+      val oldSh = oldTable.select(col("id").as("id2"), col("sh").as("sh2"))
+      val pairs = estPruned
+        .join(newSh, Seq("id"))
+        .join(oldSh, Seq("id2"))
+        .withColumn("_c", sorted_overlap(col("sh"), col("sh2")))
+        .withColumn("jaccard", col("_c").cast("double") /
+          (size(col("sh")) + size(col("sh2")) - col("_c")))
+        .filter(col("jaccard") >= exactThreshold)
+        .select("id", "id2", "jaccard")
+      pairs.localCheckpoint(true)
+    } finally newSigs.unpersist(false)
+  }
+
+  /** [[minhashBandOverflow]] over PRECOMPUTED signatures (the
+    * [[minhashTableRows]] side table) — the report for
+    * [[crossPairsViaMinhashTable]]'s old-side cap, with no text scan
+    * and no registry write. */
+  def minhashBandOverflowFromSigs(sigs: DataFrame, numHashes: Int = 128,
+                                  bands: Int = 32,
+                                  maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val banded = sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    bandOverflowReport(banded, "band", "band_hash", maxBucket)
+  }
+
   /** New-batch rows that near-duplicate NO existing-corpus document —
     * the keeper side of [[crossPairsViaMinhash]]. */
   def incrementalKeepers(newDf: DataFrame, oldDf: DataFrame,

@@ -276,7 +276,16 @@ object Pipeline {
                   // stages. Contract: the sets must cover exactly
                   // oldCleaned's content (canonical URLs / md5(text)).
                   oldUrlSet: Option[DataFrame] = None,
-                  oldHashSet: Option[DataFrame] = None)
+                  oldHashSet: Option[DataFrame] = None,
+                  // the third maintained artifact: a PRECOMPUTED
+                  // (id, sig, sh) minhash table ([[Dedup.minhashTableRows]])
+                  // covering exactly oldCleaned — with it the near-dup
+                  // cross stage (banding, est prefilter, exact verify AND
+                  // the overflow report) reads only the table and the old
+                  // corpus text column is never scanned at all. Must be
+                  // built with the pipeline's shingle/numHashes defaults
+                  // (width verified loudly).
+                  oldMinhashTable: Option[DataFrame] = None)
       : (DataFrame, Seq[StageReport]) = {
     require(oldUrlCol.isEmpty || urlCol.nonEmpty,
       "oldUrlCol without urlCol: the batch has no URLs to cross-check")
@@ -335,14 +344,26 @@ object Pipeline {
     // reproduces exactly crossPairsViaMinhash's banding and criterion)
     // rides the stage report: no silent exclusions, per the README
     // convention this function's own URL require documents.
-    val old = oldCleaned.select(col(oldIdCol).as(idCol),
-      col(oldTextCol).as(textCol))
-    val crossOverflow = Dedup.minhashBandOverflow(
-      Dedup.charShingleSets(old, textCol, idCol),
-      maxBucket = minhashMaxBucket).localCheckpoint()
-    cur = stage("minhash_cross_dedup", Some(crossOverflow))(
-      Dedup.incrementalKeepers(cur, old, textCol, idCol,
-        threshold = minhashThreshold, maxBucket = minhashMaxBucket))
+    val crossOverflow = (oldMinhashTable match {
+      case Some(tbl) => Dedup.minhashBandOverflowFromSigs(
+        tbl.select("id", "sig"), maxBucket = minhashMaxBucket)
+      case None => Dedup.minhashBandOverflow(
+        Dedup.charShingleSets(oldCleaned.select(col(oldIdCol).as(idCol),
+          col(oldTextCol).as(textCol)), textCol, idCol),
+        maxBucket = minhashMaxBucket)
+    }).localCheckpoint()
+    cur = stage("minhash_cross_dedup", Some(crossOverflow))(oldMinhashTable match {
+      case Some(tbl) =>
+        val dupes = Dedup.crossPairsViaMinhashTable(
+            Dedup.charShingleSets(cur, textCol, idCol), tbl,
+            exactThreshold = minhashThreshold, maxBucket = minhashMaxBucket)
+          .select(col("id").as("_dup")).distinct()
+        cur.join(dupes, cur(idCol) === col("_dup"), "left_anti")
+      case None => Dedup.incrementalKeepers(
+        cur, oldCleaned.select(col(oldIdCol).as(idCol),
+          col(oldTextCol).as(textCol)), textCol, idCol,
+        threshold = minhashThreshold, maxBucket = minhashMaxBucket)
+    })
     // cur is already checkpoint-materialized by the last stage()
     (cur, report.result())
   }

@@ -219,17 +219,27 @@ object EventStream {
    *
    * Scale: per micro-batch work is exactly [[graft.ext.Pipeline.ingestBatch]]'s
    * contract — |batch| cleaning + three slim anti-joins — and the sink
-   * MAINTAINS the canonical-URL and md5 side tables append-only
-   * (`<corpusDir>.side/{urlset,md5set}`, bootstrapped from the corpus
-   * if it was seeded externally), so the URL/exact cross stages never
-   * rescan the corpus: a daily batch against a 100 TB corpus reads two
-   * slim side tables, not the corpus's url/text columns. Only the
-   * minhash cross stage still reads old text (its signature table is
-   * the session-shared registry). Every write is keyed by batch id
+   * MAINTAINS three side tables append-only
+   * (`<corpusDir>.side/{urlset,md5set,minhash}`, each bootstrapped from
+   * the corpus ONCE if it was seeded externally), so NO cross stage
+   * rescans the corpus: a daily batch against a 100 TB corpus reads the
+   * two slim url/md5 sets plus the minhash table
+   * ([[graft.ext.Dedup.minhashTableRows]] — (id, sig, sh); the shingle
+   * sets ride along because the exact-threshold verify needs them, which
+   * makes this one a corpus-sized shingle INDEX, the standard trade for
+   * zero corpus rescans), and the corpus's url/text columns are never
+   * read after the bootstrap. Every write is keyed by batch id
    * (`batch=<id>` partition, overwrite) — the standard foreachBatch
    * idempotent-sink recipe: a replayed batch overwrites its own
-   * partition in the corpus AND both side tables instead of
-   * double-appending.
+   * partition in the corpus AND all three side tables instead of
+   * double-appending. Crucially the replay also EXCLUDES its own prior
+   * partial write when reading the corpus and side tables (a batch must
+   * never dedupe against itself: a crash between the writes and the
+   * checkpoint commit would otherwise drop the whole replayed batch as
+   * self-duplicates and overwrite its partition with nothing —
+   * permanent loss). Missing paths mean "no corpus yet"; any OTHER read
+   * failure (corrupt footer, transient IO) propagates loudly instead of
+   * being mistaken for an empty corpus.
    */
   def ingestSink(newDocs: DataFrame, textCol: String, idCol: String,
                  corpusDir: String, checkpointDir: String,
@@ -250,34 +260,63 @@ object EventStream {
         // the caller having done it
         graft.ext.TextFunctions.registerAll(spark)
         val keepCols = (Seq(idCol, textCol) ++ urlCol).map(col)
+        val hconf = spark.sessionState.newHadoopConf()
+        // list a table dir's PRIOR partitions: None = dir absent (no
+        // corpus/side table yet — the only failure treated as empty;
+        // corrupt footers and IO errors propagate from the read below);
+        // the current batch's own `batch=<id>` partition is EXCLUDED so
+        // a checkpoint replay never dedupes the batch against its own
+        // prior partial write (self-duplicates -> empty overwrite ->
+        // permanent loss of the batch)
+        def priorParts(dir: String): Option[Seq[String]] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(hconf)
+          if (!fs.exists(p)) None
+          else Some(fs.listStatus(p).toSeq.map(_.getPath)
+            .filterNot(c => c.getName == s"batch=$batchId" ||
+              c.getName.startsWith("_") || c.getName.startsWith("."))
+            .map(_.toString))
+        }
         // the current corpus, or a batch-shaped EMPTY frame on the very
-        // first batch (no files yet): ingestBatch's cross stages all
-        // no-op against an empty old side
-        val old = scala.util.Try(spark.read.parquet(corpusDir))
-          .getOrElse(batch.select(keepCols: _*).limit(0))
+        // first batch: ingestBatch's cross stages all no-op against an
+        // empty old side
+        val old = priorParts(corpusDir) match {
+          case Some(parts) if parts.nonEmpty => spark.read.parquet(parts: _*)
+          case _ => batch.select(keepCols: _*).limit(0)
+        }
         // maintained side tables; bootstrap (derive from the corpus +
         // persist) covers an externally-seeded corpus dir, so later
         // batches never under-cover it
-        def sideSet(path: String, colName: String,
-                    derive: => DataFrame): DataFrame =
-          scala.util.Try(spark.read.parquet(path)).getOrElse {
-            derive.write.mode("overwrite").parquet(s"$path/batch=_bootstrap")
-            spark.read.parquet(path)
-          }.select(colName)
+        def sideTable(path: String, derive: => DataFrame): DataFrame =
+          priorParts(path) match {
+            case Some(parts) if parts.nonEmpty => spark.read.parquet(parts: _*)
+            case _ =>
+              derive.write.mode("overwrite").parquet(s"$path/batch=_bootstrap")
+              spark.read.parquet(s"$path/batch=_bootstrap")
+          }
         val side = s"$corpusDir.side"
         val urlSet = urlCol.map { u =>
-          sideSet(s"$side/urlset", "url_canon",
+          sideTable(s"$side/urlset",
             old.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
               .as("url_canon")).filter(col("url_canon").isNotNull).distinct())
+            .select("url_canon")
         }
-        val hashSet = sideSet(s"$side/md5set", "text_md5",
+        val hashSet = sideTable(s"$side/md5set",
           old.select(md5(col(textCol)).as("text_md5")).distinct())
+          .select("text_md5")
+        // the minhash (id, sig, sh) table: with it the near-dup cross
+        // stage reads ONLY this artifact — a fresh session never pays an
+        // old-corpus text scan to rebuild signatures
+        val mhTable = sideTable(s"$side/minhash",
+          graft.ext.Dedup.minhashTableRows(old, textCol, idCol))
+          .select("id", "sig", "sh")
         val (survivors0, report) = graft.ext.Pipeline.ingestBatch(
           batch, textCol, idCol, old, textCol, idCol,
           urlCol = urlCol, oldUrlCol = urlCol,
           minhashThreshold = minhashThreshold,
           minhashMaxBucket = minhashMaxBucket,
-          oldUrlSet = urlSet, oldHashSet = Some(hashSet))
+          oldUrlSet = urlSet, oldHashSet = Some(hashSet),
+          oldMinhashTable = Some(mhTable))
         // every write keyed by batch id + overwrite: a checkpoint
         // REPLAY overwrites its own partitions instead of appending
         // duplicates — corpus and side tables stay mutually consistent
@@ -290,6 +329,8 @@ object EventStream {
         }
         survivors.select(md5(col(textCol)).as("text_md5")).distinct()
           .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId")
+        graft.ext.Dedup.minhashTableRows(survivors, textCol, idCol)
+          .write.mode("overwrite").parquet(s"$side/minhash/batch=$batchId")
         reportDir.foreach { rd =>
           import spark.implicits._
           report.map(r => (r.stage, r.rows)).toDF("stage", "rows")

@@ -1068,6 +1068,26 @@ class ExtSpec extends SparkSpec {
         numHashes = 64, bands = 16)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keepers == Set(12L, 13L), s"keepers: $keepers")
+    // the PRECOMPUTED-table path (the persisted minhash side table an
+    // ingest pipeline maintains) is bit-identical to derive-from-text
+    val tbl = Dedup.minhashTableRows(oldDf, "text", "doc_id", numHashes = 64)
+    val tPairs = Dedup.crossPairsViaMinhashTable(
+        Dedup.charShingleSets(newDf, "text", "doc_id", 5), tbl,
+        numHashes = 64, bands = 16, exactThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dPairs = Dedup.crossPairsViaMinhash(
+        Dedup.charShingleSets(newDf, "text", "doc_id", 5),
+        Dedup.charShingleSets(oldDf, "text", "doc_id", 5),
+        numHashes = 64, bands = 16, exactThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tPairs == dPairs, s"table path $tPairs != derived path $dPairs")
+    // a table built at the wrong numHashes is refused loudly
+    val wrong = intercept[IllegalArgumentException] {
+      Dedup.crossPairsViaMinhashTable(
+        Dedup.charShingleSets(newDf, "text", "doc_id", 5), tbl,
+        numHashes = 128, bands = 32)
+    }
+    assert(wrong.getMessage.contains("width"))
     Dedup.releaseCaches()
   }
 

@@ -274,6 +274,91 @@ class StreamingSpec extends SparkSpec {
     val wantMd5 = corpus.select(md5($"text")).collect().map(_.getString(0)).toSet
     assert(urls == wantUrls, s"side urls $urls != $wantUrls")
     assert(md5s == wantMd5, s"side md5s $md5s != $wantMd5")
+    // ... and the minhash (id, sig, sh) table covers exactly the
+    // survivors too — the artifact the next batch's near-dup cross
+    // stage reads INSTEAD of the corpus text
+    val mh = spark.read.parquet(s"$corpusDir.side/minhash")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mh == got, s"side minhash ids $mh != corpus $got")
+  }
+
+  test("ingestSink: cross stages read side tables not corpus text; replay loses nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ext.TextFunctions.registerAll(spark)
+    val root = tmpDir("ingest-side-only")
+    val srcDir = s"$root/src"; val corpusDir = s"$root/corpus"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    // one long all-distinct-word sentence: no internal repeats (the
+    // within-batch span/dup-token stages must not touch it), ~130 chars
+    // so a 5-char tail edit keeps char-5 Jaccard ~0.93 >= 0.8
+    val longA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    val b1 = Seq(
+      (1L, longA, "https://a.ex/p1"),
+      (2L, "completely different content about other things entirely six",
+        "https://a.ex/p2")).toDF("doc_id", "text", "url")
+    // exact copy and near-dup arrive in SEPARATE batches so neither is
+    // a within-batch duplicate of anything — only the CROSS stages can
+    // drop them
+    val b2 = Seq(
+      (11L, longA, "https://b.ex/p11"),                    // exact cross-copy of 1
+      (13L, "fresh document nothing like the others seven",
+        "https://b.ex/p13")).toDF("doc_id", "text", "url")
+    val b3 = Seq(
+      (12L, longA + " tail", "https://b.ex/p12"),          // near-dup of 1
+      (14L, "another brand new page resembling nothing eight",
+        "https://b.ex/p14")).toDF("doc_id", "text", "url")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def drain(): Unit = {
+      val q = EventStream.ingestSink(
+        spark.readStream.schema(b1.schema).parquet(srcDir),
+        "text", "doc_id", corpusDir, ckpt, urlCol = Some("url"))
+      assert(q.awaitTermination(180000), "ingest stream timed out")
+    }
+    stage(b1, "b1"); drain()
+    // CORRUPT the saved corpus TEXT (same ids/urls/schema): if any cross
+    // stage still scanned old text, the later batches' exact/near dups
+    // of doc 1 would sail through. They must still drop — proof the
+    // stages read only the maintained side tables (built from the real
+    // text at batch-0 write time).
+    val saved = spark.read.parquet(s"$corpusDir/batch=0")
+      .select($"doc_id", lit("CORRUPTED").as("text"), $"url").collect().toSeq
+    val schema = spark.read.parquet(s"$corpusDir/batch=0").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(saved, 1), schema)
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=0")
+    stage(b2, "b2"); drain()   // exact cross-copy: md5 side table
+    stage(b3, "b3"); drain()   // near-dup: minhash side table
+    def corpusIds() = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == Set(1L, 2L, 13L, 14L),
+      s"cross stages must have read the side tables: ${corpusIds()}")
+    // REPLAY of batch 2 (crash between writes and checkpoint commit):
+    // drop the commit marker so the restarted query re-executes batch 2
+    // against a corpus that already contains batch 2's own output. The
+    // replayed batch must exclude its own prior write — identical
+    // corpus after, nothing dropped as a self-duplicate.
+    val commit = new java.io.File(s"$ckpt/commits/2")
+    assert(commit.exists(), "expected commit marker for batch 2")
+    assert(commit.delete())
+    // the local-FS checksum shadow must go too or the replayed commit's
+    // rename hits FileAlreadyExists on the stale .crc
+    new java.io.File(s"$ckpt/commits/.2.crc").delete()
+    drain()
+    assert(corpusIds() == Set(1L, 2L, 13L, 14L),
+      s"replayed batch lost data: ${corpusIds()}")
+    val mhIds = spark.read.parquet(s"$corpusDir.side/minhash")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mhIds == Set(1L, 2L, 13L, 14L),
+      s"minhash side table after replay: $mhIds")
   }
 
   test("flatMapGroupsWithState running counters == batch groupBy") {
