@@ -2404,6 +2404,52 @@ object SparkEntry {
           sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
         .orderBy("band_id")
     }),
+    "q172_scd2_lookup" -> ((s, dir) => { ensure(s)
+      // SCD2 point-in-time lookup (the one-call scd2 ∘ asofJoin
+      // composition): every event joined to the tier VERSION valid at
+      // event time — half-open [valid_from, valid_to), NULL = current.
+      // Under the hood a keyed backward as-of against valid_from (one
+      // hash shuffle per side), NOT a range join; the valid_to verify
+      // is vacuous on scd2's tiled output by construction. Oracle =
+      // the explicit interval LEFT JOIN in DuckDB (at most one version
+      // matches per event, so no fan-out).
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val dim = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg((max(col("event_id")) % 7).cast("int").as("tier"))
+      val intervals = graft.ext.AsOf.scd2(dim, "ts", "user_id",
+        Seq("tier"), verifyUnique = false)
+      val facts = ev.filter(col("event_id") % 10 =!= 0)
+        .select("event_id", "user_id", "ts")
+      graft.ext.AsOf.scd2Lookup(facts, "ts", "user_id", intervals,
+          "user_id", Seq("tier"), verifyUnique = false)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("valid_from_us"), col("valid_to_us"), col("tier"))
+        .orderBy("event_id")
+    }),
+    "q170_asof_forward" -> ((s, dir) => { ensure(s)
+      // FORWARD as-of join (merge_asof direction='forward' — "the next
+      // state change at-or-after each event"): the q160 fixture with
+      // the axis reversed, same union-window shape ordered DESCENDING
+      // (no micros negation round-trip — timestamps stay first-class).
+      // 1-hour tolerance voids matches too far AHEAD of the event.
+      // Oracle = DuckDB's native ASOF LEFT JOIN with e.ts <= d.ts.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val dim = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg((max(col("event_id")) % 5).cast("int").as("tier"))
+      val evs = ev.filter(col("event_id") % 10 =!= 0)
+        .select("event_id", "user_id", "ts")
+      graft.ext.AsOf.asofJoin(evs, "ts", "user_id", dim, "ts", "user_id",
+          Seq("tier"), toleranceSeconds = Some(3600L),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("matched_ts")).as("matched_us"),
+          col("tier"))
+        .orderBy("event_id")
+    }),
     "q160_asof_join" -> ((s, dir) => { ensure(s)
       // point-in-time AS-OF join (kdb aj / merge_asof / Flink temporal
       // join — the temporal operator Spark lacks as a built-in): every
@@ -3726,6 +3772,30 @@ object SparkEntry {
        "BETWEEN CAST(p.p_retailprice AS DOUBLE) - 50.0 AND CAST(p.p_retailprice AS DOUBLE) + " +
        "(CASE WHEN p.p_partkey % 97 = 0 THEN 500000.0 ELSE 50.0 END) " +
        "GROUP BY 1 ORDER BY 1"),
+    "q172_scd2_lookup" ->
+      ("WITH snap AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, CAST(max(event_id) % 7 AS INTEGER) AS tier " +
+       "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
+       "ch AS MATERIALIZED (SELECT user_id, us, tier, " +
+       "lag(tier) OVER (PARTITION BY user_id ORDER BY us) AS pt, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY us) AS rn FROM snap), " +
+       "kept AS MATERIALIZED (SELECT user_id, us, tier FROM ch WHERE rn = 1 OR tier IS DISTINCT FROM pt), " +
+       "iv AS MATERIALIZED (SELECT user_id, us AS valid_from_us, " +
+       "lead(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us, tier FROM kept), " +
+       "ev AS MATERIALIZED (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_id % 10 <> 0) " +
+       "SELECT e.event_id, e.user_id, e.us AS ts_us, i.valid_from_us, i.valid_to_us, i.tier " +
+       "FROM ev e LEFT JOIN iv i ON e.user_id = i.user_id " +
+       "AND e.us >= i.valid_from_us AND (i.valid_to_us IS NULL OR e.us < i.valid_to_us) " +
+       "ORDER BY e.event_id"),
+    "q170_asof_forward" ->
+      ("WITH dim AS MATERIALIZED (SELECT user_id, ts, CAST(max(event_id) % 5 AS INTEGER) AS tier " +
+       "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
+       "ev AS MATERIALIZED (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0), " +
+       "j AS MATERIALIZED (SELECT e.event_id, e.user_id, e.ts AS ets, d.ts AS dts, d.tier, " +
+       "(d.ts IS NOT NULL AND (epoch_us(d.ts) // 1000000) - (epoch_us(e.ts) // 1000000) <= 3600) AS ok " +
+       "FROM ev e ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts <= d.ts) " +
+       "SELECT event_id, user_id, epoch_us(ets) AS ts_us, " +
+       "CASE WHEN ok THEN epoch_us(dts) END AS matched_us, " +
+       "CASE WHEN ok THEN tier END AS tier FROM j ORDER BY event_id"),
     "q160_asof_join" ->
       ("WITH dim AS MATERIALIZED (SELECT user_id, ts, CAST(max(event_id) % 5 AS INTEGER) AS tier " +
        "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +

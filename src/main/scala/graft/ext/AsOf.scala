@@ -16,19 +16,34 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /**
-   * Backward as-of join, the union-window formulation: both sides are
-   * tagged and UNIONED, one window partitioned by key and ordered by
-   * (ts, side) carries the last dimension payload forward, and the left
-   * rows are filtered back out annotated with the carried payload.
+   * As-of join, the union-window formulation: both sides are tagged and
+   * UNIONED, one window partitioned by key and ordered by (ts, side)
+   * carries the last dimension payload forward, and the left rows are
+   * filtered back out annotated with the carried payload.
+   *
+   * `direction` (the `merge_asof` knob):
+   *  - `"backward"` (default): the LATEST dimension row at-or-before
+   *    the event — "state when the event happened";
+   *  - `"forward"`: the EARLIEST dimension row at-or-after the event —
+   *    the same union window ordered DESCENDING (a forward as-of IS a
+   *    backward as-of on reversed time; ordering instead of negating
+   *    keeps timestamps first-class, no micros round-trip);
+   *  - `"nearest"`: the closer of the two candidates, each
+   *    tolerance-checked on its own side first; EXACT distance compare
+   *    (microseconds for timestamps), ties go to the BACKWARD match
+   *    (the pandas convention). Both windows share one hash exchange —
+   *    the second direction costs a sort, not a shuffle.
    *
    * Semantics:
-   *  - a dimension row at EXACTLY the event timestamp matches (`<=`,
-   *    the standard backward convention: side order puts dim rows
-   *    before event rows at equal ts);
-   *  - events with no dimension row at-or-before them get NULL payload
-   *    columns and a NULL `matched_ts` (a left join, never dropped);
-   *  - `toleranceSeconds` (the `merge_asof` knob) voids matches older
-   *    than the event by more than the tolerance — payload AND
+   *  - a dimension row at EXACTLY the event timestamp matches in every
+   *    direction (side order puts dim rows before event rows at equal
+   *    ts under either ordering);
+   *  - events with no dimension row on the matching side get NULL
+   *    payload columns and a NULL `matched_ts` (a left join, never
+   *    dropped);
+   *  - `toleranceSeconds` voids matches further from the event than the
+   *    tolerance (in truncated epoch seconds, both directions — the
+   *    documented backward convention mirrored) — payload AND
    *    `matched_ts` revert to NULL, not the row to dropped;
    *  - NULL left timestamps or keys match nothing (NULL payload); right
    *    rows with NULL ts or key can match nothing and are dropped.
@@ -51,9 +66,12 @@ object AsOf {
                right: DataFrame, rightTsCol: String, rightKeyCol: String,
                payloadCols: Seq[String],
                toleranceSeconds: Option[Long] = None,
-               verifyUnique: Boolean = true): DataFrame = {
+               verifyUnique: Boolean = true,
+               direction: String = "backward"): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin: need at least one payload column")
     require(toleranceSeconds.forall(_ >= 0), "toleranceSeconds must be >= 0")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward | forward | nearest, got '$direction'")
     val clash = left.columns.toSet
       .intersect(payloadCols.toSet + "matched_ts")
     require(clash.isEmpty,
@@ -86,33 +104,65 @@ object AsOf {
       col(leftKeyCol).as("_k") +: col(leftTsCol).as("_ts") +:
         lit(0).as("_dim") +: lit(null).cast(r.schema("_p").dataType).as("_p") +:
         lCols.map(c => left(c).as("_l_" + c)): _*)
-    // dim rows sort BEFORE event rows at equal ts (_dim desc) — the
-    // `<=` backward convention. Window ordering is total per key:
-    // (ts, side) is unique on the dim side by the contract above, and
-    // equal-ts event rows all read the same carried state.
-    val w = Window.partitionBy("_k").orderBy(col("_ts").asc, col("_dim").desc)
+    // dim rows sort BEFORE event rows at equal ts (_dim desc) under
+    // EITHER ts ordering — exact matches count in every direction.
+    // Window ordering is total per key: (ts, side) is unique on the dim
+    // side by the contract above, and equal-ts event rows all read the
+    // same carried state.
+    def w(tsOrd: Column) = Window.partitionBy("_k")
+      .orderBy(tsOrd, col("_dim").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = r
       .select((col("_k") +: col("_ts") +: col("_dim") +: col("_p") +:
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as("_l_" + c))): _*)
       .unionByName(l)
-    val matched = all
-      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_dim") === 0)
     // epoch-seconds difference: cast("long") is epoch for timestamp
-    // columns and identity for numeric ts columns
-    val tolOk = toleranceSeconds match {
-      case Some(t) =>
-        col("_m").isNotNull &&
-          col("_ts").cast("long") - col("_m").getField("_mts").cast("long") <= t
-      case None => col("_m").isNotNull
+    // columns and identity for numeric ts columns. Signed per side so
+    // each candidate checks its own tolerance.
+    def tolOk(m: Column, signedGap: Column): Column = toleranceSeconds match {
+      case Some(t) => m.isNotNull && signedGap <= t
+      case None    => m.isNotNull
     }
-    val kept = matched.withColumn("_mok", tolOk)
+    def secs(c: Column) = c.cast("long")
+    val withCands = direction match {
+      case "backward" => all
+        .withColumn("_mb", last(col("_p"), ignoreNulls = true)
+          .over(w(col("_ts").asc)))
+      case "forward" => all
+        .withColumn("_mf", last(col("_p"), ignoreNulls = true)
+          .over(w(col("_ts").desc)))
+      case "nearest" => all
+        .withColumn("_mb", last(col("_p"), ignoreNulls = true)
+          .over(w(col("_ts").asc)))
+        .withColumn("_mf", last(col("_p"), ignoreNulls = true)
+          .over(w(col("_ts").desc)))
+    }
+    val matched = withCands.filter(col("_dim") === 0)
+    val bOk = tolOk(col("_mb"),
+      secs(col("_ts")) - secs(col("_mb").getField("_mts")))
+    val fOk = tolOk(col("_mf"),
+      secs(col("_mf").getField("_mts")) - secs(col("_ts")))
+    // nearest compares EXACT distances (micros for timestamps, raw for
+    // numerics — both sides are the same type, the union demands it);
+    // ties to backward, the pandas convention
+    def axis(c: Column): Column =
+      if (left.schema(leftTsCol).dataType ==
+          org.apache.spark.sql.types.TimestampType) unix_micros(c) else c
+    val chosen = direction match {
+      case "backward" => when(bOk, col("_mb"))
+      case "forward"  => when(fOk, col("_mf"))
+      case "nearest" =>
+        val distB = axis(col("_ts")) - axis(col("_mb").getField("_mts"))
+        val distF = axis(col("_mf").getField("_mts")) - axis(col("_ts"))
+        when(bOk && fOk, when(distF < distB, col("_mf")).otherwise(col("_mb")))
+          .when(bOk, col("_mb"))
+          .when(fOk, col("_mf"))
+    }
+    val kept = matched.withColumn("_m", chosen)
     kept.select(
       lCols.map(c => col("_l_" + c).as(c)) ++
-        Seq(when(col("_mok"), col("_m").getField("_mts")).as("matched_ts")) ++
-        payloadCols.map(c =>
-          when(col("_mok"), col("_m").getField(c)).as(c)): _*)
+        Seq(col("_m").getField("_mts").as("matched_ts")) ++
+        payloadCols.map(c => col("_m").getField(c).as(c)): _*)
   }
 
   /**
@@ -352,6 +402,64 @@ object AsOf {
       .withColumn("valid_to_us", lead(col("_us"), 1).over(w))
       .select(col("_k").as(keyCol) +: col("_us").as("valid_from_us") +:
         col("valid_to_us") +: payloadCols.map(col): _*)
+  }
+
+  /**
+   * SCD2 POINT-IN-TIME LOOKUP — the one-call composition of [[scd2]]
+   * and [[asofJoin]]: join each fact row to the dimension VERSION valid
+   * at fact time, i.e. the interval with `valid_from <= ts AND
+   * (valid_to IS NULL OR ts < valid_to)` (half-open, NULL = current —
+   * exactly [[scd2]]'s output convention). The implementation is a
+   * keyed backward as-of against `valid_from` with `valid_to` carried
+   * as payload and verified after — NOT a range join: per (key, ts) at
+   * most one version can match, which is precisely the as-of shape (one
+   * hash shuffle per side, zero interval explosion). The `valid_to`
+   * verify only bites when the interval table has GAPS (a deleted
+   * period); [[scd2]]'s tiled output passes it by construction.
+   *
+   * Facts with no valid version (before the key's first interval, or in
+   * a gap) keep their row with NULL interval/payload columns — a left
+   * join, the [[asofJoin]] contract.
+   *
+   * Fact timestamps may be TIMESTAMP (converted to the interval table's
+   * microsecond axis via `unix_micros`) or already-numeric micros.
+   * `dims` must be unique per (key, valid_from) — [[asofJoin]]'s loud
+   * refusal applies (`verifyUnique = false` to skip when the producer
+   * is [[scd2]] itself, which guarantees it).
+   *
+   * Output: facts' columns ++ (valid_from_us, valid_to_us, payload...).
+   */
+  def scd2Lookup(facts: DataFrame, factTsCol: String, factKeyCol: String,
+                 dims: DataFrame, dimKeyCol: String,
+                 payloadCols: Seq[String],
+                 validFromCol: String = "valid_from_us",
+                 validToCol: String = "valid_to_us",
+                 verifyUnique: Boolean = true): DataFrame = {
+    val clash = facts.columns.toSet
+      .intersect(payloadCols.toSet + validFromCol + validToCol)
+    require(clash.isEmpty,
+      s"scd2Lookup: output would carry duplicate column names " +
+        s"${clash.mkString(", ")} — the fact frame already has them; " +
+        "rename one side")
+    val fts =
+      if (facts.schema(factTsCol).dataType ==
+          org.apache.spark.sql.types.TimestampType)
+        unix_micros(col(factTsCol))
+      else col(factTsCol).cast("long")
+    val f = facts.withColumn("_fus", fts)
+    val joined = asofJoin(f, "_fus", factKeyCol,
+      dims, validFromCol, dimKeyCol,
+      payloadCols = validToCol +: payloadCols,
+      verifyUnique = verifyUnique)
+    // half-open verify: a match whose interval CLOSED before the fact
+    // (possible only with gapped interval tables) is voided, row kept
+    val in = col("matched_ts").isNotNull &&
+      (col(validToCol).isNull || col("_fus") < col(validToCol))
+    joined.select(
+      facts.columns.map(c => col(c)) ++
+        Seq(when(in, col("matched_ts")).as(validFromCol),
+          when(in, col(validToCol)).as(validToCol)) ++
+        payloadCols.map(c => when(in, col(c)).as(c)): _*)
   }
 
   /**

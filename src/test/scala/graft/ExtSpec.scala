@@ -2214,6 +2214,63 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("asofJoin: forward and nearest directions, tie-to-backward") {
+    val l = Seq((1L, Some(100L), Some("u1")),  // exact hit both directions
+        (2L, Some(150L), Some("u1")),          // equidistant 100/200 -> backward
+        (3L, Some(149L), Some("u1")),          // nearer 100 -> backward
+        (4L, Some(151L), Some("u1")),          // nearer 200 -> forward
+        (5L, Some(250L), Some("u1")),          // forward: nothing after
+        (6L, Some(50L), Some("u1")),           // forward: 100; backward: none
+        (7L, Some(5000L), Some("u2")))         // u2 dim @9000 is 4000s away > tol
+      .toDF("event_id", "ts", "k")
+    val r = Seq(("u1", 100L, "A"), ("u1", 200L, "B"), ("u2", 9000L, "C"))
+      .toDF("k", "ts", "st")
+    def run(dir: String) = AsOf.asofJoin(l, "ts", "k", r, "ts", "k",
+        Seq("st"), toleranceSeconds = Some(1000L), direction = dir)
+      .collect().map(rr => rr.getLong(0) ->
+        (if (rr.isNullAt(4)) None else Some(rr.getString(4)))).toMap
+    assert(run("forward") == Map(
+      1L -> Some("A"), 2L -> Some("B"), 3L -> Some("B"), 4L -> Some("B"),
+      5L -> None, 6L -> Some("A"), 7L -> None), s"forward ${run("forward")}")
+    assert(run("nearest") == Map(
+      1L -> Some("A"),
+      2L -> Some("A"),  // tie -> backward (pandas convention)
+      3L -> Some("A"), 4L -> Some("B"),
+      5L -> Some("B"),  // only backward exists
+      6L -> Some("A"),  // only forward exists
+      7L -> None), s"nearest ${run("nearest")}")
+    val bad = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, "ts", "k", r, "ts", "k", Seq("st"),
+        direction = "sideways")
+    }
+    assert(bad.getMessage.contains("backward | forward | nearest"))
+  }
+
+  test("scd2Lookup: version at fact time, half-open ends, gaps void, before-first null") {
+    // a GAPPED interval table (deleted period 200-300) — the valid_to
+    // verify must void gap hits, which scd2's tiled output never needs
+    val iv = Seq(("u1", 100L, Some(200L), "A"),
+        ("u1", 300L, None: Option[Long], "B"))
+      .toDF("k", "valid_from_us", "valid_to_us", "st")
+    val facts = Seq((1L, 50L, "u1"), (2L, 100L, "u1"), (3L, 199L, "u1"),
+        (4L, 200L, "u1"), (5L, 250L, "u1"), (6L, 300L, "u1"),
+        (7L, 9999L, "u1"), (8L, 100L, "zz"))
+      .toDF("fid", "ts", "k")
+    val got = AsOf.scd2Lookup(facts, "ts", "k", iv, "k", Seq("st"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getString(5)))).toMap
+    assert(got == Map(
+      1L -> None,       // before the first version
+      2L -> Some("A"),  // valid_from inclusive
+      3L -> Some("A"),
+      4L -> None,       // valid_to EXCLUSIVE (half-open) + gap
+      5L -> None,       // inside the gap
+      6L -> Some("B"),
+      7L -> Some("B"),  // open-ended current version
+      8L -> None        // unknown key
+    ), s"got $got")
+  }
+
   test("pointInInterval: exactly-once pairs, closed bounds, wide path, refusals") {
     val pts = Seq((1L, Some(0.0)), (2L, Some(10.0)), (3L, Some(15.0)),
         (4L, Some(100.0)), (5L, None: Option[Double]))
