@@ -1037,21 +1037,58 @@ object Dedup {
     * [\\uD800-\\uDBFF] NEVER fires on well-formed text (the first
     * version's dead trigger, caught in review). ONE helper so the
     * pairs, cross-join, and overflow-report sites cannot drift. */
-  /** The candidate-pair DISTINCT, widened: hash-repartition the slim
-    * (id, id2) stream to 4x the session's shuffle partitions and
+  /** The candidate-pair DISTINCT, widened WHEN THE STREAM IS BIG:
+    * hash-repartition the slim (id, id2) stream to ~300k raw rows per
+    * task (capped at 4x the session's shuffle partitions) and
     * dropDuplicates in place (the distribution already satisfies the
     * aggregate, so no second exchange). ProfileEd measured the default
     * 32-partition distinct exchange at 7.4-8.0 s of q135's 10.6 s cold
     * — the hash-agg build over ~10M distinct slim keys is memory-bound
-    * per task — and this exact shape (its variant E) at 5.1 s: ~25% off
-    * the Ed-Join family's dominant stage. The explicit partition count
-    * is deliberate: AQE never coalesces a user-specified repartition,
-    * so the width survives adaptive re-planning. */
-  private def candDistinct(cands: DataFrame): DataFrame = {
-    val parts = 4 * cands.sparkSession.sessionState.conf.numShufflePartitions
-    cands.repartition(parts, col("id"), col("id2"))
+    * per task — and the 4x shape (its variant E) at 5.1 s: ~25% off the
+    * Ed-Join family's dominant stage. The explicit partition count is
+    * deliberate: AQE never coalesces a user-specified repartition, so
+    * the width survives adaptive re-planning — and the width then FLOWS
+    * DOWNSTREAM into the broadcast-verify stage (base is broadcast, so
+    * the O(len²) levenshtein work runs at the distinct's partitioning):
+    * that verify parallelism, not rows-per-task of the distinct itself,
+    * is where the 4x pays. That same AQE-immunity made round 10's
+    * UNCONDITIONAL 4x a regression on the small-pair-stream gates
+    * (quiet q139 3.17→3.76 s, q149 2.44→3.45 s: 128 near-empty tasks
+    * per closure iteration — components() inherits the edges frame's
+    * partitioning — beat the data cost) — so the width is now SCOPED by
+    * `estRawPairs`, the caller's Σ-over-gram-buckets candidate count
+    * read from its already-materialized prefix frame (one slim
+    * aggregate, exact for the pre-filter join output). Threshold
+    * measured on this box (SCALE.md round-11 table): the 650k-candidate
+    * typo-cluster corpus LOSES ~15-30% at 4x while every customers
+    * corpus ≥ 3.1M candidates WINS big (q140 2.3 s at 4x vs 4.5 s
+    * narrow) — 2M splits the two regimes with >4x margin either side. */
+  private def candDistinct(cands: DataFrame, estRawPairs: Long): DataFrame = {
+    val base = cands.sparkSession.sessionState.conf.numShufflePartitions
+    if (estRawPairs < 2000000L) cands.dropDuplicates("id", "id2")
+    else cands.repartition(4 * base, col("id"), col("id2"))
       .dropDuplicates("id", "id2")
   }
+
+  /** Σ_g c_g·(c_g−1)/2 over a capped SELF-join prefix frame — the exact
+    * row count of the gram-bucket join before the len/distinct stages
+    * (the [[candDistinct]] sizing input). One tiny job over a frame the
+    * caller already checkpointed; coalesce(1) keeps it two tasks, not
+    * two 32-task stages. */
+  private def selfJoinEstimate(pref: DataFrame): Long =
+    pref.coalesce(1).groupBy("gram").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(col("_c") * (col("_c") - lit(1L)) / 2), lit(0L))
+        .cast("long")).head().getLong(0)
+
+  /** Σ_g p_g·(p_g−1)/2 over a COMBINED-side gram-count frame (the
+    * [[editDistanceJoin]] sizing input, read from the same materialized
+    * counts its hot-gram cap uses) — an UPPER bound on the l×r bucket
+    * join (it also counts same-side pairs), which is what a threshold
+    * with 4x margin wants: never under-widens, costs one two-task job. */
+  private def pairBoundFromCounts(gsz: DataFrame, maxBucket: Int): Long =
+    gsz.coalesce(1).filter(col("_p") <= maxBucket)
+      .agg(coalesce(sum(col("_p") * (col("_p") - lit(1L)) / 2), lit(0L))
+        .cast("long")).head().getLong(0)
 
   private def edSets(base: DataFrame, maxDist: Int, q: Int): DataFrame = {
     val shortMax = maxDist * q + q - 1
@@ -1085,12 +1122,13 @@ object Dedup {
         rarestPrefix(edSets(base, maxDist, q), Seq("len", "_pb"),
           col("_pb")), maxBucket)
         .localCheckpoint()
+      val estPairs = selfJoinEstimate(pruned)
       val longPairs = pruned
         .join(pruned.select(col("gram"), col("id").as("id2"),
           col("len").as("len2")), Seq("gram"))
         .filter(col("id") < col("id2"))
         .filter(abs(col("len") - col("len2")) <= maxDist)
-        .transform(c => candDistinct(c.select("id", "id2")))
+        .transform(c => candDistinct(c.select("id", "id2"), estPairs))
         .join(base, Seq("id"))
         .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
         .withColumn("dist", levenshtein(col("s"), col("s2")))
@@ -1189,15 +1227,20 @@ object Dedup {
         Some(dfreq)).localCheckpoint()
       val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"),
         Some(dfreq)).localCheckpoint()
-      val hot = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
+      // combined prefix-bucket sizes, materialized ONCE: the hot-gram
+      // cap AND the candidate-count bound both read this slim frame
+      // (the cap's aggregate used to recompute lazily inside the join)
+      val gsz = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
         .groupBy("gram").agg(count(lit(1)).as("_p"))
-        .filter(col("_p") > maxBucket).select("gram")
+        .localCheckpoint()
+      val hot = gsz.filter(col("_p") > maxBucket).select("gram")
+      val estPairs = pairBoundFromCounts(gsz, maxBucket)
       val longPairs = lpref.join(broadcast(hot), Seq("gram"), "left_anti")
         .join(rpref.join(broadcast(hot), Seq("gram"), "left_anti")
           .select(col("gram"), col("id").as("id2"), col("len").as("len2")),
           Seq("gram"))
         .filter(abs(col("len") - col("len2")) <= maxDist)
-        .transform(c => candDistinct(c.select("id", "id2")))
+        .transform(c => candDistinct(c.select("id", "id2"), estPairs))
         .join(lbase, Seq("id"))
         .join(rbase.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
         .withColumn("dist", levenshtein(col("s"), col("s2")))
