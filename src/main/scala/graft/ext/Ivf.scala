@@ -456,6 +456,12 @@ object Ivf {
     * cells the distributed assignment would give it. */
   private[graft] def nearestCellsLocal(model: Model, query: Array[Double],
                                        n: Int): Seq[Int] = {
+    // a mis-dimensioned query would silently probe plausible-but-wrong
+    // cells (the residual search path already requires equal dims —
+    // both public entry points must refuse identically)
+    require(query.length == model.centroids(0).length,
+      s"nearestCellsLocal: query has dimension ${query.length}, the IVF " +
+        s"model was trained at ${model.centroids(0).length}")
     var norm = 0.0
     var i = 0
     while (i < query.length) { norm += query(i) * query(i); i += 1 }

@@ -206,6 +206,13 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got.length == 5 && got == expected, s"got $got expected $expected")
+    // a mis-dimensioned query is refused loudly, not silently probed
+    // against truncated centroids (must match the residual path's guard)
+    val bad = intercept[IllegalArgumentException] {
+      Ivf.searchPartitionedPq(spark, path, qv.take(qv.length - 1), model,
+        pq, "vec_id", k = 5, nprobe = 3)
+    }
+    assert(bad.getMessage.contains("dimension"), bad.getMessage)
   }
 
   test("residual IVFADC: search matches a driver-recomputed ADC oracle") {
