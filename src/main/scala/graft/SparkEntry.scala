@@ -2404,6 +2404,20 @@ object SparkEntry {
           sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
         .orderBy("band_id")
     }),
+    "q171_unigram_lm" -> ((s, dir) => { ensure(s)
+      // Unigram-LM (SentencePiece-family) tokenizer training in its
+      // deterministic Viterbi-EM form — the SECOND tokenizer family
+      // next to q141's BPE: substring seed vocab (len <= 3), two hard-EM
+      // rounds (max-probability DP segmentation at round(ln n - ln
+      // total, 6) precision, ties to the longest piece, single-char
+      // floor so the alphabet never drops). One corpus scan; the EM
+      // loop is driver-local over the Zipf-small vocab (q141 recipe).
+      // Oracle replays the seed + both rounds with the DP unrolled to
+      // the corpus's 8-char max word length, position by position.
+      graft.ext.TextAnalysis.unigramTrain(ld(s, dir, "documents"), "text",
+          rounds = 2, maxPieceLen = 3, maxWordLen = 8)
+        .orderBy("round", "piece")
+    }),
     "q172_scd2_lookup" -> ((s, dir) => { ensure(s)
       // SCD2 point-in-time lookup (the one-call scd2 ∘ asofJoin
       // composition): every event joined to the tier VERSION valid at
@@ -3772,6 +3786,7 @@ object SparkEntry {
        "BETWEEN CAST(p.p_retailprice AS DOUBLE) - 50.0 AND CAST(p.p_retailprice AS DOUBLE) + " +
        "(CASE WHEN p.p_partkey % 97 = 0 THEN 500000.0 ELSE 50.0 END) " +
        "GROUP BY 1 ORDER BY 1"),
+    "q171_unigram_lm" -> q171OracleSql(2, 3, 8),
     "q172_scd2_lookup" ->
       ("WITH snap AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, CAST(max(event_id) % 7 AS INTEGER) AS tier " +
        "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
@@ -4254,6 +4269,47 @@ object SparkEntry {
     "(SELECT embedding FROM embeddings WHERE vec_id = 7) q) " +
     "SELECT vec_id, round(dist, 6) AS dist FROM " +
     "(SELECT vec_id, dist FROM ex ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
+  }
+
+  /** The q171 oracle: unigram-LM Viterbi-EM replayed in SQL — seed
+    * substring counts, then per round a POSITION-UNROLLED DP (one CTE
+    * per position i, candidates unioned from the L predecessor
+    * positions, row_number picks score-desc-then-longest — the engine's
+    * exact tie rule; scores accumulate left-to-right over the same
+    * round(ln n − ln total, 6) values, so the doubles compare
+    * identically), Viterbi counts from the carried best path, and the
+    * single-char floor via a FULL JOIN against the alphabet. */
+  private def q171OracleSql(rounds: Int, l: Int, maxLen: Int): String = {
+    def dpCtes(r: Int, vprev: String): Seq[String] = {
+      val head = Seq(
+        s"lp$r AS MATERIALIZED (SELECT piece, round(ln(CAST(n AS DOUBLE)) - ln((SELECT CAST(sum(n) AS DOUBLE) FROM $vprev)), 6) AS lp FROM $vprev)",
+        s"d${r}_0 AS MATERIALIZED (SELECT w, wc, CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS path FROM w)")
+      val dp = (1 to maxLen).map { i =>
+        val cands = (math.max(0, i - l) until i).map { j =>
+          s"SELECT w, wc, score, path, substr(w, ${j + 1}, ${i - j}) AS piece FROM d${r}_$j WHERE len(w) >= $i"
+        }.mkString(" UNION ALL ")
+        s"d${r}_$i AS MATERIALIZED (SELECT w, wc, score, path FROM (" +
+          "SELECT c.w, c.wc, c.score + lp.lp AS score, list_append(c.path, c.piece) AS path, " +
+          "row_number() OVER (PARTITION BY c.w ORDER BY c.score + lp.lp DESC, len(c.piece) DESC) AS rn " +
+          s"FROM ($cands) c JOIN lp$r lp ON lp.piece = c.piece) WHERE rn = 1)"
+      }
+      val fins = (1 to maxLen).map(i =>
+        s"SELECT wc, path FROM d${r}_$i WHERE len(w) = $i").mkString(" UNION ALL ")
+      head ++ dp ++ Seq(
+        s"fin$r AS MATERIALIZED (SELECT * FROM ($fins))",
+        s"vt$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT unnest(path) AS piece, wc FROM fin$r) GROUP BY piece)",
+        s"v$r AS MATERIALIZED (SELECT COALESCE(v.piece, c.piece) AS piece, CAST(greatest(COALESCE(v.n, 0), CASE WHEN c.piece IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n " +
+          s"FROM vt$r v FULL JOIN chars c ON v.piece = c.piece)")
+    }
+    val base = Seq(
+      "w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x)",
+      s"p0 AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT substr(w, p, l) AS piece, wc FROM w, unnest(range(1, least($l, len(w)) + 1)) AS t1(l), unnest(range(1, len(w) - l + 2)) AS t2(p)) GROUP BY piece)",
+      "chars AS MATERIALIZED (SELECT piece FROM p0 WHERE len(piece) = 1)")
+    val all = base ++ (1 to rounds).flatMap(r =>
+      dpCtes(r, if (r == 1) "p0" else s"v${r - 1}"))
+    val finals = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, piece, n FROM v$r").mkString(" UNION ALL ")
+    s"WITH ${all.mkString(", ")} $finals ORDER BY round, piece"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

@@ -2079,6 +2079,234 @@ object TextAnalysis {
       .agg(coalesce(sum(col("_ns")), lit(0L)).as("n_subwords"))
   }
 
+  // ---- Unigram-LM (SentencePiece) tokenizer training ----------------------
+
+  /** logp values are pinned to SIX DECIMALS (HALF_UP — Spark's round())
+    * so the two engines' `ln` (1-ulp class differences) and the two
+    * execution paths here produce the SAME comparable doubles: the DP
+    * sums rounded multiples of 1e-6 in one pinned left-to-right order,
+    * so score comparisons are deterministic and genuine ties fall to
+    * the structural rule (longest piece wins). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver-local Viterbi-EM loop over a collected (word, count) vocab:
+    * per round, segment every word by max-probability DP (ties to the
+    * LONGEST piece — j ascending, strict `>`), count pieces along the
+    * best paths, floor every single-char piece at count 1 (SentencePiece
+    * never drops the character alphabet — a dropped char would make its
+    * words unsegmentable next round). Semantics pinned to
+    * [[unigramTrainDistributed]]; an ExtSpec asserts the paths identical. */
+  private def unigramTrainLocal(words: Array[(String, Long)], rounds: Int,
+                                maxPieceLen: Int): Seq[(Int, String, Long)] = {
+    val seed = new java.util.HashMap[String, java.lang.Long]()
+    words.foreach { case (w, wc) =>
+      var l = 1
+      while (l <= math.min(maxPieceLen, w.length)) {
+        var p = 0
+        while (p + l <= w.length) {
+          seed.merge(w.substring(p, p + l), wc,
+            (x, y) => java.lang.Long.valueOf(x + y))
+          p += 1
+        }
+        l += 1
+      }
+    }
+    val chars = new java.util.HashSet[String]()
+    seed.keySet.forEach(s => if (s.length == 1) { chars.add(s); () })
+    var vocab: java.util.HashMap[String, java.lang.Long] = seed
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    while (r <= rounds && !vocab.isEmpty) {
+      var total = 0L
+      vocab.values.forEach(v => total += v)
+      val lnTotal = math.log(total.toDouble)
+      val logp = new java.util.HashMap[String, java.lang.Double]()
+      vocab.forEach((s, n) =>
+        logp.put(s, round6(math.log(n.toDouble) - lnTotal)))
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      words.foreach { case (w, wc) =>
+        val n = w.length
+        val score = Array.fill(n + 1)(Double.NegativeInfinity)
+        val back = Array.fill(n + 1)(-1)
+        score(0) = 0.0
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - maxPieceLen)
+          while (j < i) { // j ascending = longest piece first; strict >
+            val lp = logp.get(w.substring(j, i))
+            if (lp != null && score(j) != Double.NegativeInfinity) {
+              val s = score(j) + lp
+              if (s > score(i)) { score(i) = s; back(i) = j }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        require(back(n) >= 0 || n == 0,
+          s"unigramTrain: word '$w' unsegmentable — the char floor " +
+            "guarantees this cannot happen; corrupted vocab state")
+        var k = n
+        while (k > 0) {
+          counts.merge(w.substring(back(k), k), wc,
+            (x, y) => java.lang.Long.valueOf(x + y))
+          k = back(k)
+        }
+      }
+      chars.forEach { c =>
+        val cur = counts.get(c)
+        if (cur == null || cur < 1L) counts.put(c, 1L)
+        ()
+      }
+      vocab = counts
+      val snap = Seq.newBuilder[(Int, String, Long)]
+      counts.forEach((s, n) => snap += ((r, s, n.longValue())))
+      out ++= snap.result()
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Distributed Viterbi-EM fallback: the lattice (word, j, i, piece)
+    * joins the current vocab's logp table, and the DP runs as
+    * `maxWordLen` slim per-position frames (each the row_number-best
+    * candidate per word, score desc then piece length desc — the same
+    * tie rule as the local loop), carrying the best path as an array.
+    * One logp + one edges checkpoint per round, `maxLen` tiny join jobs
+    * — the loudly-warned big-vocab path, exactly [[bpeTrainLoop]]'s
+    * posture. */
+  private def unigramTrainDistributed(words: DataFrame, rounds: Int,
+                                      maxPieceLen: Int,
+                                      maxLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = words.sparkSession
+    import spark.implicits._
+    val seed = words.select(col("wc"), explode(flatten(
+        transform(sequence(lit(1), least(lit(maxPieceLen), length(col("w")))),
+          l => transform(sequence(lit(1), length(col("w")) - l + 1),
+            p => col("w").substr(p, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("n"))
+      .localCheckpoint()
+    val chars = seed.filter(length(col("piece")) === 1)
+      .select("piece").localCheckpoint()
+    var vocab = seed
+    var out = Seq.empty[DataFrame]
+    (1 to rounds).foreach { r =>
+      val total = vocab.agg(sum(col("n"))).head().getLong(0)
+      val lp = vocab.select(col("piece"),
+          round(log(col("n").cast("double")) - log(lit(total.toDouble)), 6)
+            .as("lp"))
+        .localCheckpoint()
+      val edges = words
+        .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+        .select(col("w"), col("i"),
+          explode(sequence(greatest(col("i") - maxPieceLen, lit(0)),
+            col("i") - 1)).as("j"))
+        .withColumn("piece", col("w").substr(col("j") + 1, col("i") - col("j")))
+        .join(lp, Seq("piece"))
+        .localCheckpoint()
+      val frames = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+      frames += words.select(col("w"), col("wc"),
+        lit(0.0).as("score"), array().cast("array<string>").as("path"))
+      (1 to maxLen).foreach { i =>
+        val cands = (math.max(0, i - maxPieceLen) until i).map { j =>
+          frames(j).join(
+            edges.filter(col("i") === i && col("j") === j)
+              .select(col("w"), col("piece"), col("lp")), Seq("w"))
+        }.reduce(_.unionByName(_))
+        val w = Window.partitionBy("w")
+          .orderBy(col("score").desc, length(col("piece")).desc)
+        frames += cands
+          .withColumn("score", col("score") + col("lp"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("w"), col("wc"), col("score"),
+            concat(col("path"), array(col("piece"))).as("path"))
+          .localCheckpoint()
+      }
+      val finals = (1 to maxLen).map(i =>
+          frames(i).filter(length(col("w")) === i))
+        .reduce(_.unionByName(_))
+      val viterbi = finals.select(col("wc"), explode(col("path")).as("piece"))
+        .groupBy("piece").agg(sum(col("wc")).as("n"))
+      vocab = viterbi
+        .join(chars.withColumn("_isChar", lit(1)), Seq("piece"), "full")
+        .select(col("piece"),
+          greatest(coalesce(col("n"), lit(0L)),
+            coalesce(col("_isChar").cast("long"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint()
+      out = out :+ vocab.select(lit(r).as("round"), col("piece"), col("n"))
+    }
+    out.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Unigram-LM tokenizer training (Kudo 2018 / SentencePiece's model
+   * family — the SECOND of the two tokenizer families real pipelines
+   * use, next to [[bpeTrainMerges]]'s BPE), in its deterministic
+   * VITERBI-EM form: the seed vocabulary is every substring of length
+   * ≤ `maxPieceLen` of the corpus's words (counted with multiplicity,
+   * occurrences overlapping), and each round segments every word by
+   * MAX-PROBABILITY DP under the current piece probabilities (hard
+   * E-step; SentencePiece's soft E-step is forward-backward — the
+   * Viterbi member of the same EM family is the one whose every step
+   * is engine-replayable and therefore oracle-checkable), re-counts
+   * pieces along the best paths, and floors every single-character
+   * piece at count 1 (the alphabet is never dropped — a word with a
+   * dropped char would be unsegmentable next round). Probabilities
+   * enter the DP as round(ln n − ln total, 6) — see [[round6]] for why
+   * six decimals make cross-engine comparisons deterministic; DP ties
+   * go to the LONGEST piece.
+   *
+   * Returns (round, piece, n): the piece-count table after each round
+   * — the trained artifact (normalize to probabilities at use).
+   *
+   * Scale: ONE corpus scan (the word-count aggregate) — the q141 BPE
+   * recipe; the EM loop runs driver-local over the Zipf-small distinct
+   * vocab under `maxLocalVocab`, and falls back to the distributed
+   * lattice-DP loop (one logp/edges checkpoint + `maxWordLen` slim
+   * join jobs per round) behind a loud warning otherwise. Words longer
+   * than `maxWordLen` are refused loudly (they would unbound the
+   * distributed DP depth — split pathological tokens upstream).
+   */
+  def unigramTrain(df: DataFrame, textCol: String, rounds: Int,
+                   maxPieceLen: Int = 3, maxWordLen: Int = 32,
+                   maxLocalVocab: Int = 2000000): DataFrame = {
+    require(rounds >= 1 && rounds <= 100, s"rounds in [1, 100], got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen >= 1, got $maxPieceLen")
+    require(maxWordLen >= 1, s"maxWordLen >= 1, got $maxWordLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val guard = words.agg(max(length(col("w"))).as("mx"),
+      count(lit(1)).as("nw")).head()
+    val maxLen = if (guard.isNullAt(0)) 0 else guard.getInt(0)
+    require(maxLen <= maxWordLen,
+      s"unigramTrain: longest word has $maxLen chars (> maxWordLen=" +
+        s"$maxWordLen) — the distributed DP depth is the word length; " +
+        "split pathological tokens upstream or raise maxWordLen.")
+    if (maxLen == 0)
+      return Seq.empty[(Int, String, Long)].toDF("round", "piece", "n")
+    val head =
+      if (maxLocalVocab == 0) Array.empty[org.apache.spark.sql.Row]
+      else words.limit(maxLocalVocab + 1).collect()
+    if (head.nonEmpty && head.length <= maxLocalVocab) {
+      val arr = head.map(r => (r.getString(0), r.getLong(1)))
+      return unigramTrainLocal(arr, rounds, maxPieceLen)
+        .toDF("round", "piece", "n")
+    }
+    org.apache.log4j.Logger.getLogger(getClass).warn(
+      s"unigramTrain: vocab exceeds maxLocalVocab=$maxLocalVocab distinct " +
+      "words - falling back to the DISTRIBUTED lattice-DP loop " +
+      s"(~$maxLen join jobs per round). Raise maxLocalVocab if the " +
+      "driver can hold the vocab.")
+    unigramTrainDistributed(words.localCheckpoint(), rounds, maxPieceLen,
+      maxLen)
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

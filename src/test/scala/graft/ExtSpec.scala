@@ -1098,6 +1098,51 @@ class ExtSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("unigramTrain: hand-computed Viterbi-EM rounds, tie-to-longest, char floor") {
+    import spark.implicits._
+    // words: ab x3, abc x1, b x1; L=2. Seed a=4 b=5 c=1 ab=4 bc=1.
+    // Round 1: "abc" ties [a,bc] vs [ab,c] at -4.029806 -> LONGEST last
+    // piece wins (bc); c vanishes from Viterbi counts -> char floor
+    // resurrects it at 1. Round 2 flips to [ab, c].
+    val df = Seq("ab ab ab", "abc", "b").toDF("text")
+    val want = Set(
+      (1, "a", 1L), (1, "ab", 3L), (1, "b", 1L), (1, "bc", 1L), (1, "c", 1L),
+      (2, "a", 1L), (2, "ab", 4L), (2, "b", 1L), (2, "c", 1L))
+    val local = TextAnalysis.unigramTrain(df, "text", rounds = 2,
+        maxPieceLen = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(local == want, s"local $local")
+    // the distributed lattice-DP fallback is semantically identical
+    val dist = TextAnalysis.unigramTrain(df, "text", rounds = 2,
+        maxPieceLen = 2, maxLocalVocab = 0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(dist == want, s"distributed $dist")
+    // word-length refusal names the knob
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTrain(Seq("abcdefgh").toDF("text"), "text",
+        rounds = 1, maxWordLen = 4)
+    }
+    assert(e.getMessage.contains("maxWordLen"))
+    // empty corpus -> empty frame with the contract schema
+    val empty = TextAnalysis.unigramTrain(
+      Seq.empty[String].toDF("text"), "text", rounds = 1)
+    assert(empty.columns.toSeq == Seq("round", "piece", "n") && empty.isEmpty)
+  }
+
+  test("unigramTrain: local == distributed on a mixed-length corpus") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+    def run(mlv: Int) = TextAnalysis.unigramTrain(df, "text", rounds = 2,
+        maxPieceLen = 3, maxLocalVocab = mlv)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val local = run(2000000)
+    val dist = run(0)
+    assert(local == dist,
+      s"only-local ${local -- dist}; only-dist ${dist -- local}")
+    assert(local.nonEmpty)
+  }
+
   test("quotaTopK: bounded heap equals the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
