@@ -2404,6 +2404,37 @@ object SparkEntry {
           sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
         .orderBy("band_id")
     }),
+    "q173_asof_lookup_stream" -> ((s, dir) => { ensure(s)
+      // STREAM-STATIC as-of lookup: the q160 enrichment as a REAL
+      // streaming query — the dimension snapshotted once into a
+      // broadcast per-key sorted array, each arriving event stamped by
+      // a codegen'd binary search + broadcast index join (stateless —
+      // the union-window shape cannot run on an unbounded stream).
+      // Same oracle as q160: streaming ≡ batch is exact because the
+      // tolerance convention (floor-div truncated seconds) is
+      // bit-for-bit the batch asofJoin's.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-asoflk")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+      val dim = ev.filter(col("event_id") % 10 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg((max(col("event_id")) % 5).cast("int").as("tier"))
+      val st = EventStream.read(s, stage.toString)
+        .filter(col("event_id") % 10 =!= 0)
+        .select("event_id", "user_id", "ts")
+      val out = EventStream.asofLookup(st, "ts", "user_id", dim, "ts",
+          "user_id", Seq("tier"), toleranceSeconds = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("matched_ts")).as("matched_us"), col("tier"))
+      val qname = "gate_asoflk_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("event_id")
+    }),
     "q171_unigram_lm" -> ((s, dir) => { ensure(s)
       // Unigram-LM (SentencePiece-family) tokenizer training in its
       // deterministic Viterbi-EM form — the SECOND tokenizer family
@@ -3811,19 +3842,10 @@ object SparkEntry {
        "SELECT event_id, user_id, epoch_us(ets) AS ts_us, " +
        "CASE WHEN ok THEN epoch_us(dts) END AS matched_us, " +
        "CASE WHEN ok THEN tier END AS tier FROM j ORDER BY event_id"),
-    "q160_asof_join" ->
-      ("WITH dim AS MATERIALIZED (SELECT user_id, ts, CAST(max(event_id) % 5 AS INTEGER) AS tier " +
-       "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
-       "ev AS MATERIALIZED (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0), " +
-       // the tolerance guard replicates the engine exactly: TRUNCATED
-       // epoch seconds on both sides (epoch_us // 1000000 = Spark's
-       // cast(ts as long)), difference <= 3600
-       "j AS MATERIALIZED (SELECT e.event_id, e.user_id, e.ts AS ets, d.ts AS dts, d.tier, " +
-       "(d.ts IS NOT NULL AND (epoch_us(e.ts) // 1000000) - (epoch_us(d.ts) // 1000000) <= 3600) AS ok " +
-       "FROM ev e ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts) " +
-       "SELECT event_id, user_id, epoch_us(ets) AS ts_us, " +
-       "CASE WHEN ok THEN epoch_us(dts) END AS matched_us, " +
-       "CASE WHEN ok THEN tier END AS tier FROM j ORDER BY event_id"),
+    "q160_asof_join" -> q160OracleSql,
+    // streaming ≡ batch is exact (same tolerance truncation), so the
+    // stream-static lookup replays the identical oracle
+    "q173_asof_lookup_stream" -> q160OracleSql,
     "q155_fraction_decontaminate" -> q155OracleSql(0.2),
     "q149_fuzzy_clusters" ->
       ("WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, 'rec ' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || lpad(CAST(doc_id // 3 AS VARCHAR), 8, '0') || '/' || " +
@@ -4270,6 +4292,21 @@ object SparkEntry {
     "SELECT vec_id, round(dist, 6) AS dist FROM " +
     "(SELECT vec_id, dist FROM ex ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
   }
+
+  /** The q160/q173 oracle: DuckDB's NATIVE ASOF LEFT JOIN with the
+    * tolerance guard replicating the engine exactly — TRUNCATED epoch
+    * seconds on both sides (epoch_us // 1000000 = Spark's
+    * cast(ts as long)), difference <= 3600. */
+  private def q160OracleSql: String =
+    "WITH dim AS MATERIALIZED (SELECT user_id, ts, CAST(max(event_id) % 5 AS INTEGER) AS tier " +
+    "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +
+    "ev AS MATERIALIZED (SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0), " +
+    "j AS MATERIALIZED (SELECT e.event_id, e.user_id, e.ts AS ets, d.ts AS dts, d.tier, " +
+    "(d.ts IS NOT NULL AND (epoch_us(e.ts) // 1000000) - (epoch_us(d.ts) // 1000000) <= 3600) AS ok " +
+    "FROM ev e ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts) " +
+    "SELECT event_id, user_id, epoch_us(ets) AS ts_us, " +
+    "CASE WHEN ok THEN epoch_us(dts) END AS matched_us, " +
+    "CASE WHEN ok THEN tier END AS tier FROM j ORDER BY event_id"
 
   /** The q171 oracle: unigram-LM Viterbi-EM replayed in SQL — seed
     * substring counts, then per round a POSITION-UNROLLED DP (one CTE

@@ -399,6 +399,129 @@ object EventStream {
   }
 
   /**
+   * STREAM-STATIC AS-OF lookup — the temporal ENRICHMENT join of the
+   * streaming ingest path ("stamp each arriving event with the
+   * dimension state valid at its timestamp"): [[graft.ext.AsOf.asofJoin]]'s
+   * union-window needs a full per-key sort and cannot run on an
+   * unbounded stream, so the streaming formulation is STATELESS — the
+   * static dimension is snapshotted ONCE at query build (collected
+   * under a loud `maxDimRows` cap, organized into per-key sorted
+   * timestamp slices) and every stream row does a codegen'd binary
+   * search ([[graft.ext.AsofIndexExpr]]) against the broadcast
+   * snapshot, then a broadcast equi-join on the matched row INDEX
+   * carries the payload — generic in payload schema, no per-row state,
+   * no watermark needed. kdb's `aj` against an in-memory quote table;
+   * Flink's temporal table function with a bounded build side.
+   *
+   * Semantics are [[graft.ext.AsOf.asofJoin]]'s backward contract
+   * exactly (exact-ts matches included; unmatched/NULL-key/NULL-ts
+   * rows kept with NULL `matched_ts` + payload; tolerance in
+   * floor-div-truncated epoch seconds on timestamp axes — bit-for-bit
+   * the batch `cast(ts as long)` convention, so streaming ≡ batch is
+   * exact and the StreamingSpec pins it). The dimension must be unique
+   * per (key, ts) — same loud refusal.
+   *
+   * The snapshot is FIXED for the query's lifetime — restart the query
+   * to pick up a new dimension version (the standard stream-static
+   * posture; a slowly-changing dimension that must update in-flight is
+   * the stream-stream interval join's territory).
+   */
+  def asofLookup(stream: DataFrame, tsCol: String, keyCol: String,
+                 dim: DataFrame, dimTsCol: String, dimKeyCol: String,
+                 payloadCols: Seq[String],
+                 toleranceSeconds: Option[Long] = None,
+                 verifyUnique: Boolean = true,
+                 maxDimRows: Int = 5000000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
+    require(!dim.isStreaming,
+      "asofLookup: the dimension side must be STATIC (a snapshot frame); " +
+        "two unbounded sides need EventStream.intervalJoin")
+    require(payloadCols.nonEmpty, "asofLookup: need at least one payload column")
+    require(toleranceSeconds.forall(_ >= 0), "toleranceSeconds must be >= 0")
+    val clash = stream.columns.toSet.intersect(payloadCols.toSet + "matched_ts")
+    require(clash.isEmpty,
+      s"asofLookup: output would carry duplicate column names " +
+        s"${clash.mkString(", ")} — rename one side")
+    val kt = stream.schema(keyCol).dataType
+    require(kt == dim.schema(dimKeyCol).dataType,
+      s"asofLookup: key types differ — $keyCol is $kt, $dimKeyCol is " +
+        s"${dim.schema(dimKeyCol).dataType}")
+    val tt = stream.schema(tsCol).dataType
+    require(tt == dim.schema(dimTsCol).dataType,
+      s"asofLookup: ts types differ — $tsCol is $tt, $dimTsCol is " +
+        s"${dim.schema(dimTsCol).dataType}")
+    val microsAxis = tt == TimestampType
+    val dupes =
+      if (!verifyUnique) 0L
+      else dim.filter(col(dimTsCol).isNotNull && col(dimKeyCol).isNotNull)
+        .groupBy(col(dimKeyCol), col(dimTsCol))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+        .limit(1).count()
+    require(dupes == 0L,
+      s"asofLookup: dimension has duplicate ($dimKeyCol, $dimTsCol) rows " +
+        "— two states of one entity at one instant; deduplicate, or pass " +
+        "verifyUnique = false only when uniqueness is guaranteed upstream.")
+    val spark = dim.sparkSession
+    val axis =
+      if (microsAxis) unix_micros(col(dimTsCol)) else col(dimTsCol).cast("long")
+    val prep = dim.filter(col(dimTsCol).isNotNull && col(dimKeyCol).isNotNull)
+      .select(col(dimKeyCol).as("_k") +: axis.as("_us") +:
+        col(dimTsCol).as("matched_ts") +: payloadCols.map(col): _*)
+    val rows = prep.limit(maxDimRows + 1).collect()
+    require(rows.length <= maxDimRows,
+      s"asofLookup: dimension exceeds maxDimRows=$maxDimRows — a " +
+        "broadcast snapshot must fit the driver; pre-aggregate the " +
+        "dimension or raise the cap deliberately.")
+    val byKey = new java.util.LinkedHashMap[AnyRef,
+      scala.collection.mutable.ArrayBuffer[Row]]()
+    rows.foreach { r =>
+      byKey.computeIfAbsent(r.get(0).asInstanceOf[AnyRef],
+        _ => scala.collection.mutable.ArrayBuffer.empty[Row]) += r
+      ()
+    }
+    val nKeys = byKey.size
+    val slots = new java.util.HashMap[AnyRef, Integer](nKeys * 2)
+    val starts = new Array[Int](nKeys)
+    val ends = new Array[Int](nKeys)
+    val tsArr = new Array[Long](rows.length)
+    val ordered = new scala.collection.mutable.ArrayBuffer[Row](rows.length)
+    var slot = 0
+    var pos = 0
+    byKey.forEach { (k, buf) =>
+      // map keys live in the expression's RUNTIME domain (UTF8String
+      // for strings); frame values stay as collected
+      val mk: AnyRef =
+        if (kt == StringType)
+          org.apache.spark.unsafe.types.UTF8String.fromString(k.asInstanceOf[String])
+        else k
+      slots.put(mk, Integer.valueOf(slot))
+      starts(slot) = pos
+      buf.sortBy(_.getLong(1)).foreach { r =>
+        tsArr(pos) = r.getLong(1); ordered += r; pos += 1
+      }
+      ends(slot) = pos
+      slot += 1
+      ()
+    }
+    val snap = new graft.ext.AsofSnapshot(slots, starts, ends, tsArr,
+      microsAxis, toleranceSeconds.getOrElse(-1L))
+    val outSchema = StructType(
+      StructField("_didx", IntegerType, nullable = false) +:
+        prep.schema.fields.drop(2))
+    val idxRows = ordered.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(i +: r.toSeq.drop(2))
+    }
+    val dimIdx = spark.createDataFrame(
+      spark.sparkContext.parallelize(idxRows.toSeq, 1), outSchema)
+    stream
+      .withColumn("_didx",
+        graft.ext.AsofFunctions.asof_index(col(keyCol), col(tsCol), snap))
+      .join(broadcast(dimIdx), Seq("_didx"), "left")
+      .drop("_didx")
+  }
+
+  /**
    * Sessionization via flatMapGroupsWithState-free composition: gap-based
    * session ids computed with window functions in batch; streaming variant
    * uses session_window (built-in since Spark 3.2).

@@ -141,6 +141,29 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("asof_index compiles under strict codegen") {
+    // the stream-static as-of snapshot kernel: generated code is one
+    // static AsofKernel.lookup call with the snapshot riding
+    // ctx.addReferenceObj, and a null result (no match) must flow
+    // through the custom isNull branch
+    withStrictCodegen {
+      val slots = new java.util.HashMap[AnyRef, Integer]()
+      slots.put(java.lang.Long.valueOf(7L), Integer.valueOf(0))
+      val snap = new graft.ext.AsofSnapshot(slots, Array(0), Array(2),
+        Array(100L, 200L), microsAxis = false, tolerance = -1L)
+      val df = anchored()
+        .select(($"l_orderkey" * 0 + 7).cast("long").as("k"),
+          ($"l_quantity" * 0 + 150).cast("long").as("t"),
+          ($"l_orderkey" * 0 + 8).cast("long").as("k2"))
+      val row = df.select(
+        graft.ext.AsofFunctions.asof_index($"k", $"t", snap).as("hit"),
+        graft.ext.AsofFunctions.asof_index($"k2", $"t", snap).as("miss"))
+        .head()
+      assert(row.getInt(0) == 0, s"hit ${row.get(0)}")   // ts 100 <= 150 < 200
+      assert(row.isNullAt(1), "unknown key must be NULL")
+    }
+  }
+
   test("whole-stage codegen spans include the geo predicate") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .withColumn("g", st_point($"l_extendedprice", $"l_quantity"))

@@ -361,6 +361,53 @@ class StreamingSpec extends SparkSpec {
       s"minhash side table after replay: $mhIds")
   }
 
+  test("asofLookup: streaming == batch asofJoin on the q160 fixture") {
+    import org.apache.spark.sql.functions._
+    val dirP = "/root/testdata/sf0.001/events.parquet"
+    val ev = EventStream.loadEvents(spark, dirP)
+    val dim = ev.filter(col("event_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg((max(col("event_id")) % 5).cast("int").as("tier"))
+    val evs = ev.filter(col("event_id") % 10 =!= 0)
+      .select("event_id", "user_id", "ts")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getLong(0) -> ((if (r.isNullAt(3)) None else Some(r.getTimestamp(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))
+    }.toMap
+    val batch = toMap(graft.ext.AsOf.asofJoin(evs, "ts", "user_id",
+        dim, "ts", "user_id", Seq("tier"), toleranceSeconds = Some(3600L))
+      .select("event_id", "user_id", "ts", "matched_ts", "tier").collect())
+    // the same lookup as a REAL stream: staged file -> AvailableNow ->
+    // memory sink; the stateless snapshot shape must accept a streaming
+    // frame (a window-based as-of would throw here)
+    val stage = tmpDir("asof-lookup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dirP),
+      java.nio.file.Paths.get(stage, "events.parquet"))
+    val s = EventStream.read(spark, stage)
+      .filter(col("event_id") % 10 =!= 0)
+      .select("event_id", "user_id", "ts")
+    val out = EventStream.asofLookup(s, "ts", "user_id", dim, "ts", "user_id",
+      Seq("tier"), toleranceSeconds = Some(3600L))
+    assert(out.isStreaming, "asofLookup must stay a streaming frame")
+    val qname = "asof_lookup_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.select("event_id", "user_id", "ts", "matched_ts", "tier")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "asofLookup stream timed out")
+    val streamed = toMap(spark.table(qname).collect())
+    assert(streamed.size == batch.size, s"${streamed.size} != ${batch.size}")
+    assert(streamed == batch,
+      s"diff: ${(streamed.toSet -- batch.toSet).take(5)} / " +
+        s"${(batch.toSet -- streamed.toSet).take(5)}")
+    // duplicate-dim refusal mirrors asofJoin's
+    val e = intercept[IllegalArgumentException] {
+      EventStream.asofLookup(s, "ts", "user_id",
+        dim.unionByName(dim.limit(1)), "ts", "user_id", Seq("tier"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("flatMapGroupsWithState running counters == batch groupBy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
