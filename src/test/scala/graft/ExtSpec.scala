@@ -2435,6 +2435,17 @@ class ExtSpec extends SparkSpec {
     val planStr = out.queryExecution.executedPlan.toString
     val n = "Exchange hashpartitioning".r.findAllIn(planStr).length
     assert(n == 1, s"expected exactly 1 hash exchange, got $n:\n$planStr")
+    // direction=nearest adds the SECOND window over the same union —
+    // it must share the one exchange (same partitioning; the second
+    // direction costs a sort, not a shuffle — the Scaladoc claim)
+    val near = AsOf.asofJoin(l, "ts", "user_id", r, "rts", "k", Seq("value"),
+      verifyUnique = false, direction = "nearest")
+    near.count()
+    val nearStr = near.queryExecution.executedPlan.toString
+    val n2 = "Exchange hashpartitioning".r.findAllIn(nearStr).length
+    assert(n2 == 1, s"nearest must share ONE hash exchange, got $n2:\n$nearStr")
+    val sorts = "Sort \\[".r.findAllIn(nearStr).length
+    assert(sorts >= 2, s"expected both direction sorts in:\n$nearStr")
   }
 
   test("retention: cohort by first period, distinct per cell, epoch alignment") {

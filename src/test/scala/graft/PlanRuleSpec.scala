@@ -280,6 +280,17 @@ class PlanRuleSpec extends SparkSpec {
       assert(got == naive && got == Set((1L, 10L), (2L, 11L), (4L, 12L)),
         s"got $got naive $naive")
       assert(q.collect().length == got.size, "duplicate pairs")
+      // the open-end point-stats ride ONE broadcast nested-loop of a
+      // 1-ROW aggregate (cheap by construction); the bin join itself
+      // must remain an equi join — the |points|·|intervals| loop the
+      // rule exists to eliminate must NOT be a second BNLJ
+      // AQE's toString appends an "Initial Plan" duplicate — audit the
+      // final section only
+      val phys = q.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(phys).length
+      assert(bnlj == 1, s"expected exactly the 1-row stats BNLJ, got $bnlj:\n$phys")
+      assert(phys.contains("HashJoin [_graft_pbin"),
+        s"bin equi join missing:\n$phys")
       // strict orientation without the open end: (lo, hi] via bound-first
       // operand order
       val q2 = spark.sql(
