@@ -2404,6 +2404,76 @@ object SparkEntry {
           sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
         .orderBy("band_id")
     }),
+    "q175_heavy_hitters" -> ((s, dir) => { ensure(s)
+      // exact heavy hitters via the two-pass Misra-Gries composition:
+      // pass 1 = ONE mergeable MG sketch aggregate (k=20 counters per
+      // partial, map-side combined — never a full distinct-item
+      // groupBy), pass 2 = exact counts of the <= k candidates with an
+      // isin pushdown, keep count > phi*n. The sketch guarantee (every
+      // item with true count > n/(k+1) survives any merge order) makes
+      // the OUTPUT deterministic although sketch internals are not.
+      // Skewed fixture: one ~50% item, two ~12.5% items, a ~995-item
+      // cold tail at 0.03% each; phi=0.05 keeps exactly the hot three
+      // with wide margins. Oracle = the plain HAVING query.
+      val li = ld(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 2 === 0, lit("hot0"))
+          .when(col("l_orderkey") % 4 === 1,
+            concat(lit("warm"), (col("l_orderkey") % 8).cast("string")))
+          .otherwise(concat(lit("cold"),
+            (col("l_orderkey") % 997).cast("string"))).as("v"))
+      graft.ext.HeavyHitters.frequentItems(li, "v", phi = 0.05)
+        .orderBy("item")
+    }),
+    "q174_distinct_sketches" -> ((s, dir) => { ensure(s)
+      // persisted HLL distinct-count side table (the analytics twin of
+      // the ingest side tables): per-day (partition, sketch) rows
+      // written once, any window's distinct-user count answered by a
+      // union-merge over the slim sketch rows — the corpus is never
+      // rescanned. The sketch layer is pinned INSIDE the gate (the
+      // q152 recall-gate recipe, since estimates have no SQL oracle):
+      // merge-of-parts must equal sketch-of-whole EXACTLY (lossless
+      // HLL union), incremental append must reproduce the rebuilt
+      // table's estimate, and estimates must land within 5% of exact
+      // (DataSketches lgK=12 ~ 1.6% RSE). The ORACLE-checked output is
+      // the exact per-day distinct table the sketches approximate.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .withColumn("day_idx",
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+      val sketchDir = java.nio.file.Files
+        .createTempDirectory("graft-sketch").toString + "/t"
+      graft.ext.Sketches.writeDistinctSketches(ev, "user_id", "day_idx",
+        sketchDir)
+      val merged = graft.ext.Sketches.mergedDistinct(s, sketchDir)
+      val whole = ev.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12)))).head().getLong(0)
+      require(merged == whole,
+        s"q174: merge-of-parts $merged != sketch-of-whole $whole — HLL " +
+          "union must be lossless")
+      val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+      require(math.abs(merged - exact) <= 0.05 * exact,
+        s"q174: estimate $merged off exact $exact by > 5%")
+      // incremental append of the LAST day reproduces the rebuilt table
+      val lastDay = ev.agg(max(col("day_idx"))).head().getLong(0)
+      graft.ext.Sketches.appendDistinctSketch(
+        ev.filter(col("day_idx") === lastDay), "user_id",
+        "day_idx", lastDay, sketchDir)
+      val reMerged = graft.ext.Sketches.mergedDistinct(s, sketchDir)
+      require(reMerged == merged,
+        s"q174: idempotent re-append changed the estimate $merged -> $reMerged")
+      // a window query off the side table only: first half of the span
+      val mid = ev.agg(min(col("day_idx"))).head().getLong(0) +
+        (lastDay - ev.agg(min(col("day_idx"))).head().getLong(0)) / 2
+      val winEst = graft.ext.Sketches.mergedDistinct(s, sketchDir,
+        Some(col("day_idx") <= mid))
+      val winExact = ev.filter(col("day_idx") <= mid)
+        .agg(countDistinct(col("user_id"))).head().getLong(0)
+      require(math.abs(winEst - winExact) <= math.max(2.0, 0.05 * winExact),
+        s"q174: window estimate $winEst off exact $winExact by > 5%")
+      ev.groupBy(col("day_idx"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day_idx")
+    }),
     "q173_asof_lookup_stream" -> ((s, dir) => { ensure(s)
       // STREAM-STATIC as-of lookup: the q160 enrichment as a REAL
       // streaming query — the dimension snapshotted once into a
@@ -3818,6 +3888,18 @@ object SparkEntry {
        "(CASE WHEN p.p_partkey % 97 = 0 THEN 500000.0 ELSE 50.0 END) " +
        "GROUP BY 1 ORDER BY 1"),
     "q171_unigram_lm" -> q171OracleSql(2, 3, 8),
+    "q175_heavy_hitters" ->
+      ("WITH v AS MATERIALIZED (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'hot0' " +
+       "WHEN l_orderkey % 4 = 1 THEN 'warm' || CAST(l_orderkey % 8 AS VARCHAR) " +
+       "ELSE 'cold' || CAST(l_orderkey % 997 AS VARCHAR) END AS item FROM lineitem), " +
+       "t AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v) " +
+       "SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM v, t GROUP BY item, n " +
+       "HAVING count(*) > CAST(0.05 AS DOUBLE) * n ORDER BY item"),
+    "q174_distinct_sketches" ->
+      ("SELECT epoch_us(ts) // 86400000000 AS day_idx, " +
+       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+       "CAST(count(*) AS BIGINT) AS n_events " +
+       "FROM events GROUP BY 1 ORDER BY 1"),
     "q172_scd2_lookup" ->
       ("WITH snap AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, CAST(max(event_id) % 7 AS INTEGER) AS tier " +
        "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +

@@ -318,7 +318,8 @@ object TextFunctions {
     "cosine_sim" -> { case Seq(a, b) => CosineSim(a, b) },
     "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
     "hyperplane_sig" -> { case Seq(a, b, c) => HyperplaneSig(a, b, c) },
-    "topk_by_score" -> { case Seq(a, b, c) => TopKByScore(a, b, c) })
+    "topk_by_score" -> { case Seq(a, b, c) => TopKByScore(a, b, c) },
+    "mg_sketch" -> { case Seq(a, b) => MgSketch(a, b) })
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1143,6 +1143,70 @@ class ExtSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("Sketches: lossless union, incremental append == rebuild, window filter, empty") {
+    import spark.implicits._
+    val df = Seq((0L, "u1"), (0L, "u2"), (1L, "u2"), (1L, "u3"), (2L, "u4"))
+      .toDF("day", "uid")
+    val dir = tmpDir("sketches") + "/t"
+    Sketches.writeDistinctSketches(df, "uid", "day", dir)
+    // exact at this cardinality (HLL is exact in sparse mode)
+    assert(Sketches.mergedDistinct(spark, dir) == 4L)
+    assert(Sketches.mergedDistinct(spark, dir, Some(col("day") <= 1)) == 3L)
+    // per-partition estimates off the side table only
+    // partition-dir round trip narrows the partition column (day=0 ->
+    // inferred INT) — read numerically
+    val per = Sketches.partitionEstimates(spark, dir, "day")
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(per == Map(0L -> ((2L, 2L)), 1L -> ((2L, 2L)), 2L -> ((1L, 1L))))
+    // day-2 data grows; incremental overwrite of ITS partition only
+    Sketches.appendDistinctSketch(
+      Seq((2L, "u4"), (2L, "u5")).toDF("day", "uid"), "uid", "day", 2L, dir)
+    assert(Sketches.mergedDistinct(spark, dir) == 5L)
+    // append is idempotent (batch-keyed overwrite)
+    Sketches.appendDistinctSketch(
+      Seq((2L, "u4"), (2L, "u5")).toDF("day", "uid"), "uid", "day", 2L, dir)
+    assert(Sketches.mergedDistinct(spark, dir) == 5L)
+    // empty selection -> 0, not an error
+    assert(Sketches.mergedDistinct(spark, dir, Some(col("day") > 99)) == 0L)
+  }
+
+  test("heavyHitters: exact output, merge-order robustness, guarantee floor, refusals") {
+    import spark.implicits._
+    // 100 x hot, 30 x warm, 60 singles: phi=0.2 keeps hot only (100/190
+    // = 0.53 > 0.2; warm 30/190 = 0.158 < 0.2)
+    val rows = Seq.fill(100)("hot") ++ Seq.fill(30)("warm") ++
+      (0 until 60).map(i => s"one$i")
+    val df = rows.toDF("v")
+    def run(d: org.apache.spark.sql.DataFrame, phi: Double) =
+      HeavyHitters.frequentItems(d, "v", phi)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(df, 0.2) == Set(("hot", 100L)))
+    // phi=0.1 keeps hot + warm
+    assert(run(df, 0.1) == Set(("hot", 100L), ("warm", 30L)))
+    // merge-order robustness: every partitioning/shuffle produces the
+    // SAME output (sketch internals differ; the two-pass result cannot)
+    (1 to 4).foreach { p =>
+      assert(run(df.repartition(p * 7), 0.1) ==
+        Set(("hot", 100L), ("warm", 30L)), s"parts ${p * 7}")
+    }
+    // nulls ignored entirely (not in n): 100 hot / 190 non-null
+    val withNulls = rows.map(Option(_)).++(Seq.fill(50)(None: Option[String]))
+      .toDF("v")
+    assert(run(withNulls, 0.2) == Set(("hot", 100L)))
+    // empty input -> empty frame with contract schema
+    val empty = HeavyHitters.frequentItems(Seq.empty[String].toDF("v"), "v", 0.5)
+    assert(empty.columns.toSeq == Seq("item", "cnt") && empty.isEmpty)
+    // refusals name the knob
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItems(df, "v", 1e-7)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItems(df, "v", 0.0)
+    }
+  }
+
   test("quotaTopK: bounded heap equals the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
