@@ -2404,6 +2404,160 @@ object SparkEntry {
           sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
         .orderBy("band_id")
     }),
+    "q176_quantile_sketches" -> ((s, dir) => { ensure(s)
+      // persisted KLL quantile side table — the third non-additive
+      // statistic (after q174's distinct counts and q175's heavy
+      // hitters) answered per window off slim sketch rows, never a
+      // corpus rescan. KLL compaction is RANDOMIZED, so the sketch
+      // layer is pinned by its guarantee, not bit-equality: merged
+      // rank error <= 0.04 at k=200 (documented ~1.65 % @99 %), and
+      // append idempotency via KLL's deterministic n. The
+      // ORACLE-checked output is the exact per-day rank-based
+      // quantile table the sketches approximate (type-1 quantiles:
+      // value at rank ceil(q*n), identical formulation both engines).
+      import org.apache.spark.sql.expressions.Window
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .withColumn("day_idx",
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+      val skDir = java.nio.file.Files
+        .createTempDirectory("graft-kll").toString + "/t"
+      graft.ext.Sketches.writeQuantileSketches(ev, "value", "day_idx", skDir)
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val n = ev.count()
+      val est = graft.ext.Sketches.mergedQuantiles(s, skDir, qs).get
+      val rankCols = qs.indices.map(i =>
+        sum(when(col("value") <= est(i), 1L).otherwise(0L)).as(s"r$i"))
+      val ranks = ev.agg(rankCols.head, rankCols.tail: _*).head()
+      qs.indices.foreach { i =>
+        val err = math.abs(ranks.getLong(i).toDouble / n - qs(i))
+        require(err <= 0.04,
+          s"q176: merged KLL rank error $err at q=${qs(i)} exceeds 0.04")
+      }
+      // append idempotency via KLL's deterministic n
+      val lastDay = ev.agg(max(col("day_idx"))).head().getLong(0)
+      graft.ext.Sketches.appendQuantileSketch(
+        ev.filter(col("day_idx") === lastDay), "value", "day_idx", lastDay,
+        skDir)
+      require(graft.ext.Sketches.mergedQuantileCount(s, skDir) == n,
+        "q176: re-append changed the merged sketch's n")
+      // window query off the side table only: first half of the span
+      val minDay = ev.agg(min(col("day_idx"))).head().getLong(0)
+      val mid = minDay + (lastDay - minDay) / 2
+      val wEst = graft.ext.Sketches.mergedQuantiles(s, skDir, Seq(0.5),
+        Some(col("day_idx") <= mid)).get.head
+      val wf = ev.filter(col("day_idx") <= mid)
+      val wN = wf.count()
+      val wRank = wf.agg(sum(when(col("value") <= wEst, 1L).otherwise(0L)))
+        .head().getLong(0)
+      require(math.abs(wRank.toDouble / wN - 0.5) <= 0.04,
+        s"q176: windowed median rank error exceeds 0.04")
+      // exact per-day type-1 quantiles (the oracle-checked output)
+      val w = Window.partitionBy("day_idx").orderBy("value")
+      ev.select(col("day_idx"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("day_idx")))
+        .groupBy(col("day_idx"))
+        .agg(max(col("cnt")).as("n_events"),
+          min(when(col("rn") === ceil(col("cnt") * 0.25).cast("long"),
+            col("value"))).as("p25"),
+          min(when(col("rn") === ceil(col("cnt") * 0.5).cast("long"),
+            col("value"))).as("p50"),
+          min(when(col("rn") === ceil(col("cnt") * 0.75).cast("long"),
+            col("value"))).as("p75"))
+        .orderBy("day_idx")
+    }),
+    "q177_theta_retention" -> ((s, dir) => { ensure(s)
+      // persisted THETA sketch side table — distinct counts with SET
+      // ALGEBRA: intersection/difference across partitions straight
+      // off slim sketch rows (HLL unions only). Theta keeps the k
+      // smallest hashes under a fixed seed, so estimates are
+      // deterministic, and EXACT while sketches stay under lgK=12's
+      // 4096 retained entries — which holds at every driver scale
+      // (1500 users at sf0.1), so the adjacent-day retention matrix
+      // OFF THE SKETCHES is itself the oracle-checked output. The
+      // estimate-regime pins (5 % tolerance vs exact, set-algebra
+      // consistency) keep the gate honest at any sf.
+      val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
+        .withColumn("day_idx",
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+      val skDir = java.nio.file.Files
+        .createTempDirectory("graft-theta").toString + "/t"
+      graft.ext.Sketches.writeThetaSketches(ev, "user_id", "day_idx", skDir)
+      val tot = graft.ext.Sketches.thetaDistinct(s, skDir)
+      val exactTot = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+      require(math.abs(tot - exactTot) <= math.max(2.0, 0.05 * exactTot),
+        s"q177: union estimate $tot off exact $exactTot by > 5%")
+      // set-algebra consistency: |A| ~ |A∩B| + |A\B| (exact in
+      // exact-mode; tolerance keeps estimate regimes safe)
+      val minDay = ev.agg(min(col("day_idx"))).head().getLong(0)
+      val (na, _, nab, anotb) = graft.ext.Sketches.thetaOverlap(s, skDir,
+        col("day_idx") === minDay, col("day_idx") === minDay + 1)
+      require(math.abs(na - nab - anotb) <= math.max(2.0, 0.05 * na),
+        s"q177: inclusion-exclusion drift: |A|=$na |A∩B|=$nab |A\\B|=$anotb")
+      // idempotent single-partition re-append
+      val lastDay = ev.agg(max(col("day_idx"))).head().getLong(0)
+      graft.ext.Sketches.appendThetaSketch(
+        ev.filter(col("day_idx") === lastDay), "user_id", "day_idx", lastDay,
+        skDir)
+      require(graft.ext.Sketches.thetaDistinct(s, skDir) == tot,
+        "q177: re-append changed the union estimate")
+      graft.ext.Sketches.thetaRetention(s, skDir, "day_idx")
+        .orderBy("part_a")
+    }),
+    "q178_bloom_membership" -> ((s, dir) => { ensure(s)
+      // persisted BLOOM membership artifact + exact anti-membership —
+      // the "is this key already ingested?" prefilter at corpus
+      // scale: definitely-new rows never touch the key side table;
+      // the bloom-positive minority is verified EXACTLY via isin
+      // pushdown. Output is bit-identical to the plain anti-join
+      // (bloom has no false negatives; positives exactly verified) —
+      // REQUIRED in-gate — and the oracle replays the anti-join.
+      val docs = ld(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("key"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("key", md5(col("text")))
+      val bDir = java.nio.file.Files
+        .createTempDirectory("graft-bloom").toString + "/b"
+      val oldCount = old.count()
+      graft.ext.Bloom.writeMembershipBloom(old, "key", bDir,
+        expectedItems = oldCount * 2, fpp = 0.01)
+      val (bytes, nAdded, _, _, _) = graft.ext.Bloom.loadBloom(s, bDir)
+      require(nAdded == oldCount, s"q178: bloom n_added $nAdded != $oldCount")
+      require(old.filter(!graft.ext.Bloom.mightContain(bytes, col("key")))
+        .count() == 0L, "q178: bloom false negative — impossible by design")
+      // prune effectiveness: maybes ~ true dups + <= fpp-bounded slack
+      val batchN = batch.count()
+      val maybes = batch
+        .filter(graft.ext.Bloom.mightContain(bytes, col("key"))).count()
+      val dups = batch.join(old, Seq("key"), "left_semi").count()
+      require(maybes >= dups, "q178: bloom missed a true duplicate")
+      require(maybes - dups <= math.max(3.0, 0.05 * batchN),
+        s"q178: false-positive load $maybes-$dups exceeds the 1% fpp budget")
+      require(maybes < batchN,
+        "q178: bloom pruned nothing — the batch's new majority should skip")
+      val viaBloom = graft.ext.Bloom.antiMembership(
+        batch, "key", old, "key", bytes)
+      val plain = batch.join(old.select(col("key").as("_k")),
+        col("key") === col("_k"), "left_anti")
+      require(viaBloom.select("doc_id").exceptAll(plain.select("doc_id"))
+        .isEmpty && plain.select("doc_id")
+        .exceptAll(viaBloom.select("doc_id")).isEmpty,
+        "q178: bloom path diverged from the plain anti-join")
+      // batch-id-keyed OR-append + checkpoint replay = bitwise no-op
+      graft.ext.Bloom.appendMembershipBloom(viaBloom.select("key"), "key",
+        batchId = 1L, dir = bDir)
+      val (b2, n2, _, _, _) = graft.ext.Bloom.loadBloom(s, bDir)
+      graft.ext.Bloom.appendMembershipBloom(viaBloom.select("key"), "key",
+        batchId = 1L, dir = bDir)
+      val (b3, n3, _, _, _) = graft.ext.Bloom.loadBloom(s, bDir)
+      require(java.util.Arrays.equals(b2, b3) && n2 == n3,
+        "q178: replayed batch changed the bloom artifact")
+      require(batch.filter(!graft.ext.Bloom.mightContain(b2, col("key")))
+        .count() == 0L, "q178: post-append membership incomplete")
+      viaBloom.select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q175_heavy_hitters" -> ((s, dir) => { ensure(s)
       // exact heavy hitters via the two-pass Misra-Gries composition:
       // pass 1 = ONE mergeable MG sketch aggregate (k=20 counters per
@@ -3900,6 +4054,31 @@ object SparkEntry {
        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
        "CAST(count(*) AS BIGINT) AS n_events " +
        "FROM events GROUP BY 1 ORDER BY 1"),
+    "q176_quantile_sketches" ->
+      ("WITH e AS MATERIALIZED (SELECT epoch_us(ts) // 86400000000 AS day_idx, value, " +
+       "row_number() OVER (PARTITION BY epoch_us(ts) // 86400000000 ORDER BY value) AS rn, " +
+       "count(*) OVER (PARTITION BY epoch_us(ts) // 86400000000) AS cnt FROM events) " +
+       "SELECT day_idx, CAST(max(cnt) AS BIGINT) AS n_events, " +
+       "min(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT) THEN value END) AS p25, " +
+       "min(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN value END) AS p50, " +
+       "min(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN value END) AS p75 " +
+       "FROM e GROUP BY 1 ORDER BY 1"),
+    "q177_theta_retention" ->
+      ("WITH u AS MATERIALIZED (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id " +
+       "FROM events), " +
+       "c AS MATERIALIZED (SELECT d, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY d), " +
+       "o AS MATERIALIZED (SELECT a.d AS part_a, b.d AS part_b, " +
+       "CAST(count(*) AS BIGINT) AS n_common FROM u a JOIN u b " +
+       "ON b.d = a.d + 1 AND a.user_id = b.user_id GROUP BY 1, 2) " +
+       "SELECT ca.d AS part_a, cb.d AS part_b, ca.n AS n_a, cb.n AS n_b, " +
+       "COALESCE(o.n_common, 0) AS n_common " +
+       "FROM c ca JOIN c cb ON cb.d = ca.d + 1 " +
+       "LEFT JOIN o ON o.part_a = ca.d ORDER BY 1"),
+    "q178_bloom_membership" ->
+      ("SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
+       "WHERE d.doc_id % 3 = 0 AND NOT EXISTS (" +
+       "SELECT 1 FROM documents o WHERE o.doc_id % 5 <> 0 " +
+       "AND md5(o.text) = md5(d.text)) ORDER BY d.doc_id"),
     "q172_scd2_lookup" ->
       ("WITH snap AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us, CAST(max(event_id) % 7 AS INTEGER) AS tier " +
        "FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts), " +

@@ -69,4 +69,169 @@ object Sketches {
                          partCol: String): DataFrame =
     load(spark, dir).select(col(partCol),
       hll_sketch_estimate(col("sketch")).as("n_est"), col("n_rows"))
+
+  // ------------------- KLL quantile side tables -------------------
+  // Quantiles are the third non-additive statistic (after distinct
+  // counts and heavy hitters) that a 100 TB corpus cannot answer per
+  // window without a rescan: exact per-partition quantiles do not
+  // merge. KLL sketches (Karnin, Lang, Liberty, FOCS 2016) DO merge
+  // with the error bound preserved, so the same slim side-table shape
+  // applies — one (partition, sketch) row per ingest partition, any
+  // window's quantiles answered by kll_merge_agg over the selected
+  // rows. Built on Spark 4.1's DataSketches KLL built-ins. At the
+  // default k=200 the normalized rank error is ~1.65 % (99 %
+  // confidence); KLL compaction is randomized, so estimates carry no
+  // bit-exactness guarantee — gates pin the RANK-ERROR bound, never
+  // sketch bytes (contrast HLL/theta, whose fixed-seed estimates are
+  // deterministic).
+
+  /** Build (or rebuild) the quantile sketch table: one row per value
+    * of `partCol` — (partCol, sketch, n_rows), partition-dir layout so
+    * [[appendQuantileSketch]] can overwrite a single partition. */
+  def writeQuantileSketches(df: DataFrame, valueCol: String, partCol: String,
+                            dir: String, k: Int = 200): Unit =
+    df.groupBy(col(partCol))
+      .agg(call_function("kll_sketch_agg_double",
+          col(valueCol).cast("double"), lit(k)).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+
+  /** Incremental maintenance: sketch ONE partition's complete row set
+    * and overwrite exactly its `partCol=<v>` directory (idempotent
+    * batch-keyed overwrite, the ingestSink recipe). */
+  def appendQuantileSketch(rows: DataFrame, valueCol: String,
+                           partCol: String, partValue: Any, dir: String,
+                           k: Int = 200): Unit =
+    rows.agg(call_function("kll_sketch_agg_double",
+        col(valueCol).cast("double"), lit(k)).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$dir/$partCol=$partValue")
+
+  /** Quantile estimates over the partitions selected by `where` (None
+    * = all): kll_merge_agg over the slim sketch rows, then one
+    * get_quantile per requested q — the corpus is never touched.
+    * Returns None when no partition matches. `qs` in [0, 1]. */
+  def mergedQuantiles(spark: SparkSession, dir: String, qs: Seq[Double],
+                      where: Option[org.apache.spark.sql.Column] = None)
+      : Option[Seq[Double]] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"mergedQuantiles: qs must be non-empty fractions in [0, 1], got $qs")
+    val t = load(spark, dir)
+    val sel = where.map(t.filter).getOrElse(t)
+    // an empty aggregate yields an EMPTY sketch buffer (not NULL),
+    // which get_quantile rejects — detect emptiness on the slim rows
+    if (sel.isEmpty) return None
+    val merged = sel.agg(
+      call_function("kll_merge_agg_double", col("sketch")).as("m"))
+    val r = merged.select(qs.zipWithIndex.map { case (q, i) =>
+      call_function("kll_sketch_get_quantile_double", col("m"), lit(q))
+        .as(s"q$i") }: _*).head()
+    if (r.isNullAt(0)) None else Some(qs.indices.map(r.getDouble))
+  }
+
+  /** Number of values the selected (merged) quantile sketches have
+    * seen — KLL's n is exact and deterministic (unlike its randomized
+    * compaction), so this is the append-idempotency pin: re-appending
+    * a batch must leave it unchanged. 0 when nothing matches. */
+  def mergedQuantileCount(spark: SparkSession, dir: String,
+                          where: Option[org.apache.spark.sql.Column] = None)
+      : Long = {
+    val t = load(spark, dir)
+    val sel = where.map(t.filter).getOrElse(t)
+    if (sel.isEmpty) return 0L
+    val r = sel.agg(call_function("kll_sketch_get_n_double",
+      call_function("kll_merge_agg_double", col("sketch"))).as("n")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  // --------------------- Theta set-algebra side tables ---------------------
+  // HLL answers "how many distinct" per window; theta sketches
+  // (Dasgupta et al., "A Framework for Estimating Stream Expression
+  // Cardinalities" — the DataSketches KMV family) additionally support
+  // INTERSECTION and DIFFERENCE: overlap and churn between partitions
+  // ("users active on both days", "users lost from A to B") straight
+  // off the side table. Theta sketches keep the k smallest hashes
+  // under a fixed seed, so for given input SETS the estimate is fully
+  // deterministic and order-independent — gates can pin estimates
+  // against exact counts with tight margins.
+
+  /** Build (or rebuild) the theta sketch table: (partCol, sketch,
+    * n_rows) per partition value, partition-dir layout. */
+  def writeThetaSketches(df: DataFrame, valueCol: String, partCol: String,
+                         dir: String, lgK: Int = 12): Unit =
+    df.groupBy(col(partCol))
+      .agg(call_function("theta_sketch_agg", col(valueCol), lit(lgK))
+          .as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+
+  /** Incremental single-partition overwrite, as [[appendDistinctSketch]]. */
+  def appendThetaSketch(rows: DataFrame, valueCol: String, partCol: String,
+                        partValue: Any, dir: String, lgK: Int = 12): Unit =
+    rows.agg(call_function("theta_sketch_agg", col(valueCol), lit(lgK))
+        .as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$dir/$partCol=$partValue")
+
+  /** Distinct-count estimate over selected partitions via theta union
+    * (0 when nothing matches) — the theta twin of [[mergedDistinct]]. */
+  def thetaDistinct(spark: SparkSession, dir: String,
+                    where: Option[org.apache.spark.sql.Column] = None): Long = {
+    val t = load(spark, dir)
+    val sel = where.map(t.filter).getOrElse(t)
+    val r = sel.agg(call_function("theta_sketch_estimate",
+      call_function("theta_union_agg", col("sketch"))).as("est")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** (|A|, |B|, |A∩B|, |A\B|) estimates for two partition selections —
+    * each side union-merged off the side table, then one scalar
+    * intersection/difference. Refuses an empty side loudly (an empty
+    * theta intersection would silently estimate 0). */
+  def thetaOverlap(spark: SparkSession, dir: String,
+                   whereA: org.apache.spark.sql.Column,
+                   whereB: org.apache.spark.sql.Column): (Long, Long, Long, Long) = {
+    val t = load(spark, dir)
+    def side(w: org.apache.spark.sql.Column, name: String) = {
+      val d = t.filter(w)
+      // an empty union-agg yields a VALID empty sketch that would
+      // silently estimate 0 — refuse the empty selection loudly
+      require(!d.isEmpty,
+        s"thetaOverlap: side $name selected no sketch partitions — " +
+          "check the predicate against the side table's partition column")
+      d.agg(call_function("theta_union_agg", col("sketch")).as("sk"))
+        .head().getAs[Array[Byte]](0)
+    }
+    val (a, b) = (side(whereA, "A"), side(whereB, "B"))
+    val r = spark.range(1).select(
+      call_function("theta_sketch_estimate", lit(a)).as("na"),
+      call_function("theta_sketch_estimate", lit(b)).as("nb"),
+      call_function("theta_sketch_estimate",
+        call_function("theta_intersection", lit(a), lit(b))).as("nab"),
+      call_function("theta_sketch_estimate",
+        call_function("theta_difference", lit(a), lit(b))).as("nanotb"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Adjacent-partition retention straight off the side table: for
+    * each consecutive partition pair (p, p+`step`) present, the
+    * estimated |P_a|, |P_b| and overlap |P_a ∩ P_b| — the sketch form
+    * of the q164 cohort-retention question, answered in KBs. Output:
+    * (part_a, part_b, n_a, n_b, n_common). */
+  def thetaRetention(spark: SparkSession, dir: String, partCol: String,
+                     step: Long = 1L): DataFrame = {
+    val t = load(spark, dir)
+      .select(col(partCol).cast("long").as("p"), col("sketch"))
+    val a = t.select(col("p").as("part_a"), col("sketch").as("sk_a"))
+    val b = t.select(col("p").as("part_b"), col("sketch").as("sk_b"))
+    // slim sketch-row equi-join (rows = #partitions, KBs each)
+    a.join(b, col("part_b") === col("part_a") + lit(step))
+      .select(col("part_a"), col("part_b"),
+        call_function("theta_sketch_estimate", col("sk_a")).as("n_a"),
+        call_function("theta_sketch_estimate", col("sk_b")).as("n_b"),
+        call_function("theta_sketch_estimate",
+          call_function("theta_intersection", col("sk_a"), col("sk_b")))
+          .as("n_common"))
+  }
 }

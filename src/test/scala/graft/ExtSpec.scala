@@ -1171,6 +1171,105 @@ class ExtSpec extends SparkSpec {
     assert(Sketches.mergedDistinct(spark, dir, Some(col("day") > 99)) == 0L)
   }
 
+  test("Sketches: KLL quantile side table — endpoints, rank bound, window, append n-pin, empty") {
+    import spark.implicits._
+    // day 0 = values 0..99, day 1 = 100..199
+    val df = (0 until 200).map(i => (i / 100L, i.toDouble)).toDF("day", "v")
+    val dir = tmpDir("kll") + "/t"
+    Sketches.writeQuantileSketches(df, "v", "day", dir)
+    // min/max are retained by KLL deterministically
+    assert(Sketches.mergedQuantiles(spark, dir, Seq(0.0, 1.0))
+      .contains(Seq(0.0, 199.0)))
+    // median within the rank bound (n=200 at k=200 — near-exact)
+    val Some(Seq(med)) = Sketches.mergedQuantiles(spark, dir, Seq(0.5))
+    assert(med >= 90.0 && med <= 110.0, s"median rank off: $med")
+    // window filter reads only day-0 sketch rows
+    assert(Sketches.mergedQuantiles(spark, dir, Seq(1.0),
+      Some(col("day") === 0)).contains(Seq(99.0)))
+    // append idempotency pinned via KLL's deterministic n
+    assert(Sketches.mergedQuantileCount(spark, dir) == 200L)
+    Sketches.appendQuantileSketch(df.filter(col("day") === 1), "v", "day", 1L, dir)
+    assert(Sketches.mergedQuantileCount(spark, dir) == 200L)
+    // empty selection -> None / 0, not an error
+    assert(Sketches.mergedQuantiles(spark, dir, Seq(0.5),
+      Some(col("day") > 9)).isEmpty)
+    assert(Sketches.mergedQuantileCount(spark, dir, Some(col("day") > 9)) == 0L)
+    intercept[IllegalArgumentException] {
+      Sketches.mergedQuantiles(spark, dir, Seq(1.5))
+    }
+  }
+
+  test("Sketches: theta side table — exact-mode set algebra, retention, append, refusal") {
+    import spark.implicits._
+    // day0 = {u1..u5}, day1 = {u3..u7}, day2 = {u6, u7}; all sketches
+    // far below lgK=12's 4096 retained entries -> estimates are EXACT
+    val df = ((1 to 5).map(u => (0L, s"u$u")) ++ (3 to 7).map(u => (1L, s"u$u")) ++
+      Seq((2L, "u6"), (2L, "u7"), (2L, "u7"))).toDF("day", "uid")
+    val dir = tmpDir("theta") + "/t"
+    Sketches.writeThetaSketches(df, "uid", "day", dir)
+    assert(Sketches.thetaDistinct(spark, dir) == 7L)
+    assert(Sketches.thetaDistinct(spark, dir, Some(col("day") >= 1)) == 5L)
+    assert(Sketches.thetaOverlap(spark, dir, col("day") === 0, col("day") === 1)
+      == ((5L, 5L, 3L, 2L)))
+    // union-merged side A: days 0+1 vs day 2
+    assert(Sketches.thetaOverlap(spark, dir, col("day") <= 1, col("day") === 2)
+      == ((7L, 2L, 2L, 5L)))
+    val ret = Sketches.thetaRetention(spark, dir, "day")
+      .orderBy("part_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(ret == Seq((0L, 1L, 5L, 5L, 3L), (1L, 2L, 5L, 2L, 2L)))
+    // idempotent single-partition overwrite
+    Sketches.appendThetaSketch(df.filter(col("day") === 2), "uid", "day", 2L, dir)
+    assert(Sketches.thetaDistinct(spark, dir) == 7L)
+    // empty side selection refused loudly (silent 0-intersection trap)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.thetaOverlap(spark, dir, col("day") === 9, col("day") === 0)
+    }
+    assert(e.getMessage.contains("no sketch partitions"))
+  }
+
+  test("Bloom: no false negatives, anti-membership == anti-join, append/replay, saturation") {
+    import spark.implicits._
+    val sideKeys = (0 until 200).map(i => s"k$i")
+    val side = sideKeys.toDF("key")
+    val dir = tmpDir("bloom") + "/b"
+    Bloom.writeMembershipBloom(side, "key", dir, expectedItems = 1000L)
+    val (bytes, nAdded, expItems, _, batches) = Bloom.loadBloom(spark, dir)
+    assert(nAdded == 200L && expItems == 1000L && batches.isEmpty)
+    // no false negatives: every member flags true
+    assert(side.filter(Bloom.mightContain(bytes, col("key"))).count() == 200L)
+    // batch = 50 dups + 50 new + a NULL key (survives, anti-join semantics)
+    val batch = ((50 until 100).map(i => s"k$i") ++ (0 until 50).map(i => s"n$i"))
+      .map(Option(_)).:+(None: Option[String]).toDF("key")
+    val expect = batch.join(side, Seq("key"), "left_anti")
+      .collect().map(_.getAs[String](0)).toSet
+    def got(maxIsin: Int) =
+      Bloom.antiMembership(batch, "key", side, "key", bytes, maxIsin)
+        .collect().map(_.getAs[String](0)).toSet
+    assert(got(4096) == expect)              // isin-pushdown path
+    assert(got(1) == expect)                 // forced anti-join path
+    assert(expect.contains(null) && expect.size == 51)
+    // append: new batch of keys, then replay of the same batch id
+    Bloom.appendMembershipBloom((0 until 50).map(i => s"n$i").toDF("key"),
+      "key", batchId = 7L, dir = dir)
+    val (b2, n2, _, _, bat2) = Bloom.loadBloom(spark, dir)
+    assert(n2 == 250L && bat2 == Seq(7L))
+    assert(side.filter(Bloom.mightContain(b2, col("key"))).count() == 200L)
+    assert((0 until 50).map(i => s"n$i").toDF("key")
+      .filter(Bloom.mightContain(b2, col("key"))).count() == 50L)
+    Bloom.appendMembershipBloom((0 until 50).map(i => s"n$i").toDF("key"),
+      "key", batchId = 7L, dir = dir) // replay: skipped outright
+    val (b3, n3, _, _, bat3) = Bloom.loadBloom(spark, dir)
+    assert(n3 == 250L && bat3 == Seq(7L) && java.util.Arrays.equals(b2, b3))
+    // saturation refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Bloom.appendMembershipBloom((0 until 800).map(i => s"x$i").toDF("key"),
+        "key", batchId = 8L, dir = dir)
+    }
+    assert(e.getMessage.contains("expected_items"))
+  }
+
   test("heavyHitters: exact output, merge-order robustness, guarantee floor, refusals") {
     import spark.implicits._
     // 100 x hot, 30 x warm, 60 singles: phi=0.2 keeps hot only (100/190
