@@ -2834,6 +2834,79 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"))
         .orderBy("query_id", "rank")
     }),
+    "q179_bloom_ingest" -> ((s, dir) => { ensure(s)
+      // q156's streaming-ingest fixture with the BLOOM PREFILTERS on
+      // (bloomExpectedKeys): the url/md5 cross stages consult their
+      // side tables only for the bloom-positive minority, and the
+      // sink maintains <corpus>.side/bloom_{url,md5} batch-id-keyed.
+      // The OUTPUT is q156's — identical per-stage counts + survivor
+      // set through the SAME closed-form oracle, which pins the
+      // prefiltered path bit-identical end to end; in-gate requires
+      // pin the artifacts themselves (both batches merged, membership
+      // covering every corpus key, no saturation drift).
+      def pidOf(c: Column) = lpad(c.cast("string"), 8, "0")
+      def textOf(c: Column) =
+        concat(lit("alpha beta gamma del e "),
+          substring(md5(c.cast("string")), 1, 12))
+      val ids = ld(s, dir, "documents").select(col("doc_id"))
+      val b1 = ids.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
+        when(col("doc_id") % 20 === 13, textOf(col("doc_id") - 4))
+          .otherwise(textOf(col("doc_id"))).as("text"),
+        concat(lit("https://x"),
+          pidOf(when(col("doc_id") % 20 === 17, col("doc_id") - 16)
+            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+      val b2 = ids.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
+        when(col("doc_id") % 20 === 11, textOf(col("doc_id") - 2))
+          .when(col("doc_id") % 20 === 19,
+            concat(textOf(col("doc_id") - 18), lit(" x")))
+          .otherwise(textOf(col("doc_id"))).as("text"),
+        concat(lit("https://x"),
+          pidOf(when(col("doc_id") % 20 === 15, col("doc_id") - 14)
+            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+      val root = java.nio.file.Files.createTempDirectory("graft-bingest").toString
+      val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = s"$root/stage-$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+      }
+      def drain(): Unit = {
+        val docs = s.readStream.schema(b1.schema).parquet(srcDir)
+        val q = graft.streaming.EventStream.ingestSink(docs, "text", "doc_id",
+          s"$root/corpus", s"$root/ckpt", urlCol = Some("url"),
+          reportDir = Some(s"$root/report"),
+          bloomExpectedKeys = Some(1000000L))
+        require(q.awaitTermination(300000), "q179: ingest stream timed out")
+      }
+      stage(b1, "b1"); drain()
+      stage(b2, "b2"); drain()
+      // artifact pins: both batches merged, membership complete
+      val (ub, _, _, _, ubat) = graft.ext.Bloom.loadBloom(s,
+        s"$root/corpus.side/bloom_url")
+      val (hb, hn, _, _, hbat) = graft.ext.Bloom.loadBloom(s,
+        s"$root/corpus.side/bloom_md5")
+      require(ubat == Seq(0L, 1L) && hbat == Seq(0L, 1L),
+        s"q179: bloom artifacts missing a batch: $ubat / $hbat")
+      val corpus = s.read.parquet(s"$root/corpus")
+      require(corpus.filter(!graft.ext.Bloom.mightContain(ub,
+        graft.ext.TextAnalysis.canonicalizeUrl(col("url")))).count() == 0L,
+        "q179: url bloom membership incomplete")
+      require(corpus.filter(!graft.ext.Bloom.mightContain(hb,
+        md5(col("text")))).count() == 0L,
+        "q179: md5 bloom membership incomplete")
+      require(hn == corpus.count(),
+        s"q179: md5 bloom n_added $hn != corpus size")
+      s.read.parquet(s"$root/report")
+        .select(concat(lit("b"), col("batch_id").cast("string"), lit("_"),
+          col("stage")).as("stage"), col("rows").as("n"))
+        .unionByName(s.read.parquet(s"$root/corpus").select(
+          concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .orderBy("stage")
+    }),
     "q156_streaming_ingest" -> ((s, dir) => { ensure(s)
       // STREAMING ingestion (EventStream.ingestSink): ingestBatch as a
       // foreachBatch/AvailableNow sink — "today's crawl" as a stream
@@ -3955,6 +4028,9 @@ object SparkEntry {
     "q153_resume_from_disk" -> q153OracleSql,
     "q154_pack_subwords" -> q154OracleSql(6, 128),
     "q156_streaming_ingest" -> q156OracleSql,
+    // the bloom-prefiltered sink must reproduce q156's closed-form
+    // stage counts + survivor set exactly — same oracle by design
+    "q179_bloom_ingest" -> q156OracleSql,
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),

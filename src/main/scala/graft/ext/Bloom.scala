@@ -62,11 +62,21 @@ object Bloom {
   def writeMembershipBloom(df: DataFrame, keyCol: String, dir: String,
                            expectedItems: Long, fpp: Double = 0.01): Unit = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    df.agg(bloomAgg(col(keyCol), expectedItems, fpp).as("sketch"),
-        count(col(keyCol)).as("n_added"))
-      .select(col("sketch"), col("n_added"),
-        lit(expectedItems).as("expected_items"), lit(numBits).as("num_bits"),
-        array().cast("array<long>").as("batches"))
+    val agg = df.agg(bloomAgg(col(keyCol), expectedItems, fpp).as("sketch"),
+      count(col(keyCol)).as("n_added")).head()
+    // an empty key set aggregates to a NULL sketch — persist a real
+    // (empty) filter so the artifact is always loadable/appendable
+    // (the first-batch bootstrap of a maintained side artifact)
+    val bytes = Option(agg.getAs[Array[Byte]]("sketch")).getOrElse {
+      val bos = new ByteArrayOutputStream()
+      BloomFilter.create(expectedItems, numBits).writeTo(bos)
+      bos.toByteArray
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((bytes, agg.getAs[Long]("n_added"), expectedItems, numBits,
+      Seq.empty[Long]))
+      .toDF("sketch", "n_added", "expected_items", "num_bits", "batches")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 

@@ -285,7 +285,18 @@ object Pipeline {
                   // corpus text column is never scanned at all. Must be
                   // built with the pipeline's shingle/numHashes defaults
                   // (width verified loudly).
-                  oldMinhashTable: Option[DataFrame] = None)
+                  oldMinhashTable: Option[DataFrame] = None,
+                  // BLOOM prefilters over the two key side tables (the
+                  // [[Bloom]] artifact): when present, the url/md5 cross
+                  // stages consult the side table only for the
+                  // bloom-positive minority — the definitely-new
+                  // majority of a typical batch skips the anti-join
+                  // entirely. Results are bit-identical (no false
+                  // negatives; every positive exactly verified), so a
+                  // bloom that OVER-contains — e.g. one already holding
+                  // a replayed batch's own keys — is harmless.
+                  oldUrlBloom: Option[Array[Byte]] = None,
+                  oldHashBloom: Option[Array[Byte]] = None)
       : (DataFrame, Seq[StageReport]) = {
     require(oldUrlCol.isEmpty || urlCol.nonEmpty,
       "oldUrlCol without urlCol: the batch has no URLs to cross-check")
@@ -322,20 +333,27 @@ object Pipeline {
           .getOrElse(oldCleaned
             .select(TextAnalysis.canonicalizeUrl(col(ou)).as("_ou"))
             .filter(col("_ou").isNotNull).distinct())
-        cur = stage("url_cross_dedup")(
-          cur.withColumn("_cu", TextAnalysis.canonicalizeUrl(col(u)))
-            .join(oldUrls, col("_cu") === col("_ou"), "left_anti")
-            .drop("_cu"))
+        val withCu = cur.withColumn("_cu",
+          TextAnalysis.canonicalizeUrl(col(u)))
+        val kept = oldUrlBloom match {
+          case Some(b) => Bloom.antiMembership(withCu, "_cu", oldUrls, "_ou", b)
+          case None =>
+            withCu.join(oldUrls, col("_cu") === col("_ou"), "left_anti")
+        }
+        cur = stage("url_cross_dedup")(kept.drop("_cu"))
       case _ => ()
     }
     // exact cross: md5 anti-join (the exactKeepers convention — slim
     // 128-bit keys, never full text through the shuffle)
     val oldHashes = oldHashSet.map(_.toDF("_oh").distinct())
       .getOrElse(oldCleaned.select(md5(col(oldTextCol)).as("_oh")).distinct())
-    cur = stage("exact_cross_dedup")(
-      cur.withColumn("_nh", md5(col(textCol)))
-        .join(oldHashes, col("_nh") === col("_oh"), "left_anti")
-        .drop("_nh"))
+    val withNh = cur.withColumn("_nh", md5(col(textCol)))
+    val exactKept = oldHashBloom match {
+      case Some(b) => Bloom.antiMembership(withNh, "_nh", oldHashes, "_oh", b)
+      case None =>
+        withNh.join(oldHashes, col("_nh") === col("_oh"), "left_anti")
+    }
+    cur = stage("exact_cross_dedup")(exactKept.drop("_nh"))
     // near-dup cross: the q107 incremental primitive (LSH candidates,
     // exact-threshold verify, asymmetric NEW x OLD band join). The
     // old-side bucket cap rides the pipeline's minhashMaxBucket knob,

@@ -246,7 +246,20 @@ object EventStream {
                  urlCol: Option[String] = None,
                  reportDir: Option[String] = None,
                  minhashThreshold: Double = 0.8,
-                 minhashMaxBucket: Int = 1000)
+                 minhashMaxBucket: Int = 1000,
+                 // lifetime key budget for BLOOM prefilters over the
+                 // url/md5 side tables ([[graft.ext.Bloom]]): when set,
+                 // the sink maintains `<corpusDir>.side/bloom_{url,md5}`
+                 // artifacts (bootstrapped from the side tables once,
+                 // OR-appended batch-id-keyed per batch) and the two key
+                 // cross stages consult the side tables only for the
+                 // bloom-positive minority — results stay bit-identical
+                 // (no false negatives; positives exactly verified, so a
+                 // replayed batch whose keys already sit in the bloom
+                 // loses nothing). Appends REFUSE past the budget (the
+                 // fp bound would silently die) — size it for the
+                 // corpus lifetime.
+                 bloomExpectedKeys: Option[Long] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(newDocs.isStreaming, "ingestSink needs a streaming frame; " +
       "call Pipeline.ingestBatch directly for batch ingestion")
@@ -310,13 +323,30 @@ object EventStream {
         val mhTable = sideTable(s"$side/minhash",
           graft.ext.Dedup.minhashTableRows(old, textCol, idCol))
           .select("id", "sig", "sh")
+        // bloom artifacts: bootstrap from the (already batch-excluded)
+        // side tables if absent, else load. A replayed batch's own keys
+        // may already sit in the bloom — harmless over-containment, the
+        // exact verify consults only the batch-excluded side table.
+        def bloomArtifact(path: String, keys: DataFrame, keyCol: String)
+            : Array[Byte] = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          if (!p.getFileSystem(hconf).exists(p))
+            graft.ext.Bloom.writeMembershipBloom(keys, keyCol, path,
+              expectedItems = bloomExpectedKeys.get)
+          graft.ext.Bloom.loadBloom(spark, path)._1
+        }
+        val urlBloom = for { _ <- bloomExpectedKeys; u <- urlSet }
+          yield bloomArtifact(s"$side/bloom_url", u, "url_canon")
+        val hashBloom = bloomExpectedKeys.map(_ =>
+          bloomArtifact(s"$side/bloom_md5", hashSet, "text_md5"))
         val (survivors0, report) = graft.ext.Pipeline.ingestBatch(
           batch, textCol, idCol, old, textCol, idCol,
           urlCol = urlCol, oldUrlCol = urlCol,
           minhashThreshold = minhashThreshold,
           minhashMaxBucket = minhashMaxBucket,
           oldUrlSet = urlSet, oldHashSet = Some(hashSet),
-          oldMinhashTable = Some(mhTable))
+          oldMinhashTable = Some(mhTable),
+          oldUrlBloom = urlBloom, oldHashBloom = hashBloom)
         // every write keyed by batch id + overwrite: a checkpoint
         // REPLAY overwrites its own partitions instead of appending
         // duplicates — corpus and side tables stay mutually consistent
@@ -331,6 +361,20 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId")
         graft.ext.Dedup.minhashTableRows(survivors, textCol, idCol)
           .write.mode("overwrite").parquet(s"$side/minhash/batch=$batchId")
+        // OR-append the batch's keys into the bloom artifacts —
+        // batch-id-keyed (replays skip) and bitwise idempotent anyway
+        bloomExpectedKeys.foreach { _ =>
+          urlCol.foreach { u =>
+            graft.ext.Bloom.appendMembershipBloom(
+              survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
+                .as("url_canon")).filter(col("url_canon").isNotNull)
+                .distinct(),
+              "url_canon", batchId, s"$side/bloom_url")
+          }
+          graft.ext.Bloom.appendMembershipBloom(
+            survivors.select(md5(col(textCol)).as("text_md5")).distinct(),
+            "text_md5", batchId, s"$side/bloom_md5")
+        }
         reportDir.foreach { rd =>
           import spark.implicits._
           report.map(r => (r.stage, r.rows)).toDF("stage", "rows")

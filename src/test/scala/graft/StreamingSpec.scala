@@ -282,6 +282,67 @@ class StreamingSpec extends SparkSpec {
     assert(mh == got, s"side minhash ids $mh != corpus $got")
   }
 
+  test("ingestSink with bloom prefilter == without; artifacts maintained per batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ext.TextFunctions.registerAll(spark)
+    val root = tmpDir("ingest-bloom")
+    val srcDir = s"$root/src"; val corpusDir = s"$root/corpus"
+    new java.io.File(srcDir).mkdirs()
+    // identical plant to the equivalence test above
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon one", "https://a.ex/p1"),
+      (2L, "alpha beta gamma delta epsilon one", "https://a.ex/p2"),
+      (3L, "zeta eta theta iota kappa two", "https://a.ex/p1"),
+      (4L, "lambda mu nu xi omicron three", "https://a.ex/p4"))
+      .toDF("doc_id", "text", "url")
+    val b2 = Seq(
+      (11L, "alpha beta gamma delta epsilon one", "https://b.ex/p11"),
+      (12L, "pi rho sigma tau upsilon four", "https://a.ex/p4"),
+      (13L, "unique phi chi psi omega five", "https://b.ex/p13"))
+      .toDF("doc_id", "text", "url")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def drain(): Unit = {
+      val docs = spark.readStream.schema(b1.schema).parquet(srcDir)
+      val q = EventStream.ingestSink(docs, "text", "doc_id",
+        corpusDir, s"$root/ckpt", urlCol = Some("url"),
+        bloomExpectedKeys = Some(1000L))
+      assert(q.awaitTermination(180000), "ingest stream timed out")
+    }
+    stage(b1, "b1"); drain()
+    stage(b2, "b2"); drain()
+    // bit-identical outcome to the non-bloom run (the test above)
+    val got = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 13L), s"bloom-path corpus diverged: $got")
+    // artifacts exist, carry both batch ids, and cover every corpus key
+    val (ub, un, _, _, ubat) = graft.ext.Bloom.loadBloom(spark,
+      s"$corpusDir.side/bloom_url")
+    val (hb, hn, _, _, hbat) = graft.ext.Bloom.loadBloom(spark,
+      s"$corpusDir.side/bloom_md5")
+    assert(ubat == Seq(0L, 1L) && hbat == Seq(0L, 1L),
+      s"batches $ubat / $hbat")
+    assert(un == 3L && hn == 3L, s"n_added $un / $hn") // 2 + 1 survivors
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.filter(!graft.ext.Bloom.mightContain(ub,
+      graft.ext.TextAnalysis.canonicalizeUrl($"url"))).count() == 0)
+    assert(corpus.filter(!graft.ext.Bloom.mightContain(hb,
+      md5($"text"))).count() == 0)
+    // a no-new-data drain leaves the filter bits untouched (an empty
+    // fired batch may legally append its id with zero keys)
+    drain()
+    val (ub2, un2, _, _, _) = graft.ext.Bloom.loadBloom(spark,
+      s"$corpusDir.side/bloom_url")
+    assert(java.util.Arrays.equals(ub, ub2) && un2 == un)
+  }
+
   test("ingestSink: cross stages read side tables not corpus text; replay loses nothing") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
