@@ -8,7 +8,7 @@ import graft.core.GeoOps
 import graft.engine.GeoDb
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, TextFunctions}
+import graft.ext.{Dedup, Multimodal, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions}
 import graft.ext.TextFunctions._
 import graft.query.{PostgrestFilter, SqlFragments}
 import graft.sources.ParquetStats
@@ -2558,6 +2558,37 @@ object SparkEntry {
       viaBloom.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "q180_profile" -> ((s, dir) => { ensure(s)
+      // ONE-PASS corpus profiling (Profile.profile — the Deequ/TFDV
+      // shape): all per-column stats sketched in a single aggregate
+      // scan + one isin-pushdown pass per string column for the
+      // CERTIFIED exact mode (the Misra-Gries bound as a proof, not a
+      // guess). Oracle-checked output = the deterministic fields;
+      // estimate fields (HLL++ distinct, KLL quantiles) pinned
+      // in-gate against exact twins.
+      val docs = ld(s, dir, "documents")
+      val cols = Seq("doc_id", "n_chars", "lang", "source")
+      val prof = Profile.profile(docs, cols)
+      val byCol = prof.collect().map(r => r.getString(0) -> r).toMap
+      cols.foreach { c =>
+        val exact = docs.agg(countDistinct(col(c))).head().getLong(0)
+        val est = byCol(c).getLong(4)
+        require(math.abs(est - exact) <= math.max(2.0, 0.05 * exact),
+          s"q180: distinct estimate $est for $c off exact $exact by > 5%")
+      }
+      Seq("doc_id", "n_chars").foreach { c =>
+        val p50 = byCol(c).getDouble(10)
+        val n = byCol(c).getLong(2) - byCol(c).getLong(3)
+        val rank = docs.agg(sum(when(col(c).cast("double") <= p50, 1L)
+          .otherwise(0L))).head().getLong(0)
+        require(math.abs(rank.toDouble / n - 0.5) <= 0.04,
+          s"q180: KLL median rank error for $c exceeds 0.04")
+      }
+      prof.select(col("column"), col("dtype"), col("n_rows"),
+          col("n_nulls"), col("min_s"), col("max_s"), col("sum_d"),
+          col("mean_d"), col("top1_item"), col("top1_cnt"))
+        .orderBy("column")
+    }),
     "q175_heavy_hitters" -> ((s, dir) => { ensure(s)
       // exact heavy hitters via the two-pass Misra-Gries composition:
       // pass 1 = ONE mergeable MG sketch aggregate (k=20 counters per
@@ -4150,6 +4181,31 @@ object SparkEntry {
        "COALESCE(o.n_common, 0) AS n_common " +
        "FROM c ca JOIN c cb ON cb.d = ca.d + 1 " +
        "LEFT JOIN o ON o.part_a = ca.d ORDER BY 1"),
+    "q180_profile" -> {
+      def numRow(c: String) =
+        s"SELECT '$c' AS \"column\", 'bigint' AS dtype, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s, " +
+        s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_d, " +
+        s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c) AS mean_d, " +
+        "CAST(NULL AS VARCHAR) AS top1_item, CAST(NULL AS BIGINT) AS top1_cnt " +
+        "FROM documents"
+      def strRow(c: String) =
+        s"SELECT '$c' AS \"column\", 'string' AS dtype, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"min($c) AS min_s, max($c) AS max_s, " +
+        "CAST(NULL AS DOUBLE) AS sum_d, CAST(NULL AS DOUBLE) AS mean_d, " +
+        s"(SELECT $c FROM documents WHERE $c IS NOT NULL GROUP BY $c " +
+        s"ORDER BY count(*) DESC, $c LIMIT 1) AS top1_item, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE $c IS NOT NULL " +
+        s"GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1) AS top1_cnt " +
+        "FROM documents"
+      Seq(numRow("doc_id"), numRow("n_chars"), strRow("lang"),
+        strRow("source")).mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY \"column\"")
+    },
     "q178_bloom_membership" ->
       ("SELECT d.doc_id, d.lang, d.n_chars FROM documents d " +
        "WHERE d.doc_id % 3 = 0 AND NOT EXISTS (" +

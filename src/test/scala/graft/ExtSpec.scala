@@ -1270,6 +1270,46 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("expected_items"))
   }
 
+  test("Profile: one-pass stats, certified mode, null/empty columns, refusals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0), Some("a")), (2L, Some(20.0), Some("a")),
+      (3L, Some(30.0), Some("a")), (4L, Some(40.0), Some("b")),
+      (5L, None: Option[Double], None: Option[String]))
+      .toDF("id", "v", "s")
+    val p = Profile.profile(df, Seq("id", "v", "s"), mgK = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // deterministic fields exact
+    val id = p("id")
+    assert(id.getLong(2) == 5L && id.getLong(3) == 0L)       // n_rows, n_nulls
+    assert(id.getString(5) == "1" && id.getString(6) == "5") // min/max
+    assert(id.getDouble(7) == 15.0 && id.getDouble(8) == 3.0) // sum, mean
+    assert(id.isNullAt(12) && id.isNullAt(13))               // no mode for nums
+    val v = p("v")
+    assert(v.getLong(3) == 1L && v.getDouble(7) == 100.0 && v.getDouble(8) == 25.0)
+    assert(!v.isNullAt(9) && !v.isNullAt(10) && !v.isNullAt(11)) // quantiles live
+    assert(v.getDouble(10) >= 10.0 && v.getDouble(10) <= 40.0)
+    val s0 = p("s")
+    assert(s0.getLong(3) == 1L && s0.isNullAt(7) && s0.isNullAt(9))
+    // certified mode: 'a' has 3/4 > 4/5 of n/(k+1) -> certified
+    assert(s0.getString(12) == "a" && s0.getLong(13) == 3L)
+    // distinct estimates exact at this cardinality
+    assert(id.getLong(4) == 5L && s0.getLong(4) == 2L)
+    // NO certificate when no dominant value at this k: 6 items x1, k=2
+    val flat = (0 until 6).map(i => s"x$i").toDF("s")
+    val pf = Profile.profile(flat, Seq("s"), mgK = 2).head()
+    assert(pf.isNullAt(12) && pf.isNullAt(13))
+    // all-null / empty frames don't crash and report nulls
+    val en = Profile.profile(Seq.empty[(Option[Double], Option[String])]
+      .toDF("v", "s"), Seq("v", "s")).collect().map(r => r.getString(0) -> r).toMap
+    assert(en("v").getLong(2) == 0L && en("v").isNullAt(9) &&
+      en("s").isNullAt(12))
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] { Profile.profile(df, Seq.empty) }
+  }
+
   test("heavyHitters: exact output, merge-order robustness, guarantee floor, refusals") {
     import spark.implicits._
     // 100 x hot, 30 x warm, 60 singles: phi=0.2 keeps hot only (100/190
