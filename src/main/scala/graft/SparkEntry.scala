@@ -8,7 +8,7 @@ import graft.core.GeoOps
 import graft.engine.GeoDb
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.ext.{Dedup, Multimodal, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions}
+import graft.ext.{Dedup, Multimodal, Pca, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions}
 import graft.ext.TextFunctions._
 import graft.query.{PostgrestFilter, SqlFragments}
 import graft.sources.ParquetStats
@@ -2558,6 +2558,55 @@ object SparkEntry {
       viaBloom.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "q181_pca" -> ((s, dir) => { ensure(s)
+      // PCA / whitening for the embedding column (Pca.fit/transform —
+      // the faiss PCAMatrix preprocessing step in front of the ANN
+      // ladder): ONE corpus pass builds the d(d+1)/2 + d moment sums
+      // in long form (decimal-accumulated — deterministic and
+      // ORACLE-CHECKABLE), the d×d eigen problem is driver-side
+      // Jacobi. The eigen layer has no SQL oracle, so it is pinned
+      // in-gate: orthonormality, eigenvalue ordering, and the
+      // ground-truth tie that the PROJECTED DATA's variance equals
+      // each eigenvalue (and 1.0 after whitening) — wrong eigen math
+      // cannot survive that against the real corpus. Output = the
+      // moment frame the oracle replays verbatim.
+      val emb = ld(s, dir, "embeddings")
+      val model = Pca.fit(emb, "embedding", k = 8)
+      for (a <- 0 until 8; b <- a until 8) {
+        val dot = model.components(a).zip(model.components(b))
+          .map { case (x, y) => x * y }.sum
+        val want = if (a == b) 1.0 else 0.0
+        require(math.abs(dot - want) <= 1e-8,
+          s"q181: components $a,$b not orthonormal: $dot")
+      }
+      require(model.eigenvalues.toSeq.sliding(2).forall(p =>
+        p.head >= p.last - 1e-12) && model.eigenvalues.forall(_ >= -1e-9),
+        s"q181: eigenvalues not descending/nonnegative: " +
+          model.eigenvalues.toSeq)
+      def vars(d: DataFrame): Seq[Double] = {
+        val aggs = (0 until 8).flatMap(c => Seq(
+          sum(element_at(col("pca"), c + 1)).as(s"s$c"),
+          sum(element_at(col("pca"), c + 1) * element_at(col("pca"), c + 1))
+            .as(s"q$c")))
+        val r = d.agg(count(lit(1)).as("n"), aggs: _*).head()
+        val n = r.getAs[Long]("n").toDouble
+        (0 until 8).map(c => r.getAs[Double](s"q$c") / n -
+          math.pow(r.getAs[Double](s"s$c") / n, 2))
+      }
+      val pv = vars(Pca.transform(emb, "embedding", model))
+      (0 until 8).foreach { c =>
+        require(math.abs(pv(c) - model.eigenvalues(c)) <=
+          1e-6 * math.max(1.0, model.eigenvalues(c)),
+          s"q181: projected variance ${pv(c)} != eigenvalue " +
+            s"${model.eigenvalues(c)} at component $c")
+      }
+      val wv = vars(Pca.transform(emb, "embedding", model, whiten = true))
+      (0 until 8).foreach { c =>
+        require(math.abs(wv(c) - 1.0) <= 1e-6,
+          s"q181: whitened variance ${wv(c)} != 1 at component $c")
+      }
+      Pca.momentSums(emb, "embedding", model.dim).orderBy("i", "j")
+    }),
     "q180_profile" -> ((s, dir) => { ensure(s)
       // ONE-PASS corpus profiling (Profile.profile — the Deequ/TFDV
       // shape): all per-column stats sketched in a single aggregate
@@ -4181,6 +4230,18 @@ object SparkEntry {
        "COALESCE(o.n_common, 0) AS n_common " +
        "FROM c ca JOIN c cb ON cb.d = ca.d + 1 " +
        "LEFT JOIN o ON o.part_a = ca.d ORDER BY 1"),
+    "q181_pca" ->
+      ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
+       "e AS MATERIALIZED (SELECT embedding FROM embeddings) " +
+       "SELECT * FROM (" +
+       "SELECT a.i AS i, b.i AS j, " +
+       "CAST(sum(CAST(CAST(e.embedding[a.i+1] AS DOUBLE) * " +
+       "CAST(e.embedding[b.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_d " +
+       "FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2 " +
+       "UNION ALL " +
+       "SELECT i.i AS i, CAST(-1 AS INTEGER) AS j, " +
+       "CAST(sum(CAST(CAST(e.embedding[i.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_d " +
+       "FROM e, idx i GROUP BY 1, 2) ORDER BY i, j"),
     "q180_profile" -> {
       def numRow(c: String) =
         s"SELECT '$c' AS \"column\", 'bigint' AS dtype, " +

@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * PCA / whitening for embedding columns — the standard preprocessing
+ * step in front of the ANN ladder (mean-center, rotate to principal
+ * axes, optionally scale to unit variance; OPQ/IVF setups in faiss
+ * run exactly this before coarse quantization).
+ *
+ * Spark-first decomposition of the classic two-phase algorithm:
+ *  1. [[momentSums]] — ONE corpus pass building the d(d+1)/2 + d
+ *     second/first-moment sums in LONG FORM (i, j, s): per-row
+ *     products expand via codegen'd higher-order functions (no UDFs),
+ *     map-side partial aggregation means the single shuffle carries
+ *     ~d²/2 slim rows per partition, never the corpus. Sums
+ *     accumulate in DECIMAL(38,12) — order-independent and exact, so
+ *     the moment frame is deterministic and ORACLE-CHECKABLE (the
+ *     same parse tree replays in any ANSI engine).
+ *  2. [[fit]] — covariance assembled on the driver from the d×d
+ *     moment frame (KBs), then a cyclic JACOBI eigen-decomposition
+ *     (deterministic: fixed sweep order, fixed convergence threshold,
+ *     sign normalized per component) — the d ≤ a-few-hundred regime
+ *     where driver eigen is exact and free; corpus size only ever
+ *     enters through phase 1.
+ *  3. [[transform]] — projection y_c = (x − μ)·w_c as composed
+ *     `zip_with`/`aggregate` column expressions (left-to-right
+ *     association, deterministic), with `whiten` dividing by √λ_c.
+ *
+ * Reference: Pearson 1901 / Jolliffe, "Principal Component Analysis";
+ * the faiss OPQ/PCA preprocessing chain (PCAMatrix).
+ */
+object Pca {
+
+  /** Fitted model: `components` is k×d row-major, eigenvalue-descending,
+    * sign-normalized (largest-|coordinate| entry positive). */
+  case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+                      components: Array[Array[Double]],
+                      eigenvalues: Array[Double])
+
+  /** The one-pass moment frame: rows (i, j, s_d) with 0 ≤ i ≤ j < dim
+    * carrying Σ x_i·x_j, plus (i, -1, Σ x_i) first-moment rows —
+    * decimal-accumulated, cast double. Deterministic; the gate's
+    * oracle replays it verbatim. Refuses NULL / mis-sized vectors
+    * loudly (a silent skip would bias every moment). */
+  def momentSums(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"momentSums: dim >= 1, got $dim")
+    val v = col(vecCol)
+    val bad = df.filter(v.isNull || size(v) =!= dim).count()
+    require(bad == 0L,
+      s"momentSums: $bad rows have NULL or non-$dim-dim '$vecCol' — " +
+        "clean or filter them explicitly; silently skipping would bias " +
+        "every moment")
+    // F.transform: the array HOF (this object's `transform` shadows it)
+    val F = org.apache.spark.sql.functions
+    val idx = sequence(lit(0), lit(dim - 1))
+    def at(i: Column) = element_at(v, (i + 1).cast("int")).cast("double")
+    val prods = flatten(F.transform(idx, i =>
+      F.transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (at(i) * at(j)).cast("decimal(38,12)").as("p")))))
+    val firsts = F.transform(idx, i =>
+      struct(i.as("i"), lit(-1).as("j"),
+        at(i).cast("decimal(38,12)").as("p")))
+    df.select(explode(concat(firsts, prods)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).cast("double").as("s_d"))
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix (in
+    * place): returns (eigenvalues, eigenvectors as columns of V).
+    * Deterministic: fixed (p,q) sweep order, fixed threshold. */
+  private[ext] def jacobiEigen(a: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-14 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d - 1) {
+        var j = i + 1
+        while (j < d) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Fit top-`k` principal components of `vecCol`. One corpus pass
+    * ([[momentSums]]) + a driver-side d×d eigen problem. */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val first = df.select(col(vecCol)).filter(col(vecCol).isNotNull).head()
+    val dim = first.getSeq[Any](0).size
+    require(k >= 1 && k <= dim, s"fit: k in [1, $dim], got $k")
+    val moments = momentSums(df, vecCol, dim).collect()
+    val n = df.count()
+    require(n >= 2, s"fit: need >= 2 vectors, got $n")
+    val sum1 = new Array[Double](dim)
+    val sum2 = Array.ofDim[Double](dim, dim)
+    moments.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      if (j < 0) sum1(i) = s
+      else { sum2(i)(j) = s; sum2(j)(i) = s }
+    }
+    val mu = sum1.map(_ / n)
+    // biased covariance C = S/n − μμᵀ (the PCA convention; projection
+    // variance equals the eigenvalue exactly under the same divisor)
+    val cov = Array.tabulate(dim, dim)((i, j) => sum2(i)(j) / n - mu(i) * mu(j))
+    val (eig, vecs) = jacobiEigen(cov.map(_.clone()))
+    val order = eig.indices.sortBy(i => -eig(i)).take(k)
+    val comps = order.map { c =>
+      val w = Array.tabulate(dim)(r => vecs(r)(c))
+      // deterministic sign: the largest-|entry| coordinate is positive
+      // (ties to the lowest index via strict >)
+      var m = 0
+      var i = 1
+      while (i < dim) { if (math.abs(w(i)) > math.abs(w(m))) m = i; i += 1 }
+      if (w(m) < 0) w.map(x => -x) else w
+    }.toArray
+    PcaModel(dim, n, mu, comps, order.map(eig).toArray)
+  }
+
+  /** Project `vecCol` onto the model's components: `outCol` =
+    * array<double> of length k, y_c = (x − μ)·w_c (optionally /√λ_c
+    * when `whiten` — refused for near-zero variance directions, where
+    * whitening just amplifies noise 1/ε-fold). Pure column
+    * expressions; the model rides the plan as literals. */
+  def transform(df: DataFrame, vecCol: String, model: PcaModel,
+                outCol: String = "pca", whiten: Boolean = false): DataFrame = {
+    if (whiten) model.eigenvalues.zipWithIndex.foreach { case (e, i) =>
+      require(e > 1e-12,
+        s"transform: whiten with eigenvalue $e at component $i — this " +
+          "direction carries no variance; drop it (smaller k) instead " +
+          "of amplifying noise by 1/sqrt(eps)")
+    }
+    val v = col(vecCol)
+    val dims = model.components.zipWithIndex.map { case (w, c) =>
+      val wl = array(w.map(lit): _*)
+      val dot = aggregate(
+        zip_with(v, wl, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      val muDot = model.mean.zip(w).map { case (m, ww) => m * ww }.sum
+      val proj = dot - lit(muDot)
+      if (whiten) proj / lit(math.sqrt(model.eigenvalues(c))) else proj
+    }
+    df.withColumn(outCol, array(dims: _*))
+  }
+}

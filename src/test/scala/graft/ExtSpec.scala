@@ -1270,6 +1270,65 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("expected_items"))
   }
 
+  test("Pca: planted axes recovered, projection/whitening variance, moment frame, refusals") {
+    import spark.implicits._
+    // planted 3-D data: x = 4t along (1,1,0)/√2, y = t' along (0,0,1),
+    // means shifted — principal axes and eigenvalues known in closed form
+    val ts = (-10 to 10).map(_.toDouble)
+    val rows = for (t <- ts; u <- Seq(-1.0, 1.0))
+      yield Seq((4.0 * t) / math.sqrt(2) + 5.0, (4.0 * t) / math.sqrt(2) - 2.0, u)
+        .map(_.toFloat).toArray
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val model = Pca.fit(df, "v", k = 2)
+    assert(model.dim == 3 && model.n == 42)
+    // top component = (1,1,0)/√2 (sign-normalized positive)
+    val w0 = model.components(0)
+    // tolerances sized for FLOAT storage of the planted reals
+    assert(math.abs(w0(0) - 1 / math.sqrt(2)) < 1e-6 &&
+      math.abs(w0(1) - 1 / math.sqrt(2)) < 1e-6 && math.abs(w0(2)) < 1e-6,
+      s"w0 ${w0.toSeq}")
+    val w1 = model.components(1)
+    assert(math.abs(math.abs(w1(2)) - 1.0) < 1e-6, s"w1 ${w1.toSeq}")
+    // eigenvalues: var of 4t over t=-10..10 (x2 dup) = 16 * 36.666…; unit axis var = 1
+    val expectedTop = 16.0 * ts.map(t => t * t).sum / ts.size
+    assert(math.abs(model.eigenvalues(0) - expectedTop) < 1e-3)
+    assert(math.abs(model.eigenvalues(1) - 1.0) < 1e-6)
+    // orthonormality
+    val dot01 = w0.zip(w1).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-9 &&
+      math.abs(w0.map(x => x * x).sum - 1.0) < 1e-12)
+    // projection variance == eigenvalue (biased, same divisor);
+    // whitened variance == 1
+    def colVar(d: org.apache.spark.sql.DataFrame, i: Int): Double = {
+      val xs = d.collect().map(_.getSeq[Double](1)(i))
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val proj = Pca.transform(df, "v", model)
+    assert(math.abs(colVar(proj, 0) - model.eigenvalues(0)) < 1e-4)
+    val white = Pca.transform(df, "v", model, whiten = true)
+    assert(math.abs(colVar(white, 0) - 1.0) < 1e-6 &&
+      math.abs(colVar(white, 1) - 1.0) < 1e-6)
+    // projected means are zero (centering applied)
+    val m0 = proj.collect().map(_.getSeq[Double](1)(0)).sum / 42
+    assert(math.abs(m0) < 1e-9)
+    // moment frame refuses bad vectors loudly
+    val badDf = (rows.map(Tuple1(_)) :+ Tuple1(null: Array[Float])).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Pca.momentSums(badDf, "v", 3)
+    }
+    assert(e.getMessage.contains("NULL or non-3-dim"))
+    intercept[IllegalArgumentException] { Pca.fit(df, "v", k = 9) }
+    // whiten on a zero-variance direction refused
+    val flat = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(1.0f, 3.0f)),
+      Tuple1(Array(1.0f, 4.0f))).toDF("v")
+    val fm = Pca.fit(flat, "v", k = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.transform(flat, "v", fm, whiten = true)
+    }
+    assert(e2.getMessage.contains("no variance"))
+  }
+
   test("Profile: one-pass stats, certified mode, null/empty columns, refusals") {
     import spark.implicits._
     val df = Seq(
