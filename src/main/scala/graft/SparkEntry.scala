@@ -2558,6 +2558,41 @@ object SparkEntry {
       viaBloom.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
+      // INCREMENTAL PCA via the moment side table: decimal moment
+      // sums are EXACTLY additive, so per-partition moment rows
+      // written at ingest time let any selection's model be fitted
+      // with zero corpus reads — and BIT-IDENTICALLY to a direct fit
+      // (same decimal totals -> same covariance doubles -> same
+      // deterministic Jacobi), which the gate REQUIRES, full and
+      // windowed, plus append idempotency. Output = the per-label
+      // moment table itself, replayed verbatim by the oracle.
+      val emb = ld(s, dir, "embeddings")
+      val mDir = java.nio.file.Files
+        .createTempDirectory("graft-pcamom").toString + "/t"
+      Pca.writeMomentTable(emb, "embedding", 64, "label", mDir)
+      def same(a: Pca.PcaModel, b: Pca.PcaModel): Boolean =
+        a.n == b.n && a.dim == b.dim && a.mean.sameElements(b.mean) &&
+          a.eigenvalues.sameElements(b.eigenvalues) &&
+          a.components.zip(b.components).forall(p => p._1.sameElements(p._2))
+      require(same(Pca.fitFromMoments(s, mDir, 8),
+        Pca.fit(emb, "embedding", 8)),
+        "q182: table fit diverged from direct fit — decimal " +
+          "additivity broken")
+      require(same(Pca.fitFromMoments(s, mDir, 4, Some(col("label") <= 1)),
+        Pca.fit(emb.filter(col("label") <= 1), "embedding", 4)),
+        "q182: windowed table fit diverged from direct fit")
+      val maxLabel = emb.agg(max(col("label"))).head().getInt(0)
+      val before = Pca.fitFromMoments(s, mDir, 8)
+      Pca.appendMomentPartition(emb.filter(col("label") === maxLabel),
+        "embedding", 64, "label", maxLabel, mDir)
+      require(same(before, Pca.fitFromMoments(s, mDir, 8)),
+        "q182: partition re-append changed the fitted model")
+      s.read.parquet(mDir)
+        .select(col("label").cast("int").as("label"), col("i"), col("j"),
+          col("s_dec").cast("double").as("s_d"))
+        .orderBy("label", "i", "j")
+    }),
     "q181_pca" -> ((s, dir) => { ensure(s)
       // PCA / whitening for the embedding column (Pca.fit/transform —
       // the faiss PCAMatrix preprocessing step in front of the ANN
@@ -4230,6 +4265,22 @@ object SparkEntry {
        "COALESCE(o.n_common, 0) AS n_common " +
        "FROM c ca JOIN c cb ON cb.d = ca.d + 1 " +
        "LEFT JOIN o ON o.part_a = ca.d ORDER BY 1"),
+    "q182_pca_moment_table" ->
+      ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
+       "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +
+       "SELECT * FROM (" +
+       "SELECT e.label AS label, a.i AS i, b.i AS j, " +
+       "CAST(sum(CAST(CAST(e.embedding[a.i+1] AS DOUBLE) * " +
+       "CAST(e.embedding[b.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_d " +
+       "FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY e.label, a.i, b.i " +
+       "UNION ALL " +
+       "SELECT e.label, i.i, CAST(-1 AS INTEGER), " +
+       "CAST(sum(CAST(CAST(e.embedding[i.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) " +
+       "FROM e, idx i GROUP BY e.label, i.i " +
+       "UNION ALL " +
+       "SELECT label, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), " +
+       "CAST(CAST(count(*) AS DECIMAL(38,12)) AS DOUBLE) FROM e GROUP BY label" +
+       ") ORDER BY label, i, j"),
     "q181_pca" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT embedding FROM embeddings) " +

@@ -44,7 +44,19 @@ object Pca {
     * decimal-accumulated, cast double. Deterministic; the gate's
     * oracle replays it verbatim. Refuses NULL / mis-sized vectors
     * loudly (a silent skip would bias every moment). */
-  def momentSums(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  def momentSums(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    momentRows(df, vecCol, dim, Nil)
+      .filter(!(col("i") === -1 && col("j") === -1))
+      .select(col("i"), col("j"), col("s_dec").cast("double").as("s_d"))
+
+  /** Long-form DECIMAL moment rows, optionally keyed by extra group
+    * columns — the additive core: decimal sums merge EXACTLY in any
+    * order/grouping, which is what makes the moment table
+    * ([[writeMomentTable]]) bit-equivalent to a full-corpus pass. The
+    * extra (-1, -1) row carries the vector COUNT so a selection of
+    * moment rows is self-contained. */
+  private def momentRows(df: DataFrame, vecCol: String, dim: Int,
+                         keys: Seq[String]): DataFrame = {
     require(dim >= 1, s"momentSums: dim >= 1, got $dim")
     val v = col(vecCol)
     val bad = df.filter(v.isNull || size(v) =!= dim).count()
@@ -63,9 +75,70 @@ object Pca {
     val firsts = F.transform(idx, i =>
       struct(i.as("i"), lit(-1).as("j"),
         at(i).cast("decimal(38,12)").as("p")))
-    df.select(explode(concat(firsts, prods)).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).cast("double").as("s_d"))
+    val counts = array(struct(lit(-1).as("i"), lit(-1).as("j"),
+      lit(1).cast("decimal(38,12)").as("p")))
+    df.select(keys.map(col) :+
+        explode(concat(counts, firsts, prods)).as("e"): _*)
+      .groupBy(keys.map(col) :+ col("e.i").as("i") :+ col("e.j").as("j"): _*)
+      .agg(sum(col("e.p")).as("s_dec"))
+  }
+
+  // ------------------- incremental moment side table -------------------
+  // The moment frame is EXACTLY additive (decimal sums are
+  // order-independent and lossless under merge), so PCA joins the
+  // engine's side-table family: per-partition moment rows written at
+  // ingest time, any selection's model fitted by summing the slim
+  // decimal rows — zero corpus reads, and the result is BIT-IDENTICAL
+  // to a full fit over the same underlying rows (same decimal totals
+  // -> same covariance doubles -> same deterministic Jacobi).
+
+  /** Build (or rebuild) the moment table: per `partCol` value, the
+    * d(d+1)/2 + d + 1 decimal moment rows, partition-dir layout for
+    * idempotent single-partition overwrite. */
+  def writeMomentTable(df: DataFrame, vecCol: String, dim: Int,
+                       partCol: String, dir: String): Unit =
+    momentRows(df, vecCol, dim, Seq(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+
+  /** Incremental maintenance: moment rows of ONE partition's complete
+    * row set, overwriting exactly its directory (idempotent). */
+  def appendMomentPartition(rows: DataFrame, vecCol: String, dim: Int,
+                            partCol: String, partValue: Any,
+                            dir: String): Unit =
+    momentRows(rows, vecCol, dim, Nil)
+      .write.mode("overwrite").parquet(s"$dir/$partCol=$partValue")
+
+  /** Fit from the moment table alone — zero corpus reads. `where`
+    * selects partitions (None = all). Bit-identical to [[fit]] on the
+    * same underlying rows. */
+  def fitFromMoments(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     k: Int, where: Option[Column] = None): PcaModel = {
+    val t = spark.read.parquet(dir)
+    val sel = where.map(t.filter).getOrElse(t)
+    val merged = sel.groupBy(col("i"), col("j"))
+      .agg(sum(col("s_dec")).as("s_dec")).collect()
+    require(merged.nonEmpty,
+      "fitFromMoments: selection matched no moment partitions")
+    var n = 0L
+    var dim = 0
+    merged.foreach { r =>
+      if (r.getInt(0) < 0 && r.getInt(1) < 0)
+        n = r.getDecimal(2).longValueExact()
+      else dim = math.max(dim, r.getInt(0) + 1)
+    }
+    require(n >= 2, s"fitFromMoments: need >= 2 vectors, got $n")
+    require(k >= 1 && k <= dim, s"fitFromMoments: k in [1, $dim], got $k")
+    val sum1 = new Array[Double](dim)
+    val sum2 = Array.ofDim[Double](dim, dim)
+    merged.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (i >= 0) {
+        val s = r.getDecimal(2).doubleValue()
+        if (j < 0) sum1(i) = s
+        else { sum2(i)(j) = s; sum2(j)(i) = s }
+      }
+    }
+    fitFromArrays(dim, n, sum1, sum2, k)
   }
 
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix (in
@@ -127,21 +200,34 @@ object Pca {
   }
 
   /** Fit top-`k` principal components of `vecCol`. One corpus pass
-    * ([[momentSums]]) + a driver-side d×d eigen problem. */
+    * ([[momentRows]]) + a driver-side d×d eigen problem. */
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     val first = df.select(col(vecCol)).filter(col(vecCol).isNotNull).head()
     val dim = first.getSeq[Any](0).size
     require(k >= 1 && k <= dim, s"fit: k in [1, $dim], got $k")
-    val moments = momentSums(df, vecCol, dim).collect()
-    val n = df.count()
-    require(n >= 2, s"fit: need >= 2 vectors, got $n")
+    val moments = momentRows(df, vecCol, dim, Nil).collect()
+    var n = 0L
     val sum1 = new Array[Double](dim)
     val sum2 = Array.ofDim[Double](dim, dim)
     moments.foreach { r =>
-      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      if (j < 0) sum1(i) = s
-      else { sum2(i)(j) = s; sum2(j)(i) = s }
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      if (i < 0 && j < 0) n = r.getDecimal(2).longValueExact()
+      else {
+        val s = r.getDecimal(2).doubleValue()
+        if (j < 0) sum1(i) = s
+        else { sum2(i)(j) = s; sum2(j)(i) = s }
+      }
     }
+    require(n >= 2, s"fit: need >= 2 vectors, got $n")
+    fitFromArrays(dim, n, sum1, sum2, k)
+  }
+
+  /** Shared driver-side tail of [[fit]] / [[fitFromMoments]] — mean,
+    * biased covariance, Jacobi, eigen-descending order, deterministic
+    * sign. Both callers feed decimal-exact sums, so the two paths are
+    * bit-identical over the same underlying rows. */
+  private def fitFromArrays(dim: Int, n: Long, sum1: Array[Double],
+                            sum2: Array[Array[Double]], k: Int): PcaModel = {
     val mu = sum1.map(_ / n)
     // biased covariance C = S/n − μμᵀ (the PCA convention; projection
     // variance equals the eigenvalue exactly under the same divisor)

@@ -1329,6 +1329,37 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("no variance"))
   }
 
+  test("Pca moment table: fit-from-table bit-identical, window, append, refusals") {
+    import spark.implicits._
+    val rows = for (t <- (-10 to 10).map(_.toDouble); u <- Seq(-1.0, 1.0))
+      yield ((if (u > 0) 0L else 1L),
+        Seq(4.0 * t + 1.0, -2.0 * t + 0.5, u * t).map(_.toFloat).toArray)
+    val df = rows.toDF("g", "v")
+    val dir = tmpDir("pca-moments") + "/t"
+    Pca.writeMomentTable(df, "v", 3, "g", dir)
+    def same(a: graft.ext.Pca.PcaModel, b: graft.ext.Pca.PcaModel): Boolean =
+      a.n == b.n && a.dim == b.dim &&
+        a.mean.sameElements(b.mean) &&
+        a.eigenvalues.sameElements(b.eigenvalues) &&
+        a.components.zip(b.components).forall(p => p._1.sameElements(p._2))
+    // full fit from the table == direct corpus fit, BIT-identical
+    assert(same(Pca.fitFromMoments(spark, dir, 2), Pca.fit(df, "v", 2)))
+    // windowed fit reads only the selected partition's slim rows
+    assert(same(Pca.fitFromMoments(spark, dir, 2, Some(col("g") === 0)),
+      Pca.fit(df.filter(col("g") === 0), "v", 2)))
+    // single-partition re-append is idempotent (still bit-identical)
+    val before = Pca.fitFromMoments(spark, dir, 2)
+    Pca.appendMomentPartition(df.filter(col("g") === 1), "v", 3, "g", 1L, dir)
+    assert(same(before, Pca.fitFromMoments(spark, dir, 2)))
+    // refusals: empty selection, k out of range
+    intercept[IllegalArgumentException] {
+      Pca.fitFromMoments(spark, dir, 2, Some(col("g") === 99))
+    }
+    intercept[IllegalArgumentException] {
+      Pca.fitFromMoments(spark, dir, 9)
+    }
+  }
+
   test("Profile: one-pass stats, certified mode, null/empty columns, refusals") {
     import spark.implicits._
     val df = Seq(
