@@ -2558,6 +2558,27 @@ object SparkEntry {
       viaBloom.select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
+    "q183_validate" -> ((s, dir) => { ensure(s)
+      // declarative data-validation battery (Validate.validate — the
+      // Deequ/Great Expectations gate a corpus passes before being
+      // blessed): nine checks over documents in ONE scan (+ Expand
+      // for the two EXACT uniqueness checks, declared cost), report
+      // fully deterministic and replayed check-for-check by the
+      // oracle. The battery mixes passing and failing constraints so
+      // both report paths are exercised.
+      val docs = ld(s, dir, "documents")
+      graft.ext.Validate.validate(docs, Seq(
+        graft.ext.Validate.NotNull("text"),
+        graft.ext.Validate.MaxNullFraction("text", 0.5),
+        graft.ext.Validate.Unique("doc_id"),
+        graft.ext.Validate.Unique("source"),
+        graft.ext.Validate.InRange("n_chars", 0, 100000),
+        graft.ext.Validate.InRange("doc_id", 0, 100),
+        graft.ext.Validate.InSet("lang", Seq("en", "de", "fr")),
+        graft.ext.Validate.MatchesRegex("text", "[a-z]"),
+        graft.ext.Validate.LengthInRange("text", 1, 1000000)))
+        .withColumn("passed", col("passed").cast("int"))
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -4265,6 +4286,33 @@ object SparkEntry {
        "COALESCE(o.n_common, 0) AS n_common " +
        "FROM c ca JOIN c cb ON cb.d = ca.d + 1 " +
        "LEFT JOIN o ON o.part_a = ca.d ORDER BY 1"),
+    "q183_validate" -> {
+      def row(c: String, k: String, violSql: String, budgetSql: String = "0") =
+        s"SELECT '$c' AS \"column\", '$k' AS \"constraint\", " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST($violSql AS BIGINT) AS n_violations, " +
+        s"CASE WHEN $violSql <= $budgetSql THEN 1 ELSE 0 END AS passed " +
+        "FROM documents"
+      Seq(
+        row("text", "not_null", "count(*) FILTER (WHERE text IS NULL)"),
+        row("text", "null_fraction<=0.5",
+          "count(*) FILTER (WHERE text IS NULL)",
+          "CAST(floor(0.5 * count(*)) AS BIGINT)"),
+        row("doc_id", "unique", "count(doc_id) - count(DISTINCT doc_id)"),
+        row("source", "unique", "count(source) - count(DISTINCT source)"),
+        row("n_chars", "in_range[0.0,100000.0]",
+          "count(*) FILTER (WHERE n_chars IS NOT NULL AND (n_chars < 0 OR n_chars > 100000))"),
+        row("doc_id", "in_range[0.0,100.0]",
+          "count(*) FILTER (WHERE doc_id IS NOT NULL AND (doc_id < 0 OR doc_id > 100))"),
+        row("lang", "in_set(3)",
+          "count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr'))"),
+        row("text", "matches([a-z])",
+          "count(*) FILTER (WHERE text IS NOT NULL AND NOT regexp_matches(text, '[a-z]'))"),
+        row("text", "length[1,1000000]",
+          "count(*) FILTER (WHERE text IS NOT NULL AND (length(text) < 1 OR length(text) > 1000000))"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          ") ORDER BY \"column\", \"constraint\"")
+    },
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +

@@ -1360,6 +1360,50 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Validate: battery semantics, null handling, budgets, empty frame, refusals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some("x@y.com")),
+      (2L, Some("b"), None: Option[String]),
+      (2L, Some("c"), Some("bad")),
+      (3L, None: Option[String], Some("z@w.org")))
+      .toDF("id", "s", "email")
+    val rep = Validate.validate(df, Seq(
+      Validate.NotNull("s"),
+      Validate.MaxNullFraction("s", 0.25),
+      Validate.MaxNullFraction("email", 0.1),
+      Validate.Unique("id"),
+      Validate.Unique("s"),
+      Validate.InRange("id", 1, 2),
+      Validate.InSet("s", Seq("a", "b", "c")),
+      Validate.MatchesRegex("email", "@"),
+      Validate.LengthInRange("s", 1, 1)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rep(("s", "not_null")) == ((1L, false)))
+    assert(rep(("s", "null_fraction<=0.25")) == ((1L, true)))   // budget 1
+    assert(rep(("email", "null_fraction<=0.1")) == ((1L, false))) // budget 0
+    assert(rep(("id", "unique")) == ((1L, false)))
+    assert(rep(("s", "unique")) == ((0L, true)))                // nulls ignored
+    assert(rep(("id", "in_range[1.0,2.0]")) == ((1L, false)))
+    assert(rep(("s", "in_set(3)")) == ((0L, true)))
+    assert(rep(("email", "matches(@)")) == ((1L, false)))       // "bad"
+    assert(rep(("s", "length[1,1]")) == ((0L, true)))
+    // empty frame: zero violations everywhere, checks pass
+    val empty = Validate.validate(df.limit(0),
+      Seq(Validate.NotNull("s"), Validate.Unique("id"))).collect()
+    assert(empty.forall(r => r.getLong(2) == 0L && r.getBoolean(4)))
+    // refusals
+    intercept[IllegalArgumentException] { Validate.validate(df, Nil) }
+    intercept[IllegalArgumentException] {
+      Validate.validate(df, Seq(Validate.NotNull("nope")))
+    }
+    intercept[IllegalArgumentException] {
+      Validate.validate(df, Seq(Validate.NotNull("s"), Validate.NotNull("s")))
+    }
+    intercept[IllegalArgumentException] { Validate.InRange("id", 5, 1) }
+  }
+
   test("Profile: one-pass stats, certified mode, null/empty columns, refusals") {
     import spark.implicits._
     val df = Seq(
