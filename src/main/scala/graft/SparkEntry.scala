@@ -2579,6 +2579,18 @@ object SparkEntry {
         graft.ext.Validate.LengthInRange("text", 1, 1000000)))
         .withColumn("passed", col("passed").cast("int"))
     }),
+    "q184_unigram_encode" -> ((s, dir) => { ensure(s)
+      // unigram-LM tokenizer APPLY: per-doc subword counts under the
+      // q171-trained 2-round piece table — bpeSegmentCounts' contract
+      // for the SECOND tokenizer family, via the codegen'd Viterbi
+      // kernel (vocab rides addReferenceObj, generated code is one
+      // static call). The distinct-word projection is segmented ONCE
+      // and joined back; the oracle replays train AND encode with the
+      // encode round as one more position-unrolled DP.
+      graft.ext.TextAnalysis.unigramEncodeCounts(ld(s, dir, "documents"),
+          "text", "doc_id", rounds = 2, maxPieceLen = 3, maxWordLen = 8)
+        .orderBy("doc_id")
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -4313,6 +4325,7 @@ object SparkEntry {
         .mkString("SELECT * FROM (", " UNION ALL ",
           ") ORDER BY \"column\", \"constraint\"")
     },
+    "q184_unigram_encode" -> q184OracleSql(2, 3, 8),
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +
@@ -4869,37 +4882,60 @@ object SparkEntry {
     * round(ln n − ln total, 6) values, so the doubles compare
     * identically), Viterbi counts from the carried best path, and the
     * single-char floor via a FULL JOIN against the alphabet. */
-  private def q171OracleSql(rounds: Int, l: Int, maxLen: Int): String = {
-    def dpCtes(r: Int, vprev: String): Seq[String] = {
-      val head = Seq(
-        s"lp$r AS MATERIALIZED (SELECT piece, round(ln(CAST(n AS DOUBLE)) - ln((SELECT CAST(sum(n) AS DOUBLE) FROM $vprev)), 6) AS lp FROM $vprev)",
-        s"d${r}_0 AS MATERIALIZED (SELECT w, wc, CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS path FROM w)")
-      val dp = (1 to maxLen).map { i =>
-        val cands = (math.max(0, i - l) until i).map { j =>
-          s"SELECT w, wc, score, path, substr(w, ${j + 1}, ${i - j}) AS piece FROM d${r}_$j WHERE len(w) >= $i"
-        }.mkString(" UNION ALL ")
-        s"d${r}_$i AS MATERIALIZED (SELECT w, wc, score, path FROM (" +
-          "SELECT c.w, c.wc, c.score + lp.lp AS score, list_append(c.path, c.piece) AS path, " +
-          "row_number() OVER (PARTITION BY c.w ORDER BY c.score + lp.lp DESC, len(c.piece) DESC) AS rn " +
-          s"FROM ($cands) c JOIN lp$r lp ON lp.piece = c.piece) WHERE rn = 1)"
-      }
-      val fins = (1 to maxLen).map(i =>
-        s"SELECT wc, path FROM d${r}_$i WHERE len(w) = $i").mkString(" UNION ALL ")
-      head ++ dp ++ Seq(
-        s"fin$r AS MATERIALIZED (SELECT * FROM ($fins))",
-        s"vt$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT unnest(path) AS piece, wc FROM fin$r) GROUP BY piece)",
-        s"v$r AS MATERIALIZED (SELECT COALESCE(v.piece, c.piece) AS piece, CAST(greatest(COALESCE(v.n, 0), CASE WHEN c.piece IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n " +
-          s"FROM vt$r v FULL JOIN chars c ON v.piece = c.piece)")
+  private def unigramDpCtes(r: Int, vprev: String, l: Int,
+                            maxLen: Int): Seq[String] = {
+    val head = Seq(
+      s"lp$r AS MATERIALIZED (SELECT piece, round(ln(CAST(n AS DOUBLE)) - ln((SELECT CAST(sum(n) AS DOUBLE) FROM $vprev)), 6) AS lp FROM $vprev)",
+      s"d${r}_0 AS MATERIALIZED (SELECT w, wc, CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS path FROM w)")
+    val dp = (1 to maxLen).map { i =>
+      val cands = (math.max(0, i - l) until i).map { j =>
+        s"SELECT w, wc, score, path, substr(w, ${j + 1}, ${i - j}) AS piece FROM d${r}_$j WHERE len(w) >= $i"
+      }.mkString(" UNION ALL ")
+      s"d${r}_$i AS MATERIALIZED (SELECT w, wc, score, path FROM (" +
+        "SELECT c.w, c.wc, c.score + lp.lp AS score, list_append(c.path, c.piece) AS path, " +
+        "row_number() OVER (PARTITION BY c.w ORDER BY c.score + lp.lp DESC, len(c.piece) DESC) AS rn " +
+        s"FROM ($cands) c JOIN lp$r lp ON lp.piece = c.piece) WHERE rn = 1)"
     }
-    val base = Seq(
-      "w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x)",
-      s"p0 AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT substr(w, p, l) AS piece, wc FROM w, unnest(range(1, least($l, len(w)) + 1)) AS t1(l), unnest(range(1, len(w) - l + 2)) AS t2(p)) GROUP BY piece)",
-      "chars AS MATERIALIZED (SELECT piece FROM p0 WHERE len(piece) = 1)")
-    val all = base ++ (1 to rounds).flatMap(r =>
-      dpCtes(r, if (r == 1) "p0" else s"v${r - 1}"))
+    val fins = (1 to maxLen).map(i =>
+      s"SELECT w, wc, path FROM d${r}_$i WHERE len(w) = $i").mkString(" UNION ALL ")
+    head ++ dp ++ Seq(
+      s"fin$r AS MATERIALIZED (SELECT * FROM ($fins))",
+      s"vt$r AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT unnest(path) AS piece, wc FROM fin$r) GROUP BY piece)",
+      s"v$r AS MATERIALIZED (SELECT COALESCE(v.piece, c.piece) AS piece, CAST(greatest(COALESCE(v.n, 0), CASE WHEN c.piece IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n " +
+        s"FROM vt$r v FULL JOIN chars c ON v.piece = c.piece)")
+  }
+
+  /** Seed CTEs shared by the q171 train and q184 encode oracles: the
+    * word-count frame, substring seed counts, and the alphabet. */
+  private def unigramBaseCtes(l: Int): Seq[String] = Seq(
+    "w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x)",
+    s"p0 AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT substr(w, p, l) AS piece, wc FROM w, unnest(range(1, least($l, len(w)) + 1)) AS t1(l), unnest(range(1, len(w) - l + 2)) AS t2(p)) GROUP BY piece)",
+    "chars AS MATERIALIZED (SELECT piece FROM p0 WHERE len(piece) = 1)")
+
+  private def q171OracleSql(rounds: Int, l: Int, maxLen: Int): String = {
+    val all = unigramBaseCtes(l) ++ (1 to rounds).flatMap(r =>
+      unigramDpCtes(r, if (r == 1) "p0" else s"v${r - 1}", l, maxLen))
     val finals = (1 to rounds).map(r =>
       s"SELECT CAST($r AS INTEGER) AS round, piece, n FROM v$r").mkString(" UNION ALL ")
     s"WITH ${all.mkString(", ")} $finals ORDER BY round, piece"
+  }
+
+  /** The q184 oracle: train `rounds` as in q171, then ENCODE = one more
+    * DP pass with the final vocab's log-probs (exactly what the engine's
+    * codegen'd Viterbi kernel computes — ExtSpec pins encode ≡
+    * training-DP); per-doc n_subwords = Σ len(path) over the doc's
+    * words, empty/null docs report 0 through the outer join. */
+  private def q184OracleSql(rounds: Int, l: Int, maxLen: Int): String = {
+    val enc = rounds + 1
+    val all = unigramBaseCtes(l) ++ (1 to rounds).flatMap(r =>
+      unigramDpCtes(r, if (r == 1) "p0" else s"v${r - 1}", l, maxLen)) ++
+      unigramDpCtes(enc, s"v$rounds", l, maxLen) ++ Seq(
+        s"sg AS MATERIALIZED (SELECT w, CAST(len(path) AS BIGINT) AS ns FROM fin$enc)",
+        "dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w FROM documents)",
+        "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n FROM dw JOIN sg USING (w) GROUP BY doc_id)")
+    s"WITH ${all.mkString(", ")} " +
+      "SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords " +
+      "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

@@ -2307,6 +2307,81 @@ object TextAnalysis {
       maxLen)
   }
 
+  /** Column segmenting a word with a trained unigram vocabulary — the
+    * codegen'd [[UnigramSegmentExpr]]; the vocab snapshot rides
+    * `addReferenceObj`, so generated code is one static call. */
+  private def unigramSegmentCol(word: Column,
+                                vocab: UnigramKernel.Vocab): Column =
+    org.apache.spark.sql.graftx.Bridge.column(UnigramSegmentExpr(
+      org.apache.spark.sql.graftx.Bridge.expression(word), vocab))
+
+  /**
+   * ENCODE the corpus with a trained unigram piece table (the final
+   * round of [[unigramTrain]]): per-document subword count under the
+   * Viterbi segmentation — [[bpeSegmentCounts]]'s contract for the
+   * second tokenizer family, feeding the same `tokenCountCol` packing
+   * path. Bit-compatible with training (round-6 log-probs, tie to the
+   * longest piece); unknown characters are refused loudly by the
+   * kernel.
+   *
+   * Scale: the DISTINCT-word projection (Zipf-small) is segmented
+   * once by the codegen'd expression and joined back on the slim
+   * (word, count) key — per-occurrence re-segmentation never happens,
+   * and AQE broadcasts the vocab-sized side when it fits.
+   */
+  def unigramSegmentCounts(df: DataFrame, textCol: String, idCol: String,
+                           pieces: Seq[(String, Long)],
+                           maxPieceLen: Int = 3): DataFrame = {
+    val vocab = UnigramKernel.build(pieces.toArray, maxPieceLen)
+    val seg = df.select(explode(wordTokens(col(textCol))).as("w")).distinct()
+      .select(col("w"),
+        size(unigramSegmentCol(col("w"), vocab)).cast("long").as("_ns"))
+    df.select(col(idCol), explode_outer(wordTokens(col(textCol))).as("w"))
+      .join(seg, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("_ns")), lit(0L)).as("n_subwords"))
+  }
+
+  /** Corpus-wide piece frequencies under the trained segmentation —
+    * (piece, n): the distinct-word (w, wc) frame is segmented once,
+    * pieces weighted by word multiplicity. */
+  def unigramPieceCounts(df: DataFrame, textCol: String,
+                         pieces: Seq[(String, Long)],
+                         maxPieceLen: Int = 3): DataFrame = {
+    val vocab = UnigramKernel.build(pieces.toArray, maxPieceLen)
+    df.select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(explode(unigramSegmentCol(col("w"), vocab)).as("piece"),
+        col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("n"))
+  }
+
+  /**
+   * Train-then-encode in one call — [[unigramTrain]]'s final-round
+   * piece table applied via [[unigramSegmentCounts]]: per-doc subword
+   * counts, the unigram twin of [[bpeSegmentCounts]]. The trained
+   * vocab is driver-sized by construction (substrings of length <=
+   * `maxPieceLen`, bounded by the alphabet — the same Zipf-small object
+   * the EM loop already holds), so the collect is not a scale hazard;
+   * `maxLocalVocab` bounds it loudly all the same.
+   */
+  def unigramEncodeCounts(df: DataFrame, textCol: String, idCol: String,
+                          rounds: Int, maxPieceLen: Int = 3,
+                          maxWordLen: Int = 32,
+                          maxLocalVocab: Int = 2000000): DataFrame = {
+    val fin = unigramTrain(df, textCol, rounds, maxPieceLen, maxWordLen,
+        maxLocalVocab)
+      .filter(col("round") === rounds)
+      .limit(maxLocalVocab + 1).collect()
+    require(fin.length <= maxLocalVocab,
+      s"unigramEncodeCounts: trained vocab exceeds maxLocalVocab=" +
+        s"$maxLocalVocab pieces — raise the cap if the driver can hold it")
+    if (fin.isEmpty)
+      return df.select(col(idCol), lit(0L).as("n_subwords"))
+    unigramSegmentCounts(df, textCol, idCol,
+      fin.map(r => (r.getString(1), r.getLong(2))).toSeq, maxPieceLen)
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

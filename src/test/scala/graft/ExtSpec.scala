@@ -1360,6 +1360,58 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("unigram encode: hand-computed Viterbi, train-DP consistency, counts, refusals") {
+    import spark.implicits._
+    // lp: ab=ln(4/8), a=ln(2/8), b=c=ln(1/8) -> "abc" segments [ab, c]
+    // (-2.77) over [a,b,c] (-5.55); "ab" -> [ab]
+    val pieces = Seq(("ab", 4L), ("a", 2L), ("b", 1L), ("c", 1L))
+    val df = Seq((1L, "abc ab"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val pc = TextAnalysis.unigramPieceCounts(df, "text", pieces, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pc == Map("ab" -> 2L, "c" -> 1L))
+    val sc = TextAnalysis.unigramSegmentCounts(df, "text", "doc_id", pieces, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sc == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+    // encode-DP == training-DP on a real corpus slice: training round
+    // r+1's Viterbi counts are exactly "encode with round-r vocab",
+    // modulo the single-char floor (max(n,1), absent chars -> 1)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(150)
+    def vocabOf(rounds: Int) = TextAnalysis
+      .unigramTrain(docs, "text", rounds = rounds, maxPieceLen = 3,
+        maxWordLen = 64)
+      .filter(col("round") === rounds)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    val v2 = vocabOf(2)
+    val v3 = vocabOf(3).toMap
+    val enc = TextAnalysis.unigramPieceCounts(docs, "text", v2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(enc.filter(_._1.length > 1) == v3.filter(_._1.length > 1),
+      "multi-char encode counts diverge from the training DP")
+    v3.filter(_._1.length == 1).foreach { case (p, n) =>
+      assert(n == math.max(enc.getOrElse(p, 0L), 1L),
+        s"char-floor mismatch at '$p': train $n vs encode ${enc.get(p)}")
+    }
+    // unknown character refused loudly
+    val e = intercept[Exception] {
+      TextAnalysis.unigramPieceCounts(
+        Seq((1L, "xyz")).toDF("doc_id", "text"), "text", pieces, 3).collect()
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("unsegmentable") ||
+      e.getCause != null && e.getCause.getMessage.contains("unsegmentable")))
+    // vocab builder refusals
+    intercept[IllegalArgumentException] {
+      UnigramKernel.build(Array.empty[(String, Long)], 3)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramKernel.build(Array(("a", 1L), ("a", 2L)), 3)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramKernel.build(Array(("abcd", 1L)), 3)
+    }
+  }
+
   test("Validate: battery semantics, null handling, budgets, empty frame, refusals") {
     import spark.implicits._
     val df = Seq(
