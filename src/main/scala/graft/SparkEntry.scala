@@ -2591,6 +2591,23 @@ object SparkEntry {
           "text", "doc_id", rounds = 2, maxPieceLen = 3, maxWordLen = 8)
         .orderBy("doc_id")
     }),
+    "q185_bpe_artifact" -> ((s, dir) => { ensure(s)
+      // tokenizer ARTIFACT lifecycle (train once, encode daily): train
+      // 6 BPE merges, SAVE the merge table to parquet, and encode the
+      // corpus FROM THE LOADED artifact via the codegen'd replay
+      // kernel (BpeSegmentExpr — merges ride addReferenceObj, one
+      // static call per word; round-by-round replay pinned to the
+      // trainer's no-within-round-chaining fold). No training state
+      // crosses the save/load boundary; the oracle is q143's full
+      // train+encode replay, so the gate pins the disk roundtrip AND
+      // the kernel's bit-compatibility with training.
+      val docs = ld(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q185").toString
+      TextAnalysis.bpeSaveMerges(
+        TextAnalysis.bpeTrainMerges(docs, "text", rounds = 6), tmp)
+      TextAnalysis.bpeSegmentCountsFrom(docs, "text", "doc_id", tmp)
+        .orderBy("doc_id")
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -4326,6 +4343,7 @@ object SparkEntry {
           ") ORDER BY \"column\", \"constraint\"")
     },
     "q184_unigram_encode" -> q184OracleSql(2, 3, 8),
+    "q185_bpe_artifact" -> q143OracleSql(6),
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
@@ -2380,6 +2380,110 @@ object TextAnalysis {
       return df.select(col(idCol), lit(0L).as("n_subwords"))
     unigramSegmentCounts(df, textCol, idCol,
       fin.map(r => (r.getString(1), r.getLong(2))).toSeq, maxPieceLen)
+  }
+
+  // ---- Tokenizer artifacts: save / load / encode-from-disk ----------------
+  //
+  // Train ONCE, encode DAILY: the trained artifact (BPE merge table /
+  // unigram piece table) is driver-sized by construction, persists as
+  // plain parquet, and a fresh session encodes any corpus from it
+  // without retraining — the q153 resume-from-disk contract for the
+  // tokenizer family. Loads are bounded probe-collects (cap + 1 rows,
+  // loud refusal past the cap), schema validated before use.
+
+  /** Persist a [[bpeTrainMerges]] artifact: (round, pair, n) parquet,
+    * rank order recorded in `round`. Overwrites — refreshing a
+    * tokenizer artifact in place is the intended lifecycle. */
+  def bpeSaveMerges(merges: DataFrame, path: String): Unit = {
+    val cols = merges.columns.toSet
+    require(Set("round", "pair", "n").subsetOf(cols),
+      s"bpeSaveMerges: expected columns (round, pair, n), got ${cols.mkString(",")}")
+    merges.select("round", "pair", "n").orderBy("round")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved merge table as (left, right) pairs in rank order. */
+  def bpeLoadMerges(spark: SparkSession, path: String,
+                    maxMerges: Int = 1000000): Seq[(String, String)] = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.toSet
+    require(Set("round", "pair").subsetOf(cols),
+      s"bpeLoadMerges: $path is not a merge artifact (columns ${cols.mkString(",")})")
+    val rows = df.select(col("round").cast("int"), col("pair"))
+      .orderBy("round").limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"bpeLoadMerges: artifact exceeds maxMerges=$maxMerges rounds — " +
+        "raise the cap if the driver can hold it")
+    rows.map { r =>
+      val parts = r.getString(1).split(" ")
+      require(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"bpeLoadMerges: malformed pair '${r.getString(1)}' at round ${r.getInt(0)}")
+      (parts(0), parts(1))
+    }.toSeq
+  }
+
+  /** Column segmenting a word with a loaded merge table — the codegen'd
+    * [[BpeSegmentExpr]]. */
+  private def bpeSegmentCol(word: Column, m: BpeKernel.Merges): Column =
+    org.apache.spark.sql.graftx.Bridge.column(BpeSegmentExpr(
+      org.apache.spark.sql.graftx.Bridge.expression(word), m))
+
+  /**
+   * ENCODE a corpus with a SAVED merge artifact — [[bpeSegmentCounts]]
+   * without the training pass: per-doc subword counts under the loaded
+   * tokenizer, bit-compatible with training's fold (the kernel replays
+   * merges round-by-round with the same no-within-round-chaining rule).
+   * The distinct-word projection is segmented once by the codegen'd
+   * expression and joined back on the slim (word, count) key.
+   */
+  def bpeSegmentCountsFrom(df: DataFrame, textCol: String, idCol: String,
+                           mergesPath: String,
+                           maxMerges: Int = 1000000): DataFrame = {
+    val m = BpeKernel.build(
+      bpeLoadMerges(df.sparkSession, mergesPath, maxMerges).toArray)
+    val seg = df.select(explode(wordTokens(col(textCol))).as("w")).distinct()
+      .select(col("w"),
+        size(bpeSegmentCol(col("w"), m)).cast("long").as("_ns"))
+    df.select(col(idCol), explode_outer(wordTokens(col(textCol))).as("w"))
+      .join(seg, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("_ns")), lit(0L)).as("n_subwords"))
+  }
+
+  /** Persist a unigram piece table: (piece, n) parquet. Pass
+    * [[unigramTrain]]'s output filtered to the final round. */
+  def unigramSaveVocab(vocab: DataFrame, path: String): Unit = {
+    val cols = vocab.columns.toSet
+    require(Set("piece", "n").subsetOf(cols),
+      s"unigramSaveVocab: expected columns (piece, n), got ${cols.mkString(",")}")
+    vocab.select("piece", "n").orderBy("piece")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved piece table as (piece, n) rows. */
+  def unigramLoadVocab(spark: SparkSession, path: String,
+                       maxLocalVocab: Int = 2000000): Seq[(String, Long)] = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.toSet
+    require(Set("piece", "n").subsetOf(cols),
+      s"unigramLoadVocab: $path is not a piece artifact (columns ${cols.mkString(",")})")
+    val rows = df.select(col("piece"), col("n").cast("long"))
+      .limit(maxLocalVocab + 1).collect()
+    require(rows.length <= maxLocalVocab,
+      s"unigramLoadVocab: artifact exceeds maxLocalVocab=$maxLocalVocab " +
+        "pieces — raise the cap if the driver can hold it")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** ENCODE a corpus with a SAVED unigram piece table — the DP window
+    * (`maxPieceLen`) is derived from the loaded pieces themselves. */
+  def unigramEncodeCountsFrom(df: DataFrame, textCol: String, idCol: String,
+                              vocabPath: String,
+                              maxLocalVocab: Int = 2000000): DataFrame = {
+    val pieces = unigramLoadVocab(df.sparkSession, vocabPath, maxLocalVocab)
+    require(pieces.nonEmpty, s"unigramEncodeCountsFrom: empty artifact at $vocabPath")
+    unigramSegmentCounts(df, textCol, idCol, pieces,
+      pieces.map(_._1.length).max)
   }
 
   /** Full per-document profile as one narrow projection. */

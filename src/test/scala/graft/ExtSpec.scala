@@ -1412,6 +1412,75 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer artifacts: BPE replay kernel, save/load roundtrips, refusals") {
+    import spark.implicits._
+    // kernel hand cases: leftmost-first non-overlapping, no
+    // within-round chaining — the trainer's fold rules
+    def segs(w: String, pairs: (String, String)*): Seq[String] = {
+      val m = graft.ext.BpeKernel.build(pairs.toArray)
+      Seq(w).toDF("w")
+        .select(org.apache.spark.sql.graftx.Bridge.column(
+          graft.ext.BpeSegmentExpr(
+            org.apache.spark.sql.graftx.Bridge.expression(col("w")), m)))
+        .collect()(0).getSeq[String](0)
+    }
+    assert(segs("aaa", ("a", "a")) == Seq("aa", "a"))
+    assert(segs("aaaa", ("a", "a")) == Seq("aa", "aa"))
+    assert(segs("aab", ("a", "b")) == Seq("a", "ab"))
+    assert(segs("abb", ("a", "b")) == Seq("ab", "b"))
+    assert(segs("abc", ("a", "b"), ("ab", "c")) == Seq("abc"))
+    // rank order matters: (b,c) first starves the later (a,b)
+    assert(segs("abc", ("b", "c"), ("a", "b")) == Seq("a", "bc"))
+    assert(segs("xyz") == Seq("x", "y", "z"))
+    // artifact roundtrip ≡ in-session training encode, both families
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokart").toString
+    TextAnalysis.bpeSaveMerges(
+      TextAnalysis.bpeTrainMerges(docs, "text", rounds = 6), s"$dir/bpe")
+    val fromDisk = TextAnalysis
+      .bpeSegmentCountsFrom(docs, "text", "doc_id", s"$dir/bpe")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val inSession = TextAnalysis
+      .bpeSegmentCounts(docs, "text", "doc_id", rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fromDisk == inSession, "BPE artifact encode diverges from training")
+    TextAnalysis.unigramSaveVocab(
+      TextAnalysis.unigramTrain(docs, "text", rounds = 2, maxPieceLen = 3,
+        maxWordLen = 64).filter(col("round") === 2), s"$dir/uni")
+    val uniDisk = TextAnalysis
+      .unigramEncodeCountsFrom(docs, "text", "doc_id", s"$dir/uni")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val uniSession = TextAnalysis
+      .unigramEncodeCounts(docs, "text", "doc_id", rounds = 2,
+        maxPieceLen = 3, maxWordLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(uniDisk == uniSession, "unigram artifact encode diverges")
+    // refusals: wrong schema, caps, malformed pairs
+    docs.select(col("doc_id"), col("text")).limit(1)
+      .write.parquet(s"$dir/bogus")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeLoadMerges(spark, s"$dir/bogus")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLoadVocab(spark, s"$dir/bogus")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeLoadMerges(spark, s"$dir/bpe", maxMerges = 2)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLoadVocab(spark, s"$dir/uni", maxLocalVocab = 3)
+    }
+    Seq((1, "nospacepair", 1L)).toDF("round", "pair", "n")
+      .write.parquet(s"$dir/badpair")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeLoadMerges(spark, s"$dir/badpair")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.BpeKernel.build(Array(("a", "")))
+    }
+  }
+
   test("Validate: battery semantics, null handling, budgets, empty frame, refusals") {
     import spark.implicits._
     val df = Seq(
