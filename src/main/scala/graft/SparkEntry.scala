@@ -2608,6 +2608,33 @@ object SparkEntry {
       TextAnalysis.bpeSegmentCountsFrom(docs, "text", "doc_id", tmp)
         .orderBy("doc_id")
     }),
+    "q186_ingest_tokenized" -> ((s, dir) => { ensure(s)
+      // ingest-time TOKENIZATION (ingestSink(tokenizerPath=...)): the
+      // q156 fixture drained with a unigram artifact trained on batch
+      // 1 and saved to parquet FIRST — every corpus partition arrives
+      // with per-doc n_subwords from the codegen'd Viterbi kernel (no
+      // retrain, no post-pass; the packing planner reads the corpus
+      // ready-made). Output = the survivor set with its counts; the
+      // oracle replays the closed-form survivor arithmetic AND the
+      // full train+encode DP over the fixture texts.
+      val (b1, b2) = ingestFixture(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-q186").toString
+      new java.io.File(s"$root/src").mkdirs()
+      TextAnalysis.unigramSaveVocab(
+        TextAnalysis.unigramTrain(b1, "text", rounds = 2, maxPieceLen = 3,
+          maxWordLen = 16).filter(col("round") === 2), s"$root/tok")
+      def drain(): Unit = {
+        val docs = s.readStream.schema(b1.schema).parquet(s"$root/src")
+        val q = graft.streaming.EventStream.ingestSink(docs, "text", "doc_id",
+          s"$root/corpus", s"$root/ckpt", urlCol = Some("url"),
+          tokenizerPath = Some(s"$root/tok"))
+        require(q.awaitTermination(300000), "q186: ingest stream timed out")
+      }
+      stageIngestBatch(b1, root, "b1"); drain()
+      stageIngestBatch(b2, root, "b2"); drain()
+      s.read.parquet(s"$root/corpus")
+        .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -3009,45 +3036,19 @@ object SparkEntry {
       // prefiltered path bit-identical end to end; in-gate requires
       // pin the artifacts themselves (both batches merged, membership
       // covering every corpus key, no saturation drift).
-      def pidOf(c: Column) = lpad(c.cast("string"), 8, "0")
-      def textOf(c: Column) =
-        concat(lit("alpha beta gamma del e "),
-          substring(md5(c.cast("string")), 1, 12))
-      val ids = ld(s, dir, "documents").select(col("doc_id"))
-      val b1 = ids.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
-        when(col("doc_id") % 20 === 13, textOf(col("doc_id") - 4))
-          .otherwise(textOf(col("doc_id"))).as("text"),
-        concat(lit("https://x"),
-          pidOf(when(col("doc_id") % 20 === 17, col("doc_id") - 16)
-            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
-      val b2 = ids.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
-        when(col("doc_id") % 20 === 11, textOf(col("doc_id") - 2))
-          .when(col("doc_id") % 20 === 19,
-            concat(textOf(col("doc_id") - 18), lit(" x")))
-          .otherwise(textOf(col("doc_id"))).as("text"),
-        concat(lit("https://x"),
-          pidOf(when(col("doc_id") % 20 === 15, col("doc_id") - 14)
-            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+      val (b1, b2) = ingestFixture(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-bingest").toString
-      val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
-      def stage(df: DataFrame, name: String): Unit = {
-        val tmp = s"$root/stage-$name"
-        df.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(srcDir, s"$name.parquet"))
-      }
+      new java.io.File(s"$root/src").mkdirs()
       def drain(): Unit = {
-        val docs = s.readStream.schema(b1.schema).parquet(srcDir)
+        val docs = s.readStream.schema(b1.schema).parquet(s"$root/src")
         val q = graft.streaming.EventStream.ingestSink(docs, "text", "doc_id",
           s"$root/corpus", s"$root/ckpt", urlCol = Some("url"),
           reportDir = Some(s"$root/report"),
           bloomExpectedKeys = Some(1000000L))
         require(q.awaitTermination(300000), "q179: ingest stream timed out")
       }
-      stage(b1, "b1"); drain()
-      stage(b2, "b2"); drain()
+      stageIngestBatch(b1, root, "b1"); drain()
+      stageIngestBatch(b2, root, "b2"); drain()
       // artifact pins: both batches merged, membership complete
       val (ub, _, _, _, ubat) = graft.ext.Bloom.loadBloom(s,
         s"$root/corpus.side/bloom_url")
@@ -3086,56 +3087,23 @@ object SparkEntry {
       // form from the residue arithmetic — if any cleaning stage
       // mangled text, or batch 2 failed to see batch 1's survivors,
       // the counts and doc_ rows break.
-      val pid = lpad(col("doc_id").cast("string"), 8, "0")
-      def pidOf(c: Column) = lpad(c.cast("string"), 8, "0")
-      // per-doc token = 12-hex md5 prefix of the id: padded decimal ids
-      // made ALL texts near-dups under distinct char-5 shingles (the
-      // repeated zero windows collapse, j >= 0.8 corpus-wide — measured:
-      // the within-batch minhash stage collapsed 75 docs to 1); random
-      // hex keeps every non-planted pair near j ~ 0.36
-      def textOf(c: Column) =
-        concat(lit("alpha beta gamma del e "),
-          substring(md5(c.cast("string")), 1, 12))
-      val ids = ld(s, dir, "documents").select(col("doc_id"))
-      val b1 = ids.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
-        when(col("doc_id") % 20 === 13, textOf(col("doc_id") - 4))
-          .otherwise(textOf(col("doc_id"))).as("text"),
-        concat(lit("https://x"),
-          pidOf(when(col("doc_id") % 20 === 17, col("doc_id") - 16)
-            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
-      val b2 = ids.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
-        when(col("doc_id") % 20 === 11, textOf(col("doc_id") - 2))
-          // source id-18 (residue 1), NOT id-10 (residue 9): residue 11
-          // in the same block copies doc id-2 = that same residue-9 doc,
-          // and the two copies near-dup EACH OTHER within the batch —
-          // the within-minhash stage then eats the res-19 plant before
-          // the cross stage it exists to exercise (measured: 25 docs
-          // dropped at b1_minhash_dedup, 0 at b1_minhash_cross_dedup)
-          .when(col("doc_id") % 20 === 19,
-            concat(textOf(col("doc_id") - 18), lit(" x")))
-          .otherwise(textOf(col("doc_id"))).as("text"),
-        concat(lit("https://x"),
-          pidOf(when(col("doc_id") % 20 === 15, col("doc_id") - 14)
-            .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+      // per-doc token = 12-hex md5 prefix of the id (see ingestFixture:
+      // padded decimal ids made ALL texts near-dups under distinct
+      // char-5 shingles; random hex keeps non-planted pairs ~ j 0.36;
+      // the r=19 plant copies residue-1, not residue-9, so the
+      // within-batch minhash stage can't eat it first)
+      val (b1, b2) = ingestFixture(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-singest").toString
-      val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
-      def stage(df: DataFrame, name: String): Unit = {
-        val tmp = s"$root/stage-$name"
-        df.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(srcDir, s"$name.parquet"))
-      }
+      new java.io.File(s"$root/src").mkdirs()
       def drain(): Unit = {
-        val docs = s.readStream.schema(b1.schema).parquet(srcDir)
+        val docs = s.readStream.schema(b1.schema).parquet(s"$root/src")
         val q = graft.streaming.EventStream.ingestSink(docs, "text", "doc_id",
           s"$root/corpus", s"$root/ckpt", urlCol = Some("url"),
           reportDir = Some(s"$root/report"))
         require(q.awaitTermination(300000), "q156: ingest stream timed out")
       }
-      stage(b1, "b1"); drain()
-      stage(b2, "b2"); drain()
+      stageIngestBatch(b1, root, "b1"); drain()
+      stageIngestBatch(b2, root, "b2"); drain()
       s.read.parquet(s"$root/report")
         .select(concat(lit("b"), col("batch_id").cast("string"), lit("_"),
           col("stage")).as("stage"), col("rows").as("n"))
@@ -3283,6 +3251,49 @@ object SparkEntry {
 
   /** The q118 planted pipeline corpus: every cleaning stage has work to
     * do, every construction is modulus arithmetic the oracle replays. */
+  /** The q156 streaming-ingest fixture (shared by q156/q179/q186): two
+    * arrival batches; batch 2 carries an exact copy (r=11), a URL
+    * refetch (r=15) and a +2-char near-dup (r=19) of batch-1 survivors;
+    * batch 1 carries its own exact copy (r=13) and refetch (r=17).
+    * Texts are 6 tokens, md5-hex doc token — every within-batch
+    * cleaning stage passes unchanged, so oracles state per-stage counts
+    * and the survivor set in closed form from residue arithmetic. */
+  private def ingestFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    def pidOf(c: Column) = lpad(c.cast("string"), 8, "0")
+    def textOf(c: Column) =
+      concat(lit("alpha beta gamma del e "),
+        substring(md5(c.cast("string")), 1, 12))
+    val ids = ld(s, dir, "documents").select(col("doc_id"))
+    val b1 = ids.filter(col("doc_id") % 4 === 1).select(col("doc_id"),
+      when(col("doc_id") % 20 === 13, textOf(col("doc_id") - 4))
+        .otherwise(textOf(col("doc_id"))).as("text"),
+      concat(lit("https://x"),
+        pidOf(when(col("doc_id") % 20 === 17, col("doc_id") - 16)
+          .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+    val b2 = ids.filter(col("doc_id") % 4 === 3).select(col("doc_id"),
+      when(col("doc_id") % 20 === 11, textOf(col("doc_id") - 2))
+        .when(col("doc_id") % 20 === 19,
+          concat(textOf(col("doc_id") - 18), lit(" x")))
+        .otherwise(textOf(col("doc_id"))).as("text"),
+      concat(lit("https://x"),
+        pidOf(when(col("doc_id") % 20 === 15, col("doc_id") - 14)
+          .otherwise(col("doc_id"))), lit(".ex/p")).as("url"))
+    (b1, b2)
+  }
+
+  /** Stage one fixture batch as a single parquet file in the stream's
+    * drop directory. */
+  private def stageIngestBatch(df: DataFrame, root: String,
+                               name: String): Unit = {
+    val tmp = s"$root/stage-$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$root/src", s"$name.parquet"))
+  }
+
   private def q118Docs(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 5 === 0, lit(null).cast("string"))
@@ -4344,6 +4355,7 @@ object SparkEntry {
     },
     "q184_unigram_encode" -> q184OracleSql(2, 3, 8),
     "q185_bpe_artifact" -> q143OracleSql(6),
+    "q186_ingest_tokenized" -> q186OracleSql,
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +
@@ -4900,11 +4912,11 @@ object SparkEntry {
     * round(ln n − ln total, 6) values, so the doubles compare
     * identically), Viterbi counts from the carried best path, and the
     * single-char floor via a FULL JOIN against the alphabet. */
-  private def unigramDpCtes(r: Int, vprev: String, l: Int,
-                            maxLen: Int): Seq[String] = {
+  private def unigramDpCtes(r: Int, vprev: String, l: Int, maxLen: Int,
+                            words: String = "w"): Seq[String] = {
     val head = Seq(
       s"lp$r AS MATERIALIZED (SELECT piece, round(ln(CAST(n AS DOUBLE)) - ln((SELECT CAST(sum(n) AS DOUBLE) FROM $vprev)), 6) AS lp FROM $vprev)",
-      s"d${r}_0 AS MATERIALIZED (SELECT w, wc, CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS path FROM w)")
+      s"d${r}_0 AS MATERIALIZED (SELECT w, wc, CAST(0.0 AS DOUBLE) AS score, CAST([] AS VARCHAR[]) AS path FROM $words)")
     val dp = (1 to maxLen).map { i =>
       val cands = (math.max(0, i - l) until i).map { j =>
         s"SELECT w, wc, score, path, substr(w, ${j + 1}, ${i - j}) AS piece FROM d${r}_$j WHERE len(w) >= $i"
@@ -4923,10 +4935,10 @@ object SparkEntry {
         s"FROM vt$r v FULL JOIN chars c ON v.piece = c.piece)")
   }
 
-  /** Seed CTEs shared by the q171 train and q184 encode oracles: the
-    * word-count frame, substring seed counts, and the alphabet. */
-  private def unigramBaseCtes(l: Int): Seq[String] = Seq(
-    "w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x)",
+  /** Seed CTEs shared by the q171/q184/q186 oracles: the word-count
+    * frame over `source`'s text, substring seed counts, the alphabet. */
+  private def unigramBaseCtes(l: Int, source: String = "documents"): Seq[String] = Seq(
+    s"w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM $source) GROUP BY x)",
     s"p0 AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT substr(w, p, l) AS piece, wc FROM w, unnest(range(1, least($l, len(w)) + 1)) AS t1(l), unnest(range(1, len(w) - l + 2)) AS t2(p)) GROUP BY piece)",
     "chars AS MATERIALIZED (SELECT piece FROM p0 WHERE len(piece) = 1)")
 
@@ -4954,6 +4966,33 @@ object SparkEntry {
     s"WITH ${all.mkString(", ")} " +
       "SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords " +
       "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
+  }
+
+  /** The q186 oracle: the q156 closed-form survivor arithmetic (the
+    * fixture texts reconstructed literally, md5 and all) + the q171
+    * train DP over batch 1 + the q184 encode DP over the SURVIVOR
+    * word set — per-surviving-doc n_subwords as annotated at ingest. */
+  private def q186OracleSql: String = {
+    val l = 3
+    val maxLen = 12
+    val tok = "'alpha beta gamma del e ' || substr(md5(CAST("
+    val fixture = Seq(
+      "b1r AS MATERIALIZED (SELECT doc_id, doc_id % 20 AS r FROM documents WHERE doc_id % 4 = 1)",
+      "b2r AS MATERIALIZED (SELECT doc_id, doc_id % 20 AS r FROM documents WHERE doc_id % 4 = 3)",
+      s"t1 AS MATERIALIZED (SELECT doc_id, r, $tok CASE WHEN r = 13 THEN doc_id - 4 ELSE doc_id END AS VARCHAR)), 1, 12) AS text FROM b1r)",
+      s"t2 AS MATERIALIZED (SELECT doc_id, r, CASE WHEN r = 19 THEN $tok doc_id - 18 AS VARCHAR)), 1, 12) || ' x' ELSE $tok CASE WHEN r = 11 THEN doc_id - 2 ELSE doc_id END AS VARCHAR)), 1, 12) END AS text FROM b2r)",
+      "surv AS MATERIALIZED (SELECT doc_id, text FROM t1 WHERE r IN (1, 5, 9) UNION ALL SELECT doc_id, text FROM t2 WHERE r IN (3, 7))",
+      "ew AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM surv) GROUP BY x)")
+    val all = fixture ++ unigramBaseCtes(l, "t1") ++
+      (1 to 2).flatMap(r =>
+        unigramDpCtes(r, if (r == 1) "p0" else s"v${r - 1}", l, maxLen)) ++
+      unigramDpCtes(3, "v2", l, maxLen, words = "ew") ++ Seq(
+        "sg AS MATERIALIZED (SELECT w, CAST(len(path) AS BIGINT) AS ns FROM fin3)",
+        "dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w FROM surv)",
+        "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n FROM dw JOIN sg USING (w) GROUP BY doc_id)")
+    s"WITH ${all.mkString(", ")} " +
+      "SELECT s.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords " +
+      "FROM surv s LEFT JOIN ag a USING (doc_id) ORDER BY s.doc_id"
   }
 
   /** The q141 oracle: `rounds` BPE merge rounds over the double-space

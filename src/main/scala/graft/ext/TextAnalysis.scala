@@ -2486,6 +2486,33 @@ object TextAnalysis {
       pieces.map(_._1.length).max)
   }
 
+  /**
+   * Annotate a frame with per-doc `n_subwords` under a SAVED tokenizer
+   * artifact of EITHER family — the schema names the family: a merge
+   * table (`round`, `pair`) encodes via the BPE replay kernel, a piece
+   * table (`piece`, `n`) via the unigram Viterbi kernel; anything else
+   * is refused loudly. This is the ingest-time composition hook: a
+   * daily batch annotated at ingest arrives pre-tokenized for the
+   * packing planner (`tokenCountCol = "n_subwords"`), and the trained
+   * artifact never retrains. All input columns pass through; the join
+   * back is on the slim (id, count) key.
+   */
+  def withSubwordCounts(df: DataFrame, textCol: String, idCol: String,
+                        artifactPath: String,
+                        maxLocalVocab: Int = 2000000): DataFrame = {
+    val schema = df.sparkSession.read.parquet(artifactPath).columns.toSet
+    val counts =
+      if (Set("round", "pair").subsetOf(schema))
+        bpeSegmentCountsFrom(df, textCol, idCol, artifactPath, maxLocalVocab)
+      else if (Set("piece", "n").subsetOf(schema))
+        unigramEncodeCountsFrom(df, textCol, idCol, artifactPath, maxLocalVocab)
+      else throw new IllegalArgumentException(
+        s"withSubwordCounts: $artifactPath is neither a BPE merge table " +
+          s"(round, pair, n) nor a unigram piece table (piece, n) — " +
+          s"columns ${schema.mkString(",")}")
+    df.join(counts, Seq(idCol))
+  }
+
   /** Full per-document profile as one narrow projection. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

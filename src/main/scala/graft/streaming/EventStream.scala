@@ -259,7 +259,17 @@ object EventStream {
                  // loses nothing). Appends REFUSE past the budget (the
                  // fp bound would silently die) — size it for the
                  // corpus lifetime.
-                 bloomExpectedKeys: Option[Long] = None)
+                 bloomExpectedKeys: Option[Long] = None,
+                 // SAVED tokenizer artifact (either family — BPE merge
+                 // table or unigram piece table, the schema names it):
+                 // when set, each batch's survivors are annotated with
+                 // per-doc `n_subwords` via the codegen'd encode kernel
+                 // before the corpus write, so the corpus arrives
+                 // pre-tokenized for the packing planner and the
+                 // artifact never retrains. Keep the path stable for
+                 // the corpus lifetime — flipping it mid-life mixes
+                 // partition schemas.
+                 tokenizerPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(newDocs.isStreaming, "ingestSink needs a streaming frame; " +
       "call Pipeline.ingestBatch directly for batch ingestion")
@@ -351,7 +361,13 @@ object EventStream {
         // REPLAY overwrites its own partitions instead of appending
         // duplicates — corpus and side tables stay mutually consistent
         val survivors = survivors0.select(keepCols: _*).localCheckpoint()
-        survivors.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        // pre-tokenize at ingest: annotation happens on the |survivors|
+        // frame only (the artifact is driver-sized), and only the
+        // corpus write carries it — side tables stay slim keys
+        val corpusOut = tokenizerPath.map(p => graft.ext.TextAnalysis
+          .withSubwordCounts(survivors, textCol, idCol, p))
+          .getOrElse(survivors)
+        corpusOut.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         urlCol.foreach { u =>
           survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
               .as("url_canon")).filter(col("url_canon").isNotNull).distinct()

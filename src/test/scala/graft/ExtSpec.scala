@@ -1456,9 +1456,21 @@ class ExtSpec extends SparkSpec {
         maxPieceLen = 3, maxWordLen = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(uniDisk == uniSession, "unigram artifact encode diverges")
+    // withSubwordCounts: the schema names the family, columns pass
+    // through, counts agree with the direct encode paths
+    val annB = TextAnalysis.withSubwordCounts(docs, "text", "doc_id", s"$dir/bpe")
+    assert(annB.columns.toSeq == docs.columns.toSeq :+ "n_subwords")
+    assert(annB.select("doc_id", "n_subwords").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap == inSession)
+    val annU = TextAnalysis.withSubwordCounts(docs, "text", "doc_id", s"$dir/uni")
+    assert(annU.select("doc_id", "n_subwords").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap == uniSession)
     // refusals: wrong schema, caps, malformed pairs
     docs.select(col("doc_id"), col("text")).limit(1)
       .write.parquet(s"$dir/bogus")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withSubwordCounts(docs, "text", "doc_id", s"$dir/bogus")
+    }
     intercept[IllegalArgumentException] {
       TextAnalysis.bpeLoadMerges(spark, s"$dir/bogus")
     }
