@@ -2635,6 +2635,42 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q187_compaction" -> ((s, dir) => { ensure(s)
+      // SMALL-FILES maintenance for the batch-partitioned ingest
+      // layout (Compact.compactBatchTable): 12 daily batches, the 10
+      // closed ones bin-packed into ONE `batch=c0-9` partition
+      // (write → count-verify → rename → delete sources; rerun = no-op;
+      // keepLatest=2 leaves the streaming replay window raw), then
+      // SNAPSHOT reads through Compact.readAsOf — full corpus, as-of
+      // the compaction boundary, as-of a raw batch; a boundary INSIDE
+      // the compacted range is refused loudly (snapshot granularity
+      // coarsens at compaction boundaries — stated, never mis-served).
+      // The oracle states all three snapshots in closed residue form:
+      // if compaction lost/duplicated a row or the range selection is
+      // off by one, a snapshot breaks.
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-q187").toString
+      val corpus = s"$root/corpus"
+      (0 to 11).foreach(i => docs.filter(col("doc_id") % 12 === i)
+        .write.parquet(s"$corpus/batch=$i"))
+      val groups = graft.ext.Compact.compactBatchTable(s, corpus,
+        targetBytes = Long.MaxValue, keepLatest = 2)
+      require(groups.map(g => (g.label, g.srcParts, g.filesAfter)) ==
+        Seq(("c0-9", 10, 1)), s"q187: unexpected compaction groups $groups")
+      require(graft.ext.Compact.compactBatchTable(s, corpus,
+        Long.MaxValue, 2).isEmpty, "q187: rerun was not a no-op")
+      val refused = try {
+        graft.ext.Compact.readAsOf(s, corpus, 5); false
+      } catch { case _: IllegalArgumentException => true }
+      require(refused, "q187: in-range snapshot boundary was not refused")
+      graft.ext.Compact.readAsOf(s, corpus, 11)
+        .select(col("doc_id"), lit("all").as("snap"))
+        .unionByName(graft.ext.Compact.readAsOf(s, corpus, 9)
+          .select(col("doc_id"), lit("le9").as("snap")))
+        .unionByName(graft.ext.Compact.readAsOf(s, corpus, 10)
+          .select(col("doc_id"), lit("le10").as("snap")))
+        .orderBy("snap", "doc_id")
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -4356,6 +4392,12 @@ object SparkEntry {
     "q184_unigram_encode" -> q184OracleSql(2, 3, 8),
     "q185_bpe_artifact" -> q143OracleSql(6),
     "q186_ingest_tokenized" -> q186OracleSql,
+    "q187_compaction" ->
+      ("SELECT doc_id, snap FROM (" +
+       "SELECT doc_id, 'all' AS snap FROM documents " +
+       "UNION ALL SELECT doc_id, 'le9' FROM documents WHERE doc_id % 12 <= 9 " +
+       "UNION ALL SELECT doc_id, 'le10' FROM documents WHERE doc_id % 12 <= 10" +
+       ") ORDER BY snap, doc_id"),
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +

@@ -1493,6 +1493,77 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Compact: bin-packing, crash self-heal, convergence, snapshot edges, refusals") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val corpus = s"$root/c"
+    val rows = (0L until 60L).map(i => (i, s"doc body $i")).toDF("id", "body")
+    (0 to 5).foreach(i => rows.filter(col("id") % 6 === i)
+      .coalesce(1).write.parquet(s"$corpus/batch=$i"))
+    def content() = spark.read.parquet(
+      new java.io.File(corpus).listFiles().filter(_.getName.startsWith("batch="))
+        .map(_.toString): _*).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = content()
+    // per-partition bytes ~ equal; target of ~2.5 partitions → groups
+    // of >= 2 among the 5 closed partitions
+    val partBytes = new java.io.File(s"$corpus/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val g1 = graft.ext.Compact.compactBatchTable(spark, corpus,
+      targetBytes = (partBytes * 2.5).toLong, keepLatest = 1)
+    assert(g1.size == 2 && g1.map(_.label) == Seq("c0-2", "c3-4"), g1.toString)
+    assert(content() == before, "compaction changed content")
+    // converge further under a bigger target: ranges merge with ranges
+    val g2 = graft.ext.Compact.compactBatchTable(spark, corpus,
+      targetBytes = Long.MaxValue, keepLatest = 1)
+    assert(g2.map(_.label) == Seq("c0-4") && g2.head.srcParts == 2, g2.toString)
+    assert(content() == before)
+    // crash-after-rename self-heal: a stale source partition covered by
+    // the verified range is deleted, content unchanged
+    rows.filter(col("id") % 6 === 2).write.parquet(s"$corpus/batch=2")
+    assert(graft.ext.Compact.compactBatchTable(spark, corpus,
+      Long.MaxValue, 1).isEmpty)
+    assert(!new java.io.File(s"$corpus/batch=2").exists(), "stale source survived")
+    assert(content() == before, "self-heal changed content")
+    // snapshots: boundary at range end, raw batch, below-everything;
+    // inside-range refused
+    assert(graft.ext.Compact.readAsOf(spark, corpus, 4).count() == 50)
+    assert(graft.ext.Compact.readAsOf(spark, corpus, 5).count() == 60)
+    assert(graft.ext.Compact.readAsOf(spark, corpus, -1).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.ext.Compact.readAsOf(spark, corpus, 3)
+    }
+    // non-numeric partitions (the sink's bootstrap) are untouched
+    val side = s"$root/s"
+    rows.limit(5).write.parquet(s"$side/batch=_bootstrap")
+    rows.limit(3).write.parquet(s"$side/batch=0")
+    rows.limit(3).write.parquet(s"$side/batch=1")
+    rows.limit(3).write.parquet(s"$side/batch=2")
+    val g3 = graft.ext.Compact.compactBatchTable(spark, side,
+      Long.MaxValue, 1)
+    assert(g3.map(_.label) == Seq("c0-1"))
+    assert(new java.io.File(s"$side/batch=_bootstrap").exists())
+    // whole-layout convenience: corpus + existing side tables, same knobs
+    val c2 = s"$root/c2"
+    (0 to 3).foreach { i =>
+      rows.filter(col("id") % 4 === i).coalesce(1)
+        .write.parquet(s"$c2/batch=$i")
+      rows.filter(col("id") % 4 === i).select(col("id"))
+        .coalesce(1).write.parquet(s"$c2.side/md5set/batch=$i")
+    }
+    val lay = graft.ext.Compact.compactIngestLayout(spark, c2,
+      Long.MaxValue, 1)
+    assert(lay.keySet == Set("corpus", "md5set"))
+    assert(lay("corpus").map(_.label) == Seq("c0-2"))
+    assert(lay("md5set").map(_.label) == Seq("c0-2"))
+    // refusals
+    intercept[IllegalArgumentException] {
+      graft.ext.Compact.compactBatchTable(spark, s"$root/nope")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Compact.compactBatchTable(spark, corpus, targetBytes = 0)
+    }
+  }
+
   test("Validate: battery semantics, null handling, budgets, empty frame, refusals") {
     import spark.implicits._
     val df = Seq(
