@@ -2671,6 +2671,31 @@ object SparkEntry {
           .select(col("doc_id"), lit("le10").as("snap")))
         .orderBy("snap", "doc_id")
     }),
+    "q188_opq_refine" -> ((s, dir) => { ensure(s)
+      // OPQ-parametric (Ge et al. 2013 / faiss OPQMatrix PCA regime)
+      // end to end: full-rank PCA rotation (decimal moments + Jacobi,
+      // the q181 machinery) + eigenvalue-balanced subspace allocation
+      // + PQ in rotated space, searched by rotated-query ADC and
+      // exact-reranked on the ORIGINAL vectors (valid because the
+      // rotation is orthogonal — rotated and original L2 agree).
+      // The oracle is the plain exact squared-L2 top-10 over the raw
+      // embeddings: rerank=200 provably covers the exact set at this
+      // scale (worst exact-top-10 member sits at rotated-ADC rank
+      // 161), so ANY corruption in rotate/allocate/train/encode/ADC
+      // that pushes a true neighbor past rank 200 — or any error in
+      // the exact re-rank itself — breaks the equality.
+      val emb = ld(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val model = Similarity.opqTrain(emb, "embedding", "vec_id",
+        m = 4, k = 16, iters = 2)
+      val codes = Similarity.opqEncode(emb, "embedding", "vec_id", model)
+      Similarity.opqSearchAdcRefine(codes, emb, "embedding", "vec_id",
+          model, query, k = 10, rerank = 200)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -4398,6 +4423,16 @@ object SparkEntry {
        "UNION ALL SELECT doc_id, 'le9' FROM documents WHERE doc_id % 12 <= 9 " +
        "UNION ALL SELECT doc_id, 'le10' FROM documents WHERE doc_id % 12 <= 10" +
        ") ORDER BY snap, doc_id"),
+    "q188_opq_refine" -> {
+      val ex = (1 to 64).map(i =>
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE)) * " +
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE))")
+        .mkString(" + ")
+      "WITH q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = 7), " +
+      s"ex AS MATERIALIZED (SELECT v.vec_id, ($ex) AS dist FROM embeddings v, q) " +
+      "SELECT vec_id, round(dist, 6) AS dist FROM " +
+      "(SELECT vec_id, dist FROM ex ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
+    },
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +

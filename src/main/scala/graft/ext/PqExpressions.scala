@@ -86,6 +86,22 @@ object PqKernel {
     argmin(sub, 0, centroids(s))
   }
 
+  /** Per-subspace QUANTIZATION error over the slim (s, sub) frame: the
+    * argmin's own squared-L2 distance — Σ over rows is the corpus's PQ
+    * reconstruction error, the objective OPQ minimizes. */
+  def minDistSub(s: Int, sub: ArrayData,
+                 centroids: Array[Array[Array[Double]]]): Double = {
+    if (s < 0 || s >= centroids.length)
+      throw new IllegalArgumentException(
+        s"pq_min_dist: subspace $s out of range [0, ${centroids.length})")
+    val dsub = centroids(s)(0).length
+    if (sub.numElements() != dsub)
+      throw new IllegalArgumentException(
+        s"pq_min_dist: slice dim ${sub.numElements()} != dsub = $dsub")
+    val j = argmin(sub, 0, centroids(s))
+    dist(sub, 0, centroids(s)(j))
+  }
+
   /** ADC lookup: Σ_s table(s)(code(s)), left-associated — `table(s)(j)` is
     * the driver-precomputed distance of the query's subspace-s slice to
     * centroid j (itself summed in the same left-associated term order). */
@@ -164,6 +180,26 @@ case class PqAssignExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** `pq_min_dist(s, sub)` → the subspace slice's quantization error (the
+  * argmin centroid's own distance). Same frame contract as
+  * [[PqAssignExpr]]. */
+case class PqMinDistExpr(left: Expression, right: Expression,
+                         centroids: Array[Array[Array[Double]]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_min_dist"
+  override protected def nullSafeEval(s: Any, sub: Any): Any =
+    PqKernel.minDistSub(s.asInstanceOf[Int], sub.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCentroids", centroids, "double[][][]")
+    defineCodeGen(ctx, ev, (s, a) => s"graft.ext.PqKernel.minDistSub($s, $a, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `pq_adc(code)` → asymmetric distance via the driver-precomputed
   * per-subspace distance table of ONE query vector. */
 case class PqAdcExpr(child: Expression, table: Array[Array[Double]])
@@ -216,4 +252,8 @@ object PqFunctions {
   def pq_adc_multi(code: Column, tables: Array[Array[Array[Double]]]): Column =
     Bridge.column(
       PqAdcMultiExpr(Bridge.expression(code), tables))
+  def pq_min_dist(s: Column, sub: Column,
+                  centroids: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqMinDistExpr(
+      Bridge.expression(s), Bridge.expression(sub), centroids))
 }

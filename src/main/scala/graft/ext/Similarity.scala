@@ -599,6 +599,15 @@ object Similarity {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val cands = pqSearchAdc(codes, idCol, model, query, rerank)
       .select(col(idCol))
+    exactRerank(vectors, vecCol, idCol, cands, query, k)
+  }
+
+  /** Exact squared-L2 re-rank of `cands` against the raw vectors — the
+    * left-associated zip_with fold both refine paths share; ties
+    * (dist asc, id asc). */
+  private def exactRerank(vectors: DataFrame, vecCol: String, idCol: String,
+                          cands: DataFrame, query: Array[Double],
+                          k: Int): DataFrame = {
     val qArr = array(query.map(lit(_)): _*)
     val dist = aggregate(
       zip_with(col(vecCol), qArr, (x, q) => {
@@ -607,6 +616,137 @@ object Similarity {
     vectors.join(broadcast(cands), Seq(idCol), "left_semi")
       .select(col(idCol), dist.as("dist"))
       .orderBy(col("dist").asc, col(idCol).asc).limit(k)
+  }
+
+  // ---- OPQ: parametric optimized product quantization ---------------------
+
+  /** An OPQ model: the full-rank PCA rotation + the eigenvalue-balanced
+    * subspace permutation + the PQ codebook trained in rotated space.
+    * `perm(p)` = the principal-component index placed at rotated
+    * coordinate p (subspace p / dsub, slot p % dsub). */
+  case class OpqModel(pca: Pca.PcaModel, perm: Array[Int], pq: PqModel)
+
+  /** Eigenvalue-BALANCED allocation (OPQ-parametric's): directions in
+    * eigen-descending order each land on the open subspace with the
+    * smallest current log-eigenvalue product (ties to the lower
+    * subspace index) — equalizing per-subspace information under the
+    * Gaussian-independence assumption. Deterministic. */
+  private[graft] def opqAllocate(eig: Array[Double], m: Int): Array[Int] = {
+    require(eig.length % m == 0, s"dim ${eig.length} not divisible by m=$m")
+    val dsub = eig.length / m
+    val logs = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    eig.indices.foreach { c =>
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (buckets(s).length < dsub && (best < 0 || logs(s) < logs(best)))
+          best = s
+        s += 1
+      }
+      buckets(best) += c
+      logs(best) += math.log(math.max(eig(c), 1e-300))
+    }
+    buckets.flatMap(_.toSeq).toArray
+  }
+
+  /** Rotate a vector column into OPQ space: PCA projection (the q181
+    * decimal-moment + Jacobi machinery, deterministic) permuted by the
+    * balanced allocation. Pure column expressions. */
+  private def opqRotate(df: DataFrame, vecCol: String, pca: Pca.PcaModel,
+                        perm: Array[Int], outCol: String): DataFrame =
+    Pca.transform(df, vecCol, pca, "_opq_rot")
+      .withColumn(outCol,
+        array(perm.map(i => element_at(col("_opq_rot"), i + 1)): _*))
+      .drop("_opq_rot")
+
+  /** Driver-side twin of [[opqRotate]] for the query — same
+    * left-associated dot order as the column path, so the rotated
+    * query is bit-identical to what the corpus rows went through. */
+  private[graft] def opqRotateQuery(model: OpqModel,
+                                  q: Array[Double]): Array[Double] = {
+    require(q.length == model.pca.dim,
+      s"opq: query dim ${q.length} != model dim ${model.pca.dim}")
+    model.perm.map { c =>
+      val w = model.pca.components(c)
+      var dot = 0.0
+      var i = 0
+      while (i < q.length) { dot += q(i) * w(i); i += 1 }
+      var muDot = 0.0
+      i = 0
+      while (i < q.length) { muDot += model.pca.mean(i) * w(i); i += 1 }
+      dot - muDot
+    }
+  }
+
+  /**
+   * OPQ-PARAMETRIC training (Ge, He, Ke & Sun, CVPR 2013 §4; the faiss
+   * OPQMatrix PCA regime): learn an ORTHOGONAL pre-rotation R for PQ
+   * as full-rank PCA + eigenvalue-balanced subspace allocation, then
+   * train the PQ codebook in rotated space. Rotation preserves L2
+   * exactly, so ADC distances in rotated space estimate ORIGINAL
+   * distances — but subspaces now carry balanced, decorrelated
+   * variance, which is the quantization-error win over raw PQ
+   * (pinned by [[pqReconstructionError]] in the gate). Everything is
+   * deterministic: decimal moments + fixed-sweep Jacobi (PCA), greedy
+   * allocation, and [[pqTrain]]'s decimal k-means.
+   *
+   * Scale: one extra corpus pass for the moments (d²/2 slim rows per
+   * partition through the shuffle), one narrow rotate projection per
+   * downstream scan; training cost is [[pqTrain]]'s unchanged.
+   */
+  def opqTrain(df: DataFrame, vecCol: String, idCol: String,
+               m: Int = 4, k: Int = 16, iters: Int = 2): OpqModel = {
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"vector dim $d not divisible by m = $m")
+    val pca = Pca.fit(df, vecCol, d)
+    val perm = opqAllocate(pca.eigenvalues, m)
+    val rot = opqRotate(df, vecCol, pca, perm, "_opq")
+    OpqModel(pca, perm, pqTrain(rot, "_opq", idCol, m, k, iters))
+  }
+
+  /** Encode with a trained [[OpqModel]]: rotate, then PQ-encode. */
+  def opqEncode(df: DataFrame, vecCol: String, idCol: String,
+                model: OpqModel): DataFrame =
+    pqEncode(opqRotate(df, vecCol, model.pca, model.perm, "_opq"),
+      "_opq", idCol, model.pq)
+
+  /** ADC top-k against OPQ codes: the query is rotated driver-side and
+    * searched with the rotated-space codebook. */
+  def opqSearchAdc(codes: DataFrame, idCol: String, model: OpqModel,
+                   query: Array[Double], k: Int): DataFrame =
+    pqSearchAdc(codes, idCol, model.pq, opqRotateQuery(model, query), k)
+
+  /** Two-stage OPQ retrieval: rotated-space ADC candidates, exact
+    * re-rank on the ORIGINAL vectors with the ORIGINAL query — valid
+    * because the rotation is orthogonal (rotated and original L2 agree
+    * exactly), and it keeps the refined distances bit-comparable to a
+    * plain exact search. */
+  def opqSearchAdcRefine(codes: DataFrame, vectors: DataFrame,
+                         vecCol: String, idCol: String, model: OpqModel,
+                         query: Array[Double], k: Int,
+                         rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cands = opqSearchAdc(codes, idCol, model, query, rerank)
+      .select(col(idCol))
+    exactRerank(vectors, vecCol, idCol, cands, query, k)
+  }
+
+  /** Corpus PQ RECONSTRUCTION error — Σ over rows and subspaces of the
+    * assigned centroid's squared distance (the objective OPQ
+    * minimizes; decimal-accumulated so the comparison is stable). Pass
+    * the frame in the space the model was trained in. */
+  def pqReconstructionError(df: DataFrame, vecCol: String,
+                            model: PqModel): Double = {
+    val subs = df.select(posexplode(array((0 until model.m).map(s =>
+        slice(col(vecCol), s * model.dsub + 1, model.dsub)): _*))
+      .as(Seq("s", "sub")))
+    val r = subs
+      .select(PqFunctions.pq_min_dist(col("s"), col("sub"),
+        model.centroids).cast("decimal(38,18)").as("e"))
+      .agg(sum(col("e"))).head()
+    require(!r.isNullAt(0), "pqReconstructionError: empty frame")
+    r.getDecimal(0).doubleValue()
   }
 
   /**

@@ -1493,6 +1493,56 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("OPQ: balanced allocation, orthogonality, query-rotation parity, refusals") {
+    import spark.implicits._
+    // hand case: eig [8,4,2,1], m=2 → balanced log-products (8·1 = 4·2)
+    assert(graft.ext.Similarity.opqAllocate(Array(8.0, 4.0, 2.0, 1.0), 2)
+      .toSeq == Seq(0, 3, 1, 2))
+    // allocation is a permutation with dsub dims per subspace
+    val perm6 = graft.ext.Similarity.opqAllocate(
+      Array(9.0, 8.0, 5.0, 3.0, 2.0, 1.0), 3)
+    assert(perm6.sorted.toSeq == (0 to 5) && perm6.length == 6)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ext.Similarity.opqTrain(emb, "embedding", "vec_id",
+      m = 4, k = 8, iters = 1)
+    // the rotation is orthogonal: pairwise distances preserved (fp tol)
+    val rot = graft.ext.Pca.transform(emb, "embedding", model.pca, "_r")
+      .withColumn("_opq", array(model.perm.map(i =>
+        element_at(col("_r"), i + 1)): _*))
+    val pairs = rot.limit(5).select("vec_id", "embedding", "_opq").collect()
+    for (a <- pairs; b <- pairs if a.getLong(0) < b.getLong(0)) {
+      def d2(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+      val orig = d2(a.getSeq[Float](1).map(_.toDouble),
+        b.getSeq[Float](1).map(_.toDouble))
+      val rotd = d2(a.getSeq[Double](2), b.getSeq[Double](2))
+      assert(math.abs(orig - rotd) <= 1e-8 * (1.0 + orig),
+        s"rotation not orthogonal: $orig vs $rotd")
+    }
+    // driver query rotation ≡ the column path bit-for-bit
+    val v0 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val colPath = rot.filter(col("vec_id") === 3).select("_opq")
+      .head().getSeq[Double](0).toArray
+    assert(graft.ext.Similarity.opqRotateQuery(model, v0).toSeq == colPath.toSeq,
+      "driver-side query rotation diverges from the column path")
+    // encode/search plumbing: self-retrieval through refine
+    val codes = graft.ext.Similarity.opqEncode(emb, "embedding", "vec_id", model)
+    val top = graft.ext.Similarity.opqSearchAdcRefine(codes, emb, "embedding",
+      "vec_id", model, v0, k = 1, rerank = 10).head()
+    assert(top.getLong(0) == 3L && top.getDouble(1) == 0.0)
+    // reconstruction error: finite, positive, decimal-stable
+    val err = graft.ext.Similarity.pqReconstructionError(rot, "_opq", model.pq)
+    assert(err > 0.0 && java.lang.Double.isFinite(err))
+    // refusals: dim not divisible, query dim mismatch
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.opqTrain(emb, "embedding", "vec_id", m = 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.opqRotateQuery(model, Array(1.0, 2.0))
+    }
+  }
+
   test("Compact: bin-packing, crash self-heal, convergence, snapshot edges, refusals") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
