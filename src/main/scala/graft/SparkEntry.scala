@@ -2696,6 +2696,52 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 6).as("dist"))
         .orderBy("vec_id")
     }),
+    "q189_binary_hamming" -> ((s, dir) => { ensure(s)
+      // Binary (1-bit) sign quantization + Hamming top-k — the faiss
+      // binary-index rung of the compression ladder (32× smaller than
+      // float32, distance = XOR+popcount, 64 dims per instruction via
+      // the codegen'd BinKernel). The embeddings are zero-centered, so
+      // thresholds = 0 is the classic sign code. Cross-engine exact by
+      // construction: each bit is ONE float>0 comparison (lossless in
+      // double) and Hamming is integer arithmetic — the oracle replays
+      // bit and mismatch-count dimension by dimension, no float
+      // accumulation anywhere. Ties (hamming asc, vec_id asc).
+      val emb = ld(s, dir, "embeddings")
+      val zeros = new Array[Double](64)
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val codes = Similarity.binaryQuantize(emb, "embedding", "vec_id", zeros)
+      Similarity.binarySearchHamming(codes, "vec_id", zeros, query, k = 50)
+        .orderBy("vec_id")
+    }),
+    "q190_pq_artifact" -> ((s, dir) => { ensure(s)
+      // Vector-model ARTIFACT lifecycle — the q153/q185 train-once/
+      // use-daily resume contract applied to the compression ladder:
+      // train → save (one-row parquet; doubles roundtrip bit-exactly)
+      // → load → ADC-search with the LOADED model. The in-gate require
+      // pins the roundtrip bit-exact against the trained model; the
+      // oracle replays the full train+encode+ADC pipeline (q151's), so
+      // the search path through the loaded artifact must land the same
+      // numbers a fresh training run would.
+      val emb = ld(s, dir, "embeddings")
+      val fresh = q150Model(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-pqart").toString
+      Similarity.pqSaveModel(s, fresh, s"$path/pq")
+      val loaded = Similarity.pqLoadModel(s, s"$path/pq")
+      require(loaded.m == fresh.m && loaded.k == fresh.k &&
+        loaded.dsub == fresh.dsub &&
+        java.util.Arrays.deepEquals(
+          loaded.centroids.asInstanceOf[Array[AnyRef]],
+          fresh.centroids.asInstanceOf[Array[AnyRef]]),
+        "q190: loaded PQ model differs from the trained model")
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val codes = Similarity.pqEncode(emb, "embedding", "vec_id", loaded)
+      Similarity.pqSearchAdc(codes, "vec_id", loaded, query, k = 10)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+        .orderBy("vec_id")
+    }),
     "q182_pca_moment_table" -> ((s, dir) => { ensure(s)
       // INCREMENTAL PCA via the moment side table: decimal moment
       // sums are EXACTLY additive, so per-partition moment rows
@@ -4433,6 +4479,17 @@ object SparkEntry {
       "SELECT vec_id, round(dist, 6) AS dist FROM " +
       "(SELECT vec_id, dist FROM ex ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
     },
+    "q189_binary_hamming" -> {
+      val terms = (1 to 64).map(i =>
+        s"CASE WHEN (v.embedding[$i] > 0.0) <> (q.embedding[$i] > 0.0) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+      "WITH q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = 7), " +
+      s"h AS (SELECT v.vec_id, ($terms) AS hamming FROM embeddings v, q) " +
+      "SELECT vec_id, hamming FROM " +
+      "(SELECT vec_id, hamming FROM h ORDER BY hamming, vec_id LIMIT 50) " +
+      "ORDER BY vec_id"
+    },
+    "q190_pq_artifact" -> q151OracleSql(4, 16, 16, 2),
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +

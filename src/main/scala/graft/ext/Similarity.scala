@@ -749,6 +749,154 @@ object Similarity {
     r.getDecimal(0).doubleValue()
   }
 
+  // ---- Model artifact lifecycle (train once, search daily) ----------------
+
+  /** Persist a [[PqModel]] as a one-row parquet artifact (doubles
+    * roundtrip parquet bit-exactly) — the q153/q185 resume contract
+    * applied to the vector ladder: train once on the big corpus,
+    * encode/search in every later session without retraining. */
+  def pqSaveModel(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+                  path: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.k, model.dsub,
+        model.centroids.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("m", "k", "dsub", "centroids")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved [[PqModel]]; schema- and shape-validated loudly. */
+  def pqLoadModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): PqModel = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSet == Set("m", "k", "dsub", "centroids"),
+      s"pqLoadModel: $path is not a PQ artifact (columns ${df.columns.mkString(",")})")
+    val rows = df.limit(2).collect()
+    require(rows.length == 1, s"pqLoadModel: expected 1 row, got ${rows.length}")
+    val r = rows(0)
+    val cents = r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("centroids")
+      .map(_.map(_.toArray).toArray).toArray
+    val (m, k, dsub) = (r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dsub"))
+    require(cents.length == m && cents.forall(s => s.length == k &&
+        s.forall(_.length == dsub)),
+      s"pqLoadModel: centroid shape does not match m=$m k=$k dsub=$dsub")
+    PqModel(m, k, dsub, cents)
+  }
+
+  /** Persist an [[OpqModel]] (PCA rotation + allocation + rotated-space
+    * codebook) as a one-row parquet artifact. */
+  def opqSaveModel(spark: org.apache.spark.sql.SparkSession, model: OpqModel,
+                   path: String): Unit = {
+    import spark.implicits._
+    Seq((model.pca.dim, model.pca.n, model.pca.mean.toSeq,
+        model.pca.components.map(_.toSeq).toSeq, model.pca.eigenvalues.toSeq,
+        model.perm.toSeq, model.pq.m, model.pq.k, model.pq.dsub,
+        model.pq.centroids.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("dim", "n", "mean", "components", "eigenvalues", "perm",
+        "m", "k", "dsub", "centroids")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved [[OpqModel]]; schema- and shape-validated loudly. */
+  def opqLoadModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): OpqModel = {
+    val df = spark.read.parquet(path)
+    val want = Set("dim", "n", "mean", "components", "eigenvalues", "perm",
+      "m", "k", "dsub", "centroids")
+    require(df.columns.toSet == want,
+      s"opqLoadModel: $path is not an OPQ artifact (columns ${df.columns.mkString(",")})")
+    val rows = df.limit(2).collect()
+    require(rows.length == 1, s"opqLoadModel: expected 1 row, got ${rows.length}")
+    val r = rows(0)
+    val dim = r.getAs[Int]("dim")
+    val pca = Pca.PcaModel(dim, r.getAs[Long]("n"),
+      r.getAs[collection.Seq[Double]]("mean").toArray,
+      r.getAs[collection.Seq[collection.Seq[Double]]]("components")
+        .map(_.toArray).toArray,
+      r.getAs[collection.Seq[Double]]("eigenvalues").toArray)
+    val perm = r.getAs[collection.Seq[Int]]("perm").toArray
+    val cents = r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("centroids")
+      .map(_.map(_.toArray).toArray).toArray
+    val (m, k, dsub) = (r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dsub"))
+    require(pca.mean.length == dim && pca.components.length == dim &&
+        pca.components.forall(_.length == dim) && perm.length == dim &&
+        perm.sorted.sameElements(0 until dim),
+      s"opqLoadModel: rotation shape does not match dim=$dim")
+    require(cents.length == m && cents.forall(s => s.length == k &&
+        s.forall(_.length == dsub)) && m * dsub == dim,
+      s"opqLoadModel: centroid shape does not match m=$m k=$k dsub=$dsub dim=$dim")
+    OpqModel(pca, perm, PqModel(m, k, dsub, cents))
+  }
+
+  // ---- Binary (1-bit) quantization + Hamming search ------------------------
+
+  /**
+   * Per-dimension binarization thresholds = the EXACT per-dim mean,
+   * decimal-accumulated (floats cast to decimal exactly; decimal sums
+   * are order-independent) so the threshold vector is deterministic
+   * across partitionings and engines. One corpus pass, d slim sums.
+   * For zero-centered embeddings pass `Array.fill(d)(0.0)` instead —
+   * the classic sign code — and skip the pass entirely.
+   */
+  def binaryThresholds(df: DataFrame, vecCol: String): Array[Double] = {
+    val d = df.select(size(col(vecCol))).head().getInt(0)
+    require(d >= 1, s"binaryThresholds: empty vectors in $vecCol")
+    val aggs = (0 until d).map(i =>
+      sum(element_at(col(vecCol), i + 1).cast("decimal(38,12)")).as(s"_s$i")) :+
+      count(lit(1)).as("_n")
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(d)
+    require(n > 0, "binaryThresholds: empty frame")
+    (0 until d).map(i => r.getDecimal(i).doubleValue() / n).toArray
+  }
+
+  /**
+   * Binary (1-bit) quantization — the faiss binary-index regime, the
+   * cheapest rung of the compression ladder (SQ8 → PQ → OPQ → binary):
+   * bit i = `vec_i > thresholds_i`, packed 64 dims per `long` by the
+   * codegen'd [[BinPackExpr]] kernel. A 768-d float vector (3 KB)
+   * becomes 12 longs (96 B): 32× smaller, and Hamming distance costs
+   * 12 XOR+popcount instructions. Output (idCol, bits).
+   */
+  def binaryQuantize(df: DataFrame, vecCol: String, idCol: String,
+                     thresholds: Array[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "binaryQuantize: empty thresholds")
+    df.select(col(idCol),
+      BinFunctions.binary_quantize(col(vecCol), thresholds).as("bits"))
+  }
+
+  /**
+   * Hamming top-k over packed binary codes: the query is packed
+   * driver-side by [[BinKernel.packLocal]] (bit-identical to the column
+   * path), every code row gets one XOR-popcount kernel call, and the
+   * top-k survives via order-by-limit (TakeOrderedAndProject — per-
+   * partition bounded heaps, never a full sort shuffle). Ties break to
+   * the smaller id. Output (idCol, hamming).
+   */
+  def binarySearchHamming(codes: DataFrame, idCol: String,
+                          thresholds: Array[Double], query: Array[Double],
+                          k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val q = BinKernel.packLocal(query, thresholds)
+    codes.select(col(idCol),
+        BinFunctions.hamming(col("bits"), q).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc).limit(k)
+  }
+
+  /**
+   * Two-stage binary retrieval: Hamming candidates (cheap, 1-bit) then
+   * exact squared-L2 re-rank on the raw vectors — the standard
+   * coarse-filter/exact-verify shape shared with [[pqSearchAdcRefine]].
+   */
+  def binarySearchRefine(codes: DataFrame, vectors: DataFrame,
+                         vecCol: String, idCol: String,
+                         thresholds: Array[Double], query: Array[Double],
+                         k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cands = binarySearchHamming(codes, idCol, thresholds, query, rerank)
+      .select(col(idCol))
+    exactRerank(vectors, vecCol, idCol, cands, query, k)
+  }
+
   /**
    * BATCH ADC search — the whole query frame against the codes in ONE
    * corpus pass: per-query distance tables stack into a single

@@ -1543,6 +1543,100 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Binary quantization: packing hand-cases, query-twin parity, refine, refusals") {
+    import spark.implicits._
+    import graft.ext.{BinKernel, Similarity}
+    // hand case: 70 dims (multi-word) — bits 0, 65 set
+    val t70 = new Array[Double](70)
+    val v70 = new Array[Double](70)
+    v70(0) = 1.0; v70(65) = 0.5
+    val packed = BinKernel.packLocal(v70, t70)
+    assert(packed.length == 2 && packed(0) == 1L && packed(1) == 2L)
+    // strict >: a value equal to its threshold is bit 0
+    assert(BinKernel.packLocal(Array(0.0, 1e-300), Array(0.0, 0.0))
+      .head == 2L)
+    // hamming hand case via the kernel twin
+    val a = BinKernel.packLocal(Array(1.0, 1.0, 0.0, 1.0), new Array[Double](4))
+    val b = BinKernel.packLocal(Array(1.0, 0.0, 1.0, 1.0), new Array[Double](4))
+    assert(java.lang.Long.bitCount(a.head ^ b.head) == 2)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val zeros = new Array[Double](64)
+    val codes = Similarity.binaryQuantize(emb, "embedding", "vec_id", zeros)
+    // column path ≡ driver twin on a sample row
+    val r3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val bits3 = codes.filter(col("vec_id") === 3).head().getSeq[Long](1)
+    assert(bits3 == BinKernel.packLocal(r3, zeros).toSeq,
+      "column packing diverges from the driver twin")
+    // self-retrieval: hamming 0 to itself, refine returns exact dist 0
+    val top = Similarity.binarySearchHamming(codes, "vec_id", zeros, r3, 1).head()
+    assert(top.getLong(0) == 3L && top.getInt(1) == 0)
+    val ref = Similarity.binarySearchRefine(codes, emb, "embedding", "vec_id",
+      zeros, r3, k = 1, rerank = 5).head()
+    assert(ref.getLong(0) == 3L && ref.getDouble(1) == 0.0)
+    // decimal-exact thresholds helper: hand frame mean
+    val hand = Seq((1L, Seq(1.0f, -2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("id", "v")
+    assert(Similarity.binaryThresholds(hand, "v").toSeq == Seq(2.0, 1.0))
+    // refusals: dim mismatch (kernel + search), null element
+    intercept[IllegalArgumentException] {
+      BinKernel.packLocal(Array(1.0), new Array[Double](2))
+    }
+    intercept[org.apache.spark.SparkException] {
+      Similarity.binarySearchHamming(codes, "vec_id",
+        new Array[Double](128), new Array[Double](128), 1).collect()
+    }
+    val nullEx = intercept[Exception] {
+      Similarity.binaryQuantize(
+        Seq((1L, Seq(Some(1.0f), None))).toDF("id", "v"), "v", "id", t70.take(2))
+        .collect()
+    }
+    assert(nullEx.getMessage.contains("NULL vector element") ||
+      Option(nullEx.getCause).exists(_.getMessage.contains("NULL vector element")))
+  }
+
+  test("Vector-model artifacts: PQ and OPQ save/load roundtrip bit-exact, refusals") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-vecart").toString
+    val pq = Similarity.pqTrain(emb, "embedding", "vec_id", m = 4, k = 8, iters = 1)
+    Similarity.pqSaveModel(spark, pq, s"$root/pq")
+    val pqL = Similarity.pqLoadModel(spark, s"$root/pq")
+    assert(pqL.m == pq.m && pqL.k == pq.k && pqL.dsub == pq.dsub)
+    assert(java.util.Arrays.deepEquals(
+      pqL.centroids.asInstanceOf[Array[AnyRef]],
+      pq.centroids.asInstanceOf[Array[AnyRef]]))
+    val opq = Similarity.opqTrain(emb, "embedding", "vec_id", m = 4, k = 8, iters = 1)
+    Similarity.opqSaveModel(spark, opq, s"$root/opq")
+    val opqL = Similarity.opqLoadModel(spark, s"$root/opq")
+    assert(opqL.perm.toSeq == opq.perm.toSeq &&
+      opqL.pca.dim == opq.pca.dim && opqL.pca.n == opq.pca.n &&
+      opqL.pca.mean.toSeq == opq.pca.mean.toSeq &&
+      opqL.pca.eigenvalues.toSeq == opq.pca.eigenvalues.toSeq &&
+      java.util.Arrays.deepEquals(
+        opqL.pca.components.asInstanceOf[Array[AnyRef]],
+        opq.pca.components.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(
+        opqL.pq.centroids.asInstanceOf[Array[AnyRef]],
+        opq.pq.centroids.asInstanceOf[Array[AnyRef]]))
+    // a loaded model SEARCHES identically (same query, same top-5)
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val codes = Similarity.opqEncode(emb, "embedding", "vec_id", opq)
+    val fresh5 = Similarity.opqSearchAdc(codes, "vec_id", opq, q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val load5 = Similarity.opqSearchAdc(codes, "vec_id", opqL, q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fresh5 == load5, "loaded OPQ model searches differently")
+    // refusals: wrong artifact at the path (cross-load both ways)
+    intercept[IllegalArgumentException] {
+      Similarity.pqLoadModel(spark, s"$root/opq")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.opqLoadModel(spark, s"$root/pq")
+    }
+  }
+
   test("Compact: bin-packing, crash self-heal, convergence, snapshot edges, refusals") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
