@@ -2715,6 +2715,32 @@ object SparkEntry {
       Similarity.binarySearchHamming(codes, "vec_id", zeros, query, k = 50)
         .orderBy("vec_id")
     }),
+    "q192_rag_chunking" -> ((s, dir) => { ensure(s)
+      // RAG document chunking: overlapping 24-token windows, stride 16
+      // (8-token overlap), tail chunk short, empty docs emit nothing.
+      // Pure column expressions (split/sequence/explode/slice/join) —
+      // the oracle replays count formula, window arithmetic, and the
+      // whitespace-normalized chunk text verbatim.
+      TextAnalysis.chunkDocuments(ld(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 24, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    "q191_mmr_diversify" -> ((s, dir) => { ensure(s)
+      // MMR diversified top-k (Carbonell & Goldstein, SIGIR 1998) over
+      // the embedding corpus: distributed relevance pass + driver-side
+      // greedy over the collected top-50 candidates (loud-capped; the
+      // nprobe/rerank playbook). The oracle replays the ENTIRE greedy
+      // in a recursive CTE: cosine as the kernel's exact fp shape
+      // (left-ascending float-widened sums, dot/(na·nb), one division),
+      // per-step argmax of 0.7·rel − (1−0.7)·max-sim-to-selected with
+      // ties to the smaller id — any divergence in relevance, pairwise
+      // sims, or selection order breaks the row hash.
+      val emb = ld(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.mmrTopK(emb, "embedding", "vec_id", query,
+        k = 10, lambda = 0.7, nCand = 50)
+    }),
     "q190_pq_artifact" -> ((s, dir) => { ensure(s)
       // Vector-model ARTIFACT lifecycle — the q153/q185 train-once/
       // use-daily resume contract applied to the compression ladder:
@@ -4490,6 +4516,51 @@ object SparkEntry {
       "ORDER BY vec_id"
     },
     "q190_pq_artifact" -> q151OracleSql(4, 16, 16, 2),
+    "q192_rag_chunking" ->
+      ("WITH t AS MATERIALIZED (SELECT doc_id, " +
+       "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks " +
+       "FROM documents), " +
+       "n AS MATERIALIZED (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0), " +
+       "c AS (SELECT doc_id, toks, n, " +
+       "GREATEST(0, CAST(ceil(CAST(n - 24 AS DOUBLE)/16) AS INT)) + 1 AS nc FROM n), " +
+       "u AS (SELECT doc_id, toks, n, nc, unnest(range(nc)) AS i FROM c) " +
+       "SELECT doc_id, CAST(i AS INT) AS chunk_id, CAST(nc AS INT) AS n_chunks, " +
+       "CAST(i*16 AS INT) AS chunk_start, " +
+       "CAST(LEAST(24, n - i*16) AS INT) AS chunk_tokens, " +
+       "array_to_string(toks[(i*16 + 1)::INT : (i*16 + LEAST(24, n - i*16))::INT], ' ') AS chunk_text " +
+       "FROM u ORDER BY doc_id, chunk_id"),
+    "q191_mmr_diversify" -> {
+      def dot(a: String, b: String) = (1 to 64).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))").mkString(" + ")
+      "WITH RECURSIVE " +
+      "q AS MATERIALIZED (SELECT embedding AS emb FROM embeddings WHERE vec_id = 7), " +
+      s"qn AS MATERIALIZED (SELECT sqrt(${dot("emb", "emb")}) AS nq FROM q), " +
+      "c0 AS MATERIALIZED (SELECT v.vec_id AS id, v.embedding AS emb, " +
+      s"sqrt(${dot("v.embedding", "v.embedding")}) AS nrm, " +
+      s"${dot("v.embedding", "q.emb")} AS dq FROM embeddings v, q), " +
+      "cand AS MATERIALIZED (SELECT id, emb, nrm, " +
+      "CASE WHEN nrm = 0.0 OR (SELECT nq FROM qn) = 0.0 THEN 0.0 " +
+      "ELSE dq / (nrm * (SELECT nq FROM qn)) END AS rel " +
+      "FROM c0 ORDER BY rel DESC, id LIMIT 50), " +
+      "sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, " +
+      "CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0 " +
+      s"ELSE (${dot("a.emb", "b.emb")}) / (a.nrm * b.nrm) END AS sim " +
+      "FROM cand a JOIN cand b ON a.id <> b.id), " +
+      "sel(step, ids, pick) AS (" +
+      "SELECT 1, [c.id], c.id FROM (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1) c " +
+      "UNION ALL " +
+      "SELECT step1, list_append(ids0, id), id FROM (" +
+      "SELECT s0.step + 1 AS step1, s0.ids AS ids0, c.id AS id, " +
+      "0.7 * c.rel - (1.0 - 0.7) * max(m.sim) AS score " +
+      "FROM sel s0 " +
+      "JOIN cand c ON NOT list_contains(s0.ids, c.id) " +
+      "JOIN sims m ON m.ia = c.id AND list_contains(s0.ids, m.ib) " +
+      "WHERE s0.step < 10 " +
+      "GROUP BY s0.step, s0.ids, c.id, c.rel " +
+      "QUALIFY row_number() OVER (ORDER BY score DESC, id) = 1) t) " +
+      "SELECT CAST(s.step AS INT) AS mmr_rank, s.pick AS vec_id, round(c.rel, 6) AS rel " +
+      "FROM sel s JOIN cand c ON c.id = s.pick ORDER BY mmr_rank"
+    },
     "q182_pca_moment_table" ->
       ("WITH idx AS MATERIALIZED (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i)), " +
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +

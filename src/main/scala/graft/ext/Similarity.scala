@@ -749,6 +749,117 @@ object Similarity {
     r.getDecimal(0).doubleValue()
   }
 
+  // ---- MMR diversified retrieval -------------------------------------------
+
+  /** Driver-side twin of the codegen'd `cosine_sim` kernel
+    * ([[TextOps.cosineF]]): left-ascending float-widened double sums,
+    * dot / (‖a‖·‖b‖) with ONE division, zero-norm → 0.0 — bit-identical
+    * to what the column path computed for the same pair. */
+  private[graft] def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /**
+   * MMR — maximal-marginal-relevance diversified top-k (Carbonell &
+   * Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+   * `λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)` — relevance traded
+   * against redundancy with what's already picked, the standard
+   * diversification re-rank over any retrieval stack (brute-force / ANN
+   * / RRF candidates alike).
+   *
+   * Scale shape: the RELEVANCE pass is distributed (one codegen'd
+   * cosine per corpus row + TakeOrderedAndProject bounded heaps — never
+   * a sort shuffle); the greedy selection is inherently sequential in k
+   * and quadratic in the candidate set, so it runs driver-side over the
+   * collected top-`nCand` candidates under a loud `maxCand` guard —
+   * corpus-size-independent, the [[Ivf]] nprobe/rerank playbook.
+   * Determinism: relevance, pairwise sims, and the driver greedy all
+   * replay [[TextOps.cosineF]]'s exact fp shape; score ties break to
+   * the smaller id; `1−λ` is computed as the IEEE double `1.0 - lambda`
+   * in both engines. Output (mmr_rank, idCol, rel) with rel rounded
+   * 6 dp (Spark round = HALF_UP, replicated driver-side).
+   */
+  def mmrTopK(corpus: DataFrame, vecCol: String, idCol: String,
+              query: Array[Float], k: Int, lambda: Double, nCand: Int,
+              maxCand: Int = 4096): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1, got k=$k nCand=$nCand")
+    require(lambda >= 0.0 && lambda <= 1.0, s"need lambda in [0,1], got $lambda")
+    require(nCand <= maxCand,
+      s"mmrTopK: nCand=$nCand exceeds maxCand=$maxCand — the greedy stage is " +
+        "O(nCand²) on the driver; raise the cap only if the driver can hold it")
+    val spark = corpus.sparkSession
+    val qlit = array(query.map(lit(_)): _*)
+    val scored = corpus
+      .select(col(idCol), col(vecCol).cast("array<float>").as("_v"),
+        cosine_sim(col(vecCol), qlit).as("_rel"))
+      .filter(col("_rel").isNotNull)
+      .orderBy(col("_rel").desc, col(idCol).asc).limit(nCand)
+    val rows = scored.collect()
+    require(rows.nonEmpty, "mmrTopK: no scorable candidates")
+    val ids = rows.map(_.get(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val rels = rows.map(_.getDouble(2))
+    val idOrd: Ordering[Any] = ids(0) match {
+      case _: Long => Ordering.by(_.asInstanceOf[Long])
+      case _: Int => Ordering.by(_.asInstanceOf[Int])
+      case _: String => Ordering.by(_.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"mmrTopK: unsupported id type ${other.getClass.getName}")
+    }
+    val oneMinus = 1.0 - lambda
+    val n = rows.length
+    val picked = new Array[Int](math.min(k, n))
+    val taken = new Array[Boolean](n)
+    // anchor: candidates arrive (rel desc, id asc) — index 0 is argmax rel
+    picked(0) = 0; taken(0) = true
+    var step = 1
+    while (step < picked.length) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          var maxSim = Double.NegativeInfinity
+          var j = 0
+          while (j < step) {
+            val s = cosLocal(vecs(i), vecs(picked(j)))
+            if (s > maxSim) maxSim = s
+            j += 1
+          }
+          val score = lambda * rels(i) - oneMinus * maxSim
+          if (score > bestScore ||
+              (score == bestScore && idOrd.lt(ids(i), ids(best)))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      require(best >= 0,
+        "mmrTopK: no candidate produced a comparable score (NaN vectors?)")
+      picked(step) = best; taken(best) = true
+      step += 1
+    }
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      StructField("mmr_rank", IntegerType, nullable = false),
+      scored.schema(idCol).copy(name = idCol),
+      StructField("rel", org.apache.spark.sql.types.DoubleType)))
+    val out = picked.zipWithIndex.map { case (ci, r) =>
+      val relRounded = java.math.BigDecimal.valueOf(rels(ci))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      org.apache.spark.sql.Row(r + 1, ids(ci), relRounded)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), outSchema)
+  }
+
   // ---- Model artifact lifecycle (train once, search daily) ----------------
 
   /** Persist a [[PqModel]] as a one-row parquet artifact (doubles

@@ -101,6 +101,49 @@ object TextAnalysis {
   private[ext] def wordTokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /**
+   * RAG document CHUNKING: overlapping token windows over the `\s+`
+   * word stream — the retrieval-side complement of [[packSequences]]
+   * (training packs across documents; retrieval splits within them).
+   * Chunk i covers tokens `[i·stride, i·stride + chunkTokens)` with
+   * `stride = chunkTokens − overlapTokens`; the count is
+   * `1 + max(0, ⌈(n − chunkTokens)/stride⌉)`, so the tail chunk may be
+   * short but every token lands in at least one chunk. Token positions
+   * share [[wordTokens]]' coordinate system (lowercasing never moves a
+   * whitespace boundary) but chunk text preserves ORIGINAL case —
+   * retrieval wants the document, not the index key. Chunk text is
+   * whitespace-normalized (tokens re-joined with single spaces).
+   * Empty / all-whitespace documents produce ZERO chunks (there is
+   * nothing to retrieve), not one empty chunk.
+   *
+   * Scale: pure column expressions end to end (split / sequence /
+   * explode / slice / array_join — whole-stage codegen, no shuffle, no
+   * UDF); output fan-out is ~n/stride rows per doc, each slim.
+   * Output (idCol, chunk_id, n_chunks, chunk_start, chunk_tokens,
+   * chunk_text).
+   */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"need chunkTokens >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlapTokens < chunkTokens, got overlap=$overlapTokens chunk=$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val nChunks = greatest(lit(0),
+      ceil((col("_n") - chunkTokens).cast("double") / stride).cast("int")) + 1
+    df.select(col(idCol), toks.as("_toks"), size(toks).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"), col("_n"), nChunks.as("_nc"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .select(col(idCol), col("chunk_id"), col("_nc").as("n_chunks"),
+        col("chunk_start"),
+        least(lit(chunkTokens), col("_n") - col("chunk_start")).as("chunk_tokens"),
+        array_join(slice(col("_toks"), col("chunk_start") + 1,
+          least(lit(chunkTokens), col("_n") - col("chunk_start"))), " ")
+          .as("chunk_text"))
+  }
+
   /** Array of space-joined lowercase word n-grams (pure built-ins:
     * split + sequence + transform + slice — stays in codegen). */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -1595,6 +1595,84 @@ class ExtSpec extends SparkSpec {
       Option(nullEx.getCause).exists(_.getMessage.contains("NULL vector element")))
   }
 
+  test("Chunking: window arithmetic, overlap, tail, empty docs, case, refusals") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 tokens
+      (2L, "One  Two\tThree"),        // 3 tokens, mixed case + whitespace
+      (3L, "   "),                    // whitespace-only: zero chunks
+      (4L, "solo")                    // 1 token: one short chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", "doc_id",
+      chunkTokens = 4, overlapTokens = 2).orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5)))
+    // doc 1: n=10, stride=2, nc = 1 + ceil(6/2) = 4
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3) && d1.forall(_._3 == 4))
+    assert(d1(0)._6 == "a b c d" && d1(1)._6 == "c d e f" &&
+      d1(3)._6 == "g h i j" && d1(3)._5 == 4 && d1(3)._4 == 6)
+    // every token appears in at least one chunk; overlap tokens repeat
+    assert(d1.flatMap(_._6.split(" ")).distinct.sorted.toSeq ==
+      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+    // doc 2: case preserved, whitespace normalized
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._6 == "One Two Three" && d2(0)._5 == 3)
+    // doc 3: zero chunks; doc 4: one chunk of 1 token
+    assert(!out.exists(_._1 == 3L))
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.length == 1 && d4(0)._5 == 1 && d4(0)._6 == "solo")
+    // no overlap: exact partition
+    val np = TextAnalysis.chunkDocuments(df, "text", "doc_id", 4, 0)
+      .filter(col("doc_id") === 1).orderBy("chunk_id")
+      .collect().map(_.getString(5))
+    assert(np.toSeq == Seq("a b c d", "e f g h", "i j"))
+    // refusals
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "text", "doc_id", 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "text", "doc_id", 4, 4)
+    }
+  }
+
+  test("MMR: diversification hand-case, lambda=1 degenerates to relevance, refusals") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // q=(0.8,0.2): rel(2)=0.981 > rel(1)=0.970 > rel(3)=0.776. MMR at
+    // λ=0.5 picks 2 first, then the DIVERSE 3 (score 0.068) over the
+    // redundant 1 (score −0.014); pure relevance would rank (2, 1, 3).
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.05f)), (3L, Seq(0.6f, 0.8f)))
+      .toDF("id", "v")
+    val q = Array(0.8f, 0.2f)
+    val mmr = Similarity.mmrTopK(df, "v", "id", q, k = 3, lambda = 0.5,
+      nCand = 3).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(mmr.toSeq == Seq((1, 2L), (2, 3L), (3, 1L)))
+    // λ=1: redundancy term vanishes — pure relevance order
+    val rel = Similarity.mmrTopK(df, "v", "id", q, k = 3, lambda = 1.0,
+      nCand = 3).collect().map(_.getLong(1))
+    assert(rel.toSeq == Seq(2L, 1L, 3L))
+    // string ids work (tie-break ordering)
+    val sdf = Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(1.0f, 0.0f)))
+      .toDF("id", "v")
+    val s2 = Similarity.mmrTopK(sdf, "v", "id", q, k = 2, lambda = 0.5,
+      nCand = 2).collect().map(_.getString(1))
+    assert(s2.toSeq == Seq("a", "b"))
+    // refusals
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, "v", "id", q, k = 5, lambda = 0.5, nCand = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, "v", "id", q, k = 1, lambda = 1.5, nCand = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, "v", "id", q, k = 1, lambda = 0.5,
+        nCand = 9000, maxCand = 4096)
+    }
+  }
+
   test("Vector-model artifacts: PQ and OPQ save/load roundtrip bit-exact, refusals") {
     import graft.ext.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
