@@ -2715,6 +2715,18 @@ object SparkEntry {
       Similarity.binarySearchHamming(codes, "vec_id", zeros, query, k = 50)
         .orderBy("vec_id")
     }),
+    "q193_chunk_retrieval" -> ((s, dir) => { ensure(s)
+      // chunk-level BM25 + document max-pooling (the RAG retrieval
+      // shape; Karpukhin 2020's per-doc max over passage scores):
+      // chunks are the BM25 corpus (chunk-count/chunk-avgdl stats),
+      // each doc represented by its best chunk, top-15 docs. The
+      // oracle replays chunking, the pinned BM25 fp shape, pooling
+      // tie (bm25 desc, chunk_id asc), and the head order.
+      TextAnalysis.chunkBm25TopK(ld(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 24, overlapTokens = 8,
+          terms = Seq("join", "spark", "dup"), k = 15)
+        .orderBy("doc_id")
+    }),
     "q192_rag_chunking" -> ((s, dir) => { ensure(s)
       // RAG document chunking: overlapping 24-token windows, stride 16
       // (8-token overlap), tail chunk short, empty docs emit nothing.
@@ -3198,6 +3210,51 @@ object SparkEntry {
         "q179: md5 bloom membership incomplete")
       require(hn == corpus.count(),
         s"q179: md5 bloom n_added $hn != corpus size")
+      s.read.parquet(s"$root/report")
+        .select(concat(lit("b"), col("batch_id").cast("string"), lit("_"),
+          col("stage")).as("stage"), col("rows").as("n"))
+        .unionByName(s.read.parquet(s"$root/corpus").select(
+          concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
+          length(col("text")).cast("long").as("n")))
+        .orderBy("stage")
+    }),
+    "q194_ingest_autocompact" -> ((s, dir) => { ensure(s)
+      // AUTO-COMPACTION composed into the streaming sink: the q156
+      // fixture drained with compactEveryBatches=2/keepLatest=0, so
+      // after batch 1 the corpus and every side table bin-pack their
+      // two raw batches into one c0-1 range INSIDE the sink. The
+      // in-gate requires pin that compaction actually fired (ranges
+      // exist, raw batches gone); the oracle is q156's closed-form
+      // survivor arithmetic — layout maintenance must be invisible to
+      // every query result.
+      val (b1, b2) = ingestFixture(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-sautoc").toString
+      new java.io.File(s"$root/src").mkdirs()
+      def drain(): Unit = {
+        val docs = s.readStream.schema(b1.schema).parquet(s"$root/src")
+        val q = graft.streaming.EventStream.ingestSink(docs, "text", "doc_id",
+          s"$root/corpus", s"$root/ckpt", urlCol = Some("url"),
+          reportDir = Some(s"$root/report"),
+          compactEveryBatches = Some(2), compactKeepLatest = 0)
+        require(q.awaitTermination(300000), "q194: ingest stream timed out")
+      }
+      stageIngestBatch(b1, root, "b1"); drain()
+      stageIngestBatch(b2, root, "b2"); drain()
+      def partNames(d: String): Set[String] = {
+        val f = new java.io.File(d)
+        require(f.isDirectory, s"q194: $d missing")
+        f.listFiles().filter(_.isDirectory).map(_.getName)
+          .filterNot(_.startsWith(".")).toSet
+      }
+      val corpusParts = partNames(s"$root/corpus")
+      require(corpusParts.contains("batch=c0-1") &&
+        !corpusParts.contains("batch=0") && !corpusParts.contains("batch=1"),
+        s"q194: corpus not compacted, parts = $corpusParts")
+      Seq("urlset", "md5set", "minhash").foreach { t =>
+        val p = partNames(s"$root/corpus.side/$t")
+        require(p.contains("batch=c0-1") && !p.contains("batch=0"),
+          s"q194: side table $t not compacted, parts = $p")
+      }
       s.read.parquet(s"$root/report")
         .select(concat(lit("b"), col("batch_id").cast("string"), lit("_"),
           col("stage")).as("stage"), col("rows").as("n"))
@@ -4340,6 +4397,7 @@ object SparkEntry {
     // the bloom-prefiltered sink must reproduce q156's closed-form
     // stage counts + survivor set exactly — same oracle by design
     "q179_bloom_ingest" -> q156OracleSql,
+    "q194_ingest_autocompact" -> q156OracleSql,
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),
@@ -4516,6 +4574,36 @@ object SparkEntry {
       "ORDER BY vec_id"
     },
     "q190_pq_artifact" -> q151OracleSql(4, 16, 16, 2),
+    "q193_chunk_retrieval" ->
+      ("WITH ct AS MATERIALIZED (SELECT doc_id, " +
+       "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS dtoks FROM documents), " +
+       "cn AS MATERIALIZED (SELECT doc_id, dtoks, len(dtoks) AS dn FROM ct WHERE len(dtoks) > 0), " +
+       "cc AS (SELECT doc_id, dtoks, dn, " +
+       "GREATEST(0, CAST(ceil(CAST(dn - 24 AS DOUBLE)/16) AS INT)) + 1 AS nc FROM cn), " +
+       "cu AS (SELECT doc_id, dtoks, dn, unnest(range(nc)) AS i FROM cc), " +
+       "ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id, " +
+       "array_to_string(dtoks[(i*16 + 1)::INT : (i*16 + LEAST(24, dn - i*16))::INT], ' ') AS chunk_text FROM cu), " +
+       "t AS (SELECT doc_id, chunk_id, list_filter(string_split_regex(lower(trim(chunk_text)), '\\s+'), x -> len(x) > 0) AS toks FROM ch), " +
+       "d AS (SELECT doc_id, chunk_id, toks, len(toks) AS dl FROM t), " +
+       "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl, " +
+       "CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+       "CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+       "CAST(sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM d), " +
+       "f AS (SELECT doc_id, chunk_id, dl, " +
+       "CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf0, " +
+       "CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1, " +
+       "CAST(len(list_filter(toks, x -> x = 'dup')) AS DOUBLE) AS tf2 FROM d), " +
+       "r AS (SELECT doc_id, chunk_id, round(" +
+       "ln(1.0 + ((n - df0) + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
+       "ln(1.0 + ((n - df1) + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n))) + " +
+       "ln(1.0 + ((n - df2) + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (sumdl / n)))" +
+       ", 6) AS bm25 FROM f, s), " +
+       "p AS (SELECT doc_id, chunk_id, bm25, " +
+       "row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, chunk_id) AS rk " +
+       "FROM r WHERE bm25 > 0) " +
+       "SELECT doc_id, chunk_id, bm25 FROM " +
+       "(SELECT doc_id, chunk_id, bm25 FROM p WHERE rk = 1 ORDER BY bm25 DESC, doc_id LIMIT 15) " +
+       "ORDER BY doc_id"),
     "q192_rag_chunking" ->
       ("WITH t AS MATERIALIZED (SELECT doc_id, " +
        "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks " +

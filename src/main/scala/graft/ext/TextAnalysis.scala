@@ -589,6 +589,40 @@ object TextAnalysis {
       .filter(col("bm25") > 0)
   }
 
+  /**
+   * CHUNK-level BM25 retrieval with document max-pooling — the standard
+   * RAG retrieval shape: score [[chunkDocuments]]' windows as the BM25
+   * corpus (chunk count and chunk-average length are the collection
+   * stats — long documents no longer drown their own relevant passage),
+   * then each document is represented by its BEST chunk and the top-k
+   * documents come back with the winning chunk id — the "retrieve
+   * passages, return documents" pooling used by passage-retrieval
+   * systems (Karpukhin et al. 2020 take the same per-doc max over
+   * passage scores).
+   *
+   * Scale: chunking and scoring are pure column expressions; pooling is
+   * a struct-max groupBy (partial aggregation map-side — never a
+   * per-doc collect); the head is TakeOrderedAndProject. Ties: best
+   * chunk within a doc = (bm25 desc, chunk_id asc); ranking = (bm25
+   * desc, idCol asc). Output (idCol, chunk_id, bm25).
+   */
+  def chunkBm25TopK(df: DataFrame, textCol: String, idCol: String,
+                    chunkTokens: Int, overlapTokens: Int,
+                    terms: Seq[String], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val chunks = chunkDocuments(df, textCol, idCol, chunkTokens, overlapTokens)
+      .select(struct(col(idCol), col("chunk_id")).as("_ck"), col("chunk_text"))
+    bm25Scores(chunks, "chunk_text", "_ck", terms, k1, b)
+      .select(col("_ck").getField(idCol).as(idCol),
+        col("_ck").getField("chunk_id").as("chunk_id"), col("bm25"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("bm25"), (-col("chunk_id")).as("_negc"))).as("_m"))
+      .select(col(idCol), (-col("_m").getField("_negc")).as("chunk_id"),
+        col("_m").getField("bm25").as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+  }
+
   /** Top-k BM25 retrieval: score + deterministic (score desc, id asc)
     * head. `orderBy.limit` plans as TakeOrderedAndProject — a bounded
     * per-partition heap merged on the driver, never a global sort. */

@@ -269,8 +269,29 @@ object EventStream {
                  // artifact never retrains. Keep the path stable for
                  // the corpus lifetime — flipping it mid-life mixes
                  // partition schemas.
-                 tokenizerPath: Option[String] = None)
+                 tokenizerPath: Option[String] = None,
+                 // AUTO-COMPACTION ([[graft.ext.Compact]]): every N
+                 // batches the sink bin-packs closed batch ranges of the
+                 // corpus and all maintained side tables to
+                 // `compactTargetBytes` — a year of daily batches stays
+                 // O(corpus/targetBytes) files instead of ~365 fragmented
+                 // partitions per table. Runs INSIDE foreachBatch after
+                 // the batch's writes: compaction is rerun-idempotent and
+                 // crash-self-healing (q187 contract), and
+                 // `compactKeepLatest` newest batches stay raw so a
+                 // checkpoint replay can still exclude its own partition.
+                 // Even at keepLatest=0 content is preserved (a replayed
+                 // batch already folded into a range dedups against it
+                 // and overwrites its own partition empty — the range
+                 // stays authoritative), but snapshot granularity
+                 // coarsens at range boundaries, so keep >= 1 unless the
+                 // layout is append-only archive.
+                 compactEveryBatches: Option[Int] = None,
+                 compactTargetBytes: Long = 128L << 20,
+                 compactKeepLatest: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    compactEveryBatches.foreach(n => require(n >= 1,
+      s"compactEveryBatches must be >= 1, got $n"))
     require(newDocs.isStreaming, "ingestSink needs a streaming frame; " +
       "call Pipeline.ingestBatch directly for batch ingestion")
     newDocs.writeStream
@@ -395,6 +416,15 @@ object EventStream {
           import spark.implicits._
           report.map(r => (r.stage, r.rows)).toDF("stage", "rows")
             .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
+        }
+        // scheduled layout maintenance: after this batch's writes land,
+        // bin-pack closed ranges across corpus + side tables. Replays
+        // re-run it — harmless, compaction is rerun-idempotent.
+        compactEveryBatches.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            graft.ext.Compact.compactIngestLayout(spark, corpusDir,
+              targetBytes = compactTargetBytes,
+              keepLatest = compactKeepLatest)
         }
         ()
       }

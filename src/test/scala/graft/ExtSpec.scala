@@ -1637,6 +1637,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Chunk retrieval: passage wins over doc dilution, pooling tie to first chunk") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      // long doc, needles concentrated in chunk 1 — whole-doc BM25 would
+      // dilute them over dl=12; chunk scoring must surface the passage
+      (1L, "a b c d needle needle x y p q r s"),
+      (2L, "needle z z z"),
+      // two identical chunks, equal score — pooled chunk_id must be 0
+      (3L, "needle w w w needle w w w")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkBm25TopK(df, "text", "doc_id",
+      chunkTokens = 4, overlapTokens = 0, terms = Seq("needle"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 == 1, "doc 1's winning chunk must be the needle passage")
+    assert(byDoc(3L)._2 == 0, "equal-score chunks must pool to the first")
+    // tf=2 at dl=4 must beat tf=1 at dl=4 (same collection stats)
+    assert(byDoc(1L)._3 > byDoc(2L)._3)
+  }
+
   test("MMR: diversification hand-case, lambda=1 degenerates to relevance, refusals") {
     import spark.implicits._
     import graft.ext.Similarity

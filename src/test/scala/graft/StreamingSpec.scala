@@ -282,6 +282,68 @@ class StreamingSpec extends SparkSpec {
     assert(mh == got, s"side minhash ids $mh != corpus $got")
   }
 
+  test("ingestSink auto-compaction: later batches dedup against the compacted corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ext.TextFunctions.registerAll(spark)
+    val root = tmpDir("ingest-autocompact")
+    val srcDir = s"$root/src"; val corpusDir = s"$root/corpus"
+    new java.io.File(srcDir).mkdirs()
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon one", "https://a.ex/p1"),
+      (4L, "lambda mu nu xi omicron three", "https://a.ex/p4"))
+      .toDF("doc_id", "text", "url")
+    val b2 = Seq(
+      (13L, "unique phi chi psi omega five", "https://b.ex/p13"))
+      .toDF("doc_id", "text", "url")
+    // arrives AFTER compaction: an exact cross-copy of batch-0 doc 1, a
+    // URL refetch of batch-0 doc 4, and one fresh doc — the cross
+    // stages must find the dups in the COMPACTED corpus + side tables
+    val b3 = Seq(
+      (21L, "alpha beta gamma delta epsilon one", "https://c.ex/p21"),
+      (23L, "brand new sentence words six seven", "https://a.ex/p4"),
+      (22L, "totally fresh words here eight nine", "https://c.ex/p22"))
+      .toDF("doc_id", "text", "url")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage-$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    def drain(): Unit = {
+      val docs = spark.readStream.schema(b1.schema).parquet(srcDir)
+      val q = EventStream.ingestSink(docs, "text", "doc_id",
+        corpusDir, s"$root/ckpt", urlCol = Some("url"),
+        compactEveryBatches = Some(2), compactKeepLatest = 0)
+      assert(q.awaitTermination(180000), "ingest stream timed out")
+    }
+    stage(b1, "b1"); drain()
+    stage(b2, "b2"); drain()   // (batchId 1 + 1) % 2 == 0 → compaction fires
+    def parts(d: String): Set[String] =
+      new java.io.File(d).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(parts(corpusDir).contains("batch=c0-1") &&
+      !parts(corpusDir).contains("batch=0"),
+      s"corpus not compacted: ${parts(corpusDir)}")
+    stage(b3, "b3"); drain()   // batch 2 ingests against the compacted layout
+    val got = spark.read.parquet(corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 13L, 22L),
+      s"dedup against compacted corpus broke: $got")
+    // layout: the compacted range plus the raw post-compaction batch
+    assert(parts(corpusDir) == Set("batch=c0-1", "batch=2"),
+      s"unexpected layout: ${parts(corpusDir)}")
+    // side tables were compacted too, and still cover all survivors
+    val md5s = spark.read.parquet(s"$corpusDir.side/md5set")
+      .select("text_md5").collect().map(_.getString(0)).toSet
+    val wantMd5 = spark.read.parquet(corpusDir)
+      .select(md5($"text")).collect().map(_.getString(0)).toSet
+    assert(md5s == wantMd5, s"side md5s $md5s != $wantMd5")
+    assert(parts(s"$corpusDir.side/md5set").contains("batch=c0-1"))
+  }
+
   test("ingestSink with bloom prefilter == without; artifacts maintained per batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
