@@ -2635,6 +2635,34 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q196_schema_backfill" -> ((s, dir) => { ensure(s)
+      // SCHEMA BACKFILL for the batch layout — the "tokenizer adopted
+      // mid-corpus-life" repair: batches 0-7 born WITHOUT n_tokens,
+      // 8-11 born with it (the mixed-schema state ingestSink's
+      // tokenizerPath doc warns about). backfillBatchTable derives the
+      // column for exactly the 8 lacking partitions in place
+      // (write tmp → count-verify → two-rename swap, crash-self-
+      // healing, rerun no-op — the in-gate requires pin all of it);
+      // the oracle recomputes every doc's token count from scratch, so
+      // a lost/duplicated row or a wrong derive breaks it.
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val nTok = size(filter(split(trim(col("text")), "\\s+"),
+        t => length(t) > 0)).cast("long")
+      val root = java.nio.file.Files.createTempDirectory("graft-q196").toString
+      val corpus = s"$root/corpus"
+      (0 to 7).foreach(i => docs.filter(col("doc_id") % 12 === i)
+        .write.parquet(s"$corpus/batch=$i"))
+      (8 to 11).foreach(i => docs.filter(col("doc_id") % 12 === i)
+        .withColumn("n_tokens", nTok).write.parquet(s"$corpus/batch=$i"))
+      val done = graft.ext.Compact.backfillBatchTable(s, corpus, "n_tokens",
+        df => df.withColumn("n_tokens", nTok))
+      require(done.toSet == (0 to 7).map(i => s"batch=$i").toSet,
+        s"q196: expected batches 0-7 backfilled, got $done")
+      require(graft.ext.Compact.backfillBatchTable(s, corpus, "n_tokens",
+        df => df.withColumn("n_tokens", nTok)).isEmpty,
+        "q196: rerun was not a no-op")
+      s.read.parquet(corpus).select("doc_id", "n_tokens").orderBy("doc_id")
+    }),
     "q187_compaction" -> ((s, dir) => { ensure(s)
       // SMALL-FILES maintenance for the batch-partitioned ingest
       // layout (Compact.compactBatchTable): 12 daily batches, the 10
@@ -3217,6 +3245,33 @@ object SparkEntry {
           concat(lit("doc_"), col("doc_id").cast("string")).as("stage"),
           length(col("text")).cast("long").as("n")))
         .orderBy("stage")
+    }),
+    "q195_countmin" -> ((s, dir) => { ensure(s)
+      // COUNT-MIN frequency side table (Cormode & Muthukrishnan 2005):
+      // per-source d×w counter partitions over the word stream, merged
+      // cell-wise (exactly additive — the strongest merge guarantee of
+      // the sketch family), point-estimates = min over the d rows.
+      // Width 256 forces visible collisions; every number is integer
+      // arithmetic over the 8-nibble md5 hash, so the oracle replays
+      // the ENTIRE sketch — hash, counter matrix, merge, min — and the
+      // estimates must match EXACTLY, absent-key floor included.
+      val docs = ld(s, dir, "documents")
+      val words = docs.select(col("source"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("w"))
+      val root = java.nio.file.Files.createTempDirectory("graft-cms").toString
+      graft.ext.Sketches.writeCmsTable(words, "w", "source", s"$root/cms",
+        depth = 4, width = 256, seed = 7L)
+      import s.implicits._
+      val keys = Seq("join", "spark", "the", "zzzz-absent").toDF("w")
+      val full = graft.ext.Sketches.cmsEstimate(s, s"$root/cms", keys, "w",
+        depth = 4, width = 256, seed = 7L)
+        .select(lit("all").as("scope"), col("w"), col("est"))
+      val src0 = graft.ext.Sketches.cmsEstimate(s, s"$root/cms", keys, "w",
+        depth = 4, width = 256, seed = 7L,
+        where = Some(col("source") === "src0"))
+        .select(lit("src0").as("scope"), col("w"), col("est"))
+      full.unionByName(src0).orderBy("scope", "w")
     }),
     "q194_ingest_autocompact" -> ((s, dir) => { ensure(s)
       // AUTO-COMPACTION composed into the streaming sink: the q156
@@ -4398,6 +4453,37 @@ object SparkEntry {
     // stage counts + survivor set exactly — same oracle by design
     "q179_bloom_ingest" -> q156OracleSql,
     "q194_ingest_autocompact" -> q156OracleSql,
+    "q196_schema_backfill" ->
+      ("SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), " +
+       "x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),
+    "q195_countmin" -> {
+      val params = graft.ext.Sketches.cmsParams(7L, 4)
+      val pv = params.zipWithIndex.map { case ((a, b), j) =>
+        s"($j, ${a}::BIGINT, ${b}::BIGINT)" }.mkString(", ")
+      "WITH wds AS MATERIALIZED (SELECT source, unnest(list_filter(" +
+      "string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w " +
+      "FROM documents), " +
+      s"pr AS (SELECT * FROM (VALUES $pv) p(j, a, b)), " +
+      "cells AS (SELECT source, pr.j, " +
+      "((CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) * pr.a + pr.b) " +
+      "% 2147483647) % 256 AS cidx FROM wds CROSS JOIN pr), " +
+      "cnt AS MATERIALIZED (SELECT source, j, cidx, count(*) AS c " +
+      "FROM cells GROUP BY source, j, cidx), " +
+      "k AS (SELECT * FROM (VALUES ('join'), ('spark'), ('the'), ('zzzz-absent')) t(w)), " +
+      "kc AS (SELECT k.w, pr.j, " +
+      "((CAST(concat('0x', substr(md5(k.w), 1, 8)) AS BIGINT) * pr.a + pr.b) " +
+      "% 2147483647) % 256 AS cidx FROM k CROSS JOIN pr), " +
+      "scopes AS (" +
+      "SELECT 'all' AS scope, kc.w, kc.j, COALESCE(SUM(cnt.c), 0) AS rowcnt " +
+      "FROM kc LEFT JOIN cnt ON cnt.j = kc.j AND cnt.cidx = kc.cidx " +
+      "GROUP BY kc.w, kc.j " +
+      "UNION ALL " +
+      "SELECT 'src0', kc.w, kc.j, COALESCE(SUM(cnt.c), 0) " +
+      "FROM kc LEFT JOIN cnt ON cnt.j = kc.j AND cnt.cidx = kc.cidx " +
+      "AND cnt.source = 'src0' GROUP BY kc.w, kc.j) " +
+      "SELECT scope, w, CAST(min(rowcnt) AS BIGINT) AS est FROM scopes " +
+      "GROUP BY scope, w ORDER BY scope, w"
+    },
     "q157_pq_adc_batch" -> q157OracleSql(4, 16, 16, 2),
     "q158_ivfadc_residual" -> q152OracleSql(64),
     "q159_adc_refine" -> q159OracleSql(4, 16, 16, 2, 64, 50),

@@ -177,6 +177,73 @@ object Compact {
   }
 
   /**
+   * SCHEMA BACKFILL for the batch-partitioned layout: derive a new
+   * column for every partition that lacks it, IN PLACE — the
+   * "tokenizer adopted mid-corpus-life" problem
+   * ([[graft.streaming.EventStream.ingestSink]]'s `tokenizerPath`
+   * warns that flipping it mixes partition schemas; this repairs the
+   * mix). `derive` must return the input rows with `colName` added —
+   * row count is verified per partition before any swap, and row
+   * identity is the caller's contract (a derive that filters or
+   * duplicates is refused by the count check).
+   *
+   * Per partition: write tmp (dot-prefixed, invisible) → verify count
+   * → rename original to a dot-prefixed `.backfill_old_` name →
+   * promote tmp → delete the old copy. The crash window between the
+   * two renames leaves the partition ABSENT but its `.backfill_old_`
+   * copy intact; the next run (or any run) restores it before
+   * proceeding — self-healing, same discipline as compaction's. Like
+   * compaction, an OFFLINE maintenance op (a concurrent reader could
+   * see the partition missing for the instant between renames).
+   * Partitions that already carry `colName` are skipped untouched —
+   * reruns are no-ops. Returns the partition names backfilled this
+   * run.
+   */
+  def backfillBatchTable(spark: SparkSession, dir: String, colName: String,
+                         derive: DataFrame => DataFrame): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"backfill: $dir does not exist")
+    // sweep crashed tmps; restore a crashed swap (partition absent but
+    // its .backfill_old_ copy present — the rename pair was interrupted)
+    fs.listStatus(p).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".backfill_tmp_")) fs.delete(st.getPath, true)
+      else if (n.startsWith(".backfill_old_")) {
+        val orig = new Path(p, n.stripPrefix(".backfill_old_"))
+        if (!fs.exists(orig)) {
+          require(fs.rename(st.getPath, orig),
+            s"backfill: failed to restore $orig from crashed swap")
+        } else fs.delete(st.getPath, true) // promoted already — finish
+      }
+    }
+    val parts = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(c => c.getName.startsWith("batch="))
+    parts.flatMap { part =>
+      val cur = spark.read.parquet(part.toString)
+      if (cur.columns.contains(colName)) None
+      else {
+        val out = derive(cur)
+        require(out.columns.contains(colName),
+          s"backfill: derive did not add '$colName' (columns: " +
+            out.columns.mkString(", ") + ")")
+        val nIn = cur.count()
+        val tmp = new Path(p, s".backfill_tmp_${part.getName}")
+        out.write.mode("overwrite").parquet(tmp.toString)
+        val nOut = spark.read.parquet(tmp.toString).count()
+        require(nOut == nIn,
+          s"backfill: derive changed ${part.getName}'s row count " +
+            s"($nIn -> $nOut) — must be row-preserving; aborting before swap")
+        val old = new Path(p, s".backfill_old_${part.getName}")
+        require(fs.rename(part, old), s"backfill: rename $part -> $old failed")
+        require(fs.rename(tmp, part), s"backfill: promote $tmp -> $part failed")
+        fs.delete(old, true)
+        Some(part.getName)
+      }
+    }
+  }
+
+  /**
    * SNAPSHOT read: the table as of batch `maxBatch` inclusive — every
    * partition whose id range lies at or below the boundary. REFUSES
    * loudly when the boundary falls strictly inside a compacted range

@@ -234,4 +234,116 @@ object Sketches {
           call_function("theta_intersection", col("sk_a"), col("sk_b")))
           .as("n_common"))
   }
+
+  // ------------------- count-min frequency side tables -------------------
+  // POINT-FREQUENCY is the fourth non-additive question (after distinct
+  // counts, heavy hitters, quantiles): "how often does THIS key appear,
+  // corpus-wide" for keys outside Misra-Gries' top-k. Count-min (Cormode
+  // & Muthukrishnan, J.Alg 2005) answers it in d·w counters with the
+  // one-sided guarantee est ≥ true and est ≤ true + εN (ε = e/w) w.h.p.;
+  // the counter matrix is EXACTLY additive (cell-wise sums), so the
+  // side-table shape is the strongest of the family — merge-of-parts is
+  // bit-identical to build-of-whole, no randomized compaction anywhere.
+  // Everything is integer arithmetic over a cross-engine-replayable hash
+  // (first 8 md5 nibbles as a base-16 int, then d pairwise-independent
+  // (a·h + b) mod p mod w rows with p = 2^31−1 and a, b < 2^20 from
+  // splitmix64(seed) — every product stays under 2^52, exact in any
+  // engine's 64-bit integers), so gates pin ESTIMATES EXACTLY, not a
+  // tolerance band.
+
+  private val CmsP = 2147483647L // 2^31 − 1
+
+  /** Deterministic pairwise hash parameters: depth (a, b) pairs from
+    * splitmix64(seed), a odd and both < 2^20. Pure — the oracle SQL is
+    * generated from the same values. */
+  def cmsParams(seed: Long, depth: Int): Seq[(Long, Long)] = {
+    require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16, got $depth")
+    var s = seed
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until depth).map { _ =>
+      val a = ((next() & 0xFFFFFL) | 1L) // odd, < 2^20
+      val b = next() & 0xFFFFFL
+      (a, b)
+    }
+  }
+
+  /** The 32-bit key hash both engines replay: first 8 md5 hex chars as
+    * a base-16 integer. */
+  private def keyHash(value: org.apache.spark.sql.Column) =
+    conv(substring(md5(value), 1, 8), 16, 10).cast("long")
+
+  /** Row-j counter index of a key: ((a·h + b) mod p) mod w. */
+  private def cmsIndex(h: org.apache.spark.sql.Column, a: Long, b: Long,
+                       width: Int) =
+    pmod(pmod(h * lit(a) + lit(b), lit(CmsP)), lit(width)).cast("int")
+
+  /** Build (or rebuild) the count-min side table: rows
+    * (partCol, j, cidx, cnt) — the nonzero cells of each partition's
+    * d×w counter matrix. One slim d-row fanout per input row into a
+    * partially-aggregated groupBy; partition-dir layout so
+    * [[appendCms]] overwrites one partition idempotently. */
+  def writeCmsTable(df: DataFrame, valueCol: String, partCol: String,
+                    dir: String, depth: Int = 4, width: Int = 65536,
+                    seed: Long = 42L): Unit = {
+    require(width >= 2, s"need width >= 2, got $width")
+    val params = cmsParams(seed, depth)
+    val h = keyHash(col(valueCol))
+    val cells = posexplode(array(params.map { case (a, b) =>
+      cmsIndex(h, a, b, width) }: _*)).as(Seq("j", "cidx"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(partCol), cells)
+      .groupBy(col(partCol), col("j"), col("cidx"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+  }
+
+  /** Incremental maintenance: sketch ONE partition's complete rows and
+    * overwrite exactly its directory (batch-id-keyed overwrite — the
+    * ingestSink recipe, replays idempotent). */
+  def appendCms(rows: DataFrame, valueCol: String, partCol: String,
+                partValue: Any, dir: String, depth: Int = 4,
+                width: Int = 65536, seed: Long = 42L): Unit = {
+    require(width >= 2, s"need width >= 2, got $width")
+    val params = cmsParams(seed, depth)
+    val h = keyHash(col(valueCol))
+    val cells = posexplode(array(params.map { case (a, b) =>
+      cmsIndex(h, a, b, width) }: _*)).as(Seq("j", "cidx"))
+    rows.filter(col(valueCol).isNotNull)
+      .select(cells)
+      .groupBy(col("j"), col("cidx")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/$partCol=$partValue")
+  }
+
+  /**
+   * Point-frequency estimates for a key frame, off the side table only:
+   * counters of the selected partitions sum cell-wise (exact additive
+   * merge), each key reads its d cells, estimate = min over rows.
+   * Absent keys correctly report the matrix's floor for their cells
+   * (≥ 0; the CMS over-count, never an undercount). Output
+   * (keyCol, est). The keys side is broadcast — pass a bounded frame.
+   */
+  def cmsEstimate(spark: SparkSession, dir: String, keys: DataFrame,
+                  keyCol: String, depth: Int = 4, width: Int = 65536,
+                  seed: Long = 42L,
+                  where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(width >= 2, s"need width >= 2, got $width")
+    val params = cmsParams(seed, depth)
+    val t = spark.read.parquet(dir)
+    val sel = where.map(t.filter).getOrElse(t)
+    val merged = sel.groupBy(col("j"), col("cidx"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val h = keyHash(col(keyCol))
+    val wanted = keys.select(col(keyCol),
+      posexplode(array(params.map { case (a, b) =>
+        cmsIndex(h, a, b, width) }: _*)).as(Seq("j", "cidx")))
+    merged.join(broadcast(wanted), Seq("j", "cidx"), "right")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

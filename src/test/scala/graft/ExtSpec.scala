@@ -1637,6 +1637,100 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Backfill: mixed schemas healed, crash swap restored, skip untouched, refusals") {
+    import spark.implicits._
+    import graft.ext.Compact
+    val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val corpus = s"$root/c"
+    Seq((1L, "aa"), (2L, "bb")).toDF("id", "t")
+      .write.parquet(s"$corpus/batch=0")
+    Seq((3L, "cc")).toDF("id", "t").withColumn("n", length(col("t")))
+      .write.parquet(s"$corpus/batch=1")
+    def derive(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("n", length(col("t")))
+    // batch=1 already has the column: untouched (same files)
+    val before1 = new java.io.File(s"$corpus/batch=1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(Compact.backfillBatchTable(spark, corpus, "n", derive)
+      == Seq("batch=0"))
+    val after1 = new java.io.File(s"$corpus/batch=1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(before1 == after1, "partition already carrying the column was rewritten")
+    val got = spark.read.parquet(corpus).select("id", "n")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 2), (2L, 2), (3L, 2)))
+    // crash between the two renames: partition gone, .backfill_old_ left
+    val fs = new java.io.File(corpus)
+    val p0 = new java.io.File(fs, "batch=0")
+    val old0 = new java.io.File(fs, ".backfill_old_batch=0")
+    assert(p0.renameTo(old0))
+    assert(Compact.backfillBatchTable(spark, corpus, "n", derive).isEmpty)
+    assert(p0.isDirectory && !old0.exists(), "crashed swap was not restored")
+    assert(spark.read.parquet(corpus).count() == 3)
+    // crash AFTER promote (both present): the old copy is swept
+    val tmpCopy = new java.io.File(fs, ".backfill_old_batch=1")
+    java.nio.file.Files.createDirectory(tmpCopy.toPath)
+    Compact.backfillBatchTable(spark, corpus, "n", derive)
+    assert(!tmpCopy.exists(), "stale .backfill_old_ not swept")
+    // refusals: derive that drops rows; derive that forgets the column
+    Seq((9L, "zz")).toDF("id", "t").write.parquet(s"$corpus/batch=2")
+    intercept[IllegalArgumentException] {
+      Compact.backfillBatchTable(spark, corpus, "n",
+        df => df.filter(col("id") < 0).withColumn("n", length(col("t"))))
+    }
+    intercept[IllegalArgumentException] {
+      Compact.backfillBatchTable(spark, corpus, "n", df => df)
+    }
+    // the refused attempts left batch=2 intact and still lacking the column
+    assert(spark.read.parquet(s"$corpus/batch=2").columns.toSet == Set("id", "t"))
+  }
+
+  test("Count-min: est >= true, incremental == rebuild, scope filter, refusals") {
+    import spark.implicits._
+    import graft.ext.Sketches
+    val root = java.nio.file.Files.createTempDirectory("graft-cmspec").toString
+    val rows = Seq.tabulate(300)(i => (s"p${i % 3}", s"k${i % 25}")) ++
+      Seq.fill(40)(("p0", "hot"))
+    val df = rows.toDF("part", "v")
+    Sketches.writeCmsTable(df, "v", "part", s"$root/a",
+      depth = 4, width = 16, seed = 11L)
+    // incremental per-partition build lands the identical side table
+    Seq("p0", "p1", "p2").foreach { p =>
+      Sketches.appendCms(df.filter(col("part") === p), "v", "part", p,
+        s"$root/b", depth = 4, width = 16, seed = 11L)
+    }
+    val keys = (0 until 25).map(i => s"k$i").toDF("v")
+      .union(Seq("hot", "nope").toDF("v"))
+    def ests(dir: String, w: Option[org.apache.spark.sql.Column],
+             width: Int = 16) =
+      Sketches.cmsEstimate(spark, dir, keys, "v", depth = 4, width = width,
+        seed = 11L, where = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ea = ests(s"$root/a", None)
+    val eb = ests(s"$root/b", None)
+    assert(ea == eb, "incremental CMS differs from rebuild")
+    // one-sided guarantee at width 16 (heavy collisions): never under
+    val truth = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+    truth.foreach { case (k, t) =>
+      assert(ea(k) >= t, s"CMS undercounted $k: ${ea(k)} < $t") }
+    assert(ea("hot") >= 40L && ea("nope") >= 0L)
+    // scope filter: p0-only estimate of 'hot' >= 40 but <= the all-scope
+    val e0 = ests(s"$root/a", Some(col("part") === "p0"))
+    assert(e0("hot") >= 40L && e0("hot") <= ea("hot"))
+    // a wide sketch with few keys is exact
+    Sketches.writeCmsTable(df, "v", "part", s"$root/c",
+      depth = 4, width = 65536, seed = 11L)
+    val ec = ests(s"$root/c", None, width = 65536)
+    truth.foreach { case (k, t) =>
+      assert(ec(k) == t, s"wide CMS inexact for $k: ${ec(k)} != $t") }
+    assert(ec("nope") == 0L)
+    // refusals
+    intercept[IllegalArgumentException] {
+      Sketches.writeCmsTable(df, "v", "part", s"$root/x", width = 1)
+    }
+    intercept[IllegalArgumentException] { Sketches.cmsParams(1L, 0) }
+  }
+
   test("Chunk retrieval: passage wins over doc dilution, pooling tie to first chunk") {
     import spark.implicits._
     import graft.ext.TextAnalysis
