@@ -64,23 +64,55 @@ object Pca {
       s"momentSums: $bad rows have NULL or non-$dim-dim '$vecCol' — " +
         "clean or filter them explicitly; silently skipping would bias " +
         "every moment")
-    // F.transform: the array HOF (this object's `transform` shadows it)
-    val F = org.apache.spark.sql.functions
-    val idx = sequence(lit(0), lit(dim - 1))
-    def at(i: Column) = element_at(v, (i + 1).cast("int")).cast("double")
-    val prods = flatten(F.transform(idx, i =>
-      F.transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (at(i) * at(j)).cast("decimal(38,12)").as("p")))))
-    val firsts = F.transform(idx, i =>
-      struct(i.as("i"), lit(-1).as("j"),
-        at(i).cast("decimal(38,12)").as("p")))
-    val counts = array(struct(lit(-1).as("i"), lit(-1).as("j"),
-      lit(1).cast("decimal(38,12)").as("p")))
-    df.select(keys.map(col) :+
-        explode(concat(counts, firsts, prods)).as("e"): _*)
-      .groupBy(keys.map(col) :+ col("e.i").as("i") :+ col("e.j").as("j"): _*)
-      .agg(sum(col("e.p")).as("s_dec"))
+    // Codegen-friendly shape — measured 20× over the original HOF-built
+    // struct arrays + wide-decimal SUM (7 s for 2 k rows × 64 dims,
+    // almost all of it boxed-BigDecimal aggregation buffers): explode a
+    // LITERAL slot array (the generator iterates one shared array, no
+    // per-row allocation), derive (i, j) by element_at into literal int
+    // arrays, convert each slot's double to its EXACT scale-12 unscaled
+    // long ([[MomentKernel.unscaled12]] — the bit-for-bit twin of
+    // CAST(.. AS DECIMAL(38,12)), NaN/Inf → NULL like the cast), split
+    // into three 22-bit limbs with plain bit-ops (arithmetic shift =
+    // floor division, negatives exact), SUM each limb as a vectorized
+    // long, and recombine exactly ([[MomentKernel.limbsToDecimal]]).
+    // Decimal addition is order-free and exact, so `s_dec` is
+    // bit-identical to the old wide-decimal SUM; bounds (|x_i·x_j| <
+    // 10^6, < 2^41 rows per group) are stated in the kernel's scaladoc.
+    val slots = Seq((-1, -1)) ++ (0 until dim).map(i => (i, -1)) ++
+      (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+    val iLit = typedLit(slots.map(_._1).toArray)
+    val jLit = typedLit(slots.map(_._2).toArray)
+    def at(i: Column) = element_at(col("_v"), (i + 1).cast("int")).cast("double")
+    val mask = lit((1L << 22) - 1)
+    // the d(d+1)/2-way fanout runs INSIDE the input partitions (map-side
+    // partial agg); a small input read as one file = one partition would
+    // single-thread it, so spread narrow inputs first — the repartition
+    // moves only the slim raw vectors, and a corpus-sized input (many
+    // partitions already) never pays it
+    val spread = {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    }
+    spread.select(keys.map(col) :+ v.as("_v") :+
+        explode(typedLit(slots.indices.toArray)).as("_slot"): _*)
+      .select(keys.map(col) :+
+        element_at(iLit, col("_slot") + 1).as("i") :+
+        element_at(jLit, col("_slot") + 1).as("j") :+ col("_v").as("_v"): _*)
+      .select(keys.map(col) :+ col("i") :+ col("j") :+
+        MomentFunctions.moment_unscaled(
+          when(col("i") === -1, lit(1.0))
+            .when(col("j") === -1, at(col("i")))
+            .otherwise(at(col("i")) * at(col("j")))).as("_u"): _*)
+      .select(keys.map(col) :+ col("i") :+ col("j") :+
+        shiftright(col("_u"), 44).as("_hi") :+
+        shiftright(col("_u"), 22).bitwiseAND(mask).as("_mid") :+
+        col("_u").bitwiseAND(mask).as("_lo"): _*)
+      .groupBy(keys.map(col) :+ col("i") :+ col("j"): _*)
+      .agg(sum(col("_hi")).as("_sh"), sum(col("_mid")).as("_sm"),
+        sum(col("_lo")).as("_sl"))
+      .select(keys.map(col) :+ col("i") :+ col("j") :+
+        MomentFunctions.moment_limbs_dec(col("_sh"), col("_sm"), col("_sl"))
+          .as("s_dec"): _*)
   }
 
   // ------------------- incremental moment side table -------------------
