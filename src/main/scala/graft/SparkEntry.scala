@@ -2635,6 +2635,47 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q197_filtered_ann" -> ((s, dir) => { ensure(s)
+      // METADATA-FILTERED vector search — the "vector search with a
+      // WHERE clause" every production store needs: metadata columns
+      // ride the PQ cell layout (writePartitionedPq extraCols), the
+      // predicate lands in the parquet scan's PushedFilters (pinned
+      // in-gate, the q165 rewrite-fired recipe applied to pushdown) and
+      // filters BEFORE ranking (pre-filter: zero recall cost, no
+      // post-filter k-starvation). With nprobe = all cells and rerank
+      // >= the filtered subset (10 labels -> <= ~220 rows at any gate
+      // SF; rerank 250), refine is EXACTLY the filtered exact top-10 —
+      // the DuckDB oracle replays it with a plain WHERE label = 3.
+      val emb = ld(s, dir, "embeddings")
+      val pq = q150Model(s, dir)
+      val ivf = graft.ext.Ivf.train(emb, "embedding", k = 8, seed = 42L)
+      val assigned = graft.ext.Ivf.assign(emb, "embedding", ivf)
+      val path = java.nio.file.Files.createTempDirectory("graft-fann").toString
+      graft.ext.Ivf.writePartitionedPq(assigned, "embedding", "vec_id", pq,
+        s"$path/codes", extraCols = Seq("label"))
+      val query = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val planStr = s.read.parquet(s"$path/codes")
+        .filter(col("label") === 3).select("vec_id", "code")
+        .queryExecution.executedPlan.toString
+      require(planStr.contains("EqualTo(label,3)"),
+        s"q197: label predicate not pushed to the parquet scan:\n$planStr")
+      // cell-pruned variant must stay inside the filter
+      val lbl3 = emb.filter(col("label") === 3).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val pruned = graft.ext.Ivf.searchPartitionedPq(s, s"$path/codes", query,
+          ivf, pq, "vec_id", k = 10, nprobe = 4,
+          preFilter = Some(col("label") === 3))
+        .collect().map(_.getLong(0)).toSet
+      require(pruned.nonEmpty && pruned.subsetOf(lbl3),
+        "q197: cell-pruned filtered search escaped the label filter")
+      graft.ext.Ivf.searchPartitionedPqRefine(s, s"$path/codes", emb,
+          "embedding", "vec_id", ivf, pq, query, k = 10, rerank = 250,
+          nprobe = 8, preFilter = Some(col("label") === 3))
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
     "q196_schema_backfill" -> ((s, dir) => { ensure(s)
       // SCHEMA BACKFILL for the batch layout — the "tokenizer adopted
       // mid-corpus-life" repair: batches 0-7 born WITHOUT n_tokens,
@@ -4453,6 +4494,17 @@ object SparkEntry {
     // stage counts + survivor set exactly — same oracle by design
     "q179_bloom_ingest" -> q156OracleSql,
     "q194_ingest_autocompact" -> q156OracleSql,
+    "q197_filtered_ann" -> {
+      val ex = (1 to 64).map(i =>
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE)) * " +
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE))")
+        .mkString(" + ")
+      "WITH q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = 7), " +
+      s"ex AS MATERIALIZED (SELECT v.vec_id, ($ex) AS dist FROM embeddings v, q " +
+      "WHERE v.label = 3) " +
+      "SELECT vec_id, round(dist, 6) AS dist FROM " +
+      "(SELECT vec_id, dist FROM ex ORDER BY dist, vec_id LIMIT 10) ORDER BY vec_id"
+    },
     "q196_schema_backfill" ->
       ("SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), " +
        "x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),

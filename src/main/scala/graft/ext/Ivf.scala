@@ -445,9 +445,16 @@ object Ivf {
    */
   def writePartitionedPq(assignedCorpus: DataFrame, vecCol: String,
                          idCol: String, pq: Similarity.PqModel,
-                         path: String): Unit =
-    assignedCorpus.select(col(idCol), col("ivf_cell"),
-        PqFunctions.pq_encode(col(vecCol), pq.centroids).as("code"))
+                         path: String,
+                         // metadata columns stored NEXT TO the codes —
+                         // what makes [[searchPartitionedPq]]'s
+                         // `preFilter` a parquet-pushed predicate
+                         // instead of a post-search join (the "filtered
+                         // vector search" every production store needs)
+                         extraCols: Seq[String] = Nil): Unit =
+    assignedCorpus.select(col(idCol) +: col("ivf_cell") +:
+        PqFunctions.pq_encode(col(vecCol), pq.centroids).as("code") +:
+        extraCols.map(col): _*)
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
   /** Driver-side twin of [[NearestCells]] for ONE query vector: the
@@ -490,12 +497,42 @@ object Ivf {
   def searchPartitionedPq(spark: org.apache.spark.sql.SparkSession,
                           path: String, query: Array[Double], model: Model,
                           pq: Similarity.PqModel, idCol: String,
-                          k: Int = 10, nprobe: Int = 4): DataFrame = {
+                          k: Int = 10, nprobe: Int = 4,
+                          // METADATA-FILTERED search: a predicate over
+                          // the layout's extraCols, applied at the SCAN
+                          // (parquet PushedFilters — the filter prunes
+                          // row groups, never a post-search join) and
+                          // BEFORE ranking, so the filter itself costs
+                          // zero recall — pre-filtering, not the
+                          // post-filter-k-starvation trade
+                          preFilter: Option[Column] = None): DataFrame = {
     val probed = nearestCellsLocal(model, query, nprobe)
-    val codes = spark.read.parquet(path)
+    val scan = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(probed: _*))
+    val codes = preFilter.map(scan.filter).getOrElse(scan)
       .select(col(idCol), col("code"))
     Similarity.pqSearchAdc(codes, idCol, pq, query, k)
+  }
+
+  /** Two-stage FILTERED retrieval over the PQ layout: cell-pruned,
+    * metadata-filtered ADC candidates, exact squared-L2 re-rank on the
+    * raw vectors — [[Similarity.pqSearchAdcRefine]] composed with the
+    * partitioned layout. With `rerank` at least the filtered subset's
+    * size the result is EXACTLY the filtered exact top-k (the q197
+    * gate's contract); smaller reranks trade recall for ADC speed the
+    * usual way. */
+  def searchPartitionedPqRefine(spark: org.apache.spark.sql.SparkSession,
+                                path: String, vectors: DataFrame,
+                                vecCol: String, idCol: String,
+                                model: Model, pq: Similarity.PqModel,
+                                query: Array[Double], k: Int, rerank: Int,
+                                nprobe: Int = 4,
+                                preFilter: Option[Column] = None): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cands = searchPartitionedPq(spark, path, query, model, pq, idCol,
+      k = rerank, nprobe = nprobe, preFilter = preFilter)
+      .select(col(idCol))
+    Similarity.exactRerankOn(vectors, vecCol, idCol, cands, query, k)
   }
 
   /** Search over a [[writePartitioned]] layout. The probed-cell set is

@@ -599,13 +599,13 @@ object Similarity {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val cands = pqSearchAdc(codes, idCol, model, query, rerank)
       .select(col(idCol))
-    exactRerank(vectors, vecCol, idCol, cands, query, k)
+    exactRerankOn(vectors, vecCol, idCol, cands, query, k)
   }
 
   /** Exact squared-L2 re-rank of `cands` against the raw vectors — the
     * left-associated zip_with fold both refine paths share; ties
     * (dist asc, id asc). */
-  private def exactRerank(vectors: DataFrame, vecCol: String, idCol: String,
+  private[ext] def exactRerankOn(vectors: DataFrame, vecCol: String, idCol: String,
                           cands: DataFrame, query: Array[Double],
                           k: Int): DataFrame = {
     val qArr = array(query.map(lit(_)): _*)
@@ -729,7 +729,7 @@ object Similarity {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val cands = opqSearchAdc(codes, idCol, model, query, rerank)
       .select(col(idCol))
-    exactRerank(vectors, vecCol, idCol, cands, query, k)
+    exactRerankOn(vectors, vecCol, idCol, cands, query, k)
   }
 
   /** Corpus PQ RECONSTRUCTION error — Σ over rows and subspaces of the
@@ -1005,7 +1005,7 @@ object Similarity {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val cands = binarySearchHamming(codes, idCol, thresholds, query, rerank)
       .select(col(idCol))
-    exactRerank(vectors, vecCol, idCol, cands, query, k)
+    exactRerankOn(vectors, vecCol, idCol, cands, query, k)
   }
 
   /**

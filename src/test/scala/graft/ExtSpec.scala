@@ -1637,6 +1637,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("Filtered ANN: metadata rides the layout, pre-filter exact, pushdown") {
+    import spark.implicits._
+    import graft.ext.{Ivf, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = Similarity.pqTrain(emb, "embedding", "vec_id", m = 4, k = 8, iters = 1)
+    val ivf = Ivf.train(emb, "embedding", k = 4, seed = 42L)
+    val assigned = Ivf.assign(emb, "embedding", ivf)
+    val root = java.nio.file.Files.createTempDirectory("graft-fann-spec").toString
+    Ivf.writePartitionedPq(assigned, "embedding", "vec_id", pq,
+      s"$root/codes", extraCols = Seq("label"))
+    // metadata landed in the layout
+    assert(spark.read.parquet(s"$root/codes").columns.toSet ==
+      Set("vec_id", "code", "label", "ivf_cell"))
+    val q3 = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val lbl = emb.filter(col("vec_id") === 3).select("label").head().getInt(0)
+    // filtered search returns only in-filter ids; self retrieved when
+    // its label matches (all cells probed, rerank covers the subset)
+    val inLbl = emb.filter(col("label") === lbl).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Ivf.searchPartitionedPqRefine(spark, s"$root/codes", emb,
+      "embedding", "vec_id", ivf, pq, q3, k = 5, rerank = 1000, nprobe = 4,
+      preFilter = Some(col("label") === lbl))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet.subsetOf(inLbl), "filtered search escaped the filter")
+    assert(got.head._1 == 3L && got.head._2 == 0.0, "self not retrieved at dist 0")
+    // ... and equals the exact filtered top-5 (rerank covers the subset)
+    val exact = emb.filter(col("label") === lbl)
+      .select(col("vec_id"), aggregate(zip_with(col("embedding"),
+          array(q3.map(lit(_)): _*), (x, y) => {
+          val d = x.cast("double") - y; d * d
+        }), lit(0.0), (a, b) => a + b).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._1).toSeq == exact, s"filtered refine != exact: ${got.toSeq} vs $exact")
+    // a filter excluding the query's own label never returns it
+    val other = Ivf.searchPartitionedPq(spark, s"$root/codes", q3, ivf, pq,
+      "vec_id", k = 5, nprobe = 4, preFilter = Some(col("label") =!= lbl))
+      .collect().map(_.getLong(0))
+    assert(!other.contains(3L) && other.nonEmpty)
+  }
+
   test("Backfill: mixed schemas healed, crash swap restored, skip untouched, refusals") {
     import spark.implicits._
     import graft.ext.Compact
