@@ -2635,6 +2635,72 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q200_sentence_chunking" -> ((s, dir) => { ensure(s)
+      // SENTENCE-ALIGNED chunking (chunkDocuments' sibling — never
+      // splits mid-sentence): the synthetic docs carry no punctuation,
+      // so the gate sentence-ifies them deterministically first
+      // (' a ' -> '. ', both engines replay the non-overlapping
+      // left-to-right rewrite identically), then chunks at a 20-token
+      // budget by prefix-sum start offsets with dense per-doc chunk
+      // renumbering. The oracle replays marker rewrite, split, token
+      // counts, window prefix sums, bucketing, dense_rank, and the
+      // ORDER BY sid re-join verbatim.
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " a ", ". ").as("text"))
+      TextAnalysis.chunkSentences(docs, "text", "doc_id", budgetTokens = 20)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    "q199_maxsim" -> ((s, dir) => { ensure(s)
+      // LATE-INTERACTION retrieval (ColBERT MaxSim, Khattab & Zaharia
+      // 2020): docs as token-vector SETS, score = Σ_t max_d <q_t, d_d>.
+      // Fixture: the 64-dim embedding sliced into four 16-dim "token"
+      // vectors on both sides (stated — the operator itself takes any
+      // array<array<float>> column; no token-level embeddings exist in
+      // the synthetic data). The oracle replays each dot left-assoc,
+      // the max as GREATEST (order-free), and the token sum in query
+      // order — top-10 by raw score, ties to the smaller id.
+      val emb = ld(s, dir, "embeddings")
+      val mv = array((0 until 4).map(t =>
+        slice(col("embedding"), t * 16 + 1, 16)): _*)
+      val corpus = emb.select(col("vec_id"), mv.as("toks"))
+      val q = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val qToks = Array.tabulate(4)(t => q.slice(t * 16, t * 16 + 16))
+      Similarity.maxSimTopK(corpus, "toks", "vec_id", qToks, k = 10)
+        .select(col("vec_id"), round(col("maxsim"), 6).as("maxsim"))
+        .orderBy("vec_id")
+    }),
+    "q198_ann_recall" -> ((s, dir) => { ensure(s)
+      // ANN EVALUATION harness (the faiss-benchmarks loop as an
+      // operator): recall@10 of the binary-Hamming search against the
+      // exact L2 ground truth for queries 0-4. Both retrieval sides
+      // are themselves engine-replayable (the q189 hamming convention
+      // + the q188 exact-distance parse tree), so the oracle replays
+      // retrieval AND evaluation — n_common and recall must match
+      // exactly, not within a band.
+      val emb = ld(s, dir, "embeddings")
+      val zeros = new Array[Double](64)
+      val codes = Similarity.binaryQuantize(emb, "embedding", "vec_id", zeros)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      val approx = qs.map { case (qid, qv) =>
+        Similarity.binarySearchHamming(codes, "vec_id", zeros, qv, k = 10)
+          .select(lit(qid).as("query_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val exact = qs.map { case (qid, qv) =>
+        val qArr = array(qv.map(lit(_)): _*)
+        emb.select(lit(qid).as("query_id"), col("vec_id"),
+            aggregate(zip_with(col("embedding"), qArr, (x, q) => {
+              val d = x.cast("double") - q; d * d
+            }), lit(0.0), (a, b) => a + b).as("d"))
+          .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+          .select("query_id", "vec_id")
+      }.reduce(_ unionByName _)
+      Similarity.annRecallAtK(approx, exact, "query_id", "vec_id", k = 10)
+        .orderBy("query_id")
+    }),
     "q197_filtered_ann" -> ((s, dir) => { ensure(s)
       // METADATA-FILTERED vector search — the "vector search with a
       // WHERE clause" every production store needs: metadata columns
@@ -4494,6 +4560,59 @@ object SparkEntry {
     // stage counts + survivor set exactly — same oracle by design
     "q179_bloom_ingest" -> q156OracleSql,
     "q194_ingest_autocompact" -> q156OracleSql,
+    "q200_sentence_chunking" ->
+      ("WITH d0 AS (SELECT doc_id, replace(text, ' a ', '. ') AS text FROM documents), " +
+       "m AS (SELECT doc_id, regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g') AS mk FROM d0), " +
+       "sp AS (SELECT doc_id, string_split(mk, chr(1)) AS ss FROM m), " +
+       "s0 AS (SELECT doc_id, CAST(i AS INT) AS sid, ss[CAST(i AS INT)] AS sent FROM " +
+       "(SELECT doc_id, ss, unnest(range(1, len(ss)+1)) AS i FROM sp)), " +
+       "s1 AS (SELECT doc_id, sid, sent, len(list_filter(string_split_regex(trim(sent), '\\s+'), x -> len(x) > 0)) AS n_tok " +
+       "FROM s0 WHERE len(trim(sent)) > 0), " +
+       "s2 AS (SELECT doc_id, sid, sent, n_tok, " +
+       "sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sid) - n_tok AS strt FROM s1), " +
+       "s3 AS (SELECT doc_id, sid, sent, n_tok, CAST(strt // 20 AS INT) AS bucket FROM s2), " +
+       "s4 AS (SELECT doc_id, sid, sent, n_tok, " +
+       "CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY bucket) - 1 AS INT) AS chunk_id FROM s3) " +
+       "SELECT doc_id, chunk_id, CAST(count(*) AS INT) AS n_sents, " +
+       "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+       "string_agg(sent, ' ' ORDER BY sid) AS chunk_text " +
+       "FROM s4 GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"),
+    "q199_maxsim" -> {
+      def dot(t: Int, d: Int) = (1 to 16).map(i =>
+        s"(CAST(v.embedding[${d * 16 + i}] AS DOUBLE) * " +
+        s"CAST(q.embedding[${t * 16 + i}] AS DOUBLE))").mkString(" + ")
+      val score = (0 until 4).map(t =>
+        s"GREATEST(${(0 until 4).map(d => s"(${dot(t, d)})").mkString(", ")})")
+        .mkString(" + ")
+      "WITH q AS MATERIALIZED (SELECT embedding FROM embeddings WHERE vec_id = 7), " +
+      s"sc AS MATERIALIZED (SELECT v.vec_id, ($score) AS maxsim FROM embeddings v, q) " +
+      "SELECT vec_id, round(maxsim, 6) AS maxsim FROM " +
+      "(SELECT vec_id, maxsim FROM sc ORDER BY maxsim DESC, vec_id LIMIT 10) " +
+      "ORDER BY vec_id"
+    },
+    "q198_ann_recall" -> {
+      val ham = (1 to 64).map(i =>
+        s"CASE WHEN (v.embedding[$i] > 0.0) <> (q.qe[$i] > 0.0) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+      val sq = (1 to 64).map(i =>
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.qe[$i] AS DOUBLE)) * " +
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.qe[$i] AS DOUBLE))")
+        .mkString(" + ")
+      "WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe " +
+      "FROM embeddings WHERE vec_id < 5), " +
+      s"ham AS (SELECT q.qid, v.vec_id, ($ham) AS h FROM embeddings v, q), " +
+      "ar AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY h, vec_id) AS rk FROM ham) " +
+      "WHERE rk <= 10), " +
+      s"exd AS (SELECT q.qid, v.vec_id, ($sq) AS d FROM embeddings v, q), " +
+      "er AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk FROM exd) " +
+      "WHERE rk <= 10) " +
+      "SELECT e.qid AS query_id, CAST(count(a.vec_id) AS BIGINT) AS n_common, " +
+      "count(a.vec_id) / 10.0 AS recall " +
+      "FROM er e LEFT JOIN ar a ON a.qid = e.qid AND a.vec_id = e.vec_id " +
+      "GROUP BY e.qid ORDER BY query_id"
+    },
     "q197_filtered_ann" -> {
       val ex = (1 to 64).map(i =>
         s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(q.embedding[$i] AS DOUBLE)) * " +

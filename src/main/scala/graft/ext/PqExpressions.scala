@@ -200,6 +200,67 @@ case class PqMinDistExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** The MaxSim (late-interaction) kernel — ColBERT's scoring (Khattab &
+  * Zaharia, SIGIR 2020): a document is a SET of token vectors, the
+  * score against a query token set is Σ_t max_d ⟨q_t, d_d⟩ — each
+  * query token reads its best-matching document token, summed in query-
+  * token order (left-associated; the max itself is order-free). NULLs
+  * and dimension mismatches refuse loudly. */
+object MaxSimKernel {
+  def score(mv: ArrayData, q: Array[Array[Double]]): Double = {
+    val nd = mv.numElements()
+    if (nd == 0)
+      throw new IllegalArgumentException("maxsim: empty document token set")
+    var total = 0.0
+    var t = 0
+    while (t < q.length) {
+      val qt = q(t)
+      var best = Double.NegativeInfinity
+      var d = 0
+      while (d < nd) {
+        if (mv.isNullAt(d))
+          throw new IllegalArgumentException(s"maxsim: NULL doc token at $d")
+        val dv = mv.getArray(d)
+        if (dv.numElements() != qt.length)
+          throw new IllegalArgumentException(
+            s"maxsim: doc token dim ${dv.numElements()} != query dim ${qt.length}")
+        var dot = 0.0
+        var i = 0
+        while (i < qt.length) {
+          if (dv.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"maxsim: NULL element in doc token $d at $i")
+          dot += dv.getDouble(i) * qt(i)
+          i += 1
+        }
+        if (dot > best) best = dot
+        d += 1
+      }
+      total += best
+      t += 1
+    }
+    total
+  }
+}
+
+/** `maxsim(multiVec)` → late-interaction score of a doc token set
+  * against ONE query token set riding `addReferenceObj`. */
+case class MaxSimExpr(child: Expression, query: Array[Array[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "maxsim"
+  override protected def nullSafeEval(mv: Any): Any =
+    MaxSimKernel.score(mv.asInstanceOf[ArrayData], query)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxsimQuery", query, "double[][]")
+    defineCodeGen(ctx, ev, mv => s"graft.ext.MaxSimKernel.score($mv, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `pq_adc(code)` → asymmetric distance via the driver-precomputed
   * per-subspace distance table of ONE query vector. */
 case class PqAdcExpr(child: Expression, table: Array[Array[Double]])
@@ -256,4 +317,6 @@ object PqFunctions {
                   centroids: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqMinDistExpr(
       Bridge.expression(s), Bridge.expression(sub), centroids))
+  def maxsim(multiVec: Column, query: Array[Array[Double]]): Column =
+    Bridge.column(MaxSimExpr(Bridge.expression(multiVec), query))
 }

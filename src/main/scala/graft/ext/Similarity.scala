@@ -749,6 +749,57 @@ object Similarity {
     r.getDecimal(0).doubleValue()
   }
 
+  // ---- MaxSim late-interaction retrieval -----------------------------------
+
+  /**
+   * MaxSim top-k — ColBERT's late interaction (Khattab & Zaharia,
+   * SIGIR 2020) as an operator: documents carry a SET of token vectors
+   * (`ArrayType(ArrayType(float|double))`), the query is a token-vector
+   * set, and the score is Σ over query tokens of the best-matching doc
+   * token's dot product — each query token independently reads the
+   * document. One codegen'd kernel call per row
+   * ([[MaxSimExpr]] — the query set rides `addReferenceObj`), head via
+   * TakeOrderedAndProject. Determinism: dots accumulate left-ascending,
+   * the per-token max is order-free, the token sum is query-order
+   * pinned; ties (score desc, id asc). Output (idCol, maxsim).
+   */
+  def maxSimTopK(corpus: DataFrame, multiVecCol: String, idCol: String,
+                 queryTokens: Array[Array[Double]], k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(queryTokens.nonEmpty && queryTokens.forall(_.length == queryTokens(0).length),
+      "maxSimTopK: query tokens must be nonempty and same-dimensional")
+    corpus.select(col(idCol),
+        PqFunctions.maxsim(col(multiVecCol), queryTokens).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol).asc).limit(k)
+  }
+
+  // ---- ANN evaluation harness ----------------------------------------------
+
+  /**
+   * Recall@k of an approximate retrieval against its exact ground
+   * truth — the faiss-benchmarks evaluation loop as an operator: both
+   * inputs are (queryIdCol, idCol) result frames (any extra columns
+   * ignored), output one row per ground-truth query —
+   * (queryIdCol, n_common, recall) with recall = |approx ∩ exact| / k.
+   * Queries with no approximate results at all score 0 (an ANN that
+   * returns nothing is recall 0, not a dropped row). Pure slim-key
+   * join + count — integer arithmetic, engine-replayable exactly.
+   */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, queryIdCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val a = approx.select(col(queryIdCol).as("_q"), col(idCol).as("_i"))
+      .distinct()
+    val e = exact.select(col(queryIdCol).as("_q"), col(idCol).as("_i"))
+      .distinct()
+    e.join(a, Seq("_q", "_i"), "left_semi")
+      .groupBy(col("_q")).agg(count(lit(1)).as("_n"))
+      .join(e.select(col("_q")).distinct(), Seq("_q"), "right")
+      .select(col("_q").as(queryIdCol),
+        coalesce(col("_n"), lit(0L)).as("n_common"),
+        (coalesce(col("_n"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   // ---- MMR diversified retrieval -------------------------------------------
 
   /** Driver-side twin of the codegen'd `cosine_sim` kernel

@@ -144,6 +144,52 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /**
+   * SENTENCE-ALIGNED chunking — [[chunkDocuments]]' sibling for RAG
+   * pipelines that must not split mid-sentence: sentences are the
+   * `[.!?]` + whitespace boundaries (the punctuation survives via a
+   * marker rewrite — both engines' regex dialects replay it, no
+   * lookbehind), each sentence lands in the chunk
+   * `⌊start_token_offset / budgetTokens⌋` by its PREFIX-SUM start
+   * offset (the q91 packing recipe), so the budget is approximate — a
+   * sentence that begins before a boundary may overflow it, and a
+   * single sentence longer than the budget keeps its own chunk —
+   * stated, never mid-sentence-split. Chunk ids re-number densely per
+   * document. Empty / all-whitespace documents (or sentences) emit
+   * nothing. Output (idCol, chunk_id, n_sents, n_tokens, chunk_text)
+   * with sentences re-joined by single spaces.
+   *
+   * Scale: marker rewrite + split + explode + two window passes over
+   * (doc, sentence) rows + one groupBy — per-doc work bounded by the
+   * document, no corpus-wide state.
+   */
+  def chunkSentences(df: DataFrame, textCol: String, idCol: String,
+                     budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"need budgetTokens >= 1, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    val sents = df
+      .select(col(idCol), posexplode(split(marked, "\u0001"))
+        .as(Seq("sid", "sent")))
+      .filter(length(trim(col("sent"))) > 0)
+      .withColumn("n_tok",
+        size(filter(split(trim(col("sent")), "\\s+"), t => length(t) > 0)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = sents
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bucket", (col("start") / budgetTokens).cast("int"))
+      .withColumn("chunk_id",
+        (dense_rank().over(Window.partitionBy(col(idCol))
+          .orderBy(col("bucket"))) - 1).cast("int"))
+    bucketed.groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).cast("int").as("n_sents"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        array_join(org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("sid"), col("sent")))),
+          e => e.getField("sent")), " ").as("chunk_text"))
+  }
+
   /** Array of space-joined lowercase word n-grams (pure built-ins:
     * split + sequence + transform + slice — stays in codegen). */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -1637,6 +1637,73 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("MaxSim: hand scores, late interaction beats single-token, recall harness, refusals") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // A covers both query tokens (1+1); B only the first (0.9+0)
+    val df = Seq(
+      (1L, Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+      (2L, Seq(Seq(0.9f, 0.0f), Seq(0.9f, 0.0f))))
+      .toDF("id", "toks")
+    val q = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = Similarity.maxSimTopK(df, "toks", "id", q, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 2.0), (2L, 0.9f.toDouble)))
+    // single query token: max over doc tokens only
+    val one = Similarity.maxSimTopK(df, "toks", "id",
+      Array(Array(1.0, 0.0)), k = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(one.toSeq == Seq((1L, 1.0), (2L, 0.9f.toDouble)))
+    // annRecallAtK: hand case incl. a query the approx side missed
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("q", "id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("q", "id")
+    val rec = Similarity.annRecallAtK(approx, exact, "q", "id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rec == Set((1L, 1L, 0.5), (2L, 1L, 0.5), (3L, 0L, 0.0)))
+    // refusals: empty doc token set, dim mismatch
+    val bad = Seq((9L, Seq.empty[Seq[Float]])).toDF("id", "toks")
+    intercept[Exception] {
+      Similarity.maxSimTopK(bad, "toks", "id", q, k = 1).collect()
+    }
+    intercept[Exception] {
+      Similarity.maxSimTopK(df, "toks", "id", Array(Array(1.0)), k = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.maxSimTopK(df, "toks", "id", Array.empty[Array[Double]], k = 1)
+    }
+  }
+
+  test("Sentence chunking: alignment, overflow, dense ids, no-punct doc, empties") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "One two three. Four five. Six seven eight nine."),
+      (2L, "no punctuation at all here"),
+      (3L, "   "),
+      (4L, "Alpha beta gamma delta epsilon. Tail!")   // 5-token sentence > budget 2
+    ).toDF("doc_id", "text")
+    val out5 = TextAnalysis.chunkSentences(df.filter($"doc_id" === 1), "text",
+      "doc_id", budgetTokens = 5).orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))
+    // starts 0,3,5 at budget 5 -> buckets 0,0,1
+    assert(out5.toSeq == Seq(
+      (0, 2, 5L, "One two three. Four five."),
+      (1, 1, 4L, "Six seven eight nine.")))
+    // a sentence longer than the budget keeps its own chunk; ids dense
+    val out2 = TextAnalysis.chunkSentences(df.filter($"doc_id" === 4), "text",
+      "doc_id", budgetTokens = 2).orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getString(4)))
+    assert(out2.toSeq == Seq(
+      (0, "Alpha beta gamma delta epsilon."), (1, "Tail!")))
+    // no punctuation: one whole-doc chunk; whitespace-only: nothing
+    val all = TextAnalysis.chunkSentences(df, "text", "doc_id", 5)
+    assert(all.filter($"doc_id" === 2).count() == 1)
+    assert(all.filter($"doc_id" === 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkSentences(df, "text", "doc_id", 0)
+    }
+  }
+
   test("Filtered ANN: metadata rides the layout, pre-filter exact, pushdown") {
     import spark.implicits._
     import graft.ext.{Ivf, Similarity}
