@@ -2635,6 +2635,30 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q201_jsonl_shards" -> ((s, dir) => { ensure(s)
+      // TRAINING-DATA DELIVERY: the corpus exported as 8 deterministic
+      // zstd-JSONL shards (the trainer-dataloader handoff). Shard
+      // assignment = md5-of-id mod 8 (content-independent, stable
+      // across partitionings/engines — the q195 hash convention), and
+      // the gate reads the WRITTEN files back: per-shard doc counts
+      // AND id sums must land exactly on the oracle's replay of the
+      // assignment, so a row written to the wrong shard — or lost or
+      // doubled in the write — breaks it.
+      val docs = ld(s, dir, "documents").select("doc_id", "text", "source")
+      val root = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      val counts = graft.ext.Pipeline.exportJsonlShards(docs, "doc_id",
+        s"$root/out", nShards = 8)
+      val dirs = new java.io.File(s"$root/out").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      require(dirs == (0 until 8).map(i => s"shard=$i").toSet,
+        s"q201: expected 8 shard dirs, got $dirs")
+      val sums = s.read.json(s"$root/out")
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(sum(col("doc_id")).as("id_sum"))
+      counts.join(sums, Seq("shard"))
+        .select(col("shard"), col("n_docs"), col("id_sum"))
+        .orderBy("shard")
+    }),
     "q200_sentence_chunking" -> ((s, dir) => { ensure(s)
       // SENTENCE-ALIGNED chunking (chunkDocuments' sibling — never
       // splits mid-sentence): the synthetic docs carry no punctuation,
@@ -4560,6 +4584,10 @@ object SparkEntry {
     // stage counts + survivor set exactly — same oracle by design
     "q179_bloom_ingest" -> q156OracleSql,
     "q194_ingest_autocompact" -> q156OracleSql,
+    "q201_jsonl_shards" ->
+      ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard, " +
+       "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+       "FROM documents GROUP BY 1 ORDER BY shard"),
     "q200_sentence_chunking" ->
       ("WITH d0 AS (SELECT doc_id, replace(text, ' a ', '. ') AS text FROM documents), " +
        "m AS (SELECT doc_id, regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g') AS mk FROM d0), " +

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
@@ -453,5 +454,38 @@ object Pipeline {
           TextAnalysis.packSequences(mixed, textCol, idCol, seqLen))
         (packed, heldout, report.result())
     }
+  }
+
+  /** Deterministic shard of a row: first 8 md5 hex chars of the id
+    * rendered as a base-16 int, mod `nShards` — content-independent,
+    * stable across runs/partitionings, and exactly replayable in any
+    * engine (the q195 hash convention). */
+  def shardOf(id: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nShards)).cast("int")
+
+  /**
+   * TRAINING-DATA DELIVERY: export a frame as `nShards` deterministic
+   * JSONL shards — the handoff format trainer data loaders consume.
+   * Shard assignment is [[shardOf]] on the id (stable: re-exporting
+   * after a re-partition or on a different cluster lands every doc in
+   * the same shard — resumable delivery), layout
+   * `<dir>/shard=<s>/part-*.json(.gz)`. One hash-repartition by
+   * shard so each shard writes contiguously; returns (shard, n_docs)
+   * counts read back from the written files (the write is verified,
+   * not assumed).
+   */
+  def exportJsonlShards(df: DataFrame, idCol: String, dir: String,
+                        nShards: Int,
+                        compress: Boolean = true): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val spark = df.sparkSession
+    val out = df.withColumn("shard", shardOf(col(idCol), nShards))
+      .repartition(col("shard"))
+    val w = out.write.mode("overwrite").partitionBy("shard")
+    (if (compress) w.option("compression", "gzip") else w).json(dir)
+    spark.read.json(dir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 }

@@ -1637,6 +1637,74 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("JSONL shards: deterministic assignment, roundtrip, stability, refusals") {
+    import spark.implicits._
+    import graft.ext.Pipeline
+    val df = (0L until 40L).map(i => (i, s"text-$i")).toDF("id", "t")
+    val root = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val counts = Pipeline.exportJsonlShards(df, "id", s"$root/a", nShards = 4,
+      compress = false)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts.values.sum == 40L && counts.keySet.subsetOf(Set(0, 1, 2, 3)))
+    // roundtrip: content identical
+    val back = spark.read.json(s"$root/a").select("id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // assignment is content- and partitioning-independent: a shuffled
+    // re-export lands every id in the same shard
+    Pipeline.exportJsonlShards(df.repartition(7), "id", s"$root/b", 4,
+      compress = false)
+    def assign(d: String) = spark.read.json(d)
+      .select(col("id"), col("shard").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign(s"$root/a") == assign(s"$root/b"),
+      "shard assignment changed under repartition")
+    // compressed path writes .gz files
+    Pipeline.exportJsonlShards(df, "id", s"$root/c", 2)
+    val gz = new java.io.File(s"$root/c/shard=0").listFiles()
+      .exists(_.getName.endsWith(".json.gz"))
+    assert(gz, "compressed export did not produce .json.gz parts")
+    intercept[IllegalArgumentException] {
+      Pipeline.exportJsonlShards(df, "id", s"$root/x", 0)
+    }
+  }
+
+  test("Plan pins: new retrieval ops keep their exchange-minimal shapes") {
+    import spark.implicits._
+    import graft.ext.{Similarity, TextAnalysis}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val zeros = new Array[Double](64)
+    val codes = Similarity.binaryQuantize(emb, "embedding", "vec_id", zeros)
+    // hamming top-k: bounded per-partition heaps, never a global sort
+    val hamPlan = Similarity.binarySearchHamming(codes, "vec_id", zeros,
+      zeros, 5).queryExecution.executedPlan.toString
+    assert(hamPlan.contains("TakeOrderedAndProject"),
+      s"hamming head is not TakeOrderedAndProject:\n$hamPlan")
+    assert(!hamPlan.contains("SortExec"), "hamming plans a full sort")
+    // maxsim top-k: same head, kernel inline (no UDF, no fallback marker)
+    val msPlan = Similarity.maxSimTopK(
+      emb.select(col("vec_id"), array(slice(col("embedding"), 1, 32),
+        slice(col("embedding"), 33, 32)).as("t")),
+      "t", "vec_id", Array(Array.fill(32)(0.1)), 5)
+      .queryExecution.executedPlan.toString
+    assert(msPlan.contains("TakeOrderedAndProject"))
+    assert(!msPlan.toLowerCase.contains("batchevalpython") &&
+      !msPlan.contains("ScalaUDF"), "maxsim fell off the kernel path")
+    // token-window chunking: zero exchanges — pure per-row expressions
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val chPlan = TextAnalysis.chunkDocuments(docs, "text", "doc_id", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!chPlan.contains("Exchange"),
+      s"chunkDocuments shuffles:\n$chPlan")
+    // chunk-BM25 pooling: a partial (map-side) aggregate exists before
+    // the final one — the struct-max groupBy never collects per doc
+    val bmPlan = TextAnalysis.chunkBm25TopK(docs, "text", "doc_id", 4, 2,
+      Seq("a"), 3).queryExecution.executedPlan.toString
+    assert(bmPlan.contains("partial_max") || bmPlan.contains("partial"),
+      s"chunkBm25 pooling lost map-side partial aggregation:\n$bmPlan")
+    assert(bmPlan.contains("TakeOrderedAndProject"))
+  }
+
   test("MaxSim: hand scores, late interaction beats single-token, recall harness, refusals") {
     import spark.implicits._
     import graft.ext.Similarity
