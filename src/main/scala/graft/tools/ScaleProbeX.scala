@@ -405,6 +405,62 @@ object ScaleProbeX {
           s"packed=$packedN heldout=$hoN " +
           s"report=${rep.map(r => s"${r.stage}:${r.rows}").mkString(",")}")
       }
+      // ---- round-11 second-session family ----
+      if (want("chunking")) time3(s"$label chunkDocuments")(
+        TextAnalysis.chunkDocuments(docs, "text", "doc_id", 24, 8))
+      if (want("chunking")) time3(s"$label chunkSentences")(
+        TextAnalysis.chunkSentences(docs.select(col("doc_id"),
+          regexp_replace(col("text"), " a ", ". ").as("text")),
+          "text", "doc_id", budgetTokens = 20))
+      if (want("chunkBm25")) time3(s"$label chunkBm25TopK")(
+        TextAnalysis.chunkBm25TopK(docs, "text", "doc_id", 24, 8,
+          Seq("join", "spark", "dup"), k = 15))
+      if (want("binaryHamming")) {
+        // quantize-and-search compose: one packing pass + one
+        // XOR-popcount pass + bounded-heap head — both linear
+        val zeros = new Array[Double](64)
+        val qv = emb.orderBy("vec_id").limit(1)
+          .select(col("embedding")).head().getSeq[Float](0)
+          .map(_.toDouble).toArray
+        time3(s"$label binaryHammingSearch")(
+          Similarity.binarySearchHamming(
+            Similarity.binaryQuantize(emb, "embedding", "vec_id", zeros),
+            "vec_id", zeros, qv, k = 10))
+      }
+      if (want("maxsim")) {
+        val qv = emb.orderBy("vec_id").limit(1)
+          .select(col("embedding")).head().getSeq[Float](0)
+          .map(_.toDouble).toArray
+        val mv = array((0 until 4).map(t =>
+          slice(col("embedding"), t * 16 + 1, 16)): _*)
+        time3(s"$label maxSimTopK")(
+          Similarity.maxSimTopK(emb.select(col("vec_id"), mv.as("toks")),
+            "toks", "vec_id", Array.tabulate(4)(t =>
+              qv.slice(t * 16, t * 16 + 16)), k = 10))
+      }
+      if (want("countmin")) {
+        // build + merged estimate, full rebuild each timed run
+        val words = docs.select((col("doc_id") % 16).cast("string").as("p"),
+          explode(org.apache.spark.sql.functions.filter(
+            split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > 0)).as("w"))
+        val dir = s"$root/cms_$label"
+        import spark.implicits._
+        val keys = Seq("join", "spark", "the", "zzzz").toDF("w")
+        time3(s"$label cmsBuildEstimate") {
+          graft.ext.Sketches.writeCmsTable(words, "w", "p", dir,
+            depth = 4, width = 65536, seed = 7L)
+          graft.ext.Sketches.cmsEstimate(spark, dir, keys, "w",
+            depth = 4, width = 65536, seed = 7L)
+        }
+      }
+      if (want("mmr")) time3(s"$label mmrTopK")(
+        Similarity.mmrTopK(emb, "embedding", "vec_id",
+          emb.orderBy("vec_id").limit(1).select(col("embedding"))
+            .head().getSeq[Float](0).toArray,
+          k = 10, lambda = 0.7, nCand = 50))
+      if (want("moments")) time3(s"$label pcaMomentSums")(
+        graft.ext.Pca.momentSums(emb, "embedding", 64))
     }
     Dedup.releaseCaches()
     spark.stop()
