@@ -2635,6 +2635,25 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q202_snapshot_diff" -> ((s, dir) => { ensure(s)
+      // SNAPSHOT DIFF over the compacted batch layout — "what arrived
+      // between snapshot 9 and snapshot 11": the q187 12-batch corpus
+      // (10 closed batches bin-packed to c0-9, two raw), diffed
+      // through Compact.diffAsOf(9, 11). The oracle states the answer
+      // in closed residue form: residues 10-11 are `added`, the rest
+      // `unchanged` — a row leaked across the boundary by the range
+      // selection, or mangled by compaction, flips a status.
+      val docs = ld(s, dir, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-q202").toString
+      val corpus = s"$root/corpus"
+      (0 to 11).foreach(i => docs.filter(col("doc_id") % 12 === i)
+        .write.parquet(s"$corpus/batch=$i"))
+      graft.ext.Compact.compactBatchTable(s, corpus,
+        targetBytes = Long.MaxValue, keepLatest = 2)
+      graft.ext.Compact.diffAsOf(s, corpus, fromBatch = 9, toBatch = 11,
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q201_jsonl_shards" -> ((s, dir) => { ensure(s)
       // TRAINING-DATA DELIVERY: the corpus exported as 8 deterministic
       // zstd-JSONL shards (the trainer-dataloader handoff). Shard
@@ -4584,6 +4603,9 @@ object SparkEntry {
     // stage counts + survivor set exactly — same oracle by design
     "q179_bloom_ingest" -> q156OracleSql,
     "q194_ingest_autocompact" -> q156OracleSql,
+    "q202_snapshot_diff" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 12 >= 10 THEN 'added' ELSE 'unchanged' END AS status " +
+       "FROM documents ORDER BY doc_id"),
     "q201_jsonl_shards" ->
       ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard, " +
        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +

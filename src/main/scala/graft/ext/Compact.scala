@@ -244,6 +244,25 @@ object Compact {
   }
 
   /**
+   * SNAPSHOT DIFF — "what did the corpus gain between yesterday's and
+   * today's snapshot": [[TextAnalysis.corpusDiff]] composed over two
+   * [[readAsOf]] boundaries of the same batch-partitioned table. Both
+   * boundaries obey readAsOf's refusal contract (a boundary inside a
+   * compacted range refuses loudly). The ingest layout is append-only
+   * (compaction is content-preserving), so `removed` rows indicate
+   * external surgery — they are reported, not hidden. Output
+   * (idCol, status ∈ added|removed|modified|unchanged).
+   */
+  def diffAsOf(spark: SparkSession, dir: String, fromBatch: Long,
+               toBatch: Long, textCol: String, idCol: String): DataFrame = {
+    require(fromBatch <= toBatch,
+      s"diffAsOf: need fromBatch <= toBatch, got $fromBatch > $toBatch")
+    TextAnalysis.corpusDiff(
+      readAsOf(spark, dir, fromBatch), readAsOf(spark, dir, toBatch),
+      textCol, idCol)
+  }
+
+  /**
    * SNAPSHOT read: the table as of batch `maxBatch` inclusive — every
    * partition whose id range lies at or below the boundary. REFUSES
    * loudly when the boundary falls strictly inside a compacted range

@@ -1637,6 +1637,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("diffAsOf: added/modified/removed across snapshots, refusals") {
+    import spark.implicits._
+    import graft.ext.Compact
+    val root = java.nio.file.Files.createTempDirectory("graft-diffasof").toString
+    val c = s"$root/c"
+    Seq((1L, "one"), (2L, "two")).toDF("id", "t").write.parquet(s"$c/batch=0")
+    // well-formed append-only layout: batch 1 carries only NEW ids
+    // (ingest guarantees cross-batch id dedup) — snapshot diffs yield
+    // added/unchanged; modified/removed detection is corpusDiff's own
+    // contract (q89) and fires here only on external surgery
+    Seq((3L, "three"), (4L, "four")).toDF("id", "t").write.parquet(s"$c/batch=1")
+    val d = Compact.diffAsOf(spark, c, 0, 1, "t", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "added", 4L -> "added"), s"got $d")
+    // equal boundaries: everything unchanged
+    assert(Compact.diffAsOf(spark, c, 1, 1, "t", "id")
+      .filter(col("status") =!= "unchanged").count() == 0)
+    intercept[IllegalArgumentException] {
+      Compact.diffAsOf(spark, c, 1, 0, "t", "id")
+    }
+  }
+
   test("JSONL shards: deterministic assignment, roundtrip, stability, refusals") {
     import spark.implicits._
     import graft.ext.Pipeline
