@@ -338,6 +338,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: moment_unscaled == Spark CAST(double AS DECIMAL(38,12)) bit-for-bit") {
+    // the limb kernel's entire exactness claim rests on this twin
+    val genD = Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.choose(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, 1e-13, -1e-13, 0.1, 1.0 / 3.0,
+        4.9e-324, 123456.789012345))
+    forAllSampled(genD, 200) { d =>
+      val viaCast = spark.range(1).select(
+          lit(d).cast("double").cast("decimal(38,12)").as("c"))
+        .head().getDecimal(0)
+      val viaKernel = graft.ext.MomentKernel.unscaled12(d)
+      assert(viaKernel != null && java.math.BigDecimal.valueOf(
+          viaKernel.longValue(), 12).compareTo(viaCast) == 0,
+        s"kernel diverges from the cast at $d: $viaKernel vs $viaCast")
+      // limb split/recombine is the identity
+      val u = viaKernel.longValue()
+      val rec = graft.ext.MomentKernel.limbsToDecimal(
+        u >> 44, (u >> 22) & ((1L << 22) - 1), u & ((1L << 22) - 1))
+      assert(rec.toJavaBigDecimal.compareTo(viaCast) == 0,
+        s"limb roundtrip broke at $d")
+    }
+    // NaN / infinities mirror the cast's NULL
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .foreach(d => assert(graft.ext.MomentKernel.unscaled12(d) == null))
+  }
+
+  test("property: binary pack/hamming invariants on random vectors") {
+    import graft.ext.BinKernel
+    val genVec = for {
+      d <- Gen.choose(1, 130)
+      v <- Gen.listOfN(d, Gen.choose(-2.0, 2.0))
+    } yield v.toArray
+    forAllSampled(genVec, 80) { v =>
+      val t = new Array[Double](v.length)
+      val p = BinKernel.packLocal(v, t)
+      // each bit is exactly the per-dimension comparison
+      v.indices.foreach { i =>
+        val bit = (p(i >>> 6) >>> (i & 63)) & 1L
+        assert((bit == 1L) == (v(i) > 0.0), s"bit $i wrong for ${v(i)}")
+      }
+      // hamming to itself is 0; flipping one dim moves it by exactly 1
+      def ham(a: Array[Long], b: Array[Long]): Int =
+        a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(ham(p, p) == 0)
+      val w = v.clone(); w(0) = if (v(0) > 0.0) -1.0 else 1.0
+      assert(ham(p, BinKernel.packLocal(w, t)) == 1)
+    }
+  }
+
+  test("property: MaxSimKernel == naive reference on random token sets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val genCase = for {
+      dim <- Gen.choose(1, 8)
+      nd <- Gen.choose(1, 6)
+      nq <- Gen.choose(1, 4)
+      doc <- Gen.listOfN(nd, Gen.listOfN(dim, Gen.choose(-1.0, 1.0)))
+      q <- Gen.listOfN(nq, Gen.listOfN(dim, Gen.choose(-1.0, 1.0)))
+    } yield (doc.map(_.toArray), q.map(_.toArray).toArray)
+    forAllSampled(genCase, 60) { case (doc, q) =>
+      val mv = new GenericArrayData(
+        doc.map(t => new GenericArrayData(t.map(java.lang.Double.valueOf))).toArray[Any])
+      val got = graft.ext.MaxSimKernel.score(mv, q)
+      val want = q.map { qt =>
+        doc.map { dt =>
+          var s = 0.0; var i = 0
+          while (i < qt.length) { s += dt(i) * qt(i); i += 1 }
+          s
+        }.max
+      }.foldLeft(0.0)(_ + _)
+      assert(got == want, s"maxsim $got != reference $want")
+    }
+  }
+
   test("array ops: cs / cd / ov") {
     val adf = Seq(
       (1L, Seq("a", "b", "c")),
