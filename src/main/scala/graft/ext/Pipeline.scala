@@ -479,6 +479,9 @@ object Pipeline {
                         nShards: Int,
                         compress: Boolean = true): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    require(!df.columns.contains("shard"),
+      "exportJsonlShards: input already has a 'shard' column — rename it; " +
+        "silently overwriting it would corrupt the export")
     val spark = df.sparkSession
     val out = df.withColumn("shard", shardOf(col(idCol), nShards))
       .repartition(col("shard"))

@@ -886,7 +886,7 @@ object Similarity {
           }
           val score = lambda * rels(i) - oneMinus * maxSim
           if (score > bestScore ||
-              (score == bestScore && idOrd.lt(ids(i), ids(best)))) {
+              (best >= 0 && score == bestScore && idOrd.lt(ids(i), ids(best)))) {
             best = i; bestScore = score
           }
         }

@@ -342,7 +342,10 @@ object Sketches {
     val wanted = keys.select(col(keyCol),
       posexplode(array(params.map { case (a, b) =>
         cmsIndex(h, a, b, width) }: _*)).as(Seq("j", "cidx")))
-    merged.join(broadcast(wanted), Seq("j", "cidx"), "right")
+    // keys stream, the counter matrix broadcasts: it is bounded by d·w
+    // cells regardless of corpus size (a right-join-with-broadcast-right
+    // shape is unsupported and would silently fall back to a shuffle)
+    wanted.join(broadcast(merged), Seq("j", "cidx"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

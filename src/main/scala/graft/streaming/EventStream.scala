@@ -290,8 +290,15 @@ object EventStream {
                  compactTargetBytes: Long = 128L << 20,
                  compactKeepLatest: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    compactEveryBatches.foreach(n => require(n >= 1,
-      s"compactEveryBatches must be >= 1, got $n"))
+    compactEveryBatches.foreach { n =>
+      require(n >= 1, s"compactEveryBatches must be >= 1, got $n")
+      // validate the downstream knobs NOW — failing at stream-start
+      // beats failing inside micro-batch N's foreachBatch
+      require(compactTargetBytes > 0,
+        s"compactTargetBytes must be > 0, got $compactTargetBytes")
+      require(compactKeepLatest >= 0,
+        s"compactKeepLatest must be >= 0, got $compactKeepLatest")
+    }
     require(newDocs.isStreaming, "ingestSink needs a streaming frame; " +
       "call Pipeline.ingestBatch directly for batch ingestion")
     newDocs.writeStream
