@@ -8,7 +8,7 @@ import graft.core.GeoOps
 import graft.engine.GeoDb
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.ext.{Dedup, Multimodal, Pca, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions}
+import graft.ext.{Dedup, Multimodal, Pca, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions, WordPiece}
 import graft.ext.TextFunctions._
 import graft.query.{PostgrestFilter, SqlFragments}
 import graft.sources.ParquetStats
@@ -2635,6 +2635,29 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q203_wordpiece_train" -> ((s, dir) => { ensure(s)
+      // WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the
+      // BERT family, completing the BPE/unigram/WordPiece triad): 8
+      // merge rounds where the argmax is the LIKELIHOOD score
+      // n(ab)/(n(a)·n(b)) over the current segmentation, not the raw
+      // pair count. The gate pins the score's exact INTEGER inputs
+      // (n, na, nb) per round; the oracle replays every round with the
+      // same IEEE-double score and UTF-8 tie order, so a wrong symbol
+      // count, a chain-merge, or a count-argmax regression all break it.
+      WordPiece.trainMerges(ld(s, dir, "documents"), "text", rounds = 8)
+        .orderBy("round")
+    }),
+    "q204_wordpiece_encode" -> ((s, dir) => { ensure(s)
+      // WordPiece ENCODE: greedy longest-match-first against the
+      // trained vocab (alphabet-as-seen + merged tokens) — NOT a merge
+      // replay; a training word may encode differently from its own
+      // training segmentation, exactly as in BERT's tokenizer. Per-doc
+      // subword + [UNK] counts; the oracle replays training AND the
+      // greedy scan (one position-unrolled CTE per step).
+      WordPiece.segmentCounts(ld(s, dir, "documents"), "text", "doc_id",
+          rounds = 8)
+        .orderBy("doc_id")
+    }),
     "q202_snapshot_diff" -> ((s, dir) => { ensure(s)
       // SNAPSHOT DIFF over the compacted batch layout — "what arrived
       // between snapshot 9 and snapshot 11": the q187 12-batch corpus
@@ -4606,6 +4629,8 @@ object SparkEntry {
     "q202_snapshot_diff" ->
       ("SELECT doc_id, CASE WHEN doc_id % 12 >= 10 THEN 'added' ELSE 'unchanged' END AS status " +
        "FROM documents ORDER BY doc_id"),
+    "q203_wordpiece_train" -> q203OracleSql(8),
+    "q204_wordpiece_encode" -> q204OracleSql(8, 8),
     "q201_jsonl_shards" ->
       ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard, " +
        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
@@ -5635,6 +5660,72 @@ object SparkEntry {
     ", dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w FROM documents), " +
     s"sg AS MATERIALIZED (SELECT w, CAST(len(list_filter(string_split(trim(sym), '  '), x -> x <> '')) AS BIGINT) AS ns FROM v$rounds), " +
     "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n FROM dw JOIN sg USING (w) GROUP BY doc_id)"
+
+  /** The q203/q204 oracle core: WordPiece merge training replayed in
+    * SQL over the double-space symbol-string encoding (the q141 replace
+    * machinery) with the LIKELIHOOD argmax — per round, pair counts AND
+    * symbol counts from the same segmentation, best pair by
+    * `n/(na*nb)` DESC (the engine's exact IEEE-double score: CAST to
+    * DOUBLE, one division, one multiplication — bit-identical on both
+    * engines) with UTF-8 pair-ascending ties; the merged spelling
+    * strips the right operand's `##` (the right side of an adjacent
+    * pair is always a continuation). Initial segmentation: first char
+    * bare, later chars `##`-prefixed. */
+  private def wordpieceCtes(rounds: Int): String = {
+    val init =
+      "WITH w AS MATERIALIZED (SELECT x AS w, CAST(count(*) AS BIGINT) AS wc FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS x FROM documents) GROUP BY x), " +
+      "v0 AS MATERIALIZED (SELECT w, '  ' || array_to_string([sl[1]] || list_transform(sl[2:], c -> '##' || c), '  ') || '  ' AS sym, wc FROM (SELECT w, string_split(w, '') AS sl, wc FROM w))"
+    val roundCtes = (1 to rounds).map { r =>
+      s"ls$r AS MATERIALIZED (SELECT w, list_filter(string_split(trim(sym), '  '), x -> x <> '') AS ls, wc FROM v${r - 1}), " +
+      s"c$r AS MATERIALIZED (SELECT a, b, CAST(sum(wc) AS BIGINT) AS n FROM (SELECT u.a AS a, u.b AS b, wc FROM (SELECT unnest(list_transform(range(1, len(ls)), i -> struct_pack(a := ls[i], b := ls[i+1]))) AS u, wc FROM ls$r WHERE len(ls) >= 2)) GROUP BY a, b), " +
+      s"s$r AS MATERIALIZED (SELECT s, CAST(sum(wc) AS BIGINT) AS ns FROM (SELECT unnest(ls) AS s, wc FROM ls$r) GROUP BY s), " +
+      s"t$r AS MATERIALIZED (SELECT a, b, a || ' ' || b AS pair, n, na, nb FROM (SELECT c.a, c.b, c.n, sa.ns AS na, sb.ns AS nb FROM c$r c JOIN s$r sa ON sa.s = c.a JOIN s$r sb ON sb.s = c.b) ORDER BY CAST(n AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, pair ASC LIMIT 1), " +
+      s"v$r AS MATERIALIZED (SELECT w, COALESCE(replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || substr(b, 3) || ' '), sym) AS sym, wc FROM v${r - 1} LEFT JOIN t$r ON TRUE)"
+    }.mkString(", ")
+    s"$init, $roundCtes"
+  }
+
+  private def q203OracleSql(rounds: Int): String = {
+    val finals = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, pair, n, na, nb FROM t$r")
+      .mkString(" UNION ALL ")
+    s"${wordpieceCtes(rounds)} $finals ORDER BY round"
+  }
+
+  /** The q204 oracle: train as q203, build the encode vocab (alphabet
+    * as seen — word-initial chars bare, later chars `##`-prefixed —
+    * plus every merged token), then replay the GREEDY
+    * longest-match-first scan as one position-unrolled CTE per step
+    * (each step consumes >= 1 char, so `maxLen` = the corpus's longest
+    * word bounds the unroll); a word with an unmatchable position
+    * collapses to one [UNK]. Longest-match ties are impossible (two
+    * same-length pieces matching the same offset are the same piece),
+    * so row_number by length DESC alone is deterministic. */
+  private def q204OracleSql(rounds: Int, maxLen: Int): String = {
+    val merged = (1 to rounds).map(r =>
+      s"SELECT a || substr(b, 3) AS piece FROM t$r").mkString(" UNION ALL ")
+    val vocabCtes =
+      "alpha AS MATERIALIZED (SELECT DISTINCT piece FROM (SELECT substr(w, 1, 1) AS piece FROM w UNION ALL SELECT '##' || substr(w, p, 1) AS piece FROM w, unnest(range(2, len(w) + 1)) AS t(p))), " +
+      s"vb AS MATERIALIZED (SELECT DISTINCT piece FROM (SELECT piece FROM alpha UNION ALL $merged)), " +
+      "vbb AS MATERIALIZED (SELECT piece, len(piece) AS pl FROM vb WHERE piece NOT LIKE '##%'), " +
+      "vbc AS MATERIALIZED (SELECT substr(piece, 3) AS body, len(piece) - 2 AS pl FROM vb WHERE piece LIKE '##%'), " +
+      "g0 AS MATERIALIZED (SELECT w, 0 AS pos, 0 AS cnt, 0 AS unk FROM w)"
+    val steps = (1 to maxLen).map { i =>
+      s"a$i AS MATERIALIZED (SELECT w, pos, cnt FROM g${i - 1} WHERE unk = 0 AND pos < len(w)), " +
+      s"j$i AS MATERIALIZED (SELECT w, pos, cnt, pl FROM (SELECT w, pos, cnt, pl, row_number() OVER (PARTITION BY w ORDER BY pl DESC) AS rn FROM (" +
+        s"SELECT a.w, a.pos, a.cnt, v.pl FROM a$i a JOIN vbb v ON a.pos = 0 AND substr(a.w, 1, v.pl) = v.piece " +
+        s"UNION ALL SELECT a.w, a.pos, a.cnt, v.pl FROM a$i a JOIN vbc v ON a.pos > 0 AND substr(a.w, a.pos + 1, v.pl) = v.body)) WHERE rn = 1), " +
+      s"g$i AS MATERIALIZED (SELECT w, pos, cnt, unk FROM g${i - 1} WHERE unk = 1 OR pos >= len(w) " +
+        s"UNION ALL SELECT w, pos + pl AS pos, cnt + 1 AS cnt, 0 AS unk FROM j$i " +
+        s"UNION ALL SELECT a.w, len(a.w) AS pos, 1 AS cnt, 1 AS unk FROM a$i a WHERE NOT EXISTS (SELECT 1 FROM j$i j WHERE j.w = a.w))"
+    }.mkString(", ")
+    s"${wordpieceCtes(rounds)}, $vocabCtes, $steps, " +
+    s"sg AS MATERIALIZED (SELECT w, CAST(cnt AS BIGINT) AS ns, CAST(unk AS BIGINT) AS nu FROM g$maxLen), " +
+    "dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS w FROM documents), " +
+    "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n, sum(nu) AS u FROM dw JOIN sg USING (w) GROUP BY doc_id) " +
+    "SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords, CAST(COALESCE(a.u, 0) AS BIGINT) AS n_unk " +
+    "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
+  }
 
   private def q143OracleSql(rounds: Int): String =
     bpeCountCtes(rounds) +

@@ -4187,6 +4187,104 @@ class ExtSpec extends SparkSpec {
     assert(empty.getMessage.contains("exactly one row") ||
       Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
+
+  test("wordpiece train maximizes likelihood score, not pair count") {
+    // (q,##z) occurs ONCE but scores 1/(1*1)=1.0; every count-4 pair
+    // scores 4/64 — WordPiece must pick the rare-but-cohesive pair
+    // where BPE's count argmax picks a frequent one
+    val corpus = Seq((1L, "ta tb ua ub qz ta tb ua ub ta tb ua ub ta tb ua ub"))
+      .toDF("doc_id", "text")
+    val m = WordPiece.trainMerges(corpus, "text", rounds = 1).collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[String]("pair") == "q ##z")
+    assert(m(0).getAs[Long]("n") == 1L)
+    assert(m(0).getAs[Long]("na") == 1L)
+    assert(m(0).getAs[Long]("nb") == 1L)
+    val bpe = TextAnalysis.bpeMergeCandidates(corpus, "text", k = 1).collect()
+    assert(bpe(0).getAs[String]("pair") != "q ##z") // count argmax differs
+    // score ties break on the UTF-8-ascending pair string: corpus
+    // "ab abc" round 1 has (a,##b) 2/(2*2) == (##b,##c) 1/(1*2) — the
+    // '#' byte sorts below 'a', so the continuation pair wins
+    val tie = Seq((1L, "ab abc")).toDF("doc_id", "text")
+    val t = WordPiece.trainMerges(tie, "text", rounds = 2).collect()
+    assert(t.map(_.getAs[String]("pair")).toSeq == Seq("##b ##c", "a ##b"))
+  }
+
+  test("wordpiece local and distributed training paths are identical") {
+    val local = WordPiece.trainMerges(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val dist = WordPiece.trainMerges(docs, "text", rounds = 8,
+        maxLocalVocab = 0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(local == dist)
+  }
+
+  test("wordpiece greedy encode is longest-match-first, not merge replay") {
+    // training on "ab abc": round 1 merges (##b,##c)→##bc (tie rule),
+    // round 2 merges (a,##b)→ab. Training segmentation of "abc" is
+    // [a, ##bc], but GREEDY longest-match against the vocab
+    // {a,##b,##c,##bc,ab} takes "ab" first → [ab, ##c]
+    val corpus = Seq((1L, "ab abc")).toDF("doc_id", "text")
+    val merges = WordPiece.trainMerges(corpus, "text", rounds = 2).collect()
+      .map(r => r.getString(1).split(" ", 2))
+    val pieces = Array("a", "##b", "##c") ++
+      merges.map(p => p(0) + p(1).substring(2))
+    val kernel = WordPieceKernel.build(pieces)
+    val enc = Seq("abc", "ab", "a", "b", "xyz", "")
+      .toDF("w")
+      .select($"w", WordPiece.encodeTokens($"w", kernel).as("p"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(enc("abc") == List("ab", "##c"))
+    assert(enc("ab") == List("ab"))
+    assert(enc("a") == List("a"))
+    assert(enc("b") == List(WordPieceKernel.Unk)) // '##b' exists, bare 'b' doesn't
+    assert(enc("xyz") == List(WordPieceKernel.Unk))
+    assert(enc("") == Nil)
+  }
+
+  test("wordpiece segmentCounts: per-doc counts, unk, empty and null docs") {
+    val corpus = Seq(
+      (1L, "ab abc ab"),
+      (2L, "abc éclair"), // é unseen nowhere — é IS seen here, in-vocab
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = WordPiece.segmentCounts(corpus, "text", "doc_id", rounds = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // vocab from THIS corpus: alphabet covers every char seen, so no
+    // UNKs are possible; counts are greedy-encode piece counts
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_._3 == 0L))
+    assert(out(2)._2 == 0L && out(3)._2 == 0L)
+    assert(out(0)._2 > 0L && out(1)._2 > 0L)
+  }
+
+  test("wordpiece refuses '#' loudly on every path") {
+    val bad = Seq((1L, "plain c# code")).toDF("doc_id", "text")
+    val eLocal = intercept[Exception] {
+      WordPiece.trainMerges(bad, "text", rounds = 1).collect()
+    }
+    assert(eLocal.getMessage.contains("##") ||
+      Option(eLocal.getCause).exists(_.getMessage.contains("##")))
+    val eDist = intercept[Exception] {
+      WordPiece.trainMerges(bad, "text", rounds = 1, maxLocalVocab = 0)
+        .collect()
+    }
+    assert(eDist.getMessage.contains("ambiguous") ||
+      Option(eDist.getCause).exists(_.getMessage.contains("ambiguous")) ||
+      eDist.toString.contains("ambiguous"))
+    val kernel = WordPieceKernel.build(Array("a"))
+    val eEnc = intercept[Exception] {
+      Seq("a#b").toDF("w")
+        .select(WordPiece.encodeTokens($"w", kernel)).collect()
+    }
+    assert(eEnc.getMessage.contains("ambiguous") ||
+      Option(eEnc.getCause).exists(_.getMessage.contains("ambiguous")) ||
+      eEnc.toString.contains("ambiguous"))
+  }
 }
 
 object ExtSpec {
