@@ -8,7 +8,7 @@ import graft.core.GeoOps
 import graft.engine.GeoDb
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.ext.{Dedup, Multimodal, Pca, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions, WordPiece}
+import graft.ext.{Dedup, Multimodal, NgramLm, Pca, Pipeline, Profile, Similarity, TextAnalysis, TextFunctions, WordPiece}
 import graft.ext.TextFunctions._
 import graft.query.{PostgrestFilter, SqlFragments}
 import graft.sources.ParquetStats
@@ -2635,6 +2635,24 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q205_backoff_lm" -> ((s, dir) => { ensure(s)
+      // STUPID-BACKOFF trigram LM scoring (Brants 2007 — the CCNet
+      // perplexity-filter shape with a real trained reference model;
+      // q112's Laplace bigram is the shallow cousin). Model trains on
+      // the %10<3 slice; docs %10=7 (never in-ref) carry planted OOV
+      // tokens, so the add-one unigram floor, the OOV-context bigram
+      // backoff, AND the natural trigram backoff all score through the
+      // chain. Terms are round(ln S, 6), decimal-accumulated per doc —
+      // the oracle retrains the three count tables and replays every
+      // term with the identical IEEE expression tree.
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 7,
+          concat(col("text"), lit(" zzznovel qqrare zzznovel")))
+          .otherwise(col("text")).as("text"))
+      NgramLm.stupidBackoffScores(docs, "text", "doc_id",
+          docs.filter(col("doc_id") % 10 < 3), "text")
+        .orderBy("doc_id")
+    }),
     "q203_wordpiece_train" -> ((s, dir) => { ensure(s)
       // WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the
       // BERT family, completing the BPE/unigram/WordPiece triad): 8
@@ -4630,6 +4648,7 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN doc_id % 12 >= 10 THEN 'added' ELSE 'unchanged' END AS status " +
        "FROM documents ORDER BY doc_id"),
     "q203_wordpiece_train" -> q203OracleSql(8),
+    "q205_backoff_lm" -> q205OracleSql,
     "q204_wordpiece_encode" -> q204OracleSql(8, 8),
     "q201_jsonl_shards" ->
       ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard, " +
@@ -5725,6 +5744,47 @@ object SparkEntry {
     "ag AS MATERIALIZED (SELECT doc_id, sum(ns) AS n, sum(nu) AS u FROM dw JOIN sg USING (w) GROUP BY doc_id) " +
     "SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_subwords, CAST(COALESCE(a.u, 0) AS BIGINT) AS n_unk " +
     "FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY d.doc_id"
+  }
+
+  /** The q205 oracle: retrain the stupid-backoff trigram model
+    * (unigram/bigram/trigram counts over the %10<3 ref slice of the
+    * OOV-planted corpus) and replay every per-token term with the
+    * engine's exact IEEE expression tree — CAST-to-double divisions,
+    * a 0.4 multiplier, one `round(ln S, 6)` per token — decimal-summed
+    * per doc so accumulation order can't matter. */
+  private def q205OracleSql: String = {
+    val toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
+    def grams(src: String, withId: Boolean): String = {
+      val id = if (withId) "doc_id, " else ""
+      s"SELECT ${id}u.i AS i, u.w AS w, u.p1 AS p1, u.p2 AS p2 FROM (" +
+      s"SELECT ${id}unnest(list_transform(range(1, len(t) + 1), i -> struct_pack(" +
+      "i := i - 1, w := t[i], p1 := CASE WHEN i >= 2 THEN t[i-1] END, " +
+      s"p2 := CASE WHEN i >= 3 THEN t[i-2] END))) AS u FROM (SELECT ${id}$toks AS t FROM $src))"
+    }
+    val s1 = "(CAST(COALESCE(uw.c1, 0) AS DOUBLE) + 1.0) / nv.nv"
+    val s2 = s"CASE WHEN bb.c2 IS NOT NULL THEN CAST(bb.c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE) ELSE 0.4 * ($s1) END"
+    "WITH d0 AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN text || ' zzznovel qqrare zzznovel' ELSE text END AS text FROM documents), " +
+    "rf AS MATERIALIZED (SELECT text FROM d0 WHERE doc_id % 10 < 3), " +
+    s"rt AS MATERIALIZED (SELECT unnest($toks) AS w FROM rf), " +
+    "u1 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM rt GROUP BY w), " +
+    "nv AS MATERIALIZED (SELECT CAST(sum(c1) + count(*) AS DOUBLE) AS nv FROM u1), " +
+    s"rg AS MATERIALIZED (${grams("rf", withId = false)}), " +
+    "b2 AS MATERIALIZED (SELECT p1, w, CAST(count(*) AS BIGINT) AS c2 FROM rg WHERE p1 IS NOT NULL GROUP BY p1, w), " +
+    "t3 AS MATERIALIZED (SELECT p2, p1, w, CAST(count(*) AS BIGINT) AS c3 FROM rg WHERE p2 IS NOT NULL GROUP BY p2, p1, w), " +
+    s"dg AS MATERIALIZED (${grams("d0", withId = true)}), " +
+    "sc AS MATERIALIZED (SELECT dg.doc_id, CASE " +
+    s"WHEN dg.i = 0 THEN $s1 " +
+    s"WHEN dg.i = 1 THEN $s2 " +
+    s"ELSE CASE WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / CAST(cx.c2 AS DOUBLE) ELSE 0.4 * ($s2) END END AS s " +
+    "FROM dg " +
+    "LEFT JOIN t3 ON dg.p2 = t3.p2 AND dg.p1 = t3.p1 AND dg.w = t3.w " +
+    "LEFT JOIN b2 cx ON dg.p2 = cx.p1 AND dg.p1 = cx.w " +
+    "LEFT JOIN b2 bb ON dg.p1 = bb.p1 AND dg.w = bb.w " +
+    "LEFT JOIN u1 up ON dg.p1 = up.w " +
+    "LEFT JOIN u1 uw ON dg.w = uw.w, nv), " +
+    "ag AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CAST(round(ln(s), 6) AS DECIMAL(28,6))) AS DOUBLE) AS logscore FROM sc GROUP BY doc_id) " +
+    "SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens, COALESCE(ag.logscore, 0.0) AS logscore " +
+    "FROM d0 d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"
   }
 
   private def q143OracleSql(rounds: Int): String =

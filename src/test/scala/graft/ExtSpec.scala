@@ -4188,6 +4188,46 @@ class ExtSpec extends SparkSpec {
       Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
 
+  test("stupid-backoff trigram LM: hand-computed chain, OOV floor, minCount") {
+    // ref "a b c a b d": u1 a:2 b:2 c:1 d:1 (N=6, V=4 -> N+V=10),
+    // b2 (a,b):2 (b,c):1 (c,a):1 (b,d):1, t3 (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    val ref = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "a b c d"), // unigram, exact bigram, exact trigram, double backoff
+      (2L, "z a"),     // OOV token + OOV-context bigram backoff
+      (3L, "")
+    ).toDF("doc_id", "text")
+    def ln6(x: Double): Double =
+      java.math.BigDecimal.valueOf(math.log(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = NgramLm.stupidBackoffScores(target, "text", "doc_id",
+        ref, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 4L), (2L, 2L), (3L, 0L)))
+    // doc 1: ln(3/10) + ln(2/2) + ln(1/2) + ln(0.4*0.4*(1+1)/10)
+    val d1 = ln6(0.3) + ln6(1.0) + ln6(0.5) + ln6(0.4 * (0.4 * (2.0 / 10)))
+    assert(math.abs(out(0)._3 - d1) < 1e-9, s"${out(0)._3} vs $d1")
+    // doc 2: ln((0+1)/10) + ln(0.4 * 3/10)
+    val d2 = ln6(0.1) + ln6(0.4 * 0.3)
+    assert(math.abs(out(1)._3 - d2) < 1e-9, s"${out(1)._3} vs $d2")
+    assert(out(2)._3 == 0.0)
+    // minCount=2 prunes every singleton gram: "a b c" now backs off at
+    // position 2 through the PRUNED bigram too
+    val pruned = NgramLm.stupidBackoffScores(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "text", "doc_id",
+        ref, "text", minCount = 2)
+      .collect()(0).getDouble(2)
+    val want = ln6(0.3) + ln6(1.0) + ln6(0.4 * (0.4 * (1.0 + 1) / 10))
+    assert(math.abs(pruned - want) < 1e-9, s"$pruned vs $want")
+    // empty reference refuses loudly
+    val e = intercept[Exception] {
+      NgramLm.stupidBackoffScores(target, "text", "doc_id",
+        ref.filter($"doc_id" < 0), "text")
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("wordpiece train maximizes likelihood score, not pair count") {
     // (q,##z) occurs ONCE but scores 1/(1*1)=1.0; every count-4 pair
     // scores 4/64 — WordPiece must pick the rare-but-cohesive pair
