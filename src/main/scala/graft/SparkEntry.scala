@@ -2635,6 +2635,30 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q206_salted_skew_join" -> ((s, dir) => { ensure(s)
+      // SALTED skew join (the explicit straggler-killer AQE's skew
+      // handler can't always be: it only splits sort-merge partitions
+      // post-shuffle and never fires for shuffled-hash or
+      // agg-feeding-join shapes). A planted hot key — every %4=0
+      // lineitem maps to supplier 1, ~25% of the fact table on ONE
+      // key — joins through Skew.saltedJoin (8 salts, deterministic
+      // xxhash64 row salt, small side replicated); the gate aggregates
+      // the joined frame, which must be row-identical to the plain
+      // join the oracle runs. ExtSpec pins plan shape (salt in the
+      // join keys, explode on the small side) and the right/full
+      // refusal.
+      val li = ld(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 4 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("suppkey"),
+        col("l_quantity"))
+      val sup = ld(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ext.Skew.saltedJoin(li, sup, Seq("suppkey"), nSalts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .orderBy("s_nationkey")
+    }),
     "q205_backoff_lm" -> ((s, dir) => { ensure(s)
       // STUPID-BACKOFF trigram LM scoring (Brants 2007 — the CCNet
       // perplexity-filter shape with a real trained reference model;
@@ -4649,6 +4673,12 @@ object SparkEntry {
        "FROM documents ORDER BY doc_id"),
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
+    "q206_salted_skew_join" ->
+      ("SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty " +
+       "FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END AS suppkey, l_quantity FROM lineitem) l " +
+       "JOIN supplier s ON s.s_suppkey = l.suppkey " +
+       "GROUP BY s.s_nationkey ORDER BY s.s_nationkey"),
     "q204_wordpiece_encode" -> q204OracleSql(8, 8),
     "q201_jsonl_shards" ->
       ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard, " +

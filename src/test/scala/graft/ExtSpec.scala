@@ -4188,6 +4188,47 @@ class ExtSpec extends SparkSpec {
       Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
 
+  test("salted skew join: row-identical to plain join, salt in plan, refusals") {
+    // hot key 1 (6 rows), singleton keys, a NULL key, an unmatched big
+    // key (9), an unmatched small key (5), and an exact-duplicate big
+    // row (same salt, both rows must survive)
+    val big = Seq(1L, 1L, 1L, 1L, 1L, 1L, 2L, 3L, 9L).zipWithIndex
+      .map { case (k, i) => (k, s"r$i") }
+      .toDF("k", "payload")
+      .unionByName(Seq((java.lang.Long.valueOf(4L), "r9"),
+        (null.asInstanceOf[java.lang.Long], "rnull"),
+        (java.lang.Long.valueOf(2L), "r6")).toDF("k", "payload"))
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = Skew.saltedJoin(big, small, Seq("k"), nSalts = 4,
+        joinType = jt)
+      assert(canon(salted) == canon(plain), s"join type $jt diverged")
+    }
+    // the physical plan joins on the salt and explodes the small side
+    val plan = Skew.saltedJoin(big, small, Seq("k"), nSalts = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_salt"))
+    assert(plan.contains("Generate") || plan.contains("explode"))
+    // refusals: right-preserving types, salt-column collision, bad keys
+    val eRight = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), 4, joinType = "right")
+    }
+    assert(eRight.getMessage.contains("duplicate unmatched"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), 4, joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big.withColumn("_graft_salt", lit(0)), small, Seq("k"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("nope"), 4)
+    }
+  }
+
   test("stupid-backoff trigram LM: hand-computed chain, OOV floor, minCount") {
     // ref "a b c a b d": u1 a:2 b:2 c:1 d:1 (N=6, V=4 -> N+V=10),
     // b2 (a,b):2 (b,c):1 (c,a):1 (b,d):1, t3 (a,b,c) (b,c,a) (c,a,b) (a,b,d)
