@@ -2635,6 +2635,21 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q207_matryoshka_topk" -> ((s, dir) => { ensure(s)
+      // MATRYOSHKA two-stage retrieval (MRL, Kusupati 2022 — the
+      // cheap-first funnel modern embedding APIs ship): prefix-16
+      // cosine shortlists 50, full-dim exact re-rank keeps 10. The
+      // oracle replays BOTH stages (prefix slice included), so a wrong
+      // prefix length, a shortlist boundary slip, or a re-rank tie
+      // break all surface; the rounded full cosine pins the values,
+      // not just the ordering.
+      val emb = ld(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10, prefixDim = 16, shortlist = 50)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine6"))
+        .orderBy("query_id", "rank")
+    }),
     "q206_salted_skew_join" -> ((s, dir) => { ensure(s)
       // SALTED skew join (the explicit straggler-killer AQE's skew
       // handler can't always be: it only splits sort-merge partitions
@@ -4673,6 +4688,12 @@ object SparkEntry {
        "FROM documents ORDER BY doc_id"),
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
+    "q207_matryoshka_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+       "pre AS (SELECT q.query_id, c.vec_id AS corpus_id, list_cosine_similarity(CAST(q.qv[1:16] AS DOUBLE[]), CAST(c.embedding[1:16] AS DOUBLE[])) AS pcos FROM embeddings c, q WHERE c.vec_id <> q.query_id), " +
+       "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
+       "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
+       "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q206_salted_skew_join" ->
       ("SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n, " +
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty " +

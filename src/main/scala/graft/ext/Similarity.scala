@@ -396,6 +396,53 @@ object Similarity {
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /**
+   * Matryoshka two-stage retrieval (MRL, Kusupati et al. 2022): score
+   * by cosine over the FIRST `prefixDim` dimensions — for MRL-trained
+   * embeddings every prefix is itself a valid embedding — shortlist
+   * `shortlist` candidates per query, then exactly re-rank the
+   * shortlist at full dimension and keep top `k`. The standard
+   * cheap-first funnel modern embedding APIs ship: the prefix pass
+   * reads `prefixDim/d` of the vector bytes per candidate.
+   *
+   * Scale: stage 1 is the [[bruteForceTopK]] broadcast-crossJoin shape
+   * (bounded per-query heaps, no corpus shuffle) at `prefixDim/d` of
+   * the arithmetic; stage 2 re-reads full vectors for only
+   * |queries|·shortlist rows via a slim-key join. With a columnar
+   * layout that stores the prefix as its own column (or a PQ/IVF index
+   * over prefixes — compose with [[Ivf]]), stage 1's scan shrinks by
+   * the same fraction. Vectors shorter than `prefixDim` are refused
+   * loudly per row, never silently truncated.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     prefixDim: Int, shortlist: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    // the guard rides the slice LENGTH argument, so it stays generic
+    // over the vector's element type (float or double arrays)
+    def pfx(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = slice(v, lit(1),
+      when(size(v) < prefixDim,
+        raise_error(concat(lit("matryoshkaTopK: vector of dim "),
+          size(v).cast("string"),
+          lit(s" is shorter than prefixDim=$prefixDim"))).cast("int"))
+        .otherwise(lit(prefixDim)))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val pre = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(pfx(col("qv")), pfx(col("cv"))).as("cosine"))
+    val short = rankTopK(pre, shortlist).select("query_id", "corpus_id")
+    val rer = short
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("qv"), col("cv")).as("cosine"))
+    rankTopK(rer, k)
+  }
+
+  /**
    * Approximate NN via hyperplane-LSH buckets: candidates share the
    * high-`nbits` signature on at least one of the `probes` rotations.
    */

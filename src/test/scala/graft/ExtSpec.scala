@@ -4188,6 +4188,43 @@ class ExtSpec extends SparkSpec {
       Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
 
+  test("matryoshka two-stage: equals composed reference, refuses short vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    val got = Similarity.matryoshkaTopK(vecs, q, "embedding", "vec_id",
+        k = 5, prefixDim = 3, shortlist = 12)
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: prefix-3 brute shortlist of 12, then full-dim rank
+    val pre = Similarity.bruteForceTopK(
+      vecs.select($"vec_id", slice($"embedding", 1, 3).as("embedding")),
+      q.select($"vec_id", slice($"embedding", 1, 3).as("embedding")),
+      "embedding", "vec_id", k = 12).select("query_id", "corpus_id")
+    val full = Similarity.bruteForceTopK(vecs, q, "embedding", "vec_id",
+        k = 40)
+      .join(pre, Seq("query_id", "corpus_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"cosine".desc, $"corpus_id".asc)
+    val want = full.select($"query_id", $"corpus_id",
+        row_number().over(w).as("rank"))
+      .filter($"rank" <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // a 2-dim vector under prefixDim=3 fails loudly, never truncates
+    val e = intercept[Exception] {
+      Similarity.matryoshkaTopK(
+        vecs.unionByName(Seq((99L, Array(0.1f, 0.2f)))
+          .toDF("vec_id", "embedding")),
+        q, "embedding", "vec_id", k = 5, prefixDim = 3, shortlist = 12)
+        .collect()
+    }
+    assert(e.getMessage.contains("shorter than prefixDim") ||
+      Option(e.getCause).exists(_.getMessage.contains("shorter than prefixDim")) ||
+      e.toString.contains("shorter than prefixDim"))
+  }
+
   test("salted skew join: row-identical to plain join, salt in plan, refusals") {
     // hot key 1 (6 rows), singleton keys, a NULL key, an unmatched big
     // key (9), an unmatched small key (5), and an exact-duplicate big
