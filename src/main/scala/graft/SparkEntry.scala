@@ -2635,6 +2635,19 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q208_weighted_sample" -> ((s, dir) => { ensure(s)
+      // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+      // A-ES) with deterministic md5-derived draws: length-weighted,
+      // 25 docs per source — the quality/length-weighted corpus
+      // subsampling step, reproducible across engines and retries.
+      // The oracle replays u, the ln(u)/w key (6 dp) and the
+      // rank-with-id-tiebreak exactly; output carries no floats.
+      val docs = ld(s, dir, "documents").withColumn("wt",
+        (coalesce(length(col("text")), lit(0)) + 1).cast("double"))
+      TextAnalysis.weightedSample(docs, "wt", "doc_id", k = 25,
+          groupCol = Some("source"), salt = "mix")
+        .orderBy("source", "doc_id")
+    }),
     "q207_matryoshka_topk" -> ((s, dir) => { ensure(s)
       // MATRYOSHKA two-stage retrieval (MRL, Kusupati 2022 — the
       // cheap-first funnel modern embedding APIs ship): prefix-16
@@ -4688,6 +4701,9 @@ object SparkEntry {
        "FROM documents ORDER BY doc_id"),
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
+    "q208_weighted_sample" ->
+      ("WITH sc AS (SELECT source, doc_id, round(ln((CAST(CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0) / CAST(COALESCE(length(text), 0) + 1 AS DOUBLE), 6) AS k FROM documents) " +
+       "SELECT source, doc_id, rank FROM (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC) AS INT) AS rank FROM sc) WHERE rank <= 25 ORDER BY source, doc_id"),
     "q207_matryoshka_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
        "pre AS (SELECT q.query_id, c.vec_id AS corpus_id, list_cosine_similarity(CAST(q.qv[1:16] AS DOUBLE[]), CAST(c.embedding[1:16] AS DOUBLE[])) AS pcos FROM embeddings c, q WHERE c.vec_id <> q.query_id), " +

@@ -320,6 +320,50 @@ object TextAnalysis {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+   * algorithm A-ES): each row draws `u` in (0, 1] deterministically
+   * from the md5 of its id (content-independent, cross-engine
+   * reproducible, no RNG — the repo-wide hash-sampling convention),
+   * forms the key `ln(u) / w` (order-equivalent to A-ES's `u^(1/w)`),
+   * and the k LARGEST keys per group win — each row's inclusion
+   * probability proportional to its weight, without replacement, in
+   * one pass. Keys are rounded to 6 dp before ranking (the repo-wide
+   * pin that keeps both engines' `ln` ulp classes comparable) with an
+   * id-ascending tiebreak.
+   *
+   * Scale: per-group TOP-K via the bounded-heap aggregate
+   * ([[TopKAggregate]]) — map-side partial heaps, the shuffle carries
+   * k rows per (partition, group), never the corpus; no window, no
+   * sort. Non-positive or NULL weights are refused loudly per row
+   * (a silent 0-weight would be a silent drop; a negative one would
+   * invert the order). Returns `(groupCol..., idCol, rank)`.
+   */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String,
+                     k: Int, groupCol: Option[String] = None,
+                     salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    val checkedW = when(w.isNull || w <= 0.0,
+      raise_error(concat(
+        lit("weightedSample: non-positive or NULL weight for id "),
+        col(idCol).cast("string"))).cast("double"))
+      .otherwise(w)
+    // 13 md5 hex chars = 52 bits, exact in a double; +1 keeps u > 0
+    val u = (conv(substring(md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(1.0)) / lit(4503599627370496.0) // 2^52
+    val key = round(log(u) / checkedW, 6)
+    val gcols = groupCol.map(col).toSeq
+    val scored = df.select(
+      gcols :+ col(idCol).cast("long").as("_id") :+ key.as("_key"): _*)
+    scored.groupBy(gcols: _*)
+      .agg(TopKAggregate.topk_by_score(col("_id"), col("_key"), k).as("top"))
+      .select(gcols :+ posexplode(col("top")): _*)
+      .select(gcols ++ Seq(col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rank")): _*)
+  }
+
+  /**
    * Corpus snapshot diff — the dataset-versioning primitive: classify
    * every doc id as `added` (only in new), `removed` (only in old),
    * `modified` (both, content hash differs) or `unchanged`. One

@@ -4188,6 +4188,55 @@ class ExtSpec extends SparkSpec {
       Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
 
+  test("weighted sample (A-ES): window replay twin, bias, determinism, refusals") {
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "g1" else "g2", if (i < 150) 10.0 else 0.5))
+      .toDF("id", "grp", "wt")
+    val got = TextAnalysis.weightedSample(rows, "wt", "id", k = 20,
+        groupCol = Some("grp"), salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // window-based replay of the same md5 draw / key / tie rule
+    val u = (conv(substring(md5(concat(lit("s"), lit(":"),
+        $"id".cast("string"))), 1, 13), 16, 10).cast("double") + lit(1.0)) /
+      lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(round(log(u) / $"wt", 6).desc, $"id".asc)
+    val want = rows.select($"grp", $"id",
+        row_number().over(w).cast("int").as("rank"))
+      .filter($"rank" <= 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // weight bias: ids < 150 carry 20x the weight — they should
+    // dominate the sample overwhelmingly
+    val heavy = got.count(_._2 < 150)
+    assert(heavy >= 30, s"expected heavy-weight dominance, got $heavy/40")
+    // determinism: second run identical
+    val again = TextAnalysis.weightedSample(rows, "wt", "id", k = 20,
+        groupCol = Some("grp"), salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+    // different salt = different (decorrelated) sample
+    val other = TextAnalysis.weightedSample(rows, "wt", "id", k = 20,
+        groupCol = Some("grp"), salt = "other")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(other != got)
+    // a group smaller than k returns all its rows, ranked
+    val tiny = TextAnalysis.weightedSample(
+        rows.filter($"id" < 5), "wt", "id", k = 20, groupCol = Some("grp"))
+      .collect()
+    assert(tiny.length == 5)
+    // zero/negative/NULL weights are refused loudly
+    for (bad <- Seq(0.0, -1.0)) {
+      val e = intercept[Exception] {
+        TextAnalysis.weightedSample(
+          rows.withColumn("wt", when($"id" === 7, bad).otherwise($"wt")),
+          "wt", "id", k = 5).collect()
+      }
+      assert(e.toString.contains("non-positive") ||
+        Option(e.getCause).exists(_.getMessage.contains("non-positive")))
+    }
+  }
+
   test("matryoshka two-stage: equals composed reference, refuses short vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i =>
