@@ -2635,6 +2635,27 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q209_wordpiece_artifact" -> ((s, dir) => { ensure(s)
+      // WordPiece ARTIFACT lifecycle (the q185 contract for the third
+      // family): train -> save the (wp_piece) vocab -> a fresh read
+      // encodes from disk through BOTH public paths — the generic
+      // withSubwordCounts ingest hook (schema-dispatched) and the
+      // direct greedy encode. Output must equal q204's in-memory
+      // train+encode exactly (same oracle), so a lossy save, a
+      // mis-dispatched family, or a load-order dependence all break it.
+      val docs = ld(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft-wp").toString
+      WordPiece.savePieces(
+        WordPiece.vocabFrame(docs, "text", rounds = 8), s"$root/wp")
+      val ann = TextAnalysis.withSubwordCounts(
+          docs.select(col("doc_id"), col("text")), "text", "doc_id",
+          s"$root/wp")
+        .select(col("doc_id"), col("n_subwords"))
+      val unk = WordPiece.segmentCountsFrom(docs, "text", "doc_id",
+          s"$root/wp")
+        .select(col("doc_id"), col("n_unk"))
+      ann.join(unk, Seq("doc_id")).orderBy("doc_id")
+    }),
     "q208_weighted_sample" -> ((s, dir) => { ensure(s)
       // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
       // A-ES) with deterministic md5-derived draws: length-weighted,
@@ -4717,6 +4738,7 @@ object SparkEntry {
        "JOIN supplier s ON s.s_suppkey = l.suppkey " +
        "GROUP BY s.s_nationkey ORDER BY s.s_nationkey"),
     "q204_wordpiece_encode" -> q204OracleSql(8, 8),
+    "q209_wordpiece_artifact" -> q204OracleSql(8, 8),
     "q201_jsonl_shards" ->
       ("SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard, " +
        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +

@@ -2655,10 +2655,11 @@ object TextAnalysis {
 
   /**
    * Annotate a frame with per-doc `n_subwords` under a SAVED tokenizer
-   * artifact of EITHER family — the schema names the family: a merge
+   * artifact of ANY family — the schema names the family: a merge
    * table (`round`, `pair`) encodes via the BPE replay kernel, a piece
-   * table (`piece`, `n`) via the unigram Viterbi kernel; anything else
-   * is refused loudly. This is the ingest-time composition hook: a
+   * table (`piece`, `n`) via the unigram Viterbi kernel, a wordpiece
+   * vocab (`wp_piece`) via the greedy longest-match kernel; anything
+   * else is refused loudly. This is the ingest-time composition hook: a
    * daily batch annotated at ingest arrives pre-tokenized for the
    * packing planner (`tokenCountCol = "n_subwords"`), and the trained
    * artifact never retrains. All input columns pass through; the join
@@ -2673,10 +2674,13 @@ object TextAnalysis {
         bpeSegmentCountsFrom(df, textCol, idCol, artifactPath, maxLocalVocab)
       else if (Set("piece", "n").subsetOf(schema))
         unigramEncodeCountsFrom(df, textCol, idCol, artifactPath, maxLocalVocab)
+      else if (schema.contains("wp_piece"))
+        WordPiece.segmentCountsFrom(df, textCol, idCol, artifactPath,
+          maxLocalVocab).drop("n_unk")
       else throw new IllegalArgumentException(
-        s"withSubwordCounts: $artifactPath is neither a BPE merge table " +
-          s"(round, pair, n) nor a unigram piece table (piece, n) — " +
-          s"columns ${schema.mkString(",")}")
+        s"withSubwordCounts: $artifactPath is not a BPE merge table " +
+          s"(round, pair, n), a unigram piece table (piece, n) or a " +
+          s"wordpiece vocab (wp_piece) — columns ${schema.mkString(",")}")
     df.join(counts, Seq(idCol))
   }
 

@@ -343,6 +343,74 @@ object WordPiece {
     * (`[UNK]` for unmatchable words), codegen'd. */
   def encodeTokens(word: Column, kernel: WordPieceKernel.Vocab): Column =
     Bridge.column(WordPieceEncodeExpr(Bridge.expression(word), kernel))
+
+  // ---- Artifact: save / load / encode-from-disk ---------------------------
+  //
+  // Train ONCE, encode DAILY — the q185 lifecycle for the third
+  // family. The artifact is the ENCODE VOCAB (one `wp_piece` column:
+  // alphabet-as-seen + merged tokens), deliberately schema-distinct
+  // from the BPE merge table (round, pair, n) and the unigram piece
+  // table (piece, n) so [[TextAnalysis.withSubwordCounts]] can
+  // dispatch on columns alone.
+
+  /** Train and return the encode vocab as a frame: `(wp_piece)`,
+    * ordered for a stable artifact. */
+  def vocabFrame(df: DataFrame, textCol: String, rounds: Int,
+                 maxLocalVocab: Int = 1000000,
+                 maxAlphabet: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    val (merges, _) = trainLoop(df, textCol, rounds, maxLocalVocab)
+    val pieces = vocabPiecesLocal(df, textCol, merges, maxAlphabet)
+    import spark.implicits._
+    pieces.toSeq.sorted.toDF("wp_piece")
+  }
+
+  /** Persist a [[vocabFrame]] artifact. Overwrites — refreshing the
+    * tokenizer artifact in place is the intended lifecycle. */
+  def savePieces(vocab: DataFrame, path: String): Unit = {
+    require(vocab.columns.contains("wp_piece"),
+      s"WordPiece.savePieces: expected a wp_piece column, got " +
+        vocab.columns.mkString(","))
+    vocab.select("wp_piece").orderBy("wp_piece")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a saved vocab — bounded probe-collect, loud refusal past the
+    * cap (the artifact is driver-sized by construction). */
+  def loadPieces(spark: org.apache.spark.sql.SparkSession, path: String,
+                 maxLocalVocab: Int = 2000000): Array[String] = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("wp_piece"),
+      s"WordPiece.loadPieces: $path is not a wordpiece vocab artifact " +
+        s"(columns ${df.columns.mkString(",")})")
+    val rows = df.select(col("wp_piece")).limit(maxLocalVocab + 1).collect()
+    require(rows.length <= maxLocalVocab,
+      s"WordPiece.loadPieces: artifact exceeds maxLocalVocab=" +
+        s"$maxLocalVocab pieces — raise the cap if the driver can hold it")
+    rows.map(_.getString(0))
+  }
+
+  /** ENCODE a corpus with a SAVED vocab — [[segmentCounts]] without
+    * the training pass; identical greedy kernel, identical output. */
+  def segmentCountsFrom(df: DataFrame, textCol: String, idCol: String,
+                        vocabPath: String,
+                        maxLocalVocab: Int = 2000000): DataFrame = {
+    val pieces = loadPieces(df.sparkSession, vocabPath, maxLocalVocab)
+    require(pieces.nonEmpty,
+      s"WordPiece.segmentCountsFrom: empty artifact at $vocabPath")
+    val kernel = WordPieceKernel.build(pieces)
+    val seg = df.select(explode(TextAnalysis.wordTokens(col(textCol))).as("w"))
+      .distinct()
+      .select(col("w"), encodeTokens(col("w"), kernel).as("pieces"))
+      .select(col("w"), size(col("pieces")).cast("long").as("_ns"),
+        size(filter(col("pieces"), p => p === lit(WordPieceKernel.Unk)))
+          .cast("long").as("_nunk"))
+    df.select(col(idCol), explode_outer(TextAnalysis.wordTokens(col(textCol))).as("w"))
+      .join(seg, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("_ns")), lit(0L)).as("n_subwords"),
+        coalesce(sum(col("_nunk")), lit(0L)).as("n_unk"))
+  }
 }
 
 /**

@@ -4429,6 +4429,34 @@ class ExtSpec extends SparkSpec {
     assert(out(0)._2 > 0L && out(1)._2 > 0L)
   }
 
+  test("wordpiece artifact: save/load/encode-from-disk == in-memory, dispatch") {
+    val corpus = Seq((1L, "ab abc ab"), (2L, "abc xyz")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("wp-spec").toString
+    WordPiece.savePieces(WordPiece.vocabFrame(corpus, "text", rounds = 2),
+      s"$root/wp")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(canon(WordPiece.segmentCountsFrom(corpus, "text", "doc_id",
+        s"$root/wp")) ==
+      canon(WordPiece.segmentCounts(corpus, "text", "doc_id", rounds = 2)))
+    // the generic ingest hook dispatches on the wp_piece schema and
+    // carries the original columns + n_subwords (no n_unk)
+    val ann = TextAnalysis.withSubwordCounts(corpus, "text", "doc_id",
+      s"$root/wp")
+    assert(ann.columns.toSeq == Seq("doc_id", "text", "n_subwords"))
+    assert(ann.count() == 2)
+    // a non-artifact schema still refuses loudly, naming all 3 families
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$root/junk")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.withSubwordCounts(corpus, "text", "doc_id", s"$root/junk")
+    }
+    assert(e.getMessage.contains("wp_piece"))
+    // loadPieces cap refusal
+    intercept[IllegalArgumentException] {
+      WordPiece.loadPieces(spark, s"$root/wp", maxLocalVocab = 1)
+    }
+  }
+
   test("wordpiece refuses '#' loudly on every path") {
     val bad = Seq((1L, "plain c# code")).toDF("doc_id", "text")
     val eLocal = intercept[Exception] {
