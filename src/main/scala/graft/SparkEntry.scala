@@ -2635,6 +2635,24 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q210_backoff_lm_artifact" -> ((s, dir) => { ensure(s)
+      // Backoff-LM ARTIFACT lifecycle: train the q205 model, persist
+      // the three count tables + meta, reload in a fresh read (count
+      // frames stay on disk as parquet scans — web-scale gram tables
+      // never pass through the driver), score the same planted corpus.
+      // Output must equal q205's train-and-score exactly (same oracle).
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 7,
+          concat(col("text"), lit(" zzznovel qqrare zzznovel")))
+          .otherwise(col("text")).as("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-lm").toString
+      NgramLm.saveModel(
+        NgramLm.trainModel(docs.filter(col("doc_id") % 10 < 3), "text"),
+        s"$root/lm")
+      NgramLm.scoreWithModel(docs, "text", "doc_id",
+          NgramLm.loadModel(s, s"$root/lm"))
+        .orderBy("doc_id")
+    }),
     "q209_wordpiece_artifact" -> ((s, dir) => { ensure(s)
       // WordPiece ARTIFACT lifecycle (the q185 contract for the third
       // family): train -> save the (wp_piece) vocab -> a fresh read
@@ -4722,6 +4740,7 @@ object SparkEntry {
        "FROM documents ORDER BY doc_id"),
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
+    "q210_backoff_lm_artifact" -> q205OracleSql,
     "q208_weighted_sample" ->
       ("WITH sc AS (SELECT source, doc_id, round(ln((CAST(CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0) / CAST(COALESCE(length(text), 0) + 1 AS DOUBLE), 6) AS k FROM documents) " +
        "SELECT source, doc_id, rank FROM (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC) AS INT) AS rank FROM sc) WHERE rank <= 25 ORDER BY source, doc_id"),

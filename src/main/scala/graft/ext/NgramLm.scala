@@ -53,8 +53,22 @@ object NgramLm {
   def stupidBackoffScores(docs: DataFrame, textCol: String, idCol: String,
                           ref: DataFrame, refTextCol: String,
                           alpha: Double = 0.4,
-                          minCount: Long = 1): DataFrame = {
-    require(alpha > 0 && alpha < 1, s"alpha in (0, 1), got $alpha")
+                          minCount: Long = 1): DataFrame =
+    scoreWithModel(docs, textCol, idCol,
+      trainModel(ref, refTextCol, minCount), alpha)
+
+  /** The trained artifact: three count frames + the normalization
+    * scalars. `n`/`v` are unpruned totals (pruning the unigram floor
+    * would re-normalize OOV scores, not shrink state — the floor table
+    * is the Zipf HEAD by definition). */
+  final case class Model(u1: DataFrame, b2: DataFrame, t3: DataFrame,
+                         n: Long, v: Long)
+
+  /** Train the count tables on `ref` — three corpus-scale aggregates;
+    * `minCount` prunes the bigram/trigram Zipf tails (pruned grams
+    * back off — Brants' frequency cutoff). */
+  def trainModel(ref: DataFrame, refTextCol: String,
+                 minCount: Long = 1): Model = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val refToks = ref.select(
       explode(TextAnalysis.wordTokens(col(refTextCol))).as("w"))
@@ -72,6 +86,44 @@ object NgramLm {
     val t3 = grams.filter(col("p2").isNotNull)
       .groupBy(col("p2"), col("p1"), col("w")).agg(count(lit(1)).as("c3"))
       .filter(col("c3") >= minCount)
+    Model(u1, b2, t3, bigN, bigV)
+  }
+
+  /** Persist a [[Model]]: `u1`/`b2`/`t3` parquet subdirs + a one-row
+    * `meta` (n, v). Overwrites — refresh-in-place lifecycle. */
+  def saveModel(model: Model, path: String): Unit = {
+    val spark = model.u1.sparkSession
+    model.u1.write.mode("overwrite").parquet(s"$path/u1")
+    model.b2.write.mode("overwrite").parquet(s"$path/b2")
+    model.t3.write.mode("overwrite").parquet(s"$path/t3")
+    import spark.implicits._
+    Seq((model.n, model.v)).toDF("n", "v")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a saved model. The count frames stay ON DISK as parquet
+    * scans (web-scale gram tables never pass through the driver);
+    * only the two meta scalars are collected. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"NgramLm.loadModel: $path/meta must hold exactly one row, got ${meta.length}")
+    val u1 = spark.read.parquet(s"$path/u1")
+    val b2 = spark.read.parquet(s"$path/b2")
+    val t3 = spark.read.parquet(s"$path/t3")
+    require(u1.columns.toSet == Set("w", "c1") &&
+      b2.columns.toSet == Set("p1", "w", "c2") &&
+      t3.columns.toSet == Set("p2", "p1", "w", "c3"),
+      s"NgramLm.loadModel: $path does not hold a backoff-LM artifact")
+    Model(u1, b2, t3, meta(0).getAs[Long]("n"), meta(0).getAs[Long]("v"))
+  }
+
+  /** Score `docs` under a trained/loaded [[Model]]. */
+  def scoreWithModel(docs: DataFrame, textCol: String, idCol: String,
+                     model: Model, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0, 1), got $alpha")
+    val Model(u1, b2, t3, bigN, bigV) = model
 
     val g = gramFrame(docs, textCol, idCol)
     val scored = g

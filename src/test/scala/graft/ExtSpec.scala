@@ -4353,6 +4353,22 @@ class ExtSpec extends SparkSpec {
         ref.filter($"doc_id" < 0), "text")
     }
     assert(e.getMessage.contains("no tokens"))
+    // artifact round-trip: save -> fresh load -> score == direct score
+    val root = java.nio.file.Files.createTempDirectory("lm-spec").toString
+    NgramLm.saveModel(NgramLm.trainModel(ref, "text"), s"$root/lm")
+    val fromDisk = NgramLm.scoreWithModel(target, "text", "doc_id",
+        NgramLm.loadModel(spark, s"$root/lm"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fromDisk == out.map(t => Seq(t._1, t._2, t._3)).toSeq)
+    // a non-artifact dir refuses loudly
+    Seq((1L, 2L)).toDF("n", "v").write.parquet(s"$root/bad/meta")
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$root/bad/u1")
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$root/bad/b2")
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$root/bad/t3")
+    val e2 = intercept[IllegalArgumentException] {
+      NgramLm.loadModel(spark, s"$root/bad")
+    }
+    assert(e2.getMessage.contains("backoff-LM artifact"))
   }
 
   test("wordpiece train maximizes likelihood score, not pair count") {
