@@ -2635,6 +2635,26 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q211_distance_join" -> ((s, dir) => { ensure(s)
+      // Planar grid DISTANCE join (the spatial sibling of the q161/q165
+      // binned range join): customer x supplier points on a synthetic
+      // 1000x1000 integer grid, all pairs within radius 25 via
+      // 3x3-neighborhood cell hashing + exact dx^2+dy^2 verify — pure
+      // -,*,+ arithmetic, so the DuckDB brute-force oracle matches
+      // bit-for-bit including the <= boundary. A pair duplicated by
+      // the neighborhood replication, or lost at a cell border, breaks
+      // the row set; dist2 pins the values.
+      val cust = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 1000).cast("double").as("cx"),
+        ((col("c_custkey") * 7) % 1000).cast("double").as("cy"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 3) % 1000).cast("double").as("sx"),
+        ((col("s_suppkey") * 13) % 1000).cast("double").as("sy"))
+      graft.core.DistanceJoin.radiusJoin(cust, sup,
+          "cx", "cy", "sx", "sy", radius = 25.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
     "q210_backoff_lm_artifact" -> ((s, dir) => { ensure(s)
       // Backoff-LM ARTIFACT lifecycle: train the q205 model, persist
       // the three count tables + meta, reload in a fresh read (count
@@ -4741,6 +4761,13 @@ object SparkEntry {
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
     "q210_backoff_lm_artifact" -> q205OracleSql,
+    "q211_distance_join" ->
+      ("SELECT c_custkey, s_suppkey, dist2 FROM (" +
+       "SELECT c.c_custkey, s.s_suppkey, " +
+       "(CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) * (CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) + " +
+       "(CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) * (CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) AS dist2 " +
+       "FROM customer c CROSS JOIN supplier s) WHERE dist2 <= 625.0 " +
+       "ORDER BY c_custkey, s_suppkey"),
     "q208_weighted_sample" ->
       ("WITH sc AS (SELECT source, doc_id, round(ln((CAST(CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0) / CAST(COALESCE(length(text), 0) + 1 AS DOUBLE), 6) AS k FROM documents) " +
        "SELECT source, doc_id, rank FROM (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC) AS INT) AS rank FROM sc) WHERE rank <= 25 ORDER BY source, doc_id"),

@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Planar DISTANCE (radius) join via grid binning — the spatial sibling
+ * of [[graft.plans.BinnedRangeJoin]]: "every (left, right) pair within
+ * `radius`" without the cross join Spark would otherwise plan for a
+ * non-equi spatial predicate. Points are binned to square grid cells
+ * of side `cellSize >= radius`; the right side replicates into its
+ * 3×3 cell neighborhood, the join is a plain HASH join on the cell
+ * key, and the exact `dx² + dy² <= radius²` predicate verifies every
+ * candidate — correctness never depends on the binning (any true pair
+ * is at most one cell apart on each axis because `cellSize >= radius`;
+ * the left point's cell appears exactly once in the right point's nine,
+ * so no pair can duplicate).
+ *
+ * Coordinates are PLANAR (a projected CRS — metres in 3857/UTM via
+ * [[GeoOps]] transforms, or any affine plane). Distance is pure
+ * `-`/`*`/`+` arithmetic, so results are bit-deterministic across
+ * engines (no trig; a haversine variant would inherit `sin`/`cos` ulp
+ * classes at the radius boundary). NULL/NaN coordinates are REFUSED
+ * loudly — a null cell key would silently drop the point from every
+ * pair, which is a wrong answer, not a missing one.
+ *
+ * Scale: shuffle carries each left row once and each right row 9×
+ * (cells are slim longs); the join is hash-partitioned on cell keys,
+ * so density skew (a hot city cell) is ordinary join skew —
+ * [[graft.ext.Skew.saltedJoin]] composes on the cell key if one cell
+ * dominates, and `cellSize` trades replication (larger cells, fewer
+ * duplicates of dense borders) against candidate-verify fan-in.
+ */
+object DistanceJoin {
+
+  /**
+   * All (left, right) pairs with planar distance <= `radius`. Returns
+   * `left.* ++ right.* ++ (dist2, dist)` — `dist2` exact arithmetic,
+   * `dist` its IEEE-correctly-rounded sqrt. Column names must be
+   * disjoint (refused loudly otherwise).
+   */
+  def radiusJoin(left: DataFrame, right: DataFrame,
+                 lx: String, ly: String, rx: String, ry: String,
+                 radius: Double, cellSize: Option[Double] = None): DataFrame = {
+    require(radius > 0 && !radius.isInfinite, s"radius must be finite > 0, got $radius")
+    val cs = cellSize.getOrElse(radius)
+    require(cs >= radius,
+      s"cellSize ($cs) must be >= radius ($radius) — smaller cells would " +
+      "need a wider neighborhood than 3x3 and silently lose pairs")
+    Seq(lx -> left, ly -> left, rx -> right, ry -> right).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"radiusJoin: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"radiusJoin: overlapping column names ${overlap.mkString(",")} — " +
+      "rename one side (the output carries both sides' columns)")
+    Seq("_gcx", "_gcy", "dist2", "dist").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"radiusJoin: reserved output column '$c' already present — rename it")
+    }
+    def cell(x: Column, axis: String): Column =
+      when(x.isNull || isnan(x),
+        raise_error(concat(lit(s"radiusJoin: NULL/NaN $axis coordinate — "),
+          lit("a null cell would silently drop the point from every pair")))
+          .cast("long"))
+        .otherwise(floor(x / cs).cast("long"))
+    val l = left
+      .withColumn("_gcx", cell(col(lx), "x"))
+      .withColumn("_gcy", cell(col(ly), "y"))
+    val r = right
+      .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gcx", cell(col(rx), "x") + col("_dx"))
+      .withColumn("_gcy", cell(col(ry), "y") + col("_dy"))
+      .drop("_dx", "_dy")
+    val ddx = col(lx) - col(rx)
+    val ddy = col(ly) - col(ry)
+    l.join(r, Seq("_gcx", "_gcy"))
+      .withColumn("dist2", ddx * ddx + ddy * ddy)
+      .filter(col("dist2") <= lit(radius * radius))
+      .withColumn("dist", sqrt(col("dist2")))
+      .drop("_gcx", "_gcy")
+  }
+}

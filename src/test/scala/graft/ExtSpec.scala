@@ -4188,6 +4188,52 @@ class ExtSpec extends SparkSpec {
       Option(empty.getCause).exists(_.getMessage.contains("exactly one row")))
   }
 
+  test("distance join: brute-force twin, <= boundary, cell borders, refusals") {
+    import graft.core.DistanceJoin
+    val rnd = new scala.util.Random(11)
+    val l = (0L until 200L).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("lid", "lx", "ly")
+    val r = (0L until 150L).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("rid", "rx", "ry")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = pairs(DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 7.5))
+    val brute = pairs(l.crossJoin(r).filter(
+      ($"lx" - $"rx") * ($"lx" - $"rx") +
+        ($"ly" - $"ry") * ($"ly" - $"ry") <= 7.5 * 7.5))
+    assert(got == brute && got.nonEmpty)
+    // a wider cell gives the SAME pairs (binning is never load-bearing)
+    assert(pairs(DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 7.5,
+      cellSize = Some(20.0))) == brute)
+    // exact boundary is INCLUDED; one epsilon past is not; pairs
+    // straddling a cell border at near-radius distance survive
+    val lb = Seq((1L, 0.0, 0.0), (2L, 9.99, 0.0)).toDF("lid", "lx", "ly")
+    val rb = Seq((1L, 25.0, 0.0), (2L, 25.000001, 0.0), (3L, 10.01, 0.0))
+      .toDF("rid", "rx", "ry")
+    val b = pairs(DistanceJoin.radiusJoin(lb, rb, "lx", "ly", "rx", "ry", 25.0))
+    assert(b == Set((1L, 1L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L)))
+    // refusals: cellSize < radius, NULL coordinate, column overlap
+    intercept[IllegalArgumentException] {
+      DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 7.5,
+        cellSize = Some(5.0))
+    }
+    val eNull = intercept[Exception] {
+      DistanceJoin.radiusJoin(
+        lb.withColumn("lx",
+          when($"lid" === 2L, lit(null).cast("double")).otherwise($"lx")),
+        rb, "lx", "ly", "rx", "ry", 25.0).collect()
+    }
+    assert(eNull.toString.contains("NULL/NaN") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("NULL/NaN")))
+    intercept[IllegalArgumentException] {
+      DistanceJoin.radiusJoin(l, l.toDF("lid", "rx", "ry"),
+        "lx", "ly", "rx", "ry", 5.0)
+    }
+  }
+
   test("weighted sample (A-ES): window replay twin, bias, determinism, refusals") {
     val rows = (0L until 300L).map(i =>
       (i, if (i % 3 == 0) "g1" else "g2", if (i < 150) 10.0 else 0.5))
