@@ -2635,6 +2635,27 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q212_nearest_join" -> ((s, dir) => { ensure(s)
+      // NEAREST-neighbor join by iterative radius doubling (exact —
+      // every left resolves at the first radius where ANY candidate
+      // appears, because radiusJoin returns ALL pairs within r): each
+      // customer's closest supplier on the q211 grid, ties to the
+      // smaller supplier key (integer grid distances make REAL ties).
+      // The oracle brute-forces argmin per customer with the same tie
+      // rule; a doubling round that dropped or duplicated an
+      // unresolved left breaks the row set.
+      val cust = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 1000).cast("double").as("cx"),
+        ((col("c_custkey") * 7) % 1000).cast("double").as("cy"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 3) % 1000).cast("double").as("sx"),
+        ((col("s_suppkey") * 13) % 1000).cast("double").as("sy"))
+      graft.core.DistanceJoin.nearestJoin(cust, sup,
+          "cx", "cy", "sx", "sy", "s_suppkey",
+          startRadius = 25.0, maxRadius = 2048.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+        .orderBy("c_custkey")
+    }),
     "q211_distance_join" -> ((s, dir) => { ensure(s)
       // Planar grid DISTANCE join (the spatial sibling of the q161/q165
       // binned range join): customer x supplier points on a synthetic
@@ -4761,6 +4782,15 @@ object SparkEntry {
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
     "q210_backoff_lm_artifact" -> q205OracleSql,
+    "q212_nearest_join" ->
+      ("SELECT c_custkey, s_suppkey, dist2 FROM (" +
+       "SELECT c.c_custkey, s.s_suppkey, " +
+       "(CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) * (CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) + " +
+       "(CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) * (CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) AS dist2, " +
+       "row_number() OVER (PARTITION BY c.c_custkey ORDER BY " +
+       "(CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) * (CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) + " +
+       "(CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) * (CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) ASC, s.s_suppkey ASC) AS rn " +
+       "FROM customer c CROSS JOIN supplier s) WHERE rn = 1 ORDER BY c_custkey"),
     "q211_distance_join" ->
       ("SELECT c_custkey, s_suppkey, dist2 FROM (" +
        "SELECT c.c_custkey, s.s_suppkey, " +

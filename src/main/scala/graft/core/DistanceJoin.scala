@@ -82,4 +82,66 @@ object DistanceJoin {
       .withColumn("dist", sqrt(col("dist2")))
       .drop("_gcx", "_gcy")
   }
+
+  /**
+   * NEAREST-neighbor join: for every left point, its single closest
+   * right point (ties to the smallest `rIdCol`). Exact, via ITERATIVE
+   * RADIUS DOUBLING over [[radiusJoin]]: probe at `startRadius`,
+   * resolve the lefts that found any candidate (all pairs within r are
+   * present, so the per-left minimum at radius r IS the true nearest),
+   * re-probe only the unresolved lefts at 2r, up to `maxRadius` —
+   * log2(maxRadius/startRadius) rounds, each a hash join that carries
+   * only the still-unmatched lefts. Lefts with no right point within
+   * `maxRadius` are OMITTED (the bound is the caller's contract; an
+   * unbounded search against an empty right side would never
+   * terminate). VALUE-duplicate left rows collapse to one output row —
+   * the group key is the whole left row; carry a unique id if
+   * duplicates must survive.
+   *
+   * Scale: round i costs |unmatched_i| × (right density within 3×3
+   * cells at radius 2^i) — geometrically fewer lefts against
+   * geometrically larger cells; for realistic densities almost
+   * everything resolves in round 1 and the tail pays the doubling.
+   * Each round `localCheckpoint`s the shrinking unmatched set to stop
+   * plan growth.
+   */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  lx: String, ly: String, rx: String, ry: String,
+                  rIdCol: String,
+                  startRadius: Double, maxRadius: Double): DataFrame = {
+    require(startRadius > 0 && maxRadius >= startRadius,
+      s"need 0 < startRadius ($startRadius) <= maxRadius ($maxRadius)")
+    require(right.columns.contains(rIdCol),
+      s"nearestJoin: id column '$rIdCol' missing from right side")
+    var unmatched = left
+    var out: Option[DataFrame] = None
+    var r = startRadius
+    var done = false
+    while (!done) {
+      val cand = radiusJoin(unmatched, right, lx, ly, rx, ry, r)
+      // per-left argmin: (dist2 asc, right id asc) through the bounded
+      // min_by struct — no window, no sort
+      val leftCols = unmatched.columns.map(col)
+      val best = cand.groupBy(leftCols: _*)
+        .agg(min_by(
+          struct(right.columns.map(col) :+ col("dist2") :+ col("dist"): _*),
+          struct(col("dist2"), col(rIdCol))).as("_best"))
+        .select(leftCols :+ col("_best.*"): _*)
+      out = Some(out.map(_.unionByName(best)).getOrElse(best))
+      // null-SAFE anti join: a left row with a NULL payload column must
+      // still recognize itself as matched (EqualTo would re-probe and
+      // re-emit it every round)
+      val bestKeys = best.select(leftCols: _*)
+      val next = unmatched.join(bestKeys,
+        unmatched.columns.map(c => unmatched(c) <=> bestKeys(c))
+          .reduce(_ && _), "left_anti")
+      if (r >= maxRadius) done = true
+      else {
+        val remaining = next.localCheckpoint()
+        if (remaining.isEmpty) done = true
+        else { unmatched = remaining; r = math.min(r * 2, maxRadius) }
+      }
+    }
+    out.get
+  }
 }

@@ -4234,6 +4234,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("nearest join: brute twin across doubling rounds, ties, maxRadius omission") {
+    import graft.core.DistanceJoin
+    val rnd = new scala.util.Random(23)
+    // clustered lefts + one FAR left (forces several doubling rounds)
+    val l = ((0L until 60L).map(i =>
+        (i, rnd.nextDouble() * 50, rnd.nextDouble() * 50)) :+
+      (999L, 900.0, 900.0)).toDF("lid", "lx", "ly")
+    val r = (0L until 40L).map(i =>
+      (i, rnd.nextDouble() * 60, rnd.nextDouble() * 60)).toDF("rid", "rx", "ry")
+    val got = DistanceJoin.nearestJoin(l, r, "lx", "ly", "rx", "ry", "rid",
+        startRadius = 5.0, maxRadius = 4096.0)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lid")
+      .orderBy((($"lx" - $"rx") * ($"lx" - $"rx") +
+        ($"ly" - $"ry") * ($"ly" - $"ry")).asc, $"rid".asc)
+    val want = l.crossJoin(r)
+      .select($"lid", $"rid", row_number().over(w).as("rn"))
+      .filter($"rn" === 1).select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == want && got.size == 61)
+    // REAL tie on an integer grid: two rights equidistant -> min id
+    val lt = Seq((1L, 0.0, 0.0)).toDF("lid", "lx", "ly")
+    val rt = Seq((7L, 3.0, 0.0), (4L, 0.0, 3.0), (9L, 5.0, 0.0))
+      .toDF("rid", "rx", "ry")
+    val tie = DistanceJoin.nearestJoin(lt, rt, "lx", "ly", "rx", "ry", "rid",
+      1.0, 64.0).collect()(0)
+    assert(tie.getAs[Long]("rid") == 4L && tie.getAs[Double]("dist2") == 9.0)
+    // a left with nothing within maxRadius is OMITTED, others survive
+    val far = DistanceJoin.nearestJoin(l, r, "lx", "ly", "rx", "ry", "rid",
+        5.0, 20.0)
+      .select("lid").collect().map(_.getLong(0)).toSet
+    assert(!far.contains(999L) && far.contains(0L))
+  }
+
   test("weighted sample (A-ES): window replay twin, bias, determinism, refusals") {
     val rows = (0L until 300L).map(i =>
       (i, if (i % 3 == 0) "g1" else "g2", if (i < 150) 10.0 else 0.5))
