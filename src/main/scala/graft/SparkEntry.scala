@@ -2635,6 +2635,31 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q213_interval_overlap_join" -> ((s, dir) => { ensure(s)
+      // INTERVAL-OVERLAP join (the interval x interval sibling of
+      // q161): two synthetic session sets from the orders table
+      // (integer start/length arithmetic the oracle replays brute-
+      // force), all overlapping (a, b) pairs via the binned hash join
+      // with the later-start-bin exactly-once rule — a pair duplicated
+      // across shared bins, or lost at a bin border, breaks the row
+      // set; overlap_len pins the values.
+      val a = ld(s, dir, "orders").filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey").as("aid"),
+          (col("o_orderkey") % 500).cast("double").as("alo"),
+          ((col("o_orderkey") % 500) + (col("o_orderkey") % 7) + 1)
+            .cast("double").as("ahi"))
+      val b = ld(s, dir, "orders").filter(col("o_orderkey") % 40 === 20)
+        .select(col("o_orderkey").as("bid"),
+          ((col("o_orderkey") * 3) % 500).cast("double").as("blo"),
+          (((col("o_orderkey") * 3) % 500) + (col("o_orderkey") % 11) + 1)
+            .cast("double").as("bhi"))
+      graft.ext.RangeJoin.intervalOverlapJoin(a, "alo", "ahi",
+          b, "blo", "bhi", binWidth = 8.0)
+        .select(col("aid"), col("bid"),
+          (least(col("ahi"), col("bhi")) -
+            greatest(col("alo"), col("blo"))).as("overlap_len"))
+        .orderBy("aid", "bid")
+    }),
     "q212_nearest_join" -> ((s, dir) => { ensure(s)
       // NEAREST-neighbor join by iterative radius doubling (exact —
       // every left resolves at the first radius where ANY candidate
@@ -4782,6 +4807,11 @@ object SparkEntry {
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
     "q210_backoff_lm_artifact" -> q205OracleSql,
+    "q213_interval_overlap_join" ->
+      ("WITH a AS (SELECT o_orderkey AS aid, CAST(o_orderkey % 500 AS DOUBLE) AS alo, CAST((o_orderkey % 500) + (o_orderkey % 7) + 1 AS DOUBLE) AS ahi FROM orders WHERE o_orderkey % 40 = 0), " +
+       "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +
+       "SELECT aid, bid, least(ahi, bhi) - greatest(alo, blo) AS overlap_len " +
+       "FROM a CROSS JOIN b WHERE alo <= bhi AND blo <= ahi ORDER BY aid, bid"),
     "q212_nearest_join" ->
       ("SELECT c_custkey, s_suppkey, dist2 FROM (" +
        "SELECT c.c_custkey, s.s_suppkey, " +

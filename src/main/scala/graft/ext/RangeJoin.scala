@@ -124,4 +124,82 @@ object RangeJoin {
       .join(broadcast(intervals.filter(spanBins > maxBinsPerInterval)), within)
     shortPairs.unionByName(widePairs)
   }
+
+  /**
+   * INTERVAL-OVERLAP join — all (a, b) pairs whose intervals overlap
+   * (`aLo <= bHi AND bLo <= aHi`; `touchIsOverlap = false` makes
+   * boundary contact NOT count, the half-open-session convention).
+   * The interval-x-interval sibling of [[pointInInterval]], same
+   * binned-hash-join shape, with the LATER-START-BIN rule making every
+   * true pair match EXACTLY once with no dedup pass: both sides
+   * explode to their covered bins, and a candidate only fires in
+   * `bin == max(binOf(aLo), binOf(bLo))` — a bin both sides cover
+   * whenever they truly overlap (the later start lies inside both
+   * intervals, and binOf is monotone), and only one bin equals the max.
+   *
+   * Scale: shuffle carries each interval once per covered bin — pick
+   * `binWidth` near the typical interval length. Wide intervals
+   * (span > `maxBinsPerInterval` bins) on EITHER side take a broadcast
+   * path instead of exploding (wide-A x all-B, then short-A x wide-B —
+   * disjoint by construction, so nothing double-counts), capped at
+   * `maxWideIntervals` per side with a loud refusal. NULL or inverted
+   * intervals are refused loudly, never silently dropped.
+   */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+                          b: DataFrame, bLo: String, bHi: String,
+                          binWidth: Double,
+                          maxBinsPerInterval: Int = 1024,
+                          maxWideIntervals: Int = 10000,
+                          touchIsOverlap: Boolean = true): DataFrame = {
+    require(binWidth > 0.0 && !binWidth.isInfinite, s"binWidth > 0, got $binWidth")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    val overlapCols = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"intervalOverlapJoin: column names must be disjoint, both sides " +
+        s"have ${overlapCols.mkString(", ")} — rename one side")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    def guardSide(df: DataFrame, lo: String, hi: String, side: String): Unit = {
+      val span = bin(col(hi)) - bin(col(lo)) + 1L
+      val g = df.agg(
+        count(when(col(lo).isNull || col(hi).isNull ||
+          col(lo).cast("double") > col(hi).cast("double"), 1)).as("bad"),
+        count(when(span > maxBinsPerInterval, 1)).as("wide")).head()
+      require(g.getLong(0) == 0L,
+        s"intervalOverlapJoin: ${g.getLong(0)} $side rows are NULL or " +
+          "inverted (lo > hi) — a bug upstream, not an empty match")
+      require(g.getLong(1) <= maxWideIntervals,
+        s"intervalOverlapJoin: ${g.getLong(1)} $side intervals span more " +
+          s"than $maxBinsPerInterval bins at binWidth=$binWidth " +
+          s"(cap $maxWideIntervals) — use a larger binWidth, or raise " +
+          "maxWideIntervals deliberately")
+    }
+    guardSide(a, aLo, aHi, "left")
+    guardSide(b, bLo, bHi, "right")
+    val overlaps =
+      if (touchIsOverlap)
+        col(aLo).cast("double") <= col(bHi).cast("double") &&
+          col(bLo).cast("double") <= col(aHi).cast("double")
+      else
+        col(aLo).cast("double") < col(bHi).cast("double") &&
+          col(bLo).cast("double") < col(aHi).cast("double")
+    def shortSide(df: DataFrame, lo: String, hi: String, binName: String) =
+      df.filter(bin(col(hi)) - bin(col(lo)) + 1L <= maxBinsPerInterval)
+        .withColumn(binName, explode(sequence(bin(col(lo)), bin(col(hi)))))
+    def wideSide(df: DataFrame, lo: String, hi: String) =
+      df.filter(bin(col(hi)) - bin(col(lo)) + 1L > maxBinsPerInterval)
+    val laterStartBin =
+      col("_abin") === greatest(bin(col(aLo)), bin(col(bLo)))
+    val shortPairs = shortSide(a, aLo, aHi, "_abin")
+      .join(shortSide(b, bLo, bHi, "_bbin"), col("_abin") === col("_bbin"))
+      .filter(laterStartBin && overlaps)
+      .drop("_abin", "_bbin")
+    val wideA = wideSide(a, aLo, aHi)
+    val wideB = wideSide(b, bLo, bHi)
+    val widePairs = b.crossJoin(broadcast(wideA)).filter(overlaps)
+      .unionByName(
+        a.filter(bin(col(aHi)) - bin(col(aLo)) + 1L <= maxBinsPerInterval)
+          .crossJoin(broadcast(wideB)).filter(overlaps))
+      .select(shortPairs.columns.map(col): _*)
+    shortPairs.unionByName(widePairs)
+  }
 }

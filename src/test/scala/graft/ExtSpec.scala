@@ -4234,6 +4234,53 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join: brute twin, exactly-once, touch semantics, wide path") {
+    val rnd = new scala.util.Random(31)
+    val a = (0L until 120L).map(i =>
+      { val lo = rnd.nextInt(300).toDouble; (i, lo, lo + 1 + rnd.nextInt(20)) })
+      .toDF("aid", "alo", "ahi")
+    val b = (0L until 100L).map(i =>
+      { val lo = rnd.nextInt(300).toDouble; (i, lo, lo + 1 + rnd.nextInt(20)) })
+      .toDF("bid", "blo", "bhi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("aid", "bid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val got = pairs(RangeJoin.intervalOverlapJoin(a, "alo", "ahi",
+      b, "blo", "bhi", binWidth = 10.0))
+    val brute = pairs(a.crossJoin(b)
+      .filter($"alo" <= $"bhi" && $"blo" <= $"ahi"))
+    // EXACTLY once: multiset equality, not just set (a pair matched in
+    // two shared bins would appear twice)
+    assert(got.sorted == brute.sorted && got.nonEmpty)
+    assert(got.distinct.size == got.size)
+    // touch: [0,5] vs [5,9] overlap under touchIsOverlap, not without
+    val ta = Seq((1L, 0.0, 5.0)).toDF("aid", "alo", "ahi")
+    val tb = Seq((1L, 5.0, 9.0)).toDF("bid", "blo", "bhi")
+    assert(pairs(RangeJoin.intervalOverlapJoin(ta, "alo", "ahi",
+      tb, "blo", "bhi", 4.0)).size == 1)
+    assert(pairs(RangeJoin.intervalOverlapJoin(ta, "alo", "ahi",
+      tb, "blo", "bhi", 4.0, touchIsOverlap = false)).isEmpty)
+    // one WHOLE-AXIS interval per side rides the broadcast wide path;
+    // totals still equal brute force
+    val aw = a.unionByName(Seq((900L, -1e6, 1e6)).toDF("aid", "alo", "ahi"))
+    val bw = b.unionByName(Seq((901L, -1e6, 1e6)).toDF("bid", "blo", "bhi"))
+    val gotW = pairs(RangeJoin.intervalOverlapJoin(aw, "alo", "ahi",
+      bw, "blo", "bhi", binWidth = 10.0))
+    val bruteW = pairs(aw.crossJoin(bw)
+      .filter($"alo" <= $"bhi" && $"blo" <= $"ahi"))
+    assert(gotW.sorted == bruteW.sorted)
+    // refusals: inverted interval, too many wide intervals
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapJoin(
+        Seq((1L, 9.0, 3.0)).toDF("aid", "alo", "ahi"), "alo", "ahi",
+        b, "blo", "bhi", 4.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapJoin(aw, "alo", "ahi", bw, "blo", "bhi",
+        binWidth = 10.0, maxWideIntervals = 0)
+    }
+  }
+
   test("nearest join: brute twin across doubling rounds, ties, maxRadius omission") {
     import graft.core.DistanceJoin
     val rnd = new scala.util.Random(23)
