@@ -2635,6 +2635,25 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q214_backoff_lm_increment" -> ((s, dir) => { ensure(s)
+      // INCREMENTAL LM training (the daily-ingest path): the q205
+      // reference slice split in two, trained on the even half, the
+      // odd half folded in via incrementModel (exactly-additive count
+      // merge + v recount). Scoring the planted corpus under the
+      // merged model must equal q205's single-shot training EXACTLY
+      // (same oracle) — an increment that double-counted, dropped a
+      // gram, or got n/v wrong shifts some doc's logscore.
+      val docs = ld(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 7,
+          concat(col("text"), lit(" zzznovel qqrare zzznovel")))
+          .otherwise(col("text")).as("text"))
+      val ref = docs.filter(col("doc_id") % 10 < 3)
+      val merged = NgramLm.incrementModel(
+        NgramLm.trainModel(ref.filter(col("doc_id") % 2 === 0), "text"),
+        ref.filter(col("doc_id") % 2 === 1), "text")
+      NgramLm.scoreWithModel(docs, "text", "doc_id", merged)
+        .orderBy("doc_id")
+    }),
     "q213_interval_overlap_join" -> ((s, dir) => { ensure(s)
       // INTERVAL-OVERLAP join (the interval x interval sibling of
       // q161): two synthetic session sets from the orders table
@@ -4807,6 +4826,7 @@ object SparkEntry {
     "q203_wordpiece_train" -> q203OracleSql(8),
     "q205_backoff_lm" -> q205OracleSql,
     "q210_backoff_lm_artifact" -> q205OracleSql,
+    "q214_backoff_lm_increment" -> q205OracleSql,
     "q213_interval_overlap_join" ->
       ("WITH a AS (SELECT o_orderkey AS aid, CAST(o_orderkey % 500 AS DOUBLE) AS alo, CAST((o_orderkey % 500) + (o_orderkey % 7) + 1 AS DOUBLE) AS ahi FROM orders WHERE o_orderkey % 40 = 0), " +
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +

@@ -119,6 +119,32 @@ object NgramLm {
     Model(u1, b2, t3, meta(0).getAs[Long]("n"), meta(0).getAs[Long]("v"))
   }
 
+  /**
+   * Fold a NEW batch's counts into a trained model — the daily-ingest
+   * path: counts are sums, so the merge is exactly additive
+   * (union + re-aggregate per table; `n` adds, `v` recounts from the
+   * merged unigram table — one slim count job). Training on A then
+   * incrementing with B is IDENTICAL to training on A ∪ B **when the
+   * base model is unpruned** (minCount = 1): a pruned base has already
+   * forgotten its sub-threshold tails, so grams crossing the threshold
+   * only across batches would undercount — prune at SCORING time (or
+   * on a save-side copy), never before a merge.
+   */
+  def incrementModel(model: Model, newRef: DataFrame,
+                     refTextCol: String): Model = {
+    val inc = trainModel(newRef, refTextCol, minCount = 1)
+    def merge(a: DataFrame, b: DataFrame, keys: Seq[String],
+              cnt: String): DataFrame =
+      a.unionByName(b).groupBy(keys.map(col): _*)
+        .agg(sum(col(cnt)).as(cnt))
+    val u1 = merge(model.u1, inc.u1, Seq("w"), "c1")
+    Model(u1,
+      merge(model.b2, inc.b2, Seq("p1", "w"), "c2"),
+      merge(model.t3, inc.t3, Seq("p2", "p1", "w"), "c3"),
+      n = model.n + inc.n,
+      v = u1.count())
+  }
+
   /** Score `docs` under a trained/loaded [[Model]]. */
   def scoreWithModel(docs: DataFrame, textCol: String, idCol: String,
                      model: Model, alpha: Double = 0.4): DataFrame = {

@@ -4488,6 +4488,23 @@ class ExtSpec extends SparkSpec {
         NgramLm.loadModel(spark, s"$root/lm"))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(fromDisk == out.map(t => Seq(t._1, t._2, t._3)).toSeq)
+    // incremental merge: train(A) + increment(B) == train(A ∪ B) at
+    // the count-table level AND through scoring
+    val refA = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val refB = Seq((1L, "a b d")).toDF("doc_id", "text")
+    val inc = NgramLm.incrementModel(NgramLm.trainModel(refA, "text"),
+      refB, "text")
+    val full = NgramLm.trainModel(refA.unionByName(refB), "text")
+    assert(inc.n == full.n && inc.v == full.v)
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(tbl(inc.u1) == tbl(full.u1) && tbl(inc.b2) == tbl(full.b2) &&
+      tbl(inc.t3) == tbl(full.t3))
+    val si = NgramLm.scoreWithModel(target, "text", "doc_id", inc)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val sf = NgramLm.scoreWithModel(target, "text", "doc_id", full)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(si == sf)
     // a non-artifact dir refuses loudly
     Seq((1L, 2L)).toDF("n", "v").write.parquet(s"$root/bad/meta")
     Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$root/bad/u1")

@@ -301,6 +301,34 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("distance/overlap joins plan as hash joins on bin keys, never BNLJ") {
+    import spark.implicits._
+    val l = (0L until 50L).map(i => (i, (i % 10).toDouble, (i % 7).toDouble))
+      .toDF("lid", "lx", "ly")
+    val r = (0L until 50L).map(i => (i, (i % 9).toDouble, (i % 8).toDouble))
+      .toDF("rid", "rx", "ry")
+    val dj = graft.core.DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 2.0)
+    val djPlan = dj.queryExecution.executedPlan.toString
+    assert(djPlan.contains("HashJoin") || djPlan.contains("SortMergeJoin"),
+      s"distance join must hash/merge join on cells:\n$djPlan")
+    assert(!djPlan.contains("BroadcastNestedLoop") &&
+      !djPlan.contains("CartesianProduct"),
+      s"distance join must not plan a nested loop:\n$djPlan")
+    val a = (0L until 50L).map(i =>
+      (i, (i % 30).toDouble, (i % 30).toDouble + 3)).toDF("aid", "alo", "ahi")
+    val b = (0L until 50L).map(i =>
+      (i, (i % 25).toDouble, (i % 25).toDouble + 2)).toDF("bid", "blo", "bhi")
+    val oj = graft.ext.RangeJoin.intervalOverlapJoin(
+      a, "alo", "ahi", b, "blo", "bhi", binWidth = 4.0)
+    val ojPlan = oj.queryExecution.executedPlan.toString
+    assert(ojPlan.contains("HashJoin") || ojPlan.contains("SortMergeJoin"),
+      s"overlap join must hash/merge join on bins:\n$ojPlan")
+    // the all-short-interval shape has an empty wide side; the only
+    // acceptable nested-loop is none at all on the data path
+    assert(!ojPlan.contains("CartesianProduct"),
+      s"overlap join must not plan a cartesian product:\n$ojPlan")
+  }
+
   test("BinnedRangeJoin: cast-wrapped operands (decimal points vs double bounds)") {
     rjPoints.select($"pid", $"x".cast("decimal(12,2)").as("x"))
       .createOrReplaceTempView("rj_p6")
