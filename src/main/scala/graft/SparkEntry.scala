@@ -2635,6 +2635,25 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q215_ranking_metrics" -> ((s, dir) => { ensure(s)
+      // GRADED ranking evaluation (nDCG@10 + MRR@10 — the quality
+      // half of the retrieval-eval story next to q198's recall):
+      // brute-force top-10 per query scored against a synthetic
+      // modular-arithmetic relevance pool the oracle rebuilds exactly;
+      // per-position gains round-6 and decimal-summed, so a gain
+      // formula slip, an IDCG tie-rank slip, or an unlabeled-pair
+      // mishandling shifts a 6-dp value.
+      val emb = ld(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val pool = emb.select(col("vec_id").as("corpus_id"))
+        .crossJoin(q.select(col("vec_id").as("query_id")))
+        .filter((col("corpus_id") * 7 + col("query_id")) % 10 < 3)
+        .select(col("query_id"), col("corpus_id"),
+          ((col("corpus_id") + col("query_id")) % 4).as("grade"))
+      val res = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+      Similarity.rankingMetrics(res, pool, k = 10)
+        .orderBy("query_id")
+    }),
     "q214_backoff_lm_increment" -> ((s, dir) => { ensure(s)
       // INCREMENTAL LM training (the daily-ingest path): the q205
       // reference slice split in two, trained on the even half, the
@@ -4827,6 +4846,14 @@ object SparkEntry {
     "q205_backoff_lm" -> q205OracleSql,
     "q210_backoff_lm_artifact" -> q205OracleSql,
     "q214_backoff_lm_increment" -> q205OracleSql,
+    "q215_ranking_metrics" ->
+      ("WITH res AS (SELECT query_id, corpus_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 10), " +
+       "pool AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, (c.vec_id + q.vec_id) % 4 AS grade FROM embeddings c CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q WHERE (c.vec_id * 7 + q.vec_id) % 10 < 3), " +
+       "g AS (SELECT r.query_id, r.rank, COALESCE(p.grade, 0) AS grade FROM res r LEFT JOIN pool p ON p.query_id = r.query_id AND p.corpus_id = r.corpus_id), " +
+       "dcg AS (SELECT query_id, sum(CAST(round(CAST((1 << grade) - 1 AS DOUBLE) / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)), 6) AS DECIMAL(28,6))) AS dcgv, max(CASE WHEN grade > 0 THEN round(1.0 / rank, 6) END) AS mrrv FROM g GROUP BY query_id), " +
+       "ideal AS (SELECT query_id, sum(CAST(round(CAST((1 << grade) - 1 AS DOUBLE) / (ln(CAST(pos AS DOUBLE) + 1.0) / ln(2.0)), 6) AS DECIMAL(28,6))) AS idcgv FROM (SELECT query_id, grade, row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, corpus_id ASC) AS pos FROM pool WHERE grade > 0) WHERE pos <= 10 GROUP BY query_id) " +
+       "SELECT d.query_id, CASE WHEN i.idcgv IS NULL OR i.idcgv <= 0 THEN 0.0 ELSE round(CAST(d.dcgv AS DOUBLE) / CAST(i.idcgv AS DOUBLE), 6) END AS ndcg, COALESCE(d.mrrv, 0.0) AS mrr " +
+       "FROM dcg d LEFT JOIN ideal i ON i.query_id = d.query_id ORDER BY d.query_id"),
     "q213_interval_overlap_join" ->
       ("WITH a AS (SELECT o_orderkey AS aid, CAST(o_orderkey % 500 AS DOUBLE) AS alo, CAST((o_orderkey % 500) + (o_orderkey % 7) + 1 AS DOUBLE) AS ahi FROM orders WHERE o_orderkey % 40 = 0), " +
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +

@@ -396,6 +396,64 @@ object Similarity {
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
   /**
+   * Graded ranking-quality metrics — nDCG@k and MRR@k per query, the
+   * evaluation step of a retrieval stack (complements the recall@k
+   * harness): `results` carries retrieved (query_id, corpus_id, rank),
+   * `grades` the labeled relevance pool (query_id, corpus_id, grade ≥
+   * 0; unlabeled pairs count as grade 0). Gains are the standard
+   * `(2^grade − 1) / log2(pos + 1)`; 2^grade rides an exact integer
+   * shift, each per-position term is `round(…, 6)` (the repo-wide pin
+   * that keeps both engines' `ln` ulp classes comparable) and sums
+   * accumulate as DECIMAL — order-free and exactly replayable. IDCG@k
+   * ranks the query's labeled pool by grade through the bounded-heap
+   * aggregate (never a corpus sort); a query with an empty/zero pool
+   * reports ndcg 0.0 (not NULL — a dashboard mean over NULLs silently
+   * shrinks its denominator), and mrr 0.0 when nothing relevant was
+   * retrieved.
+   *
+   * Scale: two slim-key joins (results × grades on (query, corpus);
+   * results are |queries|·k rows) + one bounded-heap pass over the
+   * grade pool — nothing rescans a corpus.
+   */
+  def rankingMetrics(results: DataFrame, grades: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq("query_id", "corpus_id", "rank").foreach(c =>
+      require(results.columns.contains(c), s"results needs column '$c'"))
+    Seq("query_id", "corpus_id", "grade").foreach(c =>
+      require(grades.columns.contains(c), s"grades needs column '$c'"))
+    def gainTerm(grade: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round((call_function("shiftleft", lit(1L), grade.cast("int"))
+        .cast("double") - 1.0) /
+        (log(pos.cast("double") + 1.0) / log(lit(2.0))), 6)
+        .cast("decimal(28,6)")
+    val g = results.filter(col("rank") <= k)
+      .join(grades.select(col("query_id"), col("corpus_id"),
+        col("grade").cast("long").as("grade")),
+        Seq("query_id", "corpus_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+    val dcg = g.groupBy("query_id").agg(
+      sum(gainTerm(col("grade"), col("rank"))).as("_dcg"),
+      max(when(col("grade") > 0, round(lit(1.0) / col("rank"), 6)))
+        .as("_mrr"))
+    val ideal = grades.filter(col("grade") > 0)
+      .groupBy("query_id")
+      .agg(TopKAggregate.topk_by_score(col("corpus_id"),
+        col("grade").cast("double"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.score").cast("long").as("grade"),
+        (col("pos") + 1).as("pos"))
+      .groupBy("query_id")
+      .agg(sum(gainTerm(col("grade"), col("pos"))).as("_idcg"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("_idcg").isNull || col("_idcg") <= 0, lit(0.0))
+          .otherwise(round(col("_dcg").cast("double") /
+            col("_idcg").cast("double"), 6)).as("ndcg"),
+        coalesce(col("_mrr"), lit(0.0)).as("mrr"))
+  }
+
+  /**
    * Matryoshka two-stage retrieval (MRL, Kusupati et al. 2022): score
    * by cosine over the FIRST `prefixDim` dimensions — for MRL-trained
    * embeddings every prefix is itself a valid embedding — shortlist

@@ -4365,6 +4365,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ranking metrics: hand-computed nDCG/MRR, zero-pool and unlabeled contracts") {
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def gain(g: Long, p: Long): Double =
+      r6(((1L << g) - 1).toDouble / (math.log(p + 1.0) / math.log(2.0)))
+    // query 1: retrieved [A(g3), B(g0 unlabeled), C(g1)]; pool also has
+    // D(g2) NOT retrieved -> ideal@3 = [3,2,1]
+    val res = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2)) // query 2: nothing relevant anywhere
+      .toDF("query_id", "corpus_id", "rank")
+    val pool = Seq((1L, 10L, 3L), (1L, 12L, 1L), (1L, 13L, 2L),
+      (2L, 99L, 0L)) // query 2's only label is grade 0
+      .toDF("query_id", "corpus_id", "grade")
+    val out = Similarity.rankingMetrics(res, pool, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val dcg = BigDecimal(gain(3, 1)) + BigDecimal(gain(0, 2)) + BigDecimal(gain(1, 3))
+    val idcg = BigDecimal(gain(3, 1)) + BigDecimal(gain(2, 2)) + BigDecimal(gain(1, 3))
+    val wantNdcg = r6((dcg / idcg).toDouble)
+    assert(out(0)._1 == 1L && math.abs(out(0)._2 - wantNdcg) < 1e-9,
+      s"${out(0)}, want $wantNdcg")
+    assert(out(0)._3 == 1.0) // first relevant at rank 1
+    // query 2: zero pool -> ndcg 0.0 (never NULL), mrr 0.0
+    assert(out(1) == ((2L, 0.0, 0.0)))
+    // MRR picks the FIRST relevant rank: relevant only at rank 3
+    val res2 = Seq((5L, 1L, 1), (5L, 2L, 2), (5L, 3L, 3))
+      .toDF("query_id", "corpus_id", "rank")
+    val pool2 = Seq((5L, 3L, 2L)).toDF("query_id", "corpus_id", "grade")
+    val m = Similarity.rankingMetrics(res2, pool2, k = 3).collect()(0)
+    assert(m.getAs[Double]("mrr") == r6(1.0 / 3))
+    // DCG = gain(2, pos 3) = 3/log2(4) = 1.5; IDCG = gain(2, pos 1) = 3
+    assert(m.getAs[Double]("ndcg") == 0.5)
+  }
+
   test("matryoshka two-stage: equals composed reference, refuses short vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i =>
