@@ -198,19 +198,26 @@ object NgramLm {
   /** Positional grams of every doc: one row per token position with
     * `(i 0-based, w, p1 = previous token or NULL, p2 = token before
     * that or NULL)` — an index-aware `transform` over the token array,
-    * exploded once; no window, no per-doc sort, no self-join. */
+    * exploded once; no window, no per-doc sort, no self-join.
+    *
+    * The token array is MATERIALIZED in its own projection first: the
+    * lambda references it three times (input + two `element_at`s), and
+    * inlining the split/filter chain into each reference re-tokenizes
+    * the document per gram — O(len²) per doc, measured 7.5 s of an
+    * 11 s sf0.1 scoring pass before this split. CollapseProject keeps
+    * the boundary (the alias is non-cheap and multiply-referenced). */
   private def gramFrame(df: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
-    val t = TextAnalysis.wordTokens(col(textCol))
+    val idCols = Option(idCol).map(col).toSeq
+    val base = df.select(
+      idCols :+ TextAnalysis.wordTokens(col(textCol)).as("_t"): _*)
+    val t = col("_t")
     val gram = transform(t, (w, i) => struct(
       i.cast("int").as("i"),
       w.as("w"),
       when(i >= 1, element_at(t, i)).as("p1"),
       when(i >= 2, element_at(t, i - 1)).as("p2")))
-    val cols =
-      if (idCol == null) Seq(explode(gram).as("g"))
-      else Seq(col(idCol), explode(gram).as("g"))
-    df.select(cols: _*)
-      .select((Option(idCol).map(col).toSeq :+ col("g.*")): _*)
+    base.select(idCols :+ explode(gram).as("g"): _*)
+      .select(idCols :+ col("g.*"): _*)
   }
 }
