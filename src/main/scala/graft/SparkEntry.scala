@@ -2635,6 +2635,31 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q216_lm_buckets" -> ((s, dir) => { ensure(s)
+      // CCNet PROPER: head/middle/tail per language by per-token NLL
+      // under the TRAINED backoff LM (q124 bucketed a self-entropy
+      // proxy; this is the real reference-model pipeline stage,
+      // composing q205's model into the q124 ntile machinery).
+      // Zero-token docs land in 'unscored', never in a tercile.
+      val docs = ld(s, dir, "documents").select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 10 === 7,
+          concat(col("text"), lit(" zzznovel qqrare zzznovel")))
+          .otherwise(col("text")).as("text"))
+      val scored = NgramLm.stupidBackoffScores(docs, "text", "doc_id",
+          docs.filter(col("doc_id") % 10 < 3), "text")
+        .select(col("doc_id"),
+          // RAW division, deliberately unrounded: logscore doubles are
+          // bit-identical cross-engine (q205), so the quotient is too;
+          // a 6-dp round here can flip at a .5e-6 boundary (engines
+          // round shortest-decimal vs scaled-binary - measured on one
+          // row at sf0.01)
+          when(col("n_tokens") > 0,
+            -col("logscore") / col("n_tokens")).as("nll"))
+      TextAnalysis.perplexityBuckets(
+          docs.select("doc_id", "lang").join(scored, Seq("doc_id")),
+          "nll", "doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q215_ranking_metrics" -> ((s, dir) => { ensure(s)
       // GRADED ranking evaluation (nDCG@10 + MRR@10 — the quality
       // half of the retrieval-eval story next to q198's recall):
@@ -4846,6 +4871,7 @@ object SparkEntry {
     "q205_backoff_lm" -> q205OracleSql,
     "q210_backoff_lm_artifact" -> q205OracleSql,
     "q214_backoff_lm_increment" -> q205OracleSql,
+    "q216_lm_buckets" -> q216OracleSql,
     "q215_ranking_metrics" ->
       ("WITH res AS (SELECT query_id, corpus_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 10), " +
        "pool AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, (c.vec_id + q.vec_id) % 4 AS grade FROM embeddings c CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q WHERE (c.vec_id * 7 + q.vec_id) % 10 < 3), " +
@@ -6027,6 +6053,19 @@ object SparkEntry {
     "ag AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CAST(round(ln(s), 6) AS DECIMAL(28,6))) AS DOUBLE) AS logscore FROM sc GROUP BY doc_id) " +
     "SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens, COALESCE(ag.logscore, 0.0) AS logscore " +
     "FROM d0 d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id"
+  }
+
+  /** The q216 oracle: the q205 model + per-token NLL, bucketed by the
+    * q124 ntile recipe per language. */
+  private def q216OracleSql: String = {
+    val core = q205OracleSql
+    val ctePrefix = core.substring(0, core.indexOf(" SELECT d.doc_id,"))
+    ctePrefix +
+    ", x AS (SELECT d.doc_id, d.lang, CASE WHEN ag.n_tokens > 0 THEN -ag.logscore / ag.n_tokens END AS nll " +
+    "FROM documents d LEFT JOIN ag USING (doc_id)), " +
+    "r AS (SELECT doc_id, lang, nll, ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS t FROM x WHERE nll IS NOT NULL) " +
+    "SELECT doc_id, lang, nll, CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM r " +
+    "UNION ALL SELECT doc_id, lang, nll, 'unscored' AS bucket FROM x WHERE nll IS NULL ORDER BY doc_id"
   }
 
   private def q143OracleSql(rounds: Int): String =
