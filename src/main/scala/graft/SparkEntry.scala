@@ -2635,6 +2635,44 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q217_overlap_rule" -> ((s, dir) => { ensure(s)
+      // the BinnedRangeJoin OVERLAP fallback end to end (the q165
+      // recipe for the q213 shape): a plain SQL
+      // `JOIN ... ON alo <= bhi AND blo <= ahi` — BroadcastNestedLoop
+      // under vanilla Spark — rewritten to the two-sided binned hash
+      // join with the later-start-bin exactly-once rule. The gate
+      // REQUIRES the rewrite fired (both bin markers in the optimized
+      // plan); oracle = DuckDB's plan of the same SQL over the q213
+      // fixture. Aggregated so the pair multiset is pinned by count
+      // AND id-sums (a duplicated pair shifts both).
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoin
+      s.conf.set("spark.graft.rangeJoin.binWidth", "8.0")
+      try {
+        ld(s, dir, "orders").filter(col("o_orderkey") % 40 === 0)
+          .select(col("o_orderkey").as("aid"),
+            (col("o_orderkey") % 500).cast("double").as("alo"),
+            ((col("o_orderkey") % 500) + (col("o_orderkey") % 7) + 1)
+              .cast("double").as("ahi"))
+          .createOrReplaceTempView("g217_a")
+        ld(s, dir, "orders").filter(col("o_orderkey") % 40 === 20)
+          .select(col("o_orderkey").as("bid"),
+            ((col("o_orderkey") * 3) % 500).cast("double").as("blo"),
+            (((col("o_orderkey") * 3) % 500) + (col("o_orderkey") % 11) + 1)
+              .cast("double").as("bhi"))
+          .createOrReplaceTempView("g217_b")
+        val q = s.sql(
+          "SELECT aid, CAST(count(*) AS LONG) AS n_overlaps, " +
+          "CAST(sum(bid) AS LONG) AS bid_sum " +
+          "FROM g217_a JOIN g217_b ON alo <= bhi AND blo <= ahi " +
+          "GROUP BY aid ORDER BY aid")
+        val opt = q.queryExecution.optimizedPlan.toString
+        require(opt.contains("_graft_abin") && opt.contains("_graft_bbin"),
+          "q217: the overlap rewrite did not fire")
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    }),
     "q216_lm_buckets" -> ((s, dir) => { ensure(s)
       // CCNet PROPER: head/middle/tail per language by per-token NLL
       // under the TRAINED backoff LM (q124 bucketed a self-entropy
@@ -4872,6 +4910,11 @@ object SparkEntry {
     "q210_backoff_lm_artifact" -> q205OracleSql,
     "q214_backoff_lm_increment" -> q205OracleSql,
     "q216_lm_buckets" -> q216OracleSql,
+    "q217_overlap_rule" ->
+      ("WITH a AS (SELECT o_orderkey AS aid, CAST(o_orderkey % 500 AS DOUBLE) AS alo, CAST((o_orderkey % 500) + (o_orderkey % 7) + 1 AS DOUBLE) AS ahi FROM orders WHERE o_orderkey % 40 = 0), " +
+       "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +
+       "SELECT aid, CAST(count(*) AS BIGINT) AS n_overlaps, CAST(sum(bid) AS BIGINT) AS bid_sum " +
+       "FROM a JOIN b ON alo <= bhi AND blo <= ahi GROUP BY aid ORDER BY aid"),
     "q215_ranking_metrics" ->
       ("WITH res AS (SELECT query_id, corpus_id, rank FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank FROM embeddings q CROSS JOIN embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 10), " +
        "pool AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, (c.vec_id + q.vec_id) % 4 AS grade FROM embeddings c CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 5) q WHERE (c.vec_id * 7 + q.vec_id) % 10 < 3), " +

@@ -144,7 +144,7 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       (p2, hi, false, hiOpen) <- bounds
       if p1.semanticEquals(p2)
     } yield (p1, lo, hi, loOpen, hiOpen)).headOption
-    pair.map { case (p, lo, hi, loOpen, hiOpen) =>
+    val pointRewrite = pair.map { case (p, lo, hi, loOpen, hiOpen) =>
       val pointOnLeft = attrSide(p) == 0
       val (points, intervals) = if (pointOnLeft) (left, right) else (right, left)
       val pbin = Alias(bin(p, w), "_graft_pbin")()
@@ -201,6 +201,89 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         if (pointOnLeft) iSide else pSide,
         Inner,
         Some(And(EqualTo(pbin.toAttribute, ibin), cond)), JoinHint.NONE)
+      Project(j.output, joined)
+    }
+    pointRewrite.orElse(
+      rewriteOverlap(j, left, right, cond, conjuncts, attrSide, numeric, w, cap))
+  }
+
+  /**
+   * The INTERVAL-OVERLAP fallback (tried only when the point-in-interval
+   * pairing found nothing): `aLo <= bHi AND bLo <= aHi` with `aLo`/`aHi`
+   * on one side and `bLo`/`bHi` on the other — the session/SCD-overlap
+   * join Spark also plans as BroadcastNestedLoopJoin. Both sides explode
+   * to the bins their interval spans and the join fires ONLY in
+   * `bin == max(bin(aLo), bin(bLo))` — the later start lies inside both
+   * intervals whenever they truly overlap and `bin` is monotone, so
+   * every true pair matches exactly once (each side's `sequence` emits a
+   * bin value at most once). The ORIGINAL condition rides along as the
+   * exact verify, which also covers the deliberate slack in the bin
+   * ranges:
+   *  - spans use `least`/`greatest` of the two endpoints, so INVERTED
+   *    rows (lo > hi — legal under the raw conjuncts when the other
+   *    interval straddles them) still explode to a covering range
+   *    instead of crashing `sequence`;
+   *  - Least/Greatest SKIP nulls, so a row with one NULL endpoint
+   *    explodes on the other alone — over-approximate but sound, the
+   *    NULL comparison in the verify rejects it (matching the nested
+   *    loop's semantics exactly).
+   * Strict (`<`) conjuncts reuse the same bins — strictness lives in
+   * the verify. Same opt-in knob, same per-interval bin cap with the
+   * loud RaiseError, same idempotency (the rewrite introduces a
+   * cross-side equi-conjunct).
+   */
+  private def rewriteOverlap(j: Join, left: LogicalPlan, right: LogicalPlan,
+                             cond: Expression, conjuncts: Seq[Expression],
+                             attrSide: Attribute => Int,
+                             numeric: Attribute => Boolean,
+                             w: Double, cap: Long): Option[LogicalPlan] = {
+    // normalize every cross-side inequality to (x, y) meaning x <= y /
+    // x < y (bins only over-approximate; strictness stays in the verify)
+    val ineqs = conjuncts.flatMap {
+      case LessThanOrEqual(BinnableAttr(x), BinnableAttr(y)) => Seq((x, y))
+      case LessThan(BinnableAttr(x), BinnableAttr(y)) => Seq((x, y))
+      case GreaterThanOrEqual(BinnableAttr(x), BinnableAttr(y)) => Seq((y, x))
+      case GreaterThan(BinnableAttr(x), BinnableAttr(y)) => Seq((y, x))
+      case _ => Nil
+    }.filter { case (x, y) =>
+      numeric(x) && numeric(y) && attrSide(x) >= 0 && attrSide(y) >= 0 &&
+        attrSide(x) != attrSide(y)
+    }
+    val picked = (for {
+      (x1, y1) <- ineqs // aLo <= bHi
+      (x2, y2) <- ineqs // bLo <= aHi
+      if attrSide(x1) == 0 && attrSide(x2) == 1
+    } yield (x1, y2, x2, y1)).headOption
+    picked.map { case (aLo, aHi, bLo, bHi) =>
+      val msg = Literal(
+        s"BinnedRangeJoin: an interval spans more than $cap bins at " +
+          s"$widthKey=$w - raise $widthKey, raise $capKey, or call " +
+          "graft.ext.RangeJoin.intervalOverlapJoin directly (it has a " +
+          "broadcast wide-interval path).")
+      def explodedSide(lo: Attribute, hi: Attribute, child: LogicalPlan,
+                       binName: String): (AttributeReference, LogicalPlan) = {
+        // least/greatest of the BINS, not the raw endpoints: the rule
+        // runs post-analysis so no implicit coercion would reconcile
+        // mixed numeric endpoint types, and bin is monotone so the two
+        // formulations are equal
+        val binLo = Least(Seq(bin(lo, w), bin(hi, w)))
+        val binHi = Greatest(Seq(bin(lo, w), bin(hi, w)))
+        val span = Add(Subtract(binHi, binLo), Literal(1L))
+        val seq = If(LessThanOrEqual(span, Literal(cap)),
+          new Sequence(binLo, binHi, Some(Literal(1L)),
+            Some(conf.sessionLocalTimeZone)),
+          Cast(new RaiseError(msg), ArrayType(LongType, containsNull = false)))
+        val out = AttributeReference(binName, LongType, nullable = false)()
+        (out, Generate(Explode(seq), unrequiredChildIndex = Nil,
+          outer = false, qualifier = None, generatorOutput = Seq(out),
+          child = child))
+      }
+      val (abin, aSide) = explodedSide(aLo, aHi, left, "_graft_abin")
+      val (bbin, bSide) = explodedSide(bLo, bHi, right, "_graft_bbin")
+      val laterStart = EqualTo(abin,
+        Greatest(Seq(bin(aLo, w), bin(bLo, w))))
+      val joined = Join(aSide, bSide, Inner,
+        Some(And(And(EqualTo(abin, bbin), laterStart), cond)), JoinHint.NONE)
       Project(j.output, joined)
     }
   }

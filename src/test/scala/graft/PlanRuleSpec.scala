@@ -329,6 +329,66 @@ class PlanRuleSpec extends SparkSpec {
       s"overlap join must not plan a cartesian product:\n$ojPlan")
   }
 
+  test("BinnedRangeJoin overlap fallback: rewrite fires, brute twin, edge rows") {
+    val rnd = new scala.util.Random(41)
+    val a = (0L until 80L).map { i =>
+      val lo = rnd.nextInt(200).toDouble; (i, lo, lo + 1 + rnd.nextInt(15)) }
+      .toDF("aid", "alo", "ahi")
+    val b = (0L until 70L).map { i =>
+      val lo = rnd.nextInt(200).toDouble; (i, lo, lo + 1 + rnd.nextInt(15)) }
+      .toDF("bid", "blo", "bhi")
+    a.createOrReplaceTempView("ov_a"); b.createOrReplaceTempView("ov_b")
+    val sqlTxt = "SELECT aid, bid FROM ov_a JOIN ov_b " +
+      "ON alo <= bhi AND blo <= ahi"
+    // without the knob: nested loop, correct baseline
+    val brute = spark.sql(sqlTxt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    withBinWidth("8.0") {
+      val q = spark.sql(sqlTxt)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_graft_abin") && opt.contains("_graft_bbin"),
+        s"overlap rewrite must fire:\n$opt")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == brute && got.nonEmpty) // MULTISET equality: exactly-once
+      // strict variant stays exact (strictness lives in the verify)
+      val strict = spark.sql("SELECT aid, bid FROM ov_a JOIN ov_b " +
+        "ON alo < bhi AND blo < ahi")
+      assert(strict.queryExecution.optimizedPlan.toString.contains("_graft_abin"))
+      val wantStrict = a.crossJoin(b)
+        .filter($"alo" < $"bhi" && $"blo" < $"ahi")
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(strict.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq == wantStrict)
+    }
+    // INVERTED interval (lo > hi): the raw conjuncts can still hold when
+    // the other interval straddles it — the least/greatest spans keep it
+    Seq((1L, 5.0, 3.0)).toDF("aid", "alo", "ahi")
+      .createOrReplaceTempView("ov_ai")
+    Seq((1L, 2.0, 10.0), (2L, 6.0, 10.0)).toDF("bid", "blo", "bhi")
+      .createOrReplaceTempView("ov_bi")
+    val invSql = "SELECT aid, bid FROM ov_ai JOIN ov_bi " +
+      "ON alo <= bhi AND blo <= ahi"
+    val invBrute = spark.sql(invSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    withBinWidth("4.0") {
+      val inv = spark.sql(invSql)
+      assert(inv.queryExecution.optimizedPlan.toString.contains("_graft_abin"))
+      assert(inv.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq == invBrute)
+      assert(invBrute == Seq((1L, 1L))) // b=(2,10) straddles; b=(6,10) not
+      // NULL endpoint: never matches (nested-loop semantics), never crashes
+      Seq((1L, java.lang.Double.valueOf(1.0), null.asInstanceOf[java.lang.Double]),
+          (2L, java.lang.Double.valueOf(1.0), java.lang.Double.valueOf(4.0)))
+        .toDF("aid", "alo", "ahi").createOrReplaceTempView("ov_an")
+      val nul = spark.sql("SELECT aid, bid FROM ov_an JOIN ov_bi " +
+        "ON alo <= bhi AND blo <= ahi")
+      assert(nul.queryExecution.optimizedPlan.toString.contains("_graft_abin"))
+      assert(nul.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == Seq((2L, 1L))) // row 1's NULL ahi fails blo <= ahi everywhere
+    }
+  }
+
   test("BinnedRangeJoin: cast-wrapped operands (decimal points vs double bounds)") {
     rjPoints.select($"pid", $"x".cast("decimal(12,2)").as("x"))
       .createOrReplaceTempView("rj_p6")
