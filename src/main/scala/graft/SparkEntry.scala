@@ -5316,12 +5316,12 @@ object SparkEntry {
        "e AS MATERIALIZED (SELECT label, embedding FROM embeddings) " +
        "SELECT * FROM (" +
        "SELECT e.label AS label, a.i AS i, b.i AS j, " +
-       "CAST(sum(CAST(CAST(e.embedding[a.i+1] AS DOUBLE) * " +
-       "CAST(e.embedding[b.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_d " +
+       "CAST(sum((CAST(floor((CAST(e.embedding[a.i+1] AS DOUBLE) * " +
+       "CAST(e.embedding[b.i+1] AS DOUBLE)) * 1000000000000.0 + 0.5) AS DECIMAL(24,0)) * CAST(0.000000000001 AS DECIMAL(13,12)))) AS DOUBLE) AS s_d " +
        "FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY e.label, a.i, b.i " +
        "UNION ALL " +
        "SELECT e.label, i.i, CAST(-1 AS INTEGER), " +
-       "CAST(sum(CAST(CAST(e.embedding[i.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) " +
+       "CAST(sum((CAST(floor((CAST(e.embedding[i.i+1] AS DOUBLE)) * 1000000000000.0 + 0.5) AS DECIMAL(24,0)) * CAST(0.000000000001 AS DECIMAL(13,12)))) AS DOUBLE) " +
        "FROM e, idx i GROUP BY e.label, i.i " +
        "UNION ALL " +
        "SELECT label, CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), " +
@@ -5332,12 +5332,12 @@ object SparkEntry {
        "e AS MATERIALIZED (SELECT embedding FROM embeddings) " +
        "SELECT * FROM (" +
        "SELECT a.i AS i, b.i AS j, " +
-       "CAST(sum(CAST(CAST(e.embedding[a.i+1] AS DOUBLE) * " +
-       "CAST(e.embedding[b.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_d " +
+       "CAST(sum((CAST(floor((CAST(e.embedding[a.i+1] AS DOUBLE) * " +
+       "CAST(e.embedding[b.i+1] AS DOUBLE)) * 1000000000000.0 + 0.5) AS DECIMAL(24,0)) * CAST(0.000000000001 AS DECIMAL(13,12)))) AS DOUBLE) AS s_d " +
        "FROM e, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2 " +
        "UNION ALL " +
        "SELECT i.i AS i, CAST(-1 AS INTEGER) AS j, " +
-       "CAST(sum(CAST(CAST(e.embedding[i.i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_d " +
+       "CAST(sum((CAST(floor((CAST(e.embedding[i.i+1] AS DOUBLE)) * 1000000000000.0 + 0.5) AS DECIMAL(24,0)) * CAST(0.000000000001 AS DECIMAL(13,12)))) AS DOUBLE) AS s_d " +
        "FROM e, idx i GROUP BY 1, 2) ORDER BY i, j"),
     "q180_profile" -> {
       def numRow(c: String) =

@@ -69,9 +69,9 @@ object Pca {
     // almost all of it boxed-BigDecimal aggregation buffers): explode a
     // LITERAL slot array (the generator iterates one shared array, no
     // per-row allocation), derive (i, j) by element_at into literal int
-    // arrays, convert each slot's double to its EXACT scale-12 unscaled
-    // long ([[MomentKernel.unscaled12]] — the bit-for-bit twin of
-    // CAST(.. AS DECIMAL(38,12)), NaN/Inf → NULL like the cast), split
+    // arrays, convert each slot's double to its scale-12 unscaled long
+    // ([[MomentKernel.unscaled12]] — the PINNED floor(x*1e12 + 0.5)
+    // rule, IEEE-replayable on every engine; NaN/Inf → NULL), split
     // into three 22-bit limbs with plain bit-ops (arithmetic shift =
     // floor division, negatives exact), SUM each limb as a vectorized
     // long, and recombine exactly ([[MomentKernel.limbsToDecimal]]).

