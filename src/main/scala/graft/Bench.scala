@@ -69,9 +69,21 @@ object Bench {
     // query: the gate queries share one JVM at local[32], and sub-second
     // scans oscillated 3-5x between rounds when a neighbour's garbage
     // landed in their window.
+    // FULL-ROW CHECKSUM action, not count(): count() lets Catalyst
+    // eliminate preserved-side outer joins and prune every unused
+    // column, so a gate whose cost lives in a left-joined scoring stack
+    // times a plan its consumers never see — measured on the backoff-LM
+    // gate: 0.6 s counted vs 2.2 s evaluated (round 12; the same reason
+    // ScaleProbeX checksums). bit_xor(xxhash64(struct(*))) forces every
+    // output column of every row.
+    import org.apache.spark.sql.functions.{bit_xor, struct, xxhash64}
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(bit_xor(xxhash64(struct(df.columns.map(
+        org.apache.spark.sql.functions.col): _*)))).head(); ()
+    }
     val timedUnits: Seq[(String, () => Unit)] =
       queries.toSeq.map { case (name, fn) =>
-        name -> (() => { fn(spark, sfDir).count(); () }) } ++
+        name -> (() => force(fn(spark, sfDir))) } ++
       shared.toSeq.map { case (name, fn) =>
         name -> (() => fn(spark, sfDir)) }
     val timings = timedUnits.map { case (name, run) =>
@@ -95,7 +107,7 @@ object Bench {
       .mkString("{", ",", "}")
     val spFull = spreads.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"cpus":$cpus,"method":"untimed warmup passes at sf0.001 and at the bench SF (pre-builds one-time shared signature tables and the cross-gate caches), then min of 3 timed runs per query with System.gc() quiescence between queries; the sNNN entries time the cross-gate SHARED computations (Ed-Join pair frame, cleaning stack, PQ training) with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the 3 runs per query; loadavg = /proc/loadavg 1/5/15-min before the warmups and after the timed runs"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"cpus":$cpus,"method":"untimed warmup passes at sf0.001 and at the bench SF (pre-builds one-time shared signature tables and the cross-gate caches), then min of 3 timed runs per query with System.gc() quiescence between queries; TIMED ACTION CHANGED in round 12 from count() to a full-row checksum (bit_xor of xxhash64 over all output columns) because count() lets Catalyst eliminate preserved-side outer joins and prune unused columns - gates whose cost lives in a left-joined scoring stack previously timed a plan their consumers never see (measured 0.6s counted vs 2.2s evaluated on the backoff-LM gate), so round-12 numbers are the HONEST cost and read HIGHER than earlier rounds on such gates; the sNNN entries time the cross-gate SHARED computations (Ed-Join pair frame, cleaning stack, PQ training) with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the 3 runs per query; loadavg = /proc/loadavg 1/5/15-min before the warmups and after the timed runs"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), full + "\n")
     System.err.println(full)
     // compact stdout line: short id = leading qNN token; ms as integers

@@ -2397,11 +2397,21 @@ object SparkEntry {
         (col("p_retailprice").cast("double") - 50.0).as("lo"),
         (col("p_retailprice").cast("double") +
           when(col("p_partkey") % 97 === 0, 500000.0).otherwise(50.0)).as("hi"))
-      graft.ext.RangeJoin.pointInInterval(li, "price", bands,
-          "lo", "hi", binWidth = 100.0)
-        .groupBy("band_id")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("price").cast("decimal(38,6)")).cast("double").as("sum_price"))
+      // groupSumExact, not sum(cast(.. as decimal(38,6))): Spark's
+      // wide-decimal SUM runs on boxed BigDecimals — measured 85 s for
+      // this gate's ~10M joined rows under the round-12 full-evaluation
+      // bench, of which the join itself is a few seconds. The
+      // limb-decomposed long sums return the identical decimal total
+      // (floor(x*1e6+0.5) pinned rule) inside whole-stage codegen —
+      // ~20k bands rules out the imperative aggregate (ObjectHashAgg's
+      // 128-key sort fallback)
+      graft.ext.DecimalSums.groupSumExact(
+          graft.ext.RangeJoin.pointInInterval(li, "price", bands,
+            "lo", "hi", binWidth = 100.0),
+          Seq(col("band_id")), col("price"), 6, "sum_price",
+          extraAggs = Seq(count(lit(1)).as("cnt")))
+        .select(col("band_id"), col("cnt"),
+          col("sum_price").cast("double").as("sum_price"))
         .orderBy("band_id")
     }),
     "q176_quantile_sketches" -> ((s, dir) => { ensure(s)
@@ -5141,7 +5151,10 @@ object SparkEntry {
        "CASE WHEN ok THEN value END AS value FROM j ORDER BY user_id, grid_us"),
     "q161_range_join" ->
       ("SELECT p.p_partkey AS band_id, CAST(count(*) AS BIGINT) AS cnt, " +
-       "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price " +
+       // the floor(x*1e6+0.5) construction, not CAST AS DECIMAL: the
+       // engine's exact_decimal_sum pins that cross-engine-replayable
+       // rule (native cast tie behavior is not portable — q181's lesson)
+       "CAST(SUM(CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 1000000.0 + 0.5) AS DECIMAL(32,0)) * CAST(0.000001 AS DECIMAL(7,6))) AS DOUBLE) AS sum_price " +
        "FROM part p JOIN lineitem l ON CAST(l.l_extendedprice AS DOUBLE) " +
        "BETWEEN CAST(p.p_retailprice AS DOUBLE) - 50.0 AND CAST(p.p_retailprice AS DOUBLE) + " +
        "(CASE WHEN p.p_partkey % 97 = 0 THEN 500000.0 ELSE 50.0 END) " +

@@ -4234,6 +4234,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("exact_decimal_sum: equals wide-decimal SUM, pinned ties, null/refusal contracts") {
+    import graft.ext.DecimalSums.exactDecimalSum
+    val rnd = new scala.util.Random(3)
+    val vals = (0 until 5000).map(i => (i % 7L, rnd.nextDouble() * 1000 - 500))
+      .toDF("g", "x")
+    // on non-tie values the long-accumulator total equals Spark's own
+    // wide-decimal SUM exactly (both are exact sums of the same scale-6
+    // decimals up to the conversion rule, which only differs at ties)
+    val got = vals.groupBy("g").agg(exactDecimalSum($"x", 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    val want = vals.groupBy("g")
+      .agg(sum($"x".cast("decimal(38,6)")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v.compareTo(want(k)) == 0, s"group $k") }
+    // the dyadic scale-6 tie 0.0078125 = odd/128 takes the PINNED
+    // floor-rule (up), independent of any engine's cast behavior
+    val tie = Seq(0.0078125).toDF("x")
+      .agg(exactDecimalSum($"x", 6)).collect()(0).getDecimal(0)
+    assert(tie.compareTo(new java.math.BigDecimal("0.007813")) == 0, tie)
+    // NULLs skipped; all-NULL/empty group -> NULL (SUM semantics)
+    val withNulls = Seq(Some(1.5), None, Some(2.5)).toDF("x")
+    assert(withNulls.agg(exactDecimalSum($"x", 6)).collect()(0)
+      .getDecimal(0).compareTo(new java.math.BigDecimal("4.0")) == 0)
+    assert(withNulls.filter($"x".isNull).agg(exactDecimalSum($"x", 6))
+      .collect()(0).isNullAt(0))
+    // loud refusals: NaN input, per-value magnitude
+    val eNan = intercept[Exception] {
+      Seq(1.0, Double.NaN).toDF("x").agg(exactDecimalSum($"x", 6)).collect()
+    }
+    assert(eNan.toString.contains("NaN") ||
+      Option(eNan.getCause).exists(_.getMessage.contains("NaN")))
+    val eBig = intercept[Exception] {
+      Seq(1e15).toDF("x").agg(exactDecimalSum($"x", 6)).collect()
+    }
+    assert(eBig.toString.contains("too large") ||
+      Option(eBig.getCause).exists(_.getMessage.contains("too large")))
+  }
+
   test("interval overlap join: brute twin, exactly-once, touch semantics, wide path") {
     val rnd = new scala.util.Random(31)
     val a = (0L until 120L).map(i =>
