@@ -2645,6 +2645,27 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q218_context_assembly" -> ((s, dir) => { ensure(s)
+      // RAG context assembly (retrieval -> prompt): per query, keep
+      // chunks in score order while the running token total fits the
+      // budget, STOP at first overflow (prefix semantics — rank order
+      // preserved, monotone cum <= budget). Candidates = each query's
+      // %5-residue slice of documents with modular integer scores (no
+      // float ties), token counts real; the oracle replays the window
+      // prefix exactly — an off-by-one at the budget boundary, a tie
+      // mis-order, or knapsack-style skipping all break the row set.
+      val docs = ld(s, dir, "documents")
+      val cands = docs
+        .select(col("doc_id"), token_count(col("text")).cast("long")
+          .as("n_tokens"))
+        .crossJoin(s.range(5).select(col("id").as("query_id")))
+        .filter(col("doc_id") % 5 === col("query_id"))
+        .withColumn("score",
+          ((col("doc_id") * 17 + col("query_id") * 31) % 97).cast("long"))
+      TextAnalysis.assembleContext(cands, "query_id", "doc_id",
+          "score", "n_tokens", budget = 400L)
+        .orderBy("query_id", "rank")
+    }),
     "q217_overlap_rule" -> ((s, dir) => { ensure(s)
       // the BinnedRangeJoin OVERLAP fallback end to end (the q165
       // recipe for the q213 shape): a plain SQL
@@ -4920,6 +4941,12 @@ object SparkEntry {
     "q210_backoff_lm_artifact" -> q205OracleSql,
     "q214_backoff_lm_increment" -> q205OracleSql,
     "q216_lm_buckets" -> q216OracleSql,
+    "q218_context_assembly" ->
+      ("WITH c AS (SELECT d.doc_id, CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens, q.query_id, (d.doc_id * 17 + q.query_id * 31) % 97 AS score " +
+       "FROM documents d CROSS JOIN (SELECT CAST(i AS BIGINT) AS query_id FROM range(5) t(i)) q WHERE d.doc_id % 5 = q.query_id), " +
+       "w AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank, " +
+       "CAST(sum(n_tokens) OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM c) " +
+       "SELECT query_id, doc_id, rank, cum_tokens FROM w WHERE cum_tokens <= 400 ORDER BY query_id, rank"),
     "q217_overlap_rule" ->
       ("WITH a AS (SELECT o_orderkey AS aid, CAST(o_orderkey % 500 AS DOUBLE) AS alo, CAST((o_orderkey % 500) + (o_orderkey % 7) + 1 AS DOUBLE) AS ahi FROM orders WHERE o_orderkey % 40 = 0), " +
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +

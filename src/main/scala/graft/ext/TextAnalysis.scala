@@ -320,6 +320,43 @@ object TextAnalysis {
   }
 
   /**
+   * RAG CONTEXT ASSEMBLY under a token budget — the retrieval→prompt
+   * step: per query, keep candidate chunks in (score desc, id asc)
+   * order while the RUNNING token total stays within `budget`, and
+   * STOP at the first overflow (prefix semantics — deliberately not a
+   * skip-and-keep-filling knapsack: downstream prompts preserve rank
+   * order, and "the best chunk was too big so we stuffed in three
+   * worse ones" is a relevance regression, not a win; token totals
+   * are monotone, so the prefix is exactly `cum <= budget`). Returns
+   * `(queryCol, idCol, rank, cum_tokens)`.
+   *
+   * Scale: candidates arrive PRE-BOUNDED by the retrieval top-k
+   * (|queries|·k rows), so the per-query window sort is over k rows —
+   * never a corpus. Negative or NULL token counts are refused loudly
+   * per row (a NULL would silently vanish from the running total and
+   * overfill the prompt).
+   */
+  def assembleContext(cands: DataFrame, queryCol: String, idCol: String,
+                      scoreCol: String, tokenCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val checked = when(col(tokenCol).isNull || col(tokenCol) < 0,
+      raise_error(concat(lit("assembleContext: NULL/negative token "),
+        lit("count for chunk "), col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(tokenCol).cast("long"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    cands
+      .withColumn("_cum", sum(checked).over(w))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_cum") <= budget)
+      .select(col(queryCol), col(idCol),
+        col("_rk").cast("int").as("rank"),
+        col("_cum").as("cum_tokens"))
+  }
+
+  /**
    * Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
    * algorithm A-ES): each row draws `u` in (0, 1] deterministically
    * from the md5 of its id (content-independent, cross-engine

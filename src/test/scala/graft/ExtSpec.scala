@@ -4355,6 +4355,44 @@ class ExtSpec extends SparkSpec {
     assert(!far.contains(999L) && far.contains(0L))
   }
 
+  test("context assembly: prefix-stop semantics, boundary, ties, refusals") {
+    // query 1: chunks score-ordered A(50) B(40) C(30): budget 95 keeps
+    // A,B (cum 90); C (cum 120) overflows and STOPS the prefix even
+    // though a knapsack would also skip it; D(5, worse score) must NOT
+    // sneak in after the stop
+    val cands = Seq(
+      (1L, 10L, 9.0, 50L), (1L, 11L, 8.0, 40L), (1L, 12L, 7.0, 30L),
+      (1L, 13L, 6.0, 5L),
+      (2L, 20L, 5.0, 200L) // first chunk alone overflows -> empty query
+    ).toDF("query_id", "chunk_id", "score", "n_tokens")
+    val out = TextAnalysis.assembleContext(cands, "query_id", "chunk_id",
+        "score", "n_tokens", budget = 95L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(out == Set((1L, 10L, 1, 50L), (1L, 11L, 2, 90L)))
+    // exact boundary is kept: budget 90 keeps both, 89 keeps only A
+    assert(TextAnalysis.assembleContext(cands, "query_id", "chunk_id",
+      "score", "n_tokens", 90L).filter($"query_id" === 1).count() == 2)
+    assert(TextAnalysis.assembleContext(cands, "query_id", "chunk_id",
+      "score", "n_tokens", 89L).filter($"query_id" === 1).count() == 1)
+    // score ties break id-asc: equal scores order 30 before 31
+    val tie = Seq((1L, 31L, 5.0, 10L), (1L, 30L, 5.0, 10L))
+      .toDF("query_id", "chunk_id", "score", "n_tokens")
+    val tied = TextAnalysis.assembleContext(tie, "query_id", "chunk_id",
+      "score", "n_tokens", 100L).orderBy("rank").collect()
+    assert(tied.map(_.getLong(1)).toSeq == Seq(30L, 31L))
+    // NULL/negative token counts refused loudly
+    val eNull = intercept[Exception] {
+      TextAnalysis.assembleContext(
+        cands.withColumn("n_tokens",
+          when($"chunk_id" === 11L, lit(null).cast("long"))
+            .otherwise($"n_tokens")),
+        "query_id", "chunk_id", "score", "n_tokens", 95L).collect()
+    }
+    assert(eNull.toString.contains("NULL/negative") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("NULL/negative")))
+  }
+
   test("weighted sample (A-ES): window replay twin, bias, determinism, refusals") {
     val rows = (0L until 300L).map(i =>
       (i, if (i % 3 == 0) "g1" else "g2", if (i < 150) 10.0 else 0.5))
