@@ -2645,6 +2645,28 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q219_knn_join" -> ((s, dir) => { ensure(s)
+      // kNN JOIN (q212's nearest generalized): each customer's 3
+      // closest suppliers on the q211 grid — a left resolves at the
+      // first doubling radius with >= k candidates (radiusJoin is
+      // exact within r, so its k nearest are among them), per-left
+      // top-k through the bounded heap with the (dist2, id) tie rule.
+      // Oracle brute-forces rank <= 3 with the same ties; a premature
+      // resolution (candidates < k treated as enough) or a heap
+      // tie-break slip breaks the row set.
+      val cust = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 1000).cast("double").as("cx"),
+        ((col("c_custkey") * 7) % 1000).cast("double").as("cy"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 3) % 1000).cast("double").as("sx"),
+        ((col("s_suppkey") * 13) % 1000).cast("double").as("sy"))
+      graft.core.DistanceJoin.knnJoin(cust, sup,
+          "cx", "cy", "sx", "sy", "s_suppkey", k = 3,
+          startRadius = 25.0, maxRadius = 2048.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"),
+          col("rank"))
+        .orderBy("c_custkey", "rank")
+    }),
     "q218_context_assembly" -> ((s, dir) => { ensure(s)
       // RAG context assembly (retrieval -> prompt): per query, keep
       // chunks in score order while the running token total fits the
@@ -4965,6 +4987,15 @@ object SparkEntry {
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +
        "SELECT aid, bid, least(ahi, bhi) - greatest(alo, blo) AS overlap_len " +
        "FROM a CROSS JOIN b WHERE alo <= bhi AND blo <= ahi ORDER BY aid, bid"),
+    "q219_knn_join" ->
+      ("SELECT c_custkey, s_suppkey, dist2, rank FROM (" +
+       "SELECT c.c_custkey, s.s_suppkey, " +
+       "(CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) * (CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) + " +
+       "(CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) * (CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) AS dist2, " +
+       "CAST(row_number() OVER (PARTITION BY c.c_custkey ORDER BY " +
+       "(CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) * (CAST(c.c_custkey % 1000 AS DOUBLE) - CAST((s.s_suppkey * 3) % 1000 AS DOUBLE)) + " +
+       "(CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) * (CAST((c.c_custkey * 7) % 1000 AS DOUBLE) - CAST((s.s_suppkey * 13) % 1000 AS DOUBLE)) ASC, s.s_suppkey ASC) AS INT) AS rank " +
+       "FROM customer c CROSS JOIN supplier s) WHERE rank <= 3 ORDER BY c_custkey, rank"),
     "q212_nearest_join" ->
       ("SELECT c_custkey, s_suppkey, dist2 FROM (" +
        "SELECT c.c_custkey, s.s_suppkey, " +

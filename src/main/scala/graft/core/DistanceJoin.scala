@@ -105,6 +105,67 @@ object DistanceJoin {
    * Each round `localCheckpoint`s the shrinking unmatched set to stop
    * plan growth.
    */
+  /**
+   * k-NEAREST-neighbors join: for every left point, its k closest
+   * right points with ranks (ties (dist2, right id) — the repo's
+   * bounded-heap convention). Same iterative radius doubling as
+   * [[nearestJoin]], with the resolution rule generalized: a left
+   * resolves at the first radius where it has >= k candidates (all
+   * pairs within r are present, so its k nearest are among them —
+   * radiusJoin is exact); lefts with fewer than k candidates anywhere
+   * within `maxRadius` are resolved AT maxRadius with however many
+   * they have (never silently padded). Per-left top-k rides the
+   * bounded-heap aggregate — no window, no sort. Right ids must be
+   * integral (the heap's id slot); VALUE-duplicate left rows collapse
+   * like [[nearestJoin]]'s.
+   *
+   * Returns `left.* ++ (rIdCol, dist2, dist, rank)`.
+   */
+  def knnJoin(left: DataFrame, right: DataFrame,
+              lx: String, ly: String, rx: String, ry: String,
+              rIdCol: String, k: Int,
+              startRadius: Double, maxRadius: Double): DataFrame = {
+    require(k >= 1, s"knnJoin: k must be >= 1, got $k")
+    require(startRadius > 0 && maxRadius >= startRadius,
+      s"need 0 < startRadius ($startRadius) <= maxRadius ($maxRadius)")
+    require(right.columns.contains(rIdCol),
+      s"knnJoin: id column '$rIdCol' missing from right side")
+    val leftCols = left.columns.map(col)
+    var unmatched = left
+    var out: Option[DataFrame] = None
+    var r = startRadius
+    var done = false
+    while (!done) {
+      val atMax = r >= maxRadius
+      val cand = radiusJoin(unmatched, right, lx, ly, rx, ry, r)
+      // bounded heap per left: score = -dist2 (largest = closest),
+      // ties to the smaller right id — the TopKAggregate convention
+      val grouped = cand.groupBy(leftCols: _*)
+        .agg(count(lit(1)).as("_ncand"),
+          graft.ext.TopKAggregate.topk_by_score(
+            col(rIdCol), -col("dist2"), k).as("_top"))
+      val resolved =
+        (if (atMax) grouped else grouped.filter(col("_ncand") >= k))
+          .select(leftCols :+ posexplode(col("_top")): _*)
+          .select(leftCols ++ Seq(col("col.id").as(rIdCol),
+            (-col("col.score")).as("dist2"),
+            sqrt(-col("col.score")).as("dist"),
+            (col("pos") + 1).cast("int").as("rank")): _*)
+      out = Some(out.map(_.unionByName(resolved)).getOrElse(resolved))
+      if (atMax) done = true
+      else {
+        val resolvedKeys = resolved.filter(col("rank") === 1)
+          .select(leftCols: _*)
+        val next = unmatched.join(resolvedKeys,
+          unmatched.columns.map(c => unmatched(c) <=> resolvedKeys(c))
+            .reduce(_ && _), "left_anti").localCheckpoint()
+        if (next.isEmpty) done = true
+        else { unmatched = next; r = math.min(r * 2, maxRadius) }
+      }
+    }
+    out.get
+  }
+
   def nearestJoin(left: DataFrame, right: DataFrame,
                   lx: String, ly: String, rx: String, ry: String,
                   rIdCol: String,

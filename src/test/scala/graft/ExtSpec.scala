@@ -4320,6 +4320,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("knn join: brute twin, short groups at maxRadius, premature-resolution guard") {
+    import graft.core.DistanceJoin
+    val rnd = new scala.util.Random(29)
+    val l = ((0L until 50L).map(i =>
+        (i, rnd.nextDouble() * 40, rnd.nextDouble() * 40)) :+
+      (999L, 500.0, 500.0)).toDF("lid", "lx", "ly")
+    val r = (0L until 30L).map(i =>
+      (i, rnd.nextDouble() * 50, rnd.nextDouble() * 50)).toDF("rid", "rx", "ry")
+    val got = DistanceJoin.knnJoin(l, r, "lx", "ly", "rx", "ry", "rid",
+        k = 4, startRadius = 3.0, maxRadius = 4096.0)
+      .select("lid", "rid", "rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // premature-resolution trap: startRadius 3 finds SOME but often
+    // < 4 candidates in round 1 — resolving there would return the
+    // wrong top-4; the brute twin catches it
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lid")
+      .orderBy((($"lx" - $"rx") * ($"lx" - $"rx") +
+        ($"ly" - $"ry") * ($"ly" - $"ry")).asc, $"rid".asc)
+    val want = l.crossJoin(r)
+      .select($"lid", $"rid", row_number().over(w).cast("int").as("rank"))
+      .filter($"rank" <= 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(got == want && got.size == 51 * 4)
+    // a left with fewer than k rights within maxRadius returns the
+    // ones it has, ranked — never padded, never dropped entirely
+    val few = DistanceJoin.knnJoin(l, r.limit(2), "lx", "ly", "rx", "ry",
+        "rid", k = 4, startRadius = 3.0, maxRadius = 4096.0)
+      .filter($"lid" === 0L).collect()
+    assert(few.length == 2 &&
+      few.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
+    // k = 1 degenerates to nearestJoin's pairs
+    val k1 = DistanceJoin.knnJoin(l, r, "lx", "ly", "rx", "ry", "rid",
+        k = 1, startRadius = 3.0, maxRadius = 4096.0)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val n1 = DistanceJoin.nearestJoin(l, r, "lx", "ly", "rx", "ry", "rid",
+        startRadius = 3.0, maxRadius = 4096.0)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(k1 == n1)
+  }
+
   test("nearest join: brute twin across doubling rounds, ties, maxRadius omission") {
     import graft.core.DistanceJoin
     val rnd = new scala.util.Random(23)
