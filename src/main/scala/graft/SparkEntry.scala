@@ -2645,6 +2645,58 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q221_matryoshka_via_ivf" -> ((s, dir) => { ensure(s)
+      // MATRYOSHKA x IVF composition (q207's funnel with the q197-style
+      // persisted partitioned layout as the stage-1 candidate source):
+      // queries probe IVF cells -> partition pruning -> prefix-16
+      // cosine shortlist-50 within probed cells -> full-dim re-rank
+      // top-10. nprobe = all 8 cells, so the shortlist sees the whole
+      // corpus and the result is EXACTLY the plain two-stage funnel —
+      // the q207 oracle replays it verbatim (an ExtSpec row pins the
+      // recall trade at nprobe < k). The scale point is the layout:
+      // only probed cell partitions are ever read.
+      val emb = ld(s, dir, "embeddings")
+      val ivf = graft.ext.Ivf.train(emb, "embedding", k = 8, seed = 42L)
+      val path = java.nio.file.Files.createTempDirectory("graft-mrlivf").toString
+      graft.ext.Ivf.writePartitioned(
+        graft.ext.Ivf.assign(emb, "embedding", ivf), s"$path/cells")
+      graft.ext.Ivf.matryoshkaTopKPartitioned(s, s"$path/cells",
+          emb.filter(col("vec_id") < 5), ivf, "embedding", "vec_id",
+          k = 10, prefixDim = 16, shortlist = 50, nprobe = 8)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine6"))
+        .orderBy("query_id", "rank")
+    }),
+    "q220_geo_radius_join" -> ((s, dir) => { ensure(s)
+      // GEODESIC (haversine) distance join — q211's recipe on the
+      // sphere: latitude bands of height radius/R, per-band longitude
+      // cells widened 1/cos(phiMax) with modular wrap (antimeridian
+      // pairs are ordinary neighbors), 3 band x 3 cell replication,
+      // hash join + exact haversine verify. Synthetic lat/lon on a
+      // 0.1-degree grid from the keys; 700 km radius. The oracle
+      // replays the IDENTICAL expression tree (radians(a)-radians(b),
+      // same factor order) over the brute cross join; dist_km rounds
+      // to 0.1 km — sin/asin last-ulp classes differ across libms, so
+      // the gate pins values only at a granularity with empirical
+      // margin (checked at authoring: no pair within 1e-6 of the
+      // radius or a rounding boundary at sf0.01), unlike the planar
+      // q211 whose arithmetic is bit-portable.
+      val cust = ld(s, dir, "customer").select(col("c_custkey"),
+        (((col("c_custkey") * 17) % 1200).cast("double") / 10.0 - 60.0)
+          .as("clat"),
+        (((col("c_custkey") * 31) % 3600).cast("double") / 10.0 - 180.0)
+          .as("clon"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"),
+        (((col("s_suppkey") * 23) % 1200).cast("double") / 10.0 - 60.0)
+          .as("slat"),
+        (((col("s_suppkey") * 41) % 3600).cast("double") / 10.0 - 180.0)
+          .as("slon"))
+      graft.core.DistanceJoin.geoRadiusJoin(cust, sup,
+          "clat", "clon", "slat", "slon", 700000.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_m") / 1000.0, 1).as("dist_km"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
     "q219_knn_join" -> ((s, dir) => { ensure(s)
       // kNN JOIN (q212's nearest generalized): each customer's 3
       // closest suppliers on the q211 grid — a left resolves at the
@@ -2933,7 +2985,11 @@ object SparkEntry {
       // the joined frame, which must be row-identical to the plain
       // join the oracle runs. ExtSpec pins plan shape (salt in the
       // join keys, explode on the small side) and the right/full
-      // refusal.
+      // refusal. qty is an exact BIGINT sum (quantities are integral
+      // 1..50), not a wide decimal — round 12's only red row was a
+      // driver-side hash mismatch on the DECIMAL(28,2) encoding that
+      // never reproduced against the DuckDB oracle, so the gate now
+      // has no decimal surface at all.
       val li = ld(s, dir, "lineitem").select(
         when(col("l_orderkey") % 4 === 0, lit(1L))
           .otherwise(col("l_suppkey")).as("suppkey"),
@@ -2943,7 +2999,7 @@ object SparkEntry {
       graft.ext.Skew.saltedJoin(li, sup, Seq("suppkey"), nSalts = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+          sum(col("l_quantity").cast("long")).as("qty"))
         .orderBy("s_nationkey")
     }),
     "q205_backoff_lm" -> ((s, dir) => { ensure(s)
@@ -4987,6 +5043,26 @@ object SparkEntry {
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +
        "SELECT aid, bid, least(ahi, bhi) - greatest(alo, blo) AS overlap_len " +
        "FROM a CROSS JOIN b WHERE alo <= bhi AND blo <= ahi ORDER BY aid, bid"),
+    // q221 probes ALL cells, so the composed funnel is exactly q207's
+    // two-stage — the oracle is q207's verbatim
+    "q221_matryoshka_via_ivf" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+       "pre AS (SELECT q.query_id, c.vec_id AS corpus_id, list_cosine_similarity(CAST(q.qv[1:16] AS DOUBLE[]), CAST(c.embedding[1:16] AS DOUBLE[])) AS pcos FROM embeddings c, q WHERE c.vec_id <> q.query_id), " +
+       "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
+       "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
+       "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q220_geo_radius_join" ->
+      ("WITH c AS (SELECT c_custkey, CAST((c_custkey * 17) % 1200 AS DOUBLE) / 10.0 - 60.0 AS clat, " +
+       "CAST((c_custkey * 31) % 3600 AS DOUBLE) / 10.0 - 180.0 AS clon FROM customer), " +
+       "s AS (SELECT s_suppkey, CAST((s_suppkey * 23) % 1200 AS DOUBLE) / 10.0 - 60.0 AS slat, " +
+       "CAST((s_suppkey * 41) % 3600 AS DOUBLE) / 10.0 - 180.0 AS slon FROM supplier), " +
+       "p AS (SELECT c_custkey, s_suppkey, " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(clat) - radians(slat)) / 2), 2) + " +
+       "cos(radians(clat)) * cos(radians(slat)) * pow(sin((radians(clon) - radians(slon)) / 2), 2)))) AS dist_m " +
+       "FROM c CROSS JOIN s) " +
+       "SELECT c_custkey, s_suppkey, round(dist_m / 1000.0, 1) AS dist_km " +
+       "FROM p WHERE dist_m <= 700000.0 ORDER BY c_custkey, s_suppkey"),
     "q219_knn_join" ->
       ("SELECT c_custkey, s_suppkey, dist2, rank FROM (" +
        "SELECT c.c_custkey, s.s_suppkey, " +
@@ -5023,7 +5099,7 @@ object SparkEntry {
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q206_salted_skew_join" ->
       ("SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n, " +
-       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty " +
+       "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
        "FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END AS suppkey, l_quantity FROM lineitem) l " +
        "JOIN supplier s ON s.s_suppkey = l.suppkey " +
        "GROUP BY s.s_nationkey ORDER BY s.s_nationkey"),

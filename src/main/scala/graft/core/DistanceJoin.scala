@@ -41,8 +41,11 @@ object DistanceJoin {
    */
   def radiusJoin(left: DataFrame, right: DataFrame,
                  lx: String, ly: String, rx: String, ry: String,
-                 radius: Double, cellSize: Option[Double] = None): DataFrame = {
+                 radius: Double, cellSize: Option[Double] = None,
+                 saltCells: Int = 0): DataFrame = {
     require(radius > 0 && !radius.isInfinite, s"radius must be finite > 0, got $radius")
+    require(saltCells == 0 || saltCells >= 2,
+      s"saltCells: 0 (off) or >= 2, got $saltCells")
     val cs = cellSize.getOrElse(radius)
     require(cs >= radius,
       s"cellSize ($cs) must be >= radius ($radius) — smaller cells would " +
@@ -76,7 +79,16 @@ object DistanceJoin {
       .drop("_dx", "_dy")
     val ddx = col(lx) - col(rx)
     val ddy = col(ly) - col(ry)
-    l.join(r, Seq("_gcx", "_gcy"))
+    // saltCells routes the cell-key join through the explicit skew
+    // tool: the LEFT side salts (deterministic row hash), the
+    // replicated right side explodes saltCells more ways — for corpora
+    // where one cell (a hot city) dominates the left. Row-identical to
+    // the plain join by saltedJoin's contract.
+    val joined =
+      if (saltCells >= 2)
+        graft.ext.Skew.saltedJoin(l, r, Seq("_gcx", "_gcy"), saltCells)
+      else l.join(r, Seq("_gcx", "_gcy"))
+    joined
       .withColumn("dist2", ddx * ddx + ddy * ddy)
       .filter(col("dist2") <= lit(radius * radius))
       .withColumn("dist", sqrt(col("dist2")))
@@ -95,8 +107,10 @@ object DistanceJoin {
    * `maxRadius` are OMITTED (the bound is the caller's contract; an
    * unbounded search against an empty right side would never
    * terminate). VALUE-duplicate left rows collapse to one output row —
-   * the group key is the whole left row; carry a unique id if
-   * duplicates must survive.
+   * the group key is the whole left row; pass `lIdCol` (a unique id)
+   * to group on a slim key instead, which both preserves duplicates-
+   * by-payload and keeps wide left payloads out of the per-round
+   * shuffles (the payload joins back once at the end).
    *
    * Scale: round i costs |unmatched_i| × (right density within 3×3
    * cells at radius 2^i) — geometrically fewer lefts against
@@ -117,19 +131,31 @@ object DistanceJoin {
    * they have (never silently padded). Per-left top-k rides the
    * bounded-heap aggregate — no window, no sort. Right ids must be
    * integral (the heap's id slot); VALUE-duplicate left rows collapse
-   * like [[nearestJoin]]'s.
+   * like [[nearestJoin]]'s unless `lIdCol` names a unique left id
+   * (slim loop key + one payload join-back).
    *
    * Returns `left.* ++ (rIdCol, dist2, dist, rank)`.
    */
   def knnJoin(left: DataFrame, right: DataFrame,
               lx: String, ly: String, rx: String, ry: String,
               rIdCol: String, k: Int,
-              startRadius: Double, maxRadius: Double): DataFrame = {
+              startRadius: Double, maxRadius: Double,
+              lIdCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"knnJoin: k must be >= 1, got $k")
     require(startRadius > 0 && maxRadius >= startRadius,
       s"need 0 < startRadius ($startRadius) <= maxRadius ($maxRadius)")
     require(right.columns.contains(rIdCol),
       s"knnJoin: id column '$rIdCol' missing from right side")
+    if (lIdCol.isDefined) {
+      // slim-key path: loop on (id, x, y), payload back in one join —
+      // see [[slimLeft]] for the contract (unique non-NULL ids)
+      val id = lIdCol.get
+      val slim = slimLeft(left, id, lx, ly, "knnJoin")
+      return left.join(
+        knnJoin(slim, right, lx, ly, rx, ry, rIdCol, k,
+          startRadius, maxRadius).drop(lx, ly),
+        Seq(id))
+    }
     val leftCols = left.columns.map(col)
     var unmatched = left
     var out: Option[DataFrame] = None
@@ -166,27 +192,60 @@ object DistanceJoin {
     out.get
   }
 
-  def nearestJoin(left: DataFrame, right: DataFrame,
-                  lx: String, ly: String, rx: String, ry: String,
-                  rIdCol: String,
-                  startRadius: Double, maxRadius: Double): DataFrame = {
-    require(startRadius > 0 && maxRadius >= startRadius,
-      s"need 0 < startRadius ($startRadius) <= maxRadius ($maxRadius)")
-    require(right.columns.contains(rIdCol),
-      s"nearestJoin: id column '$rIdCol' missing from right side")
+  /**
+   * `lIdCol` variants of [[nearestJoin]]/[[knnJoin]]: when the caller
+   * names a UNIQUE left id column, the doubling loop runs on a slim
+   * `(id, x, y)` projection — the per-round shuffles, anti-joins and
+   * `localCheckpoint`s carry three columns instead of the whole left
+   * payload (which at 100 TB rides EVERY round otherwise), and the
+   * payload joins back ONCE at the end by id. Duplicate or NULL ids
+   * are REFUSED loudly (a duplicate id would multiply output rows in
+   * the payload join — a wrong answer; the whole-row variants instead
+   * collapse VALUE-duplicate lefts, their documented semantic).
+   */
+  private def slimLeft(left: DataFrame, lIdCol: String, lx: String,
+                       ly: String, op: String): DataFrame = {
+    require(left.columns.contains(lIdCol),
+      s"$op: id column '$lIdCol' missing from left side")
+    left.groupBy(col(lIdCol)).agg(
+      count(lit(1)).as("_gn"), first(col(lx)).as(lx), first(col(ly)).as(ly))
+      .select(
+        when(col(lIdCol).isNull,
+          raise_error(lit(s"$op: NULL left id — the payload join-back " +
+            "cannot restore a NULL-keyed row")).cast(left.schema(lIdCol).dataType))
+          .when(col("_gn") > 1,
+            raise_error(concat(lit(s"$op: duplicate left id "),
+              col(lIdCol).cast("string"),
+              lit(" — the payload join-back would multiply rows; " +
+                "deduplicate or drop lIdCol")))
+              .cast(left.schema(lIdCol).dataType))
+          .otherwise(col(lIdCol)).as(lIdCol),
+        col(lx), col(ly))
+  }
+
+  /** The shared radius-doubling argmin loop: `probe(unmatched, r)` must
+    * return all (left, right) candidate pairs within `r` carrying
+    * `right.*` plus the distance columns; `tieDist` orders the per-left
+    * argmin (ties to the smaller `rIdCol`). */
+  private def nearestLoop(left: DataFrame, right: DataFrame,
+                          rIdCol: String,
+                          startRadius: Double, maxRadius: Double,
+                          probe: (DataFrame, Double) => DataFrame,
+                          distCols: Seq[String]): DataFrame = {
+    val tieDist = distCols.head
     var unmatched = left
     var out: Option[DataFrame] = None
     var r = startRadius
     var done = false
     while (!done) {
-      val cand = radiusJoin(unmatched, right, lx, ly, rx, ry, r)
-      // per-left argmin: (dist2 asc, right id asc) through the bounded
+      val cand = probe(unmatched, r)
+      // per-left argmin: (dist asc, right id asc) through the bounded
       // min_by struct — no window, no sort
       val leftCols = unmatched.columns.map(col)
       val best = cand.groupBy(leftCols: _*)
         .agg(min_by(
-          struct(right.columns.map(col) :+ col("dist2") :+ col("dist"): _*),
-          struct(col("dist2"), col(rIdCol))).as("_best"))
+          struct(right.columns.map(col) ++ distCols.map(col): _*),
+          struct(col(tieDist), col(rIdCol))).as("_best"))
         .select(leftCols :+ col("_best.*"): _*)
       out = Some(out.map(_.unionByName(best)).getOrElse(best))
       // null-SAFE anti join: a left row with a NULL payload column must
@@ -204,5 +263,186 @@ object DistanceJoin {
       }
     }
     out.get
+  }
+
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  lx: String, ly: String, rx: String, ry: String,
+                  rIdCol: String,
+                  startRadius: Double, maxRadius: Double,
+                  lIdCol: Option[String] = None): DataFrame = {
+    require(startRadius > 0 && maxRadius >= startRadius,
+      s"need 0 < startRadius ($startRadius) <= maxRadius ($maxRadius)")
+    require(right.columns.contains(rIdCol),
+      s"nearestJoin: id column '$rIdCol' missing from right side")
+    lIdCol match {
+      case Some(id) =>
+        val slim = slimLeft(left, id, lx, ly, "nearestJoin")
+        val res = nearestLoop(slim, right, rIdCol, startRadius, maxRadius,
+          (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r),
+          Seq("dist2", "dist")).drop(lx, ly)
+        left.join(res, Seq(id)) // payload back in ONE hash join
+      case None =>
+        nearestLoop(left, right, rIdCol, startRadius, maxRadius,
+          (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r),
+          Seq("dist2", "dist"))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // GEODESIC (haversine) variants — lat/lon degrees on the sphere.
+  // ------------------------------------------------------------------
+
+  /** IUGG mean Earth radius (metres) — the haversine convention. */
+  val EarthRadiusMeters: Double = 6371008.8
+
+  /**
+   * All (left, right) pairs within `radiusMeters` GREAT-CIRCLE metres —
+   * the geodesic sibling of [[radiusJoin]] for lat/lon corpora. Same
+   * hash-join + exact-verify recipe, with the grid replaced by
+   * LATITUDE-BANDED cells: bands of height `radius/R` radians (a pair
+   * within r can never sit more than one band apart, because
+   * great-circle distance >= R·|Δlat|), and per-band longitude cells
+   * whose width comes from inverting the haversine bound
+   * `sin(Δλ/2) <= sin(r/2R)/cos(φmax)` at the band family's worst
+   * latitude (φmax spans the band AND its neighbors — the paired point
+   * may sit one band away). Cell widths therefore GROW toward the
+   * poles (`1/cos`), exactly compensating meridian convergence; a band
+   * whose bound saturates (polar caps) collapses to whole-circle
+   * cells. Longitude cells tile the circle exactly
+   * (`nCells = max(1, floor(360/Δλmax))`, so actual width >= Δλmax)
+   * and neighbor indices wrap `mod nCells` — antimeridian pairs are
+   * ordinary neighbors, no seam handling in the verify (haversine is
+   * wrap-invariant).
+   *
+   * The right side replicates into the 3 band × 3 cell neighborhood
+   * (indices computed under EACH neighbor band's own width); the exact
+   * haversine `2R·asin(sqrt(a))` verifies every candidate, so the
+   * binning is never load-bearing for false positives — only the
+   * coverage argument above is, and it holds with real slack (the
+   * φmax envelope over three bands over-widens every cell). UNLIKE
+   * the planar join, the boundary `dist <= r` rides `sin/asin/sqrt`
+   * whose last-ulp rounding is NOT pinned across engines/libms: a pair
+   * within ~1e-9 relative of the radius is in the portable-ulp class —
+   * callers comparing engines should keep data off the exact boundary
+   * (the planar join's pure `-`/`*`/`+` arithmetic has no such class).
+   *
+   * Coordinates: lat in [-90, 90], lon in [-180, 180], NULL/NaN/out-of-
+   * range REFUSED loudly (a misindexed cell silently drops pairs).
+   * Returns `left.* ++ right.* ++ dist_m` (great-circle metres).
+   */
+  def geoRadiusJoin(left: DataFrame, right: DataFrame,
+                    lLat: String, lLon: String, rLat: String, rLon: String,
+                    radiusMeters: Double,
+                    earthRadiusMeters: Double = EarthRadiusMeters,
+                    saltCells: Int = 0): DataFrame = {
+    val bigR = earthRadiusMeters
+    require(radiusMeters > 0 && radiusMeters < math.Pi * bigR,
+      s"geoRadiusJoin: radius in (0, pi*R) metres, got $radiusMeters")
+    require(saltCells == 0 || saltCells >= 2,
+      s"saltCells: 0 (off) or >= 2, got $saltCells")
+    Seq(lLat -> left, lLon -> left, rLat -> right, rLon -> right).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"geoRadiusJoin: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"geoRadiusJoin: overlapping column names ${overlap.mkString(",")} — " +
+      "rename one side (the output carries both sides' columns)")
+    Seq("_gband", "_gcell", "dist_m").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"geoRadiusJoin: reserved output column '$c' already present — rename it")
+    }
+    val hRad = radiusMeters / bigR          // band height, radians
+    val hDeg = math.toDegrees(hRad)
+    val sinHalf = math.sin(hRad / 2)        // sin(r / 2R)
+    def checked(c: Column, lo: Double, hi: Double, what: String): Column =
+      when(c.isNull || isnan(c) || c < lo || c > hi,
+        raise_error(concat(lit(s"geoRadiusJoin: $what out of [$lo, $hi] " +
+          s"(or NULL/NaN) — a misindexed cell silently drops pairs, got "),
+          c.cast("string"))).cast("double"))
+        .otherwise(c)
+    def band(lat: Column): Column = floor(lat / lit(hDeg)).cast("long")
+    // worst |lat| any point of a pair touching band b can have: the
+    // band's own edges widened by one band each way (the partner may
+    // sit one band off), clamped to the pole
+    def nCellsOf(b: Column): Column = {
+      val phiMax = least(lit(90.0),
+        greatest(abs(b.cast("double") * lit(hDeg)),
+          abs((b.cast("double") + 1) * lit(hDeg))) + lit(hDeg))
+      // max lon separation (degrees) of any in-radius pair at this band
+      // family: 2·asin(min(1, sin(r/2R)/cos(φmax))); cos→0 at the pole
+      // drives the arg past 1 → 180° → whole-circle cells
+      val dLamDeg = degrees(lit(2.0) *
+        asin(least(lit(1.0), lit(sinHalf) / cos(radians(phiMax)))))
+      greatest(lit(1L), floor(lit(360.0) / dLamDeg).cast("long"))
+    }
+    def cellOf(lon: Column, b: Column, shift: Column): Column = {
+      val n = nCellsOf(b)
+      val w = lit(360.0) / n.cast("double")
+      pmod(floor((lon + lit(180.0)) / w).cast("long") + shift, n)
+    }
+    val l = left
+      .withColumn("_glat", checked(col(lLat), -90, 90, "left latitude"))
+      .withColumn("_glon", checked(col(lLon), -180, 180, "left longitude"))
+      .withColumn("_gband", band(col("_glat")))
+      .withColumn("_gcell", cellOf(col("_glon"), col("_gband"), lit(0L)))
+      .drop("_glat", "_glon")
+    val r = right
+      .withColumn("_glat", checked(col(rLat), -90, 90, "right latitude"))
+      .withColumn("_glon", checked(col(rLon), -180, 180, "right longitude"))
+      .withColumn("_db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gband", band(col("_glat")) + col("_db"))
+      .withColumn("_dc", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gcell", cellOf(col("_glon"), col("_gband"), col("_dc")))
+      .drop("_glat", "_glon", "_db", "_dc")
+    val dphi = radians(col(lLat)) - radians(col(rLat))
+    val dlam = radians(col(lLon)) - radians(col(rLon))
+    val hav = pow(sin(dphi / 2), 2) +
+      cos(radians(col(lLat))) * cos(radians(col(rLat))) * pow(sin(dlam / 2), 2)
+    val dist = lit(2.0 * bigR) * asin(least(lit(1.0), sqrt(hav)))
+    val joined =
+      if (saltCells >= 2)
+        graft.ext.Skew.saltedJoin(l, r, Seq("_gband", "_gcell"), saltCells)
+      else l.join(r, Seq("_gband", "_gcell"))
+    joined
+      .withColumn("dist_m", dist)
+      .filter(col("dist_m") <= lit(radiusMeters))
+      .drop("_gband", "_gcell")
+  }
+
+  /**
+   * Geodesic NEAREST-neighbor join — [[nearestJoin]] on the sphere:
+   * for every left point the single great-circle-closest right point
+   * (ties (dist_m, right id)), by the same iterative radius doubling
+   * over [[geoRadiusJoin]]; lefts with nothing within `maxRadiusMeters`
+   * are OMITTED. `lIdCol` runs the loop on a slim (id, lat, lon)
+   * projection and joins the payload back once (ids must be unique —
+   * refused otherwise). The doubling radii are metres, so the probe
+   * geometry re-bands per round — cells stay matched to the radius.
+   */
+  def geoNearestJoin(left: DataFrame, right: DataFrame,
+                     lLat: String, lLon: String, rLat: String, rLon: String,
+                     rIdCol: String,
+                     startRadiusMeters: Double, maxRadiusMeters: Double,
+                     lIdCol: Option[String] = None,
+                     earthRadiusMeters: Double = EarthRadiusMeters): DataFrame = {
+    require(startRadiusMeters > 0 && maxRadiusMeters >= startRadiusMeters,
+      s"need 0 < startRadius ($startRadiusMeters) <= maxRadius ($maxRadiusMeters)")
+    require(maxRadiusMeters < math.Pi * earthRadiusMeters,
+      s"geoNearestJoin: maxRadius must stay under pi*R metres")
+    require(right.columns.contains(rIdCol),
+      s"geoNearestJoin: id column '$rIdCol' missing from right side")
+    def probe(u: DataFrame, r: Double): DataFrame =
+      geoRadiusJoin(u, right, lLat, lLon, rLat, rLon, r, earthRadiusMeters)
+    lIdCol match {
+      case Some(id) =>
+        val slim = slimLeft(left, id, lLat, lLon, "geoNearestJoin")
+        val res = nearestLoop(slim, right, rIdCol, startRadiusMeters,
+          maxRadiusMeters, probe, Seq("dist_m")).drop(lLat, lLon)
+        left.join(res, Seq(id))
+      case None =>
+        nearestLoop(left, right, rIdCol, startRadiusMeters, maxRadiusMeters,
+          probe, Seq("dist_m"))
+    }
   }
 }

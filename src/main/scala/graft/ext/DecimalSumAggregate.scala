@@ -44,8 +44,10 @@ object DecimalSums {
    * long fast path REFUSED loudly; a silent wrap would corrupt the
    * sum), splits into three 22-bit limbs with plain column bit-ops
    * (arithmetic shift = floor division, negatives exact), each limb
-   * sums as a vectorized codegen'd `long` (safe under 2^41 rows per
-   * group), and one per-group expression recombines the exact
+   * sums as a vectorized codegen'd `long` (provably exact below 2^41
+   * rows per group — a per-group row count REFUSES loudly past the
+   * bound instead of letting the plain sums wrap), and one per-group
+   * expression recombines the exact
    * DECIMAL(38, scale) total. Vs Spark's boxed wide-decimal SUM:
    * measured 85 s → ~8 s on the q161 range join's ~10M-row aggregate.
    * NULL values skip; an all-NULL/empty group yields NULL (SUM
@@ -76,13 +78,29 @@ object DecimalSums {
     val aggList = extraAggs ++ Seq(
       sum(col("_ds_h")).as("_ds_sh"),
       sum(col("_ds_m")).as("_ds_sm"),
-      sum(col("_ds_l")).as("_ds_sl"))
+      sum(col("_ds_l")).as("_ds_sl"),
+      count(lit(1)).as("_ds_n"))
+    // Overflow guard for the limb path: the low/mid limbs are < 2^22
+    // per row, the high limb < 2^19, so their plain long SUMs are
+    // provably exact below 2^41 rows per group — past that they could
+    // wrap SILENTLY (the codegen'd SUM has no addExact). A per-group
+    // row count is one cheap extra long aggregate and turns the
+    // documented bound into a loud refusal, keeping the module's
+    // "overflow refuses instead of wrapping" claim true on BOTH paths.
+    val safeRows = 1L << 41
+    val recombined = Bridge.column(LimbsToDecimalAtExpr(
+      Bridge.expression(col("_ds_sh")), Bridge.expression(col("_ds_sm")),
+      Bridge.expression(col("_ds_sl")), scale))
     staged.groupBy(groupCols: _*)
       .agg(aggList.head, aggList.tail: _*)
-      .withColumn(outName, Bridge.column(LimbsToDecimalAtExpr(
-        Bridge.expression(col("_ds_sh")), Bridge.expression(col("_ds_sm")),
-        Bridge.expression(col("_ds_sl")), scale)))
-      .drop("_ds_sh", "_ds_sm", "_ds_sl")
+      .withColumn(outName,
+        when(col("_ds_n") > lit(safeRows),
+          raise_error(concat(lit("groupSumExact: group exceeds 2^41 rows "),
+            lit("— the 22-bit limb long sums are only provably exact "),
+            lit("below that; pre-aggregate in sub-groups and combine")))
+            .cast(s"decimal(38,$scale)"))
+        .otherwise(recombined))
+      .drop("_ds_sh", "_ds_sm", "_ds_sl", "_ds_n")
   }
 
   /** Exact recombination at `scale`: (hi·2^44 + mid·2^22 + lo)·10^-scale. */

@@ -553,6 +553,71 @@ object Ivf {
     search(corpus, queries, model, vecCol, idCol, k, nprobe, excludeSelf)
   }
 
+  /**
+   * MATRYOSHKA x IVF composition: [[Similarity.matryoshkaTopK]]'s
+   * two-stage funnel with the PERSISTED partitioned layout (a
+   * [[writePartitioned]] dir) as the stage-1 candidate source instead
+   * of a full prefix-cosine corpus scan. Queries probe their `nprobe`
+   * nearest cells (partition pruning skips every other cell at
+   * planning time); the prefix-`prefixDim` cosine shortlists
+   * `shortlist` candidates per query WITHIN the probed cells; the
+   * full-dim exact re-rank keeps `k`. For corpus-scale query sets this
+   * is the scale path the plain matryoshka scan can't be: per-query
+   * work is |probed cells| x cell size at prefix arithmetic + shortlist
+   * at full dim, never |corpus|.
+   *
+   * With `nprobe = model.k` (all cells probed) the shortlist sees the
+   * whole corpus and the result is EXACTLY [[Similarity.matryoshkaTopK]]
+   * (the gate's oracle-replayable setting); smaller nprobe trades
+   * recall like any IVF search — a spec pins recall vs the exact twin.
+   * No `.distinct()` is needed on the candidate frame: each corpus row
+   * lives in exactly one cell, so a (query, corpus) pair joins at most
+   * once even with multi-cell probing. Vectors shorter than
+   * `prefixDim` refuse loudly per row (same guard as the plain twin).
+   */
+  def matryoshkaTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                path: String, queries: DataFrame, model: Model,
+                                vecCol: String, idCol: String, k: Int,
+                                prefixDim: Int, shortlist: Int,
+                                nprobe: Int = 4,
+                                excludeSelf: Boolean = true): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k ($k) <= shortlist ($shortlist)")
+    TextFunctions.registerAll(spark)
+    def pfx(v: Column): Column = slice(v, lit(1),
+      when(size(v) < prefixDim,
+        raise_error(concat(lit("matryoshkaTopKPartitioned: vector of dim "),
+          size(v).cast("string"),
+          lit(s" is shorter than prefixDim=$prefixDim"))).cast("int"))
+        .otherwise(lit(prefixDim)))
+    val fname = cellsFn(queries, model, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(call_function(fname, col(vecCol))).as("ivf_cell"))
+    // guarded scalar collect: at most model.k cell ids
+    val probed = q.select("ivf_cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probed: _*))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col("ivf_cell"))
+    val joined = c.join(broadcast(q), Seq("ivf_cell"))
+    val pre = (if (excludeSelf)
+        joined.filter(col("query_id") =!= col("corpus_id"))
+      else joined)
+      .select(col("query_id"), col("corpus_id"),
+        TextFunctions.cosine_sim(pfx(col("qv")), pfx(col("cv"))).as("cosine"))
+    val short = Similarity.rankTopK(pre, shortlist)
+      .select("query_id", "corpus_id")
+    val qFull = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val rer = short
+      .join(c.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        TextFunctions.cosine_sim(col("qv"), col("cv")).as("cosine"))
+    Similarity.rankTopK(rer, k)
+  }
+
   /** Search: probe `nprobe` cells per query, rank with the bounded heap.
     * `excludeSelf=true` (the near-dup/kNN-graph convention) drops the
     * id-identical row; `false` is the pgvector query-by-example

@@ -90,15 +90,36 @@ object NgramLm {
   }
 
   /** Persist a [[Model]]: `u1`/`b2`/`t3` parquet subdirs + a one-row
-    * `meta` (n, v). Overwrites — refresh-in-place lifecycle. */
+    * `meta` (n, v). Refresh-in-place lifecycle via a STAGED write:
+    * each table first lands in `<path>/<t>__staging`, then swaps into
+    * place (delete + rename). The stage matters because the daily flow
+    * `loadModel(path) -> incrementModel -> saveModel(path)` holds
+    * merged frames that are LAZY scans of the very paths being saved —
+    * a direct overwrite is refused by Spark ("Cannot overwrite a path
+    * that is also being read from"), and would lose the old counts
+    * mid-plan even if it weren't. All four stagings are written before
+    * any swap (so every old table is still readable while every new
+    * one computes); a crash BETWEEN swaps can leave mixed old/new
+    * tables with `__staging` dirs on disk for recovery — single-writer
+    * refresh, not a transaction log. */
   def saveModel(model: Model, path: String): Unit = {
     val spark = model.u1.sparkSession
-    model.u1.write.mode("overwrite").parquet(s"$path/u1")
-    model.b2.write.mode("overwrite").parquet(s"$path/b2")
-    model.t3.write.mode("overwrite").parquet(s"$path/t3")
     import spark.implicits._
-    Seq((model.n, model.v)).toDF("n", "v")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    val meta = Seq((model.n, model.v)).toDF("n", "v")
+    val parts = Seq("u1" -> model.u1, "b2" -> model.b2,
+      "t3" -> model.t3, "meta" -> meta)
+    parts.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$path/${t}__staging") }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.foreach { case (t, _) =>
+      val fin = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val stg = new org.apache.hadoop.fs.Path(s"$path/${t}__staging")
+      require(!fs.exists(fin) || fs.delete(fin, true),
+        s"NgramLm.saveModel: could not replace $fin")
+      require(fs.rename(stg, fin),
+        s"NgramLm.saveModel: rename $stg -> $fin failed")
+    }
   }
 
   /** Load a saved model. The count frames stay ON DISK as parquet
@@ -137,7 +158,12 @@ object NgramLm {
               cnt: String): DataFrame =
       a.unionByName(b).groupBy(keys.map(col): _*)
         .agg(sum(col(cnt)).as(cnt))
-    val u1 = merge(model.u1, inc.u1, Seq("w"), "c1")
+    // v needs an eager count anyway, so the merged unigram table (vocab-
+    // sized, the small one of the three) is localCheckpoint'd first:
+    // the count job, a later saveModel and every scoreWithModel reuse
+    // the materialized result instead of re-running the merge per
+    // action. b2/t3 stay lazy — they are the web-scale tables.
+    val u1 = merge(model.u1, inc.u1, Seq("w"), "c1").localCheckpoint()
     Model(u1,
       merge(model.b2, inc.b2, Seq("p1", "w"), "c2"),
       merge(model.t3, inc.t3, Seq("p2", "p1", "w"), "c3"),

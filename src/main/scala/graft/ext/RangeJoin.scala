@@ -150,9 +150,12 @@ object RangeJoin {
                           binWidth: Double,
                           maxBinsPerInterval: Int = 1024,
                           maxWideIntervals: Int = 10000,
-                          touchIsOverlap: Boolean = true): DataFrame = {
+                          touchIsOverlap: Boolean = true,
+                          saltBins: Int = 0): DataFrame = {
     require(binWidth > 0.0 && !binWidth.isInfinite, s"binWidth > 0, got $binWidth")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    require(saltBins == 0 || saltBins >= 2,
+      s"saltBins: 0 (off) or >= 2, got $saltBins")
     val overlapCols = a.columns.toSet.intersect(b.columns.toSet)
     require(overlapCols.isEmpty,
       s"intervalOverlapJoin: column names must be disjoint, both sides " +
@@ -189,10 +192,22 @@ object RangeJoin {
       df.filter(bin(col(hi)) - bin(col(lo)) + 1L > maxBinsPerInterval)
     val laterStartBin =
       col("_abin") === greatest(bin(col(aLo)), bin(col(bLo)))
-    val shortPairs = shortSide(a, aLo, aHi, "_abin")
-      .join(shortSide(b, bLo, bHi, "_bbin"), col("_abin") === col("_bbin"))
-      .filter(laterStartBin && overlaps)
-      .drop("_abin", "_bbin")
+    // saltBins routes the bin-key equi-join through Skew.saltedJoin
+    // (a hot bin — one minute holding 20% of all sessions — is
+    // ordinary join skew on the exploded frames); the b side renames
+    // its bin to the shared key name so the salted equi-join applies,
+    // and laterStartBin still reads the merged key. Row-identical by
+    // saltedJoin's contract.
+    val shortPairs =
+      if (saltBins >= 2)
+        Skew.saltedJoin(shortSide(a, aLo, aHi, "_abin"),
+            shortSide(b, bLo, bHi, "_abin"), Seq("_abin"), saltBins)
+          .filter(laterStartBin && overlaps)
+          .drop("_abin")
+      else shortSide(a, aLo, aHi, "_abin")
+        .join(shortSide(b, bLo, bHi, "_bbin"), col("_abin") === col("_bbin"))
+        .filter(laterStartBin && overlaps)
+        .drop("_abin", "_bbin")
     val wideA = wideSide(a, aLo, aHi)
     val wideB = wideSide(b, bLo, bHi)
     val widePairs = b.crossJoin(broadcast(wideA)).filter(overlaps)

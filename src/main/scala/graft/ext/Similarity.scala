@@ -399,8 +399,9 @@ object Similarity {
    * Graded ranking-quality metrics — nDCG@k and MRR@k per query, the
    * evaluation step of a retrieval stack (complements the recall@k
    * harness): `results` carries retrieved (query_id, corpus_id, rank),
-   * `grades` the labeled relevance pool (query_id, corpus_id, grade ≥
-   * 0; unlabeled pairs count as grade 0). Gains are the standard
+   * `grades` the labeled relevance pool (query_id, corpus_id, grade in
+   * [0, 62] — refused loudly outside, since 2^grade rides an exact
+   * long shift; unlabeled pairs count as grade 0). Gains are the standard
    * `(2^grade − 1) / log2(pos + 1)`; 2^grade rides an exact integer
    * shift, each per-position term is `round(…, 6)` (the repo-wide pin
    * that keeps both engines' `ln` ulp classes comparable) and sums
@@ -427,16 +428,27 @@ object Similarity {
         .cast("double") - 1.0) /
         (log(pos.cast("double") + 1.0) / log(lit(2.0))), 6)
         .cast("decimal(28,6)")
+    // 2^grade is a LONG shift: Java shifts are mod 64, so grade 64
+    // would silently score as gain 0 and grade 63 as negative; a
+    // negative grade shifts by its low 6 bits. Out-of-range grades are
+    // REFUSED loudly per row (NULL passes through — it coalesces to 0
+    // on the results side and is dropped from the ideal pool).
+    def checkedGrade(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.isNull || (c >= 0 && c <= 62), c)
+        .otherwise(raise_error(concat(
+          lit("rankingMetrics: grade must be in [0, 62] — 2^grade rides " +
+            "an exact long shift (mod-64 wrap past 62, undefined for " +
+            "negatives), got "), c.cast("string"))).cast("long"))
+    val gradesChecked = grades.select(col("query_id"), col("corpus_id"),
+      checkedGrade(col("grade").cast("long")).as("grade"))
     val g = results.filter(col("rank") <= k)
-      .join(grades.select(col("query_id"), col("corpus_id"),
-        col("grade").cast("long").as("grade")),
-        Seq("query_id", "corpus_id"), "left")
+      .join(gradesChecked, Seq("query_id", "corpus_id"), "left")
       .withColumn("grade", coalesce(col("grade"), lit(0L)))
     val dcg = g.groupBy("query_id").agg(
       sum(gainTerm(col("grade"), col("rank"))).as("_dcg"),
       max(when(col("grade") > 0, round(lit(1.0) / col("rank"), 6)))
         .as("_mrr"))
-    val ideal = grades.filter(col("grade") > 0)
+    val ideal = gradesChecked.filter(col("grade") > 0)
       .groupBy("query_id")
       .agg(TopKAggregate.topk_by_score(col("corpus_id"),
         col("grade").cast("double"), k).as("top"))

@@ -181,8 +181,13 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           "broadcast wide-interval path).")
       // timeZoneId set explicitly: Sequence is TimeZoneAwareExpression
       // and post-analysis nobody runs ResolveTimeZone for us (unused
-      // for integral sequences, but resolution demands it)
-      val seq = If(LessThanOrEqual(span, Literal(cap)),
+      // for integral sequences, but resolution demands it).
+      // A NULL span (open bound over an EMPTY point table makes the
+      // coalesced edge NULL) must take the Sequence branch, not the
+      // cap-RaiseError one (If treats a NULL predicate as false):
+      // Sequence with NULL bounds yields NULL and Explode(outer=false)
+      // drops the row — exactly the no-match the nested loop emits.
+      val seq = If(Or(IsNull(span), LessThanOrEqual(span, Literal(cap))),
         new Sequence(binLo, binHi, Some(Literal(1L)),
           Some(conf.sessionLocalTimeZone)),
         Cast(new RaiseError(msg), ArrayType(LongType, containsNull = false)))
@@ -269,7 +274,14 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         val binLo = Least(Seq(bin(lo, w), bin(hi, w)))
         val binHi = Greatest(Seq(bin(lo, w), bin(hi, w)))
         val span = Add(Subtract(binHi, binLo), Literal(1L))
-        val seq = If(LessThanOrEqual(span, Literal(cap)),
+        // NULL span (BOTH endpoints NULL — Least/Greatest skip single
+        // NULLs) takes the Sequence branch: Sequence over NULL bounds
+        // yields NULL and Explode(outer=false) drops the row, matching
+        // the nested loop's no-match exactly. Without the IsNull arm
+        // the If's false-on-NULL semantics routed such rows into the
+        // bin-cap RaiseError whenever constraint propagation did not
+        // happen to push IsNotNull filters below the Generate.
+        val seq = If(Or(IsNull(span), LessThanOrEqual(span, Literal(cap))),
           new Sequence(binLo, binHi, Some(Literal(1L)),
             Some(conf.sessionLocalTimeZone)),
           Cast(new RaiseError(msg), ArrayType(LongType, containsNull = false)))

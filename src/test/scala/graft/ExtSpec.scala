@@ -4208,6 +4208,9 @@ class ExtSpec extends SparkSpec {
     // a wider cell gives the SAME pairs (binning is never load-bearing)
     assert(pairs(DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 7.5,
       cellSize = Some(20.0))) == brute)
+    // hot-cell salting composes and stays row-identical
+    assert(pairs(DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 7.5,
+      saltCells = 3)) == brute)
     // exact boundary is INCLUDED; one epsilon past is not; pairs
     // straddling a cell border at near-radius distance survive
     val lb = Seq((1L, 0.0, 0.0), (2L, 9.99, 0.0)).toDF("lid", "lx", "ly")
@@ -4292,6 +4295,9 @@ class ExtSpec extends SparkSpec {
     // two shared bins would appear twice)
     assert(got.sorted == brute.sorted && got.nonEmpty)
     assert(got.distinct.size == got.size)
+    // hot-bin salting composes and stays multiset-identical
+    assert(pairs(RangeJoin.intervalOverlapJoin(a, "alo", "ahi",
+      b, "blo", "bhi", binWidth = 10.0, saltBins = 4)).sorted == brute.sorted)
     // touch: [0,5] vs [5,9] overlap under touchIsOverlap, not without
     val ta = Seq((1L, 0.0, 5.0)).toDF("aid", "alo", "ahi")
     val tb = Seq((1L, 5.0, 9.0)).toDF("bid", "blo", "bhi")
@@ -4360,6 +4366,146 @@ class ExtSpec extends SparkSpec {
       .select("lid", "rid").collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(k1 == n1)
+  }
+
+  test("geo radius join: brute haversine twin, antimeridian, pole, planar consistency, refusals") {
+    import graft.core.DistanceJoin
+    val bigR = DistanceJoin.EarthRadiusMeters
+    def havM(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val a = math.pow(math.sin((p1 - p2) / 2), 2) +
+        math.cos(p1) * math.cos(p2) *
+          math.pow(math.sin(math.toRadians(lon1 - lon2) / 2), 2)
+      2 * bigR * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    // global scatter + deliberate stress rows: near-pole cluster (the
+    // whole-circle polar cells), antimeridian straddle, equator
+    val rnd = new scala.util.Random(17)
+    val lRows = (0L until 150L).map(i =>
+      (i, rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 360 - 180)) ++
+      Seq((900L, 89.2, 10.0), (901L, 0.0, 179.95), (902L, 0.0, 0.0))
+    val rRows = (0L until 150L).map(i =>
+      (i, rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 360 - 180)) ++
+      Seq((900L, 89.3, -170.0), (901L, 0.0, -179.95), (902L, 0.1, 0.1))
+    val l = lRows.toDF("lid", "llat", "llon")
+    val r = rRows.toDF("rid", "rlat", "rlon")
+    val radius = 900e3
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = pairs(DistanceJoin.geoRadiusJoin(l, r,
+      "llat", "llon", "rlat", "rlon", radius))
+    val brute = (for { (li, la, lo) <- lRows; (ri, ra, ro) <- rRows
+                       if havM(la, lo, ra, ro) <= radius } yield (li, ri)).toSet
+    assert(got == brute && got.nonEmpty)
+    // the planted rows pair: over-the-pole (different lon hemispheres,
+    // ~170 km apart) and across the antimeridian (~11 km apart)
+    assert(got.contains((900L, 900L)), "near-pole pair must survive banding")
+    assert(got.contains((901L, 901L)), "antimeridian pair must wrap, not split")
+    assert(got.contains((902L, 902L)))
+    // hot-cell salting composes on the (band, cell) key, row-identical
+    assert(pairs(DistanceJoin.geoRadiusJoin(l, r,
+      "llat", "llon", "rlat", "rlon", radius, saltCells = 3)) == brute)
+    // PLANAR CONSISTENCY near the equator: within a 1-degree box at
+    // (0,0), geodesic metres = planar degree-distance * (pi/180 * R) to
+    // first order — the pair SETS must agree at a radius with margin
+    val le = (0L until 80L).map(i =>
+      (i, rnd.nextDouble() - 0.5, rnd.nextDouble() - 0.5))
+    val re0 = (0L until 80L).map(i =>
+      (i, rnd.nextDouble() - 0.5, rnd.nextDouble() - 0.5))
+    val degM = math.Pi / 180 * bigR // metres per degree
+    val rEq = 0.2 * degM            // 0.2 degrees in metres
+    val gotEq = pairs(DistanceJoin.geoRadiusJoin(
+      le.toDF("lid", "llat", "llon"), re0.toDF("rid", "rlat", "rlon"),
+      "llat", "llon", "rlat", "rlon", rEq))
+    val planarEq = pairs(DistanceJoin.radiusJoin(
+      le.toDF("lid", "lx", "ly"), re0.toDF("rid", "rx", "ry"),
+      "ly", "lx", "ry", "rx", 0.2)) // (x=lat, y=lon) order-free in a box
+    // equirectangular error at 0.5 deg is O(1e-4) relative; exclude
+    // only pairs within 0.3% of the boundary from the comparison
+    val margin = (p: (Long, Long)) => {
+      val (li, ri) = p
+      val (_, la, lo) = le(li.toInt); val (_, ra, ro) = re0(ri.toInt)
+      math.abs(havM(la, lo, ra, ro) - rEq) > rEq * 0.003
+    }
+    assert((gotEq -- planarEq).forall(!margin(_)) &&
+      (planarEq -- gotEq).forall(!margin(_)),
+      "equator pair sets must agree away from the boundary")
+    assert(gotEq.intersect(planarEq).size > 20)
+    // refusals: out-of-range latitude, NaN, overlapping names
+    val eLat = intercept[Exception] {
+      DistanceJoin.geoRadiusJoin(
+        Seq((1L, 91.0, 0.0)).toDF("lid", "llat", "llon"), r,
+        "llat", "llon", "rlat", "rlon", 1000.0).collect()
+    }
+    assert(eLat.toString.contains("out of") ||
+      Option(eLat.getCause).exists(_.getMessage.contains("out of")))
+    intercept[IllegalArgumentException] {
+      DistanceJoin.geoRadiusJoin(l, l.toDF("rid", "rlat", "rlon"),
+        "llat", "llon", "rlat", "rlon", -5.0)
+    }
+  }
+
+  test("geo nearest join: brute argmin twin; lid variants equal whole-row, refuse dup ids") {
+    import graft.core.DistanceJoin
+    val bigR = DistanceJoin.EarthRadiusMeters
+    def havM(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val a = math.pow(math.sin((p1 - p2) / 2), 2) +
+        math.cos(p1) * math.cos(p2) *
+          math.pow(math.sin(math.toRadians(lon1 - lon2) / 2), 2)
+      2 * bigR * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    val rnd = new scala.util.Random(41)
+    val lRows = (0L until 60L).map(i =>
+      (i, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 360 - 180))
+    val rRows = (0L until 25L).map(i =>
+      (i, rnd.nextDouble() * 120 - 60, rnd.nextDouble() * 360 - 180))
+    val l = lRows.toDF("lid", "llat", "llon")
+    val r = rRows.toDF("rid", "rlat", "rlon")
+    val got = DistanceJoin.geoNearestJoin(l, r, "llat", "llon",
+        "rlat", "rlon", "rid", startRadiusMeters = 200e3,
+        maxRadiusMeters = 2.0e7)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = lRows.map { case (li, la, lo) =>
+      (li, rRows.minBy { case (ri, ra, ro) => (havM(la, lo, ra, ro), ri) }._1)
+    }.toSet
+    assert(got == want && got.size == 60)
+    // lIdCol variant: identical result, payload restored
+    val lWide = l.withColumn("payload", concat(lit("p"), $"lid"))
+    val slimmed = DistanceJoin.geoNearestJoin(lWide, r, "llat", "llon",
+      "rlat", "rlon", "rid", 200e3, 2.0e7, lIdCol = Some("lid"))
+    assert(slimmed.columns.contains("payload"))
+    assert(slimmed.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet == got)
+    // planar lIdCol variants too: equal to whole-row on unique ids
+    val lp = lRows.map { case (i, a, b) => (i, a + 60, b + 180) }
+      .toDF("lid", "lx", "ly").withColumn("w", lit("x"))
+    val rp = rRows.map { case (i, a, b) => (i, a + 60, b + 180) }
+      .toDF("rid", "rx", "ry")
+    def prs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(prs(DistanceJoin.nearestJoin(lp, rp, "lx", "ly", "rx", "ry",
+        "rid", 1.0, 4096.0, lIdCol = Some("lid"))) ==
+      prs(DistanceJoin.nearestJoin(lp, rp, "lx", "ly", "rx", "ry",
+        "rid", 1.0, 4096.0)))
+    assert(DistanceJoin.knnJoin(lp, rp, "lx", "ly", "rx", "ry",
+        "rid", k = 2, 1.0, 4096.0, lIdCol = Some("lid"))
+      .select("lid", "rid", "rank").collect().map(_.toSeq).toSet ==
+      DistanceJoin.knnJoin(lp, rp, "lx", "ly", "rx", "ry",
+        "rid", k = 2, 1.0, 4096.0)
+      .select("lid", "rid", "rank").collect().map(_.toSeq).toSet)
+    // duplicate left id refuses loudly (the payload join-back would
+    // multiply rows)
+    val eDup = intercept[Exception] {
+      DistanceJoin.nearestJoin(lp.unionByName(lp.limit(1)), rp,
+        "lx", "ly", "rx", "ry", "rid", 1.0, 4096.0,
+        lIdCol = Some("lid")).collect()
+    }
+    assert(eDup.toString.contains("duplicate left id") ||
+      Option(eDup.getCause).exists(_.getMessage.contains("duplicate left id")))
   }
 
   test("nearest join: brute twin across doubling rounds, ties, maxRadius omission") {
@@ -4519,6 +4665,51 @@ class ExtSpec extends SparkSpec {
     assert(m.getAs[Double]("ndcg") == 0.5)
   }
 
+  test("ranking metrics: grades outside [0, 62] refuse loudly (long-shift wrap)") {
+    val res = Seq((1L, 10L, 1)).toDF("query_id", "corpus_id", "rank")
+    // grade 62 is the last exact shift — scores fine
+    val top = Similarity.rankingMetrics(res,
+      Seq((1L, 10L, 62L)).toDF("query_id", "corpus_id", "grade"), k = 1)
+      .collect()(0)
+    assert(top.getAs[Double]("ndcg") == 1.0 && top.getAs[Double]("mrr") == 1.0)
+    // grade 63/64 would wrap the long shift (64 ≡ shift 0 -> gain 0);
+    // negatives shift by their low 6 bits — both must refuse, not score
+    for (bad <- Seq(63L, 64L, -1L)) {
+      val e = intercept[Exception] {
+        Similarity.rankingMetrics(res,
+          Seq((1L, 10L, bad)).toDF("query_id", "corpus_id", "grade"), k = 1)
+          .collect()
+      }
+      assert(e.toString.contains("[0, 62]") ||
+        Option(e.getCause).exists(_.toString.contains("[0, 62]")),
+        s"grade $bad must refuse: $e")
+    }
+  }
+
+  test("backoff LM: load -> increment -> save IN PLACE -> fresh load == train(A ∪ B)") {
+    // the daily-ingest flow the staged write exists for: the merged
+    // count frames are lazy scans of the very paths being overwritten —
+    // a direct overwrite would be refused by Spark (cannot overwrite a
+    // path being read from) or lose the old counts
+    val refA = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    val refB = Seq((1L, "b c d")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("lm-inplace").toString
+    NgramLm.saveModel(NgramLm.trainModel(refA, "text"), s"$root/m")
+    val loaded = NgramLm.loadModel(spark, s"$root/m")
+    val merged = NgramLm.incrementModel(loaded, refB, "text")
+    NgramLm.saveModel(merged, s"$root/m") // SAME path — the staged swap
+    val back = NgramLm.loadModel(spark, s"$root/m")
+    val full = NgramLm.trainModel(refA.unionByName(refB), "text")
+    assert(back.n == full.n && back.v == full.v)
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(tbl(back.u1) == tbl(full.u1) && tbl(back.b2) == tbl(full.b2) &&
+      tbl(back.t3) == tbl(full.t3))
+    // no staging leftovers after a clean save
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/m/u1__staging")))
+  }
+
   test("matryoshka two-stage: equals composed reference, refuses short vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i =>
@@ -4554,6 +4745,44 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("shorter than prefixDim") ||
       Option(e.getCause).exists(_.getMessage.contains("shorter than prefixDim")) ||
       e.toString.contains("shorter than prefixDim"))
+  }
+
+  test("matryoshka via IVF: all-cells equals exact twin; fewer probes = pinned recall") {
+    import graft.ext.Ivf
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    val ivf = Ivf.train(vecs, "embedding", k = 4, seed = 7L)
+    val root = java.nio.file.Files.createTempDirectory("mrl-ivf").toString
+    Ivf.writePartitioned(Ivf.assign(vecs, "embedding", ivf), s"$root/cells")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = rows(Similarity.matryoshkaTopK(vecs, q, "embedding",
+      "vec_id", k = 5, prefixDim = 3, shortlist = 15))
+    // nprobe = all cells: the composed funnel IS the exact twin
+    val all = rows(Ivf.matryoshkaTopKPartitioned(spark, s"$root/cells", q,
+      ivf, "embedding", "vec_id", k = 5, prefixDim = 3, shortlist = 15,
+      nprobe = 4))
+    assert(all == exact && all.size == 15)
+    // nprobe = 2: an ordinary IVF recall trade — results are a subset
+    // of probed cells and recall vs the exact twin stays useful (the
+    // fixed seed pins it; on this fixture >= 60%)
+    val p2 = rows(Ivf.matryoshkaTopKPartitioned(spark, s"$root/cells", q,
+      ivf, "embedding", "vec_id", k = 5, prefixDim = 3, shortlist = 15,
+      nprobe = 2))
+    val recallPairs = exact.map(t => (t._1, t._2))
+      .intersect(p2.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recallPairs >= 0.6, s"recall $recallPairs")
+    // the short-vector refusal rides the composed path too
+    val e = intercept[Exception] {
+      Ivf.matryoshkaTopKPartitioned(spark, s"$root/cells", q, ivf,
+        "embedding", "vec_id", k = 5, prefixDim = 99, shortlist = 15,
+        nprobe = 4).collect()
+    }
+    assert(e.toString.contains("shorter than prefixDim") ||
+      Option(e.getCause).exists(_.getMessage.contains("shorter than prefixDim")))
   }
 
   test("salted skew join: row-identical to plain join, salt in plan, refusals") {
@@ -4629,6 +4858,19 @@ class ExtSpec extends SparkSpec {
       .collect()(0).getDouble(2)
     val want = ln6(0.3) + ln6(1.0) + ln6(0.4 * (0.4 * (1.0 + 1) / 10))
     assert(math.abs(pruned - want) < 1e-9, s"$pruned vs $want")
+    // pruning is EXACTLY table filtering: a minCount-2 model scores
+    // identically to the unpruned model with its b2/t3 tables filtered
+    // by hand (pruned grams take the backoff chain, nothing else moves
+    // — the 100 TB Zipf-tail regime is a pure state shrink)
+    val m1 = NgramLm.trainModel(ref, "text", minCount = 1)
+    val handPruned = NgramLm.Model(m1.u1,
+      m1.b2.filter($"c2" >= 2), m1.t3.filter($"c3" >= 2), m1.n, m1.v)
+    val viaFilter = NgramLm.scoreWithModel(target, "text", "doc_id",
+      handPruned).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaMinCount = NgramLm.scoreWithModel(target, "text", "doc_id",
+      NgramLm.trainModel(ref, "text", minCount = 2))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaFilter == viaMinCount)
     // empty reference refuses loudly
     val e = intercept[Exception] {
       NgramLm.stupidBackoffScores(target, "text", "doc_id",

@@ -389,6 +389,53 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("BinnedRangeJoin overlap: BOTH-NULL endpoints are a no-match, not a bin-cap crash") {
+    // A row with BOTH endpoints NULL makes the bin span NULL; If takes
+    // the false branch on a NULL predicate, so before the IsNull arm
+    // the row hit the RaiseError bin-cap path whenever constraint
+    // propagation did NOT push IsNotNull filters below the Generate —
+    // the nested loop simply emits no match. Pin with propagation OFF.
+    Seq((1L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]),
+        (2L, java.lang.Double.valueOf(1.0), java.lang.Double.valueOf(4.0)))
+      .toDF("aid", "alo", "ahi").createOrReplaceTempView("ov_nn_a")
+    Seq((1L, 2.0, 10.0), (2L, 60.0, 99.0)).toDF("bid", "blo", "bhi")
+      .createOrReplaceTempView("ov_nn_b")
+    val sqlTxt = "SELECT aid, bid FROM ov_nn_a JOIN ov_nn_b " +
+      "ON alo <= bhi AND blo <= ahi"
+    val brute = spark.sql(sqlTxt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(brute == Seq((2L, 1L)))
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try withBinWidth("4.0") {
+      val q = spark.sql(sqlTxt)
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_abin"))
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        == brute)
+    } finally spark.conf.unset("spark.sql.constraintPropagation.enabled")
+  }
+
+  test("BinnedRangeJoin open bound over an EMPTY point table matches nothing, not a crash") {
+    // the NULL-open bound coalesces with the point side's min/max bin;
+    // an empty point table makes those NULL -> NULL span must take the
+    // Sequence (no-match) branch, not the bin-cap RaiseError
+    // runtime-empty, not statically empty: a LocalRelation(Nil) would be
+    // folded away by PropagateEmptyRelation before the rewrite ever ran
+    spark.range(0, 10)
+      .select($"id".as("pid"), ($"id" + 1000).cast("double").as("x"))
+      .filter($"x" < -1e9)
+      .createOrReplaceTempView("rj_empty_p")
+    Seq((10L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]))
+      .toDF("iid", "lo", "hi").createOrReplaceTempView("rj_open_i")
+    val sqlTxt = "SELECT pid, iid FROM rj_empty_p JOIN rj_open_i " +
+      "ON (lo IS NULL OR x >= lo) AND (hi IS NULL OR x <= hi)"
+    withBinWidth("10.0") {
+      val q = spark.sql(sqlTxt)
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+        s"open-bound rewrite must fire:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().isEmpty)
+    }
+  }
+
   test("BinnedRangeJoin: cast-wrapped operands (decimal points vs double bounds)") {
     rjPoints.select($"pid", $"x".cast("decimal(12,2)").as("x"))
       .createOrReplaceTempView("rj_p6")
