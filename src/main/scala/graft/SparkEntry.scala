@@ -2645,6 +2645,32 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q222_geo_knn_join" -> ((s, dir) => { ensure(s)
+      // GEODESIC kNN join (q219 on the sphere, q220's banded cells):
+      // each customer's 3 great-circle-closest suppliers via the
+      // >= k-candidates doubling rule, ties (dist_m, id). Checked at
+      // authoring: min adjacent-rank distance gap 1.6 m and min
+      // rounding margin 2.3e-3 m at sf0.01 — both >> the ~1e-9 m
+      // cross-libm trig divergence, so ranks and the 0.1 km-rounded
+      // distance are hash-stable cross-engine.
+      val cust = ld(s, dir, "customer").select(col("c_custkey"),
+        (((col("c_custkey") * 17) % 1200).cast("double") / 10.0 - 60.0)
+          .as("clat"),
+        (((col("c_custkey") * 31) % 3600).cast("double") / 10.0 - 180.0)
+          .as("clon"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"),
+        (((col("s_suppkey") * 23) % 1200).cast("double") / 10.0 - 60.0)
+          .as("slat"),
+        (((col("s_suppkey") * 41) % 3600).cast("double") / 10.0 - 180.0)
+          .as("slon"))
+      graft.core.DistanceJoin.geoKnnJoin(cust, sup,
+          "clat", "clon", "slat", "slon", "s_suppkey", k = 3,
+          startRadiusMeters = 500e3, maxRadiusMeters = 2.0e7,
+          lIdCol = Some("c_custkey"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_m") / 1000.0, 1).as("dist_km"), col("rank"))
+        .orderBy("c_custkey", "rank")
+    }),
     "q221_matryoshka_via_ivf" -> ((s, dir) => { ensure(s)
       // MATRYOSHKA x IVF composition (q207's funnel with the q197-style
       // persisted partitioned layout as the stage-1 candidate source):
@@ -5043,6 +5069,20 @@ object SparkEntry {
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +
        "SELECT aid, bid, least(ahi, bhi) - greatest(alo, blo) AS overlap_len " +
        "FROM a CROSS JOIN b WHERE alo <= bhi AND blo <= ahi ORDER BY aid, bid"),
+    "q222_geo_knn_join" ->
+      ("WITH c AS (SELECT c_custkey, CAST((c_custkey * 17) % 1200 AS DOUBLE) / 10.0 - 60.0 AS clat, " +
+       "CAST((c_custkey * 31) % 3600 AS DOUBLE) / 10.0 - 180.0 AS clon FROM customer), " +
+       "s AS (SELECT s_suppkey, CAST((s_suppkey * 23) % 1200 AS DOUBLE) / 10.0 - 60.0 AS slat, " +
+       "CAST((s_suppkey * 41) % 3600 AS DOUBLE) / 10.0 - 180.0 AS slon FROM supplier), " +
+       "p AS (SELECT c_custkey, s_suppkey, " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(clat) - radians(slat)) / 2), 2) + " +
+       "cos(radians(clat)) * cos(radians(slat)) * pow(sin((radians(clon) - radians(slon)) / 2), 2)))) AS dist_m " +
+       "FROM c CROSS JOIN s), " +
+       "r AS (SELECT c_custkey, s_suppkey, dist_m, " +
+       "CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY dist_m ASC, s_suppkey ASC) AS INT) AS rank FROM p) " +
+       "SELECT c_custkey, s_suppkey, round(dist_m / 1000.0, 1) AS dist_km, rank " +
+       "FROM r WHERE rank <= 3 ORDER BY c_custkey, rank"),
     // q221 probes ALL cells, so the composed funnel is exactly q207's
     // two-stage — the oracle is q207's verbatim
     "q221_matryoshka_via_ivf" ->

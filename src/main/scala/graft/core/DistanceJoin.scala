@@ -156,6 +156,23 @@ object DistanceJoin {
           startRadius, maxRadius).drop(lx, ly),
         Seq(id))
     }
+    knnLoop(left, rIdCol, k, startRadius, maxRadius,
+        (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r), "dist2")
+      .withColumn("dist", sqrt(col("dist2")))
+      .select(left.columns.map(col) ++
+        Seq(col(rIdCol), col("dist2"), col("dist"), col("rank")): _*)
+  }
+
+  /** The shared >= k-candidates doubling loop behind [[knnJoin]] and
+    * [[geoKnnJoin]]: returns `left.* ++ (rIdCol, tieDist, rank)`. A
+    * left resolves at the first radius with >= k candidates (the probe
+    * is exact within r, so its k nearest are among them); per-left
+    * top-k rides the bounded heap on score `-tieDist` with ties to the
+    * smaller right id. */
+  private def knnLoop(left: DataFrame, rIdCol: String, k: Int,
+                      startRadius: Double, maxRadius: Double,
+                      probe: (DataFrame, Double) => DataFrame,
+                      tieDist: String): DataFrame = {
     val leftCols = left.columns.map(col)
     var unmatched = left
     var out: Option[DataFrame] = None
@@ -163,19 +180,18 @@ object DistanceJoin {
     var done = false
     while (!done) {
       val atMax = r >= maxRadius
-      val cand = radiusJoin(unmatched, right, lx, ly, rx, ry, r)
-      // bounded heap per left: score = -dist2 (largest = closest),
+      val cand = probe(unmatched, r)
+      // bounded heap per left: score = -dist (largest = closest),
       // ties to the smaller right id — the TopKAggregate convention
       val grouped = cand.groupBy(leftCols: _*)
         .agg(count(lit(1)).as("_ncand"),
           graft.ext.TopKAggregate.topk_by_score(
-            col(rIdCol), -col("dist2"), k).as("_top"))
+            col(rIdCol), -col(tieDist), k).as("_top"))
       val resolved =
         (if (atMax) grouped else grouped.filter(col("_ncand") >= k))
           .select(leftCols :+ posexplode(col("_top")): _*)
           .select(leftCols ++ Seq(col("col.id").as(rIdCol),
-            (-col("col.score")).as("dist2"),
-            sqrt(-col("col.score")).as("dist"),
+            (-col("col.score")).as(tieDist),
             (col("pos") + 1).cast("int").as("rank")): _*)
       out = Some(out.map(_.unionByName(resolved)).getOrElse(resolved))
       if (atMax) done = true
@@ -387,14 +403,25 @@ object DistanceJoin {
       .withColumn("_gband", band(col("_glat")))
       .withColumn("_gcell", cellOf(col("_glon"), col("_gband"), lit(0L)))
       .drop("_glat", "_glon")
+    // the 9 replication keys are DEDUPED per row (array_distinct): a
+    // band with few longitude cells (polar caps, or any band once the
+    // doubling loop reaches continental radii) wraps the -1/0/+1 cell
+    // shifts onto the SAME cell id under pmod, and without the dedup a
+    // right row would join a left cell twice — duplicate pairs, caught
+    // by the kNN heap counting a neighbor twice (the radius join's
+    // exact verify cannot see multiplicity)
+    val rKeys = array((for (db <- -1L to 1L; dc <- -1L to 1L) yield {
+      val b = band(col("_glat")) + lit(db)
+      struct(b.as("_gband"),
+        cellOf(col("_glon"), b, lit(dc)).as("_gcell"))
+    }).toSeq: _*)
     val r = right
       .withColumn("_glat", checked(col(rLat), -90, 90, "right latitude"))
       .withColumn("_glon", checked(col(rLon), -180, 180, "right longitude"))
-      .withColumn("_db", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("_gband", band(col("_glat")) + col("_db"))
-      .withColumn("_dc", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("_gcell", cellOf(col("_glon"), col("_gband"), col("_dc")))
-      .drop("_glat", "_glon", "_db", "_dc")
+      .withColumn("_gk", explode(array_distinct(rKeys)))
+      .withColumn("_gband", col("_gk._gband"))
+      .withColumn("_gcell", col("_gk._gcell"))
+      .drop("_glat", "_glon", "_gk")
     val dphi = radians(col(lLat)) - radians(col(rLat))
     val dlam = radians(col(lLon)) - radians(col(rLon))
     val hav = pow(sin(dphi / 2), 2) +
@@ -444,5 +471,40 @@ object DistanceJoin {
         nearestLoop(left, right, rIdCol, startRadiusMeters, maxRadiusMeters,
           probe, Seq("dist_m"))
     }
+  }
+
+  /**
+   * Geodesic k-NEAREST-neighbors join — [[knnJoin]] on the sphere:
+   * every left's k great-circle-closest rights with ranks (ties
+   * (dist_m, right id)); same >= k-candidates doubling rule over
+   * [[geoRadiusJoin]], lefts with fewer than k candidates within
+   * `maxRadiusMeters` resolve there with what they have. `lIdCol` as
+   * in [[knnJoin]]. Returns `left.* ++ (rIdCol, dist_m, rank)`.
+   */
+  def geoKnnJoin(left: DataFrame, right: DataFrame,
+                 lLat: String, lLon: String, rLat: String, rLon: String,
+                 rIdCol: String, k: Int,
+                 startRadiusMeters: Double, maxRadiusMeters: Double,
+                 lIdCol: Option[String] = None,
+                 earthRadiusMeters: Double = EarthRadiusMeters): DataFrame = {
+    require(k >= 1, s"geoKnnJoin: k must be >= 1, got $k")
+    require(startRadiusMeters > 0 && maxRadiusMeters >= startRadiusMeters,
+      s"need 0 < startRadius ($startRadiusMeters) <= maxRadius ($maxRadiusMeters)")
+    require(maxRadiusMeters < math.Pi * earthRadiusMeters,
+      s"geoKnnJoin: maxRadius must stay under pi*R metres")
+    require(right.columns.contains(rIdCol),
+      s"geoKnnJoin: id column '$rIdCol' missing from right side")
+    if (lIdCol.isDefined) {
+      val id = lIdCol.get
+      val slim = slimLeft(left, id, lLat, lLon, "geoKnnJoin")
+      return left.join(
+        geoKnnJoin(slim, right, lLat, lLon, rLat, rLon, rIdCol, k,
+          startRadiusMeters, maxRadiusMeters,
+          earthRadiusMeters = earthRadiusMeters).drop(lLat, lLon),
+        Seq(id))
+    }
+    knnLoop(left, rIdCol, k, startRadiusMeters, maxRadiusMeters,
+      (u, r) => geoRadiusJoin(u, right, lLat, lLon, rLat, rLon, r,
+        earthRadiusMeters), "dist_m")
   }
 }

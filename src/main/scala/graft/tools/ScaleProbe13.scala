@@ -117,7 +117,14 @@ object ScaleProbe13 {
     if (want("hotCell")) {
       // one cell holds ~40% of the left side (the hot-city shape the
       // saltCells knob exists for): 2M hot lefts in a 25-unit cell +
-      // 3M background over a 1000-unit plane, rights uniform
+      // 3M background over a 1000-unit plane, rights uniform.
+      // Broadcast is DISABLED for this section: with the right side
+      // broadcast there is no shuffle and no straggler — the first run
+      // of this probe measured salting as pure overhead there (15.0 vs
+      // 10.5 s), which is the documented floor: the knob is for
+      // broadcast-INELIGIBLE right sides (the regime Skew.saltedJoin
+      // itself documents), simulated here by the threshold conf.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val bg = spark.range(3000000).select(col("id").as("lid"),
         (pmod(xxhash64(col("id") + 1), lit(1000000)).cast("double")
           / 1e3).as("lx"),
@@ -139,6 +146,7 @@ object ScaleProbe13 {
       time3("hotCell radiusJoin saltCells=8")(
         DistanceJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 25.0,
           saltCells = 8))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
 
     if (want("geoRadius")) {

@@ -4393,11 +4393,19 @@ class ExtSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("lid", "rid").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
-    val got = pairs(DistanceJoin.geoRadiusJoin(l, r,
-      "llat", "llon", "rlat", "rlon", radius))
+    val gotSeq = DistanceJoin.geoRadiusJoin(l, r,
+        "llat", "llon", "rlat", "rlon", radius)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val got = gotSeq.toSet
     val brute = (for { (li, la, lo) <- lRows; (ri, ra, ro) <- rRows
                        if havM(la, lo, ra, ro) <= radius } yield (li, ri)).toSet
     assert(got == brute && got.nonEmpty)
+    // MULTISET: exactly once per pair — polar/wide bands wrap the three
+    // cell shifts onto one cell id, and only the replication-key dedup
+    // keeps a near-pole pair from matching twice (a set compare is
+    // blind to this; the fixture's lat-89 rows exercise it)
+    assert(gotSeq.distinct.size == gotSeq.size)
     // the planted rows pair: over-the-pole (different lon hemispheres,
     // ~170 km apart) and across the antimeridian (~11 km apart)
     assert(got.contains((900L, 900L)), "near-pole pair must survive banding")
@@ -4479,6 +4487,21 @@ class ExtSpec extends SparkSpec {
     assert(slimmed.columns.contains("payload"))
     assert(slimmed.select("lid", "rid").collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet == got)
+    // geo kNN: brute twin with the (dist, rid) tie rule, both variants
+    val gk = DistanceJoin.geoKnnJoin(l, r, "llat", "llon", "rlat", "rlon",
+        "rid", k = 3, 200e3, 2.0e7)
+      .select("lid", "rid", "rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val wantK = lRows.flatMap { case (li, la, lo) =>
+      rRows.sortBy { case (ri, ra, ro) => (havM(la, lo, ra, ro), ri) }
+        .take(3).zipWithIndex.map { case ((ri, _, _), i) => (li, ri, i + 1) }
+    }.toSet
+    assert(gk == wantK && gk.size == 180)
+    assert(DistanceJoin.geoKnnJoin(
+        l.withColumn("pl", lit("w")), r, "llat", "llon", "rlat", "rlon",
+        "rid", k = 3, 200e3, 2.0e7, lIdCol = Some("lid"))
+      .select("lid", "rid", "rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet == gk)
     // planar lIdCol variants too: equal to whole-row on unique ids
     val lp = lRows.map { case (i, a, b) => (i, a + 60, b + 180) }
       .toDF("lid", "lx", "ly").withColumn("w", lit("x"))
