@@ -314,6 +314,19 @@ class PlanRuleSpec extends SparkSpec {
     assert(!djPlan.contains("BroadcastNestedLoop") &&
       !djPlan.contains("CartesianProduct"),
       s"distance join must not plan a nested loop:\n$djPlan")
+    // the geodesic variant hash-joins on (band, cell) keys the same way
+    val gl = (0L until 50L).map(i => (i, (i % 50).toDouble, (i % 33).toDouble))
+      .toDF("glid", "gllat", "gllon")
+    val gr = (0L until 50L).map(i => (i, (i % 45).toDouble, (i % 37).toDouble))
+      .toDF("grid", "grlat", "grlon")
+    val gj = graft.core.DistanceJoin.geoRadiusJoin(gl, gr,
+      "gllat", "gllon", "grlat", "grlon", 100e3)
+    val gjPlan = gj.queryExecution.executedPlan.toString
+    assert(gjPlan.contains("HashJoin") || gjPlan.contains("SortMergeJoin"),
+      s"geo distance join must hash/merge join on banded cells:\n$gjPlan")
+    assert(!gjPlan.contains("BroadcastNestedLoop") &&
+      !gjPlan.contains("CartesianProduct"),
+      s"geo distance join must not plan a nested loop:\n$gjPlan")
     val a = (0L until 50L).map(i =>
       (i, (i % 30).toDouble, (i % 30).toDouble + 3)).toDF("aid", "alo", "ahi")
     val b = (0L until 50L).map(i =>
