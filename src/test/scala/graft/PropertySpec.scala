@@ -142,6 +142,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: geoRadiusJoin == brute haversine MULTISET on random globes and radii") {
+    // the banding has three geometry regimes (equatorial many-cell,
+    // mid-lat 1/cos widening, polar whole-circle collapse) and one
+    // historical bug class (replication keys wrapping onto one cell ->
+    // duplicate pairs, caught in round 13) — so the property is
+    // MULTISET equality, radius randomized across four orders of
+    // magnitude and latitudes biased toward the poles half the time
+    val bigR = graft.core.DistanceJoin.EarthRadiusMeters
+    def havM(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      val (p1, p2) = (math.toRadians(la1), math.toRadians(la2))
+      val a = math.pow(math.sin((p1 - p2) / 2), 2) +
+        math.cos(p1) * math.cos(p2) *
+          math.pow(math.sin(math.toRadians(lo1 - lo2) / 2), 2)
+      2 * bigR * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    val genCase = for {
+      radiusKm <- Gen.oneOf(20.0, 200.0, 2000.0, 9000.0)
+      polar <- Gen.oneOf(true, false)
+      seed <- Gen.choose(1, 100000)
+    } yield (radiusKm, polar, seed)
+    forAllSampled(genCase, 8) { case (radiusKm, polar, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def lat() =
+        if (polar) (85 + rnd.nextDouble() * 5) * (if (rnd.nextBoolean()) 1 else -1)
+        else rnd.nextDouble() * 178 - 89
+      val lRows = (0L until 40L).map(i =>
+        (i, lat(), rnd.nextDouble() * 360 - 180))
+      val rRows = (0L until 40L).map(i =>
+        (i, lat(), rnd.nextDouble() * 360 - 180))
+      val got = graft.core.DistanceJoin.geoRadiusJoin(
+          lRows.toDF("lid", "llat", "llon"), rRows.toDF("rid", "rlat", "rlon"),
+          "llat", "llon", "rlat", "rlon", radiusKm * 1000)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val brute = (for { (li, la, lo) <- lRows; (ri, ra, ro) <- rRows
+                         if havM(la, lo, ra, ro) <= radiusKm * 1000 }
+        yield (li, ri)).sorted
+      assert(got == brute,
+        s"radius=${radiusKm}km polar=$polar seed=$seed: " +
+          s"got ${got.size} brute ${brute.size}")
+    }
+  }
+
   test("property: distributed sequence packing == sequential reference") {
     // random corpora: the two-pass prefix sum must equal a plain
     // sequential scan for any doc-count/length mix and any seqLen
