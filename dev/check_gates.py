@@ -10,7 +10,10 @@ Usage:
 For each <name>.parquet under outDir it runs the matching oracle SQL
 from oracle_sql.json in DuckDB over the same sf tables and compares:
   - row count
-  - schema (column names sorted; type classes)
+  - schema (column names sorted; a name-matched TYPE drift prints a
+    loud warning without failing — the driver's type contract is
+    unknown, but drift is the first suspect for a "value-identical"
+    hash mismatch)
   - order-insensitive full-row hash: columns sorted by name, every cell
     canonicalized to a string (floats via repr of float64, decimals via
     str, NULL as a sentinel, arrays/structs via canonical recursion),
@@ -74,13 +77,22 @@ def main():
         sq = scon.execute(
             f"SELECT * FROM read_parquet({files!r})")
         s_rows = sq.fetchall();  s_cols = [c[0] for c in sq.description]
+        s_types = {c[0]: str(c[1]) for c in sq.description}
         if name not in sql_map:
             print(f"{name}: rows={len(s_rows)} (no oracle — rows-only)")
             continue
         oq = con.execute(sql_map[name])
         o_rows = oq.fetchall();  o_cols = [c[0] for c in oq.description]
+        o_types = {c[0]: str(c[1]) for c in oq.description}
         rows_ok = len(s_rows) == len(o_rows)
         schema_ok = sorted(s_cols) == sorted(o_cols)
+        # type drift is a loud WARNING, not a failure: the driver's own
+        # compare contract on types is unknown, but a drift here is the
+        # first place to look when a hash mismatch looks value-identical
+        if schema_ok and s_types != o_types:
+            diff = {k: (s_types[k], o_types[k])
+                    for k in s_types if s_types[k] != o_types.get(k)}
+            print(f"{name}: WARNING type drift {diff}")
         hash_ok = (schema_ok and
                    frame_sig(s_cols, s_rows) == frame_sig(o_cols, o_rows))
         ok = rows_ok and schema_ok and hash_ok

@@ -105,8 +105,11 @@ object Bench {
       if (ts.max - ts.min > 3 * ts.min && ts.min > 0.05) {
         System.gc()
         val t0 = System.nanoTime()
-        try runnerOf(name)() catch { case _: Throwable => () }
-        name -> (ts :+ (System.nanoTime() - t0) / 1e9)
+        // a FAILED rerun must not contribute a timing: a 2 s crash
+        // would otherwise become the reported min and fake a speedup
+        val ok = try { runnerOf(name)(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) ts :+ (System.nanoTime() - t0) / 1e9 else ts)
       } else name -> ts
     }
     val nReruns = timings.count(_._2.length > 3)

@@ -150,6 +150,8 @@ object DistanceJoin {
       // slim-key path: loop on (id, x, y), payload back in one join —
       // see [[slimLeft]] for the contract (unique non-NULL ids)
       val id = lIdCol.get
+      requireDisjointForJoinBack(left, id, right,
+        Seq("dist2", "dist", "rank"), "knnJoin")
       val slim = slimLeft(left, id, lx, ly, "knnJoin")
       return left.join(
         knnJoin(slim, right, lx, ly, rx, ry, rIdCol, k,
@@ -239,6 +241,23 @@ object DistanceJoin {
         col(lx), col(ly))
   }
 
+  /** The slim-key paths skip the probe's own overlap refusal (the slim
+    * frame carries no payload), so the payload join-back must check the
+    * FULL left's columns against everything the loop result adds — a
+    * silent duplicate-named column is exactly what the whole-row
+    * variants refuse loudly. */
+  private def requireDisjointForJoinBack(left: DataFrame, lIdCol: String,
+                                         right: DataFrame,
+                                         resultCols: Seq[String],
+                                         op: String): Unit = {
+    val overlap = (left.columns.toSet - lIdCol)
+      .intersect(right.columns.toSet ++ resultCols)
+    require(overlap.isEmpty,
+      s"$op: left column names ${overlap.mkString(",")} collide with the " +
+      "right side / result columns — the lIdCol payload join-back would " +
+      "emit ambiguous duplicates; rename them")
+  }
+
   /** The shared radius-doubling argmin loop: `probe(unmatched, r)` must
     * return all (left, right) candidate pairs within `r` carrying
     * `right.*` plus the distance columns; `tieDist` orders the per-left
@@ -292,6 +311,8 @@ object DistanceJoin {
       s"nearestJoin: id column '$rIdCol' missing from right side")
     lIdCol match {
       case Some(id) =>
+        requireDisjointForJoinBack(left, id, right,
+          Seq("dist2", "dist"), "nearestJoin")
         val slim = slimLeft(left, id, lx, ly, "nearestJoin")
         val res = nearestLoop(slim, right, rIdCol, startRadius, maxRadius,
           (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r),
@@ -364,9 +385,10 @@ object DistanceJoin {
     require(overlap.isEmpty,
       s"geoRadiusJoin: overlapping column names ${overlap.mkString(",")} — " +
       "rename one side (the output carries both sides' columns)")
-    Seq("_gband", "_gcell", "dist_m").foreach { c =>
+    Seq("_gband", "_gcell", "_glat", "_glon", "_gk", "dist_m").foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
-        s"geoRadiusJoin: reserved output column '$c' already present — rename it")
+        s"geoRadiusJoin: reserved column '$c' already present — rename it " +
+        "(scratch columns would silently overwrite and drop it)")
     }
     val hRad = radiusMeters / bigR          // band height, radians
     val hDeg = math.toDegrees(hRad)
@@ -463,6 +485,8 @@ object DistanceJoin {
       geoRadiusJoin(u, right, lLat, lLon, rLat, rLon, r, earthRadiusMeters)
     lIdCol match {
       case Some(id) =>
+        requireDisjointForJoinBack(left, id, right,
+          Seq("dist_m"), "geoNearestJoin")
         val slim = slimLeft(left, id, lLat, lLon, "geoNearestJoin")
         val res = nearestLoop(slim, right, rIdCol, startRadiusMeters,
           maxRadiusMeters, probe, Seq("dist_m")).drop(lLat, lLon)
@@ -496,6 +520,8 @@ object DistanceJoin {
       s"geoKnnJoin: id column '$rIdCol' missing from right side")
     if (lIdCol.isDefined) {
       val id = lIdCol.get
+      requireDisjointForJoinBack(left, id, right,
+        Seq("dist_m", "rank"), "geoKnnJoin")
       val slim = slimLeft(left, id, lLat, lLon, "geoKnnJoin")
       return left.join(
         geoKnnJoin(slim, right, lLat, lLon, rLat, rLon, rIdCol, k,

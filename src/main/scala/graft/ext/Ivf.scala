@@ -561,10 +561,14 @@ object Ivf {
    * nearest cells (partition pruning skips every other cell at
    * planning time); the prefix-`prefixDim` cosine shortlists
    * `shortlist` candidates per query WITHIN the probed cells; the
-   * full-dim exact re-rank keeps `k`. For corpus-scale query sets this
-   * is the scale path the plain matryoshka scan can't be: per-query
-   * work is |probed cells| x cell size at prefix arithmetic + shortlist
-   * at full dim, never |corpus|.
+   * full-dim exact re-rank keeps `k`. Per-query work is |probed cells|
+   * x cell size at prefix arithmetic + shortlist at full dim, never
+   * |corpus| — the scale axis the plain matryoshka scan lacks. The
+   * QUERY side is broadcast (twice: exploded probe + re-rank), so one
+   * call handles a broadcast-sized query batch; a corpus-scale query
+   * set (a full kNN-graph build) must iterate broadcast-sized batches
+   * over the same persisted layout — each batch still prunes to its
+   * probed cells, which is the point of the composition.
    *
    * With `nprobe = model.k` (all cells probed) the shortlist sees the
    * whole corpus and the result is EXACTLY [[Similarity.matryoshkaTopK]]

@@ -4529,6 +4529,18 @@ class ExtSpec extends SparkSpec {
     }
     assert(eDup.toString.contains("duplicate left id") ||
       Option(eDup.getCause).exists(_.getMessage.contains("duplicate left id")))
+    // a left payload column colliding with the right side or a result
+    // column refuses loudly on the lIdCol path too — the slim loop
+    // skips the probe's own overlap check, and a silent duplicate-named
+    // column in the join-back is the wrong-answer class, not a rename
+    for (bad <- Seq("rid", "rank", "dist_m")) {
+      val eClash = intercept[IllegalArgumentException] {
+        DistanceJoin.geoKnnJoin(lWide.withColumn(bad, lit(1)), r,
+          "llat", "llon", "rlat", "rlon", "rid", k = 2, 200e3, 2.0e7,
+          lIdCol = Some("lid"))
+      }
+      assert(eClash.getMessage.contains("collide"), s"col $bad: $eClash")
+    }
   }
 
   test("nearest join: brute twin across doubling rounds, ties, maxRadius omission") {
