@@ -2645,6 +2645,42 @@ object SparkEntry {
       s.read.parquet(s"$root/corpus")
         .select(col("doc_id"), col("n_subwords")).orderBy("doc_id")
     }),
+    "q223_geo_stream_tag" -> ((s, dir) => { ensure(s)
+      // STREAMING geo enrichment: the q220 geodesic radius join run as
+      // a REAL stream-static query — arriving events (synthetic
+      // lat/lon) tag with every supplier within 400 km. The geodesic
+      // join IS streamable as-is: banding/verify are stateless scalar
+      // expressions and the cell-key join is a stream-static equi-join
+      // (the static side carries the 9x replication), so the batch
+      // operator composes with readStream unchanged — no new operator,
+      // which is the point of the gate. Oracle = the batch brute-force
+      // haversine; margins checked at authoring (radius 396 m,
+      // rounding 0.13 m at sf0.01 >> trig ulp).
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-geostream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.read(s, stage.toString)
+        .select(col("event_id"),
+          (((col("event_id") * 29) % 1200).cast("double") / 10.0 - 60.0)
+            .as("elat"),
+          (((col("event_id") * 43) % 3600).cast("double") / 10.0 - 180.0)
+            .as("elon"))
+      val sup = ld(s, dir, "supplier").select(col("s_suppkey"),
+        (((col("s_suppkey") * 23) % 1200).cast("double") / 10.0 - 60.0)
+          .as("slat"),
+        (((col("s_suppkey") * 41) % 3600).cast("double") / 10.0 - 180.0)
+          .as("slon"))
+      val out = graft.core.DistanceJoin.geoRadiusJoin(ev, sup,
+          "elat", "elon", "slat", "slon", 400000.0)
+        .select(col("event_id"), col("s_suppkey"),
+          round(col("dist_m") / 1000.0, 1).as("dist_km"))
+      val qname = "gate_geost_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("event_id", "s_suppkey")
+    }),
     "q222_geo_knn_join" -> ((s, dir) => { ensure(s)
       // GEODESIC kNN join (q219 on the sphere, q220's banded cells):
       // each customer's 3 great-circle-closest suppliers via the
@@ -5069,6 +5105,18 @@ object SparkEntry {
        "b AS (SELECT o_orderkey AS bid, CAST((o_orderkey * 3) % 500 AS DOUBLE) AS blo, CAST(((o_orderkey * 3) % 500) + (o_orderkey % 11) + 1 AS DOUBLE) AS bhi FROM orders WHERE o_orderkey % 40 = 20) " +
        "SELECT aid, bid, least(ahi, bhi) - greatest(alo, blo) AS overlap_len " +
        "FROM a CROSS JOIN b WHERE alo <= bhi AND blo <= ahi ORDER BY aid, bid"),
+    "q223_geo_stream_tag" ->
+      ("WITH e AS (SELECT event_id, CAST((event_id * 29) % 1200 AS DOUBLE) / 10.0 - 60.0 AS elat, " +
+       "CAST((event_id * 43) % 3600 AS DOUBLE) / 10.0 - 180.0 AS elon FROM events), " +
+       "s AS (SELECT s_suppkey, CAST((s_suppkey * 23) % 1200 AS DOUBLE) / 10.0 - 60.0 AS slat, " +
+       "CAST((s_suppkey * 41) % 3600 AS DOUBLE) / 10.0 - 180.0 AS slon FROM supplier), " +
+       "p AS (SELECT event_id, s_suppkey, " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(elat) - radians(slat)) / 2), 2) + " +
+       "cos(radians(elat)) * cos(radians(slat)) * pow(sin((radians(elon) - radians(slon)) / 2), 2)))) AS dist_m " +
+       "FROM e CROSS JOIN s) " +
+       "SELECT event_id, s_suppkey, round(dist_m / 1000.0, 1) AS dist_km " +
+       "FROM p WHERE dist_m <= 400000.0 ORDER BY event_id, s_suppkey"),
     "q222_geo_knn_join" ->
       ("WITH c AS (SELECT c_custkey, CAST((c_custkey * 17) % 1200 AS DOUBLE) / 10.0 - 60.0 AS clat, " +
        "CAST((c_custkey * 31) % 3600 AS DOUBLE) / 10.0 - 180.0 AS clon FROM customer), " +

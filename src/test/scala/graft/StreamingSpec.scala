@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static geodesic radius join == batch (operator composes unchanged)") {
+    // geoRadiusJoin is stateless scalar banding + a stream-static
+    // equi-join on (band, cell), so the BATCH operator runs on a
+    // readStream left with no streaming variant needed — this row pins
+    // that composition and its exact equality to the batch run
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def coords(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id"),
+      (((col("event_id") * 29) % 1200).cast("double") / 10.0 - 60.0).as("elat"),
+      (((col("event_id") * 43) % 3600).cast("double") / 10.0 - 180.0).as("elon"))
+    val stations = (0L until 40L).map(i =>
+      (i, (i * 23 % 120).toDouble - 60, (i * 41 % 360).toDouble - 180))
+      .toDF("sid", "slat", "slon")
+    val batch = graft.core.DistanceJoin.geoRadiusJoin(
+        coords(EventStream.loadEvents(spark, dir)), stations,
+        "elat", "elon", "slat", "slon", 500e3)
+      .select("event_id", "sid").collect().map(_.toSeq).toSeq.sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    val stageDir = tmpDir("geo-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(stageDir, "events.parquet"))
+    val out = graft.core.DistanceJoin.geoRadiusJoin(
+        coords(EventStream.read(spark, stageDir)), stations,
+        "elat", "elon", "slat", "slon", 500e3)
+      .select("event_id", "sid")
+    val qname = s"geost_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qname).collect().map(_.toSeq).toSeq.sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("collection change-feed streams inserted rows") {
     import org.apache.spark.sql.functions._
     val db = new graft.engine.GeoDb(spark, tmpDir("feed-wh"), "geodb_user")
