@@ -58,9 +58,12 @@ object RangeJoin {
                       maxWideIntervals: Int = 10000,
                       loInclusive: Boolean = true,
                       hiInclusive: Boolean = true,
-                      nullBoundIsOpen: Boolean = false): DataFrame = {
+                      nullBoundIsOpen: Boolean = false,
+                      saltBins: Int = 0): DataFrame = {
     require(binWidth > 0.0 && !binWidth.isInfinite, s"binWidth > 0, got $binWidth")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    require(saltBins == 0 || saltBins >= 2,
+      s"saltBins: 0 (off) or >= 2, got $saltBins")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"pointInInterval: column names must be disjoint, both sides have " +
@@ -118,8 +121,18 @@ object RangeJoin {
         else pd < col(hiCol).cast("double"))
     val short = intervals.filter(spanBins <= maxBinsPerInterval)
       .withColumn("_ibin", explode(sequence(loB, hiB)))
-    val shortPairs = p.join(short, col("_pbin") === col("_ibin"))
-      .filter(within).drop("_pbin", "_ibin")
+    // saltBins: a hot bin (one minute holding a large share of the
+    // points) is ordinary join skew on the exploded frames — route the
+    // bin equi-join through Skew.saltedJoin (points salted, exploded
+    // interval side replicated saltBins ways); row-identical by its
+    // contract. Same knob as intervalOverlapJoin's.
+    val shortPairs =
+      if (saltBins >= 2)
+        Skew.saltedJoin(p.withColumnRenamed("_pbin", "_ibin"), short,
+            Seq("_ibin"), saltBins)
+          .filter(within).drop("_ibin")
+      else p.join(short, col("_pbin") === col("_ibin"))
+        .filter(within).drop("_pbin", "_ibin")
     val widePairs = p.drop("_pbin")
       .join(broadcast(intervals.filter(spanBins > maxBinsPerInterval)), within)
     shortPairs.unionByName(widePairs)

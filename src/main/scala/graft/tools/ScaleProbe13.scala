@@ -166,6 +166,10 @@ object ScaleProbe13 {
         time3(s"$label geoRadiusJoin 50km")(
           DistanceJoin.geoRadiusJoin(gl, gr, "llat", "llon",
             "rlat", "rlon", 50e3))
+        time3(s"$label geoKnnJoin k=3")(
+          DistanceJoin.geoKnnJoin(gl, gr, "llat", "llon",
+            "rlat", "rlon", "rid", k = 3, startRadiusMeters = 50e3,
+            maxRadiusMeters = 1.6e6, lIdCol = Some("lid")))
       }
     }
     spark.stop()

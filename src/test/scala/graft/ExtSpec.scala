@@ -3417,6 +3417,12 @@ class ExtSpec extends SparkSpec {
     assert(got.length == got.toSet.size, s"duplicate pairs in ${got.toSeq}")
     assert(got.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L),
       (1L, 12L), (2L, 12L), (3L, 12L), (4L, 12L)), s"got ${got.toSet}")
+    // hot-bin salting composes and stays multiset-identical (wide path
+    // included — it bypasses the salted bin join untouched)
+    val salted = RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, maxBinsPerInterval = 8, saltBins = 3)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.sorted.toSeq == got.sorted.toSeq)
     val inv = intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(pts, "x",
         ivs.unionByName(Seq((20L, 5.0, 1.0)).toDF("iid", "lo", "hi")),
