@@ -2729,6 +2729,90 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q226_geo_dbscan" -> ((s, dir) => { ensure(s)
+      // Geodesic DBSCAN (Ester 1996) composed from library pieces: ONE
+      // geoRadiusJoin self-join for the eps-graph, neighbor-count
+      // cores, Dedup.components over core-core edges, deterministic
+      // min-rep border attach (classic DBSCAN's border assignment is
+      // scan-order-dependent; ours is reproducible — the oracle
+      // replays the same rule). Fixture: 77 widely-separated centers,
+      // customers strung along each center's meridian at ~445 m steps
+      // with CRT-gapped occupancy, eps 2 km / minPts 4 — cores,
+      // borders at run ends, noise in the gaps all occur. Distances
+      // are quantized to ~445 m multiples, so every dist<=eps compare
+      // carries a >200 m margin vs the ~1e-9 m cross-libm trig ulp
+      // class. Output is ids + booleans only — no float hash surface.
+      val lat = ((col("c_custkey") % 77) % 7).cast("double") * 12 - 36 +
+        (col("c_custkey") % 29).cast("double") * 0.004
+      val lon = expr("(c_custkey % 77) div 7").cast("double") * 24 - 120
+      val pts = ld(s, dir, "customer").select(col("c_custkey"),
+        lat.as("lat"), lon.as("lon"))
+      graft.core.GeoCluster.geoDbscan(pts, "c_custkey", "lat", "lon",
+          epsMeters = 2000.0, minPts = 4)
+        .select(col("c_custkey"), col("is_core"), col("cluster"))
+        .orderBy("c_custkey")
+    }),
+    "q224_spatial_point_join" -> ((s, dir) => { ensure(s)
+      // Grid-partitioned POINT-IN-POLYGON join (SpatialJoin.pointJoin —
+      // THE geodb join at scale, the reference gets it one row at a
+      // time from PostGIS GiST): supplier right triangles (legs 60,
+      // CCW, integer vertices) x customer grid points, each triangle
+      // exploded to its envelope's covered cells, points to their ONE
+      // cell (exactly-once structurally), hash join + closed-envelope
+      // prefilter + exact JTS DE-9IM verify. Integer coordinates make
+      // the predicate exact on both engines: point in the closed right
+      // triangle <=> px>=ax AND py>=ay AND (px-ax)+(py-ay) <= 60 — the
+      // oracle replays that arithmetic in pure integers, so a pair
+      // lost at a cell border or duplicated by replication breaks the
+      // row set bit-for-bit (no trig, no doubles anywhere).
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val tri = ld(s, dir, "supplier").select(col("s_suppkey"),
+        st_geomfromtext(concat(lit("POLYGON(("),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 60).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), (ay + 60).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit("))"))).as("tri"))
+      val pts = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 1000).cast("double").as("px"),
+        ((col("c_custkey") * 7) % 1000).cast("double").as("py"))
+      graft.core.SpatialJoin.pointJoin(tri, "tri", pts, "px", "py",
+          "intersects", cellSize = 40.0)
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+    "q225_spatial_join" -> ((s, dir) => { ensure(s)
+      // geometry x geometry grid join (SpatialJoin.spatialJoin) with
+      // the 2D REFERENCE-CELL exactly-once rule — the later-start-bin
+      // trick per axis: a candidate fires only in the cell at the
+      // per-axis max of the two envelopes' cell-range lows. Supplier
+      // 40x25 rects x customer 15x35 rects, mode "intersects" (closed
+      // contact counts — edge/corner touches are pairs with ix_area
+      // 0). ix_area pins the envelope-intersection area as an exact
+      // BIGINT on both sides (the q206 lesson: no decimal/double hash
+      // surface); a duplicate firing cell or a pair lost where the
+      // rule picked an uncovered cell breaks the row set.
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val rects = ld(s, dir, "supplier").select(col("s_suppkey"),
+        st_makeenvelope(ax.cast("double"), ay.cast("double"),
+          (ax + 40).cast("double"), (ay + 25).cast("double")).as("arect"),
+        ax.as("sax"), ay.as("say"))
+      val bx = col("c_custkey") % 1000
+      val by = (col("c_custkey") * 7) % 1000
+      val crects = ld(s, dir, "customer").select(col("c_custkey"),
+        st_makeenvelope(bx.cast("double"), by.cast("double"),
+          (bx + 15).cast("double"), (by + 35).cast("double")).as("brect"),
+        bx.as("cbx"), by.as("cby"))
+      graft.core.SpatialJoin.spatialJoin(rects, "arect", crects, "brect",
+          "intersects", cellSize = 50.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          ((least(col("sax") + 40, col("cbx") + 15) -
+            greatest(col("sax"), col("cbx"))) *
+           (least(col("say") + 25, col("cby") + 35) -
+            greatest(col("say"), col("cby")))).cast("long").as("ix_area"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
     "q220_geo_radius_join" -> ((s, dir) => { ensure(s)
       // GEODESIC (haversine) distance join — q211's recipe on the
       // sphere: latitude bands of height radius/R, per-band longitude
@@ -5139,6 +5223,42 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q226_geo_dbscan" ->
+      ("WITH RECURSIVE p AS MATERIALIZED (SELECT c_custkey AS id, " +
+       "CAST((c_custkey % 77) % 7 AS DOUBLE) * 12 - 36 + CAST(c_custkey % 29 AS DOUBLE) * 0.004 AS lat, " +
+       "CAST((c_custkey % 77) // 7 AS DOUBLE) * 24 - 120 AS lon FROM customer), " +
+       "e AS MATERIALIZED (SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b ON " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(a.lat) - radians(b.lat)) / 2), 2) + " +
+       "cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin((radians(a.lon) - radians(b.lon)) / 2), 2)))) <= 2000.0), " +
+       "core AS MATERIALIZED (SELECT ida AS id FROM e GROUP BY ida HAVING count(*) >= 4), " +
+       "ce AS MATERIALIZED (SELECT ida AS a, idb AS b FROM e WHERE ida <> idb " +
+       "AND ida IN (SELECT id FROM core) AND idb IN (SELECT id FROM core)), " +
+       "reach AS (SELECT id AS nd, id AS r FROM core " +
+       "UNION SELECT ce.a AS nd, reach.r FROM ce JOIN reach ON ce.b = reach.nd), " +
+       "comp AS MATERIALIZED (SELECT nd AS id, min(r) AS rep FROM reach GROUP BY nd), " +
+       "border AS MATERIALIZED (SELECT e.ida AS id, min(comp.rep) AS rep FROM e " +
+       "JOIN comp ON e.idb = comp.id WHERE e.ida NOT IN (SELECT id FROM core) GROUP BY e.ida) " +
+       "SELECT p.id AS c_custkey, p.id IN (SELECT id FROM core) AS is_core, " +
+       "COALESCE(comp.rep, border.rep) AS cluster " +
+       "FROM p LEFT JOIN comp ON p.id = comp.id LEFT JOIN border ON p.id = border.id " +
+       "ORDER BY c_custkey"),
+    "q224_spatial_point_join" ->
+      ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
+       "WHERE (c.c_custkey % 1000) >= ((s.s_suppkey * 3) % 1000) " +
+       "AND ((c.c_custkey * 7) % 1000) >= ((s.s_suppkey * 13) % 1000) " +
+       "AND ((c.c_custkey % 1000) - ((s.s_suppkey * 3) % 1000)) + " +
+       "(((c.c_custkey * 7) % 1000) - ((s.s_suppkey * 13) % 1000)) <= 60 " +
+       "ORDER BY s_suppkey, c_custkey"),
+    "q225_spatial_join" ->
+      ("WITH a AS (SELECT s_suppkey, (s_suppkey * 3) % 1000 AS ax, (s_suppkey * 13) % 1000 AS ay FROM supplier), " +
+       "b AS (SELECT c_custkey, c_custkey % 1000 AS bx, (c_custkey * 7) % 1000 AS by2 FROM customer) " +
+       "SELECT s_suppkey, c_custkey, " +
+       "CAST((least(ax + 40, bx + 15) - greatest(ax, bx)) * " +
+       "(least(ay + 25, by2 + 35) - greatest(ay, by2)) AS BIGINT) AS ix_area " +
+       "FROM a CROSS JOIN b " +
+       "WHERE ax <= bx + 15 AND bx <= ax + 40 AND ay <= by2 + 35 AND by2 <= ay + 25 " +
+       "ORDER BY s_suppkey, c_custkey"),
     "q220_geo_radius_join" ->
       ("WITH c AS (SELECT c_custkey, CAST((c_custkey * 17) % 1200 AS DOUBLE) / 10.0 - 60.0 AS clat, " +
        "CAST((c_custkey * 31) % 3600 AS DOUBLE) / 10.0 - 180.0 AS clon FROM customer), " +

@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Geodesic DBSCAN (Ester et al. 1996, KDD — the public density
+ * clustering algorithm) over lat/lon points, composed entirely from
+ * scale-safe pieces already in the library: the eps-neighborhood graph
+ * is ONE [[DistanceJoin.geoRadiusJoin]] self-join (banded cells + hash
+ * join + exact haversine — never all-pairs), core points fall out of a
+ * neighbor-count aggregate, clusters are
+ * [[graft.ext.Dedup.components]] (smallest-label propagation +
+ * pointer doubling) over the core–core edges, and border points attach
+ * by one slim join. The classic sequential algorithm's seed-scan is
+ * inherently order-dependent for BORDER points (a border point in two
+ * clusters' reach joins whichever was grown first); this formulation
+ * replaces that with a DETERMINISTIC rule — a border point joins the
+ * cluster with the smallest representative id among its core
+ * neighbors — so results are reproducible across any degree of
+ * parallelism. Core/noise status and the cluster PARTITION of core
+ * points match the classic algorithm exactly (both are
+ * scan-order-free facts of the eps-graph).
+ *
+ * Conventions: a point's eps-neighborhood INCLUDES itself (the
+ * standard |N_eps(p)| >= minPts rule), cluster labels are the minimum
+ * member id among the cluster's CORE points, noise gets a NULL label.
+ *
+ * Scale: the self-join carries each point once plus its 9 replicated
+ * cell keys (slim id+coords — the payload never rides it); neighbor
+ * counting is a map-side-combinable aggregate; components() shuffles
+ * only (id, rep) longs per iteration and converges in
+ * O(log longest-chain) rounds; the final label attach is one hash
+ * join against the full payload. Density skew (one hot cell) is
+ * ordinary join skew — `saltCells` routes the cell key through
+ * [[graft.ext.Skew.saltedJoin]]. eps is the scale dial: candidate
+ * fan-in grows with the point density inside a 3x3 cell neighborhood
+ * at radius eps, exactly like the radius join it rides.
+ */
+object GeoCluster {
+
+  /**
+   * DBSCAN labels for every point: returns
+   * `points.* ++ (is_core boolean, cluster <idCol type> nullable)` —
+   * `cluster` is NULL for noise. `idCol` must be unique and non-NULL
+   * (refused loudly — a duplicate id would cross-wire the label
+   * joins); coordinates follow [[DistanceJoin.geoRadiusJoin]]'s
+   * refusal contract (NULL/NaN/out-of-range).
+   */
+  def geoDbscan(points: DataFrame, idCol: String,
+                latCol: String, lonCol: String,
+                epsMeters: Double, minPts: Int,
+                earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters,
+                maxIter: Int = 12,
+                saltCells: Int = 0): DataFrame = {
+    require(minPts >= 1, s"geoDbscan: minPts must be >= 1, got $minPts")
+    require(epsMeters > 0 && epsMeters < math.Pi * earthRadiusMeters,
+      s"geoDbscan: eps in (0, pi*R) metres, got $epsMeters")
+    Seq(idCol, latCol, lonCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"geoDbscan: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq("is_core", "cluster").foreach { c =>
+      require(!points.columns.contains(c),
+        s"geoDbscan: output column '$c' already present — rename it")
+    }
+    val idType = points.schema(idCol).dataType
+
+    // slim (id, lat, lon) projection with the slimLeft dup/NULL-id
+    // refusal — the eps-graph and every label join carry three columns,
+    // never the payload
+    val slim = points.groupBy(col(idCol).as("_pid")).agg(
+        count(lit(1)).as("_gn"),
+        first(col(latCol)).as("_plat"), first(col(lonCol)).as("_plon"))
+      .select(
+        when(col("_pid").isNull,
+          raise_error(lit("geoDbscan: NULL id — labels could not join " +
+            "back")).cast(idType))
+        .when(col("_gn") > 1,
+          raise_error(concat(lit("geoDbscan: duplicate id "),
+            col("_pid").cast("string"),
+            lit(" — the label join-back would cross-wire rows; " +
+              "deduplicate first"))).cast(idType))
+        .otherwise(col("_pid")).as("_pid"),
+        col("_plat"), col("_plon"))
+    val other = slim.select(col("_pid").as("_qid"),
+      col("_plat").as("_qlat"), col("_plon").as("_qlon"))
+
+    // eps-neighborhood graph, self-pairs included (dist 0 — the
+    // standard |N_eps(p)| includes p). Materialized ONCE (it is reused
+    // by the core count, the core-core edges and the border attach —
+    // three consumers of one banded-cell join, never three joins).
+    val pairs = DistanceJoin.geoRadiusJoin(slim, other,
+        "_plat", "_plon", "_qlat", "_qlon", epsMeters,
+        earthRadiusMeters, saltCells)
+      .select(col("_pid"), col("_qid"))
+      .localCheckpoint(true)
+
+    val cores = pairs.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minPts).select(col("_pid"))
+      .localCheckpoint(true)
+
+    // clusters = connected components of the CORE-CORE subgraph;
+    // components() wants each undirected edge once (it symmetrizes)
+    val coreEdges = pairs.filter(col("_pid") < col("_qid"))
+      .join(cores, Seq("_pid"), "left_semi")
+      .join(cores.select(col("_pid").as("_qid")), Seq("_qid"), "left_semi")
+      .select(col("_pid").as("id"), col("_qid").as("id2"))
+    val comps = graft.ext.Dedup.components(coreEdges, maxIter)
+    // isolated cores (minPts-dense but no core neighbor) are their own
+    // cluster — components() only sees nodes with edges
+    val coreLabels = cores.join(comps, cores("_pid") === comps("node"), "left")
+      .select(col("_pid"), coalesce(col("rep"), col("_pid")).as("cluster"),
+        lit(true).as("is_core"))
+
+    // border = non-core with a core neighbor; DETERMINISTIC attach to
+    // the smallest neighbor-cluster rep (see object doc)
+    val borderLabels = pairs.filter(col("_pid") =!= col("_qid"))
+      .join(cores, Seq("_pid"), "left_anti")
+      .join(coreLabels.select(col("_pid").as("_qid"), col("cluster")), Seq("_qid"))
+      .groupBy(col("_pid")).agg(min(col("cluster")).as("cluster"))
+      .select(col("_pid"), col("cluster"), lit(false).as("is_core"))
+
+    val labels = coreLabels.unionByName(borderLabels)
+    points.join(labels, points(idCol) === labels("_pid"), "left")
+      .select(points.columns.map(col) ++ Seq(
+        coalesce(col("is_core"), lit(false)).as("is_core"),
+        col("cluster")): _*)
+  }
+}

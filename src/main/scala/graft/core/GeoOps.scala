@@ -218,6 +218,66 @@ object GeoOps {
   }
 
   /**
+   * Envelope bounds `[minX, minY, maxX, maxY]` in ONE WKB parse — the
+   * grid-binning kernel for [[SpatialJoin]] (four separate `xMin`/...
+   * accessor calls would re-parse the geometry four times per row). An
+   * EMPTY geometry returns JTS's null envelope (`minX > maxX`), which
+   * callers must refuse (an empty geometry has no cells).
+   */
+  def envelopeBounds(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val e = read(b).getEnvelopeInternal
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+  }
+
+  /**
+   * DE-9IM `geometry <mode> POINT(x, y)` without materializing the
+   * point's WKB — the verify kernel for [[SpatialJoin.pointJoin]]. The
+   * prepared-geometry slot cache applies to the geometry side (a hash
+   * join streams each replicated geometry row against its matched
+   * points, so consecutive candidates usually share the geometry); a
+   * positive-area rectangle short-circuits to interval arithmetic for
+   * every mode whose point answer is closed-form (`crosses` falls
+   * through to JTS — its dim(2)×dim(0) matrix is not worth hand-coding).
+   */
+  def relatePoint(mode: Int, g: Array[Byte], x: Double, y: Double): Boolean = {
+    val pa = preparedOf(g)
+    val ga = pa.getGeometry
+    if (ga.isRectangle) {
+      val e = ga.getEnvelopeInternal
+      if (e.getWidth > 0 && e.getHeight > 0) {
+        val closed = x >= e.getMinX && x <= e.getMaxX &&
+                     y >= e.getMinY && y <= e.getMaxY
+        val open = x > e.getMinX && x < e.getMaxX &&
+                   y > e.getMinY && y < e.getMaxY
+        mode match {
+          case INTERSECTS => return closed
+          case DISJOINT   => return !closed
+          // DE-9IM contains needs interior∩interior — a boundary point
+          // is covered but NOT contained (the classic PostGIS gotcha)
+          case CONTAINS   => return open
+          case TOUCHES    => return closed && !open
+          case WITHIN | OVERLAPS | EQUALS => return false
+          case _          => () // CROSSES: let JTS decide
+        }
+      }
+    }
+    val pt = factory.createPoint(new Coordinate(x, y))
+    if (mode == EQUALS) return ga.equalsTopo(pt)
+    mode match {
+      case WITHIN     => pa.within(pt)
+      case CONTAINS   => pa.contains(pt)
+      case INTERSECTS => pa.intersects(pt)
+      case TOUCHES    => pa.touches(pt)
+      case OVERLAPS   => pa.overlaps(pt)
+      case CROSSES    => pa.crosses(pt)
+      case DISJOINT   => pa.disjoint(pt)
+      case _ => throw new IllegalArgumentException(
+        s"comparison mode $mode does not exist")
+    }
+  }
+
+  /**
    * DE-9IM of a positive-area rectangle vs a LineString by Liang-Barsky
    * parametric clipping. Returns 1/0 for true/false, or -1 to signal
    * "fall back to JTS" (degenerate zero-length segments).

@@ -126,6 +126,48 @@ case class StUnary(kernel: String, child: Expression)
 }
 
 /**
+ * Envelope `[minX, minY, maxX, maxY]` in one WKB parse — the cell-range
+ * kernel behind [[graft.core.SpatialJoin]] (four StUnary accessors would
+ * parse the geometry four times per row).
+ */
+case class StEnvelopeBounds(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_envelope_bounds"
+  override protected def nullSafeEval(b: Any): Any =
+    GeoOps.envelopeBounds(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.envelopeBounds($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * `geometry <mode> POINT(x, y)` without building the point's WKB — the
+ * verify predicate behind [[graft.core.SpatialJoin.pointJoin]]; same
+ * plan-time mode resolution as [[StRelation]], same prepared-geometry
+ * slot cache on the geometry side.
+ */
+case class StRelationXY(mode: String, first: Expression,
+                        second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  private val id = GeoOps.modeId(mode)
+  override def inputTypes = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"st_${mode}_xy"
+  override protected def nullSafeEval(g: Any, x: Any, y: Any): Any =
+    GeoOps.relatePoint(id, g.asInstanceOf[Array[Byte]],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, x, y) => s"graft.core.GeoOps.relatePoint($id, $g, $x, $y)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/**
  * The reference's eight comparison modes (geodb.sql:1204-1214) as one
  * binary predicate; `mode` is resolved to an int at plan time so generated
  * code is a constant-mode static call.

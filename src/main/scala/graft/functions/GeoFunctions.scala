@@ -38,6 +38,7 @@ object GeoFunctions {
   def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
   def st_transform(g: Column, from: Column, to: Column): Column =
     call_function("st_transform", g, from, to)
+  def st_envelope_bounds(g: Column): Column = call_function("st_envelope_bounds", g)
 
   /** The reference's eight comparison modes (geodb.sql:1204-1214). */
   def st_relation(mode: String, a: Column, b: Column): Column = {
@@ -66,6 +67,7 @@ object GeoFunctions {
     "geometrytype" -> { case Seq(g) => StUnary("geometryType", g) },
     "st_centroid" -> { case Seq(g) => StUnary("centroid", g) },
     "st_envelope" -> { case Seq(g) => StUnary("envelope", g) },
+    "st_envelope_bounds" -> { case Seq(g) => StEnvelopeBounds(g) },
     "st_x" -> { case Seq(g) => StUnary("stX", g) },
     "st_y" -> { case Seq(g) => StUnary("stY", g) },
     "st_xmin" -> { case Seq(g) => StUnary("xMin", g) },

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GeoCluster
+
+/**
+ * [[graft.core.GeoCluster.geoDbscan]] vs a driver-side brute-force
+ * DBSCAN twin (same haversine, neighbor sets by cross product,
+ * union-find components, the same deterministic border rule), plus
+ * planted-scenario rows and the refusal surface.
+ */
+class GeoClusterSpec extends SparkSpec {
+
+  private val R = graft.core.DistanceJoin.EarthRadiusMeters
+
+  private def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dphi = math.toRadians(lat1) - math.toRadians(lat2)
+    val dlam = math.toRadians(lon1) - math.toRadians(lon2)
+    val a = math.pow(math.sin(dphi / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dlam / 2), 2)
+    2.0 * R * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Brute DBSCAN: (id -> (isCore, clusterOrNone)) with cluster = min
+    * core id of the component, border -> min neighbor-core rep. */
+  private def brute(pts: Seq[(Int, Double, Double)], eps: Double,
+                    minPts: Int): Map[Int, (Boolean, Option[Int])] = {
+    val nbr = pts.map { case (i, la, lo) =>
+      i -> pts.filter { case (j, lb, lob) => hav(la, lo, lb, lob) <= eps }
+        .map(_._1).toSet
+    }.toMap
+    val cores = pts.map(_._1).filter(i => nbr(i).size >= minPts).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(cores.toSeq.map(c => c -> c): _*)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (c <- cores; d <- nbr(c) if cores(d) && d != c) {
+      val (a, b) = (find(c), find(d))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val rep = cores.map(c => c -> find(c)).toMap
+    pts.map { case (i, _, _) =>
+      if (cores(i)) i -> ((true, Some(rep(i))))
+      else {
+        val nbrCores = nbr(i).filter(cores)
+        i -> ((false, if (nbrCores.isEmpty) None else Some(nbrCores.map(rep).min)))
+      }
+    }.toMap
+  }
+
+  private def run(pts: Seq[(Int, Double, Double)], eps: Double, minPts: Int,
+                  salt: Int = 0): Map[Int, (Boolean, Option[Int])] = {
+    import spark.implicits._
+    GeoCluster.geoDbscan(pts.toDF("id", "lat", "lon"), "id", "lat", "lon",
+        eps, minPts, saltCells = salt)
+      .select("id", "is_core", "cluster").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))))
+      .toMap
+  }
+
+  /** Two dense lat-line clusters, a bridge border point, and isolates. */
+  private def fixture: Seq[(Int, Double, Double)] = {
+    // cluster A: ids 1..6 along a meridian, ~440 m apart (0.004 deg)
+    val a = (1 to 6).map(i => (i, 10.0 + i * 0.004, 20.0))
+    // cluster B: ids 20..24, offset ~6 km north of A's end
+    val b = (20 to 24).map(i => (i, 10.0 + 6 * 0.004 + 0.06 + (i - 20) * 0.004, 20.0))
+    // border 40: within eps of A's last core but with few neighbors
+    val border = Seq((40, 10.0 + 7 * 0.004 + 0.008, 20.0))
+    // noise: far away singles
+    val noise = Seq((50, 50.0, 50.0), (51, -30.0, 120.0))
+    a ++ b ++ border ++ noise
+  }
+
+  test("geoDbscan equals the brute twin on the planted fixture") {
+    for ((eps, minPts) <- Seq((2000.0, 4), (2000.0, 3), (900.0, 3), (500.0, 2))) {
+      assert(run(fixture, eps, minPts) === brute(fixture, eps, minPts),
+        s"mismatch at eps=$eps minPts=$minPts")
+    }
+  }
+
+  test("geoDbscan on a random-ish global scatter equals the brute twin") {
+    val pts = (0 until 160).map { i =>
+      (i, ((i * 37) % 140).toDouble - 70.0 + ((i * 7) % 10) * 0.003,
+          ((i * 53) % 360).toDouble - 180.0 + ((i * 11) % 10) * 0.003)
+    }
+    for ((eps, minPts) <- Seq((1500.0, 3), (5000.0, 2)))
+      assert(run(pts, eps, minPts) === brute(pts, eps, minPts),
+        s"mismatch at eps=$eps minPts=$minPts")
+  }
+
+  test("planted semantics: cores, border label, noise NULL, minPts=1 singletons") {
+    val got = run(fixture, 2000.0, 4)
+    assert(got(3) === ((true, Some(1))), "mid-cluster core labeled by min core id")
+    assert(got(50) === ((false, None)) && got(51) === ((false, None)), "noise")
+    assert(got(40)._1 === false && got(40)._2.isDefined, "border attaches")
+    // minPts=1: every point is core (self-neighborhood), isolates become
+    // their own singleton cluster — the isolated-core path
+    val all1 = run(fixture, 2000.0, 1)
+    assert(all1(50) === ((true, Some(50))) && all1(51) === ((true, Some(51))))
+  }
+
+  test("border point reachable from two clusters attaches to the min rep") {
+    // two 4-point lat-line clusters, one point between them that sees
+    // exactly one core of EACH (|nbr| = 3 < minPts=4 — border, and its
+    // eps-reach spans both clusters)
+    val pts =
+      (1 to 4).map(i => (i, 10.0 + (i - 1) * 0.004, 20.0)) ++
+      (11 to 14).map(i => (i, 10.030 + (i - 11) * 0.004, 20.0)) ++
+      Seq((30, 10.021, 20.0))
+    val got = run(pts, 1200.0, 4)
+    val b = brute(pts, 1200.0, 4)
+    assert(got === b)
+    assert(got(30)._1 === false && got(30)._2 === Some(2),
+      "deterministic min-rep attach (classic DBSCAN would be scan-order)")
+  }
+
+  test("saltCells parity") {
+    assert(run(fixture, 2000.0, 3, salt = 4) === run(fixture, 2000.0, 3))
+  }
+
+  test("refusals: duplicate id, bad eps/minPts, reserved output columns") {
+    import spark.implicits._
+    val dup = Seq((1, 10.0, 20.0), (1, 11.0, 21.0)).toDF("id", "lat", "lon")
+    val e = intercept[Exception] {
+      GeoCluster.geoDbscan(dup, "id", "lat", "lon", 1000.0, 2).count()
+    }
+    assert(e.getMessage.contains("duplicate id") ||
+      e.getCause != null && e.getCause.getMessage.contains("duplicate id"))
+    val ok = Seq((1, 10.0, 20.0)).toDF("id", "lat", "lon")
+    intercept[IllegalArgumentException] {
+      GeoCluster.geoDbscan(ok, "id", "lat", "lon", -5.0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      GeoCluster.geoDbscan(ok, "id", "lat", "lon", 1000.0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      GeoCluster.geoDbscan(ok.withColumn("cluster", lit(1)),
+        "id", "lat", "lon", 1000.0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      GeoCluster.geoDbscan(ok, "missing", "lat", "lon", 1000.0, 2)
+    }
+  }
+}
