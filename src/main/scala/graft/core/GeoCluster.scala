@@ -45,13 +45,17 @@ object GeoCluster {
    * `cluster` is NULL for noise. `idCol` must be unique and non-NULL
    * (refused loudly — a duplicate id would cross-wire the label
    * joins); coordinates follow [[DistanceJoin.geoRadiusJoin]]'s
-   * refusal contract (NULL/NaN/out-of-range).
+   * refusal contract (NULL/NaN/out-of-range). `maxIter` bounds the
+   * component rounds: pointer doubling resolves a chain of length L in
+   * ~log2(L)+1 rounds, so the default 20 covers ~million-hop core
+   * chains (a road-network-shaped cluster); components() REFUSES
+   * loudly if it has not converged rather than return split clusters.
    */
   def geoDbscan(points: DataFrame, idCol: String,
                 latCol: String, lonCol: String,
                 epsMeters: Double, minPts: Int,
                 earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters,
-                maxIter: Int = 12,
+                maxIter: Int = 20,
                 saltCells: Int = 0): DataFrame = {
     require(minPts >= 1, s"geoDbscan: minPts must be >= 1, got $minPts")
     require(epsMeters > 0 && epsMeters < math.Pi * earthRadiusMeters,

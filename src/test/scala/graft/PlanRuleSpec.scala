@@ -342,6 +342,40 @@ class PlanRuleSpec extends SparkSpec {
       s"overlap join must not plan a cartesian product:\n$ojPlan")
   }
 
+  test("spatial predicate joins plan as hash joins on cell keys, never BNLJ") {
+    import spark.implicits._
+    val geoms = (0L until 40L).map { i =>
+      (i, graft.core.GeoOps.makeEnvelope((i % 9).toDouble, (i % 7).toDouble,
+        (i % 9).toDouble + 3, (i % 7).toDouble + 2))
+    }.toDF("gid", "geom")
+    val points = (0L until 60L).map(i =>
+      (1000L + i, (i % 11).toDouble, (i % 8).toDouble)).toDF("pid", "px", "py")
+    val pj = graft.core.SpatialJoin.pointJoin(geoms, "geom",
+      points, "px", "py", "intersects", cellSize = 3.0)
+    val pjPlan = pj.queryExecution.executedPlan.toString
+    assert(pjPlan.contains("HashJoin") || pjPlan.contains("SortMergeJoin"),
+      s"point join must hash/merge join on cells:\n$pjPlan")
+    assert(!pjPlan.contains("BroadcastNestedLoop") &&
+      !pjPlan.contains("CartesianProduct"),
+      s"point join must not plan a nested loop:\n$pjPlan")
+    val geoms2 = (0L until 40L).map { i =>
+      (2000L + i, graft.core.GeoOps.makeEnvelope((i % 8).toDouble, (i % 6).toDouble,
+        (i % 8).toDouble + 2, (i % 6).toDouble + 4))
+    }.toDF("hid", "geom2")
+    val sj = graft.core.SpatialJoin.spatialJoin(geoms, "geom",
+      geoms2, "geom2", "intersects", cellSize = 3.0)
+    val sjPlan = sj.queryExecution.executedPlan.toString
+    assert(sjPlan.contains("HashJoin") || sjPlan.contains("SortMergeJoin"),
+      s"spatial join must hash/merge join on cells:\n$sjPlan")
+    assert(!sjPlan.contains("BroadcastNestedLoop") &&
+      !sjPlan.contains("CartesianProduct"),
+      s"spatial join must not plan a nested loop:\n$sjPlan")
+    // the reference-cell and envelope prefilters ride the join, not a
+    // post-join Filter stage fed by an unconditioned join output
+    assert(sjPlan.contains("greatest"),
+      s"reference-cell rule must appear in the executed plan:\n$sjPlan")
+  }
+
   test("BinnedRangeJoin overlap fallback: rewrite fires, brute twin, edge rows") {
     val rnd = new scala.util.Random(41)
     val a = (0L until 80L).map { i =>
