@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.GeoFunctions
 import graft.ext.TextFunctions
-import graft.plans.{BinnedRangeJoin, EnvelopePrefilter}
+import graft.plans.{BinnedRangeJoin, EnvelopePrefilter, GridSpatialJoin}
 
 /**
  * SparkSessionExtensions entry point: register with
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => EnvelopePrefilter)
     // opt-in via spark.graft.rangeJoin.binWidth (no-op otherwise)
     ext.injectOptimizerRule(_ => BinnedRangeJoin)
+    // opt-in via spark.graft.spatialJoin.cellSize (no-op otherwise)
+    ext.injectOptimizerRule(_ => GridSpatialJoin)
   }
 }
 

@@ -2729,6 +2729,46 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
+      // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
+      // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
+      // Spark plans as BroadcastNestedLoopJoin — is rewritten to the
+      // cell-grid hash join automatically (opt-in via
+      // spark.graft.spatialJoin.cellSize). Same fixture and oracle as
+      // q224 (the manual operator), so the rule's row set is pinned
+      // against BOTH the DuckDB integer-arithmetic oracle and,
+      // transitively, the manual pointJoin. The gate REQUIRES the
+      // rewrite fired — a silent no-op would still return correct rows
+      // through the nested loop.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GridSpatialJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GridSpatialJoin
+      s.conf.set("spark.graft.spatialJoin.cellSize", "40.0")
+      try {
+        val ax = (col("s_suppkey") * 3) % 1000
+        val ay = (col("s_suppkey") * 13) % 1000
+        val tri = ld(s, dir, "supplier").select(col("s_suppkey"),
+          st_geomfromtext(concat(lit("POLYGON(("),
+            ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+            (ax + 60).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+            ax.cast("string"), lit(" "), (ay + 60).cast("string"), lit(", "),
+            ax.cast("string"), lit(" "), ay.cast("string"), lit("))"))).as("tri"))
+        val pts = ld(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 1000).cast("double").as("px"),
+          ((col("c_custkey") * 7) % 1000).cast("double").as("py"))
+        val q = tri.join(pts,
+            st_intersects(col("tri"), st_point(col("px"), col("py"))))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy("s_suppkey", "c_custkey")
+        require(q.queryExecution.optimizedPlan.toString.contains("_graft_gcx"),
+          "q227: GridSpatialJoin did not rewrite the spatial join")
+        require(!q.queryExecution.executedPlan.toString
+            .contains("BroadcastNestedLoop"),
+          "q227: the rewritten plan still nested-loops")
+        // force materialization inside the conf scope
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.spatialJoin.cellSize")
+    }),
     "q226_geo_dbscan" -> ((s, dir) => { ensure(s)
       // Geodesic DBSCAN (Ester 1996) composed from library pieces: ONE
       // geoRadiusJoin self-join for the eps-graph, neighbor-count
@@ -5223,6 +5263,13 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q227_spatial_join_rule" ->
+      ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
+       "WHERE (c.c_custkey % 1000) >= ((s.s_suppkey * 3) % 1000) " +
+       "AND ((c.c_custkey * 7) % 1000) >= ((s.s_suppkey * 13) % 1000) " +
+       "AND ((c.c_custkey % 1000) - ((s.s_suppkey * 3) % 1000)) + " +
+       "(((c.c_custkey * 7) % 1000) - ((s.s_suppkey * 13) % 1000)) <= 60 " +
+       "ORDER BY s_suppkey, c_custkey"),
     "q226_geo_dbscan" ->
       ("WITH RECURSIVE p AS MATERIALIZED (SELECT c_custkey AS id, " +
        "CAST((c_custkey % 77) % 7 AS DOUBLE) * 12 - 36 + CAST(c_custkey % 29 AS DOUBLE) * 0.004 AS lat, " +

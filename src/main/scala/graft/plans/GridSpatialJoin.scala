@@ -1,0 +1,237 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, NumericType}
+
+import graft.core.GeoOps
+import graft.functions.{StEnvelopeBounds, StPoint, StRelation, StRelationXY}
+
+/**
+ * Optimizer rule: rewrite an inner join whose condition contains a
+ * DE-9IM predicate — `st_intersects(a.geom, b.geom)`,
+ * `st_contains(a.geom, st_point(b.x, b.y))`, or any other of the
+ * reference's eight modes with arguments from opposite sides — into
+ * the GRID-CELL equi-join shape of [[graft.core.SpatialJoin]], applied
+ * automatically to user-written spatial joins. Without it Spark plans
+ * every such join as BroadcastNestedLoopJoin: |A|·|B| full topology
+ * checks. With it: each geometry explodes to the grid cells its
+ * envelope covers, a point side computes its single cell, the join
+ * becomes a HASH join on the cell keys, and the ORIGINAL condition
+ * rides along as the exact verify — plus a closed-envelope
+ * double-compare prefilter ahead of the JTS matrix.
+ *
+ * Exactly-once is structural, matching the manual operator:
+ *  - point × geometry: the point's one cell meets each covering
+ *    geometry's cell set once;
+ *  - geometry × geometry: the pair fires only in the REFERENCE cell
+ *    `(max of the two x-range lows, max of the two y-range lows)` —
+ *    covered by both ranges whenever they overlap at all, and unique.
+ *
+ * Nested-loop semantics are preserved exactly where the data is
+ * degenerate, because nothing here REFUSES (unlike the manual
+ * operator, whose loud-refusal contract a silent rule must not adopt):
+ * a NULL geometry's envelope is NULL, its bins are NULL, `Sequence`
+ * over NULL bounds yields NULL and `Explode(outer=false)` drops the
+ * row — the nested loop's no-match. A NULL point coordinate's cell is
+ * NULL, which an equi-join never matches — same. An EMPTY geometry
+ * (JTS null envelope, minX > maxX) explodes to the Least/Greatest-
+ * normalized 2-cell range and every candidate dies in the verify.
+ * `st_disjoint` is NOT rewritten (its pairs are nearly the cross
+ * product; grid candidates only form where envelopes overlap).
+ *
+ * OPT-IN: fires only when `spark.graft.spatialJoin.cellSize` is set —
+ * the cell size is a data property (pick it near the median geometry
+ * extent). A geometry covering more than
+ * `spark.graft.spatialJoin.maxCellsPerGeom` (default 4096) cells
+ * RAISES a runtime error naming both knobs and the manual operator —
+ * a silent million-cell explode per continent-sized geometry would be
+ * the worse failure. Idempotent: the rewrite introduces cross-side
+ * equi-conjuncts on the cell columns, which disqualify the join from
+ * the non-equi eligibility test.
+ */
+object GridSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val sizeKey = "spark.graft.spatialJoin.cellSize"
+  private val capKey = "spark.graft.spatialJoin.maxCellsPerGeom"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val size = conf.getConfString(sizeKey, "")
+    if (size.isEmpty) return plan
+    val cs = size.toDouble
+    require(cs > 0.0 && !cs.isInfinite && !cs.isNaN, s"$sizeKey must be > 0, got $size")
+    val cap = conf.getConfString(capKey, "4096").toLong
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        rewrite(j, left, right, cond, cs, cap).getOrElse(j)
+    }
+  }
+
+  /** A bare geometry (binary) column. */
+  private object GeomAttr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference if a.dataType == BinaryType => Some(a)
+      case _ => None
+    }
+  }
+
+  /** A numeric coordinate column, bare or under the implicit-coercion
+    * cast to double `st_point` inserts. */
+  private object CoordAttr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference if a.dataType.isInstanceOf[NumericType] => Some(a)
+      case Cast(a: AttributeReference, DoubleType, _, _)
+          if a.dataType.isInstanceOf[NumericType] => Some(a)
+      case _ => None
+    }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, cs: Double, cap: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def crossSide(e: Expression): Boolean =
+      e.references.intersect(left.outputSet).nonEmpty &&
+        e.references.intersect(right.outputSet).nonEmpty
+    // an existing cross-side equi-conjunct means Spark already hash-joins
+    // (and marks our own rewrites, making the rule idempotent)
+    val hasEqui = conjuncts.exists {
+      case eq @ EqualTo(_, _) => crossSide(eq)
+      case _ => false
+    }
+    if (hasEqui) return None
+    def side(a: Attribute): Int =
+      if (left.outputSet.contains(a)) 0
+      else if (right.outputSet.contains(a)) 1 else -1
+    def rewritable(mode: String): Boolean =
+      GeoOps.modeId(mode) != GeoOps.DISJOINT
+    // the first rewritable spatial conjunct wins; the others (and every
+    // non-spatial conjunct) ride in the kept original condition
+    val hit: Option[Either[(Attribute, Attribute, Attribute), (Attribute, Attribute)]] =
+      conjuncts.iterator.map {
+        case StRelation(m, GeomAttr(g), StPoint(CoordAttr(x), CoordAttr(y)))
+            if rewritable(m) => pointCase(g, x, y, side)
+        case StRelation(m, StPoint(CoordAttr(x), CoordAttr(y)), GeomAttr(g))
+            if rewritable(m) => pointCase(g, x, y, side)
+        case StRelationXY(m, GeomAttr(g), CoordAttr(x), CoordAttr(y))
+            if rewritable(m) => pointCase(g, x, y, side)
+        case StRelation(m, GeomAttr(a), GeomAttr(b))
+            if rewritable(m) && side(a) >= 0 && side(b) >= 0 &&
+              side(a) != side(b) =>
+          Some(scala.util.Right(if (side(a) == 0) (a, b) else (b, a)))
+        case _ => None
+      }.collectFirst { case Some(h) => h }
+    hit.map {
+      case scala.util.Left((g, x, y)) =>
+        rewritePoint(j, left, right, cond, g, x, y, side(g), cs, cap)
+      case scala.util.Right((ga, gb)) =>
+        rewriteGeomGeom(j, left, right, cond, ga, gb, cs, cap)
+    }
+  }
+
+  private def pointCase(g: Attribute, x: Attribute, y: Attribute,
+                        side: Attribute => Int)
+      : Option[Either[(Attribute, Attribute, Attribute), (Attribute, Attribute)]] =
+    if (side(g) >= 0 && side(x) >= 0 && side(x) == side(y) && side(g) != side(x))
+      Some(scala.util.Left((g, x, y)))
+    else None
+
+  private def binW(e: Expression, cs: Double): Expression =
+    Floor(Divide(Cast(e, DoubleType), Literal(cs)))
+
+  /** Explode `child` to the cells covered by `env`'s [x0,y0,x1,y1] on
+    * one axis pair, with the cell-count cap riding the FIRST sequence
+    * (a NULL product takes the Sequence branch — NULL bounds yield a
+    * NULL sequence and the Generate drops the row, the nested loop's
+    * no-match for a NULL geometry). Least/Greatest normalization keeps
+    * `Sequence(step=1)` legal for EMPTY geometries' inverted null
+    * envelope. */
+  private def explodeCells(child: LogicalPlan, env: Attribute,
+                           cxName: String, cyName: String,
+                           cs: Double, cap: Long)
+      : (Attribute, Attribute, Expression, Expression, LogicalPlan) = {
+    def item(i: Int) = GetArrayItem(env, Literal(i))
+    val binLoX = Least(Seq(binW(item(0), cs), binW(item(2), cs)))
+    val binHiX = Greatest(Seq(binW(item(0), cs), binW(item(2), cs)))
+    val binLoY = Least(Seq(binW(item(1), cs), binW(item(3), cs)))
+    val binHiY = Greatest(Seq(binW(item(1), cs), binW(item(3), cs)))
+    val prod = Multiply(Add(Subtract(binHiX, binLoX), Literal(1L)),
+      Add(Subtract(binHiY, binLoY), Literal(1L)))
+    val msg = Literal(
+      s"GridSpatialJoin: a geometry covers more than $cap cells at " +
+        s"$sizeKey=$cs - raise $sizeKey, raise $capKey, or call " +
+        "graft.core.SpatialJoin directly.")
+    val seqX = If(Or(IsNull(prod), LessThanOrEqual(prod, Literal(cap))),
+      new Sequence(binLoX, binHiX, Some(Literal(1L)),
+        Some(conf.sessionLocalTimeZone)),
+      Cast(new RaiseError(msg), ArrayType(LongType, containsNull = false)))
+    val seqY = new Sequence(binLoY, binHiY, Some(Literal(1L)),
+      Some(conf.sessionLocalTimeZone))
+    val cx = AttributeReference(cxName, LongType, nullable = false)()
+    val cy = AttributeReference(cyName, LongType, nullable = false)()
+    val genX = Generate(Explode(seqX), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(cx), child = child)
+    val genY = Generate(Explode(seqY), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(cy), child = genX)
+    (cx, cy, binLoX, binLoY, genY)
+  }
+
+  private def rewritePoint(j: Join, left: LogicalPlan, right: LogicalPlan,
+                           cond: Expression, g: Attribute,
+                           x: Attribute, y: Attribute, geomSide: Int,
+                           cs: Double, cap: Long): LogicalPlan = {
+    val (gPlan, pPlan) = if (geomSide == 0) (left, right) else (right, left)
+    val env = Alias(StEnvelopeBounds(g), "_graft_genv")()
+    val gProj = Project(gPlan.output :+ env, gPlan)
+    val (gcx, gcy, _, _, gSide) =
+      explodeCells(gProj, env.toAttribute, "_graft_gcx", "_graft_gcy", cs, cap)
+    val pcx = Alias(binW(x, cs), "_graft_pcx")()
+    val pcy = Alias(binW(y, cs), "_graft_pcy")()
+    val pSide = Project(pPlan.output ++ Seq(pcx, pcy), pPlan)
+    def item(i: Int) = GetArrayItem(env.toAttribute, Literal(i))
+    // closed-envelope prefilter: every rewritable mode implies the
+    // point meets the geometry's closure, hence its envelope
+    val pre = And(
+      And(GreaterThanOrEqual(Cast(x, DoubleType), item(0)),
+        LessThanOrEqual(Cast(x, DoubleType), item(2))),
+      And(GreaterThanOrEqual(Cast(y, DoubleType), item(1)),
+        LessThanOrEqual(Cast(y, DoubleType), item(3))))
+    val joinCond = And(And(EqualTo(pcx.toAttribute, gcx),
+      EqualTo(pcy.toAttribute, gcy)), And(pre, cond))
+    val joined = Join(
+      if (geomSide == 0) gSide else pSide,
+      if (geomSide == 0) pSide else gSide,
+      Inner, Some(joinCond), JoinHint.NONE)
+    Project(j.output, joined)
+  }
+
+  private def rewriteGeomGeom(j: Join, left: LogicalPlan, right: LogicalPlan,
+                              cond: Expression, ga: Attribute, gb: Attribute,
+                              cs: Double, cap: Long): LogicalPlan = {
+    val aEnv = Alias(StEnvelopeBounds(ga), "_graft_aenv")()
+    val bEnv = Alias(StEnvelopeBounds(gb), "_graft_benv")()
+    val aProj = Project(left.output :+ aEnv, left)
+    val bProj = Project(right.output :+ bEnv, right)
+    val (acx, acy, aLoX, aLoY, aSide) =
+      explodeCells(aProj, aEnv.toAttribute, "_graft_acx", "_graft_acy", cs, cap)
+    val (bcx, bcy, bLoX, bLoY, bSide) =
+      explodeCells(bProj, bEnv.toAttribute, "_graft_bcx", "_graft_bcy", cs, cap)
+    def aItem(i: Int) = GetArrayItem(aEnv.toAttribute, Literal(i))
+    def bItem(i: Int) = GetArrayItem(bEnv.toAttribute, Literal(i))
+    // reference cell: exactly-once without a dedup pass
+    val refCell = And(
+      EqualTo(acx, Greatest(Seq(aLoX, bLoX))),
+      EqualTo(acy, Greatest(Seq(aLoY, bLoY))))
+    // closed-envelope overlap prefilter ahead of the JTS matrix
+    val pre = And(
+      And(LessThanOrEqual(aItem(0), bItem(2)),
+        LessThanOrEqual(bItem(0), aItem(2))),
+      And(LessThanOrEqual(aItem(1), bItem(3)),
+        LessThanOrEqual(bItem(1), aItem(3))))
+    val joinCond = And(And(EqualTo(acx, bcx), EqualTo(acy, bcy)),
+      And(refCell, And(pre, cond)))
+    val joined = Join(aSide, bSide, Inner, Some(joinCond), JoinHint.NONE)
+    Project(j.output, joined)
+  }
+}

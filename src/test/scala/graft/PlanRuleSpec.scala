@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions
 import graft.functions.GeoFunctions._
-import graft.plans.{BinnedRangeJoin, EnvelopePrefilter}
+import graft.plans.{BinnedRangeJoin, EnvelopePrefilter, GridSpatialJoin}
 
 /** The envelope-injection optimizer rule (SURVEY §4 R3). */
 class PlanRuleSpec extends SparkSpec {
@@ -19,6 +19,14 @@ class PlanRuleSpec extends SparkSpec {
     if (!spark.experimental.extraOptimizations.contains(BinnedRangeJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BinnedRangeJoin
+    if (!spark.experimental.extraOptimizations.contains(GridSpatialJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GridSpatialJoin
+  }
+
+  private def withCellSize[T](w: String)(body: => T): T = {
+    spark.conf.set("spark.graft.spatialJoin.cellSize", w)
+    try body finally spark.conf.unset("spark.graft.spatialJoin.cellSize")
   }
 
   private def withBinWidth[T](w: String)(body: => T): T = {
@@ -374,6 +382,78 @@ class PlanRuleSpec extends SparkSpec {
     // post-join Filter stage fed by an unconditioned join output
     assert(sjPlan.contains("greatest"),
       s"reference-cell rule must appear in the executed plan:\n$sjPlan")
+  }
+
+  test("GridSpatialJoin rule: point and geom-geom joins rewritten, BNLJ baseline matched") {
+    // triangles (incl. a NULL and an EMPTY geometry row) x points
+    // (incl. NULL coords) — the rule must match the nested loop's
+    // row set on every degenerate input, never refuse
+    val tris = ((0 until 30).map { i =>
+      val ax = (i * 13) % 90; val ay = (i * 29) % 90
+      (i.toLong, s"POLYGON(($ax $ay, ${ax + 12} $ay, $ax ${ay + 12}, $ax $ay))")
+    } ++ Seq((900L, null), (901L, "POLYGON EMPTY"))).toDF("gid", "wkt")
+      .select($"gid", when($"wkt".isNotNull, st_geomfromtext($"wkt")).as("geom"))
+      .localCheckpoint(true)
+    val pts = ((0 until 200).map(i =>
+      (1000L + i, java.lang.Double.valueOf(((i * 7) % 100).toDouble),
+        java.lang.Double.valueOf(((i * 23) % 100).toDouble))) ++
+      Seq((2000L, null, java.lang.Double.valueOf(5.0))))
+      .toDF("pid", "px", "py").localCheckpoint(true)
+    val q = tris.join(pts, st_contains($"geom", st_point($"px", $"py")))
+      .select("gid", "pid")
+    val brute = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val brutePlan = q.queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoop"),
+      s"baseline must be the nested loop:\n$brutePlan")
+    withCellSize("15.0") {
+      val q2 = tris.join(pts, st_contains($"geom", st_point($"px", $"py")))
+        .select("gid", "pid")
+      val plan = q2.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+        s"rewritten join must hash/merge join:\n$plan")
+      assert(q2.queryExecution.optimizedPlan.toString.contains("_graft_gcx"))
+      val got = q2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === brute, "rewritten row multiset differs from the nested loop")
+    }
+    // geom x geom, with an extra non-spatial conjunct riding along
+    val boxes = (0 until 40).map { i =>
+      val x = (i * 17) % 95; val y = (i * 31) % 95
+      (3000L + i, s"POLYGON(($x $y, ${x + 8} $y, ${x + 8} ${y + 8}, $x ${y + 8}, $x $y))")
+    }.toDF("bid", "wkt2").select($"bid", st_geomfromtext($"wkt2").as("geom2"))
+      .localCheckpoint(true)
+    val g0 = tris.join(boxes,
+      st_intersects($"geom", $"geom2") && $"gid" % 2 === 0).select("gid", "bid")
+    val bruteG = g0.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    withCellSize("10.0") {
+      val g2 = tris.join(boxes,
+        st_intersects($"geom", $"geom2") && $"gid" % 2 === 0).select("gid", "bid")
+      val plan = g2.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+        s"geom-geom rewrite must hash/merge join:\n$plan")
+      val got = g2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === bruteG)
+      // exactly-once under heavy replication: no duplicate pairs
+      assert(got.size === got.toSet.size)
+    }
+    // st_disjoint joins are NOT rewritten (grid candidates only form
+    // where envelopes overlap)
+    withCellSize("10.0") {
+      val qd = tris.limit(3).join(pts.limit(5),
+        st_disjoint($"geom", st_point($"px", $"py")))
+      assert(!qd.queryExecution.optimizedPlan.toString.contains("_graft_gcx"),
+        "disjoint must stay a nested loop")
+    }
+    // the cell cap raises loudly instead of a silent mega-explode
+    withCellSize("0.001") {
+      val e = intercept[Exception] {
+        tris.join(pts, st_contains($"geom", st_point($"px", $"py"))).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxCellsPerGeom")), s"got: ${msgs(e)}")
+    }
   }
 
   test("BinnedRangeJoin overlap fallback: rewrite fires, brute twin, edge rows") {
