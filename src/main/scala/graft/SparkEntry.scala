@@ -2729,6 +2729,48 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q228_overlay" -> ((s, dir) => { ensure(s)
+      // the PostGIS OVERLAY family through the session surface:
+      // q225's rect pairs via the grid spatial join, each pair's
+      // st_intersection AREA pinned as an exact BIGINT — for
+      // axis-aligned integer rects the JTS overlay result is exact
+      // (corner/edge touches give a point/line, area 0), so the
+      // DuckDB oracle replays it in pure interval arithmetic. A wrong
+      // overlay (or a lost/duplicated pair) breaks the row set.
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val rects = ld(s, dir, "supplier").select(col("s_suppkey"),
+        st_makeenvelope(ax.cast("double"), ay.cast("double"),
+          (ax + 40).cast("double"), (ay + 25).cast("double")).as("arect"))
+      val bx = col("c_custkey") % 1000
+      val by = (col("c_custkey") * 7) % 1000
+      val crects = ld(s, dir, "customer").select(col("c_custkey"),
+        st_makeenvelope(bx.cast("double"), by.cast("double"),
+          (bx + 15).cast("double"), (by + 35).cast("double")).as("brect"))
+      graft.core.SpatialJoin.spatialJoin(rects, "arect", crects, "brect",
+          "intersects", cellSize = 50.0)
+        .select(col("s_suppkey"), col("c_custkey"),
+          st_area(st_intersection(col("arect"), col("brect")))
+            .cast("long").as("ovl_area"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+    "q229_dissolve" -> ((s, dir) => { ensure(s)
+      // st_union_agg DISSOLVE: each supplier contributes TWO
+      // overlapping rects (union per supplier = 60x25 = 1500 exactly);
+      // suppliers sit in disjoint x-lanes, so the per-nation dissolve
+      // area is additive and the DuckDB oracle is count(*)*1500 —
+      // while the ENGINE must actually merge overlapping geometry
+      // (map-side partials + cascaded batch collapse; a naive
+      // double-count of the 20-wide overlap would read 2000/supplier).
+      val x0 = (col("s_suppkey") * 100).cast("double")
+      val two = ld(s, dir, "supplier").select(col("s_nationkey"),
+        explode(array(
+          st_makeenvelope(x0, lit(0.0), x0 + 40.0, lit(25.0)),
+          st_makeenvelope(x0 + 20.0, lit(0.0), x0 + 60.0, lit(25.0)))).as("g"))
+      two.groupBy(col("s_nationkey"))
+        .agg(st_area(st_union_agg(col("g"))).cast("long").as("union_area"))
+        .orderBy("s_nationkey")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5263,6 +5305,18 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q228_overlay" ->
+      ("WITH a AS (SELECT s_suppkey, (s_suppkey * 3) % 1000 AS ax, (s_suppkey * 13) % 1000 AS ay FROM supplier), " +
+       "b AS (SELECT c_custkey, c_custkey % 1000 AS bx, (c_custkey * 7) % 1000 AS by2 FROM customer) " +
+       "SELECT s_suppkey, c_custkey, " +
+       "CAST((least(ax + 40, bx + 15) - greatest(ax, bx)) * " +
+       "(least(ay + 25, by2 + 35) - greatest(ay, by2)) AS BIGINT) AS ovl_area " +
+       "FROM a CROSS JOIN b " +
+       "WHERE ax <= bx + 15 AND bx <= ax + 40 AND ay <= by2 + 35 AND by2 <= ay + 25 " +
+       "ORDER BY s_suppkey, c_custkey"),
+    "q229_dissolve" ->
+      ("SELECT s_nationkey, CAST(count(*) * 1500 AS BIGINT) AS union_area " +
+       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
     "q227_spatial_join_rule" ->
       ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
        "WHERE (c.c_custkey % 1000) >= ((s.s_suppkey * 3) % 1000) " +

@@ -217,6 +217,25 @@ object GeoOps {
     }
   }
 
+  // ---- overlay / constructive kernels (the PostGIS overlay family the
+  // reference reaches through raw SQL passthrough) ----
+  def intersectionOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).intersection(read(b)))
+  def unionOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).union(read(b)))
+  def differenceOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).difference(read(b)))
+  def symDifferenceOf(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    write(read(a).symDifference(read(b)))
+  def convexHull(b: Array[Byte]): Array[Byte] = write(read(b).convexHull())
+  /** Douglas-Peucker with topology NOT preserved (PostGIS ST_Simplify
+    * semantics; zero tolerance returns the input's vertex chain). */
+  def simplify(b: Array[Byte], tol: Double): Array[Byte] =
+    write(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+      .simplify(read(b), tol))
+  def stIsEmpty(b: Array[Byte]): Boolean = read(b).isEmpty
+  def nPoints(b: Array[Byte]): Int = read(b).getNumPoints
+
   /**
    * Envelope bounds `[minX, minY, maxX, maxY]` in ONE WKB parse — the
    * grid-binning kernel for [[SpatialJoin]] (four separate `xMin`/...

@@ -97,8 +97,10 @@ case class StUnary(kernel: String, child: Expression)
   override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = kernel match {
     case "asText" | "geometryType" | "asGeoJson" => StringType
-    case "centroid" | "envelope"   => BinaryType
-    case _                         => DoubleType
+    case "centroid" | "envelope" | "convexHull"  => BinaryType
+    case "stIsEmpty"                             => BooleanType
+    case "nPoints"                               => IntegerType
+    case _                                       => DoubleType
   }
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"st_${kernel.toLowerCase}"
@@ -118,11 +120,53 @@ case class StUnary(kernel: String, child: Expression)
       case "yMax"         => GeoOps.yMax(bytes)
       case "area"         => GeoOps.area(bytes)
       case "stLength"     => GeoOps.stLength(bytes)
+      case "convexHull"   => GeoOps.convexHull(bytes)
+      case "stIsEmpty"    => GeoOps.stIsEmpty(bytes)
+      case "nPoints"      => GeoOps.nPoints(bytes)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.$kernel($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Binary overlay dispatching to a named GeoOps kernel — the PostGIS
+ * overlay family (intersection/union/difference/symdifference); JTS
+ * overlay errors on invalid topology surface loudly, matching the
+ * reference's PostGIS behavior.
+ */
+case class StOverlay(kernel: String, left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"st_${kernel.stripSuffix("Of").toLowerCase}"
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel match {
+    case "intersectionOf"  => GeoOps.intersectionOf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "unionOf"         => GeoOps.unionOf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "differenceOf"    => GeoOps.differenceOf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "symDifferenceOf" => GeoOps.symDifferenceOf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.GeoOps.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Douglas-Peucker simplification (tolerance in coordinate units). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(g: Any, tol: Any): Any =
+    GeoOps.simplify(g.asInstanceOf[Array[Byte]], tol.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) => s"graft.core.GeoOps.simplify($g, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /**

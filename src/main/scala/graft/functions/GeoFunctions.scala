@@ -39,6 +39,16 @@ object GeoFunctions {
   def st_transform(g: Column, from: Column, to: Column): Column =
     call_function("st_transform", g, from, to)
   def st_envelope_bounds(g: Column): Column = call_function("st_envelope_bounds", g)
+  def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
+  def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
+  def st_symdifference(a: Column, b: Column): Column = call_function("st_symdifference", a, b)
+  def st_convexhull(g: Column): Column = call_function("st_convexhull", g)
+  def st_simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  def st_isempty(g: Column): Column = call_function("st_isempty", g)
+  def st_npoints(g: Column): Column = call_function("st_npoints", g)
+  /** Aggregate: dissolve — union of every geometry in the group. */
+  def st_union_agg(g: Column): Column = call_function("st_union_agg", g)
 
   /** The reference's eight comparison modes (geodb.sql:1204-1214). */
   def st_relation(mode: String, a: Column, b: Column): Column = {
@@ -68,6 +78,15 @@ object GeoFunctions {
     "st_centroid" -> { case Seq(g) => StUnary("centroid", g) },
     "st_envelope" -> { case Seq(g) => StUnary("envelope", g) },
     "st_envelope_bounds" -> { case Seq(g) => StEnvelopeBounds(g) },
+    "st_intersection" -> { case Seq(a, b) => StOverlay("intersectionOf", a, b) },
+    "st_union" -> { case Seq(a, b) => StOverlay("unionOf", a, b) },
+    "st_difference" -> { case Seq(a, b) => StOverlay("differenceOf", a, b) },
+    "st_symdifference" -> { case Seq(a, b) => StOverlay("symDifferenceOf", a, b) },
+    "st_convexhull" -> { case Seq(g) => StUnary("convexHull", g) },
+    "st_simplify" -> { case Seq(g, t) => StSimplify(g, t) },
+    "st_isempty" -> { case Seq(g) => StUnary("stIsEmpty", g) },
+    "st_npoints" -> { case Seq(g) => StUnary("nPoints", g) },
+    "st_union_agg" -> { case Seq(g) => StUnionAgg(g) },
     "st_x" -> { case Seq(g) => StUnary("stX", g) },
     "st_y" -> { case Seq(g) => StUnary("stY", g) },
     "st_xmin" -> { case Seq(g) => StUnary("xMin", g) },

@@ -607,4 +607,35 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(GeoOps.area(GeoOps.buffer(GeoOps.point(0, 0), 1.0)) > 3.0)
     assert(GeoOps.stLength(wkt("LINESTRING(0 0, 0 7)")) == 7.0)
   }
+
+  test("overlay family: intersection/union/difference/symdifference") {
+    val a = GeoOps.makeEnvelope(0, 0, 10, 10)
+    val b = GeoOps.makeEnvelope(5, 5, 15, 15)
+    assert(GeoOps.area(GeoOps.intersectionOf(a, b)) == 25.0)
+    assert(GeoOps.area(GeoOps.unionOf(a, b)) == 175.0)
+    assert(GeoOps.area(GeoOps.differenceOf(a, b)) == 75.0)
+    assert(GeoOps.area(GeoOps.symDifferenceOf(a, b)) == 150.0)
+    // disjoint pair: empty intersection, additive union
+    val far = GeoOps.makeEnvelope(100, 100, 101, 101)
+    assert(GeoOps.stIsEmpty(GeoOps.intersectionOf(a, far)))
+    assert(GeoOps.area(GeoOps.unionOf(a, far)) == 101.0)
+    // touching pair: intersection is the shared edge (a line, area 0)
+    val touch = GeoOps.makeEnvelope(10, 0, 20, 10)
+    val shared = GeoOps.intersectionOf(a, touch)
+    assert(GeoOps.area(shared) == 0.0 && GeoOps.stLength(shared) == 10.0)
+  }
+
+  test("convex hull, simplify, isEmpty, nPoints") {
+    // L-shape hulls to the bounding triangle-ish pentagon -> area grows
+    val l = wkt("POLYGON((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))")
+    assert(GeoOps.area(l) == 64.0)
+    val hull = GeoOps.convexHull(l)
+    assert(GeoOps.area(hull) == 82.0) // 100 - corner triangle 18
+    // collinear mid-vertex removed at any positive tolerance
+    val line = wkt("LINESTRING(0 0, 5 0.4, 10 0)")
+    assert(GeoOps.nPoints(GeoOps.simplify(line, 0.5)) == 2)
+    assert(GeoOps.nPoints(GeoOps.simplify(line, 0.1)) == 3)
+    assert(!GeoOps.stIsEmpty(l) && GeoOps.stIsEmpty(wkt("POLYGON EMPTY")))
+    assert(GeoOps.nPoints(l) == 7)
+  }
 }
