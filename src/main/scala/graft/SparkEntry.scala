@@ -2729,6 +2729,67 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q231_stay_points" -> ((s, dir) => { ensure(s)
+      // trajectory STAY-POINT detection (Zheng 2009): 50 devices, 200
+      // ticks each (from events), coordinates form 20-tick plateaus
+      // with intra-plateau jitter (dist² <= 5 from the anchor) and
+      // >= 128-unit jumps between plateaus; radius 5 / minDur 600 s
+      // makes every full plateau a stay point. The scan is the
+      // mapPartitions state machine (sequential, data-dependent
+      // jumps); the oracle replays it EXACTLY as a recursive-CTE
+      // anchor machine over the same integer fixture — squared
+      // distances and centroid sums are pure integer arithmetic, so
+      // rows match bit-for-bit (the centroid division and round(6)
+      // are the only float ops, identical on both sides).
+      val k = col("event_id") % 50
+      val idx = expr("event_id div 50")
+      val phase = expr("(event_id div 50) div 20")
+      val pts = ld(s, dir, "events").select(
+        k.as("dev"), (idx * 60).cast("long").as("t"),
+        (((k * 7 + phase * 13) % 100) * 10 + idx % 3).cast("double").as("x"),
+        (((k * 11 + phase * 17) % 100) * 10 + idx % 2).cast("double").as("y"))
+      graft.core.Trajectory.stayPoints(pts, "dev", "t", "x", "y",
+          radius = 5.0, minDurationSec = 600L)
+        .select(col("dev"), col("sp_idx"), col("start_ts"), col("end_ts"),
+          col("n_points"), round(col("cx"), 6).as("cx6"),
+          round(col("cy"), 6).as("cy6"))
+        .orderBy("dev", "sp_idx")
+    }),
+    "q230_stream_point_tag" -> ((s, dir) => { ensure(s)
+      // STREAMING point-in-polygon tagging: the q224 grid pointJoin
+      // run as a REAL stream-static query — arriving events (synthetic
+      // planar coords) tag with every supplier triangle containing
+      // them. pointJoin IS streamable as-is: the point side's cell
+      // keys are stateless projections and the join is a stream-static
+      // equi-join (the static side carries the cell replication), so
+      // the batch operator composes with readStream unchanged — the
+      // gate pins that no streaming variant is needed. Same pure-
+      // integer oracle arithmetic as q224 (no trig, no doubles).
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-ptstream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.read(s, stage.toString)
+        .select(col("event_id"),
+          ((col("event_id") * 11) % 1000).cast("double").as("ex"),
+          ((col("event_id") * 31) % 1000).cast("double").as("ey"))
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val tri = ld(s, dir, "supplier").select(col("s_suppkey"),
+        st_geomfromtext(concat(lit("POLYGON(("),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 60).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), (ay + 60).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit("))"))).as("tri"))
+      val out = graft.core.SpatialJoin.pointJoin(tri, "tri", ev, "ex", "ey",
+        "intersects", cellSize = 40.0)
+      val qname = "gate_ptst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.select(col("event_id"), col("s_suppkey"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("event_id", "s_suppkey")
+    }),
     "q228_overlay" -> ((s, dir) => { ensure(s)
       // the PostGIS OVERLAY family through the session surface:
       // q225's rect pairs via the grid spatial join, each pair's
@@ -5305,6 +5366,40 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q231_stay_points" ->
+      ("WITH RECURSIVE pts AS MATERIALIZED (" +
+       "SELECT event_id % 50 AS k, event_id // 50 AS rn, (event_id // 50) * 60 AS ts, " +
+       "(((event_id % 50) * 7 + ((event_id // 50) // 20) * 13) % 100) * 10 + (event_id // 50) % 3 AS x, " +
+       "(((event_id % 50) * 11 + ((event_id // 50) // 20) * 17) % 100) * 10 + (event_id // 50) % 2 AS y " +
+       "FROM events), " +
+       "nk AS MATERIALIZED (SELECT k, max(rn) AS mx FROM pts GROUP BY k), " +
+       "st AS (SELECT k, CAST(0 AS BIGINT) AS i FROM nk " +
+       "UNION ALL " +
+       "SELECT t.k, t.next_i FROM (" +
+       "SELECT s.k AS k, CASE WHEN jj.j - s.i >= 11 THEN jj.j ELSE s.i + 1 END AS next_i " +
+       "FROM st s, LATERAL (SELECT COALESCE((SELECT min(q.rn) FROM pts q JOIN pts a ON a.k = q.k AND a.rn = s.i " +
+       "WHERE q.k = s.k AND q.rn > s.i " +
+       "AND (q.x - a.x) * (q.x - a.x) + (q.y - a.y) * (q.y - a.y) > 25), " +
+       "(SELECT n.mx + 1 FROM nk n WHERE n.k = s.k)) AS j) jj" +
+       ") t JOIN nk n2 ON n2.k = t.k WHERE t.next_i <= n2.mx), " +
+       "sp AS MATERIALIZED (SELECT s.k, s.i, jj.j FROM st s, " +
+       "LATERAL (SELECT COALESCE((SELECT min(q.rn) FROM pts q JOIN pts a ON a.k = q.k AND a.rn = s.i " +
+       "WHERE q.k = s.k AND q.rn > s.i " +
+       "AND (q.x - a.x) * (q.x - a.x) + (q.y - a.y) * (q.y - a.y) > 25), " +
+       "(SELECT n.mx + 1 FROM nk n WHERE n.k = s.k)) AS j) jj " +
+       "WHERE jj.j - s.i >= 11) " +
+       "SELECT k AS dev, CAST(row_number() OVER (PARTITION BY k ORDER BY i) AS INT) AS sp_idx, " +
+       "i * 60 AS start_ts, (j - 1) * 60 AS end_ts, CAST(j - i AS INT) AS n_points, " +
+       "(SELECT round(avg(CAST(p.x AS DOUBLE)), 6) FROM pts p WHERE p.k = sp.k AND p.rn >= sp.i AND p.rn < sp.j) AS cx6, " +
+       "(SELECT round(avg(CAST(p.y AS DOUBLE)), 6) FROM pts p WHERE p.k = sp.k AND p.rn >= sp.i AND p.rn < sp.j) AS cy6 " +
+       "FROM sp ORDER BY dev, sp_idx"),
+    "q230_stream_point_tag" ->
+      ("SELECT e.event_id, s.s_suppkey FROM events e CROSS JOIN supplier s " +
+       "WHERE ((e.event_id * 11) % 1000) >= ((s.s_suppkey * 3) % 1000) " +
+       "AND ((e.event_id * 31) % 1000) >= ((s.s_suppkey * 13) % 1000) " +
+       "AND (((e.event_id * 11) % 1000) - ((s.s_suppkey * 3) % 1000)) + " +
+       "(((e.event_id * 31) % 1000) - ((s.s_suppkey * 13) % 1000)) <= 60 " +
+       "ORDER BY event_id, s_suppkey"),
     "q228_overlay" ->
       ("WITH a AS (SELECT s_suppkey, (s_suppkey * 3) % 1000 AS ax, (s_suppkey * 13) % 1000 AS ay FROM supplier), " +
        "b AS (SELECT c_custkey, c_custkey % 1000 AS bx, (c_custkey * 7) % 1000 AS by2 FROM customer) " +

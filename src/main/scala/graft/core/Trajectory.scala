@@ -1,0 +1,179 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType}
+
+/**
+ * Trajectory STAY-POINT detection (Zheng et al. 2009, "Mining
+ * interesting locations and travel sequences from GPS trajectories",
+ * WWW — the public dwell-detection algorithm): walk each key's points
+ * in time order; from an anchor `i`, advance `j` while `p_j` stays
+ * within `radius` of the ANCHOR (not pairwise); when the first point
+ * escapes (or the trajectory ends), the run `[i, j)` is a stay point
+ * iff it lasted at least `minDurationSec` — emit its centroid
+ * (arithmetic mean) and time span, and restart from `j`; otherwise
+ * slide the anchor by one. The scan is inherently SEQUENTIAL with
+ * data-dependent jumps — no window function expresses it — so this is
+ * the repo's sanctioned `mapPartitions` case: repartition by key,
+ * sort within partitions, run the state machine per key.
+ *
+ * Determinism: the per-key scan order is `(ts, x, y)` — duplicate
+ * timestamps get a coordinate tiebreak so results never depend on
+ * shuffle arrival order. The planar variant compares SQUARED distance
+ * (pure `-`/`*` arithmetic — bit-portable like
+ * [[DistanceJoin.radiusJoin]]); the geodesic variant inherits the
+ * haversine ulp classes at the radius boundary (documented there).
+ *
+ * Scale: one shuffle (repartition by key) carrying `(key, ts, x, y)`
+ * slim rows; each key's FULL trajectory buffers in executor memory
+ * while it is scanned — `maxPointsPerKey` REFUSES loudly beyond the
+ * cap (default 5M points ≈ 160 MB) instead of OOMing an executor; a
+ * hotter key belongs pre-split by (key, day) upstream, which is also
+ * the semantically right dwell scope. Keys hash-partition, so skew is
+ * one hot key per task at worst, never a cross-key pileup.
+ *
+ * Output: `(<keyCol> long, sp_idx int, start_ts long, end_ts long,
+ * n_points int, cx double, cy double)` — `sp_idx` is the 1-based stay
+ * index within the key, centroids are arithmetic means in input
+ * units. Integral keys and long timestamps only (refused otherwise);
+ * NULL key/ts/coords refused loudly (a dropped point would silently
+ * split a dwell).
+ */
+object Trajectory {
+
+  /** Planar stay points — squared-distance anchor test, exact
+    * arithmetic. `radius` in coordinate units, `minDurationSec` in
+    * `tsCol` units. */
+  def stayPoints(points: DataFrame, keyCol: String, tsCol: String,
+                 xCol: String, yCol: String,
+                 radius: Double, minDurationSec: Long,
+                 maxPointsPerKey: Int = 5000000): DataFrame = {
+    val r2 = radius * radius
+    run(points, keyCol, tsCol, xCol, yCol, minDurationSec, maxPointsPerKey,
+      "stayPoints", radius,
+      (ax, ay, x, y) => { val dx = x - ax; val dy = y - ay; dx * dx + dy * dy <= r2 })
+  }
+
+  /** Geodesic stay points — lat/lon degrees, great-circle `radiusMeters`
+    * anchor test (x=lat, y=lon in the output's cx/cy). */
+  def geoStayPoints(points: DataFrame, keyCol: String, tsCol: String,
+                    latCol: String, lonCol: String,
+                    radiusMeters: Double, minDurationSec: Long,
+                    earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters,
+                    maxPointsPerKey: Int = 5000000): DataFrame = {
+    val bigR = earthRadiusMeters
+    run(points, keyCol, tsCol, latCol, lonCol, minDurationSec, maxPointsPerKey,
+      "geoStayPoints", radiusMeters,
+      (aLat, aLon, lat, lon) => {
+        val dphi = math.toRadians(aLat) - math.toRadians(lat)
+        val dlam = math.toRadians(aLon) - math.toRadians(lon)
+        val h = math.pow(math.sin(dphi / 2), 2) +
+          math.cos(math.toRadians(aLat)) * math.cos(math.toRadians(lat)) *
+            math.pow(math.sin(dlam / 2), 2)
+        2.0 * bigR * math.asin(math.min(1.0, math.sqrt(h))) <= radiusMeters
+      })
+  }
+
+  private def run(points: DataFrame, keyCol: String, tsCol: String,
+                  xCol: String, yCol: String,
+                  minDurationSec: Long, maxPointsPerKey: Int,
+                  op: String, radius: Double,
+                  within: (Double, Double, Double, Double) => Boolean): DataFrame = {
+    require(radius > 0 && !radius.isInfinite,
+      s"$op: radius must be finite > 0, got $radius")
+    require(minDurationSec >= 0, s"$op: minDurationSec must be >= 0")
+    require(maxPointsPerKey >= 2, s"$op: maxPointsPerKey must be >= 2")
+    Seq(keyCol, tsCol, xCol, yCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"$op: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"$op: $what column '$c' must be integral (got $t) — the scan " +
+        "orders and subtracts it exactly")
+    }
+    def refused(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"$op: NULL $what — a dropped point would " +
+          "silently split a dwell")).cast(DoubleType))
+      .otherwise(col(c).cast(DoubleType))
+    val spark = points.sparkSession
+    import spark.implicits._
+    val slim = points.select(
+        when(col(keyCol).isNull,
+          raise_error(lit(s"$op: NULL key — a dropped point would " +
+            "silently split a dwell")).cast(LongType))
+          .otherwise(col(keyCol).cast(LongType)).as("k"),
+        when(col(tsCol).isNull,
+          raise_error(lit(s"$op: NULL timestamp — a dropped point would " +
+            "silently split a dwell")).cast(LongType))
+          .otherwise(col(tsCol).cast(LongType)).as("t"),
+        refused(xCol, "x coordinate").as("x"),
+        refused(yCol, "y coordinate").as("y"))
+      .as[(Long, Long, Double, Double)]
+    val sorted = slim.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("x"), col("y"))
+    val minDur = minDurationSec
+    val cap = maxPointsPerKey
+    sorted.mapPartitions[(Long, Int, Long, Long, Int, Double, Double)] {
+        (it: Iterator[(Long, Long, Double, Double)]) =>
+      new Iterator[(Long, Int, Long, Long, Int, Double, Double)] {
+        private val in: BufferedIterator[(Long, Long, Double, Double)] =
+          it.buffered
+        private var out: Iterator[(Long, Int, Long, Long, Int, Double, Double)] =
+          Iterator.empty
+        private def refill(): Unit = {
+          while (!out.hasNext && in.hasNext) {
+            val key = in.head._1
+            val ts = new ArrayBuffer[Long]
+            val xs = new ArrayBuffer[Double]
+            val ys = new ArrayBuffer[Double]
+            while (in.hasNext && in.head._1 == key) {
+              val (_, t, x, y) = in.next()
+              ts += t; xs += x; ys += y
+              require(ts.length <= cap,
+                s"$op: key $key exceeds maxPointsPerKey ($cap) — pre-split " +
+                "the trajectory (e.g. by day) or raise the cap")
+            }
+            out = scanKey(key, ts, xs, ys, minDur, within).iterator
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): (Long, Int, Long, Long, Int, Double, Double) = {
+          refill(); out.next()
+        }
+      }
+    }.toDF("k", "sp_idx", "start_ts", "end_ts", "n_points", "cx", "cy")
+      .withColumnRenamed("k", keyCol)
+  }
+
+  /** The Zheng et al. state machine over one key's time-ordered points. */
+  private def scanKey(key: Long, ts: ArrayBuffer[Long],
+                      xs: ArrayBuffer[Double], ys: ArrayBuffer[Double],
+                      minDur: Long,
+                      within: (Double, Double, Double, Double) => Boolean)
+      : ArrayBuffer[(Long, Int, Long, Long, Int, Double, Double)] = {
+    val n = ts.length
+    val res = new ArrayBuffer[(Long, Int, Long, Long, Int, Double, Double)]
+    var i = 0
+    var spIdx = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && within(xs(i), ys(i), xs(j), ys(j))) j += 1
+      if (ts(j - 1) - ts(i) >= minDur) {
+        var sx = 0.0; var sy = 0.0
+        var p = i
+        while (p < j) { sx += xs(p); sy += ys(p); p += 1 }
+        spIdx += 1
+        res += ((key, spIdx, ts(i), ts(j - 1), j - i,
+          sx / (j - i), sy / (j - i)))
+        i = j
+      } else i += 1
+    }
+    res
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Trajectory
+
+/**
+ * [[graft.core.Trajectory]] vs a local single-threaded reference
+ * implementation of the Zheng et al. scan — the twin pins the
+ * DISTRIBUTED plumbing (repartition/grouping/ordering/tiebreaks)
+ * against the sequential semantics, across partitionings — plus
+ * planted anchor-semantics rows and the refusal surface.
+ */
+class TrajectorySpec extends SparkSpec {
+
+  private val R = graft.core.DistanceJoin.EarthRadiusMeters
+
+  /** Local reference: same state machine, written directly. */
+  private def ref(pts: Seq[(Long, Long, Double, Double)],
+                  within: (Double, Double, Double, Double) => Boolean,
+                  minDur: Long): Seq[(Long, Int, Long, Long, Int, Double, Double)] =
+    pts.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val s = rows.map(r => (r._2, r._3, r._4)).sorted
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Long, Int, Double, Double)]
+      var i = 0; var idx = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length && within(s(i)._2, s(i)._3, s(j)._2, s(j)._3)) j += 1
+        if (s(j - 1)._1 - s(i)._1 >= minDur) {
+          val run = s.slice(i, j)
+          idx += 1
+          out += ((k, idx, s(i)._1, s(j - 1)._1, j - i,
+            run.map(_._2).sum / run.length, run.map(_._3).sum / run.length))
+          i = j
+        } else i += 1
+      }
+      out.toSeq
+    }
+
+  private def planarWithin(r: Double)(ax: Double, ay: Double, x: Double, y: Double) = {
+    val dx = x - ax; val dy = y - ay; dx * dx + dy * dy <= r * r
+  }
+
+  private def geoWithin(r: Double)(aLat: Double, aLon: Double, lat: Double, lon: Double) = {
+    val dphi = math.toRadians(aLat) - math.toRadians(lat)
+    val dlam = math.toRadians(aLon) - math.toRadians(lon)
+    val h = math.pow(math.sin(dphi / 2), 2) +
+      math.cos(math.toRadians(aLat)) * math.cos(math.toRadians(lat)) *
+        math.pow(math.sin(dlam / 2), 2)
+    2.0 * R * math.asin(math.min(1.0, math.sqrt(h))) <= r
+  }
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6))).toSet
+
+  test("planar stayPoints: hand-computed plateaus, short dwell skipped") {
+    import spark.implicits._
+    // key 7: plateau A (5 pts, 400s), gap, SHORT plateau (2 pts, 100s),
+    // gap, plateau B (4 pts, 300s)
+    val pts = Seq[(Long, Long, Double, Double)](
+      (7L, 0L, 10.0, 10.0), (7L, 100L, 11.0, 10.0), (7L, 200L, 10.0, 11.0),
+      (7L, 300L, 11.0, 11.0), (7L, 400L, 10.5, 10.5),
+      (7L, 500L, 500.0, 500.0), (7L, 600L, 501.0, 500.0),
+      (7L, 700L, 900.0, 900.0), (7L, 800L, 901.0, 900.0),
+      (7L, 900L, 900.0, 901.0), (7L, 1000L, 901.0, 901.0))
+    val got = collect(Trajectory.stayPoints(
+      pts.toDF("dev", "t", "x", "y"), "dev", "t", "x", "y",
+      radius = 3.0, minDurationSec = 200L))
+    assert(got === Set(
+      (7L, 1, 0L, 400L, 5, 52.5 / 5, 52.5 / 5),
+      (7L, 2, 700L, 1000L, 4, 3602.0 / 4, 3602.0 / 4)))
+  }
+
+  test("anchor semantics: a slow drift splits where pairwise chaining would not") {
+    import spark.implicits._
+    // steps of 2 with radius 3: every consecutive pair is within r, but
+    // the anchor test escapes at the third point (dist 4 > 3)
+    val pts = (0 until 10).map(i => (1L, i * 100L, i * 2.0, 0.0))
+    val got = collect(Trajectory.stayPoints(
+      pts.toDF("dev", "t", "x", "y"), "dev", "t", "x", "y",
+      radius = 3.0, minDurationSec = 100L))
+    val want = ref(pts.map(p => (p._1, p._2, p._3, p._4)),
+      planarWithin(3.0), 100L).toSet
+    assert(got === want)
+    // every emitted run spans exactly 2 points (anchor + its one
+    // in-radius neighbor), never the whole drift
+    assert(got.nonEmpty && got.forall(_._5 == 2))
+  }
+
+  test("distributed run equals the local reference across partitionings") {
+    import spark.implicits._
+    // 23 keys x ~80 points: plateaus with jitter, occasional jumps,
+    // DUPLICATE timestamps (exercises the (ts, x, y) tiebreak)
+    val pts = for (k <- 0L until 23L; i <- 0 until 80) yield {
+      val phase = i / 16
+      val x = ((k * 7 + phase * 13) % 50) * 20.0 + (i % 4)
+      val y = ((k * 11 + phase * 17) % 50) * 20.0 + (i % 3)
+      (k, (i / 2) * 30L, x, y) // i/2 -> every ts appears twice
+    }
+    val want = ref(pts, planarWithin(6.0), 120L).toSet
+    for (parts <- Seq(1, 7)) {
+      val got = collect(Trajectory.stayPoints(
+        pts.toDF("dev", "t", "x", "y").repartition(parts),
+        "dev", "t", "x", "y", radius = 6.0, minDurationSec = 120L))
+      assert(got === want, s"mismatch at input partitions=$parts")
+    }
+  }
+
+  test("geoStayPoints equals the local haversine reference") {
+    import spark.implicits._
+    val pts = for (k <- 0L until 8L; i <- 0 until 60) yield {
+      val phase = i / 12
+      val lat = ((k * 3 + phase * 7) % 40).toDouble + (i % 3) * 0.002
+      val lon = ((k * 5 + phase * 11) % 40) * 2.0 + (i % 2) * 0.002
+      (k, i * 60L, lat, lon)
+    }
+    val got = collect(Trajectory.geoStayPoints(
+      pts.toDF("dev", "t", "lat", "lon"), "dev", "t", "lat", "lon",
+      radiusMeters = 1000.0, minDurationSec = 300L))
+    assert(got === ref(pts, geoWithin(1000.0), 300L).toSet)
+  }
+
+  test("refusals: NULL key/ts, non-integral key, cap, bad params") {
+    import spark.implicits._
+    val ok = Seq((1L, 0L, 1.0, 1.0)).toDF("dev", "t", "x", "y")
+    intercept[IllegalArgumentException] {
+      Trajectory.stayPoints(ok, "dev", "t", "x", "y", -1.0, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Trajectory.stayPoints(ok.withColumn("dev", col("dev").cast("string")),
+        "dev", "t", "x", "y", 1.0, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Trajectory.stayPoints(ok, "missing", "t", "x", "y", 1.0, 10L)
+    }
+    val withNull = Seq((java.lang.Long.valueOf(1L), 0L, 1.0, 1.0),
+      (null.asInstanceOf[java.lang.Long], 1L, 1.0, 1.0))
+      .toDF("dev", "t", "x", "y")
+    val e = intercept[Exception] {
+      Trajectory.stayPoints(withNull, "dev", "t", "x", "y", 1.0, 10L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL key")))
+    val many = (0 until 100).map(i => (1L, i.toLong, 0.0, 0.0))
+      .toDF("dev", "t", "x", "y")
+    val eCap = intercept[Exception] {
+      Trajectory.stayPoints(many, "dev", "t", "x", "y", 1.0, 10L,
+        maxPointsPerKey = 50).count()
+    }
+    assert(msgs(eCap).exists(_.contains("maxPointsPerKey")))
+  }
+}
