@@ -2729,6 +2729,36 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q232_space_time_join" -> ((s, dir) => { ensure(s)
+      // SPATIOTEMPORAL co-location join (contact-tracing shape): every
+      // (even event, odd event) pair within 20 planar units AND 60
+      // time units — the radius-join recipe with a third binned axis
+      // (3x3x3 replication, exact dx²+dy² AND |Δt| verify). Integer
+      // fixture ⇒ pure arithmetic on both engines; dist2/dt pinned as
+      // BIGINTs (no float hash surface). A pair lost at a cell or
+      // bucket border, or duplicated by the 27-way replication,
+      // breaks the row set.
+      // coordinates are INDEPENDENT md5 draws per axis (the q208
+      // cross-engine convention) — three linear functions of the id
+      // would correlate the pair constraints into near-impossibility
+      val ev = ld(s, dir, "events")
+      def draw(tag: String, m: Int) =
+        (conv(substring(md5(concat(lit(tag + ":"),
+          col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % m).cast("double")
+      val a = ev.filter(col("event_id") % 2 === 0).select(
+        col("event_id").as("a_id"), draw("stx", 500).as("ax"),
+        draw("sty", 500).as("ay"), draw("stt", 3000).as("at"))
+      val b = ev.filter(col("event_id") % 2 === 1).select(
+        col("event_id").as("b_id"), draw("stx", 500).as("bx"),
+        draw("sty", 500).as("by"), draw("stt", 3000).as("bt"))
+      graft.core.DistanceJoin.spaceTimeJoin(a, b,
+          "ax", "ay", "at", "bx", "by", "bt", radius = 20.0, tau = 60.0)
+        .select(col("a_id"), col("b_id"),
+          col("dist2").cast("long").as("dist2i"),
+          col("dt").cast("long").as("dti"))
+        .orderBy("a_id", "b_id")
+    }),
     "q231_stay_points" -> ((s, dir) => { ensure(s)
       // trajectory STAY-POINT detection (Zheng 2009): 50 devices, 200
       // ticks each (from events), coordinates form 20-tick plateaus
@@ -5366,6 +5396,23 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q232_space_time_join" ->
+      ("WITH a AS (SELECT event_id AS a_id, " +
+       "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ax, " +
+       "CAST(concat('0x', substr(md5('sty:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ay, " +
+       "CAST(concat('0x', substr(md5('stt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000 AS at1 " +
+       "FROM events WHERE event_id % 2 = 0), " +
+       "b AS (SELECT event_id AS b_id, " +
+       "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS bx, " +
+       "CAST(concat('0x', substr(md5('sty:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS by2, " +
+       "CAST(concat('0x', substr(md5('stt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000 AS bt " +
+       "FROM events WHERE event_id % 2 = 1) " +
+       "SELECT a_id, b_id, " +
+       "CAST((ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) AS BIGINT) AS dist2i, " +
+       "CAST(abs(at1 - bt) AS BIGINT) AS dti " +
+       "FROM a CROSS JOIN b " +
+       "WHERE (ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) <= 400 AND abs(at1 - bt) <= 60 " +
+       "ORDER BY a_id, b_id"),
     "q231_stay_points" ->
       ("WITH RECURSIVE pts AS MATERIALIZED (" +
        "SELECT event_id % 50 AS k, event_id // 50 AS rn, (event_id // 50) * 60 AS ts, " +

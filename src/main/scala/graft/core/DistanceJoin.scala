@@ -325,6 +325,90 @@ object DistanceJoin {
     }
   }
 
+  /**
+   * SPATIOTEMPORAL radius join — the CO-LOCATION shape (contact
+   * tracing, co-occurrence mining): every (left, right) pair within
+   * planar `radius` AND within `tau` time units of each other. The
+   * [[radiusJoin]] recipe with a third binned axis: square cells of
+   * side >= radius, time buckets of width >= tau, the right side
+   * replicated into its 3x3x3 (cell, cell, bucket) neighborhood, hash
+   * join on the three slim keys, exact `dx²+dy² <= r²  AND  |Δt| <= tau`
+   * verify — pure `-`/`*`/`+`/abs arithmetic, bit-portable. Exactly-once
+   * structurally: the left row's single key triple meets each right
+   * row's 27 distinct replicas at most once (no modular wrap on any
+   * axis). NULL/NaN coordinates or timestamps REFUSED loudly.
+   *
+   * Scale: the right side shuffles 27x (three slim longs + payload) —
+   * the price of never comparing across-bucket pairs; a co-location
+   * query where `tau` spans most of the data's time range wants the
+   * plain [[radiusJoin]] plus a residual time filter instead (the
+   * time axis stops pruning). Dense (cell, bucket) hot spots are
+   * ordinary join skew — `saltCells` composes [[graft.ext.Skew.saltedJoin]].
+   * Returns `left.* ++ right.* ++ (dist2, dist, dt)`.
+   */
+  def spaceTimeJoin(left: DataFrame, right: DataFrame,
+                    lx: String, ly: String, lt: String,
+                    rx: String, ry: String, rt: String,
+                    radius: Double, tau: Double,
+                    cellSize: Option[Double] = None,
+                    bucketWidth: Option[Double] = None,
+                    saltCells: Int = 0): DataFrame = {
+    require(radius > 0 && !radius.isInfinite, s"radius must be finite > 0, got $radius")
+    require(tau > 0 && !tau.isInfinite, s"tau must be finite > 0, got $tau")
+    require(saltCells == 0 || saltCells >= 2,
+      s"saltCells: 0 (off) or >= 2, got $saltCells")
+    val cs = cellSize.getOrElse(radius)
+    require(cs >= radius,
+      s"cellSize ($cs) must be >= radius ($radius) — smaller cells would " +
+      "need a wider neighborhood than 3x3 and silently lose pairs")
+    val bw = bucketWidth.getOrElse(tau)
+    require(bw >= tau,
+      s"bucketWidth ($bw) must be >= tau ($tau) — smaller buckets would " +
+      "need more than 3 neighbors and silently lose pairs")
+    Seq(lx -> left, ly -> left, lt -> left,
+        rx -> right, ry -> right, rt -> right).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"spaceTimeJoin: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"spaceTimeJoin: overlapping column names ${overlap.mkString(",")} — " +
+      "rename one side (the output carries both sides' columns)")
+    Seq("_gcx", "_gcy", "_gct", "dist2", "dist", "dt").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"spaceTimeJoin: reserved output column '$c' already present — rename it")
+    }
+    def binOf(x: Column, w: Double, what: String): Column =
+      when(x.isNull || isnan(x.cast("double")),
+        raise_error(lit(s"spaceTimeJoin: NULL/NaN $what — a null key would " +
+          "silently drop the row from every pair")).cast("long"))
+        .otherwise(floor(x.cast("double") / w).cast("long"))
+    val l = left
+      .withColumn("_gcx", binOf(col(lx), cs, "left x"))
+      .withColumn("_gcy", binOf(col(ly), cs, "left y"))
+      .withColumn("_gct", binOf(col(lt), bw, "left time"))
+    val r = right
+      .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gcx", binOf(col(rx), cs, "right x") + col("_dx"))
+      .withColumn("_gcy", binOf(col(ry), cs, "right y") + col("_dy"))
+      .withColumn("_gct", binOf(col(rt), bw, "right time") + col("_dt"))
+      .drop("_dx", "_dy", "_dt")
+    val ddx = col(lx) - col(rx)
+    val ddy = col(ly) - col(ry)
+    val joined =
+      if (saltCells >= 2)
+        graft.ext.Skew.saltedJoin(l, r, Seq("_gcx", "_gcy", "_gct"), saltCells)
+      else l.join(r, Seq("_gcx", "_gcy", "_gct"))
+    joined
+      .withColumn("dist2", ddx * ddx + ddy * ddy)
+      .withColumn("dt", abs(col(lt).cast("double") - col(rt).cast("double")))
+      .filter(col("dist2") <= lit(radius * radius) && col("dt") <= lit(tau))
+      .withColumn("dist", sqrt(col("dist2")))
+      .drop("_gcx", "_gcy", "_gct")
+  }
+
   // ------------------------------------------------------------------
   // GEODESIC (haversine) variants — lat/lon degrees on the sphere.
   // ------------------------------------------------------------------

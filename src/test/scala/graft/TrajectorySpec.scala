@@ -122,6 +122,47 @@ class TrajectorySpec extends SparkSpec {
     assert(got === ref(pts, geoWithin(1000.0), 300L).toSet)
   }
 
+  test("spaceTimeJoin equals the brute twin, boundaries included") {
+    import spark.implicits._
+    val a = (0 until 120).map(i =>
+      (i.toLong, ((i * 7) % 40).toDouble, ((i * 11) % 40).toDouble,
+        ((i * 13) % 300).toDouble)).toDF("aid", "ax", "ay", "at")
+    val b = (0 until 110).map(i =>
+      (1000L + i, ((i * 5) % 40).toDouble, ((i * 17) % 40).toDouble,
+        ((i * 19) % 300).toDouble)).toDF("bid", "bx", "by", "bt")
+    def brute = a.crossJoin(b).filter(
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <= 25.0 &&
+        abs(col("at") - col("bt")) <= 30.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((cs, bw) <- Seq((None, None), (Some(9.0), Some(45.0)))) {
+      val got = graft.core.DistanceJoin.spaceTimeJoin(a, b,
+          "ax", "ay", "at", "bx", "by", "bt", radius = 5.0, tau = 30.0,
+          cellSize = cs, bucketWidth = bw)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === got.toSet.size, s"duplicate pairs at cs=$cs bw=$bw")
+      assert(got.toSet === brute, s"pair set mismatch at cs=$cs bw=$bw")
+    }
+    // salt parity
+    val salted = graft.core.DistanceJoin.spaceTimeJoin(a, b,
+        "ax", "ay", "at", "bx", "by", "bt", 5.0, 30.0, saltCells = 3)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === brute)
+    // refusals: NaN timestamp, undersized bucket
+    val nan = Seq((1L, 0.0, 0.0, Double.NaN)).toDF("aid2", "x2", "y2", "t2")
+    val e = intercept[Exception] {
+      graft.core.DistanceJoin.spaceTimeJoin(nan, b,
+        "x2", "y2", "t2", "bx", "by", "bt", 5.0, 30.0).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL/NaN")))
+    intercept[IllegalArgumentException] {
+      graft.core.DistanceJoin.spaceTimeJoin(a, b,
+        "ax", "ay", "at", "bx", "by", "bt", 5.0, 30.0, bucketWidth = Some(10.0))
+    }
+  }
+
   test("refusals: NULL key/ts, non-integral key, cap, bad params") {
     import spark.implicits._
     val ok = Seq((1L, 0L, 1.0, 1.0)).toDF("dev", "t", "x", "y")
