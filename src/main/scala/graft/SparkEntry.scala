@@ -2729,6 +2729,29 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q233_trip_segments" -> ((s, dir) => { ensure(s)
+      // trip/leg SEGMENTATION: split each device's trajectory at time
+      // gaps > 600 s — expressed ENTIRELY in native window + agg
+      // operators (the gate pins that no custom op is needed, the
+      // counterpoint to q231's sequential scan). 40 devices, legs of
+      // 20 ticks via a planted 10000 s gap every 20th tick; md5-draw
+      // integer coordinates; path length emitted as Σ round(step·10⁶)
+      // BIGINT micro-units — per-step doubles are cross-engine
+      // identical (same sqrt tree) and the integer sum is order-free,
+      // so no float/decimal hash surface survives.
+      val k = col("event_id") % 40
+      val idx = expr("event_id div 40")
+      def draw(tag: String, m: Int) =
+        (conv(substring(md5(concat(lit(tag + ":"),
+          col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % m).cast("double")
+      val pts = ld(s, dir, "events").select(k.as("dev"),
+        (idx * 30 + expr("(event_id div 40) div 20") * 10000)
+          .cast("long").as("t"),
+        draw("sgx", 100).as("x"), draw("sgy", 100).as("y"))
+      graft.core.Trajectory.segments(pts, "dev", "t", "x", "y", maxGap = 600L)
+        .orderBy("dev", "leg")
+    }),
     "q232_space_time_join" -> ((s, dir) => { ensure(s)
       // SPATIOTEMPORAL co-location join (contact-tracing shape): every
       // (even event, odd event) pair within 20 planar units AND 60
@@ -5396,6 +5419,21 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q233_trip_segments" ->
+      ("WITH p AS MATERIALIZED (SELECT event_id % 40 AS k, " +
+       "(event_id // 40) * 30 + ((event_id // 40) // 20) * 10000 AS t, " +
+       "CAST(CAST(concat('0x', substr(md5('sgx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS DOUBLE) AS x, " +
+       "CAST(CAST(concat('0x', substr(md5('sgy:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS DOUBLE) AS y " +
+       "FROM events), " +
+       "w AS (SELECT k, t, x, y, " +
+       "CASE WHEN lag(t) OVER win IS NULL OR t - lag(t) OVER win > 600 THEN 1 ELSE 0 END AS brk, " +
+       "x - lag(x) OVER win AS dx, y - lag(y) OVER win AS dy " +
+       "FROM p WINDOW win AS (PARTITION BY k ORDER BY t, x, y)), " +
+       "l AS (SELECT k, t, brk, dx, dy, " +
+       "CAST(sum(brk) OVER (PARTITION BY k ORDER BY t, x, y ROWS UNBOUNDED PRECEDING) AS INT) AS leg FROM w) " +
+       "SELECT k AS dev, leg, count(*) AS n_points, min(t) AS start_ts, max(t) AS end_ts, " +
+       "CAST(sum(CASE WHEN brk = 1 THEN 0 ELSE CAST(round(sqrt(dx * dx + dy * dy) * 1000000) AS BIGINT) END) AS BIGINT) AS path_len_um " +
+       "FROM l GROUP BY k, leg ORDER BY dev, leg"),
     "q232_space_time_join" ->
       ("WITH a AS (SELECT event_id AS a_id, " +
        "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ax, " +

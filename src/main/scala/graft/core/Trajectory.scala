@@ -151,6 +151,72 @@ object Trajectory {
       .withColumnRenamed("k", keyCol)
   }
 
+  /**
+   * Trip/leg SEGMENTATION: split each key's trajectory into legs at
+   * time gaps larger than `maxGap`, and aggregate each leg's point
+   * count, time span and planar path length. UNLIKE [[stayPoints]]
+   * this is NOT sequential-with-jumps — a window lag + running sum
+   * expresses it exactly — so it composes entirely from native
+   * Catalyst operators (one shuffle for the window partition, reused
+   * by the per-leg aggregate; no custom plan, no mapPartitions).
+   *
+   * Path length is emitted as MICRO-UNITS in a BIGINT
+   * (`path_len_um` = Σ round(step·10⁶) per step): per-step doubles
+   * are identical cross-engine (same sqrt expression tree), and the
+   * integer sum is order-free — a double sum's order-dependent last
+   * ulp (and a decimal's encoding surface) would both be hash
+   * hazards. A leg's first point contributes no step; each step
+   * belongs to the LATER point's leg.
+   *
+   * Output: `(<keyCol> long, leg int, n_points long, start_ts long,
+   * end_ts long, path_len_um long)`; `leg` is 1-based per key, in
+   * time order. Same integral key/ts and NULL-refusal contract as
+   * [[stayPoints]]; duplicate timestamps order by `(ts, x, y)`.
+   */
+  def segments(points: DataFrame, keyCol: String, tsCol: String,
+               xCol: String, yCol: String, maxGap: Long): DataFrame = {
+    require(maxGap > 0, s"segments: maxGap must be > 0, got $maxGap")
+    Seq(keyCol, tsCol, xCol, yCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"segments: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"segments: $what column '$c' must be integral (got $t)")
+    }
+    def refuse(c: String, what: String, to: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"segments: NULL $what — a dropped point would " +
+          "silently merge or split a leg")).cast(to))
+      .otherwise(col(c).cast(to))
+    val slim = points.select(
+      refuse(keyCol, "key", "long").as("k"),
+      refuse(tsCol, "timestamp", "long").as("t"),
+      refuse(xCol, "x coordinate", "double").as("x"),
+      refuse(yCol, "y coordinate", "double").as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("x"), col("y"))
+    val stepX = col("x") - lag(col("x"), 1).over(w)
+    val stepY = col("y") - lag(col("y"), 1).over(w)
+    val brk = when(lag(col("t"), 1).over(w).isNull ||
+      col("t") - lag(col("t"), 1).over(w) > maxGap, 1).otherwise(0)
+    slim
+      .withColumn("_brk", brk)
+      .withColumn("_leg", sum(col("_brk"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)).cast("int"))
+      .withColumn("_step_um",
+        when(col("_brk") === 1, lit(0L))
+          .otherwise(round(sqrt(stepX * stepX + stepY * stepY) * 1e6)
+            .cast("long")))
+      .groupBy(col("k"), col("_leg").as("leg"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("t")).as("start_ts"), max(col("t")).as("end_ts"),
+        sum(col("_step_um")).as("path_len_um"))
+      .withColumnRenamed("k", keyCol)
+  }
+
   /** The Zheng et al. state machine over one key's time-ordered points. */
   private def scanKey(key: Long, ts: ArrayBuffer[Long],
                       xs: ArrayBuffer[Double], ys: ArrayBuffer[Double],

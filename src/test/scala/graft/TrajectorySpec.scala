@@ -163,6 +163,22 @@ class TrajectorySpec extends SparkSpec {
     }
   }
 
+  test("segments: hand-computed legs, step ownership, singleton legs") {
+    import spark.implicits._
+    val pts = Seq[(Long, Long, Double, Double)](
+      (1L, 0L, 0.0, 0.0), (1L, 30L, 3.0, 4.0), (1L, 60L, 3.0, 4.0),
+      (1L, 2000L, 10.0, 10.0), // gap 1940 > 600 -> new singleton leg
+      (2L, 5L, 7.0, 7.0))
+    val got = Trajectory.segments(pts.toDF("dev", "t", "x", "y"),
+        "dev", "t", "x", "y", maxGap = 600L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      (1L, 1, 3L, 0L, 60L, 5000000L), // steps 5.0 + 0.0
+      (1L, 2, 1L, 2000L, 2000L, 0L),  // a leg's first point has no step
+      (2L, 1, 1L, 5L, 5L, 0L)))
+  }
+
   test("refusals: NULL key/ts, non-integral key, cap, bad params") {
     import spark.implicits._
     val ok = Seq((1L, 0L, 1.0, 1.0)).toDF("dev", "t", "x", "y")
