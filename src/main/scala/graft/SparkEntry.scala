@@ -2729,6 +2729,39 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine6"))
         .orderBy("query_id", "rank")
     }),
+    "q234_pagerank" -> ((s, dir) => { ensure(s)
+      // PageRank (damping 0.85, 4 fixed rounds) over a synthetic link
+      // graph drawn from orders: src = o_custkey % 400, dst =
+      // (o_orderkey*31) % 403 — nodes 400..402 never appear as src, so
+      // the dangling-mass redistribution path is exercised; parallel
+      // edges occur and carry multiplicity. Ranks are BIGINT
+      // micro-units of 1e-12 under pure floor arithmetic (every
+      // division integral), so the oracle replays the EXACT integer
+      // spec in DuckDB `//` — no double summation order, no decimal
+      // encoding, no hash surface (the q206 lesson applied from the
+      // start). Scale shape: edge table partitioned once on src and
+      // reused all rounds; per-round traffic is the slim (node, pr)
+      // frame + one aggregate — see Graph scaladoc.
+      val e = ld(s, dir, "orders").select(
+        (col("o_custkey").cast("long") % 400).as("src"),
+        ((col("o_orderkey").cast("long") * 31) % 403).as("dst"))
+      graft.ext.Graph.pageRank(e, iters = 4).orderBy("node")
+    }),
+    "q236_triangle_counts" -> ((s, dir) => { ensure(s)
+      // per-node TRIANGLE COUNTS via degree-ordered orientation +
+      // wedge join (compact-forward; each triangle found EXACTLY once
+      // structurally — no /3 correction). Edge fixture src =
+      // o_custkey % 300, dst = (o_orderkey*17) % 300 gives a dense
+      // multigraph with duplicates, reversed pairs and self-loops —
+      // all collapsed by the canonicalization the oracle replays. The
+      // oracle orients by id (not degree): triangle SETS are
+      // orientation-independent, so agreement pins that the degree
+      // orientation loses/duplicates nothing. Pure integer output.
+      val e = ld(s, dir, "orders").select(
+        (col("o_custkey").cast("long") % 300).as("src"),
+        ((col("o_orderkey").cast("long") * 17) % 300).as("dst"))
+      graft.ext.Graph.triangleCounts(e).orderBy("node")
+    }),
     "q233_trip_segments" -> ((s, dir) => { ensure(s)
       // trip/leg SEGMENTATION: split each device's trajectory at time
       // gaps > 600 s — expressed ENTIRELY in native window + agg
@@ -5419,6 +5452,20 @@ object SparkEntry {
        "sh AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, corpus_id ASC) AS rn FROM pre) WHERE rn <= 50), " +
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q234_pagerank" -> q234OracleSql(4),
+    "q236_triangle_counts" ->
+      ("WITH raw AS (SELECT CAST(o_custkey % 300 AS BIGINT) AS a0, " +
+       "CAST((o_orderkey * 17) % 300 AS BIGINT) AS b0 FROM orders), " +
+       "e AS MATERIALIZED (SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b " +
+       "FROM raw WHERE a0 <> b0), " +
+       "nd AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)), " +
+       "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+       "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+       "pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM " +
+       "(SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t) " +
+       "GROUP BY node) " +
+       "SELECT nd.node, CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles " +
+       "FROM nd LEFT JOIN pn ON pn.node = nd.node ORDER BY nd.node"),
     "q233_trip_segments" ->
       ("WITH p AS MATERIALIZED (SELECT event_id % 40 AS k, " +
        "(event_id // 40) * 30 + ((event_id // 40) // 20) * 10000 AS t, " +
@@ -6667,6 +6714,32 @@ object SparkEntry {
     * collapses to one [UNK]. Longest-match ties are impossible (two
     * same-length pieces matching the same offset are the same piece),
     * so row_number by length DESC alone is deterministic. */
+  /** q234 oracle: replay pageRank's EXACT integer floor arithmetic in
+   *  DuckDB `//` for a fixed iteration count — one (dangling, contrib,
+   *  rank) CTE triple per round over the same orders-derived edges. */
+  private def q234OracleSql(iters: Int): String = {
+    val head =
+      "WITH e AS MATERIALIZED (SELECT CAST(o_custkey % 400 AS BIGINT) AS src, " +
+      "CAST((o_orderkey * 31) % 403 AS BIGINT) AS dst FROM orders), " +
+      "nd AS MATERIALIZED (SELECT DISTINCT node FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+      "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nd), " +
+      "dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src), " +
+      "r0 AS (SELECT node, 1000000000000 // nn.n AS pr FROM nd CROSS JOIN nn)"
+    val rounds = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s", d$i AS (SELECT COALESCE(sum(r.pr), 0) AS ds FROM $p r " +
+      "LEFT JOIN dg ON dg.src = r.node WHERE dg.src IS NULL)" +
+      s", c$i AS (SELECT e.dst AS node, sum((r.pr * 85) // (100 * dg.d)) AS cs " +
+      s"FROM e JOIN $p r ON r.node = e.src JOIN dg ON dg.src = e.src GROUP BY e.dst)" +
+      s", r$i AS (SELECT nd.node, (150000000000 // nn.n) + " +
+      s"((d$i.ds * 85) // (100 * nn.n)) + COALESCE(c$i.cs, 0) AS pr " +
+      s"FROM nd CROSS JOIN nn CROSS JOIN d$i LEFT JOIN c$i ON c$i.node = nd.node)"
+    }.mkString
+    head + rounds +
+      s" SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY node"
+  }
+
   private def q204OracleSql(rounds: Int, maxLen: Int): String = {
     val merged = (1 to rounds).map(r =>
       s"SELECT a || substr(b, 3) AS piece FROM t$r").mkString(" UNION ALL ")

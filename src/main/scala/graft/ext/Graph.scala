@@ -1,0 +1,203 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed GRAPH ANALYTICS over plain edge tables — the iterative
+ * siblings of [[Dedup.components]] (which already gives weakly-connected
+ * components for the dedup family). The reference has no graph surface;
+ * these exist for the corpus-graph workloads a training-data pipeline
+ * runs on 100 TB link/citation/co-occurrence tables: rank pages before
+ * sampling (PageRank), measure local clustering before graph-aware
+ * dedup (triangle counts).
+ *
+ * Both operators are expressed as slim-frame hash joins + aggregates —
+ * no custom plans, no driver-side adjacency:
+ *
+ *  - [[pageRank]] moves only `(node, rank)` longs per iteration (the
+ *    edge table is joined pre-partitioned on `src`, so each of the
+ *    fixed `iters` rounds pays ONE shuffle of the slim rank frame into
+ *    the edge partitioning plus ONE aggregate shuffle on `dst`);
+ *  - [[triangleCounts]] uses the degree-ordered orientation (compact-
+ *    forward; Latapy 2008): every edge points from its lower-(degree,
+ *    id) endpoint, so per-node out-degree is O(√m) on ANY graph and the
+ *    wedge join's intermediate is bounded by Σ outdeg² — the classic
+ *    guard against the star-graph blowup a naive id-orientation hits
+ *    when one hub has 10⁸ neighbors.
+ *
+ * EXACTNESS: PageRank here is integer arithmetic end to end. Ranks are
+ * BIGINT micro-units of 10⁻¹² (`pr` = rank × 10¹², floored), every
+ * division is integral (`div`), and the damping split is 85/100 —
+ * so the result is bit-identical on any engine that replays the same
+ * floor arithmetic (the q234 oracle does, in DuckDB `//`), immune to
+ * double summation order and decimal encodings. Floors leak ≤ 1
+ * micro-unit of mass per edge per round — documented, deterministic,
+ * and irrelevant at 10⁻¹² granularity. Dangling mass (nodes with no
+ * out-edges) is redistributed uniformly each round, the standard
+ * Brin-Page 1998 treatment.
+ */
+object Graph {
+
+  /** Rank unit: `pr` column = PageRank × RANK_SCALE, floored. */
+  final val RankScale: Long = 1000000000000L
+
+  private def refusedLong(df: DataFrame, c: String, op: String): org.apache.spark.sql.Column =
+    when(col(c).isNull,
+      raise_error(lit(s"$op: NULL $c — a silently dropped edge endpoint " +
+        "would redistribute its mass to the wrong nodes")).cast(LongType))
+      .otherwise(col(c).cast(LongType))
+
+  /**
+   * PageRank with damping 0.85 over a directed edge table, run for a
+   * FIXED `iters` rounds (fixed rounds, not a convergence test, keep
+   * the result replayable by an external oracle and the job count
+   * static). Parallel edges count with multiplicity (adjacency-matrix
+   * semantics — dedup upstream if unwanted); self-loops are ordinary
+   * edges; NULL endpoints are refused loudly.
+   *
+   * Returns `(node BIGINT, pr BIGINT)` for every node that appears as
+   * src or dst, where `pr` is rank × 10¹² under floor semantics:
+   *
+   *   pr⁰(v)   = RankScale div N
+   *   contrib(u→v) = (pr(u) * 85) div (100 * outdeg(u))   per edge
+   *   pr¹(v)  = (RankScale * 15 div 100) div N
+   *            + (danglingSum * 85) div (100 * N)
+   *            + Σ_in-edges contrib
+   *
+   * Scale: the edge table (+ per-src out-degree) is materialized ONCE,
+   * repartitioned on `src`, and reused every round; the per-round
+   * moving parts are the (node, pr) frame (shuffled into that
+   * partitioning) and the contribution aggregate on `dst`. The only
+   * driver traffic is one dangling-mass scalar per round (an aggregate
+   * over the anti-joined dangling node set — slim by construction).
+   * At 10⁹ nodes the rank frame is ~16 GB spread over the cluster;
+   * nothing here is proportional to edge count on the driver.
+   */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"pageRank: iters must be in [1, 100], got $iters")
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.columns.contains(c),
+        s"pageRank: column '$c' missing from ${edges.columns.mkString("[", ",", "]")}")
+    }
+    val e = edges.select(
+        refusedLong(edges, srcCol, "pageRank").as("src"),
+        refusedLong(edges, dstCol, "pageRank").as("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge table")
+    // out-degree per src, co-partitioned with the edge frame
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes with no out-edges: their mass redistributes uniformly
+    val dangling = nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDeg = e.join(deg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (RankScale * 15L / 100L) / n // exact: both operands positive
+    var ranks = nodes.select(col("node"), lit(RankScale / n).as("pr"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val ds = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum("pr"), lit(0L)).as("s"))
+        .head().getLong(0)
+      val dTerm = (ds * 85L) / (100L * n)
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(pr * 85) div (100 * outdeg)").as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base + dTerm) + coalesce(col("cs"), lit(0L))).as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    Seq(e, nodes, deg, dangling, eDeg).foreach(_.unpersist())
+    ranks
+  }
+
+  /**
+   * Per-node TRIANGLE COUNTS over an undirected graph given as an edge
+   * table (either orientation, duplicates and self-loops tolerated:
+   * edges are canonicalized to `least/greatest` pairs, deduplicated,
+   * and self-loops dropped — a self-loop is not a triangle under any
+   * standard definition). Returns `(node BIGINT, triangles BIGINT)`
+   * for EVERY node in the edge table, zero included.
+   *
+   * Algorithm: degree-ordered orientation + wedge join (compact-
+   * forward). Each undirected edge points from the endpoint with the
+   * smaller (degree, id) to the larger; a triangle {a,b,c} then has
+   * exactly one node with two out-edges, so the wedge join
+   * (u→v, u→w, key(v) < key(w)) followed by an existence join on the
+   * oriented edge (v→w) finds each triangle EXACTLY ONCE — no /3
+   * correction, no multiset dedup. The orientation bounds out-degree
+   * by O(√m), so the wedge intermediate is Σ outdeg² = O(m^1.5) even
+   * when the raw graph has a 10⁸-degree hub — that, not the join
+   * order, is what survives 100 TB edge tables. Three hash joins +
+   * two aggregates; no driver-side adjacency, nothing collected.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.columns.contains(c),
+        s"triangleCounts: column '$c' missing from ${edges.columns.mkString("[", ",", "]")}")
+    }
+    val raw = edges.select(
+      refusedLong(edges, srcCol, "triangleCounts").as("a0"),
+      refusedLong(edges, dstCol, "triangleCounts").as("b0"))
+    val und = raw.filter(col("a0") =!= col("b0"))
+      .select(least(col("a0"), col("b0")).as("a"),
+              greatest(col("a0"), col("b0")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient: u -> v iff (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    val o = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("da").as("ku"), col("db").as("kv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("db").as("ku"), col("da").as("kv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+              col("e.kv").as("kv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges u -> {v, w} with key(v) < key(w); triangle iff v -> w oriented
+    val e1 = o.select(col("u"), col("v").as("x"), col("kv").as("kx"))
+    val e2 = o.select(col("u"), col("v").as("y"), col("kv").as("ky"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("kx") < col("ky") ||
+              (col("kx") === col("ky") && col("x") < col("y")))
+    val tris = wedges.join(
+        o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perNode = tris.select(col("u").as("node"))
+      .union(tris.select(col("x").as("node")))
+      .union(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint()
+    Seq(und, o, tris).foreach(_.unpersist())
+    out
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+/**
+ * [[graft.ext.Graph]] vs local single-threaded references: PageRank's
+ * integer floor arithmetic replayed directly (so the distributed join
+ * shape is pinned against the exact spec the q234 oracle replays), and
+ * triangle counts vs a brute triple enumeration — including the star
+ * graph the degree orientation exists for, duplicate/self-loop
+ * tolerance, and the refusal surface.
+ */
+class GraphSpec extends SparkSpec {
+
+  import Graph.RankScale
+
+  /** Local reference for pageRank's exact integer semantics. */
+  private def refPr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var pr: Map[Long, Long] = nodes.map(_ -> RankScale / n).toMap
+    val base = (RankScale * 15L / 100L) / n
+    for (_ <- 1 to iters) {
+      val ds = nodes.filterNot(outdeg.contains).map(pr).sum
+      val dTerm = (ds * 85L) / (100L * n)
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => (pr(u) * 85L) / (100L * outdeg(u)) }.sum
+      }
+      pr = nodes.map(v => v -> (base + dTerm + contrib.getOrElse(v, 0L))).toMap
+    }
+    pr
+  }
+
+  private def prOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank matches the integer reference on a small digraph") {
+    // 1 -> {2,3}, 2 -> 3, 3 -> 1, 4 -> 3, and 5 dangling (dst only)
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 5))
+    for (iters <- Seq(1, 3, 7))
+      assert(prOf(edges, iters) === refPr(edges, iters))
+  }
+
+  test("pageRank: parallel edges carry multiplicity; self-loops are edges") {
+    val edges = Seq[(Long, Long)]((1, 2), (1, 2), (2, 1), (3, 3), (2, 3))
+    assert(prOf(edges, 4) === refPr(edges, 4))
+  }
+
+  test("pageRank: all-dangling target keeps total mass bounded by scale") {
+    val edges = Seq[(Long, Long)]((1, 2), (3, 2), (4, 2))
+    val pr = prOf(edges, 5)
+    assert(pr === refPr(edges, 5))
+    assert(pr.values.sum <= RankScale)
+  }
+
+  test("pageRank refusals: NULL endpoint, bad iters, missing column") {
+    import spark.implicits._
+    val bad = Seq((Some(1L), None: Option[Long])).toDF("src", "dst")
+    val e1 = intercept[Exception] { Graph.pageRank(bad, iters = 2).collect() }
+    assert(e1.getMessage.contains("NULL dst"))
+    val ok = Seq((1L, 2L)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] { Graph.pageRank(ok, iters = 0) }
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRank(ok.withColumnRenamed("src", "s"), iters = 1)
+    }
+  }
+
+  /** Brute per-node triangle counts over canonical distinct edges. */
+  private def refTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = (und.map(_._1) ++ und.map(_._2)).toSeq.sorted
+    val cnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if und((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if und((nodes(j), nodes(k))) && und((nodes(i), nodes(k)))
+    } { cnt(nodes(i)) += 1; cnt(nodes(j)) += 1; cnt(nodes(k)) += 1 }
+    nodes.map(v => v -> cnt(v)).toMap
+  }
+
+  private def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts matches brute enumeration incl. zero-triangle nodes") {
+    // two triangles sharing edge (2,3) + a pendant node 6
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (2, 4), (3, 4), (5, 6))
+    val got = triOf(edges)
+    assert(got === refTri(edges))
+    assert(got(5) === 0L && got(6) === 0L)
+  }
+
+  test("triangleCounts: duplicates, reversed orientation and self-loops collapse") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3))
+    assert(triOf(edges) === refTri(edges))
+  }
+
+  test("triangleCounts: star graph (the degree-orientation case) and K5") {
+    val star = (2L to 40L).map(i => (1L, i))
+    assert(triOf(star) === refTri(star)) // all zeros
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val got = triOf(k5)
+    assert(got === refTri(k5))
+    assert(got.values.forall(_ === 6L)) // each K5 node is in C(4,2) triangles
+  }
+
+  test("triangleCounts: deterministic across partitionings") {
+    import spark.implicits._
+    val edges = (1L to 200L).map(i => (i % 23, (i * 7) % 23))
+    val df = edges.toDF("src", "dst")
+    val a = Graph.triangleCounts(df.repartition(1)).collect().toSet
+    val b = Graph.triangleCounts(df.repartition(7)).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("triangleCounts refusal: NULL endpoint") {
+    import spark.implicits._
+    val bad = Seq((Some(1L), None: Option[Long])).toDF("src", "dst")
+    val e = intercept[Exception] { Graph.triangleCounts(bad).collect() }
+    assert(e.getMessage.contains("NULL dst"))
+  }
+}
