@@ -2747,6 +2747,30 @@ object SparkEntry {
         ((col("o_orderkey").cast("long") * 31) % 403).as("dst"))
       graft.ext.Graph.pageRank(e, iters = 4).orderBy("node")
     }),
+    "q235_broadcast_point_join" -> ((s, dir) => { ensure(s)
+      // BROADCAST STRtree point-in-polygon join — pointJoin's sibling
+      // for the big-points × small-geometries shape: the polygon side
+      // is collected under a loud cap, broadcast once, probed through
+      // a per-executor STRtree of prepared geometries; the points side
+      // moves ZERO bytes (q224's grid join shuffles every point once).
+      // Same q224 fixture and pure-integer oracle, so the gate pins
+      // broadcast ≡ grid ≡ DuckDB on the identical row set.
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val tri = ld(s, dir, "supplier").select(col("s_suppkey"),
+        st_geomfromtext(concat(lit("POLYGON(("),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 60).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), (ay + 60).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit("))"))).as("tri"))
+      val pts = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 1000).cast("double").as("px"),
+        ((col("c_custkey") * 7) % 1000).cast("double").as("py"))
+      graft.core.SpatialJoin.broadcastPointJoin(tri, "tri", pts, "px", "py",
+          "intersects")
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
     "q236_triangle_counts" -> ((s, dir) => { ensure(s)
       // per-node TRIANGLE COUNTS via degree-ordered orientation +
       // wedge join (compact-forward; each triangle found EXACTLY once
@@ -5453,6 +5477,14 @@ object SparkEntry {
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
+    "q235_broadcast_point_join" -> // q224's oracle verbatim: same fixture,
+      // broadcast STRtree instead of the cell grid — identical row set
+      ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
+       "WHERE (c.c_custkey % 1000) >= ((s.s_suppkey * 3) % 1000) " +
+       "AND ((c.c_custkey * 7) % 1000) >= ((s.s_suppkey * 13) % 1000) " +
+       "AND ((c.c_custkey % 1000) - ((s.s_suppkey * 3) % 1000)) + " +
+       "(((c.c_custkey * 7) % 1000) - ((s.s_suppkey * 13) % 1000)) <= 60 " +
+       "ORDER BY s_suppkey, c_custkey"),
     "q236_triangle_counts" ->
       ("WITH raw AS (SELECT CAST(o_custkey % 300 AS BIGINT) AS a0, " +
        "CAST((o_orderkey * 17) % 300 AS BIGINT) AS b0 FROM orders), " +

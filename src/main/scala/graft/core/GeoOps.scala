@@ -259,8 +259,22 @@ object GeoOps {
    * every mode whose point answer is closed-form (`crosses` falls
    * through to JTS — its dim(2)×dim(0) matrix is not worth hand-coding).
    */
-  def relatePoint(mode: Int, g: Array[Byte], x: Double, y: Double): Boolean = {
-    val pa = preparedOf(g)
+  def relatePoint(mode: Int, g: Array[Byte], x: Double, y: Double): Boolean =
+    relatePointPrepared(mode, preparedOf(g), x, y)
+
+  /** Prepare once, relate many: for callers that hold a stable geometry
+   *  set (e.g. [[SpatialJoin.broadcastPointJoin]]'s broadcast side) and
+   *  want the verify WITHOUT the slot cache's content-keyed rebuild.
+   *  JTS 1.20 prepared geometries lazy-build their indexes under
+   *  `synchronized`, so one instance is safely shared across tasks. */
+  def prepare(b: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry =
+    org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(read(b))
+
+  /** Same DE-9IM semantics as [[relatePoint]] (it delegates here) over
+   *  an already-prepared geometry. */
+  def relatePointPrepared(mode: Int,
+      pa: org.locationtech.jts.geom.prep.PreparedGeometry,
+      x: Double, y: Double): Boolean = {
     val ga = pa.getGeometry
     if (ga.isRectangle) {
       val e = ga.getEnvelopeInternal

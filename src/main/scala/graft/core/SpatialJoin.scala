@@ -247,4 +247,125 @@ object SpatialJoin {
       .filter(rel(mode, col(aGeom), col(bGeom)))
       .select(a.columns.map(col) ++ b.columns.map(col): _*)
   }
+
+  // Per-JVM (STRtree, prepared geometries) for broadcastPointJoin,
+  // keyed by broadcast id: built once per executor on first probe, then
+  // shared by every task thread (JTS 1.20 prepared geometries lazy-build
+  // their indexes under `synchronized`). Crude bound: a long-lived
+  // session that runs many DIFFERENT broadcast joins clears the cache
+  // past 8 entries rather than pinning every old side in memory.
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, (org.locationtech.jts.index.strtree.STRtree,
+           Array[org.locationtech.jts.geom.prep.PreparedGeometry])]()
+
+  private def bundleFor(id: Long, rows: Array[org.apache.spark.sql.Row],
+                        gIdx: Int) = {
+    if (bcCache.size > 8) bcCache.clear()
+    bcCache.computeIfAbsent(id, _ => {
+      val tree = new org.locationtech.jts.index.strtree.STRtree()
+      val preps =
+        new Array[org.locationtech.jts.geom.prep.PreparedGeometry](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        val g = GeoOps.read(rows(i).getAs[Array[Byte]](gIdx))
+        tree.insert(g.getEnvelopeInternal, Integer.valueOf(i))
+        preps(i) =
+          org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+        i += 1
+      }
+      tree.build()
+      (tree, preps)
+    })
+  }
+
+  /**
+   * [[pointJoin]] for the big-points × SMALL-geometries shape (every
+   * event tagged with one of a few thousand admin areas): the geometry
+   * side is collected under a loud `maxBroadcastRows` cap, broadcast
+   * once, and probed through a per-executor JTS STRtree — so the points
+   * side moves ZERO bytes (no shuffle at all; `pointJoin` shuffles every
+   * point once into the cell partitioning), and the verify runs against
+   * a geometry prepared ONCE per executor instead of per slot-cache
+   * miss. Row semantics are IDENTICAL to `pointJoin` (same DE-9IM
+   * verify via [[GeoOps.relatePointPrepared]] — `relatePoint` delegates
+   * to it — same NULL/NaN/EMPTY refusals, same `geoms.* ++ points.*`
+   * output); a spec row pins the equivalence on boundary fixtures.
+   * Pick this when the geometry side fits comfortably in executor
+   * memory (it is the GiST-index replacement for the dimension-table
+   * case); pick `pointJoin` when both sides are large.
+   */
+  def broadcastPointJoin(geoms: DataFrame, geomCol: String,
+                         points: DataFrame, px: String, py: String,
+                         mode: String = "intersects",
+                         maxBroadcastRows: Int = 200000): DataFrame = {
+    checkMode("broadcastPointJoin", mode)
+    val modeId = GeoOps.modeId(mode)
+    require(maxBroadcastRows >= 1,
+      s"broadcastPointJoin: maxBroadcastRows must be >= 1, got $maxBroadcastRows")
+    require(geoms.columns.contains(geomCol),
+      s"broadcastPointJoin: geometry column '$geomCol' missing from " +
+      geoms.columns.mkString("[", ",", "]"))
+    Seq(px, py).foreach { c =>
+      require(points.columns.contains(c),
+        s"broadcastPointJoin: column '$c' missing from " +
+        points.columns.mkString("[", ",", "]"))
+    }
+    checkCols("broadcastPointJoin", geoms, points, Seq("_bpx", "_bpy"))
+    val gIdx = geoms.schema.fieldIndex(geomCol)
+    val rows = geoms.limit(maxBroadcastRows + 1).collect()
+    require(rows.length <= maxBroadcastRows,
+      s"broadcastPointJoin: geometry side exceeds maxBroadcastRows " +
+      s"($maxBroadcastRows) — it no longer fits a broadcast; use pointJoin")
+    // same refusal surface as withCells, validated once at the driver
+    rows.foreach { r =>
+      val b = r.getAs[Array[Byte]](gIdx)
+      require(b != null, "broadcastPointJoin: NULL geometry — a null " +
+        "entry would silently drop the row from every pair")
+      val e = GeoOps.read(b).getEnvelopeInternal
+      require(!e.isNull, "broadcastPointJoin: EMPTY geometry — it would " +
+        "silently vanish from every pair; filter empties first")
+      require(!e.getMinX.isNaN && !e.getMinY.isNaN &&
+              !e.getMaxX.isNaN && !e.getMaxY.isNaN,
+        "broadcastPointJoin: NaN envelope coordinate — a misindexed " +
+        "entry silently drops pairs")
+    }
+    val spark = points.sparkSession
+    val bc = spark.sparkContext.broadcast(rows)
+    val bcId = bc.id
+    def pcoord(c: String, axis: String) =
+      when(col(c).isNull || isnan(col(c).cast("double")),
+        raise_error(lit(s"broadcastPointJoin: NULL/NaN $axis coordinate — " +
+          "a null probe would silently drop the point from every pair"))
+          .cast("double"))
+      .otherwise(col(c).cast("double"))
+    val pts = points
+      .withColumn("_bpx", pcoord(px, "x"))
+      .withColumn("_bpy", pcoord(py, "y"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      geoms.schema.fields ++ points.schema.fields)
+    val nPointCols = points.columns.length
+    val gi = gIdx
+    val mid = modeId
+    pts.mapPartitions { it =>
+      val (tree, preps) = bundleFor(bcId, bc.value, gi)
+      val grows = bc.value
+      it.flatMap { p =>
+        val x = p.getDouble(nPointCols)
+        val y = p.getDouble(nPointCols + 1)
+        val cands = tree.query(
+          new org.locationtech.jts.geom.Envelope(x, x, y, y))
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var i = 0
+        while (i < cands.size()) {
+          val idx = cands.get(i).asInstanceOf[Integer].intValue()
+          if (GeoOps.relatePointPrepared(mid, preps(idx), x, y))
+            out += org.apache.spark.sql.Row.fromSeq(
+              grows(idx).toSeq ++ p.toSeq.dropRight(2))
+          i += 1
+        }
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

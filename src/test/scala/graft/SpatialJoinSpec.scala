@@ -99,6 +99,66 @@ class SpatialJoinSpec extends SparkSpec {
       gridP("intersects", 6.0).sorted)
   }
 
+  private def bcastP(mode: String, cap: Int = 200000): Seq[(Int, Int)] =
+    SpatialJoin.broadcastPointJoin(layerA, "ageom", pts, "px", "py", mode,
+        maxBroadcastRows = cap)
+      .select("aid", "pid").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+
+  test("broadcastPointJoin is row-identical to pointJoin and the brute twin") {
+    for (mode <- Seq("intersects", "contains", "within", "touches",
+                     "overlaps", "crosses", "equals")) {
+      val got = bcastP(mode)
+      assert(got.size === got.toSet.size, s"duplicate pairs at mode=$mode")
+      assert(got.toSet === bruteP(mode), s"pair set mismatch at mode=$mode")
+    }
+    // planted boundary rows ride the same verify kernel (relatePoint
+    // delegates to relatePointPrepared), pinned explicitly anyway
+    val inter = bcastP("intersects").toSet
+    val cont = bcastP("contains").toSet
+    assert(inter.contains((900, 9000)) && !cont.contains((900, 9000)))
+    assert(!inter.contains((901, 9002)) && cont.contains((903, 9004)))
+  }
+
+  test("broadcastPointJoin: deterministic across point partitionings, schema = geoms ++ points") {
+    val out = SpatialJoin.broadcastPointJoin(
+      layerA, "ageom", pts.repartition(7), "px", "py", "intersects")
+    assert(out.columns.toSeq === Seq("aid", "ageom", "pid", "px", "py"))
+    assert(out.select("aid", "pid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet === bruteP("intersects"))
+  }
+
+  test("broadcastPointJoin refusals: cap, NULL/EMPTY geometry, NaN point, disjoint") {
+    import s.implicits._
+    val eCap = intercept[IllegalArgumentException] {
+      SpatialJoin.broadcastPointJoin(layerA, "ageom", pts, "px", "py",
+        "intersects", maxBroadcastRows = 3)
+    }
+    assert(eCap.getMessage.contains("maxBroadcastRows"))
+    intercept[IllegalArgumentException] {
+      SpatialJoin.broadcastPointJoin(layerA, "ageom", pts, "px", "py", "disjoint")
+    }
+    val withNull = Seq((1, "POLYGON((0 0, 2 0, 0 2, 0 0))"), (2, null))
+      .toDF("aid", "w")
+      .select($"aid", when($"w".isNotNull, st_geomfromtext($"w")).as("ageom"))
+    val eNull = intercept[IllegalArgumentException] {
+      SpatialJoin.broadcastPointJoin(withNull, "ageom", pts, "px", "py", "intersects")
+    }
+    assert(eNull.getMessage.contains("NULL geometry"))
+    val empty = Seq(1 -> "POLYGON EMPTY").toDF("aid", "w")
+      .select($"aid", st_geomfromtext($"w").as("ageom"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      SpatialJoin.broadcastPointJoin(empty, "ageom", pts, "px", "py", "intersects")
+    }
+    assert(eEmpty.getMessage.contains("EMPTY geometry"))
+    val nanPts = Seq((1, Double.NaN, 2.0)).toDF("pid", "px", "py")
+    val eNan = intercept[Exception] {
+      SpatialJoin.broadcastPointJoin(layerA, "ageom", nanPts, "px", "py",
+        "intersects").count()
+    }
+    assert(eNan.getMessage.contains("NULL/NaN") ||
+      eNan.getCause != null && eNan.getCause.getMessage.contains("NULL/NaN"))
+  }
+
   private def bruteS(mode: String): Set[(Int, Int)] =
     layerA.crossJoin(layerB)
       .filter(st_relation(mode, col("ageom"), col("bgeom")))
