@@ -2786,6 +2786,34 @@ object SparkEntry {
         ((col("o_orderkey").cast("long") * 17) % 300).as("dst"))
       graft.ext.Graph.triangleCounts(e).orderBy("node")
     }),
+    "q237_snap_to_roads" -> ((s, dir) => { ensure(s)
+      // SNAP-to-nearest-segment join (the map-matching core): every
+      // customer point snapped to its closest supplier "road" (100
+      // axis-aligned length-80 segments on the integer grid) via
+      // radius doubling over the point x segment grid join. The
+      // verify arithmetic is a fixed IEEE expression tree (cross-
+      // product form, one rounding per op), so the DuckDB oracle
+      // replays d² BIT-IDENTICALLY from the same integer fixture and
+      // argmins with the same (d², id) tie rule; output is ids only —
+      // no float hash surface. lIdCol keeps the doubling loop's
+      // shuffles slim (the payload joins back once).
+      val pts = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 1000).cast("double").as("px"),
+        ((col("c_custkey") * 7) % 1000).cast("double").as("py"))
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val segs = ld(s, dir, "supplier").select(col("s_suppkey"),
+        ax.cast("double").as("ax"), ay.cast("double").as("ay"),
+        (ax + when(col("s_suppkey") % 2 === 0, 80).otherwise(0))
+          .cast("double").as("bx"),
+        (ay + when(col("s_suppkey") % 2 === 0, 0).otherwise(80))
+          .cast("double").as("by"))
+      graft.core.DistanceJoin.snapToSegments(pts, segs, "px", "py",
+          "ax", "ay", "bx", "by", "s_suppkey",
+          startRadius = 100.0, maxRadius = 1600.0, lIdCol = Some("c_custkey"))
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey")
+    }),
     "q233_trip_segments" -> ((s, dir) => { ensure(s)
       // trip/leg SEGMENTATION: split each device's trajectory at time
       // gaps > 600 s — expressed ENTIRELY in native window + agg
@@ -5477,6 +5505,23 @@ object SparkEntry {
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
+    "q237_snap_to_roads" ->
+      ("WITH p AS (SELECT c_custkey, CAST(c_custkey % 1000 AS DOUBLE) AS px, " +
+       "CAST((c_custkey * 7) % 1000 AS DOUBLE) AS py FROM customer), " +
+       "sg AS (SELECT s_suppkey, CAST((s_suppkey * 3) % 1000 AS DOUBLE) AS ax, " +
+       "CAST((s_suppkey * 13) % 1000 AS DOUBLE) AS ay, " +
+       "CAST((s_suppkey * 3) % 1000 + CASE WHEN s_suppkey % 2 = 0 THEN 80 ELSE 0 END AS DOUBLE) AS bx, " +
+       "CAST((s_suppkey * 13) % 1000 + CASE WHEN s_suppkey % 2 = 0 THEN 0 ELSE 80 END AS DOUBLE) AS by2 " +
+       "FROM supplier), " +
+       "t AS (SELECT c_custkey, s_suppkey, px - ax AS wx, py - ay AS wy, " +
+       "bx - ax AS vx, by2 - ay AS vy, px, py, bx, by2 FROM p CROSS JOIN sg), " +
+       "d AS (SELECT c_custkey, s_suppkey, " +
+       "CASE WHEN (vx*vx + vy*vy) = 0 OR (wx*vx + wy*vy) <= 0 THEN wx*wx + wy*wy " +
+       "WHEN (wx*vx + wy*vy) >= (vx*vx + vy*vy) THEN (px-bx)*(px-bx) + (py-by2)*(py-by2) " +
+       "ELSE ((wx*vy - wy*vx)*(wx*vy - wy*vx)) / (vx*vx + vy*vy) END AS d2 FROM t) " +
+       "SELECT c_custkey, s_suppkey FROM (SELECT c_custkey, s_suppkey, " +
+       "row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn " +
+       "FROM d WHERE d2 <= 2560000.0) WHERE rn = 1 ORDER BY c_custkey"),
     "q235_broadcast_point_join" -> // q224's oracle verbatim: same fixture,
       // broadcast STRtree instead of the cell grid — identical row set
       ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +

@@ -617,4 +617,163 @@ object DistanceJoin {
       (u, r) => geoRadiusJoin(u, right, lLat, lLon, rLat, rLon, r,
         earthRadiusMeters), "dist_m")
   }
+
+  /**
+   * Point × SEGMENT radius join — the map-matching candidate generator
+   * ("every road within 50 m of this GPS ping"): all (point, segment)
+   * pairs whose point-to-segment distance is <= `radius`, segments as
+   * explicit endpoint columns (a road table keeps its geometry
+   * exploded to segments once; no per-candidate WKB parse).
+   *
+   * Recipe: square cells of side `cellSize >= radius`; each segment
+   * explodes to every cell its ENVELOPE covers (loud `maxCellsPerSeg`
+   * cap — a cross-country segment under street-level cells is a
+   * parameter bug), each point probes its 3×3 neighborhood, and the
+   * pair fires ONLY in the reference cell (per-axis max of the two
+   * range los — the [[graft.core.SpatialJoin.spatialJoin]] exactly-once
+   * rule, since both sides now span cell RANGES). Completeness: a pair
+   * within `radius <= cellSize` has its closest segment point at most
+   * one cell from the point's on each axis, and that cell is covered
+   * by the segment's envelope cells.
+   *
+   * Exact verify, pure arithmetic: with w = p - a, v = b - a,
+   * L = |v|², t* = w·v/L,
+   *   d² = |w|²                     if L = 0 (degenerate) or w·v <= 0
+   *      = |p - b|²                 if w·v >= L
+   *      = (w × v)² / L             otherwise (cross-product form — no
+   *                                 cancellation, one rounding each op)
+   * so the same IEEE expression tree replays bit-identically on any
+   * engine (the q237 oracle does). Returns
+   * `points.* ++ segs.* ++ (dist2, dist, frac, snap_x, snap_y)` where
+   * `frac` is the clamped projection parameter t* and (snap_x, snap_y)
+   * the snapped-to point. NULL/NaN coordinates REFUSED. `saltCells`
+   * composes [[graft.ext.Skew.saltedJoin]] on hot cells.
+   */
+  def segmentRadiusJoin(points: DataFrame, segs: DataFrame,
+                        px: String, py: String,
+                        ax: String, ay: String, bx: String, by: String,
+                        radius: Double, cellSize: Option[Double] = None,
+                        maxCellsPerSeg: Int = 4096,
+                        saltCells: Int = 0): DataFrame = {
+    require(radius > 0 && !radius.isInfinite,
+      s"segmentRadiusJoin: radius must be finite > 0, got $radius")
+    val cs = cellSize.getOrElse(radius)
+    require(cs >= radius,
+      s"segmentRadiusJoin: cellSize ($cs) must be >= radius ($radius) — " +
+      "smaller cells would need a wider neighborhood than 3x3 and " +
+      "silently lose pairs")
+    require(maxCellsPerSeg >= 1,
+      s"segmentRadiusJoin: maxCellsPerSeg must be >= 1, got $maxCellsPerSeg")
+    require(saltCells == 0 || saltCells >= 2,
+      s"saltCells: 0 (off) or >= 2, got $saltCells")
+    Seq(px -> points, py -> points, ax -> segs, ay -> segs,
+        bx -> segs, by -> segs).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"segmentRadiusJoin: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    val overlap = points.columns.toSet.intersect(segs.columns.toSet)
+    require(overlap.isEmpty,
+      s"segmentRadiusJoin: overlapping column names ${overlap.mkString(",")} — " +
+      "rename one side (the output carries both sides' columns)")
+    Seq("_gcx", "_gcy", "_pcxlo", "_pcylo", "_scxlo", "_scylo",
+        "dist2", "dist", "frac", "snap_x", "snap_y").foreach { c =>
+      require(!points.columns.contains(c) && !segs.columns.contains(c),
+        s"segmentRadiusJoin: reserved column '$c' already present — rename it")
+    }
+    def checked(df: DataFrame, c: String): Column =
+      when(col(c).isNull || isnan(col(c)),
+        raise_error(lit(s"segmentRadiusJoin: NULL/NaN $c — a null cell " +
+          "would silently drop the row from every pair")).cast("double"))
+      .otherwise(col(c))
+    val p = points
+      .withColumn("_pcx0", floor(checked(points, px) / cs).cast("long"))
+      .withColumn("_pcy0", floor(checked(points, py) / cs).cast("long"))
+      .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gcx", col("_pcx0") + col("_dx"))
+      .withColumn("_gcy", col("_pcy0") + col("_dy"))
+      .withColumn("_pcxlo", col("_pcx0") - 1)
+      .withColumn("_pcylo", col("_pcy0") - 1)
+      .drop("_pcx0", "_pcy0", "_dx", "_dy")
+    val sxlo = floor(least(checked(segs, ax), checked(segs, bx)) / cs).cast("long")
+    val sylo = floor(least(checked(segs, ay), checked(segs, by)) / cs).cast("long")
+    val sxhi = floor(greatest(col(ax), col(bx)) / cs).cast("long")
+    val syhi = floor(greatest(col(ay), col(by)) / cs).cast("long")
+    val nCells = (sxhi - sxlo + 1) * (syhi - sylo + 1)
+    val sg = segs
+      .withColumn("_scxlo", sxlo).withColumn("_scylo", sylo)
+      .withColumn("_scxhi",
+        when(nCells > maxCellsPerSeg,
+          raise_error(concat(lit("segmentRadiusJoin: segment covers "),
+            nCells.cast("string"),
+            lit(s" cells > maxCellsPerSeg ($maxCellsPerSeg) at cellSize " +
+              s"$cs — raise cellSize or split the segment"))).cast("long"))
+        .otherwise(sxhi))
+      .withColumn("_gcx", explode(sequence(col("_scxlo"), col("_scxhi"))))
+      .withColumn("_gcy", explode(sequence(col("_scylo"), syhi)))
+      .drop("_scxhi")
+    val joined =
+      if (saltCells >= 2)
+        graft.ext.Skew.saltedJoin(p, sg, Seq("_gcx", "_gcy"), saltCells)
+      else p.join(sg, Seq("_gcx", "_gcy"))
+    val wx = col(px) - col(ax); val wy = col(py) - col(ay)
+    val vx = col(bx) - col(ax); val vy = col(by) - col(ay)
+    val bigL = vx * vx + vy * vy
+    val w = wx * vx + wy * vy
+    val cross = wx * vy - wy * vx
+    joined
+      // exactly-once: the unique cell covered by BOTH ranges
+      .filter(col("_gcx") === greatest(col("_pcxlo"), col("_scxlo")) &&
+              col("_gcy") === greatest(col("_pcylo"), col("_scylo")))
+      .withColumn("dist2",
+        when(bigL === lit(0.0) || w <= lit(0.0), wx * wx + wy * wy)
+        .when(w >= bigL,
+          (col(px) - col(bx)) * (col(px) - col(bx)) +
+          (col(py) - col(by)) * (col(py) - col(by)))
+        .otherwise(cross * cross / bigL))
+      .filter(col("dist2") <= lit(radius * radius))
+      .withColumn("dist", sqrt(col("dist2")))
+      .withColumn("frac",
+        when(bigL === lit(0.0), lit(0.0))
+          .otherwise(greatest(lit(0.0), least(lit(1.0), w / bigL))))
+      .withColumn("snap_x", col(ax) + col("frac") * vx)
+      .withColumn("snap_y", col(ay) + col("frac") * vy)
+      .drop("_gcx", "_gcy", "_pcxlo", "_pcylo", "_scxlo", "_scylo")
+  }
+
+  /**
+   * SNAP-to-nearest-segment join (the map-matching core): for every
+   * point, its single closest segment within `maxRadius` (ties to the
+   * smallest `sIdCol`), with the snapped coordinates and projection
+   * fraction. Same iterative radius doubling as [[nearestJoin]] over
+   * [[segmentRadiusJoin]]; points with no segment within `maxRadius`
+   * are OMITTED (the caller's bound). `lIdCol` as in [[nearestJoin]]:
+   * slim loop key + one payload join-back for wide point payloads.
+   * Returns `points.* ++ segs.* ++ (dist2, dist, frac, snap_x, snap_y)`.
+   */
+  def snapToSegments(points: DataFrame, segs: DataFrame,
+                     px: String, py: String,
+                     ax: String, ay: String, bx: String, by: String,
+                     sIdCol: String,
+                     startRadius: Double, maxRadius: Double,
+                     lIdCol: Option[String] = None): DataFrame = {
+    require(startRadius > 0 && maxRadius >= startRadius,
+      s"need 0 < startRadius ($startRadius) <= maxRadius ($maxRadius)")
+    require(segs.columns.contains(sIdCol),
+      s"snapToSegments: id column '$sIdCol' missing from segment side")
+    val distCols = Seq("dist2", "dist", "frac", "snap_x", "snap_y")
+    def probe(u: DataFrame, r: Double): DataFrame =
+      segmentRadiusJoin(u, segs, px, py, ax, ay, bx, by, r)
+    lIdCol match {
+      case Some(id) =>
+        requireDisjointForJoinBack(points, id, segs, distCols, "snapToSegments")
+        val slim = slimLeft(points, id, px, py, "snapToSegments")
+        val res = nearestLoop(slim, segs, sIdCol, startRadius, maxRadius,
+          probe, distCols).drop(px, py)
+        points.join(res, Seq(id))
+      case None =>
+        nearestLoop(points, segs, sIdCol, startRadius, maxRadius,
+          probe, distCols)
+    }
+  }
 }

@@ -4243,6 +4243,125 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("segment join: brute twin, exactly-once multiset, boundary, degenerates, salt") {
+    import graft.core.DistanceJoin
+    val rnd = new scala.util.Random(23)
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "px", "py")
+    // mixed segments: long diagonals, axis-aligned, short, one degenerate
+    val segs = ((0L until 60L).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+      val dx = (rnd.nextDouble() - 0.5) * 40; val dy = (rnd.nextDouble() - 0.5) * 40
+      (i, x, y, x + dx, y + dy)
+    } :+ ((60L, 50.0, 50.0, 50.0, 50.0))) // degenerate point-segment
+      .toDF("sid", "ax", "ay", "bx", "by")
+    def d2(pxx: Double, pyy: Double, a: (Double, Double), b: (Double, Double)): Double = {
+      val wx = pxx - a._1; val wy = pyy - a._2
+      val vx = b._1 - a._1; val vy = b._2 - a._2
+      val L = vx * vx + vy * vy; val w = wx * vx + wy * vy
+      if (L == 0.0 || w <= 0.0) wx * wx + wy * wy
+      else if (w >= L) (pxx - b._1) * (pxx - b._1) + (pyy - b._2) * (pyy - b._2)
+      else { val c = wx * vy - wy * vx; c * c / L }
+    }
+    val pRows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val sRows = segs.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def brute(rad: Double): Set[(Long, Long)] = (for {
+      (pid, x, y) <- pRows; (sid, sax, say, sbx, sby) <- sRows
+      if d2(x, y, (sax, say), (sbx, sby)) <= rad * rad
+    } yield (pid, sid)).toSet
+    def got(rad: Double, cs: Option[Double] = None, salt: Int = 0): Seq[(Long, Long)] =
+      DistanceJoin.segmentRadiusJoin(pts, segs, "px", "py", "ax", "ay",
+          "bx", "by", rad, cs, saltCells = salt)
+        .select("pid", "sid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (rad <- Seq(3.0, 12.0); cs <- Seq(None, Some(rad * 3))) {
+      val g = got(rad, cs)
+      assert(g.size === g.toSet.size, s"duplicate pair at rad=$rad cs=$cs")
+      assert(g.toSet === brute(rad), s"pair set mismatch at rad=$rad cs=$cs")
+    }
+    assert(got(12.0, salt = 3).toSet === brute(12.0))
+    // exact boundary included: point at distance exactly 5 from a
+    // vertical segment's interior and from an endpoint
+    val vseg = Seq((1L, 10.0, 0.0, 10.0, 20.0)).toDF("sid", "ax", "ay", "bx", "by")
+    val bp = Seq((1L, 5.0, 10.0), (2L, 10.0, 25.0), (3L, 4.999999, 10.0))
+      .toDF("pid", "px", "py")
+    val bg = DistanceJoin.segmentRadiusJoin(bp, vseg, "px", "py",
+        "ax", "ay", "bx", "by", 5.0)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(bg === Set(1L, 2L)) // 3 is 5.000001 away from x=10
+    // frac/snap on a hand case: p=(5,10) onto x=10 wall -> t=0.5, snap (10,10)
+    val row = DistanceJoin.segmentRadiusJoin(bp.filter($"pid" === 1L), vseg,
+      "px", "py", "ax", "ay", "bx", "by", 5.0).head()
+    assert(row.getAs[Double]("frac") === 0.5 &&
+      row.getAs[Double]("snap_x") === 10.0 && row.getAs[Double]("snap_y") === 10.0 &&
+      row.getAs[Double]("dist") === 5.0)
+    // refusals
+    intercept[IllegalArgumentException] {
+      DistanceJoin.segmentRadiusJoin(pts, segs, "px", "py", "ax", "ay",
+        "bx", "by", 5.0, cellSize = Some(3.0))
+    }
+    val eNull = intercept[Exception] {
+      DistanceJoin.segmentRadiusJoin(
+        bp.withColumn("px", when($"pid" === 2L, lit(null).cast("double"))
+          .otherwise($"px")), vseg,
+        "px", "py", "ax", "ay", "bx", "by", 5.0).collect()
+    }
+    assert(eNull.toString.contains("NULL/NaN") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("NULL/NaN")))
+    val eCap = intercept[Exception] {
+      DistanceJoin.segmentRadiusJoin(bp, vseg, "px", "py", "ax", "ay",
+        "bx", "by", 0.001, maxCellsPerSeg = 4).collect()
+    }
+    assert(eCap.toString.contains("maxCellsPerSeg") ||
+      Option(eCap.getCause).exists(_.getMessage.contains("maxCellsPerSeg")))
+    intercept[IllegalArgumentException] { // column overlap
+      DistanceJoin.segmentRadiusJoin(pts, segs.withColumnRenamed("sid", "pid"),
+        "px", "py", "ax", "ay", "bx", "by", 5.0)
+    }
+  }
+
+  test("snapToSegments: brute argmin twin, omission bound, lIdCol parity") {
+    import graft.core.DistanceJoin
+    val rnd = new scala.util.Random(31)
+    val pts = (0L until 250L).map(i =>
+      (i, rnd.nextDouble() * 200, rnd.nextDouble() * 200))
+      .toDF("pid", "px", "py")
+    val segs = (0L until 25L).map { i =>
+      val x = rnd.nextDouble() * 200; val y = rnd.nextDouble() * 200
+      (i, x, y, x + (rnd.nextDouble() - 0.5) * 60, y + (rnd.nextDouble() - 0.5) * 60)
+    }.toDF("sid", "ax", "ay", "bx", "by")
+    def d2(pxx: Double, pyy: Double, a: (Double, Double), b: (Double, Double)): Double = {
+      val wx = pxx - a._1; val wy = pyy - a._2
+      val vx = b._1 - a._1; val vy = b._2 - a._2
+      val L = vx * vx + vy * vy; val w = wx * vx + wy * vy
+      if (L == 0.0 || w <= 0.0) wx * wx + wy * wy
+      else if (w >= L) (pxx - b._1) * (pxx - b._1) + (pyy - b._2) * (pyy - b._2)
+      else { val c = wx * vy - wy * vx; c * c / L }
+    }
+    val pRows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val sRows = segs.collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val maxR = 40.0
+    val brute = pRows.flatMap { case (pid, x, y) =>
+      val cands = sRows.map(s => (s._1, d2(x, y, (s._2, s._3), (s._4, s._5))))
+        .filter(_._2 <= maxR * maxR)
+      if (cands.isEmpty) None
+      else Some(pid -> cands.minBy(c => (c._2, c._1))._1)
+    }.toMap
+    val got = DistanceJoin.snapToSegments(pts, segs, "px", "py",
+        "ax", "ay", "bx", "by", "sid", startRadius = 5.0, maxRadius = maxR)
+      .select("pid", "sid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === brute && brute.nonEmpty && brute.size < pRows.length,
+      "fixture should leave some points unmatched past maxRadius")
+    // lIdCol path is row-identical (and keeps the payload)
+    val slim = DistanceJoin.snapToSegments(
+        pts.withColumn("payload", concat(lit("w"), $"pid")), segs, "px", "py",
+        "ax", "ay", "bx", "by", "sid", 5.0, maxR, lIdCol = Some("pid"))
+    assert(slim.select("pid", "sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap === brute)
+  }
+
   test("exact_decimal_sum: equals wide-decimal SUM, pinned ties, null/refusal contracts") {
     import graft.ext.DecimalSums.exactDecimalSum
     val rnd = new scala.util.Random(3)
