@@ -248,51 +248,29 @@ object SpatialJoin {
       .select(a.columns.map(col) ++ b.columns.map(col): _*)
   }
 
-  // Per-JVM (STRtree, prepared geometries) for broadcastPointJoin,
-  // keyed by broadcast id: built once per executor on first probe, then
-  // shared by every task thread (JTS 1.20 prepared geometries lazy-build
-  // their indexes under `synchronized`). Crude bound: a long-lived
-  // session that runs many DIFFERENT broadcast joins clears the cache
-  // past 8 entries rather than pinning every old side in memory.
-  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
-    Long, (org.locationtech.jts.index.strtree.STRtree,
-           Array[org.locationtech.jts.geom.prep.PreparedGeometry])]()
-
-  private def bundleFor(id: Long, rows: Array[org.apache.spark.sql.Row],
-                        gIdx: Int) = {
-    if (bcCache.size > 8) bcCache.clear()
-    bcCache.computeIfAbsent(id, _ => {
-      val tree = new org.locationtech.jts.index.strtree.STRtree()
-      val preps =
-        new Array[org.locationtech.jts.geom.prep.PreparedGeometry](rows.length)
-      var i = 0
-      while (i < rows.length) {
-        val g = GeoOps.read(rows(i).getAs[Array[Byte]](gIdx))
-        tree.insert(g.getEnvelopeInternal, Integer.valueOf(i))
-        preps(i) =
-          org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
-        i += 1
-      }
-      tree.build()
-      (tree, preps)
-    })
-  }
-
   /**
    * [[pointJoin]] for the big-points × SMALL-geometries shape (every
    * event tagged with one of a few thousand admin areas): the geometry
    * side is collected under a loud `maxBroadcastRows` cap, broadcast
-   * once, and probed through a per-executor JTS STRtree — so the points
-   * side moves ZERO bytes (no shuffle at all; `pointJoin` shuffles every
-   * point once into the cell partitioning), and the verify runs against
-   * a geometry prepared ONCE per executor instead of per slot-cache
-   * miss. Row semantics are IDENTICAL to `pointJoin` (same DE-9IM
-   * verify via [[GeoOps.relatePointPrepared]] — `relatePoint` delegates
-   * to it — same NULL/NaN/EMPTY refusals, same `geoms.* ++ points.*`
-   * output); a spec row pins the equivalence on boundary fixtures.
-   * Pick this when the geometry side fits comfortably in executor
-   * memory (it is the GiST-index replacement for the dimension-table
-   * case); pick `pointJoin` when both sides are large.
+   * once, and probed through a per-executor JTS STRtree of PREPARED
+   * geometries — so the points side moves ZERO bytes (no shuffle at
+   * all; `pointJoin` shuffles every point once into the cell
+   * partitioning), and the verify runs against a geometry prepared
+   * ONCE per executor instead of per slot-cache miss. Row semantics
+   * are IDENTICAL to `pointJoin` (same DE-9IM verify via
+   * [[GeoOps.relatePointPrepared]] — `relatePoint` delegates to it —
+   * same NULL/NaN/EMPTY refusals, same `geoms.* ++ points.*` output);
+   * a spec row pins the equivalence on boundary fixtures.
+   *
+   * Plan shape (everything stays inside whole-stage codegen — no
+   * mapPartitions row-encoder boundary): the probe is a codegen'd
+   * expression returning the matching geometry INDICES
+   * ([[graft.functions.GeomSetProbe]] over a torrent-broadcast WKB
+   * set), `explode` fans them out, and a broadcast HASH join on the
+   * index attaches the geometry payload columns. Pick this when the
+   * geometry side fits comfortably in executor memory (it is the
+   * GiST-index replacement for the dimension-table case); pick
+   * `pointJoin` when both sides are large.
    */
   def broadcastPointJoin(geoms: DataFrame, geomCol: String,
                          points: DataFrame, px: String, py: String,
@@ -310,7 +288,7 @@ object SpatialJoin {
         s"broadcastPointJoin: column '$c' missing from " +
         points.columns.mkString("[", ",", "]"))
     }
-    checkCols("broadcastPointJoin", geoms, points, Seq("_bpx", "_bpy"))
+    checkCols("broadcastPointJoin", geoms, points, Seq("_bpx", "_bpy", "_gbidx"))
     val gIdx = geoms.schema.fieldIndex(geomCol)
     val rows = geoms.limit(maxBroadcastRows + 1).collect()
     require(rows.length <= maxBroadcastRows,
@@ -330,42 +308,29 @@ object SpatialJoin {
         "entry silently drops pairs")
     }
     val spark = points.sparkSession
-    val bc = spark.sparkContext.broadcast(rows)
-    val bcId = bc.id
+    val bc = spark.sparkContext.broadcast(
+      rows.map(_.getAs[Array[Byte]](gIdx)))
+    val holder = new graft.functions.GeomSetHolder(
+      java.util.UUID.randomUUID().toString, modeId, bc)
     def pcoord(c: String, axis: String) =
       when(col(c).isNull || isnan(col(c).cast("double")),
         raise_error(lit(s"broadcastPointJoin: NULL/NaN $axis coordinate — " +
           "a null probe would silently drop the point from every pair"))
           .cast("double"))
       .otherwise(col(c).cast("double"))
-    val pts = points
-      .withColumn("_bpx", pcoord(px, "x"))
-      .withColumn("_bpy", pcoord(py, "y"))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      geoms.schema.fields ++ points.schema.fields)
-    val nPointCols = points.columns.length
-    val gi = gIdx
-    val mid = modeId
-    pts.mapPartitions { it =>
-      val (tree, preps) = bundleFor(bcId, bc.value, gi)
-      val grows = bc.value
-      it.flatMap { p =>
-        val x = p.getDouble(nPointCols)
-        val y = p.getDouble(nPointCols + 1)
-        val cands = tree.query(
-          new org.locationtech.jts.geom.Envelope(x, x, y, y))
-        val out =
-          scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-        var i = 0
-        while (i < cands.size()) {
-          val idx = cands.get(i).asInstanceOf[Integer].intValue()
-          if (GeoOps.relatePointPrepared(mid, preps(idx), x, y))
-            out += org.apache.spark.sql.Row.fromSeq(
-              grows(idx).toSeq ++ p.toSeq.dropRight(2))
-          i += 1
-        }
-        out
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // geometry payload join-back side: index-keyed, broadcast-hash-joined
+    val idxed = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }: _*),
+      org.apache.spark.sql.types.StructType(geoms.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "_gbidx", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val probe = Bridge.column(graft.functions.GeomSetProbe(holder,
+      Bridge.expression(pcoord(px, "x")), Bridge.expression(pcoord(py, "y"))))
+    points
+      .withColumn("_gbidx", explode(probe))
+      .join(broadcast(idxed), Seq("_gbidx"))
+      .select(geoms.columns.map(col) ++ points.columns.map(col): _*)
   }
 }
