@@ -2786,6 +2786,21 @@ object SparkEntry {
         ((col("o_orderkey").cast("long") * 17) % 300).as("dst"))
       graft.ext.Graph.triangleCounts(e).orderBy("node")
     }),
+    "q238_shortest_paths" -> ((s, dir) => { ensure(s)
+      // bounded-round single-source shortest paths (Bellman-Ford, 5
+      // fixed relaxation rounds — fixed, so the oracle can replay the
+      // EXACT integer relaxation as a CTE chain): min total weight
+      // from node 0 over paths of <= 5 edges on an orders-derived
+      // weighted multigraph (parallel edges relax to the cheaper one).
+      // BIGINT distances, integer arithmetic end to end — no hash
+      // surface; unreached nodes are OMITTED on both sides.
+      val e = ld(s, dir, "orders").select(
+        (col("o_custkey").cast("long") % 350).as("src"),
+        ((col("o_orderkey").cast("long") * 13) % 350).as("dst"),
+        (lit(1L) + col("o_orderkey").cast("long") % 97).as("w"))
+      graft.ext.Graph.shortestPaths(e, wCol = Some("w"),
+        sourceId = 0L, rounds = 5).orderBy("node")
+    }),
     "q237_snap_to_roads" -> ((s, dir) => { ensure(s)
       // SNAP-to-nearest-segment join (the map-matching core): every
       // customer point snapped to its closest supplier "road" (100
@@ -5505,6 +5520,7 @@ object SparkEntry {
        "rer AS (SELECT s.query_id, s.corpus_id, list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos FROM sh s JOIN q ON q.query_id = s.query_id JOIN embeddings c ON c.vec_id = s.corpus_id) " +
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
+    "q238_shortest_paths" -> q238OracleSql(5),
     "q237_snap_to_roads" ->
       ("WITH p AS (SELECT c_custkey, CAST(c_custkey % 1000 AS DOUBLE) AS px, " +
        "CAST((c_custkey * 7) % 1000 AS DOUBLE) AS py FROM customer), " +
@@ -6815,6 +6831,25 @@ object SparkEntry {
     }.mkString
     head + rounds +
       s" SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY node"
+  }
+
+  /** q238 oracle: replay the bounded Bellman-Ford relaxation as a CTE
+   *  chain — one min-merge per round over the same orders edges. */
+  private def q238OracleSql(rounds: Int): String = {
+    val head =
+      "WITH e AS MATERIALIZED (SELECT CAST(o_custkey % 350 AS BIGINT) AS src, " +
+      "CAST((o_orderkey * 13) % 350 AS BIGINT) AS dst, " +
+      "CAST(1 + o_orderkey % 97 AS BIGINT) AS w FROM orders), " +
+      "d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"
+    val iter = (1 to rounds).map { i =>
+      val p = s"d${i - 1}"
+      s", d$i AS (SELECT node, min(dist) AS dist FROM " +
+      s"(SELECT node, dist FROM $p UNION ALL " +
+      s"SELECT e.dst AS node, $p.dist + e.w AS dist FROM $p " +
+      s"JOIN e ON e.src = $p.node) GROUP BY node)"
+    }.mkString
+    head + iter +
+      s" SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY node"
   }
 
   private def q204OracleSql(rounds: Int, maxLen: Int): String = {

@@ -128,6 +128,77 @@ object Graph {
   }
 
   /**
+   * Single-source SHORTEST PATHS bounded to `rounds` edges (Bellman-
+   * Ford relaxation run a FIXED number of rounds — fixed, like
+   * [[pageRank]]'s, to keep the result replayable by an external
+   * oracle and the job count static): the minimum total weight over
+   * all paths from `sourceId` using AT MOST `rounds` edges. With
+   * `rounds >= |V| - 1` this is the full shortest-path distance;
+   * smaller bounds are the "within k hops" query a corpus-graph
+   * pipeline usually wants. Unreached nodes are OMITTED (absence IS
+   * infinity — materializing every node at +inf would make the frame
+   * |V|-sized from round 0 for no benefit).
+   *
+   * Weights are BIGINT and must be >= 0 (refused loudly — bounded-
+   * round semantics under negative weights answers a question nobody
+   * asks); omit `wCol` for hop counts (weight 1 per edge). Addition
+   * is overflow-checked: a wrapped distance raises instead of
+   * winning the min. Integer end to end — bit-identical on any
+   * engine replaying the same relaxation (the q238 oracle does).
+   *
+   * Scale: round i joins the CURRENT distance frame (slim (node,
+   * dist) longs) against the edge table on src and min-merges — two
+   * shuffles of frames bounded by the reached set; the edge table is
+   * repartitioned ONCE on src and reused. Nothing is collected.
+   */
+  def shortestPaths(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst", wCol: Option[String] = None,
+                    sourceId: Long = 0L, rounds: Int = 10): DataFrame = {
+    require(rounds >= 1 && rounds <= 200,
+      s"shortestPaths: rounds must be in [1, 200], got $rounds")
+    (Seq(srcCol, dstCol) ++ wCol).foreach { c =>
+      require(edges.columns.contains(c),
+        s"shortestPaths: column '$c' missing from ${edges.columns.mkString("[", ",", "]")}")
+    }
+    val wExpr = wCol match {
+      case Some(w) =>
+        when(col(w).isNull,
+          raise_error(lit("shortestPaths: NULL weight — a silently " +
+            "dropped edge would misreport a distance")).cast(LongType))
+        .when(col(w).cast(LongType) < 0L,
+          raise_error(lit("shortestPaths: negative weight — bounded-round " +
+            "relaxation is only meaningful for non-negative weights"))
+            .cast(LongType))
+        .otherwise(col(w).cast(LongType))
+      case None => lit(1L)
+    }
+    val e = edges.select(
+        refusedLong(edges, srcCol, "shortestPaths").as("src"),
+        refusedLong(edges, dstCol, "shortestPaths").as("dst"),
+        wExpr.as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((sourceId, 0L)).toDF("node", "dist").localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          when(col("dist") + col("w") < col("dist"),
+            raise_error(lit("shortestPaths: distance overflow — weights " +
+              "too large for the round bound")).cast(LongType))
+          .otherwise(col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      i += 1
+    }
+    e.unpersist()
+    dist
+  }
+
+  /**
    * Per-node TRIANGLE COUNTS over an undirected graph given as an edge
    * table (either orientation, duplicates and self-loops tolerated:
    * edges are canonicalized to `least/greatest` pairs, deduplicated,

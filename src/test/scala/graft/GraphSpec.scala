@@ -71,6 +71,68 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Local reference: Bellman-Ford, exactly `rounds` relaxation rounds. */
+  private def refSp(edges: Seq[(Long, Long, Long)], src: Long,
+                    rounds: Int): Map[Long, Long] = {
+    var d = Map(src -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (u, v, w) =>
+        d.get(u).map(du => v -> (du + w))
+      }
+      d = (d.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    d
+  }
+
+  private def spOf(edges: Seq[(Long, Long, Long)], src: Long,
+                   rounds: Int, hops: Boolean = false): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst", "w")
+    Graph.shortestPaths(df, wCol = if (hops) None else Some("w"),
+        sourceId = src, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("shortestPaths matches the Bellman-Ford reference; bound semantics; omission") {
+    // 0->1 (10), 0->2 (1), 2->1 (2), 1->3 (1), 4 unreachable from 0,
+    // parallel edge 0->2 (5) loses to the cheaper one
+    val edges = Seq[(Long, Long, Long)](
+      (0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (4, 0, 7), (0, 2, 5))
+    for (rounds <- Seq(1, 2, 3, 6)) {
+      val got = spOf(edges, 0L, rounds)
+      assert(got === refSp(edges, 0L, rounds), s"rounds=$rounds")
+    }
+    // at rounds=1 only direct edges: 1 via 0->1 costs 10 (the 2-hop
+    // cheaper path needs round 2); node 3 needs 3 hops; 4 never appears
+    assert(spOf(edges, 0L, 1) === Map(0L -> 0L, 1L -> 10L, 2L -> 1L))
+    assert(spOf(edges, 0L, 3)(1L) === 3L && spOf(edges, 0L, 3)(3L) === 4L)
+    assert(!spOf(edges, 0L, 6).contains(4L))
+    // hop-count mode (no weight column)
+    assert(spOf(edges, 0L, 6, hops = true) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("shortestPaths refusals: negative weight, NULL weight, rounds range") {
+    import spark.implicits._
+    val neg = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+    val e1 = intercept[Exception] {
+      Graph.shortestPaths(neg, wCol = Some("w"), sourceId = 0L, rounds = 2).collect()
+    }
+    assert(e1.toString.contains("negative weight") ||
+      Option(e1.getCause).exists(_.getMessage.contains("negative weight")))
+    val nw = Seq((Some(0L), Some(1L), None: Option[Long])).toDF("src", "dst", "w")
+    val e2 = intercept[Exception] {
+      Graph.shortestPaths(nw, wCol = Some("w"), sourceId = 0L, rounds = 2).collect()
+    }
+    assert(e2.toString.contains("NULL weight") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL weight")))
+    val ok = Seq((0L, 1L, 1L)).toDF("src", "dst", "w")
+    assertThrows[IllegalArgumentException] {
+      Graph.shortestPaths(ok, wCol = Some("w"), rounds = 0)
+    }
+  }
+
   /** Brute per-node triangle counts over canonical distinct edges. */
   private def refTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = edges.filter(e => e._1 != e._2)
