@@ -2786,6 +2786,30 @@ object SparkEntry {
         ((col("o_orderkey").cast("long") * 17) % 300).as("dst"))
       graft.ext.Graph.triangleCounts(e).orderBy("node")
     }),
+    "q239_connected_components" -> ((s, dir) => { ensure(s)
+      // weakly-connected components as the FIRST-CLASS graph entry
+      // point (Dedup.components has run under the dedup pipelines
+      // since round 3; this gate pins the edge-table surface against
+      // a DuckDB recursive-CTE min-label oracle directly). Fixture:
+      // 40 disjoint islands of <= 37 nodes with modular intra-island
+      // edges — multiple nontrivial components per island occur.
+      val island = (col("o_orderkey") % 40) * 100
+      val e = ld(s, dir, "orders").select(
+        (island + (col("o_custkey") % 37)).cast("long").as("src"),
+        (island + ((col("o_custkey") * 7 + col("o_orderkey")) % 37))
+          .cast("long").as("dst"))
+      graft.ext.Graph.connectedComponents(e).orderBy("node")
+    }),
+    "q240_cooccurrence" -> ((s, dir) => { ensure(s)
+      // bipartite CO-OCCURRENCE projection (docs x terms -> term-term
+      // shared-doc counts): canonical a < b pairs, duplicate edges
+      // collapsed, generated map-side from each src's SORTED bounded
+      // dst set under the loud maxSrcDegree hub cap. Pure integers.
+      val e = ld(s, dir, "orders").select(
+        (col("o_orderkey").cast("long") % 200).as("src"),
+        (col("o_custkey").cast("long") % 50).as("dst"))
+      graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
+    }),
     "q238_shortest_paths" -> ((s, dir) => { ensure(s)
       // bounded-round single-source shortest paths (Bellman-Ford, 5
       // fixed relaxation rounds — fixed, so the oracle can replay the
@@ -5521,6 +5545,23 @@ object SparkEntry {
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
+    "q239_connected_components" ->
+      ("WITH RECURSIVE raw AS MATERIALIZED (SELECT " +
+       "CAST((o_orderkey % 40) * 100 + (o_custkey % 37) AS BIGINT) AS s, " +
+       "CAST((o_orderkey % 40) * 100 + ((o_custkey * 7 + o_orderkey) % 37) AS BIGINT) AS d " +
+       "FROM orders), " +
+       "e AS MATERIALIZED (SELECT s AS a, d AS b FROM raw UNION SELECT d, s FROM raw), " +
+       "nd AS MATERIALIZED (SELECT DISTINCT a AS node FROM e), " +
+       "reach AS (SELECT node AS nd, node AS r FROM nd " +
+       "UNION SELECT e.b AS nd, reach.r FROM e JOIN reach ON e.a = reach.nd) " +
+       "SELECT nd AS node, CAST(min(r) AS BIGINT) AS rep FROM reach " +
+       "GROUP BY nd ORDER BY node"),
+    "q240_cooccurrence" ->
+      ("WITH e AS (SELECT DISTINCT CAST(o_orderkey % 200 AS BIGINT) AS s, " +
+       "CAST(o_custkey % 50 AS BIGINT) AS d FROM orders) " +
+       "SELECT e1.d AS a, e2.d AS b, CAST(count(*) AS BIGINT) AS n_shared " +
+       "FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d " +
+       "GROUP BY e1.d, e2.d ORDER BY a, b"),
     "q237_snap_to_roads" ->
       ("WITH p AS (SELECT c_custkey, CAST(c_custkey % 1000 AS DOUBLE) AS px, " +
        "CAST((c_custkey * 7) % 1000 AS DOUBLE) AS py FROM customer), " +

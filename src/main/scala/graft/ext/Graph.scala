@@ -128,6 +128,76 @@ object Graph {
   }
 
   /**
+   * Weakly-CONNECTED COMPONENTS over an edge table — the first-class
+   * graph-family entry point for the machinery [[Dedup.components]]
+   * has run under the dedup pipelines since round 3 (min-label
+   * propagation with pointer doubling; converges in O(log d) rounds of
+   * slim (node, rep) joins). Directions are ignored (weak
+   * connectivity); self-loops are fine; every node that appears in
+   * the edge table gets a row. Returns `(node, rep)` where `rep` is
+   * the component's minimum node id — deterministic under any
+   * parallelism.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIter: Int = 20): DataFrame = {
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.columns.contains(c),
+        s"connectedComponents: column '$c' missing from ${edges.columns.mkString("[", ",", "]")}")
+    }
+    Dedup.components(edges.select(
+      refusedLong(edges, srcCol, "connectedComponents").as("id"),
+      refusedLong(edges, dstCol, "connectedComponents").as("id2")), maxIter)
+  }
+
+  /**
+   * CO-OCCURRENCE projection of a bipartite edge table (docs × terms,
+   * users × items): every unordered pair of DISTINCT right endpoints
+   * sharing a left endpoint, with the number of shared lefts — the
+   * corpus co-occurrence graph that feeds PMI / embedding-adjacent
+   * pipelines. Pairs are canonical (`a < b`); a (src, dst) edge
+   * counted once regardless of input duplicates.
+   *
+   * The quadratic hazard is structural: one hub src with 10⁶ dsts
+   * yields 5·10¹¹ pairs. Like every candidate-generating operator in
+   * this repo the cap is LOUD, not silent: a src whose distinct-dst
+   * degree exceeds `maxSrcDegree` REFUSES with the id and count —
+   * sample or drop hubs explicitly upstream (they are stopword-class
+   * evidence anyway), never lose pairs silently. Scale: one shuffle
+   * to group by src, pairs generated map-side from each src's bounded
+   * dst set, one aggregate shuffle on the pair key.
+   */
+  def coOccurrence(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst",
+                   maxSrcDegree: Int = 10000): DataFrame = {
+    require(maxSrcDegree >= 2,
+      s"coOccurrence: maxSrcDegree must be >= 2, got $maxSrcDegree")
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.columns.contains(c),
+        s"coOccurrence: column '$c' missing from ${edges.columns.mkString("[", ",", "]")}")
+    }
+    val e = edges.select(
+        refusedLong(edges, srcCol, "coOccurrence").as("s"),
+        refusedLong(edges, dstCol, "coOccurrence").as("d"))
+      .distinct()
+    val grouped = e.groupBy("s")
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
+      .select(
+        when(size(col("ds")) > maxSrcDegree,
+          raise_error(concat(lit("coOccurrence: src "), col("s").cast("string"),
+            lit(" has "), size(col("ds")).cast("string"),
+            lit(s" distinct dsts > maxSrcDegree ($maxSrcDegree) — drop or " +
+              "sample hub sources explicitly upstream"))).cast("array<bigint>"))
+        .otherwise(col("ds")).as("ds"))
+    // all ordered index pairs (i < j) of the sorted per-src dst set —
+    // canonical (a < b) for free, generated map-side
+    grouped
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Single-source SHORTEST PATHS bounded to `rounds` edges (Bellman-
    * Ford relaxation run a FIXED number of rounds — fixed, like
    * [[pageRank]]'s, to keep the result replayable by an external

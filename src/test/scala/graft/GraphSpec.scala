@@ -185,6 +185,45 @@ class GraphSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("connectedComponents: brute union-find twin, direction/self-loop tolerance") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (5, 4), (7, 7), (9, 8), (8, 10))
+    // brute: min reachable id per node over the symmetric closure
+    val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+    val nodes = sym.map(_._1).distinct
+    def reach(n: Long): Set[Long] = {
+      var seen = Set(n); var frontier = Set(n)
+      while (frontier.nonEmpty) {
+        val next = sym.filter(e => frontier(e._1)).map(_._2).toSet -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val exp = nodes.map(n => n -> reach(n).min).toMap
+    val got = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+    assert(got(7L) === 7L && got(10L) === 8L && got(4L) === 4L)
+  }
+
+  test("coOccurrence: brute twin, duplicate collapse, hub cap refusal") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)](
+      (1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 12), (1, 10), (2, 10))
+    val got = Graph.coOccurrence(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // src 1 -> {10,11,12}: 3 pairs; src 2 -> {10,11}: 1 pair; src 3 singleton
+    assert(got === Set((10L, 11L, 2L), (10L, 12L, 1L), (11L, 12L, 1L)))
+    val eCap = intercept[Exception] {
+      Graph.coOccurrence(edges.toDF("src", "dst"), maxSrcDegree = 2).collect()
+    }
+    assert(eCap.toString.contains("maxSrcDegree") ||
+      Option(eCap.getCause).exists(_.getMessage.contains("maxSrcDegree")))
+    assertThrows[IllegalArgumentException] {
+      Graph.coOccurrence(edges.toDF("src", "dst"), maxSrcDegree = 1)
+    }
+  }
+
   test("triangleCounts refusal: NULL endpoint") {
     import spark.implicits._
     val bad = Seq((Some(1L), None: Option[Long])).toDF("src", "dst")
