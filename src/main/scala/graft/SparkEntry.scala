@@ -2786,6 +2786,27 @@ object SparkEntry {
         ((col("o_orderkey").cast("long") * 17) % 300).as("dst"))
       graft.ext.Graph.triangleCounts(e).orderBy("node")
     }),
+    "q241_tile_aggregate" -> ((s, dir) => { ensure(s)
+      // Web-Mercator TILE indexing (slippy z/x/y + Bing quadkey) as
+      // the spatial partition key: per-tile point counts at z=4 over
+      // a synthetic global customer grid. tile_x is affine (bit-
+      // portable); tile_y rides ln/tan ulp classes, so the fixture's
+      // latitudes sit >= 0.003 deg from every z=4 tile boundary
+      // (boundaries are irrational asinh roots; fixture lats are
+      // 0.05-offset decimals) — margins >> 1e-15 cross-libm drift,
+      // the q220 convention. Oracle replays the published formula.
+      val pts = ld(s, dir, "customer").select(
+        ((col("c_custkey") % 1400).cast("double") / 10.0 - 70.0 + 0.05)
+          .as("lat"),
+        (((col("c_custkey") * 7) % 3600).cast("double") / 10.0 - 180.0 + 0.05)
+          .as("lon"))
+      pts.select(
+          graft.core.Tiles.quadkey(col("lon"), col("lat"), 4).as("qk"),
+          graft.core.Tiles.tileX(col("lon"), 4).as("tx"),
+          graft.core.Tiles.tileY(col("lat"), 4).as("ty"))
+        .groupBy("qk", "tx", "ty").agg(count(lit(1)).as("n"))
+        .orderBy("qk")
+    }),
     "q239_connected_components" -> ((s, dir) => { ensure(s)
       // weakly-connected components as the FIRST-CLASS graph entry
       // point (Dedup.components has run under the dedup pipelines
@@ -5545,6 +5566,16 @@ object SparkEntry {
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
+    "q241_tile_aggregate" ->
+      ("WITH p AS (SELECT CAST(c_custkey % 1400 AS DOUBLE)/10.0 - 70.0 + 0.05 AS lat, " +
+       "CAST((c_custkey*7) % 3600 AS DOUBLE)/10.0 - 180.0 + 0.05 AS lon FROM customer), " +
+       "t AS (SELECT least(CAST(floor((lon+180.0)/360.0*16) AS BIGINT), 15) AS tx, " +
+       "greatest(0, least(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*16) AS BIGINT), 15)) AS ty FROM p) " +
+       "SELECT concat(CAST((ty//8)%2*2 + (tx//8)%2 AS VARCHAR), " +
+       "CAST((ty//4)%2*2 + (tx//4)%2 AS VARCHAR), " +
+       "CAST((ty//2)%2*2 + (tx//2)%2 AS VARCHAR), " +
+       "CAST(ty%2*2 + tx%2 AS VARCHAR)) AS qk, tx, ty, " +
+       "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, tx, ty ORDER BY qk"),
     "q239_connected_components" ->
       ("WITH RECURSIVE raw AS MATERIALIZED (SELECT " +
        "CAST((o_orderkey % 40) * 100 + (o_custkey % 37) AS BIGINT) AS s, " +

@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-Mercator TILE indexing (the OSM/slippy z/x/y scheme and its
+ * Bing-style quadkey string form) as plain Column compositions — the
+ * standard spatial PARTITION KEY for serving and for locality-
+ * preserving layout: `df.repartition(col("qk"))` or a groupBy on the
+ * tile column gives per-tile aggregates with one shuffle, and quadkey
+ * PREFIXES nest (a z=10 key's first 6 chars are its z=6 ancestor), so
+ * one stored column answers every coarser zoom by `substring` — no
+ * re-binning scan at 100 TB.
+ *
+ * Formulas are the published slippy-map ones:
+ *   x = floor((lon + 180) / 360 · 2^z)
+ *   y = floor((1 − asinh(tan φ) / π) / 2 · 2^z)
+ * with the x = 2^z seam at lon = +180 clamped to 2^z − 1 (the standard
+ * wrap). Latitudes beyond the Mercator limit (|φ| > 85.0511287798066,
+ * where the projection diverges) are REFUSED loudly, as are NULL/NaN
+ * coordinates and longitudes outside [−180, 180] — a clamped-silently
+ * pole row would land every polar point in one seam tile.
+ *
+ * EXACTNESS NOTE (the cross-engine contract every gate states): tile_x
+ * is pure affine arithmetic — bit-portable. tile_y rides `ln`/`tan`
+ * (one ulp-class each, libm-dependent), so a point PATHOLOGICALLY
+ * close to a tile boundary (within ~1e-15 relative) could bin
+ * differently across engines; the q241 fixture audits its margins like
+ * the geodesic gates do. For production layout keys this is harmless —
+ * a boundary flip moves a point to the adjacent tile, it never loses
+ * the point.
+ */
+object Tiles {
+
+  /** Mercator latitude limit: atan(sinh(pi)) in degrees. */
+  final val MaxLatDeg: Double = 85.0511287798066
+
+  private def checkedLon(lon: Column): Column =
+    when(lon.isNull || isnan(lon) || lon < -180.0 || lon > 180.0,
+      raise_error(concat(lit("tiles: longitude out of [-180, 180]: "),
+        lon.cast("string"))).cast("double"))
+    .otherwise(lon)
+
+  private def checkedLat(lat: Column): Column =
+    when(lat.isNull || isnan(lat) ||
+         lat < -MaxLatDeg || lat > MaxLatDeg,
+      raise_error(concat(lit("tiles: latitude outside the Mercator range "),
+        lit(s"[-$MaxLatDeg, $MaxLatDeg]: "), lat.cast("string"),
+        lit(" — filter or clamp polar rows explicitly"))).cast("double"))
+    .otherwise(lat)
+
+  private def require_z(z: Int): Unit =
+    require(z >= 0 && z <= 30, s"tiles: zoom must be in [0, 30], got $z")
+
+  /** Slippy tile x at zoom `z` (BIGINT column). */
+  def tileX(lon: Column, z: Int): Column = {
+    require_z(z)
+    val n = 1L << z
+    least(floor((checkedLon(lon) + 180.0) / 360.0 * n).cast("long"),
+      lit(n - 1)) // lon = +180 seam wraps into the last column
+  }
+
+  /** Slippy tile y at zoom `z` (BIGINT column); asinh(tan φ) written as
+    * ln(tan φ + 1/cos φ) — the exact published form, replayable in any
+    * engine with ln/tan/cos. */
+  def tileY(lat: Column, z: Int): Column = {
+    require_z(z)
+    val n = 1L << z
+    val phi = radians(checkedLat(lat))
+    val y = (lit(1.0) - log(tan(phi) + lit(1.0) / cos(phi)) / math.Pi) / 2.0 * n
+    // the lat = ±MaxLat edges map to exactly 0 / 2^z in real arithmetic,
+    // but one ulp of ln/tan drift puts them at -1 / 2^z in floats: clamp
+    // BOTH seams into [0, 2^z - 1] (same convention as the x seam)
+    greatest(lit(0L), least(floor(y).cast("long"), lit(n - 1)))
+  }
+
+  /** Bing-style quadkey: z base-4 digits, digit i (from the most
+    * significant) = 2·bit(y, z−1−i) + bit(x, z−1−i). Prefix-nesting is
+    * the point: `substring(quadkey(z=12), 1, 8)` IS the z=8 key. */
+  def quadkey(lon: Column, lat: Column, z: Int): Column = {
+    require_z(z)
+    require(z >= 1, "tiles: quadkey needs zoom >= 1")
+    val x = tileX(lon, z)
+    val y = tileY(lat, z)
+    val digits = (z - 1 to 0 by -1).map { b =>
+      (shiftright(y, b) % 2 * 2 + shiftright(x, b) % 2).cast("string")
+    }
+    concat(digits: _*)
+  }
+}

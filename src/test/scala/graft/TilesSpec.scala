@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tiles
+
+/** [[graft.core.Tiles]] vs a local scalar reference of the published
+  * slippy formulas, plus the seam/limit/refusal surface and the
+  * quadkey prefix-nesting property the layout use case rests on. */
+class TilesSpec extends SparkSpec {
+
+  private def refX(lon: Double, z: Int): Long =
+    math.min(math.floor((lon + 180.0) / 360.0 * (1L << z)).toLong, (1L << z) - 1)
+  private def refY(lat: Double, z: Int): Long = {
+    val phi = math.toRadians(lat)
+    val y = (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.Pi) /
+      2.0 * (1L << z)
+    math.min(math.floor(y).toLong, (1L << z) - 1)
+  }
+
+  test("tileX/tileY match the scalar reference over a global grid") {
+    import spark.implicits._
+    val pts = (for (i <- 0 until 60; j <- 0 until 30) yield
+      (i * 6.0 - 179.95, j * 5.6 - 83.9)).toDF("lon", "lat")
+    for (z <- Seq(0, 1, 4, 12)) {
+      val got = pts.select(col("lon"), col("lat"),
+          Tiles.tileX(col("lon"), z).as("x"), Tiles.tileY(col("lat"), z).as("y"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(2) === refX(r.getDouble(0), z), s"x at z=$z ${r.getDouble(0)}")
+        assert(r.getLong(3) === refY(r.getDouble(1), z), s"y at z=$z ${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("seams and limits: lon=+180 wraps, Mercator-limit latitudes clamp into range") {
+    import spark.implicits._
+    val df = Seq((180.0, 0.0), (-180.0, 0.0),
+      (0.0, Tiles.MaxLatDeg), (0.0, -Tiles.MaxLatDeg)).toDF("lon", "lat")
+    val rows = df.select(Tiles.tileX(col("lon"), 4).as("x"),
+      Tiles.tileY(col("lat"), 4).as("y")).collect()
+    assert(rows(0).getLong(0) === 15L && rows(1).getLong(0) === 0L)
+    assert(rows(2).getLong(1) === 0L && rows(3).getLong(1) === 15L)
+  }
+
+  test("quadkey: known cells, prefix nesting, digit alphabet") {
+    import spark.implicits._
+    val df = Seq((0.05, 0.05), (-100.0, 45.0), (150.0, -33.0)).toDF("lon", "lat")
+    val qk = df.select(
+      Tiles.quadkey(col("lon"), col("lat"), 1).as("q1"),
+      Tiles.quadkey(col("lon"), col("lat"), 6).as("q6"),
+      Tiles.quadkey(col("lon"), col("lat"), 10).as("q10")).collect()
+    // (0.05, 0.05): x-bit 1, y-bit 0 at z=1 -> digit "1" (NE quadrant)
+    assert(qk(0).getString(0) === "1")
+    qk.foreach { r =>
+      assert(r.getString(2).startsWith(r.getString(1)), "z=6 prefix of z=10")
+      assert(r.getString(1).length === 6 && r.getString(2).length === 10)
+      assert(r.getString(2).forall(c => c >= '0' && c <= '3'))
+    }
+  }
+
+  test("refusals: polar latitude, out-of-range longitude, NaN, zoom bounds") {
+    import spark.implicits._
+    def bad(lon: Double, lat: Double) = {
+      val df = Seq((lon, lat)).toDF("lon", "lat")
+      intercept[Exception] {
+        df.select(Tiles.tileX(col("lon"), 4), Tiles.tileY(col("lat"), 4)).collect()
+      }
+    }
+    assert(bad(0.0, 89.0).toString.contains("Mercator") ||
+      Option(bad(0.0, 89.0).getCause).exists(_.getMessage.contains("Mercator")))
+    assert(bad(181.0, 0.0).toString.contains("longitude") ||
+      Option(bad(181.0, 0.0).getCause).exists(_.getMessage.contains("longitude")))
+    bad(Double.NaN, 0.0)
+    assertThrows[IllegalArgumentException] { Tiles.tileX(lit(0.0), 31) }
+    assertThrows[IllegalArgumentException] { Tiles.quadkey(lit(0.0), lit(0.0), 0) }
+  }
+}
