@@ -2786,6 +2786,64 @@ object SparkEntry {
         ((col("o_orderkey").cast("long") * 17) % 300).as("dst"))
       graft.ext.Graph.triangleCounts(e).orderBy("node")
     }),
+    "q242_stream_broadcast_tag" -> ((s, dir) => { ensure(s)
+      // STREAMING broadcast point-in-polygon tagging: q230's fixture
+      // through broadcastPointJoin — the probe is a stateless
+      // codegen'd expression (GeomSetProbe) and the payload attach is
+      // a stream-static broadcast hash join on the index, so the BATCH
+      // operator composes with readStream UNCHANGED (the zero-shuffle
+      // property is exactly what a low-latency stream wants: no
+      // per-batch exchange at all). Same pure-integer oracle as
+      // q224/q230.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-bcstream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.read(s, stage.toString)
+        .select(col("event_id"),
+          ((col("event_id") * 11) % 1000).cast("double").as("ex"),
+          ((col("event_id") * 31) % 1000).cast("double").as("ey"))
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val tri = ld(s, dir, "supplier").select(col("s_suppkey"),
+        st_geomfromtext(concat(lit("POLYGON(("),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 60).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), (ay + 60).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit("))"))).as("tri"))
+      val out = graft.core.SpatialJoin.broadcastPointJoin(tri, "tri",
+        ev, "ex", "ey", "intersects")
+      val qname = "gate_bcst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.select(col("event_id"), col("s_suppkey"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("event_id", "s_suppkey")
+    }),
+    "q243_stream_tile_counts" -> ((s, dir) => { ensure(s)
+      // STREAMING per-tile counts: the q241 tile columns are stateless
+      // projections, so a streaming groupBy on the quadkey is an
+      // ordinary streaming aggregation (complete mode, AvailableNow) —
+      // the layout key works unchanged on a stream. Same margin-
+      // audited fixture family as q241, drawn from event ids.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-tlstream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = EventStream.read(s, stage.toString).select(
+        ((col("event_id") % 1400).cast("double") / 10.0 - 70.0 + 0.05)
+          .as("lat"),
+        (((col("event_id") * 7) % 3600).cast("double") / 10.0 - 180.0 + 0.05)
+          .as("lon"))
+      val out = ev.select(
+          graft.core.Tiles.quadkey(col("lon"), col("lat"), 4).as("qk"))
+        .groupBy("qk").agg(count(lit(1)).as("n"))
+      val qname = "gate_tlst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("qk")
+    }),
     "q241_tile_aggregate" -> ((s, dir) => { ensure(s)
       // Web-Mercator TILE indexing (slippy z/x/y + Bing quadkey) as
       // the spatial partition key: per-tile point counts at z=4 over
@@ -5566,6 +5624,23 @@ object SparkEntry {
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
+    "q242_stream_broadcast_tag" ->
+      ("SELECT e.event_id, s.s_suppkey FROM events e CROSS JOIN supplier s " +
+       "WHERE ((e.event_id * 11) % 1000) >= ((s.s_suppkey * 3) % 1000) " +
+       "AND ((e.event_id * 31) % 1000) >= ((s.s_suppkey * 13) % 1000) " +
+       "AND (((e.event_id * 11) % 1000) - ((s.s_suppkey * 3) % 1000)) + " +
+       "(((e.event_id * 31) % 1000) - ((s.s_suppkey * 13) % 1000)) <= 60 " +
+       "ORDER BY event_id, s_suppkey"),
+    "q243_stream_tile_counts" ->
+      ("WITH p AS (SELECT CAST(event_id % 1400 AS DOUBLE)/10.0 - 70.0 + 0.05 AS lat, " +
+       "CAST((event_id*7) % 3600 AS DOUBLE)/10.0 - 180.0 + 0.05 AS lon FROM events), " +
+       "t AS (SELECT least(CAST(floor((lon+180.0)/360.0*16) AS BIGINT), 15) AS tx, " +
+       "greatest(0, least(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*16) AS BIGINT), 15)) AS ty FROM p) " +
+       "SELECT concat(CAST((ty//8)%2*2 + (tx//8)%2 AS VARCHAR), " +
+       "CAST((ty//4)%2*2 + (tx//4)%2 AS VARCHAR), " +
+       "CAST((ty//2)%2*2 + (tx//2)%2 AS VARCHAR), " +
+       "CAST(ty%2*2 + tx%2 AS VARCHAR)) AS qk, " +
+       "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1 ORDER BY qk"),
     "q241_tile_aggregate" ->
       ("WITH p AS (SELECT CAST(c_custkey % 1400 AS DOUBLE)/10.0 - 70.0 + 0.05 AS lat, " +
        "CAST((c_custkey*7) % 3600 AS DOUBLE)/10.0 - 180.0 + 0.05 AS lon FROM customer), " +

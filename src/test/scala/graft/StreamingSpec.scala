@@ -78,6 +78,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static broadcastPointJoin == batch (probe expression composes unchanged)") {
+    // the GeomSetProbe expression is stateless and the payload attach
+    // is a stream-static broadcast hash join on the index, so the
+    // BATCH operator runs on a readStream points side with no
+    // streaming variant — pinned against the batch run exactly
+    val dir = "/root/testdata/sf0.001/events.parquet"
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GeoFunctions.registerAll(spark)
+    import graft.functions.GeoFunctions._
+    def coords(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id"),
+      ((col("event_id") * 11) % 300).cast("double").as("ex"),
+      ((col("event_id") * 31) % 300).cast("double").as("ey"))
+    val tris = (0L until 30L).map { i =>
+      val ax = i * 13 % 300; val ay = i * 29 % 300
+      (i, s"POLYGON(($ax $ay, ${ax + 50} $ay, $ax ${ay + 50}, $ax $ay))")
+    }.toDF("gid", "wkt").select($"gid", st_geomfromtext($"wkt").as("g"))
+    val batch = graft.core.SpatialJoin.broadcastPointJoin(tris, "g",
+        coords(EventStream.loadEvents(spark, dir)), "ex", "ey")
+      .select("gid", "event_id").collect().map(_.toSeq).toSet
+    val stageDir = tmpDir("bc-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(stageDir, "events.parquet"))
+    val out = graft.core.SpatialJoin.broadcastPointJoin(tris, "g",
+        coords(EventStream.read(spark, stageDir)), "ex", "ey")
+      .select("gid", "event_id")
+    val qname = s"bcst_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qname).collect().map(_.toSeq).toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("stream-static geodesic radius join == batch (operator composes unchanged)") {
     // geoRadiusJoin is stateless scalar banding + a stream-static
     // equi-join on (band, cell), so the BATCH operator runs on a
