@@ -2889,6 +2889,17 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q244_personalized_pagerank" -> ((s, dir) => { ensure(s)
+      // PERSONALIZED PageRank (teleport restricted to seeds {0, 7,
+      // 13}, dangling mass returns to the seeds): q234's edge fixture
+      // and integer floor arithmetic with the teleport terms
+      // redirected — the oracle replays the seeded spec in DuckDB `//`.
+      val e = ld(s, dir, "orders").select(
+        (col("o_custkey").cast("long") % 400).as("src"),
+        ((col("o_orderkey").cast("long") * 31) % 403).as("dst"))
+      graft.ext.Graph.personalizedPageRank(e, Seq(0L, 7L, 13L), iters = 4)
+        .orderBy("node")
+    }),
     "q238_shortest_paths" -> ((s, dir) => { ensure(s)
       // bounded-round single-source shortest paths (Bellman-Ford, 5
       // fixed relaxation rounds — fixed, so the oracle can replay the
@@ -5624,6 +5635,7 @@ object SparkEntry {
        "SELECT query_id, corpus_id, rank, cosine6 FROM (SELECT query_id, corpus_id, round(cos, 6) AS cosine6, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS INT) AS rank FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"),
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
+    "q244_personalized_pagerank" -> q244OracleSql(4, Seq(0L, 7L, 13L)),
     "q242_stream_broadcast_tag" ->
       ("SELECT e.event_id, s.s_suppkey FROM events e CROSS JOIN supplier s " +
        "WHERE ((e.event_id * 11) % 1000) >= ((s.s_suppkey * 3) % 1000) " +
@@ -6997,6 +7009,35 @@ object SparkEntry {
     }.mkString
     head + iter +
       s" SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY node"
+  }
+
+  /** q244 oracle: the q234 relaxation chain with the teleport terms
+   *  restricted to the seed set. */
+  private def q244OracleSql(iters: Int, seeds: Seq[Long]): String = {
+    val inSeeds = s"IN (${seeds.mkString(", ")})"
+    val nS = seeds.size
+    val head =
+      "WITH e AS MATERIALIZED (SELECT CAST(o_custkey % 400 AS BIGINT) AS src, " +
+      "CAST((o_orderkey * 31) % 403 AS BIGINT) AS dst FROM orders), " +
+      "nd AS MATERIALIZED (SELECT DISTINCT node FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e " +
+      s"UNION ALL SELECT CAST(unnest([${seeds.mkString(", ")}]) AS BIGINT))), " +
+      "dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src), " +
+      "r0 AS (SELECT node, CASE WHEN node " + inSeeds +
+      s" THEN 1000000000000 // $nS ELSE 0 END AS pr FROM nd)"
+    val rounds = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s", d$i AS (SELECT COALESCE(sum(r.pr), 0) AS ds FROM $p r " +
+      "LEFT JOIN dg ON dg.src = r.node WHERE dg.src IS NULL)" +
+      s", c$i AS (SELECT e.dst AS node, sum((r.pr * 85) // (100 * dg.d)) AS cs " +
+      s"FROM e JOIN $p r ON r.node = e.src JOIN dg ON dg.src = e.src GROUP BY e.dst)" +
+      s", r$i AS (SELECT nd.node, CASE WHEN nd.node " + inSeeds +
+      s" THEN (150000000000 // $nS) + ((d$i.ds * 85) // (100 * $nS)) ELSE 0 END " +
+      s"+ COALESCE(c$i.cs, 0) AS pr " +
+      s"FROM nd CROSS JOIN d$i LEFT JOIN c$i ON c$i.node = nd.node)"
+    }.mkString
+    head + rounds +
+      s" SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY node"
   }
 
   private def q204OracleSql(rounds: Int, maxLen: Int): String = {

@@ -128,6 +128,80 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PageRank: [[pageRank]] with the teleport restricted
+   * to a source set — the "rank relative to these seeds" query behind
+   * seed-expansion dedup and related-document mining. Identical
+   * integer floor semantics with the teleport terms redirected:
+   *
+   *   pr⁰(v)  = RankScale div |S|  if v ∈ S else 0
+   *   pr'(v)  = [v ∈ S] · ((RankScale·15 div 100) div |S|
+   *             + (danglingSum · 85) div (100 · |S|))
+   *            + Σ contrib   (contrib as in [[pageRank]])
+   *
+   * (dangling mass teleports back to the seeds — the standard PPR
+   * treatment). Sources need not appear in the edge table; unknown
+   * seeds still hold teleport mass. Same scale shape as [[pageRank]];
+   * same engine-replayable exactness (the q244 oracle).
+   */
+  def personalizedPageRank(edges: DataFrame, sources: Seq[Long],
+                           srcCol: String = "src", dstCol: String = "dst",
+                           iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"personalizedPageRank: iters must be in [1, 100], got $iters")
+    require(sources.nonEmpty && sources.distinct.size == sources.size,
+      "personalizedPageRank: sources must be non-empty and distinct")
+    Seq(srcCol, dstCol).foreach { c =>
+      require(edges.columns.contains(c),
+        s"personalizedPageRank: column '$c' missing from ${edges.columns.mkString("[", ",", "]")}")
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+        refusedLong(edges, srcCol, "personalizedPageRank").as("src"),
+        refusedLong(edges, dstCol, "personalizedPageRank").as("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = sources.toDF("node")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(srcSet.select(col("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = sources.size.toLong
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDeg = e.join(deg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val isSeed = col("node").isin(sources: _*)
+    val base = (RankScale * 15L / 100L) / nS
+    var ranks = nodes.select(col("node"),
+        when(isSeed, lit(RankScale / nS)).otherwise(lit(0L)).as("pr"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val ds = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum("pr"), lit(0L)).as("s"))
+        .head().getLong(0)
+      val dTerm = (ds * 85L) / (100L * nS)
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(pr * 85) div (100 * outdeg)").as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(base + dTerm)).otherwise(lit(0L)) +
+            coalesce(col("cs"), lit(0L))).as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    Seq(e, nodes, deg, dangling, eDeg).foreach(_.unpersist())
+    ranks
+  }
+
+  /**
    * Weakly-CONNECTED COMPONENTS over an edge table — the first-class
    * graph-family entry point for the machinery [[Dedup.components]]
    * has run under the dedup pipelines since round 3 (min-label

@@ -71,6 +71,49 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Local reference for personalizedPageRank's integer semantics. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct.sorted
+    val s = seeds.toSet
+    val nS = seeds.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var pr: Map[Long, Long] =
+      nodes.map(v => v -> (if (s(v)) RankScale / nS else 0L)).toMap
+    val base = (RankScale * 15L / 100L) / nS
+    for (_ <- 1 to iters) {
+      val ds = nodes.filterNot(outdeg.contains).map(pr).sum
+      val dTerm = (ds * 85L) / (100L * nS)
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => (pr(u) * 85L) / (100L * outdeg(u)) }.sum
+      }
+      pr = nodes.map(v => v ->
+        ((if (s(v)) base + dTerm else 0L) + contrib.getOrElse(v, 0L))).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank matches its integer reference; all-nodes seeds = pageRank") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 5))
+    val df = edges.toDF("src", "dst")
+    for (seeds <- Seq(Seq(1L), Seq(2L, 5L), Seq(9L))) { // 9 is off-graph
+      val got = Graph.personalizedPageRank(df, seeds, iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refPpr(edges, seeds, 4), s"seeds=$seeds")
+    }
+    val all = (1L to 5L).toSeq
+    val ppr = Graph.personalizedPageRank(df, all, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr === refPr(edges, 3), "uniform seeds degenerate to pageRank")
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRank(df, Seq.empty, iters = 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRank(df, Seq(1L, 1L), iters = 2)
+    }
+  }
+
   /** Local reference: Bellman-Ford, exactly `rounds` relaxation rounds. */
   private def refSp(edges: Seq[(Long, Long, Long)], src: Long,
                     rounds: Int): Map[Long, Long] = {

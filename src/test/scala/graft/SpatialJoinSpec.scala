@@ -127,6 +127,16 @@ class SpatialJoinSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).toSet === bruteP("intersects"))
   }
 
+  test("broadcastPointJoin plan shape: BroadcastHashJoin on the index, no shuffle, no BNLJ") {
+    val out = SpatialJoin.broadcastPointJoin(layerA, "ageom", pts, "px", "py",
+      "intersects")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "payload attach must be a BHJ")
+    assert(!plan.contains("BroadcastNestedLoop"), "no nested loop anywhere")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the points side must not shuffle — that is the operator's point")
+  }
+
   test("broadcastPointJoin refusals: cap, NULL/EMPTY geometry, NaN point, disjoint") {
     import s.implicits._
     val eCap = intercept[IllegalArgumentException] {
