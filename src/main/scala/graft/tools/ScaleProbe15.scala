@@ -98,6 +98,41 @@ object ScaleProbe15 {
       }
     }
 
+    // ---- 2b. shortestPaths: 5 rounds, edges 1x vs 10x
+    for ((m, n) <- Seq((100000L, 20000L), (1000000L, 200000L))) {
+      val e = edges(m, n).withColumn("w",
+        pmod(xxhash64(col("src"), col("dst")), lit(50L)) + 1L).localCheckpoint()
+      if (want("sssp")) time3(s"sssp_e${m / 1000}k_r5") {
+        graft.ext.Graph.shortestPaths(e, wCol = Some("w"),
+          sourceId = 0L, rounds = 5)
+      }
+    }
+
+    // ---- 2c. coOccurrence: bipartite docs x terms, edges 1x vs 10x at
+    // fixed term vocabulary (pairs grow with shared-doc density)
+    for (m <- Seq(200000L, 2000000L)) {
+      val e = spark.range(m).select(
+        pmod(xxhash64(col("id"), lit(3)), lit(m / 10)).as("src"),
+        pmod(xxhash64(col("id"), lit(4)), lit(2000L)).as("dst"))
+        .localCheckpoint()
+      if (want("cooc")) time3(s"cooc_e${m / 1000}k") {
+        graft.ext.Graph.coOccurrence(e)
+      }
+    }
+
+    // ---- 2d. tile aggregation: quadkey z=10 groupBy, points 1x vs 10x
+    for (n <- Seq(1500000L, 15000000L)) {
+      val p = spark.range(n).select(
+        (pmod(xxhash64(col("id"), lit(5)), lit(140000L)).cast("double") / 1000.0
+          - 70.0 + 0.0005).as("lat"),
+        (pmod(xxhash64(col("id"), lit(6)), lit(360000L)).cast("double") / 1000.0
+          - 180.0 + 0.0005).as("lon")).localCheckpoint()
+      if (want("tiles")) time3(s"tiles_pts${n / 1000}k_z10") {
+        p.select(graft.core.Tiles.quadkey(col("lon"), col("lat"), 10).as("qk"))
+          .groupBy("qk").agg(count(lit(1)).as("n"))
+      }
+    }
+
     // ---- 4. snapToSegments: fixed 5k-road layer, points 1x vs 10x
     val roads = spark.range(5000L).select(col("id").as("sid"),
       ((col("id") * 13) % 4000).cast("double").as("ax"),
