@@ -2889,6 +2889,38 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q245_geo_snap_to_roads" -> ((s, dir) => { ensure(s)
+      // GEODESIC snap-to-nearest-road (q237 on the sphere): customers
+      // snap to supplier road ARCS (<= ~320 km, well under the 400 km
+      // cap) via radius doubling over geoSegmentRadiusJoin — candidate
+      // cover is the disk argument (within r of the arc => within
+      // r + maxSeg of endpoint A), verify is the published cross-
+      // track/along-track tree, which the oracle replays VERBATIM.
+      // Output is ids-only (no float hash surface); margins audited at
+      // authoring (sf0.01): min adjacent-rank distance gap 193 m, min
+      // maxRadius-boundary margin 1.0e6 m — both >> the ~1e-9 m
+      // cross-libm trig divergence class.
+      val cust = ld(s, dir, "customer").select(col("c_custkey"),
+        (((col("c_custkey") * 17) % 1200).cast("double") / 10.0 - 60.0)
+          .as("clat"),
+        (((col("c_custkey") * 31) % 3550).cast("double") / 10.0 - 177.5)
+          .as("clon"))
+      val roads = ld(s, dir, "supplier").select(col("s_suppkey"),
+        (((col("s_suppkey") * 23) % 1200).cast("double") / 10.0 - 60.0)
+          .as("alat"),
+        (((col("s_suppkey") * 41) % 3550).cast("double") / 10.0 - 177.5)
+          .as("alon"))
+        .withColumn("blat", col("alat") +
+          ((col("s_suppkey") % 5).cast("double") - 2.0) * 0.8)
+        .withColumn("blon", col("alon") +
+          ((col("s_suppkey") % 7).cast("double") - 3.0) * 0.8)
+      graft.core.DistanceJoin.geoSnapToSegments(cust, roads,
+          "clat", "clon", "alat", "alon", "blat", "blon", "s_suppkey",
+          startRadiusMeters = 400e3, maxRadiusMeters = 6400e3,
+          maxSegMeters = 400e3, lIdCol = Some("c_custkey"))
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey")
+    }),
     "q244_personalized_pagerank" -> ((s, dir) => { ensure(s)
       // PERSONALIZED PageRank (teleport restricted to seeds {0, 7,
       // 13}, dangling mass returns to the seeds): q234's edge fixture
@@ -5636,6 +5668,29 @@ object SparkEntry {
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
     "q244_personalized_pagerank" -> q244OracleSql(4, Seq(0L, 7L, 13L)),
+    "q245_geo_snap_to_roads" ->
+      ("WITH c AS (SELECT c_custkey, CAST((c_custkey * 17) % 1200 AS DOUBLE) / 10.0 - 60.0 AS plat, " +
+       "CAST((c_custkey * 31) % 3550 AS DOUBLE) / 10.0 - 177.5 AS plon FROM customer), " +
+       "r AS (SELECT s_suppkey, alat, alon, " +
+       "alat + (CAST(s_suppkey % 5 AS DOUBLE) - 2.0) * 0.8 AS blat, " +
+       "alon + (CAST(s_suppkey % 7 AS DOUBLE) - 3.0) * 0.8 AS blon FROM " +
+       "(SELECT s_suppkey, CAST((s_suppkey * 23) % 1200 AS DOUBLE) / 10.0 - 60.0 AS alat, " +
+       "CAST((s_suppkey * 41) % 3550 AS DOUBLE) / 10.0 - 177.5 AS alon FROM supplier)), " +
+       "q AS (SELECT c_custkey, s_suppkey, " +
+       "2*asin(least(1.0, sqrt(pow(sin((radians(blat)-radians(alat))/2),2) + cos(radians(alat))*cos(radians(blat))*pow(sin((radians(blon)-radians(alon))/2),2)))) AS d12, " +
+       "2*asin(least(1.0, sqrt(pow(sin((radians(plat)-radians(alat))/2),2) + cos(radians(alat))*cos(radians(plat))*pow(sin((radians(plon)-radians(alon))/2),2)))) AS d13, " +
+       "2*asin(least(1.0, sqrt(pow(sin((radians(plat)-radians(blat))/2),2) + cos(radians(blat))*cos(radians(plat))*pow(sin((radians(plon)-radians(blon))/2),2)))) AS dpb, " +
+       "atan2(sin(radians(plon)-radians(alon))*cos(radians(plat)), cos(radians(alat))*sin(radians(plat)) - sin(radians(alat))*cos(radians(plat))*cos(radians(plon)-radians(alon))) AS th13, " +
+       "atan2(sin(radians(blon)-radians(alon))*cos(radians(blat)), cos(radians(alat))*sin(radians(blat)) - sin(radians(alat))*cos(radians(blat))*cos(radians(blon)-radians(alon))) AS th12 " +
+       "FROM c CROSS JOIN r), " +
+       "d AS (SELECT c_custkey, s_suppkey, 6371008.8 * " +
+       "(CASE WHEN d12 = 0 THEN d13 WHEN cos(th13 - th12) <= 0 THEN d13 " +
+       "WHEN acos(greatest(-1.0, least(1.0, cos(d13)/cos(asin(greatest(-1.0, least(1.0, sin(d13)*sin(th13-th12)))))))) >= d12 THEN dpb " +
+       "ELSE abs(asin(greatest(-1.0, least(1.0, sin(d13)*sin(th13-th12))))) END) AS dist " +
+       "FROM q) " +
+       "SELECT c_custkey, s_suppkey FROM (SELECT c_custkey, s_suppkey, " +
+       "row_number() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rn " +
+       "FROM d WHERE dist <= 6400000.0) WHERE rn = 1 ORDER BY c_custkey"),
     "q242_stream_broadcast_tag" ->
       ("SELECT e.event_id, s.s_suppkey FROM events e CROSS JOIN supplier s " +
        "WHERE ((e.event_id * 11) % 1000) >= ((s.s_suppkey * 3) % 1000) " +

@@ -619,6 +619,139 @@ object DistanceJoin {
   }
 
   /**
+   * GEODESIC point × segment radius join — [[segmentRadiusJoin]] on
+   * the sphere (roads are lat/lon in real corpora): all (point,
+   * segment) pairs whose great-circle distance to the ARC between the
+   * segment's endpoints is <= `radiusMeters`.
+   *
+   * Candidate generation reuses [[geoRadiusJoin]] wholesale via the
+   * DISK COVER argument: every point of an arc of length <= maxSeg
+   * lies within maxSeg of endpoint A, so any point within r of the
+   * arc is within r + maxSeg of A (triangle inequality in the
+   * great-circle metric) — one banded point-to-point join at radius
+   * r + maxSeg, no new banding code, exactly-once structurally.
+   * Segments longer than `maxSegMeters` are REFUSED loudly with the
+   * length (split long ways upstream — road corpora ship segmented);
+   * the candidate radius inflation is the price, so keep maxSeg near
+   * the query radius.
+   *
+   * Exact verify: the published cross-track/along-track formulas
+   * (dxt = asin(sin d13 · sin(θ13 − θ12)), dat = acos(cos d13 /
+   * cos dxt)), with the three-branch clamp — behind A → d(P, A),
+   * beyond B along track → d(P, B), else |dxt|; degenerate A = B
+   * collapses to d(P, A). All bearings/arcs ride sin/cos/atan2 ulp
+   * classes (documented like [[geoRadiusJoin]]'s — gates carry
+   * audited margins). `radiusMeters + maxSegMeters` must stay under
+   * (π/2)·R so every candidate arc distance is acute and the
+   * acos/division are well-conditioned. Returns
+   * `points.* ++ segs.* ++ dist_m`.
+   */
+  def geoSegmentRadiusJoin(points: DataFrame, segs: DataFrame,
+                           pLat: String, pLon: String,
+                           aLat: String, aLon: String,
+                           bLat: String, bLon: String,
+                           radiusMeters: Double, maxSegMeters: Double,
+                           earthRadiusMeters: Double = EarthRadiusMeters): DataFrame = {
+    val bigR = earthRadiusMeters
+    require(radiusMeters > 0, s"geoSegmentRadiusJoin: radius must be > 0, got $radiusMeters")
+    require(maxSegMeters > 0, s"geoSegmentRadiusJoin: maxSegMeters must be > 0, got $maxSegMeters")
+    require(radiusMeters + maxSegMeters < math.Pi / 2 * bigR,
+      s"geoSegmentRadiusJoin: radius + maxSeg must stay under (pi/2)*R metres " +
+      s"(got ${radiusMeters + maxSegMeters}) — the acute-arc regime the verify is conditioned for")
+    Seq(bLat -> segs, bLon -> segs).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"geoSegmentRadiusJoin: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    require(!points.columns.contains("_d12") && !segs.columns.contains("_d12") &&
+            !points.columns.contains("_d13m") && !segs.columns.contains("_d13m"),
+      "geoSegmentRadiusJoin: reserved column '_d12'/'_d13m' present — rename it")
+    def chk(c: Column, lo: Double, hi: Double, what: String): Column =
+      when(c.isNull || isnan(c) || c < lo || c > hi,
+        raise_error(concat(lit(s"geoSegmentRadiusJoin: $what out of [$lo, $hi]: "),
+          c.cast("string"))).cast("double"))
+      .otherwise(c)
+    // B-endpoint refusals + the arc-length cap, carried as the A->B
+    // angular distance the verify needs anyway
+    val p2 = radians(chk(col(bLat), -90, 90, "segment B latitude"))
+    val l2 = radians(chk(col(bLon), -180, 180, "segment B longitude"))
+    val p1 = radians(col(aLat)); val l1 = radians(col(aLon))
+    val hav12 = pow(sin((p2 - p1) / 2), 2) +
+      cos(p1) * cos(p2) * pow(sin((l2 - l1) / 2), 2)
+    val d12 = lit(2.0) * asin(least(lit(1.0), sqrt(hav12)))
+    val segs2 = segs.withColumn("_d12",
+      when(d12 * bigR > maxSegMeters,
+        raise_error(concat(lit("geoSegmentRadiusJoin: segment of "),
+          round(d12 * bigR).cast("string"),
+          lit(s" m exceeds maxSegMeters ($maxSegMeters) — split long " +
+            "segments upstream or raise the cap"))).cast("double"))
+      .otherwise(d12))
+    val cand = geoRadiusJoin(points, segs2, pLat, pLon, aLat, aLon,
+        radiusMeters + maxSegMeters, bigR)
+      .withColumnRenamed("dist_m", "_d13m")
+    val phi1 = radians(col(aLat)); val lam1 = radians(col(aLon))
+    val phi2 = radians(col(bLat)); val lam2 = radians(col(bLon))
+    val phi3 = radians(col(pLat)); val lam3 = radians(col(pLon))
+    val d13 = col("_d13m") / bigR
+    val th13 = atan2(sin(lam3 - lam1) * cos(phi3),
+      cos(phi1) * sin(phi3) - sin(phi1) * cos(phi3) * cos(lam3 - lam1))
+    val th12 = atan2(sin(lam2 - lam1) * cos(phi2),
+      cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(lam2 - lam1))
+    val clamp1 = (c: Column) => greatest(lit(-1.0), least(lit(1.0), c))
+    val dxt = asin(clamp1(sin(d13) * sin(th13 - th12)))
+    val dat = acos(clamp1(cos(d13) / cos(dxt)))
+    val havPB = pow(sin((phi3 - phi2) / 2), 2) +
+      cos(phi2) * cos(phi3) * pow(sin((lam3 - lam2) / 2), 2)
+    val dPB = lit(2.0) * asin(least(lit(1.0), sqrt(havPB)))
+    val distAng =
+      when(col("_d12") === 0.0, d13)                 // degenerate A = B
+      .when(cos(th13 - th12) <= 0.0, d13)            // behind A
+      .when(dat >= col("_d12"), dPB)                 // beyond B
+      .otherwise(abs(dxt))                           // abeam the arc
+    cand
+      .withColumn("dist_m", distAng * bigR)
+      .filter(col("dist_m") <= lit(radiusMeters))
+      .drop("_d12", "_d13m")
+  }
+
+  /**
+   * GEODESIC snap-to-nearest-segment join — [[snapToSegments]] on the
+   * sphere: every point's closest road arc within `maxRadiusMeters`
+   * (ties to the smallest `sIdCol`), by [[nearestJoin]]'s radius
+   * doubling over [[geoSegmentRadiusJoin]]. Points with nothing within
+   * the bound are OMITTED; `lIdCol` as in [[nearestJoin]]. Returns
+   * `points.* ++ segs.* ++ dist_m`.
+   */
+  def geoSnapToSegments(points: DataFrame, segs: DataFrame,
+                        pLat: String, pLon: String,
+                        aLat: String, aLon: String,
+                        bLat: String, bLon: String,
+                        sIdCol: String,
+                        startRadiusMeters: Double, maxRadiusMeters: Double,
+                        maxSegMeters: Double,
+                        lIdCol: Option[String] = None,
+                        earthRadiusMeters: Double = EarthRadiusMeters): DataFrame = {
+    require(startRadiusMeters > 0 && maxRadiusMeters >= startRadiusMeters,
+      s"need 0 < startRadius ($startRadiusMeters) <= maxRadius ($maxRadiusMeters)")
+    require(segs.columns.contains(sIdCol),
+      s"geoSnapToSegments: id column '$sIdCol' missing from segment side")
+    def probe(u: DataFrame, r: Double): DataFrame =
+      geoSegmentRadiusJoin(u, segs, pLat, pLon, aLat, aLon, bLat, bLon,
+        r, maxSegMeters, earthRadiusMeters)
+    lIdCol match {
+      case Some(id) =>
+        requireDisjointForJoinBack(points, id, segs,
+          Seq("dist_m"), "geoSnapToSegments")
+        val slim = slimLeft(points, id, pLat, pLon, "geoSnapToSegments")
+        val res = nearestLoop(slim, segs, sIdCol, startRadiusMeters,
+          maxRadiusMeters, probe, Seq("dist_m")).drop(pLat, pLon)
+        points.join(res, Seq(id))
+      case None =>
+        nearestLoop(points, segs, sIdCol, startRadiusMeters,
+          maxRadiusMeters, probe, Seq("dist_m"))
+    }
+  }
+
+  /**
    * Point × SEGMENT radius join — the map-matching candidate generator
    * ("every road within 50 m of this GPS ping"): all (point, segment)
    * pairs whose point-to-segment distance is <= `radius`, segments as
