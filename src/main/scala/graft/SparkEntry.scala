@@ -2889,6 +2889,49 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q246_engine_spatial_join" -> ((s, dir) => { ensure(s)
+      // collection-level spatial join through the ENGINE facade
+      // (ACL-checked scans -> SpatialJoin.spatialJoin, a_/b_ prefixed
+      // output): q225's rect fixture ingested as two real collections,
+      // joined via db.spatialJoinCollections, ix_area re-derived from
+      // the keys in pure integers — engine path ≡ operator path ≡
+      // DuckDB on the identical row set.
+      val db = tmpDb(s, "sjoin")
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      db.createCollection("zones", Seq("s_suppkey" -> "int8"))
+      db.insertIntoCollection("zones", ld(s, dir, "supplier")
+        .select(col("s_suppkey"), st_geomfromtext(concat(lit("POLYGON(("),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 40).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 40).cast("string"), lit(" "), (ay + 25).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), (ay + 25).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit("))")))
+          .as("geometry")))
+      val bx = col("c_custkey") % 1000
+      val by = (col("c_custkey") * 7) % 1000
+      db.createCollection("parcels", Seq("c_custkey" -> "int8"))
+      db.insertIntoCollection("parcels", ld(s, dir, "customer")
+        .select(col("c_custkey"), st_geomfromtext(concat(lit("POLYGON(("),
+          bx.cast("string"), lit(" "), by.cast("string"), lit(", "),
+          (bx + 15).cast("string"), lit(" "), by.cast("string"), lit(", "),
+          (bx + 15).cast("string"), lit(" "), (by + 35).cast("string"), lit(", "),
+          bx.cast("string"), lit(" "), (by + 35).cast("string"), lit(", "),
+          bx.cast("string"), lit(" "), by.cast("string"), lit("))")))
+          .as("geometry")))
+      val sx = (col("a_s_suppkey") * 3) % 1000
+      val sy = (col("a_s_suppkey") * 13) % 1000
+      val cx = col("b_c_custkey") % 1000
+      val cy = (col("b_c_custkey") * 7) % 1000
+      db.spatialJoinCollections("zones", "parcels", "intersects",
+          cellSize = 40.0)
+        .select(col("a_s_suppkey").as("s_suppkey"),
+          col("b_c_custkey").as("c_custkey"),
+          ((least(sx + 40, cx + 15) - greatest(sx, cx)) *
+           (least(sy + 25, cy + 35) - greatest(sy, cy))).cast("long")
+            .as("ix_area"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
     "q245_geo_snap_to_roads" -> ((s, dir) => { ensure(s)
       // GEODESIC snap-to-nearest-road (q237 on the sphere): customers
       // snap to supplier road ARCS (<= ~320 km, well under the 400 km
@@ -5668,6 +5711,16 @@ object SparkEntry {
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
     "q244_personalized_pagerank" -> q244OracleSql(4, Seq(0L, 7L, 13L)),
+    "q246_engine_spatial_join" -> // q225's oracle verbatim: same rects,
+      // reached through the engine facade instead of the bare operator
+      ("WITH a AS (SELECT s_suppkey, (s_suppkey * 3) % 1000 AS ax, (s_suppkey * 13) % 1000 AS ay FROM supplier), " +
+       "b AS (SELECT c_custkey, c_custkey % 1000 AS bx, (c_custkey * 7) % 1000 AS by2 FROM customer) " +
+       "SELECT s_suppkey, c_custkey, " +
+       "CAST((least(ax + 40, bx + 15) - greatest(ax, bx)) * " +
+       "(least(ay + 25, by2 + 35) - greatest(ay, by2)) AS BIGINT) AS ix_area " +
+       "FROM a CROSS JOIN b " +
+       "WHERE ax <= bx + 15 AND bx <= ax + 40 AND ay <= by2 + 35 AND by2 <= ay + 25 " +
+       "ORDER BY s_suppkey, c_custkey"),
     "q245_geo_snap_to_roads" ->
       ("WITH c AS (SELECT c_custkey, CAST((c_custkey * 17) % 1200 AS DOUBLE) / 10.0 - 60.0 AS plat, " +
        "CAST((c_custkey * 31) % 3550 AS DOUBLE) / 10.0 - 177.5 AS plon FROM customer), " +

@@ -997,6 +997,38 @@ class GeoDb(
     if (to == 4326 && latLon) (out._2, out._1, out._4, out._3) else out
   }
 
+  /**
+   * Collection-level SPATIAL JOIN (extension; the reference reaches
+   * layer matching one row at a time through PostGIS GiST — here it is
+   * [[graft.core.SpatialJoin.spatialJoin]] over two ACL-checked
+   * collection scans): all (a, b) row pairs where
+   * `a.geometry <mode> b.geometry`. Output columns are prefixed
+   * `a_` / `b_` (collections share the mandatory id/geometry names, and
+   * the join carries both sides). `cellSize` in collection units —
+   * start near the median geometry extent; `saltCells` composes the
+   * salted skew join on hot cells, `maxCellsPerGeom` refuses
+   * continent-under-street-cells parameter bugs loudly.
+   */
+  def spatialJoinCollections(collA: String, collB: String,
+                             mode: String = "intersects",
+                             cellSize: Double,
+                             databaseA: Option[String] = None,
+                             databaseB: Option[String] = None,
+                             maxCellsPerGeom: Int = 4096,
+                             saltCells: Int = 0): DataFrame = {
+    val da = db(databaseA); val dbo = db(databaseB)
+    requireAccess(da, collA, "SELECT")
+    requireAccess(dbo, collB, "SELECT")
+    val a = readCollection(da, collA)
+    val b = readCollection(dbo, collB)
+    val ap = a.select(a.columns.map(c => col(c).as(s"a_$c")): _*)
+    val bp = b.select(b.columns.map(c => col(c).as(s"b_$c")): _*)
+    val out = graft.core.SpatialJoin.spatialJoin(ap, "a_geometry",
+      bp, "b_geometry", mode, cellSize, maxCellsPerGeom, saltCells)
+    logEvent(EventType.Read, s"Spatial join $da/$collA x $dbo/$collB mode=$mode")
+    out
+  }
+
   /** `idx_{db}_{coll}_{prop}` trimmed to 63 chars (geodb.sql:1490-1508). */
   private def indexName(d: String, c: String, p: String): String =
     s"idx_${d}_${c}_$p".take(63)

@@ -678,4 +678,32 @@ class GeoDbEngineSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith(".commit.lock"))
     assert(debris.isEmpty, s"lock debris left: ${debris.mkString(", ")}")
   }
+
+  test("spatialJoinCollections: a_/b_ prefixed pairs, ACL enforced on both sides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("za", Seq("k" -> "int8"))
+    db.insertIntoCollection("za", Seq(1L, 2L).toDF("k").withColumn("geometry",
+      concat(lit("POLYGON(("), ($"k" * 10).cast("string"), lit(" 0, "),
+        ($"k" * 10 + 8).cast("string"), lit(" 0, "),
+        ($"k" * 10 + 8).cast("string"), lit(" 8, "),
+        ($"k" * 10).cast("string"), lit(" 8, "),
+        ($"k" * 10).cast("string"), lit(" 0))"))))
+    db.createCollection("zb", Seq("m" -> "int8"))
+    db.insertIntoCollection("zb", Seq(1L).toDF("m").withColumn("geometry",
+      lit("POLYGON((15 5, 25 5, 25 15, 15 15, 15 5))")))
+    val out = db.spatialJoinCollections("za", "zb", "intersects", cellSize = 10.0)
+    assert(out.columns.contains("a_k") && out.columns.contains("b_m") &&
+      out.columns.contains("a_geometry") && out.columns.contains("b_geometry"))
+    // zone k=2 spans x in [20, 28] -> overlaps zb's [15, 25]; k=1 ([10,18]) touches at x=15? no: 18 > 15 -> overlaps too
+    val pairs = out.select("a_k", "b_m").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 1L), (2L, 1L)))
+    val mallory = new GeoDb(spark, db.warehouse, "mallory")
+    val e = intercept[Exception] {
+      mallory.spatialJoinCollections("za", "zb", "intersects", cellSize = 10.0,
+        databaseA = Some("geodb_user"), databaseB = Some("geodb_user"))
+    }
+    assert(e.getMessage.contains("SELECT"))
+  }
 }
