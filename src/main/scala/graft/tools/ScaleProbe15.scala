@@ -151,6 +151,26 @@ object ScaleProbe15 {
       }
     }
 
+    // ---- 5. geoSnapToSegments: fixed 5k geodesic roads, points 1x vs 10x
+    val geoRoads = spark.range(5000L).select(col("id").as("sid"),
+      ((pmod(xxhash64(col("id"), lit(7)), lit(1200L))).cast("double") / 10.0 - 60.0).as("alat"),
+      ((pmod(xxhash64(col("id"), lit(8)), lit(3550L))).cast("double") / 10.0 - 177.5).as("alon"))
+      .withColumn("blat", col("alat") + (pmod(col("sid"), lit(5L)).cast("double") - 2.0) * 0.5)
+      .withColumn("blon", col("alon") + (pmod(col("sid"), lit(7L)).cast("double") - 3.0) * 0.5)
+      .localCheckpoint()
+    for (n <- Seq(150000L, 1500000L)) {
+      val p = spark.range(n).select(col("id").as("pid"),
+        ((pmod(xxhash64(col("id"), lit(9)), lit(1200L))).cast("double") / 10.0 - 60.0).as("plat"),
+        ((pmod(xxhash64(col("id"), lit(10)), lit(3550L))).cast("double") / 10.0 - 177.5).as("plon"))
+        .localCheckpoint()
+      if (want("geosnap")) time3(s"geosnap_pts${n / 1000}k") {
+        graft.core.DistanceJoin.geoSnapToSegments(p, geoRoads,
+          "plat", "plon", "alat", "alon", "blat", "blon", "sid",
+          startRadiusMeters = 200e3, maxRadiusMeters = 3200e3,
+          maxSegMeters = 300e3, lIdCol = Some("pid")).select("pid", "sid")
+      }
+    }
+
     spark.stop()
   }
 }
