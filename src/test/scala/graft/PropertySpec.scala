@@ -185,6 +185,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: segmentRadiusJoin == brute point-to-segment MULTISET across radii/cells") {
+    // the 2D reference-cell rule has two hazard classes — a pair lost
+    // where the canonical cell is not covered, and a pair duplicated
+    // across shared cells — so the property is MULTISET equality on
+    // random segment mixes (long diagonals crossing many cells, short
+    // stubs, degenerates) across radii and cell-size multipliers
+    def segD2(px: Double, py: Double, ax: Double, ay: Double,
+              bx: Double, by: Double): Double = {
+      val wx = px - ax; val wy = py - ay
+      val vx = bx - ax; val vy = by - ay
+      val L = vx * vx + vy * vy; val w = wx * vx + wy * vy
+      if (L == 0.0 || w <= 0.0) wx * wx + wy * wy
+      else if (w >= L) (px - bx) * (px - bx) + (py - by) * (py - by)
+      else { val c = wx * vy - wy * vx; c * c / L }
+    }
+    val genCase = for {
+      radius <- Gen.oneOf(2.0, 9.0, 30.0)
+      csMult <- Gen.oneOf(1.0, 2.5)
+      seed <- Gen.choose(1, 100000)
+    } yield (radius, csMult, seed)
+    forAllSampled(genCase, 8) { case (radius, csMult, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val pRows = (0L until 60L).map(i =>
+        (i, rnd.nextDouble() * 120, rnd.nextDouble() * 120))
+      val sRows = (0L until 25L).map { i =>
+        val x = rnd.nextDouble() * 120; val y = rnd.nextDouble() * 120
+        val len = if (i % 5 == 0) 0.0 else rnd.nextDouble() * 80
+        val ang = rnd.nextDouble() * math.Pi * 2
+        (i, x, y, x + len * math.cos(ang), y + len * math.sin(ang))
+      }
+      val got = graft.core.DistanceJoin.segmentRadiusJoin(
+          pRows.toDF("pid", "px", "py"),
+          sRows.toDF("sid", "ax", "ay", "bx", "by"),
+          "px", "py", "ax", "ay", "bx", "by",
+          radius, Some(radius * csMult))
+        .select("pid", "sid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val brute = (for { (pi, px, py) <- pRows; (si, ax, ay, bx, by) <- sRows
+                         if segD2(px, py, ax, ay, bx, by) <= radius * radius }
+        yield (pi, si)).sorted
+      assert(got == brute,
+        s"radius=$radius csMult=$csMult seed=$seed: got ${got.size} brute ${brute.size}")
+    }
+  }
+
   test("property: distributed sequence packing == sequential reference") {
     // random corpora: the two-pass prefix sum must equal a plain
     // sequential scan for any doc-count/length mix and any seqLen
