@@ -2889,6 +2889,40 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q247_stream_stay_points" -> ((s, dir) => { ensure(s)
+      // STREAMING stay-point detection (flatMapGroupsWithState):
+      // q231's fixture through a real stream — a stay point is
+      // emitted only when FINALIZED (its anchor window hit an exit
+      // point; no future arrival can change it), and the open tail
+      // run stays in state, so the bounded-stream result is batch
+      // stayPoints MINUS each device's trailing end-of-data run AND
+      // everything after the first open anchor. The oracle replays
+      // the q231 anchor machine with exactly that stop rule (the
+      // recursion halts at the first anchor whose window reaches
+      // end-of-data): 450 rows = 9 finalized plateaus x 50 devices
+      // (the 10th plateau is still open when the stream ends).
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-spstream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val k = col("event_id") % 50
+      val idx = expr("event_id div 50")
+      val phase = expr("(event_id div 50) div 20")
+      val pts = EventStream.read(s, stage.toString).select(
+        k.as("dev"), (idx * 60).cast("long").as("t"),
+        (((k * 7 + phase * 13) % 100) * 10 + idx % 3).cast("double").as("x"),
+        (((k * 11 + phase * 17) % 100) * 10 + idx % 2).cast("double").as("y"))
+      val out = graft.core.Trajectory.streamingStayPoints(pts,
+        "dev", "t", "x", "y", radius = 5.0, minDurationSec = 600L)
+      val qname = "gate_spst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.select(col("dev"), col("sp_idx"), col("start_ts"),
+          col("end_ts"), col("n_points"), round(col("cx"), 6).as("cx6"),
+          round(col("cy"), 6).as("cy6"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("dev", "sp_idx")
+    }),
     "q246_engine_spatial_join" -> ((s, dir) => { ensure(s)
       // collection-level spatial join through the ENGINE facade
       // (ACL-checked scans -> SpatialJoin.spatialJoin, a_/b_ prefixed
@@ -5711,6 +5745,36 @@ object SparkEntry {
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
     "q244_personalized_pagerank" -> q244OracleSql(4, Seq(0L, 7L, 13L)),
+    "q247_stream_stay_points" -> // q231's anchor machine with the
+      // STREAMING stop rule: the recursion halts at the first anchor
+      // whose window reaches end-of-data (j = mx+1), and only
+      // exit-terminated runs (j <= mx) emit
+      ("WITH RECURSIVE pts AS MATERIALIZED (SELECT event_id % 50 AS k, event_id // 50 AS rn, " +
+       "(event_id // 50) * 60 AS ts, " +
+       "(((event_id % 50) * 7 + ((event_id // 50) // 20) * 13) % 100) * 10 + (event_id // 50) % 3 AS x, " +
+       "(((event_id % 50) * 11 + ((event_id // 50) // 20) * 17) % 100) * 10 + (event_id // 50) % 2 AS y " +
+       "FROM events), " +
+       "nk AS MATERIALIZED (SELECT k, max(rn) AS mx FROM pts GROUP BY k), " +
+       "st AS (SELECT k, CAST(0 AS BIGINT) AS i FROM nk " +
+       "UNION ALL " +
+       "SELECT t.k, t.next_i FROM (" +
+       "SELECT s.k AS k, jj.j AS j0, CASE WHEN jj.j - s.i >= 11 THEN jj.j ELSE s.i + 1 END AS next_i " +
+       "FROM st s, LATERAL (SELECT COALESCE((SELECT min(q.rn) FROM pts q JOIN pts a ON a.k = q.k AND a.rn = s.i " +
+       "WHERE q.k = s.k AND q.rn > s.i " +
+       "AND (q.x - a.x) * (q.x - a.x) + (q.y - a.y) * (q.y - a.y) > 25), " +
+       "(SELECT n.mx + 1 FROM nk n WHERE n.k = s.k)) AS j) jj" +
+       ") t JOIN nk n2 ON n2.k = t.k WHERE t.next_i <= n2.mx AND t.j0 <= n2.mx), " +
+       "sp AS MATERIALIZED (SELECT s.k, s.i, jj.j FROM st s, " +
+       "LATERAL (SELECT COALESCE((SELECT min(q.rn) FROM pts q JOIN pts a ON a.k = q.k AND a.rn = s.i " +
+       "WHERE q.k = s.k AND q.rn > s.i " +
+       "AND (q.x - a.x) * (q.x - a.x) + (q.y - a.y) * (q.y - a.y) > 25), " +
+       "(SELECT n.mx + 1 FROM nk n WHERE n.k = s.k)) AS j) jj " +
+       "WHERE jj.j - s.i >= 11 AND jj.j <= (SELECT n3.mx FROM nk n3 WHERE n3.k = s.k)) " +
+       "SELECT k AS dev, CAST(row_number() OVER (PARTITION BY k ORDER BY i) AS INT) AS sp_idx, " +
+       "i * 60 AS start_ts, (j - 1) * 60 AS end_ts, CAST(j - i AS INT) AS n_points, " +
+       "(SELECT round(avg(CAST(p.x AS DOUBLE)), 6) FROM pts p WHERE p.k = sp.k AND p.rn >= sp.i AND p.rn < sp.j) AS cx6, " +
+       "(SELECT round(avg(CAST(p.y AS DOUBLE)), 6) FROM pts p WHERE p.k = sp.k AND p.rn >= sp.i AND p.rn < sp.j) AS cy6 " +
+       "FROM sp ORDER BY dev, sp_idx"),
     "q246_engine_spatial_join" -> // q225's oracle verbatim: same rects,
       // reached through the engine facade instead of the bare operator
       ("WITH a AS (SELECT s_suppkey, (s_suppkey * 3) % 1000 AS ax, (s_suppkey * 13) % 1000 AS ay FROM supplier), " +

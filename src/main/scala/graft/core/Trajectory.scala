@@ -218,6 +218,120 @@ object Trajectory {
   }
 
   /** The Zheng et al. state machine over one key's time-ordered points. */
+  /**
+   * STREAMING stay-point detection — [[stayPoints]] as a stateful
+   * streaming operator (`flatMapGroupsWithState`, the repo's custom-
+   * state tool of record): per-device dwell detection over an
+   * unbounded point stream. Emits a stay point as soon as it is
+   * FINALIZED — the anchor's window hit a point OUTSIDE the radius,
+   * so no future arrival can extend or invalidate it; the still-open
+   * tail run (everything from the first anchor whose window reached
+   * the end of the buffered suffix) is carried in state and emitted
+   * only when a later batch delivers its exit point. A dwell that the
+   * stream simply stops inside is therefore NEVER emitted — the
+   * bounded-stream twin is batch [[stayPoints]] MINUS each key's
+   * trailing end-of-data runs (the q247 oracle encodes exactly that).
+   *
+   * Ordering contract: within the buffered suffix points sort by
+   * `(ts, x, y)` exactly like the batch scan, so intra-buffer disorder
+   * is harmless; an arrival with ts BELOW the finalized frontier (the
+   * last point already consumed into an emitted/slid-past region)
+   * would rewrite history and REFUSES loudly — feed late corpora
+   * through the batch operator instead. State per key is the open
+   * suffix only, bounded by the longest real dwell (a never-moving
+   * device grows it until the loud `maxPointsPerKey` cap — split
+   * permanent fixtures upstream).
+   *
+   * Output schema = [[stayPoints]]'s; `sp_idx` continues across
+   * batches. Works identically on a batch Dataset (state lives for
+   * the single batch) — the spec pins streaming ≡ batch-minus-tails.
+   */
+  def streamingStayPoints(points: DataFrame, keyCol: String, tsCol: String,
+                          xCol: String, yCol: String,
+                          radius: Double, minDurationSec: Long,
+                          maxPointsPerKey: Int = 5000000): DataFrame = {
+    require(radius > 0 && !radius.isInfinite,
+      s"streamingStayPoints: radius must be finite > 0, got $radius")
+    require(minDurationSec >= 0, "streamingStayPoints: minDurationSec must be >= 0")
+    require(maxPointsPerKey >= 2, "streamingStayPoints: maxPointsPerKey must be >= 2")
+    Seq(keyCol, tsCol, xCol, yCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"streamingStayPoints: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    val r2 = radius * radius
+    val minDur = minDurationSec
+    val cap = maxPointsPerKey
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def refused(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"streamingStayPoints: NULL $what — a dropped point " +
+          "would silently split a dwell")).cast(DoubleType))
+      .otherwise(col(c).cast(DoubleType))
+    val slim = points.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("streamingStayPoints: NULL key")).cast(LongType))
+          .otherwise(col(keyCol).cast(LongType)).as("k"),
+        when(col(tsCol).isNull,
+          raise_error(lit("streamingStayPoints: NULL timestamp")).cast(LongType))
+          .otherwise(col(tsCol).cast(LongType)).as("t"),
+        refused(xCol, "x coordinate").as("x"),
+        refused(yCol, "y coordinate").as("y"))
+      .as[(Long, Long, Double, Double)]
+    slim.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Double, Double)], Int, Long),
+                              (Long, Int, Long, Long, Int, Double, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val (prevBuf, prevIdx, frontier) =
+            state.getOption.getOrElse((Seq.empty[(Long, Double, Double)], 0, Long.MinValue))
+          val incoming = it.map(r => (r._2, r._3, r._4)).toVector
+          incoming.foreach { p =>
+            if (p._1 < frontier)
+              throw new IllegalArgumentException(
+                s"streamingStayPoints: key $key received ts ${p._1} below the " +
+                s"finalized frontier $frontier — late data past an emitted " +
+                "dwell would rewrite history; replay through batch stayPoints")
+          }
+          val pts = (prevBuf.toVector ++ incoming).sortBy(p => (p._1, p._2, p._3))
+          require(pts.length <= cap,
+            s"streamingStayPoints: key $key open suffix exceeds " +
+            s"maxPointsPerKey ($cap) — split permanent fixtures upstream")
+          val n = pts.length
+          val out = new ArrayBuffer[(Long, Int, Long, Long, Int, Double, Double)]
+          var i = 0
+          var spIdx = prevIdx
+          var pending = -1
+          while (i < n && pending < 0) {
+            var j = i + 1
+            while (j < n && {
+              val dx = pts(j)._2 - pts(i)._2; val dy = pts(j)._3 - pts(i)._3
+              dx * dx + dy * dy <= r2 }) j += 1
+            if (j == n) pending = i // window ran out of data: still open
+            else if (pts(j - 1)._1 - pts(i)._1 >= minDur) {
+              var sx = 0.0; var sy = 0.0
+              var p = i
+              while (p < j) { sx += pts(p)._2; sy += pts(p)._3; p += 1 }
+              spIdx += 1
+              out += ((key, spIdx, pts(i)._1, pts(j - 1)._1, j - i,
+                sx / (j - i), sy / (j - i)))
+              i = j
+            } else i += 1
+          }
+          val keep = if (pending >= 0) pts.drop(pending) else Vector.empty
+          val newFrontier =
+            if (pending > 0) pts(pending - 1)._1
+            else if (pending == 0) frontier
+            else if (n > 0) pts(n - 1)._1
+            else frontier
+          state.update((keep, spIdx, newFrontier))
+          out.iterator
+      }
+      .toDF("k", "sp_idx", "start_ts", "end_ts", "n_points", "cx", "cy")
+      .withColumnRenamed("k", keyCol)
+  }
+
   private def scanKey(key: Long, ts: ArrayBuffer[Long],
                       xs: ArrayBuffer[Double], ys: ArrayBuffer[Double],
                       minDur: Long,

@@ -209,4 +209,128 @@ class TrajectorySpec extends SparkSpec {
     }
     assert(msgs(eCap).exists(_.contains("maxPointsPerKey")))
   }
+
+  /** Local reference for the STREAMING semantics: the batch anchor
+    * machine stopped at the first anchor whose window reaches
+    * end-of-data (the open suffix), exit-terminated runs only. */
+  private def refStreaming(pts: Seq[(Long, Long, Double, Double)],
+                           r2: Double, minDur: Long)
+      : Seq[(Long, Int, Long, Long, Int, Double, Double)] =
+    pts.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val s = rows.map(r => (r._2, r._3, r._4)).sorted
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Long, Int, Double, Double)]
+      var i = 0; var idx = 0; var open = false
+      while (i < s.length && !open) {
+        var j = i + 1
+        while (j < s.length && {
+          val dx = s(j)._2 - s(i)._2; val dy = s(j)._3 - s(i)._3
+          dx * dx + dy * dy <= r2 }) j += 1
+        if (j == s.length) open = true
+        else if (s(j - 1)._1 - s(i)._1 >= minDur) {
+          val run = s.slice(i, j)
+          idx += 1
+          out += ((k, idx, s(i)._1, s(j - 1)._1, j - i,
+            run.map(_._2).sum / run.length, run.map(_._3).sum / run.length))
+          i = j
+        } else i += 1
+      }
+      out.toSeq
+    }
+
+  test("streamingStayPoints: multi-batch file stream == open-suffix reference; sp_idx continues") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // 3 devices, 3 plateaus of 8 ticks each + 4-tick trailing dwell;
+    // minDur 5 ticks => each full plateau is a stay point, the trailing
+    // dwell stays open at end-of-stream
+    def fix(lo: Int, hi: Int): Seq[(Long, Long, Double, Double)] =
+      for (k <- 0L until 3L; i <- lo.toLong until hi.toLong) yield {
+        val plateau = i / 8
+        (k, i * 10, (k * 31 + plateau * 97 % 50 * 20 + i % 2).toDouble,
+          (k * 17 + plateau * 53 % 50 * 20 + i % 3).toDouble)
+      }
+    // 32 ticks: the trailing dwell (ticks 24..31, duration 70 >= 50)
+    // IS a batch stay point (end-of-data emit) but never sees an exit
+    // point, so the stream must withhold it
+    val all = fix(0, 32)
+    val dir = tmpDir("sp-stream")
+    // two files -> two micro-batches under maxFilesPerTrigger=1
+    fix(0, 13).toDF("dev", "t", "x", "y")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    fix(13, 32).toDF("dev", "t", "x", "y")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val sdir = tmpDir("sp-stream-in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir, "a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir, "b.parquet")))
+    // FileStreamSource orders micro-batches by modification time — pin it
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(sdir, "a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val schema = fix(0, 1).toDF("dev", "t", "x", "y").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+    val out = graft.core.Trajectory.streamingStayPoints(stream,
+      "dev", "t", "x", "y", radius = 5.0, minDurationSec = 50L)
+    val qn = s"spst_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn).collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exp = refStreaming(all, 25.0, 50L).sortBy(t => (t._1, t._2))
+    assert(got === exp && got.nonEmpty)
+    // the trailing dwell (ticks 24..27) was withheld; batch emits it
+    val batch = graft.core.Trajectory.stayPoints(all.toDF("dev", "t", "x", "y"),
+      "dev", "t", "x", "y", 5.0, 50L).count()
+    assert(batch === got.length + 3L, "each device's open tail withheld")
+    // batch-mode run of the streaming operator matches too
+    val batchMode = graft.core.Trajectory.streamingStayPoints(
+        all.toDF("dev", "t", "x", "y"), "dev", "t", "x", "y", 5.0, 50L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batchMode === exp)
+  }
+
+  test("streamingStayPoints: late arrival below the finalized frontier refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val sdir = tmpDir("sp-late")
+    // batch 1 finalizes a plateau (exit at tick 8); batch 2 delivers a
+    // point BEFORE the finalized region -> loud refusal
+    val b1 = (0 until 9).map(i =>
+      (1L, i * 10L, if (i < 8) 0.0 else 500.0, 0.0))
+    val b2 = Seq((1L, 5L, 0.0, 0.0)) // ts 5 < frontier
+    b1.toDF("dev", "t", "x", "y").coalesce(1).write.parquet(s"$sdir/f1")
+    b2.toDF("dev", "t", "x", "y").coalesce(1).write.parquet(s"$sdir/f2")
+    val in = tmpDir("sp-late-in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$sdir/f1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(in, "a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$sdir/f2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(in, "b.parquet")))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(in, "a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val schema = b1.toDF("dev", "t", "x", "y").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = graft.core.Trajectory.streamingStayPoints(stream,
+      "dev", "t", "x", "y", radius = 5.0, minDurationSec = 50L)
+    val qn = s"splate_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { q.awaitTermination(120000) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("finalized frontier")))
+  }
 }
