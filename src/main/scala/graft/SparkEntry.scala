@@ -2889,6 +2889,40 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q248_areal_interpolation" -> ((s, dir) => { ensure(s)
+      // AREA-WEIGHTED interpolation (Goodchild-Lam): supplier zone
+      // mass redistributes onto customer parcels by intersected-area
+      // share. EXACTNESS BY CONSTRUCTION: zone area is constant 1000
+      // (40x25 int rects) and weights are s_suppkey*1000, so every
+      // share w*ix/1000 = s_suppkey*ix is an INTEGER exactly
+      // representable in doubles (IEEE division by the factored-out
+      // 1000 is exact) and the sum is order-free — the mass lands as
+      // a BIGINT with no float hash surface. Parcels touching nothing
+      // report 0 (the left-join fill).
+      val ax = (col("s_suppkey") * 3) % 1000
+      val ay = (col("s_suppkey") * 13) % 1000
+      val zones = ld(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") * 1000).cast("double").as("w"),
+        st_geomfromtext(concat(lit("POLYGON(("),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 40).cast("string"), lit(" "), ay.cast("string"), lit(", "),
+          (ax + 40).cast("string"), lit(" "), (ay + 25).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), (ay + 25).cast("string"), lit(", "),
+          ax.cast("string"), lit(" "), ay.cast("string"), lit("))"))).as("zg"))
+      val bx = col("c_custkey") % 1000
+      val by = (col("c_custkey") * 7) % 1000
+      val parcels = ld(s, dir, "customer").select(col("c_custkey"),
+        st_geomfromtext(concat(lit("POLYGON(("),
+          bx.cast("string"), lit(" "), by.cast("string"), lit(", "),
+          (bx + 15).cast("string"), lit(" "), by.cast("string"), lit(", "),
+          (bx + 15).cast("string"), lit(" "), (by + 35).cast("string"), lit(", "),
+          bx.cast("string"), lit(" "), (by + 35).cast("string"), lit(", "),
+          bx.cast("string"), lit(" "), by.cast("string"), lit("))"))).as("tg"))
+      graft.core.SpatialJoin.arealInterpolate(zones.drop("s_suppkey"), "zg",
+          "w", parcels, "tg", cellSize = 40.0)
+        .select(col("c_custkey"), col("interp").cast("long").as("mass"))
+        .orderBy("c_custkey")
+    }),
     "q247_stream_stay_points" -> ((s, dir) => { ensure(s)
       // STREAMING stay-point detection (flatMapGroupsWithState):
       // q231's fixture through a real stream — a stay point is
@@ -5745,6 +5779,15 @@ object SparkEntry {
     "q234_pagerank" -> q234OracleSql(4),
     "q238_shortest_paths" -> q238OracleSql(5),
     "q244_personalized_pagerank" -> q244OracleSql(4, Seq(0L, 7L, 13L)),
+    "q248_areal_interpolation" ->
+      ("WITH a AS (SELECT s_suppkey, (s_suppkey * 3) % 1000 AS ax, (s_suppkey * 13) % 1000 AS ay FROM supplier), " +
+       "b AS (SELECT c_custkey, c_custkey % 1000 AS bx, (c_custkey * 7) % 1000 AS by2 FROM customer), " +
+       "p AS (SELECT b.c_custkey, a.s_suppkey * " +
+       "((least(ax + 40, bx + 15) - greatest(ax, bx)) * (least(ay + 25, by2 + 35) - greatest(ay, by2))) AS m " +
+       "FROM a JOIN b ON ax <= bx + 15 AND bx <= ax + 40 AND ay <= by2 + 35 AND by2 <= ay + 25) " +
+       "SELECT b.c_custkey, CAST(COALESCE(s.m, 0) AS BIGINT) AS mass FROM b " +
+       "LEFT JOIN (SELECT c_custkey, sum(m) AS m FROM p GROUP BY 1) s " +
+       "ON s.c_custkey = b.c_custkey ORDER BY b.c_custkey"),
     "q247_stream_stay_points" -> // q231's anchor machine with the
       // STREAMING stop rule: the recursion halts at the first anchor
       // whose window reaches end-of-data (j = mx+1), and only

@@ -333,4 +333,54 @@ object SpatialJoin {
       .join(broadcast(idxed), Seq("_gbidx"))
       .select(geoms.columns.map(col) ++ points.columns.map(col): _*)
   }
+
+  /**
+   * AREA-WEIGHTED (areal) INTERPOLATION — the classic GIS
+   * redistribution (Goodchild & Lam 1980): each source zone's
+   * `weightCol` (population, crop tons) spreads over the target zones
+   * it intersects in proportion to intersected area,
+   * `interp(t) = Σ_s w(s) · area(s ∩ t) / area(s)`. The join is
+   * [[spatialJoin]] (grid cells, exactly-once), the overlay is the
+   * JTS intersection kernel, and the aggregate groups on the WHOLE
+   * target row (VALUE-duplicate targets collapse — give targets an id
+   * column if that matters). Returns `tgt.* ++ interp`; targets
+   * intersecting nothing get interp = 0 via the final left join.
+   * Mass preservation (Σ interp = Σ w when targets tile the source
+   * extent) is pinned in the spec. Zero-area source zones REFUSE
+   * loudly (their share is 0/0); NULL weights refuse.
+   */
+  def arealInterpolate(src: DataFrame, srcGeom: String, weightCol: String,
+                       tgt: DataFrame, tgtGeom: String,
+                       cellSize: Double,
+                       maxCellsPerGeom: Int = 4096,
+                       saltCells: Int = 0): DataFrame = {
+    require(src.columns.contains(weightCol),
+      s"arealInterpolate: weight column '$weightCol' missing from " +
+      src.columns.mkString("[", ",", "]"))
+    require(!tgt.columns.contains("interp") && !src.columns.contains("interp"),
+      "arealInterpolate: reserved output column 'interp' present — rename it")
+    require(!tgt.columns.contains("_share") && !src.columns.contains("_share"),
+      "arealInterpolate: reserved scratch column '_share' present — rename it")
+    val w =
+      when(col(weightCol).isNull,
+        raise_error(lit("arealInterpolate: NULL weight — a silently " +
+          "dropped zone would lose mass")).cast("double"))
+      .otherwise(col(weightCol).cast("double"))
+    val srcArea = Bridge.column(graft.functions.StUnary("area",
+      Bridge.expression(col(srcGeom))))
+    val ixArea = Bridge.column(graft.functions.StUnary("area",
+      graft.functions.StOverlay("intersectionOf",
+        Bridge.expression(col(srcGeom)), Bridge.expression(col(tgtGeom)))))
+    val pairs = spatialJoin(src, srcGeom, tgt, tgtGeom, "intersects",
+        cellSize, maxCellsPerGeom, saltCells)
+      .withColumn("_share",
+        when(srcArea === 0.0,
+          raise_error(lit("arealInterpolate: zero-area source zone — its " +
+            "share is 0/0; filter degenerate zones first")).cast("double"))
+        .otherwise(w * ixArea / srcArea))
+    val perTgt = pairs.groupBy(tgt.columns.map(col): _*)
+      .agg(sum("_share").as("interp"))
+    tgt.distinct().join(perTgt, tgt.columns.toSeq, "left")
+      .na.fill(0.0, Seq("interp"))
+  }
 }

@@ -169,6 +169,59 @@ class SpatialJoinSpec extends SparkSpec {
       eNan.getCause != null && eNan.getCause.getMessage.contains("NULL/NaN"))
   }
 
+  test("arealInterpolate: hand shares, mass preservation under tiling, zero fill, refusals") {
+    import s.implicits._
+    // one 10x10 source zone (w=100) split by two 5x10 target halves,
+    // plus a source feeding nothing and a target receiving nothing
+    val src = Seq(
+      (1, 100.0, "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      (2, 40.0, "POLYGON((50 50, 60 50, 60 60, 50 60, 50 50))"))
+      .toDF("zid", "w", "wkt")
+      .select($"zid", $"w", st_geomfromtext($"wkt").as("zg"))
+    val tgt = Seq(
+      (10, "POLYGON((0 0, 5 0, 5 10, 0 10, 0 0))"),
+      (11, "POLYGON((5 0, 10 0, 10 10, 5 10, 5 0))"),
+      (12, "POLYGON((90 90, 95 90, 95 95, 90 95, 90 90))"))
+      .toDF("tid", "wkt2")
+      .select($"tid", st_geomfromtext($"wkt2").as("tg"))
+    val got = SpatialJoin.arealInterpolate(src, "zg", "w", tgt, "tg",
+        cellSize = 20.0)
+      .select("tid", "interp").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got === Map(10 -> 50.0, 11 -> 50.0, 12 -> 0.0))
+    // mass preservation when targets tile the sources: grid of 4 zones
+    // x 16 quarter-tiles
+    val zones = (0 until 4).map { i =>
+      val x = (i % 2) * 10; val y = (i / 2) * 10
+      (i, (i + 1) * 7.0,
+        s"POLYGON(($x $y, ${x + 10} $y, ${x + 10} ${y + 10}, $x ${y + 10}, $x $y))")
+    }.toDF("zid", "w", "wkt").select($"zid", $"w", st_geomfromtext($"wkt").as("zg"))
+    val tiles = (0 until 16).map { i =>
+      val x = (i % 4) * 5; val y = (i / 4) * 5
+      (100 + i,
+        s"POLYGON(($x $y, ${x + 5} $y, ${x + 5} ${y + 5}, $x ${y + 5}, $x $y))")
+    }.toDF("tid", "wkt2").select($"tid", st_geomfromtext($"wkt2").as("tg"))
+    val total = SpatialJoin.arealInterpolate(zones, "zg", "w", tiles, "tg",
+        cellSize = 10.0)
+      .agg(org.apache.spark.sql.functions.sum("interp")).head().getDouble(0)
+    assert(math.abs(total - (7.0 + 14.0 + 21.0 + 28.0)) < 1e-9)
+    // refusals: zero-area source, NULL weight
+    val degen = Seq((1, 5.0, "POLYGON((0 0, 4 0, 0 0, 0 0))")).toDF("zid", "w", "wkt")
+      .select($"zid", $"w", st_geomfromtext($"wkt").as("zg"))
+    val eZero = intercept[Exception] {
+      SpatialJoin.arealInterpolate(degen, "zg", "w", tgt, "tg", 20.0).collect()
+    }
+    assert(eZero.toString.contains("zero-area") ||
+      Option(eZero.getCause).exists(_.getMessage.contains("zero-area")))
+    val nullW = src.withColumn("w",
+      when($"zid" === 1, lit(null).cast("double")).otherwise($"w"))
+    val eNull = intercept[Exception] {
+      SpatialJoin.arealInterpolate(nullW, "zg", "w", tgt, "tg", 20.0).collect()
+    }
+    assert(eNull.toString.contains("NULL weight") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("NULL weight")))
+  }
+
   private def bruteS(mode: String): Set[(Int, Int)] =
     layerA.crossJoin(layerB)
       .filter(st_relation(mode, col("ageom"), col("bgeom")))
