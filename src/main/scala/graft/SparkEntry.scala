@@ -2889,6 +2889,48 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q249_stream_stream_colocation" -> ((s, dir) => { ensure(s)
+      // STREAM-STREAM spatiotemporal co-location: q232's fixture with
+      // BOTH sides arriving as real streams — the 3x3x3 binning is
+      // stateless, the join carries the three equi bin keys plus the
+      // watermarked event-time range |Δt| <= tau that BOUNDS the join
+      // state (each side retains watermark + tau of history, the
+      // real-time contact-tracing shape). Bounded AvailableNow stream
+      // ⇒ result equals the batch join exactly; q232's oracle
+      // verbatim.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-ststream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      def draw(tag: String, m: Int) =
+        (conv(substring(md5(concat(lit(tag + ":"),
+          col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % m).cast("double")
+      // +86400 s: a row AT epoch 0 equals Structured Streaming's
+      // INITIAL watermark and is treated as late in any micro-batch
+      // after the first (found at authoring: exactly one bt=0 pair
+      // vanished) — the uniform shift preserves every pair and Δt, so
+      // the unshifted q232 oracle still matches row-for-row
+      val a = EventStream.read(s, stage.toString)
+        .filter(col("event_id") % 2 === 0).select(
+          col("event_id").as("a_id"), draw("stx", 500).as("ax"),
+          draw("sty", 500).as("ay"), (draw("stt", 3000) + 86400).as("at"))
+      val b = EventStream.read(s, stage.toString)
+        .filter(col("event_id") % 2 === 1).select(
+          col("event_id").as("b_id"), draw("stx", 500).as("bx"),
+          draw("sty", 500).as("by"), (draw("stt", 3000) + 86400).as("bt"))
+      val out = graft.core.DistanceJoin.spaceTimeJoinStream(a, b,
+          "ax", "ay", "at", "bx", "by", "bt", radius = 20.0, tau = 60.0,
+          watermarkDelay = "2 hours")
+        .select(col("a_id"), col("b_id"),
+          col("dist2").cast("long").as("dist2i"),
+          col("dt").cast("long").as("dti"))
+      val qname = "gate_stst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("a_id", "b_id")
+    }),
     "q248_areal_interpolation" -> ((s, dir) => { ensure(s)
       // AREA-WEIGHTED interpolation (Goodchild-Lam): supplier zone
       // mass redistributes onto customer parcels by intersected-area
@@ -5948,23 +5990,9 @@ object SparkEntry {
        "SELECT k AS dev, leg, count(*) AS n_points, min(t) AS start_ts, max(t) AS end_ts, " +
        "CAST(sum(CASE WHEN brk = 1 THEN 0 ELSE CAST(round(sqrt(dx * dx + dy * dy) * 1000000) AS BIGINT) END) AS BIGINT) AS path_len_um " +
        "FROM l GROUP BY k, leg ORDER BY dev, leg"),
-    "q232_space_time_join" ->
-      ("WITH a AS (SELECT event_id AS a_id, " +
-       "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ax, " +
-       "CAST(concat('0x', substr(md5('sty:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ay, " +
-       "CAST(concat('0x', substr(md5('stt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000 AS at1 " +
-       "FROM events WHERE event_id % 2 = 0), " +
-       "b AS (SELECT event_id AS b_id, " +
-       "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS bx, " +
-       "CAST(concat('0x', substr(md5('sty:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS by2, " +
-       "CAST(concat('0x', substr(md5('stt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000 AS bt " +
-       "FROM events WHERE event_id % 2 = 1) " +
-       "SELECT a_id, b_id, " +
-       "CAST((ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) AS BIGINT) AS dist2i, " +
-       "CAST(abs(at1 - bt) AS BIGINT) AS dti " +
-       "FROM a CROSS JOIN b " +
-       "WHERE (ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) <= 400 AND abs(at1 - bt) <= 60 " +
-       "ORDER BY a_id, b_id"),
+    "q232_space_time_join" -> q232OracleSqlText,
+    "q249_stream_stream_colocation" -> q232OracleSqlText, // bounded
+      // stream ⇒ identical row set to the batch join
     "q231_stay_points" ->
       ("WITH RECURSIVE pts AS MATERIALIZED (" +
        "SELECT event_id % 50 AS k, event_id // 50 AS rn, (event_id // 50) * 60 AS ts, " +
@@ -7206,6 +7234,27 @@ object SparkEntry {
     head + rounds +
       s" SELECT node, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY node"
   }
+
+  /** q232/q249 shared oracle: the co-location brute force in pure
+   *  integer arithmetic (the streaming gate's bounded stream equals
+   *  the batch join row-for-row). */
+  private val q232OracleSqlText: String =
+    "WITH a AS (SELECT event_id AS a_id, " +
+    "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ax, " +
+    "CAST(concat('0x', substr(md5('sty:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS ay, " +
+    "CAST(concat('0x', substr(md5('stt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000 AS at1 " +
+    "FROM events WHERE event_id % 2 = 0), " +
+    "b AS (SELECT event_id AS b_id, " +
+    "CAST(concat('0x', substr(md5('stx:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS bx, " +
+    "CAST(concat('0x', substr(md5('sty:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 500 AS by2, " +
+    "CAST(concat('0x', substr(md5('stt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3000 AS bt " +
+    "FROM events WHERE event_id % 2 = 1) " +
+    "SELECT a_id, b_id, " +
+    "CAST((ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) AS BIGINT) AS dist2i, " +
+    "CAST(abs(at1 - bt) AS BIGINT) AS dti " +
+    "FROM a CROSS JOIN b " +
+    "WHERE (ax - bx) * (ax - bx) + (ay - by2) * (ay - by2) <= 400 AND abs(at1 - bt) <= 60 " +
+    "ORDER BY a_id, b_id"
 
   /** q238 oracle: replay the bounded Bellman-Ford relaxation as a CTE
    *  chain — one min-merge per round over the same orders edges. */

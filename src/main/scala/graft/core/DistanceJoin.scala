@@ -409,6 +409,102 @@ object DistanceJoin {
       .drop("_gcx", "_gcy", "_gct")
   }
 
+  /**
+   * STREAM-STREAM spatiotemporal co-location join — [[spaceTimeJoin]]
+   * over two UNBOUNDED streams (real-time contact tracing): every
+   * (left, right) pair within planar `radius` AND `tau` seconds, as a
+   * watermarked Structured Streaming stream-stream inner join. The
+   * binning is the same 3×3×3 recipe (stateless projections, so they
+   * stream as-is); the join carries the three equi bin keys PLUS the
+   * event-time range `|lt − rt| <= tau` expressed on TIMESTAMP
+   * columns, which is what lets Spark BOUND the join state — each
+   * side retains only `watermarkDelay + tau` of history instead of
+   * the whole stream. `lt`/`rt` are epoch SECONDS (integral or
+   * double); rows later than `watermarkDelay` behind the max seen
+   * event time are DROPPED by the state machinery — that is the
+   * documented streaming contract (use the batch operator for late
+   * corpora), not a silent bug. Corollary: Structured Streaming's
+   * INITIAL watermark is epoch 0, so a row with event time AT epoch 0
+   * arriving after the first micro-batch is already "late" — real
+   * epoch-seconds data is unaffected, synthetic small-integer
+   * timestamps should be shifted off zero. Output = batch spaceTimeJoin's
+   * (`left.* ++ right.* ++ dist2, dist, dt`) minus the internal
+   * timestamp scratch; on a bounded AvailableNow stream the result
+   * equals the batch join exactly (the q249 gate pins it).
+   */
+  def spaceTimeJoinStream(left: DataFrame, right: DataFrame,
+                          lx: String, ly: String, lt: String,
+                          rx: String, ry: String, rt: String,
+                          radius: Double, tau: Double,
+                          watermarkDelay: String,
+                          cellSize: Option[Double] = None,
+                          bucketWidth: Option[Double] = None): DataFrame = {
+    require(radius > 0 && !radius.isInfinite, s"radius must be finite > 0, got $radius")
+    require(tau > 0 && !tau.isInfinite, s"tau must be finite > 0, got $tau")
+    val cs = cellSize.getOrElse(radius)
+    require(cs >= radius,
+      s"cellSize ($cs) must be >= radius ($radius) — smaller cells would " +
+      "need a wider neighborhood than 3x3 and silently lose pairs")
+    val bw = bucketWidth.getOrElse(tau)
+    require(bw >= tau,
+      s"bucketWidth ($bw) must be >= tau ($tau) — smaller buckets would " +
+      "need more than 3 neighbors and silently lose pairs")
+    Seq(lx -> left, ly -> left, lt -> left,
+        rx -> right, ry -> right, rt -> right).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"spaceTimeJoinStream: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"spaceTimeJoinStream: overlapping column names ${overlap.mkString(",")} — " +
+      "rename one side (the output carries both sides' columns)")
+    Seq("_gcx", "_gcy", "_gct", "_lets", "_rets", "dist2", "dist", "dt").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"spaceTimeJoinStream: reserved column '$c' already present — rename it")
+    }
+    def binOf(op: String)(x: Column, w: Double, what: String): Column =
+      when(x.isNull || isnan(x.cast("double")),
+        raise_error(lit(s"$op: NULL/NaN $what — a null key would " +
+          "silently drop the row from every pair")).cast("long"))
+        .otherwise(floor(x.cast("double") / w).cast("long"))
+    val bin = binOf("spaceTimeJoinStream") _
+    val l = left
+      .withColumn("_gcx", bin(col(lx), cs, "left x"))
+      .withColumn("_gcy", bin(col(ly), cs, "left y"))
+      .withColumn("_gct", bin(col(lt), bw, "left time"))
+      .withColumn("_lets", timestamp_seconds(col(lt).cast("double")))
+      .withWatermark("_lets", watermarkDelay)
+    val r = right
+      .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gcx", bin(col(rx), cs, "right x") + col("_dx"))
+      .withColumn("_gcy", bin(col(ry), cs, "right y") + col("_dy"))
+      .withColumn("_gct", bin(col(rt), bw, "right time") + col("_dt"))
+      .drop("_dx", "_dy", "_dt")
+      .withColumn("_rets", timestamp_seconds(col(rt).cast("double")))
+      .withWatermark("_rets", watermarkDelay)
+    val ddx = l(lx) - r(rx)
+    val ddy = l(ly) - r(ry)
+    val tauInterval = expr(s"INTERVAL ${tau.toLong + 1} SECONDS")
+    val cond =
+      l("_gcx") === r("_gcx") && l("_gcy") === r("_gcy") &&
+      l("_gct") === r("_gct") &&
+      // event-time range: the state-cleanup contract (slightly wider
+      // than tau — the exact |dt| <= tau filter below decides rows)
+      l("_lets") >= r("_rets") - tauInterval &&
+      l("_lets") <= r("_rets") + tauInterval &&
+      ddx * ddx + ddy * ddy <= lit(radius * radius) &&
+      abs(l(lt).cast("double") - r(rt).cast("double")) <= lit(tau)
+    l.join(r, cond, "inner")
+      .withColumn("dist2",
+        (col(lx) - col(rx)) * (col(lx) - col(rx)) +
+        (col(ly) - col(ry)) * (col(ly) - col(ry)))
+      .withColumn("dt", abs(col(lt).cast("double") - col(rt).cast("double")))
+      .withColumn("dist", sqrt(col("dist2")))
+      .drop("_gcx", "_gcy", "_gct", "_lets", "_rets")
+  }
+
   // ------------------------------------------------------------------
   // GEODESIC (haversine) variants — lat/lon degrees on the sphere.
   // ------------------------------------------------------------------

@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream spaceTimeJoinStream == batch spaceTimeJoin on a bounded stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two sides drawn independently (the q232 convention), shipped as
+    // file streams with pinned micro-batch order
+    def draw(tag: String, i: Long, m: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8"))
+      (BigInt(1, md.take(4)).toLong % m).toDouble
+    }
+    val aRows = (0L until 300L).map(i =>
+      (i, draw("ax", i, 200), draw("ay", i, 200), draw("at", i, 900)))
+    val bRows = (0L until 300L).map(i =>
+      (i + 1000, draw("bx", i, 200), draw("by", i, 200), draw("bt", i, 900)))
+    val aDf = aRows.toDF("aid", "ax", "ay", "at")
+    val bDf = bRows.toDF("bid", "bx", "by", "bt")
+    val batch = graft.core.DistanceJoin.spaceTimeJoin(aDf, bDf,
+        "ax", "ay", "at", "bx", "by", "bt", radius = 15.0, tau = 30.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dirA = tmpDir("stst-a"); val dirB = tmpDir("stst-b")
+    aDf.coalesce(1).write.parquet(s"$dirA/p")
+    bDf.coalesce(1).write.parquet(s"$dirB/p")
+    val sa = spark.readStream.schema(aDf.schema).parquet(s"$dirA/p")
+    val sb = spark.readStream.schema(bDf.schema).parquet(s"$dirB/p")
+    val out = graft.core.DistanceJoin.spaceTimeJoinStream(sa, sb,
+      "ax", "ay", "at", "bx", "by", "bt", radius = 15.0, tau = 30.0,
+      watermarkDelay = "1 hour")
+    assert(out.isStreaming)
+    val qn = s"stst_${System.nanoTime}"
+    val q = out.select("aid", "bid").writeStream.format("memory")
+      .queryName(qn).outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table(qn).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batch && got.nonEmpty)
+  }
+
   test("stream-static broadcastPointJoin == batch (probe expression composes unchanged)") {
     // the GeomSetProbe expression is stateless and the payload attach
     // is a stream-static broadcast hash join on the index, so the
