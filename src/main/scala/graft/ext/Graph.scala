@@ -254,15 +254,20 @@ object Graph {
         refusedLong(edges, srcCol, "coOccurrence").as("s"),
         refusedLong(edges, dstCol, "coOccurrence").as("d"))
       .distinct()
-    val grouped = e.groupBy("s")
-      .agg(sort_array(collect_set(col("d"))).as("ds"))
+    // the hub guard runs on a COUNT aggregate BEFORE any dst set is
+    // materialized — raising from inside the collect_set projection
+    // would OOM on a 10^8-degree hub before the check ever evaluated
+    val deg = e.groupBy("s").agg(count(lit(1)).as("_deg"))
       .select(
-        when(size(col("ds")) > maxSrcDegree,
+        when(col("_deg") > maxSrcDegree,
           raise_error(concat(lit("coOccurrence: src "), col("s").cast("string"),
-            lit(" has "), size(col("ds")).cast("string"),
+            lit(" has "), col("_deg").cast("string"),
             lit(s" distinct dsts > maxSrcDegree ($maxSrcDegree) — drop or " +
-              "sample hub sources explicitly upstream"))).cast("array<bigint>"))
-        .otherwise(col("ds")).as("ds"))
+              "sample hub sources explicitly upstream"))).cast("long"))
+        .otherwise(col("s")).as("s"))
+    val grouped = e.join(deg, Seq("s"), "left_semi")
+      .groupBy("s")
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
     // all ordered index pairs (i < j) of the sorted per-src dst set —
     // canonical (a < b) for free, generated map-side
     grouped
