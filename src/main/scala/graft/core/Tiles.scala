@@ -75,6 +75,20 @@ object Tiles {
     greatest(lit(0L), least(floor(y).cast("long"), lit(n - 1)))
   }
 
+  /** Quadkey PREFIX rollup: the z-level ancestor key of a finer
+    * quadkey column — `substring` only, which is the point: per-tile
+    * aggregates stored at one fine zoom answer every coarser zoom by
+    * re-aggregating on this column, never by re-binning coordinates.
+    * Refuses (per row) keys shorter than `toZ`. */
+  def rollup(qk: Column, toZ: Int): Column = {
+    require_z(toZ)
+    require(toZ >= 1, "tiles: rollup needs zoom >= 1")
+    when(qk.isNull || length(qk) < toZ,
+      raise_error(concat(lit(s"tiles: cannot roll a quadkey up to z=$toZ: "),
+        coalesce(qk, lit("NULL")))).cast("string"))
+    .otherwise(substring(qk, 1, toZ))
+  }
+
   /** Bing-style quadkey: z base-4 digits, digit i (from the most
     * significant) = 2·bit(y, z−1−i) + bit(x, z−1−i). Prefix-nesting is
     * the point: `substring(quadkey(z=12), 1, 8)` IS the z=8 key. */

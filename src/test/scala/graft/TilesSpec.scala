@@ -59,6 +59,27 @@ class TilesSpec extends SparkSpec {
     }
   }
 
+  test("rollup: z10 counts re-aggregated to z4 == direct z4 binning") {
+    import spark.implicits._
+    val pts = (0 until 2000).map(i =>
+      (((i * 7) % 1400) / 10.0 - 70.0 + 0.05,
+       ((i * 13) % 3600) / 10.0 - 180.0 + 0.05)).toDF("lat", "lon")
+    val fine = pts.select(Tiles.quadkey(col("lon"), col("lat"), 10).as("qk"))
+      .groupBy("qk").count()
+    val rolled = fine.groupBy(Tiles.rollup(col("qk"), 4).as("qk4"))
+      .agg(sum("count").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = pts.select(Tiles.quadkey(col("lon"), col("lat"), 4).as("qk4"))
+      .groupBy("qk4").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct && direct.nonEmpty)
+    val eShort = intercept[Exception] {
+      Seq("01").toDF("qk").select(Tiles.rollup(col("qk"), 4)).collect()
+    }
+    assert(eShort.toString.contains("roll a quadkey") ||
+      Option(eShort.getCause).exists(_.getMessage.contains("roll a quadkey")))
+  }
+
   test("refusals: polar latitude, out-of-range longitude, NaN, zoom bounds") {
     import spark.implicits._
     def bad(lon: Double, lat: Double) = {
