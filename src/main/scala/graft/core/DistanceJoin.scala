@@ -58,7 +58,7 @@ object DistanceJoin {
     require(overlap.isEmpty,
       s"radiusJoin: overlapping column names ${overlap.mkString(",")} — " +
       "rename one side (the output carries both sides' columns)")
-    Seq("_gcx", "_gcy", "dist2", "dist").foreach { c =>
+    Seq("_gcx", "_gcy", "_dx", "_dy", "dist2", "dist").foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"radiusJoin: reserved output column '$c' already present — rename it")
     }
@@ -374,7 +374,7 @@ object DistanceJoin {
     require(overlap.isEmpty,
       s"spaceTimeJoin: overlapping column names ${overlap.mkString(",")} — " +
       "rename one side (the output carries both sides' columns)")
-    Seq("_gcx", "_gcy", "_gct", "dist2", "dist", "dt").foreach { c =>
+    Seq("_gcx", "_gcy", "_gct", "_dx", "_dy", "_dt", "dist2", "dist", "dt").foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"spaceTimeJoin: reserved output column '$c' already present — rename it")
     }
@@ -458,7 +458,8 @@ object DistanceJoin {
     require(overlap.isEmpty,
       s"spaceTimeJoinStream: overlapping column names ${overlap.mkString(",")} — " +
       "rename one side (the output carries both sides' columns)")
-    Seq("_gcx", "_gcy", "_gct", "_lets", "_rets", "dist2", "dist", "dt").foreach { c =>
+    Seq("_gcx", "_gcy", "_gct", "_lets", "_rets", "_dx", "_dy", "_dt",
+        "dist2", "dist", "dt").foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"spaceTimeJoinStream: reserved column '$c' already present — rename it")
     }
@@ -905,6 +906,7 @@ object DistanceJoin {
       s"segmentRadiusJoin: overlapping column names ${overlap.mkString(",")} — " +
       "rename one side (the output carries both sides' columns)")
     Seq("_gcx", "_gcy", "_pcxlo", "_pcylo", "_scxlo", "_scylo",
+        "_pcx0", "_pcy0", "_dx", "_dy", "_scxhi",
         "dist2", "dist", "frac", "snap_x", "snap_y").foreach { c =>
       require(!points.columns.contains(c) && !segs.columns.contains(c),
         s"segmentRadiusJoin: reserved column '$c' already present — rename it")

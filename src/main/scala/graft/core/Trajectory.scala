@@ -234,10 +234,14 @@ object Trajectory {
    *
    * Ordering contract: within the buffered suffix points sort by
    * `(ts, x, y)` exactly like the batch scan, so intra-buffer disorder
-   * is harmless; an arrival with ts BELOW the finalized frontier (the
-   * last point already consumed into an emitted/slid-past region)
-   * would rewrite history and REFUSES loudly — feed late corpora
-   * through the batch operator instead. State per key is the open
+   * is harmless; an arrival with ts AT OR BELOW the finalized frontier
+   * — the maximum timestamp CONSULTED by any finalized slide/emit
+   * decision, i.e. the latest escape point whose radius test sealed a
+   * decision — would rewrite history and REFUSES loudly; feed late
+   * corpora through the batch operator instead. (The frontier tracks
+   * consulted escape points, not merely emitted spans: a slide past a
+   * sparse anchor consults the far side of the gap, and a late point
+   * landing inside that gap could flip the slide to an emit.) State per key is the open
    * suffix only, bounded by the longest real dwell (a never-moving
    * device grows it until the loud `maxPointsPerKey` cap — split
    * permanent fixtures upstream).
@@ -288,11 +292,12 @@ object Trajectory {
             state.getOption.getOrElse((Seq.empty[(Long, Double, Double)], 0, Long.MinValue))
           val incoming = it.map(r => (r._2, r._3, r._4)).toVector
           incoming.foreach { p =>
-            if (p._1 < frontier)
+            if (p._1 <= frontier)
               throw new IllegalArgumentException(
-                s"streamingStayPoints: key $key received ts ${p._1} below the " +
-                s"finalized frontier $frontier — late data past an emitted " +
-                "dwell would rewrite history; replay through batch stayPoints")
+                s"streamingStayPoints: key $key received ts ${p._1} at or below " +
+                s"the finalized frontier $frontier — a finalized slide/emit " +
+                "already consulted a point at that timestamp, so accepting it " +
+                "would rewrite history; replay through batch stayPoints")
           }
           val pts = (prevBuf.toVector ++ incoming).sortBy(p => (p._1, p._2, p._3))
           require(pts.length <= cap,
@@ -303,28 +308,37 @@ object Trajectory {
           var i = 0
           var spIdx = prevIdx
           var pending = -1
+          // Max timestamp CONSULTED by any decision finalized this scan.
+          // Every slide and every emit tested the escape point pts(j) —
+          // a later arrival at or below its ts could have sorted inside
+          // the window and flipped the decision, so the frontier must
+          // cover the escape point, not just the point before the open
+          // anchor (which can sit WELL below the consulted span when the
+          // buffer is sparse).
+          var consulted = Long.MinValue
           while (i < n && pending < 0) {
             var j = i + 1
             while (j < n && {
               val dx = pts(j)._2 - pts(i)._2; val dy = pts(j)._3 - pts(i)._3
               dx * dx + dy * dy <= r2 }) j += 1
             if (j == n) pending = i // window ran out of data: still open
-            else if (pts(j - 1)._1 - pts(i)._1 >= minDur) {
-              var sx = 0.0; var sy = 0.0
-              var p = i
-              while (p < j) { sx += pts(p)._2; sy += pts(p)._3; p += 1 }
-              spIdx += 1
-              out += ((key, spIdx, pts(i)._1, pts(j - 1)._1, j - i,
-                sx / (j - i), sy / (j - i)))
-              i = j
-            } else i += 1
+            else {
+              if (pts(j)._1 > consulted) consulted = pts(j)._1
+              if (pts(j - 1)._1 - pts(i)._1 >= minDur) {
+                var sx = 0.0; var sy = 0.0
+                var p = i
+                while (p < j) { sx += pts(p)._2; sy += pts(p)._3; p += 1 }
+                spIdx += 1
+                out += ((key, spIdx, pts(i)._1, pts(j - 1)._1, j - i,
+                  sx / (j - i), sy / (j - i)))
+                i = j
+              } else i += 1
+            }
           }
           val keep = if (pending >= 0) pts.drop(pending) else Vector.empty
           val newFrontier =
-            if (pending > 0) pts(pending - 1)._1
-            else if (pending == 0) frontier
-            else if (n > 0) pts(n - 1)._1
-            else frontier
+            if (consulted == Long.MinValue) frontier // nothing finalized
+            else math.max(frontier, consulted)
           state.update((keep, spIdx, newFrontier))
           out.iterator
       }

@@ -353,7 +353,11 @@ object Graph {
    * edges are canonicalized to `least/greatest` pairs, deduplicated,
    * and self-loops dropped — a self-loop is not a triangle under any
    * standard definition). Returns `(node BIGINT, triangles BIGINT)`
-   * for EVERY node in the edge table, zero included.
+   * for every node with at least one NON-self-loop edge, zero
+   * included; a node whose only edges are self-loops has no incident
+   * canonical edge and is omitted (it cannot be in a triangle, so
+   * callers that need such nodes listed should union the raw node set
+   * with `coalesce(triangles, 0)`).
    *
    * Algorithm: degree-ordered orientation + wedge join (compact-
    * forward). Each undirected edge points from the endpoint with the

@@ -298,6 +298,47 @@ class TrajectorySpec extends SparkSpec {
     assert(batchMode === exp)
   }
 
+  test("streamingStayPoints: late point inside a finalized SLIDE's consulted gap refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val sdir = tmpDir("sp-gap")
+    // batch 1: two far-apart points ts=0 and ts=1000. Anchor ts=0's
+    // window escapes at ts=1000 with duration 0 < minDur, so the scan
+    // FINALIZES a slide past it — a decision that consulted ts=1000.
+    // batch 2 delivers ts=500 within radius of the slid anchor: had it
+    // arrived in batch 1 the anchor would have emitted a 500s dwell, so
+    // accepting it silently diverges from batch stayPoints. The frontier
+    // must cover the consulted escape point (1000), not just the point
+    // before the open anchor (0), and the arrival must REFUSE.
+    val b1 = Seq((1L, 0L, 0.0, 0.0), (1L, 1000L, 500.0, 0.0))
+    val b2 = Seq((1L, 500L, 0.0, 0.0))
+    b1.toDF("dev", "t", "x", "y").coalesce(1).write.parquet(s"$sdir/f1")
+    b2.toDF("dev", "t", "x", "y").coalesce(1).write.parquet(s"$sdir/f2")
+    val in = tmpDir("sp-gap-in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$sdir/f1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(in, "a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$sdir/f2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(in, "b.parquet")))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(in, "a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val schema = b1.toDF("dev", "t", "x", "y").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = graft.core.Trajectory.streamingStayPoints(stream,
+      "dev", "t", "x", "y", radius = 5.0, minDurationSec = 50L)
+    val qn = s"spgap_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { q.awaitTermination(120000) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("finalized frontier")))
+  }
+
   test("streamingStayPoints: late arrival below the finalized frontier refuses") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
