@@ -1,5 +1,6 @@
 package graft.core
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -116,7 +117,7 @@ object DistanceJoin {
    * cells at radius 2^i) — geometrically fewer lefts against
    * geometrically larger cells; for realistic densities almost
    * everything resolves in round 1 and the tail pays the doubling.
-   * Each round `localCheckpoint`s the shrinking unmatched set to stop
+   * Each round lineage-cuts the shrinking unmatched set ([[Checkpoints.cut]]) to stop
    * plan growth.
    */
   /**
@@ -202,7 +203,7 @@ object DistanceJoin {
           .select(leftCols: _*)
         val next = unmatched.join(resolvedKeys,
           unmatched.columns.map(c => unmatched(c) <=> resolvedKeys(c))
-            .reduce(_ && _), "left_anti").localCheckpoint()
+            .reduce(_ && _), "left_anti").lineageCut()
         if (next.isEmpty) done = true
         else { unmatched = next; r = math.min(r * 2, maxRadius) }
       }
@@ -214,7 +215,7 @@ object DistanceJoin {
    * `lIdCol` variants of [[nearestJoin]]/[[knnJoin]]: when the caller
    * names a UNIQUE left id column, the doubling loop runs on a slim
    * `(id, x, y)` projection — the per-round shuffles, anti-joins and
-   * `localCheckpoint`s carry three columns instead of the whole left
+   * per-round lineage cuts carry three columns instead of the whole left
    * payload (which at 100 TB rides EVERY round otherwise), and the
    * payload joins back ONCE at the end by id. Duplicate or NULL ids
    * are REFUSED loudly (a duplicate id would multiply output rows in
@@ -292,7 +293,7 @@ object DistanceJoin {
           .reduce(_ && _), "left_anti")
       if (r >= maxRadius) done = true
       else {
-        val remaining = next.localCheckpoint()
+        val remaining = next.lineageCut()
         if (remaining.isEmpty) done = true
         else { unmatched = remaining; r = math.min(r * 2, maxRadius) }
       }

@@ -1,5 +1,6 @@
 package graft.core
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -98,11 +99,11 @@ object GeoCluster {
         "_plat", "_plon", "_qlat", "_qlon", epsMeters,
         earthRadiusMeters, saltCells)
       .select(col("_pid"), col("_qid"))
-      .localCheckpoint(true)
+      .lineageCut(true)
 
     val cores = pairs.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minPts).select(col("_pid"))
-      .localCheckpoint(true)
+      .lineageCut(true)
 
     // clusters = connected components of the CORE-CORE subgraph;
     // components() wants each undirected edge once (it symmetrizes)

@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1331,7 +1332,7 @@ class GeoDb(
     // between the counting action and the id projection could change
     // per-partition counts => duplicate or gapped ids. localCheckpoint
     // materializes once; both passes then read the same frozen blocks.
-    val df = dfIn.localCheckpoint(true)
+    val df = dfIn.lineageCut(true)
     val counts = df.groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

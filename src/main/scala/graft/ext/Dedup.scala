@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -280,7 +281,7 @@ object Dedup {
       .select(col("id"), col("id2"),
         sig_similarity(col("sig"), col("sig2")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    val out = pairs.localCheckpoint(true)
+    val out = pairs.lineageCut(true)
     sigs.unpersist(false)
     out
   }
@@ -289,7 +290,7 @@ object Dedup {
    * Connected components over a pair set by iterative smallest-label
    * propagation PLUS pointer doubling (each round also contracts
    * rep := rep(rep)), the standard large-graph combination: no driver
-   * state, two shuffle joins per iteration, localCheckpoint truncates
+   * state, two shuffle joins per iteration, a per-round lineage cut ([[graft.core.Checkpoints.cut]] — reliable `checkpoint` under `spark.graft.checkpointDir`, executor-local otherwise) truncates
    * lineage. One-hop propagation alone needs up to graph-diameter rounds;
    * the doubling step makes convergence genuinely O(log(longest path)),
    * so the default 8 rounds cover duplicate chains hundreds of hops long.
@@ -315,7 +316,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("node"))
       .agg(least(min("b"), col("a")).as("rep"))
-      .localCheckpoint()
+      .lineageCut()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -330,7 +331,7 @@ object Dedup {
         .join(hop.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
           Seq("rep"), "left")
         .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .localCheckpoint()
+        .lineageCut()
       converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("node"))
         .filter(col("rep") =!= col("old")).isEmpty
       labels = next
@@ -502,7 +503,7 @@ object Dedup {
       .select("id", "id2", "jaccard")
     // eager materialization of the (small) pair set bounds the delta
     // cache's lifetime (same discipline as minhashPairs)
-    pairs.localCheckpoint(true)
+    pairs.lineageCut(true)
     } finally newSigs.unpersist(false)
   }
 
@@ -599,7 +600,7 @@ object Dedup {
           (size(col("sh")) + size(col("sh2")) - col("_c")))
         .filter(col("jaccard") >= exactThreshold)
         .select("id", "id2", "jaccard")
-      pairs.localCheckpoint(true)
+      pairs.lineageCut(true)
     } finally newSigs.unpersist(false)
   }
 
@@ -750,7 +751,7 @@ object Dedup {
         (size(col("grams")) + size(col("grams2")) - col("_c")))
       .filter(col("jaccard") >= threshold)
       .select("id", "id2", "jaccard")
-    val out = pairs.localCheckpoint(true)
+    val out = pairs.lineageCut(true)
     grams.unpersist(false)
     out
   }
@@ -832,7 +833,7 @@ object Dedup {
       banded.join(broadcast(oversized), Seq(bandCol, bucketCol))
         .groupBy("id").agg(count(lit(1)).as("overflow_bands"))
         .join(perDoc, Seq("id"))
-        .localCheckpoint(true)
+        .lineageCut(true)
     } finally banded.unpersist(false)
   }
 
@@ -926,7 +927,7 @@ object Dedup {
     val exploded = sets
       .select(col("id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
       .join(dfreq, Seq("gram"))
-      .localCheckpoint()
+      .lineageCut()
     val w = Window.partitionBy("id").orderBy(col("_df"), col("gram"))
     // containment prefix bound for the contained side: |A| - needed + 1
     // rarest grams, where `needed` is the smallest overlap o whose
@@ -965,7 +966,7 @@ object Dedup {
           size(col("grams")))
       .filter(col("containment") >= threshold)
       .select("id", "id2", "containment")
-    val out = pairs.localCheckpoint(true)
+    val out = pairs.lineageCut(true)
     sets.unpersist(false)
     out
   }
@@ -997,7 +998,7 @@ object Dedup {
       .filter(col("node") =!= col("rep")).select(col("node").as("_drop"))
     val strictDrop = oneWay.select(col("id").as("_drop"))
     val out = df.join(strictDrop.union(mutualDrop).distinct(),
-      df(idCol) === col("_drop"), "left_anti").localCheckpoint(true)
+      df(idCol) === col("_drop"), "left_anti").lineageCut(true)
     pairs.unpersist(false)
     out
   }
@@ -1121,7 +1122,7 @@ object Dedup {
       val pruned = capPrefix(
         rarestPrefix(edSets(base, maxDist, q), Seq("len", "_pb"),
           col("_pb")), maxBucket)
-        .localCheckpoint()
+        .lineageCut()
       val estPairs = selfJoinEstimate(pruned)
       val longPairs = pruned
         .join(pruned.select(col("gram"), col("id").as("id2"),
@@ -1179,7 +1180,7 @@ object Dedup {
       }
       // distinct LAST: dedupes multi-gram candidate repeats and the
       // paths' overlap band
-      longPairs.union(shortPairs).distinct().localCheckpoint(true)
+      longPairs.union(shortPairs).distinct().lineageCut(true)
     } finally base.unpersist(false)
   }
 
@@ -1222,17 +1223,17 @@ object Dedup {
       val dfreq = lsets.select(explode(col("grams")).as("gram"))
         .unionAll(rsets.select(explode(col("grams")).as("gram")))
         .groupBy("gram").agg(count(lit(1)).as("_df"))
-        .localCheckpoint()
+        .lineageCut()
       val lpref = rarestPrefix(lsets, Seq("len", "_pb"), col("_pb"),
-        Some(dfreq)).localCheckpoint()
+        Some(dfreq)).lineageCut()
       val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"),
-        Some(dfreq)).localCheckpoint()
+        Some(dfreq)).lineageCut()
       // combined prefix-bucket sizes, materialized ONCE: the hot-gram
       // cap AND the candidate-count bound both read this slim frame
       // (the cap's aggregate used to recompute lazily inside the join)
       val gsz = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
         .groupBy("gram").agg(count(lit(1)).as("_p"))
-        .localCheckpoint()
+        .lineageCut()
       val hot = gsz.filter(col("_p") > maxBucket).select("gram")
       val estPairs = pairBoundFromCounts(gsz, maxBucket)
       val longPairs = lpref.join(broadcast(hot), Seq("gram"), "left_anti")
@@ -1281,7 +1282,7 @@ object Dedup {
           shortMax + 1, shortMax + maxDist)),
           rbase.filter(length(col("s")) <= shortMax),
           lg.getLong(1), rg.getLong(0), "left x right-short"))
-      longPairs.unionAll(shortPairs).distinct().localCheckpoint(true)
+      longPairs.unionAll(shortPairs).distinct().lineageCut(true)
     } finally { lbase.unpersist(false); rbase.unpersist(false) }
   }
 
@@ -1320,7 +1321,7 @@ object Dedup {
     val reps = df.select(col(textCol).as("_s"), col(idCol).as("_rid"))
       .filter(col("_s").isNotNull)
       .groupBy("_s").agg(min(col("_rid")).as("_rid"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val pairs = editDistancePairs(reps, "_s", "_rid", maxDist, q,
       maxBucket, maxShort).select("id", "id2")
     val drop = components(pairs).filter(col("node") =!= col("rep"))
@@ -1332,7 +1333,7 @@ object Dedup {
     // exactly as before: the pair generator has always excluded them
     df.filter(col(textCol).isNull)
       .unionByName(df.join(keep, df(idCol) === col("_rid"), "left_semi"))
-      .localCheckpoint(true)
+      .lineageCut(true)
   }
 
   /** (id, cluster_rep) for every string in a fuzzy cluster — the
@@ -1397,7 +1398,7 @@ object Dedup {
         oldDf, oldTextCol, oldIdCol, maxDist, q, maxBucket, maxShort)
       .select(col("id").as("_dup")).distinct()
     newDf.join(dupes, newDf(idCol) === col("_dup"), "left_anti")
-      .localCheckpoint(true)
+      .lineageCut(true)
   }
 
   /** The top-1 selection of [[editDistanceResolve]] over an ALREADY
@@ -1480,11 +1481,11 @@ object Dedup {
     val dfreq = lsets.select(explode(col("grams")).as("gram"))
       .unionAll(rsets.select(explode(col("grams")).as("gram")))
       .groupBy("gram").agg(count(lit(1)).as("_df"))
-      .localCheckpoint()
+      .lineageCut()
     val lpref = rarestPrefix(lsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
-      .localCheckpoint()
+      .lineageCut()
     val rpref = rarestPrefix(rsets, Seq("len", "_pb"), col("_pb"), Some(dfreq))
-      .localCheckpoint()
+      .lineageCut()
     val hot = lpref.select(col("gram")).unionAll(rpref.select(col("gram")))
       .groupBy("gram").agg(count(lit(1)).as("_p"))
       .filter(col("_p") > maxBucket).select("gram")
@@ -1568,7 +1569,7 @@ object Dedup {
       .join(vecs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .select(col("id"), col("id2"), cosine_sim(col("v"), col("v2")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    val out = pairs.localCheckpoint(true)
+    val out = pairs.lineageCut(true)
     vecs.unpersist(false)
     out
   }

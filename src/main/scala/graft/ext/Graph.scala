@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -38,6 +39,15 @@ import org.apache.spark.storage.StorageLevel
  * and irrelevant at 10⁻¹² granularity. Dangling mass (nodes with no
  * out-edges) is redistributed uniformly each round, the standard
  * Brin-Page 1998 treatment.
+ *
+ * FAULT TOLERANCE: every iterative operator here cuts lineage once per
+ * round through [[graft.core.Checkpoints.cut]]. The local-mode default
+ * (`localCheckpoint`) stores the cut blocks on executors — fine at
+ * `local[n]`, unrecoverable on a cluster if an executor dies mid-job.
+ * For cluster runs set `spark.graft.checkpointDir` to a fault-tolerant
+ * path and every round's cut becomes a reliable `checkpoint()` whose
+ * partitions survive executor loss (row-identical either way — pinned
+ * by spec).
  */
 object Graph {
 
@@ -105,7 +115,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (RankScale * 15L / 100L) / n // exact: both operands positive
     var ranks = nodes.select(col("node"), lit(RankScale / n).as("pr"))
-      .localCheckpoint()
+      .lineageCut()
     var i = 0
     while (i < iters) {
       val ds = dangling.join(ranks, Seq("node"))
@@ -120,7 +130,7 @@ object Graph {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base + dTerm) + coalesce(col("cs"), lit(0L))).as("pr"))
-        .localCheckpoint()
+        .lineageCut()
       i += 1
     }
     Seq(e, nodes, deg, dangling, eDeg).foreach(_.unpersist())
@@ -178,7 +188,7 @@ object Graph {
     val base = (RankScale * 15L / 100L) / nS
     var ranks = nodes.select(col("node"),
         when(isSeed, lit(RankScale / nS)).otherwise(lit(0L)).as("pr"))
-      .localCheckpoint()
+      .lineageCut()
     var i = 0
     while (i < iters) {
       val ds = dangling.join(ranks, Seq("node"))
@@ -194,7 +204,7 @@ object Graph {
         .select(col("node"),
           (when(isSeed, lit(base + dTerm)).otherwise(lit(0L)) +
             coalesce(col("cs"), lit(0L))).as("pr"))
-        .localCheckpoint()
+        .lineageCut()
       i += 1
     }
     Seq(e, nodes, deg, dangling, eDeg).foreach(_.unpersist())
@@ -329,7 +339,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
-    var dist = Seq((sourceId, 0L)).toDF("node", "dist").localCheckpoint()
+    var dist = Seq((sourceId, 0L)).toDF("node", "dist").lineageCut()
     var i = 0
     while (i < rounds) {
       val relaxed = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
@@ -340,7 +350,7 @@ object Graph {
           .otherwise(col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .lineageCut()
       i += 1
     }
     e.unpersist()
@@ -420,7 +430,7 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     val out = nodes.join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .localCheckpoint()
+      .lineageCut()
     Seq(und, o, tris).foreach(_.unpersist())
     out
   }

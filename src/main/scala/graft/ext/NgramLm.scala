@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -163,7 +164,7 @@ object NgramLm {
     // the count job, a later saveModel and every scoreWithModel reuse
     // the materialized result instead of re-running the merge per
     // action. b2/t3 stay lazy — they are the web-scale tables.
-    val u1 = merge(model.u1, inc.u1, Seq("w"), "c1").localCheckpoint()
+    val u1 = merge(model.u1, inc.u1, Seq("w"), "c1").lineageCut()
     Model(u1,
       merge(model.b2, inc.b2, Seq("p1", "w"), "c2"),
       merge(model.t3, inc.t3, Seq("p2", "p1", "w"), "c3"),

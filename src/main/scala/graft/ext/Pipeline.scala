@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -28,7 +29,7 @@ import org.apache.spark.sql.functions._
  * ([[TextAnalysis.packSequences]]) stay caller-side: they need the eval
  * sets / tokenizer budget the cleaning stages don't.
  *
- * EAGER, by design: each stage `localCheckpoint`s its survivors (lineage
+ * EAGER, by design: each stage cuts lineage on its survivors ([[graft.core.Checkpoints]] — reliable when `spark.graft.checkpointDir` is set) (lineage
  * stays one stage deep — stage N's shuffle never re-executes inside
  * stage N+1's plan) and the per-stage row counts come back as the run
  * report, the artifact a production pipeline logs and alerts on ("stage
@@ -82,7 +83,7 @@ object Pipeline {
     var lastCount = 0L
     def stage(name: String, overflow: Option[DataFrame] = None)
              (df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
+      val out = df.lineageCut()
       lastCount = out.count()
       report += StageReport(name, lastCount, overflow)
       out
@@ -151,7 +152,7 @@ object Pipeline {
     // banding + one slim aggregate, not a second shingle pass
     val overflow = Dedup.minhashBandOverflow(
       Dedup.charShingleSets(cur, textCol, idCol),
-      maxBucket = minhashMaxBucket).localCheckpoint()
+      maxBucket = minhashMaxBucket).lineageCut()
     cur = stage("minhash_dedup", Some(overflow))(Dedup.minhashKeepers(
       cur, textCol, idCol, threshold = minhashThreshold,
       maxBucket = minhashMaxBucket))
@@ -314,7 +315,7 @@ object Pipeline {
     val report = Seq.newBuilder[StageReport]
     def stage(name: String, overflow: Option[DataFrame] = None)
              (df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
+      val out = df.lineageCut()
       report += StageReport(name, out.count(), overflow)
       out
     }
@@ -370,7 +371,7 @@ object Pipeline {
         Dedup.charShingleSets(oldCleaned.select(col(oldIdCol).as(idCol),
           col(oldTextCol).as(textCol)), textCol, idCol),
         maxBucket = minhashMaxBucket)
-    }).localCheckpoint()
+    }).lineageCut()
     cur = stage("minhash_cross_dedup", Some(crossOverflow))(oldMinhashTable match {
       case Some(tbl) =>
         val dupes = Dedup.crossPairsViaMinhashTable(
@@ -414,7 +415,7 @@ object Pipeline {
     val report = Seq.newBuilder[StageReport]
     report ++= cleanReport
     def stage(name: String)(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
+      val out = df.lineageCut()
       report += StageReport(name, out.count())
       out
     }

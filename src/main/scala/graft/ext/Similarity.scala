@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -179,7 +180,7 @@ object Similarity {
         .select(col("id"), col("id2"),
           cosine_sim(col("v"), col("v2")).as("cosine"))
         .filter(col("cosine") >= threshold)
-        .localCheckpoint(true)
+        .lineageCut(true)
       // loud-cap check AFTER the single pair action: a bounded collect
       // (≤ model.k rows) over the cached assignment — the cache scan
       // prunes to the ivf_cell column, so this is metadata-cheap
@@ -624,7 +625,7 @@ object Similarity {
     // slim (s, sub) frame computed once; every iteration re-scans it
     val subs = df.select(posexplode(array((0 until m).map(s =>
         slice(col(vecCol), s * dsub + 1, dsub)): _*)).as(Seq("s", "sub")))
-      .localCheckpoint()
+      .lineageCut()
     for (_ <- 1 to iters) {
       // ONE scan per iteration (the scaladoc's claim): the codegen'd
       // pq_assign kernel dispatches on the subspace id column — a

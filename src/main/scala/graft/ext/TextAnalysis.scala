@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -528,7 +529,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val slim = slimIn
       .repartitionByRange((groupCols.map(col) ++ orderCols): _*)
-      .localCheckpoint(true)
+      .lineageCut(true)
     val withPart = slim.withColumn("_part", spark_partition_id())
     val keys = ("_part" +: groupCols).map(col)
     val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
@@ -836,7 +837,7 @@ object TextAnalysis {
       .join(counts(newDf).select(col("token"), col("c").as("c_new")),
         Seq("token"), "full_outer")
       .na.fill(0L, Seq("c_old", "c_new"))
-      .localCheckpoint(true)
+      .lineageCut(true)
     val totals = joined.agg(
       sum(col("c_old")).cast("double").as("_tot_old"),
       sum(col("c_new")).cast("double").as("_tot_new"),
@@ -1176,10 +1177,10 @@ object TextAnalysis {
       // serves BOTH the convergence check and the cut —
       // duplicatedSpans never runs twice over the same corpus
       val spans = duplicatedSpans(cur, textCol, idCol, k, minCount)
-        .localCheckpoint()
+        .lineageCut()
       if (spans.limit(1).count() == 0L) return finish(cur)
       cur = cutSpans(cur, spans, textCol, idCol)
-        .select(col(idCol), col(textCol)).localCheckpoint()
+        .select(col(idCol), col(textCol)).lineageCut()
       it += 1
     }
     val residual = duplicatedSpans(cur, textCol, idCol, k, minCount)
@@ -1857,7 +1858,7 @@ object TextAnalysis {
     // tokenize + ngram + md5 run one corpus pass, not two (measured
     // 11.9 s -> 4 s at sf0.1; the duplicatedSpans two-pass precedent)
     val cb = hashedGramBuckets(corpus, textCol, col(idCol), buckets)
-      .localCheckpoint()
+      .lineageCut()
     val tb = hashedGramBuckets(target, targetTextCol, lit(0L), buckets)
     val qd = cb.groupBy("b").agg(count(lit(1)).cast("double").as("cq"))
     val pd = tb.groupBy("b").agg(count(lit(1)).cast("double").as("ct"))
@@ -1973,7 +1974,7 @@ object TextAnalysis {
       .select(
         (col(labelCol).cast("double").as("_y") +:
           feats.zipWithIndex.map { case (f, i) => f.as(s"_f$i") }): _*)
-      .localCheckpoint()
+      .lineageCut()
     val n = base.count()
     require(n > 0, "empty training frame (after dropping null text/label rows)")
     var w = Array.fill(7)(0.0)
@@ -2210,7 +2211,7 @@ object TextAnalysis {
         s"(one Spark job per round; at ${rounds} rounds expect launch " +
         s"overhead to dominate). Raise maxLocalVocab if the driver can " +
         s"hold the vocab.")
-    var vocab = vocab0.localCheckpoint()
+    var vocab = vocab0.lineageCut()
     val merges = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -2242,7 +2243,7 @@ object TextAnalysis {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
                 .otherwise(concat(acc, array(x))))).as("syms"),
           col("wc"))
-          .localCheckpoint()
+          .lineageCut()
         r += 1
       }
     }
@@ -2391,9 +2392,9 @@ object TextAnalysis {
           l => transform(sequence(lit(1), length(col("w")) - l + 1),
             p => col("w").substr(p, l))))).as("piece"))
       .groupBy("piece").agg(sum(col("wc")).as("n"))
-      .localCheckpoint()
+      .lineageCut()
     val chars = seed.filter(length(col("piece")) === 1)
-      .select("piece").localCheckpoint()
+      .select("piece").lineageCut()
     var vocab = seed
     var out = Seq.empty[DataFrame]
     (1 to rounds).foreach { r =>
@@ -2401,7 +2402,7 @@ object TextAnalysis {
       val lp = vocab.select(col("piece"),
           round(log(col("n").cast("double")) - log(lit(total.toDouble)), 6)
             .as("lp"))
-        .localCheckpoint()
+        .lineageCut()
       val edges = words
         .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
         .select(col("w"), col("i"),
@@ -2409,7 +2410,7 @@ object TextAnalysis {
             col("i") - 1)).as("j"))
         .withColumn("piece", col("w").substr(col("j") + 1, col("i") - col("j")))
         .join(lp, Seq("piece"))
-        .localCheckpoint()
+        .lineageCut()
       val frames = new scala.collection.mutable.ArrayBuffer[DataFrame]()
       frames += words.select(col("w"), col("wc"),
         lit(0.0).as("score"), array().cast("array<string>").as("path"))
@@ -2427,7 +2428,7 @@ object TextAnalysis {
           .filter(col("_rn") === 1)
           .select(col("w"), col("wc"), col("score"),
             concat(col("path"), array(col("piece"))).as("path"))
-          .localCheckpoint()
+          .lineageCut()
       }
       val finals = (1 to maxLen).map(i =>
           frames(i).filter(length(col("w")) === i))
@@ -2440,7 +2441,7 @@ object TextAnalysis {
           greatest(coalesce(col("n"), lit(0L)),
             coalesce(col("_isChar").cast("long"), lit(0L))).as("n"))
         .filter(col("n") > 0)
-        .localCheckpoint()
+        .lineageCut()
       out = out :+ vocab.select(lit(r).as("round"), col("piece"), col("n"))
     }
     out.reduce(_.unionByName(_))
@@ -2507,7 +2508,7 @@ object TextAnalysis {
       "words - falling back to the DISTRIBUTED lattice-DP loop " +
       s"(~$maxLen join jobs per round). Raise maxLocalVocab if the " +
       "driver can hold the vocab.")
-    unigramTrainDistributed(words.localCheckpoint(), rounds, maxPieceLen,
+    unigramTrainDistributed(words.lineageCut(), rounds, maxPieceLen,
       maxLen)
   }
 

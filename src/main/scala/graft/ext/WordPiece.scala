@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -225,7 +226,7 @@ object WordPiece {
         "hold the vocab.")
     var vocab = vocab0
       .select(col("w"), initialSymsCol(col("w")).as("syms"), col("wc"))
-      .localCheckpoint()
+      .lineageCut()
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
@@ -264,7 +265,7 @@ object WordPiece {
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
                 .otherwise(concat(acc, array(x))))).as("syms"),
           col("wc"))
-          .localCheckpoint()
+          .lineageCut()
         r += 1
       }
     }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, NumericType}
 
 import graft.core.GeoOps
-import graft.functions.{StEnvelopeBounds, StPoint, StRelation, StRelationXY}
+import graft.functions.{StDistance, StEnvelopeBounds, StPoint, StRelation, StRelationXY}
 
 /**
  * Optimizer rule: rewrite an inner join whose condition contains a
@@ -41,6 +41,26 @@ import graft.functions.{StEnvelopeBounds, StPoint, StRelation, StRelationXY}
  * normalized 2-cell range and every candidate dies in the verify.
  * `st_disjoint` is NOT rewritten (its pairs are nearly the cross
  * product; grid candidates only form where envelopes overlap).
+ *
+ * DISTANCE predicates rewrite too: a conjunct
+ * `st_distance(a, b) <= r` (or `< r`, literal on either side; `a`/`b`
+ * each a geometry column or `st_point(x, y)` from one side) becomes
+ * the EXPANDED-ENVELOPE cell equi-join — the left side explodes to the
+ * cells covering its envelope, the right side to the cells covering
+ * its envelope GROWN by `r` on every edge, so any true pair shares a
+ * cell for ANY `cellSize` (each axis gap between the envelopes is at
+ * most the distance ≤ r, so the grown intervals intersect); the
+ * reference-cell trick gives exactly-once, an envelope-GAP prefilter
+ * (`gx² + gy² <= r²` on the per-axis interval gaps) kills candidates
+ * before the exact JTS distance in the retained original condition.
+ * Pick `cellSize` near `r` — smaller cells multiply the grown
+ * envelope's explode fan-out into the same loud cap. The OPPOSITE
+ * inequality (`st_distance > r`, a near-cross-product) is NOT
+ * rewritten, like `st_disjoint`. One loud exception to the
+ * no-refusal stance above: an EMPTY geometry in a distance join
+ * RAISES (JTS `distance(EMPTY, g) = 0` matches every row — a cross
+ * product the grid cannot reproduce, and silently dropping those
+ * pairs would be a wrong answer, the worse option).
  *
  * OPT-IN: fires only when `spark.graft.spatialJoin.cellSize` is set —
  * the cell size is a data property (pick it near the median geometry
@@ -127,6 +147,54 @@ object GridSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
         rewritePoint(j, left, right, cond, g, x, y, side(g), cs, cap)
       case scala.util.Right((ga, gb)) =>
         rewriteGeomGeom(j, left, right, cond, ga, gb, cs, cap)
+    }.orElse {
+      // distance conjunct: st_distance(a, b) <= r (either literal
+      // order, <= or <). The opposite inequality stays a nested loop.
+      def sideOf(e: Expression): Int = {
+        val refs = e.references
+        if (refs.nonEmpty && refs.subsetOf(left.outputSet)) 0
+        else if (refs.nonEmpty && refs.subsetOf(right.outputSet)) 1
+        else -1
+      }
+      def distCase(ea: Expression, eb: Expression, r: Double)
+          : Option[(Expression, Expression, Double)] =
+        if (r > 0 && !r.isInfinite && !r.isNaN &&
+            sideOf(ea) >= 0 && sideOf(eb) >= 0 && sideOf(ea) != sideOf(eb))
+          Some(if (sideOf(ea) == 0) (ea, eb, r) else (eb, ea, r))
+        else None
+      conjuncts.iterator.map {
+        case LessThanOrEqual(StDistance(GeomExpr(a), GeomExpr(b)), DoubleLit(r)) =>
+          distCase(a, b, r)
+        case LessThan(StDistance(GeomExpr(a), GeomExpr(b)), DoubleLit(r)) =>
+          distCase(a, b, r)
+        case GreaterThanOrEqual(DoubleLit(r), StDistance(GeomExpr(a), GeomExpr(b))) =>
+          distCase(a, b, r)
+        case GreaterThan(DoubleLit(r), StDistance(GeomExpr(a), GeomExpr(b))) =>
+          distCase(a, b, r)
+        case _ => None
+      }.collectFirst { case Some(h) => h }
+        .map { case (la, rb, r) =>
+          rewriteDistance(j, left, right, cond, la, rb, r, cs, cap) }
+    }
+  }
+
+  /** A geometry-producing expression the rule can envelope: a bare
+    * binary column or a coordinate-built `st_point`. */
+  private object GeomExpr {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case GeomAttr(a) => Some(a)
+      case p @ StPoint(CoordAttr(_), CoordAttr(_)) => Some(p)
+      case _ => None
+    }
+  }
+
+  /** A foldable numeric radius literal, bare or under a numeric cast. */
+  private object DoubleLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) if v != null => Some(v.toString.toDouble)
+      case Cast(Literal(v, _: NumericType), DoubleType, _, _) if v != null =>
+        Some(v.toString.toDouble)
+      case _ => None
     }
   }
 
@@ -152,10 +220,22 @@ object GridSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
                            cs: Double, cap: Long)
       : (Attribute, Attribute, Expression, Expression, LogicalPlan) = {
     def item(i: Int) = GetArrayItem(env, Literal(i))
-    val binLoX = Least(Seq(binW(item(0), cs), binW(item(2), cs)))
-    val binHiX = Greatest(Seq(binW(item(0), cs), binW(item(2), cs)))
-    val binLoY = Least(Seq(binW(item(1), cs), binW(item(3), cs)))
-    val binHiY = Greatest(Seq(binW(item(1), cs), binW(item(3), cs)))
+    explodeRange(child, item(0), item(1), item(2), item(3),
+      cxName, cyName, cs, cap)
+  }
+
+  /** [[explodeCells]] over explicit corner expressions — the distance
+    * rewrite feeds the r-grown envelope through here. */
+  private def explodeRange(child: LogicalPlan,
+                           x0: Expression, y0: Expression,
+                           x1: Expression, y1: Expression,
+                           cxName: String, cyName: String,
+                           cs: Double, cap: Long)
+      : (Attribute, Attribute, Expression, Expression, LogicalPlan) = {
+    val binLoX = Least(Seq(binW(x0, cs), binW(x1, cs)))
+    val binHiX = Greatest(Seq(binW(x0, cs), binW(x1, cs)))
+    val binLoY = Least(Seq(binW(y0, cs), binW(y1, cs)))
+    val binHiY = Greatest(Seq(binW(y0, cs), binW(y1, cs)))
     val prod = Multiply(Add(Subtract(binHiX, binLoX), Literal(1L)),
       Add(Subtract(binHiY, binLoY), Literal(1L)))
     val msg = Literal(
@@ -229,6 +309,74 @@ object GridSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
         LessThanOrEqual(bItem(0), aItem(2))),
       And(LessThanOrEqual(aItem(1), bItem(3)),
         LessThanOrEqual(bItem(1), aItem(3))))
+    val joinCond = And(And(EqualTo(acx, bcx), EqualTo(acy, bcy)),
+      And(refCell, And(pre, cond)))
+    val joined = Join(aSide, bSide, Inner, Some(joinCond), JoinHint.NONE)
+    Project(j.output, joined)
+  }
+
+  /** `st_distance(la, rb) <= r`: the left side explodes to its
+    * envelope's cells, the right side to its envelope GROWN by r, the
+    * pair fires once in the reference cell, and an envelope-gap
+    * prefilter runs ahead of the exact distance in `cond`. NULL
+    * geometry → NULL envelope → NULL bins → Generate drops the row —
+    * the nested loop's no-match (its `st_distance` is NULL there too).
+    * EMPTY geometries REFUSE loudly: JTS defines
+    * `distance(EMPTY, g) = 0`, so the nested loop matches an empty row
+    * against EVERY opposite row — a cross product no candidate grid
+    * can reproduce; silently dropping those pairs would be a wrong
+    * answer, so the rewrite raises instead (filter empties upstream,
+    * or unset the cellSize conf for the literal nested-loop
+    * semantics). */
+  private def rewriteDistance(j: Join, left: LogicalPlan, right: LogicalPlan,
+                              cond: Expression, la: Expression, rb: Expression,
+                              r: Double, cs: Double, cap: Long): LogicalPlan = {
+    // envelope computed once per row, the empty check referencing the
+    // attribute in a second Project (CollapseProject keeps multi-use
+    // non-cheap aliases, so the WKB parse stays single)
+    def checkedEnv(plan: LogicalPlan, e: Expression, raw: String,
+                   name: String): (LogicalPlan, Attribute) = {
+      val env = Alias(StEnvelopeBounds(e), raw)()
+      val inner = Project(plan.output :+ env, plan)
+      def it(i: Int) = GetArrayItem(env.toAttribute, Literal(i))
+      val msg = Literal(
+        "GridSpatialJoin: EMPTY geometry in a distance join - JTS " +
+          "distance(EMPTY, g) = 0 matches every row, which the grid " +
+          s"rewrite cannot reproduce; filter empties upstream or unset $sizeKey.")
+      val checked = Alias(CaseWhen(Seq(
+          (IsNull(env.toAttribute), env.toAttribute),
+          (LessThanOrEqual(it(0), it(2)), env.toAttribute)),
+        Some(Cast(new RaiseError(msg),
+          ArrayType(DoubleType, containsNull = false)))), name)()
+      (Project(plan.output :+ checked, inner), checked.toAttribute)
+    }
+    val (aProj, aEnvA) = checkedEnv(left, la, "_graft_daenv0", "_graft_daenv")
+    val (bProj, bEnvA) = checkedEnv(right, rb, "_graft_dbenv0", "_graft_dbenv")
+    def aItem(i: Int) = GetArrayItem(aEnvA, Literal(i))
+    def bItem(i: Int) = GetArrayItem(bEnvA, Literal(i))
+    val rl = Literal(r)
+    val (acx, acy, aLoX, aLoY, aSide) = explodeRange(aProj,
+      aItem(0), aItem(1), aItem(2), aItem(3),
+      "_graft_dacx", "_graft_dacy", cs, cap)
+    val (bcx, bcy, bLoX, bLoY, bSide) = explodeRange(bProj,
+      Subtract(bItem(0), rl), Subtract(bItem(1), rl),
+      Add(bItem(2), rl), Add(bItem(3), rl),
+      "_graft_dbcx", "_graft_dbcy", cs, cap)
+    // exactly-once: the pair fires only in the reference cell — the
+    // max of the two range lows, in both ranges whenever they overlap
+    val refCell = And(
+      EqualTo(acx, Greatest(Seq(aLoX, bLoX))),
+      EqualTo(acy, Greatest(Seq(aLoY, bLoY))))
+    // envelope-gap prefilter: per-axis interval gap, clamped at 0;
+    // dist(a, b) >= sqrt(gx² + gy²), so gx² + gy² > r² kills the
+    // candidate before the JTS distance in the retained condition
+    def gap(lo1: Expression, hi1: Expression,
+            lo2: Expression, hi2: Expression): Expression =
+      Greatest(Seq(Subtract(lo1, hi2), Subtract(lo2, hi1), Literal(0.0)))
+    val gx = gap(aItem(0), aItem(2), bItem(0), bItem(2))
+    val gy = gap(aItem(1), aItem(3), bItem(1), bItem(3))
+    val pre = LessThanOrEqual(Add(Multiply(gx, gx), Multiply(gy, gy)),
+      Literal(r * r))
     val joinCond = And(And(EqualTo(acx, bcx), EqualTo(acy, bcy)),
       And(refCell, And(pre, cond)))
     val joined = Join(aSide, bSide, Inner, Some(joinCond), JoinHint.NONE)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.Checkpoints.CutOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -388,7 +389,7 @@ object EventStream {
         // every write keyed by batch id + overwrite: a checkpoint
         // REPLAY overwrites its own partitions instead of appending
         // duplicates — corpus and side tables stay mutually consistent
-        val survivors = survivors0.select(keepCols: _*).localCheckpoint()
+        val survivors = survivors0.select(keepCols: _*).lineageCut()
         // pre-tokenize at ingest: annotation happens on the |survivors|
         // frame only (the artifact is driver-sized), and only the
         // corpus write carries it — side tables stay slim keys

@@ -5197,6 +5197,52 @@ class ExtSpec extends SparkSpec {
       Option(eEnc.getCause).exists(_.getMessage.contains("ambiguous")) ||
       eEnc.toString.contains("ambiguous"))
   }
+
+  test("reliable checkpoint mode (spark.graft.checkpointDir): identical results from every iterative operator") {
+    import spark.implicits._
+    // the cut is a materialization boundary, never a semantic one —
+    // pageRank / components / geoDbscan must be ROW-IDENTICAL whether
+    // each round localCheckpoints (default) or writes reliable
+    // checkpoint files under the conf'd dir (the cluster-survivable
+    // mode the 100-TB story needs)
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).toDF("src", "dst")
+    val pts = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, 10.0 + c * 0.5 + rnd.nextGaussian() * 0.001,
+        20.0 + c * 0.5 + rnd.nextGaussian() * 0.001)
+    }.toDF("id", "lat", "lon")
+    def runAll(): (Set[(Long, Long)], Set[(Long, Long)], Set[(Long, Long)]) = {
+      val pr = Graph.pageRank(edges, iters = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val comp = Dedup.components(
+          edges.filter($"src" =!= $"dst")
+            .select($"src".as("id"), $"dst".as("id2")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val db = graft.core.GeoCluster.geoDbscan(pts, "id", "lat", "lon",
+          epsMeters = 500.0, minPts = 3)
+        .select($"id".cast("long"), $"cluster".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pr, comp, db)
+    }
+    val localMode = runAll()
+    val dir = tmpDir("graft-ckpt")
+    spark.conf.set(graft.core.Checkpoints.ConfKey, dir)
+    try {
+      val reliableMode = runAll()
+      assert(reliableMode === localMode)
+      // the reliable mode actually WROTE checkpoint files (it did not
+      // silently fall back to executor-local blocks)
+      def countFiles(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(countFiles(java.nio.file.Paths.get(dir)) > 0,
+        "no checkpoint files written under spark.graft.checkpointDir")
+    } finally spark.conf.unset(graft.core.Checkpoints.ConfKey)
+  }
 }
 
 object ExtSpec {

@@ -384,6 +384,91 @@ class PlanRuleSpec extends SparkSpec {
       s"reference-cell rule must appear in the executed plan:\n$sjPlan")
   }
 
+  test("GridSpatialJoin rule: st_distance <= r joins rewritten; > r and empties guarded") {
+    // geometries x geometries within distance r — the user-written form
+    // the manual DistanceJoin API covers; the rule must rescue it from
+    // the nested loop with identical rows, exactly once per pair
+    val lhs = ((0 until 40).map { i =>
+      val x = (i * 13) % 90; val y = (i * 29) % 90
+      (i.toLong, s"POLYGON(($x $y, ${x + 6} $y, $x ${y + 6}, $x $y))")
+    } ++ Seq((900L, null))).toDF("aid", "awkt")
+      .select($"aid",
+        when($"awkt".isNotNull, st_geomfromtext($"awkt")).as("ageom"))
+      .localCheckpoint(true)
+    val rhs = (0 until 60).map { i =>
+      (1000L + i, s"POINT(${(i * 7) % 100} ${(i * 23) % 100})")
+    }.toDF("bid", "bwkt").select($"bid", st_geomfromtext($"bwkt").as("bgeom"))
+      .localCheckpoint(true)
+    val q0 = lhs.join(rhs, st_distance($"ageom", $"bgeom") <= 9.0)
+      .select("aid", "bid")
+    val brute = q0.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(q0.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+    withCellSize("9.0") {
+      val q = lhs.join(rhs, st_distance($"ageom", $"bgeom") <= 9.0)
+        .select("aid", "bid")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+        s"distance rewrite must hash/merge join:\n$plan")
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_dacx"))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === brute, "distance rewrite row multiset differs from nested loop")
+      assert(got.size === got.toSet.size, "pair fired more than once")
+    }
+    // cellSize far from r still exact (coverage never depends on cs >= r)
+    withCellSize("4.0") {
+      val q = lhs.join(rhs, st_distance($"ageom", $"bgeom") <= 9.0)
+        .select("aid", "bid")
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_dacx"))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === brute)
+    }
+    // st_point form + flipped literal (r >= dist) + strict <
+    val pts = (0 until 50).map(i =>
+      (2000L + i, ((i * 11) % 100).toDouble, ((i * 3) % 100).toDouble))
+      .toDF("pid", "px", "py").localCheckpoint(true)
+    val p0 = pts.join(rhs, lit(7.0) >= st_distance(st_point($"px", $"py"), $"bgeom"))
+      .select("pid", "bid")
+    val bruteP = p0.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bruteLt = pts.join(rhs, st_distance(st_point($"px", $"py"), $"bgeom") < 7.0)
+      .select("pid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    withCellSize("7.0") {
+      val p = pts.join(rhs, lit(7.0) >= st_distance(st_point($"px", $"py"), $"bgeom"))
+        .select("pid", "bid")
+      assert(p.queryExecution.optimizedPlan.toString.contains("_graft_dacx"),
+        "st_point / flipped-literal form must rewrite")
+      assert(p.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === bruteP)
+      val pl = pts.join(rhs, st_distance(st_point($"px", $"py"), $"bgeom") < 7.0)
+        .select("pid", "bid")
+      assert(pl.queryExecution.optimizedPlan.toString.contains("_graft_dacx"))
+      assert(pl.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === bruteLt)
+    }
+    // the ANTI-local predicate must NOT rewrite: distance > r keeps BNLJ
+    withCellSize("9.0") {
+      val qa = lhs.limit(4).join(rhs.limit(5),
+        st_distance($"ageom", $"bgeom") > 9.0)
+      assert(!qa.queryExecution.optimizedPlan.toString.contains("_graft_dacx"),
+        "st_distance > r must stay a nested loop")
+      val qb = lhs.limit(4).join(rhs.limit(5),
+        st_distance($"ageom", $"bgeom") >= 9.0)
+      assert(!qb.queryExecution.optimizedPlan.toString.contains("_graft_dacx"))
+    }
+    // EMPTY geometry: JTS distance(EMPTY, g) = 0 matches everything —
+    // the rewrite must refuse loudly, never silently drop the pairs
+    val withEmpty = lhs.union(Seq((901L, "POLYGON EMPTY")).toDF("aid", "awkt")
+      .select($"aid", st_geomfromtext($"awkt").as("ageom")))
+    withCellSize("9.0") {
+      val e = intercept[Exception] {
+        withEmpty.join(rhs, st_distance($"ageom", $"bgeom") <= 9.0).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("EMPTY geometry in a distance join")),
+        s"got: ${msgs(e)}")
+    }
+  }
+
   test("GridSpatialJoin rule: point and geom-geom joins rewritten, BNLJ baseline matched") {
     // triangles (incl. a NULL and an EMPTY geometry row) x points
     // (incl. NULL coords) — the rule must match the nested loop's
