@@ -3284,6 +3284,40 @@ object SparkEntry {
         .agg(st_area(st_union_agg(col("g"))).cast("long").as("union_area"))
         .orderBy("s_nationkey")
     }),
+    "q250_distance_join_rule" -> ((s, dir) => { ensure(s)
+      // the GridSpatialJoin DISTANCE rewrite end to end: a plain join
+      // ON st_distance(st_point(sx,sy), st_point(px,py)) <= 9.5 —
+      // which Spark plans as BroadcastNestedLoopJoin — becomes the
+      // expanded-envelope cell hash join automatically (r14). Integer-
+      // lattice coordinates make the verify exact in both engines: the
+      // oracle compares the INTEGER dist² to 90 (= floor(9.5²)), and no
+      // lattice pair sits within an ulp of the 9.5 boundary (nearest
+      // d² are 90 → 9.4868 and 91 → 9.5394). The gate REQUIRES the
+      // rewrite fired — correct rows through a nested loop still fail.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GridSpatialJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GridSpatialJoin
+      s.conf.set("spark.graft.spatialJoin.cellSize", "9.5")
+      try {
+        val a = ld(s, dir, "supplier").select(col("s_suppkey"),
+          ((col("s_suppkey") * 3) % 500).cast("double").as("sx"),
+          ((col("s_suppkey") * 13) % 500).cast("double").as("sy"))
+        val b = ld(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 500).cast("double").as("px"),
+          ((col("c_custkey") * 7) % 500).cast("double").as("py"))
+        val q = a.join(b,
+            st_distance(st_point(col("sx"), col("sy")),
+              st_point(col("px"), col("py"))) <= 9.5)
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy("s_suppkey", "c_custkey")
+        require(q.queryExecution.optimizedPlan.toString.contains("_graft_dacx"),
+          "q250: GridSpatialJoin did not rewrite the distance join")
+        require(!q.queryExecution.executedPlan.toString
+            .contains("BroadcastNestedLoop"),
+          "q250: the rewritten plan still nested-loops")
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.spatialJoin.cellSize")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -6039,6 +6073,13 @@ object SparkEntry {
     "q229_dissolve" ->
       ("SELECT s_nationkey, CAST(count(*) * 1500 AS BIGINT) AS union_area " +
        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "q250_distance_join_rule" ->
+      ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
+       "WHERE (((s.s_suppkey * 3) % 500) - (c.c_custkey % 500)) * " +
+       "(((s.s_suppkey * 3) % 500) - (c.c_custkey % 500)) + " +
+       "(((s.s_suppkey * 13) % 500) - ((c.c_custkey * 7) % 500)) * " +
+       "(((s.s_suppkey * 13) % 500) - ((c.c_custkey * 7) % 500)) <= 90 " +
+       "ORDER BY s_suppkey, c_custkey"),
     "q227_spatial_join_rule" ->
       ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
        "WHERE (c.c_custkey % 1000) >= ((s.s_suppkey * 3) % 1000) " +
