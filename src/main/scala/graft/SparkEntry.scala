@@ -655,6 +655,32 @@ object SparkEntry {
       Seq(("in_group", inGroup), ("my_groups", myGroups), ("removed", removed))
         .toDF("step", "cnt").orderBy("step")
     }),
+    "q251_quadkey_index" -> ((s, dir) => { ensure(s)
+      // D7 quadkey layout (r14): createIndex(method="quadkey") clusters
+      // rows by the Web-Mercator quadkey of the envelope centroid and
+      // persists a hidden _qk stat column; contains-mode bbox queries
+      // then add Tiles.cover PREFIX-RANGE predicates that parquet
+      // row-group string min/max stats prune against — asserted in-gate
+      // (correct rows through an unpruned scan still fail). The bbox
+      // uses half-integer corners so no lattice point sits on the
+      // boundary (st_contains excludes it) — the oracle is pure integer
+      // BETWEEN arithmetic.
+      val db = tmpDb(s, "qk")
+      db.createCollection("pts", Seq("p_partkey" -> "integer"))
+      db.insertIntoCollection("pts", ld(s, dir, "part")
+        .withColumn("geometry",
+          st_point(((col("p_partkey") % 97) - 48).cast("double"),
+            ((col("p_partkey") % 89) - 44).cast("double"))))
+      db.createIndex("pts", method = "quadkey", zoom = 9)
+      val q = db.getCollectionByBbox("pts", (-20.5, -15.5, 25.5, 30.5), "contains")
+        .select(col("p_partkey")).orderBy("p_partkey")
+      val scan = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      require(scan.metadata("PushedFilters").contains("_qk"),
+        "q251: quadkey prefix ranges not pushed to the parquet scan")
+      q
+    }),
     "q47_engine_index" -> ((s, dir) => { ensure(s)
       // D7 index = Hilbert re-layout; data + bbox results unchanged after
       val db = tmpDb(s, "idx")
@@ -5186,6 +5212,8 @@ object SparkEntry {
       "SELECT step, CAST(cnt AS BIGINT) AS cnt FROM (VALUES ('in_group', 5), ('my_groups', 1), ('removed', -1)) AS t(step, cnt) ORDER BY step",
     "q47_engine_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
+    "q251_quadkey_index" ->
+      "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
     "q48_engine_stac" ->
       "SELECT field, value FROM (VALUES ('bbox', '0.0,0.0,10.0,20.0'), ('id', 'gate_user_c'), ('n_providers', '1'), ('stac_version', '1.1.0'), ('title', 'Gate collection')) AS t(field, value) ORDER BY field",
     "q54_shapefile_roundtrip" ->

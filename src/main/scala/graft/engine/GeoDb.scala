@@ -228,8 +228,9 @@ class GeoDb(
       val meta = metaOf(d, collection)
       val keep = meta.schema.fields.filterNot(f => properties.map(_.toLowerCase).contains(f.name))
       val newSchema = StructType(keep)
+      val keepStats = statCols ++ (if (qkZoomOf(meta).isDefined) Seq("_qk") else Nil)
       swapIn(d, collection, readRaw(d, collection)
-        .select(((newSchema.fieldNames ++ statCols).map(col)).toIndexedSeq: _*))
+        .select(((newSchema.fieldNames ++ keepStats).map(col)).toIndexedSeq: _*))
       catalog.saveMeta(meta.copy(schemaDdl = newSchema.toDDL))
     }
     logEvent(EventType.PropertyDropped, s"Properties dropped from $d/$collection")
@@ -388,7 +389,7 @@ class GeoDb(
     // incoming max BEFORE the swap — merged's plan reads the pre-swap files
     val incMax = Option(inc.agg(max("id")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    swapIn(d, collection, addStats(alignTo(meta.schema, merged, keepId = true)))
+    swapIn(d, collection, addStats(meta, alignTo(meta.schema, merged, keepId = true)))
     catalog.saveMeta(metaOf(d, collection).copy(maxId = math.max(meta.maxId, incMax)))
   }
 
@@ -407,7 +408,7 @@ class GeoDb(
         df.withColumn(c.toLowerCase, when(pred, lit(v).cast(t)).otherwise(col(c.toLowerCase)))
       }.withColumn("modified_at",
         when(pred, current_timestamp()).otherwise(col("modified_at")))
-      swapIn(d, collection, addStats(alignTo(meta.schema, updated, keepId = true)))
+      swapIn(d, collection, addStats(meta, alignTo(meta.schema, updated, keepId = true)))
     }
     logEvent("updated", s"Collection $d/$collection updated")
   }
@@ -498,7 +499,27 @@ class GeoDb(
     val rect = st_makeenvelope(lit(minx), lit(miny), lit(maxx), lit(maxy))
     // bbox is the FIRST argument, row geometry the second (geodb.sql:1204-1214)
     val stPred = st_relation(comparisonMode, rect, col("geometry"))
-    val pre = envelopePrefilter(comparisonMode, minx, miny, maxx, maxy)
+    val pre0 = envelopePrefilter(comparisonMode, minx, miny, maxx, maxy)
+    // declared quadkey layout: add prefix-range predicates on the _qk
+    // stat column (row-group string min/max pruning). Sound only for
+    // the geom-inside-bbox modes — there the envelope CENTROID lies in
+    // the bbox, so its quadkey falls under Tiles.cover's prefixes; an
+    // intersecting-but-huge geometry's centroid can sit anywhere, so
+    // the intersects family keeps only the _bbox_* prefilter.
+    val qkPre: Option[Column] = qkZoomOf(meta).flatMap { z =>
+      comparisonMode.toLowerCase match {
+        case "contains" | "equals" =>
+          val cov = graft.core.Tiles.cover(minx, miny, maxx, maxy, z)
+          Some(if (cov.isEmpty) lit(false)
+          else cov.map(p => col("_qk") >= lit(p) &&
+            col("_qk") <= lit(p + "3" * (z - p.length))).reduce(_ || _))
+        case _ => None
+      }
+    }
+    val pre = (pre0, qkPre) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
     val full = where.filter(_.nonEmpty) match {
       case Some(w) if op.equalsIgnoreCase("OR") => expr(w) || stPred
       case Some(w) => expr(w) && stPred
@@ -780,18 +801,56 @@ class GeoDb(
    * predicates then prune whole row groups via parquet min/max); for other
    * properties, range-partition + sort on the column (the btree analog).
    * Index names follow the reference's 63-char trim (geodb.sql:1490-1508).
+   *
+   * `method = "quadkey"` (geometry only, EPSG:4326 collections only) is
+   * the alternative spatial layout: rows cluster by the Web-Mercator
+   * quadkey of their envelope centroid at `zoom` ([[graft.core.Tiles]]),
+   * and a persistent hidden `_qk` stat column is written and MAINTAINED
+   * by every subsequent insert/upsert/update (unlike the Hilbert key,
+   * which is layout-only). Declared layouts make
+   * [[getCollectionByBbox]] add quadkey PREFIX-RANGE predicates
+   * (`Tiles.cover`) for contains/equals modes, which parquet string
+   * min/max stats prune row groups against — prefix nesting means one
+   * stored zoom answers every coarser query. Rows outside the Mercator
+   * latitude domain REFUSE at build/DML time (Tiles' contract); use the
+   * Hilbert layout for polar or projected collections. Only one
+   * geometry layout may exist at a time.
    */
   def createIndex(collection: String, property: String = "geometry",
-                  database: Option[String] = None): String = {
+                  database: Option[String] = None,
+                  method: String = "hilbert", zoom: Int = 12): String = {
     val d = db(database)
     requireDatabaseOwner(d)
+    require(method == "hilbert" || method == "quadkey",
+      s"createIndex: method must be 'hilbert' or 'quadkey', got '$method'")
     withCommitLock(d, collection) {
     val meta = metaOf(d, collection)
-    val name = indexName(d, collection, property)
+    val name =
+      if (property == "geometry" && method == "quadkey") {
+        require(zoom >= 1 && zoom <= 30,
+          s"createIndex: quadkey zoom must be in [1, 30], got $zoom")
+        require(meta.srid == 4326,
+          s"createIndex: the quadkey layout needs a geographic (EPSG:4326) " +
+          s"collection, got SRID ${meta.srid} — corner-only bbox reprojection " +
+          "cannot soundly prune rotated CRS; use the hilbert layout")
+        val nm = s"idx_${d}_${collection}_geometry_qk$zoom"
+        require(nm.length <= 63,
+          s"createIndex: quadkey index name '$nm' exceeds 63 chars — the zoom " +
+          "suffix must survive the reference's name trim for layout detection")
+        nm
+      } else indexName(d, collection, property)
     require(!meta.indexes.contains(name), s"index $name already exists") // dup error
+    if (property == "geometry")
+      require(!meta.indexes.exists(i =>
+          i == indexName(d, collection, "geometry") || qkIdx.matches(i)),
+        "a geometry layout already exists — drop it before declaring another")
     val raw = readRaw(d, collection)
     val clustered =
-      if (property == "geometry") {
+      if (property == "geometry" && method == "quadkey") {
+        raw.withColumn("_qk", quadkeyOfCentroid(zoom))
+          .repartitionByRange(col("_qk"))
+          .sortWithinPartitions("_qk")
+      } else if (property == "geometry") {
         // Hilbert-curve clustering over envelope centroids: spatially-near
         // rows share row groups, maximizing _bbox_* min/max pruning
         val ext = raw.agg(min("_bbox_minx"), min("_bbox_miny"),
@@ -1278,7 +1337,7 @@ class GeoDb(
   /** Full frame including hidden stat columns. */
   private def readRaw(d: String, c: String): DataFrame = {
     val meta = metaOf(d, c)
-    spark.read.schema(withStats(meta.schema)).parquet(catalog.dataDir(d, c))
+    spark.read.schema(withStats(meta)).parquet(catalog.dataDir(d, c))
   }
 
   /** Register every accessible collection as a temp view named
@@ -1293,18 +1352,47 @@ class GeoDb(
   /** User-visible frame (stat columns pruned). */
   def readCollection(d: String, c: String): DataFrame = {
     val meta = metaOf(d, c)
-    spark.read.schema(withStats(meta.schema)).parquet(catalog.dataDir(d, c))
+    spark.read.schema(withStats(meta)).parquet(catalog.dataDir(d, c))
       .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   private def withStats(schema: StructType): StructType =
     statCols.foldLeft(schema)((s, c) => s.add(c, DoubleType))
 
+  /** Read schema incl. the `_qk` layout column when declared. */
+  private def withStats(meta: CollectionMeta): StructType = {
+    val base = withStats(meta.schema)
+    if (qkZoomOf(meta).isDefined) base.add("_qk", StringType) else base
+  }
+
+  /** Declared-quadkey-layout detection: the zoom rides the index name. */
+  private[graft] val qkIdx = "idx_.*_geometry_qk(\\d+)".r
+  private def qkZoomOf(meta: CollectionMeta): Option[Int] =
+    meta.indexes.collectFirst { case qkIdx(z) => z.toInt }
+
+  /** Web-Mercator quadkey of the envelope centroid (4326 collections —
+    * [[createIndex]] refuses the layout elsewhere). */
+  private def quadkeyOfCentroid(z: Int): Column =
+    graft.core.Tiles.quadkey(
+      (col("_bbox_minx") + col("_bbox_maxx")) / 2,
+      (col("_bbox_miny") + col("_bbox_maxy")) / 2, z)
+
   private def addStats(df: DataFrame): DataFrame =
     df.withColumn("_bbox_minx", st_xmin(col("geometry")))
       .withColumn("_bbox_miny", st_ymin(col("geometry")))
       .withColumn("_bbox_maxx", st_xmax(col("geometry")))
       .withColumn("_bbox_maxy", st_ymax(col("geometry")))
+
+  /** [[addStats]] plus the `_qk` layout column when declared — every
+    * DML write maintains the quadkey layout's stat column (the layout
+    * ORDER degrades until reindex, the pruning stays correct). */
+  private def addStats(meta: CollectionMeta, df: DataFrame): DataFrame = {
+    val base = addStats(df)
+    qkZoomOf(meta) match {
+      case Some(z) => base.withColumn("_qk", quadkeyOfCentroid(z))
+      case None => base
+    }
+  }
 
   /** Project to the collection schema (order + types), adding null columns. */
   private def alignTo(schema: StructType, df: DataFrame, keepId: Boolean): DataFrame = {
@@ -1350,7 +1438,7 @@ class GeoDb(
   private def appendWrite(d: String, c: String, meta: CollectionMeta,
                           df: DataFrame): Long = {
     val before = estimatedCount(d, c)
-    addStats(df).write.options(writeOptions).mode("append")
+    addStats(meta, df).write.options(writeOptions).mode("append")
       .parquet(catalog.dataDir(d, c))
     // row count from footers (O(#files), no re-scan, no caching of the input)
     estimatedCount(d, c) - before

@@ -32,18 +32,25 @@ object PruneBench {
     def q() = db.getCollectionByBbox("points", (200.0, 20.0, 260.0, 24.0),
       "intersects", 4326)
 
-    def measure(label: String): Unit = {
-      val df = q()
+    def measure(label: String, mk: () => org.apache.spark.sql.DataFrame = q _): Unit = {
+      val df = mk()
       val t0 = System.nanoTime()
       val n = df.count()
       val ms = (System.nanoTime() - t0) / 1e6
       // pull scan metrics from the executed plan
-      val df2 = q(); df2.collect()
-      val scans = df2.queryExecution.executedPlan.collect {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
-          case s: FileSourceScanExec => s }
-        case s: FileSourceScanExec => Seq(s)
-      }.flatten
+      val df2 = mk(); df2.collect()
+      // AQE hides finished stages behind leaf QueryStageExec nodes —
+      // descend into them explicitly
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val here = p match {
+          case s: FileSourceScanExec => Seq(s)
+          case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(qs.plan)
+          case _ => Seq.empty
+        }
+        here ++ p.children.flatMap(allScans)
+      }
+      val scans = allScans(df2.queryExecution.executedPlan)
       val out = scans.headOption.map { s =>
         val m = s.metrics
         s"scanRowsOut=${m.get("numOutputRows").map(_.value).getOrElse(-1)}"
@@ -58,6 +65,26 @@ object PruneBench {
     println(f"== createIndex (hilbert reorganize): ${(System.nanoTime() - t0) / 1e9}%.1f s")
     measure("hilbert-clustered (1st)")
     measure("hilbert-clustered (2nd)")
+
+    // ---- quadkey layout (round 14): contains-mode prefix-range pruning
+    // on a GEOGRAPHIC point collection, unindexed vs quadkey-clustered.
+    val geo = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .repartition(32)
+      .withColumn("lon", (col("l_orderkey") % 360) - 180 + col("l_quantity") / 100.0)
+      .withColumn("lat", (col("l_partkey") % 120) - 60 + col("l_discount"))
+      .withColumn("geometry", st_astext(st_point(col("lon"), col("lat"))))
+      .select(col("l_orderkey").as("okey"), col("geometry"))
+    db.createCollection("geopts", Seq("okey" -> "bigint"))
+    db.insertIntoCollection("geopts", geo)
+    def qg() = db.getCollectionByBbox("geopts", (10.0, 20.0, 30.0, 32.0),
+      "contains", 4326)
+    measure("geo unclustered contains (cold)", qg _)
+    measure("geo unclustered contains (warm)", qg _)
+    val t1 = System.nanoTime()
+    db.createIndex("geopts", method = "quadkey", zoom = 10)
+    println(f"== createIndex (quadkey z=10 reorganize): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    measure("quadkey-clustered contains (1st)", qg _)
+    measure("quadkey-clustered contains (2nd)", qg _)
     spark.stop()
     println("PRUNE_DONE")
   }

@@ -597,6 +597,72 @@ class GeoDbEngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](db.dropIndex("land_use", "geometry"))
   }
 
+  test("quadkey index layout: prefix-range pruning, DML maintenance, refusals") {
+    import spark.implicits._
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("qkpts", Seq("tag" -> "integer")) // 4326
+    val pts = (0 until 300).map { i =>
+      (s"POINT(${(i * 7) % 160 - 80} ${(i * 13) % 120 - 60})", i)
+    }.toDF("geometry", "tag")
+    db.insertIntoCollection("qkpts", pts)
+    val bbox = (-40.0, -30.0, 40.0, 30.0)
+    val before = db.getCollectionByBbox("qkpts", bbox, "contains")
+      .collect().map(_.getAs[Int]("tag")).sorted.toSeq
+    assert(before.nonEmpty)
+    val name = db.createIndex("qkpts", method = "quadkey", zoom = 8)
+    assert(name == "idx_geodb_user_qkpts_geometry_qk8")
+    // same rows after the layout rewrite, and the _qk prefix ranges
+    // reach the parquet scan as pushed string filters
+    val q = db.getCollectionByBbox("qkpts", bbox, "contains")
+    assert(q.collect().map(_.getAs[Int]("tag")).sorted.toSeq === before)
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("_qk"), s"no _qk predicate in plan:\n$phys")
+    // the prefix ranges must reach the parquet scan (the display string
+    // truncates PushedFilters — read the scan node's metadata instead)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("_qk"),
+      s"_qk range not pushed to the scan: ${scan.metadata("PushedFilters")}")
+    // intersects mode never uses the centroid key (unsound for big geoms)
+    val qi = db.getCollectionByBbox("qkpts", bbox, "intersects")
+    assert("_qk#\\d+ >=".r.findFirstIn(
+      qi.queryExecution.optimizedPlan.toString).isEmpty)
+    // DML after the index: the layout column is maintained, results stay right
+    db.insertIntoCollection("qkpts",
+      Seq(("POINT(1 1)", 9001), ("POINT(79 59)", 9002)).toDF("geometry", "tag"))
+    val after = db.getCollectionByBbox("qkpts", bbox, "contains")
+      .collect().map(_.getAs[Int]("tag")).sorted.toSeq
+    assert(after === (before :+ 9001).sorted)
+    db.updateCollection("qkpts", Map("tag" -> 9003), "tag=eq.9002")
+    assert(db.getCollection("qkpts", "tag=eq.9003").count() == 1)
+    // second geometry layout refused both ways
+    intercept[IllegalArgumentException](db.createIndex("qkpts"))
+    intercept[IllegalArgumentException](
+      db.createIndex("qkpts", method = "quadkey", zoom = 10))
+    // drop restores the plain path; rows unchanged
+    db.dropIndex("qkpts", "geometry_qk8")
+    assert(db.showIndexes("qkpts").isEmpty)
+    val q2 = db.getCollectionByBbox("qkpts", bbox, "contains")
+    assert("_qk#\\d+ >=".r.findFirstIn(
+      q2.queryExecution.optimizedPlan.toString).isEmpty)
+    assert(q2.collect().map(_.getAs[Int]("tag")).sorted.toSeq === after)
+    // refusals: projected collection, bad method, polar row at build
+    db.createCollection("qkm", Seq("v" -> "integer"), crs = 3857)
+    intercept[IllegalArgumentException](
+      db.createIndex("qkm", method = "quadkey"))
+    intercept[IllegalArgumentException](
+      db.createIndex("qkpts", method = "rtree"))
+    db.createCollection("qkpolar", Seq("v" -> "integer"))
+    db.insertIntoCollection("qkpolar",
+      Seq(("POINT(10 89)", 1)).toDF("geometry", "v"))
+    val e = intercept[Exception](
+      db.createIndex("qkpolar", method = "quadkey", zoom = 6))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Mercator")), s"got ${msgs(e)}")
+  }
+
   test("user registration + manage-subscription gating (geodb.sql:1525-1529)") {
     val wh = tmpDir("graft-wh")
     val admin = new GeoDb(spark, wh, "admin")
