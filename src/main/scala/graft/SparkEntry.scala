@@ -655,6 +655,35 @@ object SparkEntry {
       Seq(("in_group", inGroup), ("my_groups", myGroups), ("removed", removed))
         .toDF("step", "cnt").orderBy("step")
     }),
+    "q252_spherical_area" -> ((s, dir) => { ensure(s)
+      // st_area_spherical (Chamberlain–Duquette spherical excess, r14):
+      // per-customer 3°×4° lon/lat quads, area in km² (rounded BIGINT).
+      // For an axis-aligned quad the vertex sum telescopes to the exact
+      // spherical-zone formula R²·Δλ·(sin φ₁ − sin φ₀), which is what
+      // the DuckDB oracle replays; rounding margin audited IN-GATE (the
+      // cross-libm trig drift is ~1e-10 km² against a 0.5 km² boundary
+      // — any row within 1e-6 of the boundary refuses loudly instead of
+      // flaking the hash).
+      val lon0 = (col("c_custkey") % 60 - 30).cast("double")
+      val lat0 = (col("c_custkey") % 50 - 25).cast("double")
+      def pt(x: Column, y: Column) =
+        concat(x.cast("string"), lit(" "), y.cast("string"))
+      val quad = st_geomfromtext(concat(lit("POLYGON(("),
+        pt(lon0, lat0), lit(", "), pt(lon0 + 3, lat0), lit(", "),
+        pt(lon0 + 3, lat0 + 4), lit(", "), pt(lon0, lat0 + 4), lit(", "),
+        pt(lon0, lat0), lit("))")))
+      val raw = ld(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          (st_area_spherical(quad) / 1e6).as("_km2"))
+      val margin = raw.agg(min(abs(col("_km2") - floor(col("_km2")) - 0.5)))
+        .head().getDouble(0)
+      require(margin > 1e-6,
+        f"q252: a row sits $margin%.2e from the km² rounding boundary — " +
+        "inside cross-libm drift; change the fixture")
+      raw.select(col("c_custkey"),
+          round(col("_km2")).cast("long").as("area_km2"))
+        .orderBy("c_custkey")
+    }),
     "q251_quadkey_index" -> ((s, dir) => { ensure(s)
       // D7 quadkey layout (r14): createIndex(method="quadkey") clusters
       // rows by the Web-Mercator quadkey of the envelope centroid and
@@ -5214,6 +5243,12 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q252_spherical_area" ->
+      ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, " +
+       "CAST(round(6371008.8 * 6371008.8 * radians(3.0) * " +
+       "(sin(radians(CAST((c_custkey % 50) - 25 + 4 AS DOUBLE))) - " +
+       "sin(radians(CAST((c_custkey % 50) - 25 AS DOUBLE)))) / 1e6) AS BIGINT) AS area_km2 " +
+       "FROM customer ORDER BY c_custkey"),
     "q48_engine_stac" ->
       "SELECT field, value FROM (VALUES ('bbox', '0.0,0.0,10.0,20.0'), ('id', 'gate_user_c'), ('n_providers', '1'), ('stac_version', '1.1.0'), ('title', 'Gate collection')) AS t(field, value) ORDER BY field",
     "q54_shapefile_roundtrip" ->

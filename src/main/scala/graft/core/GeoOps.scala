@@ -76,6 +76,69 @@ object GeoOps {
   def buffer(b: Array[Byte], d: Double): Array[Byte] = write(read(b).buffer(d))
   def distance(a: Array[Byte], b: Array[Byte]): Double = read(a).distance(read(b))
 
+  /**
+   * SPHERICAL polygon area (m²) for lon/lat geometries — the geodesic
+   * sibling of [[area]], which on EPSG:4326 coordinates returns
+   * latitude-biased "square degrees". Closed form per ring
+   * (Chamberlain & Duquette, JPL Publication 07-03, eq. 14 — chosen
+   * over l'Huilier triangle excesses because it needs no
+   * triangulation, handles concave rings via signed terms, and is ONE
+   * `sin` per vertex, so an external engine replays the identical
+   * expression tree):
+   *
+   *   area = R²/2 · |Σ_i (λ_{i+1} − λ_{i−1}) · sin φ_i|
+   *
+   * over each ring's vertices in stored order (the closing duplicate
+   * vertex skipped); polygon = |exterior| − Σ |holes|; MultiPolygon /
+   * GeometryCollection sums parts; points and lines contribute 0 (the
+   * JTS `getArea` convention). Rings spanning more than 180° of
+   * longitude REFUSE loudly — the vertex-difference form cannot tell
+   * such a ring from its antimeridian-crossing complement (split at
+   * ±180 upstream). Exact to the sphere; the <0.3% flattening error vs
+   * a true ellipsoid is documented, deterministic, and latitude-
+   * UNBIASED — which is what areal-interpolation ratios need.
+   */
+  def areaSpherical(b: Array[Byte], radiusMeters: Double): Double =
+    sphericalAreaOf(read(b), radiusMeters)
+
+  private def sphericalAreaOf(g: Geometry, r: Double): Double = g match {
+    case p: Polygon =>
+      val ext = ringExcess(p.getExteriorRing.getCoordinates)
+      val holes = (0 until p.getNumInteriorRing)
+        .map(i => ringExcess(p.getInteriorRingN(i).getCoordinates)).sum
+      (ext - holes) * r * r
+    case gc: org.locationtech.jts.geom.GeometryCollection =>
+      (0 until gc.getNumGeometries)
+        .map(i => sphericalAreaOf(gc.getGeometryN(i), r)).sum
+    case _ => 0.0
+  }
+
+  /** |Σ (λ_next − λ_prev)·sin φ| / 2 in steradians for one closed ring. */
+  private def ringExcess(cs: Array[Coordinate]): Double = {
+    val n = cs.length - 1 // closing vertex duplicates the first
+    if (n < 3) return 0.0
+    var minLon = Double.MaxValue; var maxLon = Double.MinValue
+    var i = 0
+    while (i < n) {
+      val x = cs(i).x
+      if (x < minLon) minLon = x
+      if (x > maxLon) maxLon = x
+      i += 1
+    }
+    require(maxLon - minLon <= 180.0,
+      s"areaSpherical: ring spans ${maxLon - minLon}° of longitude (> 180) — " +
+      "indistinguishable from its antimeridian-crossing complement; split at ±180")
+    var sum = 0.0
+    i = 0
+    while (i < n) {
+      val prev = cs((i + n - 1) % n).x
+      val next = cs((i + 1) % n).x
+      sum += math.toRadians(next - prev) * math.sin(math.toRadians(cs(i).y))
+      i += 1
+    }
+    math.abs(sum) / 2.0
+  }
+
   // ---- GeoJSON (reference wire format, geodb.py:2132-2149) ----
   // jts-core has no GeoJSON io; minimal hand-rolled codec for the seven
   // basic types, Jackson (on the Spark classpath) for parsing.

@@ -348,12 +348,29 @@ object SpatialJoin {
    * Mass preservation (Σ interp = Σ w when targets tile the source
    * extent) is pinned in the spec. Zero-area source zones REFUSE
    * loudly (their share is 0/0); NULL weights refuse.
+   *
+   * `areaMode` picks the AREA kernel the shares ride on:
+   * `"planar"` (default) is JTS area — correct for PROJECTED
+   * coordinates; on raw lon/lat it returns "square degrees", where one
+   * degree of longitude shrinks with cos(latitude), so shares of
+   * north–south-elongated intersections are latitude-BIASED.
+   * `"spherical"` uses [[GeoOps.areaSpherical]] (Chamberlain–Duquette
+   * spherical excess) for srcArea and the intersection area — the
+   * right mode for EPSG:4326 zones. Intersection TOPOLOGY is still the
+   * lon/lat-plane JTS overlay in both modes (the simple-features
+   * convention for geographic data): the spherical kernel fixes the
+   * area RATIOS, which is where the bias lives; great-circle vs rhumb
+   * edge discrepancies only matter for zones with multi-degree edges
+   * near the poles — split those upstream.
    */
   def arealInterpolate(src: DataFrame, srcGeom: String, weightCol: String,
                        tgt: DataFrame, tgtGeom: String,
                        cellSize: Double,
                        maxCellsPerGeom: Int = 4096,
-                       saltCells: Int = 0): DataFrame = {
+                       saltCells: Int = 0,
+                       areaMode: String = "planar"): DataFrame = {
+    require(areaMode == "planar" || areaMode == "spherical",
+      s"arealInterpolate: areaMode must be 'planar' or 'spherical', got '$areaMode'")
     require(src.columns.contains(weightCol),
       s"arealInterpolate: weight column '$weightCol' missing from " +
       src.columns.mkString("[", ",", "]"))
@@ -366,11 +383,15 @@ object SpatialJoin {
         raise_error(lit("arealInterpolate: NULL weight — a silently " +
           "dropped zone would lose mass")).cast("double"))
       .otherwise(col(weightCol).cast("double"))
-    val srcArea = Bridge.column(graft.functions.StUnary("area",
-      Bridge.expression(col(srcGeom))))
-    val ixArea = Bridge.column(graft.functions.StUnary("area",
-      graft.functions.StOverlay("intersectionOf",
-        Bridge.expression(col(srcGeom)), Bridge.expression(col(tgtGeom)))))
+    def areaOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      if (areaMode == "spherical")
+        Bridge.column(graft.functions.StAreaSpherical(e,
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            DistanceJoin.EarthRadiusMeters)))
+      else Bridge.column(graft.functions.StUnary("area", e))
+    val srcArea = areaOf(Bridge.expression(col(srcGeom)))
+    val ixArea = areaOf(graft.functions.StOverlay("intersectionOf",
+      Bridge.expression(col(srcGeom)), Bridge.expression(col(tgtGeom))))
     val pairs = spatialJoin(src, srcGeom, tgt, tgtGeom, "intersects",
         cellSize, maxCellsPerGeom, saltCells)
       .withColumn("_share",

@@ -33,6 +33,9 @@ object GeoFunctions {
   def st_ymin(g: Column): Column = call_function("st_ymin", g)
   def st_ymax(g: Column): Column = call_function("st_ymax", g)
   def st_area(g: Column): Column = call_function("st_area", g)
+  def st_area_spherical(g: Column): Column = call_function("st_area_spherical", g)
+  def st_area_spherical(g: Column, radius: Column): Column =
+    call_function("st_area_spherical", g, radius)
   def st_length(g: Column): Column = call_function("st_length", g)
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
   def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
@@ -94,6 +97,11 @@ object GeoFunctions {
     "st_ymin" -> { case Seq(g) => StUnary("yMin", g) },
     "st_ymax" -> { case Seq(g) => StUnary("yMax", g) },
     "st_area" -> { case Seq(g) => StUnary("area", g) },
+    "st_area_spherical" -> {
+      case Seq(g) => StAreaSpherical(g,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          graft.core.DistanceJoin.EarthRadiusMeters))
+      case Seq(g, r) => StAreaSpherical(g, r) },
     "st_length" -> { case Seq(g) => StUnary("stLength", g) },
     "st_distance" -> { case Seq(a, b) => StDistance(a, b) },
     "st_buffer" -> { case Seq(g, d) => StBuffer(g, d) },

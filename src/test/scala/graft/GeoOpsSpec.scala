@@ -638,4 +638,45 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(!GeoOps.stIsEmpty(l) && GeoOps.stIsEmpty(wkt("POLYGON EMPTY")))
     assert(GeoOps.nPoints(l) == 7)
   }
+
+  test("areaSpherical: zone closed form, hole subtraction, latitude unbias, refusals") {
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    def zone(lon0: Double, lat0: Double, lon1: Double, lat1: Double): Double =
+      R * R * math.toRadians(lon1 - lon0) *
+        (math.sin(math.toRadians(lat1)) - math.sin(math.toRadians(lat0)))
+    // an axis-aligned quad's Chamberlain–Duquette sum telescopes to the
+    // exact spherical-zone formula — equality to double precision
+    def quad(lon0: Double, lat0: Double, lon1: Double, lat1: Double) =
+      wkt(s"POLYGON(($lon0 $lat0, $lon1 $lat0, $lon1 $lat1, $lon0 $lat1, $lon0 $lat0))")
+    val a = GeoOps.areaSpherical(quad(10, 20, 12, 23), R)
+    assert(math.abs(a / zone(10, 20, 12, 23) - 1.0) < 1e-12)
+    // ring orientation does not matter (absolute excess)
+    val rev = wkt("POLYGON((10 20, 10 23, 12 23, 12 20, 10 20))")
+    assert(math.abs(GeoOps.areaSpherical(rev, R) - a) <= math.ulp(a) * 4)
+    // hole subtraction
+    val holed = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    val expHoled = zone(0, 0, 10, 10) - zone(2, 2, 4, 4)
+    assert(math.abs(GeoOps.areaSpherical(holed, R) / expHoled - 1.0) < 1e-12)
+    // multipolygon sums parts
+    val mp = wkt("MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert(math.abs(GeoOps.areaSpherical(mp, R) -
+      (zone(0, 0, 1, 1) + zone(5, 5, 6, 6))) < 1.0)
+    // THE point of the operator: planar "square degrees" are latitude-
+    // blind (same 1°×1° quad everywhere), spherical area shrinks with
+    // cos(lat) — the ratio equator/60°N is ~2, planar says 1
+    val eq = GeoOps.areaSpherical(quad(0, 0, 1, 1), R)
+    val north = GeoOps.areaSpherical(quad(0, 60, 1, 61), R)
+    assert(GeoOps.area(quad(0, 0, 1, 1)) == GeoOps.area(quad(0, 60, 1, 61)))
+    assert(eq / north > 1.9 && eq / north < 2.2)
+    // whole-hemisphere sanity: 179.9°-wide near-pole-to-pole quad → ~2πR²
+    val hemi = GeoOps.areaSpherical(quad(-89.95, -89.99, 89.95, 89.99), R)
+    assert(math.abs(hemi / (2 * math.Pi * R * R) - 1.0) < 2e-3)
+    // non-areal inputs contribute zero (JTS getArea convention)
+    assert(GeoOps.areaSpherical(wkt("POINT(1 2)"), R) == 0.0)
+    assert(GeoOps.areaSpherical(wkt("LINESTRING(0 0, 5 5)"), R) == 0.0)
+    // >180° longitude span refuses loudly (antimeridian ambiguity)
+    val wide = wkt("POLYGON((-100 0, 100 0, 100 10, -100 10, -100 0))")
+    val e = intercept[IllegalArgumentException](GeoOps.areaSpherical(wide, R))
+    assert(e.getMessage.contains("antimeridian"))
+  }
 }

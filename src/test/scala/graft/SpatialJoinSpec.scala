@@ -222,6 +222,41 @@ class SpatialJoinSpec extends SparkSpec {
       Option(eNull.getCause).exists(_.getMessage.contains("NULL weight")))
   }
 
+  test("arealInterpolate spherical: lat/lon mass preservation, unbiased shares, bad mode refused") {
+    import s.implicits._
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    // a 10°-wide lon/lat zone from the equator to 60°N, split into two
+    // 30°-tall target halves. PLANAR shares say 50/50 (square degrees
+    // are latitude-blind); the true area split is sin(30)/sin(60) —
+    // the south half holds sin30/sin60 ≈ 57.7% of the mass.
+    val src = Seq((1, 90.0, "POLYGON((0 0, 10 0, 10 60, 0 60, 0 0))"))
+      .toDF("zid", "w", "wkt").select($"zid", $"w", st_geomfromtext($"wkt").as("zg"))
+    val tgt = Seq(
+      (10, "POLYGON((0 0, 10 0, 10 30, 0 30, 0 0))"),
+      (11, "POLYGON((0 30, 10 30, 10 60, 0 60, 0 30))"))
+      .toDF("tid", "wkt2").select($"tid", st_geomfromtext($"wkt2").as("tg"))
+    def shares(mode: String): Map[Int, Double] =
+      SpatialJoin.arealInterpolate(src, "zg", "w", tgt, "tg",
+          cellSize = 90.0, areaMode = mode)
+        .select("tid", "interp").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val planar = shares("planar")
+    assert(math.abs(planar(10) - 45.0) < 1e-9 && math.abs(planar(11) - 45.0) < 1e-9)
+    val sph = shares("spherical")
+    val s30 = math.sin(math.toRadians(30)); val s60 = math.sin(math.toRadians(60))
+    assert(math.abs(sph(10) - 90.0 * s30 / s60) < 1e-9,
+      s"south share ${sph(10)} != ${90.0 * s30 / s60}")
+    assert(math.abs(sph(11) - 90.0 * (s60 - s30) / s60) < 1e-9)
+    // mass preserved in BOTH modes (the kernel cancels in Σ shares)
+    assert(math.abs(sph(10) + sph(11) - 90.0) < 1e-9)
+    // bad mode refused loudly
+    val eBad = intercept[IllegalArgumentException] {
+      SpatialJoin.arealInterpolate(src, "zg", "w", tgt, "tg", 90.0,
+        areaMode = "geodesic")
+    }
+    assert(eBad.getMessage.contains("areaMode"))
+  }
+
   private def bruteS(mode: String): Set[(Int, Int)] =
     layerA.crossJoin(layerB)
       .filter(st_relation(mode, col("ageom"), col("bgeom")))
