@@ -655,6 +655,32 @@ object SparkEntry {
       Seq(("in_group", inGroup), ("my_groups", myGroups), ("removed", removed))
         .toDF("step", "cnt").orderBy("step")
     }),
+    "q253_explode_segments" -> ((s, dir) => { ensure(s)
+      // explodeToSegments (r14): WKB polylines (one 3-vertex road per
+      // nation) explode to endpoint columns and feed the planar
+      // segmentRadiusJoin; customers are the probe points. Integer-
+      // lattice endpoints make the three-case point-segment distance
+      // (behind-A / beyond-B / perpendicular cross²/len²) replay
+      // bit-identically in DuckDB — one correctly-rounded division in
+      // both engines — and the 8.5 radius's 72.25 boundary is never an
+      // integer, so the comparison is exact.
+      val roads = ld(s, dir, "nation").select(col("n_nationkey"),
+        st_geomfromtext(concat(lit("LINESTRING("),
+          ((col("n_nationkey") * 97) % 400).cast("string"), lit(" "),
+          ((col("n_nationkey") * 53) % 300).cast("string"), lit(", "),
+          ((col("n_nationkey") * 97) % 400 + 40).cast("string"), lit(" "),
+          ((col("n_nationkey") * 53) % 300 + 10).cast("string"), lit(", "),
+          ((col("n_nationkey") * 97) % 400 + 80).cast("string"), lit(" "),
+          ((col("n_nationkey") * 53) % 300).cast("string"), lit(")"))).as("rg"))
+      val segs = graft.core.DistanceJoin.explodeToSegments(roads, "rg")
+      val pts = ld(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 500).cast("double").as("px"),
+        ((col("c_custkey") * 7) % 400).cast("double").as("py"))
+      graft.core.DistanceJoin.segmentRadiusJoin(pts, segs,
+          "px", "py", "ax", "ay", "bx", "by", radius = 8.5)
+        .select(col("c_custkey"), col("n_nationkey"), col("seg_idx"))
+        .orderBy("c_custkey", "n_nationkey", "seg_idx")
+    }),
     "q252_spherical_area" -> ((s, dir) => { ensure(s)
       // st_area_spherical (Chamberlain–Duquette spherical excess, r14):
       // per-customer 3°×4° lon/lat quads, area in km² (rounded BIGINT).
@@ -5243,6 +5269,31 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q253_explode_segments" ->
+      ("WITH segs AS (" +
+       "SELECT n_nationkey, 0 AS seg_idx, " +
+       "CAST((n_nationkey * 97) % 400 AS DOUBLE) AS sax, " +
+       "CAST((n_nationkey * 53) % 300 AS DOUBLE) AS say, " +
+       "CAST((n_nationkey * 97) % 400 + 40 AS DOUBLE) AS sbx, " +
+       "CAST((n_nationkey * 53) % 300 + 10 AS DOUBLE) AS sby FROM nation " +
+       "UNION ALL SELECT n_nationkey, 1, " +
+       "CAST((n_nationkey * 97) % 400 + 40 AS DOUBLE), " +
+       "CAST((n_nationkey * 53) % 300 + 10 AS DOUBLE), " +
+       "CAST((n_nationkey * 97) % 400 + 80 AS DOUBLE), " +
+       "CAST((n_nationkey * 53) % 300 AS DOUBLE) FROM nation), " +
+       "pts AS (SELECT c_custkey, CAST(c_custkey % 500 AS DOUBLE) AS px, " +
+       "CAST((c_custkey * 7) % 400 AS DOUBLE) AS py FROM customer), " +
+       "cand AS (SELECT p.c_custkey, s.n_nationkey, s.seg_idx, " +
+       "(p.px - s.sax) * (s.sbx - s.sax) + (p.py - s.say) * (s.sby - s.say) AS w, " +
+       "(s.sbx - s.sax) * (s.sbx - s.sax) + (s.sby - s.say) * (s.sby - s.say) AS len2, " +
+       "(p.px - s.sax) * (p.px - s.sax) + (p.py - s.say) * (p.py - s.say) AS d2a, " +
+       "(p.px - s.sbx) * (p.px - s.sbx) + (p.py - s.sby) * (p.py - s.sby) AS d2b, " +
+       "(p.px - s.sax) * (s.sby - s.say) - (p.py - s.say) * (s.sbx - s.sax) AS crs " +
+       "FROM pts p CROSS JOIN segs s) " +
+       "SELECT c_custkey, n_nationkey, CAST(seg_idx AS INT) AS seg_idx FROM cand " +
+       "WHERE (CASE WHEN len2 = 0 OR w <= 0 THEN d2a " +
+       "WHEN w >= len2 THEN d2b ELSE crs * crs / len2 END) <= 72.25 " +
+       "ORDER BY c_custkey, n_nationkey, seg_idx"),
     "q252_spherical_area" ->
       ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, " +
        "CAST(round(6371008.8 * 6371008.8 * radians(3.0) * " +

@@ -1008,4 +1008,49 @@ object DistanceJoin {
           probe, distCols)
     }
   }
+
+  /**
+   * EXPLODE a WKB geometry column into its constituent segments —
+   * the bridge between the geometry model ([[GeoOps]]; road/boundary
+   * corpora ship as LineString/Polygon WKB) and the endpoint-column
+   * segment family ([[segmentRadiusJoin]], [[snapToSegments]],
+   * [[geoSegmentRadiusJoin]]). One output row per segment, carrying
+   * every input column EXCEPT the WKB itself (replicating a
+   * multi-megabyte boundary blob once per segment is exactly the
+   * 100-TB mistake this helper exists to prevent — join it back by id
+   * if needed) plus `(seg_idx, ax, ay, bx, by)`; `(row id, seg_idx)`
+   * is a stable segment key (vertex order). Geometries with no
+   * segments (points) produce no rows; a NULL geometry REFUSES loudly
+   * — silently dropping a road row would silently unmatch every point
+   * near it. For geodesic joins the convention is (lat, lon) columns:
+   * pass `axCol = "alat", ayCol = "alon"` etc. and build the WKB as
+   * POINT(lat lon) upstream, or rename after.
+   */
+  def explodeToSegments(df: DataFrame, geomCol: String,
+                        segIdxCol: String = "seg_idx",
+                        axCol: String = "ax", ayCol: String = "ay",
+                        bxCol: String = "bx", byCol: String = "by"): DataFrame = {
+    require(df.columns.contains(geomCol),
+      s"explodeToSegments: column '$geomCol' missing from ${df.columns.mkString("[", ",", "]")}")
+    val outCols = Seq(segIdxCol, axCol, ayCol, bxCol, byCol)
+    require(outCols.distinct.size == outCols.size,
+      s"explodeToSegments: output column names must be distinct, got $outCols")
+    outCols.foreach { c =>
+      require(!df.columns.contains(c),
+        s"explodeToSegments: output column '$c' already present — rename it")
+    }
+    require(!df.columns.contains("_seg"),
+      "explodeToSegments: reserved column '_seg' already present — rename it")
+    val checked = when(col(geomCol).isNull,
+        raise_error(lit("explodeToSegments: NULL geometry — a silently " +
+          "dropped road row would silently unmatch every point near it")))
+      .otherwise(col(geomCol))
+    val keep = df.columns.filterNot(_ == geomCol).map(col)
+    df.withColumn("_seg",
+        explode(graft.functions.GeoFunctions.st_segments(checked)))
+      .select(keep.toIndexedSeq ++ Seq(
+        col("_seg.seg_idx").as(segIdxCol),
+        col("_seg.ax").as(axCol), col("_seg.ay").as(ayCol),
+        col("_seg.bx").as(bxCol), col("_seg.by").as(byCol)): _*)
+  }
 }

@@ -113,6 +113,44 @@ object GeoOps {
     case _ => 0.0
   }
 
+  /**
+   * Constituent SEGMENTS of any WKB geometry as
+   * `array<struct<seg_idx int, ax, ay, bx, by double>>` — the
+   * generator feeding [[DistanceJoin.segmentRadiusJoin]] /
+   * [[DistanceJoin.snapToSegments]] from road/boundary corpora that
+   * ship as LineString/MultiLineString/Polygon WKB (the reference's
+   * collections do, geodb.sql:60-74). LineStrings contribute their
+   * consecutive-vertex segments, polygons every ring's (exterior and
+   * holes), collections recurse; points contribute none. `seg_idx`
+   * numbers segments within THE ROW's geometry in vertex order —
+   * deterministic, so (row id, seg_idx) is a stable segment key.
+   */
+  def segments(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var idx = 0
+    def addLine(cs: Array[Coordinate]): Unit = {
+      var i = 0
+      while (i < cs.length - 1) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](idx, cs(i).x, cs(i).y, cs(i + 1).x, cs(i + 1).y))
+        idx += 1
+        i += 1
+      }
+    }
+    def walk(g: Geometry): Unit = g match {
+      case l: LineString => addLine(l.getCoordinates)
+      case p: Polygon =>
+        addLine(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing)
+          .foreach(i => addLine(p.getInteriorRingN(i).getCoordinates))
+      case gc: GeometryCollection =>
+        (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+      case _ => () // points: no segments
+    }
+    walk(read(b))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** |Σ (λ_next − λ_prev)·sin φ| / 2 in steradians for one closed ring. */
   private def ringExcess(cs: Array[Coordinate]): Double = {
     val n = cs.length - 1 // closing vertex duplicates the first

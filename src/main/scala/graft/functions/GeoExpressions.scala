@@ -245,6 +245,26 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Segments of a geometry as array<struct<seg_idx,ax,ay,bx,by>> —
+  * [[graft.core.GeoOps.segments]], the WKB→segment-join bridge. */
+case class StSegments(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("seg_idx", IntegerType, nullable = false),
+    StructField("ax", DoubleType, nullable = false),
+    StructField("ay", DoubleType, nullable = false),
+    StructField("bx", DoubleType, nullable = false),
+    StructField("by", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_segments"
+  override protected def nullSafeEval(b: Any): Any =
+    GeoOps.segments(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.segments($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Spherical polygon area in m² ([[graft.core.GeoOps.areaSpherical]] —
   * Chamberlain & Duquette closed form; lon/lat input, radius in m). */
 case class StAreaSpherical(left: Expression, right: Expression)

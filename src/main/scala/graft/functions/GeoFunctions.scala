@@ -33,6 +33,7 @@ object GeoFunctions {
   def st_ymin(g: Column): Column = call_function("st_ymin", g)
   def st_ymax(g: Column): Column = call_function("st_ymax", g)
   def st_area(g: Column): Column = call_function("st_area", g)
+  def st_segments(g: Column): Column = call_function("st_segments", g)
   def st_area_spherical(g: Column): Column = call_function("st_area_spherical", g)
   def st_area_spherical(g: Column, radius: Column): Column =
     call_function("st_area_spherical", g, radius)
@@ -103,6 +104,7 @@ object GeoFunctions {
           graft.core.DistanceJoin.EarthRadiusMeters))
       case Seq(g, r) => StAreaSpherical(g, r) },
     "st_length" -> { case Seq(g) => StUnary("stLength", g) },
+    "st_segments" -> { case Seq(g) => StSegments(g) },
     "st_distance" -> { case Seq(a, b) => StDistance(a, b) },
     "st_buffer" -> { case Seq(g, d) => StBuffer(g, d) },
     "st_transform" -> { case Seq(g, f, t) => StTransform(g, f, t) },

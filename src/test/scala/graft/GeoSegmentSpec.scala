@@ -156,4 +156,56 @@ class GeoSegmentSpec extends SparkSpec {
         "alat", "alon", "blat", "blon", 9e6, maxSegMeters = 9e6)
     }
   }
+
+  test("explodeToSegments: WKB shapes, composition with segmentRadiusJoin == JTS brute force") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions._
+    graft.functions.GeoFunctions.registerAll(spark)
+    // shape coverage: linestring, multilinestring, polygon with hole
+    val shapes = Seq(
+      (1L, "LINESTRING(0 0, 4 0, 4 3)"),                          // 2 segs
+      (2L, "MULTILINESTRING((0 0, 1 1), (5 5, 6 5, 7 5))"),       // 1 + 2
+      (3L, "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 2))"), // 4 + 3
+      (4L, "POINT(9 9)"))                                          // 0
+      .toDF("rid", "wkt").select($"rid", st_geomfromtext($"wkt").as("geom"))
+    val segs = DistanceJoin.explodeToSegments(shapes, "geom")
+    assert(!segs.columns.contains("geom"), "WKB must not replicate per segment")
+    val n = segs.groupBy("rid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === Map(1L -> 2L, 2L -> 3L, 3L -> 7L))
+    val r1 = segs.filter($"rid" === 1).orderBy("seg_idx")
+      .select("seg_idx", "ax", "ay", "bx", "by").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(r1.toSeq === Seq((0, 0.0, 0.0, 4.0, 0.0), (1, 4.0, 0.0, 4.0, 3.0)))
+    // NULL geometry refuses loudly
+    val withNull = shapes.union(Seq((5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("rid", "geom"))
+    val eN = intercept[Exception] {
+      DistanceJoin.explodeToSegments(withNull, "geom").count()
+    }
+    assert(eN.toString.contains("NULL geometry") ||
+      Option(eN.getCause).exists(_.getMessage.contains("NULL geometry")))
+    // composition: helper → segmentRadiusJoin equals a JTS st_distance
+    // brute force over the ORIGINAL geometries at the same radius
+    // (point-to-geometry distance = min over its segments/vertices)
+    val rnd = new scala.util.Random(7)
+    val roads = (0 until 25).map { i =>
+      val x = rnd.nextInt(80); val y = rnd.nextInt(80)
+      (100L + i, s"LINESTRING($x $y, ${x + 8} ${y + 3}, ${x + 16} $y)")
+    }.toDF("road_id", "wkt").select($"road_id", st_geomfromtext($"wkt").as("rg"))
+      .localCheckpoint(true)
+    val pts = (0 until 400).map(i =>
+      (1000L + i, ((i * 13) % 100).toDouble, ((i * 29) % 100).toDouble))
+      .toDF("pid", "px", "py").localCheckpoint(true)
+    val exploded = DistanceJoin.explodeToSegments(roads, "rg")
+    val got = DistanceJoin.segmentRadiusJoin(pts, exploded,
+        "px", "py", "ax", "ay", "bx", "by", radius = 5.0)
+      .select("pid", "road_id").distinct() // per-ROAD match set
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.join(roads,
+        st_distance(st_point($"px", $"py"), $"rg") <= 5.0)
+      .select("pid", "road_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute && got.nonEmpty)
+  }
 }
