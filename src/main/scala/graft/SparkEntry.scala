@@ -2970,6 +2970,41 @@ object SparkEntry {
         (col("o_custkey").cast("long") % 50).as("dst"))
       graft.ext.Graph.coOccurrence(e).orderBy("a", "b")
     }),
+    "q254_geo_stream_colocation" -> ((s, dir) => { ensure(s)
+      // STREAM-STREAM GEODESIC co-location (r14): q249's shape on the
+      // sphere — both sides real lat/lon streams, banded-cell keys
+      // (geoRadiusJoin's scheme) + 3 time buckets, watermark-bounded
+      // state. Even event ids left, odd right; +86400 epoch shift (the
+      // q249 corollary). Oracle = DuckDB brute haversine + |Δt|<=60;
+      // radius 500 km, boundary margin audited at authoring: nearest
+      // pair distances to the boundary are 220 m (in) / 3624 m (out)
+      // at sf0.01 — >> the ~4e-10 m cross-libm ulp class at 500 km.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-gstst")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val a = EventStream.read(s, stage.toString)
+        .filter(col("event_id") % 2 === 0).select(
+          col("event_id").as("a_id"),
+          (((col("event_id") * 29) % 1200).cast("double") / 10.0 - 60.0).as("alat"),
+          (((col("event_id") * 43) % 3600).cast("double") / 10.0 - 180.0).as("alon"),
+          (((col("event_id") * 7) % 3000).cast("double") + 86400.0).as("at"))
+      val b = EventStream.read(s, stage.toString)
+        .filter(col("event_id") % 2 === 1).select(
+          col("event_id").as("b_id"),
+          (((col("event_id") * 23) % 1200).cast("double") / 10.0 - 60.0).as("blat"),
+          (((col("event_id") * 41) % 3600).cast("double") / 10.0 - 180.0).as("blon"),
+          (((col("event_id") * 11) % 3000).cast("double") + 86400.0).as("bt"))
+      val out = graft.core.DistanceJoin.geoSpaceTimeJoinStream(a, b,
+          "alat", "alon", "at", "blat", "blon", "bt",
+          radiusMeters = 500000.0, tau = 60.0, watermarkDelay = "2 hours")
+        .select(col("a_id"), col("b_id"), col("dt").cast("long").as("dti"))
+      val qname = "gate_gstst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("a_id", "b_id")
+    }),
     "q249_stream_stream_colocation" -> ((s, dir) => { ensure(s)
       // STREAM-STREAM spatiotemporal co-location: q232's fixture with
       // BOTH sides arriving as real streams — the 3x3x3 binning is
@@ -6139,6 +6174,23 @@ object SparkEntry {
        "CAST(sum(CASE WHEN brk = 1 THEN 0 ELSE CAST(round(sqrt(dx * dx + dy * dy) * 1000000) AS BIGINT) END) AS BIGINT) AS path_len_um " +
        "FROM l GROUP BY k, leg ORDER BY dev, leg"),
     "q232_space_time_join" -> q232OracleSqlText,
+    "q254_geo_stream_colocation" ->
+      ("SELECT a.a_id, b.b_id, CAST(abs(a.at2 - b.bt2) AS BIGINT) AS dti FROM " +
+       "(SELECT event_id AS a_id, " +
+       "CAST((event_id * 29) % 1200 AS DOUBLE) / 10.0 - 60.0 AS alat, " +
+       "CAST((event_id * 43) % 3600 AS DOUBLE) / 10.0 - 180.0 AS alon, " +
+       "CAST((event_id * 7) % 3000 AS DOUBLE) AS at2 " +
+       "FROM events WHERE event_id % 2 = 0) a CROSS JOIN " +
+       "(SELECT event_id AS b_id, " +
+       "CAST((event_id * 23) % 1200 AS DOUBLE) / 10.0 - 60.0 AS blat, " +
+       "CAST((event_id * 41) % 3600 AS DOUBLE) / 10.0 - 180.0 AS blon, " +
+       "CAST((event_id * 11) % 3000 AS DOUBLE) AS bt2 " +
+       "FROM events WHERE event_id % 2 = 1) b " +
+       "WHERE 2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(a.alat) - radians(b.blat)) / 2), 2) + " +
+       "cos(radians(a.alat)) * cos(radians(b.blat)) * " +
+       "pow(sin((radians(a.alon) - radians(b.blon)) / 2), 2)))) <= 500000.0 " +
+       "AND abs(a.at2 - b.bt2) <= 60.0 ORDER BY a_id, b_id"),
     "q249_stream_stream_colocation" -> q232OracleSqlText, // bounded
       // stream ⇒ identical row set to the batch join
     "q231_stay_points" ->

@@ -642,6 +642,138 @@ object DistanceJoin {
   }
 
   /**
+   * STREAM-STREAM GEODESIC spatiotemporal co-location —
+   * [[spaceTimeJoinStream]] on the sphere: "which left events were
+   * within `radiusMeters` great-circle metres AND `tau` seconds of
+   * which right events", both sides unbounded lat/lon streams. The
+   * spatial keys are [[geoRadiusJoin]]'s latitude-banded cells
+   * (band height r/R radians; per-band-family longitude widths from
+   * the inverted haversine bound, growing 1/cos toward the poles,
+   * wrapping mod nCells — antimeridian pairs are ordinary neighbors);
+   * the right side replicates into the DEDUPED 3-band × 3-cell
+   * neighborhood × 3 time buckets. Every key is STATELESS scalar
+   * arithmetic, so state stays bounded exactly as in the planar
+   * operator: watermarks on BOTH sides plus the event-time range
+   * condition let Spark evict each side past watermark + tau.
+   *
+   * Same epoch-0 corollary as the planar operator: a row AT epoch 0
+   * equals the initial watermark and is dropped as late after the
+   * first micro-batch — shift synthetic small-integer timestamps.
+   * Exact verify = haversine `2R·asin(√a)` + `|Δt| <= tau`; the
+   * radius boundary carries [[geoRadiusJoin]]'s cross-libm ulp class
+   * (keep data off the exact boundary when comparing engines).
+   * Returns `left.* ++ right.* ++ (dist_m, dt)`; on a bounded
+   * AvailableNow stream the result equals the batch composition
+   * exactly (the q254 gate pins it against the DuckDB haversine).
+   */
+  def geoSpaceTimeJoinStream(left: DataFrame, right: DataFrame,
+                             lLat: String, lLon: String, lt: String,
+                             rLat: String, rLon: String, rt: String,
+                             radiusMeters: Double, tau: Double,
+                             watermarkDelay: String,
+                             bucketWidth: Option[Double] = None,
+                             earthRadiusMeters: Double = EarthRadiusMeters): DataFrame = {
+    val bigR = earthRadiusMeters
+    require(radiusMeters > 0 && radiusMeters < math.Pi * bigR,
+      s"geoSpaceTimeJoinStream: radius in (0, pi*R) metres, got $radiusMeters")
+    require(tau > 0 && !tau.isInfinite,
+      s"geoSpaceTimeJoinStream: tau must be finite > 0, got $tau")
+    val bw = bucketWidth.getOrElse(tau)
+    require(bw >= tau,
+      s"bucketWidth ($bw) must be >= tau ($tau) — smaller buckets would " +
+      "need more than 3 neighbors and silently lose pairs")
+    Seq(lLat -> left, lLon -> left, lt -> left,
+        rLat -> right, rLon -> right, rt -> right).foreach {
+      case (c, df) => require(df.columns.contains(c),
+        s"geoSpaceTimeJoinStream: column '$c' missing from ${df.columns.mkString("[", ",", "]")}")
+    }
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"geoSpaceTimeJoinStream: overlapping column names ${overlap.mkString(",")} — " +
+      "rename one side (the output carries both sides' columns)")
+    Seq("_gband", "_gcell", "_gct", "_glat", "_glon", "_gk", "_dt",
+        "_lets", "_rets", "dist_m", "dt").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"geoSpaceTimeJoinStream: reserved column '$c' already present — rename it")
+    }
+    val hRad = radiusMeters / bigR
+    val hDeg = math.toDegrees(hRad)
+    val sinHalf = math.sin(hRad / 2)
+    def checked(c: Column, lo: Double, hi: Double, what: String): Column =
+      when(c.isNull || isnan(c) || c < lo || c > hi,
+        raise_error(concat(lit(s"geoSpaceTimeJoinStream: $what out of [$lo, $hi] " +
+          s"(or NULL/NaN) — a misindexed cell silently drops pairs, got "),
+          c.cast("string"))).cast("double"))
+        .otherwise(c)
+    def tbin(x: Column, what: String): Column =
+      when(x.isNull || isnan(x.cast("double")),
+        raise_error(lit(s"geoSpaceTimeJoinStream: NULL/NaN $what")).cast("long"))
+        .otherwise(floor(x.cast("double") / bw).cast("long"))
+    def band(lat: Column): Column = floor(lat / lit(hDeg)).cast("long")
+    def nCellsOf(b: Column): Column = {
+      val phiMax = least(lit(90.0),
+        greatest(abs(b.cast("double") * lit(hDeg)),
+          abs((b.cast("double") + 1) * lit(hDeg))) + lit(hDeg))
+      val dLamDeg = degrees(lit(2.0) *
+        asin(least(lit(1.0), lit(sinHalf) / cos(radians(phiMax)))))
+      greatest(lit(1L), floor(lit(360.0) / dLamDeg).cast("long"))
+    }
+    def cellOf(lon: Column, b: Column, shift: Column): Column = {
+      val n = nCellsOf(b)
+      val w = lit(360.0) / n.cast("double")
+      pmod(floor((lon + lit(180.0)) / w).cast("long") + shift, n)
+    }
+    val l = left
+      .withColumn("_glat", checked(col(lLat), -90, 90, "left latitude"))
+      .withColumn("_glon", checked(col(lLon), -180, 180, "left longitude"))
+      .withColumn("_gband", band(col("_glat")))
+      .withColumn("_gcell", cellOf(col("_glon"), col("_gband"), lit(0L)))
+      .withColumn("_gct", tbin(col(lt), "left time"))
+      .drop("_glat", "_glon")
+      .withColumn("_lets", timestamp_seconds(col(lt).cast("double")))
+      .withWatermark("_lets", watermarkDelay)
+    // deduped 3x3 spatial neighborhood (polar wrap can alias shifts —
+    // same argument as geoRadiusJoin), times the 3 time buckets
+    val rKeys = array((for (db <- -1L to 1L; dc <- -1L to 1L) yield {
+      val b = band(col("_glat")) + lit(db)
+      struct(b.as("_gband"),
+        cellOf(col("_glon"), b, lit(dc)).as("_gcell"))
+    }).toSeq: _*)
+    val r = right
+      .withColumn("_glat", checked(col(rLat), -90, 90, "right latitude"))
+      .withColumn("_glon", checked(col(rLon), -180, 180, "right longitude"))
+      .withColumn("_gk", explode(array_distinct(rKeys)))
+      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gband", col("_gk._gband"))
+      .withColumn("_gcell", col("_gk._gcell"))
+      .withColumn("_gct", tbin(col(rt), "right time") + col("_dt"))
+      .drop("_glat", "_glon", "_gk", "_dt")
+      .withColumn("_rets", timestamp_seconds(col(rt).cast("double")))
+      .withWatermark("_rets", watermarkDelay)
+    val dphi = radians(l(lLat)) - radians(r(rLat))
+    val dlam = radians(l(lLon)) - radians(r(rLon))
+    val hav = pow(sin(dphi / 2), 2) +
+      cos(radians(l(lLat))) * cos(radians(r(rLat))) * pow(sin(dlam / 2), 2)
+    val distCond = lit(2.0 * bigR) * asin(least(lit(1.0), sqrt(hav)))
+    val tauInterval = expr(s"INTERVAL ${tau.toLong + 1} SECONDS")
+    val cond =
+      l("_gband") === r("_gband") && l("_gcell") === r("_gcell") &&
+      l("_gct") === r("_gct") &&
+      l("_lets") >= r("_rets") - tauInterval &&
+      l("_lets") <= r("_rets") + tauInterval &&
+      distCond <= lit(radiusMeters) &&
+      abs(l(lt).cast("double") - r(rt).cast("double")) <= lit(tau)
+    val dphiO = radians(col(lLat)) - radians(col(rLat))
+    val dlamO = radians(col(lLon)) - radians(col(rLon))
+    val havO = pow(sin(dphiO / 2), 2) +
+      cos(radians(col(lLat))) * cos(radians(col(rLat))) * pow(sin(dlamO / 2), 2)
+    l.join(r, cond, "inner")
+      .withColumn("dist_m", lit(2.0 * bigR) * asin(least(lit(1.0), sqrt(havO))))
+      .withColumn("dt", abs(col(lt).cast("double") - col(rt).cast("double")))
+      .drop("_gband", "_gcell", "_gct", "_lets", "_rets")
+  }
+
+  /**
    * Geodesic NEAREST-neighbor join — [[nearestJoin]] on the sphere:
    * for every left point the single great-circle-closest right point
    * (ties (dist_m, right id)), by the same iterative radius doubling

@@ -114,6 +114,73 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch && got.nonEmpty)
   }
 
+  test("geoSpaceTimeJoinStream == brute haversine on a bounded stream; antimeridian + polar pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    def draw(tag: String, i: Long, m: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8"))
+      (BigInt(1, md.take(4)).toLong % m).toDouble
+    }
+    // scatter plus PLANTED pairs the geodesic banding must not lose:
+    // an antimeridian-straddling pair (ordinary wrap neighbors) and a
+    // polar pair whose longitudes are far but metres are near
+    val aRows = (0L until 250L).map(i => (i,
+      draw("alat", i, 1200) / 10.0 - 60.0,
+      draw("alon", i, 3600) / 10.0 - 180.0,
+      draw("at", i, 900) + 86400.0)) ++ Seq(
+      (900L, 10.0, 179.95, 86400.0 + 100.0),
+      (901L, 89.5, 0.0, 86400.0 + 200.0))
+    val bRows = (0L until 250L).map(i => (i + 1000,
+      draw("blat", i, 1200) / 10.0 - 60.0,
+      draw("blon", i, 3600) / 10.0 - 180.0,
+      draw("bt", i, 900) + 86400.0)) ++ Seq(
+      (1900L, 10.0, -179.95, 86400.0 + 110.0),
+      (1901L, 89.5, 120.0, 86400.0 + 190.0))
+    val aDf = aRows.toDF("aid", "alat", "alon", "at")
+    val bDf = bRows.toDF("bid", "blat", "blon", "bt")
+    // brute twin: haversine all-pairs
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      val dphi = math.toRadians(la1) - math.toRadians(la2)
+      val dlam = math.toRadians(lo1) - math.toRadians(lo2)
+      val a = math.pow(math.sin(dphi / 2), 2) +
+        math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+          math.pow(math.sin(dlam / 2), 2)
+      2.0 * R * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    val radius = 120000.0; val tau = 30.0
+    val brute = (for (a <- aRows; b <- bRows
+      if hav(a._2, a._3, b._2, b._3) <= radius && math.abs(a._4 - b._4) <= tau)
+      yield (a._1, b._1)).toSet
+    assert(brute.contains((900L, 1900L)), "antimeridian pair must be in radius")
+    assert(brute.contains((901L, 1901L)), "polar pair must be in radius")
+    val dirA = tmpDir("gstst-a"); val dirB = tmpDir("gstst-b")
+    aDf.coalesce(1).write.parquet(s"$dirA/p")
+    bDf.coalesce(1).write.parquet(s"$dirB/p")
+    val sa = spark.readStream.schema(aDf.schema).parquet(s"$dirA/p")
+    val sb = spark.readStream.schema(bDf.schema).parquet(s"$dirB/p")
+    val out = graft.core.DistanceJoin.geoSpaceTimeJoinStream(sa, sb,
+      "alat", "alon", "at", "blat", "blon", "bt",
+      radiusMeters = radius, tau = tau, watermarkDelay = "1 hour")
+    assert(out.isStreaming)
+    val qn = s"gstst_${System.nanoTime}"
+    val q = out.select("aid", "bid").writeStream.format("memory")
+      .queryName(qn).outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table(qn).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute && got.nonEmpty)
+    // refusal: out-of-range latitude
+    val bad = Seq((1L, 95.0, 0.0, 86400.0)).toDF("aid", "alat", "alon", "at")
+    val eBad = intercept[Exception] {
+      graft.core.DistanceJoin.geoSpaceTimeJoinStream(bad, bDf,
+        "alat", "alon", "at", "blat", "blon", "bt",
+        radiusMeters = radius, tau = tau, watermarkDelay = "1 hour").count()
+    }
+    assert(eBad.toString.contains("latitude") ||
+      Option(eBad.getCause).exists(_.getMessage.contains("latitude")))
+  }
+
   test("stream-static broadcastPointJoin == batch (probe expression composes unchanged)") {
     // the GeomSetProbe expression is stateless and the payload attach
     // is a stream-static broadcast hash join on the index, so the
