@@ -96,4 +96,42 @@ class TilesSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { Tiles.tileX(lit(0.0), 31) }
     assertThrows[IllegalArgumentException] { Tiles.quadkey(lit(0.0), lit(0.0), 0) }
   }
+
+  test("cover: every in-rect point's quadkey has a covering prefix; budget honored; empty rect") {
+    import spark.implicits._
+    // the property the _qk pruning's SOUNDNESS rides on: for any rect,
+    // any point inside it must quadkey-bin under one of the returned
+    // prefixes — across zooms, rect shapes and the prefix budget
+    val rnd = new scala.util.Random(29)
+    for (z <- Seq(4, 8, 12); trial <- 0 until 8) {
+      val lonMin = rnd.nextDouble() * 340 - 180
+      val latMin = rnd.nextDouble() * 150 - 80
+      val lonMax = math.min(180.0, lonMin + rnd.nextDouble() * 40 + 0.1)
+      val latMax = math.min(Tiles.MaxLatDeg, latMin + rnd.nextDouble() * 30 + 0.1)
+      val budget = Seq(4, 16, 64)(trial % 3)
+      val cov = Tiles.cover(lonMin, latMin, lonMax, latMax, z, budget)
+      assert(cov.nonEmpty && cov.size <= budget,
+        s"z=$z trial=$trial: ${cov.size} prefixes > budget $budget")
+      assert(cov.forall(p => p.length <= z && p.forall(c => c >= '0' && c <= '3')))
+      // 200 random interior points must all be covered
+      val pts = (0 until 200).map { _ =>
+        (lonMin + rnd.nextDouble() * (lonMax - lonMin),
+          math.max(-Tiles.MaxLatDeg,
+            latMin + rnd.nextDouble() * (latMax - latMin)))
+      }.toDF("lon", "lat")
+      val qks = pts.select(Tiles.quadkey($"lon", $"lat", z).as("qk"))
+        .collect().map(_.getString(0))
+      val missed = qks.filterNot(k => cov.exists(k.startsWith))
+      assert(missed.isEmpty,
+        s"z=$z trial=$trial budget=$budget: uncovered quadkeys ${missed.take(3).toSeq}")
+    }
+    // rect fully outside the Mercator domain → empty cover (no indexed
+    // row can exist there — the engine turns this into lit(false))
+    assert(Tiles.cover(10, 87.0, 20, 89.0, 8) === Seq.empty)
+    assert(Tiles.cover(181.0, 0, 185.0, 5, 8) === Seq.empty)
+    // whole-world rect at a tight budget degrades to few coarse
+    // prefixes, never to a miss
+    val world = Tiles.cover(-180, -85, 180, 85, 10, 4)
+    assert(world.nonEmpty && world.size <= 4)
+  }
 }
