@@ -655,6 +655,61 @@ object SparkEntry {
       Seq(("in_group", inGroup), ("my_groups", myGroups), ("removed", removed))
         .toDF("step", "cnt").orderBy("step")
     }),
+    "q255_ntv2_grid_shift" -> ((s, dir) => { ensure(s)
+      // NTv2 GRID-SHIFT datum transform (r14): the gate WRITES a
+      // synthetic .gsb (lat 10..12N × lon 24..20W, 0.5°×1° nodes,
+      // shifts LINEAR in the node indices with dyadic float32 values),
+      // registers a geographic CRS + the grid, and transforms a
+      // customer lattice through the codegen'd st_transform. EXACT BY
+      // CONSTRUCTION: lattice points sit at quarter-cell offsets, so
+      // the bilinear weights, node values and interpolated shifts are
+      // all dyadic rationals — zero rounding until the final /3600,
+      // which both engines perform as the same single IEEE op on the
+      // same inputs. Output = micro-arcsec BIGINTs.
+      import java.nio.{ByteBuffer, ByteOrder}
+      val bufs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def rec(key: String)(fill: ByteBuffer => Unit): Unit = {
+        val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+        b.put(key.padTo(8, ' ').getBytes("US-ASCII")); fill(b)
+        bufs += b.array()
+      }
+      def recS(k: String, v: String) = rec(k)(_.put(v.padTo(8, ' ').getBytes("US-ASCII")))
+      def recI(k: String, v: Int) = rec(k)(_.putInt(v))
+      def recD(k: String, v: Double) = rec(k)(_.putDouble(v))
+      recI("NUM_OREC", 11); recI("NUM_SREC", 11); recI("NUM_FILE", 1)
+      recS("GS_TYPE", "SECONDS"); recS("VERSION", "NTv2.0")
+      recS("SYSTEM_F", "LOCAL"); recS("SYSTEM_T", "WGS84")
+      recD("MAJOR_F", 6378206.4); recD("MINOR_F", 6356583.8)
+      recD("MAJOR_T", 6378137.0); recD("MINOR_T", 6356752.314)
+      recS("SUB_NAME", "GATE"); recS("PARENT", "NONE")
+      recS("CREATED", "20260816"); recS("UPDATED", "20260816")
+      recD("S_LAT", 36000.0); recD("N_LAT", 43200.0)
+      recD("E_LONG", 72000.0); recD("W_LONG", 86400.0)
+      recD("LAT_INC", 1800.0); recD("LONG_INC", 3600.0)
+      recI("GS_COUNT", 5 * 5)
+      for (r <- 0 until 5; c <- 0 until 5) {
+        val b = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+        b.putFloat(1.0f + 0.25f * r + 0.5f * c) // dLat arc-sec
+        b.putFloat(2.0f - 0.25f * c)            // dLon arc-sec, +west
+        b.putFloat(0.01f); b.putFloat(0.01f)
+        bufs += b.array()
+      }
+      val gsb = java.nio.file.Files.createTempDirectory("gate-gsb")
+        .resolve("gate.gsb")
+      java.nio.file.Files.write(gsb, bufs.toArray.flatten)
+      graft.core.GeoOps.registerCrs(904279, "geographic",
+        Map("a" -> 6378206.4, "rf" -> 294.978698214))
+      graft.core.GeoOps.registerGridShift(904279, gsb.toString)
+      val lat = (col("c_custkey") % 8).cast("double") * 0.25 + 10.0
+      val lon = (col("c_custkey") % 16).cast("double") * 0.25 - 24.0
+      ld(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          st_transform(st_point(lon, lat), lit(904279), lit(4326)).as("g"))
+        .select(col("c_custkey"),
+          round(st_x(col("g")) * 3.6e9).cast("long").as("lon_uas"),
+          round(st_y(col("g")) * 3.6e9).cast("long").as("lat_uas"))
+        .orderBy("c_custkey")
+    }),
     "q253_explode_segments" -> ((s, dir) => { ensure(s)
       // explodeToSegments (r14): WKB polylines (one 3-vertex road per
       // nation) explode to endpoint columns and feed the planar
@@ -5304,6 +5359,17 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q255_ntv2_grid_shift" ->
+      ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, " +
+       "CAST(c_custkey % 8 AS DOUBLE) * 0.25 + 10.0 AS lat, " +
+       "CAST(c_custkey % 16 AS DOUBLE) * 0.25 - 24.0 AS lon FROM customer), " +
+       "s AS (SELECT c_custkey, lat, lon, " +
+       "(lat * 3600.0 - 36000.0) / 1800.0 AS fr, " +
+       "(-lon * 3600.0 - 72000.0) / 3600.0 AS fc FROM p) " +
+       "SELECT c_custkey, " +
+       "CAST(round((lon - (2.0 - 0.25 * fc) / 3600.0) * 3.6e9) AS BIGINT) AS lon_uas, " +
+       "CAST(round((lat + (1.0 + 0.25 * fr + 0.5 * fc) / 3600.0) * 3.6e9) AS BIGINT) AS lat_uas " +
+       "FROM s ORDER BY c_custkey"),
     "q253_explode_segments" ->
       ("WITH segs AS (" +
        "SELECT n_nationkey, 0 AS seg_idx, " +

@@ -1131,8 +1131,22 @@ object GeoOps {
   private final val wgs84F = 1.0 / 298.257223563
   private final val wgs84E2 = wgs84F * (2.0 - wgs84F)
 
-  /** A complete CRS: map projection + optional datum shift to WGS84. */
-  private[graft] final case class Crs(proj: Proj, datum: Option[Datum] = None)
+  /** A complete CRS: map projection + optional datum shift to WGS84.
+    * `grid` is an NTv2 grid-shift ([[NtV2.GridShift]], user-registered
+    * via [[registerGridShift]]): when present it REPLACES the Helmert
+    * step inside its coverage; outside coverage the Helmert (if any)
+    * is the documented meter-class fallback, and with no Helmert the
+    * transform REFUSES loudly rather than silently skipping the datum. */
+  private[graft] final case class Crs(proj: Proj, datum: Option[Datum] = None,
+                                      grid: Option[NtV2.GridShift] = None)
+
+  /** Identity "projection" for GEOGRAPHIC (lon/lat) CRS on a non-WGS84
+    * datum — EPSG:4277-style codes, registered with family
+    * "geographic"; the datum/grid step does all the work. */
+  private[graft] case object GeogIdentity extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = (lonDeg, latDeg)
+    def inverse(e: Double, n: Double): (Double, Double) = (e, n)
+  }
 
   /**
    * Registered conic/azimuthal CRS. Datums RGF93 / NAD83 / ETRS89 are
@@ -1337,10 +1351,11 @@ object GeoOps {
             p("lon0", 0.0), p("fe", 0.0), p("fn", 0.0))
         else PolarStereo(a, f, p("lon0", 0.0), p("k0", 1.0), p("fe", 0.0), p("fn", 0.0),
           south = family == "polar_south")
+      case "geographic" => GeogIdentity
       case other => throw new IllegalArgumentException(
         s"registerCrs($srid): unknown projection family '$other' " +
-        "(supported: tm, lcc, albers, laea, cea, merc, stereo, krovak, " +
-        "polar_north, polar_south)")
+        "(supported: geographic, tm, lcc, albers, laea, cea, merc, stereo, " +
+        "krovak, polar_north, polar_south)")
     }
     val datum =
       if (Seq("dx", "dy", "dz").exists(params.contains))
@@ -1348,6 +1363,27 @@ object GeoOps {
           p("rx", 0.0), p("ry", 0.0), p("rz", 0.0), p("ppm", 0.0)))
       else None
     customCrs.put(srid, Crs(proj, datum))
+  }
+
+  /**
+   * Attach an NTv2 grid-shift file (.gsb, any Hadoop-visible path) to a
+   * SRID — the grid-quality datum step the reference reaches through
+   * pyproj's bundled grids; here the user supplies the file (grids are
+   * licensed DATA, not code — NRCan/OS/BKG publish them separately).
+   * The SRID must already resolve (builtin or [[registerCrs]]); inside
+   * grid coverage the bilinear NTv2 shift replaces the Helmert step,
+   * outside it the Helmert (if any) is the documented meter-class
+   * fallback — no Helmert means a LOUD refusal per out-of-coverage
+   * point. The parsed grid snapshots into the transform expression at
+   * plan time like every custom CRS (executors never read the file).
+   */
+  def registerGridShift(srid: Int, path: String,
+                        hadoopConf: org.apache.hadoop.conf.Configuration =
+                          new org.apache.hadoop.conf.Configuration()): Unit = {
+    val base = crsSpec(srid).getOrElse(throw new IllegalArgumentException(
+      s"registerGridShift($srid): unknown SRID — registerCrs it first " +
+      "(family 'geographic' for a lon/lat datum code)"))
+    customCrs.put(srid, base.copy(grid = Some(NtV2.load(path, hadoopConf))))
   }
 
   /** Drop a custom registration (no-op if absent). */
@@ -1377,9 +1413,18 @@ object GeoOps {
     }
     case s => crsSpec(s, custom).map { crs => (c: Coordinate) =>
       val (lonL, latL) = crs.proj.inverse(c.x, c.y)
-      val (lon, lat) = crs.datum match {
-        case Some(d) => d.toWgs84(lonL, latL)
-        case None => (lonL, latL)
+      val (lon, lat) = crs.grid match {
+        case Some(g) => g.forward(lonL, latL).getOrElse(crs.datum match {
+          case Some(d) => d.toWgs84(lonL, latL)
+          case None => throw new IllegalArgumentException(
+            s"transform($s): point ($lonL, $latL) lies outside every NTv2 " +
+            "subgrid and the CRS has no Helmert fallback — register one " +
+            "(dx/dy/dz) or filter out-of-coverage rows")
+        })
+        case None => crs.datum match {
+          case Some(d) => d.toWgs84(lonL, latL)
+          case None => (lonL, latL)
+        }
       }
       c.x = lon; c.y = lat
     }
@@ -1393,9 +1438,18 @@ object GeoOps {
       c.y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
     }
     case s => crsSpec(s, custom).map { crs => (c: Coordinate) =>
-      val (lonL, latL) = crs.datum match {
-        case Some(d) => d.fromWgs84(c.x, c.y)
-        case None => (c.x, c.y)
+      val (lonL, latL) = crs.grid match {
+        case Some(g) => g.inverse(c.x, c.y).getOrElse(crs.datum match {
+          case Some(d) => d.fromWgs84(c.x, c.y)
+          case None => throw new IllegalArgumentException(
+            s"transform(4326 -> $s): point (${c.x}, ${c.y}) lies outside " +
+            "every NTv2 subgrid and the CRS has no Helmert fallback — " +
+            "register one (dx/dy/dz) or filter out-of-coverage rows")
+        })
+        case None => crs.datum match {
+          case Some(d) => d.fromWgs84(c.x, c.y)
+          case None => (c.x, c.y)
+        }
       }
       val (e, nthg) = crs.proj.forward(lonL, latL)
       c.x = e; c.y = nthg

@@ -639,6 +639,117 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(GeoOps.nPoints(l) == 7)
   }
 
+  test("NTv2 grid shift: parse both byte orders, analytic bilinear, finest-wins, inverse, fallbacks") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.core.NtV2
+    // synthesize a .gsb: shifts LINEAR in (row, col) with dyadic float32
+    // values, so bilinear interpolation is EXACT in doubles and the
+    // closed form below is the bit-level truth
+    case class G(name: String, parent: String, sLat: Double, nLat: Double,
+                 eLonW: Double, wLonW: Double, latInc: Double, lonInc: Double,
+                 f: (Int, Int) => (Float, Float))
+    def gsb(order: ByteOrder, grids: Seq[G]): Array[Byte] = {
+      val bufs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def rec(key: String, fill: ByteBuffer => Unit): Unit = {
+        val b = ByteBuffer.allocate(16).order(order)
+        b.put(key.padTo(8, ' ').getBytes("US-ASCII")); fill(b)
+        bufs += b.array()
+      }
+      def recS(k: String, v: String) = rec(k, _.put(v.padTo(8, ' ').getBytes("US-ASCII")))
+      def recI(k: String, v: Int) = rec(k, _.putInt(v))
+      def recD(k: String, v: Double) = rec(k, _.putDouble(v))
+      recI("NUM_OREC", 11); recI("NUM_SREC", 11); recI("NUM_FILE", grids.size)
+      recS("GS_TYPE", "SECONDS"); recS("VERSION", "NTv2.0")
+      recS("SYSTEM_F", "LOCAL"); recS("SYSTEM_T", "WGS84")
+      recD("MAJOR_F", 6378206.4); recD("MINOR_F", 6356583.8)
+      recD("MAJOR_T", 6378137.0); recD("MINOR_T", 6356752.314)
+      grids.foreach { g =>
+        recS("SUB_NAME", g.name); recS("PARENT", g.parent)
+        recS("CREATED", "20260816"); recS("UPDATED", "20260816")
+        recD("S_LAT", g.sLat); recD("N_LAT", g.nLat)
+        recD("E_LONG", g.eLonW); recD("W_LONG", g.wLonW)
+        recD("LAT_INC", g.latInc); recD("LONG_INC", g.lonInc)
+        val nR = math.round((g.nLat - g.sLat) / g.latInc).toInt + 1
+        val nC = math.round((g.wLonW - g.eLonW) / g.lonInc).toInt + 1
+        recI("GS_COUNT", nR * nC)
+        for (r <- 0 until nR; c <- 0 until nC) {
+          val b = ByteBuffer.allocate(16).order(order)
+          val (la, lo) = g.f(r, c)
+          b.putFloat(la); b.putFloat(lo); b.putFloat(0.01f); b.putFloat(0.01f)
+          bufs += b.array()
+        }
+      }
+      bufs.toArray.flatten
+    }
+    // coarse grid: lat 10..12N, lon -24..-20E (positive-west 72000..86400)
+    val coarse = G("COARSE", "NONE", 36000.0, 43200.0, 72000.0, 86400.0,
+      1800.0, 3600.0, (r, c) => (1.0f + 0.25f * r + 0.5f * c, 2.0f - 0.25f * c))
+    // fine child inside: lat 10.5..11N, lon -22..-21E, 4x denser
+    val fine = G("FINE", "COARSE", 37800.0, 39600.0, 75600.0, 79200.0,
+      900.0, 900.0, (r, c) => (10.0f + 0.125f * r, -4.0f + 0.25f * c))
+    for (order <- Seq(ByteOrder.BIG_ENDIAN, ByteOrder.LITTLE_ENDIAN)) {
+      val g = NtV2.parse(gsb(order, Seq(coarse, fine)))
+      assert(g.subGrids.size == 2 && g.source == "LOCAL" && g.target == "WGS84")
+      // closed form at a quarter-cell point OUTSIDE the fine grid:
+      // lat 11.125N (fr = 2.25), lonW 73800 (fc = 0.5)
+      val Some((dLat, dLonW)) = g.shiftAt(-73800.0 / 3600.0, 11.125)
+      assert(dLat == 1.0 + 0.25 * 2.25 + 0.5 * 0.5, s"got $dLat")
+      assert(dLonW == 2.0 - 0.25 * 0.5, s"got $dLonW")
+      // inside the fine grid the DENSER subgrid wins
+      val Some((dLatF, dLonF)) = g.shiftAt(-21.5, 10.75)
+      // fine: fr = (38700-37800)/900 = 1, fc = (77400-75600)/900 = 2
+      assert(dLatF == 10.0 + 0.125 * 1 && dLonF == -4.0 + 0.25 * 2,
+        s"finest-wins violated: ($dLatF, $dLonF)")
+      // forward shifts the coordinates the documented way
+      val Some((lonS, latS)) = g.forward(-73800.0 / 3600.0, 11.125)
+      assert(latS == 11.125 + dLat / 3600.0 && lonS == -73800.0 / 3600.0 - dLonW / 3600.0)
+      // inverse closes the loop to sub-0.1-mm (fixed-point, 4 rounds)
+      val Some((lonB, latB)) = g.inverse(lonS, latS)
+      assert(math.abs(lonB + 73800.0 / 3600.0) < 1e-9 &&
+        math.abs(latB - 11.125) < 1e-9)
+      // outside every subgrid -> None (caller handles fallback)
+      assert(g.shiftAt(50.0, 50.0).isEmpty)
+    }
+    // malformed refusals: bad magic, GS_COUNT mismatch
+    val ok = gsb(ByteOrder.BIG_ENDIAN, Seq(coarse))
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](NtV2.parse(badMagic))
+      .getMessage.contains("NUM_OREC"))
+    // end-to-end: geographic CRS + grid through st_transform; outside
+    // coverage falls back to the registered Helmert; with NO Helmert a
+    // fresh registration refuses loudly per point
+    val dir = java.nio.file.Files.createTempDirectory("ntv2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t.gsb"), ok)
+    try {
+      GeoOps.registerCrs(904277, "geographic",
+        Map("a" -> 6378206.4, "rf" -> 294.978698214, "dx" -> 100.0, "dy" -> 0.0, "dz" -> 0.0))
+      GeoOps.registerGridShift(904277, s"$dir/t.gsb")
+      val p = GeoOps.point(-20.5, 11.0) // inside the coarse grid
+      val out = GeoOps.read(GeoOps.transform(p, 904277, 4326)).getCoordinate
+      // closed form: fr = 2.0, fc = (73800+...): lonW = 73800 -> fc 0.5
+      val dLat = 1.0 + 0.25 * 2.0 + 0.5 * 0.5
+      val dLonW = 2.0 - 0.25 * 0.5
+      assert(math.abs(out.y - (11.0 + dLat / 3600.0)) < 1e-12)
+      assert(math.abs(out.x - (-20.5 - dLonW / 3600.0)) < 1e-12)
+      // round trip through the engine path
+      val back = GeoOps.read(GeoOps.transform(
+        GeoOps.write(GeoOps.read(GeoOps.transform(p, 904277, 4326))), 4326, 904277))
+        .getCoordinate
+      assert(math.abs(back.x + 20.5) < 1e-9 && math.abs(back.y - 11.0) < 1e-9)
+      // outside coverage: Helmert fallback (dx=100 m shifts lon measurably)
+      val far = GeoOps.read(GeoOps.transform(GeoOps.point(30.0, 50.0), 904277, 4326))
+        .getCoordinate
+      assert(math.abs(far.x - 30.0) > 1e-5 || math.abs(far.y - 50.0) > 1e-5)
+      // no-Helmert registration: out-of-coverage REFUSES loudly
+      GeoOps.registerCrs(904278, "geographic", Map("a" -> 6378206.4, "rf" -> 294.978698214))
+      GeoOps.registerGridShift(904278, s"$dir/t.gsb")
+      val e = intercept[IllegalArgumentException] {
+        GeoOps.transform(GeoOps.point(30.0, 50.0), 904278, 4326)
+      }
+      assert(e.getMessage.contains("NTv2"))
+    } finally { GeoOps.unregisterCrs(904277); GeoOps.unregisterCrs(904278) }
+  }
+
   test("areaSpherical: zone closed form, hole subtraction, latitude unbias, refusals") {
     val R = graft.core.DistanceJoin.EarthRadiusMeters
     def zone(lon0: Double, lat0: Double, lon1: Double, lat1: Double): Double =
