@@ -655,6 +655,32 @@ object SparkEntry {
       Seq(("in_group", inGroup), ("my_groups", myGroups), ("removed", removed))
         .toDF("step", "cnt").orderBy("step")
     }),
+    "q256_spherical_length" -> ((s, dir) => { ensure(s)
+      // st_length_spherical (r14): great-circle metres of per-nation
+      // 3-vertex lon/lat polylines; the DuckDB oracle replays the
+      // identical haversine tree per segment and sums the two. Output
+      // rounded to whole metres; the rounding margin is audited
+      // IN-GATE (the q252 pattern) — path lengths are ~1e6 m, the
+      // cross-libm drift class ~1e-9 m.
+      val roads = ld(s, dir, "nation").select(col("n_nationkey"),
+        st_geomfromtext(concat(lit("LINESTRING("),
+          ((col("n_nationkey") * 97) % 300 - 150).cast("string"), lit(" "),
+          ((col("n_nationkey") * 53) % 120 - 60).cast("string"), lit(", "),
+          ((col("n_nationkey") * 97) % 300 - 146).cast("string"), lit(" "),
+          ((col("n_nationkey") * 53) % 120 - 59).cast("string"), lit(", "),
+          ((col("n_nationkey") * 97) % 300 - 142).cast("string"), lit(" "),
+          ((col("n_nationkey") * 53) % 120 - 60).cast("string"), lit(")"))).as("rg"))
+      val raw = roads.select(col("n_nationkey"),
+        st_length_spherical(col("rg")).as("_len"))
+      val margin = raw.agg(min(abs(col("_len") - floor(col("_len")) - 0.5)))
+        .head().getDouble(0)
+      require(margin > 1e-6,
+        f"q256: a row sits $margin%.2e from the metre rounding boundary — " +
+        "inside cross-libm drift; change the fixture")
+      raw.select(col("n_nationkey"),
+          round(col("_len")).cast("long").as("len_m"))
+        .orderBy("n_nationkey")
+    }),
     "q255_ntv2_grid_shift" -> ((s, dir) => { ensure(s)
       // NTv2 GRID-SHIFT datum transform (r14): the gate WRITES a
       // synthetic .gsb (lat 10..12N × lon 24..20W, 0.5°×1° nodes,
@@ -5359,6 +5385,22 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q256_spherical_length" ->
+      ("WITH v AS (SELECT n_nationkey, " +
+       "CAST((n_nationkey * 97) % 300 - 150 AS DOUBLE) AS x0, " +
+       "CAST((n_nationkey * 53) % 120 - 60 AS DOUBLE) AS y0, " +
+       "CAST((n_nationkey * 97) % 300 - 146 AS DOUBLE) AS x1, " +
+       "CAST((n_nationkey * 53) % 120 - 59 AS DOUBLE) AS y1, " +
+       "CAST((n_nationkey * 97) % 300 - 142 AS DOUBLE) AS x2, " +
+       "CAST((n_nationkey * 53) % 120 - 60 AS DOUBLE) AS y2 FROM nation) " +
+       "SELECT n_nationkey, CAST(round(" +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(y0) - radians(y1)) / 2), 2) + " +
+       "cos(radians(y0)) * cos(radians(y1)) * pow(sin((radians(x0) - radians(x1)) / 2), 2)))) + " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(y1) - radians(y2)) / 2), 2) + " +
+       "cos(radians(y1)) * cos(radians(y2)) * pow(sin((radians(x1) - radians(x2)) / 2), 2))))" +
+       ") AS BIGINT) AS len_m FROM v ORDER BY n_nationkey"),
     "q255_ntv2_grid_shift" ->
       ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, " +
        "CAST(c_custkey % 8 AS DOUBLE) * 0.25 + 10.0 AS lat, " +

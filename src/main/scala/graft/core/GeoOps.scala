@@ -114,6 +114,45 @@ object GeoOps {
   }
 
   /**
+   * GREAT-CIRCLE length (metres) of lon/lat linear geometry — the
+   * geodesic sibling of [[stLength]] (which on EPSG:4326 returns
+   * latitude-biased "degrees of path"). Haversine summed over each
+   * LineString's consecutive vertex pairs (the identical expression
+   * tree [[DistanceJoin.geoRadiusJoin]] verifies with, so external
+   * engines replay it); MultiLineString / collections sum parts;
+   * points and POLYGONS contribute 0 — the PostGIS convention where
+   * ring length is a PERIMETER question, asked explicitly. Coordinates
+   * out of lon/lat range refuse loudly (a polyline accidentally in
+   * metres would return kilometres of nonsense, silently).
+   */
+  def lengthSpherical(b: Array[Byte], radiusMeters: Double): Double =
+    sphericalLengthOf(read(b), radiusMeters)
+
+  private def sphericalLengthOf(g: Geometry, r: Double): Double = g match {
+    case l: LineString =>
+      val cs = l.getCoordinates
+      var sum = 0.0
+      var i = 0
+      while (i < cs.length - 1) {
+        require(cs(i).x >= -180 && cs(i).x <= 180 && cs(i).y >= -90 && cs(i).y <= 90,
+          s"lengthSpherical: vertex (${cs(i).x}, ${cs(i).y}) outside lon/lat " +
+          "range — a projected polyline here would be silent nonsense")
+        val dphi = math.toRadians(cs(i).y) - math.toRadians(cs(i + 1).y)
+        val dlam = math.toRadians(cs(i).x) - math.toRadians(cs(i + 1).x)
+        val h = math.pow(math.sin(dphi / 2), 2) +
+          math.cos(math.toRadians(cs(i).y)) * math.cos(math.toRadians(cs(i + 1).y)) *
+            math.pow(math.sin(dlam / 2), 2)
+        sum += 2.0 * r * math.asin(math.min(1.0, math.sqrt(h)))
+        i += 1
+      }
+      sum
+    case gc: org.locationtech.jts.geom.GeometryCollection =>
+      (0 until gc.getNumGeometries)
+        .map(i => sphericalLengthOf(gc.getGeometryN(i), r)).sum
+    case _ => 0.0 // points, polygons (perimeter is its own question)
+  }
+
+  /**
    * Constituent SEGMENTS of any WKB geometry as
    * `array<struct<seg_idx int, ax, ay, bx, by double>>` — the
    * generator feeding [[DistanceJoin.segmentRadiusJoin]] /

@@ -265,6 +265,22 @@ case class StSegments(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Great-circle length in m ([[graft.core.GeoOps.lengthSpherical]] —
+  * haversine over consecutive vertices; lon/lat input, radius in m). */
+case class StLengthSpherical(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_length_spherical"
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeoOps.lengthSpherical(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) => s"graft.core.GeoOps.lengthSpherical($g, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Spherical polygon area in m² ([[graft.core.GeoOps.areaSpherical]] —
   * Chamberlain & Duquette closed form; lon/lat input, radius in m). */
 case class StAreaSpherical(left: Expression, right: Expression)

@@ -34,6 +34,7 @@ object GeoFunctions {
   def st_ymax(g: Column): Column = call_function("st_ymax", g)
   def st_area(g: Column): Column = call_function("st_area", g)
   def st_segments(g: Column): Column = call_function("st_segments", g)
+  def st_length_spherical(g: Column): Column = call_function("st_length_spherical", g)
   def st_area_spherical(g: Column): Column = call_function("st_area_spherical", g)
   def st_area_spherical(g: Column, radius: Column): Column =
     call_function("st_area_spherical", g, radius)
@@ -98,6 +99,11 @@ object GeoFunctions {
     "st_ymin" -> { case Seq(g) => StUnary("yMin", g) },
     "st_ymax" -> { case Seq(g) => StUnary("yMax", g) },
     "st_area" -> { case Seq(g) => StUnary("area", g) },
+    "st_length_spherical" -> {
+      case Seq(g) => StLengthSpherical(g,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          graft.core.DistanceJoin.EarthRadiusMeters))
+      case Seq(g, r) => StLengthSpherical(g, r) },
     "st_area_spherical" -> {
       case Seq(g) => StAreaSpherical(g,
         org.apache.spark.sql.catalyst.expressions.Literal(

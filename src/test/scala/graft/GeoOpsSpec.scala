@@ -639,6 +639,36 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(GeoOps.nPoints(l) == 7)
   }
 
+  test("lengthSpherical: haversine sums, multiline, polygon zero, refusal") {
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    def hav(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+      val dphi = math.toRadians(y1) - math.toRadians(y2)
+      val dlam = math.toRadians(x1) - math.toRadians(x2)
+      val h = math.pow(math.sin(dphi / 2), 2) +
+        math.cos(math.toRadians(y1)) * math.cos(math.toRadians(y2)) *
+          math.pow(math.sin(dlam / 2), 2)
+      2.0 * R * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    val line = wkt("LINESTRING(10 20, 14 21, 18 20)")
+    assert(GeoOps.lengthSpherical(line, R) ==
+      hav(10, 20, 14, 21) + hav(14, 21, 18, 20))
+    // one degree of meridian ~ 111.2 km
+    val mer = GeoOps.lengthSpherical(wkt("LINESTRING(0 0, 0 1)"), R)
+    assert(math.abs(mer - math.Pi * R / 180.0) < 1e-6)
+    val ml = wkt("MULTILINESTRING((0 0, 0 1), (10 10, 10 11))")
+    assert(GeoOps.lengthSpherical(ml, R) ==
+      GeoOps.lengthSpherical(wkt("LINESTRING(0 0, 0 1)"), R) +
+      GeoOps.lengthSpherical(wkt("LINESTRING(10 10, 10 11)"), R))
+    // polygons and points contribute 0 (perimeter is its own question)
+    assert(GeoOps.lengthSpherical(wkt("POLYGON((0 0, 1 0, 1 1, 0 0))"), R) == 0.0)
+    assert(GeoOps.lengthSpherical(wkt("POINT(1 2)"), R) == 0.0)
+    // projected-looking coordinates refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      GeoOps.lengthSpherical(wkt("LINESTRING(500000 0, 500100 0)"), R)
+    }
+    assert(e.getMessage.contains("lon/lat"))
+  }
+
   test("NTv2 grid shift: parse both byte orders, analytic bilinear, finest-wins, inverse, fallbacks") {
     import java.nio.{ByteBuffer, ByteOrder}
     import graft.core.NtV2
