@@ -3162,6 +3162,38 @@ object SparkEntry {
         .select(col("c_custkey"), col("interp").cast("long").as("mass"))
         .orderBy("c_custkey")
     }),
+    "q257_geo_stream_stay_points" -> ((s, dir) => { ensure(s)
+      // GEODESIC streaming stay-point detection (r14): q247's shape on
+      // the sphere — lat/lon plateaus 0.5° apart (≈55 km ≫ the 2 km
+      // radius) with dyadic 2^-10-degree jitter (≈108 m ≪ radius, and
+      // exact in doubles so centroid sums are order-free in BOTH
+      // engines). Oracle = the q247 recursive anchor machine with the
+      // haversine anchor test; distance margins are plateau-scale, so
+      // the trig ulp class never decides a comparison.
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-gspstream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val k = col("event_id") % 50
+      val idx = expr("event_id div 50")
+      val phase = expr("(event_id div 50) div 20")
+      val pts = EventStream.read(s, stage.toString).select(
+        k.as("dev"), (idx * 60).cast("long").as("t"),
+        (((k * 7 + phase * 13) % 100).cast("double") * 0.5 - 25.0 +
+          (idx % 3).cast("double") * 0.0009765625).as("lat"),
+        (((k * 11 + phase * 17) % 100).cast("double") * 0.5 - 25.0 +
+          (idx % 2).cast("double") * 0.0009765625).as("lon"))
+      val out = graft.core.Trajectory.geoStreamingStayPoints(pts,
+        "dev", "t", "lat", "lon", radiusMeters = 2000.0, minDurationSec = 600L)
+      val qname = "gate_gspst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.select(col("dev"), col("sp_idx"), col("start_ts"),
+          col("end_ts"), col("n_points"), round(col("cx"), 6).as("clat6"),
+          round(col("cy"), 6).as("clon6"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "gate stream did not finish in 300s")
+      s.table(qname).orderBy("dev", "sp_idx")
+    }),
     "q247_stream_stay_points" -> ((s, dir) => { ensure(s)
       // STREAMING stay-point detection (flatMapGroupsWithState):
       // q231's fixture through a real stream — a stay point is
@@ -6121,6 +6153,37 @@ object SparkEntry {
        "SELECT b.c_custkey, CAST(COALESCE(s.m, 0) AS BIGINT) AS mass FROM b " +
        "LEFT JOIN (SELECT c_custkey, sum(m) AS m FROM p GROUP BY 1) s " +
        "ON s.c_custkey = b.c_custkey ORDER BY b.c_custkey"),
+    "q257_geo_stream_stay_points" -> // the q247 anchor machine with the
+      // haversine anchor test on the lat/lon fixture (same streaming
+      // stop rule: recursion halts at the first end-of-data window)
+      ("WITH RECURSIVE pts AS MATERIALIZED (SELECT event_id % 50 AS k, event_id // 50 AS rn, " +
+       "(event_id // 50) * 60 AS ts, " +
+       "CAST(((event_id % 50) * 7 + ((event_id // 50) // 20) * 13) % 100 AS DOUBLE) * 0.5 - 25.0 + CAST((event_id // 50) % 3 AS DOUBLE) * 0.0009765625 AS lat, " +
+       "CAST(((event_id % 50) * 11 + ((event_id // 50) // 20) * 17) % 100 AS DOUBLE) * 0.5 - 25.0 + CAST((event_id // 50) % 2 AS DOUBLE) * 0.0009765625 AS lon " +
+       "FROM events), " +
+       "nk AS MATERIALIZED (SELECT k, max(rn) AS mx FROM pts GROUP BY k), " +
+       "st AS (SELECT k, CAST(0 AS BIGINT) AS i FROM nk " +
+       "UNION ALL " +
+       "SELECT t.k, t.next_i FROM (" +
+       "SELECT s.k AS k, jj.j AS j0, CASE WHEN jj.j - s.i >= 11 THEN jj.j ELSE s.i + 1 END AS next_i " +
+       "FROM st s, LATERAL (SELECT COALESCE((SELECT min(q.rn) FROM pts q JOIN pts a ON a.k = q.k AND a.rn = s.i " +
+       "WHERE q.k = s.k AND q.rn > s.i " +
+       "AND 2.0 * 6371008.8 * asin(least(1.0, sqrt(pow(sin((radians(q.lat) - radians(a.lat)) / 2), 2) + " +
+       "cos(radians(a.lat)) * cos(radians(q.lat)) * pow(sin((radians(q.lon) - radians(a.lon)) / 2), 2)))) > 2000.0), " +
+       "(SELECT n.mx + 1 FROM nk n WHERE n.k = s.k)) AS j) jj" +
+       ") t JOIN nk n2 ON n2.k = t.k WHERE t.next_i <= n2.mx AND t.j0 <= n2.mx), " +
+       "sp AS MATERIALIZED (SELECT s.k, s.i, jj.j FROM st s, " +
+       "LATERAL (SELECT COALESCE((SELECT min(q.rn) FROM pts q JOIN pts a ON a.k = q.k AND a.rn = s.i " +
+       "WHERE q.k = s.k AND q.rn > s.i " +
+       "AND 2.0 * 6371008.8 * asin(least(1.0, sqrt(pow(sin((radians(q.lat) - radians(a.lat)) / 2), 2) + " +
+       "cos(radians(a.lat)) * cos(radians(q.lat)) * pow(sin((radians(q.lon) - radians(a.lon)) / 2), 2)))) > 2000.0), " +
+       "(SELECT n.mx + 1 FROM nk n WHERE n.k = s.k)) AS j) jj " +
+       "WHERE jj.j - s.i >= 11 AND jj.j <= (SELECT n3.mx FROM nk n3 WHERE n3.k = s.k)) " +
+       "SELECT k AS dev, CAST(row_number() OVER (PARTITION BY k ORDER BY i) AS INT) AS sp_idx, " +
+       "i * 60 AS start_ts, (j - 1) * 60 AS end_ts, CAST(j - i AS INT) AS n_points, " +
+       "(SELECT round(avg(p.lat), 6) FROM pts p WHERE p.k = sp.k AND p.rn >= sp.i AND p.rn < sp.j) AS clat6, " +
+       "(SELECT round(avg(p.lon), 6) FROM pts p WHERE p.k = sp.k AND p.rn >= sp.i AND p.rn < sp.j) AS clon6 " +
+       "FROM sp ORDER BY dev, sp_idx"),
     "q247_stream_stay_points" -> // q231's anchor machine with the
       // STREAMING stop rule: the recursion halts at the first anchor
       // whose window reaches end-of-data (j = mx+1), and only

@@ -254,15 +254,47 @@ object Trajectory {
                           xCol: String, yCol: String,
                           radius: Double, minDurationSec: Long,
                           maxPointsPerKey: Int = 5000000): DataFrame = {
+    val r2 = radius * radius
+    streamingRun(points, keyCol, tsCol, xCol, yCol, radius, minDurationSec,
+      maxPointsPerKey, "streamingStayPoints",
+      (ax, ay, x, y) => { val dx = x - ax; val dy = y - ay; dx * dx + dy * dy <= r2 })
+  }
+
+  /** GEODESIC streaming stay points — [[streamingStayPoints]] with the
+    * great-circle anchor test of [[geoStayPoints]] (lat/lon degrees,
+    * `radiusMeters` metres; x=lat, y=lon in the output's cx/cy). Same
+    * finalized-frontier contract, same batch-minus-open-tails twin. */
+  def geoStreamingStayPoints(points: DataFrame, keyCol: String, tsCol: String,
+                             latCol: String, lonCol: String,
+                             radiusMeters: Double, minDurationSec: Long,
+                             earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters,
+                             maxPointsPerKey: Int = 5000000): DataFrame = {
+    val bigR = earthRadiusMeters
+    streamingRun(points, keyCol, tsCol, latCol, lonCol, radiusMeters,
+      minDurationSec, maxPointsPerKey, "geoStreamingStayPoints",
+      (aLat, aLon, lat, lon) => {
+        val dphi = math.toRadians(aLat) - math.toRadians(lat)
+        val dlam = math.toRadians(aLon) - math.toRadians(lon)
+        val h = math.pow(math.sin(dphi / 2), 2) +
+          math.cos(math.toRadians(aLat)) * math.cos(math.toRadians(lat)) *
+            math.pow(math.sin(dlam / 2), 2)
+        2.0 * bigR * math.asin(math.min(1.0, math.sqrt(h))) <= radiusMeters
+      })
+  }
+
+  private def streamingRun(points: DataFrame, keyCol: String, tsCol: String,
+                           xCol: String, yCol: String,
+                           radius: Double, minDurationSec: Long,
+                           maxPointsPerKey: Int, op: String,
+                           within: (Double, Double, Double, Double) => Boolean): DataFrame = {
     require(radius > 0 && !radius.isInfinite,
-      s"streamingStayPoints: radius must be finite > 0, got $radius")
-    require(minDurationSec >= 0, "streamingStayPoints: minDurationSec must be >= 0")
-    require(maxPointsPerKey >= 2, "streamingStayPoints: maxPointsPerKey must be >= 2")
+      s"$op: radius must be finite > 0, got $radius")
+    require(minDurationSec >= 0, s"$op: minDurationSec must be >= 0")
+    require(maxPointsPerKey >= 2, s"$op: maxPointsPerKey must be >= 2")
     Seq(keyCol, tsCol, xCol, yCol).foreach { c =>
       require(points.columns.contains(c),
-        s"streamingStayPoints: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+        s"$op: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
     }
-    val r2 = radius * radius
     val minDur = minDurationSec
     val cap = maxPointsPerKey
     val spark = points.sparkSession
@@ -270,15 +302,15 @@ object Trajectory {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     def refused(c: String, what: String) =
       when(col(c).isNull,
-        raise_error(lit(s"streamingStayPoints: NULL $what — a dropped point " +
+        raise_error(lit(s"$op: NULL $what — a dropped point " +
           "would silently split a dwell")).cast(DoubleType))
       .otherwise(col(c).cast(DoubleType))
     val slim = points.select(
         when(col(keyCol).isNull,
-          raise_error(lit("streamingStayPoints: NULL key")).cast(LongType))
+          raise_error(lit(s"$op: NULL key")).cast(LongType))
           .otherwise(col(keyCol).cast(LongType)).as("k"),
         when(col(tsCol).isNull,
-          raise_error(lit("streamingStayPoints: NULL timestamp")).cast(LongType))
+          raise_error(lit(s"$op: NULL timestamp")).cast(LongType))
           .otherwise(col(tsCol).cast(LongType)).as("t"),
         refused(xCol, "x coordinate").as("x"),
         refused(yCol, "y coordinate").as("y"))
@@ -294,14 +326,14 @@ object Trajectory {
           incoming.foreach { p =>
             if (p._1 <= frontier)
               throw new IllegalArgumentException(
-                s"streamingStayPoints: key $key received ts ${p._1} at or below " +
+                s"$op: key $key received ts ${p._1} at or below " +
                 s"the finalized frontier $frontier — a finalized slide/emit " +
                 "already consulted a point at that timestamp, so accepting it " +
-                "would rewrite history; replay through batch stayPoints")
+                "would rewrite history; replay through the batch operator")
           }
           val pts = (prevBuf.toVector ++ incoming).sortBy(p => (p._1, p._2, p._3))
           require(pts.length <= cap,
-            s"streamingStayPoints: key $key open suffix exceeds " +
+            s"$op: key $key open suffix exceeds " +
             s"maxPointsPerKey ($cap) — split permanent fixtures upstream")
           val n = pts.length
           val out = new ArrayBuffer[(Long, Int, Long, Long, Int, Double, Double)]
@@ -318,9 +350,8 @@ object Trajectory {
           var consulted = Long.MinValue
           while (i < n && pending < 0) {
             var j = i + 1
-            while (j < n && {
-              val dx = pts(j)._2 - pts(i)._2; val dy = pts(j)._3 - pts(i)._3
-              dx * dx + dy * dy <= r2 }) j += 1
+            while (j < n &&
+              within(pts(i)._2, pts(i)._3, pts(j)._2, pts(j)._3)) j += 1
             if (j == n) pending = i // window ran out of data: still open
             else {
               if (pts(j)._1 > consulted) consulted = pts(j)._1

@@ -298,6 +298,66 @@ class TrajectorySpec extends SparkSpec {
     assert(batchMode === exp)
   }
 
+  test("geoStreamingStayPoints: multi-batch == geo open-suffix reference; batch-mode == geoStayPoints minus tails") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // 3 devices, 0.5°-separated plateaus (≫ 2 km radius), dyadic 2^-10
+    // jitter (≈108 m, ≪ radius) so centroids sum exactly in any order
+    def fix(lo: Int, hi: Int): Seq[(Long, Long, Double, Double)] =
+      for (k <- 0L until 3L; i <- lo.toLong until hi.toLong) yield {
+        val plateau = i / 8
+        (k, i * 10,
+          ((k * 7 + plateau * 13) % 100) * 0.5 - 25.0 + (i % 3) * 0.0009765625,
+          ((k * 11 + plateau * 17) % 100) * 0.5 - 25.0 + (i % 2) * 0.0009765625)
+      }
+    val all = fix(0, 32)
+    // batch twin: geoStayPoints minus each key's trailing open run
+    val batch = graft.core.Trajectory.geoStayPoints(
+        all.toDF("dev", "t", "lat", "lon"), "dev", "t", "lat", "lon",
+        2000.0, 50L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // every device ends inside an open dwell (ticks 24..31) -> streaming
+    // withholds exactly the last stay point per device
+    val exp = batch.filterNot(sp => batch.filter(_._1 == sp._1).map(_._2).max == sp._2)
+    // batch-mode run of the STREAMING operator
+    val got0 = graft.core.Trajectory.geoStreamingStayPoints(
+        all.toDF("dev", "t", "lat", "lon"), "dev", "t", "lat", "lon",
+        2000.0, 50L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got0 === exp && got0.nonEmpty)
+    // two-micro-batch file stream gives the same rows, sp_idx continuous
+    val dir = tmpDir("gsp-stream")
+    fix(0, 13).toDF("dev", "t", "lat", "lon").coalesce(1).write.parquet(s"$dir/f1")
+    fix(13, 32).toDF("dev", "t", "lat", "lon").coalesce(1).write.parquet(s"$dir/f2")
+    val sdir = tmpDir("gsp-stream-in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir, "a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir, "b.parquet")))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(sdir, "a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val schema = fix(0, 1).toDF("dev", "t", "lat", "lon").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+    val out = graft.core.Trajectory.geoStreamingStayPoints(stream,
+      "dev", "t", "lat", "lon", 2000.0, 50L)
+    val qn = s"gspst_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn).collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === exp)
+  }
+
   test("streamingStayPoints: late point inside a finalized SLIDE's consulted gap refuses") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
