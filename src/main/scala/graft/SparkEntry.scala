@@ -817,6 +817,62 @@ object SparkEntry {
         "q251: quadkey prefix ranges not pushed to the parquet scan")
       q
     }),
+    "q263_dwithin_prune" -> ((s, dir) => { ensure(s)
+      // EnvelopePrefilter DISTANCE conjuncts (r14b): a user filter
+      // st_dwithin(geometry, <literal point>, r) on a stat-bearing
+      // collection injects the intersects prefilter against the query
+      // envelope GROWN by r, and parquet row-group pruning takes it —
+      // the GIST radius-scan story, asserted in-gate via PushedFilters
+      // (correct rows through an unpruned scan still fail). EXACT BY
+      // CONSTRUCTION: lattice ints vs the half-integer query point
+      // make every d² a k+0.5 value; r² = 20.5² = 420.25 is dyadic,
+      // sqrt of an exact square is exact, and no lattice d² sits
+      // within 0.25 of the boundary.
+      val db = tmpDb(s, "dwp")
+      db.createCollection("pts", Seq("p_partkey" -> "integer"))
+      db.insertIntoCollection("pts", ld(s, dir, "part")
+        .withColumn("geometry",
+          st_point(((col("p_partkey") % 97) - 48).cast("double"),
+            ((col("p_partkey") % 89) - 44).cast("double"))))
+      val q = db.getCollection("pts")
+        .filter(st_dwithin(col("geometry"),
+          st_point(lit(5.5), lit(3.5)), lit(20.5)))
+        .select(col("p_partkey")).orderBy("p_partkey")
+      val scan = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      require(scan.metadata("PushedFilters").contains("_bbox_"),
+        "q263: the grown-envelope prefilter was not pushed to the scan")
+      q
+    }),
+    "q264_geo_dwithin_prune" -> ((s, dir) => { ensure(s)
+      // the GEODESIC prefilter: st_dwithin_spherical(geometry,
+      // <literal point>, 110 km) on a lat/lon collection injects
+      // latitude bounds (r/R radians) AND the geoRadiusJoin longitude
+      // bound at the band's worst latitude; pruning asserted via
+      // PushedFilters. Fixture is a DENSE 0.05° lattice around the
+      // query point; the radius sits in the largest distance gap of
+      // the REALIZED (c%144, c%80) cells (the two mods are correlated
+      // mod 16, so the sweep runs over actual customer keys at every
+      // SF): closest row to the boundary is 3.08 km away — no flake
+      // class. Oracle = DuckDB brute haversine.
+      val db = tmpDb(s, "gdwp")
+      db.createCollection("cpts", Seq("c_custkey" -> "bigint"))
+      db.insertIntoCollection("cpts", ld(s, dir, "customer")
+        .withColumn("geometry",
+          st_point(((col("c_custkey") % 144) * 0.05 + 6.4),
+            ((col("c_custkey") % 80) * 0.05 + 18.0))))
+      val q = db.getCollection("cpts")
+        .filter(st_dwithin_spherical(col("geometry"),
+          st_point(lit(10.0), lit(20.0)), lit(110000.0)))
+        .select(col("c_custkey")).orderBy("c_custkey")
+      val scan = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      require(scan.metadata("PushedFilters").contains("_bbox_miny"),
+        "q264: the geodesic latitude prefilter was not pushed to the scan")
+      q
+    }),
     "q47_engine_index" -> ((s, dir) => { ensure(s)
       // D7 index = Hilbert re-layout; data + bbox results unchanged after
       val db = tmpDb(s, "idx")
@@ -3547,6 +3603,174 @@ object SparkEntry {
         q.localCheckpoint()
       } finally s.conf.unset("spark.graft.spatialJoin.cellSize")
     }),
+    "q258_dwithin_rule" -> ((s, dir) => { ensure(s)
+      // st_dwithin (r14b): the PostGIS predicate registered as sugar
+      // for st_distance <= r at RESOLUTION time, so the GridSpatialJoin
+      // distance rewrite fires on it with zero extra plumbing. Same
+      // integer-lattice exactness scheme as q250 at r = 7.5: the oracle
+      // compares INTEGER dist² to floor(7.5²) = 56, and the nearest
+      // lattice d² (56 → 7.483, 57 → 7.550) sit far from the boundary.
+      // The gate REQUIRES the rewrite fired — correct rows through a
+      // nested loop still fail.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GridSpatialJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GridSpatialJoin
+      s.conf.set("spark.graft.spatialJoin.cellSize", "7.5")
+      try {
+        val a = ld(s, dir, "supplier").select(col("s_suppkey"),
+          ((col("s_suppkey") * 3) % 400).cast("double").as("sx"),
+          ((col("s_suppkey") * 13) % 400).cast("double").as("sy"))
+        val b = ld(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") % 400).cast("double").as("px"),
+          ((col("c_custkey") * 7) % 400).cast("double").as("py"))
+        val q = a.join(b,
+            st_dwithin(st_point(col("sx"), col("sy")),
+              st_point(col("px"), col("py")), lit(7.5)))
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy("s_suppkey", "c_custkey")
+        require(q.queryExecution.optimizedPlan.toString.contains("_graft_dacx"),
+          "q258: GridSpatialJoin did not rewrite the st_dwithin join")
+        require(!q.queryExecution.executedPlan.toString
+            .contains("BroadcastNestedLoop"),
+          "q258: the rewritten plan still nested-loops")
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.spatialJoin.cellSize")
+    }),
+    "q259_spherical_distance" -> ((s, dir) => { ensure(s)
+      // st_distance_spherical (r14b): the scalar twin of the geodesic
+      // join family's haversine verify, over per-customer lon/lat point
+      // pairs; the DuckDB oracle replays the identical tree. Whole-
+      // metre BIGINTs with the rounding margin audited IN-GATE (the
+      // q256 pattern — distances are up to ~2e7 m, cross-libm drift
+      // class ~1e-9 m).
+      val raw = ld(s, dir, "customer").select(col("c_custkey"),
+          st_point(((col("c_custkey") % 97) * 2 - 96).cast("double"),
+            ((col("c_custkey") % 53) - 26).cast("double")).as("pa"),
+          st_point(((col("c_custkey") % 89) * 2 - 88).cast("double"),
+            ((col("c_custkey") % 47) - 23).cast("double")).as("pb"))
+        .select(col("c_custkey"),
+          st_distance_spherical(col("pa"), col("pb")).as("_d"))
+      val margin = raw.agg(min(abs(col("_d") - floor(col("_d")) - 0.5)))
+        .head().getDouble(0)
+      require(margin > 1e-6,
+        f"q259: a row sits $margin%.2e from the metre rounding boundary — " +
+        "inside cross-libm drift; change the fixture")
+      raw.select(col("c_custkey"),
+          round(col("_d")).cast("long").as("dist_m"))
+        .orderBy("c_custkey")
+    }),
+    "q260_geo_distance_rule" -> ((s, dir) => { ensure(s)
+      // GEODESIC distance-join rewrite (r14b): a user-written
+      // st_distance_spherical(a, b) <= 500 km join — BNLJ without the
+      // rule — becomes the CHORD-SPACE cell equi-join (opt-in via
+      // spark.graft.spatialJoin.geodesic): both sides embed as 3D
+      // chord coordinates, the probe side owns ONE cell, the build
+      // side explodes to <= 27 cells of its chord-grown cube, and the
+      // exact haversine rides the kept condition. Fixture is a 10°
+      // lat/lon lattice with sub-degree offsets; same-node pairs are
+      // < 50 km in, and an exhaustive sweep of every (Δlat band, Δlon
+      // step) combination at authoring put the closest pair-to-
+      // boundary margin at 20.3 km (lon neighbors at the 60° band,
+      // 520.3 km) — 13 orders above the cross-libm drift class, so no
+      // flake class exists. The gate REQUIRES the rewrite fired and
+      // the plan hash-joins.
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GridSpatialJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GridSpatialJoin
+      s.conf.set("spark.graft.spatialJoin.geodesic", "true")
+      try {
+        val a = ld(s, dir, "supplier").select(col("s_suppkey"),
+          ((col("s_suppkey") % 36) * 10 - 175 + 0.125).cast("double").as("alon"),
+          ((col("s_suppkey") % 17) * 10 - 80 + 0.125).cast("double").as("alat"))
+        val b = ld(s, dir, "customer").select(col("c_custkey"),
+          ((col("c_custkey") % 36) * 10 - 175 + 0.7).cast("double").as("blon"),
+          ((col("c_custkey") % 17) * 10 - 80 + 0.5).cast("double").as("blat"))
+        val q = a.join(b,
+            st_distance_spherical(st_point(col("alon"), col("alat")),
+              st_point(col("blon"), col("blat"))) <= 500000.0)
+          .select(col("s_suppkey"), col("c_custkey"))
+          .orderBy("s_suppkey", "c_custkey")
+        require(q.queryExecution.optimizedPlan.toString.contains("_graft_gsca0"),
+          "q260: the geodesic distance rewrite did not fire")
+        require(!q.queryExecution.executedPlan.toString
+            .contains("BroadcastNestedLoop"),
+          "q260: the rewritten plan still nested-loops")
+        q.localCheckpoint()
+      } finally s.conf.unset("spark.graft.spatialJoin.geodesic")
+    }),
+    "q261_azimuth_project" -> ((s, dir) => { ensure(s)
+      // st_azimuth (planar, PostGIS geometry semantics), st_azimuth_
+      // spherical (great-circle initial bearing) and st_project_
+      // spherical (closed-form forward problem) over per-nation point
+      // pairs; the DuckDB oracle replays the identical trees
+      // (atan2/asin branch normalization included). Outputs in
+      // micro-radians / micro-degrees with every rounding margin
+      // audited IN-GATE. Fractional parts 0.5 vs 0.25 on the two
+      // points make coincidence (the loud refusal) impossible.
+      val v = ld(s, dir, "nation").select(col("n_nationkey"),
+        ((col("n_nationkey") * 97) % 300 - 150 + 0.5).cast("double").as("lon1"),
+        ((col("n_nationkey") * 53) % 120 - 60 + 0.5).cast("double").as("lat1"),
+        ((col("n_nationkey") * 41) % 300 - 150 + 0.25).cast("double").as("lon2"),
+        ((col("n_nationkey") * 29) % 100 - 50 + 0.25).cast("double").as("lat2"),
+        (((col("n_nationkey") % 7) + 1) * 100000.0).as("d"),
+        radians((col("n_nationkey") * 31) % 360 + 0.5).as("th"))
+      val raw = v.select(col("n_nationkey"),
+        st_azimuth_spherical(st_point(col("lon1"), col("lat1")),
+          st_point(col("lon2"), col("lat2"))).as("_az"),
+        st_azimuth(st_point(col("lon1"), col("lat1")),
+          st_point(col("lon2"), col("lat2"))).as("_azp"),
+        st_project_spherical(st_point(col("lon1"), col("lat1")),
+          col("d"), col("th")).as("_proj"))
+        .select(col("n_nationkey"), col("_az"), col("_azp"),
+          st_x(col("_proj")).as("_plon"), st_y(col("_proj")).as("_plat"))
+      def margin(c: Column, scale: Double): Column =
+        min(abs(c * scale - floor(c * scale) - 0.5))
+      val m = raw.agg(margin(col("_az"), 1e6), margin(col("_azp"), 1e6),
+        margin(col("_plon"), 1e6), margin(col("_plat"), 1e6)).head()
+      (0 to 3).foreach { i =>
+        require(m.getDouble(i) > 1e-3,
+          f"q261: column $i sits ${m.getDouble(i)}%.2e from its rounding " +
+          "boundary — inside cross-libm drift; change the fixture")
+      }
+      raw.select(col("n_nationkey"),
+          round(col("_az") * 1e6).cast("long").as("az_urad"),
+          round(col("_azp") * 1e6).cast("long").as("azp_urad"),
+          round(col("_plon") * 1e6).cast("long").as("plon_udeg"),
+          round(col("_plat") * 1e6).cast("long").as("plat_udeg"))
+        .orderBy("n_nationkey")
+    }),
+    "q262_kinematics" -> ((s, dir) => { ensure(s)
+      // Trajectory.kinematics (r14b): per-point dt/step/speed/heading
+      // enrichment over the events stream as synthetic lon/lat tracks —
+      // ONE lag window (one shuffle on the key), the geoRadiusJoin
+      // haversine tree for the step and the azimuthSpherical atan2
+      // tree for the heading, both as pure Column expressions the
+      // DuckDB oracle replays bit-for-bit. First-point/zero-dt/
+      // coincident NULLs replayed via the same CASE structure. Whole-
+      // metre / whole-m-per-s / µrad BIGINTs; every rounding margin
+      // audited IN-GATE (authoring sweep: minima 2.3e-5 / 7.2e-6 /
+      // 2.3e-5 at sf0.1 vs drift classes of 1e-9 and below).
+      val pts = ld(s, dir, "events").select(
+        (col("user_id") % 40).as("k"), col("event_id").as("t"),
+        ((col("event_id") % 144).cast("double") * 0.015625 +
+          (col("user_id") % 7).cast("double")).as("lon"),
+        ((col("event_id") % 90).cast("double") * 0.03125 - 1.5).as("lat"))
+      val kin = graft.core.Trajectory.kinematics(pts, "k", "t", "lon", "lat")
+      def margin(c: Column, scale: Double): Column =
+        min(abs(c * scale - floor(c * scale) - 0.5))
+      val m = kin.agg(margin(col("step_m"), 1.0),
+        margin(col("speed_mps"), 1.0), margin(col("heading_rad"), 1e6)).head()
+      (0 to 2).foreach { i =>
+        require(m.getDouble(i) > 1e-6,
+          f"q262: column $i sits ${m.getDouble(i)}%.2e from its rounding " +
+          "boundary — inside cross-libm drift; change the fixture")
+      }
+      kin.select(col("k"), col("t"), col("dt_s"),
+          round(col("step_m")).cast("long").as("step_m"),
+          round(col("speed_mps")).cast("long").as("speed_mps"),
+          round(col("heading_rad") * 1e6).cast("long").as("heading_urad"))
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5417,6 +5641,20 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q263_dwithin_prune" ->
+      ("SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE " +
+       "(CAST((p_partkey % 97) - 48 AS DOUBLE) - 5.5) * (CAST((p_partkey % 97) - 48 AS DOUBLE) - 5.5) + " +
+       "(CAST((p_partkey % 89) - 44 AS DOUBLE) - 3.5) * (CAST((p_partkey % 89) - 44 AS DOUBLE) - 3.5) " +
+       "<= 420.25 ORDER BY p_partkey"),
+    "q264_geo_dwithin_prune" ->
+      ("WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, " +
+       "CAST(c_custkey % 144 AS DOUBLE) * 0.05 + 6.4 AS lon, " +
+       "CAST(c_custkey % 80 AS DOUBLE) * 0.05 + 18.0 AS lat FROM customer) " +
+       "SELECT c_custkey FROM p WHERE " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(lat) - radians(20.0)) / 2), 2) + " +
+       "cos(radians(lat)) * cos(radians(20.0)) * pow(sin((radians(lon) - radians(10.0)) / 2), 2)" +
+       "))) <= 110000.0 ORDER BY c_custkey"),
     "q256_spherical_length" ->
       ("WITH v AS (SELECT n_nationkey, " +
        "CAST((n_nationkey * 97) % 300 - 150 AS DOUBLE) AS x0, " +
@@ -6417,6 +6655,83 @@ object SparkEntry {
        "(((s.s_suppkey * 13) % 500) - ((c.c_custkey * 7) % 500)) * " +
        "(((s.s_suppkey * 13) % 500) - ((c.c_custkey * 7) % 500)) <= 90 " +
        "ORDER BY s_suppkey, c_custkey"),
+    "q258_dwithin_rule" ->
+      ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
+       "WHERE (((s.s_suppkey * 3) % 400) - (c.c_custkey % 400)) * " +
+       "(((s.s_suppkey * 3) % 400) - (c.c_custkey % 400)) + " +
+       "(((s.s_suppkey * 13) % 400) - ((c.c_custkey * 7) % 400)) * " +
+       "(((s.s_suppkey * 13) % 400) - ((c.c_custkey * 7) % 400)) <= 56 " +
+       "ORDER BY s_suppkey, c_custkey"),
+    "q259_spherical_distance" ->
+      ("WITH v AS (SELECT c_custkey, " +
+       "CAST((c_custkey % 97) * 2 - 96 AS DOUBLE) AS x1, " +
+       "CAST((c_custkey % 53) - 26 AS DOUBLE) AS y1, " +
+       "CAST((c_custkey % 89) * 2 - 88 AS DOUBLE) AS x2, " +
+       "CAST((c_custkey % 47) - 23 AS DOUBLE) AS y2 FROM customer) " +
+       "SELECT c_custkey, CAST(round(" +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(y1) - radians(y2)) / 2), 2) + " +
+       "cos(radians(y1)) * cos(radians(y2)) * pow(sin((radians(x1) - radians(x2)) / 2), 2))))" +
+       ") AS BIGINT) AS dist_m FROM v ORDER BY c_custkey"),
+    "q260_geo_distance_rule" ->
+      ("WITH a AS (SELECT s_suppkey, " +
+       "CAST(s_suppkey % 36 AS DOUBLE) * 10 - 175 + 0.125 AS alon, " +
+       "CAST(s_suppkey % 17 AS DOUBLE) * 10 - 80 + 0.125 AS alat FROM supplier), " +
+       "b AS (SELECT c_custkey, " +
+       "CAST(c_custkey % 36 AS DOUBLE) * 10 - 175 + 0.7 AS blon, " +
+       "CAST(c_custkey % 17 AS DOUBLE) * 10 - 80 + 0.5 AS blat FROM customer) " +
+       "SELECT a.s_suppkey, b.c_custkey FROM a CROSS JOIN b WHERE " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(alat) - radians(blat)) / 2), 2) + " +
+       "cos(radians(alat)) * cos(radians(blat)) * pow(sin((radians(alon) - radians(blon)) / 2), 2)" +
+       "))) <= 500000.0 ORDER BY s_suppkey, c_custkey"),
+    "q261_azimuth_project" ->
+      ("WITH v AS (SELECT n_nationkey, " +
+       "CAST((n_nationkey * 97) % 300 - 150 AS DOUBLE) + 0.5 AS lon1, " +
+       "CAST((n_nationkey * 53) % 120 - 60 AS DOUBLE) + 0.5 AS lat1, " +
+       "CAST((n_nationkey * 41) % 300 - 150 AS DOUBLE) + 0.25 AS lon2, " +
+       "CAST((n_nationkey * 29) % 100 - 50 AS DOUBLE) + 0.25 AS lat2, " +
+       "CAST((n_nationkey % 7) + 1 AS DOUBLE) * 100000.0 AS d, " +
+       "radians(CAST((n_nationkey * 31) % 360 AS DOUBLE) + 0.5) AS th FROM nation), " +
+       "w AS (SELECT *, " +
+       "atan2(sin(radians(lon2) - radians(lon1)) * cos(radians(lat2)), " +
+       "cos(radians(lat1)) * sin(radians(lat2)) - " +
+       "sin(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon1))) AS t0, " +
+       "atan2(lon2 - lon1, lat2 - lat1) AS p0, d / 6371008.8 AS delta FROM v), " +
+       "x AS (SELECT *, sin(radians(lat1)) * cos(delta) + " +
+       "cos(radians(lat1)) * sin(delta) * cos(th) AS sphi2 FROM w), " +
+       "y AS (SELECT *, asin(greatest(-1.0, least(1.0, sphi2))) AS phi2, " +
+       "radians(lon1) + atan2(sin(th) * sin(delta) * cos(radians(lat1)), " +
+       "cos(delta) - sin(radians(lat1)) * sphi2) AS lam2 FROM x) " +
+       "SELECT n_nationkey, " +
+       "CAST(round((CASE WHEN t0 < 0 THEN t0 + 2 * pi() ELSE t0 END) * 1e6) AS BIGINT) AS az_urad, " +
+       "CAST(round((CASE WHEN p0 < 0 THEN p0 + 2 * pi() ELSE p0 END) * 1e6) AS BIGINT) AS azp_urad, " +
+       "CAST(round((((degrees(lam2) + 180) % 360 + 360) % 360 - 180) * 1e6) AS BIGINT) AS plon_udeg, " +
+       "CAST(round(degrees(phi2) * 1e6) AS BIGINT) AS plat_udeg " +
+       "FROM y ORDER BY n_nationkey"),
+    "q262_kinematics" ->
+      ("WITH p AS (SELECT CAST(user_id % 40 AS BIGINT) AS k, " +
+       "CAST(event_id AS BIGINT) AS t, " +
+       "CAST(event_id % 144 AS DOUBLE) * 0.015625 + CAST(user_id % 7 AS DOUBLE) AS lon, " +
+       "CAST(event_id % 90 AS DOUBLE) * 0.03125 - 1.5 AS lat FROM events), " +
+       "w AS (SELECT *, lag(t) OVER win AS pt, lag(lon) OVER win AS plon, " +
+       "lag(lat) OVER win AS plat FROM p " +
+       "WINDOW win AS (PARTITION BY k ORDER BY t, lon, lat)), " +
+       "s AS (SELECT k, t, t - pt AS dt_s, " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(plat) - radians(lat)) / 2), 2) + " +
+       "cos(radians(plat)) * cos(radians(lat)) * pow(sin((radians(plon) - radians(lon)) / 2), 2)" +
+       "))) AS step, " +
+       "atan2(sin(radians(lon) - radians(plon)) * cos(radians(lat)), " +
+       "cos(radians(plat)) * sin(radians(lat)) - " +
+       "sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon) - radians(plon))) AS t0, " +
+       "plon = lon AND plat = lat AS coin FROM w) " +
+       "SELECT k, t, dt_s, " +
+       "CAST(CASE WHEN dt_s IS NULL THEN NULL ELSE round(step) END AS BIGINT) AS step_m, " +
+       "CAST(CASE WHEN dt_s IS NULL OR dt_s = 0 THEN NULL ELSE round(step / dt_s) END AS BIGINT) AS speed_mps, " +
+       "CAST(CASE WHEN dt_s IS NULL OR coin THEN NULL ELSE " +
+       "round((CASE WHEN t0 < 0 THEN t0 + 2 * pi() ELSE t0 END) * 1e6) END AS BIGINT) AS heading_urad " +
+       "FROM s ORDER BY k, t"),
     "q227_spatial_join_rule" ->
       ("SELECT s.s_suppkey, c.c_custkey FROM supplier s CROSS JOIN customer c " +
        "WHERE (c.c_custkey % 1000) >= ((s.s_suppkey * 3) % 1000) " +

@@ -152,6 +152,143 @@ object GeoOps {
     case _ => 0.0 // points, polygons (perimeter is its own question)
   }
 
+  /** The single lon/lat coordinate of a POINT WKB, range-checked —
+    * anything else REFUSES loudly (the spherical point family's shared
+    * guard: a polygon corner or a projected coordinate fed into a
+    * great-circle formula would be silent nonsense). */
+  private def pointLonLat(b: Array[Byte], who: String): Coordinate = {
+    val g = read(b)
+    require(g.getGeometryType == "Point" && !g.isEmpty,
+      s"$who: expected a non-empty POINT, got ${g.getGeometryType}" +
+        (if (g.isEmpty) " (empty)" else "") +
+        " — spherical point kernels are point-only (cast or centroid upstream, explicitly)")
+    val c = g.getCoordinate
+    require(c.x >= -180 && c.x <= 180 && c.y >= -90 && c.y <= 90,
+      s"$who: (${c.x}, ${c.y}) outside lon/lat range — a projected " +
+        "coordinate here would be silent nonsense")
+    c
+  }
+
+  /**
+   * GREAT-CIRCLE distance (metres) between two lon/lat POINTs — the
+   * geodesic sibling of [[distance]], the scalar twin of
+   * [[DistanceJoin.geoRadiusJoin]]'s verify (identical haversine tree,
+   * so external engines replay it bit-for-bit). Non-point or
+   * out-of-range input REFUSES loudly; PostGIS's ST_DistanceSphere
+   * computes closest-approach for extended geometries — that is a
+   * different (iterative) algorithm, out of scope by refusal rather
+   * than by silent corner-distance.
+   */
+  def distanceSpherical(a: Array[Byte], b: Array[Byte], radiusMeters: Double): Double = {
+    val ca = pointLonLat(a, "distanceSpherical")
+    val cb = pointLonLat(b, "distanceSpherical")
+    val dphi = math.toRadians(ca.y) - math.toRadians(cb.y)
+    val dlam = math.toRadians(ca.x) - math.toRadians(cb.x)
+    val h = math.pow(math.sin(dphi / 2), 2) +
+      math.cos(math.toRadians(ca.y)) * math.cos(math.toRadians(cb.y)) *
+        math.pow(math.sin(dlam / 2), 2)
+    2.0 * radiusMeters * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+
+  /** PLANAR azimuth a→b in radians clockwise from north, in [0, 2π) —
+    * PostGIS ST_Azimuth's geometry semantics (`atan2(Δx, Δy)`
+    * normalized). Points only; COINCIDENT points REFUSE loudly (PostGIS
+    * returns NULL there — a silent NULL through codegen'd double math
+    * would be the repo's first nullable kernel; guard upstream with
+    * `when(ax = bx and ay = by, null)` where NULL is wanted). */
+  def azimuth(a: Array[Byte], b: Array[Byte]): Double = {
+    val ga = read(a); val gb = read(b)
+    require(ga.getGeometryType == "Point" && gb.getGeometryType == "Point" &&
+      !ga.isEmpty && !gb.isEmpty,
+      s"azimuth: expected two non-empty POINTs, got ${ga.getGeometryType}/${gb.getGeometryType}")
+    val ca = ga.getCoordinate; val cb = gb.getCoordinate
+    require(ca.x != cb.x || ca.y != cb.y,
+      "azimuth: coincident points have no bearing — guard with " +
+        "when(ax = bx and ay = by, null) upstream where NULL is wanted")
+    val t = math.atan2(cb.x - ca.x, cb.y - ca.y)
+    if (t < 0) t + 2 * math.Pi else t
+  }
+
+  /**
+   * SPHERICAL forward azimuth (initial great-circle bearing) a→b in
+   * radians clockwise from north, in [0, 2π) — the lon/lat sibling of
+   * [[azimuth]]:
+   *   θ = atan2(sinΔλ·cosφ₂, cosφ₁·sinφ₂ − sinφ₁·cosφ₂·cosΔλ)
+   * (the standard navigation formula; one closed expression tree, so
+   * external engines replay it). Antipodal pairs are well-defined
+   * (every bearing is "towards"; the formula picks atan2's branch);
+   * coincident points REFUSE like [[azimuth]].
+   */
+  def azimuthSpherical(a: Array[Byte], b: Array[Byte]): Double = {
+    val ca = pointLonLat(a, "azimuthSpherical")
+    val cb = pointLonLat(b, "azimuthSpherical")
+    require(ca.x != cb.x || ca.y != cb.y,
+      "azimuthSpherical: coincident points have no bearing — guard with " +
+        "when(ax = bx and ay = by, null) upstream where NULL is wanted")
+    val phi1 = math.toRadians(ca.y); val phi2 = math.toRadians(cb.y)
+    val dlam = math.toRadians(cb.x) - math.toRadians(ca.x)
+    val t = math.atan2(math.sin(dlam) * math.cos(phi2),
+      math.cos(phi1) * math.sin(phi2) -
+        math.sin(phi1) * math.cos(phi2) * math.cos(dlam))
+    if (t < 0) t + 2 * math.Pi else t
+  }
+
+  /**
+   * SPHERICAL destination point: start POINT moved `distMeters` along
+   * the great circle with initial bearing `azimuthRad` (clockwise from
+   * north) on a sphere of `radiusMeters` — PostGIS ST_Project's
+   * geography semantics on the sphere (the ellipsoidal Karney direct
+   * problem is a different, iterative algorithm; spherical is closed-
+   * form and replayable):
+   *   φ₂ = asin(sinφ₁·cosδ + cosφ₁·sinδ·cosθ),  δ = d/R
+   *   λ₂ = λ₁ + atan2(sinθ·sinδ·cosφ₁, cosδ − sinφ₁·sinφ₂)
+   * Longitude wraps into [−180, 180). Negative distances REFUSE
+   * (PostGIS projects backwards; flip the azimuth explicitly instead).
+   */
+  def projectSpherical(a: Array[Byte], distMeters: Double,
+                       azimuthRad: Double, radiusMeters: Double): Array[Byte] = {
+    val ca = pointLonLat(a, "projectSpherical")
+    require(distMeters >= 0 && !distMeters.isNaN && !distMeters.isInfinite,
+      s"projectSpherical: distance must be finite and >= 0, got $distMeters " +
+        "— flip the azimuth to project backwards")
+    val phi1 = math.toRadians(ca.y)
+    val delta = distMeters / radiusMeters
+    val sinPhi2 = math.sin(phi1) * math.cos(delta) +
+      math.cos(phi1) * math.sin(delta) * math.cos(azimuthRad)
+    val phi2 = math.asin(math.max(-1.0, math.min(1.0, sinPhi2)))
+    val lam2 = math.toRadians(ca.x) + math.atan2(
+      math.sin(azimuthRad) * math.sin(delta) * math.cos(phi1),
+      math.cos(delta) - math.sin(phi1) * sinPhi2)
+    val lonDeg = {
+      val d = math.toDegrees(lam2)
+      val w = ((d + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      w
+    }
+    point(lonDeg, math.toDegrees(phi2))
+  }
+
+  /**
+   * CHORD-SPACE coordinates `[X, Y, Z]` (metres) of a lon/lat POINT on
+   * the sphere of `radiusMeters` — the 3D embedding behind
+   * [[graft.plans.GridSpatialJoin]]'s geodesic distance rewrite:
+   * great-circle distance ≤ r  ⟺  3D chord ‖p−q‖ ≤ 2R·sin(r/2R), so a
+   * Euclidean grid over (X, Y, Z) is a sound candidate generator with
+   * NO latitude bands, NO antimeridian seam and NO polar special case
+   * (the embedding is uniform; nearby-on-the-sphere is nearby-in-R³).
+   * Point-only + range-checked via the shared guard — the refusal
+   * surfaces on the CELL computation, so a non-point row raises under
+   * the rewrite exactly as the nested loop's verify would have.
+   */
+  def chordXyz(b: Array[Byte], radiusMeters: Double)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val c = pointLonLat(b, "chordXyz")
+    val phi = math.toRadians(c.y); val lam = math.toRadians(c.x)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      radiusMeters * math.cos(phi) * math.cos(lam),
+      radiusMeters * math.cos(phi) * math.sin(lam),
+      radiusMeters * math.sin(phi)))
+  }
+
   /**
    * Constituent SEGMENTS of any WKB geometry as
    * `array<struct<seg_idx int, ax, ay, bx, by double>>` — the

@@ -2,7 +2,7 @@ package graft.core
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType}
 
@@ -215,6 +215,98 @@ object Trajectory {
         min(col("t")).as("start_ts"), max(col("t")).as("end_ts"),
         sum(col("_step_um")).as("path_len_um"))
       .withColumnRenamed("k", keyCol)
+  }
+
+  /**
+   * Per-point KINEMATICS enrichment: for every point, its time gap,
+   * great-circle step, speed and heading relative to the PREVIOUS
+   * point of the same key in `(ts, lon, lat)` order. Like
+   * [[segments]], this is window-expressible — one `lag` window (one
+   * shuffle on the key) plus closed-form column trees; no custom plan,
+   * no mapPartitions, and the work is embarrassingly parallel at any
+   * corpus size.
+   *
+   * The distance tree is [[DistanceJoin.geoRadiusJoin]]'s haversine
+   * verify verbatim and the heading tree is
+   * [[GeoOps.azimuthSpherical]]'s navigation atan2 verbatim — built as
+   * Column expressions directly (NOT via the WKB scalar functions:
+   * four point serializations per row just to unwrap them again is
+   * the kind of per-row overhead a 100-TB enrichment pass cannot
+   * carry), so external engines replay both bit-for-bit.
+   *
+   * NULL semantics (all documented, all replayable): a key's FIRST
+   * point has NULL `dt_s`/`step_m`/`speed_mps`/`heading_rad`;
+   * COINCIDENT consecutive points have NULL `heading_rad` (no bearing
+   * — the scalar function refuses, the enrichment pass must not);
+   * `dt_s = 0` (duplicate timestamps, ordered by the `(ts, lon, lat)`
+   * tiebreak) leaves `speed_mps` NULL rather than infinite. NULL
+   * key/ts/coordinates and out-of-range coordinates REFUSE loudly —
+   * a silently dropped point would corrupt its successor's step.
+   *
+   * Output: the four input columns (cast long/long/double/double) +
+   * `(dt_s long, step_m double, speed_mps double, heading_rad
+   * double)`.
+   */
+  def kinematics(points: DataFrame, keyCol: String, tsCol: String,
+                 lonCol: String, latCol: String,
+                 earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters)
+      : DataFrame = {
+    Seq(keyCol, tsCol, lonCol, latCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"kinematics: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"kinematics: $what column '$c' must be integral (got $t)")
+    }
+    Seq("dt_s", "step_m", "speed_mps", "heading_rad").foreach { c =>
+      require(!Seq(keyCol, tsCol, lonCol, latCol).contains(c),
+        s"kinematics: input column '$c' collides with an output column — rename it")
+    }
+    def refuse(c: String, what: String, to: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"kinematics: NULL $what — a dropped point would " +
+          "corrupt its successor's step")).cast(to))
+        .otherwise(col(c).cast(to))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi || isnan(c),
+        raise_error(concat(lit(s"kinematics: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast("double")).otherwise(c)
+    val slim = points.select(
+      refuse(keyCol, "key", "long").as("k"),
+      refuse(tsCol, "timestamp", "long").as("t"),
+      ranged(refuse(lonCol, "longitude", "double"), -180, 180, "longitude").as("lon"),
+      ranged(refuse(latCol, "latitude", "double"), -90, 90, "latitude").as("lat"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("lon"), col("lat"))
+    val pT = lag(col("t"), 1).over(w)
+    val pLon = lag(col("lon"), 1).over(w)
+    val pLat = lag(col("lat"), 1).over(w)
+    // geoRadiusJoin's verify tree: prev -> curr haversine
+    val dphi = radians(pLat) - radians(col("lat"))
+    val dlam = radians(pLon) - radians(col("lon"))
+    val hav = pow(sin(dphi / 2), 2) +
+      cos(radians(pLat)) * cos(radians(col("lat"))) * pow(sin(dlam / 2), 2)
+    val step = lit(2.0 * earthRadiusMeters) * asin(least(lit(1.0), sqrt(hav)))
+    // azimuthSpherical's navigation tree: initial bearing prev -> curr
+    val dl = radians(col("lon")) - radians(pLon)
+    val t0 = atan2(sin(dl) * cos(radians(col("lat"))),
+      cos(radians(pLat)) * sin(radians(col("lat"))) -
+        sin(radians(pLat)) * cos(radians(col("lat"))) * cos(dl))
+    val heading = when(pLon === col("lon") && pLat === col("lat"),
+        lit(null).cast("double"))
+      .otherwise(when(t0 < 0, t0 + lit(2 * math.Pi)).otherwise(t0))
+    val dt = col("t") - pT
+    slim
+      .withColumn("dt_s", dt)
+      .withColumn("step_m", when(pT.isNull, lit(null).cast("double")).otherwise(step))
+      .withColumn("speed_mps",
+        when(dt.isNull || dt === 0, lit(null).cast("double"))
+          .otherwise(step / dt.cast("double")))
+      .withColumn("heading_rad", heading)
+      .withColumnRenamed("k", keyCol).withColumnRenamed("t", tsCol)
+      .withColumnRenamed("lon", lonCol).withColumnRenamed("lat", latCol)
   }
 
   /** The Zheng et al. state machine over one key's time-ordered points. */

@@ -297,6 +297,87 @@ case class StAreaSpherical(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Great-circle metres between two lon/lat POINTs
+  * ([[graft.core.GeoOps.distanceSpherical]] — the haversine tree of the
+  * geodesic join family as a scalar; non-points refuse loudly). */
+case class StDistanceSpherical(first: Expression, second: Expression,
+                               third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_distance_spherical"
+  override protected def nullSafeEval(a: Any, b: Any, r: Any): Any =
+    GeoOps.distanceSpherical(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, r) => s"graft.core.GeoOps.distanceSpherical($a, $b, $r)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/** Azimuth a→b in radians clockwise from north, [0, 2π) — planar
+  * (`kernel = "azimuth"`, PostGIS geometry semantics) or spherical
+  * initial bearing (`kernel = "azimuthSpherical"`); coincident points
+  * refuse loudly (see the kernels' scaladoc for the NULL recipe). */
+case class StAzimuth(kernel: String, left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (kernel == "azimuth") "st_azimuth" else "st_azimuth_spherical"
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel match {
+    case "azimuth" =>
+      GeoOps.azimuth(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "azimuthSpherical" =>
+      GeoOps.azimuthSpherical(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.GeoOps.$kernel($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Spherical destination point ([[graft.core.GeoOps.projectSpherical]] —
+  * closed-form great-circle forward problem; lon wraps to [−180, 180)). */
+case class StProjectSpherical(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_project_spherical"
+  override protected def nullSafeEval(g: Any, d: Any, az: Any, r: Any): Any =
+    GeoOps.projectSpherical(g.asInstanceOf[Array[Byte]], d.asInstanceOf[Double],
+      az.asInstanceOf[Double], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (g, d, az, r) => s"graft.core.GeoOps.projectSpherical($g, $d, $az, $r)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Chord-space `[X, Y, Z]` metres of a lon/lat POINT
+  * ([[graft.core.GeoOps.chordXyz]] — the 3D embedding the geodesic
+  * distance-join rewrite grids over; non-points refuse loudly). */
+case class GeoChordXyz(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geo_chord_xyz"
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeoOps.chordXyz(g.asInstanceOf[Array[Byte]], r.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) => s"graft.core.GeoOps.chordXyz($g, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class StBuffer(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(BinaryType, DoubleType)

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, LessThanOrEqual}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.DoubleType
 
 /**
  * Column-level geo API + SQL registration, mirroring the PostGIS surface the
@@ -40,6 +41,25 @@ object GeoFunctions {
     call_function("st_area_spherical", g, radius)
   def st_length(g: Column): Column = call_function("st_length", g)
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_distance_spherical(a: Column, b: Column): Column =
+    call_function("st_distance_spherical", a, b)
+  def st_distance_spherical(a: Column, b: Column, radius: Column): Column =
+    call_function("st_distance_spherical", a, b, radius)
+  /** PostGIS ST_DWithin: sugar for `st_distance(a, b) <= r` — the form
+    * [[graft.plans.GridSpatialJoin]] rewrites when `r` is a literal. */
+  def st_dwithin(a: Column, b: Column, r: Column): Column =
+    call_function("st_dwithin", a, b, r)
+  /** Geodesic dwithin (metres): `st_distance_spherical(a, b) <= r`. */
+  def st_dwithin_spherical(a: Column, b: Column, r: Column): Column =
+    call_function("st_dwithin_spherical", a, b, r)
+  /** Planar azimuth a→b, radians clockwise from north in [0, 2π). */
+  def st_azimuth(a: Column, b: Column): Column = call_function("st_azimuth", a, b)
+  /** Spherical initial bearing a→b, radians clockwise from north. */
+  def st_azimuth_spherical(a: Column, b: Column): Column =
+    call_function("st_azimuth_spherical", a, b)
+  /** Spherical destination point at (metres, azimuth-radians). */
+  def st_project_spherical(g: Column, dist: Column, azimuth: Column): Column =
+    call_function("st_project_spherical", g, dist, azimuth)
   def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
   def st_transform(g: Column, from: Column, to: Column): Column =
     call_function("st_transform", g, from, to)
@@ -110,6 +130,29 @@ object GeoFunctions {
           graft.core.DistanceJoin.EarthRadiusMeters))
       case Seq(g, r) => StAreaSpherical(g, r) },
     "st_length" -> { case Seq(g) => StUnary("stLength", g) },
+    "st_distance_spherical" -> {
+      case Seq(a, b) => StDistanceSpherical(a, b,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          graft.core.DistanceJoin.EarthRadiusMeters))
+      case Seq(a, b, r) => StDistanceSpherical(a, b, r) },
+    // ST_DWithin is DEFINED as distance <= r (PostGIS docs) — expanding
+    // at resolution time hands the conjunct to GridSpatialJoin's
+    // distance rewrite with zero extra plumbing
+    "st_dwithin" -> { case Seq(a, b, r) =>
+      LessThanOrEqual(StDistance(a, b), Cast(r, DoubleType)) },
+    "st_dwithin_spherical" -> { case Seq(a, b, r) =>
+      LessThanOrEqual(StDistanceSpherical(a, b,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          graft.core.DistanceJoin.EarthRadiusMeters)),
+        Cast(r, DoubleType)) },
+    "st_azimuth" -> { case Seq(a, b) => StAzimuth("azimuth", a, b) },
+    "st_azimuth_spherical" -> { case Seq(a, b) =>
+      StAzimuth("azimuthSpherical", a, b) },
+    "st_project_spherical" -> {
+      case Seq(g, d, az) => StProjectSpherical(g, d, az,
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          graft.core.DistanceJoin.EarthRadiusMeters))
+      case Seq(g, d, az, r) => StProjectSpherical(g, d, az, r) },
     "st_segments" -> { case Seq(g) => StSegments(g) },
     "st_distance" -> { case Seq(a, b) => StDistance(a, b) },
     "st_buffer" -> { case Seq(g, d) => StBuffer(g, d) },

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, NumericType}
 
 import graft.core.GeoOps
-import graft.functions.StRelation
+import graft.functions.{StDistance, StDistanceSpherical, StRelation}
 
 /**
  * Optimizer rule (SURVEY.md §4 R3): under any conjunctive `st_<mode>`
@@ -20,6 +21,26 @@ import graft.functions.StRelation
  * every non-disjoint DE-9IM relation implies envelope intersection, and
  * contains(bbox, geom) strengthens to envelope containment. Idempotent:
  * skips filters that already reference a stat column.
+ *
+ * DISTANCE conjuncts prune too (r14): `st_distance(geom, <literal>) <= r`
+ * (either argument/literal order, `<` too — and therefore `st_dwithin`,
+ * which resolves to exactly this form) injects the intersects prefilter
+ * against the query envelope GROWN by `r`; the geodesic form
+ * `st_distance_spherical(geom, <literal>) <= r` grows by `r/R` radians of
+ * latitude and by the [[graft.core.DistanceJoin.geoRadiusJoin]] longitude
+ * bound `2·asin(sin(r/2R)/cos(φmax))` at the band's worst latitude
+ * (longitude conjuncts are SKIPPED when the band reaches a pole or the
+ * grown interval crosses the antimeridian — the latitude pair alone is
+ * still sound). Rows with EMPTY geometry (whose planar distance is
+ * 0-to-everything and whose geodesic verify refuses loudly) are kept by
+ * an escape disjunct matching the JTS null-envelope stat signature
+ * `minx = 0 AND maxx = -1` — the exact values [[graft.engine.GeoDb]]'s
+ * addStats (GeoOps.xMin/xMax over a JTS empty) writes, and impossible
+ * for any non-empty envelope; column-vs-LITERAL on purpose, because a
+ * `maxx < minx` column-pair compare is untranslatable to a parquet
+ * filter and would poison pushdown of the whole disjunction. An EMPTY
+ * query literal injects nothing (planar distance to it is 0 everywhere
+ * — nothing to prune).
  */
 object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -36,6 +57,11 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
         case StRelation(mode, g: Attribute, q) if q.foldable =>
           statsFor(target, g).flatMap { s =>
             prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = false)
+          }
+        case DistConjunct(g, q, r, sphereR)
+            if r >= 0 && !r.isNaN && !r.isInfinite =>
+          statsFor(target, g).flatMap { s =>
+            distPrefilter(q, r, sphereR, s(0), s(1), s(2), s(3))
           }
         case _ => None
       }
@@ -65,6 +91,93 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def references(e: Expression, names: Seq[String]): Boolean =
     e.collectFirst { case a: Attribute if names.contains(a.name) => a }.isDefined
+
+  /** A foldable numeric radius literal, bare or cast to double. */
+  private object RLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v, _: NumericType) if v != null => Some(v.toString.toDouble)
+      case Cast(Literal(v, _: NumericType), DoubleType, _, _) if v != null =>
+        Some(v.toString.toDouble)
+      case _ => None
+    }
+  }
+
+  /** `st_distance[_spherical](geom-attr, <foldable>) <= r` in any
+    * argument/literal order; yields (geomAttr, queryLit, r,
+    * Some(sphereRadius) for the geodesic form). */
+  private object DistConjunct {
+    def unapply(e: Expression)
+        : Option[(Attribute, Expression, Double, Option[Double])] = {
+      def dist(d: Expression, r: Double)
+          : Option[(Attribute, Expression, Double, Option[Double])] = d match {
+        case StDistance(q, g: Attribute) if q.foldable => Some((g, q, r, None))
+        case StDistance(g: Attribute, q) if q.foldable => Some((g, q, r, None))
+        case StDistanceSpherical(q, g: Attribute, RLit(br)) if q.foldable =>
+          Some((g, q, r, Some(br)))
+        case StDistanceSpherical(g: Attribute, q, RLit(br)) if q.foldable =>
+          Some((g, q, r, Some(br)))
+        case _ => None
+      }
+      e match {
+        case LessThanOrEqual(d, RLit(r)) => dist(d, r)
+        case LessThan(d, RLit(r)) => dist(d, r)
+        case GreaterThanOrEqual(RLit(r), d) => dist(d, r)
+        case GreaterThan(RLit(r), d) => dist(d, r)
+        case _ => None
+      }
+    }
+  }
+
+  /** Stat-column prefilter for a distance conjunct: intersects against
+    * the query envelope grown by `r` (planar) or by the geodesic
+    * lat/lon bounds (spherical); EMPTY rows escape via the OR on the
+    * JTS null-envelope signature (see the object scaladoc) so neither
+    * the planar 0-matches-everything nor the geodesic loud refusal is
+    * silenced — and the whole disjunct stays parquet-translatable. */
+  private def distPrefilter(queryGeom: Expression, r: Double,
+                            sphereR: Option[Double],
+                            minx: Attribute, miny: Attribute,
+                            maxx: Attribute, maxy: Attribute): Option[Expression] = {
+    val wkb = queryGeom.eval() match {
+      case b: Array[Byte] => b
+      case _ => return None
+    }
+    val (qMinX, qMinY, qMaxX, qMaxY) =
+      (GeoOps.xMin(wkb), GeoOps.yMin(wkb), GeoOps.xMax(wkb), GeoOps.yMax(wkb))
+    if (qMinX > qMaxX) return None // EMPTY query: nothing prunable
+    def le(a: Expression, v: Double) = LessThanOrEqual(a, Literal(v))
+    def ge(a: Expression, v: Double) = GreaterThanOrEqual(a, Literal(v))
+    val core: Option[Expression] = sphereR match {
+      case None =>
+        Some(Seq(le(minx, qMaxX + r), ge(maxx, qMinX - r),
+          le(miny, qMaxY + r), ge(maxy, qMinY - r)).reduce[Expression](And))
+      case Some(br) if br > 0 =>
+        val dLat = math.toDegrees(r / br)
+        val latLo = qMinY - dLat
+        val latHi = qMaxY + dLat
+        val latConj: Seq[Expression] = Seq(le(miny, latHi), ge(maxy, latLo))
+        val phiMax = math.min(90.0, math.max(math.abs(latLo), math.abs(latHi)))
+        val lonConj: Seq[Expression] =
+          if (phiMax >= 90.0) Nil
+          else {
+            val s = math.sin(r / (2 * br)) / math.cos(math.toRadians(phiMax))
+            if (s >= 1.0) Nil
+            else {
+              val dLon = math.toDegrees(2.0 * math.asin(s))
+              val lonLo = qMinX - dLon
+              val lonHi = qMaxX + dLon
+              // grown interval leaving the domain wraps across the
+              // antimeridian — the latitude pair alone stays sound
+              if (lonLo < -180.0 || lonHi > 180.0) Nil
+              else Seq(le(minx, lonHi), ge(maxx, lonLo))
+            }
+          }
+        Some((latConj ++ lonConj).reduce[Expression](And))
+      case _ => None
+    }
+    core.map(c => Or(c,
+      And(EqualTo(minx, Literal(0.0)), EqualTo(maxx, Literal(-1.0)))))
+  }
 
   /**
    * The four stat attributes belonging to the SAME leaf relation as the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, NumericType}
 
 import graft.core.GeoOps
-import graft.functions.{StDistance, StEnvelopeBounds, StPoint, StRelation, StRelationXY}
+import graft.functions.{GeoChordXyz, StDistance, StDistanceSpherical, StEnvelopeBounds, StPoint, StRelation, StRelationXY}
 
 /**
  * Optimizer rule: rewrite an inner join whose condition contains a
@@ -76,16 +76,21 @@ object GridSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val sizeKey = "spark.graft.spatialJoin.cellSize"
   private val capKey = "spark.graft.spatialJoin.maxCellsPerGeom"
+  private val geoKey = "spark.graft.spatialJoin.geodesic"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val size = conf.getConfString(sizeKey, "")
-    if (size.isEmpty) return plan
-    val cs = size.toDouble
-    require(cs > 0.0 && !cs.isInfinite && !cs.isNaN, s"$sizeKey must be > 0, got $size")
+    val geo = conf.getConfString(geoKey, "false").toBoolean
+    if (size.isEmpty && !geo) return plan
+    val cs = if (size.isEmpty) 0.0 else size.toDouble
+    require(size.isEmpty || (cs > 0.0 && !cs.isInfinite && !cs.isNaN),
+      s"$sizeKey must be > 0, got $size")
     val cap = conf.getConfString(capKey, "4096").toLong
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), _) =>
-        rewrite(j, left, right, cond, cs, cap).getOrElse(j)
+        (if (size.nonEmpty) rewrite(j, left, right, cond, cs, cap) else None)
+          .orElse(if (geo) rewriteGeo(j, left, right, cond) else None)
+          .getOrElse(j)
     }
   }
 
@@ -380,6 +385,117 @@ object GridSpatialJoin extends Rule[LogicalPlan] with PredicateHelper {
     val joinCond = And(And(EqualTo(acx, bcx), EqualTo(acy, bcy)),
       And(refCell, And(pre, cond)))
     val joined = Join(aSide, bSide, Inner, Some(joinCond), JoinHint.NONE)
+    Project(j.output, joined)
+  }
+
+  /**
+   * GEODESIC distance-join rewrite (opt-in via
+   * `spark.graft.spatialJoin.geodesic = true`): a conjunct
+   * `st_distance_spherical(a, b) <= r` (either literal order, `<=` or
+   * `<`, the sphere radius a plan-time literal) becomes a CHORD-SPACE
+   * cell equi-join. Great-circle distance ≤ r on a sphere of radius R
+   * is EQUIVALENT to 3D chord ‖p − q‖ ≤ c = 2R·sin(min(r/2R, π/2)), so
+   * gridding the [[graft.functions.GeoChordXyz]] embedding at cell
+   * size c is a sound candidate generator with NO latitude bands, NO
+   * antimeridian seam and NO polar case — and, because a point owns
+   * exactly ONE cell on the probe side while the build side explodes
+   * to the ≤ 3³ = 27 cells of its c-grown cube, exactly-once is
+   * structural and the fan-out is a CONSTANT (no cellSize knob, no
+   * explode cap). A slackened chord-squared prefilter (c grown by
+   * 1 ppb + 1 µm, covering cross-path trig ulps) runs ahead of the
+   * exact haversine in the retained original condition. Like the
+   * planar distance branch: `> r` / `>= r` (near-cross-products) do
+   * NOT rewrite, NULL geometry → NULL cells → no match (the nested
+   * loop's no-match), and non-POINT geometry REFUSES loudly — on the
+   * cell computation here, in the verify there; the one observable
+   * deviation is a non-point row whose join's OTHER side is empty
+   * (the nested loop never evaluates, the rewrite still raises),
+   * accepted for the same reason as the planar EMPTY refusal.
+   */
+  private def rewriteGeo(j: Join, left: LogicalPlan, right: LogicalPlan,
+                         cond: Expression): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def crossSide(e: Expression): Boolean =
+      e.references.intersect(left.outputSet).nonEmpty &&
+        e.references.intersect(right.outputSet).nonEmpty
+    if (conjuncts.exists {
+      case eq @ EqualTo(_, _) => crossSide(eq)
+      case _ => false
+    }) return None
+    def sideOf(e: Expression): Int = {
+      val refs = e.references
+      if (refs.nonEmpty && refs.subsetOf(left.outputSet)) 0
+      else if (refs.nonEmpty && refs.subsetOf(right.outputSet)) 1
+      else -1
+    }
+    def geoCase(ea: Expression, eb: Expression, bigR: Double, r: Double)
+        : Option[(Expression, Expression, Double, Double)] =
+      if (r > 0 && !r.isInfinite && !r.isNaN && bigR > 0 &&
+          sideOf(ea) >= 0 && sideOf(eb) >= 0 && sideOf(ea) != sideOf(eb))
+        Some(if (sideOf(ea) == 0) (ea, eb, bigR, r) else (eb, ea, bigR, r))
+      else None
+    conjuncts.iterator.map {
+      case LessThanOrEqual(
+          StDistanceSpherical(GeomExpr(a), GeomExpr(b), DoubleLit(bigR)),
+          DoubleLit(r)) => geoCase(a, b, bigR, r)
+      case LessThan(
+          StDistanceSpherical(GeomExpr(a), GeomExpr(b), DoubleLit(bigR)),
+          DoubleLit(r)) => geoCase(a, b, bigR, r)
+      case GreaterThanOrEqual(DoubleLit(r),
+          StDistanceSpherical(GeomExpr(a), GeomExpr(b), DoubleLit(bigR))) =>
+        geoCase(a, b, bigR, r)
+      case GreaterThan(DoubleLit(r),
+          StDistanceSpherical(GeomExpr(a), GeomExpr(b), DoubleLit(bigR))) =>
+        geoCase(a, b, bigR, r)
+      case _ => None
+    }.collectFirst { case Some(h) => h }
+      .map { case (la, rb, bigR, r) =>
+        rewriteGeoDistance(j, left, right, cond, la, rb, bigR, r) }
+  }
+
+  private def rewriteGeoDistance(j: Join, left: LogicalPlan, right: LogicalPlan,
+                                 cond: Expression, la: Expression, rb: Expression,
+                                 bigR: Double, r: Double): LogicalPlan = {
+    // chord bound, grown by 1 ppb + 1 µm: covers the ulp gap between the
+    // haversine the verify computes and the trig path the cells compute
+    val c = 2.0 * bigR * math.sin(math.min(r / (2.0 * bigR), math.Pi / 2.0))
+    val cg = c * (1.0 + 1e-9) + 1e-6
+    val cs = cg // ≤ 3 cells per axis on the grown side, always
+    def xyzOf(plan: LogicalPlan, e: Expression, name: String)
+        : (LogicalPlan, Attribute) = {
+      val a = Alias(GeoChordXyz(e, Literal(bigR)), name)()
+      (Project(plan.output :+ a, plan), a.toAttribute)
+    }
+    val (aProj, aXyz) = xyzOf(left, la, "_graft_gsxyza")
+    val (bProj, bXyz) = xyzOf(right, rb, "_graft_gsxyzb")
+    def item(att: Attribute, i: Int) = GetArrayItem(att, Literal(i))
+    def cell(e: Expression) = Floor(Divide(e, Literal(cs)))
+    // probe side: ONE cell per axis
+    val aCells = (0 to 2).map(i =>
+      Alias(cell(item(aXyz, i)), s"_graft_gsca$i")())
+    val aSide = Project(aProj.output ++ aCells, aProj)
+    // build side: explode the c-grown cube's cell ranges, axis by axis
+    var bPlan: LogicalPlan = bProj
+    val bCells = (0 to 2).map { i =>
+      val lo = cell(Subtract(item(bXyz, i), Literal(cg)))
+      val hi = cell(Add(item(bXyz, i), Literal(cg)))
+      val out = AttributeReference(s"_graft_gscb$i", LongType, nullable = false)()
+      bPlan = Generate(Explode(new Sequence(lo, hi, Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(out), child = bPlan)
+      out
+    }
+    val equi = (0 to 2).map(i => EqualTo(aCells(i).toAttribute, bCells(i)))
+      .reduce[Expression](And)
+    // conservative chord² prefilter ahead of the exact haversine in cond
+    val d2 = (0 to 2).map { i =>
+      val d = Subtract(item(aXyz, i), item(bXyz, i))
+      Multiply(d, d): Expression
+    }.reduce[Expression]((x, y) => Add(x, y))
+    val pre = LessThanOrEqual(d2, Literal(cg * cg))
+    val joined = Join(aSide, bPlan, Inner,
+      Some(And(equi, And(pre, cond))), JoinHint.NONE)
     Project(j.output, joined)
   }
 }

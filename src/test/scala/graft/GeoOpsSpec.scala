@@ -820,4 +820,103 @@ class GeoOpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GeoOps.areaSpherical(wide, R))
     assert(e.getMessage.contains("antimeridian"))
   }
+
+  test("distanceSpherical: haversine twin of lengthSpherical, point-only refusals") {
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    // identical tree: the distance between a 2-vertex line's endpoints
+    // IS that line's spherical length
+    assert(GeoOps.distanceSpherical(wkt("POINT(10 20)"), wkt("POINT(14 21)"), R) ==
+      GeoOps.lengthSpherical(wkt("LINESTRING(10 20, 14 21)"), R))
+    // symmetric; zero at coincidence; meridian degree ~ pi R / 180
+    assert(GeoOps.distanceSpherical(wkt("POINT(14 21)"), wkt("POINT(10 20)"), R) ==
+      GeoOps.distanceSpherical(wkt("POINT(10 20)"), wkt("POINT(14 21)"), R))
+    assert(GeoOps.distanceSpherical(wkt("POINT(5 5)"), wkt("POINT(5 5)"), R) == 0.0)
+    assert(math.abs(GeoOps.distanceSpherical(wkt("POINT(0 0)"), wkt("POINT(0 1)"), R) -
+      math.Pi * R / 180.0) < 1e-6)
+    // antimeridian neighbors are ~22 km apart, not ~40000 km
+    val am = GeoOps.distanceSpherical(wkt("POINT(179.9 0)"), wkt("POINT(-179.9 0)"), R)
+    assert(am > 20000 && am < 25000)
+    // non-point and out-of-range refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      GeoOps.distanceSpherical(wkt("POLYGON((0 0, 1 0, 0 1, 0 0))"), wkt("POINT(0 0)"), R)
+    }
+    assert(e1.getMessage.contains("POINT"))
+    val e2 = intercept[IllegalArgumentException] {
+      GeoOps.distanceSpherical(wkt("POINT(500000 10)"), wkt("POINT(0 0)"), R)
+    }
+    assert(e2.getMessage.contains("lon/lat"))
+  }
+
+  test("azimuth planar + spherical: cardinal bearings, quadrants, coincident refusal") {
+    // planar: atan2(dx, dy) clockwise from north
+    def az(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+      GeoOps.azimuth(GeoOps.point(x1, y1), GeoOps.point(x2, y2))
+    assert(az(0, 0, 0, 5) == 0.0)                       // due north
+    assert(az(0, 0, 5, 0) == math.Pi / 2)               // due east
+    assert(az(0, 0, 0, -5) == math.Pi)                  // due south
+    assert(az(0, 0, -5, 0) == 3 * math.Pi / 2)          // due west
+    assert(math.abs(az(0, 0, 3, 3) - math.Pi / 4) < 1e-15)
+    // spherical: on the equator due-east is exactly pi/2; along a
+    // meridian due-north is exactly 0
+    def gaz(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+      GeoOps.azimuthSpherical(GeoOps.point(x1, y1), GeoOps.point(x2, y2))
+    assert(gaz(0, 0, 10, 0) == math.Pi / 2)
+    assert(gaz(10, 10, 10, 20) == 0.0)
+    assert(gaz(10, 20, 10, 10) == math.Pi)
+    // great-circle bearing at mid-latitudes differs from the planar
+    // rhumb intuition: toward the east it tilts poleward of pi/2
+    val t = gaz(0, 60, 30, 60)
+    assert(t > 0 && t < math.Pi / 2, s"eastward at 60N must aim north of east, got $t")
+    // coincident refusal (both kernels)
+    val ec = intercept[IllegalArgumentException](az(1, 2, 1, 2))
+    assert(ec.getMessage.contains("coincident"))
+    val ec2 = intercept[IllegalArgumentException](gaz(1, 2, 1, 2))
+    assert(ec2.getMessage.contains("coincident"))
+  }
+
+  test("projectSpherical: inverse of azimuth+distance, wrap, refusals") {
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    // project from A toward B by dist(A,B) -> lands on B (closed-form
+    // forward is the inverse of the closed-form inverse problem)
+    val a = GeoOps.point(10.0, 20.0); val bx = 14.0; val by = 21.0
+    val b = GeoOps.point(bx, by)
+    val d = GeoOps.distanceSpherical(a, b, R)
+    val th = GeoOps.azimuthSpherical(a, b)
+    val landed = GeoOps.read(GeoOps.projectSpherical(a, d, th, R)).getCoordinate
+    assert(math.abs(landed.x - bx) < 1e-9 && math.abs(landed.y - by) < 1e-9,
+      s"landed at (${landed.x}, ${landed.y})")
+    // due north by one degree of meridian
+    val n = GeoOps.read(GeoOps.projectSpherical(
+      GeoOps.point(0, 0), math.Pi * R / 180.0, 0.0, R)).getCoordinate
+    assert(math.abs(n.x) < 1e-12 && math.abs(n.y - 1.0) < 1e-12)
+    // longitude wraps across the antimeridian into [-180, 180)
+    val w = GeoOps.read(GeoOps.projectSpherical(
+      GeoOps.point(179.9, 0.0), 40000.0, math.Pi / 2, R)).getCoordinate
+    assert(w.x < -179.7 && w.x > -180.0, s"wrapped lon ${w.x}")
+    // zero distance is the identity
+    val z = GeoOps.read(GeoOps.projectSpherical(a, 0.0, 1.0, R)).getCoordinate
+    assert(z.x == 10.0 && z.y == 20.0)
+    // negative distance refuses (flip the azimuth instead)
+    val e = intercept[IllegalArgumentException](
+      GeoOps.projectSpherical(a, -5.0, 0.0, R))
+    assert(e.getMessage.contains("flip the azimuth"))
+  }
+
+  test("chordXyz: unit landmarks, chord identity vs haversine, point-only refusal") {
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    def xyz(lon: Double, lat: Double): Seq[Double] =
+      GeoOps.chordXyz(GeoOps.point(lon, lat), R).toDoubleArray().toSeq
+    assert(xyz(0, 0) == Seq(R, 0.0, 0.0))
+    val np = xyz(0, 90)
+    assert(math.abs(np(0)) < 1e-9 && math.abs(np(1)) < 1e-9 && np(2) == R)
+    // chord vs great-circle: ||p - q|| = 2R sin(d / 2R), the identity
+    // the geodesic join rewrite rests on
+    val p = xyz(10, 20); val q = xyz(14, 21)
+    val chord = math.sqrt((0 to 2).map(i => math.pow(p(i) - q(i), 2)).sum)
+    val gc = GeoOps.distanceSpherical(GeoOps.point(10, 20), GeoOps.point(14, 21), R)
+    assert(math.abs(chord - 2 * R * math.sin(gc / (2 * R))) < 1e-6)
+    val e = intercept[IllegalArgumentException](
+      GeoOps.chordXyz(wkt("LINESTRING(0 0, 1 1)"), R))
+    assert(e.getMessage.contains("POINT"))
+  }
 }

@@ -541,6 +541,182 @@ class PlanRuleSpec extends SparkSpec {
     }
   }
 
+  test("EnvelopePrefilter distance conjuncts: planar + geodesic, empties kept, guards") {
+    // stat-bearing PARQUET frame (LocalRelation frames constant-fold
+    // before extraOptimizations run, so plan-shape assertions need a
+    // real relation) with a planted EMPTY-geometry row carrying the
+    // inverted stats GeoDb's addStats writes for empties
+    val base = Seq((1L, 5.0, 5.0), (2L, 50.0, 50.0), (3L, 8.0, 2.0), (4L, 0.0, 0.0))
+      .toDF("id", "x", "y")
+      .withColumn("geometry", when($"id" === 4,
+        st_geomfromtext(lit("POLYGON EMPTY"))).otherwise(st_point($"x", $"y")))
+      .withColumn("_bbox_minx", when($"id" === 4, lit(0.0)).otherwise($"x"))
+      .withColumn("_bbox_miny", when($"id" === 4, lit(0.0)).otherwise($"y"))
+      .withColumn("_bbox_maxx", when($"id" === 4, lit(-1.0)).otherwise($"x"))
+      .withColumn("_bbox_maxy", when($"id" === 4, lit(-1.0)).otherwise($"y"))
+    val dir = java.nio.file.Files.createTempDirectory("dist-prune").toString
+    base.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    def injected(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.exists(_.references.exists(_.name.startsWith("_bbox_")))
+    // planar st_dwithin: prefilter injected AND pushed to the scan;
+    // EMPTY row kept (JTS distance(EMPTY, g) = 0 <= r), far row pruned
+    val p = df.filter(st_dwithin($"geometry", st_point(lit(6.0), lit(4.0)), lit(5.0)))
+    assert(injected(p),
+      s"planar distance prefilter missing:\n${p.queryExecution.optimizedPlan}")
+    val phys = p.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") && phys.contains("_bbox_"),
+      s"expected stat-column pushdown in:\n$phys")
+    assert(p.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L))
+    // geodesic: latitude (and here longitude) bounds injected; row 1
+    // is the query point itself, rows 2/3 are hundreds of km out;
+    // the EMPTY row survives the prefilter and REFUSES at the verify
+    val g = df.filter($"id" =!= 4)
+      .filter(st_dwithin_spherical($"geometry", st_point(lit(5.0), lit(5.0)),
+        lit(300000.0)))
+    assert(injected(g),
+      s"geodesic latitude prefilter missing:\n${g.queryExecution.optimizedPlan}")
+    assert(g.select("id").as[Long].collect().toSeq === Seq(1L))
+    val gEmpty = df.filter(st_dwithin_spherical($"geometry",
+      st_point(lit(5.0), lit(5.0)), lit(300000.0)))
+    val eRef = intercept[Exception] { gEmpty.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eRef).exists(_.contains("POINT")),
+      s"empty row must reach the loud verify, got: ${msgs(eRef)}")
+    // antimeridian: grown lon interval leaves the domain -> lon bounds
+    // SKIPPED, the seam neighbor survives on the latitude pair alone
+    val amDir = java.nio.file.Files.createTempDirectory("dist-prune-am").toString
+    Seq((1L, -179.5, 0.0), (2L, 0.0, 60.0)).toDF("id", "x", "y")
+      .withColumn("geometry", st_point($"x", $"y"))
+      .withColumn("_bbox_minx", $"x").withColumn("_bbox_miny", $"y")
+      .withColumn("_bbox_maxx", $"x").withColumn("_bbox_maxy", $"y")
+      .write.mode("overwrite").parquet(amDir)
+    val am = spark.read.parquet(amDir)
+      .filter(st_dwithin_spherical($"geometry",
+        st_point(lit(179.5), lit(0.0)), lit(200000.0)))
+    assert(injected(am), "lat-only prefilter must still inject at the seam")
+    assert(am.select("id").as[Long].collect().toSeq === Seq(1L),
+      "antimeridian neighbor must survive the lat-only prefilter")
+    // near-pole: band reaches 90 -> lon bounds skipped, still correct
+    val poDir = java.nio.file.Files.createTempDirectory("dist-prune-po").toString
+    Seq((1L, 10.0, 89.8), (2L, -170.0, 89.9), (3L, 10.0, 80.0))
+      .toDF("id", "x", "y")
+      .withColumn("geometry", st_point($"x", $"y"))
+      .withColumn("_bbox_minx", $"x").withColumn("_bbox_miny", $"y")
+      .withColumn("_bbox_maxx", $"x").withColumn("_bbox_maxy", $"y")
+      .write.mode("overwrite").parquet(poDir)
+    val polar = spark.read.parquet(poDir)
+      .filter(st_dwithin_spherical($"geometry",
+        st_point(lit(0.0), lit(89.9)), lit(100000.0)))
+    assert(polar.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "polar cap rows across all longitudes must survive")
+    // the opposite inequality must NOT inject
+    val far = df.filter(st_distance($"geometry", st_point(lit(6.0), lit(4.0))) > 5.0)
+    assert(!injected(far), "st_distance > r must not inject a prefilter")
+    // no injection inside a disjunction
+    val disj = df.filter(
+      st_dwithin($"geometry", st_point(lit(6.0), lit(4.0)), lit(5.0)) || $"id" === 2L)
+    assert(!injected(disj))
+    assert(disj.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  private def withGeodesic[T](body: => T): T = {
+    spark.conf.set("spark.graft.spatialJoin.geodesic", "true")
+    try body finally spark.conf.unset("spark.graft.spatialJoin.geodesic")
+  }
+
+  test("GridSpatialJoin GEODESIC rewrite: chord-space cells match BNLJ incl. antimeridian + poles") {
+    // lon/lat points PLANTED around the antimeridian, a pole, and a
+    // mid-latitude cluster — the chord-space embedding must treat all
+    // three as ordinary neighborhoods (no seam, no polar case)
+    val a = ((0 until 40).map { i =>
+      val lon = Seq(179.9, -179.95, 10.0, 10.3, 0.0)(i % 5) + (i / 5) * 0.01
+      val lat = Seq(0.0, 0.05, 50.0, 50.1, 89.9)(i % 5) + (i / 5) * 0.01
+      (i.toLong, lon, lat)
+    } :+ ((900L, 5.0, 5.0))).toDF("aid", "alon", "alat")
+      .select($"aid", when($"aid" < 900, st_point($"alon", $"alat")).as("apt"))
+      .localCheckpoint(true) // aid=900 -> NULL geometry (when() else null)
+    val b = (0 until 50).map { i =>
+      val lon = Seq(-179.9, 179.8, 10.1, 10.4, 179.9)(i % 5) + (i / 5) * 0.009
+      val lat = Seq(0.02, 0.04, 50.05, 50.12, 89.92)(i % 5) + (i / 5) * 0.008
+      (1000L + i, lon, lat)
+    }.toDF("bid", "blon", "blat")
+      .select($"bid", st_point($"blon", $"blat").as("bpt")).localCheckpoint(true)
+    val r = 50000.0 // 50 km
+    val q0 = a.join(b, st_distance_spherical($"apt", $"bpt") <= r)
+      .select("aid", "bid")
+    assert(q0.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+    val brute = q0.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(brute.nonEmpty, "fixture must produce pairs")
+    withGeodesic {
+      val q = a.join(b, st_distance_spherical($"apt", $"bpt") <= r)
+        .select("aid", "bid")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_gsca0"),
+        "geodesic rewrite must fire")
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+        s"geodesic rewrite must hash/merge join:\n$plan")
+      val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got === brute, "geodesic rewrite row multiset differs from nested loop")
+      assert(got.size === got.toSet.size, "pair fired more than once")
+      // flipped literal + strict < forms rewrite too
+      val qf = a.join(b, lit(r) >= st_distance_spherical($"apt", $"bpt"))
+        .select("aid", "bid")
+      assert(qf.queryExecution.optimizedPlan.toString.contains("_graft_gsca0"))
+      assert(qf.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq === brute)
+      // st_dwithin_spherical resolves to the same conjunct -> same rewrite
+      val qd = a.join(b, st_dwithin_spherical($"apt", $"bpt", lit(r)))
+        .select("aid", "bid")
+      assert(qd.queryExecution.optimizedPlan.toString.contains("_graft_gsca0"),
+        "st_dwithin_spherical must take the geodesic rewrite")
+      assert(qd.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq === brute)
+      // > r must NOT rewrite (near-cross-product)
+      val qg = a.limit(3).join(b.limit(4),
+        st_distance_spherical($"apt", $"bpt") > r)
+      assert(!qg.queryExecution.optimizedPlan.toString.contains("_graft_gsca0"),
+        "st_distance_spherical > r must stay a nested loop")
+      // non-point geometry refuses loudly on the cell computation
+      val poly = Seq((1L, "POLYGON((0 0, 1 0, 0 1, 0 0))")).toDF("gid", "wkt")
+        .select($"gid", st_geomfromtext($"wkt").as("apt"))
+      val e = intercept[Exception] {
+        poly.join(b, st_distance_spherical($"apt", $"bpt") <= r).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("chordXyz")), s"got: ${msgs(e)}")
+    }
+  }
+
+  test("st_dwithin: planar sugar rewrites through the distance branch") {
+    val lhs = (0 until 30).map { i =>
+      (i.toLong, ((i * 13) % 90).toDouble, ((i * 29) % 90).toDouble)
+    }.toDF("aid", "ax", "ay")
+      .select($"aid", st_point($"ax", $"ay").as("apt")).localCheckpoint(true)
+    val rhs = (0 until 40).map { i =>
+      (1000L + i, ((i * 7) % 100).toDouble, ((i * 23) % 100).toDouble)
+    }.toDF("bid", "bx", "by")
+      .select($"bid", st_point($"bx", $"by").as("bpt")).localCheckpoint(true)
+    val q0 = lhs.join(rhs, st_dwithin($"apt", $"bpt", lit(9.0))).select("aid", "bid")
+    val brute = q0.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(q0.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+    withCellSize("9.0") {
+      val q = lhs.join(rhs, st_dwithin($"apt", $"bpt", lit(9.0))).select("aid", "bid")
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_dacx"),
+        "st_dwithin must take the planar distance rewrite")
+      assert(!q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+      assert(q.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq === brute)
+    }
+    // SQL surface resolves too
+    lhs.createOrReplaceTempView("dw_a"); rhs.createOrReplaceTempView("dw_b")
+    val s = spark.sql(
+      "SELECT aid, bid FROM dw_a JOIN dw_b ON st_dwithin(apt, bpt, 9.0)")
+    assert(s.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq === brute)
+  }
+
   test("BinnedRangeJoin overlap fallback: rewrite fires, brute twin, edge rows") {
     val rnd = new scala.util.Random(41)
     val a = (0L until 80L).map { i =>

@@ -122,6 +122,82 @@ class TrajectorySpec extends SparkSpec {
     assert(got === ref(pts, geoWithin(1000.0), 300L).toSet)
   }
 
+  test("kinematics: scala reference twin, NULL contract, refusals") {
+    import spark.implicits._
+    // tracks with duplicate timestamps (tiebreak), a coincident
+    // consecutive pair (NULL heading), and a zero-dt pair (NULL speed)
+    val pts = (for (k <- 0L until 6L; i <- 0 until 40) yield {
+      val lon = ((k * 5 + i * 3) % 50).toDouble * 0.5 - 10.0
+      val lat = ((k * 7 + i * 11) % 40).toDouble * 0.25 - 5.0
+      (k, (i / 2) * 10L + (i % 2) * (if (k == 0) 0L else 3L), lon, lat)
+    }) ++ Seq((9L, 0L, 1.0, 2.0), (9L, 100L, 1.0, 2.0), (9L, 200L, 3.0, 2.0))
+    val got = Trajectory.kinematics(
+        pts.toDF("dev", "t", "lon", "lat").repartition(5),
+        "dev", "t", "lon", "lat")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(4)).map(_ => r.getLong(4)),
+        Option(r.get(5)).map(_ => math.rint(r.getDouble(5) * 1e6)),
+        Option(r.get(6)).map(_ => math.rint(r.getDouble(6) * 1e6)),
+        Option(r.get(7)).map(_ => math.rint(r.getDouble(7) * 1e9)))).toSet
+    // local scala reference replaying the documented trees
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    def hav(lon1: Double, lat1: Double, lon2: Double, lat2: Double) = {
+      val h = math.pow(math.sin((math.toRadians(lat1) - math.toRadians(lat2)) / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin((math.toRadians(lon1) - math.toRadians(lon2)) / 2), 2)
+      2.0 * R * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    val want = pts.groupBy(_._1).flatMap { case (k, rows) =>
+      val srt = rows.sortBy(r => (r._2, r._3, r._4))
+      (None +: srt.map(Some(_)).init).zip(srt).map {
+        case (None, c) => (k, c._2, None, None, None, None)
+        case (Some(p), c) =>
+          val dt = c._2 - p._2
+          val st = hav(p._3, p._4, c._3, c._4)
+          val hd = if (p._3 == c._3 && p._4 == c._4) None else Some {
+            val t0 = math.atan2(
+              math.sin(math.toRadians(c._3) - math.toRadians(p._3)) *
+                math.cos(math.toRadians(c._4)),
+              math.cos(math.toRadians(p._4)) * math.sin(math.toRadians(c._4)) -
+                math.sin(math.toRadians(p._4)) * math.cos(math.toRadians(c._4)) *
+                  math.cos(math.toRadians(c._3) - math.toRadians(p._3)))
+            math.rint((if (t0 < 0) t0 + 2 * math.Pi else t0) * 1e9)
+          }
+          (k, c._2, Some(dt), Some(math.rint(st * 1e6)),
+            if (dt == 0) None else Some(math.rint(st / dt * 1e6)), hd)
+      }
+    }.toSet
+    assert(got === want)
+    // the planted rows: coincident pair -> step 0, NULL heading; and a
+    // zero-dt duplicate would NULL the speed (k=0 has dup timestamps)
+    val k9 = got.filter(_._1 == 9L).toSeq.sortBy(_._2)
+    assert(k9(1)._4 === Some(0.0) && k9(1)._6.isEmpty && k9(1)._5 === Some(0.0))
+    assert(got.exists(r => r._3.contains(0L) && r._5.isEmpty),
+      "a zero-dt pair must NULL the speed")
+    // refusals: NULL coordinate, out-of-range longitude, name collision
+    val eNull = intercept[Exception] {
+      val df = Seq((1L, 0L, Option.empty[Double], Some(1.0)),
+        (1L, 1L, Some(1.0), Some(1.0))).toDF("dev", "t", "lon", "lat")
+      Trajectory.kinematics(df, "dev", "t", "lon", "lat").count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(eNull).exists(_.contains("NULL longitude")))
+    val eRange = intercept[Exception] {
+      val df = Seq((1L, 0L, 500.0, 1.0), (1L, 1L, 1.0, 1.0))
+        .toDF("dev", "t", "lon", "lat")
+      Trajectory.kinematics(df, "dev", "t", "lon", "lat").count()
+    }
+    assert(chain(eRange).exists(_.contains("longitude out of")))
+    val eName = intercept[IllegalArgumentException] {
+      Trajectory.kinematics(
+        Seq((1L, 0L, 1.0, 1.0)).toDF("dt_s", "t", "lon", "lat"),
+        "dt_s", "t", "lon", "lat")
+    }
+    assert(eName.getMessage.contains("collides"))
+  }
+
   test("spaceTimeJoin equals the brute twin, boundaries included") {
     import spark.implicits._
     val a = (0 until 120).map(i =>
