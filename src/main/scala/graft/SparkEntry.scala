@@ -3771,6 +3771,37 @@ object SparkEntry {
           round(col("heading_rad") * 1e6).cast("long").as("heading_urad"))
         .orderBy("k", "t")
     }),
+    "q265_kinematics_stream" -> ((s, dir) => { ensure(s)
+      // kinematicsStream (r14b): the stateful streaming twin of q262 —
+      // ONE point of state per key, every arrival enriched against its
+      // predecessor and emitted immediately (no lookahead, so the
+      // batch equivalence is EXACT, not minus-tails). Run here in
+      // batch mode (state lives for the single batch — the
+      // streamingStayPoints convention); the multi-batch file-stream
+      // parity and the late-arrival refusal live in StreamingSpec.
+      // Identical fixture, rounding, margins and oracle as q262: the
+      // scalar trees are the batch operator's verbatim.
+      val pts = ld(s, dir, "events").select(
+        (col("user_id") % 40).as("k"), col("event_id").as("t"),
+        ((col("event_id") % 144).cast("double") * 0.015625 +
+          (col("user_id") % 7).cast("double")).as("lon"),
+        ((col("event_id") % 90).cast("double") * 0.03125 - 1.5).as("lat"))
+      val kin = graft.core.Trajectory.kinematicsStream(pts, "k", "t", "lon", "lat")
+      def margin(c: Column, scale: Double): Column =
+        min(abs(c * scale - floor(c * scale) - 0.5))
+      val m = kin.agg(margin(col("step_m"), 1.0),
+        margin(col("speed_mps"), 1.0), margin(col("heading_rad"), 1e6)).head()
+      (0 to 2).foreach { i =>
+        require(m.getDouble(i) > 1e-6,
+          f"q265: column $i sits ${m.getDouble(i)}%.2e from its rounding " +
+          "boundary — inside cross-libm drift; change the fixture")
+      }
+      kin.select(col("k"), col("t"), col("dt_s"),
+          round(col("step_m")).cast("long").as("step_m"),
+          round(col("speed_mps")).cast("long").as("speed_mps"),
+          round(col("heading_rad") * 1e6).cast("long").as("heading_urad"))
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -6710,6 +6741,29 @@ object SparkEntry {
        "CAST(round(degrees(phi2) * 1e6) AS BIGINT) AS plat_udeg " +
        "FROM y ORDER BY n_nationkey"),
     "q262_kinematics" ->
+      ("WITH p AS (SELECT CAST(user_id % 40 AS BIGINT) AS k, " +
+       "CAST(event_id AS BIGINT) AS t, " +
+       "CAST(event_id % 144 AS DOUBLE) * 0.015625 + CAST(user_id % 7 AS DOUBLE) AS lon, " +
+       "CAST(event_id % 90 AS DOUBLE) * 0.03125 - 1.5 AS lat FROM events), " +
+       "w AS (SELECT *, lag(t) OVER win AS pt, lag(lon) OVER win AS plon, " +
+       "lag(lat) OVER win AS plat FROM p " +
+       "WINDOW win AS (PARTITION BY k ORDER BY t, lon, lat)), " +
+       "s AS (SELECT k, t, t - pt AS dt_s, " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(plat) - radians(lat)) / 2), 2) + " +
+       "cos(radians(plat)) * cos(radians(lat)) * pow(sin((radians(plon) - radians(lon)) / 2), 2)" +
+       "))) AS step, " +
+       "atan2(sin(radians(lon) - radians(plon)) * cos(radians(lat)), " +
+       "cos(radians(plat)) * sin(radians(lat)) - " +
+       "sin(radians(plat)) * cos(radians(lat)) * cos(radians(lon) - radians(plon))) AS t0, " +
+       "plon = lon AND plat = lat AS coin FROM w) " +
+       "SELECT k, t, dt_s, " +
+       "CAST(CASE WHEN dt_s IS NULL THEN NULL ELSE round(step) END AS BIGINT) AS step_m, " +
+       "CAST(CASE WHEN dt_s IS NULL OR dt_s = 0 THEN NULL ELSE round(step / dt_s) END AS BIGINT) AS speed_mps, " +
+       "CAST(CASE WHEN dt_s IS NULL OR coin THEN NULL ELSE " +
+       "round((CASE WHEN t0 < 0 THEN t0 + 2 * pi() ELSE t0 END) * 1e6) END AS BIGINT) AS heading_urad " +
+       "FROM s ORDER BY k, t"),
+    "q265_kinematics_stream" ->
       ("WITH p AS (SELECT CAST(user_id % 40 AS BIGINT) AS k, " +
        "CAST(event_id AS BIGINT) AS t, " +
        "CAST(event_id % 144 AS DOUBLE) * 0.015625 + CAST(user_id % 7 AS DOUBLE) AS lon, " +

@@ -309,6 +309,113 @@ object Trajectory {
       .withColumnRenamed("lon", lonCol).withColumnRenamed("lat", latCol)
   }
 
+  /**
+   * STREAMING kinematics — [[kinematics]] as a stateful streaming
+   * enrichment (`flatMapGroupsWithState`): per-key state is ONE point
+   * (the last enriched), and every arrival emits immediately with its
+   * dt/step/speed/heading against that predecessor. Unlike the dwell
+   * scans there is no lookahead, so the bounded-stream twin is batch
+   * [[kinematics]] EXACTLY — no held-back tails — whenever arrivals
+   * respect per-key time order ACROSS batches; within one batch
+   * arrivals sort by `(ts, lon, lat)` like the batch window, so
+   * intra-batch disorder is harmless. An arrival at or below the last
+   * enriched timestamp REFUSES loudly (its successor's already-emitted
+   * row would change — the same rewrite-history contract as
+   * [[streamingStayPoints]], with the frontier simply the last point).
+   *
+   * The scalar trees are [[kinematics]]'s verbatim (`Math.sin`/`pow`/
+   * `asin`/`atan2` in the same order), so streaming and batch agree
+   * bit-for-bit — the spec pins it. State per key is 24 bytes
+   * (t, lon, lat): a NEVER-moving device costs the same as a busy one,
+   * and there is no cap to tune. Same NULL-refusal and NULL-output
+   * contract as batch (first point all-NULL, coincident pair NULL
+   * heading, zero-dt NULL speed — zero dt can only happen inside one
+   * batch, where the tiebreak orders it).
+   */
+  def kinematicsStream(points: DataFrame, keyCol: String, tsCol: String,
+                       lonCol: String, latCol: String,
+                       earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters)
+      : DataFrame = {
+    Seq(keyCol, tsCol, lonCol, latCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"kinematicsStream: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    val bigR = earthRadiusMeters
+    val spark = points.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def refuse(c: String, what: String, to: org.apache.spark.sql.types.DataType) =
+      when(col(c).isNull,
+        raise_error(lit(s"kinematicsStream: NULL $what — a dropped point " +
+          "would corrupt its successor's step")).cast(to))
+        .otherwise(col(c).cast(to))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi || isnan(c),
+        raise_error(concat(lit(s"kinematicsStream: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast("double")).otherwise(c)
+    val slim = points.select(
+        refuse(keyCol, "key", LongType).as("k"),
+        refuse(tsCol, "timestamp", LongType).as("t"),
+        ranged(refuse(lonCol, "longitude", DoubleType), -180, 180, "longitude").as("lon"),
+        ranged(refuse(latCol, "latitude", DoubleType), -90, 90, "latitude").as("lat"))
+      .as[(Long, Long, Double, Double)]
+    slim.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Double),
+          (Long, Long, Double, Double, Option[Long], Option[Double],
+           Option[Double], Option[Double])](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val incoming = it.map(r => (r._2, r._3, r._4)).toVector
+            .sortBy(p => (p._1, p._2, p._3))
+          incoming.headOption.foreach { p =>
+            state.getOption.foreach { case (lastT, _, _) =>
+              if (p._1 <= lastT)
+                throw new IllegalArgumentException(
+                  s"kinematicsStream: key $key received ts ${p._1} at or " +
+                  s"below the last enriched timestamp $lastT — its " +
+                  "successor's already-emitted step would change; replay " +
+                  "through the batch operator")
+            }
+          }
+          var prev = state.getOption
+          val out = incoming.map { case (t, lon, lat) =>
+            val row = prev match {
+              case None => (key, t, lon, lat, Option.empty[Long],
+                Option.empty[Double], Option.empty[Double], Option.empty[Double])
+              case Some((pt, plon, plat)) =>
+                val dt = t - pt
+                // the batch Column trees, verbatim
+                val dphi = math.toRadians(plat) - math.toRadians(lat)
+                val dlam = math.toRadians(plon) - math.toRadians(lon)
+                val h = math.pow(math.sin(dphi / 2), 2) +
+                  math.cos(math.toRadians(plat)) * math.cos(math.toRadians(lat)) *
+                    math.pow(math.sin(dlam / 2), 2)
+                val step = 2.0 * bigR * math.asin(math.min(1.0, math.sqrt(h)))
+                val heading =
+                  if (plon == lon && plat == lat) None
+                  else {
+                    val dl = math.toRadians(lon) - math.toRadians(plon)
+                    val t0 = math.atan2(
+                      math.sin(dl) * math.cos(math.toRadians(lat)),
+                      math.cos(math.toRadians(plat)) * math.sin(math.toRadians(lat)) -
+                        math.sin(math.toRadians(plat)) * math.cos(math.toRadians(lat)) *
+                          math.cos(dl))
+                    Some(if (t0 < 0) t0 + 2 * math.Pi else t0)
+                  }
+                (key, t, lon, lat, Some(dt), Some(step),
+                  if (dt == 0) None else Some(step / dt.toDouble), heading)
+            }
+            prev = Some((t, lon, lat))
+            row
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF("k", "t", "lon", "lat", "dt_s", "step_m", "speed_mps", "heading_rad")
+      .withColumnRenamed("k", keyCol).withColumnRenamed("t", tsCol)
+      .withColumnRenamed("lon", lonCol).withColumnRenamed("lat", latCol)
+  }
+
   /** The Zheng et al. state machine over one key's time-ordered points. */
   /**
    * STREAMING stay-point detection — [[stayPoints]] as a stateful

@@ -314,6 +314,79 @@ class TrajectorySpec extends SparkSpec {
       out.toSeq
     }
 
+  test("kinematicsStream: multi-batch == batch EXACTLY; late arrival refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    def fix(lo: Int, hi: Int): Seq[(Long, Long, Double, Double)] =
+      for (k <- 0L until 5L; i <- lo.toLong until hi.toLong) yield
+        (k, i * 10, ((k * 5 + i * 3) % 50) * 0.5 - 10.0,
+          ((k * 7 + i * 11) % 40) * 0.25 - 5.0)
+    val all = fix(0, 30)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        Option(r.get(4)).map(_ => r.getLong(4)),
+        Option(r.get(5)).map(_ => r.getDouble(5)),
+        Option(r.get(6)).map(_ => r.getDouble(6)),
+        Option(r.get(7)).map(_ => r.getDouble(7)))
+    val batch = Trajectory.kinematics(all.toDF("dev", "t", "lon", "lat"),
+      "dev", "t", "lon", "lat").collect().map(key).sortBy(r => (r._1, r._2)).toSeq
+    // batch-mode run of the streaming operator: bit-identical doubles
+    val batchMode = Trajectory.kinematicsStream(
+        all.toDF("dev", "t", "lon", "lat"), "dev", "t", "lon", "lat")
+      .collect().map(key).sortBy(r => (r._1, r._2)).toSeq
+    assert(batchMode === batch, "batch-mode stream run must equal batch kinematics")
+    // two micro-batches split mid-track: EXACT equality, no tails
+    val dir = tmpDir("kin-stream")
+    fix(0, 11).toDF("dev", "t", "lon", "lat").coalesce(1).write.parquet(s"$dir/f1")
+    fix(11, 30).toDF("dev", "t", "lon", "lat").coalesce(1).write.parquet(s"$dir/f2")
+    val sdir = tmpDir("kin-stream-in")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir, "a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir, "b.parquet")))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(sdir, "a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val schema = fix(0, 1).toDF("dev", "t", "lon", "lat").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+    val out = Trajectory.kinematicsStream(stream, "dev", "t", "lon", "lat")
+    val qn = s"kin_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn).collect().map(key).sortBy(r => (r._1, r._2)).toSeq
+    assert(got === batch, "multi-batch stream must equal batch EXACTLY (no tails)")
+    // late arrival at or below the last enriched ts refuses loudly
+    val sdir2 = tmpDir("kin-late")
+    Seq((1L, 100L, 1.0, 1.0)).toDF("dev", "t", "lon", "lat")
+      .coalesce(1).write.parquet(s"$dir/l1")
+    Seq((1L, 50L, 2.0, 2.0)).toDF("dev", "t", "lon", "lat")
+      .coalesce(1).write.parquet(s"$dir/l2")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/l1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir2, "a.parquet")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/l2"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().ifPresent(p =>
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(sdir2, "b.parquet")))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(sdir2, "a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val late = Trajectory.kinematicsStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(sdir2),
+      "dev", "t", "lon", "lat")
+    val qn2 = s"kinl_${System.nanoTime}"
+    val q2 = late.writeStream.format("memory").queryName(qn2)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val e = intercept[Exception] { q2.awaitTermination(120000) }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("last enriched timestamp")))
+  }
+
   test("streamingStayPoints: multi-batch file stream == open-suffix reference; sp_idx continues") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
