@@ -3802,6 +3802,85 @@ object SparkEntry {
           round(col("heading_rad") * 1e6).cast("long").as("heading_urad"))
         .orderBy("k", "t")
     }),
+    "q266_hotspots" -> ((s, dir) => { ensure(s)
+      // Getis–Ord Gi* hotspots (r14b): customers binned by quadratic
+      // residues (masses vary at EVERY SF — linear mods give uniform
+      // masses and an all-NULL S = 0 board at sf0.001/0.1, found at
+      // authoring); everything up to the one closed-form z tree is
+      // integer (cell masses, 9-neighbor sums, occupied-neighbor
+      // counts, the three global sums), so DuckDB replays it exactly.
+      // µ-unit BIGINT z with the rounding margin audited IN-GATE
+      // (authoring sweep minima 2.6e-3 across SFs vs ~1e-9 drift).
+      val pts = ld(s, dir, "customer").select(
+        (((col("c_custkey") * col("c_custkey")) % 37) % 12)
+          .cast("double").as("x"),
+        (((col("c_custkey") * col("c_custkey") * col("c_custkey")) % 41) % 10)
+          .cast("double").as("y"))
+      val hs = graft.core.GeoCluster.hotspots(pts, "x", "y", 1.0)
+      val m = hs.agg(min(abs(col("gi_z") * 1e6 - floor(col("gi_z") * 1e6) - 0.5)))
+        .head().getDouble(0)
+      require(m > 1e-6,
+        f"q266: a z sits $m%.2e from its rounding boundary — inside " +
+        "cross-libm drift; change the fixture")
+      hs.select(col("cx"), col("cy"), col("mass"), col("nbr_mass"),
+          col("nbr_cells"),
+          round(col("gi_z") * 1e6).cast("long").as("gi_z_u"))
+        .orderBy("cx", "cy")
+    }),
+    "q267_idw_interpolate" -> ((s, dir) => { ensure(s)
+      // Shepard IDW (r14b): per-nation query points at half-integers
+      // over the part integer lattice — the radius predicate is exact
+      // (d² is always k + 0.5, the 42.25 boundary unreachable), the
+      // weight tree 1/pow(sqrt(d²), 2) replays in DuckDB, and the
+      // order-free-enough weighted sums (error class 1e-8 µ-units)
+      // sit far inside the audited rounding margins (authoring sweep
+      // minima 7.5e-3 across SFs).
+      val smp = ld(s, dir, "part").select(
+        (col("p_partkey") % 60).cast("double").as("sx"),
+        (col("p_partkey") % 50).cast("double").as("sy"),
+        (col("p_partkey") % 23 + 1).cast("double").as("v"))
+      val qs = ld(s, dir, "nation").select(col("n_nationkey"),
+        ((col("n_nationkey") % 55).cast("double") + 0.5).as("qx"),
+        ((col("n_nationkey") % 45).cast("double") + 0.5).as("qy"))
+      val est = graft.core.DistanceJoin.idwInterpolate(
+        smp, "sx", "sy", "v", qs, "n_nationkey", "qx", "qy", radius = 6.5)
+      val m = est.agg(min(abs(col("idw_value") * 1e6 -
+        floor(col("idw_value") * 1e6) - 0.5))).head().getDouble(0)
+      require(m > 1e-6,
+        f"q267: an estimate sits $m%.2e from its rounding boundary — " +
+        "inside cross-libm drift; change the fixture")
+      est.select(col("n_nationkey"),
+          round(col("idw_value") * 1e6).cast("long").as("idw_u"),
+          col("n_samples"))
+        .orderBy("n_nationkey")
+    }),
+    "q268_geo_idw" -> ((s, dir) => { ensure(s)
+      // geodesic IDW (r14b): the banded-cell geoRadiusJoin candidates
+      // + haversine weights over q264's dense 0.05° customer lattice;
+      // query offsets (.02/.03) can never coincide with lattice nodes
+      // (no exact-hit branch in play), the closest sample to the
+      // 50 km boundary is 4.03 m (authoring sweep; drift class 1e-9 m),
+      // rounding margins audited in-gate.
+      val smp = ld(s, dir, "customer").select(
+        ((col("c_custkey") % 144).cast("double") * 0.05 + 6.4).as("slon"),
+        ((col("c_custkey") % 80).cast("double") * 0.05 + 18.0).as("slat"),
+        (col("c_custkey") % 13 + 1).cast("double").as("v"))
+      val qs = ld(s, dir, "nation").select(col("n_nationkey"),
+        ((col("n_nationkey") % 30).cast("double") * 0.1 + 8.02).as("qlon"),
+        ((col("n_nationkey") % 25).cast("double") * 0.1 + 19.03).as("qlat"))
+      val est = graft.core.DistanceJoin.geoIdwInterpolate(
+        smp, "slat", "slon", "v", qs, "n_nationkey", "qlat", "qlon",
+        radiusMeters = 50000.0)
+      val m = est.agg(min(abs(col("idw_value") * 1e6 -
+        floor(col("idw_value") * 1e6) - 0.5))).head().getDouble(0)
+      require(m > 1e-6,
+        f"q268: an estimate sits $m%.2e from its rounding boundary — " +
+        "inside cross-libm drift; change the fixture")
+      est.select(col("n_nationkey"),
+          round(col("idw_value") * 1e6).cast("long").as("idw_u"),
+          col("n_samples"))
+        .orderBy("n_nationkey")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5672,6 +5751,59 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q267_idw_interpolate" ->
+      ("WITH s AS (SELECT CAST(p_partkey % 60 AS DOUBLE) sx, " +
+       "CAST(p_partkey % 50 AS DOUBLE) sy, " +
+       "CAST(p_partkey % 23 + 1 AS DOUBLE) v FROM part), " +
+       "qs AS (SELECT n_nationkey, CAST(n_nationkey % 55 AS DOUBLE) + 0.5 qx, " +
+       "CAST(n_nationkey % 45 AS DOUBLE) + 0.5 qy FROM nation), " +
+       "pr AS (SELECT n_nationkey, v, " +
+       "sqrt((sx - qx) * (sx - qx) + (sy - qy) * (sy - qy)) d FROM qs JOIN s " +
+       "ON (sx - qx) * (sx - qx) + (sy - qy) * (sy - qy) <= 42.25) " +
+       "SELECT n_nationkey, " +
+       "CAST(round(sum((1.0 / pow(d, 2)) * v) / sum(1.0 / pow(d, 2)) * 1e6) AS BIGINT) AS idw_u, " +
+       "CAST(count(*) AS BIGINT) AS n_samples " +
+       "FROM pr GROUP BY n_nationkey ORDER BY n_nationkey"),
+    "q268_geo_idw" ->
+      ("WITH s AS (SELECT CAST(c_custkey % 144 AS DOUBLE) * 0.05 + 6.4 slon, " +
+       "CAST(c_custkey % 80 AS DOUBLE) * 0.05 + 18.0 slat, " +
+       "CAST(c_custkey % 13 + 1 AS DOUBLE) v FROM customer), " +
+       "qs AS (SELECT n_nationkey, " +
+       "CAST(n_nationkey % 30 AS DOUBLE) * 0.1 + 8.02 qlon, " +
+       "CAST(n_nationkey % 25 AS DOUBLE) * 0.1 + 19.03 qlat FROM nation), " +
+       "pr AS (SELECT n_nationkey, v, " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(qlat) - radians(slat)) / 2), 2) + " +
+       "cos(radians(qlat)) * cos(radians(slat)) * pow(sin((radians(qlon) - radians(slon)) / 2), 2)" +
+       "))) d FROM qs JOIN s ON " +
+       "2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(qlat) - radians(slat)) / 2), 2) + " +
+       "cos(radians(qlat)) * cos(radians(slat)) * pow(sin((radians(qlon) - radians(slon)) / 2), 2)" +
+       "))) <= 50000.0) " +
+       "SELECT n_nationkey, " +
+       "CAST(round(sum((1.0 / pow(d, 2)) * v) / sum(1.0 / pow(d, 2)) * 1e6) AS BIGINT) AS idw_u, " +
+       "CAST(count(*) AS BIGINT) AS n_samples " +
+       "FROM pr GROUP BY n_nationkey ORDER BY n_nationkey"),
+    "q266_hotspots" ->
+      ("WITH pts AS (SELECT ((c_custkey * c_custkey) % 37) % 12 AS px, " +
+       "((c_custkey * c_custkey * c_custkey) % 41) % 10 AS py FROM customer), " +
+       "cells AS (SELECT CAST(px AS BIGINT) cx, CAST(py AS BIGINT) cy, " +
+       "CAST(count(*) AS BIGINT) mass FROM pts GROUP BY 1, 2), " +
+       "g AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(mass) AS BIGINT) sx, " +
+       "CAST(sum(mass * mass) AS BIGINT) sx2 FROM cells), " +
+       "don AS (SELECT a.cx + dx.d AS cx, a.cy + dy.d AS cy, a.mass " +
+       "FROM cells a, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)), " +
+       "nb AS (SELECT cx, cy, CAST(sum(mass) AS BIGINT) nbr_mass, " +
+       "CAST(count(*) AS BIGINT) nbr_cells FROM don GROUP BY 1, 2), " +
+       "j AS (SELECT c.cx, c.cy, c.mass, nb.nbr_mass, nb.nbr_cells, " +
+       "g.n, g.sx, g.sx2 FROM cells c JOIN nb USING (cx, cy) CROSS JOIN g) " +
+       "SELECT cx, cy, mass, nbr_mass, nbr_cells, CAST(round(" +
+       "(CAST(nbr_mass AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(nbr_cells AS DOUBLE)) / " +
+       "(sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+       "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+       "sqrt((CAST(n AS DOUBLE) * CAST(nbr_cells AS DOUBLE) - " +
+       "CAST(nbr_cells AS DOUBLE) * CAST(nbr_cells AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))" +
+       " * 1e6) AS BIGINT) AS gi_z_u FROM j ORDER BY cx, cy"),
     "q263_dwithin_prune" ->
       ("SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE " +
        "(CAST((p_partkey % 97) - 48 AS DOUBLE) - 5.5) * (CAST((p_partkey % 97) - 48 AS DOUBLE) - 5.5) + " +

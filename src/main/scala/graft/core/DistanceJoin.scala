@@ -1185,4 +1185,99 @@ object DistanceJoin {
         col("_seg.ax").as(axCol), col("_seg.ay").as(ayCol),
         col("_seg.bx").as(bxCol), col("_seg.by").as(byCol)): _*)
   }
+
+  /**
+   * INVERSE-DISTANCE-WEIGHTED interpolation (Shepard 1968, the public
+   * formulation): estimate a value at each query point from the
+   * samples within `radius`,
+   *
+   *   v̂(q) = Σ_j w_j·v_j / Σ_j w_j,   w_j = 1 / dist(q, j)^power,
+   *
+   * with the standard EXACT-HIT rule — a sample AT the query point
+   * (dist = 0) short-circuits to the mean of the zero-distance
+   * samples (the limit of the weights, and the only finite answer).
+   * Queries with NO sample in radius emit a NULL estimate and
+   * `n_samples = 0` (documented — refusing would make sparse maps
+   * unusable, silently extrapolating would be worse).
+   *
+   * Candidates ride [[radiusJoin]] (3×3 cell hash join, never
+   * all-pairs; `saltCells` for hot cells); the aggregate is one
+   * map-side-combinable groupBy on the query id. The weight tree is
+   * `1 / pow(sqrt(dist2), power)` — one canonical spelling external
+   * engines replay.
+   *
+   * Output: the QUERY frame's columns + `(idw_value double,
+   * n_samples long, n_exact long)`.
+   */
+  def idwInterpolate(samples: DataFrame, sx: String, sy: String, valueCol: String,
+                     queries: DataFrame, qIdCol: String, qx: String, qy: String,
+                     radius: Double, power: Int = 2,
+                     cellSize: Option[Double] = None,
+                     saltCells: Int = 0): DataFrame = {
+    require(power >= 1, s"idwInterpolate: power must be >= 1, got $power")
+    require(samples.columns.contains(valueCol),
+      s"idwInterpolate: column '$valueCol' missing from ${samples.columns.mkString("[", ",", "]")}")
+    require(queries.columns.contains(qIdCol),
+      s"idwInterpolate: column '$qIdCol' missing from ${queries.columns.mkString("[", ",", "]")}")
+    val pairs = radiusJoin(
+      queries.select(col(qIdCol).as("_qid"), col(qx).as("_qx"), col(qy).as("_qy")),
+      samples.select(col(sx).as("_sx"), col(sy).as("_sy"),
+        when(col(valueCol).isNull,
+          raise_error(lit("idwInterpolate: NULL sample value — a dropped " +
+            "sample would silently shift the estimate")).cast("double"))
+          .otherwise(col(valueCol).cast("double")).as("_v")),
+      "_qx", "_qy", "_sx", "_sy", radius, cellSize, saltCells)
+    idwAgg(pairs, col("dist"), queries, qIdCol, power)
+  }
+
+  /** [[idwInterpolate]] on the sphere: lat/lon degrees, metres, the
+    * [[geoRadiusJoin]] banded-cell candidates and haversine distance. */
+  def geoIdwInterpolate(samples: DataFrame, sLat: String, sLon: String,
+                        valueCol: String,
+                        queries: DataFrame, qIdCol: String,
+                        qLat: String, qLon: String,
+                        radiusMeters: Double, power: Int = 2,
+                        earthRadiusMeters: Double = EarthRadiusMeters,
+                        saltCells: Int = 0): DataFrame = {
+    require(power >= 1, s"geoIdwInterpolate: power must be >= 1, got $power")
+    require(samples.columns.contains(valueCol),
+      s"geoIdwInterpolate: column '$valueCol' missing from ${samples.columns.mkString("[", ",", "]")}")
+    require(queries.columns.contains(qIdCol),
+      s"geoIdwInterpolate: column '$qIdCol' missing from ${queries.columns.mkString("[", ",", "]")}")
+    val pairs = geoRadiusJoin(
+      queries.select(col(qIdCol).as("_qid"), col(qLat).as("_qlat"),
+        col(qLon).as("_qlon")),
+      samples.select(col(sLat).as("_slat"), col(sLon).as("_slon"),
+        when(col(valueCol).isNull,
+          raise_error(lit("geoIdwInterpolate: NULL sample value — a dropped " +
+            "sample would silently shift the estimate")).cast("double"))
+          .otherwise(col(valueCol).cast("double")).as("_v")),
+      "_qlat", "_qlon", "_slat", "_slon", radiusMeters,
+      earthRadiusMeters = earthRadiusMeters, saltCells = saltCells)
+    idwAgg(pairs, col("dist_m"), queries, qIdCol, power)
+  }
+
+  /** Shared IDW aggregate over a (…, _qid, _v, dist) pair frame. */
+  private def idwAgg(pairs: DataFrame, dist: Column,
+                     queries: DataFrame, qIdCol: String, power: Int): DataFrame = {
+    Seq("idw_value", "n_samples", "n_exact").foreach { c =>
+      require(!queries.columns.contains(c),
+        s"idwInterpolate: output column '$c' already present — rename it")
+    }
+    val w = lit(1.0) / pow(dist, power)
+    val agg = pairs.groupBy(col("_qid")).agg(
+      sum(when(dist > 0.0, w * col("_v"))).as("_wv"),
+      sum(when(dist > 0.0, w)).as("_ws"),
+      count(lit(1)).as("n_samples"),
+      sum(when(dist === 0.0, 1L).otherwise(0L)).as("n_exact"),
+      avg(when(dist === 0.0, col("_v"))).as("_exact"))
+    val est = when(col("n_exact") > 0, col("_exact"))
+      .otherwise(col("_wv") / col("_ws"))
+    queries.join(agg.select(col("_qid"), est.as("idw_value"),
+        col("n_samples"), col("n_exact")),
+      queries(qIdCol) === col("_qid"), "left")
+      .drop("_qid")
+      .withColumn("n_samples", coalesce(col("n_samples"), lit(0L)))
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+  }
 }

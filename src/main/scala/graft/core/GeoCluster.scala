@@ -132,4 +132,104 @@ object GeoCluster {
         coalesce(col("is_core"), lit(false)).as("is_core"),
         col("cluster")): _*)
   }
+
+  /**
+   * HOTSPOT analysis — the Getis–Ord Gi* statistic (Getis & Ord 1992;
+   * Ord & Getis 1995, the public formulation) over a fixed grid:
+   * points bin into `cellSize` cells, each OCCUPIED cell gets a
+   * z-score for "is the count mass in my 3×3 neighborhood
+   * significantly above the global mean":
+   *
+   *   Gi* = (Σ_{j∈N(i)} x_j − x̄·W_i) /
+   *         (S · sqrt((n·W_i − W_i²) / (n − 1)))
+   *
+   * with binary weights over the 8 neighbors + self (so ΣW_ij = ΣW_ij²
+   * = W_i = the number of OCCUPIED cells in the neighborhood),
+   * x̄ = Σx/n and S = sqrt(Σx²/n − x̄²) over all n occupied cells.
+   * |Gi*| > 1.96 ≈ the 5% hot/cold spot.
+   *
+   * Semantics pinned on purpose: the cell UNIVERSE is the occupied
+   * cells (empty cells are not observations — the bounded-extent
+   * full-lattice variant is a different, extent-parameterized
+   * question); coordinates are PLANAR (project lat/lon first, or live
+   * with the latitude bias a degree grid has — documented, like
+   * [[graft.core.SpatialJoin]]'s cells). Gi* is NULL where it is
+   * undefined: S = 0 (every cell holds the same mass — no deviation
+   * to score) or W_i = n (the neighborhood IS the universe, variance
+   * term 0). Fewer than 2 occupied cells REFUSES loudly.
+   *
+   * Exactness: everything up to the final z expression is INTEGER
+   * (counts / integral weights summed as longs: per-cell mass,
+   * neighbor sums, occupied-neighbor counts, the three global sums),
+   * so an external engine replays the one closed-form double tree
+   * bit-for-bit.
+   *
+   * Scale: one groupBy on the cell key (map-side combinable counts), a
+   * 9-way slim explode of (cell, mass) joined back on the cell hash —
+   * never all-pairs, payload never rides — and ONE broadcast row of
+   * global sums. 100 TB of points reduce to |occupied cells| rows
+   * after the first aggregate.
+   *
+   * Output: `(cx long, cy long, mass long, nbr_mass long, nbr_cells
+   * long, gi_z double)`.
+   */
+  def hotspots(points: DataFrame, xCol: String, yCol: String,
+               cellSize: Double, weightCol: Option[String] = None): DataFrame = {
+    require(cellSize > 0 && !cellSize.isInfinite && !cellSize.isNaN,
+      s"hotspots: cellSize must be finite > 0, got $cellSize")
+    (Seq(xCol, yCol) ++ weightCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"hotspots: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    weightCol.foreach { c =>
+      val t = points.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType,
+        s"hotspots: weight column '$c' must be integral (got $t) — " +
+        "integer mass keeps every sum exact and the z tree replayable")
+    }
+    def refuse(c: String) =
+      when(col(c).isNull || isnan(col(c)) ||
+          col(c).cast("double").isin(Double.PositiveInfinity, Double.NegativeInfinity),
+        raise_error(lit(s"hotspots: NULL/NaN/Inf in '$c' — a dropped point " +
+          "would silently shift its cell's mass")).cast("double"))
+        .otherwise(col(c).cast("double"))
+    val w = weightCol.map(c =>
+      when(col(c).isNull, raise_error(lit("hotspots: NULL weight"))
+        .cast("long")).otherwise(col(c).cast("long"))).getOrElse(lit(1L))
+    val cells = points.select(
+        floor(refuse(xCol) / cellSize).cast("long").as("cx"),
+        floor(refuse(yCol) / cellSize).cast("long").as("cy"),
+        w.as("_w"))
+      .groupBy("cx", "cy").agg(sum("_w").as("mass"))
+    val globals = cells.agg(count(lit(1)).as("_n"),
+      sum("mass").as("_sx"),
+      sum(col("mass") * col("mass")).as("_sx2"))
+    // each occupied cell donates its mass to its 9 neighbor positions;
+    // the inner join back keeps only positions that ARE occupied cells
+    val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy)
+    val donated = cells.select(col("mass").as("_xj"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("tcx"), (col("cy") + dy).as("tcy"))
+        }: _*)).as("_t"))
+      .select(col("_t.tcx").as("cx"), col("_t.tcy").as("cy"), col("_xj"))
+      .groupBy("cx", "cy")
+      .agg(sum("_xj").as("nbr_mass"), count(lit(1)).as("nbr_cells"))
+    val joined = cells.join(donated, Seq("cx", "cy")).crossJoin(broadcast(globals))
+    val n = col("_n").cast("double")
+    val wi = col("nbr_cells").cast("double")
+    val xbar = col("_sx").cast("double") / n
+    val s2 = col("_sx2").cast("double") / n - xbar * xbar
+    val varTerm = (n * wi - wi * wi) / (n - 1.0)
+    val z = (col("nbr_mass").cast("double") - xbar * wi) /
+      (sqrt(s2) * sqrt(varTerm))
+    joined.select(col("cx"), col("cy"), col("mass"),
+      col("nbr_mass"), col("nbr_cells"),
+      when(col("_n") < 2,
+          raise_error(lit("hotspots: fewer than 2 occupied cells — Gi* " +
+            "needs a universe to deviate from")).cast("double"))
+        .otherwise(when(s2 <= 0.0 || col("nbr_cells") === col("_n"),
+          lit(null).cast("double")).otherwise(z)).as("gi_z"))
+  }
 }

@@ -4493,6 +4493,96 @@ class ExtSpec extends SparkSpec {
     assert(k1 == n1)
   }
 
+  test("idwInterpolate: brute twin, exact-hit branch, no-neighbor NULL, geo variant, refusals") {
+    import graft.core.DistanceJoin
+    val rnd = new scala.util.Random(31)
+    val smp = ((0 until 200).map(i =>
+      (rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble,
+        (i % 9 + 1).toDouble)) ++
+      Seq((20.0, 20.0, 5.0), (20.0, 20.0, 7.0))) // planted exact hits
+      .toDF("sx", "sy", "v")
+    val qs = Seq((1L, 10.5, 10.5), (2L, 20.0, 20.0), (3L, 500.0, 500.0))
+      .toDF("qid", "qx", "qy")
+    val got = DistanceJoin.idwInterpolate(smp, "sx", "sy", "v",
+        qs, "qid", "qx", "qy", radius = 5.0)
+      .collect().map(r => (r.getLong(0),
+        (Option(r.get(3)).map(_ => r.getDouble(3)), r.getLong(4), r.getLong(5))))
+      .toMap
+    // brute twin
+    val rows = smp.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def brute(qx: Double, qy: Double): (Option[Double], Long, Long) = {
+      val near = rows.filter(p =>
+        (p._1 - qx) * (p._1 - qx) + (p._2 - qy) * (p._2 - qy) <= 25.0)
+      if (near.isEmpty) (None, 0L, 0L)
+      else {
+        val exact = near.filter(p => p._1 == qx && p._2 == qy)
+        if (exact.nonEmpty)
+          (Some(exact.map(_._3).sum / exact.length), near.length.toLong,
+            exact.length.toLong)
+        else {
+          val ws = near.map { p =>
+            val d = math.sqrt((p._1 - qx) * (p._1 - qx) + (p._2 - qy) * (p._2 - qy))
+            (1.0 / math.pow(d, 2), p._3)
+          }
+          (Some(ws.map(w => w._1 * w._2).sum / ws.map(_._1).sum),
+            near.length.toLong, 0L)
+        }
+      }
+    }
+    // q1: no exact hits possible (half-integer query on integer lattice)
+    val b1 = brute(10.5, 10.5)
+    assert(got(1L)._2 === b1._2 && got(1L)._3 === 0L)
+    assert(math.abs(got(1L)._1.get - b1._1.get) < 1e-9)
+    // q2: integer query point — exact hits take the mean-of-exact branch
+    val b2 = brute(20.0, 20.0)
+    assert(got(2L)._3 === b2._3 && b2._3 > 0,
+      "fixture must exercise the exact-hit branch")
+    assert(math.abs(got(2L)._1.get - b2._1.get) < 1e-12)
+    // q3: nothing in radius — NULL estimate, zero counts, row kept
+    assert(got(3L) === ((None, 0L, 0L)))
+    // geo variant vs its own brute
+    def havM(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val h = math.pow(math.sin((math.toRadians(lat1) - math.toRadians(lat2)) / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin((math.toRadians(lon1) - math.toRadians(lon2)) / 2), 2)
+      2.0 * DistanceJoin.EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    val gsmp = (0 until 100).map(i =>
+      (10.0 + (i % 10) * 0.05, 20.0 + (i / 10) * 0.05, (i % 7 + 1).toDouble))
+      .toDF("slon", "slat", "v")
+    val gqs = Seq((1L, 10.12, 20.13)).toDF("qid", "qlon", "qlat")
+    val ggot = DistanceJoin.geoIdwInterpolate(gsmp, "slat", "slon", "v",
+        gqs, "qid", "qlat", "qlon", radiusMeters = 20000.0)
+      .collect().map(r => (r.getDouble(3), r.getLong(4))).head
+    val gnear = (0 until 100).map { i =>
+      val (lon, lat, v) = (10.0 + (i % 10) * 0.05, 20.0 + (i / 10) * 0.05,
+        (i % 7 + 1).toDouble)
+      (havM(20.13, 10.12, lat, lon), v)
+    }.filter(_._1 <= 20000.0)
+    val gwant = gnear.map(p => (1.0 / math.pow(p._1, 2)) * p._2).sum /
+      gnear.map(p => 1.0 / math.pow(p._1, 2)).sum
+    assert(ggot._2 === gnear.length.toLong &&
+      math.abs(ggot._1 - gwant) < 1e-9 * math.abs(gwant))
+    // refusals: NULL value, bad power, output-name collision
+    val eNull = intercept[Exception] {
+      DistanceJoin.idwInterpolate(
+        Seq((1.0, 1.0, Option.empty[Double])).toDF("sx", "sy", "v"),
+        "sx", "sy", "v", qs, "qid", "qx", "qy", radius = 5.0).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(eNull).exists(_.contains("NULL sample value")))
+    intercept[IllegalArgumentException] {
+      DistanceJoin.idwInterpolate(smp, "sx", "sy", "v",
+        qs, "qid", "qx", "qy", radius = 5.0, power = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DistanceJoin.idwInterpolate(smp, "sx", "sy", "v",
+        qs.withColumn("idw_value", lit(1.0)), "qid", "qx", "qy", radius = 5.0)
+    }
+  }
+
   test("geo radius join: brute haversine twin, antimeridian, pole, planar consistency, refusals") {
     import graft.core.DistanceJoin
     val bigR = DistanceJoin.EarthRadiusMeters

@@ -143,4 +143,70 @@ class GeoClusterSpec extends SparkSpec {
       GeoCluster.geoDbscan(ok, "missing", "lat", "lon", 1000.0, 2)
     }
   }
+
+  test("hotspots: scala Gi* reference, NULL contract, refusals") {
+    import spark.implicits._
+    // masses: cell (0,0)=4, (1,0)=2, (1,1)=1, (5,5)=1 — a hot corner
+    // and a far singleton
+    val pts = (Seq.fill(4)((0.5, 0.5)) ++ Seq.fill(2)((1.5, 0.5)) ++
+      Seq((1.5, 1.5)) ++ Seq((5.5, 5.5))).toDF("x", "y")
+    val got = GeoCluster.hotspots(pts, "x", "y", 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_ => r.getDouble(5))))).toMap
+    // scala reference over the same formula
+    val mass = Map((0L, 0L) -> 4L, (1L, 0L) -> 2L, (1L, 1L) -> 1L, (5L, 5L) -> 1L)
+    val n = mass.size.toDouble
+    val sx = mass.values.sum.toDouble
+    val sx2 = mass.values.map(v => v * v).sum.toDouble
+    val xbar = sx / n
+    val s = math.sqrt(sx2 / n - xbar * xbar)
+    mass.keys.foreach { case (cx, cy) =>
+      val nbrs = mass.filter { case ((a, b), _) =>
+        math.abs(a - cx) <= 1 && math.abs(b - cy) <= 1 }
+      val wi = nbrs.size.toDouble
+      val num = nbrs.values.sum - xbar * wi
+      val z = num / (s * math.sqrt((n * wi - wi * wi) / (n - 1.0)))
+      val (m, nm, nc, gz) = got((cx, cy))
+      assert(m === mass((cx, cy)) && nm === nbrs.values.sum && nc === wi.toLong)
+      assert(gz.isDefined && math.abs(gz.get - z) < 1e-12,
+        s"cell ($cx, $cy): got $gz want $z")
+    }
+    // the hot corner scores positive, the far singleton negative
+    assert(got((0L, 0L))._4.get > 0 && got((5L, 5L))._4.get < 0)
+    // all-equal masses: S = 0, every z NULL (not NaN, not a crash)
+    val flat = Seq((0.5, 0.5), (3.5, 0.5), (6.5, 0.5)).toDF("x", "y")
+    val fz = GeoCluster.hotspots(flat, "x", "y", 1.0)
+      .select("gi_z").collect().map(r => Option(r.get(0)))
+    assert(fz.length === 3 && fz.forall(_.isEmpty))
+    // neighborhood == universe: variance term 0 -> NULL
+    val twoCells = (Seq.fill(3)((0.5, 0.5)) :+ ((1.5, 0.5))).toDF("x", "y")
+    val tz = GeoCluster.hotspots(twoCells, "x", "y", 1.0)
+      .select("gi_z").collect().map(r => Option(r.get(0)))
+    assert(tz.length === 2 && tz.forall(_.isEmpty))
+    // integral weights honored
+    val wpts = Seq((0.5, 0.5, 4L), (1.5, 0.5, 2L), (1.5, 1.5, 1L), (5.5, 5.5, 1L))
+      .toDF("x", "y", "w")
+    val wgot = GeoCluster.hotspots(wpts, "x", "y", 1.0, Some("w"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(math.abs(wgot((0L, 0L)) - got((0L, 0L))._4.get) < 1e-12)
+    // refusals: single cell, fractional weight type, NULL coordinate
+    val e1 = intercept[Exception] {
+      Seq((0.5, 0.5)).toDF("x", "y")
+        .transform(d => GeoCluster.hotspots(d, "x", "y", 1.0)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e1).exists(_.contains("fewer than 2 occupied cells")))
+    intercept[IllegalArgumentException] {
+      GeoCluster.hotspots(Seq((0.5, 0.5, 1.0)).toDF("x", "y", "w"),
+        "x", "y", 1.0, Some("w"))
+    }
+    val e2 = intercept[Exception] {
+      Seq((Some(0.5), 0.5), (None, 1.5)).toDF("x", "y")
+        .transform(d => GeoCluster.hotspots(d, "x", "y", 1.0)).collect()
+    }
+    assert(chain(e2).exists(_.contains("NULL/NaN/Inf")))
+  }
 }
