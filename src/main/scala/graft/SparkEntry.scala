@@ -3881,6 +3881,37 @@ object SparkEntry {
           col("n_samples"))
         .orderBy("n_nationkey")
     }),
+    "q269_resample" -> ((s, dir) => { ensure(s)
+      // Trajectory.resample (r14b): great-circle SLERP of synthetic
+      // tracks onto the absolute 64 s grid — one lag window +
+      // sequence() explode + closed-form column trees the DuckDB
+      // oracle replays (generate_series + the identical slerp).
+      // NON-dyadic grains on purpose: q262's 2^-5 lattice makes
+      // meridian-segment interpolations land EXACTLY on .5 µdeg
+      // (0.6953125° · 1e6 = 695312.5 — found at authoring, margin 0);
+      // 0.017/0.029 grains keep every value generic. µ-degree BIGINTs,
+      // both rounding margins audited IN-GATE (sweep minima 4.1e-6 /
+      // 1.6e-5 at sf0.1 vs ~1e-8 drift).
+      val pts = ld(s, dir, "events").select(
+        (col("user_id") % 40).as("k"), col("event_id").as("t"),
+        ((col("event_id") % 144).cast("double") * 0.017 +
+          (col("user_id") % 7).cast("double")).as("lon"),
+        ((col("event_id") % 90).cast("double") * 0.029 - 1.3).as("lat"))
+      val rs = graft.core.Trajectory.resample(pts, "k", "t", "lon", "lat",
+        stepSec = 64L)
+      def margin(c: Column): Column =
+        min(abs(c * 1e6 - floor(c * 1e6) - 0.5))
+      val m = rs.agg(margin(col("lon")), margin(col("lat"))).head()
+      (0 to 1).foreach { i =>
+        require(m.getDouble(i) > 1e-6,
+          f"q269: column $i sits ${m.getDouble(i)}%.2e from its rounding " +
+          "boundary — inside cross-libm drift; change the fixture")
+      }
+      rs.select(col("k"), col("t"),
+          round(col("lon") * 1e6).cast("long").as("lon_udeg"),
+          round(col("lat") * 1e6).cast("long").as("lat_udeg"))
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5751,6 +5782,35 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q269_resample" ->
+      ("WITH p AS (SELECT CAST(user_id % 40 AS BIGINT) k, " +
+       "CAST(event_id AS BIGINT) t, " +
+       "CAST(event_id % 144 AS DOUBLE) * 0.017 + CAST(user_id % 7 AS DOUBLE) lon, " +
+       "CAST(event_id % 90 AS DOUBLE) * 0.029 - 1.3 lat FROM events), " +
+       "w AS (SELECT *, lag(t) OVER win t0, lag(lon) OVER win lon0, " +
+       "lag(lat) OVER win lat0, lead(t) OVER win IS NULL lst FROM p " +
+       "WINDOW win AS (PARTITION BY k ORDER BY t)), " +
+       "pr AS (SELECT *, CAST(ceil(CAST(t0 AS DOUBLE) / 64) AS BIGINT) klo, " +
+       "CASE WHEN lst THEN CAST(floor(CAST(t AS DOUBLE) / 64) AS BIGINT) " +
+       "ELSE CAST(floor(CAST(t - 1 AS DOUBLE) / 64) AS BIGINT) END khi " +
+       "FROM w WHERE t0 IS NOT NULL), " +
+       "tk AS (SELECT k, t0, t, lon0, lat0, lon, lat, " +
+       "unnest(generate_series(klo, khi)) * 64 tt FROM pr), " +
+       "s AS (SELECT *, 2 * asin(least(1.0, sqrt(" +
+       "pow(sin((radians(lat0) - radians(lat)) / 2), 2) + " +
+       "cos(radians(lat0)) * cos(radians(lat)) * pow(sin((radians(lon0) - radians(lon)) / 2), 2)" +
+       "))) omega, CAST(tt - t0 AS DOUBLE) / CAST(t - t0 AS DOUBLE) f, " +
+       "lon0 = lon AND lat0 = lat still FROM tk), " +
+       "v AS (SELECT *, sin((1.0 - f) * omega) / sin(omega) a, " +
+       "sin(f * omega) / sin(omega) b FROM s), " +
+       "u AS (SELECT k, tt, still, lon0, lat0, " +
+       "a * cos(radians(lat0)) * cos(radians(lon0)) + b * cos(radians(lat)) * cos(radians(lon)) sx, " +
+       "a * cos(radians(lat0)) * sin(radians(lon0)) + b * cos(radians(lat)) * sin(radians(lon)) sy, " +
+       "a * sin(radians(lat0)) + b * sin(radians(lat)) sz FROM v) " +
+       "SELECT k, tt AS t, " +
+       "CAST(round((CASE WHEN still THEN lon0 ELSE degrees(atan2(sy, sx)) END) * 1e6) AS BIGINT) AS lon_udeg, " +
+       "CAST(round((CASE WHEN still THEN lat0 ELSE degrees(asin(greatest(-1.0, least(1.0, sz)))) END) * 1e6) AS BIGINT) AS lat_udeg " +
+       "FROM u ORDER BY k, t"),
     "q267_idw_interpolate" ->
       ("WITH s AS (SELECT CAST(p_partkey % 60 AS DOUBLE) sx, " +
        "CAST(p_partkey % 50 AS DOUBLE) sy, " +

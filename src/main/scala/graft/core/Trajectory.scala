@@ -310,6 +310,115 @@ object Trajectory {
   }
 
   /**
+   * TRACK RESAMPLING: interpolate each key's trajectory onto the
+   * absolute time grid `t ≡ 0 (mod stepSec)` — every grid instant
+   * covered by a consecutive point pair emits one position, SLERP'd
+   * along the great circle between the endpoints:
+   *
+   *   p(f) = (sin((1−f)·ω)·p₀ + sin(f·ω)·p₁) / sin(ω)
+   *
+   * on unit vectors, with ω the central angle from the haversine tree
+   * the whole geodesic family shares and `f = (t* − t₀)/(t₁ − t₀)`.
+   * The absolute grid (not per-key offsets) makes resampled tracks
+   * JOINABLE on the timestamp across keys — the point of resampling.
+   *
+   * Like [[segments]], this is window + explode — one shuffle on the
+   * key, then `sequence()` generates each pair's covered grid ticks
+   * and closed-form column trees do the rest; no custom plan, no
+   * mapPartitions, embarrassingly parallel after the lag.
+   *
+   * Conventions pinned: a grid tick ON an input point's timestamp
+   * emits (f = 0 or 1 — the slerp degenerates to the endpoint); each
+   * pair covers `[t₀, t₁)` and the key's LAST point closes `[t₀, t₁]`,
+   * so interior points emit once; single-point keys emit nothing (no
+   * segment to interpolate on); COINCIDENT endpoints hold position
+   * (ω = 0 — the slerp is 0/0, the answer is the point). DUPLICATE
+   * timestamps REFUSE loudly — two positions at one instant make
+   * interpolation ill-defined (dedup upstream, explicitly); NULL /
+   * out-of-range coordinates refuse like the rest of the family.
+   *
+   * Output: `(<keyCol> long, t long, lon double, lat double)` — the
+   * resampled track.
+   */
+  def resample(points: DataFrame, keyCol: String, tsCol: String,
+               lonCol: String, latCol: String, stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"resample: stepSec must be > 0, got $stepSec")
+    Seq(keyCol, tsCol, lonCol, latCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"resample: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"resample: $what column '$c' must be integral (got $t)")
+    }
+    def refuse(c: String, what: String, to: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"resample: NULL $what — a dropped point would " +
+          "silently bend the interpolated track")).cast(to))
+        .otherwise(col(c).cast(to))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi || isnan(c),
+        raise_error(concat(lit(s"resample: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast("double")).otherwise(c)
+    val slim = points.select(
+      refuse(keyCol, "key", "long").as("k"),
+      refuse(tsCol, "timestamp", "long").as("t"),
+      ranged(refuse(lonCol, "longitude", "double"), -180, 180, "longitude").as("lon"),
+      ranged(refuse(latCol, "latitude", "double"), -90, 90, "latitude").as("lat"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"))
+    val prevT = lag(col("t"), 1).over(w)
+    val paired = slim
+      .withColumn("t0", when(prevT === col("t"),
+        raise_error(concat(lit("resample: duplicate timestamp "),
+          col("t").cast("string"),
+          lit(" — two positions at one instant make interpolation " +
+            "ill-defined; dedup upstream"))).cast("long"))
+        .otherwise(prevT))
+      .withColumn("lon0", lag(col("lon"), 1).over(w))
+      .withColumn("lat0", lag(col("lat"), 1).over(w))
+      .withColumn("_last", lead(col("t"), 1).over(w).isNull)
+      .filter(col("t0").isNotNull)
+    // grid ticks covered by [t0, t) — the closing point's pair covers
+    // [t0, t]; ceil/floor on integral ts via exact long arithmetic
+    val kLo = ceil(col("t0").cast("double") / stepSec).cast("long")
+    val kHiOpen = floor((col("t") - 1).cast("double") / stepSec).cast("long")
+    val kHiClosed = floor(col("t").cast("double") / stepSec).cast("long")
+    val kHi = when(col("_last"), kHiClosed).otherwise(kHiOpen)
+    val ticks = paired
+      .withColumn("_kk", explode(when(kLo <= kHi,
+        sequence(kLo, kHi)).otherwise(array().cast("array<long>"))))
+      .withColumn("tt", col("_kk") * stepSec)
+    // slerp on unit vectors; omega via the shared haversine tree
+    def rad(c: Column) = radians(c)
+    def ux(lon: Column, lat: Column) = cos(rad(lat)) * cos(rad(lon))
+    def uy(lon: Column, lat: Column) = cos(rad(lat)) * sin(rad(lon))
+    def uz(lat: Column) = sin(rad(lat))
+    val dphi = rad(col("lat0")) - rad(col("lat"))
+    val dlam = rad(col("lon0")) - rad(col("lon"))
+    val hav = pow(sin(dphi / 2), 2) +
+      cos(rad(col("lat0"))) * cos(rad(col("lat"))) * pow(sin(dlam / 2), 2)
+    val omega = lit(2.0) * asin(least(lit(1.0), sqrt(hav)))
+    val f = (col("tt") - col("t0")).cast("double") /
+      (col("t") - col("t0")).cast("double")
+    val a = sin((lit(1.0) - f) * omega) / sin(omega)
+    val b = sin(f * omega) / sin(omega)
+    def mix(c0: Column, c1: Column) = a * c0 + b * c1
+    val sx = mix(ux(col("lon0"), col("lat0")), ux(col("lon"), col("lat")))
+    val sy = mix(uy(col("lon0"), col("lat0")), uy(col("lon"), col("lat")))
+    val sz = mix(uz(col("lat0")), uz(col("lat")))
+    // coincident endpoints: omega = 0, the slerp is 0/0 — hold position
+    val still = col("lon0") === col("lon") && col("lat0") === col("lat")
+    ticks.select(col("k").as(keyCol), col("tt").as("t"),
+      when(still, col("lon0"))
+        .otherwise(degrees(atan2(sy, sx))).as("lon"),
+      when(still, col("lat0"))
+        .otherwise(degrees(asin(greatest(lit(-1.0), least(lit(1.0), sz)))))
+        .as("lat"))
+  }
+
+  /**
    * STREAMING kinematics — [[kinematics]] as a stateful streaming
    * enrichment (`flatMapGroupsWithState`): per-key state is ONE point
    * (the last enriched), and every arrival emits immediately with its

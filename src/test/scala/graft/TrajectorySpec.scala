@@ -314,6 +314,73 @@ class TrajectorySpec extends SparkSpec {
       out.toSeq
     }
 
+  test("resample: slerp reference twin, grid conventions, hold-still, refusals") {
+    import spark.implicits._
+    val R = math.Pi / 180.0
+    // 3 keys, irregular gaps, one coincident consecutive pair (k=2)
+    val pts = Seq(
+      (1L, 3L, 10.0, 20.0), (1L, 27L, 14.0, 22.0), (1L, 40L, 15.0, 25.0),
+      (2L, 0L, 5.0, 5.0), (2L, 30L, 5.0, 5.0), (2L, 50L, 8.0, 5.0),
+      (3L, 7L, 0.0, 0.0)) // single point: emits nothing
+      .toDF("dev", "ts", "lg", "lt")
+    val got = Trajectory.resample(pts, "dev", "ts", "lg", "lt", stepSec = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // scala slerp reference
+    def slerp(lon0: Double, lat0: Double, lon1: Double, lat1: Double,
+              f: Double): (Double, Double) = {
+      if (lon0 == lon1 && lat0 == lat1) return (lon0, lat0)
+      val h = math.pow(math.sin((lat0 * R - lat1 * R) / 2), 2) +
+        math.cos(lat0 * R) * math.cos(lat1 * R) *
+          math.pow(math.sin((lon0 * R - lon1 * R) / 2), 2)
+      val om = 2 * math.asin(math.min(1.0, math.sqrt(h)))
+      val a = math.sin((1 - f) * om) / math.sin(om)
+      val b = math.sin(f * om) / math.sin(om)
+      def u(lon: Double, lat: Double) = (math.cos(lat * R) * math.cos(lon * R),
+        math.cos(lat * R) * math.sin(lon * R), math.sin(lat * R))
+      val (x0, y0, z0) = u(lon0, lat0); val (x1, y1, z1) = u(lon1, lat1)
+      val (sx, sy, sz) = (a * x0 + b * x1, a * y0 + b * y1, a * z0 + b * z1)
+      (math.toDegrees(math.atan2(sy, sx)),
+        math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, sz)))))
+    }
+    // key 1 pairs [3,27), [27,40]: ticks 10, 20 | 30, 40
+    assert(got.keySet === Set((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 0L), (2L, 10L), (2L, 20L), (2L, 30L), (2L, 40L), (2L, 50L)))
+    Seq((10L, 3L, 27L, (10.0, 20.0), (14.0, 22.0)),
+        (20L, 3L, 27L, (10.0, 20.0), (14.0, 22.0)),
+        (30L, 27L, 40L, (14.0, 22.0), (15.0, 25.0)),
+        (40L, 27L, 40L, (14.0, 22.0), (15.0, 25.0))).foreach {
+      case (tt, t0, t1, (lon0, lat0), (lon1, lat1)) =>
+        val f = (tt - t0).toDouble / (t1 - t0).toDouble
+        val want = slerp(lon0, lat0, lon1, lat1, f)
+        val g = got((1L, tt))
+        assert(math.abs(g._1 - want._1) < 1e-12 &&
+          math.abs(g._2 - want._2) < 1e-12, s"tick $tt: $g vs $want")
+    }
+    // tick ON the closing endpoint lands on it (f = 1)
+    assert(math.abs(got((1L, 40L))._1 - 15.0) < 1e-9 &&
+      math.abs(got((1L, 40L))._2 - 25.0) < 1e-9)
+    // coincident pair holds position exactly
+    assert(got((2L, 10L)) === ((5.0, 5.0)) && got((2L, 20L)) === ((5.0, 5.0)))
+    // tick 30 belongs to the NEXT pair ([30, 50]) with f = 0 — the
+    // slerp lands on the shared endpoint up to trig rounding
+    assert(math.abs(got((2L, 30L))._1 - 5.0) < 1e-9 &&
+      math.abs(got((2L, 30L))._2 - 5.0) < 1e-9)
+    // duplicate timestamps refuse loudly
+    val e = intercept[Exception] {
+      Trajectory.resample(
+        Seq((1L, 5L, 0.0, 0.0), (1L, 5L, 1.0, 1.0)).toDF("dev", "ts", "lg", "lt"),
+        "dev", "ts", "lg", "lt", 10L).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("duplicate timestamp")))
+    intercept[IllegalArgumentException] {
+      Trajectory.resample(pts, "dev", "ts", "lg", "lt", 0L)
+    }
+  }
+
   test("kinematicsStream: multi-batch == batch EXACTLY; late arrival refuses") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
