@@ -62,9 +62,12 @@ import graft.functions.{GeoChordXyz, StDistance, StDistanceSpherical, StEnvelope
  * product the grid cannot reproduce, and silently dropping those
  * pairs would be a wrong answer, the worse option).
  *
- * OPT-IN: fires only when `spark.graft.spatialJoin.cellSize` is set —
- * the cell size is a data property (pick it near the median geometry
- * extent). A geometry covering more than
+ * OPT-IN: the planar rewrites fire only when
+ * `spark.graft.spatialJoin.cellSize` is set — the cell size is a data
+ * property (pick it near the median geometry extent); the GEODESIC
+ * distance rewrite (see [[rewriteGeo]]) fires under its own
+ * `spark.graft.spatialJoin.geodesic = true` flag and needs NO size
+ * knob (the chord bound fixes it). A geometry covering more than
  * `spark.graft.spatialJoin.maxCellsPerGeom` (default 4096) cells
  * RAISES a runtime error naming both knobs and the manual operator —
  * a silent million-cell explode per continent-sized geometry would be
