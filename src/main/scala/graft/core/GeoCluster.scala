@@ -195,9 +195,17 @@ object GeoCluster {
         raise_error(lit(s"hotspots: NULL/NaN/Inf in '$c' — a dropped point " +
           "would silently shift its cell's mass")).cast("double"))
         .otherwise(col(c).cast("double"))
+    // negative mass would silently violate the count-mass premise of the
+    // Getis–Ord formulation (X̄, S and the neighbor sums all assume
+    // non-negative incidence mass) — refuse loudly like NULL (r15 ADVICE)
     val w = weightCol.map(c =>
       when(col(c).isNull, raise_error(lit("hotspots: NULL weight"))
-        .cast("long")).otherwise(col(c).cast("long"))).getOrElse(lit(1L))
+        .cast("long"))
+        .when(col(c) < 0, raise_error(concat(
+          lit("hotspots: negative weight "), col(c).cast("string"),
+          lit(" — Gi* scores non-negative incidence mass; signed fields " +
+            "need a different statistic"))).cast("long"))
+        .otherwise(col(c).cast("long"))).getOrElse(lit(1L))
     val cells = points.select(
         floor(refuse(xCol) / cellSize).cast("long").as("cx"),
         floor(refuse(yCol) / cellSize).cast("long").as("cy"),

@@ -334,7 +334,10 @@ object Trajectory {
    * segment to interpolate on); COINCIDENT endpoints hold position
    * (ω = 0 — the slerp is 0/0, the answer is the point). DUPLICATE
    * timestamps REFUSE loudly — two positions at one instant make
-   * interpolation ill-defined (dedup upstream, explicitly); NULL /
+   * interpolation ill-defined (dedup upstream, explicitly); ANTIPODAL
+   * consecutive points refuse too (ω ≈ π — infinitely many great
+   * circles, and sin(ω)→0 would amplify the weights into garbage that
+   * coordinate clamping would silently legitimize); NULL /
    * out-of-range coordinates refuse like the rest of the family.
    *
    * Output: `(<keyCol> long, t long, lon double, lat double)` — the
@@ -381,10 +384,18 @@ object Trajectory {
       .withColumn("_last", lead(col("t"), 1).over(w).isNull)
       .filter(col("t0").isNotNull)
     // grid ticks covered by [t0, t) — the closing point's pair covers
-    // [t0, t]; ceil/floor on integral ts via exact long arithmetic
-    val kLo = ceil(col("t0").cast("double") / stepSec).cast("long")
-    val kHiOpen = floor((col("t") - 1).cast("double") / stepSec).cast("long")
-    val kHiClosed = floor(col("t").cast("double") / stepSec).cast("long")
+    // [t0, t]; ceil/floor on integral ts via EXACT long arithmetic:
+    // a - pmod(a, s) is a multiple of s, so integral `div` recovers the
+    // floor quotient with no double rounding (double division rounds
+    // the quotient for |ts| > 2^53 — e.g. nanosecond-epoch longs — and
+    // a tick can land one grid step off; r15 ADVICE). ceil(a/s) =
+    // -floor(-a/s); the negation and the pmod subtraction stay in range
+    // for any |ts| ≤ Long.MaxValue - stepSec, far beyond any epoch unit.
+    def floorDiv(a: Column) =
+      call_function("div", a - pmod(a, lit(stepSec)), lit(stepSec))
+    val kLo = -floorDiv(-col("t0"))
+    val kHiOpen = floorDiv(col("t") - 1)
+    val kHiClosed = floorDiv(col("t"))
     val kHi = when(col("_last"), kHiClosed).otherwise(kHiOpen)
     val ticks = paired
       .withColumn("_kk", explode(when(kLo <= kHi,
@@ -399,7 +410,17 @@ object Trajectory {
     val dlam = rad(col("lon0")) - rad(col("lon"))
     val hav = pow(sin(dphi / 2), 2) +
       cos(rad(col("lat0"))) * cos(rad(col("lat"))) * pow(sin(dlam / 2), 2)
-    val omega = lit(2.0) * asin(least(lit(1.0), sqrt(hav)))
+    // ANTIPODAL refusal (r15 ADVICE): ω within ε of π means the
+    // endpoints are (numerically) antipodal — infinitely many great
+    // circles connect them, and sin(ω) ≈ 1e-16 blows the a/b weights
+    // into garbage coordinates that lat-clamping would then silently
+    // legitimize. Refuse loudly like the duplicate-timestamp case.
+    val omegaRaw = lit(2.0) * asin(least(lit(1.0), sqrt(hav)))
+    val omega = when(omegaRaw > math.Pi - 1e-9,
+      raise_error(lit("resample: consecutive points are antipodal — " +
+        "the great circle between them is not unique, interpolation " +
+        "is ill-defined; split the track upstream")).cast("double"))
+      .otherwise(omegaRaw)
     val f = (col("tt") - col("t0")).cast("double") /
       (col("t") - col("t0")).cast("double")
     val a = sin((lit(1.0) - f) * omega) / sin(omega)

@@ -41,6 +41,18 @@ import graft.functions.{StDistance, StDistanceSpherical, StRelation}
  * filter and would poison pushdown of the whole disjunction. An EMPTY
  * query literal injects nothing (planar distance to it is 0 everywhere
  * — nothing to prune).
+ *
+ * ACCEPTED DEVIATION (plan-dependent error semantics, r15): under
+ * `st_distance_spherical`, a far-away NON-POINT row that the grown
+ * envelope prunes is silently dropped, whereas the unoptimized plan
+ * would raise the scalar's point-only refusal on it. Preserving a
+ * per-row refusal for a row the prefilter's whole purpose is to never
+ * look at is impossible by construction; the same acceptance is
+ * documented for [[GridSpatialJoin]]'s geodesic rewrite, whose
+ * chord-space cells likewise drop rows before the refusing verify.
+ * Rows that DO reach the verify still refuse loudly, so a corpus whose
+ * non-point rows fall inside the search envelope fails exactly as
+ * before.
  */
 object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 

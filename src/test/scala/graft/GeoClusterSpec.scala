@@ -208,5 +208,13 @@ class GeoClusterSpec extends SparkSpec {
         .transform(d => GeoCluster.hotspots(d, "x", "y", 1.0)).collect()
     }
     assert(chain(e2).exists(_.contains("NULL/NaN/Inf")))
+    // negative weight refuses loudly: signed mass breaks the count-mass
+    // premise of the Gi* formulation (r15 ADVICE)
+    val e3 = intercept[Exception] {
+      Seq((0.5, 0.5, 4L), (1.5, 1.5, -1L)).toDF("x", "y", "w")
+        .transform(d => GeoCluster.hotspots(d, "x", "y", 1.0, Some("w")))
+        .collect()
+    }
+    assert(chain(e3).exists(_.contains("negative weight")))
   }
 }

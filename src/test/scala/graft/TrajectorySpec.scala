@@ -379,6 +379,41 @@ class TrajectorySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Trajectory.resample(pts, "dev", "ts", "lg", "lt", 0L)
     }
+    // antipodal consecutive points refuse loudly (omega ~ pi: the great
+    // circle is not unique and sin(omega) ~ 0 would blow the weights)
+    val ea = intercept[Exception] {
+      Trajectory.resample(
+        Seq((1L, 0L, 10.0, 20.0), (1L, 100L, -170.0, -20.0))
+          .toDF("dev", "ts", "lg", "lt"),
+        "dev", "ts", "lg", "lt", 10L).collect()
+    }
+    assert(chain(ea).exists(_.contains("antipodal")))
+  }
+
+  test("resample: grid ticks are exact for |ts| > 2^53 (long arithmetic)") {
+    import spark.implicits._
+    // base = 2^60: double division rounds (2^60 has 61 bits; the
+    // quotient by 7 needs more than 53), so the old double-based
+    // ceil/floor could land a tick one step off the true lattice
+    val base = 1L << 60
+    val step = 7L
+    // choose endpoints straddling exactly three lattice points
+    val t0 = base + 3 // next tick: first multiple of 7 >= t0
+    val t1 = t0 + 21
+    val got = Trajectory.resample(
+      Seq((1L, t0, 0.0, 0.0), (1L, t1, 1.0, 1.0)).toDF("dev", "ts", "lg", "lt"),
+      "dev", "ts", "lg", "lt", step)
+      .select("t").collect().map(_.getLong(0)).sorted
+    val want = Iterator.iterate(t0 + (step - (t0 % step)) % step)(_ + step)
+      .takeWhile(_ <= t1).toArray
+    assert(got.sameElements(want),
+      s"ticks ${got.mkString(",")} vs exact ${want.mkString(",")}")
+    // negative timestamps floor toward -inf on the same absolute grid
+    val gotNeg = Trajectory.resample(
+      Seq((1L, -23L, 0.0, 0.0), (1L, -2L, 1.0, 1.0)).toDF("dev", "ts", "lg", "lt"),
+      "dev", "ts", "lg", "lt", step)
+      .select("t").collect().map(_.getLong(0)).sorted
+    assert(gotNeg.sameElements(Array(-21L, -14L, -7L)), gotNeg.mkString(","))
   }
 
   test("kinematicsStream: multi-batch == batch EXACTLY; late arrival refuses") {
