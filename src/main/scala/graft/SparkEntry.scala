@@ -5561,6 +5561,30 @@ object SparkEntry {
     "s150_pq_train" -> ((s: SparkSession, dir: String) => {
       q150ModelCache.remove((s, dir)); q150Model(s, dir); () }))
 
+  /**
+   * Bench-SF warmup allowlist (r15 wall-budget diet): entries whose
+   * timed runs consume CROSS-GATE shared state — the Dedup family's
+   * one-time signature tables (materialized per (corpus, params) via
+   * `persistShared`) and the three [[sharedWork]] memo caches — still
+   * get the bench-SF warmup pass, so that one-time build cost lands in
+   * the warmup (and is then timed exactly once by its own sNNN entry),
+   * not in run 1 of whichever gate happens to go first. Every OTHER
+   * entry skips that pass: min-of-N is robust to a slow first run, and
+   * the adaptive third run catches any entry whose 2-run spread says
+   * the min is not yet trustworthy. Over-inclusion here costs a few
+   * warmup seconds; under-inclusion costs one extra timed run — both
+   * safe, so the match is by family substring plus the explicit memo
+   * consumers.
+   */
+  def benchSfWarmup(name: String): Boolean = {
+    val memoConsumers = Set("q136", "q137", "q142", // Ed-Join pair frame
+      "q138", "q145", "q153", "q155",               // cleaned corpus
+      "q150", "q151", "q152")                       // PQ model
+    memoConsumers.contains(name.takeWhile(_ != '_')) ||
+      Seq("dedup", "fuzzy", "minhash", "clean", "edit_distance")
+        .exists(name.contains)
+  }
+
   /** Release the cross-gate caches (the [[graft.ext.Dedup.releaseCaches]]
     * convention): eagerly materialized checkpoint frames and session
     * references would otherwise be retained for the process lifetime
