@@ -5333,6 +5333,92 @@ class ExtSpec extends SparkSpec {
         "no checkpoint files written under spark.graft.checkpointDir")
     } finally spark.conf.unset(graft.core.Checkpoints.ConfKey)
   }
+
+  test("StTransform snapshot: >=10MB NTv2 grid rides a Broadcast, not the plan; " +
+       "equality is by registration version") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.core.{GeoOps, NtV2}
+    import graft.functions.StTransform
+    // synthetic NTv2 .gsb with one 1150x1150 subgrid = 1.32M nodes; the
+    // parsed GridShift keeps 8 bytes/node of shift arrays > 10 MB — the size class of a real national
+    // grid (the q255 gate's fixture is deliberately tiny)
+    def gsb(): Array[Byte] = {
+      val order = java.nio.ByteOrder.BIG_ENDIAN
+      val rows = 1150; val cols = 1150
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(k: String, fill: java.nio.ByteBuffer => Unit): Unit = {
+        val b = java.nio.ByteBuffer.allocate(16).order(order)
+        b.put(String.format("%-8s", k).getBytes("US-ASCII")); fill(b)
+        out.write(b.array())
+      }
+      def recI(k: String, v: Int) = rec(k, b => { b.putInt(v); b.putInt(0) })
+      def recS(k: String, v: String) =
+        rec(k, _.put(String.format("%-8s", v).getBytes("US-ASCII")))
+      def recD(k: String, v: Double) = rec(k, _.putDouble(v))
+      recI("NUM_OREC", 11); recI("NUM_SREC", 11); recI("NUM_FILE", 1)
+      recS("GS_TYPE", "SECONDS"); recS("VERSION", "NTv2.0")
+      recS("SYSTEM_F", "LOCAL"); recS("SYSTEM_T", "WGS84")
+      recD("MAJOR_F", 6378206.4); recD("MINOR_F", 6356583.8)
+      recD("MAJOR_T", 6378137.0); recD("MINOR_T", 6356752.314)
+      recS("SUB_NAME", "BIG"); recS("PARENT", "NONE")
+      recS("CREATED", "20260816"); recS("UPDATED", "20260816")
+      // lat 10..14.5N in 20" steps, lonW 72000..86560" in 18" steps
+      recD("S_LAT", 36000.0); recD("N_LAT", 36000.0 + 20.0 * (rows - 1))
+      recD("E_LONG", 72000.0); recD("W_LONG", 72000.0 + 18.0 * (cols - 1))
+      recD("LAT_INC", 20.0); recD("LONG_INC", 18.0)
+      recI("GS_COUNT", rows * cols)
+      val data = java.nio.ByteBuffer.allocate(rows * cols * 16).order(order)
+      for (r <- 0 until rows; c <- 0 until cols) {
+        data.putFloat(1.5f); data.putFloat(-2.5f)
+        data.putFloat(0.01f); data.putFloat(0.01f)
+      }
+      out.write(data.array()); out.toByteArray
+    }
+    def javaSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    val dir = tmpDir("ntv2big")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.gsb"), gsb())
+    try {
+      GeoOps.registerCrs(904280, "geographic",
+        Map("a" -> 6378206.4, "rf" -> 294.978698214,
+            "dx" -> 0.0, "dy" -> 0.0, "dz" -> 0.0))
+      GeoOps.registerGridShift(904280, s"$dir/big.gsb")
+      val snap1 = GeoOps.customCrsSnapshot
+      // the payload itself IS >= 10 MB (what the pre-r15 snapshot
+      // would have serialized into every stage's task binary)...
+      assert(javaSize(snap1(904280).grid.map(_.grid).get) > (10 << 20))
+      // ...but with an active session it rides a Broadcast, and the
+      // whole snapshot java-serializes to under 64 KB
+      assert(snap1(904280).grid.exists(_.isBroadcast))
+      info(s"grid payload ${javaSize(snap1(904280).grid.map(_.grid).get)} B; " +
+        s"snapshot ${javaSize(snap1)} B (rode the plan pre-r15)")
+      assert(javaSize(snap1) < (64 << 10),
+        s"snapshot serialized to ${javaSize(snap1)} bytes")
+      val e1 = StTransform(Literal(graft.core.GeoOps.point(-20.5, 11.0)),
+        Literal(904280), Literal(4326))
+      assert(javaSize(e1) < (64 << 10),
+        s"expression serialized to ${javaSize(e1)} bytes")
+      // the broadcast-resolved transform still shifts: 1.5" lat,
+      // -2.5" lonW (grid is constant-fill)
+      val out = GeoOps.read(e1.eval(null).asInstanceOf[Array[Byte]]).getCoordinate
+      assert(math.abs(out.y - (11.0 + 1.5 / 3600.0)) < 1e-12)
+      assert(math.abs(out.x - (-20.5 + 2.5 / 3600.0)) < 1e-12)
+      // RE-registration bumps the version: expressions captured under
+      // different registry states must compare (and canonicalize)
+      // unequal, or plan caching could serve a stale grid
+      GeoOps.registerGridShift(904280, s"$dir/big.gsb")
+      val e2 = StTransform(Literal(graft.core.GeoOps.point(-20.5, 11.0)),
+        Literal(904280), Literal(4326))
+      assert(e1 != e2 && e1.canonicalized != e2.canonicalized)
+      // same snapshot -> equal and canonically equal (CSE stays legal)
+      val e2b = StTransform(Literal(graft.core.GeoOps.point(-20.5, 11.0)),
+        Literal(904280), Literal(4326))
+      assert(e2 == e2b && e2.canonicalized == e2b.canonicalized)
+    } finally GeoOps.unregisterCrs(904280)
+  }
 }
 
 object ExtSpec {
