@@ -3912,6 +3912,86 @@ object SparkEntry {
           round(col("lat") * 1e6).cast("long").as("lat_udeg"))
         .orderBy("k", "t")
     }),
+    "q270_hotspots_geo" -> ((s, dir) => { ensure(s)
+      // GEODESIC Getis–Ord Gi* (r15, the planar q266 on the banded
+      // grid): customers scattered across lon [-178.6, 179.4] and lat
+      // [-65.7, 65.6] by quadratic residues (masses vary at every SF),
+      // binned into geoRadiusJoin's latitude-banded cells at 700 km.
+      // The lat cap keeps every touched band family OFF the asin
+      // saturation branch (sinHalf/cos(phiMax) < 1 needs |phiMax| <
+      // ~86.9 deg; worst touched family here ~81.9 — the NEGATIVE side
+      // reaches one band deeper through floor, found at authoring) — degrees(2*asin(1)) = 180 is an
+      // engine-rounding coin-flip for floor(360/dLam) that the polar
+      // ScalaTest covers instead. EVERY cross-engine floor decision is
+      // margin-audited IN-GATE against ~1e-13 libm/argument-order
+      // drift: the band floor, the own-cell floor, the nCells
+      // 360/dLam floor per touched band family, and the
+      // saturation distance |arg-1|; plus the q266-style µ-unit z
+      // rounding margin and a no-NULL-z audit (the oracle's z tree
+      // divides by the W_i = n guard's zero). The neighbor
+      // center-meridian projections need NO margin: once the nCells
+      // floors agree (the audited, libm-sensitive decisions), the
+      // projection tree is PURE IEEE basic arithmetic on
+      // engine-identical inputs (integer n and c, literals), so both
+      // engines compute the bit-identical double and agree on floor
+      // even when a center meridian lands exactly ON a target-band
+      // cell boundary — which it structurally does whenever adjacent
+      // counts share factors ((2c+1)·n_tb/(2·n_b) integer; found at
+      // authoring: a margin audit there is unsatisfiable for ANY cell
+      // size, and unnecessary).
+      val cellM = 700000.0
+      val bigR = graft.core.DistanceJoin.EarthRadiusMeters
+      val hDeg = math.toDegrees(cellM / bigR)
+      val sinHalf = math.sin(cellM / bigR / 2)
+      val hDegL = lit(hDeg)
+      def arg(b: Column): Column = lit(sinHalf) /
+        cos(radians(least(lit(90.0),
+          greatest(abs(b.cast("double") * hDegL),
+            abs((b.cast("double") + 1) * hDegL)) + hDegL)))
+      def nCellsOf(b: Column): Column =
+        greatest(lit(1L), floor(lit(360.0) /
+          degrees(lit(2.0) * asin(least(lit(1.0), arg(b))))).cast("long"))
+      def wOf(b: Column): Column = lit(360.0) / nCellsOf(b).cast("double")
+      def fracDist(c: Column): Column = {
+        val fr = c - floor(c); least(fr, lit(1.0) - fr)
+      }
+      val pts = ld(s, dir, "customer").select(
+        (((col("c_custkey") * col("c_custkey")) % 359) - 179)
+          .cast("double").plus(0.37).as("lon"),
+        ((((col("c_custkey") * col("c_custkey") * col("c_custkey")) % 157)
+          % 132) - 66).cast("double").plus(0.29).as("lat"))
+      val p2 = pts.withColumn("b", floor(col("lat") / hDegL).cast("long"))
+      val a1 = p2.agg(
+        min(fracDist(col("lat") / hDegL)),
+        min(fracDist((col("lon") + 180.0) / wOf(col("b"))))).head()
+      val bands = p2.select(col("b")).distinct()
+        .select(explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bb"))
+        .distinct()
+      val a2 = bands.agg(min(fracDist(lit(360.0) /
+          degrees(lit(2.0) * asin(least(lit(1.0), arg(col("bb"))))))),
+        min(abs(arg(col("bb")) - 1.0))).head()
+      Seq(a1.getDouble(0) -> "band floor", a1.getDouble(1) -> "cell floor",
+          a2.getDouble(0) -> "nCells floor")
+        .foreach { case (m, what) => require(m > 1e-6,
+          f"q270: $what margin $m%.2e — inside cross-libm drift; change the fixture") }
+      require(a2.getDouble(1) > 1e-9,
+        f"q270: asin saturation distance ${a2.getDouble(1)}%.2e — the " +
+        "nCells branch is an engine coin-flip; change the fixture")
+      val hs = graft.core.GeoCluster.hotspotsGeo(pts, "lon", "lat", cellM)
+      val zm = hs.agg(
+        min(abs(col("gi_z") * 1e6 - floor(col("gi_z") * 1e6) - 0.5)),
+        sum(when(col("gi_z").isNull, 1L).otherwise(0L))).head()
+      require(zm.getDouble(0) > 1e-6,
+        f"q270: a z sits ${zm.getDouble(0)}%.2e from its rounding boundary " +
+        "— inside cross-libm drift; change the fixture")
+      require(zm.getLong(1) == 0L,
+        s"q270: ${zm.getLong(1)} NULL z rows — the oracle's z tree would " +
+        "divide by zero; change the fixture")
+      hs.select(col("band"), col("cell"), col("mass"), col("nbr_mass"),
+          col("nbr_cells"),
+          round(col("gi_z") * 1e6).cast("long").as("gi_z_u"))
+        .orderBy("band", "cell")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5835,6 +5915,42 @@ object SparkEntry {
        "CAST(round((CASE WHEN still THEN lon0 ELSE degrees(atan2(sy, sx)) END) * 1e6) AS BIGINT) AS lon_udeg, " +
        "CAST(round((CASE WHEN still THEN lat0 ELSE degrees(asin(greatest(-1.0, least(1.0, sz)))) END) * 1e6) AS BIGINT) AS lat_udeg " +
        "FROM u ORDER BY k, t"),
+    "q270_hotspots_geo" -> {
+      // the banded-grid scalar trees, inlined as SQL (q270's gate
+      // margin-audits every floor/saturation decision against drift)
+      val hd = "degrees(700000.0/6371008.8)"
+      val sh = "sin(700000.0/6371008.8/2)"
+      def nc(b: String) =
+        s"greatest(1, CAST(floor(360.0 / degrees(2.0 * asin(least(1.0, " +
+        s"$sh / cos(radians(least(90.0, greatest(abs(CAST($b AS DOUBLE) * $hd), " +
+        s"abs((CAST($b AS DOUBLE) + 1.0) * $hd)) + $hd))))))) AS BIGINT))"
+      def w(b: String) = s"(360.0 / CAST(${nc(b)} AS DOUBLE))"
+      "WITH pts AS (SELECT " +
+      "CAST((c_custkey*c_custkey) % 359 - 179 AS DOUBLE) + 0.37 AS lon, " +
+      "CAST(((c_custkey*c_custkey*c_custkey) % 157) % 132 - 66 AS DOUBLE) + 0.29 AS lat " +
+      "FROM customer), " +
+      s"c0 AS (SELECT CAST(floor(lat / $hd) AS BIGINT) AS band, lon FROM pts), " +
+      "cells AS (SELECT band, " +
+      s"((CAST(floor((lon + 180.0) / ${w("band")}) AS BIGINT) % ${nc("band")}) + ${nc("band")}) % ${nc("band")} AS cell, " +
+      "CAST(count(*) AS BIGINT) AS mass FROM c0 GROUP BY 1, 2), " +
+      "g AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(mass) AS BIGINT) sx, " +
+      "CAST(sum(mass*mass) AS BIGINT) sx2 FROM cells), " +
+      "nbr AS (SELECT DISTINCT f.band, f.cell, f.band + db.d AS tband, " +
+      s"((CAST(floor((-180.0 + (CAST(f.cell AS DOUBLE) + 0.5) * ${w("f.band")} + 180.0) / ${w("(f.band + db.d)")}) AS BIGINT) + dc.d) % ${nc("(f.band + db.d)")} + ${nc("(f.band + db.d)")}) % ${nc("(f.band + db.d)")} AS tcell " +
+      "FROM cells f, (VALUES (-1), (0), (1)) db(d), (VALUES (-1), (0), (1)) dc(d)), " +
+      "don AS (SELECT nb.band, nb.cell, CAST(sum(c2.mass) AS BIGINT) nbr_mass, " +
+      "CAST(count(*) AS BIGINT) nbr_cells FROM nbr nb " +
+      "JOIN cells c2 ON c2.band = nb.tband AND c2.cell = nb.tcell GROUP BY 1, 2), " +
+      "j AS (SELECT c.band, c.cell, c.mass, d.nbr_mass, d.nbr_cells, " +
+      "g.n, g.sx, g.sx2 FROM cells c JOIN don d USING (band, cell) CROSS JOIN g) " +
+      "SELECT band, cell, mass, nbr_mass, nbr_cells, CAST(round(" +
+      "(CAST(nbr_mass AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(nbr_cells AS DOUBLE)) / " +
+      "(sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+      "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+      "sqrt((CAST(n AS DOUBLE) * CAST(nbr_cells AS DOUBLE) - " +
+      "CAST(nbr_cells AS DOUBLE) * CAST(nbr_cells AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))" +
+      " * 1e6) AS BIGINT) AS gi_z_u FROM j ORDER BY band, cell"
+    },
     "q267_idw_interpolate" ->
       ("WITH s AS (SELECT CAST(p_partkey % 60 AS DOUBLE) sx, " +
        "CAST(p_partkey % 50 AS DOUBLE) sy, " +

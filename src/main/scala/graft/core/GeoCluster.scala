@@ -1,7 +1,7 @@
 package graft.core
 
 import graft.core.Checkpoints.CutOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -151,7 +151,8 @@ object GeoCluster {
    * Semantics pinned on purpose: the cell UNIVERSE is the occupied
    * cells (empty cells are not observations — the bounded-extent
    * full-lattice variant is a different, extent-parameterized
-   * question); coordinates are PLANAR (project lat/lon first, or live
+   * question); coordinates are PLANAR (project lat/lon first, use
+   * [[hotspotsGeo]] for the latitude-unbiased banded grid, or live
    * with the latitude bias a degree grid has — documented, like
    * [[graft.core.SpatialJoin]]'s cells). Gi* is NULL where it is
    * undefined: S = 0 (every cell holds the same mass — no deviation
@@ -236,6 +237,143 @@ object GeoCluster {
       col("nbr_mass"), col("nbr_cells"),
       when(col("_n") < 2,
           raise_error(lit("hotspots: fewer than 2 occupied cells — Gi* " +
+            "needs a universe to deviate from")).cast("double"))
+        .otherwise(when(s2 <= 0.0 || col("nbr_cells") === col("_n"),
+          lit(null).cast("double")).otherwise(z)).as("gi_z"))
+  }
+
+  /**
+   * GEODESIC Getis–Ord Gi* hotspots (r15; closes [[hotspots]]'s
+   * documented planar-only limitation): the same statistic over
+   * lat/lon points binned into [[DistanceJoin.geoRadiusJoin]]'s
+   * LATITUDE-BANDED cells — bands of height `cellSizeMeters/R`
+   * radians, per-band-family longitude cell counts from the inverted
+   * haversine bound (the radius join's `nCellsOf` tree VERBATIM, so
+   * the library has exactly one banded-grid definition), widths
+   * growing `1/cos` toward the poles. A polar corpus therefore gets
+   * ~equal-ground-size cells instead of the sliver cells a degree
+   * grid gives it — the latitude bias the planar scaladoc documents
+   * is gone, and antimeridian neighbors wrap `mod nCells` with no
+   * seam.
+   *
+   * NEIGHBORHOOD: the banded analog of the planar 9-cell Moore
+   * neighborhood — for a focal cell, the 3 cells nearest its CENTER
+   * meridian (shift −1/0/+1 under the target band's own width) in
+   * each of bands b−1, b, b+1, DEDUPED (a polar band with one
+   * whole-circle cell collapses its three shifts). Where adjacent
+   * bands have different cell counts the relation is not symmetric;
+   * Gi* does not require symmetry — the weights w_ij are defined per
+   * focal cell i (Getis–Ord 1992 uses arbitrary per-i weight rows),
+   * and the convention is pinned here and replayed by the oracle.
+   *
+   * Same pinned semantics as [[hotspots]] otherwise: occupied-cell
+   * universe, integral non-negative weights (refused otherwise),
+   * NULL z where undefined (S = 0 or W_i = n), < 2 occupied cells
+   * refuses, everything up to the one closed-form z tree is INTEGER.
+   *
+   * Scale: one groupBy on (band, cell) — map-side combinable — then a
+   * ≤9-way slim explode of the OCCUPIED cells (band, cell, center-lon
+   * key only; masses join back by cell hash), and ONE broadcast row
+   * of global sums. Never all-pairs; 100 TB of points reduce to
+   * |occupied cells| rows after the first aggregate.
+   *
+   * Output: `(band long, cell long, mass long, nbr_mass long,
+   * nbr_cells long, gi_z double)`.
+   */
+  def hotspotsGeo(points: DataFrame, lonCol: String, latCol: String,
+                  cellSizeMeters: Double, weightCol: Option[String] = None,
+                  earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters)
+      : DataFrame = {
+    val bigR = earthRadiusMeters
+    require(cellSizeMeters > 0 && cellSizeMeters < math.Pi * bigR,
+      s"hotspotsGeo: cellSizeMeters in (0, pi*R), got $cellSizeMeters")
+    (Seq(lonCol, latCol) ++ weightCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"hotspotsGeo: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    weightCol.foreach { c =>
+      val t = points.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType,
+        s"hotspotsGeo: weight column '$c' must be integral (got $t) — " +
+        "integer mass keeps every sum exact and the z tree replayable")
+    }
+    val hRad = cellSizeMeters / bigR
+    val hDeg = math.toDegrees(hRad)
+    val sinHalf = math.sin(hRad / 2)
+    def checked(c: Column, lo: Double, hi: Double, what: String): Column =
+      when(c.isNull || isnan(c) || c.cast("double") < lo || c.cast("double") > hi,
+        raise_error(concat(lit(s"hotspotsGeo: $what out of [$lo, $hi] " +
+          s"(or NULL/NaN) — a misindexed cell silently shifts mass, got "),
+          c.cast("string"))).cast("double"))
+        .otherwise(c.cast("double"))
+    val w = weightCol.map(c =>
+      when(col(c).isNull, raise_error(lit("hotspotsGeo: NULL weight"))
+        .cast("long"))
+        .when(col(c) < 0, raise_error(concat(
+          lit("hotspotsGeo: negative weight "), col(c).cast("string"),
+          lit(" — Gi* scores non-negative incidence mass"))).cast("long"))
+        .otherwise(col(c).cast("long"))).getOrElse(lit(1L))
+    def band(lat: Column): Column = floor(lat / lit(hDeg)).cast("long")
+    // geoRadiusJoin's band-family cell count, verbatim (see its scaladoc
+    // for the phiMax widening and the polar whole-circle collapse)
+    def nCellsOf(b: Column): Column = {
+      val phiMax = least(lit(90.0),
+        greatest(abs(b.cast("double") * lit(hDeg)),
+          abs((b.cast("double") + 1) * lit(hDeg))) + lit(hDeg))
+      val dLamDeg = degrees(lit(2.0) *
+        asin(least(lit(1.0), lit(sinHalf) / cos(radians(phiMax)))))
+      greatest(lit(1L), floor(lit(360.0) / dLamDeg).cast("long"))
+    }
+    def cellOf(lon: Column, b: Column, shift: Column): Column = {
+      val n = nCellsOf(b)
+      val w2 = lit(360.0) / n.cast("double")
+      pmod(floor((lon + lit(180.0)) / w2).cast("long") + shift, n)
+    }
+    val cells = points.select(
+        checked(col(latCol), -90, 90, "latitude").as("_lat"),
+        checked(col(lonCol), -180, 180, "longitude").as("_lon"),
+        w.as("_w"))
+      .select(band(col("_lat")).as("band"),
+        cellOf(col("_lon"), band(col("_lat")), lit(0L)).as("cell"),
+        col("_w"))
+      .groupBy("band", "cell").agg(sum("_w").as("mass"))
+    val globals = cells.agg(count(lit(1)).as("_n"),
+      sum("mass").as("_sx"),
+      sum(col("mass") * col("mass")).as("_sx2"))
+    // focal cells explode into their (deduped) neighbor LOOKUP keys,
+    // join the occupied-cell masses back, and aggregate per focal cell
+    // — ≤9 slim rows per occupied cell, payload never rides
+    val centerLon = lit(-180.0) +
+      (col("cell").cast("double") + lit(0.5)) *
+        (lit(360.0) / nCellsOf(col("band")).cast("double"))
+    val nbrKeys = array((for (db <- -1L to 1L; dc <- -1L to 1L) yield {
+      val tb = col("band") + lit(db)
+      struct(tb.as("tband"), cellOf(centerLon, tb, lit(dc)).as("tcell"))
+    }).toSeq: _*)
+    val lookups = cells.select(col("band"), col("cell"),
+        explode(array_distinct(nbrKeys)).as("_t"))
+      .select(col("band"), col("cell"),
+        col("_t.tband").as("tband"), col("_t.tcell").as("tcell"))
+    val donated = lookups
+      .join(cells.select(col("band").as("tband"), col("cell").as("tcell"),
+        col("mass").as("_xj")), Seq("tband", "tcell"))
+      .groupBy("band", "cell")
+      .agg(sum("_xj").as("nbr_mass"), count(lit(1)).as("nbr_cells"))
+    val joined = cells.join(donated, Seq("band", "cell"))
+      .crossJoin(broadcast(globals))
+    val n = col("_n").cast("double")
+    val wi = col("nbr_cells").cast("double")
+    val xbar = col("_sx").cast("double") / n
+    val s2 = col("_sx2").cast("double") / n - xbar * xbar
+    val varTerm = (n * wi - wi * wi) / (n - 1.0)
+    val z = (col("nbr_mass").cast("double") - xbar * wi) /
+      (sqrt(s2) * sqrt(varTerm))
+    joined.select(col("band"), col("cell"), col("mass"),
+      col("nbr_mass"), col("nbr_cells"),
+      when(col("_n") < 2,
+          raise_error(lit("hotspotsGeo: fewer than 2 occupied cells — Gi* " +
             "needs a universe to deviate from")).cast("double"))
         .otherwise(when(s2 <= 0.0 || col("nbr_cells") === col("_n"),
           lit(null).cast("double")).otherwise(z)).as("gi_z"))

@@ -217,4 +217,95 @@ class GeoClusterSpec extends SparkSpec {
     }
     assert(chain(e3).exists(_.contains("negative weight")))
   }
+
+  test("hotspotsGeo: banded-grid scala reference, pole collapse, wrap, refusals") {
+    import spark.implicits._
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    val cellM = 700000.0 // ~6.3 deg bands
+    // fixture spans equator, mid-lats, near-pole, and the antimeridian
+    val pts = Seq(
+      (0.3, 0.2, 3L), (0.4, 0.25, 2L),        // equator cluster
+      (0.3, 7.1, 1L),                          // band above
+      (45.2, 45.3, 5L), (46.0, 44.9, 4L),      // mid-lat
+      (-179.8, 45.1, 2L), (179.9, 45.2, 1L),   // antimeridian pair
+      (12.0, 88.5, 7L), (-100.0, 89.1, 3L))    // polar cap
+      .toDF("lon", "lat", "w")
+    val got = GeoCluster.hotspotsGeo(pts, "lon", "lat", cellM, Some("w"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_ => r.getDouble(5))))).toMap
+    // ---- plain-scala reference of the banded grid + Gi* ----
+    val hDeg = math.toDegrees(cellM / R)
+    val sinHalf = math.sin(cellM / R / 2)
+    def nCells(b: Long): Long = {
+      val phiMax = math.min(90.0,
+        math.max(math.abs(b * hDeg), math.abs((b + 1) * hDeg)) + hDeg)
+      val dLam = math.toDegrees(2.0 *
+        math.asin(math.min(1.0, sinHalf / math.cos(math.toRadians(phiMax)))))
+      math.max(1L, math.floor(360.0 / dLam).toLong)
+    }
+    def cellOf(lon: Double, b: Long, shift: Long): Long = {
+      val n = nCells(b)
+      val c = (math.floor((lon + 180.0) / (360.0 / n)).toLong + shift) % n
+      if (c < 0) c + n else c
+    }
+    val raw = Seq(
+      (0.3, 0.2, 3L), (0.4, 0.25, 2L), (0.3, 7.1, 1L),
+      (45.2, 45.3, 5L), (46.0, 44.9, 4L),
+      (-179.8, 45.1, 2L), (179.9, 45.2, 1L),
+      (12.0, 88.5, 7L), (-100.0, 89.1, 3L))
+    val mass = raw.groupBy { case (lon, lat, _) =>
+      val b = math.floor(lat / hDeg).toLong; (b, cellOf(lon, b, 0L))
+    }.view.mapValues(_.map(_._3).sum).toMap
+    val nT = mass.size.toDouble
+    val sx = mass.values.sum.toDouble
+    val sx2 = mass.values.map(v => v.toDouble * v).sum
+    val xbar = sx / nT; val s2 = sx2 / nT - xbar * xbar
+    def nbrs(b: Long, c: Long): Set[(Long, Long)] = {
+      val centerLon = -180.0 + (c + 0.5) * (360.0 / nCells(b))
+      (for (db <- -1L to 1L; dc <- -1L to 1L) yield {
+        val tb = b + db; (tb, cellOf(centerLon, tb, dc))
+      }).toSet
+    }
+    mass.foreach { case ((b, c), m) =>
+      val occ = nbrs(b, c).filter(mass.contains)
+      val nbrMass = occ.toSeq.map(mass).sum
+      val wi = occ.size.toDouble
+      val zRef =
+        if (wi == nT || s2 <= 0) None
+        else Some((nbrMass - xbar * wi) /
+          (math.sqrt(s2) * math.sqrt((nT * wi - wi * wi) / (nT - 1.0))))
+      val (gm, gn, gw, gz) = got((b, c))
+      assert(gm === m && gn === nbrMass && gw === occ.size.toLong,
+        s"cell ($b,$c): got ($gm,$gn,$gw) want ($m,$nbrMass,${occ.size})")
+      (gz, zRef) match {
+        case (Some(a), Some(e)) => assert(math.abs(a - e) < 1e-12)
+        case (a, e) => assert(a.isEmpty === e.isEmpty, s"cell ($b,$c): $a vs $e")
+      }
+    }
+    assert(got.keySet === mass.keySet)
+    // the polar band collapses to few whole-circle cells: both polar
+    // points land in band floor(88.5/hDeg)+ and their cells have tiny n
+    val polarBand = math.floor(88.5 / hDeg).toLong
+    assert(nCells(polarBand) < 8)
+    // refusals: out-of-range latitude, negative weight
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e1 = intercept[Exception] {
+      Seq((0.0, 91.0, 1L)).toDF("lon", "lat", "w")
+        .transform(d => GeoCluster.hotspotsGeo(d, "lon", "lat", cellM, Some("w")))
+        .collect()
+    }
+    assert(chain(e1).exists(_.contains("out of")))
+    val e2 = intercept[Exception] {
+      Seq((0.0, 1.0, 1L), (9.0, 9.0, -2L)).toDF("lon", "lat", "w")
+        .transform(d => GeoCluster.hotspotsGeo(d, "lon", "lat", cellM, Some("w")))
+        .collect()
+    }
+    assert(chain(e2).exists(_.contains("negative weight")))
+    intercept[IllegalArgumentException] {
+      GeoCluster.hotspotsGeo(pts, "lon", "lat", 0.0)
+    }
+  }
 }
