@@ -3992,6 +3992,96 @@ object SparkEntry {
           round(col("gi_z") * 1e6).cast("long").as("gi_z_u"))
         .orderBy("band", "cell")
     }),
+    "q271_map_match" -> ((s, dir) => { ensure(s)
+      // HMM/Viterbi map-matching (r15, Newson–Krumm 2009): the
+      // segmentRadiusJoin candidate generator composed with
+      // Trajectory.mapMatch over 3 parallel horizontal roads. Tracks
+      // (one per customer residue, count grows with SF) ride lane
+      // (k%3) with planted single-ping excursions (k%5=0, t=1) where
+      // GREEDY nearest-segment hops lanes but the Viterbi holds —
+      // asserted in-gate. The whole chain is sqrt/·/±/÷ (no libm), so
+      // DuckDB replays every cost bit-for-bit; the oracle enumerates
+      // all ≤16 paths per key with the IDENTICAL left-to-right cost
+      // association the DP uses, and the gate ITSELF enumerates the
+      // same way and requires (a) operator == enumeration argmin
+      // everywhere (the DP-vs-enumeration float-tie guard), (b)
+      // best-vs-second path gap > 1e-9 per key, (c) the µ-unit cost
+      // rounding margin.
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ks = ld(s, dir, "customer")
+        .select((col("c_custkey") % 6400).cast("long").as("k")).distinct()
+      val pings = ks
+        .select(col("k"), explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("t"))
+        .select(col("k"), col("t"),
+          (lit(1000.0) + (col("k") % 2000).cast("double") * 45.0 +
+            col("t").cast("double") * 9.0).as("px"),
+          ((col("k") % 3).cast("double") * 8.0 +
+            when(col("k") % 5 === 0 && col("k") % 3 =!= 2 && col("t") === 1,
+              5.0)
+            .otherwise(((col("k") + col("t")) % 2).cast("double") * 2.0 + 1.0))
+            .as("py"))
+      val segs = Seq((1L, 0.0, 0.0, 100000.0, 0.0),
+        (2L, 0.0, 8.0, 100000.0, 8.0),
+        (3L, 0.0, 16.0, 100000.0, 16.0)).toDF("sid", "ax", "ay", "bx", "by")
+      val cand = graft.core.DistanceJoin.segmentRadiusJoin(
+        pings, segs, "px", "py", "ax", "ay", "bx", "by",
+        radius = 7.0, cellSize = Some(50000.0))
+      val mm = graft.core.Trajectory.mapMatch(cand, "k", "t", "sid", "dist",
+        "px", "py", "snap_x", "snap_y", sigma = 2.0, beta = 1.0)
+      // ---- in-gate brute enumeration (mirrors the oracle SQL) ----
+      def st(i: Int) = cand.filter(col("t") === i).select(col("k"),
+        col("sid").as(s"s$i"), col("dist").as(s"d$i"),
+        col("snap_x").as(s"x$i"), col("snap_y").as(s"y$i"),
+        col("px").as(s"p$i"), col("py").as(s"q$i"))
+      def em(i: Int) = (col(s"d$i") / 2.0) * (col(s"d$i") / 2.0) / 2.0
+      def tr(i: Int, j: Int) = abs(
+        sqrt((col(s"x$j") - col(s"x$i")) * (col(s"x$j") - col(s"x$i")) +
+             (col(s"y$j") - col(s"y$i")) * (col(s"y$j") - col(s"y$i"))) -
+        sqrt((col(s"p$j") - col(s"p$i")) * (col(s"p$j") - col(s"p$i")) +
+             (col(s"q$j") - col(s"q$i")) * (col(s"q$j") - col(s"q$i"))))
+      val ranked = st(0).join(st(1), "k").join(st(2), "k").join(st(3), "k")
+        .withColumn("cost",
+          em(0) + tr(0, 1) + em(1) + tr(1, 2) + em(2) + tr(2, 3) + em(3))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("cost"))))
+      val gap = ranked.groupBy("k")
+        .agg((min(when(col("rn") === 2, col("cost"))) -
+              min(when(col("rn") === 1, col("cost")))).as("g"))
+        .agg(min("g")).head().getDouble(0)
+      require(gap > 1e-9,
+        f"q271: best-vs-second path gap $gap%.2e — a float tie could " +
+        "diverge DP from enumeration; change the fixture")
+      val enumChoice = ranked.filter(col("rn") === 1)
+        .select(col("k"), posexplode(array(
+          col("s0"), col("s1"), col("s2"), col("s3"))).as(Seq("ti", "esid")))
+        .select(col("k"), col("ti").cast("long").as("t"), col("esid"))
+      val mism = mm.join(enumChoice, Seq("k", "t"))
+        .filter(col("sid") =!= col("esid")).count()
+      require(mism == 0L,
+        s"q271: operator disagrees with path enumeration on $mism pings")
+      require(mm.count() == enumChoice.count(), "q271: row-count drift")
+      // greedy (per-ping nearest, ties to smaller sid) must disagree
+      // somewhere — the planted excursions exist to prove the DP earns
+      // its keep
+      val greedy = cand.withColumn("grn", row_number().over(
+          Window.partitionBy("k", "t").orderBy(col("dist"), col("sid"))))
+        .filter(col("grn") === 1).select(col("k"), col("t"),
+          col("sid").as("gsid"))
+      val disagree = mm.join(greedy, Seq("k", "t"))
+        .filter(col("sid") =!= col("gsid")).count()
+      require(disagree > 0L,
+        "q271: greedy equals viterbi everywhere — the fixture lost its " +
+        "planted excursions")
+      val cm = mm.agg(min(abs(col("path_cost") * 1e6 -
+        floor(col("path_cost") * 1e6) - 0.5))).head().getDouble(0)
+      require(cm > 1e-6,
+        f"q271: a cost sits $cm%.2e from its rounding boundary; change " +
+        "the fixture")
+      mm.select(col("k"), col("t"), col("sid"),
+          round(col("path_cost") * 1e6).cast("long").as("cost_u"))
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5915,6 +6005,52 @@ object SparkEntry {
        "CAST(round((CASE WHEN still THEN lon0 ELSE degrees(atan2(sy, sx)) END) * 1e6) AS BIGINT) AS lon_udeg, " +
        "CAST(round((CASE WHEN still THEN lat0 ELSE degrees(asin(greatest(-1.0, least(1.0, sz)))) END) * 1e6) AS BIGINT) AS lat_udeg " +
        "FROM u ORDER BY k, t"),
+    "q271_map_match" -> {
+      // candidate trees mirror segmentRadiusJoin verbatim (cross-form
+      // dist2, clamped frac, snapped point); path costs accumulate in
+      // the DP's exact left-to-right association; only sqrt/·/±/÷ —
+      // bit-identical cross-engine, row_number ties impossible under
+      // the gate's gap audit
+      def stage(i: Int) =
+        s"c$i AS (SELECT k, sid s$i, d d$i, sx x$i, sy y$i, px p$i, py q$i " +
+        s"FROM cand WHERE t = $i)"
+      def em(i: Int) = s"(d$i/2.0)*(d$i/2.0)/2.0"
+      def tr(i: Int, j: Int) =
+        s"abs(sqrt((x$j-x$i)*(x$j-x$i) + (y$j-y$i)*(y$j-y$i)) - " +
+        s"sqrt((p$j-p$i)*(p$j-p$i) + (q$j-q$i)*(q$j-q$i)))"
+      "WITH ks AS (SELECT DISTINCT CAST(c_custkey % 6400 AS BIGINT) AS k FROM customer), " +
+      "pings AS (SELECT k, CAST(tt.t AS BIGINT) AS t, " +
+      "CAST(1000 + (k % 2000) * 45 + tt.t * 9 AS DOUBLE) AS px, " +
+      "CAST((k % 3) * 8 + CASE WHEN k % 5 = 0 AND k % 3 <> 2 AND tt.t = 1 " +
+      "THEN 5 ELSE ((k + tt.t) % 2) * 2 + 1 END AS DOUBLE) AS py " +
+      "FROM ks, (VALUES (0), (1), (2), (3)) tt(t)), " +
+      "segs AS (SELECT CAST(sid AS BIGINT) sid, ax, ay, bx, by FROM (VALUES " +
+      "(1, 0.0, 0.0, 100000.0, 0.0), (2, 0.0, 8.0, 100000.0, 8.0), " +
+      "(3, 0.0, 16.0, 100000.0, 16.0)) s(sid, ax, ay, bx, by)), " +
+      "cd0 AS (SELECT k, t, px, py, sid, px - ax AS wx, py - ay AS wy, " +
+      "bx - ax AS vx, by - ay AS vy, ax, ay, bx, by FROM pings, segs), " +
+      "cd1 AS (SELECT *, vx*vx + vy*vy AS L, wx*vx + wy*vy AS w, " +
+      "wx*vy - wy*vx AS cr FROM cd0), " +
+      "cd2 AS (SELECT *, CASE WHEN L = 0 OR w <= 0 THEN wx*wx + wy*wy " +
+      "WHEN w >= L THEN (px-bx)*(px-bx) + (py-by)*(py-by) " +
+      "ELSE cr*cr/L END AS dist2 FROM cd1), " +
+      "cand AS (SELECT k, t, px, py, sid, sqrt(dist2) AS d, " +
+      "ax + (CASE WHEN L = 0 THEN 0.0 ELSE greatest(0.0, least(1.0, w/L)) END) * vx AS sx, " +
+      "ay + (CASE WHEN L = 0 THEN 0.0 ELSE greatest(0.0, least(1.0, w/L)) END) * vy AS sy " +
+      "FROM cd2 WHERE dist2 <= 49.0), " +
+      stage(0) + ", " + stage(1) + ", " + stage(2) + ", " + stage(3) + ", " +
+      "paths AS (SELECT c0.k, s0, s1, s2, s3, " +
+      em(0) + " + " + tr(0, 1) + " + " + em(1) + " + " + tr(1, 2) + " + " +
+      em(2) + " + " + tr(2, 3) + " + " + em(3) + " AS cost " +
+      "FROM c0 JOIN c1 ON c0.k = c1.k JOIN c2 ON c0.k = c2.k " +
+      "JOIN c3 ON c0.k = c3.k), " +
+      "best AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY cost) rn " +
+      "FROM paths) " +
+      "SELECT k, CAST(tt.t AS BIGINT) AS t, " +
+      "CASE tt.t WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS sid, " +
+      "CAST(round(cost * 1e6) AS BIGINT) AS cost_u " +
+      "FROM best, (VALUES (0), (1), (2), (3)) tt(t) WHERE rn = 1 ORDER BY k, t"
+    },
     "q270_hotspots_geo" -> {
       // the banded-grid scalar trees, inlined as SQL (q270's gate
       // margin-audits every floor/saturation decision against drift)

@@ -706,6 +706,193 @@ object Trajectory {
       .withColumnRenamed("k", keyCol)
   }
 
+  /**
+   * HMM MAP-MATCHING — the Viterbi pass over per-ping snap candidates
+   * (Newson & Krumm 2009, the public formulation), composing with the
+   * [[DistanceJoin]] snap family: feed it `segmentRadiusJoin` /
+   * `geoSegmentRadiusJoin` output (one row per (key, ts, candidate
+   * segment) with the snap distance and snapped point) and it picks
+   * the ROUTE-CONSISTENT candidate per ping instead of the greedy
+   * nearest segment — the classic fix for GPS zig-zag across parallel
+   * roads.
+   *
+   * Cost model (negative log-likelihoods, minimized; orders pinned for
+   * oracle replay):
+   *   emission(c)   = (d/σ)·(d/σ)/2           (Gaussian GPS noise)
+   *   transition(c→c') = |route − straight|/β (exponential discrepancy)
+   * with `route` = the Euclidean distance between consecutive SNAP
+   * points and `straight` = between the raw pings — the GRAPH-FREE
+   * simplification of Newson–Krumm's route distance (their shortest
+   * path needs a router; with none, a candidate that forces a jump
+   * between distant snap positions is penalized by exactly that jump's
+   * excess over the ping movement). A path's cost accumulates strictly
+   * left-to-right (e₁+t₁₂+e₂+…), so an external engine replays the
+   * winning path's cost bit-for-bit.
+   *
+   * Viterbi per key over the pings PRESENT in the candidate table
+   * (a ping whose snap join found nothing is absent here and absent
+   * from the output — candidate generation's radius owns that
+   * semantic); ties at any argmin break to the SMALLER candidate id,
+   * so the result is deterministic across any parallelism. DUPLICATE
+   * (ts, candidate) rows refuse loudly (ambiguous emission), as do
+   * candidates of one ping that disagree on the ping's coordinates,
+   * NULLs/NaNs anywhere, and the two loud caps (`maxCandidatesPerPoint`
+   * — a ping with hundreds of candidate roads is a radius bug;
+   * `maxPointsPerKey` — pre-split multi-day tracks).
+   *
+   * Scale: the DP is the sanctioned sequential-scan case (the
+   * [[stayPoints]] pattern): one shuffle on the key, a per-key
+   * O(T·K²) scan with K ≤ the candidate cap, state = one key's
+   * candidate lists. 100 TB of pings stream key by key; nothing is
+   * driver-side.
+   *
+   * Output: `(<keyCol> long, <tsCol> long, <candCol> long,
+   * path_cost double)` — the chosen candidate per ping; `path_cost`
+   * is the key's TOTAL winning cost (repeated per row) for replay.
+   */
+  def mapMatch(candidates: DataFrame, keyCol: String, tsCol: String,
+               candCol: String, distCol: String,
+               pxCol: String, pyCol: String,
+               snapXCol: String, snapYCol: String,
+               sigma: Double, beta: Double,
+               maxCandidatesPerPoint: Int = 64,
+               maxPointsPerKey: Int = 1000000): DataFrame = {
+    require(sigma > 0 && !sigma.isInfinite, s"mapMatch: sigma must be finite > 0, got $sigma")
+    require(beta > 0 && !beta.isInfinite, s"mapMatch: beta must be finite > 0, got $beta")
+    require(maxCandidatesPerPoint >= 1 && maxPointsPerKey >= 1,
+      "mapMatch: caps must be >= 1")
+    Seq(keyCol, tsCol, candCol, distCol, pxCol, pyCol, snapXCol, snapYCol)
+      .foreach { c => require(candidates.columns.contains(c),
+        s"mapMatch: column '$c' missing from ${candidates.columns.mkString("[", ",", "]")}")
+      }
+    Seq(keyCol -> "key", tsCol -> "timestamp", candCol -> "candidate id")
+      .foreach { case (c, what) =>
+        val t = candidates.schema(c).dataType
+        require(t == LongType || t == IntegerType || t == ShortType,
+          s"mapMatch: $what column '$c' must be integral (got $t)")
+      }
+    def refuse(c: String, what: String) =
+      when(col(c).isNull || isnan(col(c).cast(DoubleType)),
+        raise_error(lit(s"mapMatch: NULL/NaN $what — a dropped candidate " +
+          "would silently reroute the track")).cast(DoubleType))
+        .otherwise(col(c).cast(DoubleType))
+    def refuseL(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"mapMatch: NULL $what")).cast(LongType))
+        .otherwise(col(c).cast(LongType))
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val slim = candidates.select(
+        refuseL(keyCol, "key").as("k"), refuseL(tsCol, "timestamp").as("t"),
+        refuseL(candCol, "candidate id").as("c"),
+        refuse(distCol, "snap distance").as("d"),
+        refuse(pxCol, "point x").as("px"), refuse(pyCol, "point y").as("py"),
+        refuse(snapXCol, "snap x").as("sx"), refuse(snapYCol, "snap y").as("sy"))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+    val sorted = slim.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("c"))
+    val (sg, bt, candCap, keyCap) =
+      (sigma, beta, maxCandidatesPerPoint, maxPointsPerKey)
+    sorted.mapPartitions[(Long, Long, Long, Double)] {
+        (it: Iterator[(Long, Long, Long, Double, Double, Double, Double, Double)]) =>
+      new Iterator[(Long, Long, Long, Double)] {
+        private val in = it.buffered
+        private var out: Iterator[(Long, Long, Long, Double)] = Iterator.empty
+        private def refill(): Unit = {
+          while (!out.hasNext && in.hasNext) {
+            val key = in.head._1
+            // gather one key: pings in ts order, candidates per ping
+            val ts = new ArrayBuffer[Long]
+            val px = new ArrayBuffer[Double]; val py = new ArrayBuffer[Double]
+            val cands = new ArrayBuffer[ArrayBuffer[(Long, Double, Double, Double)]]
+            while (in.hasNext && in.head._1 == key) {
+              val (_, t, c, d, x, y, sx, sy) = in.next()
+              if (ts.isEmpty || ts.last != t) {
+                ts += t; px += x; py += y
+                cands += new ArrayBuffer[(Long, Double, Double, Double)]
+                require(ts.length <= keyCap,
+                  s"mapMatch: key $key exceeds maxPointsPerKey ($keyCap) — " +
+                  "pre-split the trajectory (e.g. by day) or raise the cap")
+              } else {
+                require(cands.last.isEmpty || cands.last.last._1 != c,
+                  s"mapMatch: duplicate (ts, candidate) = ($t, $c) for key " +
+                  s"$key — the emission is ambiguous; dedup the candidates")
+                require(x == px.last && y == py.last,
+                  s"mapMatch: candidates of key $key ts $t disagree on the " +
+                  s"ping's coordinates (($x, $y) vs (${px.last}, ${py.last}))")
+              }
+              cands.last += ((c, d, sx, sy))
+              require(cands.last.length <= candCap,
+                s"mapMatch: key $key ts $t exceeds maxCandidatesPerPoint " +
+                s"($candCap) — shrink the candidate radius or raise the cap")
+            }
+            out = viterbiKey(key, ts, px, py, cands, sg, bt).iterator
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): (Long, Long, Long, Double) = { refill(); out.next() }
+      }
+    }.toDF("k", "t", "c", "path_cost")
+      .withColumnRenamed("k", keyCol).withColumnRenamed("t", tsCol)
+      .withColumnRenamed("c", candCol)
+  }
+
+  /** One key's Viterbi: O(T·K²), backpointers, smaller-id tie-breaks.
+    * Cost accumulation is STRICTLY left-to-right per path so the
+    * winner's total replays bit-for-bit externally. */
+  private def viterbiKey(key: Long, ts: ArrayBuffer[Long],
+                         px: ArrayBuffer[Double], py: ArrayBuffer[Double],
+                         cands: ArrayBuffer[ArrayBuffer[(Long, Double, Double, Double)]],
+                         sigma: Double, beta: Double)
+      : ArrayBuffer[(Long, Long, Long, Double)] = {
+    val tN = ts.length
+    def em(i: Int, j: Int): Double = {
+      val e = cands(i)(j)._2 / sigma; e * e / 2.0
+    }
+    var prev: Array[Double] = Array.tabulate(cands(0).length)(j => em(0, j))
+    val back = new ArrayBuffer[Array[Int]]
+    var i = 1
+    while (i < tN) {
+      val cur = new Array[Double](cands(i).length)
+      val bp = new Array[Int](cands(i).length)
+      val straightDx = px(i) - px(i - 1); val straightDy = py(i) - py(i - 1)
+      val straight = math.sqrt(straightDx * straightDx + straightDy * straightDy)
+      var j = 0
+      while (j < cands(i).length) {
+        val (_, _, sx, sy) = cands(i)(j)
+        var best = Double.PositiveInfinity; var bestP = -1
+        var p = 0
+        while (p < cands(i - 1).length) {
+          val (_, _, psx, psy) = cands(i - 1)(p)
+          val dx = sx - psx; val dy = sy - psy
+          val route = math.sqrt(dx * dx + dy * dy)
+          val cost = prev(p) + math.abs(route - straight) / beta
+          // strict < keeps the FIRST (smallest candidate id — the sort
+          // order) on ties
+          if (cost < best) { best = cost; bestP = p }
+          p += 1
+        }
+        cur(j) = best + em(i, j); bp(j) = bestP
+        j += 1
+      }
+      back += bp
+      prev = cur
+      i += 1
+    }
+    var bestJ = 0
+    var j = 1
+    while (j < prev.length) { if (prev(j) < prev(bestJ)) bestJ = j; j += 1 }
+    val total = prev(bestJ)
+    val path = new Array[Int](tN)
+    path(tN - 1) = bestJ
+    var s = tN - 2
+    while (s >= 0) { path(s) = back(s)(path(s + 1)); s -= 1 }
+    val res = new ArrayBuffer[(Long, Long, Long, Double)]
+    var q = 0
+    while (q < tN) { res += ((key, ts(q), cands(q)(path(q))._1, total)); q += 1 }
+    res
+  }
+
   private def scanKey(key: Long, ts: ArrayBuffer[Long],
                       xs: ArrayBuffer[Double], ys: ArrayBuffer[Double],
                       minDur: Long,

@@ -685,4 +685,110 @@ class TrajectorySpec extends SparkSpec {
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("finalized frontier")))
   }
+
+  test("mapMatch: viterbi equals brute path enumeration; beats greedy; ties; refusals") {
+    import spark.implicits._
+    // candidate rows: (k, t, cand, d, px, py, sx, sy)
+    type C = (Long, Long, Long, Double, Double, Double, Double, Double)
+    def toDf(rows: Seq[(Long, Long, Long, Double, Double, Double, Double, Double)]) =
+      rows.toDF("k", "t", "c", "d", "px", "py", "sx", "sy")
+    def run(rows: Seq[C], sigma: Double = 1.0, beta: Double = 1.0) =
+      Trajectory.mapMatch(toDf(rows),
+        "k", "t", "c", "d", "px", "py", "sx", "sy", sigma, beta)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+    // brute reference: enumerate every path, left-to-right cost
+    def brute(rows: Seq[C], sigma: Double = 1.0, beta: Double = 1.0)
+        : Map[(Long, Long), (Long, Double)] = {
+      rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val pings = rs.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (t, cs) => (t, cs.sortBy(_._3)) }
+        val paths = pings.map(_._2.indices.toSeq)
+          .foldLeft(Seq(Seq.empty[Int]))((acc, idx) =>
+            for (a <- acc; i <- idx) yield a :+ i)
+        val scored = paths.map { p =>
+          var cost = 0.0
+          for (i <- pings.indices) {
+            val c = pings(i)._2(p(i))
+            if (i > 0) {
+              val pc = pings(i - 1)._2(p(i - 1))
+              val route = math.sqrt(math.pow(c._7 - pc._7, 2) +
+                math.pow(c._8 - pc._8, 2))
+              val straight = math.sqrt(math.pow(c._5 - pc._5, 2) +
+                math.pow(c._6 - pc._6, 2))
+              cost += math.abs(route - straight) / beta
+            }
+            cost += (c._4 / sigma) * (c._4 / sigma) / 2.0
+          }
+          (p, cost)
+        }
+        // min cost; ties to lexicographically-smallest candidate ids
+        val best = scored.minBy { case (p, cost) =>
+          (cost, p.indices.map(i => pings(i)._2(p(i))._3).mkString(","))
+        }
+        pings.indices.map(i =>
+          (k, pings(i)._1) -> (pings(i)._2(best._1(i))._3, best._2))
+      }
+    }
+    // CLASSIC zig-zag: two parallel horizontal roads y=0 (seg 1) and
+    // y=10 (seg 2); pings at y = 4,6,4,4 — greedy picks 1,2,1,1 (the
+    // nearer road each time) but the y=6 hop costs two 10-unit snap
+    // jumps vs an emission difference of (36-16)/2 = 10 < 20 -> the
+    // viterbi stays on road 1 throughout. All costs are exact dyadic
+    // rationals (axis-aligned fixture), so no float ambiguity at all.
+    val zig: Seq[C] = (0 until 4).flatMap { i =>
+      val y = if (i == 1) 6.0 else 4.0
+      val x = i * 3.0
+      Seq((1L, i.toLong, 1L, y, x, y, x, 0.0),
+          (1L, i.toLong, 2L, 10.0 - y, x, y, x, 10.0))
+    }
+    val gotZig = run(zig)
+    assert(gotZig === brute(zig))
+    assert((0 until 4).forall(i => gotZig((1L, i.toLong))._1 == 1L),
+      s"viterbi should hold road 1; got $gotZig")
+    // greedy (min emission per ping) DOES disagree at t=1
+    assert(zig.filter(_._2 == 1L).minBy(_._4)._3 == 2L)
+    // multi-key random-ish fixture vs brute
+    val rnd: Seq[C] = for {
+      k <- 2L to 4L; t <- 0L to 3L; c <- 1L to 3L
+    } yield {
+      val d = ((k * 7 + t * 3 + c * 5) % 11).toDouble / 2.0 + 0.5
+      val x = t * 5.0 + k; val y = (k % 3).toDouble
+      (k, t, c, d, x, y, x + ((c * 13 + t) % 7).toDouble - 3.0,
+        y + ((c * 11 + k) % 5).toDouble - 2.0)
+    }
+    assert(run(rnd, sigma = 2.0, beta = 1.5) === brute(rnd, sigma = 2.0, beta = 1.5))
+    // tie -> smaller candidate id (two identical candidates apart from id)
+    val tie: Seq[C] = Seq(
+      (9L, 0L, 5L, 1.0, 0.0, 0.0, 0.0, 1.0),
+      (9L, 0L, 3L, 1.0, 0.0, 0.0, 0.0, -1.0))
+    assert(run(tie)((9L, 0L))._1 == 3L)
+    // single-ping key: min emission
+    val single: Seq[C] = Seq(
+      (8L, 0L, 1L, 2.0, 0.0, 0.0, 0.0, 2.0),
+      (8L, 0L, 2L, 1.0, 0.0, 0.0, 0.0, -1.0))
+    assert(run(single)((8L, 0L))._1 == 2L)
+    // refusals
+    def chain2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val dup: Seq[C] = Seq((1L, 0L, 1L, 1.0, 0.0, 0.0, 0.0, 1.0),
+      (1L, 0L, 1L, 2.0, 0.0, 0.0, 0.0, 2.0))
+    assert(chain2(intercept[Exception] { run(dup) })
+      .exists(_.contains("duplicate (ts, candidate)")))
+    val inconsistent: Seq[C] = Seq((1L, 0L, 1L, 1.0, 0.0, 0.0, 0.0, 1.0),
+      (1L, 0L, 2L, 2.0, 5.0, 0.0, 0.0, 2.0))
+    assert(chain2(intercept[Exception] { run(inconsistent) })
+      .exists(_.contains("disagree on the")))
+    val e3 = intercept[Exception] {
+      Trajectory.mapMatch(toDf(zig),
+        "k", "t", "c", "d", "px", "py", "sx", "sy", 1.0, 1.0,
+        maxCandidatesPerPoint = 1).collect()
+    }
+    assert(chain2(e3).exists(_.contains("maxCandidatesPerPoint")))
+    intercept[IllegalArgumentException] {
+      Trajectory.mapMatch(toDf(zig),
+        "k", "t", "c", "d", "px", "py", "sx", "sy", 0.0, 1.0)
+    }
+  }
 }
