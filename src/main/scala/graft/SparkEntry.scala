@@ -817,6 +817,34 @@ object SparkEntry {
         "q251: quadkey prefix ranges not pushed to the parquet scan")
       q
     }),
+    "q272_mask_prune" -> ((s, dir) => { ensure(s)
+      // POLYGON-mask quadkey pruning (r15; closes the r14 "bbox reads
+      // only" gap): getCollectionByMask covers an L-SHAPED mask with
+      // Tiles.coverGeometry — the notch contributes no prefixes, where
+      // the bbox path would keep its whole envelope — and the prefix
+      // ranges reach the parquet scan (asserted in-gate). pointsOnly
+      // tightens the cover to the mask itself (sound: centroid = the
+      // point). Half-integer mask edges keep every lattice point off
+      // the boundary, so the oracle is pure integer BETWEEN arithmetic
+      // over the two-rectangle decomposition of the L.
+      val db = tmpDb(s, "mkp")
+      db.createCollection("pts", Seq("p_partkey" -> "integer"))
+      db.insertIntoCollection("pts", ld(s, dir, "part")
+        .withColumn("geometry",
+          st_point(((col("p_partkey") % 97) - 48).cast("double"),
+            ((col("p_partkey") % 89) - 44).cast("double"))))
+      db.createIndex("pts", method = "quadkey", zoom = 9)
+      val l = "POLYGON((-30.5 -35.5, 40.5 -35.5, 40.5 -10.5, -0.5 -10.5, " +
+        "-0.5 40.5, -30.5 40.5, -30.5 -35.5))"
+      val q = db.getCollectionByMask("pts", l, pointsOnly = true)
+        .select(col("p_partkey")).orderBy("p_partkey")
+      val scan = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      require(scan.metadata("PushedFilters").contains("_qk"),
+        "q272: mask-cover prefix ranges not pushed to the parquet scan")
+      q
+    }),
     "q263_dwithin_prune" -> ((s, dir) => { ensure(s)
       // EnvelopePrefilter DISTANCE conjuncts (r14b): a user filter
       // st_dwithin(geometry, <literal point>, r) on a stat-bearing
@@ -5976,6 +6004,11 @@ object SparkEntry {
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE (p_partkey % 97) BETWEEN 10 AND 40 AND (p_partkey % 89) BETWEEN 10 AND 40 ORDER BY p_partkey",
     "q251_quadkey_index" ->
       "SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE ((p_partkey % 97) - 48) BETWEEN -20 AND 25 AND ((p_partkey % 89) - 44) BETWEEN -15 AND 30 ORDER BY p_partkey",
+    "q272_mask_prune" ->
+      ("SELECT CAST(p_partkey AS INT) AS p_partkey FROM part WHERE " +
+       "(((p_partkey % 97) - 48) BETWEEN -30 AND 40 AND ((p_partkey % 89) - 44) BETWEEN -35 AND -11) OR " +
+       "(((p_partkey % 97) - 48) BETWEEN -30 AND -1 AND ((p_partkey % 89) - 44) BETWEEN -35 AND 40) " +
+       "ORDER BY p_partkey"),
     "q269_resample" ->
       ("WITH p AS (SELECT CAST(user_id % 40 AS BIGINT) k, " +
        "CAST(event_id AS BIGINT) t, " +

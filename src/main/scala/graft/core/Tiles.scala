@@ -149,6 +149,81 @@ object Tiles {
     res
   }
 
+  /**
+   * Quadkey prefix cover of an ARBITRARY geometry (r15; [[cover]] is
+   * the rectangle special case): the quadtree descends with JTS tests
+   * against the polygon itself, so an L-shaped / multipart region
+   * covers only the tiles it actually touches — the notch of an L
+   * contributes NO prefixes, where the envelope cover keeps it all.
+   *
+   * Soundness mirrors [[cover]]'s: the DROP decision (subtree emits
+   * nothing) tests disjointness against the node rect EXPANDED by one
+   * z-level tile on every side, absorbing the documented tile_y ulp
+   * class (a centroid binned with a drifted `ln`/`tan` on an executor
+   * can land at most one tile off); the EMIT decision (JTS `covers` of
+   * the unexpanded rect, or hitting the depth floor) only chooses
+   * coarse-vs-recurse — both sound. Iterative deepening caps the
+   * prefix count at `maxPrefixes` exactly like [[cover]] (with an
+   * early-abort so a huge coastline at deep zoom cannot enumerate
+   * millions of boundary tiles before coarsening). EMPTY geometry →
+   * empty cover (nothing indexed can match it).
+   *
+   * The caller owns the centroid-containment argument: pruning a
+   * centroid-quadkey layout with this cover is exact for POINT rows
+   * (centroid = the point) and needs the CONVEX HULL of the mask for
+   * general rows — see `GeoDb.getCollectionByMask`, which encodes
+   * that rule.
+   */
+  def coverGeometry(geom: org.locationtech.jts.geom.Geometry, z: Int,
+                    maxPrefixes: Int = 64): Seq[String] = {
+    require_z(z)
+    require(z >= 1, "tiles: coverGeometry needs zoom >= 1")
+    require(maxPrefixes >= 4, s"tiles: maxPrefixes must be >= 4, got $maxPrefixes")
+    require(geom != null, "tiles: coverGeometry got a null geometry")
+    if (geom.isEmpty) return Seq.empty
+    val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
+    val gf = geom.getFactory
+    val n = 1L << z
+    val eps = 360.0 / n // >= one z-tile in degrees on both axes
+    def lonOf(x: Long): Double = x.toDouble / n * 360.0 - 180.0
+    def latOf(y: Long): Double =
+      math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * y.toDouble / n))))
+    def coverAtDepth(maxD: Int): Option[Vector[String]] = {
+      val out = Vector.newBuilder[String]
+      var cnt = 0
+      var overflow = false
+      def rec(d: Int, nx: Long, ny: Long, prefix: String): Unit = {
+        if (overflow) return
+        val shift = z - d
+        val rx0 = nx << shift; val rx1 = ((nx + 1L) << shift) - 1
+        val ry0 = ny << shift; val ry1 = ((ny + 1L) << shift) - 1
+        val lonLo = lonOf(rx0); val lonHi = lonOf(rx1 + 1)
+        val latHi = latOf(ry0); val latLo = latOf(ry1 + 1)
+        val grown = gf.toGeometry(new org.locationtech.jts.geom.Envelope(
+          lonLo - eps, lonHi + eps, latLo - eps, latHi + eps))
+        if (!prep.intersects(grown)) ()
+        else if (d == maxD || prep.covers(gf.toGeometry(
+            new org.locationtech.jts.geom.Envelope(lonLo, lonHi, latLo, latHi)))) {
+          out += prefix; cnt += 1
+          // 4x headroom: past it this depth can never win the
+          // maxPrefixes loop, so stop enumerating and coarsen
+          if (cnt > 4 * maxPrefixes) overflow = true
+        }
+        else (0 until 4).foreach { q =>
+          rec(d + 1, nx * 2 + (q & 1), ny * 2 + (q >> 1), prefix + q)
+        }
+      }
+      rec(0, 0L, 0L, "")
+      if (overflow) None else Some(out.result())
+    }
+    var depth = z
+    var res = coverAtDepth(depth)
+    while (depth > 0 && (res.isEmpty || res.get.size > maxPrefixes)) {
+      depth -= 1; res = coverAtDepth(depth)
+    }
+    res.getOrElse(Vector(""))
+  }
+
   /** Bing-style quadkey: z base-4 digits, digit i (from the most
     * significant) = 2·bit(y, z−1−i) + bit(x, z−1−i). Prefix-nesting is
     * the point: `substring(quadkey(z=12), 1, 8)` IS the z=8 key. */

@@ -509,7 +509,8 @@ class GeoDb(
     val qkPre: Option[Column] = qkZoomOf(meta).flatMap { z =>
       comparisonMode.toLowerCase match {
         case "contains" | "equals" =>
-          val cov = graft.core.Tiles.cover(minx, miny, maxx, maxy, z)
+          val cov = graft.core.Tiles.cover(minx, miny, maxx, maxy, z,
+            qkMaxPrefixes)
           Some(if (cov.isEmpty) lit(false)
           else cov.map(p => col("_qk") >= lit(p) &&
             col("_qk") <= lit(p + "3" * (z - p.length))).reduce(_ || _))
@@ -536,6 +537,111 @@ class GeoDb(
     logEvent(EventType.Read, s"Collection $d/$collection read by bbox")
     emptyContract(out)
   }
+
+  /**
+   * ARBITRARY-POLYGON spatial path (r15; [[getCollectionByBbox]] is the
+   * rectangle special case): mask geometry (WKT, any areal type) vs
+   * `geometry` under the eight comparison modes, with the same
+   * envelope prefilter AND — new — quadkey PREFIX pruning from
+   * [[graft.core.Tiles.coverGeometry]] of the mask itself, not its
+   * envelope: an L-shaped region's notch contributes no prefixes, so
+   * row groups under it never leave the parquet reader.
+   *
+   * Soundness of the mask-cover prune (contains/equals modes only,
+   * like the bbox path): the `_qk` layout keys the ENVELOPE CENTROID.
+   * `mask contains geom` ⟹ geom ⊆ mask ⟹ the centroid of geom's
+   * envelope lies in geom's convex hull (2-D fact: the bounding-box
+   * center of a convex set lies in the set — the four extreme points
+   * touching the box's sides span a quadrilateral around the center)
+   * ⊆ the CONVEX HULL of the mask. So the general prune covers
+   * `hull(mask)` — already strictly better than the envelope for any
+   * non-convex mask. For a POINT-only collection the centroid IS the
+   * point ∈ mask, and `pointsOnly = true` tightens the cover to the
+   * mask itself (the full L-shape win). pointsOnly is a CALLER
+   * CONTRACT: a non-point row pruned under it is silently lost, which
+   * is why every SURVIVING non-point row refuses loudly (the guard
+   * catches misuse unless the offending rows were themselves pruned —
+   * stated plainly here because a partial guard must not read as a
+   * total one).
+   */
+  def getCollectionByMask(collection: String, maskWkt: String,
+                          comparisonMode: String = "contains",
+                          maskCrs: Any = 4326,
+                          where: Option[String] = None,
+                          op: String = "AND",
+                          limit: Option[Int] = None,
+                          offset: Option[Int] = None,
+                          pointsOnly: Boolean = false,
+                          database: Option[String] = None): DataFrame = {
+    val d = db(database)
+    requireAccess(d, collection, "SELECT")
+    val meta = metaOf(d, collection)
+    val qCrs = checkCrs(maskCrs)
+    val wkb0 = GeoOps.geomFromText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(maskWkt))
+    val wkb = if (qCrs == meta.srid) wkb0
+              else GeoOps.transform(wkb0, qCrs, meta.srid)
+    val mask = GeoOps.read(wkb)
+    require(mask.getDimension == 2 && !mask.isEmpty,
+      s"getCollectionByMask: mask must be a non-empty areal geometry " +
+      s"(Polygon/MultiPolygon), got ${mask.getGeometryType}" +
+      (if (mask.isEmpty) " (EMPTY)" else ""))
+    val env = mask.getEnvelopeInternal
+    val stPred = st_relation(comparisonMode, lit(wkb), col("geometry"))
+    val pre0 = envelopePrefilter(comparisonMode,
+      env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+    val qkPre: Option[Column] = qkZoomOf(meta).flatMap { z =>
+      comparisonMode.toLowerCase match {
+        case "contains" | "equals" =>
+          val covGeom = if (pointsOnly) mask else mask.convexHull()
+          val cov = graft.core.Tiles.coverGeometry(covGeom, z, qkMaxPrefixes)
+          Some(if (cov.isEmpty) lit(false)
+          else cov.map(p => col("_qk") >= lit(p) &&
+            col("_qk") <= lit(p + "3" * (z - p.length))).reduce(_ || _))
+        case _ => None
+      }
+    }
+    val pre = (pre0, qkPre) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+    val checked =
+      if (!pointsOnly) stPred
+      else when(geometry_type(col("geometry")) === "POINT", stPred)
+        .otherwise(raise_error(concat(
+          lit("getCollectionByMask(pointsOnly): non-POINT geometry ("),
+          geometry_type(col("geometry")),
+          lit(") — the tightened mask cover is only sound for points; " +
+            "drop pointsOnly"))).cast(BooleanType))
+    val full = where.filter(_.nonEmpty) match {
+      case Some(w) if op.equalsIgnoreCase("OR") => expr(w) || checked
+      case Some(w) => expr(w) && checked
+      case None => checked
+    }
+    val filtered = readRaw(d, collection)
+      .filter(pre.map(p => if (where.isEmpty || op.equalsIgnoreCase("AND")) full && p else full).getOrElse(full))
+      .select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    var out = filtered.orderBy("id")
+    limit.foreach { l =>
+      offset.foreach(o => out = out.offset(o))
+      out = out.limit(l)
+    }
+    logEvent(EventType.Read, s"Collection $d/$collection read by mask")
+    emptyContract(out)
+  }
+
+  /** Quadkey prefix budget for the `_qk` pruning covers (bbox + mask
+    * paths). The trade-off it dials (measured in PruneBench on the
+    * L-mask scenario, z=10): 64 prefixes keep ~53% of the envelope's
+    * tile mass, 256 reach the ~34% optimum — but every prefix is one
+    * more string range pair that Spark re-evaluates PER ROW after the
+    * row-group stats already pruned, so bigger budgets trade row-group
+    * skipping for per-row filter cost. 64 is the measured sweet spot
+    * for ~1M-row collections; raise it for corpora whose row groups
+    * are small relative to the mask's boundary tiles. */
+  private def qkMaxPrefixes: Int =
+    spark.conf.getOption("spark.graft.quadkey.maxPrefixes")
+      .map(_.toInt).getOrElse(64)
 
   /** Row-group-prunable envelope condition implied by the DE-9IM mode. */
   private def envelopePrefilter(mode: String, minx: Double, miny: Double,

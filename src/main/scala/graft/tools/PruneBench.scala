@@ -85,6 +85,25 @@ object PruneBench {
     println(f"== createIndex (quadkey z=10 reorganize): ${(System.nanoTime() - t1) / 1e9}%.1f s")
     measure("quadkey-clustered contains (1st)", qg _)
     measure("quadkey-clustered contains (2nd)", qg _)
+
+    // ---- polygon-mask pruning (round 15): an L-shaped region whose
+    // notch is ~58% of its envelope. Three plans over the SAME
+    // quadkey-clustered collection: the mask query under envelope-only
+    // pruning (rectangle cover of the L's bbox = what the r14 engine
+    // could do), the hull cover (sound for any geometry), and the
+    // tight mask cover (pointsOnly). Row counts are identical by
+    // construction; scanRowsOut shows what the parquet reader had to
+    // surface.
+    val lMask = "POLYGON((10.25 -40.25, 90.25 -40.25, 90.25 -20.25, " +
+      "30.25 -20.25, 30.25 50.25, 10.25 50.25, 10.25 -40.25))"
+    def qmEnv() = db.getCollectionByBbox("geopts",
+      (10.25, -40.25, 90.25, 50.25), "contains", 4326,
+      where = Some("st_within(geometry, st_geomfromtext('" + lMask + "'))"))
+    def qmHull() = db.getCollectionByMask("geopts", lMask)
+    def qmMask() = db.getCollectionByMask("geopts", lMask, pointsOnly = true)
+    measure("L-mask envelope-only cover (warm)", qmEnv _)
+    measure("L-mask convex-hull cover (warm)", qmHull _)
+    measure("L-mask tight mask cover, pointsOnly (warm)", qmMask _)
     spark.stop()
     println("PRUNE_DONE")
   }

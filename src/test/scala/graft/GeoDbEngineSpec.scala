@@ -663,6 +663,66 @@ class GeoDbEngineSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("Mercator")), s"got ${msgs(e)}")
   }
 
+  test("getCollectionByMask: L-shape polygon, mask-cover pruning, pointsOnly, refusals") {
+    import spark.implicits._
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("mk", Seq("tag" -> "integer"))
+    val pts = (0 until 400).map { i =>
+      (s"POINT(${(i * 7) % 160 - 80} ${(i * 13) % 120 - 60})", i)
+    }.toDF("geometry", "tag")
+    db.insertIntoCollection("mk", pts)
+    // L: vertical arm x [-30.5, -0.5] y [-35.5, 40.5]; horizontal arm
+    // x [-30.5, 40.5] y [-35.5, -10.5] (half-integer edges: no lattice
+    // point on a boundary)
+    val l = "POLYGON((-30.5 -35.5, 40.5 -35.5, 40.5 -10.5, -0.5 -10.5, " +
+      "-0.5 40.5, -30.5 40.5, -30.5 -35.5))"
+    def inL(x: Int, y: Int) =
+      (x >= -30 && x <= 40 && y >= -35 && y <= -11) ||
+      (x >= -30 && x <= -1 && y >= -35 && y <= 40)
+    val want = (0 until 400).filter(i =>
+      inL((i * 7) % 160 - 80, (i * 13) % 120 - 60)).toSeq
+    def got(q: org.apache.spark.sql.DataFrame) =
+      q.collect().map(_.getAs[Int]("tag")).sorted.toSeq
+    // unindexed: plain envelope prefilter path
+    assert(got(db.getCollectionByMask("mk", l)) === want)
+    db.createIndex("mk", method = "quadkey", zoom = 8)
+    // hull cover (default) and tight mask cover (pointsOnly) both exact
+    val qHull = db.getCollectionByMask("mk", l)
+    val qMask = db.getCollectionByMask("mk", l, pointsOnly = true)
+    assert(got(qHull) === want && got(qMask) === want)
+    // the _qk ranges reach the scan in both
+    for (q <- Seq(qHull, qMask)) {
+      val scan = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.metadata("PushedFilters").contains("_qk"))
+    }
+    // intersects mode keeps only the envelope prefilter (centroid key
+    // unsound for big geometries)
+    val qi = db.getCollectionByMask("mk", l, "intersects")
+    assert("_qk#\\d+ >=".r.findFirstIn(
+      qi.queryExecution.optimizedPlan.toString).isEmpty)
+    assert(got(qi) === want) // points: intersects == contains here
+    // where-compose and limit ride along
+    assert(got(db.getCollectionByMask("mk", l, where = Some("tag < 100"))) ===
+      want.filter(_ < 100))
+    // pointsOnly misuse: a surviving non-point refuses loudly
+    db.createCollection("mkpoly", Seq("tag" -> "integer"))
+    db.insertIntoCollection("mkpoly",
+      Seq(("POLYGON((-20 -30, -19 -30, -19 -29, -20 -29, -20 -30))", 1))
+        .toDF("geometry", "tag"))
+    val e2 = intercept[Exception](
+      db.getCollectionByMask("mkpoly", l, pointsOnly = true).collect())
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(e2).exists(_.contains("non-POINT")))
+    // non-areal mask refused
+    intercept[IllegalArgumentException](
+      db.getCollectionByMask("mk", "LINESTRING(0 0, 1 1)"))
+    intercept[IllegalArgumentException](
+      db.getCollectionByMask("mk", "POLYGON EMPTY"))
+  }
+
   test("user registration + manage-subscription gating (geodb.sql:1525-1529)") {
     val wh = tmpDir("graft-wh")
     val admin = new GeoDb(spark, wh, "admin")

@@ -134,4 +134,52 @@ class TilesSpec extends SparkSpec {
     val world = Tiles.cover(-180, -85, 180, 85, 10, 4)
     assert(world.nonEmpty && world.size <= 4)
   }
+
+  test("coverGeometry: L-shape covers every interior point, skips the notch, beats the envelope") {
+    import spark.implicits._
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def poly(pts: (Double, Double)*) = gf.createPolygon(
+      (pts :+ pts.head).map { case (x, y) =>
+        new org.locationtech.jts.geom.Coordinate(x, y) }.toArray)
+    // L: vertical arm lon [0,20] lat [-40,50]; horizontal arm
+    // lon [0,80] lat [-40,-20]; notch = [20,80] x [-20,50]
+    val l = poly((0, -40), (80, -40), (80, -20), (20, -20), (20, 50), (0, 50))
+    for (z <- Seq(6, 9)) {
+      val cov = Tiles.coverGeometry(l, z)
+      val covEnv = Tiles.cover(0, -40, 80, 50, z)
+      assert(cov.nonEmpty && cov.size <= 64)
+      // coverage: every interior point's quadkey binned under a prefix
+      val rnd = new scala.util.Random(31 + z)
+      val pts = (0 until 300).map { _ =>
+        if (rnd.nextBoolean()) (rnd.nextDouble() * 20, rnd.nextDouble() * 90 - 40)
+        else (rnd.nextDouble() * 80, rnd.nextDouble() * 20 - 40)
+      }.toDF("lon", "lat")
+      val qks = pts.select(Tiles.quadkey($"lon", $"lat", z).as("qk"))
+        .collect().map(_.getString(0))
+      assert(qks.forall(k => cov.exists(k.startsWith)),
+        s"z=$z: interior point escaped the mask cover")
+      // tightness: a deep-notch point is NOT covered (this is exactly
+      // what the envelope cover cannot do)
+      val notchQk = Seq((50.0, 20.0)).toDF("lon", "lat")
+        .select(Tiles.quadkey($"lon", $"lat", z)).head().getString(0)
+      assert(!cov.exists(notchQk.startsWith), s"z=$z: notch tile covered")
+      assert(covEnv.exists(notchQk.startsWith), "envelope keeps the notch")
+      // tile-mass comparison: expand both covers to z-tile counts
+      def mass(prefixes: Seq[String]) =
+        prefixes.map(p => math.pow(4.0, (z - p.length).toDouble)).sum
+      assert(mass(cov) < 0.75 * mass(covEnv),
+        s"z=$z: mask cover ${mass(cov)} tiles vs envelope ${mass(covEnv)}")
+    }
+    // multipolygon + empty + budget degradation
+    val two = gf.createMultiPolygon(Array(
+      poly((0, 0), (5, 0), (5, 5), (0, 5)),
+      poly((100, 10), (110, 10), (110, 20), (100, 20))))
+    val covTwo = Tiles.coverGeometry(two, 8, 8)
+    assert(covTwo.nonEmpty && covTwo.size <= 8)
+    val qk1 = Seq((2.0, 2.0), (105.0, 15.0)).toDF("lon", "lat")
+      .select(Tiles.quadkey($"lon", $"lat", 8)).collect().map(_.getString(0))
+    assert(qk1.forall(k => covTwo.exists(k.startsWith)))
+    assert(Tiles.coverGeometry(gf.createPolygon(), 8) === Seq.empty)
+    intercept[IllegalArgumentException] { Tiles.coverGeometry(l, 0) }
+  }
 }
