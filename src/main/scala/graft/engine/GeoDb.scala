@@ -1465,10 +1465,20 @@ class GeoDb(
   private def withStats(schema: StructType): StructType =
     statCols.foldLeft(schema)((s, c) => s.add(c, DoubleType))
 
-  /** Read schema incl. the `_qk` layout column when declared. */
+  /** Read schema incl. the `_qk` layout column when declared. The
+    * layout ZOOM rides the field's metadata (`graft.qkZoom`), which
+    * Spark carries through the relation into the attribute — that is
+    * how [[graft.plans.EnvelopePrefilter]] learns the zoom it needs to
+    * build prefix ranges for ARBITRARY user filters (r15); without it
+    * the rule would have to guess key length, and a guessed-long
+    * prefix silently excludes every shorter key. */
   private def withStats(meta: CollectionMeta): StructType = {
     val base = withStats(meta.schema)
-    if (qkZoomOf(meta).isDefined) base.add("_qk", StringType) else base
+    qkZoomOf(meta) match {
+      case Some(z) => base.add("_qk", StringType, nullable = true,
+        new MetadataBuilder().putLong("graft.qkZoom", z.toLong).build())
+      case None => base
+    }
   }
 
   /** Declared-quadkey-layout detection: the zoom rides the index name. */

@@ -53,23 +53,36 @@ import graft.functions.{StDistance, StDistanceSpherical, StRelation}
  * Rows that DO reach the verify still refuse loudly, so a corpus whose
  * non-point rows fall inside the search envelope fails exactly as
  * before.
+ *
+ * QUADKEY injection (r15): containment-direction conjuncts on a
+ * collection with a declared `_qk` layout additionally gain
+ * prefix-range predicates from the query hull's tile cover — see
+ * [[qkPrefix]] for the soundness argument and why the zoom must come
+ * from the column's metadata.
  */
 object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private val statNames = Seq("_bbox_minx", "_bbox_miny", "_bbox_maxx", "_bbox_maxy")
+  /** Everything this rule can inject — the idempotency guards check
+    * the full set so a previous `_qk` injection also stops re-entry. */
+  private val injectedNames = statNames :+ "_qk"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) if !references(cond, statNames) =>
+    case f @ Filter(cond, child) if !references(cond, injectedNames) =>
       val conjuncts = splitConjunctivePredicates(cond)
       def extrasFor(target: LogicalPlan): Seq[Expression] = conjuncts.flatMap {
         case StRelation(mode, q, g: Attribute) if q.foldable =>
           statsFor(target, g).flatMap { s =>
             prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = true)
-          }
+          }.toSeq ++
+            (if (Set("contains", "equals").contains(mode.toLowerCase))
+              qkPrefix(target, g, q).toSeq else Nil)
         case StRelation(mode, g: Attribute, q) if q.foldable =>
           statsFor(target, g).flatMap { s =>
             prefilter(mode, q, s(0), s(1), s(2), s(3), queryFirst = false)
-          }
+          }.toSeq ++
+            (if (mode.toLowerCase == "within") qkPrefix(target, g, q).toSeq
+             else Nil)
         case DistConjunct(g, q, r, sphereR)
             if r >= 0 && !r.isNaN && !r.isInfinite =>
           statsFor(target, g).flatMap { s =>
@@ -91,7 +104,7 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
           // extraOptimizations). A stat-referencing Filter directly under
           // the Project can only be a previous injection — skip.
           val alreadyInjected = grandchild match {
-            case Filter(gcond, _) => references(gcond, statNames)
+            case Filter(gcond, _) => references(gcond, injectedNames)
             case _ => false
           }
           val below = if (alreadyInjected) Seq.empty else extrasFor(grandchild)
@@ -99,6 +112,52 @@ object EnvelopePrefilter extends Rule[LogicalPlan] with PredicateHelper {
           else Filter(cond, Project(projList, Filter(below.reduce(And), grandchild)))
         case _ => f
       }
+  }
+
+  /**
+   * Quadkey prefix-range injection (r15): when the geometry attribute's
+   * leaf also carries a `_qk` layout column whose field metadata
+   * declares the zoom (`graft.qkZoom`, written by the engine's read
+   * schema), a containment-direction conjunct — `st_contains(<lit>,
+   * geom)` / `st_within(geom, <lit>)` / `st_equals` — additionally
+   * prunes on `Tiles.coverGeometry` prefixes of the literal's CONVEX
+   * HULL. Soundness: containment puts the row's envelope centroid (the
+   * key the layout indexes) inside the row's own convex hull (2-D
+   * bounding-box-center fact) ⊆ hull(query). The hull — never the raw
+   * polygon — because a non-convex query can contain a geometry whose
+   * centroid sits in the query's notch. The metadata zoom is load-
+   * bearing: prefixes longer than the stored keys would silently
+   * exclude every row, so with no declared zoom nothing is injected.
+   * This is what makes the D7 quadkey layout reach ARBITRARY user
+   * queries (raw SQL, DataFrame filters), not just the engine's bbox
+   * and mask read paths.
+   */
+  private def qkPrefix(child: LogicalPlan, geom: Attribute,
+                       queryGeom: Expression): Option[Expression] = {
+    val owners = child.collectLeaves()
+      .filter(_.output.exists(_.exprId == geom.exprId))
+    owners match {
+      case Seq(leaf) =>
+        leaf.output.filter(_.name == "_qk") match {
+          case Seq(qk) if child.outputSet.contains(qk) &&
+              qk.metadata.contains("graft.qkZoom") =>
+            val z = qk.metadata.getLong("graft.qkZoom").toInt
+            val wkb = queryGeom.eval() match {
+              case b: Array[Byte] => b
+              case _ => return None
+            }
+            val q = GeoOps.read(wkb)
+            if (q.isEmpty) return None
+            val cov = graft.core.Tiles.coverGeometry(q.convexHull(), z)
+            if (cov.isEmpty) None
+            else Some(cov.map[Expression] { p =>
+              And(GreaterThanOrEqual(qk, Literal(p)),
+                  LessThanOrEqual(qk, Literal(p + "3" * (z - p.length))))
+            }.reduce(Or))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   private def references(e: Expression, names: Seq[String]): Boolean =

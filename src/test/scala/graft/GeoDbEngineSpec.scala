@@ -723,6 +723,56 @@ class GeoDbEngineSpec extends SparkSpec {
       db.getCollectionByMask("mk", "POLYGON EMPTY"))
   }
 
+  test("EnvelopePrefilter injects _qk prefix ranges for arbitrary user filters") {
+    import spark.implicits._
+    val db = new GeoDb(spark, tmpDir("graft-wh"), "geodb_user")
+    db.createCollection("uq", Seq("tag" -> "integer"))
+    val pts = (0 until 400).map { i =>
+      (s"POINT(${(i * 7) % 160 - 80} ${(i * 13) % 120 - 60})", i)
+    }.toDF("geometry", "tag")
+    db.insertIntoCollection("uq", pts)
+    db.createIndex("uq", method = "quadkey", zoom = 8)
+    val l = "POLYGON((-30.5 -35.5, 40.5 -35.5, 40.5 -10.5, -0.5 -10.5, " +
+      "-0.5 40.5, -30.5 40.5, -30.5 -35.5))"
+    def inL(x: Int, y: Int) =
+      (x >= -30 && x <= 40 && y >= -35 && y <= -11) ||
+      (x >= -30 && x <= -1 && y >= -35 && y <= 40)
+    val want = (0 until 400).filter(i =>
+      inL((i * 7) % 160 - 80, (i * 13) % 120 - 60)).toSeq
+    import graft.functions.GeoFunctions._
+    // a RAW DataFrame filter the engine never saw — the optimizer rule
+    // alone must find the layout column (via the metadata zoom) and
+    // inject the hull-cover prefix ranges below the user projection
+    val q = db.getCollection("uq")
+      .filter(call_function("st_within", col("geometry"),
+        st_geomfromtext(lit(l))))
+    assert(q.collect().map(_.getAs[Int]("tag")).sorted.toSeq === want)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("_qk"),
+      s"user-filter _qk injection missing: ${scan.metadata("PushedFilters")}")
+    // st_contains(literal, geom) — the other containment direction
+    val q2 = db.getCollection("uq")
+      .filter(call_function("st_contains", st_geomfromtext(lit(l)), col("geometry")))
+    assert(q2.collect().map(_.getAs[Int]("tag")).sorted.toSeq === want)
+    assert("_qk#\\d+ >=".r.findFirstIn(
+      q2.queryExecution.optimizedPlan.toString).isDefined)
+    // intersects direction must NOT use the centroid key
+    val q3 = db.getCollection("uq")
+      .filter(call_function("st_intersects", col("geometry"), st_geomfromtext(lit(l))))
+    assert("_qk#\\d+ >=".r.findFirstIn(
+      q3.queryExecution.optimizedPlan.toString).isEmpty)
+    assert(q3.collect().map(_.getAs[Int]("tag")).sorted.toSeq === want)
+    // raw SQL over the registered temp view gets the same treatment
+    db.registerTempViews()
+    val q4 = spark.sql(
+      s"SELECT tag FROM geodb_user_uq WHERE st_within(geometry, st_geomfromtext('$l'))")
+    assert(q4.collect().map(_.getInt(0)).sorted.toSeq === want)
+    assert("_qk#\\d+ >=".r.findFirstIn(
+      q4.queryExecution.optimizedPlan.toString).isDefined)
+  }
+
   test("user registration + manage-subscription gating (geodb.sql:1525-1529)") {
     val wh = tmpDir("graft-wh")
     val admin = new GeoDb(spark, wh, "admin")
