@@ -4110,6 +4110,92 @@ object SparkEntry {
           round(col("path_cost") * 1e6).cast("long").as("cost_u"))
         .orderBy("k", "t")
     }),
+    "q273_map_match_geo" -> ((s, dir) => { ensure(s)
+      // GEODESIC Viterbi map-matching (r15; q271 on the sphere):
+      // mapMatchGeo over synthesized meridian-lane candidates — two
+      // roads 0.2° of longitude apart at ~50°N, tracks stepping 0.1°
+      // of latitude per ping, planted excursion keys (k%4=0) whose t=1
+      // emission strongly favors the OTHER lane yet whose two ~7 km
+      // route-discrepancy hops outweigh it at β=500 m, so greedy hops
+      // and the Viterbi holds (asserted). Costs ride the haversine
+      // (libm sin/asin), so the gate enumerates all 16 paths per key
+      // itself and requires operator == enumeration plus a 1e-6
+      // best-vs-second gap and the µ-unit rounding margin; the oracle
+      // replays the identical left-to-right trees in DuckDB.
+      import org.apache.spark.sql.expressions.Window
+      val ks = ld(s, dir, "customer")
+        .select((col("c_custkey") % 5000).cast("long").as("k")).distinct()
+      val base = ks
+        .select(col("k"), explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("t"))
+        .select(col("k"), col("t"),
+          explode(array(lit(1L), lit(2L))).as("c"))
+      val plat = lit(50.0) + col("t").cast("double") * 0.1 +
+        (col("k") % 7).cast("double") * 0.001
+      val plon = lit(10.05) + ((col("k") + col("t")) % 3).cast("double") * 0.04
+      val d = when(col("k") % 4 === 0,
+          when(col("t") === 1,
+            when(col("c") === 2, 50.0).otherwise(650.0))
+          .otherwise(when(col("c") === 1, 50.0).otherwise(950.0)))
+        .otherwise(((col("k") * 7 + col("t") * 3 + col("c") * 5) % 11)
+          .cast("double") * 100.0 + 50.0)
+      val cand = base.select(col("k"), col("t"), col("c"), d.as("d"),
+        plon.as("plon"), plat.as("plat"),
+        (lit(10.0) + (col("c") - 1).cast("double") * 0.2).as("slon"),
+        plat.as("slat"))
+      val mm = graft.core.Trajectory.mapMatchGeo(cand, "k", "t", "c", "d",
+        "plon", "plat", "slon", "slat", sigma = 100.0, beta = 500.0)
+      // ---- in-gate brute enumeration (mirrors the oracle SQL) ----
+      val bigR = graft.core.DistanceJoin.EarthRadiusMeters
+      def hv(lon0: Column, lat0: Column, lon1: Column, lat1: Column): Column =
+        lit(2.0) * bigR * asin(least(lit(1.0), sqrt(
+          pow(sin((radians(lat1) - radians(lat0)) / 2), 2) +
+          cos(radians(lat0)) * cos(radians(lat1)) *
+            pow(sin((radians(lon1) - radians(lon0)) / 2), 2))))
+      def st(i: Int) = cand.filter(col("t") === i).select(col("k"),
+        col("c").as(s"s$i"), col("d").as(s"d$i"),
+        col("slon").as(s"x$i"), col("slat").as(s"y$i"),
+        col("plon").as(s"p$i"), col("plat").as(s"q$i"))
+      def em(i: Int) = (col(s"d$i") / 100.0) * (col(s"d$i") / 100.0) / 2.0
+      def tr(i: Int, j: Int) = abs(
+        hv(col(s"x$i"), col(s"y$i"), col(s"x$j"), col(s"y$j")) -
+        hv(col(s"p$i"), col(s"q$i"), col(s"p$j"), col(s"q$j"))) / 500.0
+      val ranked = st(0).join(st(1), "k").join(st(2), "k").join(st(3), "k")
+        .withColumn("cost",
+          em(0) + tr(0, 1) + em(1) + tr(1, 2) + em(2) + tr(2, 3) + em(3))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("cost"))))
+      val gap = ranked.groupBy("k")
+        .agg((min(when(col("rn") === 2, col("cost"))) -
+              min(when(col("rn") === 1, col("cost")))).as("g"))
+        .agg(min("g")).head().getDouble(0)
+      require(gap > 1e-6,
+        f"q273: best-vs-second path gap $gap%.2e — a float tie could " +
+        "diverge DP from enumeration; change the fixture")
+      val enumChoice = ranked.filter(col("rn") === 1)
+        .select(col("k"), posexplode(array(
+          col("s0"), col("s1"), col("s2"), col("s3"))).as(Seq("ti", "ec")))
+        .select(col("k"), col("ti").cast("long").as("t"), col("ec"))
+      val mism = mm.join(enumChoice, Seq("k", "t"))
+        .filter(col("c") =!= col("ec")).count()
+      require(mism == 0L,
+        s"q273: operator disagrees with path enumeration on $mism pings")
+      val greedy = cand.withColumn("grn", row_number().over(
+          Window.partitionBy("k", "t").orderBy(col("d"), col("c"))))
+        .filter(col("grn") === 1).select(col("k"), col("t"), col("c").as("gc"))
+      val disagree = mm.join(greedy, Seq("k", "t"))
+        .filter(col("c") =!= col("gc")).count()
+      require(disagree > 0L,
+        "q273: greedy equals viterbi everywhere — the planted excursions " +
+        "are gone")
+      val cm = mm.agg(min(abs(col("path_cost") * 1e6 -
+        floor(col("path_cost") * 1e6) - 0.5))).head().getDouble(0)
+      require(cm > 1e-6,
+        f"q273: a cost sits $cm%.2e from its rounding boundary; change " +
+        "the fixture")
+      mm.select(col("k"), col("t"), col("c"),
+          round(col("path_cost") * 1e6).cast("long").as("cost_u"))
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -6038,6 +6124,46 @@ object SparkEntry {
        "CAST(round((CASE WHEN still THEN lon0 ELSE degrees(atan2(sy, sx)) END) * 1e6) AS BIGINT) AS lon_udeg, " +
        "CAST(round((CASE WHEN still THEN lat0 ELSE degrees(asin(greatest(-1.0, least(1.0, sz)))) END) * 1e6) AS BIGINT) AS lat_udeg " +
        "FROM u ORDER BY k, t"),
+    "q273_map_match_geo" -> {
+      // haversine trees in the DP's exact left-to-right association;
+      // the gate's gap audit (1e-6 vs ~1e-10 libm drift at these
+      // magnitudes) makes the row_number argmin engine-stable
+      def hv(lon0: String, lat0: String, lon1: String, lat1: String) =
+        s"2.0 * 6371008.8 * asin(least(1.0, sqrt(" +
+        s"pow(sin((radians($lat1) - radians($lat0)) / 2), 2) + " +
+        s"cos(radians($lat0)) * cos(radians($lat1)) * " +
+        s"pow(sin((radians($lon1) - radians($lon0)) / 2), 2))))"
+      def stage(i: Int) =
+        s"c$i AS (SELECT k, c s$i, d d$i, slon x$i, slat y$i, plon p$i, plat q$i " +
+        s"FROM cand WHERE t = $i)"
+      def em(i: Int) = s"(d$i/100.0)*(d$i/100.0)/2.0"
+      def tr(i: Int, j: Int) =
+        s"abs(${hv(s"x$i", s"y$i", s"x$j", s"y$j")} - " +
+        s"${hv(s"p$i", s"q$i", s"p$j", s"q$j")}) / 500.0"
+      "WITH ks AS (SELECT DISTINCT CAST(c_custkey % 5000 AS BIGINT) AS k FROM customer), " +
+      "cand AS (SELECT k, CAST(tt.t AS BIGINT) AS t, CAST(cc.c AS BIGINT) AS c, " +
+      "CASE WHEN k % 4 = 0 THEN CASE WHEN tt.t = 1 THEN " +
+      "CASE WHEN cc.c = 2 THEN 50.0 ELSE 650.0 END ELSE " +
+      "CASE WHEN cc.c = 1 THEN 50.0 ELSE 950.0 END END ELSE " +
+      "CAST((k * 7 + tt.t * 3 + cc.c * 5) % 11 AS DOUBLE) * 100.0 + 50.0 END AS d, " +
+      "10.05 + CAST((k + tt.t) % 3 AS DOUBLE) * 0.04 AS plon, " +
+      "50.0 + CAST(tt.t AS DOUBLE) * 0.1 + CAST(k % 7 AS DOUBLE) * 0.001 AS plat, " +
+      "10.0 + CAST(cc.c - 1 AS DOUBLE) * 0.2 AS slon, " +
+      "50.0 + CAST(tt.t AS DOUBLE) * 0.1 + CAST(k % 7 AS DOUBLE) * 0.001 AS slat " +
+      "FROM ks, (VALUES (0), (1), (2), (3)) tt(t), (VALUES (1), (2)) cc(c)), " +
+      stage(0) + ", " + stage(1) + ", " + stage(2) + ", " + stage(3) + ", " +
+      "paths AS (SELECT c0.k, s0, s1, s2, s3, " +
+      em(0) + " + " + tr(0, 1) + " + " + em(1) + " + " + tr(1, 2) + " + " +
+      em(2) + " + " + tr(2, 3) + " + " + em(3) + " AS cost " +
+      "FROM c0 JOIN c1 ON c0.k = c1.k JOIN c2 ON c0.k = c2.k " +
+      "JOIN c3 ON c0.k = c3.k), " +
+      "best AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY cost) rn " +
+      "FROM paths) " +
+      "SELECT k, CAST(tt.t AS BIGINT) AS t, " +
+      "CASE tt.t WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS c, " +
+      "CAST(round(cost * 1e6) AS BIGINT) AS cost_u " +
+      "FROM best, (VALUES (0), (1), (2), (3)) tt(t) WHERE rn = 1 ORDER BY k, t"
+    },
     "q271_map_match" -> {
       // candidate trees mirror segmentRadiusJoin verbatim (cross-form
       // dist2, clamped frac, snapped point); path costs accumulate in

@@ -756,43 +756,104 @@ object Trajectory {
                snapXCol: String, snapYCol: String,
                sigma: Double, beta: Double,
                maxCandidatesPerPoint: Int = 64,
-               maxPointsPerKey: Int = 1000000): DataFrame = {
-    require(sigma > 0 && !sigma.isInfinite, s"mapMatch: sigma must be finite > 0, got $sigma")
-    require(beta > 0 && !beta.isInfinite, s"mapMatch: beta must be finite > 0, got $beta")
+               maxPointsPerKey: Int = 1000000): DataFrame =
+    mapMatchImpl(candidates, keyCol, tsCol, candCol, distCol, pxCol, pyCol,
+      snapXCol, snapYCol, sigma, beta, maxCandidatesPerPoint, maxPointsPerKey,
+      geodesic = false, DistanceJoin.EarthRadiusMeters, "mapMatch")
+
+  /**
+   * GEODESIC [[mapMatch]] — the Viterbi pass over lat/lon snap
+   * candidates (feed it [[DistanceJoin.geoSegmentRadiusJoin]] /
+   * `geoSnapToSegments` output): identical DP, cost model and
+   * refusal/tie contracts, with `route` and `straight` measured as
+   * GREAT-CIRCLE metres (the [[kinematics]] haversine tree, so the
+   * whole trajectory family shares one formulation) — σ and β are
+   * therefore in metres, matching the snap join's `dist_m` emission.
+   * Coordinate columns are (lon, lat) degrees, range-refused like the
+   * rest of the geodesic family.
+   */
+  def mapMatchGeo(candidates: DataFrame, keyCol: String, tsCol: String,
+                  candCol: String, distCol: String,
+                  lonCol: String, latCol: String,
+                  snapLonCol: String, snapLatCol: String,
+                  sigma: Double, beta: Double,
+                  maxCandidatesPerPoint: Int = 64,
+                  maxPointsPerKey: Int = 1000000,
+                  earthRadiusMeters: Double = DistanceJoin.EarthRadiusMeters)
+      : DataFrame =
+    mapMatchImpl(candidates, keyCol, tsCol, candCol, distCol, lonCol, latCol,
+      snapLonCol, snapLatCol, sigma, beta, maxCandidatesPerPoint,
+      maxPointsPerKey, geodesic = true, earthRadiusMeters, "mapMatchGeo")
+
+  private def mapMatchImpl(candidates: DataFrame, keyCol: String, tsCol: String,
+               candCol: String, distCol: String,
+               pxCol: String, pyCol: String,
+               snapXCol: String, snapYCol: String,
+               sigma: Double, beta: Double,
+               maxCandidatesPerPoint: Int,
+               maxPointsPerKey: Int,
+               geodesic: Boolean, earthRadiusMeters: Double,
+               op: String): DataFrame = {
+    require(sigma > 0 && !sigma.isInfinite, s"$op: sigma must be finite > 0, got $sigma")
+    require(beta > 0 && !beta.isInfinite, s"$op: beta must be finite > 0, got $beta")
     require(maxCandidatesPerPoint >= 1 && maxPointsPerKey >= 1,
-      "mapMatch: caps must be >= 1")
+      s"$op: caps must be >= 1")
     Seq(keyCol, tsCol, candCol, distCol, pxCol, pyCol, snapXCol, snapYCol)
       .foreach { c => require(candidates.columns.contains(c),
-        s"mapMatch: column '$c' missing from ${candidates.columns.mkString("[", ",", "]")}")
+        s"$op: column '$c' missing from ${candidates.columns.mkString("[", ",", "]")}")
       }
     Seq(keyCol -> "key", tsCol -> "timestamp", candCol -> "candidate id")
       .foreach { case (c, what) =>
         val t = candidates.schema(c).dataType
         require(t == LongType || t == IntegerType || t == ShortType,
-          s"mapMatch: $what column '$c' must be integral (got $t)")
+          s"$op: $what column '$c' must be integral (got $t)")
       }
     def refuse(c: String, what: String) =
       when(col(c).isNull || isnan(col(c).cast(DoubleType)),
-        raise_error(lit(s"mapMatch: NULL/NaN $what — a dropped candidate " +
+        raise_error(lit(s"$op: NULL/NaN $what — a dropped candidate " +
           "would silently reroute the track")).cast(DoubleType))
         .otherwise(col(c).cast(DoubleType))
     def refuseL(c: String, what: String) =
       when(col(c).isNull,
-        raise_error(lit(s"mapMatch: NULL $what")).cast(LongType))
+        raise_error(lit(s"$op: NULL $what")).cast(LongType))
         .otherwise(col(c).cast(LongType))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi,
+        raise_error(concat(lit(s"$op: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast(DoubleType)).otherwise(c)
+    def coord(c: String, what: String, lo: Double, hi: Double) =
+      if (geodesic) ranged(refuse(c, what), lo, hi, what) else refuse(c, what)
     val spark = candidates.sparkSession
     import spark.implicits._
     val slim = candidates.select(
         refuseL(keyCol, "key").as("k"), refuseL(tsCol, "timestamp").as("t"),
         refuseL(candCol, "candidate id").as("c"),
         refuse(distCol, "snap distance").as("d"),
-        refuse(pxCol, "point x").as("px"), refuse(pyCol, "point y").as("py"),
-        refuse(snapXCol, "snap x").as("sx"), refuse(snapYCol, "snap y").as("sy"))
+        coord(pxCol, "point x", -180, 180).as("px"),
+        coord(pyCol, "point y", -90, 90).as("py"),
+        coord(snapXCol, "snap x", -180, 180).as("sx"),
+        coord(snapYCol, "snap y", -90, 90).as("sy"))
       .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
     val sorted = slim.repartition(col("k"))
       .sortWithinPartitions(col("k"), col("t"), col("c"))
     val (sg, bt, candCap, keyCap) =
       (sigma, beta, maxCandidatesPerPoint, maxPointsPerKey)
+    val opB = op
+    // step metric: planar Euclid or the kinematics haversine tree —
+    // the ONLY difference between the planar and geodesic operators
+    val bigR = earthRadiusMeters
+    val dist: (Double, Double, Double, Double) => Double =
+      if (!geodesic) (x0, y0, x1, y1) => {
+        val dx = x1 - x0; val dy = y1 - y0
+        math.sqrt(dx * dx + dy * dy)
+      } else (lon0, lat0, lon1, lat1) => {
+        val dphi = math.toRadians(lat1) - math.toRadians(lat0)
+        val dlam = math.toRadians(lon1) - math.toRadians(lon0)
+        val h = math.pow(math.sin(dphi / 2), 2) +
+          math.cos(math.toRadians(lat0)) * math.cos(math.toRadians(lat1)) *
+            math.pow(math.sin(dlam / 2), 2)
+        2.0 * bigR * math.asin(math.min(1.0, math.sqrt(h)))
+      }
     sorted.mapPartitions[(Long, Long, Long, Double)] {
         (it: Iterator[(Long, Long, Long, Double, Double, Double, Double, Double)]) =>
       new Iterator[(Long, Long, Long, Double)] {
@@ -811,22 +872,22 @@ object Trajectory {
                 ts += t; px += x; py += y
                 cands += new ArrayBuffer[(Long, Double, Double, Double)]
                 require(ts.length <= keyCap,
-                  s"mapMatch: key $key exceeds maxPointsPerKey ($keyCap) — " +
+                  s"$opB: key $key exceeds maxPointsPerKey ($keyCap) — " +
                   "pre-split the trajectory (e.g. by day) or raise the cap")
               } else {
                 require(cands.last.isEmpty || cands.last.last._1 != c,
-                  s"mapMatch: duplicate (ts, candidate) = ($t, $c) for key " +
+                  s"$opB: duplicate (ts, candidate) = ($t, $c) for key " +
                   s"$key — the emission is ambiguous; dedup the candidates")
                 require(x == px.last && y == py.last,
-                  s"mapMatch: candidates of key $key ts $t disagree on the " +
+                  s"$opB: candidates of key $key ts $t disagree on the " +
                   s"ping's coordinates (($x, $y) vs (${px.last}, ${py.last}))")
               }
               cands.last += ((c, d, sx, sy))
               require(cands.last.length <= candCap,
-                s"mapMatch: key $key ts $t exceeds maxCandidatesPerPoint " +
+                s"$opB: key $key ts $t exceeds maxCandidatesPerPoint " +
                 s"($candCap) — shrink the candidate radius or raise the cap")
             }
-            out = viterbiKey(key, ts, px, py, cands, sg, bt).iterator
+            out = viterbiKey(key, ts, px, py, cands, sg, bt, dist).iterator
           }
         }
         override def hasNext: Boolean = { refill(); out.hasNext }
@@ -843,7 +904,8 @@ object Trajectory {
   private def viterbiKey(key: Long, ts: ArrayBuffer[Long],
                          px: ArrayBuffer[Double], py: ArrayBuffer[Double],
                          cands: ArrayBuffer[ArrayBuffer[(Long, Double, Double, Double)]],
-                         sigma: Double, beta: Double)
+                         sigma: Double, beta: Double,
+                         dist: (Double, Double, Double, Double) => Double)
       : ArrayBuffer[(Long, Long, Long, Double)] = {
     val tN = ts.length
     def em(i: Int, j: Int): Double = {
@@ -855,8 +917,7 @@ object Trajectory {
     while (i < tN) {
       val cur = new Array[Double](cands(i).length)
       val bp = new Array[Int](cands(i).length)
-      val straightDx = px(i) - px(i - 1); val straightDy = py(i) - py(i - 1)
-      val straight = math.sqrt(straightDx * straightDx + straightDy * straightDy)
+      val straight = dist(px(i - 1), py(i - 1), px(i), py(i))
       var j = 0
       while (j < cands(i).length) {
         val (_, _, sx, sy) = cands(i)(j)
@@ -864,8 +925,7 @@ object Trajectory {
         var p = 0
         while (p < cands(i - 1).length) {
           val (_, _, psx, psy) = cands(i - 1)(p)
-          val dx = sx - psx; val dy = sy - psy
-          val route = math.sqrt(dx * dx + dy * dy)
+          val route = dist(psx, psy, sx, sy)
           val cost = prev(p) + math.abs(route - straight) / beta
           // strict < keeps the FIRST (smallest candidate id — the sort
           // order) on ties

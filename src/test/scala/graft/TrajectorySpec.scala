@@ -791,4 +791,70 @@ class TrajectorySpec extends SparkSpec {
         "k", "t", "c", "d", "px", "py", "sx", "sy", 0.0, 1.0)
     }
   }
+  test("mapMatchGeo: haversine brute twin; range refusal") {
+    import spark.implicits._
+    val R = graft.core.DistanceJoin.EarthRadiusMeters
+    def hv(lon0: Double, lat0: Double, lon1: Double, lat1: Double): Double = {
+      val dphi = math.toRadians(lat1) - math.toRadians(lat0)
+      val dlam = math.toRadians(lon1) - math.toRadians(lon0)
+      val h = math.pow(math.sin(dphi / 2), 2) +
+        math.cos(math.toRadians(lat0)) * math.cos(math.toRadians(lat1)) *
+          math.pow(math.sin(dlam / 2), 2)
+      2.0 * R * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    // 3 keys x 4 pings x 2 lane candidates on meridians lon 10.0/10.2
+    val rows = for {
+      k <- 1L to 3L; t <- 0L to 3L; c <- 1L to 2L
+    } yield {
+      val plat = 50.0 + t * 0.1
+      val plon = 10.05 + ((k + t) % 3) * 0.04
+      val d = ((k * 7 + t * 3 + c * 5) % 11).toDouble * 100.0 + 50.0
+      (k, t, c, d, plon, plat, 10.0 + (c - 1) * 0.2, plat)
+    }
+    val got = Trajectory.mapMatchGeo(
+        rows.toDF("k", "t", "c", "d", "plon", "plat", "slon", "slat"),
+        "k", "t", "c", "d", "plon", "plat", "slon", "slat",
+        sigma = 100.0, beta = 1000.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // brute: enumerate the 16 paths per key with the same trees
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val pings = rs.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (t, cs) => (t, cs.sortBy(_._3)) }
+      val paths = pings.map(_._2.indices.toSeq)
+        .foldLeft(Seq(Seq.empty[Int]))((acc, idx) =>
+          for (a <- acc; i <- idx) yield a :+ i)
+      val best = paths.map { p =>
+        var cost = 0.0
+        for (i <- pings.indices) {
+          val c = pings(i)._2(p(i))
+          if (i > 0) {
+            val pc = pings(i - 1)._2(p(i - 1))
+            val route = hv(pc._7, pc._8, c._7, c._8)
+            val straight = hv(pc._5, pc._6, c._5, c._6)
+            cost += math.abs(route - straight) / 1000.0
+          }
+          cost += (c._4 / 100.0) * (c._4 / 100.0) / 2.0
+        }
+        (p, cost)
+      }.minBy(_._2)
+      pings.indices.map(i =>
+        (k, pings(i)._1) -> ((pings(i)._2(best._1(i))._3, best._2)))
+    }
+    want.foreach { case (kt, (cand, cost)) =>
+      assert(got(kt)._1 === cand, s"$kt: ${got(kt)} vs ($cand, $cost)")
+      assert(math.abs(got(kt)._2 - cost) < 1e-9)
+    }
+    // out-of-range latitude refuses (geodesic only)
+    val bad = Seq((1L, 0L, 1L, 10.0, 10.0, 95.0, 10.0, 50.0))
+      .toDF("k", "t", "c", "d", "plon", "plat", "slon", "slat")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Exception] {
+      Trajectory.mapMatchGeo(bad, "k", "t", "c", "d", "plon", "plat",
+        "slon", "slat", 100.0, 1000.0).collect()
+    }
+    assert(chain(e).exists(_.contains("out of")))
+  }
 }
