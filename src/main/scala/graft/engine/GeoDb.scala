@@ -682,6 +682,22 @@ class GeoDb(
       case df => df.count()
     }
 
+  /** [[countCollectionByBbox]]'s mask twin: count rows matching an
+    * areal mask under [[getCollectionByMask]]'s semantics (and its
+    * hull/mask quadkey pruning). */
+  def countCollectionByMask(collection: String, maskWkt: String,
+                            comparisonMode: String = "contains",
+                            maskCrs: Any = 4326,
+                            where: Option[String] = None,
+                            op: String = "AND",
+                            pointsOnly: Boolean = false,
+                            database: Option[String] = None): Long =
+    getCollectionByMask(collection, maskWkt, comparisonMode, maskCrs, where,
+      op, pointsOnly = pointsOnly, database = database) match {
+      case df if df.columns.sameElements(Array("Empty Result")) => 0L
+      case df => df.count()
+    }
+
   /**
    * Collection extent. Returns (ymin, xmin, ymax, xmax) — the reference
    * swaps the BOX order on return (geodb.py:400, §7.4.5).

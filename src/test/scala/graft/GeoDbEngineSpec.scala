@@ -716,6 +716,10 @@ class GeoDbEngineSpec extends SparkSpec {
     def msgs2(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
     assert(msgs2(e2).exists(_.contains("non-POINT")))
+    // count twin agrees
+    assert(db.countCollectionByMask("mk", l) === want.size.toLong)
+    assert(db.countCollectionByMask("mk", l, where = Some("tag < 100")) ===
+      want.count(_ < 100).toLong)
     // non-areal mask refused
     intercept[IllegalArgumentException](
       db.getCollectionByMask("mk", "LINESTRING(0 0, 1 1)"))
