@@ -31,12 +31,14 @@ import org.apache.spark.sql.SparkSession
   *      already robust to a slow first run, with the adaptive third
   *      run (next point) catching any entry whose 2-run spread
   *      suggests the min is not yet trustworthy.
-  *   2. 2 timed runs by default; a 3rd only when the 2-run spread
-  *      exceeds 20% of the min (the r13/r14 records show the stable
-  *      majority's 3-run spread well under that), and the r13 noise
-  *      rule unchanged on top (one MORE run when spread > 3× min).
-  *      Sub-20ms entries always get 3 runs — their relative spread is
-  *      clock noise, and a run costs nothing.
+  *   2. 2 timed runs by default; a 3rd when the 2-run spread exceeds
+  *      10% of the min (20% on first cut; tightened after the r15
+  *      attempt-1 record showed ~7% min-of-2 bias vs min-of-3 history
+  *      even in its quiet quartile — a phantom cross-round regression),
+  *      the r13 noise rule unchanged on top (one MORE run when spread
+  *      > 3× min). Sub-20ms entries always get 3 runs — their relative
+  *      spread is clock noise, and a run costs nothing. `runs_hist`
+  *      records the run-count distribution per artifact.
   *   3. a per-RUN watchdog (default 120 s, ~7× the heaviest entry's
   *      quiet cost; `SPARK_GRAFT_BENCH_RUNCAP_SEC` overrides): the
   *      run's Spark jobs are cancelled via their job group, the entry
@@ -151,7 +153,7 @@ object Bench {
     // ---- incremental, kill-safe record ---------------------------------
     val outPath = java.nio.file.Paths.get("BENCH.out")
     def methodStr =
-      "untimed warmup at sf0.001 for every entry plus a bench-SF warmup ONLY for shared-cache-populating entries (dedup signature tables, Ed-Join/clean-corpus/PQ memos - min-of-N makes run-1 JIT noise harmless for the rest, r15 diet after the r14 driver timeout); 2 timed runs per entry with a 3rd when the 2-run spread exceeds 20% of min (always 3 below 20ms), System.gc() quiescence between entries; NOISE RULE (round 13) unchanged on top: spread > 3x min earns ONE extra run (noisy_reruns counts them); per-RUN watchdog cancels an entry's job group at the cap (watchdog_runcap_sec; cap recorded as that run's time, entry listed in watchdog_hits); TIMED ACTION is the round-12 full-row checksum (bit_xor of xxhash64 over all output columns) because count() lets Catalyst eliminate preserved-side outer joins and prune unused columns; the sNNN entries time the cross-gate SHARED computations with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the runs per query; loadavg_warning=true flags loadavg_before > 1.8 - ratios from a warned record should be read against SCALE.md's quiet-box replay; the record is REWRITTEN after every completed entry (partial=true until done) so a killed run still yields parsed data"
+      "untimed warmup at sf0.001 for every entry plus a bench-SF warmup ONLY for shared-cache-populating entries (dedup signature tables, Ed-Join/clean-corpus/PQ memos - min-of-N makes run-1 JIT noise harmless for the rest, r15 diet after the r14 driver timeout); 2 timed runs per entry with a 3rd when the 2-run spread exceeds 10% of min (always 3 below 20ms; threshold tightened from 20% after the r15 attempt-1 record showed a ~7% min-of-2 bias vs min-of-3 history even in its quiet quartile; runs_hist records the per-entry run-count distribution), System.gc() quiescence between entries; NOISE RULE (round 13) unchanged on top: spread > 3x min earns ONE extra run (noisy_reruns counts them); per-RUN watchdog cancels an entry's job group at the cap (watchdog_runcap_sec; cap recorded as that run's time, entry listed in watchdog_hits); TIMED ACTION is the round-12 full-row checksum (bit_xor of xxhash64 over all output columns) because count() lets Catalyst eliminate preserved-side outer joins and prune unused columns; the sNNN entries time the cross-gate SHARED computations with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the runs per query; loadavg_warning=true flags loadavg_before > 1.8 - ratios from a warned record should be read against SCALE.md's quiet-box replay; the record is REWRITTEN after every completed entry (partial=true until done) so a killed run still yields parsed data"
     def writeRecord(done: Seq[(String, Seq[Double])], partial: Boolean,
                     nReruns: Int): String = {
       val results = done.map { case (k, ts) => k -> ts.min }
@@ -164,7 +166,10 @@ object Bench {
       val loadWarn = loadBefore.drop(1).takeWhile(c => c != ',' && c != ']')
         .toDoubleOption.exists(_ > 1.8)
       val wd = watchdogHits.map(h => "\"" + h + "\"").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"entries_done":${done.size},"entries_total":${timedUnits.size},"canonical":$canonical,"supersedes":$supersedes,"queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"loadavg_warning":$loadWarn,"noisy_reruns":$nReruns,"watchdog_hits":$wd,"watchdog_runcap_sec":$runCapSec,"cpus":$cpus,"method":"$methodStr"}"""
+      val runsHist = done.groupBy(_._2.length).toSeq.sortBy(_._1)
+        .map { case (n, es) => "\"" + n + "\":" + es.size }
+        .mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"entries_done":${done.size},"entries_total":${timedUnits.size},"canonical":$canonical,"supersedes":$supersedes,"queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"loadavg_warning":$loadWarn,"noisy_reruns":$nReruns,"runs_hist":$runsHist,"watchdog_hits":$wd,"watchdog_runcap_sec":$runCapSec,"cpus":$cpus,"method":"$methodStr"}"""
       java.nio.file.Files.writeString(outPath, full + "\n")
       full
     }
@@ -200,9 +205,15 @@ object Bench {
       }
       var ts = Seq(one(), one())
       // adaptive third run: tiny entries always (their relative spread
-      // is clock noise and a run is free); otherwise only when the
-      // 2-run spread says the min is not yet trustworthy
-      if (ts.min < 0.02 || ts.max - ts.min > 0.2 * ts.min) ts :+= one()
+      // is clock noise and a run is free); otherwise when the 2-run
+      // spread says the min is not yet trustworthy. Threshold 10% (was
+      // 20% on first cut): the r15 attempt-1 record showed even its
+      // QUIET quartile inflated ~7% vs the r14 min-of-3 record — a
+      // systematic min-of-2 bias that would read as a phantom
+      // regression in cross-round ratios; 10% keeps the stable
+      // majority at 2 runs while giving everything with real variance
+      // its third draw
+      if (ts.min < 0.02 || ts.max - ts.min > 0.1 * ts.min) ts :+= one()
       // r13 noise rule: one MORE run when the spread still exceeds
       // 3x min — a co-tenant burst in one window must not masquerade
       // as a code regression. A FAILED/cancelled rerun must not
