@@ -4196,6 +4196,237 @@ object SparkEntry {
           round(col("path_cost") * 1e6).cast("long").as("cost_u"))
         .orderBy("k", "t")
     }),
+    "q274_geohash" -> ((s, dir) => { ensure(s)
+      // st_geohash / st_geohash_decode (r15): Niemeyer base-32 cells as
+      // the INTEROP spatial key (quadkeys stay the engine's internal
+      // layout; geohashes are what external catalogs share). Encode is
+      // the scaled-floor form — floor((lon+180)/360·2^15) at precision
+      // 6 — whose +,-,/,* tree the oracle replays BIT-identically (no
+      // libm anywhere), so the floor needs no margin audit: both
+      // engines floor the same double. Decode bounds are exact dyadic
+      // doubles (index·360/2^15), also replayed exactly. The in-gate
+      // audit is the roundtrip CONTAINMENT contract instead: every
+      // point must lie inside its decoded cell half-open box — a
+      // bit-flip in either direction of the transform breaks it. The
+      // 0.053/0.047 offsets keep every fixture point >= 0.09 cells from
+      // every 2^-15 dyadic cell boundary (scaled positions 3276.8k +
+      // 1736.704 / 1540.096 have fractional parts >= 0.096): a 0.05
+      // lattice hits a boundary EXACTLY every 225th step, where the
+      // stored double sits +-1e-14 off the ideal value and the
+      // containment box legitimately flips side (the documented
+      // sub-ulp boundary class) — found at authoring at sf0.01.
+      val pts = ld(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        (((col("c_custkey") * 7) % 3600).cast("double") / 10.0 - 180.0 + 0.053)
+          .as("lon"),
+        ((col("c_custkey") % 1700).cast("double") / 10.0 - 85.0 + 0.047)
+          .as("lat"))
+      val enc = pts
+        .withColumn("gh", st_geohash(st_point(col("lon"), col("lat")), lit(6)))
+        .withColumn("_b", st_geohash_decode(col("gh")))
+        .select(col("c_custkey"), col("gh"),
+          element_at(col("_b"), 1).as("lon_min"),
+          element_at(col("_b"), 2).as("lat_min"),
+          element_at(col("_b"), 3).as("lon_max"),
+          element_at(col("_b"), 4).as("lat_max"),
+          col("lon"), col("lat"))
+      val escapees = enc.filter(col("lon") < col("lon_min") ||
+        col("lon") >= col("lon_max") || col("lat") < col("lat_min") ||
+        col("lat") >= col("lat_max")).count()
+      require(escapees == 0L,
+        s"q274: $escapees points escaped their decoded geohash cell — " +
+        "encode/decode disagree")
+      enc.select(col("c_custkey"), col("gh"), col("lon_min"),
+          col("lat_min"), col("lon_max"), col("lat_max"))
+        .orderBy("c_custkey")
+    }),
+    "q275_line_reference" -> ((s, dir) => { ensure(s)
+      // LINEAR REFERENCING (r15): ST_LineInterpolatePoint /
+      // ST_LineLocatePoint / ST_LineSubstring over per-nation 3-vertex
+      // roads with integer-lattice vertices and exact-binary fractions
+      // (k/16). Every kernel expression is +,-,*,/,sqrt with a PINNED
+      // association order (GeoOps scaladocs), all of which both engines
+      // round identically — so the segment-selection branches
+      // (target<=L0), the locate argmin (d2_0<=d2_1, earliest-wins
+      // tie-break in both), and the substring vertex-inclusion test
+      // (L0 strictly between the cut lengths) compare bit-identical
+      // doubles and CANNOT diverge even at a boundary; no margin audits
+      // needed (the q270 pure-IEEE argument). Probes vary per nation so
+      // both locate clamp branches (behind-A, interior) occur.
+      val road = st_geomfromtext(concat(lit("LINESTRING("),
+        ((col("n_nationkey") * 97) % 400).cast("string"), lit(" "),
+        ((col("n_nationkey") * 53) % 300).cast("string"), lit(", "),
+        ((col("n_nationkey") * 97) % 400 + 20 + col("n_nationkey") % 30)
+          .cast("string"), lit(" "),
+        ((col("n_nationkey") * 53) % 300 + 10).cast("string"), lit(", "),
+        ((col("n_nationkey") * 97) % 400 + 60).cast("string"), lit(" "),
+        ((col("n_nationkey") * 53) % 300 + (col("n_nationkey") * 7) % 20)
+          .cast("string"), lit(")")))
+      val f = (col("n_nationkey") % 7).cast("double") * 0.125 + 0.0625
+      val px = ((col("n_nationkey") * 97) % 400 + col("n_nationkey") % 50)
+        .cast("double")
+      val py = ((col("n_nationkey") * 53) % 300 + col("n_nationkey") % 25 - 5)
+        .cast("double")
+      // sub_len rides JTS getLength = Math.hypot per segment, which can
+      // differ from the oracle's sqrt(dx²+dy²) by an ulp (~1e-14 rel;
+      // found at authoring on one sf row) — so it is the one output
+      // here that rounds to µ-units behind a margin audit; the
+      // interpolate/locate outputs are pure pinned-association
+      // arithmetic and stay raw doubles
+      val sub = st_line_substring(road, f * 0.5, f * 0.5 + 0.5)
+      val raw = ld(s, dir, "nation").select(
+        col("n_nationkey"),
+        st_x(st_line_interpolate_point(road, f)).as("ipx"),
+        st_y(st_line_interpolate_point(road, f)).as("ipy"),
+        st_line_locate_point(road, st_point(px, py)).as("loc"),
+        st_npoints(sub).as("np"),
+        st_length(sub).as("_sl"))
+      val m = raw.agg(min(abs(col("_sl") * 1e6 -
+        floor(col("_sl") * 1e6) - 0.5))).head().getDouble(0)
+      require(m > 1e-6,
+        f"q275: a sub_len sits $m%.2e from its µ-unit rounding boundary " +
+        "— inside hypot-vs-sqrt drift; change the fixture")
+      raw.select(col("n_nationkey"), col("ipx"), col("ipy"), col("loc"),
+          col("np"), round(col("_sl") * 1e6).cast("long").as("sub_len_u"))
+        .orderBy("n_nationkey")
+    }),
+    "q276_simplify" -> ((s, dir) => { ensure(s)
+      // st_simplify (Douglas–Peucker, in the repo since the overlay
+      // family landed but never oracle-gated until r15): per-nation
+      // 5-vertex zig-zags planted so the DP recursion is DEPTH ≤ 1 and
+      // every decision sits ≥ 1 unit from the tolerance: even nations
+      // put the middle vertex 6..8 units off the baseline (strict
+      // unique max — flanks ≤ 2 — so JTS splits exactly there, and both
+      // split sections collapse: flank distance from the split segment
+      // is ≤ 80/sqrt(436) < 3.9 < 5 by construction); odd nations keep
+      // every deviation ≤ 4 < 5 and collapse to the 2-point baseline.
+      // The oracle replays npoints and the planar length closed-form —
+      // lengths are sqrt of exact integers, summed left-to-right like
+      // JTS Length.ofLine.
+      val bx0 = (col("n_nationkey") * 31) % 200
+      val by0 = (col("n_nationkey") * 17) % 100
+      val yb = col("n_nationkey") % 3
+      val yd = (col("n_nationkey") * 2) % 3
+      val yc = when(col("n_nationkey") % 2 === 0,
+        col("n_nationkey") % 3 + 6).otherwise(col("n_nationkey") % 4 + 1)
+      def v(x: Column, y: Column) =
+        concat(x.cast("string"), lit(" "), y.cast("string"))
+      val zig = st_geomfromtext(concat(lit("LINESTRING("),
+        v(bx0, by0), lit(", "),
+        v(bx0 + 10, by0 + yb), lit(", "),
+        v(bx0 + 20, by0 + yc), lit(", "),
+        v(bx0 + 30, by0 + yd), lit(", "),
+        v(bx0 + 40, by0), lit(")")))
+      // length rounds to µ-units behind a margin audit — JTS getLength
+      // is Math.hypot per segment, one ulp off sqrt(dx²+dy²) on some
+      // inputs (the q275 finding), and the oracle replays sqrt
+      val simp = st_simplify(zig, lit(5.0))
+      val raw = ld(s, dir, "nation").select(
+        col("n_nationkey"),
+        st_npoints(simp).as("np"),
+        st_length(simp).as("_len"))
+      val m = raw.agg(min(abs(col("_len") * 1e6 -
+        floor(col("_len") * 1e6) - 0.5))).head().getDouble(0)
+      require(m > 1e-6,
+        f"q276: a length sits $m%.2e from its µ-unit rounding boundary " +
+        "— inside hypot-vs-sqrt drift; change the fixture")
+      raw.select(col("n_nationkey"), col("np"),
+          round(col("_len") * 1e6).cast("long").as("len_u"))
+        .orderBy("n_nationkey")
+    }),
+    "q277_od_matrix" -> ((s, dir) => { ensure(s)
+      // Trajectory.odMatrix (r15): origin–destination flows between z=4
+      // Web-Mercator tiles — per key the earliest/latest-timestamp
+      // positions, binned with the SAME Tiles.quadkey the tile
+      // aggregates use (q241's fixture-safety argument carries over:
+      // 0.05-offset decimal latitudes sit far from the irrational
+      // asinh tile boundaries, and tile_x is affine). Timestamps are
+      // o_orderkey — globally unique, so the duplicate-instant refusal
+      // stays dormant and min_by/max_by are deterministic; the oracle
+      // replays with arg_min/arg_max.
+      val pts = ld(s, dir, "orders").select(
+        (col("o_orderkey") % 500).cast("long").as("k"),
+        col("o_orderkey").cast("long").as("t"),
+        (((col("o_custkey") * 13) % 3200).cast("double") / 10.0 - 160.0 + 0.05)
+          .as("lon"),
+        (((col("o_custkey") * 7) % 1500).cast("double") / 10.0 - 75.0 + 0.05)
+          .as("lat"))
+      graft.core.Trajectory.odMatrix(pts, "k", "t", "lon", "lat", zoom = 4)
+        .orderBy("o_qk", "d_qk")
+    }),
+    "q278_closest_point" -> ((s, dir) => { ensure(s)
+      // st_closest_point (r15): the coordinate twin of
+      // st_line_locate_point over the SAME q275 roads and probes — one
+      // shared kernel loop guarantees the two gates describe one
+      // location, and the oracle replays the same clamped-projection
+      // expressions (pure IEEE; the q275 no-margin-needed argument).
+      val road = st_geomfromtext(concat(lit("LINESTRING("),
+        ((col("n_nationkey") * 97) % 400).cast("string"), lit(" "),
+        ((col("n_nationkey") * 53) % 300).cast("string"), lit(", "),
+        ((col("n_nationkey") * 97) % 400 + 20 + col("n_nationkey") % 30)
+          .cast("string"), lit(" "),
+        ((col("n_nationkey") * 53) % 300 + 10).cast("string"), lit(", "),
+        ((col("n_nationkey") * 97) % 400 + 60).cast("string"), lit(" "),
+        ((col("n_nationkey") * 53) % 300 + (col("n_nationkey") * 7) % 20)
+          .cast("string"), lit(")")))
+      val px = ((col("n_nationkey") * 97) % 400 + col("n_nationkey") % 50)
+        .cast("double")
+      val py = ((col("n_nationkey") * 53) % 300 + col("n_nationkey") % 25 - 5)
+        .cast("double")
+      val cp = st_closest_point(road, st_point(px, py))
+      ld(s, dir, "nation").select(
+          col("n_nationkey"),
+          st_x(cp).as("cpx"),
+          st_y(cp).as("cpy"))
+        .orderBy("n_nationkey")
+    }),
+    "q279_snap_to_grid" -> ((s, dir) => { ensure(s)
+      // st_snaptogrid (r15): HALF-UP snap to a 0.25 grid — with a
+      // dyadic size and 1/16-lattice inputs the whole transform is
+      // EXACT double arithmetic (x/0.25 lands on k/4 + 0.375, never a
+      // rounding boundary), so the oracle replays floor(x/0.25 +
+      // 0.5)*0.25 bit-for-bit. Line-collapse refusal is spec'd, not
+      // gated (it is a refusal, not a result).
+      val pts = ld(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        ((col("c_custkey") % 1000).cast("double") / 16.0 + 0.09375).as("x"),
+        (((col("c_custkey") * 3) % 800).cast("double") / 16.0 - 25.0 + 0.09375)
+          .as("y"))
+      val snapped = pts.withColumn("g",
+        st_snaptogrid(st_point(col("x"), col("y")), lit(0.25)))
+      snapped.select(col("c_custkey"),
+          st_x(col("g")).as("sx"), st_y(col("g")).as("sy"))
+        .orderBy("c_custkey")
+    }),
+    "q280_compress" -> ((s, dir) => { ensure(s)
+      // Trajectory.compress (r15): Douglas–Peucker track compression
+      // with the q276 depth-1 planting lifted to per-KEY tracks (every
+      // customer is a 5-point zig-zag; even keys keep the middle
+      // vertex, odd keys collapse to the chord). Every DP decision is
+      // an exact-integer comparison — the chord is horizontal, so
+      // cross²/len² telescopes to yk² vs tol² = 25 exactly (6²..8² >
+      // 25 ≥ 4²..) and the flank-vs-split-segment bound (< 14.7 < 25)
+      // is the q276 derivation squared; no audits needed. Oracle
+      // emits the kept (t, x, y) rows closed-form.
+      val base = ld(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        ((col("c_custkey") * 31) % 200).cast("double").as("bx0"),
+        ((col("c_custkey") * 17) % 100).cast("double").as("by0"),
+        (col("c_custkey") % 3).cast("double").as("yb"),
+        when(col("c_custkey") % 2 === 0, col("c_custkey") % 3 + 6)
+          .otherwise(col("c_custkey") % 4 + 1).cast("double").as("yc"),
+        ((col("c_custkey") * 2) % 3).cast("double").as("yd"))
+      val pts = base
+        .select(col("k"), col("bx0"), col("by0"),
+          posexplode(array(lit(0.0), col("yb"), col("yc"), col("yd"),
+            lit(0.0))))
+        .select(col("k"), col("pos").cast("long").as("t"),
+          (col("bx0") + col("pos") * 10).as("x"),
+          (col("by0") + col("col")).as("y"))
+      graft.core.Trajectory.compress(pts, "k", "t", "x", "y",
+          tolerance = 5.0)
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -5967,6 +6198,147 @@ object SparkEntry {
     ", 6) AS bm25 FROM f, s) "
 
   def oracleSql: Map[String, String] = Map(
+    "q274_geohash" -> {
+      // the interleave puts lon bit k at 2k+1, lat bit k at 2k (MSB
+      // first, lon leads) — the published geohash bit order; base-32
+      // digits via 1-indexed substr over the published alphabet
+      val interleave = (0 until 15).map(k =>
+        s"((ix >> $k) & 1) * ${1L << (2 * k + 1)} + " +
+        s"((iy >> $k) & 1) * ${1L << (2 * k)}").mkString(" + ")
+      val chars = (0 until 6).map(j =>
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST(((vv >> ${5 * (5 - j)}) & 31) AS INT) + 1, 1)").mkString(", ")
+      "WITH p AS (SELECT c_custkey, " +
+      "CAST((c_custkey*7) % 3600 AS DOUBLE)/10.0 - 180.0 + 0.053 AS lon, " +
+      "CAST(c_custkey % 1700 AS DOUBLE)/10.0 - 85.0 + 0.047 AS lat FROM customer), " +
+      "i AS (SELECT c_custkey, " +
+      "least(CAST(floor((lon+180.0)/360.0*32768.0) AS BIGINT), 32767) AS ix, " +
+      "least(CAST(floor((lat+90.0)/180.0*32768.0) AS BIGINT), 32767) AS iy FROM p), " +
+      s"v AS (SELECT c_custkey, ix, iy, $interleave AS vv FROM i) " +
+      s"SELECT c_custkey, concat($chars) AS gh, " +
+      "-180.0 + ix*(360.0/32768.0) AS lon_min, " +
+      "-90.0 + iy*(180.0/32768.0) AS lat_min, " +
+      "-180.0 + (ix+1)*(360.0/32768.0) AS lon_max, " +
+      "-90.0 + (iy+1)*(180.0/32768.0) AS lat_max " +
+      "FROM v ORDER BY c_custkey"
+    },
+    "q275_line_reference" ->
+      ("WITH r AS (SELECT n_nationkey, " +
+       "CAST((n_nationkey*97) % 400 AS DOUBLE) AS ax, " +
+       "CAST((n_nationkey*53) % 300 AS DOUBLE) AS ay, " +
+       "CAST((n_nationkey*97) % 400 + 20 + n_nationkey % 30 AS DOUBLE) AS bx, " +
+       "CAST((n_nationkey*53) % 300 + 10 AS DOUBLE) AS by, " +
+       "CAST((n_nationkey*97) % 400 + 60 AS DOUBLE) AS cx, " +
+       "CAST((n_nationkey*53) % 300 + (n_nationkey*7) % 20 AS DOUBLE) AS cy, " +
+       "CAST(n_nationkey % 7 AS DOUBLE) * 0.125 + 0.0625 AS f, " +
+       "CAST((n_nationkey*97) % 400 + n_nationkey % 50 AS DOUBLE) AS px, " +
+       "CAST((n_nationkey*53) % 300 + n_nationkey % 25 - 5 AS DOUBLE) AS py " +
+       "FROM nation), " +
+       // lens and totals mirror GeoOps.segLengths/sumLeft: sqrt over the
+       // same dx/dy products, left-to-right sum
+       "l AS (SELECT *, sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) AS l0, " +
+       "sqrt((cx-bx)*(cx-bx) + (cy-by)*(cy-by)) AS l1 FROM r), " +
+       "t AS (SELECT *, l0 + l1 AS tt, f * (l0 + l1) AS tf, " +
+       "(f*0.5) * (l0 + l1) AS t0, (f*0.5 + 0.5) * (l0 + l1) AS t1 FROM l), " +
+       // pointAt: seg0 iff target <= l0; t = (target - cum)/len
+       "ip AS (SELECT *, " +
+       "CASE WHEN tf <= l0 THEN ax + (tf/l0)*(bx-ax) ELSE bx + ((tf-l0)/l1)*(cx-bx) END AS ipx, " +
+       "CASE WHEN tf <= l0 THEN ay + (tf/l0)*(by-ay) ELSE by + ((tf-l0)/l1)*(cy-by) END AS ipy, " +
+       "CASE WHEN t0 <= l0 THEN ax + (t0/l0)*(bx-ax) ELSE bx + ((t0-l0)/l1)*(cx-bx) END AS sx, " +
+       "CASE WHEN t0 <= l0 THEN ay + (t0/l0)*(by-ay) ELSE by + ((t0-l0)/l1)*(cy-by) END AS sy, " +
+       "CASE WHEN t1 <= l0 THEN ax + (t1/l0)*(bx-ax) ELSE bx + ((t1-l0)/l1)*(cx-bx) END AS ex, " +
+       "CASE WHEN t1 <= l0 THEN ay + (t1/l0)*(by-ay) ELSE by + ((t1-l0)/l1)*(cy-by) END AS ey, " +
+       "(bx-ax)*(bx-ax)+(by-ay)*(by-ay) AS len20, " +
+       "(px-ax)*(bx-ax)+(py-ay)*(by-ay) AS w0, " +
+       "(cx-bx)*(cx-bx)+(cy-by)*(cy-by) AS len21, " +
+       "(px-bx)*(cx-bx)+(py-by)*(cy-by) AS w1 FROM t), " +
+       "lt AS (SELECT *, " +
+       "CASE WHEN w0 <= 0 THEN 0.0 WHEN w0 >= len20 THEN 1.0 ELSE w0/len20 END AS tq0, " +
+       "CASE WHEN w1 <= 0 THEN 0.0 WHEN w1 >= len21 THEN 1.0 ELSE w1/len21 END AS tq1 FROM ip), " +
+       "d2 AS (SELECT *, " +
+       "(px-(ax+tq0*(bx-ax)))*(px-(ax+tq0*(bx-ax))) + (py-(ay+tq0*(by-ay)))*(py-(ay+tq0*(by-ay))) AS d20, " +
+       "(px-(bx+tq1*(cx-bx)))*(px-(bx+tq1*(cx-bx))) + (py-(by+tq1*(cy-by)))*(py-(by+tq1*(cy-by))) AS d21 FROM lt) " +
+       // locate: earliest segment wins ties in both engines; substring:
+       // middle vertex included iff l0 strictly inside (t0, t1)
+       "SELECT n_nationkey, ipx, ipy, " +
+       "CASE WHEN d20 <= d21 THEN (tq0*l0)/tt ELSE (l0 + tq1*l1)/tt END AS loc, " +
+       "CAST(CASE WHEN l0 > t0 AND l0 < t1 THEN 3 ELSE 2 END AS INT) AS np, " +
+       "CAST(round((CASE WHEN l0 > t0 AND l0 < t1 " +
+       "THEN sqrt((bx-sx)*(bx-sx)+(by-sy)*(by-sy)) + sqrt((ex-bx)*(ex-bx)+(ey-by)*(ey-by)) " +
+       "ELSE sqrt((ex-sx)*(ex-sx)+(ey-sy)*(ey-sy)) END) * 1e6) AS BIGINT) AS sub_len_u " +
+       "FROM d2 ORDER BY n_nationkey"),
+    "q276_simplify" ->
+      ("WITH n AS (SELECT n_nationkey, n_nationkey % 2 AS odd, " +
+       "CAST(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey % 3 + 6 " +
+       "ELSE n_nationkey % 4 + 1 END AS DOUBLE) AS yc FROM nation) " +
+       "SELECT n_nationkey, CAST(CASE WHEN odd = 0 THEN 3 ELSE 2 END AS INT) AS np, " +
+       "CAST(round((CASE WHEN odd = 0 THEN sqrt(400.0 + yc*yc) + sqrt(400.0 + yc*yc) " +
+       "ELSE 40.0 END) * 1e6) AS BIGINT) AS len_u FROM n ORDER BY n_nationkey"),
+    "q277_od_matrix" -> {
+      def tx(lon: String) =
+        s"least(CAST(floor(($lon+180.0)/360.0*16) AS BIGINT), 15)"
+      def ty(lat: String) =
+        "greatest(0, least(CAST(floor((1.0 - ln(tan(radians(" + lat +
+        ")) + 1.0/cos(radians(" + lat + ")))/pi())/2.0*16) AS BIGINT), 15))"
+      def qk(x: String, y: String) =
+        s"concat(CAST(($y//8)%2*2 + ($x//8)%2 AS VARCHAR), " +
+        s"CAST(($y//4)%2*2 + ($x//4)%2 AS VARCHAR), " +
+        s"CAST(($y//2)%2*2 + ($x//2)%2 AS VARCHAR), " +
+        s"CAST($y%2*2 + $x%2 AS VARCHAR))"
+      "WITH p AS (SELECT o_orderkey % 500 AS k, o_orderkey AS t, " +
+      "CAST((o_custkey*13) % 3200 AS DOUBLE)/10.0 - 160.0 + 0.05 AS lon, " +
+      "CAST((o_custkey*7) % 1500 AS DOUBLE)/10.0 - 75.0 + 0.05 AS lat FROM orders), " +
+      "e AS (SELECT k, arg_min(lon, t) AS olon, arg_min(lat, t) AS olat, " +
+      "arg_max(lon, t) AS dlon, arg_max(lat, t) AS dlat FROM p GROUP BY k), " +
+      s"q AS (SELECT ${tx("olon")} AS otx, ${ty("olat")} AS oty, " +
+      s"${tx("dlon")} AS dtx, ${ty("dlat")} AS dty FROM e), " +
+      s"s AS (SELECT ${qk("otx", "oty")} AS o_qk, ${qk("dtx", "dty")} AS d_qk FROM q) " +
+      "SELECT o_qk, d_qk, CAST(count(*) AS BIGINT) AS n_trips FROM s " +
+      "GROUP BY o_qk, d_qk ORDER BY o_qk, d_qk"
+    },
+    "q278_closest_point" ->
+      ("WITH r AS (SELECT n_nationkey, " +
+       "CAST((n_nationkey*97) % 400 AS DOUBLE) AS ax, " +
+       "CAST((n_nationkey*53) % 300 AS DOUBLE) AS ay, " +
+       "CAST((n_nationkey*97) % 400 + 20 + n_nationkey % 30 AS DOUBLE) AS bx, " +
+       "CAST((n_nationkey*53) % 300 + 10 AS DOUBLE) AS by, " +
+       "CAST((n_nationkey*97) % 400 + 60 AS DOUBLE) AS cx, " +
+       "CAST((n_nationkey*53) % 300 + (n_nationkey*7) % 20 AS DOUBLE) AS cy, " +
+       "CAST((n_nationkey*97) % 400 + n_nationkey % 50 AS DOUBLE) AS px, " +
+       "CAST((n_nationkey*53) % 300 + n_nationkey % 25 - 5 AS DOUBLE) AS py " +
+       "FROM nation), " +
+       "lc AS (SELECT *, " +
+       "(bx-ax)*(bx-ax)+(by-ay)*(by-ay) AS len20, " +
+       "(px-ax)*(bx-ax)+(py-ay)*(by-ay) AS w0, " +
+       "(cx-bx)*(cx-bx)+(cy-by)*(cy-by) AS len21, " +
+       "(px-bx)*(cx-bx)+(py-by)*(cy-by) AS w1 FROM r), " +
+       "lt AS (SELECT *, " +
+       "CASE WHEN w0 <= 0 THEN 0.0 WHEN w0 >= len20 THEN 1.0 ELSE w0/len20 END AS tq0, " +
+       "CASE WHEN w1 <= 0 THEN 0.0 WHEN w1 >= len21 THEN 1.0 ELSE w1/len21 END AS tq1 FROM lc), " +
+       "d2 AS (SELECT *, " +
+       "(px-(ax+tq0*(bx-ax)))*(px-(ax+tq0*(bx-ax))) + (py-(ay+tq0*(by-ay)))*(py-(ay+tq0*(by-ay))) AS d20, " +
+       "(px-(bx+tq1*(cx-bx)))*(px-(bx+tq1*(cx-bx))) + (py-(by+tq1*(cy-by)))*(py-(by+tq1*(cy-by))) AS d21 FROM lt) " +
+       "SELECT n_nationkey, " +
+       "CASE WHEN d20 <= d21 THEN ax+tq0*(bx-ax) ELSE bx+tq1*(cx-bx) END AS cpx, " +
+       "CASE WHEN d20 <= d21 THEN ay+tq0*(by-ay) ELSE by+tq1*(cy-by) END AS cpy " +
+       "FROM d2 ORDER BY n_nationkey"),
+    "q279_snap_to_grid" ->
+      ("WITH p AS (SELECT c_custkey, " +
+       "CAST(c_custkey % 1000 AS DOUBLE)/16.0 + 0.09375 AS x, " +
+       "CAST((c_custkey*3) % 800 AS DOUBLE)/16.0 - 25.0 + 0.09375 AS y " +
+       "FROM customer) " +
+       "SELECT c_custkey, floor(x/0.25 + 0.5)*0.25 AS sx, " +
+       "floor(y/0.25 + 0.5)*0.25 AS sy FROM p ORDER BY c_custkey"),
+    "q280_compress" ->
+      ("WITH c AS (SELECT c_custkey AS k, " +
+       "CAST((c_custkey*31) % 200 AS DOUBLE) AS bx0, " +
+       "CAST((c_custkey*17) % 100 AS DOUBLE) AS by0, " +
+       "CAST(CASE WHEN c_custkey % 2 = 0 THEN c_custkey % 3 + 6 " +
+       "ELSE c_custkey % 4 + 1 END AS DOUBLE) AS yc FROM customer), " +
+       "r AS (SELECT k, CAST(i AS BIGINT) AS t, bx0 + 10*i AS x, " +
+       "by0 + CASE WHEN i = 2 THEN yc ELSE 0 END AS y " +
+       "FROM c, (VALUES (0),(2),(4)) v(i) WHERE i <> 2 OR k % 2 = 0) " +
+       "SELECT k, t, x, y FROM r ORDER BY k, t"),
     "q01_scan_filter_page" ->
       "SELECT * FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 10",
     "q02_head" ->

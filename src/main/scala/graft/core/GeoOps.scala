@@ -513,6 +513,348 @@ object GeoOps {
   def stIsEmpty(b: Array[Byte]): Boolean = read(b).isEmpty
   def nPoints(b: Array[Byte]): Int = read(b).getNumPoints
 
+  // ---- geohash kernels (Niemeyer's public base-32 geohash; the cell
+  //      encoding PostGIS exposes as ST_GeoHash) ----
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  private val GeohashBase32Inv: Array[Int] = {
+    val inv = Array.fill(128)(-1)
+    var i = 0
+    while (i < GeohashBase32.length) { inv(GeohashBase32.charAt(i)) = i; i += 1 }
+    inv
+  }
+
+  /**
+   * Base-32 geohash of a lon/lat POINT at `precision` characters
+   * (PostGIS ST_GeoHash on 4326 points). Computed in SCALED-FLOOR form
+   * rather than the textbook bisection loop: with `n` longitude bits the
+   * cell index is `floor((lon+180)/360 · 2ⁿ)` — one correctly-rounded
+   * add, one divide, one exact power-of-two scale — which external
+   * engines replay bit-identically (the bisection midpoints are exact
+   * dyadic rationals, so the two forms agree except within one ulp of a
+   * cell boundary, where the spec itself is rounding-defined: a
+   * coordinate within ~1e-14 relative of a dyadic cell boundary may
+   * land on either side, deterministically per expression tree — a
+   * boundary coordinate whose `(v+off)/span` happens to be computed
+   * exactly, e.g. -78.75 at precision 6, gets the spec's upper cell;
+   * one reconstructed through decimal arithmetic can sit a few ulp
+   * below and take the lower). Non-point
+   * or EMPTY geometry, out-of-range lon/lat (a projected point here
+   * would silently hash to nonsense near Null Island) and precision
+   * outside [1, 12] (12 chars = 60 bits, the long-arithmetic ceiling and
+   * sub-millimetre cells) all REFUSE loudly.
+   */
+  def geohashEncode(b: Array[Byte], precision: Int): UTF8String = {
+    require(precision >= 1 && precision <= 12,
+      s"geohashEncode: precision must be in [1, 12], got $precision")
+    val g = read(b)
+    require(g.getGeometryType == "Point" && !g.isEmpty,
+      s"geohashEncode: expected a non-empty POINT, got ${g.getGeometryType}" +
+        (if (g.isEmpty) " EMPTY" else ""))
+    val c = g.getCoordinate
+    require(c.x >= -180 && c.x <= 180 && c.y >= -90 && c.y <= 90,
+      s"geohashEncode: (${c.x}, ${c.y}) outside lon/lat range — a " +
+        "projected point would silently hash to nonsense")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val ix = math.min(((c.x + 180.0) / 360.0 * (1L << lonBits)).toLong,
+      (1L << lonBits) - 1) // lon = +180 shares the last cell
+    val iy = math.min(((c.y + 90.0) / 180.0 * (1L << latBits)).toLong,
+      (1L << latBits) - 1)
+    // interleave MSB-first starting with longitude: lon bit k lands at
+    // stream position 2k+1 from the LSB end, lat bit k at 2k
+    var v = 0L
+    var s = 0
+    while (s < totalBits) {
+      val bit =
+        if ((s & 1) == 0) (ix >> (lonBits - 1 - (s >> 1))) & 1L
+        else (iy >> (latBits - 1 - (s >> 1))) & 1L
+      v = (v << 1) | bit
+      s += 1
+    }
+    val sb = new java.lang.StringBuilder(precision)
+    var j = 0
+    while (j < precision) {
+      sb.append(GeohashBase32.charAt(
+        ((v >> (5 * (precision - 1 - j))) & 31L).toInt))
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /**
+   * Cell bounds `[lonMin, latMin, lonMax, latMax]` of a geohash — the
+   * inverse of [[geohashEncode]]. The bounds are EXACT doubles (cell
+   * steps are `360/2ⁿ`, a power-of-two scaling of an exact value, and
+   * `index · step` stays under 2⁵³), so roundtrip containment is
+   * bit-safe. Lowercase base-32 only, as the published alphabet defines
+   * (an uppercase 'B' is NOT a geohash digit); invalid characters and
+   * lengths outside [1, 12] refuse loudly.
+   */
+  def geohashDecode(gh: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = gh.toString
+    require(str.length >= 1 && str.length <= 12,
+      s"geohashDecode: length must be in [1, 12], got ${str.length} ('$str')")
+    var v = 0L
+    var i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      val d = if (ch < 128) GeohashBase32Inv(ch) else -1
+      require(d >= 0,
+        s"geohashDecode: '$ch' is not a lowercase geohash base-32 digit")
+      v = (v << 5) | d
+      i += 1
+    }
+    val totalBits = 5 * str.length
+    val lonBits = (totalBits + 1) / 2
+    var ix = 0L
+    var iy = 0L
+    var s = 0
+    while (s < totalBits) {
+      val bit = (v >> (totalBits - 1 - s)) & 1L
+      if ((s & 1) == 0) ix = (ix << 1) | bit else iy = (iy << 1) | bit
+      s += 1
+    }
+    val lonStep = 360.0 / (1L << lonBits)
+    val latStep = 180.0 / (1L << (totalBits / 2))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      -180.0 + ix * lonStep, -90.0 + iy * latStep,
+      -180.0 + (ix + 1) * lonStep, -90.0 + (iy + 1) * latStep))
+  }
+
+  // ---- linear referencing (PostGIS ST_LineInterpolatePoint /
+  //      ST_LineLocatePoint / ST_LineSubstring; pure +,-,*,/,sqrt
+  //      arithmetic so external engines replay results bit-identically
+  //      given the same association order, which the scaladocs pin) ----
+
+  private def lineCoords(b: Array[Byte], who: String): Array[Coordinate] = {
+    read(b) match {
+      case l: LineString if !l.isEmpty => l.getCoordinates
+      case g => throw new IllegalArgumentException(
+        s"$who: expected a non-empty LINESTRING, got ${g.getGeometryType}" +
+          (if (g.isEmpty) " EMPTY" else ""))
+    }
+  }
+
+  /** Per-segment planar lengths, in vertex order. */
+  private def segLengths(cs: Array[Coordinate]): Array[Double] = {
+    val lens = new Array[Double](cs.length - 1)
+    var i = 0
+    while (i < cs.length - 1) {
+      val dx = cs(i + 1).x - cs(i).x
+      val dy = cs(i + 1).y - cs(i).y
+      lens(i) = math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    lens
+  }
+
+  /** Left-to-right incremental sum — the association external replays
+    * must mirror ((0 + L₀) + L₁) + …, NOT a pairwise tree. */
+  private def sumLeft(lens: Array[Double]): Double = {
+    var total = 0.0
+    var i = 0
+    while (i < lens.length) { total += lens(i); i += 1 }
+    total
+  }
+
+  /** The point at arc-length `target` from the start: walk segments
+    * left-to-right, lerp inside the first segment whose cumulative end
+    * reaches the target. `t = (target − cum) / len` with cum the
+    * incremental prefix sum, so `f = 1` lands exactly on the last vertex
+    * (the prefix sums reproduce the total bit-for-bit). */
+  private def pointAt(cs: Array[Coordinate], lens: Array[Double],
+                      target: Double): Coordinate = {
+    var cum = 0.0
+    var i = 0
+    while (i < lens.length - 1 && cum + lens(i) < target) {
+      cum += lens(i); i += 1
+    }
+    val t = if (lens(i) == 0.0) 0.0 else (target - cum) / lens(i)
+    new Coordinate(cs(i).x + t * (cs(i + 1).x - cs(i).x),
+      cs(i).y + t * (cs(i + 1).y - cs(i).y))
+  }
+
+  /**
+   * Point at fraction `f ∈ [0, 1]` of the line's planar length
+   * (PostGIS ST_LineInterpolatePoint). Fractions outside [0, 1] and
+   * zero-length lines (no parameterization — PostGIS silently returns
+   * the degenerate start point; silence is how a broken track slips
+   * through a pipeline) refuse loudly.
+   */
+  def lineInterpolatePoint(b: Array[Byte], f: Double): Array[Byte] = {
+    require(f >= 0.0 && f <= 1.0,
+      s"lineInterpolatePoint: fraction must be in [0, 1], got $f")
+    val cs = lineCoords(b, "lineInterpolatePoint")
+    val lens = segLengths(cs)
+    val total = sumLeft(lens)
+    require(total > 0.0,
+      "lineInterpolatePoint: zero-length line has no parameterization")
+    val c = pointAt(cs, lens, f * total)
+    point(c.x, c.y)
+  }
+
+  /**
+   * Fraction of the line's length at the point of the line CLOSEST to
+   * the given point (PostGIS ST_LineLocatePoint). Per segment: clamped
+   * projection `t = w/len²`, closest-point coordinates, squared
+   * distance; ties keep the EARLIEST segment (strict `<`), so the
+   * result is deterministic on equidistant candidates. Non-point
+   * probes and zero-length lines refuse loudly.
+   */
+  def lineLocatePoint(line: Array[Byte], pt: Array[Byte]): Double = {
+    val cs = lineCoords(line, "lineLocatePoint")
+    val g = read(pt)
+    require(g.getGeometryType == "Point" && !g.isEmpty,
+      s"lineLocatePoint: probe must be a non-empty POINT, got ${g.getGeometryType}")
+    val p = g.getCoordinate
+    val lens = segLengths(cs)
+    val total = sumLeft(lens)
+    require(total > 0.0,
+      "lineLocatePoint: zero-length line has no parameterization")
+    var bestD2 = Double.PositiveInfinity
+    var bestFrac = 0.0
+    var cum = 0.0
+    var i = 0
+    while (i < lens.length) {
+      val ax = cs(i).x
+      val ay = cs(i).y
+      val dx = cs(i + 1).x - ax
+      val dy = cs(i + 1).y - ay
+      val len2 = dx * dx + dy * dy
+      val w = (p.x - ax) * dx + (p.y - ay) * dy
+      val t = if (len2 == 0.0 || w <= 0.0) 0.0
+              else if (w >= len2) 1.0
+              else w / len2
+      val qx = ax + t * dx
+      val qy = ay + t * dy
+      val d2 = (p.x - qx) * (p.x - qx) + (p.y - qy) * (p.y - qy)
+      if (d2 < bestD2) { bestD2 = d2; bestFrac = (cum + t * lens(i)) / total }
+      cum += lens(i)
+      i += 1
+    }
+    bestFrac
+  }
+
+  /**
+   * The point ON the line closest to `pt` (PostGIS ST_ClosestPoint with
+   * the line first) — the COORDINATE twin of [[lineLocatePoint]]:
+   * identical per-segment clamped projection, identical
+   * earliest-segment strict-`<` tie-break, identical refusal surface
+   * (including the zero-length refusal, where PostGIS would silently
+   * return the degenerate point), so the two functions always describe
+   * the SAME location and external replays share one expression tree.
+   */
+  def closestPoint(line: Array[Byte], pt: Array[Byte]): Array[Byte] = {
+    val cs = lineCoords(line, "closestPoint")
+    val g = read(pt)
+    require(g.getGeometryType == "Point" && !g.isEmpty,
+      s"closestPoint: probe must be a non-empty POINT, got ${g.getGeometryType}")
+    val p = g.getCoordinate
+    val lens = segLengths(cs)
+    require(sumLeft(lens) > 0.0,
+      "closestPoint: zero-length line has no parameterization")
+    var bestD2 = Double.PositiveInfinity
+    var bestX = cs(0).x
+    var bestY = cs(0).y
+    var i = 0
+    while (i < lens.length) {
+      val ax = cs(i).x
+      val ay = cs(i).y
+      val dx = cs(i + 1).x - ax
+      val dy = cs(i + 1).y - ay
+      val len2 = dx * dx + dy * dy
+      val w = (p.x - ax) * dx + (p.y - ay) * dy
+      val t = if (len2 == 0.0 || w <= 0.0) 0.0
+              else if (w >= len2) 1.0
+              else w / len2
+      val qx = ax + t * dx
+      val qy = ay + t * dy
+      val d2 = (p.x - qx) * (p.x - qx) + (p.y - qy) * (p.y - qy)
+      if (d2 < bestD2) { bestD2 = d2; bestX = qx; bestY = qy }
+      i += 1
+    }
+    point(bestX, bestY)
+  }
+
+  /**
+   * Snap every coordinate to a regular origin-0 grid (PostGIS
+   * ST_SnapToGrid(geom, size)): `v' = floor(v/size + 0.5) · size` —
+   * HALF-UP in grid units, a pure floor/divide/multiply tree external
+   * engines replay bit-identically (with a dyadic `size` like 0.25 the
+   * whole transform is EXACT). POINT / MULTIPOINT / LINESTRING only —
+   * snapped-ring validity for polygons is a different operator's
+   * contract, and silently "fixing" a ring is how corrupt geometry
+   * enters a pipeline. Consecutive duplicate vertices produced by the
+   * snap collapse on lines (multipoint members are independent and
+   * keep duplicates); a line left with < 2 distinct consecutive
+   * vertices REFUSES loudly where PostGIS silently emits an invalid
+   * 2-equal-vertex line. Grid size must be finite > 0.
+   */
+  def snapToGrid(b: Array[Byte], size: Double): Array[Byte] = {
+    require(size > 0 && !size.isInfinite && !size.isNaN,
+      s"snapToGrid: size must be finite > 0, got $size")
+    def snap(v: Double): Double = math.floor(v / size + 0.5) * size
+    read(b) match {
+      case p: Point if !p.isEmpty =>
+        point(snap(p.getX), snap(p.getY))
+      case mp: org.locationtech.jts.geom.MultiPoint if !mp.isEmpty =>
+        val snapped = (0 until mp.getNumGeometries).map { i =>
+          val c = mp.getGeometryN(i).asInstanceOf[Point].getCoordinate
+          factory.createPoint(new Coordinate(snap(c.x), snap(c.y)))
+        }
+        write(factory.createMultiPoint(snapped.toArray))
+      case l: LineString if !l.isEmpty =>
+        val out = scala.collection.mutable.ArrayBuffer[Coordinate]()
+        l.getCoordinates.foreach { c =>
+          val sc = new Coordinate(snap(c.x), snap(c.y))
+          if (out.isEmpty || out.last.x != sc.x || out.last.y != sc.y)
+            out += sc
+        }
+        require(out.length >= 2,
+          s"snapToGrid: line collapsed to a single grid vertex at size " +
+            s"$size — an invalid line would flow on silently; filter or " +
+            "coarsen upstream")
+        write(factory.createLineString(out.toArray))
+      case g => throw new IllegalArgumentException(
+        s"snapToGrid: POINT/MULTIPOINT/LINESTRING only, got " +
+          s"${g.getGeometryType}" + (if (g.isEmpty) " EMPTY" else ""))
+    }
+  }
+
+  /**
+   * Sub-line between fractions `f0 ≤ f1` of the line's planar length
+   * (PostGIS ST_LineSubstring): interpolated start point, every
+   * original vertex whose prefix length lies STRICTLY between the two
+   * cut lengths (a vertex exactly at a cut IS the cut point — emitting
+   * both would duplicate it), interpolated end point. `f0 == f1`
+   * degenerates to the interpolated POINT, the PostGIS convention.
+   * Out-of-order or out-of-range fractions refuse loudly.
+   */
+  def lineSubstring(b: Array[Byte], f0: Double, f1: Double): Array[Byte] = {
+    require(f0 >= 0.0 && f1 <= 1.0 && f0 <= f1,
+      s"lineSubstring: need 0 <= f0 <= f1 <= 1, got ($f0, $f1)")
+    val cs = lineCoords(b, "lineSubstring")
+    val lens = segLengths(cs)
+    val total = sumLeft(lens)
+    require(total > 0.0,
+      "lineSubstring: zero-length line has no parameterization")
+    val t0 = f0 * total
+    val t1 = f1 * total
+    val start = pointAt(cs, lens, t0)
+    if (f0 == f1) return point(start.x, start.y)
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](start)
+    var cum = 0.0
+    var i = 0
+    while (i < lens.length - 1) {
+      cum += lens(i)
+      if (cum > t0 && cum < t1) out += new Coordinate(cs(i + 1).x, cs(i + 1).y)
+      i += 1
+    }
+    out += pointAt(cs, lens, t1)
+    write(factory.createLineString(out.toArray))
+  }
+
   /**
    * Envelope bounds `[minX, minY, maxX, maxY]` in ONE WKB parse — the
    * grid-binning kernel for [[SpatialJoin]] (four separate `xMin`/...

@@ -440,6 +440,211 @@ object Trajectory {
   }
 
   /**
+   * Douglas–Peucker TRACK COMPRESSION: per key, points order by
+   * `(ts, x, y)` (the family tiebreak) and the classic DP recursion
+   * keeps the first point, the last point, and every vertex whose
+   * planar SEGMENT distance from the current chord exceeds
+   * `tolerance` — the standard lossy compressor a 100-TB GPS corpus
+   * runs before storage (Douglas & Peucker 1973, public). Distances
+   * use the same three-case squared form as
+   * [[DistanceJoin.segmentRadiusJoin]] (behind-A / beyond-B /
+   * cross²/len²) compared against `tolerance²` — pure `-`/`*`/`/`
+   * arithmetic, bit-portable; the split comparison is STRICT
+   * (`> tol²`) and the argmax keeps the FIRST maximum, matching the
+   * JTS simplifier's conventions so `st_simplify` on the same chain
+   * keeps the same vertices. The recursion runs on an explicit stack
+   * (a pathological track would otherwise overflow the call stack at
+   * executor depth limits).
+   *
+   * Like [[stayPoints]] this is inherently sequential per key — the
+   * sanctioned repartition + sortWithinPartitions + `mapPartitions`
+   * scan, one shuffle carrying slim `(k, t, x, y)` rows, with the same
+   * loud `maxPointsPerKey` cap (a key's full track buffers while it is
+   * scanned) and NULL refusals (a silently dropped point would bend
+   * the kept chain). Output: the KEPT points `(<keyCol> long, t long,
+   * x double, y double)`, original coordinates untouched.
+   */
+  def compress(points: DataFrame, keyCol: String, tsCol: String,
+               xCol: String, yCol: String, tolerance: Double,
+               maxPointsPerKey: Int = 5000000): DataFrame = {
+    require(tolerance >= 0 && !tolerance.isInfinite && !tolerance.isNaN,
+      s"compress: tolerance must be finite >= 0, got $tolerance")
+    require(maxPointsPerKey >= 2, "compress: maxPointsPerKey must be >= 2")
+    Seq(keyCol, tsCol, xCol, yCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"compress: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"compress: $what column '$c' must be integral (got $t)")
+    }
+    def refused(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"compress: NULL $what — a dropped point would " +
+          "silently bend the kept chain")).cast(DoubleType))
+        .otherwise(col(c).cast(DoubleType))
+    val spark = points.sparkSession
+    import spark.implicits._
+    val slim = points.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("compress: NULL key — a dropped point would " +
+            "silently bend the kept chain")).cast(LongType))
+          .otherwise(col(keyCol).cast(LongType)).as("k"),
+        when(col(tsCol).isNull,
+          raise_error(lit("compress: NULL timestamp — a dropped point " +
+            "would silently bend the kept chain")).cast(LongType))
+          .otherwise(col(tsCol).cast(LongType)).as("t"),
+        refused(xCol, "x coordinate").as("x"),
+        refused(yCol, "y coordinate").as("y"))
+      .as[(Long, Long, Double, Double)]
+    val sorted = slim.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("x"), col("y"))
+    val tol2 = tolerance * tolerance
+    val cap = maxPointsPerKey
+    sorted.mapPartitions[(Long, Long, Double, Double)] {
+        (it: Iterator[(Long, Long, Double, Double)]) =>
+      new Iterator[(Long, Long, Double, Double)] {
+        private val in: BufferedIterator[(Long, Long, Double, Double)] =
+          it.buffered
+        private var out: Iterator[(Long, Long, Double, Double)] =
+          Iterator.empty
+        private def refill(): Unit = {
+          while (!out.hasNext && in.hasNext) {
+            val key = in.head._1
+            val ts = new ArrayBuffer[Long]
+            val xs = new ArrayBuffer[Double]
+            val ys = new ArrayBuffer[Double]
+            while (in.hasNext && in.head._1 == key) {
+              val (_, t, x, y) = in.next()
+              ts += t; xs += x; ys += y
+              require(ts.length <= cap,
+                s"compress: key $key exceeds maxPointsPerKey ($cap) — " +
+                "pre-split the trajectory (e.g. by day) or raise the cap")
+            }
+            out = dpKey(key, ts, xs, ys, tol2).iterator
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): (Long, Long, Double, Double) = {
+          refill(); out.next()
+        }
+      }
+    }.toDF("k", "t", "x", "y").withColumnRenamed("k", keyCol)
+  }
+
+  /** One key's DP over the sorted track: explicit stack, strict `>`
+    * split, first-maximum argmax (the JTS conventions). */
+  private def dpKey(key: Long, ts: ArrayBuffer[Long], xs: ArrayBuffer[Double],
+                    ys: ArrayBuffer[Double],
+                    tol2: Double): Seq[(Long, Long, Double, Double)] = {
+    val n = ts.length
+    if (n <= 2)
+      return (0 until n).map(i => (key, ts(i), xs(i), ys(i)))
+    val keep = new Array[Boolean](n)
+    keep(0) = true
+    keep(n - 1) = true
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((0, n - 1))
+    while (stack.nonEmpty) {
+      val (i, j) = stack.pop()
+      if (j - i >= 2) {
+        val ax = xs(i); val ay = ys(i)
+        val dx = xs(j) - ax; val dy = ys(j) - ay
+        val len2 = dx * dx + dy * dy
+        var maxD2 = -1.0
+        var maxK = -1
+        var k = i + 1
+        while (k < j) {
+          val w = (xs(k) - ax) * dx + (ys(k) - ay) * dy
+          val d2 =
+            if (len2 == 0.0 || w <= 0.0)
+              (xs(k) - ax) * (xs(k) - ax) + (ys(k) - ay) * (ys(k) - ay)
+            else if (w >= len2)
+              (xs(k) - xs(j)) * (xs(k) - xs(j)) + (ys(k) - ys(j)) * (ys(k) - ys(j))
+            else {
+              val crs = (xs(k) - ax) * dy - (ys(k) - ay) * dx
+              crs * crs / len2
+            }
+          if (d2 > maxD2) { maxD2 = d2; maxK = k }
+          k += 1
+        }
+        if (maxD2 > tol2) {
+          keep(maxK) = true
+          stack.push((i, maxK))
+          stack.push((maxK, j))
+        }
+      }
+    }
+    (0 until n).filter(i => keep(i)).map(i => (key, ts(i), xs(i), ys(i)))
+  }
+
+  /**
+   * ORIGIN–DESTINATION flow matrix: per key, the trip origin is the
+   * position at the key's EARLIEST timestamp, the destination at its
+   * LATEST; both bin into Web-Mercator tiles at `zoom` ([[Tiles.quadkey]]
+   * — the engine's spatial partition key, so OD cells line up with the
+   * tile aggregates and the quadkey index layout) and flows aggregate to
+   * `(o_qk, d_qk, n_trips)`. Two shuffles, both with map-side partial
+   * aggregation: the per-key endpoint pick (`min_by`/`max_by`, constant
+   * state per key) and the OD-pair count — nothing is windowed and no
+   * per-point row survives the first aggregate, so the plan scales with
+   * DISTINCT keys then DISTINCT od pairs, not with points. A key holding
+   * two points at one instant REFUSES loudly (`min_by` would pick the
+   * endpoint nondeterministically — the duplicate-timestamp contract
+   * shared with [[resample]]); NULLs and out-of-range coordinates refuse
+   * like the rest of the family. The duplicate probe is a `countDistinct`
+   * beside the endpoint aggregates (one Expand pass), deliberately
+   * chosen over a second shuffle on `(key, ts)`.
+   */
+  def odMatrix(points: DataFrame, keyCol: String, tsCol: String,
+               lonCol: String, latCol: String, zoom: Int): DataFrame = {
+    require(zoom >= 0 && zoom <= 23,
+      s"odMatrix: zoom must be in [0, 23], got $zoom")
+    Seq(keyCol, tsCol, lonCol, latCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"odMatrix: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"odMatrix: $what column '$c' must be integral (got $t)")
+    }
+    def refuse(c: String, what: String, to: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"odMatrix: NULL $what — a dropped point could " +
+          "silently move a trip's endpoint")).cast(to))
+        .otherwise(col(c).cast(to))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi || isnan(c),
+        raise_error(concat(lit(s"odMatrix: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast("double")).otherwise(c)
+    val slim = points.select(
+      refuse(keyCol, "key", "long").as("k"),
+      refuse(tsCol, "timestamp", "long").as("t"),
+      ranged(refuse(lonCol, "longitude", "double"), -180, 180, "longitude")
+        .as("lon"),
+      ranged(refuse(latCol, "latitude", "double"), -90, 90, "latitude")
+        .as("lat"))
+    val ends = slim.groupBy(col("k")).agg(
+      count(lit(1)).as("_n"),
+      countDistinct(col("t")).as("_nd"),
+      min_by(struct(col("lon"), col("lat")), col("t")).as("_o"),
+      max_by(struct(col("lon"), col("lat")), col("t")).as("_d"))
+    // the refusal rides the origin longitude — an expression the quadkey
+    // PROVABLY consumes, so column pruning can never elide the guard
+    val oLon = when(ends("_n") =!= ends("_nd"),
+      raise_error(concat(lit("odMatrix: key "), col("k").cast("string"),
+        lit(" has two points at one instant — the trip endpoint would " +
+          "be picked nondeterministically; dedup upstream"))).cast("double"))
+      .otherwise(col("_o.lon"))
+    ends.select(
+        Tiles.quadkey(oLon, col("_o.lat"), zoom).as("o_qk"),
+        Tiles.quadkey(col("_d.lon"), col("_d.lat"), zoom).as("d_qk"))
+      .groupBy("o_qk", "d_qk")
+      .agg(count(lit(1)).as("n_trips"))
+  }
+
+  /**
    * STREAMING kinematics — [[kinematics]] as a stateful streaming
    * enrichment (`flatMapGroupsWithState`): per-key state is ONE point
    * (the last enriched), and every arrival emits immediately with its

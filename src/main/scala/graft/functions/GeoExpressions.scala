@@ -169,6 +169,125 @@ case class StSimplify(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Niemeyer base-32 geohash of a lon/lat POINT at a character precision
+ *  ([[graft.core.GeoOps.geohashEncode]] — scaled-floor form, refusals
+ *  documented there). */
+case class StGeohash(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geohash"
+  override protected def nullSafeEval(g: Any, p: Any): Any =
+    GeoOps.geohashEncode(g.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, p) => s"graft.core.GeoOps.geohashEncode($g, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Geohash cell bounds `[lonMin, latMin, lonMax, latMax]` — exact
+ *  dyadic doubles ([[graft.core.GeoOps.geohashDecode]]). */
+case class StGeohashDecode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geohash_decode"
+  override protected def nullSafeEval(s: Any): Any =
+    GeoOps.geohashDecode(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.GeoOps.geohashDecode($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Point at fraction f of a LINESTRING's planar length
+ *  ([[graft.core.GeoOps.lineInterpolatePoint]] — PostGIS
+ *  ST_LineInterpolatePoint; refusals documented there). */
+case class StLineInterpolatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_line_interpolate_point"
+  override protected def nullSafeEval(g: Any, f: Any): Any =
+    GeoOps.lineInterpolatePoint(g.asInstanceOf[Array[Byte]], f.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, f) => s"graft.core.GeoOps.lineInterpolatePoint($g, $f)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fraction of a LINESTRING's length at its closest point to a POINT
+ *  ([[graft.core.GeoOps.lineLocatePoint]] — PostGIS ST_LineLocatePoint;
+ *  earliest-segment tie-break). */
+case class StLineLocatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_line_locate_point"
+  override protected def nullSafeEval(l: Any, p: Any): Any =
+    GeoOps.lineLocatePoint(l.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, p) => s"graft.core.GeoOps.lineLocatePoint($l, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** The point ON a LINESTRING closest to a POINT
+ *  ([[graft.core.GeoOps.closestPoint]] — PostGIS ST_ClosestPoint,
+ *  coordinate twin of st_line_locate_point). */
+case class StClosestPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_closest_point"
+  override protected def nullSafeEval(l: Any, p: Any): Any =
+    GeoOps.closestPoint(l.asInstanceOf[Array[Byte]], p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, p) => s"graft.core.GeoOps.closestPoint($l, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Snap coordinates to a regular origin-0 grid
+ *  ([[graft.core.GeoOps.snapToGrid]] — PostGIS ST_SnapToGrid(geom,
+ *  size); POINT/MULTIPOINT/LINESTRING, loud line-collapse refusal). */
+case class StSnapToGrid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_snaptogrid"
+  override protected def nullSafeEval(g: Any, s: Any): Any =
+    GeoOps.snapToGrid(g.asInstanceOf[Array[Byte]], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, s) => s"graft.core.GeoOps.snapToGrid($g, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sub-line between two length fractions of a LINESTRING
+ *  ([[graft.core.GeoOps.lineSubstring]] — PostGIS ST_LineSubstring;
+ *  f0 == f1 degenerates to the interpolated POINT). */
+case class StLineSubstring(first: Expression, second: Expression,
+                           third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_line_substring"
+  override protected def nullSafeEval(g: Any, a: Any, b: Any): Any =
+    GeoOps.lineSubstring(g.asInstanceOf[Array[Byte]],
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, a, b) => s"graft.core.GeoOps.lineSubstring($g, $a, $b)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /**
  * Envelope `[minX, minY, maxX, maxY]` in one WKB parse — the cell-range
  * kernel behind [[graft.core.SpatialJoin]] (four StUnary accessors would

@@ -70,6 +70,27 @@ object GeoFunctions {
   def st_symdifference(a: Column, b: Column): Column = call_function("st_symdifference", a, b)
   def st_convexhull(g: Column): Column = call_function("st_convexhull", g)
   def st_simplify(g: Column, tol: Column): Column = call_function("st_simplify", g, tol)
+  /** Base-32 geohash of a lon/lat point at a character precision. */
+  def st_geohash(g: Column, precision: Column): Column =
+    call_function("st_geohash", g, precision)
+  /** Geohash cell bounds [lonMin, latMin, lonMax, latMax]. */
+  def st_geohash_decode(gh: Column): Column =
+    call_function("st_geohash_decode", gh)
+  /** Point at fraction f of a linestring's planar length. */
+  def st_line_interpolate_point(g: Column, f: Column): Column =
+    call_function("st_line_interpolate_point", g, f)
+  /** Length fraction of a linestring at its closest point to pt. */
+  def st_line_locate_point(line: Column, pt: Column): Column =
+    call_function("st_line_locate_point", line, pt)
+  /** Sub-line between two length fractions of a linestring. */
+  def st_line_substring(g: Column, f0: Column, f1: Column): Column =
+    call_function("st_line_substring", g, f0, f1)
+  /** Point on a linestring closest to pt. */
+  def st_closest_point(line: Column, pt: Column): Column =
+    call_function("st_closest_point", line, pt)
+  /** Snap coordinates to a regular origin-0 grid. */
+  def st_snaptogrid(g: Column, size: Column): Column =
+    call_function("st_snaptogrid", g, size)
   def st_isempty(g: Column): Column = call_function("st_isempty", g)
   def st_npoints(g: Column): Column = call_function("st_npoints", g)
   /** Aggregate: dissolve — union of every geometry in the group. */
@@ -109,6 +130,13 @@ object GeoFunctions {
     "st_symdifference" -> { case Seq(a, b) => StOverlay("symDifferenceOf", a, b) },
     "st_convexhull" -> { case Seq(g) => StUnary("convexHull", g) },
     "st_simplify" -> { case Seq(g, t) => StSimplify(g, t) },
+    "st_geohash" -> { case Seq(g, p) => StGeohash(g, p) },
+    "st_geohash_decode" -> { case Seq(s) => StGeohashDecode(s) },
+    "st_line_interpolate_point" -> { case Seq(g, f) => StLineInterpolatePoint(g, f) },
+    "st_line_locate_point" -> { case Seq(l, p) => StLineLocatePoint(l, p) },
+    "st_line_substring" -> { case Seq(g, a, b) => StLineSubstring(g, a, b) },
+    "st_closest_point" -> { case Seq(l, p) => StClosestPoint(l, p) },
+    "st_snaptogrid" -> { case Seq(g, sz) => StSnapToGrid(g, sz) },
     "st_isempty" -> { case Seq(g) => StUnary("stIsEmpty", g) },
     "st_npoints" -> { case Seq(g) => StUnary("nPoints", g) },
     "st_union_agg" -> { case Seq(g) => StUnionAgg(g) },

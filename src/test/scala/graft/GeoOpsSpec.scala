@@ -919,4 +919,204 @@ class GeoOpsSpec extends AnyFunSuite {
       GeoOps.chordXyz(wkt("LINESTRING(0 0, 1 1)"), R))
     assert(e.getMessage.contains("POINT"))
   }
+
+  test("geohash: bisection-reference twin, canonical example, decode bounds, refusals") {
+    // independent reference: the textbook bisection encoder (exact —
+    // dyadic midpoints and exact comparisons), against which the
+    // kernel's scaled-floor form must agree except within FP-rounding
+    // distance of a cell boundary (filtered below)
+    def refEncode(lon: Double, lat: Double, precision: Int): String = {
+      val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+      var lonLo = -180.0; var lonHi = 180.0
+      var latLo = -90.0; var latHi = 90.0
+      val sb = new StringBuilder
+      var isLon = true; var bits = 0; var ch = 0
+      while (sb.length < precision) {
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+          else { ch = ch << 1; lonHi = mid }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+          else { ch = ch << 1; latHi = mid }
+        }
+        isLon = !isLon; bits += 1
+        if (bits == 5) { sb.append(base32(ch)); bits = 0; ch = 0 }
+      }
+      sb.toString
+    }
+    def enc(lon: Double, lat: Double, p: Int): String =
+      GeoOps.geohashEncode(GeoOps.point(lon, lat), p).toString
+    // the published canonical example (Niemeyer's own): 42.605, -5.603
+    assert(enc(-5.603, 42.605, 5) == "ezs42")
+    val rnd = new scala.util.Random(42)
+    var checked = 0
+    for (_ <- 1 to 400; p <- Seq(1, 2, 5, 6, 7, 12)) {
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 180 - 90
+      // skip samples within FP-rounding reach of a cell boundary, where
+      // scaled-floor and bisection legitimately differ by one cell
+      val lonBits = (5 * p + 1) / 2
+      val latBits = 5 * p / 2
+      def fracDist(v: Double) = math.min(v - math.floor(v), math.ceil(v) - v)
+      if (fracDist((lon + 180) / 360 * (1L << lonBits)) > 1e-6 &&
+          fracDist((lat + 90) / 180 * (1L << latBits)) > 1e-6) {
+        assert(enc(lon, lat, p) == refEncode(lon, lat, p), s"($lon, $lat, $p)")
+        checked += 1
+      }
+    }
+    assert(checked > 2000, s"only $checked samples survived the boundary filter")
+    // poles/antimeridian share the last cell with their bisection twin
+    assert(enc(180.0, 90.0, 6) == refEncode(180.0, 90.0, 6))
+    assert(enc(-180.0, -90.0, 6) == refEncode(-180.0, -90.0, 6))
+    // decode: exact dyadic bounds, half-open containment, widths
+    for (gh <- Seq("e", "ezs42", enc(17.038, -33.927, 12))) {
+      val b = GeoOps.geohashDecode(
+        org.apache.spark.unsafe.types.UTF8String.fromString(gh))
+        .toDoubleArray()
+      val lonBits = (5 * gh.length + 1) / 2
+      assert(b(2) - b(0) == 360.0 / (1L << lonBits))
+      assert(b(3) - b(1) == 180.0 / (1L << (5 * gh.length / 2)))
+    }
+    val b5 = GeoOps.geohashDecode(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ezs42")).toDoubleArray()
+    assert(b5(0) <= -5.603 && -5.603 < b5(2) && b5(1) <= 42.605 && 42.605 < b5(3))
+    // refusals: precision, geometry type, range, alphabet, case, length
+    assert(intercept[IllegalArgumentException](enc(0, 0, 0))
+      .getMessage.contains("precision"))
+    assert(intercept[IllegalArgumentException](enc(0, 0, 13))
+      .getMessage.contains("precision"))
+    assert(intercept[IllegalArgumentException](GeoOps.geohashEncode(
+      wkt("LINESTRING(0 0, 1 1)"), 6)).getMessage.contains("POINT"))
+    assert(intercept[IllegalArgumentException](enc(200, 0, 6))
+      .getMessage.contains("lon/lat"))
+    def dec(s: String) = GeoOps.geohashDecode(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(intercept[IllegalArgumentException](dec("ez" + "a"))
+      .getMessage.contains("base-32"))
+    assert(intercept[IllegalArgumentException](dec("EZ"))
+      .getMessage.contains("base-32"))
+    assert(intercept[IllegalArgumentException](dec(""))
+      .getMessage.contains("length"))
+    assert(intercept[IllegalArgumentException](dec("0123456789bcd"))
+      .getMessage.contains("length"))
+  }
+
+  test("linear referencing: LengthIndexedLine twin, vertex-cut dedup, refusals") {
+    val line = wkt("LINESTRING(0 0, 10 0, 10 10, 20 10)")
+    val jts = GeoOps.read(line).asInstanceOf[org.locationtech.jts.geom.LineString]
+    val lil = new org.locationtech.jts.linearref.LengthIndexedLine(jts)
+    val total = jts.getLength
+    for (f <- Seq(0.0, 0.1, 0.25, 1.0 / 3, 0.5, 0.9, 1.0)) {
+      val p = GeoOps.read(GeoOps.lineInterpolatePoint(line, f)).getCoordinate
+      val q = lil.extractPoint(f * total)
+      assert(math.abs(p.x - q.x) < 1e-9 && math.abs(p.y - q.y) < 1e-9, s"f=$f")
+    }
+    // locate vs JTS indexOf (both keep the earliest minimal segment)
+    for ((px, py) <- Seq((5.0, 3.0), (-4.0, -1.0), (25.0, 11.0),
+                         (10.0, 5.0), (12.0, 2.0), (8.0, 9.0))) {
+      val frac = GeoOps.lineLocatePoint(line, GeoOps.point(px, py))
+      val ref = lil.indexOf(new org.locationtech.jts.geom.Coordinate(px, py)) / total
+      assert(math.abs(frac - ref) < 1e-9, s"($px,$py): $frac vs $ref")
+    }
+    // the deliberate equidistant probe: (5, 5) is 5 from seg0 and 5
+    // from seg1 — earliest wins, so the answer is seg0's projection
+    assert(math.abs(GeoOps.lineLocatePoint(line, GeoOps.point(5, 5)) -
+      5.0 / total) < 1e-12)
+    // substring vs extractLine: endpoints and length agree
+    val sub = GeoOps.read(GeoOps.lineSubstring(line, 0.2, 0.8))
+    val ref = lil.extractLine(0.2 * total, 0.8 * total)
+    assert(math.abs(sub.getLength - ref.getLength) < 1e-9)
+    assert(sub.getCoordinates.head.distance(ref.getCoordinates.head) < 1e-9)
+    assert(sub.getCoordinates.last.distance(ref.getCoordinates.last) < 1e-9)
+    // a cut landing exactly ON a vertex emits it once (no duplicate)
+    val l2 = wkt("LINESTRING(0 0, 16 0, 16 16)")
+    val sub2 = GeoOps.read(GeoOps.lineSubstring(l2, 0.5, 1.0))
+    assert(sub2.getCoordinates.map(c => (c.x, c.y)).toSeq ==
+      Seq((16.0, 0.0), (16.0, 16.0)))
+    // zero-length interior segment: no NaN, the walk skips it
+    val l3 = wkt("LINESTRING(0 0, 10 0, 10 0, 20 0)")
+    val mid = GeoOps.read(GeoOps.lineInterpolatePoint(l3, 0.5)).getCoordinate
+    assert(mid.x == 10.0 && mid.y == 0.0)
+    // f0 == f1 degenerates to the interpolated POINT
+    assert(GeoOps.geometryType(GeoOps.lineSubstring(line, 0.5, 0.5))
+      .toString == "POINT")
+    // refusals: fraction range/order, zero-length line, geometry types
+    assert(intercept[IllegalArgumentException](
+      GeoOps.lineInterpolatePoint(line, 1.5)).getMessage.contains("[0, 1]"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.lineSubstring(line, 0.8, 0.2)).getMessage.contains("f0 <= f1"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.lineInterpolatePoint(wkt("LINESTRING(5 5, 5 5)"), 0.5))
+      .getMessage.contains("zero-length"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.lineLocatePoint(wkt("LINESTRING(5 5, 5 5)"), GeoOps.point(0, 0)))
+      .getMessage.contains("zero-length"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.lineInterpolatePoint(GeoOps.point(1, 2), 0.5))
+      .getMessage.contains("LINESTRING"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.lineLocatePoint(line, wkt("LINESTRING(0 0, 1 1)")))
+      .getMessage.contains("POINT"))
+  }
+
+  test("closestPoint: locate twin and JTS DistanceOp cross-check; refusals") {
+    val line = wkt("LINESTRING(0 0, 10 0, 10 10, 20 10)")
+    val jts = GeoOps.read(line)
+    for ((px, py) <- Seq((5.0, 3.0), (-4.0, -1.0), (25.0, 11.0),
+                         (10.0, 5.0), (12.0, 2.0), (8.0, 9.0), (5.0, 5.0))) {
+      val p = GeoOps.point(px, py)
+      val cp = GeoOps.read(GeoOps.closestPoint(line, p)).getCoordinate
+      // independent reference: JTS nearestPoints
+      val np = org.locationtech.jts.operation.distance.DistanceOp
+        .nearestPoints(jts, GeoOps.read(p))(0)
+      assert(math.abs(cp.x - np.x) < 1e-9 && math.abs(cp.y - np.y) < 1e-9,
+        s"($px,$py): ($cp) vs ($np)")
+      // twin contract: interpolate(locate(p)) lands on the same spot
+      val f = GeoOps.lineLocatePoint(line, p)
+      val ip = GeoOps.read(GeoOps.lineInterpolatePoint(line, f)).getCoordinate
+      assert(math.abs(cp.x - ip.x) < 1e-9 && math.abs(cp.y - ip.y) < 1e-9)
+    }
+    assert(intercept[IllegalArgumentException](
+      GeoOps.closestPoint(wkt("LINESTRING(5 5, 5 5)"), GeoOps.point(0, 0)))
+      .getMessage.contains("zero-length"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.closestPoint(line, wkt("LINESTRING(0 0, 1 1)")))
+      .getMessage.contains("POINT"))
+  }
+
+  test("snapToGrid: exact dyadic snap, line dedup + collapse refusal, type refusals") {
+    // dyadic size + 1/16-lattice input → the transform is exact
+    val p = GeoOps.read(GeoOps.snapToGrid(GeoOps.point(3.1875, -2.0625), 0.25))
+      .getCoordinate
+    assert(p.x == 3.25 && p.y == -2.0)
+    // half-up at the .5 grid boundary: 3.125/0.25 = 12.5 → 13
+    val hb = GeoOps.read(GeoOps.snapToGrid(GeoOps.point(3.125, 0.0), 0.25))
+      .getCoordinate
+    assert(hb.x == 3.25 && hb.y == 0.0)
+    // negative coordinates: floor form, not trunc — -3.125/0.25 = -12.5 → -12
+    val ng = GeoOps.read(GeoOps.snapToGrid(GeoOps.point(-3.125, -0.30), 0.25))
+      .getCoordinate
+    assert(ng.x == -3.0 && ng.y == -0.25)
+    // line: consecutive snapped duplicates collapse, distinct chain kept
+    val l = GeoOps.read(GeoOps.snapToGrid(
+      wkt("LINESTRING(0.01 0.01, 0.05 0.08, 1.0 1.0, 1.9 2.1)"), 0.25))
+    assert(l.getCoordinates.map(c => (c.x, c.y)).toSeq ==
+      Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0)))
+    // multipoint members snap independently and keep duplicates
+    val mp = GeoOps.read(GeoOps.snapToGrid(
+      wkt("MULTIPOINT((0.01 0.01), (0.05 0.02))"), 0.25))
+    assert(mp.getNumGeometries == 2)
+    // full collapse refuses loudly
+    assert(intercept[IllegalArgumentException](GeoOps.snapToGrid(
+      wkt("LINESTRING(0.01 0.01, 0.05 0.08)"), 0.25))
+      .getMessage.contains("collapsed"))
+    // polygons and bad sizes refuse
+    assert(intercept[IllegalArgumentException](GeoOps.snapToGrid(
+      GeoOps.makeEnvelope(0, 0, 1, 1), 0.25))
+      .getMessage.contains("POINT/MULTIPOINT/LINESTRING"))
+    assert(intercept[IllegalArgumentException](GeoOps.snapToGrid(
+      GeoOps.point(0, 0), 0.0)).getMessage.contains("size"))
+  }
 }

@@ -857,4 +857,122 @@ class TrajectorySpec extends SparkSpec {
     }
     assert(chain(e).exists(_.contains("out of")))
   }
+
+  test("odMatrix: endpoint picks, tile parity with Tiles.quadkey, refusals") {
+    import spark.implicits._
+    // keys 1 and 2 share the same origin/destination tiles (different
+    // exact positions), key 3 flows elsewhere; interior points are
+    // planted FAR outside both tiles so a wrong endpoint pick would
+    // change the matrix, not just the within-tile position
+    val pts = Seq(
+      (1L, 10L, 0.4, 0.3), (1L, 20L, -120.0, -60.0), (1L, 30L, 100.2, 50.7),
+      (2L, 5L, 1.7, 2.2), (2L, 6L, 44.0, -80.0), (2L, 9L, 101.9, 51.3),
+      (3L, 100L, -100.3, -40.2), (3L, 200L, 10.6, 10.4)
+    ).toDF("k", "t", "lon", "lat")
+    val got = Trajectory.odMatrix(pts, "k", "t", "lon", "lat", zoom = 2)
+      .orderBy("o_qk", "d_qk")
+      .as[(String, String, Long)].collect().toSeq
+    // expected OD cells via the SAME quadkey kernel over the hand-listed
+    // endpoints (binning itself is pinned by TilesSpec and gate q241 —
+    // this spec pins the endpoint choice and the counting)
+    val qk = Seq((0.4, 0.3), (100.2, 50.7), (-100.3, -40.2), (10.6, 10.4))
+      .toDF("lon", "lat")
+      .select(graft.core.Tiles.quadkey(col("lon"), col("lat"), 2))
+      .as[String].collect()
+    assert(got == Seq((qk(0), qk(1), 2L), (qk(2), qk(3), 1L))
+      .sortBy(r => (r._1, r._2)))
+    // two points at one instant on a key refuse loudly
+    val dup = pts.union(Seq((2L, 5L, 3.0, 3.0)).toDF("k", "t", "lon", "lat"))
+    def chain2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eDup = intercept[Exception] {
+      Trajectory.odMatrix(dup, "k", "t", "lon", "lat", 2).collect()
+    }
+    assert(chain2(eDup).exists(_.contains("one instant")))
+    // NULL coordinate refuses
+    val eNull = intercept[Exception] {
+      Trajectory.odMatrix(
+        pts.withColumn("lat", when(col("k") === 3, lit(null)).otherwise(col("lat"))),
+        "k", "t", "lon", "lat", 2).collect()
+    }
+    assert(chain2(eNull).exists(_.contains("NULL")))
+    // out-of-range latitude refuses
+    val eRange = intercept[Exception] {
+      Trajectory.odMatrix(
+        pts.withColumn("lat", when(col("k") === 3, lit(95.0)).otherwise(col("lat"))),
+        "k", "t", "lon", "lat", 2).collect()
+    }
+    assert(chain2(eRange).exists(_.contains("out of")))
+    // non-integral key and bad zoom refuse at plan time
+    intercept[IllegalArgumentException] {
+      Trajectory.odMatrix(pts.withColumn("k", col("k").cast("string")),
+        "k", "t", "lon", "lat", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Trajectory.odMatrix(pts, "k", "t", "lon", "lat", 31)
+    }
+  }
+
+  test("compress: JTS Douglas-Peucker twin on random tracks; hand fixture; refusals") {
+    import spark.implicits._
+    // hand fixture: the q276/q280 depth-1 zig-zag — keep {0,2,4} when
+    // the middle deviation beats the tolerance, {0,4} otherwise
+    val hand = Seq(
+      (1L, 0L, 0.0, 0.0), (1L, 1L, 10.0, 2.0), (1L, 2L, 20.0, 7.0),
+      (1L, 3L, 30.0, 1.0), (1L, 4L, 40.0, 0.0),
+      (2L, 0L, 0.0, 0.0), (2L, 1L, 10.0, 2.0), (2L, 2L, 20.0, 4.0),
+      (2L, 3L, 30.0, 1.0), (2L, 4L, 40.0, 0.0)
+    ).toDF("k", "t", "x", "y")
+    val gotHand = Trajectory.compress(hand, "k", "t", "x", "y", 5.0)
+      .orderBy("k", "t").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(gotHand == Seq((1L, 0L, 0.0, 0.0), (1L, 2L, 20.0, 7.0),
+      (1L, 4L, 40.0, 0.0), (2L, 0L, 0.0, 0.0), (2L, 4L, 40.0, 0.0)))
+    // random integer tracks vs the JTS simplifier on the same chain —
+    // both use strict-> splits and first-maximum argmax, so kept vertex
+    // SEQUENCES must match exactly (integer coords keep every distance
+    // decision far from FP ambiguity at this tolerance)
+    val rnd = new scala.util.Random(7)
+    val tracks = (1L to 30L).map { k =>
+      k -> (0 until 40).map(i =>
+        (i.toLong, rnd.nextInt(100).toDouble, rnd.nextInt(100).toDouble))
+    }
+    val df = tracks.flatMap { case (k, ps) =>
+      ps.map(p => (k, p._1, p._2, p._3)) }.toDF("k", "t", "x", "y")
+    val got = Trajectory.compress(df, "k", "t", "x", "y", 7.3)
+      .orderBy("k", "t").as[(Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._4)).toSeq).toMap
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    tracks.foreach { case (k, ps) =>
+      // the per-key order is (t, x, y) — t is unique here, so by t
+      val coords = ps.sortBy(p => (p._1, p._2, p._3))
+        .map(p => new org.locationtech.jts.geom.Coordinate(p._2, p._3))
+      val simp = org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+        .simplify(gf.createLineString(coords.toArray), 7.3)
+      val ref = simp.getCoordinates.map(c => (c.x, c.y)).toSeq
+      assert(got(k) == ref, s"key $k: ${got(k).size} kept vs JTS ${ref.size}")
+    }
+    // refusals: NULL coordinate, non-integral key, cap, bad tolerance
+    def chain3(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eNull = intercept[Exception] {
+      Trajectory.compress(hand.withColumn("y",
+        when(col("t") === 3, lit(null)).otherwise(col("y"))),
+        "k", "t", "x", "y", 5.0).collect()
+    }
+    assert(chain3(eNull).exists(_.contains("NULL")))
+    intercept[IllegalArgumentException] {
+      Trajectory.compress(hand.withColumn("k", col("k").cast("double")),
+        "k", "t", "x", "y", 5.0)
+    }
+    intercept[IllegalArgumentException] {
+      Trajectory.compress(hand, "k", "t", "x", "y", Double.NaN)
+    }
+    val eCap = intercept[Exception] {
+      Trajectory.compress(hand, "k", "t", "x", "y", 5.0,
+        maxPointsPerKey = 3).collect()
+    }
+    assert(chain3(eCap).exists(_.contains("maxPointsPerKey")))
+  }
 }
