@@ -86,6 +86,41 @@ object Bench {
     val supersedes = sys.env.get("SPARK_GRAFT_BENCH_SUPERSEDES")
       .map(s => "\"" + s + "\"").getOrElse("null")
 
+    // CPU CALIBRATION (r15): a fixed, allocation-free integer spin,
+    // measured once single-threaded and once on every core
+    // concurrently, recorded into the JSON — so a cross-round ratio can
+    // be NORMALIZED for box speed mechanically. Motivation: this
+    // round's record ran 1.36x the round-14 morning record on mostly
+    // untouched code because of hypervisor CPU steal that loadavg
+    // cannot see (top showed ~3% steal at IDLE); settling it took
+    // idle-box re-measures and an interleaved A/B worktree replay. A
+    // calibration constant in every record answers "slower box or
+    // slower code?" without archaeology: calib_mt_ms moves with steal
+    // and co-tenancy, calib_st_ms with base clock. ~1.5 s per run.
+    def spin(iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) {
+        h = java.lang.Long.rotateLeft(h * 0xBF58476D1CE4E5B9L, 31) ^ i
+        i += 1
+      }
+      h
+    }
+    val calibSink = new java.util.concurrent.atomic.AtomicLong()
+    calibSink.addAndGet(spin(5000000L)) // JIT warm
+    def timeMs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+    }
+    val calibStMs = timeMs { calibSink.addAndGet(spin(200000000L)) }
+    val calibMtMs = timeMs {
+      val threads = (0 until cpus.toInt).map(_ =>
+        new Thread(() => { calibSink.addAndGet(spin(200000000L)); () }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+    }
+    System.err.println(f"BENCH calib: st ${calibStMs}%.0f ms, " +
+      f"mt(${cpus}) ${calibMtMs}%.0f ms")
+
     // WATCHDOG: run `body` under a named job group; a daemon timer
     // cancels the group's Spark jobs at the cap. Returns true when the
     // run completed un-cancelled. Driver-side hangs (no Spark job to
@@ -153,7 +188,7 @@ object Bench {
     // ---- incremental, kill-safe record ---------------------------------
     val outPath = java.nio.file.Paths.get("BENCH.out")
     def methodStr =
-      "untimed warmup at sf0.001 for every entry plus a bench-SF warmup ONLY for shared-cache-populating entries (dedup signature tables, Ed-Join/clean-corpus/PQ memos - min-of-N makes run-1 JIT noise harmless for the rest, r15 diet after the r14 driver timeout); 2 timed runs per entry with a 3rd when the 2-run spread exceeds 10% of min (always 3 below 20ms; threshold tightened from 20% after the r15 attempt-1 record showed a ~7% min-of-2 bias vs min-of-3 history even in its quiet quartile; runs_hist records the per-entry run-count distribution), System.gc() quiescence between entries; NOISE RULE (round 13) unchanged on top: spread > 3x min earns ONE extra run (noisy_reruns counts them); per-RUN watchdog cancels an entry's job group at the cap (watchdog_runcap_sec; cap recorded as that run's time, entry listed in watchdog_hits); TIMED ACTION is the round-12 full-row checksum (bit_xor of xxhash64 over all output columns) because count() lets Catalyst eliminate preserved-side outer joins and prune unused columns; the sNNN entries time the cross-gate SHARED computations with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the runs per query; loadavg_warning=true flags loadavg_before > 1.8 - ratios from a warned record should be read against SCALE.md's quiet-box replay; the record is REWRITTEN after every completed entry (partial=true until done) so a killed run still yields parsed data"
+      "untimed warmup at sf0.001 for every entry plus a bench-SF warmup ONLY for shared-cache-populating entries (dedup signature tables, Ed-Join/clean-corpus/PQ memos - min-of-N makes run-1 JIT noise harmless for the rest, r15 diet after the r14 driver timeout); 2 timed runs per entry with a 3rd when the 2-run spread exceeds 10% of min (always 3 below 20ms; threshold tightened from 20% after the r15 attempt-1 record showed a ~7% min-of-2 bias vs min-of-3 history even in its quiet quartile; runs_hist records the per-entry run-count distribution), System.gc() quiescence between entries; NOISE RULE (round 13) unchanged on top: spread > 3x min earns ONE extra run (noisy_reruns counts them); per-RUN watchdog cancels an entry's job group at the cap (watchdog_runcap_sec; cap recorded as that run's time, entry listed in watchdog_hits); TIMED ACTION is the round-12 full-row checksum (bit_xor of xxhash64 over all output columns) because count() lets Catalyst eliminate preserved-side outer joins and prune unused columns; the sNNN entries time the cross-gate SHARED computations with their cache cleared before every run, so warmup-cached work is still measured, exactly once per artifact; spread = max-min of the runs per query; loadavg_warning=true flags loadavg_before > 1.8 - ratios from a warned record should be read against SCALE.md's quiet-box replay; the record is REWRITTEN after every completed entry (partial=true until done) so a killed run still yields parsed data; calib_st_ms/calib_mt_ms time one fixed allocation-free integer spin single-threaded and on all cores concurrently - divide a cross-record ratio by the calib ratio to separate box speed (incl. hypervisor steal, which loadavg cannot see) from code"
     def writeRecord(done: Seq[(String, Seq[Double])], partial: Boolean,
                     nReruns: Int): String = {
       val results = done.map { case (k, ts) => k -> ts.min }
@@ -169,7 +204,7 @@ object Bench {
       val runsHist = done.groupBy(_._2.length).toSeq.sortBy(_._1)
         .map { case (n, es) => "\"" + n + "\":" + es.size }
         .mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"entries_done":${done.size},"entries_total":${timedUnits.size},"canonical":$canonical,"supersedes":$supersedes,"queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"loadavg_warning":$loadWarn,"noisy_reruns":$nReruns,"runs_hist":$runsHist,"watchdog_hits":$wd,"watchdog_runcap_sec":$runCapSec,"cpus":$cpus,"method":"$methodStr"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,"entries_done":${done.size},"entries_total":${timedUnits.size},"canonical":$canonical,"supersedes":$supersedes,"calib_st_ms":$calibStMs,"calib_mt_ms":$calibMtMs,"queries":$qsFull,"spread":$spFull,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"loadavg_warning":$loadWarn,"noisy_reruns":$nReruns,"runs_hist":$runsHist,"watchdog_hits":$wd,"watchdog_runcap_sec":$runCapSec,"cpus":$cpus,"method":"$methodStr"}"""
       java.nio.file.Files.writeString(outPath, full + "\n")
       full
     }

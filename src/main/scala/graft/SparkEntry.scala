@@ -4427,6 +4427,43 @@ object SparkEntry {
           tolerance = 5.0)
         .orderBy("k", "t")
     }),
+    "q281_compress_geo" -> ((s, dir) => { ensure(s)
+      // Trajectory.compressGeo (r15): the chord-space geodesic DP at a
+      // 5 km tolerance over per-key tracks along parallels (|lat| <=
+      // 40.1 so the 0.1-deg lon step spans s >= 8.4 km). Planted
+      // depth-1 margins are KM-scale: the middle vertex sits 10 km
+      // (keep, even keys) or 2 km (collapse) off the chord vs 5 km;
+      // after a split the flank-vs-split-chord distance is bounded by
+      // s·|dc − 2·db|/sqrt(4s² + dc²) < 9.78/2 = 4.89 km < 5 km for
+      // EVERY s (the bound is increasing in s with supremum |dc−2db|/2)
+      // (planar small-patch bound, good to ~0.1% here) — so every DP
+      // decision clears the tolerance by >= 100 m against libm drift
+      // of nanometres, and the oracle
+      // needs NO numeric replay: kept rows are the planted parity
+      // CASE, and the lon/lat outputs are bit-exact PASS-THROUGHS of
+      // identically-computed fixture expressions (the lift is
+      // decision-only).
+      val base = ld(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        ((col("c_custkey") % 3000).cast("double") / 10.0 - 150.0 + 0.05)
+          .as("lon0"),
+        ((col("c_custkey") % 800).cast("double") / 10.0 - 40.0 + 0.05)
+          .as("lat0"),
+        ((col("c_custkey") % 8).cast("double") * 0.001 + 0.001).as("db"),
+        when(col("c_custkey") % 2 === 0, 0.09).otherwise(0.018).as("dc"),
+        (((col("c_custkey") * 3) % 8).cast("double") * 0.001 + 0.001)
+          .as("dd"))
+      val pts = base
+        .select(col("k"), col("lon0"), col("lat0"),
+          posexplode(array(lit(0.0), col("db"), col("dc"), col("dd"),
+            lit(0.0))))
+        .select(col("k"), col("pos").cast("long").as("t"),
+          (col("lon0") + col("pos") * 0.1).as("lon"),
+          (col("lat0") + col("col")).as("lat"))
+      graft.core.Trajectory.compressGeo(pts, "k", "t", "lon", "lat",
+          toleranceMeters = 5000.0)
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -6339,6 +6376,18 @@ object SparkEntry {
        "by0 + CASE WHEN i = 2 THEN yc ELSE 0 END AS y " +
        "FROM c, (VALUES (0),(2),(4)) v(i) WHERE i <> 2 OR k % 2 = 0) " +
        "SELECT k, t, x, y FROM r ORDER BY k, t"),
+    "q281_compress_geo" ->
+      ("WITH c AS (SELECT c_custkey AS k, " +
+       "CAST(c_custkey % 3000 AS DOUBLE)/10.0 - 150.0 + 0.05 AS lon0, " +
+       "CAST(c_custkey % 800 AS DOUBLE)/10.0 - 40.0 + 0.05 AS lat0, " +
+       "CAST(c_custkey % 8 AS DOUBLE) * 0.001 + 0.001 AS db, " +
+       "CASE WHEN c_custkey % 2 = 0 THEN 0.09 ELSE 0.018 END AS dc, " +
+       "CAST((c_custkey*3) % 8 AS DOUBLE) * 0.001 + 0.001 AS dd " +
+       "FROM customer), " +
+       "r AS (SELECT k, CAST(i AS BIGINT) AS t, lon0 + i*0.1 AS lon, " +
+       "lat0 + CASE WHEN i = 2 THEN dc ELSE 0.0 END AS lat " +
+       "FROM c, (VALUES (0),(2),(4)) v(i) WHERE i <> 2 OR k % 2 = 0) " +
+       "SELECT k, t, lon, lat FROM r ORDER BY k, t"),
     "q01_scan_filter_page" ->
       "SELECT * FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 10",
     "q02_head" ->

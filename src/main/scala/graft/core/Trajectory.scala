@@ -533,6 +533,162 @@ object Trajectory {
     }.toDF("k", "t", "x", "y").withColumnRenamed("k", keyCol)
   }
 
+  /**
+   * GEODESIC track compression — [[compress]] for lon/lat tracks with
+   * the tolerance in METRES. Points lift to the geodesic join family's
+   * CHORD-SPACE XYZ (`chord = 2R·sin(arc/2R)`), the tolerance converts
+   * through the same mapping, and the DP compares point-to-chord-
+   * segment distances against it — no latitude bias, no antimeridian
+   * seam, no pole special case (a track at lon ±179.99 compresses
+   * exactly like its rotation to lon 0, which the spec pins). At
+   * compressor tolerances the chord/arc divergence is negligible
+   * (< 2e-5 relative at 100 km) and both sides of every comparison
+   * convert consistently. Same DP conventions as [[compress]]
+   * (strict-`>` split, first-max argmax, explicit stack, `(ts,lon,lat)`
+   * order, loud per-key cap); coordinates outside lon/lat range REFUSE
+   * like the rest of the geodesic family; output keeps the ORIGINAL
+   * lon/lat values untouched — the lift is decision-only, so the
+   * emitted rows are bit-exact pass-throughs.
+   */
+  def compressGeo(points: DataFrame, keyCol: String, tsCol: String,
+                  lonCol: String, latCol: String, toleranceMeters: Double,
+                  maxPointsPerKey: Int = 5000000): DataFrame = {
+    require(toleranceMeters >= 0 && !toleranceMeters.isInfinite &&
+      !toleranceMeters.isNaN,
+      s"compressGeo: tolerance must be finite >= 0 metres, got $toleranceMeters")
+    require(maxPointsPerKey >= 2, "compressGeo: maxPointsPerKey must be >= 2")
+    Seq(keyCol, tsCol, lonCol, latCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"compressGeo: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"compressGeo: $what column '$c' must be integral (got $t)")
+    }
+    def refused(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"compressGeo: NULL $what — a dropped point " +
+          "would silently bend the kept chain")).cast(DoubleType))
+        .otherwise(col(c).cast(DoubleType))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi || isnan(c),
+        raise_error(concat(lit(s"compressGeo: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast("double")).otherwise(c)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val slim = points.select(
+        when(col(keyCol).isNull,
+          raise_error(lit("compressGeo: NULL key — a dropped point " +
+            "would silently bend the kept chain")).cast(LongType))
+          .otherwise(col(keyCol).cast(LongType)).as("k"),
+        when(col(tsCol).isNull,
+          raise_error(lit("compressGeo: NULL timestamp — a dropped " +
+            "point would silently bend the kept chain")).cast(LongType))
+          .otherwise(col(tsCol).cast(LongType)).as("t"),
+        ranged(refused(lonCol, "longitude"), -180, 180, "longitude").as("lon"),
+        ranged(refused(latCol, "latitude"), -90, 90, "latitude").as("lat"))
+      .as[(Long, Long, Double, Double)]
+    val sorted = slim.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("lon"), col("lat"))
+    val bigR = DistanceJoin.EarthRadiusMeters
+    val tolChord = 2.0 * bigR * math.sin(toleranceMeters / (2.0 * bigR))
+    val tol2 = tolChord * tolChord
+    val cap = maxPointsPerKey
+    sorted.mapPartitions[(Long, Long, Double, Double)] {
+        (it: Iterator[(Long, Long, Double, Double)]) =>
+      new Iterator[(Long, Long, Double, Double)] {
+        private val in: BufferedIterator[(Long, Long, Double, Double)] =
+          it.buffered
+        private var out: Iterator[(Long, Long, Double, Double)] =
+          Iterator.empty
+        private def refill(): Unit = {
+          while (!out.hasNext && in.hasNext) {
+            val key = in.head._1
+            val ts = new ArrayBuffer[Long]
+            val lons = new ArrayBuffer[Double]
+            val lats = new ArrayBuffer[Double]
+            while (in.hasNext && in.head._1 == key) {
+              val (_, t, lon, lat) = in.next()
+              ts += t; lons += lon; lats += lat
+              require(ts.length <= cap,
+                s"compressGeo: key $key exceeds maxPointsPerKey ($cap) — " +
+                "pre-split the trajectory (e.g. by day) or raise the cap")
+            }
+            out = dpKeyGeo(key, ts, lons, lats, tol2, bigR).iterator
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): (Long, Long, Double, Double) = {
+          refill(); out.next()
+        }
+      }
+    }.toDF("k", "t", "lon", "lat").withColumnRenamed("k", keyCol)
+  }
+
+  /** [[dpKey]] in chord-space: lift once per point, then the identical
+    * explicit-stack DP with the 3D three-case squared distance (the
+    * perpendicular case is `|p−a|² − w²/len²`, the 3D identity of the
+    * planar cross²/len² form). Emits the ORIGINAL lon/lat. */
+  private def dpKeyGeo(key: Long, ts: ArrayBuffer[Long],
+                       lons: ArrayBuffer[Double], lats: ArrayBuffer[Double],
+                       tol2: Double, bigR: Double): Seq[(Long, Long, Double, Double)] = {
+    val n = ts.length
+    if (n <= 2)
+      return (0 until n).map(i => (key, ts(i), lons(i), lats(i)))
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    val zs = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      val phi = math.toRadians(lats(p))
+      val lam = math.toRadians(lons(p))
+      val c = math.cos(phi)
+      xs(p) = bigR * c * math.cos(lam)
+      ys(p) = bigR * c * math.sin(lam)
+      zs(p) = bigR * math.sin(phi)
+      p += 1
+    }
+    val keep = new Array[Boolean](n)
+    keep(0) = true
+    keep(n - 1) = true
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((0, n - 1))
+    while (stack.nonEmpty) {
+      val (i, j) = stack.pop()
+      if (j - i >= 2) {
+        val dx = xs(j) - xs(i)
+        val dy = ys(j) - ys(i)
+        val dz = zs(j) - zs(i)
+        val len2 = dx * dx + dy * dy + dz * dz
+        var maxD2 = -1.0
+        var maxK = -1
+        var k = i + 1
+        while (k < j) {
+          val px = xs(k) - xs(i)
+          val py = ys(k) - ys(i)
+          val pz = zs(k) - zs(i)
+          val p2 = px * px + py * py + pz * pz
+          val w = px * dx + py * dy + pz * dz
+          val d2 =
+            if (len2 == 0.0 || w <= 0.0) p2
+            else if (w >= len2)
+              (xs(k) - xs(j)) * (xs(k) - xs(j)) +
+                (ys(k) - ys(j)) * (ys(k) - ys(j)) +
+                (zs(k) - zs(j)) * (zs(k) - zs(j))
+            else p2 - w * w / len2
+          if (d2 > maxD2) { maxD2 = d2; maxK = k }
+          k += 1
+        }
+        if (maxD2 > tol2) {
+          keep(maxK) = true
+          stack.push((i, maxK))
+          stack.push((maxK, j))
+        }
+      }
+    }
+    (0 until n).filter(i => keep(i)).map(i => (key, ts(i), lons(i), lats(i)))
+  }
+
   /** One key's DP over the sorted track: explicit stack, strict `>`
     * split, first-maximum argmax (the JTS conventions). */
   private def dpKey(key: Long, ts: ArrayBuffer[Long], xs: ArrayBuffer[Double],

@@ -975,4 +975,53 @@ class TrajectorySpec extends SparkSpec {
     }
     assert(chain3(eCap).exists(_.contains("maxPointsPerKey")))
   }
+
+  test("compressGeo: keep/collapse at 5km, antimeridian = rotated twin, refusals") {
+    import spark.implicits._
+    def track(k: Long, lonBase: Double, latBase: Double, dc: Double) = Seq(
+      (k, 0L, lonBase, latBase),
+      (k, 1L, lonBase + 0.1, latBase + 0.003),
+      (k, 2L, lonBase + 0.2, latBase + dc),
+      (k, 3L, lonBase + 0.3, latBase + 0.002),
+      (k, 4L, lonBase + 0.4, latBase))
+    // key 1 deviates ~10 km (keep), key 2 ~2 km (collapse)
+    val df = (track(1L, 5.0, 10.0, 0.09) ++ track(2L, 5.0, 10.0, 0.018))
+      .toDF("k", "t", "lon", "lat")
+    val got = Trajectory.compressGeo(df, "k", "t", "lon", "lat", 5000.0)
+      .orderBy("k", "t").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, 0L), (1L, 2L), (1L, 4L), (2L, 0L), (2L, 4L)))
+    // outputs are bit-exact input pass-throughs
+    assert(got.head == (1L, 0L, 5.0, 10.0))
+    // ANTIMERIDIAN: a track straddling lon ±180 keeps the same vertex
+    // set as its rotation to lon 0 — chord space has no seam (a planar
+    // degree treatment would see a 359.8-degree jump and keep
+    // everything)
+    val cross = Seq(
+      (1L, 0L, 179.8, 10.0), (1L, 1L, 179.9, 10.003),
+      (1L, 2L, -180.0 + 0.0, 10.09), (1L, 3L, -179.9, 10.002),
+      (1L, 4L, -179.8, 10.0)).toDF("k", "t", "lon", "lat")
+    val rotated = Seq(
+      (1L, 0L, -0.2, 10.0), (1L, 1L, -0.1, 10.003),
+      (1L, 2L, 0.0, 10.09), (1L, 3L, 0.1, 10.002),
+      (1L, 4L, 0.2, 10.0)).toDF("k", "t", "lon", "lat")
+    def keptT(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Trajectory.compressGeo(d, "k", "t", "lon", "lat", 5000.0)
+        .orderBy("t").select("t").as[Long].collect().toSeq
+    assert(keptT(cross) == Seq(0L, 2L, 4L))
+    assert(keptT(cross) == keptT(rotated))
+    // refusals: out-of-range longitude, NaN tolerance
+    def chain4(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eRange = intercept[Exception] {
+      Trajectory.compressGeo(df.withColumn("lon",
+        when(col("t") === 1, lit(200.0)).otherwise(col("lon"))),
+        "k", "t", "lon", "lat", 5000.0).collect()
+    }
+    assert(chain4(eRange).exists(_.contains("out of")))
+    intercept[IllegalArgumentException] {
+      Trajectory.compressGeo(df, "k", "t", "lon", "lat", Double.NaN)
+    }
+  }
 }
