@@ -4464,6 +4464,25 @@ object SparkEntry {
           toleranceMeters = 5000.0)
         .orderBy("k", "t")
     }),
+    "q282_hexbin" -> ((s, dir) => { ensure(s)
+      // st_hexbin (r15): pointy-top axial hex density aggregation —
+      // the flat-hex analog of q241's square-tile counts, where square
+      // cells over-weight diagonals. The whole bin decision (axial
+      // transform, half-up cube rounding, tie-break branches) is
+      // +,-,*,/ over literals plus one correctly-rounded sqrt(3), so
+      // the oracle replays it BIT-identically, including exact .5
+      // fractions and tie-break equalities — no margin audits (the
+      // q275 pure-IEEE argument). Dyadic 1/8-lattice inputs keep the
+      // fixture replay-exact too.
+      val pts = ld(s, dir, "customer").select(
+        ((col("c_custkey") % 997).cast("double") / 8.0 - 60.0).as("x"),
+        (((col("c_custkey") * 3) % 787).cast("double") / 8.0 - 45.0).as("y"))
+      pts.select(element_at(st_hexbin(col("x"), col("y"), lit(2.5)), 1)
+            .as("hq"),
+          element_at(st_hexbin(col("x"), col("y"), lit(2.5)), 2).as("hr"))
+        .groupBy("hq", "hr").agg(count(lit(1)).as("n"))
+        .orderBy("hq", "hr")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -6388,6 +6407,22 @@ object SparkEntry {
        "lat0 + CASE WHEN i = 2 THEN dc ELSE 0.0 END AS lat " +
        "FROM c, (VALUES (0),(2),(4)) v(i) WHERE i <> 2 OR k % 2 = 0) " +
        "SELECT k, t, lon, lat FROM r ORDER BY k, t"),
+    "q282_hexbin" ->
+      ("WITH p AS (SELECT " +
+       "CAST(c_custkey % 997 AS DOUBLE)/8.0 - 60.0 AS x, " +
+       "CAST((c_custkey*3) % 787 AS DOUBLE)/8.0 - 45.0 AS y FROM customer), " +
+       "a AS (SELECT (sqrt(3.0)/3.0 * x - 1.0/3.0 * y)/2.5 AS cq, " +
+       "(2.0/3.0 * y)/2.5 AS cr FROM p), " +
+       "b AS (SELECT cq, cr, -cq - cr AS cy, floor(cq + 0.5) AS rx0, " +
+       "floor(-cq - cr + 0.5) AS ry0, floor(cr + 0.5) AS rz0 FROM a), " +
+       "d AS (SELECT *, abs(rx0 - cq) AS dx, abs(ry0 - cy) AS dy, " +
+       "abs(rz0 - cr) AS dz FROM b), " +
+       "h AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 " +
+       "ELSE rx0 END AS BIGINT) AS hq, " +
+       "CAST(CASE WHEN dx > dy AND dx > dz THEN rz0 WHEN dy > dz THEN rz0 " +
+       "ELSE -rx0 - ry0 END AS BIGINT) AS hr FROM d) " +
+       "SELECT hq, hr, CAST(count(*) AS BIGINT) AS n FROM h " +
+       "GROUP BY hq, hr ORDER BY hq, hr"),
     "q01_scan_filter_page" ->
       "SELECT * FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 10",
     "q02_head" ->

@@ -622,6 +622,43 @@ object GeoOps {
       -180.0 + (ix + 1) * lonStep, -90.0 + (iy + 1) * latStep))
   }
 
+  /**
+   * POINTY-TOP hexagonal bin of a planar point — axial `[q, r]` cell
+   * coordinates at `size` = circumradius (center-to-vertex), the
+   * standard axial + cube-rounding construction (Red Blob Games'
+   * public formulation; the flat hex analog of [[Tiles.quadkey]] for
+   * density aggregation, where square cells over-weight diagonals).
+   * All arithmetic is +,-,*,/ over literals plus ONE correctly-rounded
+   * `sqrt(3)`, so external engines replay the bin decision
+   * BIT-identically — including the cube-rounding tie-break branches —
+   * with no margin audits; rounding is pinned HALF-UP
+   * (`floor(v + 0.5)`) so replays agree at exact .5 fractions too.
+   * Hex center of `[q, r]`: `(size·√3·(q + r/2), size·1.5·r)`.
+   * Non-finite coordinates and sizes REFUSE loudly (a NaN would bin to
+   * a garbage cell silently).
+   */
+  def hexbin(x: Double, y: Double, size: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(size > 0 && !size.isInfinite && !size.isNaN,
+      s"hexbin: size must be finite > 0, got $size")
+    require(!x.isNaN && !x.isInfinite && !y.isNaN && !y.isInfinite,
+      s"hexbin: non-finite coordinate ($x, $y)")
+    val cq = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
+    val cr = (2.0 / 3.0 * y) / size
+    val cy = -cq - cr
+    def rnd(v: Double): Double = math.floor(v + 0.5)
+    var rx = rnd(cq)
+    var ry = rnd(cy)
+    var rz = rnd(cr)
+    val dx = math.abs(rx - cq)
+    val dy = math.abs(ry - cy)
+    val dz = math.abs(rz - cr)
+    if (dx > dy && dx > dz) rx = -ry - rz
+    else if (dy > dz) ry = -rx - rz
+    else rz = -rx - ry
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](rx.toLong, rz.toLong))
+  }
+
   // ---- linear referencing (PostGIS ST_LineInterpolatePoint /
   //      ST_LineLocatePoint / ST_LineSubstring; pure +,-,*,/,sqrt
   //      arithmetic so external engines replay results bit-identically

@@ -269,6 +269,25 @@ case class StSnapToGrid(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Pointy-top hexagonal bin `[q, r]` of a planar point at a
+ *  circumradius ([[graft.core.GeoOps.hexbin]] — axial + cube rounding,
+ *  bit-replayable, refusals documented there). */
+case class StHexbin(first: Expression, second: Expression,
+                    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_hexbin"
+  override protected def nullSafeEval(x: Any, y: Any, s: Any): Any =
+    GeoOps.hexbin(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, s) => s"graft.core.GeoOps.hexbin($x, $y, $s)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /** Sub-line between two length fractions of a LINESTRING
  *  ([[graft.core.GeoOps.lineSubstring]] — PostGIS ST_LineSubstring;
  *  f0 == f1 degenerates to the interpolated POINT). */

@@ -91,6 +91,9 @@ object GeoFunctions {
   /** Snap coordinates to a regular origin-0 grid. */
   def st_snaptogrid(g: Column, size: Column): Column =
     call_function("st_snaptogrid", g, size)
+  /** Pointy-top hexagonal bin [q, r] at a circumradius. */
+  def st_hexbin(x: Column, y: Column, size: Column): Column =
+    call_function("st_hexbin", x, y, size)
   def st_isempty(g: Column): Column = call_function("st_isempty", g)
   def st_npoints(g: Column): Column = call_function("st_npoints", g)
   /** Aggregate: dissolve — union of every geometry in the group. */
@@ -137,6 +140,7 @@ object GeoFunctions {
     "st_line_substring" -> { case Seq(g, a, b) => StLineSubstring(g, a, b) },
     "st_closest_point" -> { case Seq(l, p) => StClosestPoint(l, p) },
     "st_snaptogrid" -> { case Seq(g, sz) => StSnapToGrid(g, sz) },
+    "st_hexbin" -> { case Seq(x, y, sz) => StHexbin(x, y, sz) },
     "st_isempty" -> { case Seq(g) => StUnary("stIsEmpty", g) },
     "st_npoints" -> { case Seq(g) => StUnary("nPoints", g) },
     "st_union_agg" -> { case Seq(g) => StUnionAgg(g) },

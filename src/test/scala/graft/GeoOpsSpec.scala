@@ -1119,4 +1119,31 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](GeoOps.snapToGrid(
       GeoOps.point(0, 0), 0.0)).getMessage.contains("size"))
   }
+
+  test("hexbin: center roundtrip, in-hex cohesion, origin, refusals") {
+    def bin(x: Double, y: Double, s: Double): (Long, Long) = {
+      val a = GeoOps.hexbin(x, y, s).toLongArray()
+      (a(0), a(1))
+    }
+    assert(bin(0, 0, 1.0) == (0L, 0L))
+    // center roundtrip: the analytic center of [q, r] bins back to it
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val q = rnd.nextInt(2001) - 1000L
+      val r = rnd.nextInt(2001) - 1000L
+      val s = Seq(0.5, 2.5, 40.0)(rnd.nextInt(3))
+      val cx = s * math.sqrt(3.0) * (q + r / 2.0)
+      val cy = s * 1.5 * r
+      assert(bin(cx, cy, s) == (q, r), s"center of ($q, $r) at size $s")
+      // in-hex cohesion: offsets within 0.7x the inradius (sqrt(3)/2 s)
+      // stay in the cell
+      val dx = (rnd.nextDouble() - 0.5) * 0.7 * math.sqrt(3.0) * s / 2
+      val dy = (rnd.nextDouble() - 0.5) * 0.7 * math.sqrt(3.0) * s / 2
+      assert(bin(cx + dx, cy + dy, s) == (q, r))
+    }
+    assert(intercept[IllegalArgumentException](
+      GeoOps.hexbin(Double.NaN, 0, 1)).getMessage.contains("non-finite"))
+    assert(intercept[IllegalArgumentException](
+      GeoOps.hexbin(0, 0, 0)).getMessage.contains("size"))
+  }
 }
