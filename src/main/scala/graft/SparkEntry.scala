@@ -4483,6 +4483,36 @@ object SparkEntry {
         .groupBy("hq", "hr").agg(count(lit(1)).as("n"))
         .orderBy("hq", "hr")
     }),
+    "q283_speed_filter" -> ((s, dir) => { ensure(s)
+      // Trajectory.speedFilterGeo (r15): greedy teleport-spike cleaner
+      // at 50 m/s over per-key 8-point tracks along parallels (|lat|
+      // <= 40.05, 0.002-deg lon steps every 10 s ≈ 17 m/s). Planted
+      // spikes (+0.05 deg lat ≈ 5.6 km in 10 s ≈ 556 m/s, 11× the
+      // limit) sit at i = 2 and i = 5 on keys with k % 3 != 0, never
+      // adjacent, so the last-kept chain is the planted one and every
+      // keep/drop decision clears the limit by >= 3× against
+      // nanometre libm drift — the oracle is the planted CASE with
+      // bit-exact pass-through coordinates (the q281 pattern).
+      // Measuring from the last KEPT point is load-bearing: each
+      // spike's successor survives because its speed is assessed over
+      // the spike-free 20 s span.
+      val base = ld(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"),
+        ((col("c_custkey") % 3000).cast("double") / 10.0 - 150.0 + 0.05)
+          .as("lon0"),
+        ((col("c_custkey") % 800).cast("double") / 10.0 - 40.0 + 0.05)
+          .as("lat0"))
+      val pts = base
+        .select(col("k"), col("lon0"), col("lat0"),
+          explode(sequence(lit(0), lit(7))).as("i"))
+        .select(col("k"), (col("i") * 10).cast("long").as("t"),
+          (col("lon0") + col("i") * 0.002).as("lon"),
+          (col("lat0") + when((col("i") === 2 || col("i") === 5) &&
+            col("k") % 3 =!= 0, 0.05).otherwise(0.0)).as("lat"))
+      graft.core.Trajectory.speedFilterGeo(pts, "k", "t", "lon", "lat",
+          maxSpeedMps = 50.0)
+        .orderBy("k", "t")
+    }),
     "q227_spatial_join_rule" -> ((s, dir) => { ensure(s)
       // the GridSpatialJoin OPTIMIZER RULE end to end: a plain
       // DataFrame join ON st_intersects(tri, st_point(px, py)) — which
@@ -6423,6 +6453,16 @@ object SparkEntry {
        "ELSE -rx0 - ry0 END AS BIGINT) AS hr FROM d) " +
        "SELECT hq, hr, CAST(count(*) AS BIGINT) AS n FROM h " +
        "GROUP BY hq, hr ORDER BY hq, hr"),
+    "q283_speed_filter" ->
+      ("WITH c AS (SELECT c_custkey AS k, " +
+       "CAST(c_custkey % 3000 AS DOUBLE)/10.0 - 150.0 + 0.05 AS lon0, " +
+       "CAST(c_custkey % 800 AS DOUBLE)/10.0 - 40.0 + 0.05 AS lat0 " +
+       "FROM customer) " +
+       "SELECT k, CAST(i*10 AS BIGINT) AS t, lon0 + i*0.002 AS lon, " +
+       "lat0 + 0.0 AS lat " +
+       "FROM c, range(0, 8) v(i) " +
+       "WHERE NOT ((i = 2 OR i = 5) AND k % 3 <> 0) " +
+       "ORDER BY k, t"),
     "q01_scan_filter_page" ->
       "SELECT * FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 10",
     "q02_head" ->

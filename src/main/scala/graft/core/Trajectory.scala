@@ -534,6 +534,140 @@ object Trajectory {
   }
 
   /**
+   * GPS SPEED FILTER: per key, walk points in `(ts, x, y)` order and
+   * keep a point iff the speed it implies FROM THE LAST KEPT POINT is
+   * `<= maxSpeed` (first point always kept) — the standard greedy
+   * teleport-spike cleaner run before dwell/kinematics analysis (one
+   * bad fix otherwise manufactures two enormous legs that masquerade
+   * as movement). Measuring from the last KEPT point, not the previous
+   * raw point, is what makes a spike's SUCCESSOR survive: its speed is
+   * assessed over the spike-free span. Planar variant (`speedFilter`,
+   * coordinate units/sec); geodesic variant ([[speedFilterGeo]],
+   * haversine metres/sec, range-refused coordinates). Duplicate
+   * timestamps on one key REFUSE loudly (dt = 0 makes speed
+   * undefined — silently dropping or keeping either point would be a
+   * coin flip); NULLs refuse; same sequential `mapPartitions` scan and
+   * loud per-key cap as the rest of the family. Output: the KEPT rows
+   * `(<keyCol> long, t long, x double, y double)` (`lon`/`lat` from the
+   * geodesic variant), values untouched.
+   */
+  def speedFilter(points: DataFrame, keyCol: String, tsCol: String,
+                  xCol: String, yCol: String, maxSpeed: Double,
+                  maxPointsPerKey: Int = 5000000): DataFrame =
+    speedFilterImpl(points, keyCol, tsCol, xCol, yCol, maxSpeed,
+      maxPointsPerKey, "speedFilter", geo = false)
+
+  /** [[speedFilter]] over lon/lat with haversine metres/sec. */
+  def speedFilterGeo(points: DataFrame, keyCol: String, tsCol: String,
+                     lonCol: String, latCol: String, maxSpeedMps: Double,
+                     maxPointsPerKey: Int = 5000000): DataFrame =
+    speedFilterImpl(points, keyCol, tsCol, lonCol, latCol, maxSpeedMps,
+      maxPointsPerKey, "speedFilterGeo", geo = true)
+
+  private def speedFilterImpl(points: DataFrame, keyCol: String,
+      tsCol: String, xCol: String, yCol: String, maxSpeed: Double,
+      maxPointsPerKey: Int, op: String, geo: Boolean): DataFrame = {
+    require(maxSpeed > 0 && !maxSpeed.isInfinite && !maxSpeed.isNaN,
+      s"$op: maxSpeed must be finite > 0, got $maxSpeed")
+    require(maxPointsPerKey >= 2, s"$op: maxPointsPerKey must be >= 2")
+    Seq(keyCol, tsCol, xCol, yCol).foreach { c =>
+      require(points.columns.contains(c),
+        s"$op: column '$c' missing from ${points.columns.mkString("[", ",", "]")}")
+    }
+    Seq(keyCol -> "key", tsCol -> "timestamp").foreach { case (c, what) =>
+      val t = points.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType,
+        s"$op: $what column '$c' must be integral (got $t)")
+    }
+    def refused(c: String, what: String) =
+      when(col(c).isNull,
+        raise_error(lit(s"$op: NULL $what — a silently dropped point " +
+          "would change which spikes get caught")).cast(DoubleType))
+        .otherwise(col(c).cast(DoubleType))
+    def ranged(c: Column, lo: Double, hi: Double, what: String) =
+      when(c < lo || c > hi || isnan(c),
+        raise_error(concat(lit(s"$op: $what out of [$lo, $hi], got "),
+          c.cast("string"))).cast("double")).otherwise(c)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val xe = refused(xCol, if (geo) "longitude" else "x coordinate")
+    val ye = refused(yCol, if (geo) "latitude" else "y coordinate")
+    val slim = points.select(
+        when(col(keyCol).isNull,
+          raise_error(lit(s"$op: NULL key")).cast(LongType))
+          .otherwise(col(keyCol).cast(LongType)).as("k"),
+        when(col(tsCol).isNull,
+          raise_error(lit(s"$op: NULL timestamp")).cast(LongType))
+          .otherwise(col(tsCol).cast(LongType)).as("t"),
+        (if (geo) ranged(xe, -180, 180, "longitude") else xe).as("x"),
+        (if (geo) ranged(ye, -90, 90, "latitude") else ye).as("y"))
+      .as[(Long, Long, Double, Double)]
+    val sorted = slim.repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("x"), col("y"))
+    val cap = maxPointsPerKey
+    val vmax = maxSpeed
+    val isGeo = geo
+    val bigR = DistanceJoin.EarthRadiusMeters
+    sorted.mapPartitions[(Long, Long, Double, Double)] {
+        (it: Iterator[(Long, Long, Double, Double)]) =>
+      def dist(x0: Double, y0: Double, x1: Double, y1: Double): Double =
+        if (!isGeo) {
+          val dx = x1 - x0; val dy = y1 - y0
+          math.sqrt(dx * dx + dy * dy)
+        } else {
+          // the kinematics haversine tree (Trajectory.kinematics),
+          // metres on the mean sphere
+          val dphi = math.toRadians(y0) - math.toRadians(y1)
+          val dlam = math.toRadians(x0) - math.toRadians(x1)
+          val h = math.pow(math.sin(dphi / 2), 2) +
+            math.cos(math.toRadians(y0)) * math.cos(math.toRadians(y1)) *
+              math.pow(math.sin(dlam / 2), 2)
+          2.0 * bigR * math.asin(math.min(1.0, math.sqrt(h)))
+        }
+      new Iterator[(Long, Long, Double, Double)] {
+        private val in: BufferedIterator[(Long, Long, Double, Double)] =
+          it.buffered
+        private var out: Iterator[(Long, Long, Double, Double)] =
+          Iterator.empty
+        private def refill(): Unit = {
+          while (!out.hasNext && in.hasNext) {
+            val key = in.head._1
+            val kept = new ArrayBuffer[(Long, Long, Double, Double)]
+            var n = 0
+            var lastT = Long.MinValue
+            var lastKT = 0L
+            var lastKX = 0.0
+            var lastKY = 0.0
+            while (in.hasNext && in.head._1 == key) {
+              val row = in.next()
+              n += 1
+              require(n <= cap,
+                s"$op: key $key exceeds maxPointsPerKey ($cap) — " +
+                "pre-split the trajectory (e.g. by day) or raise the cap")
+              require(row._2 != lastT,
+                s"$op: key $key has two points at timestamp ${row._2} — " +
+                "dt = 0 makes speed undefined; dedup upstream")
+              lastT = row._2
+              if (kept.isEmpty ||
+                  dist(lastKX, lastKY, row._3, row._4) <=
+                    vmax * (row._2 - lastKT).toDouble) {
+                kept += row
+                lastKT = row._2; lastKX = row._3; lastKY = row._4
+              }
+            }
+            out = kept.iterator
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): (Long, Long, Double, Double) = {
+          refill(); out.next()
+        }
+      }
+    }.toDF("k", "t", if (geo) "lon" else "x", if (geo) "lat" else "y")
+      .withColumnRenamed("k", keyCol)
+  }
+
+  /**
    * GEODESIC track compression — [[compress]] for lon/lat tracks with
    * the tolerance in METRES. Points lift to the geodesic join family's
    * CHORD-SPACE XYZ (`chord = 2R·sin(arc/2R)`), the tolerance converts

@@ -1024,4 +1024,56 @@ class TrajectorySpec extends SparkSpec {
       Trajectory.compressGeo(df, "k", "t", "lon", "lat", Double.NaN)
     }
   }
+
+  test("speedFilter: spike drop, successor survives via last-kept, dup-ts refusal, geo twin") {
+    import spark.implicits._
+    // planar: steps of 10 units per 10 s (1 u/s), limit 3 u/s; spike at
+    // t=20 jumps 100 units (10 u/s -> dropped); its successor at t=30
+    // is 10 units from the last KEPT point (t=10) over 20 s = 0.5 u/s
+    // -> survives. A previous-raw-point filter would wrongly drop it
+    // (90 units in 10 s).
+    val pts = Seq(
+      (1L, 0L, 0.0, 0.0), (1L, 10L, 10.0, 0.0), (1L, 20L, 110.0, 0.0),
+      (1L, 30L, 20.0, 0.0), (1L, 40L, 30.0, 0.0)
+    ).toDF("k", "t", "x", "y")
+    val got = Trajectory.speedFilter(pts, "k", "t", "x", "y", 3.0)
+      .orderBy("t").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(0L, 10L, 30L, 40L))
+    assert(got.map(_._3) == Seq(0.0, 10.0, 20.0, 30.0))
+    // consecutive spikes: each measured from the same last-kept point
+    val two = Seq(
+      (1L, 0L, 0.0, 0.0), (1L, 10L, 100.0, 0.0), (1L, 20L, 100.0, 5.0),
+      (1L, 30L, 10.0, 0.0)).toDF("k", "t", "x", "y")
+    assert(Trajectory.speedFilter(two, "k", "t", "x", "y", 3.0)
+      .orderBy("t").as[(Long, Long, Double, Double)].collect()
+      .map(_._2).toSeq == Seq(0L, 30L))
+    // geo twin on a small equatorial patch: same keep set as planar
+    // with degrees ~ metres/111320
+    val geo = pts.select(col("k"), col("t"),
+      (col("x") / 111320.0).as("lon"), (col("y") / 111320.0).as("lat"))
+    assert(Trajectory.speedFilterGeo(geo, "k", "t", "lon", "lat", 3.0)
+      .orderBy("t").select("t").as[Long].collect().toSeq ==
+      Seq(0L, 10L, 30L, 40L))
+    // duplicate timestamp refuses loudly
+    def chain5(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eDup = intercept[Exception] {
+      Trajectory.speedFilter(
+        pts.union(Seq((1L, 10L, 11.0, 0.0)).toDF("k", "t", "x", "y")),
+        "k", "t", "x", "y", 3.0).collect()
+    }
+    assert(chain5(eDup).exists(_.contains("dt = 0")))
+    // out-of-range latitude refuses (geo only)
+    val eRange2 = intercept[Exception] {
+      Trajectory.speedFilterGeo(
+        geo.withColumn("lat", when(col("t") === 20, lit(95.0))
+          .otherwise(col("lat"))),
+        "k", "t", "lon", "lat", 3.0).collect()
+    }
+    assert(chain5(eRange2).exists(_.contains("out of")))
+    intercept[IllegalArgumentException] {
+      Trajectory.speedFilter(pts, "k", "t", "x", "y", 0.0)
+    }
+  }
 }
