@@ -2650,12 +2650,17 @@ object SparkEntry {
       // limb-decomposed long sums return the identical decimal total
       // (floor(x*1e6+0.5) pinned rule) inside whole-stage codegen —
       // ~20k bands rules out the imperative aggregate (ObjectHashAgg's
-      // 128-key sort fallback)
-      graft.ext.DecimalSums.groupSumExact(
-          graft.ext.RangeJoin.pointInInterval(li, "price", bands,
-            "lo", "hi", binWidth = 100.0),
-          Seq(col("band_id")), col("price"), 6, "sum_price",
-          extraAggs = Seq(count(lit(1)).as("cnt")))
+      // 128-key sort fallback).
+      // r15 OPTIMIZATION: the sum is now the FUSED
+      // pointInIntervalSumExact — row-identical to
+      // groupSumExact(pointInInterval(...)) by the limb-reassociation
+      // argument in its scaladoc (re-proven against the oracle), but
+      // the ~125M wide-band pair rows the BroadcastNestedLoop path
+      // emitted are replaced by per-bin pre-aggregates + edge-bin
+      // verifies (guide §2.3/§8: aggregate before you emit)
+      graft.ext.RangeJoin.pointInIntervalSumExact(li, "price", bands,
+          "lo", "hi", binWidth = 100.0, groupCols = Seq("band_id"),
+          scale = 6, outName = "sum_price", cntName = "cnt")
         .select(col("band_id"), col("cnt"),
           col("sum_price").cast("double").as("sum_price"))
         .orderBy("band_id")
@@ -3896,9 +3901,10 @@ object SparkEntry {
       val qs = ld(s, dir, "nation").select(col("n_nationkey"),
         ((col("n_nationkey") % 30).cast("double") * 0.1 + 8.02).as("qlon"),
         ((col("n_nationkey") % 25).cast("double") * 0.1 + 19.03).as("qlat"))
+      // est feeds the audit action AND the output — cut once (r15 opt)
       val est = graft.core.DistanceJoin.geoIdwInterpolate(
         smp, "slat", "slon", "v", qs, "n_nationkey", "qlat", "qlon",
-        radiusMeters = 50000.0)
+        radiusMeters = 50000.0).localCheckpoint()
       val m = est.agg(min(abs(col("idw_value") * 1e6 -
         floor(col("idw_value") * 1e6) - 0.5))).head().getDouble(0)
       require(m > 1e-6,
@@ -3925,8 +3931,9 @@ object SparkEntry {
         ((col("event_id") % 144).cast("double") * 0.017 +
           (col("user_id") % 7).cast("double")).as("lon"),
         ((col("event_id") % 90).cast("double") * 0.029 - 1.3).as("lat"))
+      // rs feeds the audit action AND the output — cut once (r15 opt)
       val rs = graft.core.Trajectory.resample(pts, "k", "t", "lon", "lat",
-        stepSec = 64L)
+        stepSec = 64L).localCheckpoint()
       def margin(c: Column): Column =
         min(abs(c * 1e6 - floor(c * 1e6) - 0.5))
       val m = rs.agg(margin(col("lon")), margin(col("lat"))).head()
@@ -4005,7 +4012,9 @@ object SparkEntry {
       require(a2.getDouble(1) > 1e-9,
         f"q270: asin saturation distance ${a2.getDouble(1)}%.2e — the " +
         "nCells branch is an engine coin-flip; change the fixture")
+      // hs feeds the audit action AND the output — cut once (r15 opt)
       val hs = graft.core.GeoCluster.hotspotsGeo(pts, "lon", "lat", cellM)
+        .localCheckpoint()
       val zm = hs.agg(
         min(abs(col("gi_z") * 1e6 - floor(col("gi_z") * 1e6) - 0.5)),
         sum(when(col("gi_z").isNull, 1L).otherwise(0L))).head()
@@ -4052,11 +4061,16 @@ object SparkEntry {
       val segs = Seq((1L, 0.0, 0.0, 100000.0, 0.0),
         (2L, 0.0, 8.0, 100000.0, 8.0),
         (3L, 0.0, 16.0, 100000.0, 16.0)).toDF("sid", "ax", "ay", "bx", "by")
+      // cand feeds SIX consumers (st(0..3), mm, greedy) and mm/ranked
+      // four/two actions each — un-cut, the candidate join and the DP
+      // re-execute per consumer (measured ~4x the gate); one
+      // materialization each, rows unchanged
       val cand = graft.core.DistanceJoin.segmentRadiusJoin(
         pings, segs, "px", "py", "ax", "ay", "bx", "by",
-        radius = 7.0, cellSize = Some(50000.0))
+        radius = 7.0, cellSize = Some(50000.0)).localCheckpoint()
       val mm = graft.core.Trajectory.mapMatch(cand, "k", "t", "sid", "dist",
         "px", "py", "snap_x", "snap_y", sigma = 2.0, beta = 1.0)
+        .localCheckpoint()
       // ---- in-gate brute enumeration (mirrors the oracle SQL) ----
       def st(i: Int) = cand.filter(col("t") === i).select(col("k"),
         col("sid").as(s"s$i"), col("dist").as(s"d$i"),
@@ -4073,6 +4087,7 @@ object SparkEntry {
           em(0) + tr(0, 1) + em(1) + tr(1, 2) + em(2) + tr(2, 3) + em(3))
         .withColumn("rn", row_number().over(
           Window.partitionBy("k").orderBy(col("cost"))))
+        .localCheckpoint()
       val gap = ranked.groupBy("k")
         .agg((min(when(col("rn") === 2, col("cost"))) -
               min(when(col("rn") === 1, col("cost")))).as("g"))
@@ -4138,12 +4153,14 @@ object SparkEntry {
           .otherwise(when(col("c") === 1, 50.0).otherwise(950.0)))
         .otherwise(((col("k") * 7 + col("t") * 3 + col("c") * 5) % 11)
           .cast("double") * 100.0 + 50.0)
+      // six consumers (st(0..3), mm, greedy) — cut once, same rows
       val cand = base.select(col("k"), col("t"), col("c"), d.as("d"),
         plon.as("plon"), plat.as("plat"),
         (lit(10.0) + (col("c") - 1).cast("double") * 0.2).as("slon"),
-        plat.as("slat"))
+        plat.as("slat")).localCheckpoint()
       val mm = graft.core.Trajectory.mapMatchGeo(cand, "k", "t", "c", "d",
         "plon", "plat", "slon", "slat", sigma = 100.0, beta = 500.0)
+        .localCheckpoint()
       // ---- in-gate brute enumeration (mirrors the oracle SQL) ----
       val bigR = graft.core.DistanceJoin.EarthRadiusMeters
       def hv(lon0: Column, lat0: Column, lon1: Column, lat1: Column): Column =
@@ -4164,6 +4181,7 @@ object SparkEntry {
           em(0) + tr(0, 1) + em(1) + tr(1, 2) + em(2) + tr(2, 3) + em(3))
         .withColumn("rn", row_number().over(
           Window.partitionBy("k").orderBy(col("cost"))))
+        .localCheckpoint()
       val gap = ranked.groupBy("k")
         .agg((min(when(col("rn") === 2, col("cost"))) -
               min(when(col("rn") === 1, col("cost")))).as("g"))
@@ -5680,16 +5698,26 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      def top10(qid: Long, qv: Array[Double], np: Int): DataFrame =
-        graft.ext.Ivf.searchPartitionedPqResidual(s, path, qv, ivf, pq,
-            "vec_id", k = 11, nprobe = np)
-          .filter(col("vec_id") =!= qid)
-          .orderBy(col("adc_dist").asc, col("vec_id").asc).limit(10)
-          .select(lit(qid).as("query_id"), col("vec_id").as("corpus_id"))
-      val pruned = qs.map { case (qid, qv) => top10(qid, qv, 4) }
-        .reduce(_ unionByName _)
-      val full = qs.map { case (qid, qv) => top10(qid, qv, ivf.k) }
-        .reduce(_ unionByName _)
+      // r15 OPTIMIZATION: the 5-query × {4,8}-cell searches used to run
+      // as one cell-filtered scan PER (query, cell) — 60 parquet-scan
+      // jobs per evaluation; the batched residual search stacks each
+      // cell's query tables into one pq_adc_multi pass (≤ 16 scans).
+      // Per query the k=11 candidate set and its (adc, id) order are
+      // identical (TopKAggregate's (score desc, id asc) == the old
+      // orderBy(adc asc, id asc)); self-filter + rank ≤ 10 reproduces
+      // "search k=11, drop self, limit 10" exactly, because any row in
+      // the top-10-after-self-drop has overall rank ≤ 11.
+      def top10All(np: Int): DataFrame =
+        graft.ext.Ivf.searchPartitionedPqResidualAll(s, path, qs.toSeq,
+            ivf, pq, "vec_id", k = 11, nprobe = np)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("_rn", row_number().over(Window
+            .partitionBy("query_id")
+            .orderBy(col("adc_dist").asc, col("vec_id").asc)))
+          .filter(col("_rn") <= 10)
+          .select(col("query_id"), col("vec_id").as("corpus_id"))
+      val pruned = top10All(4)
+      val full = top10All(ivf.k)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val dist2 = aggregate(

@@ -278,11 +278,17 @@ object DistanceJoin {
       // per-left argmin: (dist asc, right id asc) through the bounded
       // min_by struct — no window, no sort
       val leftCols = unmatched.columns.map(col)
+      // the round's argmin frame is consumed TWICE — the anti-join that
+      // derives the next round's unmatched set, and the returned union —
+      // and each un-cut consumption re-executes the whole probe join
+      // (measured ~2x the probe cost per round on the snap gates); cut
+      // once, both consumers read the slim materialized rows
       val best = cand.groupBy(leftCols: _*)
         .agg(min_by(
           struct(right.columns.map(col) ++ distCols.map(col): _*),
           struct(col(tieDist), col(rIdCol))).as("_best"))
         .select(leftCols :+ col("_best.*"): _*)
+        .lineageCut()
       out = Some(out.map(_.unionByName(best)).getOrElse(best))
       // null-SAFE anti join: a left row with a NULL payload column must
       // still recognize itself as matched (EqualTo would re-probe and
@@ -384,18 +390,26 @@ object DistanceJoin {
         raise_error(lit(s"spaceTimeJoin: NULL/NaN $what — a null key would " +
           "silently drop the row from every pair")).cast("long"))
         .otherwise(floor(x.cast("double") / w).cast("long"))
+    // fan-out REBALANCE (optimization r15): ±1 neighbor axes split
+    // across the sides — time x3 on the left, spatial 3x3 on the right —
+    // instead of 3x3x3 all on the right. A pair still fires exactly once
+    // (its (dx, dy, dt) alignment triple is unique; l time + dt == r time
+    // covers the same |Δbucket| <= 1 matches), but the exchange carries
+    // 9|R| + 3|L| rows instead of 27|R| + |L| — §2.3 "shuffle fewer
+    // bytes" (2.3x fewer for balanced sides)
     val l = left
+      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_gcx", binOf(col(lx), cs, "left x"))
       .withColumn("_gcy", binOf(col(ly), cs, "left y"))
-      .withColumn("_gct", binOf(col(lt), bw, "left time"))
+      .withColumn("_gct", binOf(col(lt), bw, "left time") + col("_dt"))
+      .drop("_dt")
     val r = right
       .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_gcx", binOf(col(rx), cs, "right x") + col("_dx"))
       .withColumn("_gcy", binOf(col(ry), cs, "right y") + col("_dy"))
-      .withColumn("_gct", binOf(col(rt), bw, "right time") + col("_dt"))
-      .drop("_dx", "_dy", "_dt")
+      .withColumn("_gct", binOf(col(rt), bw, "right time"))
+      .drop("_dx", "_dy")
     val ddx = col(lx) - col(rx)
     val ddy = col(ly) - col(ry)
     val joined =
@@ -470,20 +484,30 @@ object DistanceJoin {
           "silently drop the row from every pair")).cast("long"))
         .otherwise(floor(x.cast("double") / w).cast("long"))
     val bin = binOf("spaceTimeJoinStream") _
+    // fan-out REBALANCE (optimization r15): the three ±1 neighbor axes
+    // used to explode entirely on the right (3x3x3 = 27x its rows into
+    // join state); splitting them — spatial 3x3 on the right, time x3 on
+    // the left — keeps the fired-pair set IDENTICAL (a pair fires once,
+    // at the unique (dx, dy, dt) aligning its bins; l._gct + dt == r._gct
+    // ranges over the same |Δbin| <= 1 matches as r._gct + dt did) while
+    // shrinking state + shuffle from 27|R| + |L| to 9|R| + 3|L| rows —
+    // 2.3x fewer for balanced sides, the §2.3 "shuffle fewer bytes" rule
+    // applied to the join-state store
     val l = left
+      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_gcx", bin(col(lx), cs, "left x"))
       .withColumn("_gcy", bin(col(ly), cs, "left y"))
-      .withColumn("_gct", bin(col(lt), bw, "left time"))
+      .withColumn("_gct", bin(col(lt), bw, "left time") + col("_dt"))
+      .drop("_dt")
       .withColumn("_lets", timestamp_seconds(col(lt).cast("double")))
       .withWatermark("_lets", watermarkDelay)
     val r = right
       .withColumn("_dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_gcx", bin(col(rx), cs, "right x") + col("_dx"))
       .withColumn("_gcy", bin(col(ry), cs, "right y") + col("_dy"))
-      .withColumn("_gct", bin(col(rt), bw, "right time") + col("_dt"))
-      .drop("_dx", "_dy", "_dt")
+      .withColumn("_gct", bin(col(rt), bw, "right time"))
+      .drop("_dx", "_dy")
       .withColumn("_rets", timestamp_seconds(col(rt).cast("double")))
       .withWatermark("_rets", watermarkDelay)
     val ddx = l(lx) - r(rx)
@@ -723,17 +747,24 @@ object DistanceJoin {
       val w = lit(360.0) / n.cast("double")
       pmod(floor((lon + lit(180.0)) / w).cast("long") + shift, n)
     }
+    // fan-out REBALANCE (optimization r15): the ±1 time-bucket axis
+    // moved from the right explosion to the LEFT (l._gct + dt == r._gct
+    // matches the same |Δbucket| <= 1 set r._gct + dt did, and dt is
+    // unique per pair, so the fired-pair multiset is identical) —
+    // join-state rows drop from 27|R| + |L| to <= 9|R| + 3|L|, the §2.3
+    // "shuffle fewer bytes" rule applied to the state store
     val l = left
       .withColumn("_glat", checked(col(lLat), -90, 90, "left latitude"))
       .withColumn("_glon", checked(col(lLon), -180, 180, "left longitude"))
       .withColumn("_gband", band(col("_glat")))
       .withColumn("_gcell", cellOf(col("_glon"), col("_gband"), lit(0L)))
-      .withColumn("_gct", tbin(col(lt), "left time"))
-      .drop("_glat", "_glon")
+      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_gct", tbin(col(lt), "left time") + col("_dt"))
+      .drop("_glat", "_glon", "_dt")
       .withColumn("_lets", timestamp_seconds(col(lt).cast("double")))
       .withWatermark("_lets", watermarkDelay)
     // deduped 3x3 spatial neighborhood (polar wrap can alias shifts —
-    // same argument as geoRadiusJoin), times the 3 time buckets
+    // same argument as geoRadiusJoin)
     val rKeys = array((for (db <- -1L to 1L; dc <- -1L to 1L) yield {
       val b = band(col("_glat")) + lit(db)
       struct(b.as("_gband"),
@@ -743,11 +774,10 @@ object DistanceJoin {
       .withColumn("_glat", checked(col(rLat), -90, 90, "right latitude"))
       .withColumn("_glon", checked(col(rLon), -180, 180, "right longitude"))
       .withColumn("_gk", explode(array_distinct(rKeys)))
-      .withColumn("_dt", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("_gband", col("_gk._gband"))
       .withColumn("_gcell", col("_gk._gcell"))
-      .withColumn("_gct", tbin(col(rt), "right time") + col("_dt"))
-      .drop("_glat", "_glon", "_gk", "_dt")
+      .withColumn("_gct", tbin(col(rt), "right time"))
+      .drop("_glat", "_glon", "_gk")
       .withColumn("_rets", timestamp_seconds(col(rt).cast("double")))
       .withWatermark("_rets", watermarkDelay)
     val dphi = radians(l(lLat)) - radians(r(rLat))

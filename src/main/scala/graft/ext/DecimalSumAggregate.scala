@@ -58,6 +58,37 @@ object DecimalSums {
                     outName: String,
                     extraAggs: Seq[Column] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    val staged = limbStaged(df, value, scale)
+    val aggList = extraAggs ++ Seq(
+      sum(col("_ds_h")).as("_ds_sh"),
+      sum(col("_ds_m")).as("_ds_sm"),
+      sum(col("_ds_l")).as("_ds_sl"),
+      count(lit(1)).as("_ds_n"))
+    // Overflow guard for the limb path: the low/mid limbs are < 2^22
+    // per row, the high limb < 2^19, so their plain long SUMs are
+    // provably exact below 2^41 rows per group — past that they could
+    // wrap SILENTLY (the codegen'd SUM has no addExact). A per-group
+    // row count is one cheap extra long aggregate and turns the
+    // documented bound into a loud refusal, keeping the module's
+    // "overflow refuses instead of wrapping" claim true on BOTH paths
+    // (the refusal itself lives in [[limbFinish]]).
+    limbFinish(staged.groupBy(groupCols: _*)
+      .agg(aggList.head, aggList.tail: _*), outName, scale)
+  }
+
+  /** The [[groupSumExact]] staging pass, shared with the fused
+    * range-aggregate ([[RangeJoin.pointInIntervalSumExact]]): converts
+    * `value` once by the pinned `floor(x·10^scale + 0.5)` rule (NaN /
+    * overscale magnitudes refused loudly) and appends the three 22-bit
+    * limb columns `_ds_h`/`_ds_m`/`_ds_l` (plus the raw `_ds_u`).
+    * Plain long sums of these limbs are exact below 2^41 rows and
+    * FULLY reassociable — any regrouping of partial limb sums
+    * recombines to the identical decimal, which is what licenses
+    * pre-aggregation rewrites upstream of the final group. */
+  private[ext] def limbStaged(df: org.apache.spark.sql.DataFrame,
+                              value: Column, scale: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     require(scale >= 0 && scale <= 12, s"scale in [0, 12], got $scale")
     val factor = math.pow(10.0, scale)
     val guarded = when(isnan(value),
@@ -70,30 +101,25 @@ object DecimalSums {
       .otherwise(value)
     val u = floor(guarded * lit(factor) + lit(0.5)).cast("long")
     val mask = lit((1L << 22) - 1)
-    val staged = df
-      .withColumn("_ds_u", u)
+    df.withColumn("_ds_u", u)
       .withColumn("_ds_h", shiftright(col("_ds_u"), 44))
       .withColumn("_ds_m", shiftright(col("_ds_u"), 22).bitwiseAND(mask))
       .withColumn("_ds_l", col("_ds_u").bitwiseAND(mask))
-    val aggList = extraAggs ++ Seq(
-      sum(col("_ds_h")).as("_ds_sh"),
-      sum(col("_ds_m")).as("_ds_sm"),
-      sum(col("_ds_l")).as("_ds_sl"),
-      count(lit(1)).as("_ds_n"))
-    // Overflow guard for the limb path: the low/mid limbs are < 2^22
-    // per row, the high limb < 2^19, so their plain long SUMs are
-    // provably exact below 2^41 rows per group — past that they could
-    // wrap SILENTLY (the codegen'd SUM has no addExact). A per-group
-    // row count is one cheap extra long aggregate and turns the
-    // documented bound into a loud refusal, keeping the module's
-    // "overflow refuses instead of wrapping" claim true on BOTH paths.
+  }
+
+  /** The [[groupSumExact]] finishing pass over already-summed limb
+    * columns `_ds_sh`/`_ds_sm`/`_ds_sl` + row count `_ds_n`: appends
+    * the recombined DECIMAL(38, scale) as `outName` (with the 2^41
+    * exactness-bound refusal) and drops the internals. */
+  private[ext] def limbFinish(grouped: org.apache.spark.sql.DataFrame,
+                              outName: String, scale: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     val safeRows = 1L << 41
     val recombined = Bridge.column(LimbsToDecimalAtExpr(
       Bridge.expression(col("_ds_sh")), Bridge.expression(col("_ds_sm")),
       Bridge.expression(col("_ds_sl")), scale))
-    staged.groupBy(groupCols: _*)
-      .agg(aggList.head, aggList.tail: _*)
-      .withColumn(outName,
+    grouped.withColumn(outName,
         when(col("_ds_n") > lit(safeRows),
           raise_error(concat(lit("groupSumExact: group exceeds 2^41 rows "),
             lit("— the 22-bit limb long sums are only provably exact "),

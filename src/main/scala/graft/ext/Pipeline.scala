@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
  */
 object Pipeline {
 
+  /** Dev-only per-stage wall timing on stderr (`GRAFT_STAGE_TIMING=1`) —
+    * the measure-first hook for the ingest/cleaning stack; zero cost
+    * when unset. */
+  private val stageTiming: Boolean =
+    sys.env.get("GRAFT_STAGE_TIMING").exists(_.nonEmpty)
+
   /** One stage's outcome in a [[cleanCorpus]] run: survivor count plus
     * the stage's OVERFLOW report — the frame naming exactly what the
     * stage's skew cap excluded from candidate generation (README
@@ -83,8 +89,11 @@ object Pipeline {
     var lastCount = 0L
     def stage(name: String, overflow: Option[DataFrame] = None)
              (df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
       val out = df.lineageCut()
       lastCount = out.count()
+      if (stageTiming) System.err.println(
+        f"GRAFT_STAGE clean/$name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $lastCount rows")
       report += StageReport(name, lastCount, overflow)
       out
     }
@@ -315,8 +324,12 @@ object Pipeline {
     val report = Seq.newBuilder[StageReport]
     def stage(name: String, overflow: Option[DataFrame] = None)
              (df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
       val out = df.lineageCut()
-      report += StageReport(name, out.count(), overflow)
+      val n = out.count()
+      if (stageTiming) System.err.println(
+        f"GRAFT_STAGE ingest/$name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      report += StageReport(name, n, overflow)
       out
     }
     val (cleaned, cleanReport) = cleanCorpus(newDocs, textCol, idCol,

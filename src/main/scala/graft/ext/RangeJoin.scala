@@ -139,6 +139,149 @@ object RangeJoin {
   }
 
   /**
+   * FUSED exact range-aggregate —
+   * `DecimalSums.groupSumExact(pointInInterval(...), groupCols,
+   * pointCol, scale, outName, extraAggs = count as cntName)` computed
+   * WITHOUT materializing the (point, interval) pair stream. Output is
+   * one row per `groupCols` group that matches >= 1 point: the group
+   * columns ++ `cntName` (matched-pair count, long) ++ `outName`
+   * (exact DECIMAL(38, scale) sum of the point values, pinned
+   * `floor(x·10^scale + 0.5)` rule) — row-identical to the unfused
+   * composition by the limb argument below.
+   *
+   * Why it exists (optimization r15, guide §2.3 "aggregate before you
+   * shuffle" / §8 "decide with small rows"): the unfused composition
+   * streams EVERY matched pair into the aggregate. For the WIDE
+   * intervals that is a BroadcastNestedLoopJoin emitting
+   * |points|·|wide| rows that immediately collapse into |wide| sums —
+   * measured ~10 s of the q161 gate at sf0.1 (~125M emitted pair rows
+   * from 207 wide bands x 600k points). Here the wide path
+   * pre-aggregates the points ONCE per bin ((bin, limb sums, count) —
+   * at most a few thousand slim rows), then:
+   *   - INTERIOR bins (strictly between the interval's lo/hi bins) are
+   *     fully covered — every point in bin b with loB < b < hiB
+   *     satisfies lo < b·W <= p < (b+1)·W <= hi for ANY inclusivity
+   *     choice (loB = floor(lo/W) makes lo < (loB+1)·W <= b·W, and
+   *     hiB = floor(hi/W) makes (b+1)·W <= hiB·W <= hi) — so the
+   *     interval takes the bin's pre-aggregated limbs as-is;
+   *   - the <= 2 EDGE bins (b = loB, b = hiB) fall back to row-level
+   *     `within` checks against just those bins' points.
+   * The short path is the same binned hash join as [[pointInInterval]]
+   * with the aggregation pushed below the union.
+   *
+   * EXACTNESS: the limb-decomposed long partial sums are plain integer
+   * additions — fully associative and commutative — so regrouping
+   * (per-bin first, per-interval second) recombines to the bit-identical
+   * DECIMAL(38, scale); the count is additive the same way. The group
+   * SET is identical too: a group appears iff it matches >= 1 point, on
+   * both shapes (inner joins everywhere). The only observable
+   * deviation, documented here the way EnvelopePrefilter documents its
+   * pruned-refusal deviation: the NaN/magnitude refusal of the staging
+   * rule is evaluated per POINT (pre-aggregation) instead of per
+   * matched pair, so a NaN point that matches NO interval refuses here
+   * where the unfused plan would not have evaluated it. NULL points
+   * match nothing in both shapes.
+   *
+   * Closed/sided bounds via `loInclusive`/`hiInclusive` exactly as
+   * [[pointInInterval]]; the `nullBoundIsOpen` mode is NOT offered —
+   * NULL or inverted bounds refuse (same guard as the pair operator).
+   */
+  def pointInIntervalSumExact(points: DataFrame, pointCol: String,
+                              intervals: DataFrame,
+                              loCol: String, hiCol: String,
+                              binWidth: Double,
+                              groupCols: Seq[String], scale: Int,
+                              outName: String, cntName: String = "cnt",
+                              maxBinsPerInterval: Int = 1024,
+                              maxWideIntervals: Int = 10000,
+                              loInclusive: Boolean = true,
+                              hiInclusive: Boolean = true): DataFrame = {
+    require(binWidth > 0.0 && !binWidth.isInfinite, s"binWidth > 0, got $binWidth")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    require(groupCols.nonEmpty, "pointInIntervalSumExact: groupCols empty")
+    groupCols.foreach(g => require(intervals.columns.contains(g),
+      s"pointInIntervalSumExact: group column '$g' missing from intervals"))
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"pointInIntervalSumExact: column names must be disjoint, both " +
+        s"sides have ${overlap.mkString(", ")} — rename one side")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    val loB = bin(col(loCol))
+    val hiB = bin(col(hiCol))
+    val spanBins = hiB - loB + 1L
+    val badIv = col(loCol).isNull || col(hiCol).isNull ||
+      col(loCol).cast("double") > col(hiCol).cast("double")
+    val guard = intervals.agg(
+      count(when(badIv, 1)).as("bad"),
+      count(when(spanBins > maxBinsPerInterval, 1)).as("wide")).head()
+    require(guard.getLong(0) == 0L,
+      s"pointInIntervalSumExact: ${guard.getLong(0)} interval rows are " +
+        "NULL or inverted (lo > hi) — a bug upstream, not an empty match; " +
+        "clean the interval side first.")
+    require(guard.getLong(1) <= maxWideIntervals,
+      s"pointInIntervalSumExact: ${guard.getLong(1)} intervals span more " +
+        s"than $maxBinsPerInterval bins at binWidth=$binWidth " +
+        s"(cap $maxWideIntervals). Use a larger binWidth, or raise " +
+        "maxWideIntervals deliberately.")
+    val pd = col(pointCol).cast("double")
+    val within =
+      (if (loInclusive) pd >= col(loCol).cast("double")
+       else pd > col(loCol).cast("double")) &&
+      (if (hiInclusive) pd <= col(hiCol).cast("double")
+       else pd < col(hiCol).cast("double"))
+    val staged = DecimalSums
+      .limbStaged(points.filter(col(pointCol).isNotNull), col(pointCol), scale)
+      .withColumn("_pbin", bin(col(pointCol)))
+      .select(col(pointCol), col("_pbin"),
+        col("_ds_h"), col("_ds_m"), col("_ds_l"))
+    val gCols = groupCols.map(col)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(gCols: _*).agg(
+        sum(col("_ds_h")).as("_ps_h"), sum(col("_ds_m")).as("_ps_m"),
+        sum(col("_ds_l")).as("_ps_l"), count(lit(1)).as("_ps_n"))
+    // ---- short intervals: binned hash join + row-level verify --------
+    val short = intervals.filter(spanBins <= maxBinsPerInterval)
+      .withColumn("_ibin", explode(sequence(loB, hiB)))
+    val shortPart = partial(
+      staged.join(short, col("_pbin") === col("_ibin")).filter(within))
+    // ---- wide intervals ---------------------------------------------
+    val wide = intervals.filter(spanBins > maxBinsPerInterval)
+    // per-bin pre-aggregation of the points (slim: one row per occupied
+    // bin), plus the occupied-bin range to clamp interior explodes
+    val binAgg = staged.groupBy(col("_pbin")).agg(
+      sum(col("_ds_h")).as("_pb_h"), sum(col("_ds_m")).as("_pb_m"),
+      sum(col("_ds_l")).as("_pb_l"), count(lit(1)).as("_pb_n"))
+    val pbRange = staged.agg(min(col("_pbin")), max(col("_pbin"))).head()
+    val (minPb, maxPb) =
+      if (pbRange.isNullAt(0)) (0L, -1L)
+      else (pbRange.getLong(0), pbRange.getLong(1))
+    // interior bins, clamped to where points exist (an all-points-empty
+    // clamp of (0, -1) explodes nothing); sequence() refuses descending
+    // ranges, so guard lo <= hi explicitly
+    val iLo = greatest(loB + 1L, lit(minPb))
+    val iHi = least(hiB - 1L, lit(maxPb))
+    val interior = wide
+      .withColumn("_ibin", explode(when(iLo <= iHi, sequence(iLo, iHi))
+        .otherwise(array().cast("array<long>"))))
+      .join(binAgg, col("_ibin") === col("_pbin"))
+    val interiorPart = interior.groupBy(gCols: _*).agg(
+      sum(col("_pb_h")).as("_ps_h"), sum(col("_pb_m")).as("_ps_m"),
+      sum(col("_pb_l")).as("_ps_l"), sum(col("_pb_n")).as("_ps_n"))
+    // edge bins: row-level verify against just those bins' points
+    val edges = wide
+      .withColumn("_ibin", explode(array_distinct(array(loB, hiB))))
+      .join(staged, col("_pbin") === col("_ibin")).filter(within)
+    val edgePart = partial(edges)
+    // ---- combine: partial limb sums reassociate exactly --------------
+    val combined = shortPart.unionByName(interiorPart).unionByName(edgePart)
+      .groupBy(gCols: _*).agg(
+        sum(col("_ps_h")).as("_ds_sh"), sum(col("_ps_m")).as("_ds_sm"),
+        sum(col("_ps_l")).as("_ds_sl"), sum(col("_ps_n")).as("_ds_n"))
+      .withColumn(cntName, col("_ds_n"))
+    DecimalSums.limbFinish(combined, outName, scale)
+  }
+
+  /**
    * INTERVAL-OVERLAP join — all (a, b) pairs whose intervals overlap
    * (`aLo <= bHi AND bLo <= aHi`; `touchIsOverlap = false` makes
    * boundary contact NOT count, the half-open-session convention).
