@@ -5042,8 +5042,10 @@ object SparkEntry {
       val docs = ld(s, dir, "documents").select("doc_id", "text")
       val root = java.nio.file.Files.createTempDirectory("graft-q202").toString
       val corpus = s"$root/corpus"
-      (0 to 11).foreach(i => docs.filter(col("doc_id") % 12 === i)
-        .write.parquet(s"$corpus/batch=$i"))
+      // r15 opt: one partitionBy write stages all 12 batches (was 12
+      // write jobs) — identical batch=N layout and rows
+      docs.withColumn("batch", col("doc_id") % 12)
+        .write.partitionBy("batch").parquet(corpus)
       graft.ext.Compact.compactBatchTable(s, corpus,
         targetBytes = Long.MaxValue, keepLatest = 2)
       graft.ext.Compact.diffAsOf(s, corpus, fromBatch = 9, toBatch = 11,
@@ -5196,10 +5198,16 @@ object SparkEntry {
         t => length(t) > 0)).cast("long")
       val root = java.nio.file.Files.createTempDirectory("graft-q196").toString
       val corpus = s"$root/corpus"
-      (0 to 7).foreach(i => docs.filter(col("doc_id") % 12 === i)
-        .write.parquet(s"$corpus/batch=$i"))
-      (8 to 11).foreach(i => docs.filter(col("doc_id") % 12 === i)
-        .withColumn("n_tokens", nTok).write.parquet(s"$corpus/batch=$i"))
+      // r15 opt: stage the fixture in TWO partitionBy writes (one per
+      // born-schema) instead of 12 per-batch write jobs — identical
+      // batch=N layout and rows, the backfill under test is unchanged
+      docs.filter(col("doc_id") % 12 <= 7)
+        .withColumn("batch", col("doc_id") % 12)
+        .write.partitionBy("batch").parquet(corpus)
+      docs.filter(col("doc_id") % 12 >= 8)
+        .withColumn("n_tokens", nTok)
+        .withColumn("batch", col("doc_id") % 12)
+        .write.mode("append").partitionBy("batch").parquet(corpus)
       val done = graft.ext.Compact.backfillBatchTable(s, corpus, "n_tokens",
         df => df.withColumn("n_tokens", nTok))
       require(done.toSet == (0 to 7).map(i => s"batch=$i").toSet,
@@ -5225,8 +5233,10 @@ object SparkEntry {
       val docs = ld(s, dir, "documents").select("doc_id", "text")
       val root = java.nio.file.Files.createTempDirectory("graft-q187").toString
       val corpus = s"$root/corpus"
-      (0 to 11).foreach(i => docs.filter(col("doc_id") % 12 === i)
-        .write.parquet(s"$corpus/batch=$i"))
+      // r15 opt: one partitionBy write stages all 12 batches (was 12
+      // write jobs) — identical batch=N layout and rows
+      docs.withColumn("batch", col("doc_id") % 12)
+        .write.partitionBy("batch").parquet(corpus)
       val groups = graft.ext.Compact.compactBatchTable(s, corpus,
         targetBytes = Long.MaxValue, keepLatest = 2)
       require(groups.map(g => (g.label, g.srcParts, g.filesAfter)) ==

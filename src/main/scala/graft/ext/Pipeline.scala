@@ -159,9 +159,12 @@ object Pipeline {
     // from) rides the report instead of being silently discarded; the
     // signature frame is the shared persisted table, so this costs the
     // banding + one slim aggregate, not a second shingle pass
+    val tOv = System.nanoTime()
     val overflow = Dedup.minhashBandOverflow(
       Dedup.charShingleSets(cur, textCol, idCol),
       maxBucket = minhashMaxBucket).lineageCut()
+    if (stageTiming) System.err.println(
+      f"GRAFT_STAGE clean/_overflow: ${(System.nanoTime() - tOv) / 1e9}%.3f s")
     cur = stage("minhash_dedup", Some(overflow))(Dedup.minhashKeepers(
       cur, textCol, idCol, threshold = minhashThreshold,
       maxBucket = minhashMaxBucket))
@@ -377,6 +380,7 @@ object Pipeline {
     // reproduces exactly crossPairsViaMinhash's banding and criterion)
     // rides the stage report: no silent exclusions, per the README
     // convention this function's own URL require documents.
+    val tXOv = System.nanoTime()
     val crossOverflow = (oldMinhashTable match {
       case Some(tbl) => Dedup.minhashBandOverflowFromSigs(
         tbl.select("id", "sig"), maxBucket = minhashMaxBucket)
@@ -385,6 +389,8 @@ object Pipeline {
           col(oldTextCol).as(textCol)), textCol, idCol),
         maxBucket = minhashMaxBucket)
     }).lineageCut()
+    if (stageTiming) System.err.println(
+      f"GRAFT_STAGE ingest/_cross_overflow: ${(System.nanoTime() - tXOv) / 1e9}%.3f s")
     cur = stage("minhash_cross_dedup", Some(crossOverflow))(oldMinhashTable match {
       case Some(tbl) =>
         val dupes = Dedup.crossPairsViaMinhashTable(

@@ -307,6 +307,16 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // dev-only span timing on stderr (GRAFT_STAGE_TIMING=1) — the
+        // measure-first hook for the sink's non-stage work
+        val spanTiming = sys.env.get("GRAFT_STAGE_TIMING").exists(_.nonEmpty)
+        def span[A](name: String)(body: => A): A = {
+          val t0 = System.nanoTime()
+          val out = body
+          if (spanTiming) System.err.println(
+            f"GRAFT_STAGE sink/$name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          out
+        }
         // the cleaning stack resolves its kernels via the SQL registry;
         // registration is idempotent and the sink must not depend on
         // the caller having done it
@@ -332,10 +342,10 @@ object EventStream {
         // the current corpus, or a batch-shaped EMPTY frame on the very
         // first batch: ingestBatch's cross stages all no-op against an
         // empty old side
-        val old = priorParts(corpusDir) match {
+        val old = span("read_old_corpus")(priorParts(corpusDir) match {
           case Some(parts) if parts.nonEmpty => spark.read.parquet(parts: _*)
           case _ => batch.select(keepCols: _*).limit(0)
-        }
+        })
         // maintained side tables; bootstrap (derive from the corpus +
         // persist) covers an externally-seeded corpus dir, so later
         // batches never under-cover it
@@ -348,20 +358,20 @@ object EventStream {
           }
         val side = s"$corpusDir.side"
         val urlSet = urlCol.map { u =>
-          sideTable(s"$side/urlset",
+          span("side_urlset")(sideTable(s"$side/urlset",
             old.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
               .as("url_canon")).filter(col("url_canon").isNotNull).distinct())
-            .select("url_canon")
+            .select("url_canon"))
         }
-        val hashSet = sideTable(s"$side/md5set",
+        val hashSet = span("side_md5set")(sideTable(s"$side/md5set",
           old.select(md5(col(textCol)).as("text_md5")).distinct())
-          .select("text_md5")
+          .select("text_md5"))
         // the minhash (id, sig, sh) table: with it the near-dup cross
         // stage reads ONLY this artifact — a fresh session never pays an
         // old-corpus text scan to rebuild signatures
-        val mhTable = sideTable(s"$side/minhash",
+        val mhTable = span("side_minhash")(sideTable(s"$side/minhash",
           graft.ext.Dedup.minhashTableRows(old, textCol, idCol))
-          .select("id", "sig", "sh")
+          .select("id", "sig", "sh"))
         // bloom artifacts: bootstrap from the (already batch-excluded)
         // side tables if absent, else load. A replayed batch's own keys
         // may already sit in the bloom — harmless over-containment, the
@@ -375,64 +385,71 @@ object EventStream {
           graft.ext.Bloom.loadBloom(spark, path)._1
         }
         val urlBloom = for { _ <- bloomExpectedKeys; u <- urlSet }
-          yield bloomArtifact(s"$side/bloom_url", u, "url_canon")
+          yield span("bloom_url_load")(bloomArtifact(s"$side/bloom_url", u, "url_canon"))
         val hashBloom = bloomExpectedKeys.map(_ =>
-          bloomArtifact(s"$side/bloom_md5", hashSet, "text_md5"))
-        val (survivors0, report) = graft.ext.Pipeline.ingestBatch(
+          span("bloom_md5_load")(bloomArtifact(s"$side/bloom_md5", hashSet, "text_md5")))
+        val (survivors0, report) = span("ingest_batch_total")(graft.ext.Pipeline.ingestBatch(
           batch, textCol, idCol, old, textCol, idCol,
           urlCol = urlCol, oldUrlCol = urlCol,
           minhashThreshold = minhashThreshold,
           minhashMaxBucket = minhashMaxBucket,
           oldUrlSet = urlSet, oldHashSet = Some(hashSet),
           oldMinhashTable = Some(mhTable),
-          oldUrlBloom = urlBloom, oldHashBloom = hashBloom)
+          oldUrlBloom = urlBloom, oldHashBloom = hashBloom))
         // every write keyed by batch id + overwrite: a checkpoint
         // REPLAY overwrites its own partitions instead of appending
         // duplicates — corpus and side tables stay mutually consistent
-        val survivors = survivors0.select(keepCols: _*).lineageCut()
+        val survivors = span("survivors_cut")(
+          survivors0.select(keepCols: _*).lineageCut())
         // pre-tokenize at ingest: annotation happens on the |survivors|
         // frame only (the artifact is driver-sized), and only the
         // corpus write carries it — side tables stay slim keys
         val corpusOut = tokenizerPath.map(p => graft.ext.TextAnalysis
           .withSubwordCounts(survivors, textCol, idCol, p))
           .getOrElse(survivors)
-        corpusOut.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        span("write_corpus")(
+          corpusOut.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId"))
         urlCol.foreach { u =>
-          survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
-              .as("url_canon")).filter(col("url_canon").isNotNull).distinct()
-            .write.mode("overwrite").parquet(s"$side/urlset/batch=$batchId")
+          span("write_urlset")(
+            survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
+                .as("url_canon")).filter(col("url_canon").isNotNull).distinct()
+              .write.mode("overwrite").parquet(s"$side/urlset/batch=$batchId"))
         }
-        survivors.select(md5(col(textCol)).as("text_md5")).distinct()
-          .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId")
-        graft.ext.Dedup.minhashTableRows(survivors, textCol, idCol)
-          .write.mode("overwrite").parquet(s"$side/minhash/batch=$batchId")
+        span("write_md5set")(
+          survivors.select(md5(col(textCol)).as("text_md5")).distinct()
+            .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId"))
+        span("write_minhash")(
+          graft.ext.Dedup.minhashTableRows(survivors, textCol, idCol)
+            .write.mode("overwrite").parquet(s"$side/minhash/batch=$batchId"))
         // OR-append the batch's keys into the bloom artifacts —
         // batch-id-keyed (replays skip) and bitwise idempotent anyway
         bloomExpectedKeys.foreach { _ =>
           urlCol.foreach { u =>
-            graft.ext.Bloom.appendMembershipBloom(
+            span("bloom_url_append")(graft.ext.Bloom.appendMembershipBloom(
               survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
                 .as("url_canon")).filter(col("url_canon").isNotNull)
                 .distinct(),
-              "url_canon", batchId, s"$side/bloom_url")
+              "url_canon", batchId, s"$side/bloom_url"))
           }
-          graft.ext.Bloom.appendMembershipBloom(
+          span("bloom_md5_append")(graft.ext.Bloom.appendMembershipBloom(
             survivors.select(md5(col(textCol)).as("text_md5")).distinct(),
-            "text_md5", batchId, s"$side/bloom_md5")
+            "text_md5", batchId, s"$side/bloom_md5"))
         }
         reportDir.foreach { rd =>
           import spark.implicits._
-          report.map(r => (r.stage, r.rows)).toDF("stage", "rows")
-            .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
+          span("write_report")(
+            report.map(r => (r.stage, r.rows)).toDF("stage", "rows")
+              .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId"))
         }
         // scheduled layout maintenance: after this batch's writes land,
         // bin-pack closed ranges across corpus + side tables. Replays
         // re-run it — harmless, compaction is rerun-idempotent.
         compactEveryBatches.foreach { n =>
           if ((batchId + 1) % n == 0)
-            graft.ext.Compact.compactIngestLayout(spark, corpusDir,
-              targetBytes = compactTargetBytes,
-              keepLatest = compactKeepLatest)
+            span("compact")(
+              graft.ext.Compact.compactIngestLayout(spark, corpusDir,
+                targetBytes = compactTargetBytes,
+                keepLatest = compactKeepLatest))
         }
         ()
       }
