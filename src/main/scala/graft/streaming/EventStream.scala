@@ -407,40 +407,61 @@ object EventStream {
         val corpusOut = tokenizerPath.map(p => graft.ext.TextAnalysis
           .withSubwordCounts(survivors, textCol, idCol, p))
           .getOrElse(survivors)
-        span("write_corpus")(
-          corpusOut.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId"))
+        // the batch's output writes are INDEPENDENT jobs over the one
+        // materialized survivor frame (distinct target dirs, no
+        // read-after-write among them) — run them from a small driver
+        // pool so each write's task tail back-fills the executor slots
+        // the previous write would have left idle (guide §2.6 "overlap
+        // independent jobs"; r15 optimization). Crash semantics are
+        // unchanged: the checkpoint commits only after ALL writes
+        // return, and a replayed batch overwrites every partition it
+        // touched, exactly as under the sequential schedule.
+        val writeJobs = Seq.newBuilder[(String, () => Unit)]
+        writeJobs += ("write_corpus" -> (() =>
+          corpusOut.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")))
         urlCol.foreach { u =>
-          span("write_urlset")(
+          writeJobs += ("write_urlset" -> (() =>
             survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
                 .as("url_canon")).filter(col("url_canon").isNotNull).distinct()
-              .write.mode("overwrite").parquet(s"$side/urlset/batch=$batchId"))
+              .write.mode("overwrite").parquet(s"$side/urlset/batch=$batchId")))
         }
-        span("write_md5set")(
+        writeJobs += ("write_md5set" -> (() =>
           survivors.select(md5(col(textCol)).as("text_md5")).distinct()
-            .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId"))
-        span("write_minhash")(
+            .write.mode("overwrite").parquet(s"$side/md5set/batch=$batchId")))
+        writeJobs += ("write_minhash" -> (() =>
           graft.ext.Dedup.minhashTableRows(survivors, textCol, idCol)
-            .write.mode("overwrite").parquet(s"$side/minhash/batch=$batchId"))
+            .write.mode("overwrite").parquet(s"$side/minhash/batch=$batchId")))
         // OR-append the batch's keys into the bloom artifacts —
         // batch-id-keyed (replays skip) and bitwise idempotent anyway
         bloomExpectedKeys.foreach { _ =>
           urlCol.foreach { u =>
-            span("bloom_url_append")(graft.ext.Bloom.appendMembershipBloom(
-              survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
-                .as("url_canon")).filter(col("url_canon").isNotNull)
-                .distinct(),
-              "url_canon", batchId, s"$side/bloom_url"))
+            writeJobs += ("bloom_url_append" -> (() =>
+              graft.ext.Bloom.appendMembershipBloom(
+                survivors.select(graft.ext.TextAnalysis.canonicalizeUrl(col(u))
+                  .as("url_canon")).filter(col("url_canon").isNotNull)
+                  .distinct(),
+                "url_canon", batchId, s"$side/bloom_url")))
           }
-          span("bloom_md5_append")(graft.ext.Bloom.appendMembershipBloom(
-            survivors.select(md5(col(textCol)).as("text_md5")).distinct(),
-            "text_md5", batchId, s"$side/bloom_md5"))
+          writeJobs += ("bloom_md5_append" -> (() =>
+            graft.ext.Bloom.appendMembershipBloom(
+              survivors.select(md5(col(textCol)).as("text_md5")).distinct(),
+              "text_md5", batchId, s"$side/bloom_md5")))
         }
         reportDir.foreach { rd =>
           import spark.implicits._
-          span("write_report")(
-            report.map(r => (r.stage, r.rows)).toDF("stage", "rows")
-              .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId"))
+          val rep = report.map(r => (r.stage, r.rows)).toDF("stage", "rows")
+          writeJobs += ("write_report" -> (() =>
+            rep.write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")))
         }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          val futures = writeJobs.result().map { case (name, job) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = span(name)(job())
+            })
+          }
+          futures.foreach(_.get()) // propagate the first failure loudly
+        } finally pool.shutdown()
         // scheduled layout maintenance: after this batch's writes land,
         // bin-pack closed ranges across corpus + side tables. Replays
         // re-run it — harmless, compaction is rerun-idempotent.
