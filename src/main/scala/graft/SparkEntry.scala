@@ -2680,6 +2680,7 @@ object SparkEntry {
       val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
         .withColumn("day_idx",
           floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+        .localCheckpoint() // 8 actions consume ev — materialize once (r15)
       val skDir = java.nio.file.Files
         .createTempDirectory("graft-kll").toString + "/t"
       graft.ext.Sketches.writeQuantileSketches(ev, "value", "day_idx", skDir)
@@ -2774,10 +2775,11 @@ object SparkEntry {
       // (bloom has no false negatives; positives exactly verified) —
       // REQUIRED in-gate — and the oracle replays the anti-join.
       val docs = ld(s, dir, "documents")
+      // old/batch each feed 4+ audit actions — materialize once (r15)
       val old = docs.filter(col("doc_id") % 5 =!= 0)
-        .select(md5(col("text")).as("key"))
+        .select(md5(col("text")).as("key")).localCheckpoint()
       val batch = docs.filter(col("doc_id") % 3 === 0)
-        .withColumn("key", md5(col("text")))
+        .withColumn("key", md5(col("text"))).localCheckpoint()
       val bDir = java.nio.file.Files
         .createTempDirectory("graft-bloom").toString + "/b"
       val oldCount = old.count()
@@ -3177,7 +3179,7 @@ object SparkEntry {
     }),
     "q249_stream_stream_colocation" -> ((s, dir) => { ensure(s)
       // STREAM-STREAM spatiotemporal co-location: q232's fixture with
-      // BOTH sides arriving as real streams — the 3x3x3 binning is
+      // BOTH sides arriving as real streams — the split 3x3/3 binning is
       // stateless, the join carries the three equi bin keys plus the
       // watermarked event-time range |Δt| <= tau that BOUNDS the join
       // state (each side retains watermark + tau of history, the
@@ -3473,10 +3475,11 @@ object SparkEntry {
       // SPATIOTEMPORAL co-location join (contact-tracing shape): every
       // (even event, odd event) pair within 20 planar units AND 60
       // time units — the radius-join recipe with a third binned axis
-      // (3x3x3 replication, exact dx²+dy² AND |Δt| verify). Integer
+      // (3x3-right x 3-left replication since the r15 rebalance, exact
+      // dx²+dy² AND |Δt| verify). Integer
       // fixture ⇒ pure arithmetic on both engines; dist2/dt pinned as
       // BIGINTs (no float hash surface). A pair lost at a cell or
-      // bucket border, or duplicated by the 27-way replication,
+      // bucket border, or duplicated by the neighbor replication,
       // breaks the row set.
       // coordinates are INDEPENDENT md5 draws per axis (the q208
       // cross-engine convention) — three linear functions of the id
@@ -5514,6 +5517,7 @@ object SparkEntry {
       val ev = EventStream.loadEvents(s, s"$dir/events.parquet")
         .withColumn("day_idx",
           floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+        .localCheckpoint() // several actions consume ev — materialize once (r15)
       val sketchDir = java.nio.file.Files
         .createTempDirectory("graft-sketch").toString + "/t"
       graft.ext.Sketches.writeDistinctSketches(ev, "user_id", "day_idx",

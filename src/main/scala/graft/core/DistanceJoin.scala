@@ -338,12 +338,15 @@ object DistanceJoin {
    * planar `radius` AND within `tau` time units of each other. The
    * [[radiusJoin]] recipe with a third binned axis: square cells of
    * side >= radius, time buckets of width >= tau, the right side
-   * replicated into its 3x3x3 (cell, cell, bucket) neighborhood, hash
-   * join on the three slim keys, exact `dx²+dy² <= r²  AND  |Δt| <= tau`
+   * replicated into its 3x3 spatial neighborhood and the LEFT side into
+   * its ±1 time-bucket neighborhood (the r15 fan-out rebalance — 9|R| +
+   * 3|L| exchanged rows instead of 27|R| + |L|), hash join on the three
+   * slim keys, exact `dx²+dy² <= r²  AND  |Δt| <= tau`
    * verify — pure `-`/`*`/`+`/abs arithmetic, bit-portable. Exactly-once
-   * structurally: the left row's single key triple meets each right
-   * row's 27 distinct replicas at most once (no modular wrap on any
-   * axis). NULL/NaN coordinates or timestamps REFUSED loudly.
+   * structurally: a true pair's (dx, dy, dt) bin-alignment triple is
+   * unique, so it meets exactly one (replica, replica) combination (no
+   * modular wrap on any axis). NULL/NaN coordinates or timestamps
+   * REFUSED loudly.
    *
    * Scale: the right side shuffles 27x (three slim longs + payload) —
    * the price of never comparing across-bucket pairs; a co-location
@@ -429,8 +432,8 @@ object DistanceJoin {
    * over two UNBOUNDED streams (real-time contact tracing): every
    * (left, right) pair within planar `radius` AND `tau` seconds, as a
    * watermarked Structured Streaming stream-stream inner join. The
-   * binning is the same 3×3×3 recipe (stateless projections, so they
-   * stream as-is); the join carries the three equi bin keys PLUS the
+   * binning is the same split 3×3-right/3-left recipe (stateless
+   * projections, so they stream as-is); the join carries the three equi bin keys PLUS the
    * event-time range `|lt − rt| <= tau` expressed on TIMESTAMP
    * columns, which is what lets Spark BOUND the join state — each
    * side retains only `watermarkDelay + tau` of history instead of
