@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *     both lost the 3.5 KB full line mid-number; round 3's intact
   *     stdout line still parsed null, suspect sbt's "[info] " prefix,
   *     so round 4 duplicates it on unprefixed stderr).
+  *   - r16: immediately BEFORE that final line, the full per-query map
+  *     (full names, seconds) is emitted as self-labeled
+  *     `{"metric":"bench_queries","part":i,"of":n,...}` chunk lines of
+  *     <800 chars each on both streams — the 900-char cap silently
+  *     dropped the map at 286 entries, so the driver's PERF per_query
+  *     and scaling analyses came out empty in round 15 twice.
   *
   * WALL-BUDGET DIET (r15, after the r14 timeout): the suite had grown
   * to 272 entries × (2 untimed warmups + 3 timed runs) and outgrew the
@@ -278,16 +284,44 @@ object Bench {
     def line(withQ: Boolean) =
       if (withQ) s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"canonical":$canonical,"queries":$qsMs,"queries_unit":"ms","sf":"$sfDir","detail":"BENCH.out"}"""
       else s"""{"metric":"total","value":$totalR,"unit":"sec","n":${results.size},"canonical":$canonical,"sf":"$sfDir","detail":"BENCH.out"}"""
-    // stay under the driver's truncating tail window with margin: drop the
-    // per-query map (it stays in BENCH.out) rather than risk a cut line
+    // PER-QUERY CONTRACT FIX (r16): the 900-char cap on the with-queries
+    // line meant the driver NEVER saw per-query data at 286 entries —
+    // PERF_r15's per_query/{scaling} came out empty twice. The full map
+    // is now always emitted, CHUNKED into self-labeled JSON lines (each
+    // well under the ~2000-char tail-capture window that cut rounds 1-2's
+    // 3.5 KB single line mid-number) on BOTH streams before the final
+    // total line: full query names, seconds at ms precision, so the keys
+    // match CORRECTNESS_*.json. The final line keeps the original compact
+    // format (with the map inlined only when it fits) so the existing
+    // last-line parse stays valid.
+    val secEntries = results.map { case (k, v) =>
+      "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+    val chunks = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      secEntries.foreach { e =>
+        if (cur.nonEmpty && cur.length + e.length + 1 > 700) {
+          buf += cur.toString(); cur.clear()
+        }
+        if (cur.nonEmpty) cur += ','
+        cur ++= e
+      }
+      if (cur.nonEmpty) buf += cur.toString()
+      buf.toSeq
+    }
     val compact = if (line(withQ = true).length <= 900) line(withQ = true) else line(withQ = false)
     SparkEntry.releaseGateCaches()
     graft.ext.Dedup.releaseCaches()
     spark.stop()
-    // Emit the compact line on BOTH streams, stderr last: sbt decorates
-    // stdout with an "[info] " prefix that can defeat a strict JSON-line
-    // parse of the captured tail, while stderr passes through unprefixed.
-    // Nothing may print after this.
+    // Emit chunk lines then the compact line on BOTH streams, stderr
+    // last: sbt decorates stdout with an "[info] " prefix that can defeat
+    // a strict JSON-line parse of the captured tail, while stderr passes
+    // through unprefixed. Nothing may print after the final compact line.
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val l = s"""{"metric":"bench_queries","part":${i + 1},"of":${chunks.size},"unit":"sec","sf":"$sfDir","queries":{$c}}"""
+      println(l)
+      System.err.println(l)
+    }
     println(compact)
     System.out.flush()
     System.err.println(compact)
