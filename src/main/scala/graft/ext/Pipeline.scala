@@ -29,11 +29,16 @@ import org.apache.spark.sql.functions._
  * ([[TextAnalysis.packSequences]]) stay caller-side: they need the eval
  * sets / tokenizer budget the cleaning stages don't.
  *
- * EAGER, by design: each stage cuts lineage on its survivors ([[graft.core.Checkpoints]] — reliable when `spark.graft.checkpointDir` is set) (lineage
- * stays one stage deep — stage N's shuffle never re-executes inside
- * stage N+1's plan) and the per-stage row counts come back as the run
- * report, the artifact a production pipeline logs and alerts on ("stage
- * 4 dropped 80% of the corpus" is a bug report, not a cleaning run).
+ * EAGER, by design: every multi-consumer stage output cuts lineage on
+ * its survivors ([[graft.core.Checkpoints]] — reliable when
+ * `spark.graft.checkpointDir` is set), so no stage's shuffle re-executes
+ * inside a downstream plan, and the per-stage row counts come back as
+ * the run report, the artifact a production pipeline logs and alerts on
+ * ("stage 4 dropped 80% of the corpus" is a bug report, not a cleaning
+ * run). Since r16 the counts ride `observe()` metrics harvested from
+ * the materialization actions ([[StageChain]]) and consecutive
+ * single-consumer stages share one cut — same frames, same counts,
+ * roughly half the jobs.
  */
 object Pipeline {
 
@@ -42,6 +47,72 @@ object Pipeline {
     * when unset. */
   private val stageTiming: Boolean =
     sys.env.get("GRAFT_STAGE_TIMING").exists(_.nonEmpty)
+
+  /**
+   * FUSED stage-report plumbing (r16). The r15 shape paid TWO jobs per
+   * stage — an eager `lineageCut()` materialization plus a `count()`
+   * rescan — and materialized every intermediate even when the next
+   * stage consumes it exactly once. Two changes, neither of which
+   * alters any stage's logical frame (the reported counts are counts of
+   * the SAME frames as before):
+   *
+   *  1. every stage's survivor count rides an `observe()` metric
+   *     (`CollectMetrics` — exactly-once per successful execution, task
+   *     retries do not double-count) evaluated DURING the next
+   *     materialization and read back from that action's
+   *     `queryExecution.observedMetrics` — the standalone `count()` job
+   *     per stage is gone;
+   *  2. consecutive SINGLE-consumer stages share one materialization
+   *     ([[mark]] without [[materialize]] between them). Materialization
+   *     stays wherever a stage's output is consumed more than once
+   *     (every `rejoin`, the minhash signature/keeper pair, the bloom
+   *     probe paths) or its count feeds plan construction (the derived
+   *     boilerplate threshold) — cutting those would re-execute work,
+   *     the opposite of the point.
+   *
+   * `GRAFT_STAGE_TIMING` spans now time mark→materialize, so the FIRST
+   * stage of a fused chain carries the whole chain's wall time and later
+   * members read near-zero — the count fields are unchanged.
+   */
+  private final class StageChain(
+      scope: String,
+      report: scala.collection.mutable.Builder[StageReport, Seq[StageReport]]) {
+    private val pending =
+      scala.collection.mutable.ArrayBuffer[(String, Option[DataFrame], Long)]()
+    /** survivor count of the most recently materialized stage */
+    var lastCount = 0L
+    /** Attach stage `name`'s count as an observe metric; the count is
+      * realized (and reported) by the next [[materialize]]. */
+    def mark(name: String, overflow: Option[DataFrame] = None)
+            (df: DataFrame): DataFrame = {
+      pending += ((name, overflow, System.nanoTime()))
+      df.observe("st_" + name, count(lit(1)).as("n"))
+    }
+    /** Cut lineage once; harvest every pending stage's observed count. */
+    def materialize(df: DataFrame): DataFrame = {
+      val out = df.lineageCut()
+      val metrics = df.queryExecution.observedMetrics
+      pending.foreach { case (name, overflow, t0) =>
+        val n = metrics.get("st_" + name) match {
+          case Some(row) => row.getLong(0)
+          case None => throw new IllegalStateException(
+            s"stage chain $scope/$name: observed metric missing after " +
+              "materialization — the checkpoint action did not execute " +
+              "the observed plan")
+        }
+        lastCount = n
+        if (stageTiming) System.err.println(
+          f"GRAFT_STAGE $scope/$name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+        report += StageReport(name, n, overflow)
+      }
+      pending.clear()
+      out
+    }
+    /** mark + materialize in one call — a stage that must stand alone. */
+    def stage(name: String, overflow: Option[DataFrame] = None)
+             (df: DataFrame): DataFrame =
+      materialize(mark(name, overflow)(df))
+  }
 
   /** One stage's outcome in a [[cleanCorpus]] run: survivor count plus
     * the stage's OVERFLOW report — the frame naming exactly what the
@@ -86,52 +157,54 @@ object Pipeline {
     require(blockedDomains.isEmpty || urlCol.nonEmpty,
       "blockedDomains needs urlCol: the blocklist matches URL hosts")
     val report = Seq.newBuilder[StageReport]
-    var lastCount = 0L
-    def stage(name: String, overflow: Option[DataFrame] = None)
-             (df: DataFrame): DataFrame = {
-      val t0 = System.nanoTime()
-      val out = df.lineageCut()
-      lastCount = out.count()
-      if (stageTiming) System.err.println(
-        f"GRAFT_STAGE clean/$name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $lastCount rows")
-      report += StageReport(name, lastCount, overflow)
-      out
-    }
+    val chain = new StageChain("clean", report)
 
-    var cur = stage("input")(docs)
+    // FUSED HEAD (r16): input / blocklist / markup / normalize are each
+    // consumed exactly once by the next stage, so they ride ONE
+    // materialization — their survivor counts come back as observe
+    // metrics from that single action (the r15 shape paid 4
+    // full-corpus-text localCheckpoints + 4 count jobs here). The head
+    // is cut at the first multi-consumer point: the canonical-URL frame
+    // (consumed 3x by url_dedup — with `_cu` baked into the cut, the
+    // canonicalization regex chain now runs once, not per consumer), or
+    // directly under exact_dedup's window when there is no urlCol.
+    var cur = chain.mark("input")(docs)
     // blocklist FIRST: it reads only urlCol, so blocked docs must never
     // pay the extraction/normalization regexp chains they are about to
     // be dropped from (the RefinedWeb order — URL filtering precedes
     // text extraction)
     blockedDomains.foreach { b =>
-      cur = stage("domain_blocklist")(TextAnalysis.blockByDomain(
+      cur = chain.mark("domain_blocklist")(TextAnalysis.blockByDomain(
         cur, urlCol.get, idCol, b, blockedDomainCol))
     }
     if (markupStrip)
-      cur = stage("markup_strip")(TextAnalysis.stripMarkupDocs(cur, textCol))
+      cur = chain.mark("markup_strip")(TextAnalysis.stripMarkupDocs(cur, textCol))
     if (normalize)
-      cur = stage("normalize")(
+      cur = chain.mark("normalize")(
         cur.withColumn(textCol, TextAnalysis.normalizeText(col(textCol))))
     urlCol.foreach { u =>
       // rows whose URL fails to canonicalize (null / non-http(s) /
       // malformed) pass through UN-deduped: no URL evidence is not
       // evidence of duplication, and dropping them would be silent data
       // loss in a pipeline's very first stage
-      val canon = cur.withColumn("_cu", TextAnalysis.canonicalizeUrl(col(u)))
+      val canon = chain.materialize(
+        cur.withColumn("_cu", TextAnalysis.canonicalizeUrl(col(u))))
       val keep = canon.filter(col("_cu").isNotNull)
         .groupBy("_cu").agg(min(col(idCol)).as(idCol)).select(idCol)
-      cur = stage("url_dedup")(
+      cur = chain.mark("url_dedup")(
         canon.filter(col("_cu").isNull).drop("_cu").unionByName(
           canon.join(keep, Seq(idCol), "left_semi").drop("_cu")))
     }
-    cur = stage("exact_dedup")(Dedup.exactKeepers(cur, textCol, idCol))
+    // exact_dedup is a single window over its input, so url_dedup (one
+    // consumer: this window) fuses into its materialization
+    cur = chain.stage("exact_dedup")(Dedup.exactKeepers(cur, textCol, idCol))
     // text-rewriting stages return (id, text); carry the other columns
     // across via an id join with the stage's input
     def rejoin(cleaned: DataFrame): DataFrame = {
       val others = cur.columns.filterNot(_ == textCol).map(col)
       cur.select(others: _*).join(cleaned, Seq(idCol))
     }
-    cur = stage("line_dedup")(
+    cur = chain.stage("line_dedup")(
       rejoin(TextAnalysis.dedupLinesWithinDoc(cur, textCol, idCol)))
     // corpus-size-derived default, the q100 recipe: a line is boilerplate
     // when it appears in more than max(4, 1%) of documents (lastCount is
@@ -141,17 +214,20 @@ object Pipeline {
     // threshold to 4 — over-aggressive boilerplate removal precisely in
     // the 100 TB regime this pipeline targets
     val maxDf = if (boilerplateMaxDocFreq > 0) boilerplateMaxDocFreq
-      else math.min(math.max(4L, lastCount / 100L), Int.MaxValue.toLong).toInt
-    cur = stage("boilerplate_lines")(
+      else math.min(math.max(4L, chain.lastCount / 100L), Int.MaxValue.toLong).toInt
+    cur = chain.stage("boilerplate_lines")(
       rejoin(TextAnalysis.removeBoilerplateLines(cur, textCol, idCol, maxDf)))
-    cur = stage("span_dedup")(
+    // span_dedup's only consumer is the quality filter (row-local), so
+    // the two stages share one materialization — span's count observed
+    // pre-filter, quality's post, off the same action
+    val spanOut = chain.mark("span_dedup")(
       rejoin(TextAnalysis.removeDuplicatedSpansToFixedPoint(
         cur, textCol, idCol, spanK).drop("kept_tokens")))
     // size(wordTokens) not tokenCount: the raw kernel counts '' as one
     // token (split semantics), and fully-boilerplate / fully-duplicated
     // docs ARE '' by this stage — they must fail the gate, not sneak
     // through at 1 token
-    cur = stage("quality_gate")(cur.filter(
+    cur = chain.stage("quality_gate")(spanOut.filter(
       size(TextAnalysis.wordTokens(col(textCol))) >= minTokens &&
       TextAnalysis.dupTokenFraction(col(textCol)) <= maxDupTokenFraction))
     // the one capped stage: its band-bucket overflow report (computed on
@@ -165,7 +241,7 @@ object Pipeline {
       maxBucket = minhashMaxBucket).lineageCut()
     if (stageTiming) System.err.println(
       f"GRAFT_STAGE clean/_overflow: ${(System.nanoTime() - tOv) / 1e9}%.3f s")
-    cur = stage("minhash_dedup", Some(overflow))(Dedup.minhashKeepers(
+    cur = chain.stage("minhash_dedup", Some(overflow))(Dedup.minhashKeepers(
       cur, textCol, idCol, threshold = minhashThreshold,
       maxBucket = minhashMaxBucket))
     (cur, report.result())
@@ -325,16 +401,14 @@ object Pipeline {
         "re-enter the corpus; pass the old corpus's URL column, or " +
         "urlCol = None to dedup by content only")
     val report = Seq.newBuilder[StageReport]
+    // cross stages keep per-stage materializations (the bloom paths run
+    // driver-side probe collects over their input and may consume it
+    // twice — an uncut input would re-execute the upstream anti-join per
+    // probe) but their counts ride observe metrics off the cut action,
+    // dropping the per-stage count() job
+    val chain = new StageChain("ingest", report)
     def stage(name: String, overflow: Option[DataFrame] = None)
-             (df: DataFrame): DataFrame = {
-      val t0 = System.nanoTime()
-      val out = df.lineageCut()
-      val n = out.count()
-      if (stageTiming) System.err.println(
-        f"GRAFT_STAGE ingest/$name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
-      report += StageReport(name, n, overflow)
-      out
-    }
+             (df: DataFrame): DataFrame = chain.stage(name, overflow)(df)
     val (cleaned, cleanReport) = cleanCorpus(newDocs, textCol, idCol,
       urlCol = urlCol, markupStrip = markupStrip, normalize = normalize,
       blockedDomains = blockedDomains, blockedDomainCol = blockedDomainCol,
@@ -433,11 +507,11 @@ object Pipeline {
       s"contaminationMaxFraction in [0, 1), got $contaminationMaxFraction")
     val report = Seq.newBuilder[StageReport]
     report ++= cleanReport
-    def stage(name: String)(df: DataFrame): DataFrame = {
-      val out = df.lineageCut()
-      report += StageReport(name, out.count())
-      out
-    }
+    // all finalize stages are genuinely multi-consumer (split feeds two
+    // filters, train feeds the mix pair, mixed feeds the two-pass pack),
+    // so each keeps its materialization; only the count() jobs fuse away
+    val chain = new StageChain("finalize", report)
+    def stage(name: String)(df: DataFrame): DataFrame = chain.stage(name)(df)
     // any-overlap by default (one shared benchmark 8-gram drops the
     // doc); with `contaminationMaxFraction` the GPT-3-style FRACTION
     // threshold instead — a doc is dropped iff MORE than that fraction

@@ -163,7 +163,13 @@ object RangeJoin {
    *     satisfies lo < b·W <= p < (b+1)·W <= hi for ANY inclusivity
    *     choice (loB = floor(lo/W) makes lo < (loB+1)·W <= b·W, and
    *     hiB = floor(hi/W) makes (b+1)·W <= hiB·W <= hi) — so the
-   *     interval takes the bin's pre-aggregated limbs as-is;
+   *     interval takes the bin's pre-aggregated limbs as-is. Interior
+   *     coverage is a RANGE JOIN of the occupied-bin aggregates against
+   *     the broadcast wide set (r16; was explode(sequence) clamped by
+   *     the occupied-bin RANGE, where one outlier point could stretch
+   *     the clamp into a multi-hundred-million-element array per wide
+   *     interval) — nested-loop work is |occupied bins| x |wide|, with
+   *     |wide| <= maxWideIntervals enforced by the guard;
    *   - the <= 2 EDGE bins (b = loB, b = hiB) fall back to row-level
    *     `within` checks against just those bins' points.
    * The short path is the same binned hash join as [[pointInInterval]]
@@ -244,36 +250,37 @@ object RangeJoin {
       .withColumn("_ibin", explode(sequence(loB, hiB)))
     val shortPart = partial(
       staged.join(short, col("_pbin") === col("_ibin")).filter(within))
-    // ---- wide intervals ---------------------------------------------
-    val wide = intervals.filter(spanBins > maxBinsPerInterval)
-    // per-bin pre-aggregation of the points (slim: one row per occupied
-    // bin), plus the occupied-bin range to clamp interior explodes
-    val binAgg = staged.groupBy(col("_pbin")).agg(
-      sum(col("_ds_h")).as("_pb_h"), sum(col("_ds_m")).as("_pb_m"),
-      sum(col("_ds_l")).as("_pb_l"), count(lit(1)).as("_pb_n"))
-    val pbRange = staged.agg(min(col("_pbin")), max(col("_pbin"))).head()
-    val (minPb, maxPb) =
-      if (pbRange.isNullAt(0)) (0L, -1L)
-      else (pbRange.getLong(0), pbRange.getLong(1))
-    // interior bins, clamped to where points exist (an all-points-empty
-    // clamp of (0, -1) explodes nothing); sequence() refuses descending
-    // ranges, so guard lo <= hi explicitly
-    val iLo = greatest(loB + 1L, lit(minPb))
-    val iHi = least(hiB - 1L, lit(maxPb))
-    val interior = wide
-      .withColumn("_ibin", explode(when(iLo <= iHi, sequence(iLo, iHi))
-        .otherwise(array().cast("array<long>"))))
-      .join(binAgg, col("_ibin") === col("_pbin"))
-    val interiorPart = interior.groupBy(gCols: _*).agg(
-      sum(col("_pb_h")).as("_ps_h"), sum(col("_pb_m")).as("_ps_m"),
-      sum(col("_pb_l")).as("_ps_l"), sum(col("_pb_n")).as("_ps_n"))
-    // edge bins: row-level verify against just those bins' points
-    val edges = wide
-      .withColumn("_ibin", explode(array_distinct(array(loB, hiB))))
-      .join(staged, col("_pbin") === col("_ibin")).filter(within)
-    val edgePart = partial(edges)
+    // ---- wide intervals (only when the guard saw any: an all-short
+    // workload pays no binAgg aggregate and no union legs) -------------
+    val combinedParts = if (guard.getLong(1) == 0L) shortPart else {
+      val wide = intervals.filter(spanBins > maxBinsPerInterval)
+      // per-bin pre-aggregation of the points (slim: one row per
+      // occupied bin)
+      val binAgg = staged.groupBy(col("_pbin")).agg(
+        sum(col("_ds_h")).as("_pb_h"), sum(col("_ds_m")).as("_pb_m"),
+        sum(col("_ds_l")).as("_pb_l"), count(lit(1)).as("_pb_n"))
+      // interior bins via a RANGE JOIN against the OCCUPIED bins — not
+      // explode(sequence(loB+1, hiB-1)): one outlier point used to
+      // stretch the explode clamp so a wide interval could build a
+      // multi-hundred-million-element array per row (OOM / sequence
+      // length error; r16 ADVICE fix). The broadcast side is the wide
+      // interval set, capped at maxWideIntervals by the guard, so this
+      // nested-loop leg is bins x (<= maxWideIntervals slim rows) —
+      // work proportional to occupied bins, never to empty bin ranges.
+      val interior = binAgg.join(broadcast(wide),
+        col("_pbin") >= loB + 1L && col("_pbin") <= hiB - 1L)
+      val interiorPart = interior.groupBy(gCols: _*).agg(
+        sum(col("_pb_h")).as("_ps_h"), sum(col("_pb_m")).as("_ps_m"),
+        sum(col("_pb_l")).as("_ps_l"), sum(col("_pb_n")).as("_ps_n"))
+      // edge bins: row-level verify against just those bins' points
+      val edges = wide
+        .withColumn("_ibin", explode(array_distinct(array(loB, hiB))))
+        .join(staged, col("_pbin") === col("_ibin")).filter(within)
+      val edgePart = partial(edges)
+      shortPart.unionByName(interiorPart).unionByName(edgePart)
+    }
     // ---- combine: partial limb sums reassociate exactly --------------
-    val combined = shortPart.unionByName(interiorPart).unionByName(edgePart)
+    val combined = combinedParts
       .groupBy(gCols: _*).agg(
         sum(col("_ps_h")).as("_ds_sh"), sum(col("_ps_m")).as("_ds_sm"),
         sum(col("_ps_l")).as("_ds_sl"), sum(col("_ps_n")).as("_ds_n"))

@@ -460,7 +460,15 @@ object EventStream {
               def call(): Unit = span(name)(job())
             })
           }
-          futures.foreach(_.get()) // propagate the first failure loudly
+          // Await EVERY write before propagating the first failure: an
+          // early rethrow would leave sibling writers of the failed
+          // attempt running while the batch replays, racing the replay's
+          // own writes over the same batch=N dirs and bloom artifacts
+          // (r16 ADVICE fix). Collect-then-rethrow keeps "first failure
+          // propagated, all writes quiescent on return" as the contract.
+          val outcomes = futures.map(f =>
+            try { f.get(); None } catch { case t: Throwable => Some(t) })
+          outcomes.flatten.headOption.foreach(t => throw t)
         } finally pool.shutdown()
         // scheduled layout maintenance: after this batch's writes land,
         // bin-pack closed ranges across corpus + side tables. Replays
