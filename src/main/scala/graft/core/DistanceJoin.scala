@@ -154,10 +154,16 @@ object DistanceJoin {
       requireDisjointForJoinBack(left, id, right,
         Seq("dist2", "dist", "rank"), "knnJoin")
       val slim = slimLeft(left, id, lx, ly, "knnJoin")
-      return left.join(
-        knnJoin(slim, right, lx, ly, rx, ry, rIdCol, k,
-          startRadius, maxRadius).drop(lx, ly),
-        Seq(id))
+      // direct knnLoop call so the loop knows the slimLeft uniqueness
+      // contract and takes the fused one-job-per-round shape (r16)
+      val res = knnLoop(slim, rIdCol, k, startRadius, maxRadius,
+          (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r), "dist2",
+          uniqueLeft = true)
+        .withColumn("dist", sqrt(col("dist2")))
+        .select(slim.columns.map(col) ++
+          Seq(col(rIdCol), col("dist2"), col("dist"), col("rank")): _*)
+        .drop(lx, ly)
+      return left.join(res, Seq(id))
     }
     knnLoop(left, rIdCol, k, startRadius, maxRadius,
         (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r), "dist2")
@@ -175,12 +181,20 @@ object DistanceJoin {
   private def knnLoop(left: DataFrame, rIdCol: String, k: Int,
                       startRadius: Double, maxRadius: Double,
                       probe: (DataFrame, Double) => DataFrame,
-                      tieDist: String): DataFrame = {
+                      tieDist: String,
+                      uniqueLeft: Boolean = false): DataFrame = {
     val leftCols = left.columns.map(col)
     var unmatched = left
     var out: Option[DataFrame] = None
     var r = startRadius
     var done = false
+    var round = 0
+    // explode the round's heap into (rIdCol, tieDist, rank) rows
+    def explodeTop(df: DataFrame): DataFrame = df
+      .select(leftCols :+ posexplode(col("_top")): _*)
+      .select(leftCols ++ Seq(col("col.id").as(rIdCol),
+        (-col("col.score")).as(tieDist),
+        (col("pos") + 1).cast("int").as("rank")): _*)
     while (!done) {
       val atMax = r >= maxRadius
       val cand = probe(unmatched, r)
@@ -190,23 +204,64 @@ object DistanceJoin {
         .agg(count(lit(1)).as("_ncand"),
           graft.ext.TopKAggregate.topk_by_score(
             col(rIdCol), -col(tieDist), k).as("_top"))
-      val resolved =
-        (if (atMax) grouped else grouped.filter(col("_ncand") >= k))
-          .select(leftCols :+ posexplode(col("_top")): _*)
-          .select(leftCols ++ Seq(col("col.id").as(rIdCol),
-            (-col("col.score")).as(tieDist),
-            (col("pos") + 1).cast("int").as("rank")): _*)
-      out = Some(out.map(_.unionByName(resolved)).getOrElse(resolved))
-      if (atMax) done = true
-      else {
-        val resolvedKeys = resolved.filter(col("rank") === 1)
-          .select(leftCols: _*)
-        val next = unmatched.join(resolvedKeys,
-          unmatched.columns.map(c => unmatched(c) <=> resolvedKeys(c))
-            .reduce(_ && _), "left_anti").lineageCut()
-        if (next.isEmpty) done = true
-        else { unmatched = next; r = math.min(r * 2, maxRadius) }
+      if (uniqueLeft && atMax) {
+        // FINAL round: one consumer (the union), no unmatched set
+        // needed — no join-back, no cut (see nearestLoop)
+        val resolved = explodeTop(grouped)
+        out = Some(out.map(_.unionByName(resolved)).getOrElse(resolved))
+        done = true
+      } else if (uniqueLeft) {
+        // fused round (optimization r16, same argument as
+        // [[nearestLoop]]): ONE materialization carries the resolved
+        // heaps, the next round's unmatched set, and the miss metric;
+        // grouping columns aliased to fresh names (self-join ambiguity)
+        val keyed = grouped.select(
+          unmatched.columns.map(c => col(c).as("_k_" + c))
+            ++ Seq(col("_ncand"), col("_top")): _*)
+        val merged = unmatched.join(keyed,
+            unmatched.columns.map(c => unmatched(c) <=> keyed("_k_" + c))
+              .reduce(_ && _), "left")
+          .select(unmatched.columns.map(unmatched(_))
+            ++ Seq(col("_ncand"), col("_top")): _*)
+          .observe(s"knn_round_$round",
+            count(when(coalesce(col("_ncand"), lit(0L)) < k, 1)).as("miss"),
+            count(lit(1)).as("total"))
+        val cut = merged.lineageCut()
+        val m = merged.queryExecution.observedMetrics(s"knn_round_$round")
+        val (miss, total) = (m.getLong(0), m.getLong(1))
+        loopDebug(f"GRAFT_LOOP knn round $round r=$r%.1f " +
+          s"total=$total miss=$miss")
+        val resolved = explodeTop(
+          if (atMax) cut.filter(col("_ncand").isNotNull)
+          else cut.filter(col("_ncand") >= k))
+        out = Some(out.map(_.unionByName(resolved)).getOrElse(resolved))
+        if (atMax || miss == 0L) done = true
+        else {
+          unmatched = cut.filter(coalesce(col("_ncand"), lit(0L)) < k)
+            .select(leftCols: _*)
+          r = nextRadius(r, maxRadius, miss, total)
+        }
+      } else {
+        // the round's heap frame feeds BOTH the returned union and the
+        // anti-join below — cut it once (r16; this loop missed the r15
+        // nearestLoop argmin cut, so every consumer re-executed the
+        // probe join)
+        val resolved = explodeTop(
+          if (atMax) grouped else grouped.filter(col("_ncand") >= k))
+          .lineageCut()
+        out = Some(out.map(_.unionByName(resolved)).getOrElse(resolved))
+        if (atMax) done = true
+        else {
+          val resolvedKeys = resolved.filter(col("rank") === 1)
+            .select(leftCols: _*)
+          val next = unmatched.join(resolvedKeys,
+            unmatched.columns.map(c => unmatched(c) <=> resolvedKeys(c))
+              .reduce(_ && _), "left_anti").lineageCut()
+          if (next.isEmpty) done = true
+          else { unmatched = next; r = math.min(r * 2, maxRadius) }
+        }
       }
+      round += 1
     }
     out.get
   }
@@ -259,50 +314,129 @@ object DistanceJoin {
       "emit ambiguous duplicates; rename them")
   }
 
+  /** Env-gated per-round logging for the doubling loops (measurement,
+    * VERDICT r15 #4/#6 "log the rounds"): GRAFT_LOOP_DEBUG=1. */
+  private def loopDebug(msg: => String): Unit =
+    if (sys.env.get("GRAFT_LOOP_DEBUG").exists(_.nonEmpty))
+      System.err.println(msg)
+
+  /** The radius schedule shared by [[nearestLoop]] and [[knnLoop]]
+    * (optimization r16). Any schedule returns IDENTICAL rows — a left
+    * resolved at radius r has its true nearest (top-k) within r, so the
+    * argmin/heap is the same at any larger radius; only the final
+    * radius must be exactly maxRadius (the boundary-inclusion rule).
+    * The schedule only changes how many rounds (probe jobs + cuts) the
+    * tail pays, so it is tuned from the round's OWN observed counts
+    * (guide §8 "decide with small rows"): a mostly-missing round means
+    * startRadius was far too small — jump ×4; a small absolute tail
+    * goes straight to maxRadius (its probe is misses × one cover — the
+    * cheapest way to finish); otherwise the classic ×2. */
+  private def nextRadius(r: Double, maxRadius: Double,
+                         miss: Long, total: Long): Double = {
+    val frac = if (total > 0) miss.toDouble / total else 0.0
+    if (miss <= 2000L) maxRadius
+    else if (frac >= 0.5) math.min(r * 4, maxRadius)
+    else math.min(r * 2, maxRadius)
+  }
+
   /** The shared radius-doubling argmin loop: `probe(unmatched, r)` must
     * return all (left, right) candidate pairs within `r` carrying
     * `right.*` plus the distance columns; `tieDist` orders the per-left
-    * argmin (ties to the smaller `rIdCol`). */
+    * argmin (ties to the smaller `rIdCol`).
+    *
+    * `uniqueLeft` (the slimLeft contract: unique non-NULL left keys —
+    * every lIdCol caller) takes the FUSED round shape (optimization
+    * r16, guide §1.2/§8): ONE job per round materializes unmatched
+    * LEFT-JOIN argmin, so the SAME action yields the round's matches,
+    * the next round's unmatched set, and (via an observe() metric) the
+    * miss count that both terminates the loop and adapts the radius
+    * schedule — the r15 shape paid a second anti-join job + isEmpty
+    * action per round. Rows returned are identical: with unique left
+    * keys the left join emits exactly one row per unmatched left, and
+    * filter(_best nullness) splits it into the r15 shape's `best` and
+    * anti-join results. The whole-row path (duplicate lefts collapse —
+    * a left join would instead duplicate matches) keeps the r15 shape.
+    */
   private def nearestLoop(left: DataFrame, right: DataFrame,
                           rIdCol: String,
                           startRadius: Double, maxRadius: Double,
                           probe: (DataFrame, Double) => DataFrame,
-                          distCols: Seq[String]): DataFrame = {
+                          distCols: Seq[String],
+                          uniqueLeft: Boolean = false): DataFrame = {
     val tieDist = distCols.head
     var unmatched = left
     var out: Option[DataFrame] = None
     var r = startRadius
     var done = false
+    var round = 0
     while (!done) {
       val cand = probe(unmatched, r)
       // per-left argmin: (dist asc, right id asc) through the bounded
       // min_by struct — no window, no sort
       val leftCols = unmatched.columns.map(col)
-      // the round's argmin frame is consumed TWICE — the anti-join that
-      // derives the next round's unmatched set, and the returned union —
-      // and each un-cut consumption re-executes the whole probe join
-      // (measured ~2x the probe cost per round on the snap gates); cut
-      // once, both consumers read the slim materialized rows
-      val best = cand.groupBy(leftCols: _*)
+      val bestAgg = cand.groupBy(leftCols: _*)
         .agg(min_by(
           struct(right.columns.map(col) ++ distCols.map(col): _*),
           struct(col(tieDist), col(rIdCol))).as("_best"))
-        .select(leftCols :+ col("_best.*"): _*)
-        .lineageCut()
-      out = Some(out.map(_.unionByName(best)).getOrElse(best))
-      // null-SAFE anti join: a left row with a NULL payload column must
-      // still recognize itself as matched (EqualTo would re-probe and
-      // re-emit it every round)
-      val bestKeys = best.select(leftCols: _*)
-      val next = unmatched.join(bestKeys,
-        unmatched.columns.map(c => unmatched(c) <=> bestKeys(c))
-          .reduce(_ && _), "left_anti")
-      if (r >= maxRadius) done = true
-      else {
-        val remaining = next.lineageCut()
-        if (remaining.isEmpty) done = true
-        else { unmatched = remaining; r = math.min(r * 2, maxRadius) }
+      if (uniqueLeft && r >= maxRadius) {
+        // FINAL round: nothing downstream needs the unmatched set or
+        // the miss count, and the argmin has exactly one consumer (the
+        // returned union) — no join-back, no cut, no extra job at all.
+        // Single-round gates (startRadius >= maxRadius) hit only this.
+        val best = bestAgg.select(leftCols :+ col("_best.*"): _*)
+        out = Some(out.map(_.unionByName(best)).getOrElse(best))
+        done = true
+      } else if (uniqueLeft) {
+        // fused round: one materialization carries matches AND misses.
+        // The argmin's grouping columns keep their input attribute ids,
+        // so alias them to fresh names before joining back onto the
+        // SAME unmatched frame they derive from (self-join ambiguity)
+        val keyed = bestAgg.select(
+          unmatched.columns.map(c => col(c).as("_k_" + c)) :+ col("_best"): _*)
+        val merged = unmatched.join(keyed,
+            unmatched.columns.map(c => unmatched(c) <=> keyed("_k_" + c))
+              .reduce(_ && _), "left")
+          .select(unmatched.columns.map(unmatched(_)) :+ col("_best"): _*)
+          .observe(s"nl_round_$round",
+            count(when(col("_best").isNull, 1)).as("miss"),
+            count(lit(1)).as("total"))
+        val cut = merged.lineageCut()
+        val m = merged.queryExecution.observedMetrics(s"nl_round_$round")
+        val (miss, total) = (m.getLong(0), m.getLong(1))
+        loopDebug(f"GRAFT_LOOP nearest round $round r=$r%.1f " +
+          s"total=$total miss=$miss")
+        val best = cut.filter(col("_best").isNotNull)
+          .select(leftCols :+ col("_best.*"): _*)
+        out = Some(out.map(_.unionByName(best)).getOrElse(best))
+        if (miss == 0L) done = true
+        else {
+          unmatched = cut.filter(col("_best").isNull).drop("_best")
+          r = nextRadius(r, maxRadius, miss, total)
+        }
+      } else {
+        // the round's argmin frame is consumed TWICE — the anti-join
+        // deriving the next round's unmatched set, and the returned
+        // union — and each un-cut consumption re-executes the whole
+        // probe join; cut once, both consumers read the slim rows
+        val best = bestAgg
+          .select(leftCols :+ col("_best.*"): _*)
+          .lineageCut()
+        out = Some(out.map(_.unionByName(best)).getOrElse(best))
+        // null-SAFE anti join: a left row with a NULL payload column
+        // must still recognize itself as matched (EqualTo would
+        // re-probe and re-emit it every round)
+        val bestKeys = best.select(leftCols: _*)
+        val next = unmatched.join(bestKeys,
+          unmatched.columns.map(c => unmatched(c) <=> bestKeys(c))
+            .reduce(_ && _), "left_anti")
+        if (r >= maxRadius) done = true
+        else {
+          val remaining = next.lineageCut()
+          if (remaining.isEmpty) done = true
+          else { unmatched = remaining; r = math.min(r * 2, maxRadius) }
+        }
       }
+      round += 1
     }
     out.get
   }
@@ -323,7 +457,7 @@ object DistanceJoin {
         val slim = slimLeft(left, id, lx, ly, "nearestJoin")
         val res = nearestLoop(slim, right, rIdCol, startRadius, maxRadius,
           (u, r) => radiusJoin(u, right, lx, ly, rx, ry, r),
-          Seq("dist2", "dist")).drop(lx, ly)
+          Seq("dist2", "dist"), uniqueLeft = true).drop(lx, ly)
         left.join(res, Seq(id)) // payload back in ONE hash join
       case None =>
         nearestLoop(left, right, rIdCol, startRadius, maxRadius,
@@ -348,7 +482,8 @@ object DistanceJoin {
    * modular wrap on any axis). NULL/NaN coordinates or timestamps
    * REFUSED loudly.
    *
-   * Scale: the right side shuffles 27x (three slim longs + payload) —
+   * Scale: the right side shuffles 9x and the left 3x (three slim longs
+   * + payload each — the r15 rebalance figures above) —
    * the price of never comparing across-bucket pairs; a co-location
    * query where `tau` spans most of the data's time range wants the
    * plain [[radiusJoin]] plus a residual time filter instead (the
@@ -836,7 +971,8 @@ object DistanceJoin {
           Seq("dist_m"), "geoNearestJoin")
         val slim = slimLeft(left, id, lLat, lLon, "geoNearestJoin")
         val res = nearestLoop(slim, right, rIdCol, startRadiusMeters,
-          maxRadiusMeters, probe, Seq("dist_m")).drop(lLat, lLon)
+          maxRadiusMeters, probe, Seq("dist_m"), uniqueLeft = true)
+          .drop(lLat, lLon)
         left.join(res, Seq(id))
       case None =>
         nearestLoop(left, right, rIdCol, startRadiusMeters, maxRadiusMeters,
@@ -870,10 +1006,13 @@ object DistanceJoin {
       requireDisjointForJoinBack(left, id, right,
         Seq("dist_m", "rank"), "geoKnnJoin")
       val slim = slimLeft(left, id, lLat, lLon, "geoKnnJoin")
+      // direct knnLoop call so the loop knows the slimLeft uniqueness
+      // contract and takes the fused one-job-per-round shape (r16)
       return left.join(
-        geoKnnJoin(slim, right, lLat, lLon, rLat, rLon, rIdCol, k,
-          startRadiusMeters, maxRadiusMeters,
-          earthRadiusMeters = earthRadiusMeters).drop(lLat, lLon),
+        knnLoop(slim, rIdCol, k, startRadiusMeters, maxRadiusMeters,
+          (u, r) => geoRadiusJoin(u, right, lLat, lLon, rLat, rLon, r,
+            earthRadiusMeters), "dist_m", uniqueLeft = true)
+          .drop(lLat, lLon),
         Seq(id))
     }
     knnLoop(left, rIdCol, k, startRadiusMeters, maxRadiusMeters,
@@ -1006,7 +1145,8 @@ object DistanceJoin {
           Seq("dist_m"), "geoSnapToSegments")
         val slim = slimLeft(points, id, pLat, pLon, "geoSnapToSegments")
         val res = nearestLoop(slim, segs, sIdCol, startRadiusMeters,
-          maxRadiusMeters, probe, Seq("dist_m")).drop(pLat, pLon)
+          maxRadiusMeters, probe, Seq("dist_m"), uniqueLeft = true)
+          .drop(pLat, pLon)
         points.join(res, Seq(id))
       case None =>
         nearestLoop(points, segs, sIdCol, startRadiusMeters,
@@ -1166,7 +1306,7 @@ object DistanceJoin {
         requireDisjointForJoinBack(points, id, segs, distCols, "snapToSegments")
         val slim = slimLeft(points, id, px, py, "snapToSegments")
         val res = nearestLoop(slim, segs, sIdCol, startRadius, maxRadius,
-          probe, distCols).drop(px, py)
+          probe, distCols, uniqueLeft = true).drop(px, py)
         points.join(res, Seq(id))
       case None =>
         nearestLoop(points, segs, sIdCol, startRadius, maxRadius,

@@ -296,6 +296,21 @@ object Dedup {
    * so the default 8 rounds cover duplicate chains hundreds of hops long.
    * Throws if the loop exits without converging (instead of silently
    * returning split clusters). Returns (node, rep), rep = component min.
+   *
+   * Per-round cost shape (optimization r16, guide §1.2/§2.4 — the r15
+   * measurement put this loop at 6–7 s of q226's 8.2 s): ONE Spark job
+   * per round where there were two, and two joins where there were
+   * three. (a) The symmetric edge set carries a SELF-LOOP per node with
+   * an `_own` marker, so the neighbor-min aggregate computes
+   * `min(own rep, neighbors' reps)` directly — the old separate
+   * `labels LEFT JOIN nbr` hop join is folded into the same groupBy.
+   * (b) The marker also carries each node's PREVIOUS rep through the
+   * round, so convergence rides an `observe()` metric (CollectMetrics,
+   * exactly-once per execution) harvested from the round's own
+   * materialization — the old per-round `next JOIN labels`+isEmpty
+   * convergence job is gone. Label VALUES per round are identical to
+   * the r15 shape (min over the same set, same doubling), so the
+   * returned (node, rep) frame is bit-identical.
    */
   def components(pairs: DataFrame, maxIter: Int = 8): DataFrame = {
     // cache the pair set BEFORE the symmetric union — its producing plan
@@ -314,27 +329,67 @@ object Dedup {
     val edges = p.select(col("id").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("a").as("node"))
+    val labels0 = edges.groupBy(col("a").as("node"))
       .agg(least(min("b"), col("a")).as("rep"))
-      .lineageCut()
+      .observe("cc_nodes", count(lit(1)).as("n"))
+    var labels = labels0.lineageCut()
+    // node count off the init materialization's own observe metric (no
+    // extra job): it decides — §8 "decide with small rows" — whether
+    // the per-round label frame rides a BROADCAST join (no shuffle of
+    // the much larger edge set per round; the usual case for near-dup
+    // cluster graphs, whose label frame is tiny next to the edges) or
+    // the shuffle join that arbitrary-scale graphs need. Threshold via
+    // spark.graft.cc.broadcastNodes (rows; ~16 B/row — the default 2M
+    // is a ~32 MB broadcast, well under the driver/executor caps).
+    val nodeCount = labels0.queryExecution.observedMetrics("cc_nodes")
+      .getLong(0)
+    val bcastLimit = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.broadcastNodes").map(_.toLong)
+      .getOrElse(2000000L)
+    val bcast = nodeCount <= bcastLimit
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // self-loops (marked `_own` = true) ride the per-round join so ONE
+    // aggregate yields min(own, neighbors) AND carries the node's
+    // previous rep out for the observe()-metric convergence check; the
+    // node set is constant, so the self frame derives from the
+    // materialized round-0 labels once
+    val selfEdges = labels.select(col("node").as("a"),
+      col("node").as("b"), lit(true).as("_own"))
+    val edgesPlus = edges.withColumn("_own", lit(false))
+      .unionByName(selfEdges)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      // propagate: node's rep = min(own rep, neighbors' reps)
-      val nbr = edges.join(labels.withColumnRenamed("node", "b")
-          .withColumnRenamed("rep", "nbr_rep"), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min("nbr_rep").as("prop"))
-      val hop = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
+      // propagate: node's rep = min(own rep, neighbors' reps) — the
+      // self-loop row contributes the own rep (so no node is lost and
+      // the old separate `labels LEFT JOIN nbr` hop is folded into this
+      // same groupBy) and is tagged to surface the previous rep as _old
+      val hop = edgesPlus.join(side(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("rep", "nbr_rep")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(
+          min("nbr_rep").as("rep"),
+          max(when(col("_own"), col("nbr_rep"))).as("_old"))
       // pointer doubling: rep := rep(rep) — halves remaining chain length
-      val next = hop.alias("l")
-        .join(hop.select(col("node").as("rep"), col("rep").as("rep2")).alias("r"),
-          Seq("rep"), "left")
-        .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .lineageCut()
-      converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("node"))
-        .filter(col("rep") =!= col("old")).isEmpty
-      labels = next
+      val nextAll = hop.alias("l")
+        .join(side(hop.select(col("node").as("rep"), col("rep").as("rep2"))
+          .alias("r")), Seq("rep"), "left")
+        .select(col("node"), coalesce(col("rep2"), col("rep")).as("rep"),
+          col("_old"))
+        .observe(s"cc_round_$i",
+          count(when(col("rep") =!= col("_old"), 1)).as("changed"))
+      // ONE job: the lineage cut materializes the round AND the
+      // CollectMetrics node inside it answers "did any label change?" —
+      // the r15 shape paid a second join+isEmpty job per round for that
+      val t0 = System.nanoTime()
+      val next = nextAll.lineageCut()
+      val changed = nextAll.queryExecution.observedMetrics.get(s"cc_round_$i")
+        .map(_.getLong(0)).getOrElse(throw new IllegalStateException(
+          "components(): convergence metric missing after materialization"))
+      converged = changed == 0L
+      if (sys.env.get("GRAFT_LOOP_DEBUG").exists(_.nonEmpty))
+        System.err.println(f"GRAFT_LOOP components round $i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s, changed=$changed")
+      labels = next.select(col("node"), col("rep"))
       i += 1
     }
     edges.unpersist(); p.unpersist()
@@ -1132,8 +1187,13 @@ object Dedup {
         .transform(c => candDistinct(c.select("id", "id2"), estPairs))
         .join(base, Seq("id"))
         .join(base.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
-        .withColumn("dist", levenshtein(col("s"), col("s2")))
-        .filter(col("dist") <= maxDist)
+        // threshold form (r16, guide §1.2 per-task work): banded
+        // O(maxDist·len) DP instead of the full O(len²) matrix; returns
+        // the EXACT distance when <= maxDist and -1 otherwise, so
+        // `>= 0` keeps precisely the old `<= maxDist` set with
+        // identical dist values
+        .withColumn("dist", levenshtein(col("s"), col("s2"), maxDist))
+        .filter(col("dist") >= 0)
         .select("id", "id2", "dist")
       // --- short path: ONLY strings too short for the prefix bound
       // (len <= shortMax) need it; each pairs with every string within
@@ -1173,8 +1233,8 @@ object Dedup {
           // levenshtein (it appears both ways in shorts x partners);
           // short-long pairs appear once, in whichever id order
           .filter(col("id") < col("id2") || length(col("s2")) > shortMax)
-          .withColumn("dist", levenshtein(col("s"), col("s2")))
-          .filter(col("dist") <= maxDist)
+          .withColumn("dist", levenshtein(col("s"), col("s2"), maxDist))
+          .filter(col("dist") >= 0)
           .select(least(col("id"), col("id2")).as("id"),
             greatest(col("id"), col("id2")).as("id2"), col("dist"))
       }
@@ -1244,8 +1304,9 @@ object Dedup {
         .transform(c => candDistinct(c.select("id", "id2"), estPairs))
         .join(lbase, Seq("id"))
         .join(rbase.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
-        .withColumn("dist", levenshtein(col("s"), col("s2")))
-        .filter(col("dist") <= maxDist)
+        // threshold form — see editDistancePairs: exact-dist-or-(-1)
+        .withColumn("dist", levenshtein(col("s"), col("s2"), maxDist))
+        .filter(col("dist") >= 0)
         .select("id", "id2", "dist")
       // the four banded-path guard counts come from ONE agg job per
       // side over the persisted slim bases (was: up to four bounded
@@ -1267,8 +1328,8 @@ object Dedup {
               "the short strings first, or raise maxShort deliberately.")
           a.join(b.select(col("id").as("id2"), col("s").as("s2")),
               abs(length(col("s")) - length(col("s2"))) <= maxDist)
-            .withColumn("dist", levenshtein(col("s"), col("s2")))
-            .filter(col("dist") <= maxDist)
+            .withColumn("dist", levenshtein(col("s"), col("s2"), maxDist))
+            .filter(col("dist") >= 0)
             .select("id", "id2", "dist")
         }
       }

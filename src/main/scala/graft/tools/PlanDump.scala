@@ -19,14 +19,15 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val out = java.nio.file.Paths.get("plans", "r15")
+    val round = sys.env.getOrElse("GRAFT_PLANS_ROUND", "r16")
+    val out = java.nio.file.Paths.get("plans", round)
     java.nio.file.Files.createDirectories(out)
     names.foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, dir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(out.resolve(s"${q}_$tag.txt"), txt)
-      println(s"wrote plans/r15/${q}_$tag.txt (${txt.linesIterator.size} lines)")
+      println(s"wrote plans/$round/${q}_$tag.txt (${txt.linesIterator.size} lines)")
     }
     spark.stop()
   }

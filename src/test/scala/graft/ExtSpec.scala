@@ -252,6 +252,26 @@ class ExtSpec extends SparkSpec {
       (r.getLong(0), d)
     }.sortBy(t => (t._2, t._1)).take(5).toSeq
     assert(got == expected, s"got $got expected $expected")
+
+    // BATCHED multi-query search (the r15 one-scan-per-cell rewrite)
+    // returns exactly the per-query loop's rows — same ids, same
+    // distances, for several queries at once and for a single query
+    val qvs = Seq(0L, 2L, 7L).map(i => i ->
+      emb.filter($"vec_id" === i).select($"embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray)
+    val batched = Ivf.searchPartitionedPqResidualAll(spark, path, qvs,
+        ivf, pq, "vec_id", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val looped = qvs.flatMap { case (qid, qv2) =>
+      Ivf.searchPartitionedPqResidual(spark, path, qv2, ivf, pq,
+          "vec_id", k = 5, nprobe = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batched == looped, s"batched $batched != looped $looped")
+    val single = Ivf.searchPartitionedPqResidualAll(spark, path,
+        Seq(2L -> qv), ivf, pq, "vec_id", k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(single == got, s"single-query batched $single != $got")
   }
 
   test("vocab top-k / decontamination / pii scan") {
@@ -3470,6 +3490,82 @@ class ExtSpec extends SparkSpec {
         "lo", "hi", binWidth = 10.0, nullBoundIsOpen = true)
     }
     assert(inv.getMessage.contains("inverted"))
+  }
+
+  test("pointInIntervalSumExact: fused == unfused on wide+short+edge bins, " +
+       "all inclusivity modes, empty points, refusals") {
+    // binWidth 10, maxBinsPerInterval 2: spans of 1-2 bins take the
+    // hash path, wider spans the pre-aggregated wide path. Points sit
+    // ON bin boundaries (0, 10, 20), inside bins, at a far outlier
+    // (1000 — makes the occupied-bin set SPARSE across the wide span,
+    // the r16 range-join regression case), plus a NULL (matches
+    // nothing on both shapes).
+    val pts = Seq(Some(0.0), Some(0.25), Some(10.0), Some(15.5), Some(20.0),
+        Some(29.75), Some(1000.0), None: Option[Double])
+      .toDF("x")
+    val ivs = Seq(
+      (1L, 0.0, 10.0),      // 2 bins: short path, boundary points both ends
+      (2L, 9.5, 10.5),      // bin-boundary straddle, short
+      (3L, -5.0, 995.0),    // 101 bins: wide, hi edge excludes 1000
+      (4L, 0.0, 1500.0),    // wide, catches the outlier
+      (5L, 40.0, 45.0),     // short, matches nothing (group must be absent)
+      (6L, 200.0, 900.0))   // wide, interior bins all EMPTY (sparse set)
+      .toDF("band", "lo", "hi")
+    def unfused(lo: Boolean, hi: Boolean) = DecimalSums.groupSumExact(
+        RangeJoin.pointInInterval(pts, "x", ivs, "lo", "hi",
+          binWidth = 10.0, maxBinsPerInterval = 2,
+          loInclusive = lo, hiInclusive = hi),
+        Seq(col("band")), col("x"), 6, "sum_x",
+        extraAggs = Seq(count(lit(1)).as("cnt")))
+      .select(col("band"), col("cnt"), col("sum_x").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def fused(lo: Boolean, hi: Boolean) = RangeJoin.pointInIntervalSumExact(
+        pts, "x", ivs, "lo", "hi", binWidth = 10.0,
+        groupCols = Seq("band"), scale = 6, outName = "sum_x",
+        cntName = "cnt", maxBinsPerInterval = 2,
+        loInclusive = lo, hiInclusive = hi)
+      .select(col("band"), col("cnt"), col("sum_x").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    for (lo <- Seq(true, false); hi <- Seq(true, false)) {
+      val (f, u) = (fused(lo, hi), unfused(lo, hi))
+      assert(f == u, s"lo=$lo hi=$hi fused $f != unfused $u")
+      assert(!f.exists(_._1 == 5L), "no-match band must be absent")
+    }
+    // closed-mode spot check of the decimal values themselves
+    assert(fused(true, true) == Set(
+      (1L, 3L, "10.250000"),           // 0, 0.25, 10
+      (2L, 1L, "10.000000"),           // 10
+      (3L, 6L, "75.500000"),           // all but 1000
+      (4L, 7L, "1075.500000")))        // all seven non-NULL points
+    // empty point side: both shapes return zero groups
+    val none = pts.filter(col("x") < -1e9)
+    assert(RangeJoin.pointInIntervalSumExact(none, "x", ivs, "lo", "hi",
+      binWidth = 10.0, groupCols = Seq("band"), scale = 6,
+      outName = "sum_x", maxBinsPerInterval = 2).isEmpty)
+    // refusals: inverted interval; wide-cap exceeded; NaN point (the
+    // documented per-point deviation — it refuses even though NaN
+    // matches no interval)
+    val badIv = intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalSumExact(pts, "x",
+        ivs.unionByName(Seq((9L, 5.0, 1.0)).toDF("band", "lo", "hi")),
+        "lo", "hi", binWidth = 10.0, groupCols = Seq("band"), scale = 6,
+        outName = "sum_x", maxBinsPerInterval = 2)
+    }
+    assert(badIv.getMessage.contains("inverted"))
+    val cap = intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalSumExact(pts, "x", ivs, "lo", "hi",
+        binWidth = 10.0, groupCols = Seq("band"), scale = 6,
+        outName = "sum_x", maxBinsPerInterval = 2, maxWideIntervals = 1)
+    }
+    assert(cap.getMessage.contains("maxWideIntervals"))
+    val nan = intercept[Exception] {
+      RangeJoin.pointInIntervalSumExact(
+        Seq(Double.NaN).toDF("x"), "x", ivs, "lo", "hi",
+        binWidth = 10.0, groupCols = Seq("band"), scale = 6,
+        outName = "sum_x", maxBinsPerInterval = 2).collect()
+    }
+    assert(nan.getMessage != null && nan.getMessage.contains("NaN"),
+      s"expected the NaN refusal, got: ${nan.getMessage}")
   }
 
   test("funnel: strict order, window deadline, monotone stalls, repeated steps") {
